@@ -1,0 +1,333 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Core relational operators: sources, aggregations, sorts, set ops.
+  *
+  * Each `qid` here mirrors SURVEY.md §2.1 / §2.4 / §2.6 / §2.7 — the
+  * dataflow shapes of the reference recipes (time-grid generation,
+  * missing-key exclusion, listing sort/union, extent aggregation;
+  * see /root/reference/avhrr_sst_metop-b_osisaf-l2p/recipe.py:93-123 and
+  * insitu_glo_phybgcwav_discrete_mynrt_013_030/recipe.py:30-45,140-152)
+  * re-expressed as declarative Spark plans so Catalyst handles pushdown,
+  * partial aggregation and AQE at scale.
+  *
+  * Determinism contract: every query that feeds the DuckDB hash-compare
+  * rounds floating aggregates (round 2) and breaks all limit/top-k ties
+  * with a total key order.
+  */
+object RelationalQueries {
+
+  /** Flagship: TPC-H Q1-style pricing summary.
+    * Scan → filter (pushed to parquet) → hash agg (partial+final) →
+    * sort. One shuffle on the 4-ish group keys; at 100 TB the partial
+    * aggregation reduces the shuffle to |groups|×partitions rows.
+    */
+  def q1Pricing(s: SparkSession, dir: String): DataFrame = {
+    lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        round(avg(col("l_discount")), 2).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1PricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_quantity), 2) AS avg_qty,
+      |  round(avg(l_extendedprice), 2) AS avg_price,
+      |  round(avg(l_discount), 2) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** src_parallelize — driver-side collection → distributed dataset
+    * (`beam.Create`, avhrr recipe.py:84,123). */
+  def srcParallelize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Seq((0, "alpha"), (1, "beta"), (2, "gamma"), (3, "delta"))
+      .toDF("k", "name")
+  }
+
+  val srcParallelizeSql: String =
+    "SELECT * FROM (VALUES (0,'alpha'),(1,'beta'),(2,'gamma'),(3,'delta')) AS t(k, name)"
+
+  /** src_time_grid — the AVHRR 3-minute granule grid
+    * (avhrr recipe.py:116-118), generated DISTRIBUTEDLY via
+    * `sequence` + `explode` — never materialized on the driver
+    * (the reference's scaling flaw, SURVEY §3.1 step 3).
+    */
+  def srcTimeGrid(s: SparkSession, dir: String): DataFrame =
+    s.sql(
+      """SELECT explode(sequence(
+        |  TIMESTAMP '2022-05-01 00:01:03',
+        |  TIMESTAMP '2022-05-02 23:59:59',
+        |  INTERVAL 3 MINUTES)) AS ts""".stripMargin)
+
+  val srcTimeGridSql: String =
+    """SELECT ts FROM generate_series(
+      |  TIMESTAMP '2022-05-01 00:01:03',
+      |  TIMESTAMP '2022-05-02 23:59:59',
+      |  INTERVAL 3 MINUTE) AS t(ts)""".stripMargin
+
+  /** src_drop_missing / join_anti_missing — exclude the known-missing
+    * slots from the grid (avhrr recipe.py:93-118 `.drop(labels=...)`).
+    * 18-row exclusion list → broadcast anti-join (no shuffle of the
+    * big side). */
+  def srcDropMissing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grid = srcTimeGrid(s, dir)
+    val missing = Seq(
+      "2022-05-01 08:01:03", "2022-05-01 17:31:03", "2022-05-02 03:01:03")
+      .toDF("m").select(col("m").cast("timestamp").as("ts"))
+    grid.join(broadcast(missing), Seq("ts"), "left_anti")
+  }
+
+  val srcDropMissingSql: String =
+    """SELECT ts FROM generate_series(
+      |  TIMESTAMP '2022-05-01 00:01:03',
+      |  TIMESTAMP '2022-05-02 23:59:59',
+      |  INTERVAL 3 MINUTE) AS t(ts)
+      |WHERE ts NOT IN (TIMESTAMP '2022-05-01 08:01:03',
+      |                 TIMESTAMP '2022-05-01 17:31:03',
+      |                 TIMESTAMP '2022-05-02 03:01:03')""".stripMargin
+
+  /** src_parquet — plain columnar scan with projection+filter pushdown
+    * (the cache-hit path, insitu recipe.py:37-38). `.explain` must show
+    * PushedFilters + 2-column ReadSchema. */
+  def srcParquet(s: SparkSession, dir: String): DataFrame =
+    part(s, dir)
+      .filter(col("p_size") >= 25)
+      .select(col("p_partkey"), col("p_name"))
+
+  val srcParquetSql: String =
+    "SELECT p_partkey, p_name FROM part WHERE p_size >= 25"
+
+  /** sort_listing — deterministic URL ordering (`sorted(fs.glob(...))`,
+    * insitu recipe.py:40). Spark range-partitions the sort at scale. */
+  def sortListing(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("source"), col("doc_id"))
+
+  val sortListingSql: String =
+    "SELECT doc_id, source FROM documents ORDER BY source, doc_id"
+
+  /** sort_limit_page — STAC `sortby`+`limit`+paging (SURVEY §3.3).
+    * Total order (o_totalprice DESC, o_orderkey) ⇒ deterministic page.
+    * Physical: TakeOrderedAndProject — no full sort at scale. */
+  def sortLimitPage(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(20).limit(20)
+
+  val sortLimitPageSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 20""".stripMargin
+
+  /** topk_global — global top-k with total tiebreak
+    * (TakeOrderedAndProject: per-partition top-k, then merge — no
+    * global sort/shuffle of the full table). */
+  def topkGlobal(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_id"), col("value"))
+      .orderBy(col("value").desc, col("event_id"))
+      .limit(10)
+
+  val topkGlobalSql: String =
+    """SELECT event_id, value FROM events
+      |ORDER BY value DESC, event_id LIMIT 10""".stripMargin
+
+  /** set_union_all — concat per-category listings
+    * (`tlz.concat`, insitu recipe.py:140-152). */
+  def setUnionAll(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .unionByName(
+        o.filter(col("o_orderpriority") === "2-HIGH")
+          .select(col("o_orderkey"), col("o_orderpriority")))
+  }
+
+  val setUnionAllSql: String =
+    """SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+      |UNION ALL
+      |SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '2-HIGH'""".stripMargin
+
+  /** set_except — new-files-since-last-run (incremental listing,
+    * SURVEY §2.7). Distinct EXCEPT semantics on both engines. */
+  def setExcept(s: SparkSession, dir: String): DataFrame = {
+    val p = part(s, dir)
+    p.filter(col("p_size") > 30).select(col("p_brand"))
+      .except(p.filter(col("p_type") === "PROMO").select(col("p_brand")))
+  }
+
+  val setExceptSql: String =
+    """SELECT p_brand FROM part WHERE p_size > 30
+      |EXCEPT
+      |SELECT p_brand FROM part WHERE p_type = 'PROMO'""".stripMargin
+
+  /** set_intersect — sanity overlap between two listings. */
+  def setIntersect(s: SparkSession, dir: String): DataFrame = {
+    val p = part(s, dir)
+    p.filter(col("p_size") > 30).select(col("p_brand"))
+      .intersect(p.filter(col("p_type") === "PROMO").select(col("p_brand")))
+  }
+
+  val setIntersectSql: String =
+    """SELECT p_brand FROM part WHERE p_size > 30
+      |INTERSECT
+      |SELECT p_brand FROM part WHERE p_type = 'PROMO'""".stripMargin
+
+  /** agg_sum_avg — numeric rollups; partial agg map-side. */
+  def aggSumAvg(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        round(sum(col("c_acctbal")), 2).as("sum_bal"),
+        round(avg(col("c_acctbal")), 2).as("avg_bal"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"),
+        count(lit(1)).as("n"))
+
+  val aggSumAvgSql: String =
+    """SELECT c_mktsegment, round(sum(c_acctbal),2) AS sum_bal,
+      |  round(avg(c_acctbal),2) AS avg_bal, min(c_acctbal) AS min_bal,
+      |  max(c_acctbal) AS max_bal, count(*) AS n
+      |FROM customer GROUP BY c_mktsegment""".stripMargin
+
+  /** agg_count_items — items per collection per day (ingest
+    * accounting; pgstac partition counts). */
+  def aggCountItems(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(
+        date_trunc("day", col("ts")).as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  val aggCountItemsSql: String =
+    """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day, event_type,
+      |  count(*) AS n
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** agg_extent — per-collection spatio-temporal extent
+    * (collections.yaml extent.temporal/spatial are min/max over member
+    * items; avhrr collections.yaml:7-9). */
+  def aggExtent(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        min(col("ts")).as("t_min"),
+        max(col("ts")).as("t_max"),
+        round(min(col("value")), 2).as("v_min"),
+        round(max(col("value")), 2).as("v_max"))
+
+  val aggExtentSql: String =
+    """SELECT event_type, min(CAST(ts AS TIMESTAMP)) AS t_min,
+      |  max(CAST(ts AS TIMESTAMP)) AS t_max,
+      |  round(min(value),2) AS v_min, round(max(value),2) AS v_max
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** agg_collect — member datetimes per platform → sorted array
+    * (`properties["datetimes"]`, insitu recipe.py:100-101).
+    * sort_array ⇒ deterministic under hash-compare. */
+  def aggCollect(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("event_id"))).as("ids"))
+
+  val aggCollectSql: String =
+    """SELECT user_id, list(event_id ORDER BY event_id) AS ids
+      |FROM events WHERE event_type = 'signup' GROUP BY user_id""".stripMargin
+
+  /** agg_grouping_sets — multi-granularity rollups (collection ×
+    * month × category, SURVEY §2.4). */
+  def aggGroupingSets(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .rollup(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"))
+
+  val aggGroupingSetsSql: String =
+    """SELECT c_mktsegment, c_nationkey, count(*) AS n,
+      |  round(sum(c_acctbal),2) AS bal
+      |FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)""".stripMargin
+
+  /** agg_distinct_exact — exact distinct keys (listing dedupe). */
+  def aggDistinctExact(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+
+  val aggDistinctExactSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** agg_distinct_approx — HLL++ distinct at 100 TB scale. Sketch
+    * values are engine-specific ⇒ no SQL oracle (driver rows-only
+    * check); exactness bound unit-tested against countDistinct. */
+  def aggDistinctApprox(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("n_parts_approx"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing" -> (q1Pricing _),
+    "src_parallelize" -> (srcParallelize _),
+    "src_time_grid" -> (srcTimeGrid _),
+    "src_drop_missing" -> (srcDropMissing _),
+    "src_parquet" -> (srcParquet _),
+    "sort_listing" -> (sortListing _),
+    "sort_limit_page" -> (sortLimitPage _),
+    "topk_global" -> (topkGlobal _),
+    "set_union_all" -> (setUnionAll _),
+    "set_except" -> (setExcept _),
+    "set_intersect" -> (setIntersect _),
+    "agg_sum_avg" -> (aggSumAvg _),
+    "agg_count_items" -> (aggCountItems _),
+    "agg_extent" -> (aggExtent _),
+    "agg_collect" -> (aggCollect _),
+    "agg_grouping_sets" -> (aggGroupingSets _),
+    "agg_distinct_exact" -> (aggDistinctExact _),
+    "agg_distinct_approx" -> (aggDistinctApprox _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q1_pricing" -> q1PricingSql,
+    "src_parallelize" -> srcParallelizeSql,
+    "src_time_grid" -> srcTimeGridSql,
+    "src_drop_missing" -> srcDropMissingSql,
+    "src_parquet" -> srcParquetSql,
+    "sort_listing" -> sortListingSql,
+    "sort_limit_page" -> sortLimitPageSql,
+    "topk_global" -> topkGlobalSql,
+    "set_union_all" -> setUnionAllSql,
+    "set_except" -> setExceptSql,
+    "set_intersect" -> setIntersectSql,
+    "agg_sum_avg" -> aggSumAvgSql,
+    "agg_count_items" -> aggCountItemsSql,
+    "agg_extent" -> aggExtentSql,
+    "agg_collect" -> aggCollectSql,
+    "agg_grouping_sets" -> aggGroupingSetsSql,
+    "agg_distinct_exact" -> aggDistinctExactSql
+    // agg_distinct_approx: intentionally no oracle (sketch-valued)
+  )
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.RelationalQueries
+
+class RelationalQueriesSpec extends SparkSpec {
+
+  test("flagship pricing summary returns grouped rows in order") {
+    val rows = RelationalQueries.q1Pricing(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val keys = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(keys.sameElements(keys.sorted), "must be ordered by group keys")
+    // every group aggregates at least one line
+    assert(rows.forall(_.getAs[Long]("count_order") > 0))
+  }
+
+  test("time grid is a complete 3-minute grid") {
+    val ts = RelationalQueries.srcTimeGrid(spark, sf)
+      .collect().map(_.getTimestamp(0).getTime).sorted
+    assert(ts.length == 960) // 2 days of 3-min slots
+    assert(ts.sliding(2).forall { case Array(a, b) => b - a == 180000L })
+  }
+
+  test("drop-missing removes exactly the excluded slots") {
+    val full = RelationalQueries.srcTimeGrid(spark, sf).count()
+    val dropped = RelationalQueries.srcDropMissing(spark, sf).count()
+    assert(full - dropped == 3)
+  }
+
+  test("every declared oracle key has a query implementation") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(orphans.isEmpty, s"oracle without query: $orphans")
+  }
+
+  test("approx distinct within 5% of exact") {
+    val approx = RelationalQueries.aggDistinctApprox(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = RelationalQueries.aggDistinctExact(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n < 0.05, s"key $k")
+    }
+  }
+}
