@@ -18,10 +18,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.RelationalQueries.queries
+    operators.RelationalQueries.queries ++
+      operators.ScalarFnQueries.queries ++
+      operators.JoinQueries.queries ++
+      operators.WindowQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.RelationalQueries.oracle
+    operators.RelationalQueries.oracle ++
+      operators.ScalarFnQueries.oracle ++
+      operators.JoinQueries.oracle ++
+      operators.WindowQueries.oracle
 }

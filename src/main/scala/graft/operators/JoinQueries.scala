@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Join operators (SURVEY.md §2.3). The reference's joins are implicit
+  * (grid-minus-missing exclusion avhrr recipe.py:118, item→collection
+  * FK avhrr recipe.py:71-72, pgstac spatio-temporal search
+  * docker-compose.yml:30-44); here they are explicit Spark joins with
+  * the scale-path picked per shape:
+  *
+  *  - tiny side            → broadcast hash join (no shuffle of big side)
+  *  - FK equi join         → sort-merge / shuffled hash, AQE decides
+  *  - interval/bbox overlap → bucketized equi-join + residual predicate,
+  *    never a raw theta join (which Spark executes as BNLJ — a
+  *    cross-product at 100 TB; SURVEY §7.2 risk 4)
+  *  - as-of nearest        → union + window (single shuffle on key),
+  *    not a range join
+  */
+object JoinQueries {
+
+  /** join_anti_missing — keys with no counterpart (NOT EXISTS):
+    * customers that never ordered. */
+  def joinAntiMissing(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .join(orders(s, dir), col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  val joinAntiMissingSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  /** join_fk_items_collections — item→collection FK chain enriched
+    * through two tiny dims (nation 25 rows, region 5 rows — both
+    * broadcast, like the 15-collection side in the reference). */
+  def joinFkItemsCollections(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+
+  val joinFkItemsCollectionsSql: String =
+    """SELECT r_name, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin
+
+  /** join_semi_listed — only process keys present in the listing
+    * (cache-hit path, insitu recipe.py:36-38): EXISTS as left_semi. */
+  def joinSemiListed(s: SparkSession, dir: String): DataFrame =
+    part(s, dir)
+      .join(lineitem(s, dir).select(col("l_partkey")),
+        col("p_partkey") === col("l_partkey"), "left_semi")
+      .select(col("p_partkey"), col("p_name"))
+
+  val joinSemiListedSql: String =
+    """SELECT p_partkey, p_name FROM part
+      |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin
+
+  /** join_interval_overlap — STAC datetime search: count catalog items
+    * whose timestamp falls in each query window (pgstac interval
+    * search, SURVEY §3.3). SCALE PATH: each window explodes to the
+    * months it covers (≤3 rows), orders map to exactly one month
+    * bucket → pure equi-join on bucket + residual range predicate.
+    * No theta join, no cross product; the bucket join shuffles on a
+    * key with uniform cardinality. */
+  def joinIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val windows = s.sql(
+      """SELECT id AS wid,
+        |  timestampadd(MONTH, CAST(id * 6 AS INT), TIMESTAMP '1995-03-01') AS w_start,
+        |  timestampadd(DAY, 45, timestampadd(MONTH, CAST(id * 6 AS INT),
+        |    TIMESTAMP '1995-03-01')) AS w_end
+        |FROM range(0, 12)""".stripMargin)
+    val wBuckets = windows.select(col("wid"), col("w_start"), col("w_end"),
+      explode(expr(
+        "sequence(date_trunc('MONTH', w_start), date_trunc('MONTH', w_end), interval 1 month)"))
+        .as("bucket"))
+    val o = orders(s, dir).select(col("o_orderkey"), col("o_totalprice"),
+      col("o_orderdate"), date_trunc("MONTH", col("o_orderdate")).as("bucket"))
+    o.join(broadcast(wBuckets), Seq("bucket"))
+      .filter(col("o_orderdate") >= col("w_start") &&
+        col("o_orderdate") <= col("w_end"))
+      .groupBy(col("wid"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+  }
+
+  val joinIntervalOverlapSql: String =
+    """WITH windows AS (
+      |  SELECT id AS wid,
+      |    TIMESTAMP '1995-03-01' + INTERVAL (id * 6) MONTH AS w_start,
+      |    TIMESTAMP '1995-03-01' + INTERVAL (id * 6) MONTH + INTERVAL 45 DAY AS w_end
+      |  FROM range(0, 12) t(id))
+      |SELECT wid, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+      |FROM windows JOIN orders
+      |  ON o_orderdate >= w_start AND o_orderdate <= w_end
+      |GROUP BY wid""".stripMargin
+
+  /** join_bbox_intersect — STAC bbox search (pgstac `&&` operator):
+    * count items whose box overlaps each query box. SCALE PATH:
+    * 10°-cell grid bucketing — both sides explode to covered cells,
+    * equi-join on cell, residual exact-overlap predicate, distinct to
+    * kill multi-cell duplicates. Equivalent to the PostGIS GiST probe
+    * but expressed as a shuffle-friendly equi-join. */
+  def joinBboxIntersect(s: SparkSession, dir: String): DataFrame = {
+    val items = ScalarFnQueries.fnArrayLit4(s, dir)
+      .select(col("p_partkey"), col("bbox_w"), col("bbox_s"),
+        col("bbox_e"), col("bbox_n"))
+    val cell = lit(10.0)
+    val itemCells = items
+      .withColumn("cx", explode(expr(
+        "sequence(CAST(floor(bbox_w/10) AS INT), CAST(floor(bbox_e/10) AS INT))")))
+      .withColumn("cy", explode(expr(
+        "sequence(CAST(floor(bbox_s/10) AS INT), CAST(floor(bbox_n/10) AS INT))")))
+    val queries = s.sql(
+      """SELECT id AS qid,
+        |  -15.0 - id * 9 AS q_w, -12.0 - id * 7 AS q_s,
+        |  -15.0 - id * 9 + 22 AS q_e, -12.0 - id * 7 + 18 AS q_n
+        |FROM range(0, 6)""".stripMargin)
+    val queryCells = queries
+      .withColumn("cx", explode(expr(
+        "sequence(CAST(floor(q_w/10) AS INT), CAST(floor(q_e/10) AS INT))")))
+      .withColumn("cy", explode(expr(
+        "sequence(CAST(floor(q_s/10) AS INT), CAST(floor(q_n/10) AS INT))")))
+    itemCells.join(broadcast(queryCells), Seq("cx", "cy"))
+      .filter(col("bbox_w") <= col("q_e") && col("q_w") <= col("bbox_e") &&
+        col("bbox_s") <= col("q_n") && col("q_s") <= col("bbox_n"))
+      .select(col("qid"), col("p_partkey")).distinct()
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_items"))
+  }
+
+  val joinBboxIntersectSql: String =
+    """WITH items AS (
+      |  SELECT p_partkey,
+      |    CAST(p_size % 10 AS DOUBLE) * -10 AS bbox_w,
+      |    CAST(p_partkey % 8 AS DOUBLE) * -10 AS bbox_s,
+      |    CAST(p_size % 10 AS DOUBLE) * -10 + 15.0 AS bbox_e,
+      |    CAST(p_partkey % 8 AS DOUBLE) * -10 + 12.0 AS bbox_n
+      |  FROM part),
+      |q AS (
+      |  SELECT id AS qid,
+      |    -15.0 - id * 9 AS q_w, -12.0 - id * 7 AS q_s,
+      |    -15.0 - id * 9 + 22 AS q_e, -12.0 - id * 7 + 18 AS q_n
+      |  FROM range(0, 6) t(id))
+      |SELECT qid, count(*) AS n_items
+      |FROM q JOIN items
+      |  ON bbox_w <= q_e AND q_w <= bbox_e AND bbox_s <= q_n AND q_s <= bbox_n
+      |GROUP BY qid""".stripMargin
+
+  /** join_asof_nearest — most recent signup at-or-before each error,
+    * per user (nearest-granule-in-time, SURVEY §2.3). SCALE PATH:
+    * single shuffle on user_id + ordered window with a running
+    * last-non-null — no range join, no per-row subquery. */
+  def joinAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events(s, dir)
+      .filter(col("event_type").isin("signup", "error"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("asof_ts",
+        last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("asof_ts"))
+  }
+
+  val joinAsofNearestSql: String =
+    """SELECT e.event_id, e.user_id,
+      |  (SELECT max(CAST(s.ts AS TIMESTAMP)) FROM events s
+      |   WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+      |     AND s.ts <= e.ts) AS asof_ts
+      |FROM events e WHERE e.event_type = 'error'""".stripMargin
+
+  /** join_broadcast_dim — explicit broadcast of small dims
+    * (categories list, insitu recipe.py:193-195). */
+  def joinBroadcastDim(s: SparkSession, dir: String): DataFrame =
+    supplier(s, dir)
+      .join(broadcast(nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        round(sum(col("s_acctbal")), 2).as("total_bal"))
+
+  val joinBroadcastDimSql: String =
+    """SELECT r_name, n_name, count(*) AS n_suppliers,
+      |  round(sum(s_acctbal), 2) AS total_bal
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_anti_missing" -> (joinAntiMissing _),
+    "join_fk_items_collections" -> (joinFkItemsCollections _),
+    "join_semi_listed" -> (joinSemiListed _),
+    "join_interval_overlap" -> (joinIntervalOverlap _),
+    "join_bbox_intersect" -> (joinBboxIntersect _),
+    "join_asof_nearest" -> (joinAsofNearest _),
+    "join_broadcast_dim" -> (joinBroadcastDim _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "join_anti_missing" -> joinAntiMissingSql,
+    "join_fk_items_collections" -> joinFkItemsCollectionsSql,
+    "join_semi_listed" -> joinSemiListedSql,
+    "join_interval_overlap" -> joinIntervalOverlapSql,
+    "join_bbox_intersect" -> joinBboxIntersectSql,
+    "join_asof_nearest" -> joinAsofNearestSql,
+    "join_broadcast_dim" -> joinBroadcastDimSql
+  )
+}

@@ -1,0 +1,284 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Element-wise operators (SURVEY.md §2.2) — the reference's per-record
+  * transformations (URL templating avhrr recipe.py:32-42, datetime
+  * normalization recipe.py:26-29, strict casts recipe.py:51-56, id
+  * splitting insitu recipe.py:75,194, item struct assembly
+  * avhrr recipe.py:67-74, bbox→GeoJSON recipe.py:58-59) re-expressed as
+  * codegen'd Column expressions — zero UDFs in this file, so every
+  * query stays inside WholeStageCodegen and scales linearly.
+  */
+object ScalarFnQueries {
+
+  /** fn_url_template — granule URL from timestamp
+    * (`generate_url`, avhrr recipe.py:32-42): root/YYYY/DDD/⟨stamp⟩.nc
+    * with zero-padded day-of-year. Pure expressions over the
+    * distributed time grid. */
+  def fnUrlTemplate(s: SparkSession, dir: String): DataFrame =
+    RelationalQueries.srcTimeGrid(s, dir).select(
+      col("ts"),
+      concat_ws("/",
+        lit("https://example.org/sst"),
+        year(col("ts")).cast("string"),
+        lpad(dayofyear(col("ts")).cast("string"), 3, "0"),
+        concat(date_format(col("ts"), "yyyyMMddHHmmss"),
+          lit("-OSISAF-L2P.nc"))).as("url"))
+
+  val fnUrlTemplateSql: String =
+    """SELECT ts,
+      |  concat_ws('/', 'https://example.org/sst',
+      |    CAST(year(ts) AS VARCHAR),
+      |    lpad(CAST(dayofyear(ts) AS VARCHAR), 3, '0'),
+      |    strftime(ts, '%Y%m%d%H%M%S') || '-OSISAF-L2P.nc') AS url
+      |FROM generate_series(
+      |  TIMESTAMP '2022-05-01 00:01:03',
+      |  TIMESTAMP '2022-05-02 23:59:59',
+      |  INTERVAL 3 MINUTE) AS t(ts)""".stripMargin
+
+  /** fn_norm_datetime — canonical ISO-8601 rendering
+    * (`normalize_datetime`, avhrr recipe.py:26-29). */
+  def fnNormDatetime(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir).select(
+      col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("iso"))
+
+  val fnNormDatetimeSql: String =
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS iso
+      |FROM orders""".stripMargin
+
+  /** fn_str_to_double — numeric-string → double with null-on-error
+    * accounting (strict bbox casts, avhrr recipe.py:51-56; error
+    * context insitu recipe.py:87-90). try_cast keeps bad rows visible
+    * instead of crashing the job. */
+  def fnStrToDouble(s: SparkSession, dir: String): DataFrame =
+    part(s, dir).select(
+      col("p_partkey"),
+      expr("try_cast(element_at(split(p_brand, '#'), 2) AS double)")
+        .as("brand_num"),
+      expr("try_cast(p_type AS double)").isNull.as("type_unparsable"))
+
+  val fnStrToDoubleSql: String =
+    """SELECT p_partkey,
+      |  TRY_CAST(string_split(p_brand, '#')[2] AS DOUBLE) AS brand_num,
+      |  TRY_CAST(p_type AS DOUBLE) IS NULL AS type_unparsable
+      |FROM part""".stripMargin
+
+  /** fn_rsplit_part — k-th path segment from the right
+    * (`url.rsplit("/", 3)[1]`, insitu recipe.py:75). */
+  def fnRsplitPart(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"),
+        concat(lit("https://host/data/"), col("lang"), lit("/"),
+          col("source"), lit("/"), col("doc_id"), lit(".nc")).as("url"))
+      .select(col("doc_id"), col("url"),
+        element_at(split(col("url"), "/"), -3).as("category"),
+        element_at(split(col("url"), "-"), -1).as("suffix"))
+
+  val fnRsplitPartSql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'https://host/data/' || lang || '/' || source || '/' ||
+      |      CAST(doc_id AS VARCHAR) || '.nc' AS url
+      |  FROM documents)
+      |SELECT doc_id, url,
+      |  string_split(url, '/')[-3] AS category,
+      |  string_split(url, '-')[-1] AS suffix
+      |FROM u""".stripMargin
+
+  /** fn_concat_id — derived collection id root-CATEGORY
+    * (insitu recipe.py:77). */
+  def fnConcatId(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(
+      col("doc_id"),
+      concat_ws("-", lit("insitu_glo"), col("lang"), col("source"))
+        .as("collection_id"))
+
+  val fnConcatIdSql: String =
+    """SELECT doc_id, concat_ws('-', 'insitu_glo', lang, source) AS collection_id
+      |FROM documents""".stripMargin
+
+  /** fn_sha256_hex — content-addressed cache key
+    * (`hashlib.sha256(...).hexdigest()`, insitu recipe.py:31-33). */
+  def fnSha256Hex(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(
+      col("doc_id"), sha2(col("text"), 256).as("content_hash"))
+
+  val fnSha256HexSql: String =
+    "SELECT doc_id, sha256(text) AS content_hash FROM documents"
+
+  /** fn_struct_build — STAC item assembly → JSON (pystac.Item ctor,
+    * avhrr recipe.py:67-74; JSONB parity with pgstac). */
+  def fnStructBuild(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir).select(
+      col("o_orderkey"),
+      to_json(struct(
+        col("o_orderkey").as("id"),
+        col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"))).as("item_json"))
+
+  val fnStructBuildSql: String =
+    """SELECT o_orderkey,
+      |  CAST(to_json(struct_pack(id := o_orderkey, status := o_orderstatus,
+      |    priority := o_orderpriority)) AS VARCHAR) AS item_json
+      |FROM orders""".stripMargin
+
+  /** fn_array_lit4 — bbox [w,s,e,n] from 4 scalars
+    * (avhrr recipe.py:51-56); carried as array AND scalars so the
+    * scalar forms stay pushdown-able (SURVEY §1.2). */
+  def fnArrayLit4(s: SparkSession, dir: String): DataFrame = {
+    val w = (col("p_size") % 10).cast("double") * -10
+    val sC = (col("p_partkey") % 8).cast("double") * -10
+    part(s, dir).select(
+      col("p_partkey"),
+      array(w, sC, w + lit(15.0), sC + lit(12.0)).as("bbox"),
+      w.as("bbox_w"), sC.as("bbox_s"),
+      (w + lit(15.0)).as("bbox_e"), (sC + lit(12.0)).as("bbox_n"))
+  }
+
+  val fnArrayLit4Sql: String =
+    """SELECT p_partkey,
+      |  [CAST(p_size % 10 AS DOUBLE) * -10,
+      |   CAST(p_partkey % 8 AS DOUBLE) * -10,
+      |   CAST(p_size % 10 AS DOUBLE) * -10 + 15.0,
+      |   CAST(p_partkey % 8 AS DOUBLE) * -10 + 12.0] AS bbox,
+      |  CAST(p_size % 10 AS DOUBLE) * -10 AS bbox_w,
+      |  CAST(p_partkey % 8 AS DOUBLE) * -10 AS bbox_s,
+      |  CAST(p_size % 10 AS DOUBLE) * -10 + 15.0 AS bbox_e,
+      |  CAST(p_partkey % 8 AS DOUBLE) * -10 + 12.0 AS bbox_n
+      |FROM part""".stripMargin
+
+  /** fn_map_insert — add an asset entry to the assets map
+    * (`item.add_asset`, avhrr recipe.py:70, insitu recipe.py:118-121). */
+  def fnMapInsert(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(
+      col("doc_id"),
+      map_concat(
+        map(lit("data"), concat(lit("https://host/"), col("source"))),
+        map(lit("public"), concat(lit("https://cdn/"), col("source"))))
+        .as("assets"))
+
+  val fnMapInsertSql: String =
+    """SELECT doc_id,
+      |  MAP(['data','public'],
+      |      ['https://host/' || source, 'https://cdn/' || source]) AS assets
+      |FROM documents""".stripMargin
+
+  /** fn_map_transform — rewrite every value of a string map
+    * (`reencode_surrogates` over attrs, insitu recipe.py:48-63);
+    * here the value fix is `upper`, the surrogate repair itself is the
+    * non-oracle UDF in functions.SurrogateRepair. */
+  def fnMapTransform(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(
+      col("doc_id"),
+      transform_values(
+        map(lit("lang"), col("lang"), lit("source"), col("source")),
+        (_, v) => upper(v)).as("attrs"))
+
+  val fnMapTransformSql: String =
+    """SELECT doc_id,
+      |  MAP(['lang','source'], [upper(lang), upper(source)]) AS attrs
+      |FROM documents""".stripMargin
+
+  /** fn_array_append — append the collection link
+    * (`item.links.append`, avhrr recipe.py:71). */
+  def fnArrayAppend(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(
+      col("doc_id"),
+      array_append(array(lit("self"), col("source")), col("lang"))
+        .as("links"))
+
+  val fnArrayAppendSql: String =
+    "SELECT doc_id, list_append(['self', source], lang) AS links FROM documents"
+
+  /** fn_conditional — null-safe conditional properties
+    * (insitu recipe.py:100-108). */
+  def fnConditional(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(
+      col("doc_id"),
+      when(col("n_chars") > 300, lit("long"))
+        .when(col("n_chars") > 150, lit("medium"))
+        .otherwise(lit("short")).as("size_class"),
+      coalesce(nullif(col("lang"), lit("en")), lit("default"))
+        .as("lang_or_default"))
+
+  val fnConditionalSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN n_chars > 300 THEN 'long'
+      |       WHEN n_chars > 150 THEN 'medium'
+      |       ELSE 'short' END AS size_class,
+      |  coalesce(nullif(lang, 'en'), 'default') AS lang_or_default
+      |FROM documents""".stripMargin
+
+  /** fn_bbox_to_poly — bbox → GeoJSON Polygon ring, no geo library
+    * (`shapely.box` + `mapping`, avhrr recipe.py:58-59). Integer
+    * coords so both engines format identically. */
+  def fnBboxToPoly(s: SparkSession, dir: String): DataFrame = {
+    val w = col("p_size") % 10 * -10
+    val sC = (col("p_partkey") % 8).cast("int") * -10
+    val e = w + 15
+    val n = sC + 12
+    part(s, dir).select(
+      col("p_partkey"),
+      format_string(
+        "{\"type\":\"Polygon\",\"coordinates\":[[[%d,%d],[%d,%d],[%d,%d],[%d,%d],[%d,%d]]]}",
+        w, sC, e, sC, e, n, w, n, w, sC).as("geometry"))
+  }
+
+  val fnBboxToPolySql: String =
+    """SELECT p_partkey,
+      |  printf('{"type":"Polygon","coordinates":[[[%d,%d],[%d,%d],[%d,%d],[%d,%d],[%d,%d]]]}',
+      |    w, s, e, s, e, n, w, n, w, s) AS geometry
+      |FROM (SELECT p_partkey,
+      |        (p_size % 10) * -10 AS w, CAST(p_partkey % 8 AS INT) * -10 AS s,
+      |        (p_size % 10) * -10 + 15 AS e,
+      |        CAST(p_partkey % 8 AS INT) * -10 + 12 AS n
+      |      FROM part)""".stripMargin
+
+  /** fn_identity_hook — user post-process hook point, identity here
+    * (`postprocess_item`, avhrr recipe.py:77-78). */
+  def fnIdentityHook(s: SparkSession, dir: String): DataFrame = {
+    val hook: DataFrame => DataFrame = identity
+    hook(documents(s, dir).select(col("doc_id"), col("source")))
+  }
+
+  val fnIdentityHookSql: String =
+    "SELECT doc_id, source FROM documents"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_url_template" -> (fnUrlTemplate _),
+    "fn_norm_datetime" -> (fnNormDatetime _),
+    "fn_str_to_double" -> (fnStrToDouble _),
+    "fn_rsplit_part" -> (fnRsplitPart _),
+    "fn_concat_id" -> (fnConcatId _),
+    "fn_sha256_hex" -> (fnSha256Hex _),
+    "fn_struct_build" -> (fnStructBuild _),
+    "fn_array_lit4" -> (fnArrayLit4 _),
+    "fn_map_insert" -> (fnMapInsert _),
+    "fn_map_transform" -> (fnMapTransform _),
+    "fn_array_append" -> (fnArrayAppend _),
+    "fn_conditional" -> (fnConditional _),
+    "fn_bbox_to_poly" -> (fnBboxToPoly _),
+    "fn_identity_hook" -> (fnIdentityHook _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "fn_url_template" -> fnUrlTemplateSql,
+    "fn_norm_datetime" -> fnNormDatetimeSql,
+    "fn_str_to_double" -> fnStrToDoubleSql,
+    "fn_rsplit_part" -> fnRsplitPartSql,
+    "fn_concat_id" -> fnConcatIdSql,
+    "fn_sha256_hex" -> fnSha256HexSql,
+    "fn_struct_build" -> fnStructBuildSql,
+    "fn_array_lit4" -> fnArrayLit4Sql,
+    "fn_map_insert" -> fnMapInsertSql,
+    "fn_map_transform" -> fnMapTransformSql,
+    "fn_array_append" -> fnArrayAppendSql,
+    "fn_conditional" -> fnConditionalSql,
+    "fn_bbox_to_poly" -> fnBboxToPolySql,
+    "fn_identity_hook" -> fnIdentityHookSql
+  )
+}

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Window-function operators (SURVEY.md §2.5) — the Spark-native form
+  * of several reference behaviors: last-write-wins upsert (`ToPgStac`
+  * item replace, avhrr recipe.py:137), gap detection (the hand-built
+  * missing list avhrr recipe.py:93-115 is the OUTPUT of this
+  * analysis), and the STAC sortby+limit-per-collection surface.
+  *
+  * Scale notes: every window partitions on a real key (never a global
+  * single-partition window except gap-detect, which partitions by day
+  * first); window sort happens within the shuffle partition — one
+  * exchange per query.
+  */
+object WindowQueries {
+
+  /** win_dedup_rank — last-write-wins upsert: keep the newest row per
+    * (user, type) key; total tiebreak (ts DESC, event_id DESC). */
+  def winDedupRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+  }
+
+  val winDedupRankSql: String =
+    """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts
+      |FROM (SELECT user_id, event_type, event_id, ts,
+      |        row_number() OVER (PARTITION BY user_id, event_type
+      |                           ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events) WHERE rn = 1""".stripMargin
+
+  /** win_gap_detect — find missing slots: gaps > 30 min between
+    * consecutive events within a day (partition by day so the sort
+    * never becomes a single-task global sort at scale). */
+  def winGapDetect(s: SparkSession, dir: String): DataFrame = {
+    val day = date_trunc("DAY", col("ts"))
+    val w = Window.partitionBy(day).orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+      .filter(col("gap_us") > 30L * 60 * 1000000)
+      .select(col("event_id"), col("prev_ts"), col("ts"), col("gap_us"))
+  }
+
+  val winGapDetectSql: String =
+    """SELECT event_id, CAST(prev_ts AS TIMESTAMP) AS prev_ts,
+      |  CAST(ts AS TIMESTAMP) AS ts,
+      |  datediff('microseconds', CAST(prev_ts AS TIMESTAMP),
+      |           CAST(ts AS TIMESTAMP)) AS gap_us
+      |FROM (SELECT event_id, ts,
+      |        lag(ts) OVER (PARTITION BY date_trunc('day', CAST(ts AS TIMESTAMP))
+      |                      ORDER BY ts, event_id) AS prev_ts
+      |      FROM events)
+      |WHERE datediff('microseconds', CAST(prev_ts AS TIMESTAMP),
+      |               CAST(ts AS TIMESTAMP)) > 30 * 60 * 1000000""".stripMargin
+
+  /** win_topk_per_group — top-3 orders per customer by price
+    * (STAC sortby+limit per collection); rank with total tiebreak. */
+  def winTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+        col("o_totalprice"))
+  }
+
+  val winTopkPerGroupSql: String =
+    """SELECT o_custkey, rk, o_orderkey, o_totalprice
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        row_number() OVER (PARTITION BY o_custkey
+      |                           ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |      FROM orders) WHERE rk <= 3""".stripMargin
+
+  /** win_running — running sum per user over event time (identical
+    * left-to-right accumulation order on both engines ⇒ bitwise-equal
+    * doubles, rounded anyway). */
+  def winRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .withColumn("running_value", round(sum(col("value")).over(w), 2))
+      .select(col("event_id"), col("user_id"), col("running_value"))
+  }
+
+  val winRunningSql: String =
+    """SELECT event_id, user_id,
+      |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+      |FROM events""".stripMargin
+
+  /** win_tumbling_batch — batch twin of the streaming tumbling window
+    * (SURVEY §2.9): per-hour counts/sums via Spark's `window()`. */
+  def winTumblingBatch(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
+  val winTumblingBatchSql: String =
+    """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+      |    AS window_start,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS total
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** agg_first_per_key — one representative row per key (idempotent
+    * upsert semantics of ToPgStac; same window shape as dedup_rank but
+    * declared as the §2.4 aggregate). */
+  def aggFirstPerKey(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+    orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  val aggFirstPerKeySql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        row_number() OVER (PARTITION BY o_custkey
+      |          ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      |      FROM orders) WHERE rn = 1""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_dedup_rank" -> (winDedupRank _),
+    "win_gap_detect" -> (winGapDetect _),
+    "win_topk_per_group" -> (winTopkPerGroup _),
+    "win_running" -> (winRunning _),
+    "win_tumbling_batch" -> (winTumblingBatch _),
+    "agg_first_per_key" -> (aggFirstPerKey _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "win_dedup_rank" -> winDedupRankSql,
+    "win_gap_detect" -> winGapDetectSql,
+    "win_topk_per_group" -> winTopkPerGroupSql,
+    "win_running" -> winRunningSql,
+    "win_tumbling_batch" -> winTumblingBatchSql,
+    "agg_first_per_key" -> aggFirstPerKeySql
+  )
+}
