@@ -21,7 +21,11 @@ object SparkEntry {
     operators.RelationalQueries.queries ++
       operators.ScalarFnQueries.queries ++
       operators.JoinQueries.queries ++
-      operators.WindowQueries.queries
+      operators.WindowQueries.queries ++
+      operators.TextQueries.queries ++
+      operators.DedupQueries.queries ++
+      operators.SimilarityQueries.queries ++
+      operators.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -29,5 +33,9 @@ object SparkEntry {
     operators.RelationalQueries.oracle ++
       operators.ScalarFnQueries.oracle ++
       operators.JoinQueries.oracle ++
-      operators.WindowQueries.oracle
+      operators.WindowQueries.oracle ++
+      operators.TextQueries.oracle ++
+      operators.DedupQueries.oracle ++
+      operators.SimilarityQueries.oracle ++
+      operators.MultimodalQueries.oracle
 }

@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline primitives (SURVEY.md §2.11): tokenization, shingling,
+  * MinHash signatures, SimHash, winnowing fingerprints, language ID.
+  *
+  * Everything on the hot path (tokens, shingles, MinHash) is pure
+  * Column expressions — codegen-friendly, no serialization. The
+  * bit-twiddling ops (SimHash, winnowing, langid) are Scala UDFs over
+  * already-tokenized arrays: they do O(tokens) work per row and have
+  * no expression-level equivalent; at 100 TB they remain per-row local
+  * (no shuffle contribution).
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (documents.text is space-separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish token counting: alpha runs, digit runs, single symbols.
+    * Mirrors a byte-pair pre-tokenizer's coarse segmentation. */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Word k-gram shingles; degenerate (<k words) → whole text. */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ",
+          element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2))))
+
+  /** MinHash signature: for each of `numPerm` permutations, the min of
+    * xxhash64(perm, shingle) over the shingle set. One pass over the
+    * shingle array per permutation, all inside codegen. */
+  def minhashSignature(shin: Column, numPerm: Int): Column =
+    array((0 until numPerm).map { p =>
+      array_min(transform(array_distinct(shin), sh => xxhash64(lit(p), sh)))
+    }: _*)
+
+  /** LSH bands over a MinHash signature: band j = hash of its rows.
+    * Docs agreeing on ≥1 band become candidate pairs. */
+  def minhashBands(sig: Column, numPerm: Int, nBands: Int): Column = {
+    val rows = numPerm / nBands
+    array((0 until nBands).map { j =>
+      struct(
+        lit(j).as("band"),
+        xxhash64((0 until rows).map(r =>
+          element_at(sig, j * rows + r + 1)): _*).as("bh"))
+    }: _*)
+  }
+
+  /** SimHash-64 over a token array: per bit, sum ±1 contributions of
+    * each token's hash; bit set iff the sum is positive. */
+  val simhash64: UserDefinedFunction = udf { toks: Seq[String] =>
+    val counts = new Array[Int](64)
+    toks.foreach { t =>
+      var h = scala.util.hashing.MurmurHash3.stringHash(t).toLong & 0xffffffffL
+      // spread 32-bit murmur to 64 bits (xorshift finalizer)
+      h ^= h << 21; h ^= h >>> 35; h ^= h << 4
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  val hamming64: UserDefinedFunction = udf { (a: Long, b: Long) =>
+    java.lang.Long.bitCount(a ^ b)
+  }
+
+  /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03):
+    * rolling hashes of char k-grams, min per window of w, distinct +
+    * sorted → a compact, position-robust fingerprint set. */
+  def winnow(k: Int = 8, w: Int = 4): UserDefinedFunction = udf { text: String =>
+    if (text == null || text.length < k) Array.empty[Long]
+    else {
+      val n = text.length - k + 1
+      val hashes = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        var h = 1125899906842597L
+        var j = 0
+        while (j < k) { h = 31 * h + text.charAt(i + j); j += 1 }
+        hashes(i) = h
+        i += 1
+      }
+      val sel = scala.collection.mutable.SortedSet.empty[Long]
+      i = 0
+      while (i + w <= n) {
+        var m = hashes(i)
+        var j = 1
+        while (j < w) { if (hashes(i + j) < m) m = hashes(i + j); j += 1 }
+        sel += m
+        i += 1
+      }
+      sel.toArray
+    }
+  }
+
+  /** n-gram/function-word language ID heuristic. Scores each candidate
+    * language by hit-rate of its most frequent function words (public
+    * linguistic knowledge), plus a CJK-codepoint check; `und` when no
+    * evidence. */
+  val langId: UserDefinedFunction = udf { text: String =>
+    if (text == null || text.isEmpty) "und"
+    else if (text.exists(c => c >= 0x4e00 && c <= 0x9fff)) "zh"
+    else {
+      val profiles: Seq[(String, Set[String])] = Seq(
+        "en" -> Set("the", "of", "and", "to", "in", "is", "that", "it"),
+        "es" -> Set("el", "la", "de", "que", "y", "en", "los", "del"),
+        "fr" -> Set("le", "la", "de", "et", "les", "des", "un", "du"),
+        "de" -> Set("der", "die", "das", "und", "in", "den", "von", "zu"))
+      val toks = text.toLowerCase.split("\\s+")
+      if (toks.isEmpty) "und"
+      else {
+        val scored = profiles.map { case (lang, ws) =>
+          lang -> toks.count(ws.contains).toDouble / toks.length
+        }
+        val (best, score) = scored.maxBy(_._2)
+        if (score > 0.02) best else "und"
+      }
+    }
+  }
+}

@@ -1,0 +1,108 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY.md §2.11 multimodal_struct).
+  *
+  * Media payloads ride as opaque `binary` columns with typed metadata
+  * (media_type, width/height/duration in a map) — the same shape the
+  * reference gives granule assets (href + media_type,
+  * avhrr recipe.py:70). Decode / feature-extraction runs per-partition
+  * over batches, the Spark-side contract a real decoder (image/audio
+  * lib) would plug into. The decoder itself is STUBBED here — the
+  * container has no media libs — with a deterministic fake that hashes
+  * payload bytes into a feature vector, so schema, partitioning, batch
+  * shape and the executor-side loop are all real and tested.
+  */
+object MediaPipeline {
+
+  case class MediaRecord(
+      doc_id: Long,
+      media_type: String,
+      payload: Array[Byte],
+      meta: Map[String, String])
+
+  case class MediaFeatures(
+      doc_id: Long,
+      media_type: String,
+      n_bytes: Int,
+      features: Array[Float])
+
+  /** Decoder contract: payload bytes → fixed-width feature vector.
+    * Real implementations (JPEG decode + resize + embed, PCM frame
+    * sample, video keyframe) implement this trait; the engine never
+    * depends on the media library directly (SURVEY §7.2 risk 1). */
+  trait Decoder extends Serializable {
+    def featureDim: Int
+    def decode(mediaType: String, payload: Array[Byte]): Array[Float]
+  }
+
+  /** Deterministic stand-in decoder: xxhash-style mix of payload bytes
+    * into `dim` floats in [-1, 1]. NOT a real decoder — it exists so
+    * the distributed plumbing is exercised end-to-end. */
+  final class StubDecoder(dim: Int = 8) extends Decoder {
+    def featureDim: Int = dim
+    def decode(mediaType: String, payload: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < dim) {
+        var h = 1125899906842597L + i * 0x9e3779b97f4a7c15L
+        var j = 0
+        while (j < payload.length) {
+          h = (h ^ payload(j)) * 0x100000001b3L
+          j += 1
+        }
+        out(i) = ((h >>> 11).toDouble / (1L << 53).toDouble).toFloat * 2 - 1
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Build a typed media dataset from `documents` — payload is the
+    * UTF-8 text bytes standing in for image/audio bytes. */
+  def mediaRecords(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0, lit("image/png"))
+          .when(col("doc_id") % 3 === 1, lit("audio/wav"))
+          .otherwise(lit("video/mp4")).as("media_type"),
+        col("text").cast("binary").as("payload"),
+        map(
+          lit("source"), col("source"),
+          lit("lang"), col("lang"),
+          lit("n_chars"), col("n_chars").cast("string")).as("meta"))
+      .as[MediaRecord]
+  }
+
+  /** Per-partition decode: one decoder instance per partition (the
+    * expensive init a real codec needs), streaming over rows — the
+    * mapPartitions shape that scales to arbitrarily wide partitions
+    * without materializing batches. */
+  def extractFeatures(
+      records: Dataset[MediaRecord],
+      decoder: Decoder): Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        MediaFeatures(r.doc_id, r.media_type, r.payload.length,
+          decoder.decode(r.media_type, r.payload))
+      }
+    }
+  }
+
+  /** The declared multimodal feature query: records → stub decode →
+    * per-type feature stats. */
+  def featureStats(spark: SparkSession, dir: String): DataFrame = {
+    val feats = extractFeatures(mediaRecords(spark, dir), new StubDecoder(8))
+    feats.toDF()
+      .groupBy(col("media_type"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        round(avg(element_at(col("features"), 1)), 4).as("avg_f0"))
+  }
+}

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextFunctions
+
+/** Deduplication operators over `documents` (SURVEY.md §2.11): exact
+  * hash dedup, blocked n-gram Jaccard, MinHash+LSH, SimHash — the
+  * dedup half of a training-data pipeline.
+  *
+  * Scale design: every near-dup path is candidate-generation by
+  * EQUI-join (block key / LSH band / SimHash band) followed by exact
+  * verification on the candidates only — never an all-pairs product.
+  * At 100 TB the band join shuffles |docs|×bands rows with short keys,
+  * and verification touches only the (tiny) candidate set.
+  */
+object DedupQueries {
+
+  private val SHINGLE_K = 3
+  private val NUM_PERM = 16
+  private val N_BANDS = 4
+  private val JACCARD_T = 0.8
+
+  /** dedup_exact — content-hash dedup: one keeper (min doc_id) per
+    * distinct text, with multiplicity. Single hash agg on sha256. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  val dedupExactSql: String =
+    """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY sha256(text)""".stripMargin
+
+  private def withShingles(df: DataFrame): DataFrame =
+    df.withColumn("shin",
+      array_distinct(TextFunctions.shingles(
+        TextFunctions.tokens(col("text")), SHINGLE_K)))
+
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** dedup_ngram_jaccard — exact word-3-gram Jaccard over candidate
+    * pairs blocked on a text prefix (cheap, high-recall block for
+    * near-identical docs). Fully SQL-expressible ⇒ oracle-checked. */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = withShingles(documents(s, dir))
+      .select(col("doc_id"), substring(col("text"), 1, 32).as("blk"),
+        col("shin"))
+    val a = d.select(col("blk"), col("doc_id").as("a"), col("shin").as("sa"))
+    val b = d.select(col("blk"), col("doc_id").as("b"), col("shin").as("sb"))
+    a.join(b, Seq("blk"))
+      .filter(col("a") < col("b"))
+      .withColumn("jac", round(jaccard(col("sa"), col("sb")), 4))
+      .filter(col("jac") >= JACCARD_T)
+      .select(col("a"), col("b"), col("jac"))
+  }
+
+  val dedupNgramJaccardSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, substr(text, 1, 32) AS blk,
+      |    list_distinct(CASE WHEN len(string_split(text,' ')) < 3
+      |      THEN [text]
+      |      ELSE list_transform(
+      |        generate_series(1, len(string_split(text,' ')) - 2),
+      |        i -> string_split(text,' ')[i] || ' ' ||
+      |             string_split(text,' ')[i+1] || ' ' ||
+      |             string_split(text,' ')[i+2]) END) AS shin
+      |  FROM documents)
+      |SELECT x.doc_id AS a, y.doc_id AS b,
+      |  round(CAST(len(list_intersect(x.shin, y.shin)) AS DOUBLE) /
+      |        len(list_distinct(list_concat(x.shin, y.shin))), 4) AS jac
+      |FROM d x JOIN d y ON x.blk = y.blk AND x.doc_id < y.doc_id
+      |WHERE CAST(len(list_intersect(x.shin, y.shin)) AS DOUBLE) /
+      |      len(list_distinct(list_concat(x.shin, y.shin))) >= 0.8""".stripMargin
+
+  /** dedup_near_minhash — MinHash(16 perms) + LSH(4 bands × 4 rows):
+    * candidates = pairs sharing ≥1 band bucket (equi-join on
+    * (band, bandhash)); verified with exact Jaccard ≥ 0.8. Catches
+    * near-dups regardless of where the edit is (no prefix-block
+    * assumption). Algorithmic ⇒ rows-only; recall vs the exact
+    * Jaccard ground truth is property-tested. */
+  def dedupNearMinhash(s: SparkSession, dir: String): DataFrame = {
+    val sigs = withShingles(documents(s, dir))
+      .select(col("doc_id"), col("shin"),
+        TextFunctions.minhashSignature(col("shin"), NUM_PERM).as("sig"))
+    val bands = sigs.select(col("doc_id"), col("shin"),
+      explode(TextFunctions.minhashBands(col("sig"), NUM_PERM, N_BANDS))
+        .as("bb"))
+      .select(col("doc_id"), col("shin"),
+        col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cands = bands.select(col("band"), col("bh"),
+        col("doc_id").as("a"), col("shin").as("sa"))
+      .join(bands.select(col("band"), col("bh"),
+        col("doc_id").as("b"), col("shin").as("sb")), Seq("band", "bh"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sa"), col("sb"))
+      .dropDuplicates("a", "b")
+    cands
+      .withColumn("jac", round(jaccard(col("sa"), col("sb")), 4))
+      .filter(col("jac") >= JACCARD_T)
+      .select(col("a"), col("b"), col("jac"))
+  }
+
+  /** dedup_simhash — 64-bit SimHash, 4×16-bit band candidates,
+    * verified by Hamming distance ≤ 6. Near-identical docs differ in
+    * few bits; banding guarantees candidates for distance ≤ 3 and
+    * catches most ≤ 6. Rows-only (hash-valued). */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+      .select(col("doc_id"),
+        TextFunctions.simhash64(TextFunctions.tokens(col("text")))
+          .as("sig"))
+    val bands = d.select(col("doc_id"), col("sig"),
+      explode(graft.functions.VectorFunctions.sigBands(col("sig"), 64, 4))
+        .as("bb"))
+      .select(col("doc_id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bh").as("bh"))
+    bands.select(col("band"), col("bh"), col("doc_id").as("a"),
+        col("sig").as("siga"))
+      .join(bands.select(col("band"), col("bh"), col("doc_id").as("b"),
+        col("sig").as("sigb")), Seq("band", "bh"))
+      .filter(col("a") < col("b"))
+      .dropDuplicates("a", "b")
+      .withColumn("hamming",
+        TextFunctions.hamming64(col("siga"), col("sigb")))
+      .filter(col("hamming") <= 6)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_near_minhash" -> (dedupNearMinhash _),
+    "dedup_simhash" -> (dedupSimhash _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql
+    // dedup_near_minhash / dedup_simhash: algorithmic — property-tested
+  )
+}

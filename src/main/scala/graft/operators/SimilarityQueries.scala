@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.11).
+  *
+  * Scale design: brute-force cosine is the exact baseline — a single
+  * scan, the query vector broadcast, top-k via TakeOrderedAndProject
+  * (per-partition heaps, no global sort). The LSH path buckets with
+  * random-hyperplane signatures so candidate generation is an
+  * equi-join; at 100 TB only bucket-mates are scored. Pairwise
+  * similarity is blocked (label here, LSH bucket in general) — never
+  * an unblocked cross join.
+  */
+object SimilarityQueries {
+
+  /** sim_topk_cosine — exact top-10 nearest to the vec_id=0 embedding.
+    * Broadcast 1-row query side; double-precision cosine; rounded sort
+    * key + vec_id tiebreak for cross-engine determinism. */
+  def simTopkCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val q = e.filter(col("vec_id") === 0).select(col("emb").as("qv"))
+    e.join(broadcast(q))
+      .select(col("vec_id"),
+        round(cosine(col("emb"), col("qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val simTopkCosineSql: String =
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id,
+      |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6)
+      |    AS sim
+      |FROM embeddings, q
+      |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
+  /** sim_pairwise_threshold — all pairs above cosine 0.4 within label
+    * blocks: block equi-join + filter, exact scores. */
+  def simPairwiseThreshold(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("label"), col("vec_id"),
+        asDouble(col("embedding")).as("emb"))
+    val a = e.select(col("label"), col("vec_id").as("a"),
+      col("emb").as("ea"))
+    val b = e.select(col("label"), col("vec_id").as("b"),
+      col("emb").as("eb"))
+    a.join(b, Seq("label"))
+      .filter(col("a") < col("b"))
+      .withColumn("sim", round(cosine(col("ea"), col("eb")), 4))
+      .filter(col("sim") >= 0.4)
+      .select(col("label"), col("a"), col("b"), col("sim"))
+  }
+
+  val simPairwiseThresholdSql: String =
+    """SELECT x.label AS label, x.vec_id AS a, y.vec_id AS b,
+      |  round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+      |    CAST(y.embedding AS DOUBLE[])), 4) AS sim
+      |FROM embeddings x JOIN embeddings y
+      |  ON x.label = y.label AND x.vec_id < y.vec_id
+      |WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+      |    CAST(y.embedding AS DOUBLE[])), 4) >= 0.4""".stripMargin
+
+  /** sim_ann_lsh — approximate top-10 for the vec_id=0 query via
+    * random-hyperplane LSH (16 bits, 4 bands): candidates share ≥1
+    * band with the query, exact cosine re-rank on candidates only.
+    * Approximate ⇒ rows-only; recall vs brute force property-tested. */
+  def simAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("sig", hyperplaneSig(col("emb"), 16))
+    val bands = e.select(col("vec_id"), col("emb"),
+      explode(sigBands(col("sig"), 16, 4)).as("bb"))
+      .select(col("vec_id"), col("emb"),
+        col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val qBands = bands.filter(col("vec_id") === 0)
+      .select(col("band"), col("bh"), col("emb").as("qv"))
+    bands.join(broadcast(qBands), Seq("band", "bh"))
+      .select(col("vec_id"), col("emb"), col("qv"))
+      .dropDuplicates("vec_id")
+      .select(col("vec_id"),
+        round(cosine(col("emb"), col("qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_cosine" -> (simTopkCosine _),
+    "sim_pairwise_threshold" -> (simPairwiseThreshold _),
+    "sim_ann_lsh" -> (simAnnLsh _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "sim_topk_cosine" -> simTopkCosineSql,
+    "sim_pairwise_threshold" -> simPairwiseThresholdSql
+    // sim_ann_lsh: approximate — recall property-tested
+  )
+}

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextFunctions
+
+/** Text-analysis operators over the `documents` table (SURVEY.md
+  * §2.11): per-doc stats, term frequencies, quality scoring, language
+  * ID, fingerprinting — the text half of a training-data pipeline.
+  * All oracle-checked queries are pure expressions; heuristic ops
+  * (langid, winnowing) are declared rows-only and unit-tested.
+  */
+object TextQueries {
+
+  /** text_stats — per-language corpus statistics: doc counts, char
+    * lengths, word counts, BPE-ish token counts. Single hash agg. */
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    documents(s, dir)
+      .select(col("lang"), col("n_chars"),
+        size(toks).as("n_words"),
+        TextFunctions.bpeishCount(col("text")).as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 2).as("avg_chars"),
+        round(avg(col("n_words")), 2).as("avg_words"),
+        round(avg(col("n_tokens")), 2).as("avg_tokens"),
+        max(col("n_chars")).as("max_chars"))
+  }
+
+  val textStatsSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  round(avg(n_chars), 2) AS avg_chars,
+      |  round(avg(len(string_split(text, ' '))), 2) AS avg_words,
+      |  round(avg(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))), 2)
+      |    AS avg_tokens,
+      |  max(n_chars) AS max_chars
+      |FROM documents GROUP BY lang""".stripMargin
+
+  /** text_tokens_tf — term frequencies: top-10 terms per language
+    * (count DESC, term ASC tiebreak — total order for hash-compare).
+    * Explode → two-phase hash agg → windowed top-k. */
+  def textTokensTf(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("term"))
+    documents(s, dir)
+      .select(col("lang"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("lang"), col("rk"), col("term"), col("cnt"))
+  }
+
+  val textTokensTfSql: String =
+    """SELECT lang, rk, term, cnt FROM (
+      |  SELECT lang, term, cnt,
+      |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rk
+      |  FROM (
+      |    SELECT lang, t.term, count(*) AS cnt
+      |    FROM documents, unnest(string_split(text, ' ')) AS t(term)
+      |    WHERE len(t.term) > 0
+      |    GROUP BY lang, t.term))
+      |WHERE rk <= 10""".stripMargin
+
+  /** text_quality — composite quality score per doc: length saturation
+    * + stopword ratio + vocabulary diversity (the length/punct/stopword
+    * heuristics of LLM data curation), all as expressions. */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val stop = typedLit(Seq("the", "a", "of", "and", "to", "in"))
+    val nWords = size(toks).cast("double")
+    val stopRatio =
+      size(filter(toks, t => array_contains(stop, t))).cast("double") / nWords
+    val diversity = size(array_distinct(toks)).cast("double") / nWords
+    val lenScore = least(col("n_chars").cast("double") / 500.0, lit(1.0))
+    documents(s, dir).select(
+      col("doc_id"),
+      round(lenScore, 4).as("len_score"),
+      round(stopRatio, 4).as("stop_ratio"),
+      round(diversity, 4).as("diversity"),
+      // +1e-9 pre-round on BOTH engines: composite weights can land
+      // exactly on a .00005 boundary where Spark (decimal-string
+      // HALF_UP) and DuckDB (binary-double) round differently.
+      round(lenScore * 0.4 + stopRatio * 0.3 + diversity * 0.3 + 1e-9, 4)
+        .as("quality"))
+  }
+
+  val textQualitySql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS len_score,
+      |    CAST(len(list_filter(string_split(text,' '),
+      |      w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+      |      / len(string_split(text,' ')) AS stop_ratio,
+      |    CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+      |      / len(string_split(text,' ')) AS diversity
+      |  FROM documents)
+      |SELECT doc_id, round(len_score,4) AS len_score,
+      |  round(stop_ratio,4) AS stop_ratio, round(diversity,4) AS diversity,
+      |  round(len_score*0.4 + stop_ratio*0.3 + diversity*0.3 + 1e-9, 4) AS quality
+      |FROM t""".stripMargin
+
+  /** text_langid — heuristic language ID vs the labeled column.
+    * Heuristic ⇒ no SQL oracle (rows-only); accuracy covered by
+    * TextQueriesSpec. */
+  def textLangid(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.langId(col("text")).as("lang_guess"))
+      .groupBy(col("lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n"))
+
+  /** text_fingerprint — winnowing fingerprints (rolling-hash k-grams,
+    * min-per-window): compact doc signatures for containment checks.
+    * Rows-only; determinism + self-similarity unit-tested. */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"),
+        TextFunctions.winnow()(col("text")).as("fingerprint"))
+      .select(col("doc_id"), size(col("fingerprint")).as("n_grams"),
+        col("fingerprint"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> (textStats _),
+    "text_tokens_tf" -> (textTokensTf _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangid _),
+    "text_fingerprint" -> (textFingerprint _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "text_stats" -> textStatsSql,
+    "text_tokens_tf" -> textTokensTfSql,
+    "text_quality" -> textQualitySql
+    // text_langid / text_fingerprint: heuristic & hash-valued — unit-tested
+  )
+}
