@@ -1,0 +1,88 @@
+package graft.catalog
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** STAC-search compiler (SURVEY.md §3.3) — the engine twin of the
+  * stac-fastapi → pgstac search path (docker-compose.yml:1-44):
+  * bbox / datetime-interval / collection / property predicates +
+  * sortby + limit + keyset paging, compiled to one DataFrame plan
+  * over the partitioned items table.
+  *
+  * Scale behavior for free from Catalyst: collection predicate →
+  * partition pruning (collection_id is the partition column); bbox
+  * scalars and datetimes → parquet row-group pushdown; sort+limit →
+  * TakeOrderedAndProject. The GiST-index role is played by partition
+  * + row-group pruning, which is what a 100 TB parquet catalog wants.
+  */
+object CatalogQuery {
+
+  /** STAC /search parameters (subset the reference serves). */
+  case class Search(
+      collections: Seq[String] = Seq.empty,
+      ids: Seq[String] = Seq.empty,
+      bbox: Option[(Double, Double, Double, Double)] = None, // w,s,e,n
+      interval: Option[(Timestamp, Timestamp)] = None,
+      propEquals: Map[String, String] = Map.empty,
+      sortBy: Seq[(String, Boolean)] = Seq(("item_id", true)), // asc?
+      limit: Int = 100,
+      /** keyset token: sort-key values of the last row of the prior
+        * page (STAC `token` paging). */
+      afterToken: Option[Seq[Any]] = None)
+
+  def compile(items: DataFrame, q: Search): DataFrame = {
+    var df = items
+    if (q.collections.nonEmpty)
+      df = df.filter(col("collection_id").isin(q.collections: _*))
+    if (q.ids.nonEmpty)
+      df = df.filter(col("item_id").isin(q.ids: _*))
+    q.bbox.foreach { case (w, s, e, n) =>
+      // overlap test on the pushdown-able scalar columns
+      df = df.filter(col("bbox_w") <= e && lit(w) <= col("bbox_e") &&
+        col("bbox_s") <= n && lit(s) <= col("bbox_n"))
+    }
+    q.interval.foreach { case (t0, t1) =>
+      df = df.filter(col("start_datetime") <= lit(t1) &&
+        lit(t0) <= col("end_datetime"))
+    }
+    q.propEquals.foreach { case (k, v) =>
+      df = df.filter(element_at(col("properties"), k) === v)
+    }
+    // total order: user sort keys + item_id tiebreak
+    val sortKeys = q.sortBy ++ Seq(("item_id", true))
+    val sortCols = sortKeys.map { case (name, asc) =>
+      if (asc) col(name).asc else col(name).desc
+    }
+    q.afterToken.foreach { token =>
+      df = df.filter(keysetPredicate(sortKeys, token))
+    }
+    df.orderBy(sortCols: _*).limit(q.limit)
+  }
+
+  /** Lexicographic keyset predicate: row > token under the sort order
+    * (stable O(1)-per-page paging — no OFFSET scans). */
+  private def keysetPredicate(
+      keys: Seq[(String, Boolean)], token: Seq[Any]): Column = {
+    require(keys.length == token.length,
+      s"token arity ${token.length} != sort arity ${keys.length}")
+    // (k1 > t1) or (k1 = t1 and (k2 > t2)) or ...
+    keys.zip(token).foldRight(lit(false)) {
+      case (((name, asc), tv), rest) =>
+        val c = col(name)
+        val cmp = if (asc) c > lit(tv) else c < lit(tv)
+        cmp || (c === lit(tv) && rest)
+    }
+  }
+
+  /** Token for the next page: sort-key values of the page's last row. */
+  def nextToken(page: Array[org.apache.spark.sql.Row],
+      q: Search): Option[Seq[Any]] =
+    if (page.length < q.limit) None
+    else {
+      val last = page.last
+      val keys = q.sortBy ++ Seq(("item_id", true))
+      Some(keys.map { case (name, _) => last.getAs[Any](name) })
+    }
+}

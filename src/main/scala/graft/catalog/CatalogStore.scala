@@ -1,0 +1,52 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The engine's catalog store (snk_upsert / snk_parquet_catalog):
+  * items as parquet partitioned by collection_id — the role pgstac's
+  * time-partitioned Postgres tables play behind `ToPgStac`
+  * (avhrr recipe.py:85,137; docker-compose.yml:30-44).
+  *
+  * Upsert = last-write-wins per item_id (pgstac's idempotent item
+  * replace) implemented as dedup-rank over (existing ∪ delta) +
+  * DYNAMIC partition overwrite: only partitions present in the delta
+  * are rewritten — at 100 TB an incremental month touches a handful
+  * of partitions, not the whole catalog.
+  */
+object CatalogStore {
+
+  /** Initial (full) write. */
+  def write(items: DataFrame, path: String): Unit =
+    items.write
+      .mode("overwrite")
+      .partitionBy("collection_id")
+      .parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Idempotent merge of `delta` into the catalog at `path`:
+    * newest ingested_at (then item_id for total order) wins per
+    * item_id. Touches only the delta's collection partitions. */
+  def upsert(spark: SparkSession, path: String, delta: DataFrame): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val affected = delta.select("collection_id").distinct()
+    val existing = read(spark, path)
+      .join(broadcast(affected), Seq("collection_id"), "left_semi")
+      .select(delta.columns.map(col).toIndexedSeq: _*)
+    val w = Window.partitionBy(col("item_id"))
+      .orderBy(col("ingested_at").desc, col("item_id"))
+    val merged = existing.unionByName(delta.select(
+        delta.columns.map(col).toIndexedSeq: _*))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+    // dynamic overwrite rewrites only partitions present in `merged`
+    merged.write
+      .mode("overwrite")
+      .partitionBy("collection_id")
+      .parquet(path)
+  }
+}

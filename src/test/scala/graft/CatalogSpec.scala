@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog._
+import graft.ingest.FixtureGranuleSource
+
+/** End-to-end catalog vertical (SURVEY.md §5.4): ingest fixtures →
+  * partitioned catalog → upsert idempotence → STAC-style search.
+  */
+class CatalogSpec extends SparkSpec {
+
+  private lazy val tmp = Files.createTempDirectory("graft-catalog").toString
+  private lazy val catalogPath = s"$tmp/items"
+
+  test("yaml collections load with full document shape") {
+    val url = getClass.getResource("/collections_fixture.yaml")
+    val cols = CollectionsYaml.load(spark, url.getPath).collect()
+    assert(cols.length == 3)
+    val avhrr = cols.find(_.id.startsWith("AVHRR")).get
+    assert(avhrr.extent_temporal == "2016-01-19T08:07:03Z/")
+    assert(avhrr.providers.map(_.name) == Seq("ProviderA", "HostB"))
+    assert(avhrr.providers.head.roles == Seq("producer"))
+    assert(avhrr.links.head.title.contains("Citeable DOI"))
+    assert(CollectionsYaml.categories(cols.toSeq).sorted == Seq("BO", "CT", "v1.0").sorted)
+  }
+
+  test("ingest: granules → items with strict-cast quarantine") {
+    val source = new FixtureGranuleSource()
+    val (items, errors) = ItemAssembly.assemble(source.granules(spark))
+    val nItems = items.count()
+    val nErrors = errors.count()
+    // 478 slots (480 minus 2 missing) split between good and quarantined
+    assert(nItems + nErrors == 478)
+    assert(nErrors > 0, "fixture plants unparsable bbox rows")
+    assert(errors.collect().forall(_.getAs[String]("error") != null))
+    // bbox array and scalars agree
+    val r = items.select(col("bbox"), col("bbox_w"), col("bbox_n")).first()
+    assert(r.getSeq[Double](0).head == r.getDouble(1))
+    // geometry is a closed GeoJSON ring
+    val g = items.select("geometry").first().getString(0)
+    assert(g.startsWith("{\"type\":\"Polygon\""))
+  }
+
+  test("catalog write + idempotent upsert (re-ingest changes nothing)") {
+    val source = new FixtureGranuleSource()
+    val r1 = IngestPipeline.run(spark, source, catalogPath, initial = true)
+    assert(r1.itemsWritten > 0)
+    val r2 = IngestPipeline.run(spark, source, catalogPath)
+    assert(r2.itemsWritten == r1.itemsWritten, "upsert must be idempotent")
+    // partitioned layout on disk
+    assert(new java.io.File(catalogPath).listFiles()
+      .exists(_.getName.startsWith("collection_id=")))
+    // no duplicate item_ids after merge
+    val items = CatalogStore.read(spark, catalogPath)
+    assert(items.count() == items.select("item_id").distinct().count())
+  }
+
+  test("upsert replaces existing items (last write wins)") {
+    val source = new FixtureGranuleSource()
+    val (items, _) = ItemAssembly.assemble(source.granules(spark))
+    val before = CatalogStore.read(spark, catalogPath).count()
+    val patched = items.limit(5)
+      .withColumn("properties",
+        map(lit("patched"), lit("yes")))
+      .withColumn("ingested_at",
+        current_timestamp() + expr("INTERVAL 1 HOUR"))
+    CatalogStore.upsert(spark, catalogPath, patched)
+    val after = CatalogStore.read(spark, catalogPath)
+    assert(after.count() == before, "upsert of existing ids adds no rows")
+    val patchedCount = after
+      .filter(element_at(col("properties"), "patched") === "yes").count()
+    assert(patchedCount == 5, s"expected 5 patched, got $patchedCount")
+  }
+
+  test("STAC search: bbox + interval + sort + keyset paging") {
+    val items = CatalogStore.read(spark, catalogPath)
+    val q = CatalogQuery.Search(
+      collections = Seq("AVHRR_SST_METOP_B-OSISAF-L2P-v1.0"),
+      bbox = Some((-40.0, -30.0, 40.0, 30.0)),
+      interval = Some((
+        Timestamp.valueOf("2022-05-01 06:00:00"),
+        Timestamp.valueOf("2022-05-01 18:00:00"))),
+      sortBy = Seq(("start_datetime", true)),
+      limit = 20)
+    val page1 = CatalogQuery.compile(items, q).collect()
+    assert(page1.nonEmpty && page1.length <= 20)
+    // all results satisfy the predicates
+    page1.foreach { r =>
+      assert(r.getAs[Double]("bbox_w") <= 40.0 &&
+        r.getAs[Double]("bbox_e") >= -40.0)
+      assert(!r.getAs[Timestamp]("start_datetime")
+        .after(Timestamp.valueOf("2022-05-01 18:00:00")))
+    }
+    // sorted by start_datetime
+    val times = page1.map(_.getAs[Timestamp]("start_datetime").getTime)
+    assert(times.sameElements(times.sorted))
+    // keyset page 2: no overlap with page 1, continues the order
+    CatalogQuery.nextToken(page1, q).foreach { token =>
+      val page2 = CatalogQuery
+        .compile(items, q.copy(afterToken = Some(token))).collect()
+      val ids1 = page1.map(_.getAs[String]("item_id")).toSet
+      assert(page2.forall(r => !ids1.contains(r.getAs[String]("item_id"))))
+      if (page2.nonEmpty) {
+        assert(page2.head.getAs[Timestamp]("start_datetime").getTime >=
+          times.last)
+      }
+    }
+  }
+
+  test("search on empty filters returns limit-bounded page") {
+    val items = CatalogStore.read(spark, catalogPath)
+    val all = CatalogQuery.compile(items, CatalogQuery.Search(limit = 7))
+    assert(all.count() == 7)
+  }
+}
