@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming capabilities (SURVEY.md §2.9). The reference's
+  * in-situ feed is an incremental NRT ingest — hourly updates arriving
+  * 24-48 h late (insitu collections.yaml:3), consumed by re-running
+  * monthly globs with a listing cache (insitu recipe.py:30-45). The
+  * streaming-native form: file-source discovery with
+  * Trigger.AvailableNow (checkpoint = the cache's role), watermarked
+  * event-time windows for the lateness envelope, dedup-within-
+  * watermark for re-delivery, foreachBatch upsert into the catalog.
+  *
+  * Every transform takes/returns DataFrame so the SAME function body
+  * serves batch (oracle-checkable twin) and stream — the engine's
+  * batch/stream unification guarantee.
+  */
+object StreamingOps {
+
+  /** stream_file_ingest — incremental discovery of new catalog files;
+    * checkpointing makes each file exactly-once (the listing cache's
+    * role, insitu recipe.py:30-45). */
+  def fileIngest(
+      spark: SparkSession, inputDir: String, schema: StructType): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 100) // bounded micro-batches at scale
+      .parquet(inputDir)
+
+  /** stream_tumbling — fixed windows per event type. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** stream_sliding — moving counts, 1 h window / 15 min slide. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+
+  /** stream_session — per-user observation sessions with a 30 min
+    * inactivity gap (trajectory segmentation, cf. extract_geometry
+    * time series insitu recipe.py:91-93). */
+  def sessionize(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** stream_watermark_late — tolerate the documented 24-48 h lateness;
+    * rows later than the watermark are dropped (documented behavior,
+    * SURVEY §2.9). */
+  def withLatenessBound(events: DataFrame, bound: String = "48 hours"): DataFrame =
+    events.withWatermark("ts", bound)
+
+  /** stream_dedup — exactly-once item emission on re-delivery. */
+  def dedupWithinWatermark(
+      events: DataFrame, key: String = "event_id"): DataFrame =
+    events.withWatermark("ts", "48 hours")
+      .dropDuplicatesWithinWatermark(key)
+
+  /** stream_upsert_sink — continuous merge into the catalog: each
+    * micro-batch runs the same last-write-wins upsert as batch ingest
+    * (exactly-once per batch id via checkpoint). */
+  def upsertSink(
+      items: DataFrame, catalogPath: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    items.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.catalog.CatalogStore.upsert(batch.sparkSession, catalogPath, batch)
+      }
+}

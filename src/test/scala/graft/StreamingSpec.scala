@@ -1,0 +1,114 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamingOps
+
+/** Streaming ops (SURVEY.md §2.9) via MemoryStream, checked against
+  * their batch twins where aggregation semantics allow (batch ==
+  * stream-with-complete-output is the unification contract).
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(m: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${10 + m / 60}%02d:${m % 60}%02d:00")
+
+  private val sample = Seq(
+    Ev(1, ts(0), 1, "click", 1.0),
+    Ev(2, ts(10), 1, "click", 2.0),
+    Ev(3, ts(65), 1, "click", 4.0), // second hour
+    Ev(4, ts(5), 2, "purchase", 8.0),
+    Ev(5, ts(130), 2, "purchase", 16.0)) // third hour, after 2h gap
+
+  test("tumbling window: stream complete-mode equals batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(sample: _*)
+    val q = StreamingOps.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val stream = spark.table("tumbling").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).sortBy(_.toString)
+    val batch = StreamingOps.tumblingCounts(sample.toDF()).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).sortBy(_.toString)
+    assert(stream.sameElements(batch), "stream must equal batch twin")
+    assert(stream.length == 4) // (h10,click)(h11,click)(h10,purchase)(h12,purchase)
+  }
+
+  test("session window: 30-minute inactivity gap splits sessions") {
+    import spark.implicits._
+    val sessions = StreamingOps.sessionize(sample.toDF())
+      .orderBy("user_id", "session_start").collect()
+    // user 1: events at 0,10 merge; 65 is its own session → 2 sessions
+    // user 2: events at 5 and 130 → 2 sessions
+    assert(sessions.length == 4)
+    val u1 = sessions.filter(_.getAs[Long]("user_id") == 1)
+    assert(u1.head.getAs[Long]("n_events") == 2)
+    assert(u1.last.getAs[Long]("n_events") == 1)
+  }
+
+  test("dedup within watermark drops re-delivered keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(sample ++ sample.take(3): _*) // re-deliver first 3
+    val q = StreamingOps.dedupWithinWatermark(mem.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val ids = spark.table("dedup").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(Array(1L, 2L, 3L, 4L, 5L)),
+      s"duplicates must be dropped: ${ids.mkString(",")}")
+  }
+
+  test("file ingest + foreachBatch upsert reaches the catalog exactly once") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val inDir = s"$tmp/in"; val catalog = s"$tmp/catalog"; val ckpt = s"$tmp/ckpt"
+    // seed the catalog with an initial batch write
+    val (items0, _) = graft.catalog.ItemAssembly.assemble(
+      new graft.ingest.FixtureGranuleSource(
+        end = "2022-05-01 00:59:59").granules(spark))
+    graft.catalog.CatalogStore.write(items0, catalog)
+    val n0 = spark.read.parquet(catalog).count()
+    // arrival of new granule-metadata files (next hour)
+    new graft.ingest.FixtureGranuleSource(
+      start = "2022-05-01 01:01:03", end = "2022-05-01 01:59:59")
+      .granules(spark).write.parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val stream = StreamingOps.fileIngest(spark, inDir, schema)
+    val (itemsS, _) = graft.catalog.ItemAssembly.assemble(stream)
+    val q = StreamingOps.upsertSink(itemsS, catalog, ckpt).start()
+    q.awaitTermination(120000)
+    val n1 = spark.read.parquet(catalog).count()
+    assert(n1 > n0, "new granules merged in")
+    // restart with same checkpoint: no new work, no duplicates
+    val q2 = StreamingOps.upsertSink(
+      graft.catalog.ItemAssembly.assemble(
+        StreamingOps.fileIngest(spark, inDir, schema))._1, catalog, ckpt)
+      .start()
+    q2.awaitTermination(120000)
+    val n2 = spark.read.parquet(catalog).count()
+    assert(n2 == n1, "checkpoint makes re-run a no-op")
+    val items = spark.read.parquet(catalog)
+    assert(items.count() == items.select("item_id").distinct().count())
+  }
+
+  test("sliding window covers each event in multiple slides") {
+    import spark.implicits._
+    val slides = StreamingOps.slidingCounts(sample.toDF()).collect()
+    // 1h window sliding by 15min ⇒ each event appears in 4 windows
+    val totalN = slides.map(_.getAs[Long]("n")).sum
+    assert(totalN == sample.length * 4L)
+  }
+}
