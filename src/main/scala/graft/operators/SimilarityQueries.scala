@@ -3,30 +3,39 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.functions.VectorFunctions._
+import graft.functions.ArrayDot.{arrayDot, l2Norm}
+import graft.functions.{FastSig, VectorFunctions}
 
 /** Similarity search over the `embeddings` table (SURVEY.md §2.11).
   *
   * Scale design: brute-force cosine is the exact baseline — a single
   * scan, the query vector broadcast, top-k via TakeOrderedAndProject
-  * (per-partition heaps, no global sort). The LSH path buckets with
-  * random-hyperplane signatures so candidate generation is an
-  * equi-join; at 100 TB only bucket-mates are scored. Pairwise
-  * similarity is blocked (label here, LSH bucket in general) — never
-  * an unblocked cross join.
+  * (per-partition heaps, no global sort). Dot products run through
+  * the codegen'd ArrayDotProduct expression; norms are computed once
+  * per vector BEFORE any join, so a pair costs exactly one array
+  * traversal. The LSH path buckets with one-pass random-hyperplane
+  * signatures so candidate generation is an equi-join; at 100 TB only
+  * bucket-mates are scored. Pairwise similarity is blocked (label
+  * here, LSH bucket in general) — never an unblocked cross join.
   */
 object SimilarityQueries {
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", l2Norm(col("emb")))
 
   /** sim_topk_cosine — exact top-10 nearest to the vec_id=0 embedding.
     * Broadcast 1-row query side; double-precision cosine; rounded sort
     * key + vec_id tiebreak for cross-engine determinism. */
   def simTopkCosine(s: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(s, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-    val q = e.filter(col("vec_id") === 0).select(col("emb").as("qv"))
+    val e = withNorm(embeddings(s, dir))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("emb").as("qv"), col("nrm").as("qn"))
     e.join(broadcast(q))
       .select(col("vec_id"),
-        round(cosine(col("emb"), col("qv")), 6).as("sim"))
+        round(arrayDot(col("emb"), col("qv")) / (col("nrm") * col("qn")), 6)
+          .as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(10)
   }
@@ -41,18 +50,17 @@ object SimilarityQueries {
       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
 
   /** sim_pairwise_threshold — all pairs above cosine 0.4 within label
-    * blocks: block equi-join + filter, exact scores. */
+    * blocks: block equi-join + filter; norms precomputed per side. */
   def simPairwiseThreshold(s: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(s, dir)
-      .select(col("label"), col("vec_id"),
-        asDouble(col("embedding")).as("emb"))
+    val e = withNorm(embeddings(s, dir))
     val a = e.select(col("label"), col("vec_id").as("a"),
-      col("emb").as("ea"))
+      col("emb").as("ea"), col("nrm").as("na"))
     val b = e.select(col("label"), col("vec_id").as("b"),
-      col("emb").as("eb"))
+      col("emb").as("eb"), col("nrm").as("nb"))
     a.join(b, Seq("label"))
       .filter(col("a") < col("b"))
-      .withColumn("sim", round(cosine(col("ea"), col("eb")), 4))
+      .withColumn("sim",
+        round(arrayDot(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
       .filter(col("sim") >= 0.4)
       .select(col("label"), col("a"), col("b"), col("sim"))
   }
@@ -67,24 +75,26 @@ object SimilarityQueries {
       |    CAST(y.embedding AS DOUBLE[])), 4) >= 0.4""".stripMargin
 
   /** sim_ann_lsh — approximate top-10 for the vec_id=0 query via
-    * random-hyperplane LSH (16 bits, 4 bands): candidates share ≥1
-    * band with the query, exact cosine re-rank on candidates only.
-    * Approximate ⇒ rows-only; recall vs brute force property-tested. */
+    * random-hyperplane LSH (16 bits, 4 bands, one-pass signature):
+    * candidates share ≥1 band with the query, exact cosine re-rank on
+    * candidates only. Approximate ⇒ rows-only; recall vs brute force
+    * property-tested. */
   def simAnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(s, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-      .withColumn("sig", hyperplaneSig(col("emb"), 16))
-    val bands = e.select(col("vec_id"), col("emb"),
-      explode(sigBands(col("sig"), 16, 4)).as("bb"))
-      .select(col("vec_id"), col("emb"),
+    val e = withNorm(embeddings(s, dir))
+      .withColumn("sig", FastSig.hyperplaneSigFast(16)(col("emb")))
+    val bands = e.select(col("vec_id"), col("emb"), col("nrm"),
+      explode(VectorFunctions.sigBands(col("sig"), 16, 4)).as("bb"))
+      .select(col("vec_id"), col("emb"), col("nrm"),
         col("bb.band").as("band"), col("bb.bh").as("bh"))
     val qBands = bands.filter(col("vec_id") === 0)
-      .select(col("band"), col("bh"), col("emb").as("qv"))
+      .select(col("band"), col("bh"), col("emb").as("qv"),
+        col("nrm").as("qn"))
     bands.join(broadcast(qBands), Seq("band", "bh"))
-      .select(col("vec_id"), col("emb"), col("qv"))
+      .select(col("vec_id"), col("emb"), col("nrm"), col("qv"), col("qn"))
       .dropDuplicates("vec_id")
       .select(col("vec_id"),
-        round(cosine(col("emb"), col("qv")), 6).as("sim"))
+        round(arrayDot(col("emb"), col("qv")) / (col("nrm") * col("qn")), 6)
+          .as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(10)
   }

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. Spark 4 made the converters
+  * `private[sql]` (they live behind the Connect/Classic split), so
+  * custom Catalyst expressions need this one-file shim inside the
+  * org.apache.spark.sql namespace — the standard extension-library
+  * pattern.
+  */
+object GraftExpr {
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+  def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
+}
