@@ -25,7 +25,8 @@ object SparkEntry {
       operators.TextQueries.queries ++
       operators.DedupQueries.queries ++
       operators.SimilarityQueries.queries ++
-      operators.MultimodalQueries.queries
+      operators.MultimodalQueries.queries ++
+      operators.SourceSinkQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       operators.TextQueries.oracle ++
       operators.DedupQueries.oracle ++
       operators.SimilarityQueries.oracle ++
-      operators.MultimodalQueries.oracle
+      operators.MultimodalQueries.oracle ++
+      operators.SourceSinkQueries.oracle
 }

@@ -1,0 +1,170 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{CatalogQuery, CatalogStore, CollectionsYaml, ItemAssembly}
+import graft.functions.SurrogateRepair
+import graft.geometry.Geometry
+import graft.ingest.{FixtureGranuleSource, ListingCache}
+
+/** Source/sink and ingest-adjacent operators (SURVEY.md §2.1 remainder
+  * + non-oracle §2.2 ops): listing cache, glob/binary sources, the
+  * scientific-granule source, YAML collections, catalog upsert, the
+  * geometry-extraction UDF and byte-level surrogate repair — each
+  * declared so the driver harness executes the real code path
+  * (rows-only where DuckDB cannot express the semantics).
+  */
+object SourceSinkQueries {
+
+  /** src_listing_cache — content-addressed cache keys: sha256(glob)
+    * (insitu recipe.py:31-35). The key derivation is oracle-checked;
+    * the probe/write cycle is unit-tested in GeometrySpec. */
+  def srcListingCache(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+
+  private def documents(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"),
+        concat(lit("https://host/"), col("source"), lit("/"),
+          col("lang"), lit("/201*.nc")).as("glob"))
+      .select(col("doc_id"), col("glob"),
+        sha2(col("glob"), 256).as("cache_key"))
+
+  val srcListingCacheSql: String =
+    """SELECT doc_id,
+      |  'https://host/' || source || '/' || lang || '/201*.nc' AS glob,
+      |  sha256('https://host/' || source || '/' || lang || '/201*.nc')
+      |    AS cache_key
+      |FROM documents""".stripMargin
+
+  /** src_glob_listing — Hadoop glob enumeration
+    * (`sorted(fs.glob(...))`, insitu recipe.py:40). Environment-
+    * dependent paths ⇒ rows-only. */
+  def srcGlobListing(s: SparkSession, dir: String): DataFrame =
+    ListingCache.globListing(s, s"file:$dir/*.parquet")
+
+  /** src_open_url — opened-file handles as rows: Spark's binaryFile
+    * source over the test tables (the engine form of
+    * OpenURLWithFSSpec, avhrr recipe.py:124 — for local/HDFS/S3
+    * filesystems; HTTP lists get a custom V2 provider later).
+    * Metadata-only projection: content bytes are NOT read. */
+  def srcOpenUrl(s: SparkSession, dir: String): DataFrame =
+    s.read.format("binaryFile")
+      .load(s"$dir/*.parquet")
+      .select(col("path"), col("length"))
+      .orderBy(col("path"))
+
+  /** src_scientific — the granule-metadata source behind the
+    * GranuleSource trait (OpenWithXarray's role, avhrr
+    * recipe.py:125-127): one metadata row per granule, generated
+    * distributedly. */
+  def srcScientific(s: SparkSession, dir: String): DataFrame =
+    new FixtureGranuleSource().granules(s)
+
+  /** src_yaml_collections — YAML collection docs → typed rows
+    * (open_collections, avhrr recipe.py:84,156). */
+  def srcYamlCollections(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempFile("collections", ".yaml")
+    val in = getClass.getResourceAsStream("/collections_fixture.yaml")
+    Files.write(tmp, in.readAllBytes())
+    CollectionsYaml.load(s, tmp.toString).toDF()
+      .select(col("id"), col("title"), col("license"),
+        col("extent_temporal"), size(col("providers")).as("n_providers"),
+        size(col("keywords")).as("n_keywords"))
+      .orderBy(col("id"))
+  }
+
+  /** snk_upsert + snk_parquet_catalog — ingest → partitioned catalog →
+    * idempotent re-upsert; output proves idempotence (count stable,
+    * item_id unique). Side-effectful ⇒ rows-only. */
+  def snkUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = Files.createTempDirectory("graft-snk").toString + "/items"
+    val (items, _) = ItemAssembly.assemble(
+      new FixtureGranuleSource(end = "2022-05-01 03:59:59").granules(s))
+    CatalogStore.write(items, path)
+    val n1 = CatalogStore.read(s, path).count()
+    CatalogStore.upsert(s, path, items) // re-ingest: must be a no-op
+    val after = CatalogStore.read(s, path)
+    val n2 = after.count()
+    val distinct = after.select("item_id").distinct().count()
+    Seq((n1, n2, distinct, n1 == n2 && n2 == distinct))
+      .toDF("initial_count", "after_upsert", "distinct_ids", "idempotent")
+  }
+
+  /** catalog_search — the STAC-search compiler over a freshly built
+    * catalog: collection + bbox + interval + sort + limit in one
+    * Catalyst plan (SURVEY §3.3). */
+  def catalogSearch(s: SparkSession, dir: String): DataFrame = {
+    val path = Files.createTempDirectory("graft-search").toString + "/items"
+    val (items, _) = ItemAssembly.assemble(
+      new FixtureGranuleSource(end = "2022-05-01 05:59:59").granules(s))
+    CatalogStore.write(items, path)
+    CatalogQuery.compile(
+      CatalogStore.read(s, path),
+      CatalogQuery.Search(
+        collections = Seq("AVHRR_SST_METOP_B-OSISAF-L2P-v1.0"),
+        bbox = Some((-60.0, -40.0, 60.0, 40.0)),
+        interval = Some((
+          java.sql.Timestamp.valueOf("2022-05-01 01:00:00"),
+          java.sql.Timestamp.valueOf("2022-05-01 04:00:00"))),
+        sortBy = Seq(("start_datetime", true)),
+        limit = 25))
+      .select("item_id", "collection_id", "start_datetime",
+        "bbox_w", "bbox_n")
+  }
+
+  /** fn_geometry_extract — trajectory → simplified GeoJSON + bbox
+    * (extract_geometry(tolerance=0.001), insitu recipe.py:91-93).
+    * Trajectories synthesized per-row from the time grid. */
+  def fnGeometryExtract(s: SparkSession, dir: String): DataFrame = {
+    val grid = RelationalQueries.srcTimeGrid(s, dir).limit(200)
+      .withColumn("slot", unix_timestamp(col("ts")))
+    val traj = grid.select(col("ts"),
+      // 12-point drifting track with a collinear run DP must collapse
+      expr("transform(sequence(0, 11), i -> " +
+        "CAST((slot % 170 - 85) + i * 0.5 AS DOUBLE))").as("lon"),
+      expr("transform(sequence(0, 11), i -> " +
+        "CAST((slot % 120 - 60) + CASE WHEN i < 8 THEN 0.0 " +
+        "ELSE (i - 7) * 0.4 END AS DOUBLE))").as("lat"))
+    traj.select(col("ts"),
+      Geometry.extractTrajectory(0.001)(col("lon"), col("lat")).as("g"))
+      .select(col("ts"), col("g.geo_type"), col("g.n_points_in"),
+        col("g.n_points_out"), col("g.bbox_w"), col("g.bbox_n"))
+  }
+
+  /** fn_surrogate_repair — byte-level decode repair for
+    * surrogate-damaged attrs (reencode_surrogates,
+    * insitu recipe.py:48-63): latin-1 bytes inside UTF-8 recovered. */
+  def fnSurrogateRepair(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"),
+        // append an invalid byte (0xE9, latin-1 'é') to valid UTF-8
+        SurrogateRepair.decodeRepairUdf(
+          concat(col("text").cast("binary"), unbase64(lit("6Q=="))))
+          .as("repaired"))
+      .select(col("doc_id"),
+        (length(col("repaired")) > 0).as("non_empty"),
+        substring(col("repaired"), -1, 1).as("last_char"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_listing_cache" -> (srcListingCache _),
+    "src_glob_listing" -> (srcGlobListing _),
+    "src_open_url" -> (srcOpenUrl _),
+    "src_scientific" -> (srcScientific _),
+    "src_yaml_collections" -> (srcYamlCollections _),
+    "snk_upsert" -> (snkUpsert _),
+    "catalog_search" -> (catalogSearch _),
+    "fn_geometry_extract" -> (fnGeometryExtract _),
+    "fn_surrogate_repair" -> (fnSurrogateRepair _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "src_listing_cache" -> srcListingCacheSql
+    // all others: env-dependent, side-effectful, or UDF-valued —
+    // covered by CatalogSpec/GeometrySpec/StreamingSpec unit+e2e tests
+  )
+}
