@@ -281,6 +281,33 @@ object RelationalQueries {
       |  count(DISTINCT l_suppkey) AS n_supps
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** agg_bbox_union — typed Aggregator UDAF (SURVEY §2.10): spatial
+    * extent per group as a bbox union. Partial+final aggregation;
+    * oracle is the equivalent min/max algebra. */
+  def aggBboxUnion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.BboxUnionAgg
+    ScalarFnQueries.fnArrayLit4(s, dir)
+      .select((col("p_partkey") % 5).as("grp"),
+        struct(col("bbox_w").as("w"), col("bbox_s").as("s"),
+          col("bbox_e").as("e"), col("bbox_n").as("n")).as("box"))
+      .as[(Long, BboxUnionAgg.Bbox)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(BboxUnionAgg.agg.toColumn.name("extent"))
+      .select(col("key").as("grp"),
+        col("extent.w").as("w"), col("extent.s").as("s"),
+        col("extent.e").as("e"), col("extent.n").as("n"))
+  }
+
+  val aggBboxUnionSql: String =
+    """SELECT p_partkey % 5 AS grp,
+      |  min(CAST(p_size % 10 AS DOUBLE) * -10) AS w,
+      |  min(CAST(p_partkey % 8 AS DOUBLE) * -10) AS s,
+      |  max(CAST(p_size % 10 AS DOUBLE) * -10 + 15.0) AS e,
+      |  max(CAST(p_partkey % 8 AS DOUBLE) * -10 + 12.0) AS n
+      |FROM part GROUP BY 1""".stripMargin
+
   /** agg_distinct_approx — HLL++ distinct at 100 TB scale. Sketch
     * values are engine-specific ⇒ no SQL oracle (driver rows-only
     * check); exactness bound unit-tested against countDistinct. */
@@ -307,7 +334,8 @@ object RelationalQueries {
     "agg_collect" -> (aggCollect _),
     "agg_grouping_sets" -> (aggGroupingSets _),
     "agg_distinct_exact" -> (aggDistinctExact _),
-    "agg_distinct_approx" -> (aggDistinctApprox _)
+    "agg_distinct_approx" -> (aggDistinctApprox _),
+    "agg_bbox_union" -> (aggBboxUnion _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -327,7 +355,8 @@ object RelationalQueries {
     "agg_extent" -> aggExtentSql,
     "agg_collect" -> aggCollectSql,
     "agg_grouping_sets" -> aggGroupingSetsSql,
-    "agg_distinct_exact" -> aggDistinctExactSql
+    "agg_distinct_exact" -> aggDistinctExactSql,
+    "agg_bbox_union" -> aggBboxUnionSql
     // agg_distinct_approx: intentionally no oracle (sketch-valued)
   )
 }

@@ -238,6 +238,21 @@ object ScalarFnQueries {
       |        CAST(p_partkey % 8 AS INT) * -10 + 12 AS n
       |      FROM part)""".stripMargin
 
+  /** fn_json_extract — JSON property access (events.props; the STAC
+    * item ↔ JSONB parity surface, SURVEY §2.8): schema-full
+    * from_json + field extraction. */
+  def fnJsonExtract(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(s, dir)
+      .select(col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .filter(col("k") > 50)
+
+  val fnJsonExtractSql: String =
+    """SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k
+      |FROM events WHERE CAST(json_extract(props, '$.k') AS INT) > 50""".stripMargin
+
   /** fn_identity_hook — user post-process hook point, identity here
     * (`postprocess_item`, avhrr recipe.py:77-78). */
   def fnIdentityHook(s: SparkSession, dir: String): DataFrame = {
@@ -262,6 +277,7 @@ object ScalarFnQueries {
     "fn_array_append" -> (fnArrayAppend _),
     "fn_conditional" -> (fnConditional _),
     "fn_bbox_to_poly" -> (fnBboxToPoly _),
+    "fn_json_extract" -> (fnJsonExtract _),
     "fn_identity_hook" -> (fnIdentityHook _)
   )
 
@@ -279,6 +295,7 @@ object ScalarFnQueries {
     "fn_array_append" -> fnArrayAppendSql,
     "fn_conditional" -> fnConditionalSql,
     "fn_bbox_to_poly" -> fnBboxToPolySql,
+    "fn_json_extract" -> fnJsonExtractSql,
     "fn_identity_hook" -> fnIdentityHookSql
   )
 }

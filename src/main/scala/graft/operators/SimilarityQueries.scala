@@ -99,10 +99,35 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** dedup_near_embedding — embedding-cosine near-dup candidates via
+    * LSH bucketing: pairs sharing ≥1 hyperplane band, exact cosine ≥
+    * 0.45 on candidates only. At 100 TB this is the dedup pass for
+    * embedding-indexed corpora: no all-pairs product, candidates from
+    * a short-key equi-join. Approximate recall ⇒ rows-only. */
+  def dedupNearEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(embeddings(s, dir))
+      .withColumn("sig", FastSig.hyperplaneSigFast(16)(col("emb")))
+    val bands = e.select(col("vec_id"), col("emb"), col("nrm"),
+      explode(VectorFunctions.sigBands(col("sig"), 16, 4)).as("bb"))
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        col("bb.band").as("band"), col("bb.bh").as("bh"))
+    bands.select(col("band"), col("bh"), col("vec_id").as("a"),
+        col("emb").as("ea"), col("nrm").as("na"))
+      .join(bands.select(col("band"), col("bh"), col("vec_id").as("b"),
+        col("emb").as("eb"), col("nrm").as("nb")), Seq("band", "bh"))
+      .filter(col("a") < col("b"))
+      .dropDuplicates("a", "b")
+      .withColumn("sim",
+        round(arrayDot(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
+      .filter(col("sim") >= 0.45)
+      .select(col("a"), col("b"), col("sim"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_cosine" -> (simTopkCosine _),
     "sim_pairwise_threshold" -> (simPairwiseThreshold _),
-    "sim_ann_lsh" -> (simAnnLsh _)
+    "sim_ann_lsh" -> (simAnnLsh _),
+    "dedup_near_embedding" -> (dedupNearEmbedding _)
   )
 
   def oracle: Map[String, String] = Map(
