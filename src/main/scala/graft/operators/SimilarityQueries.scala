@@ -123,10 +123,50 @@ object SimilarityQueries {
       .select(col("a"), col("b"), col("sim"))
   }
 
+  /** sim_ann_ivf — IVF-style ANN: a deterministic centroid sample
+    * (coarse quantizer) is broadcast; every vector joins its nearest
+    * centroid (inverted lists); the query probes the nprobe=3 nearest
+    * lists and exact-scores only their members. At 100 TB the
+    * centroid table stays broadcast-sized (k ≈ √n), assignment is a
+    * map-side broadcast join, and the probe touches nprobe/k of the
+    * data. Approximate ⇒ rows-only; recall property-tested. */
+  def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(embeddings(s, dir))
+    // deterministic coarse quantizer: every 23rd vector is a centroid
+    val cents = e.filter(col("vec_id") % 23 === 1)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"),
+        col("nrm").as("cnrm"))
+    val sim = arrayDot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm"))
+    // inverted lists: nearest centroid per vector (map-side broadcast)
+    val assigned = e.join(broadcast(cents))
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cid"),
+        sim.as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("csim"), col("cid"))).as("cid"),
+        first(col("emb")).as("emb"), first(col("nrm")).as("nrm"))
+    // query probes its 3 nearest centroid lists
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("emb").as("qv"), col("nrm").as("qn"))
+    val probes = cents.join(broadcast(q))
+      .select(col("cid"),
+        (arrayDot(col("cemb"), col("qv")) / (col("cnrm") * col("qn")))
+          .as("csim"))
+      .orderBy(col("csim").desc, col("cid")).limit(3)
+      .select(col("cid"))
+    assigned.join(broadcast(probes), Seq("cid"))
+      .join(broadcast(q))
+      .select(col("vec_id"),
+        round(arrayDot(col("emb"), col("qv")) / (col("nrm") * col("qn")), 6)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_cosine" -> (simTopkCosine _),
     "sim_pairwise_threshold" -> (simPairwiseThreshold _),
     "sim_ann_lsh" -> (simAnnLsh _),
+    "sim_ann_ivf" -> (simAnnIvf _),
     "dedup_near_embedding" -> (dedupNearEmbedding _)
   )
 

@@ -113,6 +113,35 @@ object WindowQueries {
       |  event_type, count(*) AS n, round(sum(value), 2) AS total
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** win_session_batch — batch twin of the streaming session window
+    * (30-min inactivity gap, §2.9 stream_session): Spark's
+    * session_window vs the SQL gaps-and-islands pattern as oracle. */
+  def winSessionBatch(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  val winSessionBatchSql: String =
+    """WITH o AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      |    lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+      |      AS prev
+      |  FROM events),
+      |m AS (
+      |  SELECT *, CASE WHEN prev IS NULL
+      |      OR ts - prev >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM o),
+      |s AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m)
+      |SELECT min(ts) AS session_start, user_id,
+      |  count(*) AS n_events, round(sum(value), 2) AS session_value
+      |FROM s GROUP BY user_id, sid""".stripMargin
+
   /** agg_first_per_key — one representative row per key (idempotent
     * upsert semantics of ToPgStac; same window shape as dedup_rank but
     * declared as the §2.4 aggregate). */
@@ -138,6 +167,7 @@ object WindowQueries {
     "win_topk_per_group" -> (winTopkPerGroup _),
     "win_running" -> (winRunning _),
     "win_tumbling_batch" -> (winTumblingBatch _),
+    "win_session_batch" -> (winSessionBatch _),
     "agg_first_per_key" -> (aggFirstPerKey _)
   )
 
@@ -147,6 +177,7 @@ object WindowQueries {
     "win_topk_per_group" -> winTopkPerGroupSql,
     "win_running" -> winRunningSql,
     "win_tumbling_batch" -> winTumblingBatchSql,
+    "win_session_batch" -> winSessionBatchSql,
     "agg_first_per_key" -> aggFirstPerKeySql
   )
 }

@@ -69,6 +69,38 @@ object StreamingOps {
     events.withWatermark("ts", "48 hours")
       .dropDuplicatesWithinWatermark(key)
 
+  /** Custom per-key state (stream_session's explicit-state form,
+    * SURVEY §2.9): running per-user counters maintained with
+    * flatMapGroupsWithState — the mechanism for state machines the
+    * built-in windows can't express (e.g. trajectory segmentation
+    * with domain rules). State size is O(keys); at 100 TB pair with a
+    * watermark-driven timeout to bound it. */
+  case class UserState(nEvents: Long, totalValue: Double)
+  case class UserUpdate(user_id: Long, n_events: Long, total_value: Double)
+
+  def statefulUserTotals(
+      events: org.apache.spark.sql.Dataset[
+        org.apache.spark.sql.Row]): org.apache.spark.sql.Dataset[UserUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserState, UserUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)],
+            state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var n = prev.nEvents
+          var v = prev.totalValue
+          rows.foreach { case (_, value) => n += 1; v += value }
+          state.update(UserState(n, v))
+          Iterator(UserUpdate(user, n, math.rint(v * 100) / 100))
+      }
+  }
+
   /** stream_upsert_sink — continuous merge into the catalog: each
     * micro-batch runs the same last-write-wins upsert as batch ingest
     * (exactly-once per batch id via checkpoint). */

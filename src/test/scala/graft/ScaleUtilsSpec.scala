@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.{SimilarityQueries, SkewUtils}
+import graft.streaming.StreamingOps
+
+class ScaleUtilsSpec extends SparkSpec {
+
+  test("IVF ANN recalls a meaningful share of exact top-10") {
+    val exact = SimilarityQueries.simTopkCosine(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = SimilarityQueries.simAnnIvf(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf.contains(0L), "query vector matches itself")
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF recall@10 = $recall too low")
+    assert(ivf.size == 10)
+  }
+
+  test("salted join equals plain join") {
+    val li = Tables.lineitem(spark, sf).select(col("l_partkey"), col("l_quantity"))
+    val p = Tables.part(spark, sf).select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    val plain = li.join(p, Seq("l_partkey")).count()
+    val salted = SkewUtils.saltedInnerJoin(li, p, "l_partkey", salts = 4).count()
+    assert(salted == plain, s"salted=$salted plain=$plain")
+  }
+
+  test("flatMapGroupsWithState accumulates across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val events = mem.toDF().toDF("user_id", "value")
+    val q = StreamingOps.statefulUserTotals(events)
+      .writeStream.format("memory").queryName("stateful")
+      .outputMode("update").start()
+    mem.addData((1L, 2.0), (1L, 3.0), (2L, 10.0))
+    q.processAllAvailable()
+    mem.addData((1L, 5.0)) // second batch: state must carry over
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("stateful")
+      .groupBy("user_id").agg(max("n_events").as("n"), max("total_value").as("v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows(1L) == ((3L, 10.0)), s"user 1 state: ${rows(1L)}")
+    assert(rows(2L) == ((1L, 10.0)))
+  }
+}
