@@ -203,7 +203,93 @@ object JoinQueries {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name, n_name""".stripMargin
 
+  /** q3_shipping — shipping-priority shape (TPC-H Q3): 3-way join,
+    * group, top-10 by revenue. Exercises join ordering + partial agg +
+    * TakeOrderedAndProject in one plan. */
+  def q3Shipping(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .join(orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      .join(lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit("1996-03-15").cast("timestamp"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  val q3ShippingSql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** q5_local_supplier — local-supplier-volume shape (TPC-H Q5):
+    * 6-way join with two broadcast dims and a co-key equality. */
+  def q5LocalSupplier(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(customer(s, dir),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+
+  val q5LocalSupplierSql: String =
+    """SELECT r_name, n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY r_name, n_name""".stripMargin
+
+  /** q18_large_orders — large-volume-customer shape (TPC-H Q18):
+    * agg → semi-join filter on the agg result → enrich. The HAVING
+    * subquery becomes a left_semi join on the aggregated keys. */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val bigOrders = lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 30)
+    orders(s, dir)
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("o_totalprice"),
+        round(col("total_qty"), 2).as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  val q18LargeOrdersSql: String =
+    """SELECT c_name, o_orderkey, o_totalprice, round(total_qty, 2) AS total_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      |      FROM lineitem GROUP BY l_orderkey
+      |      HAVING sum(l_quantity) > 30) big ON o_orderkey = big.l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q3_shipping" -> (q3Shipping _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
+    "q18_large_orders" -> (q18LargeOrders _),
     "join_anti_missing" -> (joinAntiMissing _),
     "join_fk_items_collections" -> (joinFkItemsCollections _),
     "join_semi_listed" -> (joinSemiListed _),
@@ -214,6 +300,9 @@ object JoinQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q3_shipping" -> q3ShippingSql,
+    "q5_local_supplier" -> q5LocalSupplierSql,
+    "q18_large_orders" -> q18LargeOrdersSql,
     "join_anti_missing" -> joinAntiMissingSql,
     "join_fk_items_collections" -> joinFkItemsCollectionsSql,
     "join_semi_listed" -> joinSemiListedSql,

@@ -106,17 +106,27 @@ object SimilarityQueries {
     * a short-key equi-join. Approximate recall ⇒ rows-only. */
   def dedupNearEmbedding(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(embeddings(s, dir))
-      .withColumn("sig", FastSig.hyperplaneSigFast(16)(col("emb")))
-    val bands = e.select(col("vec_id"), col("emb"), col("nrm"),
+    // 16-bit signature, 4 bands × 4 bits — tuned for recall at the
+    // verification threshold (band width trades candidate volume for
+    // recall; candidates are cheap now that the band join carries ids
+    // only)
+    val sigs = e.select(col("vec_id"),
+      FastSig.hyperplaneSigFast(16)(col("emb")).as("sig"))
+    val bands = sigs.select(col("vec_id"),
       explode(VectorFunctions.sigBands(col("sig"), 16, 4)).as("bb"))
-      .select(col("vec_id"), col("emb"), col("nrm"),
-        col("bb.band").as("band"), col("bb.bh").as("bh"))
-    bands.select(col("band"), col("bh"), col("vec_id").as("a"),
-        col("emb").as("ea"), col("nrm").as("na"))
-      .join(bands.select(col("band"), col("bh"), col("vec_id").as("b"),
-        col("emb").as("eb"), col("nrm").as("nb")), Seq("band", "bh"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // candidates carry ids only; embeddings re-joined afterwards
+    val cands = bands.select(col("band"), col("bh"), col("vec_id").as("a"))
+      .join(bands.select(col("band"), col("bh"), col("vec_id").as("b")),
+        Seq("band", "bh"))
       .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
       .dropDuplicates("a", "b")
+    cands
+      .join(e.select(col("vec_id").as("a"), col("emb").as("ea"),
+        col("nrm").as("na")), Seq("a"))
+      .join(e.select(col("vec_id").as("b"), col("emb").as("eb"),
+        col("nrm").as("nb")), Seq("b"))
       .withColumn("sim",
         round(arrayDot(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
       .filter(col("sim") >= 0.45)
