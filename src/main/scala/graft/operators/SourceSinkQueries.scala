@@ -64,6 +64,21 @@ object SourceSinkQueries {
   def srcScientific(s: SparkSession, dir: String): DataFrame =
     new FixtureGranuleSource().granules(s)
 
+  /** src_scientific_v2 — the DataSourceV2 granule source: partitioned
+    * virtual table of granule metadata (graft.ingest.v2); the V2
+    * skeleton a NetCDF reader plugs into. Aggregated so the output is
+    * compact but every partition is read. */
+  def srcScientificV2(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.ingest.v2.GranuleGridSource")
+      .option("start", "2022-05-01T00:01:03Z")
+      .option("end", "2022-05-02T23:59:59Z")
+      .load()
+      .groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_granules"),
+        countDistinct(col("uuid")).as("n_unique"),
+        min(col("time_coverage_start")).as("first_start"),
+        max(col("time_coverage_end")).as("last_end"))
+
   /** src_yaml_collections — YAML collection docs → typed rows
     * (open_collections, avhrr recipe.py:84,156). */
   def srcYamlCollections(s: SparkSession, dir: String): DataFrame = {
@@ -155,6 +170,7 @@ object SourceSinkQueries {
     "src_glob_listing" -> (srcGlobListing _),
     "src_open_url" -> (srcOpenUrl _),
     "src_scientific" -> (srcScientific _),
+    "src_scientific_v2" -> (srcScientificV2 _),
     "src_yaml_collections" -> (srcYamlCollections _),
     "snk_upsert" -> (snkUpsert _),
     "catalog_search" -> (catalogSearch _),

@@ -113,6 +113,25 @@ object WindowQueries {
       |  event_type, count(*) AS n, round(sum(value), 2) AS total
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** win_sliding_batch — batch twin of the streaming sliding window
+    * (1 h window / 15 min slide, §2.9 stream_sliding): each event
+    * lands in 4 epoch-aligned windows on both engines. */
+  def winSlidingBatch(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("window.start").as("window_start"), col("n"), col("total"))
+
+  val winSlidingBatchSql: String =
+    """WITH x AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |w AS (SELECT ts, value,
+      |        time_bucket(INTERVAL '15 minutes', ts)
+      |          - k * INTERVAL '15 minutes' AS ws
+      |      FROM x, unnest([0,1,2,3]) t(k))
+      |SELECT ws AS window_start, count(*) AS n,
+      |  round(sum(value), 2) AS total
+      |FROM w GROUP BY ws""".stripMargin
+
   /** win_session_batch — batch twin of the streaming session window
     * (30-min inactivity gap, §2.9 stream_session): Spark's
     * session_window vs the SQL gaps-and-islands pattern as oracle. */
@@ -167,6 +186,7 @@ object WindowQueries {
     "win_topk_per_group" -> (winTopkPerGroup _),
     "win_running" -> (winRunning _),
     "win_tumbling_batch" -> (winTumblingBatch _),
+    "win_sliding_batch" -> (winSlidingBatch _),
     "win_session_batch" -> (winSessionBatch _),
     "agg_first_per_key" -> (aggFirstPerKey _)
   )
@@ -177,6 +197,7 @@ object WindowQueries {
     "win_topk_per_group" -> winTopkPerGroupSql,
     "win_running" -> winRunningSql,
     "win_tumbling_batch" -> winTumblingBatchSql,
+    "win_sliding_batch" -> winSlidingBatchSql,
     "win_session_batch" -> winSessionBatchSql,
     "agg_first_per_key" -> aggFirstPerKeySql
   )
