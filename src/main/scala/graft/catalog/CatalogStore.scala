@@ -17,9 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object CatalogStore {
 
-  /** Initial (full) write. */
+  /** Initial (full) write. Repartition on the partition column first:
+    * one shuffle task per collection writes its partition's files —
+    * without it every shuffle task writes a sliver into every
+    * partition directory (tiny-file explosion at scale). */
   def write(items: DataFrame, path: String): Unit =
-    items.write
+    items.repartition(col("collection_id"))
+      .write
       .mode("overwrite")
       .partitionBy("collection_id")
       .parquet(path)
@@ -44,7 +48,8 @@ object CatalogStore {
       .filter(col("rn") === 1)
       .drop("rn")
     // dynamic overwrite rewrites only partitions present in `merged`
-    merged.write
+    merged.repartition(col("collection_id"))
+      .write
       .mode("overwrite")
       .partitionBy("collection_id")
       .parquet(path)

@@ -1,0 +1,73 @@
+package graft.geometry
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reusable bucketized overlap joins (SURVEY.md §2.3
+  * join_bbox_intersect / join_interval_overlap; §4.2 "bbox/interval
+  * overlap at scale").
+  *
+  * A raw overlap theta-join is a BroadcastNestedLoopJoin in Spark — a
+  * cross product at scale. These helpers rewrite it as: explode each
+  * side to the grid cells (or time buckets) it covers → equi-join on
+  * the cell → residual exact predicate → drop multi-cell duplicates.
+  * Semantically identical to the theta join (equivalence
+  * property-tested in SpatialJoinSpec); shuffle is an equi-join on a
+  * short uniform key. Cell/bucket size trades explode factor against
+  * candidate precision.
+  */
+object SpatialJoin {
+
+  /** All (left, right) row pairs whose [w,s,e,n] boxes overlap.
+    * Both inputs need the four named bbox columns; output carries all
+    * columns of both sides (right's bbox columns suffixed `_r`). */
+  def bboxOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      cellDeg: Double = 10.0): DataFrame = {
+    def cellsOf(df: DataFrame, suffix: String): DataFrame = {
+      val renamed = if (suffix.isEmpty) df else
+        df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + suffix))
+      def c(name: String): Column = col(name + suffix)
+      renamed
+        .withColumn("_cx", explode(sequence(
+          floor(c("bbox_w") / cellDeg).cast("int"),
+          floor(c("bbox_e") / cellDeg).cast("int"))))
+        .withColumn("_cy", explode(sequence(
+          floor(c("bbox_s") / cellDeg).cast("int"),
+          floor(c("bbox_n") / cellDeg).cast("int"))))
+    }
+    cellsOf(left, "").join(cellsOf(right, "_r"), Seq("_cx", "_cy"))
+      .filter(col("bbox_w") <= col("bbox_e_r") &&
+        col("bbox_w_r") <= col("bbox_e") &&
+        col("bbox_s") <= col("bbox_n_r") &&
+        col("bbox_s_r") <= col("bbox_n"))
+      .drop("_cx", "_cy")
+      .dropDuplicates(left.columns.map(_ + "") ++
+        right.columns.map(_ + "_r"))
+  }
+
+  /** All (left, right) row pairs whose [start, end] intervals overlap.
+    * Timestamp columns named start_ts/end_ts on both sides (right
+    * suffixed `_r` in the output). bucket is a Spark interval unit for
+    * date_trunc (e.g. "MONTH", "DAY"). */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      truncUnit: String = "MONTH"): DataFrame = {
+    def bucketsOf(df: DataFrame, suffix: String): DataFrame = {
+      val renamed = if (suffix.isEmpty) df else
+        df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + suffix))
+      renamed.withColumn("_bkt", explode(sequence(
+        date_trunc(truncUnit, col("start_ts" + suffix)),
+        date_trunc(truncUnit, col("end_ts" + suffix)),
+        expr(s"INTERVAL 1 $truncUnit"))))
+    }
+    bucketsOf(left, "").join(bucketsOf(right, "_r"), Seq("_bkt"))
+      .filter(col("start_ts") <= col("end_ts_r") &&
+        col("start_ts_r") <= col("end_ts"))
+      .drop("_bkt")
+      .dropDuplicates(left.columns.map(_ + "") ++
+        right.columns.map(_ + "_r"))
+  }
+}

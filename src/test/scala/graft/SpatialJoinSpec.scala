@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.geometry.SpatialJoin
+
+/** Bucketed overlap joins == naive theta joins (SURVEY.md §5.2). */
+class SpatialJoinSpec extends SparkSpec {
+
+  private def boxes(n: Int, seed: Int): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val w = rnd.nextDouble() * 300 - 150
+      val s = rnd.nextDouble() * 140 - 70
+      (i.toLong, w, s, w + rnd.nextDouble() * 35, s + rnd.nextDouble() * 25)
+    }.toDF("id", "bbox_w", "bbox_s", "bbox_e", "bbox_n")
+  }
+
+  test("bbox bucketed join equals naive theta join") {
+    val a = boxes(120, seed = 1)
+    val b = boxes(80, seed = 2)
+    val bucketed = SpatialJoin.bboxOverlapJoin(a, b)
+      .select(col("id"), col("id_r")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = a.join(b.toDF(b.columns.map(_ + "_r").toIndexedSeq: _*),
+        col("bbox_w") <= col("bbox_e_r") && col("bbox_w_r") <= col("bbox_e") &&
+        col("bbox_s") <= col("bbox_n_r") && col("bbox_s_r") <= col("bbox_n"))
+      .select(col("id"), col("id_r")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty, "random boxes must overlap sometimes")
+    assert(bucketed == naive,
+      s"bucketed ${bucketed.size} pairs vs naive ${naive.size}")
+  }
+
+  test("interval bucketed join equals naive theta join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def intervals(n: Int): DataFrame =
+      (0 until n).map { i =>
+        val start = 1640995200L + rnd.nextInt(180 * 24 * 3600).toLong
+        (i.toLong, new java.sql.Timestamp(start * 1000),
+          new java.sql.Timestamp((start + rnd.nextInt(40 * 24 * 3600)) * 1000))
+      }.toDF("id", "start_ts", "end_ts")
+    val a = intervals(60)
+    val b = intervals(40)
+    val bucketed = SpatialJoin.intervalOverlapJoin(a, b)
+      .select(col("id"), col("id_r")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = a.join(b.toDF("id_r", "start_ts_r", "end_ts_r"),
+        col("start_ts") <= col("end_ts_r") &&
+          col("start_ts_r") <= col("end_ts"))
+      .select(col("id"), col("id_r")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty)
+    assert(bucketed == naive,
+      s"bucketed ${bucketed.size} pairs vs naive ${naive.size}")
+  }
+}
