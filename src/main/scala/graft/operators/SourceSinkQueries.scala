@@ -92,6 +92,24 @@ object SourceSinkQueries {
       .orderBy(col("id"))
   }
 
+  /** snk_listing_cache — the cache write+hit cycle
+    * (insitu recipe.py:35-44): miss lists and writes parquet, hit
+    * reads it back without re-listing. Output proves both paths. */
+  def snkListingCache(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cacheRoot = Files.createTempDirectory("graft-lc").toString
+    var listerCalls = 0
+    def lister(glob: String): DataFrame = {
+      listerCalls += 1
+      ListingCache.globListing(s, glob)
+    }
+    val glob = s"file:$dir/*.parquet"
+    val first = ListingCache.cachedListing(s, glob, cacheRoot)(lister).count()
+    val second = ListingCache.cachedListing(s, glob, cacheRoot)(lister).count()
+    Seq((first, second, listerCalls))
+      .toDF("miss_count", "hit_count", "lister_calls")
+  }
+
   /** snk_upsert + snk_parquet_catalog — ingest → partitioned catalog →
     * idempotent re-upsert; output proves idempotence (count stable,
     * item_id unique). Side-effectful ⇒ rows-only. */
@@ -172,6 +190,7 @@ object SourceSinkQueries {
     "src_scientific" -> (srcScientific _),
     "src_scientific_v2" -> (srcScientificV2 _),
     "src_yaml_collections" -> (srcYamlCollections _),
+    "snk_listing_cache" -> (snkListingCache _),
     "snk_upsert" -> (snkUpsert _),
     "catalog_search" -> (catalogSearch _),
     "fn_geometry_extract" -> (fnGeometryExtract _),

@@ -106,6 +106,49 @@ object TextQueries {
       |  round(len_score*0.4 + stop_ratio*0.3 + diversity*0.3 + 1e-9, 4) AS quality
       |FROM t""".stripMargin
 
+  /** text_tfidf — corpus-weighted top terms per language: term
+    * frequency × inverse document frequency, two hash aggs + a
+    * broadcast of the (tiny) doc-count, windowed top-5. */
+  def textTfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val nDocs = docs.count() // tiny scalar; driver-side by design
+    val terms = docs
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(TextFunctions.tokens(col("text"))))
+          .as("term"))
+      .filter(length(col("term")) > 0)
+    val df = terms.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val tf = terms.groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("rk"), col("term"), col("tfidf"))
+  }
+
+  val textTfidfSql: String =
+    """WITH terms AS (
+      |  SELECT DISTINCT doc_id, lang, t.term
+      |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+      |  WHERE len(t.term) > 0),
+      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+      |tf AS (SELECT lang, term, count(*) AS tf FROM terms GROUP BY lang, term),
+      |scored AS (
+      |  SELECT lang, tf.term,
+      |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+      |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
+      |SELECT lang, rk, term, tfidf FROM (
+      |  SELECT lang, term, tfidf,
+      |    row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, term) AS rk
+      |  FROM scored)
+      |WHERE rk <= 5""".stripMargin
+
   /** text_langid — heuristic language ID vs the labeled column.
     * Heuristic ⇒ no SQL oracle (rows-only); accuracy covered by
     * TextQueriesSpec. */
@@ -130,6 +173,7 @@ object TextQueries {
     "text_stats" -> (textStats _),
     "text_tokens_tf" -> (textTokensTf _),
     "text_quality" -> (textQuality _),
+    "text_tfidf" -> (textTfidf _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _)
   )
@@ -137,7 +181,8 @@ object TextQueries {
   def oracle: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
     "text_tokens_tf" -> textTokensTfSql,
-    "text_quality" -> textQualitySql
+    "text_quality" -> textQualitySql,
+    "text_tfidf" -> textTfidfSql
     // text_langid / text_fingerprint: heuristic & hash-valued — unit-tested
   )
 }
