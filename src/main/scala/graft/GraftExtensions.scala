@@ -21,6 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
       GraftExtensions.arrayDotBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("bbox_overlaps"),
+      new ExpressionInfo(
+        classOf[graft.plans.BboxOverlaps].getName, "bbox_overlaps"),
+      GraftExtensions.bboxOverlapsBuilder))
+    // the single custom optimizer rule: bbox_overlaps joins → bucketed
+    ext.injectOptimizerRule(_ => graft.plans.RewriteBboxOverlapJoin)
   }
 }
 
@@ -30,9 +37,21 @@ object GraftExtensions {
     ArrayDotProduct(children.head, children(1))
   }
 
-  /** Register the engine functions into an already-running session
-    * (extensions can only be installed at session build time). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  private val bboxOverlapsBuilder: Seq[Expression] => Expression =
+    children => graft.plans.BboxOverlaps(children)
+
+  /** Register the engine functions + optimizer rule into an
+    * already-running session (extensions proper can only be installed
+    * at session build time). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graftbridge.GraftExpr
       .registerFunction(spark, "array_dot", arrayDotBuilder)
+    org.apache.spark.sql.graftbridge.GraftExpr
+      .registerFunction(spark, "bbox_overlaps", bboxOverlapsBuilder)
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.RewriteBboxOverlapJoin)) {
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.RewriteBboxOverlapJoin)
+    }
+  }
 }

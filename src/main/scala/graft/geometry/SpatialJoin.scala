@@ -20,7 +20,12 @@ object SpatialJoin {
 
   /** All (left, right) row pairs whose [w,s,e,n] boxes overlap.
     * Both inputs need the four named bbox columns; output carries all
-    * columns of both sides (right's bbox columns suffixed `_r`). */
+    * columns of both sides (right's bbox columns suffixed `_r`).
+    *
+    * Duplicate elimination is by CANONICAL CELL, not distinct: a pair
+    * is emitted only from the bottom-left-most cell of the overlap
+    * region, which is unique per pair — preserves input-row
+    * multiplicity and avoids a dedup shuffle entirely. */
   def bboxOverlapJoin(
       left: DataFrame,
       right: DataFrame,
@@ -30,21 +35,29 @@ object SpatialJoin {
         df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + suffix))
       def c(name: String): Column = col(name + suffix)
       renamed
-        .withColumn("_cx", explode(sequence(
+        .withColumn("_cx" + suffix, explode(sequence(
           floor(c("bbox_w") / cellDeg).cast("int"),
           floor(c("bbox_e") / cellDeg).cast("int"))))
-        .withColumn("_cy", explode(sequence(
+        .withColumn("_cy" + suffix, explode(sequence(
           floor(c("bbox_s") / cellDeg).cast("int"),
           floor(c("bbox_n") / cellDeg).cast("int"))))
     }
-    cellsOf(left, "").join(cellsOf(right, "_r"), Seq("_cx", "_cy"))
+    val l = cellsOf(left, "")
+    val r = cellsOf(right, "_r")
+    l.join(r,
+        col("_cx") === col("_cx_r") && col("_cy") === col("_cy_r"))
       .filter(col("bbox_w") <= col("bbox_e_r") &&
         col("bbox_w_r") <= col("bbox_e") &&
         col("bbox_s") <= col("bbox_n_r") &&
         col("bbox_s_r") <= col("bbox_n"))
-      .drop("_cx", "_cy")
-      .dropDuplicates(left.columns.map(_ + "") ++
-        right.columns.map(_ + "_r"))
+      // canonical cell: bottom-left of the overlap region
+      .filter(col("_cx") === greatest(
+          floor(col("bbox_w") / cellDeg).cast("int"),
+          floor(col("bbox_w_r") / cellDeg).cast("int")) &&
+        col("_cy") === greatest(
+          floor(col("bbox_s") / cellDeg).cast("int"),
+          floor(col("bbox_s_r") / cellDeg).cast("int")))
+      .drop("_cx", "_cy", "_cx_r", "_cy_r")
   }
 
   /** All (left, right) row pairs whose [start, end] intervals overlap.
@@ -58,16 +71,19 @@ object SpatialJoin {
     def bucketsOf(df: DataFrame, suffix: String): DataFrame = {
       val renamed = if (suffix.isEmpty) df else
         df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + suffix))
-      renamed.withColumn("_bkt", explode(sequence(
+      renamed.withColumn("_bkt" + suffix, explode(sequence(
         date_trunc(truncUnit, col("start_ts" + suffix)),
         date_trunc(truncUnit, col("end_ts" + suffix)),
         expr(s"INTERVAL 1 $truncUnit"))))
     }
-    bucketsOf(left, "").join(bucketsOf(right, "_r"), Seq("_bkt"))
+    bucketsOf(left, "")
+      .join(bucketsOf(right, "_r"), col("_bkt") === col("_bkt_r"))
       .filter(col("start_ts") <= col("end_ts_r") &&
         col("start_ts_r") <= col("end_ts"))
-      .drop("_bkt")
-      .dropDuplicates(left.columns.map(_ + "") ++
-        right.columns.map(_ + "_r"))
+      // canonical bucket: first bucket of the overlap region
+      .filter(col("_bkt") === greatest(
+        date_trunc(truncUnit, col("start_ts")),
+        date_trunc(truncUnit, col("start_ts_r"))))
+      .drop("_bkt", "_bkt_r")
   }
 }

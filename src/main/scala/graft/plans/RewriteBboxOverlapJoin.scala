@@ -1,0 +1,85 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+/** The engine's one custom optimizer rule (SURVEY.md §4.2): an inner
+  * join whose condition is the `bbox_overlaps` marker predicate is
+  * rewritten from what Spark would execute as a BroadcastNestedLoopJoin
+  * (cross product × predicate — quadratic at scale) into the
+  * grid-cell-bucketed plan:
+  *
+  *   Generate(explode cells-x) → Generate(explode cells-y)  [per side]
+  *   Join on (cx = cx', cy = cy')                            [equi!]
+  *   Filter(exact overlap ∧ canonical-cell)                  [residual]
+  *   Project(original output)
+  *
+  * The canonical-cell conjunct (pair emitted only from the
+  * bottom-left-most shared cell) makes the rewrite EXACTLY equivalent
+  * — multiplicity preserved, no distinct — proven by
+  * BboxRuleSpec/SpatialJoinSpec property tests. Physical planning then
+  * selects a hash/sort-merge join on (cx, cy) instead of BNLJ.
+  */
+object RewriteBboxOverlapJoin extends Rule[LogicalPlan] {
+
+  /** Cell size in coordinate degrees; boxes spanning b cells explode
+    * ×b — 10° keeps the factor small for granule/region boxes while
+    * bounding candidates. */
+  val CellDeg = 10.0
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case Join(left, right, Inner, Some(b: BboxOverlaps), hint)
+        if b.children.take(4)
+          .forall(_.references.subsetOf(left.outputSet)) &&
+          b.children.drop(4)
+            .forall(_.references.subsetOf(right.outputSet)) =>
+      rewrite(left, right, b, hint)
+  }
+
+  private def cellIndex(e: Expression): Expression =
+    Cast(Floor(Divide(e, Literal(CellDeg, DoubleType))), IntegerType)
+
+  /** child + two Generate nodes exploding the covered cell range. */
+  private def withCells(
+      child: LogicalPlan,
+      lo: Expression, hi: Expression,
+      vlo: Expression, vhi: Expression,
+      xName: String, yName: String): (LogicalPlan, Attribute, Attribute) = {
+    val cx = AttributeReference(xName, IntegerType, nullable = false)()
+    val cy = AttributeReference(yName, IntegerType, nullable = false)()
+    // Sequence is TimeZoneAwareExpression: unresolved until tz is set
+    val tz = Some(conf.sessionLocalTimeZone)
+    val genX = Generate(
+      Explode(Sequence(cellIndex(lo), cellIndex(hi), None, tz)),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(cx), child = child)
+    val genY = Generate(
+      Explode(Sequence(cellIndex(vlo), cellIndex(vhi), None, tz)),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(cy), child = genX)
+    (genY, cx, cy)
+  }
+
+  private def rewrite(
+      left: LogicalPlan, right: LogicalPlan,
+      b: BboxOverlaps, hint: JoinHint): LogicalPlan = {
+    val Seq(w1, s1, e1, n1, w2, s2, e2, n2) = b.children
+    val (cellsL, cxL, cyL) =
+      withCells(left, w1, e1, s1, n1, "_graft_cxl", "_graft_cyl")
+    val (cellsR, cxR, cyR) =
+      withCells(right, w2, e2, s2, n2, "_graft_cxr", "_graft_cyr")
+    val equiCond = And(EqualTo(cxL, cxR), EqualTo(cyL, cyR))
+    val joined = Join(cellsL, cellsR, Inner, Some(equiCond), hint)
+    val residual = And(
+      And(LessThanOrEqual(w1, e2), LessThanOrEqual(w2, e1)),
+      And(LessThanOrEqual(s1, n2), LessThanOrEqual(s2, n1)))
+    val canonical = And(
+      EqualTo(cxL, Greatest(Seq(cellIndex(w1), cellIndex(w2)))),
+      EqualTo(cyL, Greatest(Seq(cellIndex(s1), cellIndex(s2)))))
+    Project((left.output ++ right.output).map(a => a: NamedExpression),
+      Filter(And(residual, canonical), joined))
+  }
+}
