@@ -26,6 +26,9 @@ object CatalogQuery {
       bbox: Option[(Double, Double, Double, Double)] = None, // w,s,e,n
       interval: Option[(Timestamp, Timestamp)] = None,
       propEquals: Map[String, String] = Map.empty,
+      /** CQL2-text filter (STAC filter extension), e.g.
+        * "bbox_n >= 20 AND collection_id LIKE 'AVHRR%'". */
+      cql2: Option[String] = None,
       sortBy: Seq[(String, Boolean)] = Seq(("item_id", true)), // asc?
       limit: Int = 100,
       /** keyset token: sort-key values of the last row of the prior
@@ -49,6 +52,9 @@ object CatalogQuery {
     }
     q.propEquals.foreach { case (k, v) =>
       df = df.filter(element_at(col("properties"), k) === v)
+    }
+    q.cql2.foreach { f =>
+      df = df.filter(Cql2Filter.compile(f, items.columns.toSet))
     }
     // total order: user sort keys + item_id tiebreak
     val sortKeys = q.sortBy ++ Seq(("item_id", true))

@@ -1,0 +1,200 @@
+package graft.catalog
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** CQL2-text filter compiler (SURVEY.md §3.3: stac-fastapi accepts a
+  * CQL2 `filter` parameter and pgstac evaluates it;
+  * docker-compose.yml:1-28). This is the practical subset the STAC
+  * API's item-search extension uses: comparisons, IN, LIKE,
+  * IS NULL, AND/OR/NOT, parentheses — compiled to a Catalyst Column
+  * so Catalyst can push the resulting predicates into the parquet
+  * scan like any native filter.
+  *
+  * Properties resolve to top-level item columns when present
+  * (pushdown-able) and fall back to the open `properties` map.
+  *
+  * Grammar (case-insensitive keywords):
+  *   expr     := term (OR term)*
+  *   term     := factor (AND factor)*
+  *   factor   := NOT factor | '(' expr ')' | predicate
+  *   predicate:= ident op literal | ident IN '(' lit (',' lit)* ')'
+  *               | ident LIKE string | ident IS [NOT] NULL
+  *   op       := '=' | '<>' | '<' | '<=' | '>' | '>='
+  *   literal  := number | string | TRUE | FALSE
+  */
+object Cql2Filter {
+
+  // ---- AST ----
+  sealed trait Node
+  case class Cmp(prop: String, op: String, value: Any) extends Node
+  case class In(prop: String, values: Seq[Any]) extends Node
+  case class Like(prop: String, pattern: String) extends Node
+  case class IsNull(prop: String, negated: Boolean) extends Node
+  case class And(l: Node, r: Node) extends Node
+  case class Or(l: Node, r: Node) extends Node
+  case class Not(e: Node) extends Node
+
+  /** Compile a CQL2-text expression against an item DataFrame's
+    * columns (`topCols`); unknown properties read the properties map. */
+  def compile(text: String, topCols: Set[String]): Column =
+    toColumn(new Parser(text).parseAll(), topCols)
+
+  def toColumn(n: Node, topCols: Set[String]): Column = {
+    def prop(p: String): Column =
+      if (topCols.contains(p)) col(p)
+      else element_at(col("properties"), p)
+    n match {
+      case Cmp(p, op, v) =>
+        val c = prop(p)
+        val l = lit(v)
+        op match {
+          case "=" => c === l
+          case "<>" => c =!= l
+          case "<" => c < l
+          case "<=" => c <= l
+          case ">" => c > l
+          case ">=" => c >= l
+        }
+      case In(p, vs) => prop(p).isin(vs: _*)
+      case Like(p, pat) => prop(p).like(pat)
+      case IsNull(p, false) => prop(p).isNull
+      case IsNull(p, true) => prop(p).isNotNull
+      case And(l, r) => toColumn(l, topCols) && toColumn(r, topCols)
+      case Or(l, r) => toColumn(l, topCols) || toColumn(r, topCols)
+      case Not(e) => !toColumn(e, topCols)
+    }
+  }
+
+  // ---- recursive-descent parser ----
+  final class Parser(input: String) {
+    private var pos = 0
+
+    def parseAll(): Node = {
+      val e = expr()
+      skipWs()
+      require(pos >= input.length, s"trailing input at $pos: '${rest()}'")
+      e
+    }
+
+    private def rest() = input.substring(math.min(pos, input.length))
+    private def skipWs(): Unit =
+      while (pos < input.length && input.charAt(pos).isWhitespace) pos += 1
+
+    private def peekKeyword(kw: String): Boolean = {
+      skipWs()
+      val end = pos + kw.length
+      end <= input.length &&
+        input.substring(pos, end).equalsIgnoreCase(kw) &&
+        (end == input.length || !input.charAt(end).isLetterOrDigit)
+    }
+
+    private def eatKeyword(kw: String): Boolean = {
+      if (peekKeyword(kw)) { pos += kw.length; true } else false
+    }
+
+    private def expr(): Node = {
+      var l = term()
+      while (eatKeyword("OR")) l = Or(l, term())
+      l
+    }
+
+    private def term(): Node = {
+      var l = factor()
+      while (eatKeyword("AND")) l = And(l, factor())
+      l
+    }
+
+    private def factor(): Node = {
+      skipWs()
+      if (eatKeyword("NOT")) Not(factor())
+      else if (pos < input.length && input.charAt(pos) == '(') {
+        pos += 1
+        val e = expr()
+        skipWs()
+        require(pos < input.length && input.charAt(pos) == ')',
+          s"expected ')' at $pos")
+        pos += 1
+        e
+      } else predicate()
+    }
+
+    private def predicate(): Node = {
+      val p = ident()
+      skipWs()
+      if (eatKeyword("IS")) {
+        val negated = eatKeyword("NOT")
+        require(eatKeyword("NULL"), s"expected NULL at $pos")
+        IsNull(p, negated)
+      } else if (eatKeyword("IN")) {
+        skipWs()
+        require(pos < input.length && input.charAt(pos) == '(',
+          s"expected '(' after IN at $pos")
+        pos += 1
+        val vs = scala.collection.mutable.ArrayBuffer[Any](literal())
+        skipWs()
+        while (pos < input.length && input.charAt(pos) == ',') {
+          pos += 1; vs += literal(); skipWs()
+        }
+        require(pos < input.length && input.charAt(pos) == ')',
+          s"expected ')' at $pos")
+        pos += 1
+        In(p, vs.toSeq)
+      } else if (eatKeyword("LIKE")) {
+        literal() match {
+          case s: String => Like(p, s)
+          case other => throw new IllegalArgumentException(
+            s"LIKE needs a string pattern, got $other")
+        }
+      } else {
+        val op = operator()
+        Cmp(p, op, literal())
+      }
+    }
+
+    private def ident(): String = {
+      skipWs()
+      val start = pos
+      while (pos < input.length &&
+        (input.charAt(pos).isLetterOrDigit || input.charAt(pos) == '_' ||
+          input.charAt(pos) == ':')) pos += 1
+      require(pos > start, s"expected identifier at $start")
+      input.substring(start, pos)
+    }
+
+    private def operator(): String = {
+      skipWs()
+      val ops = Seq("<=", ">=", "<>", "=", "<", ">")
+      ops.find(o => input.startsWith(o, pos)) match {
+        case Some(o) => pos += o.length; o
+        case None =>
+          throw new IllegalArgumentException(s"expected operator at $pos")
+      }
+    }
+
+    private def literal(): Any = {
+      skipWs()
+      require(pos < input.length, "expected literal at end of input")
+      val c = input.charAt(pos)
+      if (c == '\'') {
+        pos += 1
+        val sb = new StringBuilder
+        while (pos < input.length && input.charAt(pos) != '\'') {
+          sb.append(input.charAt(pos)); pos += 1
+        }
+        require(pos < input.length, "unterminated string literal")
+        pos += 1
+        sb.toString
+      } else if (c.isDigit || c == '-' || c == '+') {
+        val start = pos
+        pos += 1
+        while (pos < input.length &&
+          (input.charAt(pos).isDigit || input.charAt(pos) == '.')) pos += 1
+        val s = input.substring(start, pos)
+        if (s.contains('.')) s.toDouble else s.toLong
+      } else if (eatKeyword("TRUE")) true
+      else if (eatKeyword("FALSE")) false
+      else throw new IllegalArgumentException(s"bad literal at $pos: '${rest()}'")
+    }
+  }
+}

@@ -128,8 +128,15 @@ final class GranuleSliceReader(p: GranuleSlicePartition)
   override def get(): InternalRow = {
     val sec = p.startSec + slot * p.stepSec
     val t = Instant.ofEpochSecond(sec)
-    val w = (sec % 170) - 85
-    val s = (sec % 120) - 60
+    // mix the slot before taking moduli: the 180 s stride aliases raw
+    // `sec % m` to a couple of residues (gcd effects), which would
+    // collapse the synthetic orbit to two latitudes
+    var h = sec + 0x9e3779b97f4a7c15L
+    h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+    h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+    h ^= (h >>> 31)
+    val w = math.floorMod(h, 170L) - 85
+    val s = math.floorMod(h >>> 13, 120L) - 60
     def str(x: String) = UTF8String.fromString(x)
     InternalRow(
       sec * 1000000L, // TimestampType: micros since epoch

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{CatalogQuery, Cql2Filter}
+
+class Cql2FilterSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  private def count(filter: String): Long =
+    docs.filter(Cql2Filter.compile(filter, docs.columns.toSet)).count()
+
+  test("comparisons and logic match the equivalent Column filters") {
+    assert(count("n_chars > 300") ==
+      docs.filter(col("n_chars") > 300).count())
+    assert(count("lang = 'en' AND n_chars <= 200") ==
+      docs.filter(col("lang") === "en" && col("n_chars") <= 200).count())
+    assert(count("lang = 'en' OR lang = 'fr'") ==
+      docs.filter(col("lang").isin("en", "fr")).count())
+    assert(count("NOT (lang = 'en')") ==
+      docs.filter(col("lang") =!= "en").count())
+  }
+
+  test("IN, LIKE, IS NULL") {
+    assert(count("lang IN ('en', 'de', 'zh')") ==
+      docs.filter(col("lang").isin("en", "de", "zh")).count())
+    assert(count("source LIKE 'src1%'") ==
+      docs.filter(col("source").like("src1%")).count())
+    assert(count("lang IS NOT NULL") == docs.count())
+    assert(count("lang IS NULL") == 0)
+  }
+
+  test("operator precedence: AND binds tighter than OR") {
+    val got = count("lang = 'en' OR lang = 'fr' AND n_chars > 300")
+    val want = docs.filter(col("lang") === "en" ||
+      (col("lang") === "fr" && col("n_chars") > 300)).count()
+    assert(got == want)
+  }
+
+  test("unknown properties fall back to the properties map") {
+    import spark.implicits._
+    val items = Seq(
+      ("i1", Map("quality" -> "good")),
+      ("i2", Map("quality" -> "bad"))
+    ).toDF("item_id", "properties")
+    val got = items
+      .filter(Cql2Filter.compile("quality = 'good'", items.columns.toSet))
+      .collect().map(_.getString(0))
+    assert(got.sameElements(Array("i1")))
+  }
+
+  test("malformed input fails loudly") {
+    intercept[Exception](Cql2Filter.compile("n_chars >", Set("n_chars")))
+    intercept[Exception](Cql2Filter.compile("(lang = 'en'", Set("lang")))
+    intercept[Exception](Cql2Filter.compile("lang = 'en' extra", Set("lang")))
+  }
+
+  test("cql2 filter plugs into the STAC search compiler") {
+    val path = java.nio.file.Files.createTempDirectory("graft-cql").toString
+    val (items, _) = graft.catalog.ItemAssembly.assemble(
+      new graft.ingest.FixtureGranuleSource(
+        end = "2022-05-01 02:59:59").granules(spark))
+    graft.catalog.CatalogStore.write(items, s"$path/items")
+    val all = graft.catalog.CatalogStore.read(spark, s"$path/items")
+    val page = CatalogQuery.compile(all, CatalogQuery.Search(
+      cql2 = Some("bbox_n >= 0 AND item_id LIKE 'granule-%'"),
+      limit = 1000)).collect()
+    assert(page.nonEmpty)
+    assert(page.forall(_.getAs[Double]("bbox_n") >= 0))
+  }
+}
