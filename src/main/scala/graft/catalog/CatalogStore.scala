@@ -47,9 +47,14 @@ object CatalogStore {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")
-    // dynamic overwrite rewrites only partitions present in `merged`
-    merged.repartition(col("collection_id"))
-      .write
+    // Materialize the merge BEFORE overwriting: the plan reads the
+    // same path it is about to rewrite, and a lazy read racing the
+    // overwrite commit (or an AQE stage re-execution) could read
+    // deleted files. localCheckpoint severs the lineage first; if it
+    // fails, the catalog is untouched — fail-safe, never corrupting.
+    val materialized = merged.repartition(col("collection_id"))
+      .localCheckpoint()
+    materialized.write
       .mode("overwrite")
       .partitionBy("collection_id")
       .parquet(path)
