@@ -31,22 +31,40 @@ object CatalogStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** Idempotent merge of `delta` into the catalog at `path`:
-    * newest ingested_at (then item_id for total order) wins per
-    * item_id. Touches only the delta's collection partitions. */
+  /** Idempotent merge of `delta` into the catalog at `path`: newest
+    * ingested_at wins per item_id; ties broken by delta-over-existing,
+    * then by a content hash — fully deterministic across retries.
+    * Touches only the delta's collection partitions. */
   def upsert(spark: SparkSession, path: String, delta: DataFrame): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val affected = delta.select("collection_id").distinct()
     val existing = read(spark, path)
       .join(broadcast(affected), Seq("collection_id"), "left_semi")
       .select(delta.columns.map(col).toIndexedSeq: _*)
+    val dataCols = delta.columns.map(col).toIndexedSeq
+    // Spark prohibits hashing MAP types (no canonical order) — build
+    // the tiebreak hash from the hash-safe columns only
+    def hashSafe(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case _: org.apache.spark.sql.types.MapType => false
+        case a: org.apache.spark.sql.types.ArrayType =>
+          hashSafe(a.elementType)
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fields.forall(f => hashSafe(f.dataType))
+        case _ => true
+      }
+    val tieCols = delta.schema.fields
+      .filter(f => hashSafe(f.dataType)).map(f => col(f.name)).toIndexedSeq
     val w = Window.partitionBy(col("item_id"))
-      .orderBy(col("ingested_at").desc, col("item_id"))
-    val merged = existing.unionByName(delta.select(
-        delta.columns.map(col).toIndexedSeq: _*))
+      .orderBy(col("ingested_at").desc, col("_prio").desc,
+        col("_tie").desc)
+    val merged = existing.withColumn("_prio", lit(0))
+      .unionByName(delta.select(dataCols: _*).withColumn("_prio", lit(1)))
+      // content hash: equal-timestamp, equal-priority duplicates pick
+      // the same winner on every run/retry
+      .withColumn("_tie", xxhash64(struct(tieCols: _*)))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .drop("rn")
+      .drop("rn", "_prio", "_tie")
     // Materialize the merge BEFORE overwriting: the plan reads the
     // same path it is about to rewrite, and a lazy read racing the
     // overwrite commit (or an AQE stage re-execution) could read
@@ -54,8 +72,11 @@ object CatalogStore {
     // fails, the catalog is untouched — fail-safe, never corrupting.
     val materialized = merged.repartition(col("collection_id"))
       .localCheckpoint()
+    // per-write dynamic mode: only partitions present in `merged` are
+    // replaced, WITHOUT mutating the session-wide overwrite semantics
     materialized.write
       .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("collection_id")
       .parquet(path)
   }

@@ -11,7 +11,10 @@ import graft.ingest.GranuleSource
   */
 object IngestPipeline {
 
-  case class IngestResult(itemsWritten: Long, castErrors: Long)
+  /** itemsIngested/castErrors count THIS run's delta; catalogSize is
+    * the post-merge total. */
+  case class IngestResult(
+      itemsIngested: Long, castErrors: Long, catalogSize: Long)
 
   def run(
       spark: SparkSession,
@@ -19,12 +22,15 @@ object IngestPipeline {
       catalogPath: String,
       postprocess: DataFrame => DataFrame = identity,
       initial: Boolean = false): IngestResult = {
-    val (items, errors) = ItemAssembly.assemble(source.granules(spark))
+    // one scan of the (possibly remote/expensive) source: the
+    // checkpointed delta feeds assembly, both counts, and the write
+    val granules = source.granules(spark).localCheckpoint()
+    val (items, errors) = ItemAssembly.assemble(granules)
     val finalItems = postprocess(items)
+    val nItems = finalItems.count()
     if (initial) CatalogStore.write(finalItems, catalogPath)
     else CatalogStore.upsert(spark, catalogPath, finalItems)
-    IngestResult(
-      CatalogStore.read(spark, catalogPath).count(),
-      errors.count())
+    IngestResult(nItems, errors.count(),
+      CatalogStore.read(spark, catalogPath).count())
   }
 }

@@ -38,29 +38,41 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 
   override def prettyName: String = "array_dot"
 
+  // null on length mismatch (dimension drift must not produce a
+  // plausible-but-wrong score) ⇒ result is nullable regardless of
+  // children
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) {
-      s += x.getDouble(i) * y.getDouble(i)
-      i += 1
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
+      s
     }
-    s
   }
 
   override protected def doGenCode(
       ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += $a.getDouble(i) * $b.getDouble(i);
+         |int n = $a.numElements();
+         |if (n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double acc = 0.0;
+         |  for (int i = 0; i < n; i++) {
+         |    acc += $a.getDouble(i) * $b.getDouble(i);
+         |  }
+         |  ${ev.value} = acc;
          |}
-         |${ev.value} = acc;
        """.stripMargin
     })
 

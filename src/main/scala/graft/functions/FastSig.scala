@@ -38,7 +38,9 @@ object FastSig {
   def hashedShingles(k: Int): UserDefinedFunction = udf { text: String =>
     if (text == null) Array.empty[Long]
     else {
-      val words = text.split(' ')
+      // limit -1 keeps trailing empty tokens — matching Spark's
+      // split() and DuckDB's string_split, so shingle sets agree
+      val words = text.split(" ", -1)
       if (words.length < k) Array(hashString(text, 7L))
       else {
         val set = new java.util.TreeSet[java.lang.Long]()

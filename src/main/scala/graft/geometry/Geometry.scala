@@ -76,6 +76,14 @@ object Geometry {
 
   def extractTrajectory(tolerance: Double = 0.001): UserDefinedFunction =
     udf { (lon: Seq[Double], lat: Seq[Double]) =>
+      // a single bad granule (null/mismatched coordinate arrays) must
+      // not kill the job: emit an explicit Invalid row instead
+      if (lon == null || lat == null)
+        ExtractedGeom("Invalid", "", 0, 0, 0, 0, 0, 0)
+      else if (lon.length != lat.length)
+        ExtractedGeom("Invalid", "", 0, 0, 0, 0,
+          math.max(lon.length, lat.length), 0)
+      else {
       val raw = lon.zip(lat).toIndexedSeq
       // dedupe consecutive duplicates
       val dedup = raw.headOption.map { h =>
@@ -97,6 +105,7 @@ object Geometry {
         ExtractedGeom("LineString",
           s"""{"type":"LineString","coordinates":[$coords]}""",
           xs.min, ys.min, xs.max, ys.max, raw.length, simp.length)
+      }
       }
     }
 }

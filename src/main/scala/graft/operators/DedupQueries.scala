@@ -73,8 +73,8 @@ object DedupQueries {
       |  round(CAST(len(list_intersect(x.shin, y.shin)) AS DOUBLE) /
       |        len(list_distinct(list_concat(x.shin, y.shin))), 4) AS jac
       |FROM d x JOIN d y ON x.blk = y.blk AND x.doc_id < y.doc_id
-      |WHERE CAST(len(list_intersect(x.shin, y.shin)) AS DOUBLE) /
-      |      len(list_distinct(list_concat(x.shin, y.shin))) >= 0.8""".stripMargin
+      |WHERE round(CAST(len(list_intersect(x.shin, y.shin)) AS DOUBLE) /
+      |      len(list_distinct(list_concat(x.shin, y.shin))), 4) >= 0.8""".stripMargin
 
   /** dedup_near_minhash — MinHash(16 perms) + LSH(4 bands × 4 rows):
     * candidates = pairs sharing ≥1 band bucket (equi-join on

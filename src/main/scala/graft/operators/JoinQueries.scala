@@ -77,22 +77,17 @@ object JoinQueries {
   def joinIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
     val windows = s.sql(
       """SELECT id AS wid,
-        |  timestampadd(MONTH, CAST(id * 6 AS INT), TIMESTAMP '1995-03-01') AS w_start,
+        |  timestampadd(MONTH, CAST(id * 6 AS INT), TIMESTAMP '1995-03-01') AS start_ts,
         |  timestampadd(DAY, 45, timestampadd(MONTH, CAST(id * 6 AS INT),
-        |    TIMESTAMP '1995-03-01')) AS w_end
+        |    TIMESTAMP '1995-03-01')) AS end_ts
         |FROM range(0, 12)""".stripMargin)
-    val wBuckets = windows.select(col("wid"), col("w_start"), col("w_end"),
-      explode(expr(
-        "sequence(date_trunc('MONTH', w_start), date_trunc('MONTH', w_end), interval 1 month)"))
-        .as("bucket"))
     val o = orders(s, dir).select(col("o_orderkey"), col("o_totalprice"),
-      col("o_orderdate"), date_trunc("MONTH", col("o_orderdate")).as("bucket"))
-    o.join(broadcast(wBuckets), Seq("bucket"))
-      .filter(col("o_orderdate") >= col("w_start") &&
-        col("o_orderdate") <= col("w_end"))
-      .groupBy(col("wid"))
+      col("o_orderdate").as("start_ts"), col("o_orderdate").as("end_ts"))
+    graft.geometry.SpatialJoin.intervalOverlapJoin(o, windows, "MONTH")
+      .groupBy(col("wid_r"))
       .agg(count(lit(1)).as("n_orders"),
         round(sum(col("o_totalprice")), 2).as("revenue"))
+      .select(col("wid_r").as("wid"), col("n_orders"), col("revenue"))
   }
 
   val joinIntervalOverlapSql: String =
@@ -116,27 +111,14 @@ object JoinQueries {
     val items = ScalarFnQueries.fnArrayLit4(s, dir)
       .select(col("p_partkey"), col("bbox_w"), col("bbox_s"),
         col("bbox_e"), col("bbox_n"))
-    val cell = lit(10.0)
-    val itemCells = items
-      .withColumn("cx", explode(expr(
-        "sequence(CAST(floor(bbox_w/10) AS INT), CAST(floor(bbox_e/10) AS INT))")))
-      .withColumn("cy", explode(expr(
-        "sequence(CAST(floor(bbox_s/10) AS INT), CAST(floor(bbox_n/10) AS INT))")))
     val queries = s.sql(
       """SELECT id AS qid,
-        |  -15.0 - id * 9 AS q_w, -12.0 - id * 7 AS q_s,
-        |  -15.0 - id * 9 + 22 AS q_e, -12.0 - id * 7 + 18 AS q_n
+        |  -15.0 - id * 9 AS bbox_w, -12.0 - id * 7 AS bbox_s,
+        |  -15.0 - id * 9 + 22 AS bbox_e, -12.0 - id * 7 + 18 AS bbox_n
         |FROM range(0, 6)""".stripMargin)
-    val queryCells = queries
-      .withColumn("cx", explode(expr(
-        "sequence(CAST(floor(q_w/10) AS INT), CAST(floor(q_e/10) AS INT))")))
-      .withColumn("cy", explode(expr(
-        "sequence(CAST(floor(q_s/10) AS INT), CAST(floor(q_n/10) AS INT))")))
-    itemCells.join(broadcast(queryCells), Seq("cx", "cy"))
-      .filter(col("bbox_w") <= col("q_e") && col("q_w") <= col("bbox_e") &&
-        col("bbox_s") <= col("q_n") && col("q_s") <= col("bbox_n"))
-      .select(col("qid"), col("p_partkey")).distinct()
-      .groupBy(col("qid")).agg(count(lit(1)).as("n_items"))
+    graft.geometry.SpatialJoin.bboxOverlapJoin(items, queries)
+      .groupBy(col("qid_r")).agg(count(lit(1)).as("n_items"))
+      .select(col("qid_r").as("qid"), col("n_items"))
   }
 
   val joinBboxIntersectSql: String =

@@ -99,13 +99,11 @@ object WindowQueries {
       |FROM events""".stripMargin
 
   /** win_tumbling_batch — batch twin of the streaming tumbling window
-    * (SURVEY §2.9): per-hour counts/sums via Spark's `window()`. */
+    * (SURVEY §2.9): the SAME function body streaming runs
+    * (StreamingOps.tumblingCounts), applied to a batch frame — the
+    * batch/stream unification guarantee made executable. */
   def winTumblingBatch(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
-      .select(col("window.start").as("window_start"), col("event_type"),
-        col("n"), col("total"))
+    graft.streaming.StreamingOps.tumblingCounts(events(s, dir))
 
   val winTumblingBatchSql: String =
     """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
@@ -114,13 +112,11 @@ object WindowQueries {
       |FROM events GROUP BY 1, 2""".stripMargin
 
   /** win_sliding_batch — batch twin of the streaming sliding window
-    * (1 h window / 15 min slide, §2.9 stream_sliding): each event
-    * lands in 4 epoch-aligned windows on both engines. */
+    * (1 h window / 15 min slide, §2.9 stream_sliding): same body as
+    * the stream (StreamingOps.slidingCounts); each event lands in 4
+    * epoch-aligned windows on both engines. */
   def winSlidingBatch(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
-      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
-      .select(col("window.start").as("window_start"), col("n"), col("total"))
+    graft.streaming.StreamingOps.slidingCounts(events(s, dir))
 
   val winSlidingBatchSql: String =
     """WITH x AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
@@ -133,15 +129,12 @@ object WindowQueries {
       |FROM w GROUP BY ws""".stripMargin
 
   /** win_session_batch — batch twin of the streaming session window
-    * (30-min inactivity gap, §2.9 stream_session): Spark's
-    * session_window vs the SQL gaps-and-islands pattern as oracle. */
+    * (30-min inactivity gap, §2.9 stream_session): the stream's own
+    * sessionize body, minus session_end (not expressible in the
+    * gaps-and-islands oracle without duplicating the gap constant). */
   def winSessionBatch(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
-      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("session_value"))
-      .select(col("session_window.start").as("session_start"),
-        col("user_id"), col("n_events"), col("session_value"))
+    graft.streaming.StreamingOps.sessionize(events(s, dir))
+      .drop("session_end")
 
   val winSessionBatchSql: String =
     """WITH o AS (

@@ -23,7 +23,8 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   * BboxRuleSpec/SpatialJoinSpec property tests. Physical planning then
   * selects a hash/sort-merge join on (cx, cy) instead of BNLJ.
   */
-object RewriteBboxOverlapJoin extends Rule[LogicalPlan] {
+object RewriteBboxOverlapJoin extends Rule[LogicalPlan]
+    with PredicateHelper {
 
   /** Cell size in coordinate degrees; boxes spanning b cells explode
     * ×b — 10° keeps the factor small for granule/region boxes while
@@ -31,12 +32,31 @@ object RewriteBboxOverlapJoin extends Rule[LogicalPlan] {
   val CellDeg = 10.0
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case Join(left, right, Inner, Some(b: BboxOverlaps), hint)
-        if b.children.take(4)
+    // match bbox_overlaps ANYWHERE in the conjunction — the natural
+    // query carries extra equi/filter conjuncts alongside it; they
+    // ride into the residual filter
+    case Join(left, right, Inner, Some(cond), hint)
+        if findMarker(cond, left, right).isDefined =>
+      val (b, rest) = findMarker(cond, left, right).get
+      rewrite(left, right, b, rest, hint)
+  }
+
+  private def findMarker(
+      cond: Expression, left: LogicalPlan, right: LogicalPlan)
+      : Option[(BboxOverlaps, Seq[Expression])] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    val (markers, rest) = conjuncts.partition {
+      case b: BboxOverlaps =>
+        b.children.take(4)
           .forall(_.references.subsetOf(left.outputSet)) &&
           b.children.drop(4)
-            .forall(_.references.subsetOf(right.outputSet)) =>
-      rewrite(left, right, b, hint)
+            .forall(_.references.subsetOf(right.outputSet))
+      case _ => false
+    }
+    markers match {
+      case Seq(b: BboxOverlaps) => Some((b, rest))
+      case _ => None
+    }
   }
 
   private def cellIndex(e: Expression): Expression =
@@ -65,7 +85,8 @@ object RewriteBboxOverlapJoin extends Rule[LogicalPlan] {
 
   private def rewrite(
       left: LogicalPlan, right: LogicalPlan,
-      b: BboxOverlaps, hint: JoinHint): LogicalPlan = {
+      b: BboxOverlaps, extraConjuncts: Seq[Expression],
+      hint: JoinHint): LogicalPlan = {
     val Seq(w1, s1, e1, n1, w2, s2, e2, n2) = b.children
     val (cellsL, cxL, cyL) =
       withCells(left, w1, e1, s1, n1, "_graft_cxl", "_graft_cyl")
@@ -79,7 +100,9 @@ object RewriteBboxOverlapJoin extends Rule[LogicalPlan] {
     val canonical = And(
       EqualTo(cxL, Greatest(Seq(cellIndex(w1), cellIndex(w2)))),
       EqualTo(cyL, Greatest(Seq(cellIndex(s1), cellIndex(s2)))))
+    val full = (Seq(residual, canonical) ++ extraConjuncts)
+      .reduce(And(_, _))
     Project((left.output ++ right.output).map(a => a: NamedExpression),
-      Filter(And(residual, canonical), joined))
+      Filter(full, joined))
   }
 }

@@ -42,8 +42,9 @@ object StreamingOps {
   def slidingCounts(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour", "15 minutes"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("window.start").as("window_start"), col("n"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("window.start").as("window_start"), col("n"),
+        col("total"))
 
   /** stream_session — per-user observation sessions with a 30 min
     * inactivity gap (trajectory segmentation, cf. extract_geometry

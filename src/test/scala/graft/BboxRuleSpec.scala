@@ -81,6 +81,34 @@ class BboxRuleSpec extends SparkSpec {
     }
   }
 
+  test("rule handles extra conjuncts alongside the marker") {
+    GraftExtensions.register(spark)
+    try {
+      val a = boxes(50, 5, "a")
+      val b = boxes(40, 6, "b")
+      val joined = a.join(b, bboxOverlaps(
+        col("aw"), col("as"), col("ae"), col("an"),
+        col("bw"), col("bs"), col("be"), col("bn")) &&
+        col("aid") =!= col("bid"))
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(!physical.contains("BroadcastNestedLoopJoin"),
+        "rule must fire with extra ANDed conjuncts")
+      val naive = a.join(b,
+        col("aw") <= col("be") && col("bw") <= col("ae") &&
+          col("as") <= col("bn") && col("bs") <= col("an") &&
+          col("aid") =!= col("bid"))
+        .select("aid", "bid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ruled = joined.select("aid", "bid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(ruled == naive)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.RewriteBboxOverlapJoin)
+    }
+  }
+
   test("bbox_overlaps is callable from SQL") {
     GraftExtensions.register(spark)
     val r = spark.sql(

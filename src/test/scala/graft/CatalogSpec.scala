@@ -48,9 +48,11 @@ class CatalogSpec extends SparkSpec {
   test("catalog write + idempotent upsert (re-ingest changes nothing)") {
     val source = new FixtureGranuleSource()
     val r1 = IngestPipeline.run(spark, source, catalogPath, initial = true)
-    assert(r1.itemsWritten > 0)
+    assert(r1.itemsIngested > 0)
+    assert(r1.catalogSize == r1.itemsIngested)
     val r2 = IngestPipeline.run(spark, source, catalogPath)
-    assert(r2.itemsWritten == r1.itemsWritten, "upsert must be idempotent")
+    assert(r2.catalogSize == r1.catalogSize, "upsert must be idempotent")
+    assert(r2.itemsIngested == r1.itemsIngested, "same delta both runs")
     // partitioned layout on disk
     assert(new java.io.File(catalogPath).listFiles()
       .exists(_.getName.startsWith("collection_id=")))
