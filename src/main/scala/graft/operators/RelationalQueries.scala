@@ -281,6 +281,74 @@ object RelationalQueries {
       |  count(DISTINCT l_suppkey) AS n_supps
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** agg_percentile — exact percentiles (median/p90) per group:
+    * Spark's `percentile` (exact, interpolated) vs DuckDB
+    * quantile_cont — same definition. At 100 TB swap for
+    * percentile_approx (t-digest) the way countDistinct swaps for
+    * HLL. */
+  def aggPercentile(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("med"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+        count(lit(1)).as("n"))
+
+  val aggPercentileSql: String =
+    """SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 2) AS med,
+      |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90, count(*) AS n
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  /** agg_pivot — wide-format rollup: event counts pivoted by type.
+    * Explicit value list ⇒ deterministic columns; oracle is the
+    * portable CASE-sum form. */
+  def aggPivot(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0)
+
+  val aggPivotSql: String =
+    """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+      |  count(*) FILTER (event_type = 'click') AS click,
+      |  count(*) FILTER (event_type = 'view') AS view,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (event_type = 'signup') AS signup,
+      |  count(*) FILTER (event_type = 'error') AS error
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** set_except_all — bag-semantics difference (multiplicity-aware,
+    * unlike set_except's distinct semantics). */
+  def setExceptAll(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+    li.filter(col("l_quantity") > 10).select(col("l_partkey"))
+      .exceptAll(li.filter(col("l_returnflag") === "R")
+        .select(col("l_partkey")))
+  }
+
+  val setExceptAllSql: String =
+    """SELECT l_partkey FROM lineitem WHERE l_quantity > 10
+      |EXCEPT ALL
+      |SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'""".stripMargin
+
+  /** fn_unpivot — wide → long (melt): per-customer measures unpivoted
+    * to (measure, value) rows. Oracle is the portable UNION ALL. */
+  def fnUnpivot(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_nationkey").cast("double").as("c_nationkey"))
+      .unpivot(
+        Array(col("c_custkey")),
+        Array(col("c_acctbal"), col("c_nationkey")),
+        "measure", "value")
+
+  val fnUnpivotSql: String =
+    """SELECT c_custkey, 'c_acctbal' AS measure, c_acctbal AS value FROM customer
+      |UNION ALL
+      |SELECT c_custkey, 'c_nationkey' AS measure,
+      |  CAST(c_nationkey AS DOUBLE) AS value FROM customer""".stripMargin
+
   /** agg_bbox_union — typed Aggregator UDAF (SURVEY §2.10): spatial
     * extent per group as a bbox union. Partial+final aggregation;
     * oracle is the equivalent min/max algebra. */
@@ -335,7 +403,11 @@ object RelationalQueries {
     "agg_grouping_sets" -> (aggGroupingSets _),
     "agg_distinct_exact" -> (aggDistinctExact _),
     "agg_distinct_approx" -> (aggDistinctApprox _),
-    "agg_bbox_union" -> (aggBboxUnion _)
+    "agg_bbox_union" -> (aggBboxUnion _),
+    "agg_percentile" -> (aggPercentile _),
+    "agg_pivot" -> (aggPivot _),
+    "set_except_all" -> (setExceptAll _),
+    "fn_unpivot" -> (fnUnpivot _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -356,7 +428,11 @@ object RelationalQueries {
     "agg_collect" -> aggCollectSql,
     "agg_grouping_sets" -> aggGroupingSetsSql,
     "agg_distinct_exact" -> aggDistinctExactSql,
-    "agg_bbox_union" -> aggBboxUnionSql
+    "agg_bbox_union" -> aggBboxUnionSql,
+    "agg_percentile" -> aggPercentileSql,
+    "agg_pivot" -> aggPivotSql,
+    "set_except_all" -> setExceptAllSql,
+    "fn_unpivot" -> fnUnpivotSql
     // agg_distinct_approx: intentionally no oracle (sketch-valued)
   )
 }
