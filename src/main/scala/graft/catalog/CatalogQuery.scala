@@ -42,8 +42,15 @@ object CatalogQuery {
     if (q.ids.nonEmpty)
       df = df.filter(col("item_id").isin(q.ids: _*))
     q.bbox.foreach { case (w, s, e, n) =>
-      // overlap test on the pushdown-able scalar columns
-      df = df.filter(col("bbox_w") <= e && lit(w) <= col("bbox_e") &&
+      // overlap test on the pushdown-able scalar columns; a query box
+      // with w > e crosses the antimeridian (STAC spec) and splits
+      // into [w,180] ∪ [-180,e]
+      def lonOverlap(qw: Double, qe: Double) =
+        col("bbox_w") <= qe && lit(qw) <= col("bbox_e")
+      val lon =
+        if (w <= e) lonOverlap(w, e)
+        else lonOverlap(w, 180.0) || lonOverlap(-180.0, e)
+      df = df.filter(lon &&
         col("bbox_s") <= n && lit(s) <= col("bbox_n"))
     }
     q.interval.foreach { case (t0, t1) =>

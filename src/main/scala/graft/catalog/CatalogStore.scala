@@ -31,6 +31,42 @@ object CatalogStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Typed view of the items table (SURVEY §1.3 Dataset[StacItem]). */
+  def readTyped(spark: SparkSession, path: String)
+      : org.apache.spark.sql.Dataset[StacModel.StacItem] = {
+    import spark.implicits._
+    read(spark, path)
+      .select("item_id", "collection_id", "geometry", "bbox",
+        "bbox_w", "bbox_s", "bbox_e", "bbox_n",
+        "start_datetime", "end_datetime", "datetimes",
+        "properties", "assets", "links", "source_url", "ingested_at")
+      .as[StacModel.StacItem]
+  }
+
+  /** Per-collection extents from the items table — the summary pgstac
+    * maintains server-side (collections.yaml extent fields): temporal
+    * min/max plus the BboxUnionAgg spatial union. */
+  def collectionExtents(items: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import items.sparkSession.implicits._
+    import graft.functions.BboxUnionAgg
+    val spatial = items
+      .select(col("collection_id"),
+        struct(col("bbox_w").as("w"), col("bbox_s").as("s"),
+          col("bbox_e").as("e"), col("bbox_n").as("n")).as("box"))
+      .as[(String, BboxUnionAgg.Bbox)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(BboxUnionAgg.agg.toColumn.name("extent"))
+      .select(col("key").as("collection_id"),
+        col("extent.w").as("bbox_w"), col("extent.s").as("bbox_s"),
+        col("extent.e").as("bbox_e"), col("extent.n").as("bbox_n"))
+    val temporal = items.groupBy(col("collection_id"))
+      .agg(min(col("start_datetime")).as("t_min"),
+        max(col("end_datetime")).as("t_max"),
+        count(lit(1)).as("n_items"))
+    temporal.join(spatial, Seq("collection_id"))
+  }
+
   /** Idempotent merge of `delta` into the catalog at `path`: newest
     * ingested_at wins per item_id; ties broken by delta-over-existing,
     * then by a content hash — fully deterministic across retries.

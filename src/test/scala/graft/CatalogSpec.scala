@@ -113,6 +113,43 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("typed Dataset[StacItem] round-trips the catalog schema") {
+    val items = CatalogStore.readTyped(spark, catalogPath)
+    val first = items.head()
+    assert(first.item_id.nonEmpty)
+    assert(first.bbox.length == 4)
+    assert(first.bbox.head == first.bbox_w)
+    assert(first.assets.contains("data"))
+    assert(first.links.exists(_.rel == "collection"))
+    assert(items.count() == CatalogStore.read(spark, catalogPath).count())
+  }
+
+  test("collection extents aggregate matches item min/max") {
+    import org.apache.spark.sql.functions._
+    val items = CatalogStore.read(spark, catalogPath)
+    val ext = CatalogStore.collectionExtents(items).collect()
+    assert(ext.length == 1)
+    val e = ext.head
+    val expectW = items.agg(min("bbox_w")).collect()(0).getDouble(0)
+    val expectN = items.agg(max("bbox_n")).collect()(0).getDouble(0)
+    assert(e.getAs[Double]("bbox_w") == expectW)
+    assert(e.getAs[Double]("bbox_n") == expectN)
+    assert(e.getAs[Long]("n_items") == items.count())
+  }
+
+  test("antimeridian-crossing bbox query splits correctly") {
+    val items = CatalogStore.read(spark, catalogPath)
+    // query box from 170° east across the line to -170°
+    val q = CatalogQuery.Search(
+      bbox = Some((170.0, -90.0, -170.0, 90.0)), limit = 10000)
+    val got = CatalogQuery.compile(items, q).collect()
+    // equivalent manual union of the two half-boxes
+    val manual = items.filter(
+      (org.apache.spark.sql.functions.col("bbox_e") >= 170.0) ||
+        (org.apache.spark.sql.functions.col("bbox_w") <= -170.0)).count()
+    assert(got.length == manual)
+  }
+
   test("search on empty filters returns limit-bounded page") {
     val items = CatalogStore.read(spark, catalogPath)
     val all = CatalogQuery.compile(items, CatalogQuery.Search(limit = 7))
