@@ -94,6 +94,43 @@ object MediaPipeline {
     }
   }
 
+  /** Frame sampling: split the payload into fixed-size frames and keep
+    * every `stride`-th — the video-keyframe / audio-window shape. Pure
+    * per-row work; a real codec replaces the byte-slicing with
+    * container-aware frame extraction, the Spark plumbing (schema,
+    * per-partition batching) is identical. */
+  case class MediaFrames(
+      doc_id: Long, media_type: String, n_frames: Int,
+      frames: Seq[Array[Byte]])
+
+  def frameSample(
+      records: Dataset[MediaRecord],
+      frameBytes: Int = 32,
+      stride: Int = 4): Dataset[MediaFrames] = {
+    import records.sparkSession.implicits._
+    records.map { r =>
+      val all = r.payload.grouped(frameBytes).toArray
+      val kept = all.indices.collect {
+        case i if i % stride == 0 => all(i)
+      }
+      MediaFrames(r.doc_id, r.media_type, kept.length, kept.toSeq)
+    }
+  }
+
+  /** Resize: project a feature vector to `dim` (truncate or
+    * interpolation-free pad) — the normalize-before-index step of an
+    * embedding pipeline. */
+  def resizeFeatures(
+      feats: Dataset[MediaFeatures], dim: Int): Dataset[MediaFeatures] = {
+    import feats.sparkSession.implicits._
+    feats.map { f =>
+      val out =
+        if (f.features.length >= dim) f.features.take(dim)
+        else f.features ++ Array.fill(dim - f.features.length)(0.0f)
+      f.copy(features = out)
+    }
+  }
+
   /** The declared multimodal feature query: records → stub decode →
     * per-type feature stats. */
   def featureStats(spark: SparkSession, dir: String): DataFrame = {

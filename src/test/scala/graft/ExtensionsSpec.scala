@@ -92,6 +92,31 @@ class ExtensionsSpec extends SparkSpec {
     rows.foreach(r => assert(again(r.doc_id) == r.features.toSeq))
   }
 
+  test("multimodal frame-sample and resize stages") {
+    import graft.multimodal.MediaPipeline
+    val recs = MediaPipeline.mediaRecords(spark, sf)
+    val frames = MediaPipeline.frameSample(recs, frameBytes = 32, stride = 4)
+      .collect()
+    assert(frames.nonEmpty)
+    frames.foreach { f =>
+      assert(f.n_frames == f.frames.length)
+      // every kept frame except possibly the last is frame-sized
+      f.frames.dropRight(1).foreach(fr => assert(fr.length == 32))
+    }
+    // stride 4 keeps ceil(total/4) frames
+    val rec0 = recs.filter(_.doc_id == 0L).head()
+    val total0 = (rec0.payload.length + 31) / 32
+    val kept0 = frames.find(_.doc_id == 0L).get.n_frames
+    assert(kept0 == (total0 + 3) / 4, s"$kept0 vs total $total0")
+
+    val feats = MediaPipeline.extractFeatures(recs, new MediaPipeline.StubDecoder(8))
+    val up = MediaPipeline.resizeFeatures(feats, 16).collect()
+    assert(up.forall(_.features.length == 16))
+    assert(up.forall(_.features.drop(8).forall(_ == 0.0f)), "zero-padded")
+    val down = MediaPipeline.resizeFeatures(feats, 4).collect()
+    assert(down.forall(_.features.length == 4))
+  }
+
   test("dedup_exact keeps exactly one row per distinct text") {
     val df = DedupQueries.dedupExact(spark, sf)
     val total = Tables.documents(spark, sf).count()
