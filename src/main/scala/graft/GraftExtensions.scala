@@ -38,7 +38,7 @@ object GraftExtensions {
   }
 
   private val bboxOverlapsBuilder: Seq[Expression] => Expression =
-    children => graft.plans.BboxOverlaps(children)
+    children => graft.plans.BboxOverlaps.coerced(children)
 
   /** Register the engine functions + optimizer rule into an
     * already-running session (extensions proper can only be installed

@@ -58,7 +58,9 @@ object CatalogQuery {
         lit(t0) <= col("end_datetime"))
     }
     q.propEquals.foreach { case (k, v) =>
-      df = df.filter(element_at(col("properties"), k) === v)
+      // try_element_at: missing key ⇒ null ⇒ row filtered, instead of
+      // an ANSI MAP_KEY_DOES_NOT_EXIST crash on heterogeneous items
+      df = df.filter(try_element_at(col("properties"), lit(k)) === v)
     }
     q.cql2.foreach { f =>
       df = df.filter(Cql2Filter.compile(f, items.columns.toSet))

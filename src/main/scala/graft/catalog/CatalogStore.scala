@@ -72,6 +72,14 @@ object CatalogStore {
     * then by a content hash — fully deterministic across retries.
     * Touches only the delta's collection partitions. */
   def upsert(spark: SparkSession, path: String, delta: DataFrame): Unit = {
+    // bootstrap: first merge into a not-yet-existing catalog is a
+    // plain write (a streaming upsertSink's first batch hits this)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) {
+      write(delta, path)
+      return
+    }
     val affected = delta.select("collection_id").distinct()
     val existing = read(spark, path)
       .join(broadcast(affected), Seq("collection_id"), "left_semi")

@@ -41,9 +41,12 @@ object Cql2Filter {
     toColumn(new Parser(text).parseAll(), topCols)
 
   def toColumn(n: Node, topCols: Set[String]): Column = {
+    // try_element_at: a missing map key is null (three-valued logic),
+    // not a MAP_KEY_DOES_NOT_EXIST crash under Spark 4's default ANSI
+    // mode — STAC properties are heterogeneous by design
     def prop(p: String): Column =
       if (topCols.contains(p)) col(p)
-      else element_at(col("properties"), p)
+      else try_element_at(col("properties"), lit(p))
     n match {
       case Cmp(p, op, v) =>
         val c = prop(p)
@@ -84,9 +87,12 @@ object Cql2Filter {
     private def peekKeyword(kw: String): Boolean = {
       skipWs()
       val end = pos + kw.length
+      def identChar(c: Char) = c.isLetterOrDigit || c == '_' || c == ':'
       end <= input.length &&
         input.substring(pos, end).equalsIgnoreCase(kw) &&
-        (end == input.length || !input.charAt(end).isLetterOrDigit)
+        // boundary must not be an identifier char: 'not_processed' is
+        // a property name, not the NOT keyword
+        (end == input.length || !identChar(input.charAt(end)))
     }
 
     private def eatKeyword(kw: String): Boolean = {
@@ -179,19 +185,35 @@ object Cql2Filter {
       if (c == '\'') {
         pos += 1
         val sb = new StringBuilder
-        while (pos < input.length && input.charAt(pos) != '\'') {
-          sb.append(input.charAt(pos)); pos += 1
+        var done = false
+        while (!done) {
+          require(pos < input.length, "unterminated string literal")
+          val ch = input.charAt(pos)
+          if (ch == '\'') {
+            // CQL2 escapes a quote by doubling: 'O''Brien'
+            if (pos + 1 < input.length && input.charAt(pos + 1) == '\'') {
+              sb.append('\''); pos += 2
+            } else { pos += 1; done = true }
+          } else { sb.append(ch); pos += 1 }
         }
-        require(pos < input.length, "unterminated string literal")
-        pos += 1
         sb.toString
       } else if (c.isDigit || c == '-' || c == '+') {
         val start = pos
         pos += 1
         while (pos < input.length &&
           (input.charAt(pos).isDigit || input.charAt(pos) == '.')) pos += 1
+        // scientific notation: 1e-3, 2.5E+10
+        if (pos < input.length &&
+            (input.charAt(pos) == 'e' || input.charAt(pos) == 'E')) {
+          pos += 1
+          if (pos < input.length &&
+            (input.charAt(pos) == '-' || input.charAt(pos) == '+')) pos += 1
+          while (pos < input.length && input.charAt(pos).isDigit) pos += 1
+        }
         val s = input.substring(start, pos)
-        if (s.contains('.')) s.toDouble else s.toLong
+        if (s.contains('.') || s.exists(ch => ch == 'e' || ch == 'E'))
+          s.toDouble
+        else s.toLong
       } else if (eatKeyword("TRUE")) true
       else if (eatKeyword("FALSE")) false
       else throw new IllegalArgumentException(s"bad literal at $pos: '${rest()}'")

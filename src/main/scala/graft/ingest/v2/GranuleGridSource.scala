@@ -73,9 +73,11 @@ final class GranuleGridTable(options: Map[String, String])
       opts.getOrElse("start", "2022-05-01T00:01:03Z")).getEpochSecond
     val end = Instant.parse(
       opts.getOrElse("end", "2022-05-01T23:59:59Z")).getEpochSecond
-    val stepSec = opts.getOrElse("stepminutes", "3").toLong * 60
+    val stepMin = opts.getOrElse("stepminutes", "3").toLong
+    require(stepMin > 0, s"stepMinutes must be positive, got $stepMin")
     val numParts = opts.getOrElse("numpartitions", "8").toInt
-    () => new GranuleGridScan(start, end, stepSec, numParts)
+    require(numParts > 0, s"numPartitions must be positive, got $numParts")
+    () => new GranuleGridScan(start, end, stepMin * 60, numParts)
   }
 }
 

@@ -39,7 +39,11 @@ case class BboxOverlaps(children: Seq[Expression])
     else {
       val Seq(w1, s1, e1, n1, w2, s2, e2, n2) =
         v.map(_.asInstanceOf[Double])
-      w1 <= e2 && w2 <= e1 && s1 <= n2 && s2 <= n1
+      // java.lang.Double.compare ordering (NaN greater than all) —
+      // the same total order Spark SQL comparisons use, so the
+      // fallback agrees with the rewritten residual filter on NaN
+      def le(a: Double, b: Double) = java.lang.Double.compare(a, b) <= 0
+      le(w1, e2) && le(w2, e1) && le(s1, n2) && le(s2, n1)
     }
   }
 
@@ -49,10 +53,17 @@ case class BboxOverlaps(children: Seq[Expression])
 }
 
 object BboxOverlaps {
+  /** Wrap every argument in a double cast so integer/float inputs
+    * coerce instead of failing type-check (Cast(double→double) folds
+    * away); keeps the cellIndex invariant the rewrite relies on. */
+  def coerced(children: Seq[Expression]): BboxOverlaps =
+    BboxOverlaps(children.map(c =>
+      org.apache.spark.sql.catalyst.expressions.Cast(c, DoubleType)))
+
   /** Column API: the natural spatial-overlap predicate. */
   def bboxOverlaps(
       w1: Column, s1: Column, e1: Column, n1: Column,
       w2: Column, s2: Column, e2: Column, n2: Column): Column =
-    GraftExpr.toColumn(BboxOverlaps(
+    GraftExpr.toColumn(coerced(
       Seq(w1, s1, e1, n1, w2, s2, e2, n2).map(GraftExpr.toExpr)))
 }

@@ -35,10 +35,11 @@ object RewriteBboxOverlapJoin extends Rule[LogicalPlan]
     // match bbox_overlaps ANYWHERE in the conjunction — the natural
     // query carries extra equi/filter conjuncts alongside it; they
     // ride into the residual filter
-    case Join(left, right, Inner, Some(cond), hint)
-        if findMarker(cond, left, right).isDefined =>
-      val (b, rest) = findMarker(cond, left, right).get
-      rewrite(left, right, b, rest, hint)
+    case j @ Join(left, right, Inner, Some(cond), hint) =>
+      findMarker(cond, left, right) match {
+        case Some((b, rest)) => rewrite(left, right, b, rest, hint)
+        case None => j
+      }
   }
 
   private def findMarker(
@@ -59,8 +60,17 @@ object RewriteBboxOverlapJoin extends Rule[LogicalPlan]
     }
   }
 
-  private def cellIndex(e: Expression): Expression =
-    Cast(Floor(Divide(e, Literal(CellDeg, DoubleType))), IntegerType)
+  /** Clamp to the coordinate domain BEFORE the int cast: fill values
+    * (e.g. 9.97e36 from NetCDF) or NaN would otherwise overflow the
+    * ANSI cast and kill the query — the un-rewritten predicate just
+    * evaluates false/exotic for them, so the rewrite must stay
+    * total. Least/Greatest push NaN to the upper clamp. */
+  private def cellIndex(e: Expression): Expression = {
+    val clamped = Least(Seq(
+      Greatest(Seq(e, Literal(-181.0, DoubleType))),
+      Literal(181.0, DoubleType)))
+    Cast(Floor(Divide(clamped, Literal(CellDeg, DoubleType))), IntegerType)
+  }
 
   /** child + two Generate nodes exploding the covered cell range. */
   private def withCells(

@@ -48,9 +48,11 @@ object StreamingOps {
 
   /** stream_session — per-user observation sessions with a 30 min
     * inactivity gap (trajectory segmentation, cf. extract_geometry
-    * time series insitu recipe.py:91-93). */
+    * time series insitu recipe.py:91-93). Streaming session windows
+    * require a watermark (append mode); applied automatically for
+    * streaming inputs, batch is untouched. */
   def sessionize(events: DataFrame): DataFrame =
-    events
+    (if (events.isStreaming) withLatenessBound(events) else events)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("session_value"))
@@ -113,7 +115,8 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          graft.catalog.CatalogStore.upsert(batch.sparkSession, catalogPath, batch)
+        // no isEmpty pre-check: it would execute the batch lineage a
+        // second time; an empty delta makes the merge a no-op anyway
+        graft.catalog.CatalogStore.upsert(batch.sparkSession, catalogPath, batch)
       }
 }

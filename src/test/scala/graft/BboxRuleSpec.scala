@@ -114,5 +114,31 @@ class BboxRuleSpec extends SparkSpec {
     val r = spark.sql(
       "SELECT bbox_overlaps(0D, 0D, 5D, 5D, 4D, 4D, 9D, 9D) AS o").collect()
     assert(r(0).getBoolean(0))
+    // integer literals coerce instead of failing type-check
+    val r2 = spark.sql(
+      "SELECT bbox_overlaps(0, 0, 5, 5, 6, 6, 9, 9) AS o").collect()
+    assert(!r2(0).getBoolean(0))
+  }
+
+  test("rule survives fill values and NaN coordinates") {
+    GraftExtensions.register(spark)
+    try {
+      import spark.implicits._
+      val a = Seq(
+        (1L, 0.0, 0.0, 5.0, 5.0),
+        (2L, 9.969e36, 0.0, 9.969e36, 5.0), // NetCDF fill value
+        (3L, Double.NaN, 0.0, 5.0, 5.0)
+      ).toDF("aid", "aw", "as", "ae", "an")
+      val b = Seq((9L, 1.0, 1.0, 2.0, 2.0)).toDF("bid", "bw", "bs", "be", "bn")
+      // must not throw (ANSI cast overflow) — row 1 matches, row 2's
+      // west bound exceeds everything, so no match
+      val got = markerJoin(a, b).select("aid").collect().map(_.getLong(0))
+      assert(got.contains(1L))
+      assert(!got.contains(2L))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.RewriteBboxOverlapJoin)
+    }
   }
 }

@@ -50,6 +50,26 @@ class Cql2FilterSpec extends SparkSpec {
     assert(got.sameElements(Array("i1")))
   }
 
+  test("keyword-prefixed identifiers, escaped quotes, exponents, missing keys") {
+    import spark.implicits._
+    val items = Seq(
+      ("i1", Map("not_processed" -> "x", "title" -> "O'Brien",
+        "eps" -> "0.002")),
+      ("i2", Map("other" -> "y"))
+    ).toDF("item_id", "properties")
+    def ids(f: String) = items
+      .filter(Cql2Filter.compile(f, items.columns.toSet))
+      .collect().map(_.getString(0)).toSeq
+    // identifier starting with a keyword prefix is NOT the keyword
+    assert(ids("not_processed = 'x'") == Seq("i1"))
+    // doubled-quote escape
+    assert(ids("title = 'O''Brien'") == Seq("i1"))
+    // scientific notation parses
+    assert(Cql2Filter.compile("eps > 1e-3", Set.empty) != null)
+    // missing map key is null, not a crash (ANSI mode)
+    assert(ids("other = 'y'") == Seq("i2"))
+  }
+
   test("malformed input fails loudly") {
     intercept[Exception](Cql2Filter.compile("n_chars >", Set("n_chars")))
     intercept[Exception](Cql2Filter.compile("(lang = 'en'", Set("lang")))

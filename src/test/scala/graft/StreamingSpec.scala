@@ -104,6 +104,39 @@ class StreamingSpec extends SparkSpec {
     assert(items.count() == items.select("item_id").distinct().count())
   }
 
+  test("sessionize runs as a real stream (watermark + append)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(sample: _*)
+    val q = StreamingOps.sessionize(mem.toDF())
+      .writeStream.format("memory").queryName("sessions_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // append emits only watermark-closed sessions; the query must at
+    // least run without the missing-watermark analysis error
+    assert(spark.table("sessions_stream").columns
+      .contains("session_start"))
+  }
+
+  test("upsert sink bootstraps an empty catalog path") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-boot").toString
+    val catalog = s"$tmp/catalog"; val ckpt = s"$tmp/ckpt"
+    val inDir = s"$tmp/in"
+    new graft.ingest.FixtureGranuleSource(end = "2022-05-01 00:29:59")
+      .granules(spark).write.parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    // no CatalogStore.write first: the sink's first batch must create
+    // the catalog rather than die on PATH_NOT_FOUND
+    val q = StreamingOps.upsertSink(
+      graft.catalog.ItemAssembly.assemble(
+        StreamingOps.fileIngest(spark, inDir, schema))._1, catalog, ckpt)
+      .start()
+    q.awaitTermination(120000)
+    assert(spark.read.parquet(catalog).count() > 0)
+  }
+
   test("sliding window covers each event in multiple slides") {
     import spark.implicits._
     val slides = StreamingOps.slidingCounts(sample.toDF()).collect()
