@@ -56,6 +56,21 @@ object CatalogQuery {
     q.interval.foreach { case (t0, t1) =>
       df = df.filter(col("start_datetime") <= lit(t1) &&
         lit(t0) <= col("end_datetime"))
+      // month-partitioned catalogs (CatalogStore.writeMonthly): derive
+      // the partition predicate so whole month directories prune
+      // before any file is touched. month = month(start_datetime), so
+      // the upper bound is exact; the lower bound is relaxed by one
+      // month to keep items that START the month before but span into
+      // the interval (granules span minutes, in-situ files ≤ 1 month
+      // — the reference's own monthly layout, insitu recipe.py:145)
+      if (items.columns.contains("month")) {
+        val utc = java.time.ZoneOffset.UTC
+        val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM")
+        val lo = t0.toInstant.atZone(utc).toLocalDate.minusMonths(1)
+        val hi = t1.toInstant.atZone(utc).toLocalDate
+        df = df.filter(col("month") >= fmt.format(lo) &&
+          col("month") <= fmt.format(hi))
+      }
     }
     q.propEquals.foreach { case (k, v) =>
       // try_element_at: missing key ⇒ null ⇒ row filtered, instead of

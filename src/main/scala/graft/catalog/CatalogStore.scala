@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object CatalogStore {
 
+  /** Partition-derivation column: month of start_datetime, the second
+    * partition level for 100 TB catalogs (pgstac's time partitioning
+    * role). Stored as yyyy-MM strings so directory names are sane. */
+  def withMonth(items: DataFrame): DataFrame =
+    items.withColumn("month",
+      date_format(col("start_datetime"), "yyyy-MM"))
+
   /** Initial (full) write. Repartition on the partition column first:
     * one shuffle task per collection writes its partition's files —
     * without it every shuffle task writes a sliver into every
@@ -26,6 +33,18 @@ object CatalogStore {
       .write
       .mode("overwrite")
       .partitionBy("collection_id")
+      .parquet(path)
+
+  /** Month-partitioned layout: (collection_id, month) directories.
+    * CatalogQuery derives month predicates from interval filters, so
+    * a datetime search prunes whole month directories before any
+    * file is opened. */
+  def writeMonthly(items: DataFrame, path: String): Unit =
+    withMonth(items)
+      .repartition(col("collection_id"), col("month"))
+      .write
+      .mode("overwrite")
+      .partitionBy("collection_id", "month")
       .parquet(path)
 
   def read(spark: SparkSession, path: String): DataFrame =

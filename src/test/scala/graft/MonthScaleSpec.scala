@@ -56,4 +56,43 @@ class MonthScaleSpec extends SparkSpec {
     info(f"month-scale ingest+search+upsert: $secs%.1f s")
     assert(secs < 120, "full month must stay interactive on local[4]")
   }
+
+  test("month-partitioned layout prunes partitions on interval search") {
+    val grid = spark.read.format("graft.ingest.v2.GranuleGridSource")
+      .option("start", "2022-03-01T00:01:03Z")
+      .option("end", "2022-06-30T23:59:59Z") // four months
+      .load()
+    val (items, _) = ItemAssembly.assemble(grid)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-monthly").toString + "/items"
+    CatalogStore.writeMonthly(items, path)
+    // four month dirs under the collection partition
+    val collDir = new java.io.File(path).listFiles()
+      .find(_.getName.startsWith("collection_id=")).get
+    assert(collDir.listFiles().count(_.getName.startsWith("month=")) == 4)
+
+    val catalog = CatalogStore.read(spark, path)
+    val q = CatalogQuery.Search(
+      interval = Some((
+        Timestamp.valueOf("2022-05-05 00:00:00"),
+        Timestamp.valueOf("2022-05-20 00:00:00"))),
+      limit = 100000)
+    val compiled = CatalogQuery.compile(catalog, q)
+    // physical plan prunes to the April+May partitions
+    val plan = compiled.queryExecution.executedPlan.toString
+    assert(plan.contains("month"), s"partition filter expected:\n$plan")
+    val rows = compiled.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val m = r.getAs[String]("month")
+      m == "2022-04" || m == "2022-05"
+    })
+    // correctness: same answer as the unpartitioned path
+    val flat = java.nio.file.Files
+      .createTempDirectory("graft-flat").toString + "/items"
+    CatalogStore.write(items, flat)
+    val expected = CatalogQuery
+      .compile(CatalogStore.read(spark, flat), q).count()
+    assert(rows.length.toLong == expected)
+  }
 }

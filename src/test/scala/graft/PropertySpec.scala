@@ -97,6 +97,68 @@ object PropertySpec extends Properties("graft") {
       h1 == h2
     }
 
+  private val identGen: Gen[String] = for {
+    h <- Gen.alphaChar
+    t <- Gen.listOf(Gen.frequency(
+      (8, Gen.alphaNumChar), (1, Gen.const('_')), (1, Gen.const(':'))))
+  } yield (h :: t).mkString
+
+  private val cqlValueGen: Gen[Any] = Gen.oneOf(
+    Gen.chooseNum(-1000000L, 1000000L),
+    Gen.chooseNum(-1e6, 1e6),
+    Gen.alphaNumStr.map(s => s + "'quoted"),
+    Gen.oneOf(true, false))
+
+  private val cqlNodeGen: Gen[graft.catalog.Cql2Filter.Node] = {
+    import graft.catalog.Cql2Filter._
+    val leaf: Gen[Node] = Gen.oneOf(
+      for {
+        p <- identGen; op <- Gen.oneOf("=", "<>", "<", "<=", ">", ">=")
+        v <- cqlValueGen
+      } yield Cmp(p, op, v),
+      for {
+        p <- identGen
+        vs <- Gen.nonEmptyListOf(cqlValueGen).map(_.take(4))
+      } yield In(p, vs),
+      for { p <- identGen; s <- Gen.alphaNumStr } yield Like(p, s + "%"),
+      for { p <- identGen; n <- Gen.oneOf(true, false) } yield IsNull(p, n))
+    def tree(depth: Int): Gen[Node] =
+      if (depth == 0) leaf
+      else Gen.frequency(
+        (3, leaf),
+        (1, Gen.zip(tree(depth - 1), tree(depth - 1)).map(t => And(t._1, t._2))),
+        (1, Gen.zip(tree(depth - 1), tree(depth - 1)).map(t => Or(t._1, t._2))),
+        (1, tree(depth - 1).map(Not)))
+    tree(3)
+  }
+
+  private def render(n: graft.catalog.Cql2Filter.Node): String = {
+    import graft.catalog.Cql2Filter._
+    def lit(v: Any): String = v match {
+      case s: String => "'" + s.replace("'", "''") + "'"
+      case b: Boolean => if (b) "TRUE" else "FALSE"
+      case other => other.toString
+    }
+    n match {
+      case Cmp(p, op, v) => s"$p $op ${lit(v)}"
+      case In(p, vs) => s"$p IN (${vs.map(lit).mkString(", ")})"
+      case Like(p, s) => s"$p LIKE ${lit(s)}"
+      case IsNull(p, neg) => s"$p IS ${if (neg) "NOT " else ""}NULL"
+      case And(l, r) => s"(${render(l)}) AND (${render(r)})"
+      case Or(l, r) => s"(${render(l)}) OR (${render(r)})"
+      case Not(e) => s"NOT (${render(e)})"
+    }
+  }
+
+  property("cql2 parser round-trips rendered ASTs") =
+    forAll(cqlNodeGen) { node =>
+      val text = render(node)
+      val reparsed = new graft.catalog.Cql2Filter.Parser(text).parseAll()
+      // doubles may re-render slightly differently; compare via
+      // canonical re-render instead of AST equality
+      render(reparsed) == text
+    }
+
   property("url template is injective on the 3-minute grid") =
     forAll(Gen.chooseNum(0L, 1000000L), Gen.chooseNum(0L, 1000000L)) {
       (a, b) =>
