@@ -128,6 +128,24 @@ object SourceSinkQueries {
       .toDF("initial_count", "after_upsert", "distinct_ids", "idempotent")
   }
 
+  /** insitu_ingest — the reference's second recipe end-to-end:
+    * trajectory platforms → category-derived collections → simplified
+    * geometries → catalog. Output summarizes per-category results
+    * (rows-only; geometry values are engine-defined). */
+  def insituIngest(s: SparkSession, dir: String): DataFrame = {
+    val (items, errors) = graft.catalog.InsituAssembly.assemble(
+      graft.ingest.InsituSource.platforms(s))
+    val errN = errors.count()
+    items
+      .groupBy(col("collection_id"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(element_at(col("properties"), "geo_type") === "LineString", 1)
+          .otherwise(0)).as("n_tracks"),
+        sum(when(element_at(col("properties"), "geo_type") === "Point", 1)
+          .otherwise(0)).as("n_points"))
+      .withColumn("n_quarantined", lit(errN))
+  }
+
   /** catalog_search — the STAC-search compiler over a freshly built
     * catalog: collection + bbox + interval + sort + limit in one
     * Catalyst plan (SURVEY §3.3). */
@@ -193,6 +211,7 @@ object SourceSinkQueries {
     "snk_listing_cache" -> (snkListingCache _),
     "snk_upsert" -> (snkUpsert _),
     "catalog_search" -> (catalogSearch _),
+    "insitu_ingest" -> (insituIngest _),
     "fn_geometry_extract" -> (fnGeometryExtract _),
     "fn_surrogate_repair" -> (fnSurrogateRepair _)
   )
