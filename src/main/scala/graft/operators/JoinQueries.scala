@@ -165,6 +165,35 @@ object JoinQueries {
       |     AND s.ts <= e.ts) AS asof_ts
       |FROM events e WHERE e.event_type = 'error'""".stripMargin
 
+  /** join_asof_tolerance — as-of with a max-staleness bound: the
+    * nearest signup at most 1 hour before each error (beyond the
+    * bound ⇒ null). Same union+window scale path as join_asof_nearest,
+    * plus a post-filter on the lag. */
+  def joinAsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events(s, dir)
+      .filter(col("event_type").isin("signup", "error"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("asof_ts",
+        last(when(col("event_type") === "signup", col("ts")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"),
+        when(unix_micros(col("ts")) - unix_micros(col("asof_ts"))
+          <= 3600L * 1000000, col("asof_ts")).as("asof_ts"))
+  }
+
+  val joinAsofToleranceSql: String =
+    """SELECT e.event_id, e.user_id,
+      |  (SELECT max(CAST(s.ts AS TIMESTAMP)) FROM events s
+      |   WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+      |     AND s.ts <= e.ts
+      |     AND s.ts >= CAST(e.ts AS TIMESTAMP) - INTERVAL 1 HOUR) AS asof_ts
+      |FROM events e WHERE e.event_type = 'error'""".stripMargin
+
   /** join_broadcast_dim — explicit broadcast of small dims
     * (categories list, insitu recipe.py:193-195). */
   def joinBroadcastDim(s: SparkSession, dir: String): DataFrame =
@@ -278,6 +307,7 @@ object JoinQueries {
     "join_interval_overlap" -> (joinIntervalOverlap _),
     "join_bbox_intersect" -> (joinBboxIntersect _),
     "join_asof_nearest" -> (joinAsofNearest _),
+    "join_asof_tolerance" -> (joinAsofTolerance _),
     "join_broadcast_dim" -> (joinBroadcastDim _)
   )
 
@@ -291,6 +321,7 @@ object JoinQueries {
     "join_interval_overlap" -> joinIntervalOverlapSql,
     "join_bbox_intersect" -> joinBboxIntersectSql,
     "join_asof_nearest" -> joinAsofNearestSql,
+    "join_asof_tolerance" -> joinAsofToleranceSql,
     "join_broadcast_dim" -> joinBroadcastDimSql
   )
 }

@@ -159,6 +159,31 @@ object TextQueries {
       .groupBy(col("lang"), col("lang_guess"))
       .agg(count(lit(1)).as("n"))
 
+  /** text_containment — contamination/containment detection: doc
+    * pairs sharing a large fraction of winnowing fingerprints (the
+    * train/eval-set contamination check of an LLM pipeline). Explode
+    * fingerprints → equi-join on gram (ids only) → shared-gram count
+    * per pair → containment ratio vs the smaller doc. Hash-valued ⇒
+    * rows-only; winnow overlap behavior unit-tested. */
+  def textContainment(s: SparkSession, dir: String): DataFrame = {
+    val fps = documents(s, dir)
+      .select(col("doc_id"),
+        TextFunctions.winnow()(col("text")).as("fp"))
+      .withColumn("n_grams", size(col("fp")))
+    val grams = fps.select(col("doc_id"), col("n_grams"),
+      explode(col("fp")).as("gram"))
+    grams.select(col("gram"), col("doc_id").as("a"), col("n_grams").as("na"))
+      .join(grams.select(col("gram"), col("doc_id").as("b"),
+        col("n_grams").as("nb")), Seq("gram"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("containment",
+        round(col("shared") / least(col("na"), col("nb")), 4))
+      .filter(col("containment") >= 0.5)
+      .select(col("a"), col("b"), col("shared"), col("containment"))
+  }
+
   /** text_fingerprint — winnowing fingerprints (rolling-hash k-grams,
     * min-per-window): compact doc signatures for containment checks.
     * Rows-only; determinism + self-similarity unit-tested. */
@@ -175,7 +200,8 @@ object TextQueries {
     "text_quality" -> (textQuality _),
     "text_tfidf" -> (textTfidf _),
     "text_langid" -> (textLangid _),
-    "text_fingerprint" -> (textFingerprint _)
+    "text_fingerprint" -> (textFingerprint _),
+    "text_containment" -> (textContainment _)
   )
 
   def oracle: Map[String, String] = Map(
