@@ -166,14 +166,23 @@ object TextQueries {
     * per pair → containment ratio vs the smaller doc. Hash-valued ⇒
     * rows-only; winnow overlap behavior unit-tested. */
   def textContainment(s: SparkSession, dir: String): DataFrame = {
-    val fps = documents(s, dir)
+    val maxDf = 20 // stop-gram cap: buckets bigger than this are noise
+    val grams = documents(s, dir)
       .select(col("doc_id"),
-        TextFunctions.winnow()(col("text")).as("fp"))
-      .withColumn("n_grams", size(col("fp")))
-    val grams = fps.select(col("doc_id"), col("n_grams"),
-      explode(col("fp")).as("gram"))
-    grams.select(col("gram"), col("doc_id").as("a"), col("n_grams").as("na"))
-      .join(grams.select(col("gram"), col("doc_id").as("b"),
+        explode(TextFunctions.winnow()(col("text"))).as("gram"))
+    // SCALE GUARD: a gram occurring in k docs contributes k² pairs.
+    // Grams shared corpus-wide are non-discriminative for containment
+    // (boilerplate/common phrases) — the standard stop-gram filter
+    // caps every bucket at maxDf, bounding the join at |grams|×maxDf².
+    val rare = grams
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))))
+      .filter(col("df") <= maxDf)
+      .select(col("doc_id"), col("gram"))
+    val nRare = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val sized = rare.join(nRare, Seq("doc_id"))
+    sized.select(col("gram"), col("doc_id").as("a"), col("n_grams").as("na"))
+      .join(sized.select(col("gram"), col("doc_id").as("b"),
         col("n_grams").as("nb")), Seq("gram"))
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"), col("na"), col("nb"))
