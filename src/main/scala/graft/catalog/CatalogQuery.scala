@@ -26,6 +26,11 @@ object CatalogQuery {
       bbox: Option[(Double, Double, Double, Double)] = None, // w,s,e,n
       interval: Option[(Timestamp, Timestamp)] = None,
       propEquals: Map[String, String] = Map.empty,
+      /** Month-partition pruning slack: items may span at most this
+        * many months (granules: minutes; in-situ files: ≤ 1 month —
+        * the reference's monthly layout). Raise for catalogs holding
+        * longer-lived items or pruning silently drops them. */
+      maxItemSpanMonths: Int = 1,
       /** CQL2-text filter (STAC filter extension), e.g.
         * "bbox_n >= 20 AND collection_id LIKE 'AVHRR%'". */
       cql2: Option[String] = None,
@@ -59,15 +64,17 @@ object CatalogQuery {
       // month-partitioned catalogs (CatalogStore.writeMonthly): derive
       // the partition predicate so whole month directories prune
       // before any file is touched. month = month(start_datetime), so
-      // the upper bound is exact; the lower bound is relaxed by one
-      // month to keep items that START the month before but span into
-      // the interval (granules span minutes, in-situ files ≤ 1 month
-      // — the reference's own monthly layout, insitu recipe.py:145)
+      // the upper bound is exact; the lower bound is relaxed by
+      // maxItemSpanMonths to keep items that START earlier but span
+      // into the interval. Boundaries use the SESSION timezone — the
+      // same zone date_format used when the month column was written.
       if (items.columns.contains("month")) {
-        val utc = java.time.ZoneOffset.UTC
+        val zone = java.time.ZoneId.of(
+          items.sparkSession.conf.get("spark.sql.session.timeZone"))
         val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM")
-        val lo = t0.toInstant.atZone(utc).toLocalDate.minusMonths(1)
-        val hi = t1.toInstant.atZone(utc).toLocalDate
+        val lo = t0.toInstant.atZone(zone).toLocalDate
+          .minusMonths(q.maxItemSpanMonths.toLong)
+        val hi = t1.toInstant.atZone(zone).toLocalDate
         df = df.filter(col("month") >= fmt.format(lo) &&
           col("month") <= fmt.format(hi))
       }

@@ -92,18 +92,30 @@ object CatalogStore {
     * Touches only the delta's collection partitions. */
   def upsert(spark: SparkSession, path: String, delta: DataFrame): Unit = {
     // bootstrap: first merge into a not-yet-existing catalog is a
-    // plain write (a streaming upsertSink's first batch hits this)
+    // plain write (a streaming upsertSink's first batch hits this).
+    // An EMPTY first batch must not write: a zero-row partitioned
+    // write leaves a parquet-less directory that wedges every later
+    // read with UNABLE_TO_INFER_SCHEMA.
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hPath)) {
-      write(delta, path)
+      if (!delta.isEmpty) write(delta, path)
       return
     }
-    val affected = delta.select("collection_id").distinct()
-    val existing = read(spark, path)
+    val existingAll = read(spark, path)
+    // a writeMonthly catalog keeps its (collection_id, month) layout:
+    // derive month on the delta and overwrite both partition levels
+    val monthly = existingAll.columns.contains("month")
+    val deltaP =
+      if (monthly && !delta.columns.contains("month")) withMonth(delta)
+      else delta
+    val partCols =
+      if (monthly) Seq("collection_id", "month") else Seq("collection_id")
+    val affected = deltaP.select("collection_id").distinct()
+    val existing = existingAll
       .join(broadcast(affected), Seq("collection_id"), "left_semi")
-      .select(delta.columns.map(col).toIndexedSeq: _*)
-    val dataCols = delta.columns.map(col).toIndexedSeq
+      .select(deltaP.columns.map(col).toIndexedSeq: _*)
+    val dataCols = deltaP.columns.map(col).toIndexedSeq
     // Spark prohibits hashing MAP types (no canonical order) — build
     // the tiebreak hash from the hash-safe columns only
     def hashSafe(dt: org.apache.spark.sql.types.DataType): Boolean =
@@ -115,13 +127,13 @@ object CatalogStore {
           s.fields.forall(f => hashSafe(f.dataType))
         case _ => true
       }
-    val tieCols = delta.schema.fields
+    val tieCols = deltaP.schema.fields
       .filter(f => hashSafe(f.dataType)).map(f => col(f.name)).toIndexedSeq
     val w = Window.partitionBy(col("item_id"))
       .orderBy(col("ingested_at").desc, col("_prio").desc,
         col("_tie").desc)
     val merged = existing.withColumn("_prio", lit(0))
-      .unionByName(delta.select(dataCols: _*).withColumn("_prio", lit(1)))
+      .unionByName(deltaP.select(dataCols: _*).withColumn("_prio", lit(1)))
       // content hash: equal-timestamp, equal-priority duplicates pick
       // the same winner on every run/retry
       .withColumn("_tie", xxhash64(struct(tieCols: _*)))
@@ -133,14 +145,14 @@ object CatalogStore {
     // overwrite commit (or an AQE stage re-execution) could read
     // deleted files. localCheckpoint severs the lineage first; if it
     // fails, the catalog is untouched — fail-safe, never corrupting.
-    val materialized = merged.repartition(col("collection_id"))
+    val materialized = merged.repartition(partCols.map(col): _*)
       .localCheckpoint()
     // per-write dynamic mode: only partitions present in `merged` are
     // replaced, WITHOUT mutating the session-wide overwrite semantics
     materialized.write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("collection_id")
+      .partitionBy(partCols: _*)
       .parquet(path)
   }
 }

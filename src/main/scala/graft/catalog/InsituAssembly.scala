@@ -20,9 +20,10 @@ object InsituAssembly {
   def assemble(platforms: DataFrame): (DataFrame, DataFrame) = {
     val withGeo = platforms
       // category from the URL: element_at(split(url,'/'), -3)
-      // (recipe.py:75 rsplit("/", maxsplit=3)[1])
+      // (recipe.py:75). try_element_at: a malformed URL with <3
+      // segments must quarantine, not ANSI-crash the job
       .withColumn("category_from_url",
-        element_at(split(col("source"), "/"), -3))
+        try_element_at(split(col("source"), "/"), lit(-3)))
       .withColumn("collection_id",
         concat_ws("-", lit(graft.ingest.InsituSource.CollectionRoot),
           col("category_from_url")))
@@ -31,15 +32,19 @@ object InsituAssembly {
       .withColumn("lon_min_cast",
         expr("try_cast(geospatial_lon_min AS double)"))
 
+    val quarantined = col("lon_min_cast").isNull ||
+      col("category_from_url").isNull ||
+      // Empty trajectories would emit invalid "" geometry at (0,0,0,0)
+      col("g.geo_type").isin("Invalid", "Empty")
     val bad = withGeo
-      .filter(col("lon_min_cast").isNull || col("g.geo_type") === "Invalid")
+      .filter(quarantined)
       .select(col("id").as("item_id"), col("source").as("source_url"),
         col("geospatial_lon_min"),
         when(col("lon_min_cast").isNull, lit("unparsable bbox attribute"))
-          .otherwise(lit("invalid trajectory arrays")).as("error"))
+          .when(col("category_from_url").isNull, lit("malformed source url"))
+          .otherwise(lit("invalid or empty trajectory arrays")).as("error"))
 
-    val good = withGeo
-      .filter(col("lon_min_cast").isNotNull && col("g.geo_type") =!= "Invalid")
+    val good = withGeo.filter(!quarantined)
 
     val items = good.select(
       col("id").as("item_id"),

@@ -107,6 +107,8 @@ object MediaPipeline {
       records: Dataset[MediaRecord],
       frameBytes: Int = 32,
       stride: Int = 4): Dataset[MediaFrames] = {
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    require(stride > 0, s"stride must be positive, got $stride")
     import records.sparkSession.implicits._
     records.map { r =>
       val all = r.payload.grouped(frameBytes).toArray

@@ -148,12 +148,14 @@ object JoinQueries {
     val e = events(s, dir)
       .filter(col("event_type").isin("signup", "error"))
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    // RANGE frame on ts: a signup tied on ts with the error row is a
+    // frame peer and included regardless of event_id — matching the
+    // oracle's `s.ts <= e.ts` exactly
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .orderBy(col("ts"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     e.withColumn("asof_ts",
-        last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true)
-          .over(w))
+        max(when(col("event_type") === "signup", col("ts"))).over(w))
       .filter(col("event_type") === "error")
       .select(col("event_id"), col("user_id"), col("asof_ts"))
   }
@@ -174,12 +176,12 @@ object JoinQueries {
     val e = events(s, dir)
       .filter(col("event_type").isin("signup", "error"))
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    // RANGE frame: ts-tied signups are peers — see joinAsofNearest
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .orderBy(col("ts"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     e.withColumn("asof_ts",
-        last(when(col("event_type") === "signup", col("ts")),
-          ignoreNulls = true).over(w))
+        max(when(col("event_type") === "signup", col("ts"))).over(w))
       .filter(col("event_type") === "error")
       .select(col("event_id"), col("user_id"),
         when(unix_micros(col("ts")) - unix_micros(col("asof_ts"))

@@ -133,8 +133,10 @@ object SourceSinkQueries {
     * geometries → catalog. Output summarizes per-category results
     * (rows-only; geometry values are engine-defined). */
   def insituIngest(s: SparkSession, dir: String): DataFrame = {
-    val (items, errors) = graft.catalog.InsituAssembly.assemble(
-      graft.ingest.InsituSource.platforms(s))
+    // one source pass: errors.count() and the items aggregation both
+    // read the checkpointed platforms, not the generator + DP UDF twice
+    val platforms = graft.ingest.InsituSource.platforms(s).localCheckpoint()
+    val (items, errors) = graft.catalog.InsituAssembly.assemble(platforms)
     val errN = errors.count()
     items
       .groupBy(col("collection_id"))

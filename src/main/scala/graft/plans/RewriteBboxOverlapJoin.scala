@@ -64,12 +64,18 @@ object RewriteBboxOverlapJoin extends Rule[LogicalPlan]
     * (e.g. 9.97e36 from NetCDF) or NaN would otherwise overflow the
     * ANSI cast and kill the query — the un-rewritten predicate just
     * evaluates false/exotic for them, so the rewrite must stay
-    * total. Least/Greatest push NaN to the upper clamp. */
+    * total. Least/Greatest push NaN to the upper clamp. Nulls keep
+    * propagating (Greatest/Least would SKIP them and clamp null to a
+    * real cell, exploding null-bbox rows across the full cell range);
+    * a null sequence bound makes Explode drop the row — exactly the
+    * predicate's null semantics. */
   private def cellIndex(e: Expression): Expression = {
     val clamped = Least(Seq(
       Greatest(Seq(e, Literal(-181.0, DoubleType))),
       Literal(181.0, DoubleType)))
-    Cast(Floor(Divide(clamped, Literal(CellDeg, DoubleType))), IntegerType)
+    If(IsNull(e), Literal.create(null, IntegerType),
+      Cast(Floor(Divide(clamped, Literal(CellDeg, DoubleType))),
+        IntegerType))
   }
 
   /** child + two Generate nodes exploding the covered cell range. */

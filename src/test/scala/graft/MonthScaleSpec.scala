@@ -94,5 +94,16 @@ class MonthScaleSpec extends SparkSpec {
     val expected = CatalogQuery
       .compile(CatalogStore.read(spark, flat), q).count()
     assert(rows.length.toLong == expected)
+
+    // upsert into the monthly catalog must PRESERVE the layout: a
+    // month-less delta gets the month derived, and the directory tree
+    // keeps its two levels (a flat rewrite would corrupt discovery)
+    val before = CatalogStore.read(spark, path).count()
+    val delta = items.limit(50)
+    CatalogStore.upsert(spark, path, delta)
+    val after = CatalogStore.read(spark, path)
+    assert(after.count() == before, "idempotent re-upsert")
+    assert(collDir.listFiles().count(_.getName.startsWith("month=")) == 4,
+      "month partitions survive upsert")
   }
 }
