@@ -92,6 +92,38 @@ object SourceSinkQueries {
       .orderBy(col("id"))
   }
 
+  /** src_csv / src_json / src_orc — format matrix beyond parquet:
+    * write the nation table out in each format and read it back with
+    * an EXPLICIT schema (never inference in production paths, SURVEY
+    * §1.2). Roundtrip ⇒ the oracle is the original table. */
+  private def roundtrip(
+      s: SparkSession, dir: String, format: String): DataFrame = {
+    val src = graft.Tables.nation(s, dir)
+    val tmp = Files.createTempDirectory(s"graft-$format").toString + "/nation"
+    src.write.format(format).mode("overwrite").save(tmp)
+    s.read.format(format)
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .load(tmp)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+  }
+
+  def srcCsv(s: SparkSession, dir: String): DataFrame = {
+    val src = graft.Tables.nation(s, dir)
+    val tmp = Files.createTempDirectory("graft-csv").toString + "/nation"
+    src.write.option("header", "true").mode("overwrite").csv(tmp)
+    s.read.option("header", "true")
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .csv(tmp)
+  }
+
+  def srcJson(s: SparkSession, dir: String): DataFrame =
+    roundtrip(s, dir, "json")
+
+  def srcOrc(s: SparkSession, dir: String): DataFrame =
+    roundtrip(s, dir, "orc")
+
+  val srcFormatSql: String = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
   /** snk_listing_cache — the cache write+hit cycle
     * (insitu recipe.py:35-44): miss lists and writes parquet, hit
     * reads it back without re-listing. Output proves both paths. */
@@ -210,6 +242,9 @@ object SourceSinkQueries {
     "src_scientific" -> (srcScientific _),
     "src_scientific_v2" -> (srcScientificV2 _),
     "src_yaml_collections" -> (srcYamlCollections _),
+    "src_csv" -> (srcCsv _),
+    "src_json" -> (srcJson _),
+    "src_orc" -> (srcOrc _),
     "snk_listing_cache" -> (snkListingCache _),
     "snk_upsert" -> (snkUpsert _),
     "catalog_search" -> (catalogSearch _),
@@ -219,7 +254,10 @@ object SourceSinkQueries {
   )
 
   def oracle: Map[String, String] = Map(
-    "src_listing_cache" -> srcListingCacheSql
+    "src_listing_cache" -> srcListingCacheSql,
+    "src_csv" -> srcFormatSql,
+    "src_json" -> srcFormatSql,
+    "src_orc" -> srcFormatSql
     // all others: env-dependent, side-effectful, or UDF-valued —
     // covered by CatalogSpec/GeometrySpec/StreamingSpec unit+e2e tests
   )
