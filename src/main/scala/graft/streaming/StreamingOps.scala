@@ -72,6 +72,29 @@ object StreamingOps {
     events.withWatermark("ts", "48 hours")
       .dropDuplicatesWithinWatermark(key)
 
+  /** stream_stream_join — watermarked stream-stream interval join:
+    * each error pairs with signups of the same user within the
+    * preceding hour. Both sides carry watermarks and the join
+    * condition bounds event-time distance, so Spark can expire state
+    * (unbounded-state stream joins are rejected at analysis). Works
+    * identically on batch frames (no watermark applied). */
+  def errorsWithRecentSignups(
+      errors: DataFrame, signups: DataFrame): DataFrame = {
+    val e = (if (errors.isStreaming) errors.withWatermark("ts", "2 hours")
+      else errors)
+      .select(col("event_id").as("error_id"), col("user_id"),
+        col("ts").as("error_ts"))
+    val sg = (if (signups.isStreaming) signups.withWatermark("ts", "2 hours")
+      else signups)
+      .select(col("user_id"), col("ts").as("signup_ts"))
+    e.join(sg,
+      e("user_id") === sg("user_id") &&
+        col("signup_ts") <= col("error_ts") &&
+        col("signup_ts") >= col("error_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("error_id"), e("user_id").as("user_id"),
+        col("error_ts"), col("signup_ts"))
+  }
+
   /** Custom per-key state (stream_session's explicit-state form,
     * SURVEY §2.9): running per-user counters maintained with
     * flatMapGroupsWithState — the mechanism for state machines the

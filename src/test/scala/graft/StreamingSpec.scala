@@ -137,6 +137,34 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(catalog).count() > 0)
   }
 
+  test("stream-stream interval join matches its batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val errMem = MemoryStream[Ev]
+    val sgMem = MemoryStream[Ev]
+    val errors = Seq(Ev(100, ts(30), 1, "error", 0.0))
+    val signups = Seq(
+      Ev(200, ts(5), 1, "signup", 0.0), // 25 min before → matches
+      Ev(201, ts(140), 1, "signup", 0.0), // after the error → no
+      Ev(202, ts(25), 2, "signup", 0.0)) // other user → no
+    errMem.addData(errors: _*)
+    sgMem.addData(signups: _*)
+    val q = StreamingOps
+      .errorsWithRecentSignups(errMem.toDF(), sgMem.toDF())
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val stream = spark.table("ss_join")
+      .select("error_id", "signup_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    val batch = StreamingOps
+      .errorsWithRecentSignups(errors.toDF(), signups.toDF())
+      .select("error_id", "signup_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    assert(stream == batch, s"stream $stream vs batch $batch")
+    assert(batch.nonEmpty, "sample must produce at least one pair")
+  }
+
   test("sliding window covers each event in multiple slides") {
     import spark.implicits._
     val slides = StreamingOps.slidingCounts(sample.toDF()).collect()
