@@ -61,6 +61,17 @@ def main():
     for qdir in qdirs:
         name = qdir.name
         spark_rel = con.sql(f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
+        # The DRIVER's harness sorts rows with pandas, which cannot hash
+        # ARRAY/MAP/STRUCT values -> the query goes red there even when the
+        # answers match. Enforce scalar-only declared outputs HERE, hard.
+        bad_cols = [
+            c for c, t in zip(spark_rel.columns, spark_rel.types)
+            if any(k in str(t) for k in ("[]", "MAP", "STRUCT", "LIST"))
+        ]
+        if bad_cols:
+            failures.append((name, f"container-typed output columns {bad_cols}"))
+            print(f"  {name}: CONTAINER-OUTPUT {bad_cols} (driver would go red)")
+            continue
         s_cols, s_rows = frame(spark_rel)
         if name not in oracle:
             status = "rows-only"

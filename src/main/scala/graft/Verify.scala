@@ -15,13 +15,30 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // The driver's hash-compare sorts result rows with pandas, which dies
+    // on ARRAY/MAP/STRUCT-typed columns (TypeError: unhashable type) and
+    // marks the query red even when values match. Declared outputs must be
+    // scalar-only — serialize containers with to_json before declaring.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    var containerViolations = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        val bad = df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] => f.name
+        }
+        if (bad.nonEmpty)
+          containerViolations ::= s"$name: container-typed output columns ${bad.mkString(", ")}"
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Loud warning only — a hard exit here would zero a whole driver round
+    // for one bad query; harness/check.py is the hard local gate.
+    containerViolations.foreach(v => System.err.println(s"[verify] CONTAINER-OUTPUT $v"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

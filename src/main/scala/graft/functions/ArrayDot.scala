@@ -62,16 +62,23 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   override protected def doGenCode(
       ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName, not fixed names: two ArrayDotProduct instances in the
+      // same codegen scope (e.g. dot(a,b) and dot(a,a) for the norm in one
+      // projection) would otherwise redeclare the locals — janino fails and
+      // Spark silently falls back to interpreted execution.
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       s"""
-         |int n = $a.numElements();
-         |if (n != $b.numElements()) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double acc = 0.0;
-         |  for (int i = 0; i < n; i++) {
-         |    acc += $a.getDouble(i) * $b.getDouble(i);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
          |  }
-         |  ${ev.value} = acc;
+         |  ${ev.value} = $acc;
          |}
        """.stripMargin
     })

@@ -19,9 +19,9 @@ object MultimodalQueries {
         .when(col("doc_id") % 3 === 1, lit("audio/wav"))
         .otherwise(lit("video/mp4")).as("media_type"),
       length(col("text").cast("binary")).as("payload_bytes"),
-      substring(col("text"), 1, 16).cast("binary").as("payload_head"),
-      map(lit("source"), col("source"), lit("lang"), col("lang"))
-        .as("meta"))
+      hex(substring(col("text"), 1, 16).cast("binary")).as("payload_head_hex"),
+      to_json(map(lit("source"), col("source"), lit("lang"), col("lang")))
+        .as("meta_json"))
 
   val multimodalStructSql: String =
     """SELECT doc_id,
@@ -29,8 +29,9 @@ object MultimodalQueries {
       |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
       |       ELSE 'video/mp4' END AS media_type,
       |  octet_length(encode(text)) AS payload_bytes,
-      |  encode(substr(text, 1, 16)) AS payload_head,
-      |  MAP(['source','lang'], [source, lang]) AS meta
+      |  hex(encode(substr(text, 1, 16))) AS payload_head_hex,
+      |  CAST(to_json(MAP(['source','lang'], [source, lang])) AS VARCHAR)
+      |    AS meta_json
       |FROM documents""".stripMargin
 
   /** multimodal_features — the mapPartitions decode pipeline (stub

@@ -250,10 +250,11 @@ object RelationalQueries {
     events(s, dir)
       .filter(col("event_type") === "signup")
       .groupBy(col("user_id"))
-      .agg(sort_array(collect_list(col("event_id"))).as("ids"))
+      .agg(to_json(sort_array(collect_list(col("event_id")))).as("ids_json"))
 
   val aggCollectSql: String =
-    """SELECT user_id, list(event_id ORDER BY event_id) AS ids
+    """SELECT user_id,
+      |  CAST(to_json(list(event_id ORDER BY event_id)) AS VARCHAR) AS ids_json
       |FROM events WHERE event_type = 'signup' GROUP BY user_id""".stripMargin
 
   /** agg_grouping_sets — multi-granularity rollups (collection ×

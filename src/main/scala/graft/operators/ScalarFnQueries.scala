@@ -128,23 +128,25 @@ object ScalarFnQueries {
 
   /** fn_array_lit4 — bbox [w,s,e,n] from 4 scalars
     * (avhrr recipe.py:51-56); carried as array AND scalars so the
-    * scalar forms stay pushdown-able (SURVEY §1.2). */
+    * scalar forms stay pushdown-able (SURVEY §1.2). The array rides
+    * the declared output as JSON: the driver's hash-compare cannot
+    * sort raw ARRAY columns (round-1 finding). */
   def fnArrayLit4(s: SparkSession, dir: String): DataFrame = {
     val w = (col("p_size") % 10).cast("double") * -10
     val sC = (col("p_partkey") % 8).cast("double") * -10
     part(s, dir).select(
       col("p_partkey"),
-      array(w, sC, w + lit(15.0), sC + lit(12.0)).as("bbox"),
+      to_json(array(w, sC, w + lit(15.0), sC + lit(12.0))).as("bbox_json"),
       w.as("bbox_w"), sC.as("bbox_s"),
       (w + lit(15.0)).as("bbox_e"), (sC + lit(12.0)).as("bbox_n"))
   }
 
   val fnArrayLit4Sql: String =
     """SELECT p_partkey,
-      |  [CAST(p_size % 10 AS DOUBLE) * -10,
+      |  CAST(to_json([CAST(p_size % 10 AS DOUBLE) * -10,
       |   CAST(p_partkey % 8 AS DOUBLE) * -10,
       |   CAST(p_size % 10 AS DOUBLE) * -10 + 15.0,
-      |   CAST(p_partkey % 8 AS DOUBLE) * -10 + 12.0] AS bbox,
+      |   CAST(p_partkey % 8 AS DOUBLE) * -10 + 12.0]) AS VARCHAR) AS bbox_json,
       |  CAST(p_size % 10 AS DOUBLE) * -10 AS bbox_w,
       |  CAST(p_partkey % 8 AS DOUBLE) * -10 AS bbox_s,
       |  CAST(p_size % 10 AS DOUBLE) * -10 + 15.0 AS bbox_e,
@@ -156,15 +158,16 @@ object ScalarFnQueries {
   def fnMapInsert(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).select(
       col("doc_id"),
-      map_concat(
+      to_json(map_concat(
         map(lit("data"), concat(lit("https://host/"), col("source"))),
-        map(lit("public"), concat(lit("https://cdn/"), col("source"))))
-        .as("assets"))
+        map(lit("public"), concat(lit("https://cdn/"), col("source")))))
+        .as("assets_json"))
 
   val fnMapInsertSql: String =
     """SELECT doc_id,
-      |  MAP(['data','public'],
-      |      ['https://host/' || source, 'https://cdn/' || source]) AS assets
+      |  CAST(to_json(MAP(['data','public'],
+      |      ['https://host/' || source, 'https://cdn/' || source]))
+      |    AS VARCHAR) AS assets_json
       |FROM documents""".stripMargin
 
   /** fn_map_transform — rewrite every value of a string map
@@ -174,13 +177,14 @@ object ScalarFnQueries {
   def fnMapTransform(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).select(
       col("doc_id"),
-      transform_values(
+      to_json(transform_values(
         map(lit("lang"), col("lang"), lit("source"), col("source")),
-        (_, v) => upper(v)).as("attrs"))
+        (_, v) => upper(v))).as("attrs_json"))
 
   val fnMapTransformSql: String =
     """SELECT doc_id,
-      |  MAP(['lang','source'], [upper(lang), upper(source)]) AS attrs
+      |  CAST(to_json(MAP(['lang','source'], [upper(lang), upper(source)]))
+      |    AS VARCHAR) AS attrs_json
       |FROM documents""".stripMargin
 
   /** fn_array_append — append the collection link
@@ -188,11 +192,14 @@ object ScalarFnQueries {
   def fnArrayAppend(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).select(
       col("doc_id"),
-      array_append(array(lit("self"), col("source")), col("lang"))
-        .as("links"))
+      to_json(array_append(array(lit("self"), col("source")), col("lang")))
+        .as("links_json"))
 
   val fnArrayAppendSql: String =
-    "SELECT doc_id, list_append(['self', source], lang) AS links FROM documents"
+    """SELECT doc_id,
+      |  CAST(to_json(list_append(['self', source], lang)) AS VARCHAR)
+      |    AS links_json
+      |FROM documents""".stripMargin
 
   /** fn_conditional — null-safe conditional properties
     * (insitu recipe.py:100-108). */

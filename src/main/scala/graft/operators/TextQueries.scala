@@ -201,7 +201,9 @@ object TextQueries {
       .select(col("doc_id"),
         TextFunctions.winnow()(col("text")).as("fingerprint"))
       .select(col("doc_id"), size(col("fingerprint")).as("n_grams"),
-        col("fingerprint"))
+        // JSON, not raw ARRAY: the driver's row-sorter cannot hash
+        // container columns (round-1 finding).
+        to_json(col("fingerprint")).as("fingerprint_json"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats _),
