@@ -38,4 +38,21 @@ object VectorFunctions {
         (shiftright(sig, j * bandBits).bitwiseAND(lit(mask))).as("bh"))
     }: _*)
   }
+
+  /** Multi-probe band values: for each band, the exact band hash plus
+    * every single-bit flip of it. Probing Hamming-≤1 neighbors
+    * recovers the recall lost by widening bands (wide bands = small
+    * collision probability per band, but tiny candidate volume). The
+    * fan-out is (bandBits+1)×nBands narrow (band, bh) rows per vector
+    * — a constant factor on a short-key shuffle, never a function of
+    * corpus size. */
+  def sigBandProbes(sig: Column, bits: Int, nBands: Int): Column = {
+    val bandBits = bits / nBands
+    val mask = (1L << bandBits) - 1
+    array((0 until nBands).flatMap { j =>
+      val base = shiftright(sig, j * bandBits).bitwiseAND(lit(mask))
+      (base +: (0 until bandBits).map(i => base.bitwiseXOR(lit(1L << i))))
+        .map(bh => struct(lit(j).as("band"), bh.as("bh")))
+    }: _*)
+  }
 }

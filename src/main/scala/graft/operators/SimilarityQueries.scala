@@ -74,22 +74,40 @@ object SimilarityQueries {
       |WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
       |    CAST(y.embedding AS DOUBLE[])), 4) >= 0.4""".stripMargin
 
+  private val SIG_BITS = 64
+  private val N_BANDS = 8 // 8-bit bands: 256 buckets/band, not 16
+  /** Skew guard: a (band, bh) bucket keeps at most this many members
+    * (deterministic first-by-vec_id). Degenerate corpora (millions of
+    * identical/zero vectors hashing to one bucket) otherwise make the
+    * band self-join quadratic — the same stop-gram discipline as
+    * text_containment's maxDf cap. Identical-vector floods are exact
+    * dedup's job, not LSH's. */
+  private val BUCKET_CAP = 512
+
   /** sim_ann_lsh — approximate top-10 for the vec_id=0 query via
-    * random-hyperplane LSH (16 bits, 4 bands, one-pass signature):
-    * candidates share ≥1 band with the query, exact cosine re-rank on
-    * candidates only. Approximate ⇒ rows-only; recall vs brute force
-    * property-tested. */
+    * random-hyperplane LSH: 64-bit one-pass signature, 8 bands × 8
+    * bits, multi-probe (each band hash plus its 8 single-bit flips)
+    * on the broadcast query side. Candidates share a probed bucket
+    * with the query; exact cosine re-rank on candidates only. Wide
+    * bands bound candidate volume to the probed buckets' population
+    * (capped); multi-probe restores recall. Approximate ⇒ rows-only;
+    * recall vs brute force property-tested. */
   def simAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(embeddings(s, dir))
-      .withColumn("sig", FastSig.hyperplaneSigFast(16)(col("emb")))
+      .withColumn("sig", FastSig.hyperplaneSigFast(SIG_BITS)(col("emb")))
     val bands = e.select(col("vec_id"), col("emb"), col("nrm"),
-      explode(VectorFunctions.sigBands(col("sig"), 16, 4)).as("bb"))
+      explode(VectorFunctions.sigBands(col("sig"), SIG_BITS, N_BANDS)).as("bb"))
       .select(col("vec_id"), col("emb"), col("nrm"),
         col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val qBands = bands.filter(col("vec_id") === 0)
-      .select(col("band"), col("bh"), col("emb").as("qv"),
-        col("nrm").as("qn"))
-    bands.join(broadcast(qBands), Seq("band", "bh"))
+    // query probes its own buckets plus Hamming-1 neighbors: 72 keys,
+    // trivially broadcast
+    val qProbes = e.filter(col("vec_id") === 0)
+      .select(col("emb").as("qv"), col("nrm").as("qn"),
+        explode(VectorFunctions.sigBandProbes(col("sig"), SIG_BITS, N_BANDS))
+          .as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bh").as("bh"),
+        col("qv"), col("qn"))
+    bands.join(broadcast(qProbes), Seq("band", "bh"))
       .select(col("vec_id"), col("emb"), col("nrm"), col("qv"), col("qn"))
       .dropDuplicates("vec_id")
       .select(col("vec_id"),
@@ -100,23 +118,36 @@ object SimilarityQueries {
   }
 
   /** dedup_near_embedding — embedding-cosine near-dup candidates via
-    * LSH bucketing: pairs sharing ≥1 hyperplane band, exact cosine ≥
-    * 0.45 on candidates only. At 100 TB this is the dedup pass for
-    * embedding-indexed corpora: no all-pairs product, candidates from
-    * a short-key equi-join. Approximate recall ⇒ rows-only. */
+    * LSH bucketing: 64-bit hyperplane signature, 8 bands × 8 bits,
+    * multi-probe on one join side (Hamming-≤1 within a band), exact
+    * cosine ≥ 0.45 on candidates only. At 100 TB this is the dedup
+    * pass for embedding-indexed corpora: candidate volume is bounded
+    * by Σ_buckets |bucket|² with |bucket| ≤ BUCKET_CAP — never an
+    * all-pairs product, and never quadratic in corpus size the way
+    * narrow (4-bit) bands were. Approximate recall ⇒ rows-only;
+    * bucket bound property-tested on a skewed fixture. */
   def dedupNearEmbedding(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val e = withNorm(embeddings(s, dir))
-    // 16-bit signature, 4 bands × 4 bits — tuned for recall at the
-    // verification threshold (band width trades candidate volume for
-    // recall; candidates are cheap now that the band join carries ids
-    // only)
     val sigs = e.select(col("vec_id"),
-      FastSig.hyperplaneSigFast(16)(col("emb")).as("sig"))
+      FastSig.hyperplaneSigFast(SIG_BITS)(col("emb")).as("sig"))
+    // exact band buckets, capped per (band, bh) — deterministic
+    // first-BUCKET_CAP members by vec_id (skew guard; see BUCKET_CAP)
     val bands = sigs.select(col("vec_id"),
-      explode(VectorFunctions.sigBands(col("sig"), 16, 4)).as("bb"))
+      explode(VectorFunctions.sigBands(col("sig"), SIG_BITS, N_BANDS)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("band"), col("bh")).orderBy(col("vec_id"))))
+      .filter(col("rn") <= BUCKET_CAP)
+      .drop("rn")
+    // probe side carries Hamming-≤1 band neighbors so a one-bit
+    // signature disagreement within a band still collides
+    val probes = sigs.select(col("vec_id"),
+      explode(VectorFunctions.sigBandProbes(col("sig"), SIG_BITS, N_BANDS))
+        .as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     // candidates carry ids only; embeddings re-joined afterwards
-    val cands = bands.select(col("band"), col("bh"), col("vec_id").as("a"))
+    val cands = probes.select(col("band"), col("bh"), col("vec_id").as("a"))
       .join(bands.select(col("band"), col("bh"), col("vec_id").as("b")),
         Seq("band", "bh"))
       .filter(col("a") < col("b"))
@@ -133,19 +164,34 @@ object SimilarityQueries {
       .select(col("a"), col("b"), col("sim"))
   }
 
+  /** Coarse-quantizer size: k = ⌈√n⌉, hard-capped so the broadcast
+    * stays bounded no matter the corpus (65,536 × 64-dim doubles ≈
+    * 33 MB). √n balances list length (n/k) against probe cost (k). */
+  private[operators] def ivfK(n: Long): Int =
+    math.min(math.max(4, math.ceil(math.sqrt(n.toDouble)).toLong), 65536L).toInt
+
+  /** Deterministic bounded centroid sample: the k vectors with the
+    * smallest hash — a TakeOrderedAndProject (per-partition heaps of
+    * size k), so the driver and the broadcast hold exactly
+    * min(k, n) rows regardless of corpus size. */
+  private[operators] def ivfCentroids(e: DataFrame, k: Int): DataFrame =
+    e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"),
+        col("nrm").as("cnrm"))
+
   /** sim_ann_ivf — IVF-style ANN: a deterministic centroid sample
     * (coarse quantizer) is broadcast; every vector joins its nearest
     * centroid (inverted lists); the query probes the nprobe=3 nearest
     * lists and exact-scores only their members. At 100 TB the
-    * centroid table stays broadcast-sized (k ≈ √n), assignment is a
-    * map-side broadcast join, and the probe touches nprobe/k of the
-    * data. Approximate ⇒ rows-only; recall property-tested. */
+    * centroid table stays broadcast-sized — k = ⌈√n⌉ capped at 65,536
+    * (ivfK enforces what this comment promises) — assignment is a
+    * map-side broadcast join, and the probe touches ~nprobe/k of the
+    * data. The one-scan count() for n is a driver scalar, same
+    * discipline as text_tfidf. Approximate ⇒ rows-only; recall and
+    * the centroid bound are property-tested. */
   def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(embeddings(s, dir))
-    // deterministic coarse quantizer: every 23rd vector is a centroid
-    val cents = e.filter(col("vec_id") % 23 === 1)
-      .select(col("vec_id").as("cid"), col("emb").as("cemb"),
-        col("nrm").as("cnrm"))
+    val cents = ivfCentroids(e, ivfK(e.count()))
     val sim = arrayDot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm"))
     // inverted lists: nearest centroid per vector (map-side broadcast)
     val assigned = e.join(broadcast(cents))
