@@ -117,43 +117,63 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** Cap a (band, bh)-bucketed side to its first BUCKET_CAP members
+    * by vec_id (deterministic skew guard; see BUCKET_CAP). */
+  private def capBuckets(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("rn", row_number().over(
+      Window.partitionBy(col("band"), col("bh")).orderBy(col("vec_id"))))
+      .filter(col("rn") <= BUCKET_CAP)
+      .drop("rn")
+  }
+
   /** dedup_near_embedding — embedding-cosine near-dup candidates via
     * LSH bucketing: 64-bit hyperplane signature, 8 bands × 8 bits,
     * multi-probe on one join side (Hamming-≤1 within a band), exact
     * cosine ≥ 0.45 on candidates only. At 100 TB this is the dedup
-    * pass for embedding-indexed corpora: candidate volume is bounded
-    * by Σ_buckets |bucket|² with |bucket| ≤ BUCKET_CAP — never an
-    * all-pairs product, and never quadratic in corpus size the way
-    * narrow (4-bit) bands were. Approximate recall ⇒ rows-only;
-    * bucket bound property-tested on a skewed fixture. */
-  def dedupNearEmbedding(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val e = withNorm(embeddings(s, dir))
+    * pass for embedding-indexed corpora: BOTH join sides are capped
+    * per (band, bh), so candidate volume is bounded by
+    * Σ_buckets |band-bucket| × |probe-bucket| with each factor ≤
+    * BUCKET_CAP — never an all-pairs product, and constant (not
+    * linear) in the size of an identical-vector flood. The cap costs
+    * recall inside degenerate buckets: members past the first
+    * BUCKET_CAP on either side lose their Hamming-≤1 pairs, which is
+    * the documented trade (identical-vector floods are exact dedup's
+    * job, not LSH's). Approximate recall ⇒ rows-only; the bucket cap
+    * and flood bound are asserted by SimilarityBoundsSpec. */
+  def dedupNearEmbedding(s: SparkSession, dir: String): DataFrame =
+    dedupNearEmbeddingFrom(withNorm(embeddings(s, dir)))
+
+  /** Candidate-pair stage of dedup_near_embedding, exposed so the
+    * skew-bound test can count candidates on a degenerate fixture
+    * without paying the exact-cosine verify. Expects (vec_id, emb). */
+  private[graft] def nearEmbeddingCandidates(e: DataFrame): DataFrame = {
     val sigs = e.select(col("vec_id"),
       FastSig.hyperplaneSigFast(SIG_BITS)(col("emb")).as("sig"))
-    // exact band buckets, capped per (band, bh) — deterministic
-    // first-BUCKET_CAP members by vec_id (skew guard; see BUCKET_CAP)
-    val bands = sigs.select(col("vec_id"),
+    // exact band buckets, capped per (band, bh)
+    val bands = capBuckets(sigs.select(col("vec_id"),
       explode(VectorFunctions.sigBands(col("sig"), SIG_BITS, N_BANDS)).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("band"), col("bh")).orderBy(col("vec_id"))))
-      .filter(col("rn") <= BUCKET_CAP)
-      .drop("rn")
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bh").as("bh")))
     // probe side carries Hamming-≤1 band neighbors so a one-bit
-    // signature disagreement within a band still collides
-    val probes = sigs.select(col("vec_id"),
+    // signature disagreement within a band still collides; capped per
+    // probed (band, bh) for the same skew bound as the band side
+    val probes = capBuckets(sigs.select(col("vec_id"),
       explode(VectorFunctions.sigBandProbes(col("sig"), SIG_BITS, N_BANDS))
         .as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    // candidates carry ids only; embeddings re-joined afterwards
-    val cands = probes.select(col("band"), col("bh"), col("vec_id").as("a"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bh").as("bh")))
+    probes.select(col("band"), col("bh"), col("vec_id").as("a"))
       .join(bands.select(col("band"), col("bh"), col("vec_id").as("b")),
         Seq("band", "bh"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"))
       .dropDuplicates("a", "b")
-    cands
+  }
+
+  /** DataFrame-level core of dedup_near_embedding so fixtures (e.g. a
+    * skewed identical-vector flood) can drive it directly. Expects
+    * columns (vec_id, emb, nrm). */
+  private[graft] def dedupNearEmbeddingFrom(e: DataFrame): DataFrame = {
+    nearEmbeddingCandidates(e)
       .join(e.select(col("vec_id").as("a"), col("emb").as("ea"),
         col("nrm").as("na")), Seq("a"))
       .join(e.select(col("vec_id").as("b"), col("emb").as("eb"),
@@ -179,37 +199,92 @@ object SimilarityQueries {
       .select(col("vec_id").as("cid"), col("emb").as("cemb"),
         col("nrm").as("cnrm"))
 
+  /** Probe width: a fixed share of the lists (k/4, floor 3) capped at
+    * 64 so probe cost flattens once k saturates. Hash-sampled
+    * centroids are NOT k-means — on an unclustered corpus recall
+    * tracks the probed share of data, so small corpora (small k)
+    * probe a large fraction while at full k=65,536 the cap keeps the
+    * probe at 64 lists ≈ 0.1% of vectors. */
+  private[operators] def ivfNProbe(k: Int): Int =
+    math.min(64, math.max(3, math.ceil(k / 4.0).toInt))
+
+  /** Vectors index into this many of their nearest lists (soft
+    * assignment). 2× index size buys recall hash-sampled centroids
+    * can't: a vector on a Voronoi boundary is findable from both
+    * sides. */
+  private[operators] val IVF_ASSIGN = 2
+
+  /** Top-`a` centroid ids for one vector by (cosine desc, cid asc) —
+    * shared by the executor-side assignment kernel and the
+    * driver-side query probe. O(k·d) per call; only an a-slot
+    * insertion buffer allocated. */
+  private[operators] def topCentroids(
+      cents: Array[(Long, Array[Double], Double)], a: Int,
+      emb: Seq[Double], nrm: Double): Array[Long] = {
+    if (emb == null || nrm == 0.0 || cents.isEmpty) return Array.empty[Long]
+    val simTop = Array.fill(a)(Double.NegativeInfinity)
+    val cidTop = Array.fill(a)(Long.MaxValue)
+    val ev = emb.toArray
+    var i = 0
+    while (i < cents.length) {
+      val cid = cents(i)._1
+      val ce = cents(i)._2
+      val cn = cents(i)._3
+      var dot = 0.0
+      var j = 0
+      val lim = math.min(ev.length, ce.length)
+      while (j < lim) { dot += ce(j) * ev(j); j += 1 }
+      val sim = if (cn == 0.0) Double.NegativeInfinity else dot / (nrm * cn)
+      var ins = -1
+      var p = 0
+      while (p < a && ins < 0) {
+        if (sim > simTop(p) || (sim == simTop(p) && cid < cidTop(p))) ins = p
+        p += 1
+      }
+      if (ins >= 0) {
+        var q = a - 1
+        while (q > ins) {
+          simTop(q) = simTop(q - 1); cidTop(q) = cidTop(q - 1); q -= 1
+        }
+        simTop(ins) = sim; cidTop(ins) = cid
+      }
+      i += 1
+    }
+    cidTop.zip(simTop).collect {
+      case (c, s) if s > Double.NegativeInfinity => c
+    }
+  }
+
   /** sim_ann_ivf — IVF-style ANN: a deterministic centroid sample
-    * (coarse quantizer) is broadcast; every vector joins its nearest
-    * centroid (inverted lists); the query probes the nprobe=3 nearest
-    * lists and exact-scores only their members. At 100 TB the
-    * centroid table stays broadcast-sized — k = ⌈√n⌉ capped at 65,536
-    * (ivfK enforces what this comment promises) — assignment is a
-    * map-side broadcast join, and the probe touches ~nprobe/k of the
-    * data. The one-scan count() for n is a driver scalar, same
-    * discipline as text_tfidf. Approximate ⇒ rows-only; recall and
-    * the centroid bound are property-tested. */
+    * (coarse quantizer, ≤65,536 rows ≈ 33 MB — ivfK enforces the
+    * bound) is collected once and closed over by a UDF kernel that
+    * assigns every vector to its IVF_ASSIGN nearest lists. The n×k
+    * distance matrix never materializes as rows and assignment needs
+    * NO shuffle — the broadcast-join + groupBy alternative shuffles
+    * n×k rows, a 65,536× explosion at full k. The query's ivfNProbe(k)
+    * list ids become an isin literal evaluated map-side; exact cosine
+    * re-ranks only probed-list members. The one-scan count() for n
+    * and the one-row query collect are driver scalars, same
+    * discipline as text_tfidf. Approximate ⇒ rows-only; recall is
+    * asserted by ScaleUtilsSpec and the ivfK/ivfNProbe bounds by
+    * SimilarityBoundsSpec. */
   def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(embeddings(s, dir))
-    val cents = ivfCentroids(e, ivfK(e.count()))
-    val sim = arrayDot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm"))
-    // inverted lists: nearest centroid per vector (map-side broadcast)
-    val assigned = e.join(broadcast(cents))
-      .select(col("vec_id"), col("emb"), col("nrm"), col("cid"),
-        sim.as("csim"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), struct(col("csim"), col("cid"))).as("cid"),
-        first(col("emb")).as("emb"), first(col("nrm")).as("nrm"))
-    // query probes its 3 nearest centroid lists
+    val k = ivfK(e.count())
+    val cArr = ivfCentroids(e, k).collect().map { r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+    }
+    val assignUdf = udf { (emb: Seq[Double], nrm: Double) =>
+      topCentroids(cArr, IVF_ASSIGN, emb, nrm)
+    }
     val q = e.filter(col("vec_id") === 0)
       .select(col("emb").as("qv"), col("nrm").as("qn"))
-    val probes = cents.join(broadcast(q))
-      .select(col("cid"),
-        (arrayDot(col("cemb"), col("qv")) / (col("cnrm") * col("qn")))
-          .as("csim"))
-      .orderBy(col("csim").desc, col("cid")).limit(3)
-      .select(col("cid"))
-    assigned.join(broadcast(probes), Seq("cid"))
+    val qRow = q.collect()(0)
+    val probeCids = topCentroids(cArr, ivfNProbe(k),
+      qRow.getSeq[Double](0), qRow.getDouble(1))
+    e.withColumn("cid", explode(assignUdf(col("emb"), col("nrm"))))
+      .filter(col("cid").isin(probeCids.map(Long.box): _*))
+      .dropDuplicates("vec_id")
       .join(broadcast(q))
       .select(col("vec_id"),
         round(arrayDot(col("emb"), col("qv")) / (col("nrm") * col("qn")), 6)

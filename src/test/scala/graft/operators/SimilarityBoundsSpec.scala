@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.ArrayDot.l2Norm
+
+/** The bounds the SimilarityQueries doc-comments promise: centroid
+  * count (ivfK), probe width (ivfNProbe), the topCentroids kernel,
+  * and the BUCKET_CAP candidate bound on a degenerate
+  * identical-vector flood. */
+class SimilarityBoundsSpec extends SparkSpec {
+
+  test("ivfK is ceil(sqrt(n)) with floor 4 and cap 65536") {
+    assert(SimilarityQueries.ivfK(1L) == 4)
+    assert(SimilarityQueries.ivfK(500L) == 23)
+    assert(SimilarityQueries.ivfK(1000000L) == 1000)
+    assert(SimilarityQueries.ivfK(10000000000L) == 65536)
+  }
+
+  test("ivfNProbe scales with k/4, floor 3, cap 64") {
+    assert(SimilarityQueries.ivfNProbe(4) == 3)
+    assert(SimilarityQueries.ivfNProbe(23) == 6)
+    assert(SimilarityQueries.ivfNProbe(256) == 64)
+    assert(SimilarityQueries.ivfNProbe(65536) == 64)
+  }
+
+  test("topCentroids picks true nearest by cosine with cid tiebreak") {
+    val r2 = math.sqrt(2.0) / 2.0
+    val cents = Array(
+      (1L, Array(1.0, 0.0), 1.0),
+      (2L, Array(0.0, 1.0), 1.0),
+      (3L, Array(r2, r2), 1.0))
+    val v = Seq(0.9, 0.1)
+    val nrm = math.sqrt(v.map(x => x * x).sum)
+    assert(SimilarityQueries.topCentroids(cents, 2, v, nrm).toSeq == Seq(1L, 3L))
+    // a > #centroids: returns all, no sentinel ids
+    assert(SimilarityQueries.topCentroids(cents, 5, v, nrm).toSeq ==
+      Seq(1L, 3L, 2L))
+    // ties broken by smaller cid: duplicate centroid vectors
+    val dup = Array((7L, Array(1.0, 0.0), 1.0), (5L, Array(1.0, 0.0), 1.0))
+    assert(SimilarityQueries.topCentroids(dup, 1, Seq(1.0, 0.0), 1.0)
+      .toSeq == Seq(5L))
+    // degenerate inputs are empty, not a crash
+    assert(SimilarityQueries.topCentroids(cents, 2, null, 1.0).isEmpty)
+    assert(SimilarityQueries.topCentroids(cents, 2, v, 0.0).isEmpty)
+  }
+
+  test("identical-vector flood: candidates bounded by BUCKET_CAP on both sides") {
+    // 1200 copies of one vector all hash to one bucket per band; with
+    // both join sides capped at 512 the distinct candidate pairs are
+    // at most C(512, 2) — constant in flood size, not linear.
+    val emb = Seq.tabulate(8)(i => if (i == 0) 1.0 else 0.1)
+    val flood = spark.range(1200).select(col("id").as("vec_id"),
+      typedLit(emb).as("emb"))
+    val cands = SimilarityQueries.nearEmbeddingCandidates(flood).count()
+    val cap = 512L
+    assert(cands > 0L, "flood members must still pair up")
+    assert(cands <= cap * (cap - 1) / 2,
+      s"flood candidates $cands exceed the two-sided bucket-cap bound")
+  }
+
+  test("planted near-duplicates survive the capped LSH") {
+    val rnd = new scala.util.Random(42)
+    val dim = 16
+    val base = Seq.tabulate(200) { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian()))
+    }
+    // plant 10 near-dup twins of the first 10 vectors (tiny jitter)
+    val twins = Seq.tabulate(10) { i =>
+      val src = base(i)._2
+      (1000L + i, src.map(x => x + 1e-3 * rnd.nextGaussian()))
+    }
+    import spark.implicits._
+    val df = (base ++ twins).toDF("vec_id", "emb")
+      .select(col("vec_id"), col("emb"),
+        l2Norm(col("emb")).as("nrm"))
+    val pairs = SimilarityQueries.dedupNearEmbeddingFrom(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0 until 10).count { i =>
+      pairs.contains((i.toLong, 1000L + i)) ||
+        pairs.contains((1000L + i, i.toLong))
+    }
+    assert(found >= 8, s"only $found/10 planted near-dup pairs recalled")
+  }
+}
