@@ -2,6 +2,9 @@ package graft.catalog
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode}
+import org.apache.spark.sql.graftbridge.GraftExpr
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType}
 
 /** CQL2-text filter compiler (SURVEY.md §3.3: stac-fastapi accepts a
   * CQL2 `filter` parameter and pgstac evaluates it;
@@ -40,6 +43,13 @@ object Cql2Filter {
   def compile(text: String, topCols: Set[String]): Column =
     toColumn(new Parser(text).parseAll(), topCols)
 
+  /** TRY-mode cast: a map property value that doesn't parse as the
+    * literal's type becomes null (three-valued ⇒ row filtered out)
+    * instead of an ANSI CAST_INVALID_INPUT crash killing the whole
+    * search — properties are stringly-typed and user-authored. */
+  private def tryCast(c: Column, dt: DataType): Column =
+    GraftExpr.toColumn(Cast(GraftExpr.toExpr(c), dt, None, EvalMode.TRY))
+
   def toColumn(n: Node, topCols: Set[String]): Column = {
     // try_element_at: a missing map key is null (three-valued logic),
     // not a MAP_KEY_DOES_NOT_EXIST crash under Spark 4's default ANSI
@@ -47,10 +57,21 @@ object Cql2Filter {
     def prop(p: String): Column =
       if (topCols.contains(p)) col(p)
       else try_element_at(col("properties"), lit(p))
+    // map-fallback properties are strings: comparing against a number
+    // or boolean literal must not ANSI-crash on non-numeric values
+    def typedSides(p: String, v: Any): (Column, Column) = {
+      val c = prop(p)
+      if (topCols.contains(p)) (c, lit(v))
+      else v match {
+        case n: Long => (tryCast(c, DoubleType), lit(n.toDouble))
+        case d: Double => (tryCast(c, DoubleType), lit(d))
+        case b: Boolean => (tryCast(c, BooleanType), lit(b))
+        case other => (c, lit(other))
+      }
+    }
     n match {
       case Cmp(p, op, v) =>
-        val c = prop(p)
-        val l = lit(v)
+        val (c, l) = typedSides(p, v)
         op match {
           case "=" => c === l
           case "<>" => c =!= l
@@ -59,6 +80,12 @@ object Cql2Filter {
           case ">" => c > l
           case ">=" => c >= l
         }
+      case In(p, vs) if !topCols.contains(p) &&
+          vs.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Double]) =>
+        tryCast(prop(p), DoubleType).isin(vs.map {
+          case n: Long => n.toDouble
+          case d: Double => d
+        }: _*)
       case In(p, vs) => prop(p).isin(vs: _*)
       case Like(p, pat) => prop(p).like(pat)
       case IsNull(p, false) => prop(p).isNull

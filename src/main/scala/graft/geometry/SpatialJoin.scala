@@ -26,6 +26,17 @@ object SpatialJoin {
     * is emitted only from the bottom-left-most cell of the overlap
     * region, which is unique per pair — preserves input-row
     * multiplicity and avoids a dedup shuffle entirely. */
+  /** Cell index with the same dirty-data totality as the optimizer
+    * rule (RewriteBboxOverlapJoin.cellIndex): clamp to ±181 BEFORE the
+    * int cast so NetCDF fill values (~9.97e36) and NaN don't overflow
+    * the ANSI cast — least/greatest push NaN to the upper clamp — and
+    * keep null null (explode then drops the row, matching the
+    * predicate's null semantics). */
+  private def cellIdx(e: Column, cellDeg: Double): Column =
+    when(e.isNull, lit(null).cast("int"))
+      .otherwise(floor(
+        least(greatest(e, lit(-181.0)), lit(181.0)) / cellDeg).cast("int"))
+
   def bboxOverlapJoin(
       left: DataFrame,
       right: DataFrame,
@@ -36,11 +47,11 @@ object SpatialJoin {
       def c(name: String): Column = col(name + suffix)
       renamed
         .withColumn("_cx" + suffix, explode(sequence(
-          floor(c("bbox_w") / cellDeg).cast("int"),
-          floor(c("bbox_e") / cellDeg).cast("int"))))
+          cellIdx(c("bbox_w"), cellDeg),
+          cellIdx(c("bbox_e"), cellDeg))))
         .withColumn("_cy" + suffix, explode(sequence(
-          floor(c("bbox_s") / cellDeg).cast("int"),
-          floor(c("bbox_n") / cellDeg).cast("int"))))
+          cellIdx(c("bbox_s"), cellDeg),
+          cellIdx(c("bbox_n"), cellDeg))))
     }
     val l = cellsOf(left, "")
     val r = cellsOf(right, "_r")
@@ -50,13 +61,15 @@ object SpatialJoin {
         col("bbox_w_r") <= col("bbox_e") &&
         col("bbox_s") <= col("bbox_n_r") &&
         col("bbox_s_r") <= col("bbox_n"))
-      // canonical cell: bottom-left of the overlap region
+      // canonical cell: bottom-left of the overlap region (same
+      // clamped index as candidate generation, so fill-value rows
+      // that survive the residual filter can't crash the cast here)
       .filter(col("_cx") === greatest(
-          floor(col("bbox_w") / cellDeg).cast("int"),
-          floor(col("bbox_w_r") / cellDeg).cast("int")) &&
+          cellIdx(col("bbox_w"), cellDeg),
+          cellIdx(col("bbox_w_r"), cellDeg)) &&
         col("_cy") === greatest(
-          floor(col("bbox_s") / cellDeg).cast("int"),
-          floor(col("bbox_s_r") / cellDeg).cast("int")))
+          cellIdx(col("bbox_s"), cellDeg),
+          cellIdx(col("bbox_s_r"), cellDeg)))
       .drop("_cx", "_cy", "_cx_r", "_cy_r")
   }
 
@@ -71,10 +84,17 @@ object SpatialJoin {
     def bucketsOf(df: DataFrame, suffix: String): DataFrame = {
       val renamed = if (suffix.isEmpty) df else
         df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + suffix))
-      renamed.withColumn("_bkt" + suffix, explode(sequence(
-        date_trunc(truncUnit, col("start_ts" + suffix)),
-        date_trunc(truncUnit, col("end_ts" + suffix)),
-        expr(s"INTERVAL 1 $truncUnit"))))
+      val start = col("start_ts" + suffix)
+      val end = col("end_ts" + suffix)
+      // inverted intervals (start > end) are dirty data: Sequence with
+      // a positive step would throw on them, so they generate no
+      // buckets and the row is dropped (an inverted interval is not a
+      // well-formed occupancy claim)
+      renamed.withColumn("_bkt" + suffix, explode(
+        when(start <= end, sequence(
+          date_trunc(truncUnit, start),
+          date_trunc(truncUnit, end),
+          expr(s"INTERVAL 1 $truncUnit")))))
     }
     bucketsOf(left, "")
       .join(bucketsOf(right, "_r"), col("_bkt") === col("_bkt_r"))

@@ -1,6 +1,5 @@
 package graft.ingest
 
-import java.nio.file.{Files, Paths}
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -28,19 +27,24 @@ object ListingCache {
 
   /** Listing with cache: returns a single-column `url` DataFrame,
     * sorted (the reference's `sorted(fs.glob(...))`,
-    * insitu recipe.py:40). `lister` runs only on miss. */
+    * insitu recipe.py:40). `lister` runs only on miss. The cache
+    * probe/mkdir go through the Hadoop FileSystem of `cacheRoot`, so a
+    * non-local root (hdfs://, s3a://) actually hits — a java.nio probe
+    * would always miss there and silently re-list every time. */
   def cachedListing(
       spark: SparkSession,
       glob: String,
       cacheRoot: String,
       cache: Boolean = true)(lister: String => DataFrame): DataFrame = {
     val path = cachePath(cacheRoot, glob)
-    if (cache && Files.exists(Paths.get(path))) {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    lazy val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cache && fs.exists(hPath)) {
       spark.read.parquet(path).orderBy("url")
     } else {
       val listed = lister(glob).select(col("url")).orderBy("url")
       if (cache) {
-        Files.createDirectories(Paths.get(cacheRoot))
+        fs.mkdirs(new org.apache.hadoop.fs.Path(cacheRoot))
         listed.coalesce(1).write.mode("overwrite").parquet(path)
         spark.read.parquet(path).orderBy("url")
       } else listed

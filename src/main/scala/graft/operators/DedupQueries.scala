@@ -37,17 +37,43 @@ object DedupQueries {
       |  count(*) AS n_copies
       |FROM documents GROUP BY sha256(text)""".stripMargin
 
+  /** Skew guard for the prefix block: a block keeps only its first
+    * BLOCK_CAP docs by doc_id, so the self-join is ≤ C(BLOCK_CAP, 2)
+    * pairs per block no matter how boilerplate-heavy the corpus — a
+    * million docs sharing one 32-char prefix would otherwise be an
+    * all-pairs product. Members past the cap lose their pairs, the
+    * same documented trade as BUCKET_CAP in dedup_near_embedding
+    * (identical-text floods are exact dedup's job). Mirrored verbatim
+    * in the DuckDB oracle so the hash-compare sees the same drop. */
+  private val BLOCK_CAP = 256
+
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    documents(s, dir).select(col("doc_id"),
+    shingledFrom(documents(s, dir))
+
+  private def shingledFrom(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       substring(col("text"), 1, 32).as("blk"),
       FastSig.hashedShingles(SHINGLE_K)(col("text")).as("shin"))
 
   /** dedup_ngram_jaccard — exact word-3-gram Jaccard over candidate
     * pairs blocked on a text prefix (cheap, high-recall block for
-    * near-identical docs). Jaccard over hashed shingle sets — same
-    * value as string sets modulo 2⁻⁶⁴ collisions ⇒ oracle-checked. */
-  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val d = shingled(s, dir)
+    * near-identical docs), blocks capped at BLOCK_CAP members. The
+    * window's hash-partitioning on blk is the same key the self-join
+    * shuffles on, so the cap adds no extra exchange. Jaccard over
+    * hashed shingle sets — same value as string sets modulo 2⁻⁶⁴
+    * collisions ⇒ oracle-checked. */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    dedupNgramJaccardFrom(documents(s, dir))
+
+  /** DataFrame-level core (doc_id, text) so the skew-fixture test can
+    * drive an oversized block through the cap directly. */
+  private[graft] def dedupNgramJaccardFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = shingledFrom(docs)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("blk")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= BLOCK_CAP)
+      .drop("rn")
     val a = d.select(col("blk"), col("doc_id").as("a"), col("shin").as("sa"))
     val b = d.select(col("blk"), col("doc_id").as("b"), col("shin").as("sb"))
     a.join(b, Seq("blk"))
@@ -59,7 +85,7 @@ object DedupQueries {
   }
 
   val dedupNgramJaccardSql: String =
-    """WITH d AS (
+    """WITH d0 AS (
       |  SELECT doc_id, substr(text, 1, 32) AS blk,
       |    list_distinct(CASE WHEN len(string_split(text,' ')) < 3
       |      THEN [text]
@@ -68,7 +94,12 @@ object DedupQueries {
       |        i -> string_split(text,' ')[i] || ' ' ||
       |             string_split(text,' ')[i+1] || ' ' ||
       |             string_split(text,' ')[i+2]) END) AS shin
-      |  FROM documents)
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, blk, shin FROM (
+      |    SELECT d0.*, row_number() OVER
+      |      (PARTITION BY blk ORDER BY doc_id) AS rn FROM d0)
+      |  WHERE rn <= 256)
       |SELECT x.doc_id AS a, y.doc_id AS b,
       |  round(CAST(len(list_intersect(x.shin, y.shin)) AS DOUBLE) /
       |        len(list_distinct(list_concat(x.shin, y.shin))), 4) AS jac

@@ -70,6 +70,25 @@ class Cql2FilterSpec extends SparkSpec {
     assert(ids("other = 'y'") == Seq("i2"))
   }
 
+  test("numeric comparison on a non-numeric property value filters, not crashes") {
+    import spark.implicits._
+    val items = Seq(
+      ("i1", Map("cloud_cover" -> "12.5")),
+      ("i2", Map("cloud_cover" -> "not-a-number")),
+      ("i3", Map("cloud_cover" -> "80")),
+      ("i4", Map("flag" -> "true"))
+    ).toDF("item_id", "properties")
+    def ids(f: String) = items
+      .filter(Cql2Filter.compile(f, items.columns.toSet))
+      .collect().map(_.getString(0)).toSeq
+    // ANSI mode: the "not-a-number" value must become null (row
+    // filtered), not a CAST_INVALID_INPUT crash killing the search
+    assert(ids("cloud_cover < 50") == Seq("i1"))
+    assert(ids("cloud_cover >= 12.5") == Seq("i1", "i3"))
+    assert(ids("cloud_cover IN (80, 99)") == Seq("i3"))
+    assert(ids("flag = TRUE") == Seq("i4"))
+  }
+
   test("malformed input fails loudly") {
     intercept[Exception](Cql2Filter.compile("n_chars >", Set("n_chars")))
     intercept[Exception](Cql2Filter.compile("(lang = 'en'", Set("lang")))

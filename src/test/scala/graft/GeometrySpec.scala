@@ -75,7 +75,10 @@ class GeometrySpec extends SparkSpec {
   }
 
   test("listing cache: miss lists + writes, hit skips lister") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-cache").toString
+    // scheme-qualified root: the probe must go through Hadoop
+    // FileSystem (a java.nio probe on "file://..." always misses)
+    val tmp = "file://" +
+      java.nio.file.Files.createTempDirectory("graft-cache").toString
     var listerCalls = 0
     def lister(glob: String) = {
       import spark.implicits._

@@ -57,4 +57,45 @@ class SpatialJoinSpec extends SparkSpec {
     assert(bucketed == naive,
       s"bucketed ${bucketed.size} pairs vs naive ${naive.size}")
   }
+
+  test("bbox join survives NetCDF fill values, NaN and null bounds") {
+    import spark.implicits._
+    val dirty = Seq(
+      (1L, 9.969209968386869e36, 9.969209968386869e36,
+        9.969209968386869e36, 9.969209968386869e36), // fill value
+      (2L, Double.NaN, Double.NaN, Double.NaN, Double.NaN),
+      (3L, -20.0, -10.0, 20.0, 10.0) // one clean box
+    ).toDF("id", "bbox_w", "bbox_s", "bbox_e", "bbox_n")
+      .union(Seq((4L, null, null, null, null))
+        .toDF("id", "bbox_w", "bbox_s", "bbox_e", "bbox_n")
+        .select(col("id"), col("bbox_w").cast("double"),
+          col("bbox_s").cast("double"), col("bbox_e").cast("double"),
+          col("bbox_n").cast("double")))
+    val clean = Seq((10L, -5.0, -5.0, 5.0, 5.0))
+      .toDF("id", "bbox_w", "bbox_s", "bbox_e", "bbox_n")
+    // must not crash under ANSI mode; the clean pair must be found and
+    // the null-bbox row dropped
+    val got = SpatialJoin.bboxOverlapJoin(dirty, clean)
+      .select(col("id"), col("id_r")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((3L, 10L)))
+    assert(!got.exists(_._1 == 4L))
+  }
+
+  test("interval join drops inverted and null intervals without error") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dirty = Seq(
+      (1L, ts("2022-03-10 00:00:00"), ts("2022-01-01 00:00:00")), // inverted
+      (2L, ts("2022-02-01 00:00:00"), ts("2022-02-20 00:00:00"))  // clean
+    ).toDF("id", "start_ts", "end_ts")
+      .union(Seq((3L, None: Option[java.sql.Timestamp],
+        None: Option[java.sql.Timestamp])).toDF("id", "start_ts", "end_ts"))
+    val other = Seq((10L, ts("2022-02-05 00:00:00"), ts("2022-02-10 00:00:00")))
+      .toDF("id", "start_ts", "end_ts")
+    val got = SpatialJoin.intervalOverlapJoin(dirty, other)
+      .select(col("id"), col("id_r")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, 10L)))
+  }
 }
