@@ -140,19 +140,39 @@ object CatalogStore {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn", "_prio", "_tie")
-    // Materialize the merge BEFORE overwriting: the plan reads the
-    // same path it is about to rewrite, and a lazy read racing the
-    // overwrite commit (or an AQE stage re-execution) could read
-    // deleted files. localCheckpoint severs the lineage first; if it
-    // fails, the catalog is untouched — fail-safe, never corrupting.
-    val materialized = merged.repartition(partCols.map(col): _*)
-      .localCheckpoint()
-    // per-write dynamic mode: only partitions present in `merged` are
-    // replaced, WITHOUT mutating the session-wide overwrite semantics
-    materialized.write
+    // Materialize the merge BEFORE the catalog mutates: the plan reads
+    // the same files it is about to replace. A staged write streams
+    // the merge to a temp path (localCheckpoint would instead cache
+    // every affected partition to executor storage — TBs for a hot
+    // collection at 100 TB), then swaps partition directories in with
+    // metadata-only renames. A failure before any rename leaves the
+    // catalog untouched; a failure mid-swap is repaired by re-running
+    // the idempotent upsert (deterministic last-write-wins).
+    val parent = Option(hPath.getParent)
+      .getOrElse(new org.apache.hadoop.fs.Path("/"))
+    val staging = new org.apache.hadoop.fs.Path(parent,
+      s".${hPath.getName}.staging-${java.util.UUID.randomUUID}")
+    merged.repartition(partCols.map(col): _*)
+      .write
       .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCols: _*)
-      .parquet(path)
+      .parquet(staging.toString)
+    try {
+      def leafDirs(p: org.apache.hadoop.fs.Path,
+          depth: Int): Seq[org.apache.hadoop.fs.Path] =
+        if (depth == 0) Seq(p)
+        else fs.listStatus(p).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+          .flatMap(st => leafDirs(st.getPath, depth - 1))
+      leafDirs(staging, partCols.length).foreach { src =>
+        val rel = src.toUri.getPath
+          .stripPrefix(staging.toUri.getPath).stripPrefix("/")
+        val dst = new org.apache.hadoop.fs.Path(hPath, rel)
+        if (fs.exists(dst)) fs.delete(dst, true)
+        val dstParent = dst.getParent
+        if (!fs.exists(dstParent)) fs.mkdirs(dstParent)
+        fs.rename(src, dst)
+      }
+    } finally fs.delete(staging, true)
   }
 }
