@@ -1,0 +1,110 @@
+package graft.catalog
+
+import java.nio.charset.StandardCharsets
+import java.sql.Timestamp
+import java.util.Base64
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** STAC FeatureCollection response assembly (SURVEY §3.3) — the JSON
+  * page the reference serves through stac-fastapi + pgstac
+  * (docker-compose.yml:1-28): `{"type":"FeatureCollection",
+  * "features":[...], "links":[self, next-token]}`.
+  *
+  * Feature serialization is DISTRIBUTED — one to_json per item row
+  * (whole-stage codegen) with the stored GeoJSON geometry string
+  * spliced in as a raw object. Only the ≤ limit page rows reach the
+  * driver; the envelope and paging links are driver-side string
+  * assembly over that bounded page, so response building never holds
+  * more than one page regardless of catalog size.
+  */
+object FeatureCollection {
+
+  /** One GeoJSON Feature per item as a JSON string column. The
+    * geometry column already holds GeoJSON text, so it is spliced
+    * into the to_json output as a raw object — to_json itself would
+    * double-encode it as an escaped string. */
+  def featureColumn: Column = {
+    val base = to_json(struct(
+      lit("Feature").as("type"),
+      lit("1.0.0").as("stac_version"),
+      col("item_id").as("id"),
+      col("collection_id").as("collection"),
+      col("bbox"),
+      col("properties"),
+      col("assets"),
+      col("links")))
+    concat(base.substr(lit(1), length(base) - 1),
+      lit(",\"geometry\":"), col("geometry"), lit("}"))
+  }
+
+  /** Opaque next-page token: the sort-key values of the page's last
+    * row, type-tagged and base64-armored so any string content is
+    * JSON- and URL-safe. Round-trips String/Long/Int/Double/Boolean/
+    * Timestamp/null exactly (keyset predicates need the exact
+    * values). */
+  def encodeToken(values: Seq[Any]): String = values.map {
+    case null => "n:"
+    case s: String => "s:" + Base64.getUrlEncoder.withoutPadding
+      .encodeToString(s.getBytes(StandardCharsets.UTF_8))
+    case i: Int => "i:" + i
+    case l: Long => "l:" + l
+    case d: Double => "d:" + d
+    case b: Boolean => "b:" + b
+    case t: Timestamp => "t:" + t.getTime + ";" + t.getNanos
+    case other => throw new IllegalArgumentException(
+      s"untokenizable sort value: ${other.getClass}")
+  }.mkString(",")
+
+  def decodeToken(token: String): Seq[Any] =
+    token.split(",", -1).toSeq.map { part =>
+      val (tag, v) = (part.substring(0, 1), part.substring(2))
+      tag match {
+        case "n" => null
+        case "s" => new String(Base64.getUrlDecoder.decode(v),
+          StandardCharsets.UTF_8)
+        case "i" => v.toInt
+        case "l" => v.toLong
+        case "d" => v.toDouble
+        case "b" => v.toBoolean
+        case "t" =>
+          val Array(millis, nanos) = v.split(";")
+          val ts = new Timestamp(millis.toLong)
+          ts.setNanos(nanos.toInt)
+          ts
+        case other =>
+          throw new IllegalArgumentException(s"bad token tag '$other'")
+      }
+    }
+
+  /** One serialized response page. */
+  case class Page(body: String, nextToken: Option[String],
+      numberReturned: Int)
+
+  /** Run the search and serialize the page. `token` is the nextToken
+    * of the previous page (overrides q.afterToken when present). */
+  def page(items: DataFrame, q: CatalogQuery.Search,
+      token: Option[String] = None, selfHref: String = "/search"): Page = {
+    val search = token match {
+      case Some(t) => q.copy(afterToken = Some(decodeToken(t)))
+      case None => q
+    }
+    val keyCols = (search.sortBy ++ Seq(("item_id", true))).map(_._1)
+    val rows = CatalogQuery.compile(items, search)
+      .select(featureColumn.as("_feature") +: keyCols.map(col): _*)
+      .collect()
+    val features = rows.map(_.getString(0))
+    val next =
+      if (rows.length < search.limit) None
+      else Some(encodeToken(keyCols.indices.map(i => rows.last.get(i + 1))))
+    val links = Seq(s"""{"rel":"self","href":"$selfHref"}""") ++
+      next.map(t =>
+        s"""{"rel":"next","href":"$selfHref","body":{"token":"$t"}}""")
+    val body = s"""{"type":"FeatureCollection"""" +
+      s""","numberReturned":${features.length}""" +
+      s""","features":[${features.mkString(",")}]""" +
+      s""","links":[${links.mkString(",")}]}"""
+    Page(body, next, features.length)
+  }
+}

@@ -21,11 +21,12 @@ object IngestPipeline {
       source: GranuleSource,
       catalogPath: String,
       postprocess: DataFrame => DataFrame = identity,
-      initial: Boolean = false): IngestResult = {
+      initial: Boolean = false,
+      xstac: Option[ItemAssembly.XstacKwargs] = None): IngestResult = {
     // one scan of the (possibly remote/expensive) source: the
     // checkpointed delta feeds assembly, both counts, and the write
     val granules = source.granules(spark).localCheckpoint()
-    val (items, errors) = ItemAssembly.assemble(granules)
+    val (items, errors) = ItemAssembly.assemble(granules, xstac)
     val finalItems = postprocess(items)
     val nItems = finalItems.count()
     if (initial) CatalogStore.write(finalItems, catalogPath)

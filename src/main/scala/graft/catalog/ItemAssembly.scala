@@ -14,6 +14,19 @@ import graft.geometry.Geometry
   */
 object ItemAssembly {
 
+  /** The reference's `xstac_kwargs` (avhrr recipe.py:131-135, insitu
+    * recipe.py:165-169): the CRS plus the names of the x/y grid
+    * dimensions. xstac derives STAC projection-extension fields from
+    * these against the open dataset; here the granule rows carry no
+    * grid arrays, so the derivable subset is proj:code/proj:epsg and
+    * proj:bbox (from the item bbox — exact for epsg:4326 where data
+    * and CRS coordinates coincide). Dimension names are kept for
+    * sources whose metadata rows DO carry per-dimension sizes. */
+  case class XstacKwargs(
+      referenceSystem: String = "epsg:4326",
+      xDimension: String = "ni",
+      yDimension: String = "nj")
+
   /** Strict numeric cast: parse failure lands in `cast_errors` rather
     * than silently nulling — the engine twin of the reference's
     * `raise ValueError(ds.attrs, bbox_strings)` (insitu
@@ -26,7 +39,8 @@ object ItemAssembly {
   /** Assemble items from granule_meta (FIXTURES.md B1 schema).
     * Returns (items, errors): errors carries the original strings for
     * the rows whose bbox failed to parse, with full context. */
-  def assemble(granules: DataFrame): (DataFrame, DataFrame) = {
+  def assemble(granules: DataFrame,
+      xstac: Option[XstacKwargs] = None): (DataFrame, DataFrame) = {
     val withCasts = granules.select(
       col("*"),
       strictDouble(col("westernmost_longitude")).as("bbox_w"),
@@ -59,11 +73,12 @@ object ItemAssembly {
       col("start_datetime"),
       col("end_datetime"),
       array(col("start_datetime"), col("end_datetime")).as("datetimes"),
-      map(
+      map(Seq(
         lit("start_datetime"),
         date_format(col("start_datetime"), "yyyy-MM-dd'T'HH:mm:ss"),
         lit("end_datetime"),
-        date_format(col("end_datetime"), "yyyy-MM-dd'T'HH:mm:ss"))
+        date_format(col("end_datetime"), "yyyy-MM-dd'T'HH:mm:ss")) ++
+        projProperties(xstac): _*)
         .as("properties"),
       map(lit("data"),
         struct(col("source").as("href"),
@@ -75,4 +90,21 @@ object ItemAssembly {
 
     (items, bad)
   }
+
+  /** STAC projection-extension key/value columns for the properties
+    * map. proj:epsg only when the reference system is an EPSG code. */
+  private def projProperties(xstac: Option[XstacKwargs]): Seq[Column] =
+    xstac.toSeq.flatMap { x =>
+      val epsg = "(?i)epsg:(\\d+)".r
+      val code = x.referenceSystem match {
+        case epsg(n) => Seq(lit("proj:epsg"), lit(n))
+        case _ => Seq.empty
+      }
+      Seq(
+        lit("proj:code"), lit(x.referenceSystem.toUpperCase),
+        lit("proj:bbox"), concat(lit("["),
+          concat_ws(", ", col("bbox_w").cast("string"),
+            col("bbox_s").cast("string"), col("bbox_e").cast("string"),
+            col("bbox_n").cast("string")), lit("]"))) ++ code
+    }
 }

@@ -202,6 +202,35 @@ object SourceSinkQueries {
         "bbox_w", "bbox_n")
   }
 
+  /** catalog_fc_page — the STAC FeatureCollection response serializer
+    * (stac-fastapi's JSON surface, docker-compose.yml:1-28): three
+    * token-walked pages re-exploded to (page, feature) rows. Feature
+    * JSON is deterministic (no ingest timestamps serialized) but the
+    * envelope walk is driver-orchestrated ⇒ rows-only; shape asserted
+    * e2e in CatalogSpec. */
+  def catalogFcPage(s: SparkSession, dir: String): DataFrame = {
+    import graft.catalog.FeatureCollection
+    val path = Files.createTempDirectory("graft-fc").toString + "/items"
+    val (items, _) = ItemAssembly.assemble(
+      new FixtureGranuleSource(end = "2022-05-01 02:59:59").granules(s))
+    CatalogStore.write(items, path)
+    val all = CatalogStore.read(s, path)
+    val q = CatalogQuery.Search(sortBy = Seq(("start_datetime", true)),
+      limit = 10)
+    var token: Option[String] = None
+    val bodies = (1 to 3).map { i =>
+      val p = FeatureCollection.page(all, q, token)
+      token = p.nextToken
+      (i, p.body)
+    }
+    import s.implicits._
+    bodies.toDF("page", "body")
+      .select(col("page"), explode(expr(
+        "from_json(body, 'STRUCT<features: ARRAY<STRUCT<id: STRING>>>')" +
+          ".features.id")).as("item_id"))
+      .orderBy(col("page"), col("item_id"))
+  }
+
   /** fn_geometry_extract — trajectory → simplified GeoJSON + bbox
     * (extract_geometry(tolerance=0.001), insitu recipe.py:91-93).
     * Trajectories synthesized per-row from the time grid. */
@@ -248,6 +277,7 @@ object SourceSinkQueries {
     "snk_listing_cache" -> (snkListingCache _),
     "snk_upsert" -> (snkUpsert _),
     "catalog_search" -> (catalogSearch _),
+    "catalog_fc_page" -> (catalogFcPage _),
     "insitu_ingest" -> (insituIngest _),
     "fn_geometry_extract" -> (fnGeometryExtract _),
     "fn_surrogate_repair" -> (fnSurrogateRepair _)

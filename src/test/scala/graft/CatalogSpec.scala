@@ -30,7 +30,9 @@ class CatalogSpec extends SparkSpec {
 
   test("ingest: granules → items with strict-cast quarantine") {
     val source = new FixtureGranuleSource()
-    val (items, errors) = ItemAssembly.assemble(source.granules(spark))
+    val (items, errors) = ItemAssembly.assemble(source.granules(spark),
+      xstac = Some(ItemAssembly.XstacKwargs(
+        referenceSystem = "epsg:4326", xDimension = "ni", yDimension = "nj")))
     val nItems = items.count()
     val nErrors = errors.count()
     // 478 slots (480 minus 2 missing) split between good and quarantined
@@ -43,6 +45,17 @@ class CatalogSpec extends SparkSpec {
     // geometry is a closed GeoJSON ring
     val g = items.select("geometry").first().getString(0)
     assert(g.startsWith("{\"type\":\"Polygon\""))
+    // xstac projection metadata (avhrr recipe.py:131-135) lands in the
+    // properties map and proj:bbox agrees with the scalar bbox
+    val p = items.select(col("properties"), col("bbox_w")).first()
+    val props = p.getMap[String, String](0)
+    assert(props("proj:code") == "EPSG:4326")
+    assert(props("proj:epsg") == "4326")
+    assert(props("proj:bbox").startsWith("[" + p.getDouble(1)))
+    // without kwargs, no proj keys are stamped
+    val bare = ItemAssembly.assemble(source.granules(spark))._1
+      .select("properties").first().getMap[String, String](0)
+    assert(!bare.keysIterator.exists(_.startsWith("proj:")))
   }
 
   test("catalog write + idempotent upsert (re-ingest changes nothing)") {
@@ -111,6 +124,52 @@ class CatalogSpec extends SparkSpec {
           times.last)
       }
     }
+  }
+
+  test("FeatureCollection pages serialize, token-walk and re-parse") {
+    val path = s"$tmp/fc-items"
+    val (items, _) = ItemAssembly.assemble(
+      new FixtureGranuleSource(end = "2022-05-01 02:59:59").granules(spark))
+    CatalogStore.write(items, path)
+    val all = CatalogStore.read(spark, path)
+    val q = CatalogQuery.Search(
+      sortBy = Seq(("start_datetime", true)), limit = 7)
+    // walk 3 pages via the opaque token
+    var token: Option[String] = None
+    val pages = (0 until 3).map { _ =>
+      val p = FeatureCollection.page(all, q, token)
+      token = p.nextToken
+      p
+    }
+    assert(pages.forall(_.numberReturned == 7))
+    assert(pages(0).nextToken.isDefined && pages(1).nextToken.isDefined)
+    // re-parse every page body with Spark's JSON reader: envelope
+    // shape, feature count, geometry as an OBJECT (not an escaped
+    // string), and no id overlap across pages
+    import spark.implicits._
+    val parsed = spark.read.json(pages.map(_.body).toDS)
+    assert(parsed.columns.toSet ==
+      Set("type", "numberReturned", "features", "links"))
+    val rows = parsed.select(col("type"), col("numberReturned"),
+      size(col("features")).as("n")).collect()
+    assert(rows.forall(r => r.getString(0) == "FeatureCollection" &&
+      r.getLong(1) == 7 && r.getInt(2) == 7))
+    val ids = parsed.select(explode(col("features.id"))).collect()
+      .map(_.getString(0))
+    assert(ids.length == 21 && ids.distinct.length == 21,
+      "pages must not overlap or repeat items")
+    val geomTypes = parsed
+      .select(explode(col("features.geometry.type"))).collect()
+      .map(_.getString(0))
+    assert(geomTypes.forall(_ == "Polygon"),
+      "geometry must parse as a GeoJSON object")
+    // token values round-trip exactly (timestamp + string key)
+    val tok = pages(0).nextToken.get
+    assert(FeatureCollection.encodeToken(
+      FeatureCollection.decodeToken(tok)) == tok)
+    // a short page ends the walk
+    val lastQ = q.copy(limit = 10000)
+    assert(FeatureCollection.page(all, lastQ).nextToken.isEmpty)
   }
 
   test("typed Dataset[StacItem] round-trips the catalog schema") {
