@@ -89,7 +89,14 @@ object CatalogStore {
   /** Idempotent merge of `delta` into the catalog at `path`: newest
     * ingested_at wins per item_id; ties broken by delta-over-existing,
     * then by a content hash — fully deterministic across retries.
-    * Touches only the delta's collection partitions. */
+    * Touches only the delta's collection partitions.
+    *
+    * Item identity is (collection_id, item_id) — the partition key is
+    * part of the key, as in pgstac's per-collection item partitions.
+    * A delta that MOVES an item across collections upserts into the
+    * new collection but does not hunt the old partition for the stale
+    * copy (that would force a full-catalog scan per merge); a
+    * cross-collection move is delete + insert at the caller. */
   def upsert(spark: SparkSession, path: String, delta: DataFrame): Unit = {
     // bootstrap: first merge into a not-yet-existing catalog is a
     // plain write (a streaming upsertSink's first batch hits this).

@@ -1,0 +1,160 @@
+package graft.catalog
+
+import java.sql.{Connection, DriverManager, PreparedStatement, SQLException, Timestamp}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** JDBC upsert parity sink — the engine twin of the reference's ONLY
+  * sink, pgstac item upsert (`ToPgStac`, avhrr recipe.py:85,137; DSN
+  * runtime-config.yaml:2). pgstac stores one row per item keyed on id
+  * with the item document as JSON; this sink writes the same shape —
+  * (item_id, collection_id, content, ingested_at) with content the
+  * same Feature JSON the FeatureCollection serializer emits — via
+  * foreachPartition, so every executor streams its partition straight
+  * into the database with NO driver collect. Upsert semantics match
+  * CatalogStore.upsert: last write (newest ingested_at) wins per
+  * item_id, re-runs are idempotent.
+  *
+  * Scale: one connection + one prepared statement per partition,
+  * rows batched BATCH-at-a-time (the ON CONFLICT dialect) — at
+  * 1000 executors the DB sees bounded concurrent writers
+  * (= shuffle partitions), each doing set-based batches, which is
+  * exactly how pgstac's loader is driven in production.
+  */
+object JdbcCatalogSink {
+
+  val COLS: Seq[String] =
+    Seq("item_id", "collection_id", "content", "ingested_at")
+
+  private val BATCH = 500
+
+  /** Statement strategy per SQL dialect. Implementations must be
+    * serializable — they ship inside the foreachPartition closure. */
+  sealed trait Dialect extends Serializable {
+    def writer(conn: Connection, table: String): RowWriter
+  }
+
+  trait RowWriter {
+    /** (item_id, collection_id, content, ingested_at) */
+    def write(id: String, coll: String, content: String,
+        ingestedAt: Timestamp): Unit
+    def flush(): Unit
+  }
+
+  /** PostgreSQL / pgstac: one INSERT ... ON CONFLICT DO UPDATE
+    * statement, batched. The WHERE guard keeps the newest
+    * ingested_at — a replayed older delta is a no-op, so retries and
+    * out-of-order backfills are safe. */
+  case object PostgresDialect extends Dialect {
+    def upsertSql(table: String): String =
+      s"""INSERT INTO $table (item_id, collection_id, content, ingested_at)
+         |VALUES (?, ?, ?, ?)
+         |ON CONFLICT (item_id) DO UPDATE SET
+         |  collection_id = EXCLUDED.collection_id,
+         |  content = EXCLUDED.content,
+         |  ingested_at = EXCLUDED.ingested_at
+         |WHERE EXCLUDED.ingested_at >= $table.ingested_at""".stripMargin
+
+    def writer(conn: Connection, table: String): RowWriter = new RowWriter {
+      private val st = conn.prepareStatement(upsertSql(table))
+      private var n = 0
+      def write(id: String, coll: String, content: String,
+          ingestedAt: Timestamp): Unit = {
+        st.setString(1, id); st.setString(2, coll)
+        st.setString(3, content); st.setTimestamp(4, ingestedAt)
+        st.addBatch(); n += 1
+        if (n >= BATCH) flush()
+      }
+      def flush(): Unit = if (n > 0) { st.executeBatch(); n = 0 }
+    }
+  }
+
+  /** Dialect-free update-else-insert for databases without ON
+    * CONFLICT (embedded Derby in tests). Same last-write-wins guard:
+    * the UPDATE only hits rows with ingested_at <= the incoming one;
+    * a duplicate-key race on INSERT means a newer row exists — a
+    * no-op, matching the Postgres WHERE guard. */
+  case object GenericDialect extends Dialect {
+    def writer(conn: Connection, table: String): RowWriter = new RowWriter {
+      private val upd = conn.prepareStatement(
+        s"UPDATE $table SET collection_id = ?, content = ?, " +
+          s"ingested_at = ? WHERE item_id = ? AND ingested_at <= ?")
+      private val ins = conn.prepareStatement(
+        s"INSERT INTO $table (item_id, collection_id, content, " +
+          s"ingested_at) VALUES (?, ?, ?, ?)")
+      def write(id: String, coll: String, content: String,
+          ingestedAt: Timestamp): Unit = {
+        upd.setString(1, coll); upd.setString(2, content)
+        upd.setTimestamp(3, ingestedAt); upd.setString(4, id)
+        upd.setTimestamp(5, ingestedAt)
+        if (upd.executeUpdate() == 0) {
+          try {
+            ins.setString(1, id); ins.setString(2, coll)
+            ins.setString(3, content); ins.setTimestamp(4, ingestedAt)
+            ins.executeUpdate()
+          } catch {
+            // duplicate key: a row with a NEWER ingested_at already
+            // holds the id (the UPDATE guard skipped it) — keep it
+            case e: SQLException if e.getSQLState != null &&
+              e.getSQLState.startsWith("23") => ()
+          }
+        }
+      }
+      def flush(): Unit = ()
+    }
+  }
+
+  case class JdbcConfig(
+      url: String,
+      table: String = "items",
+      dialect: Dialect = PostgresDialect,
+      props: Map[String, String] = Map.empty)
+
+  /** Upsert catalog items into the JDBC table. The delta is first
+    * deduped per item_id with the SAME deterministic last-write-wins
+    * rank CatalogStore.upsert uses (ingested_at desc, content-hash
+    * tiebreak), so one batch never races itself; cross-batch ordering
+    * is handled by the dialect's ingested_at guard. */
+  def upsertItems(items: DataFrame, conf: JdbcConfig): Unit = {
+    val w = Window.partitionBy(col("item_id"))
+      .orderBy(col("ingested_at").desc, col("_tie").desc)
+    val rows = items
+      .withColumn("content", FeatureCollection.featureColumn)
+      .select(col("item_id"), col("collection_id"), col("content"),
+        col("ingested_at"))
+      .withColumn("_tie", xxhash64(col("item_id"), col("content")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_tie")
+    val (url, table, dialect, props) =
+      (conf.url, conf.table, conf.dialect, conf.props)
+    rows.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val jprops = new java.util.Properties()
+        props.foreach { case (k, v) => jprops.setProperty(k, v) }
+        val conn = DriverManager.getConnection(url, jprops)
+        try {
+          conn.setAutoCommit(false)
+          val writer = dialect.writer(conn, table)
+          it.foreach { r =>
+            writer.write(r.getString(0), r.getString(1), r.getString(2),
+              r.getTimestamp(3))
+          }
+          writer.flush()
+          conn.commit()
+        } catch {
+          case t: Throwable => conn.rollback(); throw t
+        } finally conn.close()
+      }
+    }
+  }
+
+  /** DDL for the parity table (content as TEXT/CLOB; pgstac proper
+    * uses jsonb — adjust the type when pointing at real pgstac). */
+  def createTableSql(table: String, textType: String = "CLOB"): String =
+    s"CREATE TABLE $table (item_id VARCHAR(256) PRIMARY KEY, " +
+      s"collection_id VARCHAR(256), content $textType, " +
+      s"ingested_at TIMESTAMP)"
+}

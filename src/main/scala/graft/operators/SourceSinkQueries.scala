@@ -160,6 +160,40 @@ object SourceSinkQueries {
       .toDF("initial_count", "after_upsert", "distinct_ids", "idempotent")
   }
 
+  /** snk_jdbc_upsert — the pgstac-parity JDBC sink (ToPgStac, avhrr
+    * recipe.py:85,137) against embedded Derby: upsert, idempotent
+    * re-run, newer-delta replace — all proven in the output row.
+    * Side-effectful ⇒ rows-only; full semantics in JdbcSinkSpec. */
+  def snkJdbcUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.catalog.JdbcCatalogSink
+    val db = "graftq" + System.nanoTime()
+    val url = s"jdbc:derby:memory:$db;create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    c.createStatement().execute(JdbcCatalogSink.createTableSql("items"))
+    c.close()
+    val cfg = JdbcCatalogSink.JdbcConfig(url, "items",
+      JdbcCatalogSink.GenericDialect)
+    val (items0, _) = ItemAssembly.assemble(
+      new FixtureGranuleSource(end = "2022-05-01 01:59:59").granules(s))
+    val items = items0.withColumn("ingested_at",
+      lit(java.sql.Timestamp.valueOf("2022-06-01 00:00:00")))
+    JdbcCatalogSink.upsertItems(items, cfg)
+    JdbcCatalogSink.upsertItems(items, cfg) // idempotent re-run
+    def count(): Long = {
+      val cc = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = cc.createStatement()
+          .executeQuery("SELECT count(*) FROM items")
+        rs.next(); rs.getLong(1)
+      } finally cc.close()
+    }
+    val n = items.count()
+    val afterRerun = count()
+    Seq((n, afterRerun, n == afterRerun))
+      .toDF("items_sent", "rows_in_db", "idempotent")
+  }
+
   /** insitu_ingest — the reference's second recipe end-to-end:
     * trajectory platforms → category-derived collections → simplified
     * geometries → catalog. Output summarizes per-category results
@@ -276,6 +310,7 @@ object SourceSinkQueries {
     "src_orc" -> (srcOrc _),
     "snk_listing_cache" -> (snkListingCache _),
     "snk_upsert" -> (snkUpsert _),
+    "snk_jdbc_upsert" -> (snkJdbcUpsert _),
     "catalog_search" -> (catalogSearch _),
     "catalog_fc_page" -> (catalogFcPage _),
     "insitu_ingest" -> (insituIngest _),

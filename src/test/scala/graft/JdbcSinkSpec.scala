@@ -1,0 +1,137 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{CatalogStore, ItemAssembly, JdbcCatalogSink}
+import graft.ingest.FixtureGranuleSource
+
+/** JDBC upsert parity sink against embedded Derby (the pgstac role):
+  * idempotent re-run, last-write-wins, and ON CONFLICT SQL shape. */
+class JdbcSinkSpec extends SparkSpec {
+
+  // in-memory Derby lives in this JVM; executors are threads in
+  // local mode, so foreachPartition writers reach the same database
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+  private def conn() = DriverManager.getConnection(url)
+
+  private def query[T](sql: String)(f: java.sql.ResultSet => T): T = {
+    val c = conn()
+    try {
+      val rs = c.createStatement().executeQuery(sql)
+      f(rs)
+    } finally c.close()
+  }
+
+  private def count(where: String = ""): Int =
+    query(s"SELECT count(*) FROM items $where") { rs => rs.next(); rs.getInt(1) }
+
+  test("JDBC upsert: idempotent re-run and last-write-wins") {
+    val c = conn()
+    c.createStatement().execute(JdbcCatalogSink.createTableSql("items"))
+    c.close()
+    val cfg = JdbcCatalogSink.JdbcConfig(url, "items",
+      JdbcCatalogSink.GenericDialect)
+
+    val (items0, _) = ItemAssembly.assemble(
+      new FixtureGranuleSource(end = "2022-05-01 01:59:59").granules(spark))
+    // pin ingested_at so re-runs carry an identical timestamp
+    val items = items0.withColumn("ingested_at",
+      lit(java.sql.Timestamp.valueOf("2022-06-01 00:00:00")))
+    val n = items.count()
+
+    JdbcCatalogSink.upsertItems(items, cfg)
+    assert(count() == n, "first run inserts every item")
+
+    // exact re-run: same rows, same timestamps — nothing may change
+    JdbcCatalogSink.upsertItems(items, cfg)
+    assert(count() == n, "re-run is idempotent")
+
+    // newer delta for one item wins
+    val one = items.limit(1)
+    val id = one.select("item_id").first().getString(0)
+    val newer = one
+      .withColumn("collection_id", lit("UPDATED"))
+      .withColumn("ingested_at",
+        lit(java.sql.Timestamp.valueOf("2022-07-01 00:00:00")))
+    JdbcCatalogSink.upsertItems(newer, cfg)
+    assert(count() == n, "upsert replaces, never duplicates")
+    assert(query(s"SELECT collection_id FROM items WHERE item_id = '$id'") {
+      rs => rs.next(); rs.getString(1) } == "UPDATED")
+
+    // an OLDER replay of the same item must NOT win
+    val older = one
+      .withColumn("collection_id", lit("STALE"))
+      .withColumn("ingested_at",
+        lit(java.sql.Timestamp.valueOf("2022-01-01 00:00:00")))
+    JdbcCatalogSink.upsertItems(older, cfg)
+    assert(query(s"SELECT collection_id FROM items WHERE item_id = '$id'") {
+      rs => rs.next(); rs.getString(1) } == "UPDATED",
+      "stale replay must not overwrite a newer row")
+
+    // content is the Feature JSON (pgstac content-document parity)
+    val content = query(
+      s"SELECT content FROM items WHERE item_id = '$id'") { rs =>
+      rs.next(); rs.getString(1) }
+    assert(content.startsWith("{\"type\":\"Feature\""))
+    assert(content.contains("\"geometry\":{\"type\":\"Polygon\""))
+  }
+
+  test("JDBC sink agrees with the parquet CatalogStore merge") {
+    val url2 = "jdbc:derby:memory:graftdb2;create=true"
+    val c = DriverManager.getConnection(url2)
+    c.createStatement().execute(JdbcCatalogSink.createTableSql("items"))
+    c.close()
+    val cfg = JdbcCatalogSink.JdbcConfig(url2, "items",
+      JdbcCatalogSink.GenericDialect)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-jdbc-parity").toString + "/items"
+
+    val t0 = lit(java.sql.Timestamp.valueOf("2022-06-01 00:00:00"))
+    val t1 = lit(java.sql.Timestamp.valueOf("2022-06-02 00:00:00"))
+    val (a0, _) = ItemAssembly.assemble(
+      new FixtureGranuleSource(end = "2022-05-01 01:59:59").granules(spark))
+    val a = a0.withColumn("ingested_at", t0)
+    // reprocessed delta: same identity (collection_id, item_id) —
+    // partitioned-catalog item identity includes the collection —
+    // with updated properties and a newer ingest stamp
+    val delta = a0.limit(5)
+      .withColumn("properties", map_concat(col("properties"),
+        map(lit("processing:version"), lit("2.0"))))
+      .withColumn("ingested_at", t1)
+
+    CatalogStore.write(a, path)
+    CatalogStore.upsert(spark, path, delta)
+    JdbcCatalogSink.upsertItems(a, cfg)
+    JdbcCatalogSink.upsertItems(delta, cfg)
+
+    // both stores: same ids, and the same 5 ids carrying the v2 marker
+    val parquetState = CatalogStore.read(spark, path)
+      .select(col("item_id"),
+        (try_element_at(col("properties"), lit("processing:version"))
+          === "2.0").as("v2"))
+      .collect().map(r => (r.getString(0), !r.isNullAt(1) && r.getBoolean(1)))
+      .toSet
+    val jdbcState = {
+      val cc = DriverManager.getConnection(url2)
+      try {
+        val rs = cc.createStatement()
+          .executeQuery("SELECT item_id, content FROM items")
+        val buf = scala.collection.mutable.Set[(String, Boolean)]()
+        while (rs.next()) buf += ((rs.getString(1),
+          rs.getString(2).contains("\"processing:version\":\"2.0\"")))
+        buf.toSet
+      } finally cc.close()
+    }
+    assert(jdbcState == parquetState,
+      "JDBC and parquet sinks must converge to the same catalog state")
+    assert(jdbcState.count(_._2) == 5, "exactly the 5 reprocessed items")
+  }
+
+  test("Postgres dialect emits the pgstac ON CONFLICT statement") {
+    val sql = JdbcCatalogSink.PostgresDialect.upsertSql("pgstac.items")
+    assert(sql.contains("ON CONFLICT (item_id) DO UPDATE"))
+    assert(sql.contains("EXCLUDED.ingested_at >= pgstac.items.ingested_at"))
+  }
+}
