@@ -1,0 +1,185 @@
+package graft.ingest
+
+import java.io.{DataInputStream, IOException}
+import java.nio.charset.StandardCharsets
+
+/** Pure-Scala reader for the NetCDF classic header (CDF-1, CDF-2
+  * 64-bit-offset, CDF-5 64-bit-data) — the publicly documented
+  * on-disk format (the NetCDF "classic format spec"). The reference
+  * reads granule GLOBAL ATTRIBUTES through xarray
+  * (avhrr recipe.py:46-63); everything it consumes lives in the
+  * header, so this reader parses magic → numrecs → dim_list →
+  * gatt_list and never touches variable data: a 100 MB granule costs
+  * a few KB of reads. netcdf4/HDF5-backed granules still need a real
+  * library and stay behind the same GranuleSource seam.
+  *
+  * All integers are big-endian; CDF-5 widens the NON_NEG fields to
+  * 64 bits. Names and values are padded to 4-byte boundaries.
+  */
+object NetcdfClassic {
+
+  /** One parsed attribute value, rendered to STRING — the reference
+    * consumes attrs as strings (recipe.py:51-56); numeric arrays are
+    * comma-joined. */
+  case class Header(
+      version: Int,
+      numRecs: Long,
+      dims: Seq[(String, Long)],
+      attrs: Map[String, String])
+
+  private val NC_DIMENSION = 0x0A
+  private val NC_ATTRIBUTE = 0x0C
+  /** Corrupt-header guard: a global attr value longer than this is
+    * not granule metadata — fail loudly instead of buffering it. */
+  private val MAX_ATTR_BYTES = 1 << 20
+
+  def readHeader(in: DataInputStream): Header = {
+    val magic = new Array[Byte](4)
+    in.readFully(magic)
+    if (magic(0) != 'C' || magic(1) != 'D' || magic(2) != 'F')
+      throw new IOException(
+        "not a NetCDF classic file (HDF5-backed netcdf4 needs a real " +
+          "NetCDF library behind the GranuleSource seam)")
+    val version = magic(3).toInt
+    require(version == 1 || version == 2 || version == 5,
+      s"unsupported NetCDF classic version $version")
+    val wide = version == 5
+    def readSize(): Long = if (wide) in.readLong() else in.readInt().toLong
+
+    val numRecs = readSize() // STREAMING sentinel (-1) passes through
+    val dims = readDimList(in, readSize _)
+    val attrs = readAttrList(in, readSize _)
+    Header(version, numRecs, dims, attrs)
+  }
+
+  private def readName(in: DataInputStream, readSize: () => Long): String = {
+    val n = readSize().toInt
+    val bytes = new Array[Byte](n)
+    in.readFully(bytes)
+    skipPad(in, n)
+    new String(bytes, StandardCharsets.UTF_8)
+  }
+
+  private def skipPad(in: DataInputStream, n: Int): Unit = {
+    val pad = (4 - (n % 4)) % 4
+    var left = pad
+    while (left > 0) { in.readByte(); left -= 1 }
+  }
+
+  private def readDimList(
+      in: DataInputStream, readSize: () => Long): Seq[(String, Long)] = {
+    val tag = in.readInt()
+    val n = readSize()
+    if (tag == 0) { require(n == 0, "ABSENT dim_list must be 0 0"); Seq.empty }
+    else {
+      require(tag == NC_DIMENSION, s"expected NC_DIMENSION tag, got $tag")
+      (0L until n).map { _ =>
+        val name = readName(in, readSize)
+        (name, readSize())
+      }
+    }
+  }
+
+  private def readAttrList(
+      in: DataInputStream, readSize: () => Long): Map[String, String] = {
+    val tag = in.readInt()
+    val n = readSize()
+    if (tag == 0) { require(n == 0, "ABSENT gatt_list must be 0 0"); Map.empty }
+    else {
+      require(tag == NC_ATTRIBUTE, s"expected NC_ATTRIBUTE tag, got $tag")
+      (0L until n).map { _ =>
+        val name = readName(in, readSize)
+        val ncType = in.readInt()
+        val nelems = readSize().toInt
+        name -> readValues(in, ncType, nelems)
+      }.toMap
+    }
+  }
+
+  /** Typed attribute values for buildHeader. */
+  sealed trait AttrValue
+  case class CharAttr(v: String) extends AttrValue
+  case class DoubleAttr(v: Double) extends AttrValue
+  case class FloatAttr(v: Float) extends AttrValue
+  case class IntAttr(v: Seq[Int]) extends AttrValue
+  case class ShortAttr(v: Short) extends AttrValue
+
+  /** Inverse of readHeader: serialize a classic header (CDF-1/2/5)
+    * with the given dims and global attrs and an ABSENT var_list —
+    * enough to round-trip granule metadata and to synthesize test
+    * granules without a NetCDF library. */
+  def buildHeader(
+      attrs: Seq[(String, AttrValue)],
+      dims: Seq[(String, Long)] = Seq.empty,
+      version: Int = 1): Array[Byte] = {
+    require(version == 1 || version == 2 || version == 5,
+      s"unsupported NetCDF classic version $version")
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    def size(n: Long): Unit =
+      if (version == 5) out.writeLong(n) else out.writeInt(n.toInt)
+    def pad(n: Int): Unit =
+      (0 until (4 - (n % 4)) % 4).foreach(_ => out.writeByte(0))
+    def name(s: String): Unit = {
+      val b = s.getBytes(StandardCharsets.UTF_8)
+      size(b.length.toLong); out.write(b); pad(b.length)
+    }
+    out.writeBytes("CDF"); out.writeByte(version)
+    size(0L) // numrecs
+    if (dims.isEmpty) { out.writeInt(0); size(0L) }
+    else {
+      out.writeInt(NC_DIMENSION); size(dims.length.toLong)
+      dims.foreach { case (n, len) => name(n); size(len) }
+    }
+    out.writeInt(NC_ATTRIBUTE); size(attrs.length.toLong)
+    attrs.foreach { case (n, v) =>
+      name(n)
+      v match {
+        case CharAttr(s) =>
+          val b = s.getBytes(StandardCharsets.UTF_8)
+          out.writeInt(2); size(b.length.toLong); out.write(b); pad(b.length)
+        case DoubleAttr(d) => out.writeInt(6); size(1L); out.writeDouble(d)
+        case FloatAttr(f) => out.writeInt(5); size(1L); out.writeFloat(f)
+        case IntAttr(is) =>
+          out.writeInt(4); size(is.length.toLong); is.foreach(out.writeInt)
+        case ShortAttr(s) =>
+          out.writeInt(3); size(1L); out.writeShort(s.toInt); pad(2)
+      }
+    }
+    out.writeInt(0); size(0L) // var_list ABSENT
+    out.flush()
+    bos.toByteArray
+  }
+
+  private def readValues(
+      in: DataInputStream, ncType: Int, nelems: Int): String = {
+    val elemSize = ncType match {
+      case 1 | 2 => 1 // NC_BYTE / NC_CHAR
+      case 3 => 2 // NC_SHORT
+      case 4 | 5 => 4 // NC_INT / NC_FLOAT
+      case 6 => 8 // NC_DOUBLE
+      case other => throw new IOException(s"unknown nc_type $other")
+    }
+    val total = nelems.toLong * elemSize
+    if (total > MAX_ATTR_BYTES)
+      throw new IOException(s"attr value of $total bytes exceeds header bound")
+    val out = ncType match {
+      case 2 =>
+        val bytes = new Array[Byte](nelems)
+        in.readFully(bytes)
+        new String(bytes, StandardCharsets.UTF_8)
+      case 1 =>
+        Seq.fill(nelems)(in.readByte().toString).mkString(", ")
+      case 3 =>
+        Seq.fill(nelems)(in.readShort().toString).mkString(", ")
+      case 4 =>
+        Seq.fill(nelems)(in.readInt().toString).mkString(", ")
+      case 5 =>
+        Seq.fill(nelems)(in.readFloat().toString).mkString(", ")
+      case 6 =>
+        Seq.fill(nelems)(in.readDouble().toString).mkString(", ")
+    }
+    skipPad(in, total.toInt)
+    out
+  }
+}

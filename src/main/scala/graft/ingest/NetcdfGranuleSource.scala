@@ -1,0 +1,85 @@
+package graft.ingest
+
+import java.io.{BufferedInputStream, DataInputStream}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** GranuleSource over REAL NetCDF classic files: glob-list the
+  * granules, then each partition opens its files through the Hadoop
+  * FileSystem and parses ONLY the header for global attributes
+  * (NetcdfClassic) — the engine form of the reference's
+  * OpenURLWithFSSpec → OpenWithXarray → attrs chain
+  * (avhrr recipe.py:124-127, consumed at :46-63), minus pulling the
+  * data payload. At scale this is a listing shuffle plus a few KB of
+  * reads per granule, regardless of granule size.
+  *
+  * Attribute names default to the AVHRR recipe's (recipe.py:46-63);
+  * pass `attrMap` to rebind B1 columns to other conventions. A file
+  * that fails to parse yields a row with empty attr strings — the
+  * strict-cast quarantine in ItemAssembly then captures it with its
+  * source url, matching the engine's bad-row discipline (never kill
+  * the job for one granule).
+  */
+final class NetcdfGranuleSource(
+    glob: String,
+    attrMap: Map[String, String] = NetcdfGranuleSource.AVHRR_ATTRS)
+    extends GranuleSource {
+
+  override def granules(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val cols = NetcdfGranuleSource.B1_COLUMNS
+    val binding = attrMap
+    ListingCache.globListing(spark, glob).as[String]
+      .mapPartitions { it =>
+        // fresh Configuration per partition: loads the classpath
+        // defaults executors already run with (file://, hdfs://, s3a://)
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.map { url =>
+          val attrs = NetcdfGranuleSource.headerAttrs(url, conf)
+          (url,
+            attrs.getOrElse(binding("id"), ""),
+            attrs.getOrElse(binding("uuid"), ""),
+            attrs.getOrElse(binding("westernmost_longitude"), ""),
+            attrs.getOrElse(binding("southernmost_latitude"), ""),
+            attrs.getOrElse(binding("easternmost_longitude"), ""),
+            attrs.getOrElse(binding("northernmost_latitude"), ""),
+            attrs.getOrElse(binding("time_coverage_start"), ""),
+            attrs.getOrElse(binding("time_coverage_end"), ""))
+        }
+      }
+      .toDF(cols: _*)
+  }
+}
+
+object NetcdfGranuleSource {
+
+  /** B1 granule_meta columns (FIXTURES.md), in schema order. */
+  val B1_COLUMNS: Seq[String] = Seq(
+    "source", "id", "uuid",
+    "westernmost_longitude", "southernmost_latitude",
+    "easternmost_longitude", "northernmost_latitude",
+    "time_coverage_start", "time_coverage_end")
+
+  /** Identity binding: the AVHRR granules use exactly the B1 names
+    * (they were modeled on these attrs, recipe.py:46-63). */
+  val AVHRR_ATTRS: Map[String, String] =
+    B1_COLUMNS.drop(1).map(c => c -> c).toMap
+
+  /** Parse one file's global attrs; a malformed granule returns empty
+    * (quarantined downstream by the strict casts). */
+  private[ingest] def headerAttrs(
+      url: String,
+      conf: org.apache.hadoop.conf.Configuration): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(url)
+    try {
+      val fs = p.getFileSystem(conf)
+      val in = new DataInputStream(
+        new BufferedInputStream(fs.open(p), 8192))
+      try NetcdfClassic.readHeader(in).attrs
+      finally in.close()
+    } catch {
+      case _: java.io.IOException | _: IllegalArgumentException =>
+        Map.empty
+    }
+  }
+}

@@ -160,6 +160,36 @@ object SourceSinkQueries {
       .toDF("initial_count", "after_upsert", "distinct_ids", "idempotent")
   }
 
+  /** src_netcdf_attrs — REAL NetCDF classic granules on disk → header
+    * attribute extraction (NetcdfClassic) → B1 metadata rows → item
+    * assembly. The engine form of OpenURLWithFSSpec → OpenWithXarray
+    * → attrs (avhrr recipe.py:124-127, :46-63): per-partition Hadoop
+    * opens reading a few KB of header per granule. File-synthesizing
+    * ⇒ rows-only; parser round-trip proven in NetcdfSpec. */
+  def srcNetcdfAttrs(s: SparkSession, dir: String): DataFrame = {
+    import graft.ingest.NetcdfClassic._
+    val tmp = Files.createTempDirectory("graft-nc").toString
+    (0 until 24).foreach { i =>
+      val bytes = buildHeader(Seq(
+        ("id", CharAttr("AVHRR_SST_METOP_B-OSISAF-L2P-v1.0")),
+        ("uuid", CharAttr(f"granule-nc-$i%03d")),
+        ("westernmost_longitude", CharAttr((i * 7 % 170 - 85).toString)),
+        ("southernmost_latitude", CharAttr((i * 5 % 120 - 60).toString)),
+        ("easternmost_longitude", CharAttr((i * 7 % 170 - 75).toString)),
+        ("northernmost_latitude", CharAttr((i * 5 % 120 - 52).toString)),
+        ("time_coverage_start", CharAttr(f"2022-05-01T${i % 24}%02d:01:03")),
+        ("time_coverage_end", CharAttr(f"2022-05-01T${i % 24}%02d:03:59"))),
+        dims = Seq(("ni", 409L), ("nj", 5680L)),
+        version = 1 + (i % 2)) // mix CDF-1 and CDF-2
+      Files.write(java.nio.file.Paths.get(s"$tmp/g$i.nc"), bytes)
+    }
+    val src = new graft.ingest.NetcdfGranuleSource(s"file:$tmp/*.nc")
+    val (items, _) = ItemAssembly.assemble(src.granules(s))
+    items.select(col("item_id"), col("collection_id"),
+        col("bbox_w"), col("bbox_n"), col("start_datetime"))
+      .orderBy(col("item_id"))
+  }
+
   /** snk_jdbc_upsert — the pgstac-parity JDBC sink (ToPgStac, avhrr
     * recipe.py:85,137) against embedded Derby: upsert, idempotent
     * re-run, newer-delta replace — all proven in the output row.
@@ -303,6 +333,7 @@ object SourceSinkQueries {
     "src_glob_listing" -> (srcGlobListing _),
     "src_open_url" -> (srcOpenUrl _),
     "src_scientific" -> (srcScientific _),
+    "src_netcdf_attrs" -> (srcNetcdfAttrs _),
     "src_scientific_v2" -> (srcScientificV2 _),
     "src_yaml_collections" -> (srcYamlCollections _),
     "src_csv" -> (srcCsv _),
