@@ -64,9 +64,19 @@ def main():
         # The DRIVER's harness sorts rows with pandas, which cannot hash
         # ARRAY/MAP/STRUCT values -> the query goes red there even when the
         # answers match. Enforce scalar-only declared outputs HERE, hard.
+        # anchored on the DuckDBPyType id so a future scalar type whose
+        # rendered name merely CONTAINS one of these can't false-positive
+        def is_container(t) -> bool:
+            tid = getattr(t, "id", "")
+            if tid in ("list", "map", "struct", "array", "union"):
+                return True
+            # fallback for duckdb builds without .id: anchor the pattern
+            s = str(t)
+            return s.endswith("[]") or any(
+                s.startswith(k) for k in ("MAP(", "STRUCT(", "UNION("))
         bad_cols = [
             c for c, t in zip(spark_rel.columns, spark_rel.types)
-            if any(k in str(t) for k in ("[]", "MAP", "STRUCT", "LIST"))
+            if is_container(t)
         ]
         if bad_cols:
             failures.append((name, f"container-typed output columns {bad_cols}"))

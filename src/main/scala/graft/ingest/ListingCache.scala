@@ -51,11 +51,32 @@ object ListingCache {
     }
   }
 
+  /** Hadoop Configuration with per-source overrides — the engine form
+    * of the reference's fsspec `storage_kwargs`
+    * (avhrr recipe.py:124,154): credentials/endpoints for the store
+    * being listed or opened, e.g. fs.s3a.access.key /
+    * fs.s3a.endpoint, without mutating the session-wide
+    * configuration. */
+  def confWith(
+      base: org.apache.hadoop.conf.Configuration,
+      storageOptions: Map[String, String])
+      : org.apache.hadoop.conf.Configuration =
+    if (storageOptions.isEmpty) base
+    else {
+      val c = new org.apache.hadoop.conf.Configuration(base)
+      storageOptions.foreach { case (k, v) => c.set(k, v) }
+      c
+    }
+
   /** Glob listing over any Hadoop-visible filesystem
-    * (src_glob_listing): file:// here, hdfs:///s3a:// on a cluster. */
-  def globListing(spark: SparkSession, glob: String): DataFrame = {
+    * (src_glob_listing): file:// here, hdfs:///s3a:// on a cluster.
+    * `storageOptions` = per-source auth/endpoint overrides. */
+  def globListing(
+      spark: SparkSession,
+      glob: String,
+      storageOptions: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
-    val conf = spark.sparkContext.hadoopConfiguration
+    val conf = confWith(spark.sparkContext.hadoopConfiguration, storageOptions)
     val fsPath = new org.apache.hadoop.fs.Path(glob)
     val fs = fsPath.getFileSystem(conf)
     val statuses = Option(fs.globStatus(fsPath)).getOrElse(Array.empty)

@@ -22,18 +22,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class NetcdfGranuleSource(
     glob: String,
-    attrMap: Map[String, String] = NetcdfGranuleSource.AVHRR_ATTRS)
+    attrMap: Map[String, String] = NetcdfGranuleSource.AVHRR_ATTRS,
+    storageOptions: Map[String, String] = Map.empty)
     extends GranuleSource {
 
   override def granules(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val cols = NetcdfGranuleSource.B1_COLUMNS
     val binding = attrMap
-    ListingCache.globListing(spark, glob).as[String]
+    val options = storageOptions
+    ListingCache.globListing(spark, glob, storageOptions).as[String]
       .mapPartitions { it =>
-        // fresh Configuration per partition: loads the classpath
-        // defaults executors already run with (file://, hdfs://, s3a://)
-        val conf = new org.apache.hadoop.conf.Configuration()
+        // fresh Configuration per partition (classpath defaults the
+        // executors already run with) + the per-source auth/endpoint
+        // overrides — the reference's storage_kwargs
+        // (avhrr recipe.py:124,154)
+        val conf = ListingCache.confWith(
+          new org.apache.hadoop.conf.Configuration(), options)
         it.map { url =>
           val attrs = NetcdfGranuleSource.headerAttrs(url, conf)
           (url,

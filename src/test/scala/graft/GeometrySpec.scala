@@ -100,6 +100,25 @@ class GeometrySpec extends SparkSpec {
     assert(listerCalls == 2)
   }
 
+  test("storage options overlay the Hadoop conf without mutating it") {
+    val base = spark.sparkContext.hadoopConfiguration
+    val overlaid = ListingCache.confWith(base,
+      Map("fs.s3a.endpoint" -> "https://object-store.example",
+        "fs.s3a.access.key" -> "AKTEST"))
+    assert(overlaid.get("fs.s3a.endpoint") == "https://object-store.example")
+    assert(overlaid.get("fs.s3a.access.key") == "AKTEST")
+    assert(base.get("fs.s3a.access.key") == null,
+      "session-wide conf must stay untouched")
+    assert(ListingCache.confWith(base, Map.empty) eq base)
+    // a listing with options still works against file://
+    val dir = java.nio.file.Files.createTempDirectory("graft-glob").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.nc"),
+      Array[Byte](1))
+    val urls = ListingCache.globListing(spark, s"file:$dir/*.nc",
+      Map("fs.s3a.access.key" -> "AKTEST")).collect()
+    assert(urls.length == 1)
+  }
+
   test("glob listing over local filesystem") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-glob")
     Seq("a.nc", "b.nc", "c.txt").foreach { f =>
