@@ -23,6 +23,7 @@ object SparkEntry {
       operators.JoinQueries.queries ++
       operators.WindowQueries.queries ++
       operators.TextQueries.queries ++
+      operators.SampleQueries.queries ++
       operators.DedupQueries.queries ++
       operators.SimilarityQueries.queries ++
       operators.MultimodalQueries.queries ++
@@ -36,6 +37,7 @@ object SparkEntry {
       operators.JoinQueries.oracle ++
       operators.WindowQueries.oracle ++
       operators.TextQueries.oracle ++
+      operators.SampleQueries.oracle ++
       operators.DedupQueries.oracle ++
       operators.SimilarityQueries.oracle ++
       operators.MultimodalQueries.oracle ++

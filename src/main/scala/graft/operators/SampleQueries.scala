@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Deterministic corpus sampling (SURVEY §2.11 extension family) —
+  * the subsampling a training-data pipeline actually ships:
+  * content-hash sampling, not rand(). rand()-based sampling is
+  * neither reproducible across runs nor stable under
+  * repartition/retry; hashing a key is both, and it composes — the
+  * same document lands in the same split on every engine and every
+  * rerun, which is what dataset versioning needs at 100 TB. All pure
+  * narrow transforms (no shuffle for the fraction sample; one
+  * bounded window shuffle for the stratified quota).
+  */
+object SampleQueries {
+
+  /** Stable cross-engine sample bucket in [0, 1000): the first 6 hex
+    * chars of sha256(key) as an int. sha256 hex is identical
+    * everywhere, so the oracle reproduces the exact row set. */
+  private def hashBucket(key: org.apache.spark.sql.Column) =
+    conv(substring(sha2(key.cast("string"), 256), 1, 6), 16, 10)
+      .cast("bigint") % 1000
+
+  /** sample_hash_fraction — reproducible 10% document sample by
+    * content-hash bucket. Narrow (scan + filter): at 100 TB this is
+    * a pushdown-friendly predicate, no shuffle, and the SAME rows
+    * come back on every engine, run, and partitioning. */
+  def sampleHashFraction(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .withColumn("bucket", hashBucket(col("doc_id")))
+      .filter(col("bucket") < 100)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+
+  val sampleHashFractionSql: String =
+    """SELECT doc_id, lang,
+      |  CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 6)
+      |    AS BIGINT) % 1000 AS bucket
+      |FROM documents
+      |WHERE CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 6)
+      |    AS BIGINT) % 1000 < 100""".stripMargin
+
+  /** sample_stratified — exact per-language quota (12 docs/lang),
+    * hash-ordered so the quota is reproducible, not first-seen. One
+    * window shuffle on the stratum key; the per-group state is the
+    * rank counter, so skewed strata cost nothing beyond their row
+    * count. The training-data use: balance languages/sources in a
+    * mixture without a nondeterministic sampleBy. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("bucket"), col("doc_id"))
+    documents(s, dir)
+      .withColumn("bucket", hashBucket(col("doc_id")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 12)
+      .select(col("lang"), col("doc_id"), col("bucket"), col("rk"))
+  }
+
+  val sampleStratifiedSql: String =
+    """WITH b AS (
+      |  SELECT lang, doc_id,
+      |    CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 6)
+      |      AS BIGINT) % 1000 AS bucket
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, doc_id, bucket, row_number() OVER
+      |    (PARTITION BY lang ORDER BY bucket, doc_id) AS rk FROM b)
+      |SELECT lang, doc_id, bucket, rk FROM r WHERE rk <= 12""".stripMargin
+
+  /** sample_split — deterministic train/val/test assignment from the
+    * same bucket (98/1/1): every row tagged, no row dropped, stable
+    * under reruns. The split column is what a 100 TB pipeline writes
+    * as a partition key so downstream readers prune to their split. */
+  def sampleSplit(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .withColumn("bucket", hashBucket(col("doc_id")))
+      .withColumn("split",
+        when(col("bucket") < 980, "train")
+          .when(col("bucket") < 990, "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), min(col("bucket")).as("min_bucket"),
+        max(col("bucket")).as("max_bucket"))
+
+  val sampleSplitSql: String =
+    """WITH b AS (
+      |  SELECT CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 6)
+      |      AS BIGINT) % 1000 AS bucket
+      |  FROM documents)
+      |SELECT CASE WHEN bucket < 980 THEN 'train'
+      |            WHEN bucket < 990 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |  count(*) AS n_docs, min(bucket) AS min_bucket,
+      |  max(bucket) AS max_bucket
+      |FROM b GROUP BY 1""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_hash_fraction" -> (sampleHashFraction _),
+    "sample_stratified" -> (sampleStratified _),
+    "sample_split" -> (sampleSplit _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "sample_hash_fraction" -> sampleHashFractionSql,
+    "sample_stratified" -> sampleStratifiedSql,
+    "sample_split" -> sampleSplitSql
+  )
+}

@@ -205,7 +205,57 @@ object TextQueries {
         // container columns (round-1 finding).
         to_json(col("fingerprint")).as("fingerprint_json"))
 
+  /** text_pii_scrub — PII masking over documents: emails and
+    * phone-number shapes replaced with type tags, the redaction pass
+    * every training-data pipeline runs before tokenization. Pure
+    * regexp_replace (codegen'd, narrow, pushdown-friendly — no
+    * shuffle at any scale); regexes kept in the RE2 ∩ java.util.regex
+    * common subset so the DuckDB oracle reproduces the exact bytes.
+    * Synthetic PII is appended per row (the corpus itself is clean)
+    * so the mask path is actually exercised. */
+  def textPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val withPii = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or +1 555 010 "),
+      col("doc_id"), lit(" now"))
+    documents(s, dir)
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(withPii,
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "\\+?[0-9][0-9 -]{7,}[0-9]", "<PHONE>").as("scrubbed"))
+      .withColumn("masked",
+        (col("scrubbed").contains("<EMAIL>") &&
+          col("scrubbed").contains("<PHONE>")))
+  }
+
+  val textPiiScrubSql: String =
+    """SELECT doc_id,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      text || ' contact user' || doc_id ||
+      |        '@example.com or +1 555 010 ' || doc_id || ' now',
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+      |      'g'),
+      |    '\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed,
+      |  (contains(regexp_replace(
+      |    regexp_replace(
+      |      text || ' contact user' || doc_id ||
+      |        '@example.com or +1 555 010 ' || doc_id || ' now',
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+      |      'g'),
+      |    '\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g'), '<EMAIL>')
+      |   AND contains(regexp_replace(
+      |    regexp_replace(
+      |      text || ' contact user' || doc_id ||
+      |        '@example.com or +1 555 010 ' || doc_id || ' now',
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+      |      'g'),
+      |    '\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g'), '<PHONE>'))
+      |  AS masked
+      |FROM documents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_scrub" -> (textPiiScrub _),
     "text_stats" -> (textStats _),
     "text_tokens_tf" -> (textTokensTf _),
     "text_quality" -> (textQuality _),
@@ -216,6 +266,7 @@ object TextQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "text_pii_scrub" -> textPiiScrubSql,
     "text_stats" -> textStatsSql,
     "text_tokens_tf" -> textTokensTfSql,
     "text_quality" -> textQualitySql,
