@@ -142,4 +142,21 @@ object StreamingOps {
         // second time; an empty delta makes the merge a no-op anyway
         graft.catalog.CatalogStore.upsert(batch.sparkSession, catalogPath, batch)
       }
+
+  /** stream_jdbc_sink — continuous pgstac-parity load: each
+    * micro-batch upserts through JdbcCatalogSink (foreachPartition +
+    * ON CONFLICT semantics). Re-delivered batches are absorbed by the
+    * sink's last-write-wins guard, so the pipeline is idempotent even
+    * across checkpoint replays — the streaming twin of the
+    * reference's ToPgStac tail. */
+  def jdbcUpsertSink(
+      items: DataFrame, conf: graft.catalog.JdbcCatalogSink.JdbcConfig,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    items.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.catalog.JdbcCatalogSink.upsertItems(batch, conf)
+      }
 }
