@@ -161,16 +161,149 @@ object DedupQueries {
       .select(col("a"), col("b"), col("hamming"))
   }
 
+  /** Iteration bound for connected-components label propagation. Min
+    * labels move one hop per round, so this caps handled component
+    * diameter; near-dup components are cliques/short chains in
+    * practice, and a 2^20-diameter chain of near-duplicates does not
+    * occur in real corpora. */
+  private val CC_MAX_ITERS = 20
+
+  /** dedup_cluster_cc — connected components over the verified
+    * near-dup pairs (the oracle-green n-gram-Jaccard pairs as edges):
+    * every doc in a component gets the component's min doc_id as its
+    * cluster label, and the label-holder is the keeper — pairs→
+    * clusters is the step that turns pairwise dedup into "keep one
+    * per duplicate group" in a training pipeline.
+    *
+    * Scale design: min-label propagation — one equi-join + one
+    * min-agg per round over a (node, label) table of two longs, both
+    * shuffled on the same key. Labels only decrease, so convergence
+    * is detected by an unchanged label sum; rounds = component
+    * diameter (small for duplicate clusters), hard-capped at
+    * CC_MAX_ITERS. localCheckpoint here truncates the per-round
+    * lineage of a 16-byte-per-edge-endpoint frontier — bounded by the
+    * pair count, not by data partitions (unlike the snk_upsert case
+    * round 2 flagged). */
+  def dedupClusterCc(s: SparkSession, dir: String): DataFrame =
+    clustersFrom(
+      dedupNgramJaccardFrom(documents(s, dir)).select(col("a"), col("b")))
+
+  /** Pairs (a, b) → (doc_id, cluster_id, is_keeper); exposed for the
+    * chain-diameter and transitivity tests. */
+  private[graft] def clustersFrom(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
+      .union(pairs.select(col("b").as("x"), col("a").as("y")))
+      .persist()
+    var labels = edges.groupBy(col("x")).agg(min(col("y")).as("mn"))
+      .select(col("x"), least(col("x"), col("mn")).as("lbl"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): Long = {
+      val row = df.agg(sum(col("lbl"))).first()
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
+    var tot = labelSum(labels)
+    var converged = false
+    var it = 0
+    while (!converged && it < CC_MAX_ITERS) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("x", "y"), "y")
+        .select(col("x"), col("lbl"))
+      val next = viaNeighbors
+        .union(labels.select(col("x"), col("lbl")))
+        .groupBy(col("x")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      val nt = labelSum(next)
+      converged = nt == tot
+      tot = nt
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("x").as("doc_id"), col("lbl").as("cluster_id"),
+      (col("x") === col("lbl")).cast("int").as("is_keeper"))
+  }
+
+  val dedupClusterCcSql: String =
+    s"""WITH RECURSIVE pairs AS (SELECT a, b FROM ($dedupNgramJaccardSql) p),
+       |edges AS (SELECT a AS x, b AS y FROM pairs
+       |          UNION SELECT b AS x, a AS y FROM pairs),
+       |reach(x, r) AS (
+       |  SELECT x, x AS r FROM (SELECT DISTINCT x FROM edges) n
+       |  UNION
+       |  SELECT e.x, reach.r FROM edges e JOIN reach ON e.y = reach.x)
+       |SELECT x AS doc_id, min(r) AS cluster_id,
+       |  CAST(x = min(r) AS INT) AS is_keeper
+       |FROM reach GROUP BY x""".stripMargin
+
+  /** Span width (words) for corpus-level span dedup. */
+  private val SPAN_W = 10
+
+  /** dedup_common_spans — C4-style repetition removal at corpus
+    * level: split every doc into non-overlapping SPAN_W-word spans,
+    * drop every span occurring in more than one distinct document,
+    * reassemble the survivors in original order (C4 discards any
+    * three-sentence span occurring more than once; the unit here is a
+    * 10-word span because the synthetic corpus has no sentence
+    * boundaries).
+    *
+    * Scale design: spans ride two shuffles on the same key (hash agg
+    * for document frequency, then left-anti join) — no window over
+    * unbounded partitions, no collect. The reassembly agg is bounded
+    * by original doc length. Docs whose every span is boilerplate
+    * drop out of the result on both engines. */
+  def dedupCommonSpans(s: SparkSession, dir: String): DataFrame =
+    dedupCommonSpansFrom(documents(s, dir))
+
+  private[graft] def dedupCommonSpansFrom(docs: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    val nSpans = ceil(size(ws) / lit(SPAN_W.toDouble)).cast("int")
+    val spans = docs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nSpans - 1),
+          i => array_join(slice(ws, i * SPAN_W + 1, lit(SPAN_W)), " "))))
+      .toDF("doc_id", "pos", "span")
+    val common = spans.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > 1)
+      .select(col("span"))
+    spans.join(common, Seq("span"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("span")))),
+            x => x.getField("span")), " ").as("text_clean"),
+        count(lit(1)).as("n_kept"))
+  }
+
+  val dedupCommonSpansSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |s AS (SELECT doc_id,
+       |  unnest(generate_series(0, CAST(ceil(len(ws)/$SPAN_W.0) AS INT) - 1)) AS pos,
+       |  ws FROM w),
+       |spans AS (SELECT doc_id, pos,
+       |  array_to_string(ws[pos*$SPAN_W+1 : pos*$SPAN_W+$SPAN_W], ' ') AS span
+       |  FROM s),
+       |common AS (SELECT span FROM spans GROUP BY span
+       |           HAVING count(DISTINCT doc_id) > 1),
+       |kept AS (SELECT spans.* FROM spans
+       |         WHERE span NOT IN (SELECT span FROM common))
+       |SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS text_clean,
+       |  count(*) AS n_kept
+       |FROM kept GROUP BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_near_minhash" -> (dedupNearMinhash _),
-    "dedup_simhash" -> (dedupSimhash _)
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_cluster_cc" -> (dedupClusterCc _),
+    "dedup_common_spans" -> (dedupCommonSpans _)
   )
 
   def oracle: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
-    "dedup_ngram_jaccard" -> dedupNgramJaccardSql
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_cluster_cc" -> dedupClusterCcSql,
+    "dedup_common_spans" -> dedupCommonSpansSql
     // dedup_near_minhash / dedup_simhash: algorithmic — property-tested
   )
 }

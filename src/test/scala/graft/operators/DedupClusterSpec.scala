@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Connected-components clustering and corpus-level span dedup:
+  * transitive closure across multiple propagation rounds, keeper
+  * selection, and order-preserving span scrubbing. */
+class DedupClusterSpec extends SparkSpec {
+
+  test("clustersFrom computes the transitive closure of a chain") {
+    import spark.implicits._
+    // path graph 0-1-2-...-11: min label needs ~11 propagation
+    // rounds to reach the far end, exercising the iteration loop
+    val chain = (0L until 11L).map(i => (i, i + 1))
+    // plus a separate triangle 100-101-102 and an isolated pair
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val pair = Seq((200L, 201L))
+    val out = DedupQueries.clustersFrom(
+        (chain ++ tri ++ pair).toDF("a", "b"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(_._1)
+    val byCluster = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byCluster(0L) == (0L to 11L).toSet, "chain is one component")
+    assert(byCluster(100L) == Set(100L, 101L, 102L))
+    assert(byCluster(200L) == Set(200L, 201L))
+    // exactly one keeper per component, and it holds the min id
+    val keepers = out.filter(_._3 == 1).map(d => (d._1, d._2))
+    assert(keepers.toSet == Set((0L, 0L), (100L, 100L), (200L, 200L)))
+    assert(out.count(_._3 == 1) == 3)
+  }
+
+  test("clustersFrom of no pairs is empty") {
+    import spark.implicits._
+    val out = DedupQueries.clustersFrom(
+      Seq.empty[(Long, Long)].toDF("a", "b"))
+    assert(out.count() == 0)
+  }
+
+  test("common spans are scrubbed corpus-wide, order preserved") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // one exact span
+    def uniq(tag: String) =
+      (1 to 10).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${uniq("u")} $boiler ${uniq("v")}"), // boiler mid-doc
+      (2L, s"$boiler ${uniq("w")}"),              // boiler at head
+      (3L, uniq("x")),                            // untouched
+      (4L, boiler)                                // all-boilerplate
+    ).toDF("doc_id", "text")
+    val out = DedupQueries.dedupCommonSpansFrom(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    val m = out.map(t => t._1 -> t).toMap
+    // the shared span is gone from every doc; survivors keep order
+    assert(m(1L)._2 == s"${uniq("u")} ${uniq("v")}" && m(1L)._3 == 2)
+    assert(m(2L)._2 == uniq("w") && m(2L)._3 == 1)
+    assert(m(3L)._2 == uniq("x") && m(3L)._3 == 1)
+    // the all-boilerplate doc has nothing left and drops out
+    assert(!m.contains(4L) && out.length == 3)
+  }
+}
