@@ -293,17 +293,51 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** emb_stats — embedding-hygiene audit per label partition: count,
+    * norm spread, dimensionality agreement, and degenerate
+    * (near-zero-norm) vector count — the preflight every ANN / dedup
+    * stage assumes. One scan + one hash agg; norms through the
+    * codegen ArrayDotProduct kernel, computed once per row. */
+  def embStats(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir)
+      .select(col("label"),
+        l2Norm(col("embedding").cast("array<double>")).as("nrm"),
+        size(col("embedding")).cast("long").as("dim"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("nrm")) + lit(1e-9), 4).as("avg_norm"),
+        round(min(col("nrm")) + lit(1e-9), 4).as("min_norm"),
+        round(max(col("nrm")) + lit(1e-9), 4).as("max_norm"),
+        min(col("dim")).as("dim_min"),
+        max(col("dim")).as("dim_max"),
+        count(when(col("nrm") < 1e-6, lit(1))).as("n_degenerate"))
+
+  val embStatsSql: String =
+    """WITH e AS (SELECT label,
+      |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+      |    v -> v*v))) AS nrm,
+      |  len(embedding) AS dim FROM embeddings)
+      |SELECT label, count(*) AS n,
+      |  round(avg(nrm) + 1e-9, 4) AS avg_norm,
+      |  round(min(nrm) + 1e-9, 4) AS min_norm,
+      |  round(max(nrm) + 1e-9, 4) AS max_norm,
+      |  min(dim) AS dim_min, max(dim) AS dim_max,
+      |  count(*) FILTER (WHERE nrm < 1e-6) AS n_degenerate
+      |FROM e GROUP BY label""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_cosine" -> (simTopkCosine _),
     "sim_pairwise_threshold" -> (simPairwiseThreshold _),
     "sim_ann_lsh" -> (simAnnLsh _),
     "sim_ann_ivf" -> (simAnnIvf _),
-    "dedup_near_embedding" -> (dedupNearEmbedding _)
+    "dedup_near_embedding" -> (dedupNearEmbedding _),
+    "emb_stats" -> (embStats _)
   )
 
   def oracle: Map[String, String] = Map(
     "sim_topk_cosine" -> simTopkCosineSql,
-    "sim_pairwise_threshold" -> simPairwiseThresholdSql
+    "sim_pairwise_threshold" -> simPairwiseThresholdSql,
+    "emb_stats" -> embStatsSql
     // sim_ann_lsh: approximate — recall property-tested
   )
 }

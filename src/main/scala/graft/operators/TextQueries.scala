@@ -254,7 +254,44 @@ object TextQueries {
       |  AS masked
       |FROM documents""".stripMargin
 
+  /** text_quality_filter — global-quantile curation: keep only docs
+    * at or above the corpus P20 of the text_quality composite. The
+    * threshold is ONE aggregated scalar broadcast into the filter —
+    * never a global sort or window over the corpus. Exact
+    * interpolated percentile here so the DuckDB `quantile_cont`
+    * oracle hash-matches; at 100 TB swap the agg for
+    * `approx_percentile` (mergeable sketch, same broadcast-filter
+    * plan shape — the approx twin is unit-tested for agreement). */
+  def textQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val scored = textQuality(s, dir).select(col("doc_id"), col("quality"))
+    val thr = scored.agg(
+      round(expr("percentile(quality, 0.2)") + lit(1e-9), 6).as("thr"))
+    scored.join(broadcast(thr))
+      .filter(col("quality") >= col("thr"))
+      .select(col("doc_id"), col("quality"), col("thr"))
+  }
+
+  /** Same filter with the mergeable-sketch threshold (the 100 TB
+    * path); exposed for the agreement unit test. */
+  private[graft] def textQualityFilterApprox(
+      s: SparkSession, dir: String): DataFrame = {
+    val scored = textQuality(s, dir).select(col("doc_id"), col("quality"))
+    val thr = scored.agg(
+      expr("approx_percentile(quality, 0.2, 10000)").as("thr"))
+    scored.join(broadcast(thr))
+      .filter(col("quality") >= col("thr"))
+      .select(col("doc_id"), col("quality"), col("thr"))
+  }
+
+  val textQualityFilterSql: String =
+    s"""WITH q AS (SELECT doc_id, quality FROM ($textQualitySql) x),
+       |thr AS (SELECT round(quantile_cont(quality, 0.2) + 1e-9, 6) AS thr
+       |        FROM q)
+       |SELECT q.doc_id, q.quality, thr.thr
+       |FROM q, thr WHERE q.quality >= thr.thr""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_filter" -> (textQualityFilter _),
     "text_pii_scrub" -> (textPiiScrub _),
     "text_stats" -> (textStats _),
     "text_tokens_tf" -> (textTokensTf _),
@@ -266,6 +303,7 @@ object TextQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "text_quality_filter" -> textQualityFilterSql,
     "text_pii_scrub" -> textPiiScrubSql,
     "text_stats" -> textStatsSql,
     "text_tokens_tf" -> textTokensTfSql,
