@@ -131,16 +131,20 @@ object SimilarityQueries {
     * LSH bucketing: 64-bit hyperplane signature, 8 bands × 8 bits,
     * multi-probe on one join side (Hamming-≤1 within a band), exact
     * cosine ≥ 0.45 on candidates only. At 100 TB this is the dedup
-    * pass for embedding-indexed corpora: BOTH join sides are capped
-    * per (band, bh), so candidate volume is bounded by
-    * Σ_buckets |band-bucket| × |probe-bucket| with each factor ≤
-    * BUCKET_CAP — never an all-pairs product, and constant (not
-    * linear) in the size of an identical-vector flood. The cap costs
-    * recall inside degenerate buckets: members past the first
-    * BUCKET_CAP on either side lose their Hamming-≤1 pairs, which is
-    * the documented trade (identical-vector floods are exact dedup's
-    * job, not LSH's). Approximate recall ⇒ rows-only; the bucket cap
-    * and flood bound are asserted by SimilarityBoundsSpec. */
+    * pass for embedding-indexed corpora: the exact band buckets are
+    * capped per (band, bh) by ONE window, and the Hamming-≤1 probe
+    * rows are derived from the already-capped rows by flipping band
+    * bits — so a probed bucket receives rows from at most bandBits+1
+    * capped source buckets and candidate volume is bounded by
+    * Σ_buckets (bandBits+1)·BUCKET_CAP × BUCKET_CAP — never an
+    * all-pairs product, constant (not linear) in the size of an
+    * identical-vector flood, and without a second window shuffle over
+    * the 9× probe fan-out. The cap costs recall inside degenerate
+    * buckets: members past the first BUCKET_CAP of their exact bucket
+    * lose their pairs (and their probes), which is the documented
+    * trade (identical-vector floods are exact dedup's job, not
+    * LSH's). Approximate recall ⇒ rows-only; the bucket cap and flood
+    * bound are asserted by SimilarityBoundsSpec. */
   def dedupNearEmbedding(s: SparkSession, dir: String): DataFrame =
     dedupNearEmbeddingFrom(withNorm(embeddings(s, dir)))
 
@@ -148,19 +152,20 @@ object SimilarityQueries {
     * skew-bound test can count candidates on a degenerate fixture
     * without paying the exact-cosine verify. Expects (vec_id, emb). */
   private[graft] def nearEmbeddingCandidates(e: DataFrame): DataFrame = {
+    val bandBits = SIG_BITS / N_BANDS
     val sigs = e.select(col("vec_id"),
       FastSig.hyperplaneSigFast(SIG_BITS)(col("emb")).as("sig"))
-    // exact band buckets, capped per (band, bh)
+    // exact band buckets, capped per (band, bh) — the only window
     val bands = capBuckets(sigs.select(col("vec_id"),
       explode(VectorFunctions.sigBands(col("sig"), SIG_BITS, N_BANDS)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bh").as("bh")))
-    // probe side carries Hamming-≤1 band neighbors so a one-bit
-    // signature disagreement within a band still collides; capped per
-    // probed (band, bh) for the same skew bound as the band side
-    val probes = capBuckets(sigs.select(col("vec_id"),
-      explode(VectorFunctions.sigBandProbes(col("sig"), SIG_BITS, N_BANDS))
-        .as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bh").as("bh")))
+    // Hamming-≤1 probes derived from the capped rows by flipping band
+    // bits in-map: a probed bucket receives rows from ≤ bandBits+1
+    // capped source buckets (population ≤ (bandBits+1)·BUCKET_CAP),
+    // so the 9× fan-out needs no shuffle of its own before the join
+    val masks = typedLit(0L +: (0 until bandBits).map(i => 1L << i))
+    val probes = bands.select(col("vec_id"), col("band"),
+      explode(transform(masks, m => col("bh").bitwiseXOR(m))).as("bh"))
     probes.select(col("band"), col("bh"), col("vec_id").as("a"))
       .join(bands.select(col("band"), col("bh"), col("vec_id").as("b")),
         Seq("band", "bh"))
