@@ -62,4 +62,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WholeStageCodegen") || p.contains("*("), p)
     assert(p.contains("HashAggregate"), "partial+final hash agg")
   }
+
+  test("co-bucketed fact tables join and aggregate with zero exchanges") {
+    import org.apache.spark.sql.functions._
+    val o = graft.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice")
+    val l = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    Bucketing.writeBucketed(o, "b_orders", "o_orderkey", 8)
+    Bucketing.writeBucketed(l, "b_lineitem", "o_orderkey", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = Bucketing.colocatedJoin(spark, "b_orders", "b_lineitem",
+          "o_orderkey")
+        .groupBy("o_orderkey").agg(sum("l_quantity").as("q"))
+      j.collect() // AQE finalizes on execution
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed join+agg must not shuffle:\n$p")
+      // and it computes exactly what the shuffling join computes
+      val plain = o.join(l, "o_orderkey")
+        .groupBy("o_orderkey").agg(sum("l_quantity").as("q"))
+      assert(j.except(plain).isEmpty && plain.except(j).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
 }
