@@ -37,6 +37,33 @@ class DedupClusterSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("clustersFrom matches driver-side union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 4) {
+      val n = 30 + rnd.nextInt(40)
+      val edges = Seq.fill(n) {
+        val a = rnd.nextInt(50).toLong
+        val b = rnd.nextInt(50).toLong
+        if (a < b) (a, b) else (b, a + 1) // avoid self-loops
+      }
+      // driver-side union-find ground truth
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val truth = parent.keys.map(x => x -> find(x)).toMap
+      val got = DedupQueries.clustersFrom(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == truth, s"labels diverge for edge set $edges")
+    }
+  }
+
   test("common spans are scrubbed corpus-wide, order preserved") {
     import spark.implicits._
     val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // one exact span
