@@ -29,7 +29,16 @@ object SampleQueries {
     * a pushdown-friendly predicate, no shuffle, and the SAME rows
     * come back on every engine, run, and partitioning. */
   def sampleHashFraction(s: SparkSession, dir: String): DataFrame =
-    documents(s, dir)
+    sampleHashFractionFrom(documents(s, dir))
+
+  /** Stateless core of sample_hash_fraction — a pure narrow
+    * predicate, so it runs unchanged on a STREAMING DataFrame (no
+    * state, no watermark) and the sampled stream is row-identical to
+    * the batch sample of the same data (StreamingSpec asserts it).
+    * Deterministic sampling composing across batch and streaming is
+    * exactly why hash buckets beat rand() for dataset versioning. */
+  private[graft] def sampleHashFractionFrom(docs: DataFrame): DataFrame =
+    docs
       .withColumn("bucket", hashBucket(col("doc_id")))
       .filter(col("bucket") < 100)
       .select(col("doc_id"), col("lang"), col("bucket"))

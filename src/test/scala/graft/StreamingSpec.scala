@@ -44,6 +44,25 @@ class StreamingSpec extends SparkSpec {
     assert(stream.length == 4) // (h10,click)(h11,click)(h10,purchase)(h12,purchase)
   }
 
+  test("deterministic hash sampling on a stream equals the batch sample") {
+    // the sampler is a stateless narrow predicate: the same rows
+    // survive whether the corpus arrives as one batch or as a stream
+    val docs = graft.Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssample")
+    docs.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$dir/in")
+    val q = graft.operators.SampleQueries.sampleHashFractionFrom(stream)
+      .writeStream.format("memory").queryName("ssample")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("ssample").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = graft.operators.SampleQueries.sampleHashFraction(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch && batch.nonEmpty,
+      s"stream sample ${streamed.size} rows != batch ${batch.size}")
+  }
+
   test("session window: 30-minute inactivity gap splits sessions") {
     import spark.implicits._
     val sessions = StreamingOps.sessionize(sample.toDF())
