@@ -1,6 +1,6 @@
 package graft.catalog
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -97,6 +97,25 @@ object CatalogStore {
     * new collection but does not hunt the old partition for the stale
     * copy (that would force a full-catalog scan per merge); a
     * cross-collection move is delete + insert at the caller. */
+  /** Deterministic content-hash tiebreak over the hash-safe columns
+    * of `df`'s schema — Spark prohibits hashing MAP types (no
+    * canonical order). Shared with JdbcCatalogSink so equal-timestamp
+    * duplicates pick the SAME winner in both stores. */
+  private[catalog] def tiebreakHash(df: DataFrame): Column = {
+    def hashSafe(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case _: org.apache.spark.sql.types.MapType => false
+        case a: org.apache.spark.sql.types.ArrayType =>
+          hashSafe(a.elementType)
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fields.forall(f => hashSafe(f.dataType))
+        case _ => true
+      }
+    val tieCols = df.schema.fields
+      .filter(f => hashSafe(f.dataType)).map(f => col(f.name)).toIndexedSeq
+    xxhash64(struct(tieCols: _*))
+  }
+
   def upsert(spark: SparkSession, path: String, delta: DataFrame): Unit = {
     // bootstrap: first merge into a not-yet-existing catalog is a
     // plain write (a streaming upsertSink's first batch hits this).
@@ -123,19 +142,6 @@ object CatalogStore {
       .join(broadcast(affected), Seq("collection_id"), "left_semi")
       .select(deltaP.columns.map(col).toIndexedSeq: _*)
     val dataCols = deltaP.columns.map(col).toIndexedSeq
-    // Spark prohibits hashing MAP types (no canonical order) — build
-    // the tiebreak hash from the hash-safe columns only
-    def hashSafe(dt: org.apache.spark.sql.types.DataType): Boolean =
-      dt match {
-        case _: org.apache.spark.sql.types.MapType => false
-        case a: org.apache.spark.sql.types.ArrayType =>
-          hashSafe(a.elementType)
-        case s: org.apache.spark.sql.types.StructType =>
-          s.fields.forall(f => hashSafe(f.dataType))
-        case _ => true
-      }
-    val tieCols = deltaP.schema.fields
-      .filter(f => hashSafe(f.dataType)).map(f => col(f.name)).toIndexedSeq
     val w = Window.partitionBy(col("item_id"))
       .orderBy(col("ingested_at").desc, col("_prio").desc,
         col("_tie").desc)
@@ -143,7 +149,7 @@ object CatalogStore {
       .unionByName(deltaP.select(dataCols: _*).withColumn("_prio", lit(1)))
       // content hash: equal-timestamp, equal-priority duplicates pick
       // the same winner on every run/retry
-      .withColumn("_tie", xxhash64(struct(tieCols: _*)))
+      .withColumn("_tie", tiebreakHash(deltaP))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn", "_prio", "_tie")
@@ -152,9 +158,15 @@ object CatalogStore {
     // the merge to a temp path (localCheckpoint would instead cache
     // every affected partition to executor storage — TBs for a hot
     // collection at 100 TB), then swaps partition directories in with
-    // metadata-only renames. A failure before any rename leaves the
-    // catalog untouched; a failure mid-swap is repaired by re-running
-    // the idempotent upsert (deterministic last-write-wins).
+    // metadata-only renames. Every rename's boolean result is CHECKED
+    // (Hadoop FileSystems report most failures by returning false):
+    // the old partition is renamed to a hidden backup before the new
+    // one swaps in, a failed swap-in restores the backup, and on any
+    // error the staged merge is PRESERVED and named in the exception
+    // — no code path deletes the only remaining copy of a partition.
+    // A failure before any rename leaves the catalog untouched; after
+    // a mid-swap crash the backup + staging dirs still hold every
+    // byte (hidden from readers by the leading dot) for repair.
     val parent = Option(hPath.getParent)
       .getOrElse(new org.apache.hadoop.fs.Path("/"))
     val staging = new org.apache.hadoop.fs.Path(parent,
@@ -164,6 +176,11 @@ object CatalogStore {
       .mode("overwrite")
       .partitionBy(partCols: _*)
       .parquet(staging.toString)
+    def renameOrThrow(src: org.apache.hadoop.fs.Path,
+        dst: org.apache.hadoop.fs.Path, what: String): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"$what rename failed: $src -> $dst")
     try {
       def leafDirs(p: org.apache.hadoop.fs.Path,
           depth: Int): Seq[org.apache.hadoop.fs.Path] =
@@ -175,11 +192,25 @@ object CatalogStore {
         val rel = src.toUri.getPath
           .stripPrefix(staging.toUri.getPath).stripPrefix("/")
         val dst = new org.apache.hadoop.fs.Path(hPath, rel)
-        if (fs.exists(dst)) fs.delete(dst, true)
         val dstParent = dst.getParent
         if (!fs.exists(dstParent)) fs.mkdirs(dstParent)
-        fs.rename(src, dst)
+        val backup = new org.apache.hadoop.fs.Path(dstParent,
+          s".${dst.getName}.old-${java.util.UUID.randomUUID}")
+        val hadOld = fs.exists(dst)
+        if (hadOld) renameOrThrow(dst, backup, "backup")
+        try renameOrThrow(src, dst, "swap-in")
+        catch {
+          case e: Throwable =>
+            if (hadOld) fs.rename(backup, dst) // best-effort restore
+            throw e
+        }
+        if (hadOld) fs.delete(backup, true)
       }
-    } finally fs.delete(staging, true)
+      fs.delete(staging, true)
+    } catch {
+      case e: Throwable =>
+        throw new java.io.IOException(
+          s"partition swap failed; staged merge preserved at $staging", e)
+    }
   }
 }

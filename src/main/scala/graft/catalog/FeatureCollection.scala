@@ -95,9 +95,9 @@ object FeatureCollection {
       .select(featureColumn.as("_feature") +: keyCols.map(col): _*)
       .collect()
     val features = rows.map(_.getString(0))
-    val next =
-      if (rows.length < search.limit) None
-      else Some(encodeToken(keyCols.indices.map(i => rows.last.get(i + 1))))
+    // one paging policy: CatalogQuery.nextToken owns the short-page /
+    // last-row-keys rule; this only encodes it
+    val next = CatalogQuery.nextToken(rows, search).map(encodeToken)
     val links = Seq(s"""{"rel":"self","href":"$selfHref"}""") ++
       next.map(t =>
         s"""{"rel":"next","href":"$selfHref","body":{"token":"$t"}}""")

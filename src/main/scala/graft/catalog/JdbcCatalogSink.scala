@@ -8,14 +8,15 @@ import org.apache.spark.sql.functions._
 
 /** JDBC upsert parity sink — the engine twin of the reference's ONLY
   * sink, pgstac item upsert (`ToPgStac`, avhrr recipe.py:85,137; DSN
-  * runtime-config.yaml:2). pgstac stores one row per item keyed on id
-  * with the item document as JSON; this sink writes the same shape —
+  * runtime-config.yaml:2). pgstac stores one row per item (item ids
+  * unique within their collection) with the item document as JSON;
+  * this sink writes the same shape —
   * (item_id, collection_id, content, ingested_at) with content the
   * same Feature JSON the FeatureCollection serializer emits — via
   * foreachPartition, so every executor streams its partition straight
   * into the database with NO driver collect. Upsert semantics match
   * CatalogStore.upsert: last write (newest ingested_at) wins per
-  * item_id, re-runs are idempotent.
+  * (item_id, collection_id), re-runs are idempotent.
   *
   * Scale: one connection + one prepared statement per partition,
   * rows batched BATCH-at-a-time (the ON CONFLICT dialect) — at
@@ -44,15 +45,18 @@ object JdbcCatalogSink {
   }
 
   /** PostgreSQL / pgstac: one INSERT ... ON CONFLICT DO UPDATE
-    * statement, batched. The WHERE guard keeps the newest
-    * ingested_at — a replayed older delta is a no-op, so retries and
-    * out-of-order backfills are safe. */
+    * statement, batched. The conflict target is (item_id,
+    * collection_id) — STAC item ids are unique per collection, and
+    * keying on the pair keeps this store row-for-row convergent with
+    * the partition-scoped CatalogStore merge (a cross-collection
+    * re-ingest is a second row in BOTH stores). The WHERE guard keeps
+    * the newest ingested_at — a replayed older delta is a no-op, so
+    * retries and out-of-order backfills are safe. */
   case object PostgresDialect extends Dialect {
     def upsertSql(table: String): String =
       s"""INSERT INTO $table (item_id, collection_id, content, ingested_at)
          |VALUES (?, ?, ?, ?)
-         |ON CONFLICT (item_id) DO UPDATE SET
-         |  collection_id = EXCLUDED.collection_id,
+         |ON CONFLICT (item_id, collection_id) DO UPDATE SET
          |  content = EXCLUDED.content,
          |  ingested_at = EXCLUDED.ingested_at
          |WHERE EXCLUDED.ingested_at >= $table.ingested_at""".stripMargin
@@ -72,33 +76,41 @@ object JdbcCatalogSink {
   }
 
   /** Dialect-free update-else-insert for databases without ON
-    * CONFLICT (embedded Derby in tests). Same last-write-wins guard:
-    * the UPDATE only hits rows with ingested_at <= the incoming one;
-    * a duplicate-key race on INSERT means a newer row exists — a
-    * no-op, matching the Postgres WHERE guard. */
+    * CONFLICT (embedded Derby in tests). Same last-write-wins guard
+    * on the same (item_id, collection_id) key: the UPDATE only hits
+    * rows with ingested_at <= the incoming one; a duplicate-key race
+    * on INSERT means a CONCURRENT writer created the row after our
+    * probe — the guarded UPDATE is retried so a newer incoming delta
+    * still wins (and an older one is a no-op), matching the Postgres
+    * WHERE guard under concurrency. */
   case object GenericDialect extends Dialect {
     def writer(conn: Connection, table: String): RowWriter = new RowWriter {
       private val upd = conn.prepareStatement(
-        s"UPDATE $table SET collection_id = ?, content = ?, " +
-          s"ingested_at = ? WHERE item_id = ? AND ingested_at <= ?")
+        s"UPDATE $table SET content = ?, ingested_at = ? " +
+          s"WHERE item_id = ? AND collection_id = ? AND ingested_at <= ?")
       private val ins = conn.prepareStatement(
         s"INSERT INTO $table (item_id, collection_id, content, " +
           s"ingested_at) VALUES (?, ?, ?, ?)")
       def write(id: String, coll: String, content: String,
           ingestedAt: Timestamp): Unit = {
-        upd.setString(1, coll); upd.setString(2, content)
-        upd.setTimestamp(3, ingestedAt); upd.setString(4, id)
-        upd.setTimestamp(5, ingestedAt)
-        if (upd.executeUpdate() == 0) {
+        def guardedUpdate(): Int = {
+          upd.setString(1, content); upd.setTimestamp(2, ingestedAt)
+          upd.setString(3, id); upd.setString(4, coll)
+          upd.setTimestamp(5, ingestedAt)
+          upd.executeUpdate()
+        }
+        if (guardedUpdate() == 0) {
           try {
             ins.setString(1, id); ins.setString(2, coll)
             ins.setString(3, content); ins.setTimestamp(4, ingestedAt)
             ins.executeUpdate()
           } catch {
-            // duplicate key: a row with a NEWER ingested_at already
-            // holds the id (the UPDATE guard skipped it) — keep it
             case e: SQLException if e.getSQLState != null &&
-              e.getSQLState.startsWith("23") => ()
+                e.getSQLState.startsWith("23") =>
+              // insert race lost: re-apply the guarded UPDATE rather
+              // than drop the row — if the racing row is older, ours
+              // must still win
+              guardedUpdate()
           }
         }
       }
@@ -113,18 +125,21 @@ object JdbcCatalogSink {
       props: Map[String, String] = Map.empty)
 
   /** Upsert catalog items into the JDBC table. The delta is first
-    * deduped per item_id with the SAME deterministic last-write-wins
-    * rank CatalogStore.upsert uses (ingested_at desc, content-hash
-    * tiebreak), so one batch never races itself; cross-batch ordering
-    * is handled by the dialect's ingested_at guard. */
+    * deduped per (item_id, collection_id) with the SAME deterministic
+    * last-write-wins rank CatalogStore.upsert uses — same ordering
+    * AND the same content-hash tiebreak expression
+    * (CatalogStore.tiebreakHash over the full item schema), so
+    * equal-timestamp duplicates pick the same winner in both stores.
+    * One batch never races itself; cross-batch ordering is handled by
+    * the dialect's ingested_at guard. */
   def upsertItems(items: DataFrame, conf: JdbcConfig): Unit = {
-    val w = Window.partitionBy(col("item_id"))
+    val w = Window.partitionBy(col("item_id"), col("collection_id"))
       .orderBy(col("ingested_at").desc, col("_tie").desc)
     val rows = items
+      .withColumn("_tie", CatalogStore.tiebreakHash(items))
       .withColumn("content", FeatureCollection.featureColumn)
       .select(col("item_id"), col("collection_id"), col("content"),
-        col("ingested_at"))
-      .withColumn("_tie", xxhash64(col("item_id"), col("content")))
+        col("ingested_at"), col("_tie"))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn", "_tie")
@@ -154,7 +169,7 @@ object JdbcCatalogSink {
   /** DDL for the parity table (content as TEXT/CLOB; pgstac proper
     * uses jsonb — adjust the type when pointing at real pgstac). */
   def createTableSql(table: String, textType: String = "CLOB"): String =
-    s"CREATE TABLE $table (item_id VARCHAR(256) PRIMARY KEY, " +
-      s"collection_id VARCHAR(256), content $textType, " +
-      s"ingested_at TIMESTAMP)"
+    s"CREATE TABLE $table (item_id VARCHAR(256) NOT NULL, " +
+      s"collection_id VARCHAR(256) NOT NULL, content $textType, " +
+      s"ingested_at TIMESTAMP, PRIMARY KEY (item_id, collection_id))"
 }

@@ -33,6 +33,17 @@ object NetcdfClassic {
     * not granule metadata — fail loudly instead of buffering it. */
   private val MAX_ATTR_BYTES = 1 << 20
 
+  /** Every length/count word from the file goes through this bound
+    * before it sizes an allocation or a loop: a corrupt word that
+    * reads as negative (or absurdly large) must surface as the
+    * IOException the quarantine path catches — never as a
+    * NegativeArraySizeException or an OOM that kills the task. */
+  private def boundedCount(x: Long, what: String): Int = {
+    if (x < 0 || x > MAX_ATTR_BYTES)
+      throw new IOException(s"corrupt header: $what = $x out of bounds")
+    x.toInt
+  }
+
   def readHeader(in: DataInputStream): Header = {
     val magic = new Array[Byte](4)
     in.readFully(magic)
@@ -53,7 +64,7 @@ object NetcdfClassic {
   }
 
   private def readName(in: DataInputStream, readSize: () => Long): String = {
-    val n = readSize().toInt
+    val n = boundedCount(readSize(), "name length")
     val bytes = new Array[Byte](n)
     in.readFully(bytes)
     skipPad(in, n)
@@ -69,10 +80,11 @@ object NetcdfClassic {
   private def readDimList(
       in: DataInputStream, readSize: () => Long): Seq[(String, Long)] = {
     val tag = in.readInt()
-    val n = readSize()
-    if (tag == 0) { require(n == 0, "ABSENT dim_list must be 0 0"); Seq.empty }
+    val n0 = readSize()
+    if (tag == 0) { require(n0 == 0, "ABSENT dim_list must be 0 0"); Seq.empty }
     else {
       require(tag == NC_DIMENSION, s"expected NC_DIMENSION tag, got $tag")
+      val n = boundedCount(n0, "dim count")
       (0L until n).map { _ =>
         val name = readName(in, readSize)
         (name, readSize())
@@ -83,14 +95,15 @@ object NetcdfClassic {
   private def readAttrList(
       in: DataInputStream, readSize: () => Long): Map[String, String] = {
     val tag = in.readInt()
-    val n = readSize()
-    if (tag == 0) { require(n == 0, "ABSENT gatt_list must be 0 0"); Map.empty }
+    val n0 = readSize()
+    if (tag == 0) { require(n0 == 0, "ABSENT gatt_list must be 0 0"); Map.empty }
     else {
       require(tag == NC_ATTRIBUTE, s"expected NC_ATTRIBUTE tag, got $tag")
+      val n = boundedCount(n0, "attr count")
       (0L until n).map { _ =>
         val name = readName(in, readSize)
         val ncType = in.readInt()
-        val nelems = readSize().toInt
+        val nelems = boundedCount(readSize(), "attr nelems")
         name -> readValues(in, ncType, nelems)
       }.toMap
     }

@@ -83,8 +83,10 @@ object NetcdfGranuleSource {
       try NetcdfClassic.readHeader(in).attrs
       finally in.close()
     } catch {
-      case _: java.io.IOException | _: IllegalArgumentException =>
-        Map.empty
+      // NonFatal, not just IOException: a corrupt granule must
+      // quarantine (empty attrs) no matter how its malformed bytes
+      // surface — one bad file never kills the job
+      case scala.util.control.NonFatal(_) => Map.empty
     }
   }
 }

@@ -85,7 +85,7 @@ object DedupQueries {
   }
 
   val dedupNgramJaccardSql: String =
-    """WITH d0 AS (
+    s"""WITH d0 AS (
       |  SELECT doc_id, substr(text, 1, 32) AS blk,
       |    list_distinct(CASE WHEN len(string_split(text,' ')) < 3
       |      THEN [text]
@@ -99,7 +99,7 @@ object DedupQueries {
       |  SELECT doc_id, blk, shin FROM (
       |    SELECT d0.*, row_number() OVER
       |      (PARTITION BY blk ORDER BY doc_id) AS rn FROM d0)
-      |  WHERE rn <= 256)
+      |  WHERE rn <= $BLOCK_CAP)
       |SELECT x.doc_id AS a, y.doc_id AS b,
       |  round(CAST(len(list_intersect(x.shin, y.shin)) AS DOUBLE) /
       |        len(list_distinct(list_concat(x.shin, y.shin))), 4) AS jac
@@ -161,11 +161,12 @@ object DedupQueries {
       .select(col("a"), col("b"), col("hamming"))
   }
 
-  /** Iteration bound for connected-components label propagation. Min
-    * labels move one hop per round, so this caps handled component
-    * diameter; near-dup components are cliques/short chains in
-    * practice, and a 2^20-diameter chain of near-duplicates does not
-    * occur in real corpora. */
+  /** Iteration bound for connected-components label propagation.
+    * Each round propagates labels one edge hop AND one
+    * pointer-doubling hop (label-of-label), so rounds grow with
+    * log₂(component diameter): 20 rounds covers any component a real
+    * corpus can produce. If the cap is ever hit unconverged the
+    * operator throws rather than return silently wrong labels. */
   private val CC_MAX_ITERS = 20
 
   /** dedup_cluster_cc — connected components over the verified
@@ -175,15 +176,18 @@ object DedupQueries {
     * clusters is the step that turns pairwise dedup into "keep one
     * per duplicate group" in a training pipeline.
     *
-    * Scale design: min-label propagation — one equi-join + one
-    * min-agg per round over a (node, label) table of two longs, both
-    * shuffled on the same key. Labels only decrease, so convergence
-    * is detected by an unchanged label sum; rounds = component
-    * diameter (small for duplicate clusters), hard-capped at
-    * CC_MAX_ITERS. localCheckpoint here truncates the per-round
-    * lineage of a 16-byte-per-edge-endpoint frontier — bounded by the
-    * pair count, not by data partitions (unlike the snk_upsert case
-    * round 2 flagged). */
+    * Scale design: min-label propagation with pointer doubling —
+    * per round, a node takes the min of its own label, its
+    * neighbors' labels (one equi-join), and its label's label (one
+    * self-join: the path-halving shortcut), then one min-agg; every
+    * shuffle is on the node key. Labels only decrease, so
+    * convergence is detected by an unchanged label sum; the doubling
+    * hop makes rounds O(log diameter), hard-capped at CC_MAX_ITERS
+    * (throws if unconverged — never silently wrong labels).
+    * localCheckpoint here truncates the per-round lineage of a
+    * 16-byte-per-edge-endpoint frontier — bounded by the pair count,
+    * not by data partitions (unlike the snk_upsert case round 2
+    * flagged). */
   def dedupClusterCc(s: SparkSession, dir: String): DataFrame =
     clustersFrom(
       dedupNgramJaccardFrom(documents(s, dir)).select(col("a"), col("b")))
@@ -208,7 +212,14 @@ object DedupQueries {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("x", "y"), "y")
         .select(col("x"), col("lbl"))
+      // pointer doubling: x also adopts label(label(x)), halving
+      // chain depth every round — O(log diameter) total rounds
+      val viaLabels = labels
+        .join(labels.select(col("x").as("lbl"), col("lbl").as("lbl2")),
+          "lbl")
+        .select(col("x"), col("lbl2").as("lbl"))
       val next = viaNeighbors
+        .union(viaLabels)
         .union(labels.select(col("x"), col("lbl")))
         .groupBy(col("x")).agg(min(col("lbl")).as("lbl"))
         .localCheckpoint()
@@ -219,6 +230,9 @@ object DedupQueries {
       it += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected-components did not converge in $CC_MAX_ITERS rounds")
     labels.select(col("x").as("doc_id"), col("lbl").as("cluster_id"),
       (col("x") === col("lbl")).cast("int").as("is_keeper"))
   }

@@ -279,12 +279,20 @@ object SimilarityQueries {
     val cArr = ivfCentroids(e, k).collect().map { r =>
       (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
     }
+    // a real Broadcast, not closure capture: at full k the quantizer
+    // is ~33 MB — shipped once per executor instead of inside every
+    // serialized task
+    val cBc = s.sparkContext.broadcast(cArr)
     val assignUdf = udf { (emb: Seq[Double], nrm: Double) =>
-      topCentroids(cArr, IVF_ASSIGN, emb, nrm)
+      topCentroids(cBc.value, IVF_ASSIGN, emb, nrm)
     }
     val q = e.filter(col("vec_id") === 0)
       .select(col("emb").as("qv"), col("nrm").as("qn"))
-    val qRow = q.collect()(0)
+    val qRows = q.collect()
+    if (qRows.isEmpty)
+      // no query vector ⇒ empty result, not a driver crash
+      return e.select(col("vec_id"), lit(0.0).as("sim")).limit(0)
+    val qRow = qRows(0)
     val probeCids = topCentroids(cArr, ivfNProbe(k),
       qRow.getSeq[Double](0), qRow.getDouble(1))
     e.withColumn("cid", explode(assignUdf(col("emb"), col("nrm"))))

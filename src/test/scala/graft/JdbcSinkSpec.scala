@@ -48,27 +48,42 @@ class JdbcSinkSpec extends SparkSpec {
     JdbcCatalogSink.upsertItems(items, cfg)
     assert(count() == n, "re-run is idempotent")
 
-    // newer delta for one item wins
+    // newer delta for one item wins (same (item, collection) identity)
     val one = items.limit(1)
     val id = one.select("item_id").first().getString(0)
+    def contentOf(itemId: String): String =
+      query(s"SELECT content FROM items WHERE item_id = '$itemId'") {
+        rs => rs.next(); rs.getString(1) }
     val newer = one
-      .withColumn("collection_id", lit("UPDATED"))
+      .withColumn("properties", map_concat(col("properties"),
+        map(lit("processing:version"), lit("2.0"))))
       .withColumn("ingested_at",
         lit(java.sql.Timestamp.valueOf("2022-07-01 00:00:00")))
     JdbcCatalogSink.upsertItems(newer, cfg)
     assert(count() == n, "upsert replaces, never duplicates")
-    assert(query(s"SELECT collection_id FROM items WHERE item_id = '$id'") {
-      rs => rs.next(); rs.getString(1) } == "UPDATED")
+    assert(contentOf(id).contains("\"processing:version\":\"2.0\""))
 
     // an OLDER replay of the same item must NOT win
     val older = one
-      .withColumn("collection_id", lit("STALE"))
+      .withColumn("properties", map_concat(col("properties"),
+        map(lit("processing:version"), lit("0.1"))))
       .withColumn("ingested_at",
         lit(java.sql.Timestamp.valueOf("2022-01-01 00:00:00")))
     JdbcCatalogSink.upsertItems(older, cfg)
-    assert(query(s"SELECT collection_id FROM items WHERE item_id = '$id'") {
-      rs => rs.next(); rs.getString(1) } == "UPDATED",
+    assert(contentOf(id).contains("\"processing:version\":\"2.0\"") &&
+      !contentOf(id).contains("\"processing:version\":\"0.1\""),
       "stale replay must not overwrite a newer row")
+
+    // a cross-collection re-ingest is a NEW identity — a second row,
+    // exactly like the partition-scoped parquet merge
+    val moved = one
+      .withColumn("collection_id", lit("MOVED"))
+      .withColumn("ingested_at",
+        lit(java.sql.Timestamp.valueOf("2022-08-01 00:00:00")))
+    JdbcCatalogSink.upsertItems(moved, cfg)
+    assert(count() == n + 1, "new collection = new identity")
+    assert(count(s"WHERE item_id = '$id'") == 2,
+      "the original collection's row survives the move")
 
     // content is the Feature JSON (pgstac content-document parity)
     val content = query(
@@ -173,7 +188,7 @@ class JdbcSinkSpec extends SparkSpec {
 
   test("Postgres dialect emits the pgstac ON CONFLICT statement") {
     val sql = JdbcCatalogSink.PostgresDialect.upsertSql("pgstac.items")
-    assert(sql.contains("ON CONFLICT (item_id) DO UPDATE"))
+    assert(sql.contains("ON CONFLICT (item_id, collection_id) DO UPDATE"))
     assert(sql.contains("EXCLUDED.ingested_at >= pgstac.items.ingested_at"))
   }
 }

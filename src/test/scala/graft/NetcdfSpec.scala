@@ -62,6 +62,25 @@ class NetcdfSpec extends SparkSpec {
     intercept[java.io.IOException](parse("PARQUET1".getBytes))
   }
 
+  test("corrupt length words surface as IOException, never as crashes") {
+    // valid magic + numrecs, then a dim_list whose name-length word
+    // reads as a negative int (0xFFFFFF00): must be the quarantinable
+    // IOException, not NegativeArraySizeException / OOM
+    val negLen = Array[Byte]('C', 'D', 'F', 1,
+      0, 0, 0, 0, // numrecs
+      0, 0, 0, 0x0A, // NC_DIMENSION
+      0, 0, 0, 1, // one dim
+      0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0x00) // name length < 0
+    intercept[java.io.IOException](parse(negLen))
+    // a huge positive length must be rejected BEFORE allocation
+    val hugeLen = Array[Byte]('C', 'D', 'F', 1,
+      0, 0, 0, 0,
+      0, 0, 0, 0x0A,
+      0, 0, 0, 1,
+      0x7F.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte) // ~2 GB name
+    intercept[java.io.IOException](parse(hugeLen))
+  }
+
   test("NetCDF granules glob -> attrs -> items end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("graft-nc").toString
     def granule(i: Int, w: String): Seq[(String, AttrVal)] = Seq(

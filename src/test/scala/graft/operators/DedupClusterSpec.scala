@@ -7,11 +7,12 @@ import graft.SparkSpec
   * selection, and order-preserving span scrubbing. */
 class DedupClusterSpec extends SparkSpec {
 
-  test("clustersFrom computes the transitive closure of a chain") {
+  test("clustersFrom computes the transitive closure of a long chain") {
     import spark.implicits._
-    // path graph 0-1-2-...-11: min label needs ~11 propagation
-    // rounds to reach the far end, exercising the iteration loop
-    val chain = (0L until 11L).map(i => (i, i + 1))
+    // path graph 0-1-...-60: diameter 60 — impossible for one-hop
+    // propagation inside the 20-round cap, so this proves the
+    // pointer-doubling hop converges in O(log diameter)
+    val chain = (0L until 60L).map(i => (i, i + 1))
     // plus a separate triangle 100-101-102 and an isolated pair
     val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
     val pair = Seq((200L, 201L))
@@ -21,7 +22,7 @@ class DedupClusterSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
       .sortBy(_._1)
     val byCluster = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
-    assert(byCluster(0L) == (0L to 11L).toSet, "chain is one component")
+    assert(byCluster(0L) == (0L to 60L).toSet, "chain is one component")
     assert(byCluster(100L) == Set(100L, 101L, 102L))
     assert(byCluster(200L) == Set(200L, 201L))
     // exactly one keeper per component, and it holds the min id
