@@ -27,6 +27,7 @@ object SparkEntry {
       operators.DedupQueries.queries ++
       operators.SimilarityQueries.queries ++
       operators.MultimodalQueries.queries ++
+      operators.PipelineQueries.queries ++
       operators.SourceSinkQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -41,5 +42,6 @@ object SparkEntry {
       operators.DedupQueries.oracle ++
       operators.SimilarityQueries.oracle ++
       operators.MultimodalQueries.oracle ++
+      operators.PipelineQueries.oracle ++
       operators.SourceSinkQueries.oracle
 }

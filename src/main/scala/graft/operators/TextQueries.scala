@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -71,25 +71,33 @@ object TextQueries {
   /** text_quality — composite quality score per doc: length saturation
     * + stopword ratio + vocabulary diversity (the length/punct/stopword
     * heuristics of LLM data curation), all as expressions. */
-  def textQuality(s: SparkSession, dir: String): DataFrame = {
-    val toks = TextFunctions.tokens(col("text"))
-    val stop = typedLit(Seq("the", "a", "of", "and", "to", "in"))
-    val nWords = size(toks).cast("double")
-    val stopRatio =
+  /** The composite quality score as a reusable expression over
+    * (text, n_chars) — shared by text_quality, text_quality_filter
+    * and pipeline_clean_corpus so all three agree bit-for-bit.
+    * +1e-9 pre-round on BOTH engines: composite weights can land
+    * exactly on a .00005 boundary where Spark (decimal-string
+    * HALF_UP) and DuckDB (binary-double) round differently. */
+  private[operators] object QualityScore {
+    private val toks = TextFunctions.tokens(col("text"))
+    private val stop = typedLit(Seq("the", "a", "of", "and", "to", "in"))
+    private val nWords = size(toks).cast("double")
+    val stopRatio: Column =
       size(filter(toks, t => array_contains(stop, t))).cast("double") / nWords
-    val diversity = size(array_distinct(toks)).cast("double") / nWords
-    val lenScore = least(col("n_chars").cast("double") / 500.0, lit(1.0))
+    val diversity: Column =
+      size(array_distinct(toks)).cast("double") / nWords
+    val lenScore: Column =
+      least(col("n_chars").cast("double") / 500.0, lit(1.0))
+    val quality: Column =
+      round(lenScore * 0.4 + stopRatio * 0.3 + diversity * 0.3 + 1e-9, 4)
+  }
+
+  def textQuality(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).select(
       col("doc_id"),
-      round(lenScore, 4).as("len_score"),
-      round(stopRatio, 4).as("stop_ratio"),
-      round(diversity, 4).as("diversity"),
-      // +1e-9 pre-round on BOTH engines: composite weights can land
-      // exactly on a .00005 boundary where Spark (decimal-string
-      // HALF_UP) and DuckDB (binary-double) round differently.
-      round(lenScore * 0.4 + stopRatio * 0.3 + diversity * 0.3 + 1e-9, 4)
-        .as("quality"))
-  }
+      round(QualityScore.lenScore, 4).as("len_score"),
+      round(QualityScore.stopRatio, 4).as("stop_ratio"),
+      round(QualityScore.diversity, 4).as("diversity"),
+      QualityScore.quality.as("quality"))
 
   val textQualitySql: String =
     """WITH t AS (
