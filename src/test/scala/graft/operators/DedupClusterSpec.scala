@@ -87,4 +87,13 @@ class DedupClusterSpec extends SparkSpec {
     // the all-boilerplate doc has nothing left and drops out
     assert(!m.contains(4L) && out.length == 3)
   }
+
+  test("span scrub is invariant under repartitioning") {
+    val docs = graft.Tables.documents(spark, sf)
+    val base = DedupQueries.dedupCommonSpansFrom(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val repart = DedupQueries.dedupCommonSpansFrom(docs.repartition(7))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(base == repart && base.nonEmpty)
+  }
 }
