@@ -97,11 +97,16 @@ object CatalogStore {
     * new collection but does not hunt the old partition for the stale
     * copy (that would force a full-catalog scan per merge); a
     * cross-collection move is delete + insert at the caller. */
-  /** Deterministic content-hash tiebreak over the hash-safe columns
-    * of `df`'s schema — Spark prohibits hashing MAP types (no
-    * canonical order). Shared with JdbcCatalogSink so equal-timestamp
-    * duplicates pick the SAME winner in both stores. */
-  private[catalog] def tiebreakHash(df: DataFrame): Column = {
+  /** Deterministic content-hash tiebreak over `df`'s schema. Spark
+    * prohibits hashing MAP types (no canonical order), so map-bearing
+    * columns enter the hash through to_json — their CONTENT still
+    * breaks ties (two rows differing only in `properties` must not
+    * tie arbitrarily). `exclude` drops derived columns (the monthly
+    * layout's `month`) so the hash basis is the item columns in every
+    * store. Shared with JdbcCatalogSink so equal-timestamp duplicates
+    * pick the SAME winner in both stores. */
+  private[catalog] def tiebreakHash(
+      df: DataFrame, exclude: Set[String] = Set.empty): Column = {
     def hashSafe(dt: org.apache.spark.sql.types.DataType): Boolean =
       dt match {
         case _: org.apache.spark.sql.types.MapType => false
@@ -112,7 +117,10 @@ object CatalogStore {
         case _ => true
       }
     val tieCols = df.schema.fields
-      .filter(f => hashSafe(f.dataType)).map(f => col(f.name)).toIndexedSeq
+      .filter(f => !exclude.contains(f.name))
+      .map(f =>
+        if (hashSafe(f.dataType)) col(f.name) else to_json(col(f.name)))
+      .toIndexedSeq
     xxhash64(struct(tieCols: _*))
   }
 
@@ -142,14 +150,20 @@ object CatalogStore {
       .join(broadcast(affected), Seq("collection_id"), "left_semi")
       .select(deltaP.columns.map(col).toIndexedSeq: _*)
     val dataCols = deltaP.columns.map(col).toIndexedSeq
-    val w = Window.partitionBy(col("item_id"))
+    // item identity is (item_id, collection_id) — matching the
+    // partition layout and the JDBC sink's composite key. Partitioning
+    // the dedup window by item_id alone would rank a cross-collection
+    // re-ingest against the original and silently drop the original
+    // from its own partition's rewrite.
+    val w = Window.partitionBy(col("item_id"), col("collection_id"))
       .orderBy(col("ingested_at").desc, col("_prio").desc,
         col("_tie").desc)
     val merged = existing.withColumn("_prio", lit(0))
       .unionByName(deltaP.select(dataCols: _*).withColumn("_prio", lit(1)))
       // content hash: equal-timestamp, equal-priority duplicates pick
-      // the same winner on every run/retry
-      .withColumn("_tie", tiebreakHash(deltaP))
+      // the same winner on every run/retry; exclude the derived month
+      // so the hash basis equals the JDBC sink's
+      .withColumn("_tie", tiebreakHash(deltaP, exclude = Set("month")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn", "_prio", "_tie")

@@ -83,10 +83,15 @@ object NetcdfGranuleSource {
       try NetcdfClassic.readHeader(in).attrs
       finally in.close()
     } catch {
-      // NonFatal, not just IOException: a corrupt granule must
-      // quarantine (empty attrs) no matter how its malformed bytes
-      // surface — one bad file never kills the job
-      case scala.util.control.NonFatal(_) => Map.empty
+      // Narrow on purpose: NetcdfClassic bounds every length word, so
+      // corrupt FILES always surface as IOException (or a require's
+      // IllegalArgumentException) — those quarantine, logged. Systemic
+      // RuntimeExceptions (fs misconfiguration, client bugs) still
+      // fail fast instead of silently quarantining the whole corpus.
+      case e @ (_: java.io.IOException | _: IllegalArgumentException) =>
+        System.err.println(
+          s"[graft] quarantined granule $url: ${e.getMessage}")
+        Map.empty
     }
   }
 }

@@ -15,10 +15,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bucketing {
 
   /** Write `df` as a bucketed, per-bucket-sorted parquet table in
-    * the session catalog. */
+    * the session catalog. The repartition on the bucket key is
+    * load-bearing: without it every upstream task writes a sliver
+    * into every bucket (tasks × buckets small files); with it each
+    * task owns exactly one bucket's rows (repartition and bucketBy
+    * share Murmur3 hash partitioning), so the table is one file per
+    * bucket. */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit =
-    df.write.mode("overwrite").format("parquet")
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
 

@@ -28,7 +28,13 @@ object DedupQueries {
   /** dedup_exact — content-hash dedup: one keeper (min doc_id) per
     * distinct text, with multiplicity. Single hash agg on sha256. */
   def dedupExact(s: SparkSession, dir: String): DataFrame =
-    documents(s, dir)
+    dedupExactFrom(documents(s, dir))
+
+  /** Shared core — pipeline_clean_corpus derives its stage-1 keeper
+    * set from this same aggregate, so the exact-dedup rule lives in
+    * one place. */
+  private[graft] def dedupExactFrom(docs: DataFrame): DataFrame =
+    docs
       .groupBy(sha2(col("text"), 256).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 

@@ -22,11 +22,10 @@ object PipelineQueries {
 
   def pipelineCleanCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
-    // stage 1: exact dedup — one keeper per distinct text
-    val keep1 = docs
-      .groupBy(sha2(col("text"), 256))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
+    // stage 1: exact dedup — one keeper per distinct text (the same
+    // aggregate dedup_exact declares)
+    val keep1 = DedupQueries.dedupExactFrom(docs)
+      .select(col("keep_id").as("doc_id"))
     // stage 2: near-dup clustering — drop cluster non-keepers
     val drop2 = DedupQueries
       .clustersFrom(DedupQueries.dedupNgramJaccardFrom(docs)

@@ -275,6 +275,14 @@ object SimilarityQueries {
     * SimilarityBoundsSpec. */
   def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(embeddings(s, dir))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("emb").as("qv"), col("nrm").as("qn"))
+    val qRows = q.collect()
+    if (qRows.isEmpty)
+      // no query vector ⇒ empty result, not a driver crash — and no
+      // centroid collect/broadcast paid for nothing
+      return e.select(col("vec_id"), lit(0.0).as("sim")).limit(0)
+    val qRow = qRows(0)
     val k = ivfK(e.count())
     val cArr = ivfCentroids(e, k).collect().map { r =>
       (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
@@ -286,13 +294,6 @@ object SimilarityQueries {
     val assignUdf = udf { (emb: Seq[Double], nrm: Double) =>
       topCentroids(cBc.value, IVF_ASSIGN, emb, nrm)
     }
-    val q = e.filter(col("vec_id") === 0)
-      .select(col("emb").as("qv"), col("nrm").as("qn"))
-    val qRows = q.collect()
-    if (qRows.isEmpty)
-      // no query vector ⇒ empty result, not a driver crash
-      return e.select(col("vec_id"), lit(0.0).as("sim")).limit(0)
-    val qRow = qRows(0)
     val probeCids = topCentroids(cArr, ivfNProbe(k),
       qRow.getSeq[Double](0), qRow.getDouble(1))
     e.withColumn("cid", explode(assignUdf(col("emb"), col("nrm"))))

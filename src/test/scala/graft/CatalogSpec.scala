@@ -91,6 +91,35 @@ class CatalogSpec extends SparkSpec {
     assert(patchedCount == 5, s"expected 5 patched, got $patchedCount")
   }
 
+  test("cross-collection re-ingest in one delta keeps the original row") {
+    // item identity is (item_id, collection_id): a delta that re-ingests
+    // an item under a NEW collection while also touching the original
+    // collection must not rank the two copies against each other and
+    // drop the original from its own partition's rewrite
+    val path = s"$tmp/items_xcoll"
+    val source = new FixtureGranuleSource()
+    val (items, _) = ItemAssembly.assemble(source.granules(spark))
+    CatalogStore.write(items, path)
+    val before = CatalogStore.read(spark, path).count()
+    val one = items.limit(1)
+    val id = one.select("item_id").first().getString(0)
+    val origColl = one.select("collection_id").first().getString(0)
+    val moved = one
+      .withColumn("collection_id", lit("MOVED"))
+      .withColumn("ingested_at",
+        current_timestamp() + expr("INTERVAL 2 HOUR"))
+    // the delta touches BOTH collections: the moved copy plus an
+    // unrelated refresh of an original-collection item
+    val delta = moved.unionByName(items.limit(2).filter(col("item_id") =!= id))
+    CatalogStore.upsert(spark, path, delta)
+    val after = CatalogStore.read(spark, path)
+    assert(after.count() == before + 1, "move adds one row, drops none")
+    val copies = after.filter(col("item_id") === id)
+      .select("collection_id").collect().map(_.getString(0)).toSet
+    assert(copies == Set(origColl, "MOVED"),
+      s"both collection copies must survive, got $copies")
+  }
+
   test("STAC search: bbox + interval + sort + keyset paging") {
     val items = CatalogStore.read(spark, catalogPath)
     val q = CatalogQuery.Search(
