@@ -298,7 +298,29 @@ object TextQueries {
        |SELECT q.doc_id, q.quality, thr.thr
        |FROM q, thr WHERE q.quality >= thr.thr""".stripMargin
 
+  /** text_token_count — the three token counts a data pipeline
+    * budgets with: whitespace tokens, alphanumeric-run tokens (the
+    * regex tokenization BPE vocabularies are trained over), and the
+    * chars/4 BPE estimate (the standard LLM budgeting heuristic).
+    * Pure row-local expressions — narrow, codegen'd, pushdown-safe. */
+  def textTokenCount(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+      size(filter(split(col("text"), "[^A-Za-z0-9]+"),
+        t => length(t) > 0)).cast("long").as("alnum_tokens"),
+      ceil(col("n_chars") / 4.0).cast("long").as("bpe_est"))
+
+  val textTokenCountSql: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS ws_tokens,
+      |  len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'),
+      |    w -> len(w) > 0)) AS alnum_tokens,
+      |  CAST(ceil(n_chars / 4.0) AS BIGINT) AS bpe_est
+      |FROM documents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_count" -> (textTokenCount _),
     "text_quality_filter" -> (textQualityFilter _),
     "text_pii_scrub" -> (textPiiScrub _),
     "text_stats" -> (textStats _),
@@ -311,6 +333,7 @@ object TextQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "text_token_count" -> textTokenCountSql,
     "text_quality_filter" -> textQualityFilterSql,
     "text_pii_scrub" -> textPiiScrubSql,
     "text_stats" -> textStatsSql,
