@@ -219,6 +219,46 @@ object SimilarityQueries {
     * sides. */
   private[operators] val IVF_ASSIGN = 2
 
+  /** One distributed Lloyd refinement of the sampled quantizer: each
+    * vector is assigned to its nearest sampled centroid map-side
+    * (broadcast kernel, no shuffle of assignments), then the
+    * element-wise cluster means come out of a two-phase hash agg over
+    * posexploded (cid, dim, value) — the explode is map-side-only and
+    * partial aggregation bounds the SHUFFLE to ≤ partitions × k × d
+    * partial sums, independent of corpus size. Turns the hash sample
+    * into real k-means(1) centroids: lists follow the data's actual
+    * cluster structure instead of arbitrary sample points. Empty
+    * lists drop out (count can only shrink below k). */
+  private[operators] def refineCentroids(
+      s: SparkSession, e: DataFrame,
+      cArr: Array[(Long, Array[Double], Double)])
+      : Array[(Long, Array[Double], Double)] = {
+    if (cArr.isEmpty) return cArr
+    val cBc = s.sparkContext.broadcast(cArr)
+    val near1 = udf { (emb: Seq[Double], nrm: Double) =>
+      val a = topCentroids(cBc.value, 1, emb, nrm)
+      if (a.isEmpty) -1L else a(0)
+    }
+    val means = e.withColumn("cid", near1(col("emb"), col("nrm")))
+      .filter(col("cid") >= 0)
+      .select(col("cid"), posexplode(col("emb")))
+      .toDF("cid", "idx", "v")
+      .groupBy(col("cid"), col("idx"))
+      .agg(avg(col("v")).as("m"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("idx"), col("m")))).as("ms"))
+      .select(col("cid"),
+        transform(col("ms"), x => x.getField("m")).as("cemb"))
+      .collect()
+    means.map { r =>
+      val emb = r.getSeq[Double](1).toArray
+      var ss = 0.0
+      var i = 0
+      while (i < emb.length) { ss += emb(i) * emb(i); i += 1 }
+      (r.getLong(0), emb, math.sqrt(ss))
+    }
+  }
+
   /** Top-`a` centroid ids for one vector by (cosine desc, cid asc) —
     * shared by the executor-side assignment kernel and the
     * driver-side query probe. O(k·d) per call; only an a-slot
@@ -270,9 +310,11 @@ object SimilarityQueries {
     * list ids become an isin literal evaluated map-side; exact cosine
     * re-ranks only probed-list members. The one-scan count() for n
     * and the one-row query collect are driver scalars, same
-    * discipline as text_tfidf. Approximate ⇒ rows-only; recall is
-    * asserted by ScaleUtilsSpec and the ivfK/ivfNProbe bounds by
-    * SimilarityBoundsSpec. */
+    * discipline as text_tfidf. The sampled quantizer is refined by
+    * ONE distributed Lloyd step (refineCentroids — real k-means(1)
+    * with a bounded shuffle) before use. Approximate ⇒ rows-only;
+    * recall is asserted by ScaleUtilsSpec and the
+    * ivfK/ivfNProbe/refinement bounds by SimilarityBoundsSpec. */
   def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(embeddings(s, dir))
     val q = e.filter(col("vec_id") === 0)
@@ -284,9 +326,10 @@ object SimilarityQueries {
       return e.select(col("vec_id"), lit(0.0).as("sim")).limit(0)
     val qRow = qRows(0)
     val k = ivfK(e.count())
-    val cArr = ivfCentroids(e, k).collect().map { r =>
+    val cArr0 = ivfCentroids(e, k).collect().map { r =>
       (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
     }
+    val cArr = refineCentroids(s, e, cArr0)
     // a real Broadcast, not closure capture: at full k the quantizer
     // is ~33 MB — shipped once per executor instead of inside every
     // serialized task

@@ -45,6 +45,33 @@ class SimilarityBoundsSpec extends SparkSpec {
     assert(SimilarityQueries.topCentroids(cents, 2, v, 0.0).isEmpty)
   }
 
+  test("Lloyd refinement recovers true cluster means from a rough sample") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two tight clusters around orthogonal axes; the "sample" puts
+    // one centroid near each — refinement must move each to its
+    // cluster's exact mean (count can only stay or shrink, never grow)
+    val c1 = Seq.tabulate(20)(i => (i.toLong, Seq(1.0, 0.01 * i)))
+    val c2 = Seq.tabulate(20)(i => (100L + i, Seq(0.01 * i, 1.0)))
+    val e = (c1 ++ c2).toDF("vec_id", "emb")
+      .withColumn("nrm", graft.functions.ArrayDot.l2Norm(col("emb")))
+    val sample = Array(
+      (0L, Array(1.0, 0.0), 1.0),
+      (100L, Array(0.0, 1.0), 1.0))
+    val refined = SimilarityQueries.refineCentroids(spark, e, sample)
+      .sortBy(_._1)
+    assert(refined.length <= sample.length)
+    val m1 = refined.find(_._1 == 0L).get._2
+    val m2 = refined.find(_._1 == 100L).get._2
+    // exact means: (1.0, avg(0.00..0.19)) and mirrored
+    val exp = (0 until 20).map(_ * 0.01).sum / 20
+    assert(math.abs(m1(0) - 1.0) < 1e-12 && math.abs(m1(1) - exp) < 1e-12)
+    assert(math.abs(m2(1) - 1.0) < 1e-12 && math.abs(m2(0) - exp) < 1e-12)
+    // empty input passes through
+    assert(SimilarityQueries.refineCentroids(spark, e,
+      Array.empty[(Long, Array[Double], Double)]).isEmpty)
+  }
+
   test("identical-vector flood: candidates bounded by BUCKET_CAP on both sides") {
     // 1200 copies of one vector all hash to one bucket per band; with
     // both join sides capped at 512 the distinct candidate pairs are
