@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.ArrayDot.{arrayDot, l2Norm}
-import graft.functions.{FastSig, VectorFunctions}
+import graft.functions.{FastSig, HyperplaneSig, VectorFunctions}
 
 /** Similarity search over the `embeddings` table (SURVEY.md §2.11).
   *
@@ -94,7 +94,7 @@ object SimilarityQueries {
     * recall vs brute force property-tested. */
   def simAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(embeddings(s, dir))
-      .withColumn("sig", FastSig.hyperplaneSigFast(SIG_BITS)(col("emb")))
+      .withColumn("sig", HyperplaneSig.hyperplaneSig(col("emb"), SIG_BITS))
     val bands = e.select(col("vec_id"), col("emb"), col("nrm"),
       explode(VectorFunctions.sigBands(col("sig"), SIG_BITS, N_BANDS)).as("bb"))
       .select(col("vec_id"), col("emb"), col("nrm"),
@@ -154,7 +154,7 @@ object SimilarityQueries {
   private[graft] def nearEmbeddingCandidates(e: DataFrame): DataFrame = {
     val bandBits = SIG_BITS / N_BANDS
     val sigs = e.select(col("vec_id"),
-      FastSig.hyperplaneSigFast(SIG_BITS)(col("emb")).as("sig"))
+      HyperplaneSig.hyperplaneSig(col("emb"), SIG_BITS).as("sig"))
     // exact band buckets, capped per (band, bh) — the only window
     val bands = capBuckets(sigs.select(col("vec_id"),
       explode(VectorFunctions.sigBands(col("sig"), SIG_BITS, N_BANDS)).as("bb"))

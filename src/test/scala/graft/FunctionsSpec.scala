@@ -37,6 +37,37 @@ class FunctionsSpec extends SparkSpec {
     assert(r == 11.0)
   }
 
+  test("hyperplane_sig codegen expression is bit-identical to the UDF") {
+    import spark.implicits._
+    import graft.functions.{FastSig, HyperplaneSig}
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(50)(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextGaussian())))
+    val df = rows.toDF("id", "emb")
+    val got = df.select(col("id"),
+        HyperplaneSig.hyperplaneSig(col("emb"), 64).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = df.select(col("id"),
+        FastSig.hyperplaneSigFast(64)(col("emb")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref, "codegen signature must equal the UDF bit-for-bit")
+    // interpreted eval path agrees too (codegen-off execution)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = df.select(col("id"),
+          HyperplaneSig.hyperplaneSig(col("emb"), 64).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(interp == ref)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // a dim past the precomputed table still matches the UDF rule
+    val wide = Seq((0L, Seq.fill(4100)(rnd.nextGaussian()))).toDF("id", "emb")
+    val w1 = wide.select(HyperplaneSig.hyperplaneSig(col("emb"), 64))
+      .first().getLong(0)
+    val w2 = wide.select(FastSig.hyperplaneSigFast(64)(col("emb")))
+      .first().getLong(0)
+    assert(w1 == w2, "fallback path past MAX_DIM must match the UDF")
+  }
+
   test("bbox union aggregator merges partial buffers correctly") {
     import spark.implicits._
     import graft.functions.BboxUnionAgg
