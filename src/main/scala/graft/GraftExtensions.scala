@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.ArrayDotProduct
+import graft.functions.{ArrayDotProduct, HyperplaneSigExpr}
 
 /** Session extensions (SURVEY.md §4.2): registers the engine's custom
   * Catalyst expressions into the SQL function registry so
@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[graft.plans.BboxOverlaps].getName, "bbox_overlaps"),
       GraftExtensions.bboxOverlapsBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSigExpr].getName, "hyperplane_sig"),
+      GraftExtensions.hyperplaneSigBuilder))
     // the single custom optimizer rule: bbox_overlaps joins → bucketed
     ext.injectOptimizerRule(_ => graft.plans.RewriteBboxOverlapJoin)
   }
@@ -40,6 +44,22 @@ object GraftExtensions {
   private val bboxOverlapsBuilder: Seq[Expression] => Expression =
     children => graft.plans.BboxOverlaps.coerced(children)
 
+  private val hyperplaneSigBuilder: Seq[Expression] => Expression = {
+    children =>
+      require(children.length == 2 || children.length == 3,
+        "hyperplane_sig(emb, bits[, seed])")
+      def litVal(e: Expression): Long = e match {
+        case org.apache.spark.sql.catalyst.expressions
+              .Literal(v: Int, _) => v.toLong
+        case org.apache.spark.sql.catalyst.expressions
+              .Literal(v: Long, _) => v
+        case other => throw new IllegalArgumentException(
+          s"hyperplane_sig bits/seed must be integer literals, got $other")
+      }
+      HyperplaneSigExpr(children.head, litVal(children(1)).toInt,
+        if (children.length == 3) litVal(children(2)) else 42L)
+  }
+
   /** Register the engine functions + optimizer rule into an
     * already-running session (extensions proper can only be installed
     * at session build time). */
@@ -48,6 +68,8 @@ object GraftExtensions {
       .registerFunction(spark, "array_dot", arrayDotBuilder)
     org.apache.spark.sql.graftbridge.GraftExpr
       .registerFunction(spark, "bbox_overlaps", bboxOverlapsBuilder)
+    org.apache.spark.sql.graftbridge.GraftExpr
+      .registerFunction(spark, "hyperplane_sig", hyperplaneSigBuilder)
     if (!spark.experimental.extraOptimizations
         .contains(graft.plans.RewriteBboxOverlapJoin)) {
       spark.experimental.extraOptimizations ++=

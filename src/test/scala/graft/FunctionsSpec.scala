@@ -37,6 +37,18 @@ class FunctionsSpec extends SparkSpec {
     assert(r == 11.0)
   }
 
+  test("GraftExtensions registers hyperplane_sig for SQL") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT hyperplane_sig(array(0.5D, -1.5D, 2.0D), 64) AS s")
+      .collect()(0).getLong(0)
+    val viaCol = Seq(Seq(0.5, -1.5, 2.0)).toDF("emb")
+      .select(graft.functions.HyperplaneSig.hyperplaneSig(col("emb"), 64))
+      .first().getLong(0)
+    assert(viaSql == viaCol)
+  }
+
   test("hyperplane_sig codegen expression is bit-identical to the UDF") {
     import spark.implicits._
     import graft.functions.{FastSig, HyperplaneSig}
