@@ -350,6 +350,39 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** sim_knn_join — the approximate k-NN GRAPH: top-KNN_K neighbors
+    * for EVERY vector (not one query), from the same capped LSH
+    * candidate generation as dedup_near_embedding. This is the batch
+    * ANN join semantic-dedup / clustering pipelines run: symmetrized
+    * candidate pairs, exact cosine on candidates only, then a
+    * window top-k per vector whose partition size is bounded by the
+    * per-vector candidate bound (bands × (bandBits+1) × BUCKET_CAP),
+    * never by corpus size. Approximate ⇒ rows-only; planted-twin
+    * rank-1 recovery is unit-tested. */
+  def simKnnJoin(s: SparkSession, dir: String): DataFrame =
+    simKnnJoinFrom(withNorm(embeddings(s, dir)))
+
+  private val KNN_K = 3
+
+  private[graft] def simKnnJoinFrom(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cands = nearEmbeddingCandidates(e)
+    val sym = cands.union(cands.select(col("b").as("a"), col("a").as("b")))
+    val scored = sym
+      .join(e.select(col("vec_id").as("a"), col("emb").as("ea"),
+        col("nrm").as("na")), Seq("a"))
+      .join(e.select(col("vec_id").as("b"), col("emb").as("eb"),
+        col("nrm").as("nb")), Seq("b"))
+      .withColumn("sim",
+        round(arrayDot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+    val w = Window.partitionBy(col("a"))
+      .orderBy(col("sim").desc, col("b"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KNN_K)
+      .select(col("a"), col("b"), col("sim"), col("rk"))
+  }
+
   /** emb_stats — embedding-hygiene audit per label partition: count,
     * norm spread, dimensionality agreement, and degenerate
     * (near-zero-norm) vector count — the preflight every ANN / dedup
@@ -388,6 +421,7 @@ object SimilarityQueries {
     "sim_ann_lsh" -> (simAnnLsh _),
     "sim_ann_ivf" -> (simAnnIvf _),
     "dedup_near_embedding" -> (dedupNearEmbedding _),
+    "sim_knn_join" -> (simKnnJoin _),
     "emb_stats" -> (embStats _)
   )
 

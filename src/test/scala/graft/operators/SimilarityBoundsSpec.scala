@@ -86,6 +86,34 @@ class SimilarityBoundsSpec extends SparkSpec {
       s"flood candidates $cands exceed the two-sided bucket-cap bound")
   }
 
+  test("knn join ranks planted twins first") {
+    val rnd = new scala.util.Random(43)
+    val dim = 16
+    val base = Seq.tabulate(150) { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian()))
+    }
+    val twins = Seq.tabulate(10) { i =>
+      (1000L + i, base(i)._2.map(x => x + 1e-3 * rnd.nextGaussian()))
+    }
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (base ++ twins).toDF("vec_id", "emb")
+      .select(col("vec_id"), col("emb"), l2Norm(col("emb")).as("nrm"))
+    val knn = SimilarityQueries.simKnnJoinFrom(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    // each planted twin's rank-1 neighbor should be its source (both
+    // directions), for most of the 10 plants (LSH is approximate)
+    val rank1 = knn.filter(_._3 == 1).map(t => t._1 -> t._2).toMap
+    val hits = (0 until 10).count { i =>
+      rank1.get(1000L + i).contains(i.toLong) ||
+        rank1.get(i.toLong).contains(1000L + i)
+    }
+    assert(hits >= 8, s"only $hits/10 twins ranked first")
+    // no vector exceeds KNN_K neighbors
+    val perA = knn.groupBy(_._1).view.mapValues(_.length)
+    assert(perA.values.forall(_ <= 3))
+  }
+
   test("planted near-duplicates survive the capped LSH") {
     val rnd = new scala.util.Random(42)
     val dim = 16
