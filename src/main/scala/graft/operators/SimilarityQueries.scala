@@ -383,6 +383,26 @@ object SimilarityQueries {
       .select(col("a"), col("b"), col("sim"), col("rk"))
   }
 
+  /** dedup_semantic — SemDeDup-style semantic dedup over embeddings:
+    * edges = k-NN-graph pairs with cosine ≥ SEM_T, clusters =
+    * connected components (the same pointer-doubling propagation as
+    * dedup_cluster_cc), one keeper per cluster. The full
+    * embedding-side answer to "keep one of each meaning": candidate
+    * generation, scoring, graph, and clustering are all the bounded
+    * stages verified individually. Approximate ⇒ rows-only. */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val pairs = simKnnJoinFrom(withNorm(embeddings(s, dir)))
+      .filter(col("sim") >= SEM_T && col("a") < col("b"))
+      .select(col("a"), col("b"))
+    DedupQueries.clustersFrom(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+        col("is_keeper"))
+  }
+
+  /** Same floor as dedup_near_embedding — guarantees >0 rows on the
+    * synthetic corpus while still meaning "near-duplicate meaning". */
+  private val SEM_T = 0.45
+
   /** emb_stats — embedding-hygiene audit per label partition: count,
     * norm spread, dimensionality agreement, and degenerate
     * (near-zero-norm) vector count — the preflight every ANN / dedup
@@ -422,6 +442,7 @@ object SimilarityQueries {
     "sim_ann_ivf" -> (simAnnIvf _),
     "dedup_near_embedding" -> (dedupNearEmbedding _),
     "sim_knn_join" -> (simKnnJoin _),
+    "dedup_semantic" -> (dedupSemantic _),
     "emb_stats" -> (embStats _)
   )
 

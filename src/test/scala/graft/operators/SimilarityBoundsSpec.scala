@@ -114,6 +114,36 @@ class SimilarityBoundsSpec extends SparkSpec {
     assert(perA.values.forall(_ <= 3))
   }
 
+  test("semantic dedup clusters identical-meaning plants with one keeper") {
+    val rnd = new scala.util.Random(44)
+    val dim = 16
+    // three "meanings", five near-copies each, plus unrelated noise
+    val plants = (0 until 3).flatMap { m =>
+      val proto = Array.fill(dim)(rnd.nextGaussian())
+      (0 until 5).map(j =>
+        ((m * 10 + j).toLong, proto.map(x => x + 1e-3 * rnd.nextGaussian())))
+    }
+    val noise = Seq.tabulate(100)(i =>
+      (500L + i, Array.fill(dim)(rnd.nextGaussian())))
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (plants ++ noise).toDF("vec_id", "emb")
+      .select(col("vec_id"), col("emb"), l2Norm(col("emb")).as("nrm"))
+    val pairs = SimilarityQueries.simKnnJoinFrom(df)
+      .filter(col("sim") >= 0.45 && col("a") < col("b"))
+      .select(col("a"), col("b"))
+    val clusters = graft.operators.DedupQueries.clustersFrom(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // each plant group lands in one cluster keyed by its min id
+    for (m <- 0 until 3) {
+      val ids = (0 until 5).map(j => (m * 10 + j).toLong).toSet
+      val labels = clusters.filter(c => ids.contains(c._1)).map(_._2).toSet
+      assert(labels == Set((m * 10).toLong),
+        s"meaning $m split into clusters $labels")
+    }
+    assert(clusters.count(_._3 == 1) >= 3)
+  }
+
   test("planted near-duplicates survive the capped LSH") {
     val rnd = new scala.util.Random(42)
     val dim = 16
