@@ -48,6 +48,8 @@ object GraftExtensions {
     children =>
       require(children.length == 2 || children.length == 3,
         "hyperplane_sig(emb, bits[, seed])")
+      // bits > 64 would silently alias (1L << b masks the shift) and
+      // bits <= 0 would return a constant 0 signature — reject both
       def litVal(e: Expression): Long = e match {
         case org.apache.spark.sql.catalyst.expressions
               .Literal(v: Int, _) => v.toLong
@@ -56,7 +58,10 @@ object GraftExtensions {
         case other => throw new IllegalArgumentException(
           s"hyperplane_sig bits/seed must be integer literals, got $other")
       }
-      HyperplaneSigExpr(children.head, litVal(children(1)).toInt,
+      val bits = litVal(children(1))
+      require(bits >= 1 && bits <= 64,
+        s"hyperplane_sig bits must be in [1, 64], got $bits")
+      HyperplaneSigExpr(children.head, bits.toInt,
         if (children.length == 3) litVal(children(2)) else 42L)
   }
 

@@ -174,19 +174,36 @@ object SimilarityQueries {
       .dropDuplicates("a", "b")
   }
 
-  /** DataFrame-level core of dedup_near_embedding so fixtures (e.g. a
-    * skewed identical-vector flood) can drive it directly. Expects
-    * columns (vec_id, emb, nrm). */
-  private[graft] def dedupNearEmbeddingFrom(e: DataFrame): DataFrame = {
-    nearEmbeddingCandidates(e)
+  /** Exact-cosine scoring of candidate pairs: each side's (emb, nrm)
+    * joined once, the codegen dot once per pair — shared by
+    * dedup_near_embedding (scale 4, oracle-era rounding) and the
+    * k-NN graph (scale 6). Callers must pre-filter zero norms. */
+  private def scorePairs(
+      e: DataFrame, pairs: DataFrame, scale: Int): DataFrame =
+    pairs
       .join(e.select(col("vec_id").as("a"), col("emb").as("ea"),
         col("nrm").as("na")), Seq("a"))
       .join(e.select(col("vec_id").as("b"), col("emb").as("eb"),
         col("nrm").as("nb")), Seq("b"))
       .withColumn("sim",
-        round(arrayDot(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
-      .filter(col("sim") >= 0.45)
+        round(arrayDot(col("ea"), col("eb")) / (col("na") * col("nb")),
+          scale))
       .select(col("a"), col("b"), col("sim"))
+
+  /** Zero-norm vectors have no cosine direction, and a NaN sim would
+    * both outrank every real neighbor (Spark orders NaN above all
+    * doubles) and pass a >= threshold — exclude them up front.
+    * emb_stats counts them for the corpus owner. */
+  private def nonDegenerate(e: DataFrame): DataFrame =
+    e.filter(col("nrm") > 0)
+
+  /** DataFrame-level core of dedup_near_embedding so fixtures (e.g. a
+    * skewed identical-vector flood) can drive it directly. Expects
+    * columns (vec_id, emb, nrm). */
+  private[graft] def dedupNearEmbeddingFrom(e0: DataFrame): DataFrame = {
+    val e = nonDegenerate(e0)
+    scorePairs(e, nearEmbeddingCandidates(e), 4)
+      .filter(col("sim") >= 0.45)
   }
 
   /** Coarse-quantizer size: k = ⌈√n⌉, hard-capped so the broadcast
@@ -364,20 +381,18 @@ object SimilarityQueries {
 
   private val KNN_K = 3
 
-  private[graft] def simKnnJoinFrom(e: DataFrame): DataFrame = {
+  private[graft] def simKnnJoinFrom(e0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cands = nearEmbeddingCandidates(e)
-    val sym = cands.union(cands.select(col("b").as("a"), col("a").as("b")))
-    val scored = sym
-      .join(e.select(col("vec_id").as("a"), col("emb").as("ea"),
-        col("nrm").as("na")), Seq("a"))
-      .join(e.select(col("vec_id").as("b"), col("emb").as("eb"),
-        col("nrm").as("nb")), Seq("b"))
-      .withColumn("sim",
-        round(arrayDot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+    val e = nonDegenerate(e0)
+    // score each undirected pair ONCE (the arrayDot verify is the
+    // dominant cost), then mirror the scored rows for the per-vector
+    // ranking — sim(a,b) = sim(b,a)
+    val scored = scorePairs(e, nearEmbeddingCandidates(e), 6)
+    val sym = scored.union(
+      scored.select(col("b").as("a"), col("a").as("b"), col("sim")))
     val w = Window.partitionBy(col("a"))
       .orderBy(col("sim").desc, col("b"))
-    scored
+    sym
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= KNN_K)
       .select(col("a"), col("b"), col("sim"), col("rk"))
@@ -390,16 +405,29 @@ object SimilarityQueries {
     * embedding-side answer to "keep one of each meaning": candidate
     * generation, scoring, graph, and clustering are all the bounded
     * stages verified individually. Approximate ⇒ rows-only. */
-  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
-    val pairs = simKnnJoinFrom(withNorm(embeddings(s, dir)))
-      .filter(col("sim") >= SEM_T && col("a") < col("b"))
-      .select(col("a"), col("b"))
-    DedupQueries.clustersFrom(pairs)
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame =
+    dedupSemanticFrom(withNorm(embeddings(s, dir)))
+
+  /** Fixture seam (the <name>From pattern) — the planted-meaning test
+    * drives THIS method, so the edge rule and SEM_T are exercised in
+    * production form. An edge survives if EITHER direction made its
+    * endpoint's top-k (least/greatest + dropDuplicates — filtering
+    * a < b after the rank window would drop an edge whose smaller-id
+    * side is a hub with k closer neighbors). */
+  private[graft] def dedupSemanticFrom(e: DataFrame): DataFrame = {
+    val edges = simKnnJoinFrom(e)
+      .filter(col("sim") >= SEM_T)
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .dropDuplicates("a", "b")
+    DedupQueries.clustersFrom(edges)
       .select(col("doc_id").as("vec_id"), col("cluster_id"),
         col("is_keeper"))
   }
 
-  /** Same floor as dedup_near_embedding — guarantees >0 rows on the
+  /** Same floor as dedup_near_embedding (which rounds at scale 4 vs
+    * the graph's scale 6 — a pair within 5e-5 of the floor can differ
+    * between the two operators by design). Guarantees >0 rows on the
     * synthetic corpus while still meaning "near-duplicate meaning". */
   private val SEM_T = 0.45
 

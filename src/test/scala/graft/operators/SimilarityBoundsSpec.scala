@@ -116,10 +116,15 @@ class SimilarityBoundsSpec extends SparkSpec {
 
   test("semantic dedup clusters identical-meaning plants with one keeper") {
     val rnd = new scala.util.Random(44)
-    val dim = 16
-    // three "meanings", five near-copies each, plus unrelated noise
+    // 64-dim: random-noise cosines concentrate near 0 (σ ≈ 1/8), so a
+    // noise vector bridging two meanings at ≥ SEM_T cannot occur and
+    // any cross-meaning merge is a real defect
+    val dim = 64
+    // three ORTHOGONAL "meanings" (cross-meaning cosine ≈ 0, so a
+    // merge across meanings would be a real bug, not fixture luck),
+    // five near-copies each, plus unrelated noise
     val plants = (0 until 3).flatMap { m =>
-      val proto = Array.fill(dim)(rnd.nextGaussian())
+      val proto = Array.tabulate(dim)(d => if (d == m) 1.0 else 0.0)
       (0 until 5).map(j =>
         ((m * 10 + j).toLong, proto.map(x => x + 1e-3 * rnd.nextGaussian())))
     }
@@ -129,10 +134,7 @@ class SimilarityBoundsSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val df = (plants ++ noise).toDF("vec_id", "emb")
       .select(col("vec_id"), col("emb"), l2Norm(col("emb")).as("nrm"))
-    val pairs = SimilarityQueries.simKnnJoinFrom(df)
-      .filter(col("sim") >= 0.45 && col("a") < col("b"))
-      .select(col("a"), col("b"))
-    val clusters = graft.operators.DedupQueries.clustersFrom(pairs)
+    val clusters = SimilarityQueries.dedupSemanticFrom(df)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     // each plant group lands in one cluster keyed by its min id
     for (m <- 0 until 3) {
@@ -142,6 +144,22 @@ class SimilarityBoundsSpec extends SparkSpec {
         s"meaning $m split into clusters $labels")
     }
     assert(clusters.count(_._3 == 1) >= 3)
+  }
+
+  test("zero-norm vectors never enter the knn graph as NaN edges") {
+    val rnd = new scala.util.Random(45)
+    val dim = 8
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val zeros = Seq.tabulate(5)(i => (900L + i, Array.fill(dim)(0.0)))
+    val real = Seq.tabulate(30)(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian())))
+    val df = (zeros ++ real).toDF("vec_id", "emb")
+      .select(col("vec_id"), col("emb"), l2Norm(col("emb")).as("nrm"))
+    val knn = SimilarityQueries.simKnnJoinFrom(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(knn.forall { case (a, b, s) =>
+      a < 900 && b < 900 && !s.isNaN })
   }
 
   test("planted near-duplicates survive the capped LSH") {
