@@ -202,9 +202,12 @@ object CatalogStore {
         else fs.listStatus(p).toSeq
           .filter(st => st.isDirectory && st.getPath.getName.contains("="))
           .flatMap(st => leafDirs(st.getPath, depth - 1))
-      leafDirs(staging, partCols.length).foreach { src =>
-        val rel = src.toUri.getPath
-          .stripPrefix(staging.toUri.getPath).stripPrefix("/")
+      def relOf(p: org.apache.hadoop.fs.Path,
+          root: org.apache.hadoop.fs.Path): String =
+        p.toUri.getPath.stripPrefix(root.toUri.getPath).stripPrefix("/")
+      val stagedLeaves = leafDirs(staging, partCols.length)
+      stagedLeaves.foreach { src =>
+        val rel = relOf(src, staging)
         val dst = new org.apache.hadoop.fs.Path(hPath, rel)
         val dstParent = dst.getParent
         if (!fs.exists(dstParent)) fs.mkdirs(dstParent)
@@ -219,6 +222,25 @@ object CatalogStore {
             throw e
         }
         if (hadOld) fs.delete(backup, true)
+      }
+      // A merge can move EVERY row out of an existing leaf (monthly
+      // layout: a re-stamped start_datetime moves the item's month) —
+      // that leaf then has no staged counterpart and would keep its
+      // superseded rows forever. Every affected collection appears in
+      // the staged output (existing rows keep or yield their
+      // (item_id, collection_id) identity within the same collection),
+      // so: any on-disk leaf under a staged collection dir that is NOT
+      // among the staged leaves holds only superseded rows — delete it.
+      // Runs after the swap, so a failure earlier leaves it untouched.
+      if (partCols.length > 1) {
+        val stagedRel = stagedLeaves.map(relOf(_, staging)).toSet
+        val stagedTop = stagedRel.map(_.split('/').head)
+        leafDirs(hPath, partCols.length).foreach { leaf =>
+          val rel = relOf(leaf, hPath)
+          if (stagedTop.contains(rel.split('/').head) &&
+              !stagedRel.contains(rel))
+            fs.delete(leaf, true)
+        }
       }
       fs.delete(staging, true)
     } catch {

@@ -31,14 +31,25 @@ final class NetcdfGranuleSource(
     val cols = NetcdfGranuleSource.B1_COLUMNS
     val binding = attrMap
     val options = storageOptions
+    // Snapshot the SESSION Hadoop conf on the driver: credentials set
+    // the standard way (spark.hadoop.fs.s3a.* on the session) must
+    // reach executor-side fs.open too — a bare new Configuration()
+    // there would silently drop them and every granule would
+    // "quarantine" on auth errors. Per-source storageOptions override
+    // the session (the reference's storage_kwargs,
+    // avhrr recipe.py:124,154).
+    val sessionConf: Map[String, String] = {
+      val c = spark.sparkContext.hadoopConfiguration
+      val it = c.iterator()
+      val buf = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
+      buf.result()
+    }
     ListingCache.globListing(spark, glob, storageOptions).as[String]
       .mapPartitions { it =>
-        // fresh Configuration per partition (classpath defaults the
-        // executors already run with) + the per-source auth/endpoint
-        // overrides — the reference's storage_kwargs
-        // (avhrr recipe.py:124,154)
         val conf = ListingCache.confWith(
-          new org.apache.hadoop.conf.Configuration(), options)
+          new org.apache.hadoop.conf.Configuration(false),
+          sessionConf ++ options)
         it.map { url =>
           val attrs = NetcdfGranuleSource.headerAttrs(url, conf)
           (url,

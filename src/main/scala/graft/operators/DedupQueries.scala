@@ -232,6 +232,10 @@ object DedupQueries {
       val nt = labelSum(next)
       converged = nt == tot
       tot = nt
+      // release the previous round's checkpoint blocks — only the
+      // newest labels table is ever read again, and CC_MAX_ITERS
+      // pinned copies would otherwise sit in executor storage
+      labels.unpersist()
       labels = next
       it += 1
     }

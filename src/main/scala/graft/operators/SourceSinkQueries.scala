@@ -220,6 +220,11 @@ object SourceSinkQueries {
     }
     val n = items.count()
     val afterRerun = count()
+    // drop the in-memory database — a bench loop re-invoking this
+    // query would otherwise accumulate one full item table per run
+    try java.sql.DriverManager
+      .getConnection(s"jdbc:derby:memory:$db;drop=true")
+    catch { case _: java.sql.SQLException => () } // drop always throws 08006
     Seq((n, afterRerun, n == afterRerun))
       .toDF("items_sent", "rows_in_db", "idempotent")
   }

@@ -237,30 +237,20 @@ object TextQueries {
   }
 
   val textPiiScrubSql: String =
-    """SELECT doc_id,
-      |  regexp_replace(
+    """WITH s AS (
+      |  SELECT doc_id,
       |    regexp_replace(
-      |      text || ' contact user' || doc_id ||
-      |        '@example.com or +1 555 010 ' || doc_id || ' now',
-      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
-      |      'g'),
-      |    '\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed,
-      |  (contains(regexp_replace(
-      |    regexp_replace(
-      |      text || ' contact user' || doc_id ||
-      |        '@example.com or +1 555 010 ' || doc_id || ' now',
-      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
-      |      'g'),
-      |    '\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g'), '<EMAIL>')
-      |   AND contains(regexp_replace(
-      |    regexp_replace(
-      |      text || ' contact user' || doc_id ||
-      |        '@example.com or +1 555 010 ' || doc_id || ' now',
-      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
-      |      'g'),
-      |    '\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g'), '<PHONE>'))
-      |  AS masked
-      |FROM documents""".stripMargin
+      |      regexp_replace(
+      |        text || ' contact user' || doc_id ||
+      |          '@example.com or +1 555 010 ' || doc_id || ' now',
+      |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+      |        'g'),
+      |      '\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed
+      |  FROM documents)
+      |SELECT doc_id, scrubbed,
+      |  (contains(scrubbed, '<EMAIL>') AND contains(scrubbed, '<PHONE>'))
+      |    AS masked
+      |FROM s""".stripMargin
 
   /** text_quality_filter — global-quantile curation: keep only docs
     * at or above the corpus P20 of the text_quality composite. The

@@ -120,6 +120,35 @@ class CatalogSpec extends SparkSpec {
       s"both collection copies must survive, got $copies")
   }
 
+  test("month re-stamp leaves no stale copy in the old month partition") {
+    // a delta that moves an item's month must supersede the old-month
+    // row ON DISK, not just in the merge output — the old leaf has no
+    // staged counterpart and must be actively removed
+    val path = s"$tmp/items_monthmove"
+    val source = new FixtureGranuleSource()
+    val (items, _) = ItemAssembly.assemble(source.granules(spark))
+    CatalogStore.writeMonthly(items, path)
+    val before = CatalogStore.read(spark, path).count()
+    // re-stamp EVERY item +40 days: the original month leaf empties
+    // out completely and has no staged counterpart in the merge
+    val moved = items
+      .withColumn("start_datetime",
+        col("start_datetime") + expr("INTERVAL 40 DAYS"))
+      .withColumn("end_datetime",
+        col("end_datetime") + expr("INTERVAL 40 DAYS"))
+      .withColumn("ingested_at",
+        current_timestamp() + expr("INTERVAL 1 HOUR"))
+    CatalogStore.upsert(spark, path, moved)
+    val after = CatalogStore.read(spark, path)
+    assert(after.count() == before, "move replaces, never duplicates")
+    val dupIds = after.groupBy("item_id", "collection_id").count()
+      .filter(col("count") > 1).count()
+    assert(dupIds == 0, "no item may survive in two month partitions")
+    // and nothing is left in the vacated month
+    assert(after.filter(col("month") === "2022-05").count() == 0,
+      "the emptied month leaf must be removed from disk")
+  }
+
   test("STAC search: bbox + interval + sort + keyset paging") {
     val items = CatalogStore.read(spark, catalogPath)
     val q = CatalogQuery.Search(
