@@ -85,6 +85,14 @@ class PlanShapeSpec extends SparkSpec {
       val plain = o.join(l, "o_orderkey")
         .groupBy("o_orderkey").agg(sum("l_quantity").as("q"))
       assert(j.except(plain).isEmpty && plain.except(j).isEmpty)
+      // the pre-write repartition makes the layout one file per
+      // bucket, not tasks × buckets slivers
+      val loc = spark.sql("DESCRIBE EXTENDED b_orders")
+        .filter(col("col_name") === "Location")
+        .first().getString(1).stripPrefix("file:")
+      val parts = new java.io.File(loc)
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(parts == 8, s"want 8 bucket files, found $parts")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS b_orders")
