@@ -200,7 +200,12 @@ object CatalogStore {
           depth: Int): Seq[org.apache.hadoop.fs.Path] =
         if (depth == 0) Seq(p)
         else fs.listStatus(p).toSeq
-          .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+          // a crash-preserved hidden backup (".month=….old-…") also
+          // contains '=': never treat it as a partition leaf, so the
+          // stale-leaf cleanup can't delete a repair copy
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.contains("=") &&
+            !st.getPath.getName.startsWith("."))
           .flatMap(st => leafDirs(st.getPath, depth - 1))
       def relOf(p: org.apache.hadoop.fs.Path,
           root: org.apache.hadoop.fs.Path): String =
