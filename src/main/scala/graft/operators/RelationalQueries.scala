@@ -300,6 +300,34 @@ object RelationalQueries {
       |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90, count(*) AS n
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
+  /** agg_stats_moments — second-moment statistics per group: sample
+    * stddev, Pearson correlation and sample covariance of quantity vs
+    * price. All three are algebraic aggregates (sum/sum²/sum-of-
+    * products partials merge associatively), so they run as ordinary
+    * two-phase hash aggs at any scale. +1e-9 pre-round both engines
+    * (the [[spark-oracle-parity]] boundary rule); double-sum order
+    * differs by partitioning, absorbed by round(4). */
+  def aggStatsMoments(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")) + lit(1e-9), 4).as("sd_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")) + lit(1e-9), 4)
+          .as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")) / 1000.0
+          + lit(1e-9), 4).as("covar_k"),
+        count(lit(1)).as("n"))
+
+  val aggStatsMomentsSql: String =
+    """SELECT l_returnflag,
+      |  round(stddev_samp(l_quantity) + 1e-9, 4) AS sd_qty,
+      |  round(corr(l_quantity, l_extendedprice) + 1e-9, 4)
+      |    AS corr_qty_price,
+      |  round(covar_samp(l_quantity, l_extendedprice) / 1000.0 + 1e-9, 4)
+      |    AS covar_k,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   /** agg_pivot — wide-format rollup: event counts pivoted by type.
     * Explicit value list ⇒ deterministic columns; oracle is the
     * portable CASE-sum form. */
@@ -406,6 +434,7 @@ object RelationalQueries {
     "agg_distinct_approx" -> (aggDistinctApprox _),
     "agg_bbox_union" -> (aggBboxUnion _),
     "agg_percentile" -> (aggPercentile _),
+    "agg_stats_moments" -> (aggStatsMoments _),
     "agg_pivot" -> (aggPivot _),
     "set_except_all" -> (setExceptAll _),
     "fn_unpivot" -> (fnUnpivot _)
@@ -431,6 +460,7 @@ object RelationalQueries {
     "agg_distinct_exact" -> aggDistinctExactSql,
     "agg_bbox_union" -> aggBboxUnionSql,
     "agg_percentile" -> aggPercentileSql,
+    "agg_stats_moments" -> aggStatsMomentsSql,
     "agg_pivot" -> aggPivotSql,
     "set_except_all" -> setExceptAllSql,
     "fn_unpivot" -> fnUnpivotSql
