@@ -87,8 +87,10 @@ object CatalogStore {
   }
 
   /** Idempotent merge of `delta` into the catalog at `path`: newest
-    * ingested_at wins per item_id; ties broken by delta-over-existing,
-    * then by a content hash — fully deterministic across retries.
+    * ingested_at wins per item_id; ties broken by a content hash
+    * (order-independent — matches the JDBC sink's stored-tie guard),
+    * then delta-over-existing for identical rows — fully
+    * deterministic across retries AND replays.
     * Touches only the delta's collection partitions.
     *
     * Item identity is (collection_id, item_id) — the partition key is
@@ -155,9 +157,17 @@ object CatalogStore {
     // the dedup window by item_id alone would rank a cross-collection
     // re-ingest against the original and silently drop the original
     // from its own partition's rewrite.
+    // (ingested_at, tie) decides BEFORE delta-priority: equal-
+    // timestamp different-content conflicts resolve by content hash —
+    // order-independent, so a replayed old batch cannot flip the
+    // winner, and the JDBC sink's (ingested_at, tie) >= guard
+    // converges to the same row from any arrival order. _prio only
+    // breaks the remaining tie between the existing and delta copies
+    // of an IDENTICAL row (same hash), where either choice is the
+    // same content.
     val w = Window.partitionBy(col("item_id"), col("collection_id"))
-      .orderBy(col("ingested_at").desc, col("_prio").desc,
-        col("_tie").desc)
+      .orderBy(col("ingested_at").desc, col("_tie").desc,
+        col("_prio").desc)
     val merged = existing.withColumn("_prio", lit(0))
       .unionByName(deltaP.select(dataCols: _*).withColumn("_prio", lit(1)))
       // content hash: equal-timestamp, equal-priority duplicates pick
@@ -171,16 +181,30 @@ object CatalogStore {
     // the same files it is about to replace. A staged write streams
     // the merge to a temp path (localCheckpoint would instead cache
     // every affected partition to executor storage — TBs for a hot
-    // collection at 100 TB), then swaps partition directories in with
-    // metadata-only renames. Every rename's boolean result is CHECKED
-    // (Hadoop FileSystems report most failures by returning false):
-    // the old partition is renamed to a hidden backup before the new
-    // one swaps in, a failed swap-in restores the backup, and on any
-    // error the staged merge is PRESERVED and named in the exception
-    // — no code path deletes the only remaining copy of a partition.
-    // A failure before any rename leaves the catalog untouched; after
-    // a mid-swap crash the backup + staging dirs still hold every
-    // byte (hidden from readers by the leading dot) for repair.
+    // collection at 100 TB). How the staged merge then reaches the
+    // catalog depends on the filesystem:
+    //
+    //  - atomic-rename filesystems (hdfs, local file, viewfs): swap
+    //    partition directories in with metadata-only renames. Every
+    //    rename's boolean result is CHECKED (Hadoop FileSystems
+    //    report most failures by returning false): the old partition
+    //    is renamed to a hidden backup before the new one swaps in, a
+    //    failed swap-in restores the backup, and on any error the
+    //    staged merge is PRESERVED and named in the exception — no
+    //    code path deletes the only remaining copy of a partition. A
+    //    failure before any rename leaves the catalog untouched;
+    //    after a mid-swap crash the backup + staging dirs still hold
+    //    every byte (hidden from readers by the leading dot).
+    //
+    //  - object stores (s3a, gs, …): Hadoop rename there is a
+    //    NON-atomic O(data) copy+delete, so the backup/swap/restore
+    //    crash-safety argument does not hold — a mid-rename failure
+    //    could leave a partially-copied partition visible. Instead
+    //    the staged merge is read back and committed with DYNAMIC
+    //    partition overwrite, delegating to the output committer's
+    //    task-temp + job-commit protocol (the object-store-safe
+    //    path). Costs one extra copy of the affected partitions —
+    //    the price of not having atomic rename.
     val parent = Option(hPath.getParent)
       .getOrElse(new org.apache.hadoop.fs.Path("/"))
     val staging = new org.apache.hadoop.fs.Path(parent,
@@ -211,32 +235,48 @@ object CatalogStore {
           root: org.apache.hadoop.fs.Path): String =
         p.toUri.getPath.stripPrefix(root.toUri.getPath).stripPrefix("/")
       val stagedLeaves = leafDirs(staging, partCols.length)
-      stagedLeaves.foreach { src =>
-        val rel = relOf(src, staging)
-        val dst = new org.apache.hadoop.fs.Path(hPath, rel)
-        val dstParent = dst.getParent
-        if (!fs.exists(dstParent)) fs.mkdirs(dstParent)
-        val backup = new org.apache.hadoop.fs.Path(dstParent,
-          s".${dst.getName}.old-${java.util.UUID.randomUUID}")
-        val hadOld = fs.exists(dst)
-        if (hadOld) renameOrThrow(dst, backup, "backup")
-        try renameOrThrow(src, dst, "swap-in")
-        catch {
-          case e: Throwable =>
-            if (hadOld) fs.rename(backup, dst) // best-effort restore
-            throw e
+      if (atomicRenameFs(fs)) {
+        stagedLeaves.foreach { src =>
+          val rel = relOf(src, staging)
+          val dst = new org.apache.hadoop.fs.Path(hPath, rel)
+          val dstParent = dst.getParent
+          if (!fs.exists(dstParent)) fs.mkdirs(dstParent)
+          val backup = new org.apache.hadoop.fs.Path(dstParent,
+            s".${dst.getName}.old-${java.util.UUID.randomUUID}")
+          val hadOld = fs.exists(dst)
+          if (hadOld) renameOrThrow(dst, backup, "backup")
+          try renameOrThrow(src, dst, "swap-in")
+          catch {
+            case e: Throwable =>
+              if (hadOld) fs.rename(backup, dst) // best-effort restore
+              throw e
+          }
+          if (hadOld) fs.delete(backup, true)
         }
-        if (hadOld) fs.delete(backup, true)
+      } else {
+        // non-atomic-rename filesystem (object store): re-read the
+        // staged merge and let the output committer replace exactly
+        // the staged partitions. The explicit schema pins partition-
+        // column types (directory-name inference could e.g. turn a
+        // numeric-looking collection_id into an int).
+        spark.read.schema(merged.schema).parquet(staging.toString)
+          .write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partCols: _*)
+          .parquet(path)
       }
       // A merge can move EVERY row out of an existing leaf (monthly
       // layout: a re-stamped start_datetime moves the item's month) —
       // that leaf then has no staged counterpart and would keep its
-      // superseded rows forever. Every affected collection appears in
-      // the staged output (existing rows keep or yield their
-      // (item_id, collection_id) identity within the same collection),
-      // so: any on-disk leaf under a staged collection dir that is NOT
-      // among the staged leaves holds only superseded rows — delete it.
-      // Runs after the swap, so a failure earlier leaves it untouched.
+      // superseded rows forever (neither the rename swap nor dynamic
+      // overwrite touches a leaf absent from the staged output).
+      // Every affected collection appears in the staged output
+      // (existing rows keep or yield their (item_id, collection_id)
+      // identity within the same collection), so: any on-disk leaf
+      // under a staged collection dir that is NOT among the staged
+      // leaves holds only superseded rows — delete it. Runs after the
+      // swap, so a failure earlier leaves it untouched.
       if (partCols.length > 1) {
         val stagedRel = stagedLeaves.map(relOf(_, staging)).toSet
         val stagedTop = stagedRel.map(_.split('/').head)
@@ -254,4 +294,17 @@ object CatalogStore {
           s"partition swap failed; staged merge preserved at $staging", e)
     }
   }
+
+  /** Filesystems whose rename is an atomic metadata-only operation —
+    * the precondition for the backup/swap-in/restore protocol above.
+    * Object-store connectors (s3a, gs, wasb, abfs, …) implement
+    * rename as a non-atomic O(data) copy+delete, so they take the
+    * committer-based dynamic-overwrite path instead. */
+  private val AtomicRenameSchemes =
+    Set("file", "hdfs", "viewfs", "webhdfs", "o3fs", "ofs")
+
+  private[graft] def atomicRenameFs(
+      fs: org.apache.hadoop.fs.FileSystem): Boolean =
+    AtomicRenameSchemes.contains(
+      Option(fs.getUri.getScheme).getOrElse("file"))
 }

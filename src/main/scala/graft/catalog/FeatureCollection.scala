@@ -35,8 +35,26 @@ object FeatureCollection {
       col("properties"),
       col("assets"),
       col("links")))
+    // a null geometry column must splice as the JSON literal `null`
+    // ("geometry": null is a valid GeoJSON Feature) — without the
+    // coalesce, concat nulls the WHOLE feature string and the
+    // features array would gain a bare `null` entry
     concat(base.substr(lit(1), length(base) - 1),
-      lit(",\"geometry\":"), col("geometry"), lit("}"))
+      lit(",\"geometry\":"), coalesce(col("geometry"), lit("null")),
+      lit("}"))
+  }
+
+  /** Minimal JSON string escaping for driver-side splices (hrefs,
+    * tokens): backslash, quote, and control characters. */
+  private[catalog] def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
   }
 
   /** Opaque next-page token: the sort-key values of the page's last
@@ -59,6 +77,12 @@ object FeatureCollection {
 
   def decodeToken(token: String): Seq[Any] =
     token.split(",", -1).toSeq.map { part =>
+      // a malformed segment (empty, or missing the ':' separator) is
+      // an invalid client token — fail with a clean invalid-token
+      // error, not a StringIndexOutOfBoundsException
+      if (part.length < 2 || part.charAt(1) != ':')
+        throw new IllegalArgumentException(
+          s"invalid page token segment: '$part'")
       val (tag, v) = (part.substring(0, 1), part.substring(2))
       tag match {
         case "n" => null
@@ -98,9 +122,13 @@ object FeatureCollection {
     // one paging policy: CatalogQuery.nextToken owns the short-page /
     // last-row-keys rule; this only encodes it
     val next = CatalogQuery.nextToken(rows, search).map(encodeToken)
-    val links = Seq(s"""{"rel":"self","href":"$selfHref"}""") ++
+    // selfHref is caller-supplied: escape it so a quote/backslash in
+    // the href can't break the envelope JSON (tokens are base64/
+    // numeric-armored but escape them too — defense in depth)
+    val href = jsonEscape(selfHref)
+    val links = Seq(s"""{"rel":"self","href":"$href"}""") ++
       next.map(t =>
-        s"""{"rel":"next","href":"$selfHref","body":{"token":"$t"}}""")
+        s"""{"rel":"next","href":"$href","body":{"token":"${jsonEscape(t)}"}}""")
     val body = s"""{"type":"FeatureCollection"""" +
       s""","numberReturned":${features.length}""" +
       s""","features":[${features.mkString(",")}]""" +

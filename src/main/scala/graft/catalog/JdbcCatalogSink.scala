@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
 object JdbcCatalogSink {
 
   val COLS: Seq[String] =
-    Seq("item_id", "collection_id", "content", "ingested_at")
+    Seq("item_id", "collection_id", "content", "ingested_at", "tie")
 
   private val BATCH = 500
 
@@ -38,9 +38,9 @@ object JdbcCatalogSink {
   }
 
   trait RowWriter {
-    /** (item_id, collection_id, content, ingested_at) */
+    /** (item_id, collection_id, content, ingested_at, tie) */
     def write(id: String, coll: String, content: String,
-        ingestedAt: Timestamp): Unit
+        ingestedAt: Timestamp, tie: Long): Unit
     def flush(): Unit
   }
 
@@ -50,24 +50,30 @@ object JdbcCatalogSink {
     * keying on the pair keeps this store row-for-row convergent with
     * the partition-scoped CatalogStore merge (a cross-collection
     * re-ingest is a second row in BOTH stores). The WHERE guard keeps
-    * the newest ingested_at — a replayed older delta is a no-op, so
-    * retries and out-of-order backfills are safe. */
+    * the newest (ingested_at, tie) pair — a replayed older delta is a
+    * no-op, so retries and out-of-order backfills are safe, and the
+    * STORED content-hash tiebreak makes cross-batch equal-timestamp
+    * conflicts converge to the same winner CatalogStore.upsert picks
+    * regardless of arrival order (a plain >= on ingested_at alone
+    * would be last-arrival-wins and the two stores could diverge). */
   case object PostgresDialect extends Dialect {
     def upsertSql(table: String): String =
-      s"""INSERT INTO $table (item_id, collection_id, content, ingested_at)
-         |VALUES (?, ?, ?, ?)
+      s"""INSERT INTO $table (item_id, collection_id, content, ingested_at, tie)
+         |VALUES (?, ?, ?, ?, ?)
          |ON CONFLICT (item_id, collection_id) DO UPDATE SET
          |  content = EXCLUDED.content,
-         |  ingested_at = EXCLUDED.ingested_at
-         |WHERE EXCLUDED.ingested_at >= $table.ingested_at""".stripMargin
+         |  ingested_at = EXCLUDED.ingested_at,
+         |  tie = EXCLUDED.tie
+         |WHERE (EXCLUDED.ingested_at, EXCLUDED.tie) >= ($table.ingested_at, $table.tie)""".stripMargin
 
     def writer(conn: Connection, table: String): RowWriter = new RowWriter {
       private val st = conn.prepareStatement(upsertSql(table))
       private var n = 0
       def write(id: String, coll: String, content: String,
-          ingestedAt: Timestamp): Unit = {
+          ingestedAt: Timestamp, tie: Long): Unit = {
         st.setString(1, id); st.setString(2, coll)
         st.setString(3, content); st.setTimestamp(4, ingestedAt)
+        st.setLong(5, tie)
         st.addBatch(); n += 1
         if (n >= BATCH) flush()
       }
@@ -85,24 +91,30 @@ object JdbcCatalogSink {
     * WHERE guard under concurrency. */
   case object GenericDialect extends Dialect {
     def writer(conn: Connection, table: String): RowWriter = new RowWriter {
+      // (ingested_at, tie) lexicographic guard spelled out — Derby
+      // has no row-value comparison; semantics match PostgresDialect
       private val upd = conn.prepareStatement(
-        s"UPDATE $table SET content = ?, ingested_at = ? " +
-          s"WHERE item_id = ? AND collection_id = ? AND ingested_at <= ?")
+        s"UPDATE $table SET content = ?, ingested_at = ?, tie = ? " +
+          s"WHERE item_id = ? AND collection_id = ? AND " +
+          s"(ingested_at < ? OR (ingested_at = ? AND tie <= ?))")
       private val ins = conn.prepareStatement(
         s"INSERT INTO $table (item_id, collection_id, content, " +
-          s"ingested_at) VALUES (?, ?, ?, ?)")
+          s"ingested_at, tie) VALUES (?, ?, ?, ?, ?)")
       def write(id: String, coll: String, content: String,
-          ingestedAt: Timestamp): Unit = {
+          ingestedAt: Timestamp, tie: Long): Unit = {
         def guardedUpdate(): Int = {
           upd.setString(1, content); upd.setTimestamp(2, ingestedAt)
-          upd.setString(3, id); upd.setString(4, coll)
-          upd.setTimestamp(5, ingestedAt)
+          upd.setLong(3, tie)
+          upd.setString(4, id); upd.setString(5, coll)
+          upd.setTimestamp(6, ingestedAt)
+          upd.setTimestamp(7, ingestedAt); upd.setLong(8, tie)
           upd.executeUpdate()
         }
         if (guardedUpdate() == 0) {
           try {
             ins.setString(1, id); ins.setString(2, coll)
             ins.setString(3, content); ins.setTimestamp(4, ingestedAt)
+            ins.setLong(5, tie)
             ins.executeUpdate()
           } catch {
             case e: SQLException if e.getSQLState != null &&
@@ -134,15 +146,20 @@ object JdbcCatalogSink {
     * the dialect's ingested_at guard. */
   def upsertItems(items: DataFrame, conf: JdbcConfig): Unit = {
     val w = Window.partitionBy(col("item_id"), col("collection_id"))
-      .orderBy(col("ingested_at").desc, col("_tie").desc)
+      .orderBy(col("ingested_at").desc, col("tie").desc)
+    // the tiebreak hash travels WITH the row into the table (column
+    // `tie`) so the dialects' cross-batch guard can apply the same
+    // deterministic equal-timestamp resolution the in-batch window
+    // rank does — without it, equal-timestamp replays across batches
+    // would be arrival-order-wins and diverge from CatalogStore
     val rows = items
       .withColumn("_tie", CatalogStore.tiebreakHash(items))
       .withColumn("content", FeatureCollection.featureColumn)
       .select(col("item_id"), col("collection_id"), col("content"),
-        col("ingested_at"), col("_tie"))
+        col("ingested_at"), col("_tie").as("tie"))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
-      .drop("_rn", "_tie")
+      .drop("_rn")
     val (url, table, dialect, props) =
       (conf.url, conf.table, conf.dialect, conf.props)
     rows.foreachPartition { (it: Iterator[Row]) =>
@@ -155,7 +172,7 @@ object JdbcCatalogSink {
           val writer = dialect.writer(conn, table)
           it.foreach { r =>
             writer.write(r.getString(0), r.getString(1), r.getString(2),
-              r.getTimestamp(3))
+              r.getTimestamp(3), r.getLong(4))
           }
           writer.flush()
           conn.commit()
@@ -171,5 +188,6 @@ object JdbcCatalogSink {
   def createTableSql(table: String, textType: String = "CLOB"): String =
     s"CREATE TABLE $table (item_id VARCHAR(256) NOT NULL, " +
       s"collection_id VARCHAR(256) NOT NULL, content $textType, " +
-      s"ingested_at TIMESTAMP, PRIMARY KEY (item_id, collection_id))"
+      s"ingested_at TIMESTAMP, tie BIGINT NOT NULL, " +
+      s"PRIMARY KEY (item_id, collection_id))"
 }

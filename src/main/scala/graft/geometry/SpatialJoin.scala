@@ -26,16 +26,25 @@ object SpatialJoin {
     * is emitted only from the bottom-left-most cell of the overlap
     * region, which is unique per pair — preserves input-row
     * multiplicity and avoids a dedup shuffle entirely. */
-  /** Cell index with the same dirty-data totality as the optimizer
-    * rule (RewriteBboxOverlapJoin.cellIndex): clamp to ±181 BEFORE the
-    * int cast so NetCDF fill values (~9.97e36) and NaN don't overflow
-    * the ANSI cast — least/greatest push NaN to the upper clamp — and
-    * keep null null (explode then drops the row, matching the
-    * predicate's null semantics). */
+  /** Cell index, total over dirty data: a coordinate outside the
+    * lon/lat domain (NetCDF fill values ~9.97e36, NaN — NaN compares
+    * greater than any double in Spark, so the range test catches it)
+    * maps to NULL like a null coordinate, and the null sequence bound
+    * makes explode drop the row. Clamping such rows into the ±181
+    * boundary cell instead would funnel every dirty row of a
+    * fill-value-heavy corpus into ONE grid cell on both axes — a
+    * quadratic hot bucket in the candidate join for pairs that are
+    * not well-formed boxes. This differs from
+    * RewriteBboxOverlapJoin.cellIndex deliberately: the optimizer
+    * rule transparently rewrites a user's theta join and must
+    * preserve the raw predicate's answer even for fill-value rows
+    * (fill <= fill is true), so it clamps; this helper is an explicit
+    * API whose contract is "coordinates are degrees" and drops what
+    * isn't. */
   private def cellIdx(e: Column, cellDeg: Double): Column =
-    when(e.isNull, lit(null).cast("int"))
-      .otherwise(floor(
-        least(greatest(e, lit(-181.0)), lit(181.0)) / cellDeg).cast("int"))
+    when(e.isNull || e < lit(-181.0) || e > lit(181.0),
+        lit(null).cast("int"))
+      .otherwise(floor(e / cellDeg).cast("int"))
 
   def bboxOverlapJoin(
       left: DataFrame,

@@ -230,6 +230,41 @@ class CatalogSpec extends SparkSpec {
     assert(FeatureCollection.page(all, lastQ).nextToken.isEmpty)
   }
 
+  test("FeatureCollection survives hostile hrefs, null geometry, bad tokens") {
+    val path = s"$tmp/fc-dirty"
+    val (items, _) = ItemAssembly.assemble(
+      new FixtureGranuleSource(end = "2022-05-01 00:59:59").granules(spark))
+    // null out every geometry: a Feature with "geometry": null is
+    // valid GeoJSON and must serialize as the literal null, not null
+    // the whole feature string
+    CatalogStore.write(
+      items.withColumn("geometry",
+        lit(null).cast(org.apache.spark.sql.types.StringType)), path)
+    val all = CatalogStore.read(spark, path)
+    val q = CatalogQuery.Search(
+      sortBy = Seq(("start_datetime", true)), limit = 5)
+    // a quote+backslash in the self href must be escaped, not splice
+    // raw into the envelope
+    val p = FeatureCollection.page(all, q,
+      selfHref = """/search?x="\evil""")
+    import spark.implicits._
+    val parsed = spark.read
+      .option("mode", "FAILFAST").json(Seq(p.body).toDS)
+    val feats = parsed.select(explode(col("features")).as("f"))
+    assert(feats.count() == 5)
+    assert(feats.filter(col("f.id").isNull).count() == 0,
+      "no bare-null entries in the features array")
+    assert(feats.filter(col("f.geometry").isNotNull).count() == 0,
+      "null geometry serializes as JSON null")
+    assert(parsed.select(col("links")(0)("href")).head.getString(0) ==
+      """/search?x="\evil""")
+    // malformed client tokens fail cleanly, not with StringIndexOOB
+    intercept[IllegalArgumentException](
+      FeatureCollection.decodeToken("s:YQ,,l:3"))
+    intercept[IllegalArgumentException](
+      FeatureCollection.decodeToken("x"))
+  }
+
   test("typed Dataset[StacItem] round-trips the catalog schema") {
     val items = CatalogStore.readTyped(spark, catalogPath)
     val first = items.head()
@@ -272,4 +307,51 @@ class CatalogSpec extends SparkSpec {
     val all = CatalogQuery.compile(items, CatalogQuery.Search(limit = 7))
     assert(all.count() == 7)
   }
+
+  test("upsert on a non-atomic-rename filesystem commits via dynamic overwrite") {
+    // mockobj:// delegates to the local FS but advertises an object-
+    // store scheme, steering upsert onto the committer-based fallback
+    // (rename-swap assumes atomic rename, which object stores lack)
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mockobj.impl", classOf[MockObjectStoreFs].getName)
+    assert(!CatalogStore.atomicRenameFs(
+      new org.apache.hadoop.fs.Path("mockobj:///x")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)))
+    val local = Files.createTempDirectory("graft-mockobj")
+    val path = s"mockobj://$local/items"
+    val source = new FixtureGranuleSource()
+    val (items, _) = ItemAssembly.assemble(source.granules(spark))
+    CatalogStore.writeMonthly(items, path)
+    val before = CatalogStore.read(spark, path).count()
+    // same re-stamp flow as the atomic-path test: every item moves
+    // month, so the fallback must ALSO clear the emptied old leaf
+    val moved = items
+      .withColumn("start_datetime",
+        col("start_datetime") + expr("INTERVAL 40 DAYS"))
+      .withColumn("end_datetime",
+        col("end_datetime") + expr("INTERVAL 40 DAYS"))
+      .withColumn("properties", map(lit("patched"), lit("yes")))
+      .withColumn("ingested_at",
+        current_timestamp() + expr("INTERVAL 1 HOUR"))
+    CatalogStore.upsert(spark, path, moved)
+    val after = CatalogStore.read(spark, path)
+    assert(after.count() == before, "merge replaces, never duplicates")
+    assert(after.filter(
+      element_at(col("properties"), "patched") === "yes").count() == before)
+    assert(after.filter(col("month") === "2022-05").count() == 0,
+      "the emptied month leaf must be removed in the fallback path too")
+    // no staging or backup residue
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hidden = fs.listStatus(new org.apache.hadoop.fs.Path(s"$local"))
+      .map(_.getPath.getName).filter(_.startsWith("."))
+    assert(hidden.isEmpty, s"staging residue: ${hidden.mkString(",")}")
+  }
+}
+
+/** RawLocalFileSystem masquerading as an object store: same storage,
+  * non-atomic-rename scheme. Registered via fs.mockobj.impl. */
+class MockObjectStoreFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "mockobj"
+  override def getUri: java.net.URI = java.net.URI.create("mockobj:///")
 }

@@ -87,6 +87,12 @@ class Cql2FilterSpec extends SparkSpec {
     assert(ids("cloud_cover >= 12.5") == Seq("i1", "i3"))
     assert(ids("cloud_cover IN (80, 99)") == Seq("i3"))
     assert(ids("flag = TRUE") == Seq("i4"))
+    // MIXED-type IN list: each member compares through its own
+    // try-cast branch (numeric vs string), so Spark's ANSI common-type
+    // coercion never sees the non-numeric property value
+    assert(ids("cloud_cover IN (80, 'not-a-number')").toSet ==
+      Set("i2", "i3"))
+    assert(ids("flag IN (TRUE, 'nope')") == Seq("i4"))
   }
 
   test("malformed input fails loudly") {

@@ -189,6 +189,59 @@ class JdbcSinkSpec extends SparkSpec {
   test("Postgres dialect emits the pgstac ON CONFLICT statement") {
     val sql = JdbcCatalogSink.PostgresDialect.upsertSql("pgstac.items")
     assert(sql.contains("ON CONFLICT (item_id, collection_id) DO UPDATE"))
-    assert(sql.contains("EXCLUDED.ingested_at >= pgstac.items.ingested_at"))
+    assert(sql.contains("(EXCLUDED.ingested_at, EXCLUDED.tie) >= " +
+      "(pgstac.items.ingested_at, pgstac.items.tie)"))
+  }
+
+  test("equal-timestamp cross-batch replays converge in either order") {
+    // two deltas for the SAME item, SAME ingested_at, DIFFERENT
+    // content: the stored tie hash must make the DB pick the same
+    // winner no matter which batch arrives first — and that winner
+    // must be the one CatalogStore.upsert picks
+    val ts = lit(java.sql.Timestamp.valueOf("2022-06-01 00:00:00"))
+    val (base, _) = ItemAssembly.assemble(
+      new FixtureGranuleSource(end = "2022-05-01 00:59:59").granules(spark))
+    def variant(v: String) = base.limit(1)
+      .withColumn("properties", map_concat(col("properties"),
+        map(lit("processing:version"), lit(v))))
+      .withColumn("ingested_at", ts)
+    val d1 = variant("a")
+    val d2 = variant("b")
+
+    // parquet-store winner
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-jdbc-tie").toString + "/items"
+    CatalogStore.write(d1, path)
+    CatalogStore.upsert(spark, path, d2)
+    val parquetWinner = CatalogStore.read(spark, path)
+      .select(try_element_at(col("properties"), lit("processing:version")))
+      .head.getString(0)
+
+    def runOrder(n: Int, first: org.apache.spark.sql.DataFrame,
+        second: org.apache.spark.sql.DataFrame): String = {
+      val url = s"jdbc:derby:memory:grafttie$n;create=true"
+      val c = DriverManager.getConnection(url)
+      c.createStatement().execute(JdbcCatalogSink.createTableSql("items"))
+      c.close()
+      val cfg = JdbcCatalogSink.JdbcConfig(url, "items",
+        JdbcCatalogSink.GenericDialect)
+      JdbcCatalogSink.upsertItems(first, cfg)
+      JdbcCatalogSink.upsertItems(second, cfg)
+      val cc = DriverManager.getConnection(url)
+      try {
+        val rs = cc.createStatement()
+          .executeQuery("SELECT content FROM items")
+        rs.next()
+        val m = "\"processing:version\":\"(.)\"".r
+          .findFirstMatchIn(rs.getString(1))
+        assert(!rs.next(), "exactly one row per (item, collection)")
+        m.get.group(1)
+      } finally cc.close()
+    }
+    val w12 = runOrder(1, d1, d2)
+    val w21 = runOrder(2, d2, d1)
+    assert(w12 == w21, "winner must not depend on arrival order")
+    assert(w12 == parquetWinner,
+      "JDBC winner must match the parquet-store winner")
   }
 }

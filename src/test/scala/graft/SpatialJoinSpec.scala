@@ -73,13 +73,14 @@ class SpatialJoinSpec extends SparkSpec {
           col("bbox_n").cast("double")))
     val clean = Seq((10L, -5.0, -5.0, 5.0, 5.0))
       .toDF("id", "bbox_w", "bbox_s", "bbox_e", "bbox_n")
-    // must not crash under ANSI mode; the clean pair must be found and
-    // the null-bbox row dropped
+    // must not crash under ANSI mode; the clean pair must be found,
+    // and fill-value / NaN / null rows are dropped as not-well-formed
+    // boxes (out-of-domain coords map to a null cell) rather than
+    // funneled into the ±181 boundary cell as a quadratic hot bucket
     val got = SpatialJoin.bboxOverlapJoin(dirty, clean)
       .select(col("id"), col("id_r")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got.contains((3L, 10L)))
-    assert(!got.exists(_._1 == 4L))
+    assert(got == Set((3L, 10L)))
   }
 
   test("interval join drops inverted and null intervals without error") {
