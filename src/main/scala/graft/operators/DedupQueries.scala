@@ -314,20 +314,83 @@ object DedupQueries {
        |  count(*) AS n_kept
        |FROM kept GROUP BY doc_id""".stripMargin
 
+  /** Word-n-gram width for benchmark decontamination: 8 words sits in
+    * the 8–13-gram window LLM corpus builds use to purge training
+    * docs that overlap an evaluation benchmark (test-set leakage). */
+  private val DECON_N = 8
+
+  /** Deterministic stand-in benchmark membership over the synthetic
+    * corpus: every 19th doc plays the held-out eval set. */
+  private val BENCH_MOD = 19
+
+  /** dedup_decontaminate — benchmark decontamination: flag every
+    * corpus document sharing at least one word-8-gram with the
+    * benchmark (eval) set, with the count of distinct shared grams —
+    * the train/test-overlap purge step of an LLM data pipeline.
+    *
+    * Scale design: the benchmark side of the join is an eval suite —
+    * megabytes, not terabytes — so its DISTINCT hashed grams are
+    * BROADCAST and the corpus side streams map-side: no shuffle of
+    * the corpus gram explosion at all, the whole operator is one
+    * scan + broadcast-join + partial agg. Grams travel as xxhash64
+    * longs (8 bytes), never as strings; docs shorter than the gram
+    * width contribute their whole text (exact-match semantics). */
+  def dedupDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    dedupDecontaminateFrom(
+      docs.filter(col("doc_id") % BENCH_MOD === 0),
+      docs.filter(col("doc_id") % BENCH_MOD =!= 0))
+  }
+
+  private[graft] def dedupDecontaminateFrom(
+      bench: DataFrame, corpus: DataFrame): DataFrame = {
+    def gramHashes(c: org.apache.spark.sql.Column) = {
+      val ws = split(c, " ")
+      array_distinct(
+        when(size(ws) < DECON_N, array(xxhash64(c)))
+          .otherwise(transform(sequence(lit(0), size(ws) - DECON_N),
+            i => xxhash64(array_join(slice(ws, i + lit(1), lit(DECON_N)), " ")))))
+    }
+    val bg = bench.select(explode(gramHashes(col("text"))).as("gh"))
+      .distinct()
+    val cg = corpus.select(col("doc_id"),
+      explode(gramHashes(col("text"))).as("gh"))
+    cg.join(broadcast(bg), Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  val dedupDecontaminateSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(ws) < $DECON_N THEN [text]
+       |    ELSE list_distinct(list_transform(
+       |      generate_series(1, len(ws) - ${DECON_N - 1}),
+       |      i -> array_to_string(ws[i:i+${DECON_N - 1}], ' '))) END) AS gram
+       |  FROM t),
+       |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % $BENCH_MOD = 0)
+       |SELECT g.doc_id AS doc_id, count(*) AS n_hits
+       |FROM g JOIN bg USING (gram)
+       |WHERE g.doc_id % $BENCH_MOD <> 0
+       |GROUP BY g.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_near_minhash" -> (dedupNearMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_cluster_cc" -> (dedupClusterCc _),
-    "dedup_common_spans" -> (dedupCommonSpans _)
+    "dedup_common_spans" -> (dedupCommonSpans _),
+    "dedup_decontaminate" -> (dedupDecontaminate _)
   )
 
   def oracle: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_cluster_cc" -> dedupClusterCcSql,
-    "dedup_common_spans" -> dedupCommonSpansSql
+    "dedup_common_spans" -> dedupCommonSpansSql,
+    "dedup_decontaminate" -> dedupDecontaminateSql
     // dedup_near_minhash / dedup_simhash: algorithmic — property-tested
   )
 }

@@ -309,7 +309,94 @@ object TextQueries {
       |  CAST(ceil(n_chars / 4.0) AS BIGINT) AS bpe_est
       |FROM documents""".stripMargin
 
+  /** text_repetition — Gopher-style repetition signals per document
+    * (the "repetitious text" quality rules LLM corpus builds filter
+    * on): the character fraction covered by the MOST FREQUENT word
+    * 2-gram and 3-gram, and the character fraction covered by
+    * DUPLICATED (count > 1) 5-grams. A page of boilerplate scores
+    * high on all three; natural prose scores low.
+    *
+    * Scale design: each signal is explode → partial hash agg on
+    * (doc_id, gram) → per-doc reduction (window rank for the top
+    * gram, sum-agg for duplicate coverage) — every shuffle is keyed
+    * by doc_id(+gram), nothing corpus-global. The three signals join
+    * back on doc_id. Argmax ties break on (count DESC, gram DESC) so
+    * the result is deterministic on both engines. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    def grams(n: Int): Column = {
+      val ws = split(col("text"), " ")
+      when(size(ws) < n, array(col("text")))
+        .otherwise(transform(sequence(lit(0), size(ws) - n),
+          i => array_join(slice(ws, i + lit(1), lit(n)), " ")))
+    }
+    def counts(n: Int): DataFrame = docs
+      .select(col("doc_id"), col("n_chars"), explode(grams(n)).as("g"))
+      .groupBy(col("doc_id"), col("n_chars"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    def topFrac(n: Int, out: String): DataFrame = counts(n)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("c").desc, col("g").desc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"),
+        round(col("c") * length(col("g")) / col("n_chars") + lit(1e-9), 4)
+          .as(out))
+    val dup5 = counts(5)
+      .filter(col("c") > 1)
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("c") * length(col("g"))) / first(col("n_chars"))
+        + lit(1e-9), 4).as("dup5_frac"))
+    topFrac(2, "top2_frac")
+      .join(topFrac(3, "top3_frac"), Seq("doc_id"))
+      .join(dup5, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("top2_frac"), col("top3_frac"),
+        coalesce(col("dup5_frac"), lit(0.0)).as("dup5_frac"))
+  }
+
+  val textRepetitionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, n_chars, text, string_split(text, ' ') AS ws
+      |  FROM documents),
+      |g2 AS (SELECT doc_id, n_chars, unnest(
+      |    CASE WHEN len(ws) < 2 THEN [text]
+      |    ELSE list_transform(generate_series(1, len(ws) - 1),
+      |      i -> array_to_string(ws[i:i+1], ' ')) END) AS g FROM t),
+      |g3 AS (SELECT doc_id, n_chars, unnest(
+      |    CASE WHEN len(ws) < 3 THEN [text]
+      |    ELSE list_transform(generate_series(1, len(ws) - 2),
+      |      i -> array_to_string(ws[i:i+2], ' ')) END) AS g FROM t),
+      |g5 AS (SELECT doc_id, n_chars, unnest(
+      |    CASE WHEN len(ws) < 5 THEN [text]
+      |    ELSE list_transform(generate_series(1, len(ws) - 4),
+      |      i -> array_to_string(ws[i:i+4], ' ')) END) AS g FROM t),
+      |c2 AS (SELECT doc_id, n_chars, g, count(*) AS c FROM g2
+      |       GROUP BY doc_id, n_chars, g),
+      |c3 AS (SELECT doc_id, n_chars, g, count(*) AS c FROM g3
+      |       GROUP BY doc_id, n_chars, g),
+      |c5 AS (SELECT doc_id, n_chars, g, count(*) AS c FROM g5
+      |       GROUP BY doc_id, n_chars, g),
+      |r2 AS (SELECT doc_id,
+      |    round(CAST(c * len(g) AS DOUBLE) / n_chars + 1e-9, 4) AS top2_frac,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY c DESC, g DESC) AS rn FROM c2),
+      |r3 AS (SELECT doc_id,
+      |    round(CAST(c * len(g) AS DOUBLE) / n_chars + 1e-9, 4) AS top3_frac,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY c DESC, g DESC) AS rn FROM c3),
+      |d5 AS (SELECT doc_id,
+      |    round(CAST(sum(c * len(g)) AS DOUBLE) / any_value(n_chars)
+      |      + 1e-9, 4) AS dup5_frac
+      |  FROM c5 WHERE c > 1 GROUP BY doc_id)
+      |SELECT r2.doc_id AS doc_id, r2.top2_frac, r3.top3_frac,
+      |  coalesce(d5.dup5_frac, 0.0) AS dup5_frac
+      |FROM r2
+      |JOIN r3 ON r2.doc_id = r3.doc_id AND r3.rn = 1
+      |LEFT JOIN d5 ON r2.doc_id = d5.doc_id
+      |WHERE r2.rn = 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> (textRepetition _),
     "text_token_count" -> (textTokenCount _),
     "text_quality_filter" -> (textQualityFilter _),
     "text_pii_scrub" -> (textPiiScrub _),
@@ -323,6 +410,7 @@ object TextQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "text_repetition" -> textRepetitionSql,
     "text_token_count" -> textTokenCountSql,
     "text_quality_filter" -> textQualityFilterSql,
     "text_pii_scrub" -> textPiiScrubSql,
