@@ -80,13 +80,20 @@ object Cql2Filter {
           case ">" => c > l
           case ">=" => c >= l
         }
+      case In(p, vs) if !topCols.contains(p) &&
+          vs.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Double]) =>
+        // homogeneous numeric list: ONE try_cast + one isin
+        tryCast(prop(p), DoubleType).isin(vs.map {
+          case n: Long => n.toDouble
+          case d: Double => d
+        }: _*)
       case In(p, vs) if !topCols.contains(p) =>
-        // map-fallback property: each value compares through its OWN
-        // try-cast branch (numeric values against try_cast-to-double,
-        // strings/others against the raw string), OR-ed together — a
-        // MIXED list like `x IN (1, 'a')` must not fall into Spark's
-        // ANSI common-type coercion, which would crash the whole
-        // search on the first non-numeric property value
+        // MIXED-type list on a map-fallback property: each value
+        // compares through its OWN try-cast branch (numeric values
+        // against try_cast-to-double, strings/others against the raw
+        // string), OR-ed together — `x IN (1, 'a')` must not fall
+        // into Spark's ANSI common-type coercion, which would crash
+        // the whole search on the first non-numeric property value
         vs.map { v =>
           val (c, l) = typedSides(p, v)
           c === l

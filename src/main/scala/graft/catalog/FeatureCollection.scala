@@ -92,11 +92,14 @@ object FeatureCollection {
         case "l" => v.toLong
         case "d" => v.toDouble
         case "b" => v.toBoolean
-        case "t" =>
-          val Array(millis, nanos) = v.split(";")
-          val ts = new Timestamp(millis.toLong)
-          ts.setNanos(nanos.toInt)
-          ts
+        case "t" => v.split(";") match {
+          case Array(millis, nanos) =>
+            val ts = new Timestamp(millis.toLong)
+            ts.setNanos(nanos.toInt)
+            ts
+          case _ => throw new IllegalArgumentException(
+            s"invalid timestamp token segment: '$part'")
+        }
         case other =>
           throw new IllegalArgumentException(s"bad token tag '$other'")
       }

@@ -152,8 +152,13 @@ object JdbcCatalogSink {
     // deterministic equal-timestamp resolution the in-batch window
     // rank does — without it, equal-timestamp replays across batches
     // would be arrival-order-wins and diverge from CatalogStore
+    // exclude the derived month column (a monthly-layout frame may
+    // carry it) so the hash basis is IDENTICAL to CatalogStore
+    // .upsert's — a different basis would pick different equal-
+    // timestamp winners and the stores would diverge after all
     val rows = items
-      .withColumn("_tie", CatalogStore.tiebreakHash(items))
+      .withColumn("_tie",
+        CatalogStore.tiebreakHash(items, exclude = Set("month")))
       .withColumn("content", FeatureCollection.featureColumn)
       .select(col("item_id"), col("collection_id"), col("content"),
         col("ingested_at"), col("_tie").as("tie"))
@@ -185,6 +190,22 @@ object JdbcCatalogSink {
 
   /** DDL for the parity table (content as TEXT/CLOB; pgstac proper
     * uses jsonb — adjust the type when pointing at real pgstac). */
+  /** Migration for tables created by the pre-tie DDL. The default is
+    * Long.MinValue, not 0: ties are compared with `incoming >=
+    * stored`, so a MinValue stored tie makes every equal-timestamp
+    * incoming row win regardless of its (possibly negative) hash —
+    * exactly the old guard's `EXCLUDED.ingested_at >=` behavior for
+    * pre-migration rows, converging to real-hash semantics as rows
+    * are rewritten. */
+  def addTieColumnSql(dialect: Dialect, table: String): String =
+    dialect match {
+      case PostgresDialect =>
+        s"ALTER TABLE $table ADD COLUMN IF NOT EXISTS tie BIGINT " +
+          s"NOT NULL DEFAULT ${Long.MinValue}"
+      case GenericDialect => // Derby syntax
+        s"ALTER TABLE $table ADD COLUMN tie BIGINT WITH DEFAULT ${Long.MinValue}"
+    }
+
   def createTableSql(table: String, textType: String = "CLOB"): String =
     s"CREATE TABLE $table (item_id VARCHAR(256) NOT NULL, " +
       s"collection_id VARCHAR(256) NOT NULL, content $textType, " +

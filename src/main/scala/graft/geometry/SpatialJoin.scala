@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * cross product at scale. These helpers rewrite it as: explode each
   * side to the grid cells (or time buckets) it covers → equi-join on
   * the cell → residual exact predicate → drop multi-cell duplicates.
-  * Semantically identical to the theta join (equivalence
-  * property-tested in SpatialJoinSpec); shuffle is an equi-join on a
-  * short uniform key. Cell/bucket size trades explode factor against
-  * candidate precision.
+  * Semantically identical to the theta join for rows whose
+  * coordinates are plausible degrees (any wrap convention up to ±400;
+  * sentinel garbage — NetCDF fill, NaN, null — is dropped rather
+  * than joined); equivalence property-tested in SpatialJoinSpec.
+  * Shuffle is an equi-join on a short uniform key. Cell/bucket size
+  * trades explode factor against candidate precision.
   */
 object SpatialJoin {
 
@@ -26,23 +28,30 @@ object SpatialJoin {
     * is emitted only from the bottom-left-most cell of the overlap
     * region, which is unique per pair — preserves input-row
     * multiplicity and avoids a dedup shuffle entirely. */
-  /** Cell index, total over dirty data: a coordinate outside the
-    * lon/lat domain (NetCDF fill values ~9.97e36, NaN — NaN compares
+  /** Validity bound for coordinates: generous enough for every real
+    * longitude convention (±180, 0–360, ±360 wraps), tight enough to
+    * reject sentinel garbage (NetCDF fill ~9.97e36). Cells are
+    * computed on the RAW value, so 0–360-convention data joins
+    * correctly against itself — only values beyond any convention
+    * are treated as dirty. */
+  private val COORD_BOUND = 400.0
+
+  /** Cell index, total over dirty data: a coordinate outside
+    * ±COORD_BOUND (NetCDF fill values ~9.97e36, NaN — NaN compares
     * greater than any double in Spark, so the range test catches it)
     * maps to NULL like a null coordinate, and the null sequence bound
-    * makes explode drop the row. Clamping such rows into the ±181
-    * boundary cell instead would funnel every dirty row of a
-    * fill-value-heavy corpus into ONE grid cell on both axes — a
-    * quadratic hot bucket in the candidate join for pairs that are
-    * not well-formed boxes. This differs from
-    * RewriteBboxOverlapJoin.cellIndex deliberately: the optimizer
-    * rule transparently rewrites a user's theta join and must
-    * preserve the raw predicate's answer even for fill-value rows
-    * (fill <= fill is true), so it clamps; this helper is an explicit
-    * API whose contract is "coordinates are degrees" and drops what
-    * isn't. */
+    * makes explode drop the row. Clamping such rows into a boundary
+    * cell instead would funnel every dirty row of a fill-value-heavy
+    * corpus into ONE grid cell on both axes — a quadratic hot bucket
+    * in the candidate join for pairs that are not well-formed boxes.
+    * This differs from RewriteBboxOverlapJoin.cellIndex deliberately:
+    * the optimizer rule transparently rewrites a user's theta join
+    * and must preserve the raw predicate's answer even for fill-value
+    * rows (fill <= fill is true), so it clamps; this helper is an
+    * explicit API whose contract is "coordinates are degrees in some
+    * wrap convention" and drops what can't be. */
   private def cellIdx(e: Column, cellDeg: Double): Column =
-    when(e.isNull || e < lit(-181.0) || e > lit(181.0),
+    when(e.isNull || e < lit(-COORD_BOUND) || e > lit(COORD_BOUND),
         lit(null).cast("int"))
       .otherwise(floor(e / cellDeg).cast("int"))
 
@@ -71,8 +80,9 @@ object SpatialJoin {
         col("bbox_s") <= col("bbox_n_r") &&
         col("bbox_s_r") <= col("bbox_n"))
       // canonical cell: bottom-left of the overlap region (same
-      // clamped index as candidate generation, so fill-value rows
-      // that survive the residual filter can't crash the cast here)
+      // domain-guarded index as candidate generation — rows that
+      // reached here generated real cells, so these recomputed
+      // indices are non-null and can't crash the cast)
       .filter(col("_cx") === greatest(
           cellIdx(col("bbox_w"), cellDeg),
           cellIdx(col("bbox_w_r"), cellDeg)) &&

@@ -320,12 +320,21 @@ class CatalogSpec extends SparkSpec {
     val local = Files.createTempDirectory("graft-mockobj")
     val path = s"mockobj://$local/items"
     val source = new FixtureGranuleSource()
-    val (items, _) = ItemAssembly.assemble(source.granules(spark))
+    val (items0, _) = ItemAssembly.assemble(source.granules(spark))
+    // a second collection the delta never touches: a static (full)
+    // overwrite would wipe it, dynamic overwrite must leave it — this
+    // is what distinguishes the fallback from rm-and-rewrite
+    val items = items0.unionByName(
+      items0.withColumn("collection_id", lit("UNTOUCHED")))
     CatalogStore.writeMonthly(items, path)
     val before = CatalogStore.read(spark, path).count()
-    // same re-stamp flow as the atomic-path test: every item moves
-    // month, so the fallback must ALSO clear the emptied old leaf
-    val moved = items
+    val untouchedBefore = CatalogStore.read(spark, path)
+      .filter(col("collection_id") === "UNTOUCHED").count()
+    assert(untouchedBefore > 0)
+    // same re-stamp flow as the atomic-path test: every ORIGINAL-
+    // collection item moves month, so the fallback must ALSO clear
+    // the emptied old leaf — while never touching UNTOUCHED
+    val moved = items0
       .withColumn("start_datetime",
         col("start_datetime") + expr("INTERVAL 40 DAYS"))
       .withColumn("end_datetime",
@@ -337,8 +346,13 @@ class CatalogSpec extends SparkSpec {
     val after = CatalogStore.read(spark, path)
     assert(after.count() == before, "merge replaces, never duplicates")
     assert(after.filter(
-      element_at(col("properties"), "patched") === "yes").count() == before)
-    assert(after.filter(col("month") === "2022-05").count() == 0,
+        element_at(col("properties"), "patched") === "yes").count() ==
+      before - untouchedBefore)
+    assert(after.filter(col("collection_id") === "UNTOUCHED").count() ==
+      untouchedBefore,
+      "dynamic overwrite must not wipe collections absent from the delta")
+    assert(after.filter(col("collection_id") =!= "UNTOUCHED" &&
+        col("month") === "2022-05").count() == 0,
       "the emptied month leaf must be removed in the fallback path too")
     // no staging or backup residue
     val fs = new org.apache.hadoop.fs.Path(path)

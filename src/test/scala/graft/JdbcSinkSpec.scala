@@ -193,6 +193,43 @@ class JdbcSinkSpec extends SparkSpec {
       "(pgstac.items.ingested_at, pgstac.items.tie)"))
   }
 
+  test("pre-tie tables migrate with addTieColumnSql and then upsert") {
+    val url = "jdbc:derby:memory:graftmig;create=true"
+    val c = DriverManager.getConnection(url)
+    // the old DDL, verbatim: no tie column
+    c.createStatement().execute(
+      "CREATE TABLE items (item_id VARCHAR(256) NOT NULL, " +
+        "collection_id VARCHAR(256) NOT NULL, content CLOB, " +
+        "ingested_at TIMESTAMP, PRIMARY KEY (item_id, collection_id))")
+    c.createStatement().execute("INSERT INTO items VALUES " +
+      "('legacy', 'C', '{}', TIMESTAMP('2022-06-01 00:00:00'))")
+    c.createStatement().execute(JdbcCatalogSink.addTieColumnSql(
+      JdbcCatalogSink.GenericDialect, "items"))
+    c.close()
+    val cfg = JdbcCatalogSink.JdbcConfig(url, "items",
+      JdbcCatalogSink.GenericDialect)
+    val (items, _) = ItemAssembly.assemble(
+      new FixtureGranuleSource(end = "2022-05-01 00:59:59").granules(spark))
+    val delta = items
+      .withColumn("ingested_at",
+        lit(java.sql.Timestamp.valueOf("2022-06-01 00:00:00")))
+    JdbcCatalogSink.upsertItems(delta, cfg)
+    // equal-timestamp overwrite of the legacy row: MinValue default
+    // loses to any real hash, reproducing the old >= behavior
+    val legacy = delta.limit(1)
+      .withColumn("item_id", lit("legacy"))
+      .withColumn("collection_id", lit("C"))
+    JdbcCatalogSink.upsertItems(legacy, cfg)
+    val cc = DriverManager.getConnection(url)
+    try {
+      val rs = cc.createStatement().executeQuery(
+        "SELECT count(*) FROM items WHERE item_id = 'legacy' " +
+          "AND CAST(content AS VARCHAR(100)) = '{}'")
+      rs.next()
+      assert(rs.getLong(1) == 0, "migrated legacy row must be replaced")
+    } finally cc.close()
+  }
+
   test("equal-timestamp cross-batch replays converge in either order") {
     // two deltas for the SAME item, SAME ingested_at, DIFFERENT
     // content: the stored tie hash must make the DB pick the same

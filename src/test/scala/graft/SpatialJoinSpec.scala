@@ -64,23 +64,28 @@ class SpatialJoinSpec extends SparkSpec {
       (1L, 9.969209968386869e36, 9.969209968386869e36,
         9.969209968386869e36, 9.969209968386869e36), // fill value
       (2L, Double.NaN, Double.NaN, Double.NaN, Double.NaN),
-      (3L, -20.0, -10.0, 20.0, 10.0) // one clean box
+      (3L, -20.0, -10.0, 20.0, 10.0), // one clean box
+      (5L, 200.0, -10.0, 220.0, 10.0) // 0-360 longitude convention
     ).toDF("id", "bbox_w", "bbox_s", "bbox_e", "bbox_n")
       .union(Seq((4L, null, null, null, null))
         .toDF("id", "bbox_w", "bbox_s", "bbox_e", "bbox_n")
         .select(col("id"), col("bbox_w").cast("double"),
           col("bbox_s").cast("double"), col("bbox_e").cast("double"),
           col("bbox_n").cast("double")))
-    val clean = Seq((10L, -5.0, -5.0, 5.0, 5.0))
-      .toDF("id", "bbox_w", "bbox_s", "bbox_e", "bbox_n")
+    val clean = Seq(
+      (10L, -5.0, -5.0, 5.0, 5.0),
+      (11L, 210.0, -5.0, 230.0, 5.0) // 0-360 convention, overlaps id 5
+    ).toDF("id", "bbox_w", "bbox_s", "bbox_e", "bbox_n")
     // must not crash under ANSI mode; the clean pair must be found,
-    // and fill-value / NaN / null rows are dropped as not-well-formed
-    // boxes (out-of-domain coords map to a null cell) rather than
-    // funneled into the ±181 boundary cell as a quadratic hot bucket
+    // 0-360-convention coordinates (≤ the ±400 validity bound) still
+    // join on their real cells, and fill-value / NaN / null rows are
+    // dropped as not-well-formed boxes (out-of-domain coords map to a
+    // null cell) rather than funneled into one boundary cell as a
+    // quadratic hot bucket
     val got = SpatialJoin.bboxOverlapJoin(dirty, clean)
       .select(col("id"), col("id_r")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got == Set((3L, 10L)))
+    assert(got == Set((3L, 10L), (5L, 11L)))
   }
 
   test("interval join drops inverted and null intervals without error") {
