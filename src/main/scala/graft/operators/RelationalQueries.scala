@@ -153,6 +153,38 @@ object RelationalQueries {
     """SELECT event_id, value FROM events
       |ORDER BY value DESC, event_id LIMIT 10""".stripMargin
 
+  /** sort_zorder — Z-order (Morton) key over two query dimensions
+    * (user_id, event minute), the multi-dimensional clustering key
+    * Delta/Iceberg Z-ORDER uses: writing files in zval order gives
+    * every file a tight min/max envelope on BOTH dims, so parquet
+    * row-group stats prune scans filtered on either one — at 100 TB
+    * the difference between touching ~√F and F files for a
+    * two-predicate query. The key is 16 explicit bit-interleave
+    * terms (shift/and/or) — integer-only, codegen'd, no UDF; the
+    * sort itself is Spark's range-partitioned global sort. */
+  def sortZorder(s: SparkSession, dir: String): DataFrame = {
+    val xq = pmod(col("user_id"), lit(65536L))
+    val yq = pmod(floor(unix_timestamp(col("ts")) / 60), lit(65536L))
+    val z = (0 until 16).map { i =>
+      shiftleft(shiftright(xq, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(yq, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+    events(s, dir)
+      .select(col("event_id"), z.cast("long").as("zval"))
+  }
+
+  val sortZorderSql: String = {
+    val zTerms = (0 until 16).map(i =>
+      s"((((xq >> $i) & 1) << ${2 * i}) + (((yq >> $i) & 1) << ${2 * i + 1}))")
+      .mkString(" + ")
+    s"""WITH b AS (SELECT event_id,
+       |    CAST(user_id % 65536 AS BIGINT) AS xq,
+       |    CAST(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+       |      // 60 % 65536 AS BIGINT) AS yq
+       |  FROM events)
+       |SELECT event_id, CAST($zTerms AS BIGINT) AS zval FROM b""".stripMargin
+  }
+
   /** set_union_all — concat per-category listings
     * (`tlz.concat`, insitu recipe.py:140-152). */
   def setUnionAll(s: SparkSession, dir: String): DataFrame = {
@@ -422,6 +454,7 @@ object RelationalQueries {
     "sort_listing" -> (sortListing _),
     "sort_limit_page" -> (sortLimitPage _),
     "topk_global" -> (topkGlobal _),
+    "sort_zorder" -> (sortZorder _),
     "set_union_all" -> (setUnionAll _),
     "set_except" -> (setExcept _),
     "set_intersect" -> (setIntersect _),
@@ -449,6 +482,7 @@ object RelationalQueries {
     "sort_listing" -> sortListingSql,
     "sort_limit_page" -> sortLimitPageSql,
     "topk_global" -> topkGlobalSql,
+    "sort_zorder" -> sortZorderSql,
     "set_union_all" -> setUnionAllSql,
     "set_except" -> setExceptSql,
     "set_intersect" -> setIntersectSql,

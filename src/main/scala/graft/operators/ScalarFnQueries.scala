@@ -270,7 +270,78 @@ object ScalarFnQueries {
   val fnIdentityHookSql: String =
     "SELECT doc_id, source FROM documents"
 
+  /** fn_url_normalize — canonical URL form, the key for URL-level
+    * dedup in a crawl/training pipeline (and for the reference's
+    * remote granule opens, where the same file can be listed under
+    * http/https, with/without default ports, casing, duplicate
+    * slashes or fragments — insitu recipe.py:30-45 content-addresses
+    * exactly these listings). Canonicalization: drop the fragment,
+    * lowercase scheme+host, strip default ports (:80 http / :443
+    * https), collapse duplicate path slashes, strip a trailing
+    * slash. Query strings are preserved verbatim (reordering params
+    * can change semantics). Messy variants are synthesized
+    * deterministically from the time grid (minute mod 4) so both
+    * engines normalize identical inputs. Pure per-row regexp
+    * expressions — codegen'd, no shuffle. */
+  def fnUrlNormalize(s: SparkSession, dir: String): DataFrame = {
+    val base = fnUrlTemplate(s, dir)
+    val m = minute(col("ts")) % 4
+    val raw = when(m === 0, col("url"))
+      .when(m === 1, regexp_replace(col("url"),
+        "^https://example\\.org", "HTTPS://EXAMPLE.ORG:443"))
+      .when(m === 2, concat(regexp_replace(col("url"),
+        "/sst/", "/sst//"), lit("#frag")))
+      .otherwise(concat(regexp_replace(col("url"),
+        "^https://example\\.org", "http://Example.Org:80"), lit("/")))
+    val noFrag = regexp_replace(raw, "#.*$", "")
+    val scheme =
+      lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(
+      regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val pathq =
+      regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val path = regexp_replace(
+      regexp_replace(pathq, "/{2,}", "/"), "(.)/$", "$1")
+    base.select(col("ts"), raw.as("url_raw"),
+      concat(scheme, lit("://"), host, path).as("url_norm"))
+  }
+
+  val fnUrlNormalizeSql: String =
+    s"""WITH g AS ($fnUrlTemplateSql),
+       |raw AS (SELECT ts, CASE CAST(minute(ts) AS INT) % 4
+       |    WHEN 0 THEN url
+       |    WHEN 1 THEN regexp_replace(url, '^https://example\\.org',
+       |      'HTTPS://EXAMPLE.ORG:443')
+       |    WHEN 2 THEN regexp_replace(url, '/sst/', '/sst//') || '#frag'
+       |    ELSE regexp_replace(url, '^https://example\\.org',
+       |      'http://Example.Org:80') || '/' END AS url_raw
+       |  FROM g),
+       |nf AS (SELECT ts, url_raw,
+       |    regexp_replace(url_raw, '#.*$$', '', 'g') AS u FROM raw),
+       |parts AS (SELECT ts, url_raw,
+       |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+       |      AS scheme,
+       |    lower(regexp_extract(u,
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+       |    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')
+       |      AS pathq
+       |  FROM nf)
+       |SELECT ts, url_raw,
+       |  scheme || '://' ||
+       |  CASE WHEN scheme = 'http'
+       |         THEN regexp_replace(hostport, ':80$$', '')
+       |       WHEN scheme = 'https'
+       |         THEN regexp_replace(hostport, ':443$$', '')
+       |       ELSE hostport END ||
+       |  regexp_replace(regexp_replace(pathq, '/{2,}', '/', 'g'),
+       |    '(.)/$$', '\\1') AS url_norm
+       |FROM parts""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_url_normalize" -> (fnUrlNormalize _),
     "fn_url_template" -> (fnUrlTemplate _),
     "fn_norm_datetime" -> (fnNormDatetime _),
     "fn_str_to_double" -> (fnStrToDouble _),
@@ -289,6 +360,7 @@ object ScalarFnQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_url_normalize" -> fnUrlNormalizeSql,
     "fn_url_template" -> fnUrlTemplateSql,
     "fn_norm_datetime" -> fnNormDatetimeSql,
     "fn_str_to_double" -> fnStrToDoubleSql,
