@@ -162,15 +162,22 @@ object RelationalQueries {
     * two-predicate query. The key is 16 explicit bit-interleave
     * terms (shift/and/or) — integer-only, codegen'd, no UDF; the
     * sort itself is Spark's range-partitioned global sort. */
+  /** 32-bit Morton interleave of two 16-bit quantized dimensions —
+    * bit i of xq lands at 2i, of yq at 2i+1. Disjoint bits, so + is
+    * bitwise-or. Exposed for the envelope property test. */
+  private[graft] def mortonKey(
+      xq: org.apache.spark.sql.Column,
+      yq: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(xq, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(yq, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _).cast("long")
+
   def sortZorder(s: SparkSession, dir: String): DataFrame = {
     val xq = pmod(col("user_id"), lit(65536L))
     val yq = pmod(floor(unix_timestamp(col("ts")) / 60), lit(65536L))
-    val z = (0 until 16).map { i =>
-      shiftleft(shiftright(xq, i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(yq, i).bitwiseAND(lit(1L)), 2 * i + 1)
-    }.reduce(_ + _)
     events(s, dir)
-      .select(col("event_id"), z.cast("long").as("zval"))
+      .select(col("event_id"), mortonKey(xq, yq).as("zval"))
   }
 
   val sortZorderSql: String = {
