@@ -375,6 +375,93 @@ object DedupQueries {
        |WHERE g.doc_id % $BENCH_MOD <> 0
        |GROUP BY g.doc_id""".stripMargin
 
+  /** dedup_incremental — dedup a NEW batch against the existing
+    * corpus without ever comparing corpus×corpus: every fresh doc is
+    * flagged exact-dup (content hash exists in the corpus) and
+    * near-dup (min corpus doc sharing its prefix block with word-
+    * 3-gram Jaccard ≥ 0.8, else null). This is how a 100 TB pipeline
+    * actually runs dedup day to day — the full-corpus self-join
+    * happens once at bootstrap; afterwards each increment pays
+    * |increment| × (bounded candidates), not |corpus|².
+    *
+    * Scale design: the exact check is a hash semi-join (corpus side
+    * reduced to DISTINCT 32-byte hashes); near-dup candidates come
+    * from the same prefix-block equi-join as dedup_ngram_jaccard
+    * with BOTH sides block-capped, so a boilerplate-heavy increment
+    * can't go quadratic. The fresh batch is modeled as every 10th
+    * doc (doc_id % 10 == 7). */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    dedupIncrementalFrom(
+      docs.filter(col("doc_id") % 10 =!= 7),
+      docs.filter(col("doc_id") % 10 === 7))
+  }
+
+  private[graft] def dedupIncrementalFrom(
+      old: DataFrame, fresh: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def capped(df: DataFrame): DataFrame = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("blk")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= BLOCK_CAP)
+      .drop("rn")
+    val oldHashes = old.select(sha2(col("text"), 256).as("h")).distinct()
+    val exact = fresh
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .join(oldHashes, Seq("h"), "left_semi")
+      .select(col("doc_id"), lit(1).as("exact_dup"))
+    val near = capped(shingledFrom(fresh))
+      .select(col("blk"), col("doc_id").as("n"), col("shin").as("sn"))
+      .join(capped(shingledFrom(old))
+        .select(col("blk"), col("doc_id").as("o"), col("shin").as("so")),
+        Seq("blk"))
+      .filter(round(FastSig.jaccardSorted(col("sn"), col("so")), 4)
+        >= JACCARD_T)
+      .groupBy(col("n"))
+      .agg(min(col("o")).as("near_dup_of"))
+      .withColumnRenamed("n", "doc_id")
+    fresh.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_dup"), lit(0)).as("exact_dup"),
+        col("near_dup_of"))
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH d0 AS (
+       |  SELECT doc_id, text, substr(text, 1, 32) AS blk,
+       |    list_distinct(CASE WHEN len(string_split(text,' ')) < 3
+       |      THEN [text]
+       |      ELSE list_transform(
+       |        generate_series(1, len(string_split(text,' ')) - 2),
+       |        i -> string_split(text,' ')[i] || ' ' ||
+       |             string_split(text,' ')[i+1] || ' ' ||
+       |             string_split(text,' ')[i+2]) END) AS shin
+       |  FROM documents),
+       |old AS (SELECT doc_id, text, blk, shin FROM (
+       |    SELECT d0.*, row_number() OVER
+       |      (PARTITION BY blk ORDER BY doc_id) AS rn
+       |    FROM d0 WHERE doc_id % 10 <> 7) WHERE rn <= $BLOCK_CAP),
+       |freshc AS (SELECT doc_id, blk, shin FROM (
+       |    SELECT d0.*, row_number() OVER
+       |      (PARTITION BY blk ORDER BY doc_id) AS rn
+       |    FROM d0 WHERE doc_id % 10 = 7) WHERE rn <= $BLOCK_CAP),
+       |oldh AS (SELECT DISTINCT sha256(text) AS h
+       |         FROM documents WHERE doc_id % 10 <> 7),
+       |near AS (SELECT f.doc_id, min(o.doc_id) AS near_dup_of
+       |  FROM freshc f JOIN old o ON f.blk = o.blk
+       |  WHERE round(CAST(len(list_intersect(f.shin, o.shin)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(f.shin, o.shin))), 4) >= 0.8
+       |  GROUP BY f.doc_id)
+       |SELECT f.doc_id AS doc_id,
+       |  CAST(CASE WHEN oh.h IS NOT NULL THEN 1 ELSE 0 END AS INT)
+       |    AS exact_dup,
+       |  near.near_dup_of AS near_dup_of
+       |FROM (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7) f
+       |LEFT JOIN oldh oh ON sha256(f.text) = oh.h
+       |LEFT JOIN near ON near.doc_id = f.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -382,7 +469,8 @@ object DedupQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_cluster_cc" -> (dedupClusterCc _),
     "dedup_common_spans" -> (dedupCommonSpans _),
-    "dedup_decontaminate" -> (dedupDecontaminate _)
+    "dedup_decontaminate" -> (dedupDecontaminate _),
+    "dedup_incremental" -> (dedupIncremental _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -390,7 +478,8 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_cluster_cc" -> dedupClusterCcSql,
     "dedup_common_spans" -> dedupCommonSpansSql,
-    "dedup_decontaminate" -> dedupDecontaminateSql
+    "dedup_decontaminate" -> dedupDecontaminateSql,
+    "dedup_incremental" -> dedupIncrementalSql
     // dedup_near_minhash / dedup_simhash: algorithmic — property-tested
   )
 }

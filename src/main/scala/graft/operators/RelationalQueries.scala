@@ -452,6 +452,31 @@ object RelationalQueries {
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("n_parts_approx"))
 
+  /** agg_hll_partitioned — MERGEABLE distinct-count sketches
+    * (Datasketches HLL): per-partition sketches unioned into a global
+    * estimate WITHOUT rescanning rows. This is the primitive that
+    * makes 100 TB distinct-count pipelines incremental: store one
+    * serialized sketch per (source, day) partition, answer "distinct
+    * users over any date range / source set" by hll_union over the
+    * selected sketches — reading kilobytes of sketch instead of
+    * terabytes of rows. approx_count_distinct can't do this (its
+    * sketch is not exposed); hll_sketch_agg's is. Estimates are
+    * engine-specific ⇒ rows-only; the error bound and the
+    * union-vs-rescan equality are unit-tested. */
+  def aggHllPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val perType = events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = perType
+      .agg(hll_union_agg(col("sk")).as("sk"))
+      .select(lit("ALL").as("event_type"),
+        hll_sketch_estimate(col("sk")).as("approx_users"))
+    perType
+      .select(col("event_type"),
+        hll_sketch_estimate(col("sk")).as("approx_users"))
+      .unionByName(merged)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
     "src_parallelize" -> (srcParallelize _),
@@ -472,6 +497,7 @@ object RelationalQueries {
     "agg_grouping_sets" -> (aggGroupingSets _),
     "agg_distinct_exact" -> (aggDistinctExact _),
     "agg_distinct_approx" -> (aggDistinctApprox _),
+    "agg_hll_partitioned" -> (aggHllPartitioned _),
     "agg_bbox_union" -> (aggBboxUnion _),
     "agg_percentile" -> (aggPercentile _),
     "agg_stats_moments" -> (aggStatsMoments _),

@@ -41,4 +41,27 @@ class RelationalQueriesSpec extends SparkSpec {
       assert(math.abs(approx(k) - n).toDouble / n < 0.05, s"key $k")
     }
   }
+
+  test("hll sketches: per-partition estimates bound error, union == rescan") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.events(spark, sf)
+    val got = RelationalQueries.aggHllPartitioned(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per-type estimates within 5% of exact
+    val exact = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(got(k) - n).toDouble / n < 0.05, s"type $k")
+    }
+    // the UNION of per-type sketches answers the global question
+    // within bound WITHOUT rescanning rows — the mergeability claim
+    val globalExact = e.select(countDistinct(col("user_id"))).head.getLong(0)
+    assert(math.abs(got("ALL") - globalExact).toDouble / globalExact < 0.05)
+    // and it equals the estimate of a direct global sketch (same
+    // deterministic sketch algebra, not merely close)
+    val direct = e.agg(hll_sketch_estimate(
+      hll_sketch_agg(col("user_id"))).as("n")).head.getLong(0)
+    assert(got("ALL") == direct, "union of partials must equal one-pass sketch")
+  }
 }
