@@ -344,17 +344,13 @@ object DedupQueries {
 
   private[graft] def dedupDecontaminateFrom(
       bench: DataFrame, corpus: DataFrame): DataFrame = {
-    def gramHashes(c: org.apache.spark.sql.Column) = {
-      val ws = split(c, " ")
-      array_distinct(
-        when(size(ws) < DECON_N, array(xxhash64(c)))
-          .otherwise(transform(sequence(lit(0), size(ws) - DECON_N),
-            i => xxhash64(array_join(slice(ws, i + lit(1), lit(DECON_N)), " ")))))
-    }
-    val bg = bench.select(explode(gramHashes(col("text"))).as("gh"))
-      .distinct()
-    val cg = corpus.select(col("doc_id"),
-      explode(gramHashes(col("text"))).as("gh"))
+    // FastSig.hashedShingles: one-pass rolling-hash kernel, already
+    // per-doc-distinct — no interpreted higher-order transform, no
+    // per-gram string allocation (the first cut did array_join per
+    // gram and cost 2× in bench)
+    val grams = FastSig.hashedShingles(DECON_N)(col("text"))
+    val bg = bench.select(explode(grams).as("gh")).distinct()
+    val cg = corpus.select(col("doc_id"), explode(grams).as("gh"))
     cg.join(broadcast(bg), Seq("gh"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
