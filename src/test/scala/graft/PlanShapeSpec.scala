@@ -63,6 +63,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), "partial+final hash agg")
   }
 
+  test("decontamination broadcasts the benchmark grams, never shuffles the corpus explode") {
+    val p = plan(DedupQueries.dedupDecontaminate(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the corpus gram explosion must reach the join map-side: in the
+    // printed tree the corpus branch precedes the BroadcastExchange,
+    // and it must contain no gram-keyed shuffle (the benchmark side's
+    // distinct under the broadcast legitimately has one)
+    val corpusSide = p.split("BroadcastExchange")(0)
+    assert(!corpusSide.contains("Exchange hashpartitioning(gh"), p)
+  }
+
+  test("z-order key is pure codegen integer arithmetic") {
+    val df = RelationalQueries.sortZorder(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("Generate"), p)
+  }
+
   test("co-bucketed fact tables join and aggregate with zero exchanges") {
     import org.apache.spark.sql.functions._
     val o = graft.Tables.orders(spark, sf)
