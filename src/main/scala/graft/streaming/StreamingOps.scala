@@ -159,4 +159,26 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.catalog.JdbcCatalogSink.upsertItems(batch, conf)
       }
+
+  /** Streaming incremental dedup — the day-to-day form of
+    * dedup_incremental: each micro-batch of freshly crawled docs is
+    * flagged against the EXISTING corpus (exact hash + block-capped
+    * near-dup candidates) and the verdicts appended to `outPath`.
+    * The corpus side is a static DataFrame re-planned per batch, so
+    * each batch pays batch-sized cost; the checkpoint makes a
+    * restarted ingest skip already-judged files. foreachBatch reuses
+    * the BATCH operator verbatim — one dedup rule to audit for both
+    * modes (same pattern as upsertSink). */
+  def incrementalDedupSink(
+      fresh: DataFrame, corpus: DataFrame, outPath: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    fresh.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.DedupQueries
+          .dedupIncrementalFrom(corpus, batch)
+          .write.mode("append").parquet(outPath)
+      }
 }

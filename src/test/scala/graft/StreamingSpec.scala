@@ -123,6 +123,38 @@ class StreamingSpec extends SparkSpec {
     assert(items.count() == items.select("item_id").distinct().count())
   }
 
+  test("streaming incremental dedup equals the batch operator exactly once") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val docs = graft.Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val freshBatch = docs.filter(col("doc_id") % 10 === 7)
+    freshBatch.write.parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    def run(): Unit = {
+      val stream = StreamingOps.fileIngest(spark, inDir, schema)
+      val q = StreamingOps
+        .incrementalDedupSink(stream, corpus, outDir, ckpt).start()
+      q.awaitTermination(120000)
+    }
+    run()
+    val got = spark.read.parquet(outDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val want = graft.operators.DedupQueries
+      .dedupIncrementalFrom(corpus, freshBatch)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == want, "stream micro-batch must equal the batch verdicts")
+    assert(got.size == freshBatch.count(), "every fresh doc judged")
+    // restart on the same checkpoint: nothing re-judged
+    run()
+    assert(spark.read.parquet(outDir).count() == got.size)
+  }
+
   test("sessionize runs as a real stream (watermark + append)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
