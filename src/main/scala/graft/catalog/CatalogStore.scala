@@ -118,8 +118,14 @@ object CatalogStore {
           s.fields.forall(f => hashSafe(f.dataType))
         case _ => true
       }
+    // sortBy(name): the hash basis must not depend on the COLUMN
+    // ORDER of the frame a caller happens to pass — CatalogStore and
+    // JdbcCatalogSink may see the same items selected in different
+    // orders, and the cross-store convergence guarantee requires the
+    // same equal-timestamp winner in both
     val tieCols = df.schema.fields
       .filter(f => !exclude.contains(f.name))
+      .sortBy(_.name)
       .map(f =>
         if (hashSafe(f.dataType)) col(f.name) else to_json(col(f.name)))
       .toIndexedSeq
@@ -200,11 +206,18 @@ object CatalogStore {
     //    NON-atomic O(data) copy+delete, so the backup/swap/restore
     //    crash-safety argument does not hold — a mid-rename failure
     //    could leave a partially-copied partition visible. Instead
-    //    the staged merge is read back and committed with DYNAMIC
-    //    partition overwrite, delegating to the output committer's
-    //    task-temp + job-commit protocol (the object-store-safe
-    //    path). Costs one extra copy of the affected partitions —
-    //    the price of not having atomic rename.
+    //    the staged merge is read back and the affected partitions
+    //    are overwritten through the committer. NOTE: this commit is
+    //    still not atomic — Spark's dynamic partition overwrite
+    //    finalizes with driver-side delete-then-rename of partition
+    //    directories, O(data) on an object store — and the S3A cloud
+    //    committers (PathOutputCommitProtocol / magic) REJECT
+    //    dynamicPartitionOverwrite outright, so that configuration
+    //    takes a static per-leaf overwrite of exactly the staged
+    //    leaves instead. Either way a failure preserves the graft
+    //    staging dir (named in the thrown exception) — THAT is the
+    //    real recovery mechanism on an object store, not rename
+    //    atomicity. Costs one extra copy of the affected partitions.
     val parent = Option(hPath.getParent)
       .getOrElse(new org.apache.hadoop.fs.Path("/"))
     val staging = new org.apache.hadoop.fs.Path(parent,
@@ -253,6 +266,15 @@ object CatalogStore {
           }
           if (hadOld) fs.delete(backup, true)
         }
+      } else if (rejectsDynamicOverwrite(
+          // no fallback arg: RuntimeConfig validates an explicit
+          // default as a loadable class; the entry's own default
+          // (SQLHadoopMapReduceCommitProtocol) is always present
+          spark.conf.get("spark.sql.sources.commitProtocolClass"))) {
+        // S3A cloud committers throw on dynamicPartitionOverwrite:
+        // statically overwrite exactly the staged leaves instead.
+        staticLeafOverwrite(spark, staging, hPath, partCols,
+          merged.schema, stagedLeaves)
       } else {
         // non-atomic-rename filesystem (object store): re-read the
         // staged merge and let the output committer replace exactly
@@ -292,6 +314,41 @@ object CatalogStore {
       case e: Throwable =>
         throw new java.io.IOException(
           s"partition swap failed; staged merge preserved at $staging", e)
+    }
+  }
+
+  /** The S3A cloud committers (Hadoop's PathOutputCommitProtocol —
+    * directory/partitioned/magic) reject dynamicPartitionOverwrite
+    * with a runtime exception; detect them from the configured
+    * commit-protocol class so upsert can avoid that code path. */
+  private[catalog] def rejectsDynamicOverwrite(
+      commitProtocolClass: String): Boolean =
+    commitProtocolClass.contains("PathOutputCommitProtocol")
+
+  /** Static fallback commit for committers that reject dynamic
+    * partition overwrite: each staged partition leaf is re-read
+    * (data columns only — partition values live in the directory
+    * name) and written with a plain `overwrite` scoped to exactly
+    * that destination leaf directory. One write job per affected
+    * partition — bounded by the delta's partition count, never the
+    * catalog's. */
+  private[catalog] def staticLeafOverwrite(
+      spark: SparkSession,
+      staging: org.apache.hadoop.fs.Path,
+      hPath: org.apache.hadoop.fs.Path,
+      partCols: Seq[String],
+      mergedSchema: org.apache.spark.sql.types.StructType,
+      stagedLeaves: Seq[org.apache.hadoop.fs.Path]): Unit = {
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      mergedSchema.filterNot(f => partCols.contains(f.name)))
+    val stagingPrefix = staging.toUri.getPath
+    stagedLeaves.foreach { src =>
+      val rel = src.toUri.getPath
+        .stripPrefix(stagingPrefix).stripPrefix("/")
+      spark.read.schema(dataSchema).parquet(src.toString)
+        .write
+        .mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(hPath, rel).toString)
     }
   }
 

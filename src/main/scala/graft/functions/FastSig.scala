@@ -34,7 +34,12 @@ object FastSig {
 
   /** text → sorted distinct hashed word-k-gram shingle set.
     * 64-bit hashes: collision probability across a corpus is
-    * ~n²/2⁶⁴ — negligible against the 4-decimal jaccard rounding. */
+    * ~n²/2⁶⁴ — negligible against the 4-decimal jaccard rounding.
+    * A word-boundary marker is mixed in between words so a k-gram's
+    * hash differs from the hash of its character concatenation
+    * (without it, 2-grams "ab c" and "a bc" would collide
+    * DETERMINISTICALLY — a systematic collision class, not the
+    * random ~n²/2⁻⁶⁴ one). */
   def hashedShingles(k: Int): UserDefinedFunction = udf { text: String =>
     if (text == null) Array.empty[Long]
     else {
@@ -48,7 +53,10 @@ object FastSig {
         while (i + k <= words.length) {
           var h = 7L
           var j = 0
-          while (j < k) { h = hashString(words(i + j), h); j += 1 }
+          while (j < k) {
+            h = mix(hashString(words(i + j), h) ^ 0x1fL)
+            j += 1
+          }
           set.add(h)
           i += 1
         }

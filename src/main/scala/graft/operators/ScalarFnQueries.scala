@@ -314,10 +314,11 @@ object ScalarFnQueries {
        |raw AS (SELECT ts, CASE CAST(minute(ts) AS INT) % 4
        |    WHEN 0 THEN url
        |    WHEN 1 THEN regexp_replace(url, '^https://example\\.org',
-       |      'HTTPS://EXAMPLE.ORG:443')
-       |    WHEN 2 THEN regexp_replace(url, '/sst/', '/sst//') || '#frag'
+       |      'HTTPS://EXAMPLE.ORG:443', 'g')
+       |    WHEN 2 THEN regexp_replace(url, '/sst/', '/sst//', 'g')
+       |      || '#frag'
        |    ELSE regexp_replace(url, '^https://example\\.org',
-       |      'http://Example.Org:80') || '/' END AS url_raw
+       |      'http://Example.Org:80', 'g') || '/' END AS url_raw
        |  FROM g),
        |nf AS (SELECT ts, url_raw,
        |    regexp_replace(url_raw, '#.*$$', '', 'g') AS u FROM raw),

@@ -80,6 +80,24 @@ class FunctionsSpec extends SparkSpec {
     assert(w1 == w2, "fallback path past MAX_DIM must match the UDF")
   }
 
+  test("hashedShingles encodes word boundaries (no concat collisions)") {
+    import spark.implicits._
+    import graft.functions.FastSig
+    // without a boundary marker, the 2-grams ("ab","c") and ("a","bc")
+    // hash the same character stream and collide DETERMINISTICALLY —
+    // a systematic collision class, not the random 2^-64 one
+    val shin = Seq("ab c", "a bc").toDF("text")
+      .select(FastSig.hashedShingles(2)(col("text")).as("s"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    assert(shin(0).intersect(shin(1)).isEmpty,
+      "word-boundary marker must separate 'ab c' from 'a bc'")
+    // identical texts still produce identical shingle sets
+    val same = Seq("x y z", "x y z").toDF("text")
+      .select(FastSig.hashedShingles(2)(col("text")).as("s"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    assert(same(0) == same(1))
+  }
+
   test("bbox union aggregator merges partial buffers correctly") {
     import spark.implicits._
     import graft.functions.BboxUnionAgg
