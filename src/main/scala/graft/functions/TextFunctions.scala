@@ -102,4 +102,65 @@ object TextFunctions {
       }
     }
   }
+
+  /** Gopher-style repetition signals in ONE per-row pass:
+    * (top2_frac, top3_frac, dup5_frac) — the char fraction of the
+    * most frequent word 2-/3-gram and of duplicated (count>1)
+    * 5-grams. Replaces a 3×(explode → corpus-wide hash agg on
+    * (doc_id, gram) → window/agg → join) plan shape: every signal is
+    * per-document, so nothing needs to leave the row — zero shuffle,
+    * embarrassingly parallel at 100 TB. Semantics mirror the DuckDB
+    * oracle exactly: split on single spaces keeping empties, a doc
+    * shorter than n words contributes [text] itself as its one gram,
+    * argmax ties break on (count DESC, gram DESC), and fractions are
+    * round(c*len(g)/n_chars + 1e-9, 4). */
+  val repetitionSignals: UserDefinedFunction =
+    udf { (text: String, nChars: Long) =>
+      def round4(x: Double): Double =
+        BigDecimal(x + 1e-9)
+          .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+      val words: Array[String] =
+        if (text == null) Array("") else text.split(" ", -1)
+      def counts(n: Int): scala.collection.mutable.HashMap[String, Int] = {
+        val m = new scala.collection.mutable.HashMap[String, Int]()
+        if (words.length < n) {
+          m.update(if (text == null) "" else text, 1)
+        } else {
+          val sb = new java.lang.StringBuilder
+          var i = 0
+          while (i + n <= words.length) {
+            sb.setLength(0)
+            var j = 0
+            while (j < n) {
+              if (j > 0) sb.append(' ')
+              sb.append(words(i + j))
+              j += 1
+            }
+            val g = sb.toString
+            m.update(g, m.getOrElse(g, 0) + 1)
+            i += 1
+          }
+        }
+        m
+      }
+      def topFrac(n: Int): Double = {
+        var bestG: String = null
+        var bestC = -1
+        counts(n).foreach { case (g, c) =>
+          if (c > bestC || (c == bestC && g.compareTo(bestG) > 0)) {
+            bestG = g; bestC = c
+          }
+        }
+        round4(bestC.toDouble * bestG.length / nChars)
+      }
+      def dupFrac(n: Int): Double = {
+        var covered = 0L
+        counts(n).foreach { case (g, c) =>
+          if (c > 1) covered += c.toLong * g.length
+        }
+        if (covered == 0L) 0.0 else round4(covered.toDouble / nChars)
+      }
+      (topFrac(2), topFrac(3), dupFrac(5))
+    }
 }

@@ -316,43 +316,21 @@ object TextQueries {
     * DUPLICATED (count > 1) 5-grams. A page of boilerplate scores
     * high on all three; natural prose scores low.
     *
-    * Scale design: each signal is explode → partial hash agg on
-    * (doc_id, gram) → per-doc reduction (window rank for the top
-    * gram, sum-agg for duplicate coverage) — every shuffle is keyed
-    * by doc_id(+gram), nothing corpus-global. The three signals join
-    * back on doc_id. Argmax ties break on (count DESC, gram DESC) so
-    * the result is deterministic on both engines. */
-  def textRepetition(s: SparkSession, dir: String): DataFrame = {
-    val docs = documents(s, dir)
-    def grams(n: Int): Column = {
-      val ws = split(col("text"), " ")
-      when(size(ws) < n, array(col("text")))
-        .otherwise(transform(sequence(lit(0), size(ws) - n),
-          i => array_join(slice(ws, i + lit(1), lit(n)), " ")))
-    }
-    def counts(n: Int): DataFrame = docs
-      .select(col("doc_id"), col("n_chars"), explode(grams(n)).as("g"))
-      .groupBy(col("doc_id"), col("n_chars"), col("g"))
-      .agg(count(lit(1)).as("c"))
-    def topFrac(n: Int, out: String): DataFrame = counts(n)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id"))
-          .orderBy(col("c").desc, col("g").desc)))
-      .filter(col("rn") === 1)
+    * Scale design: every signal is PER-DOCUMENT, so nothing needs to
+    * leave the row — one kernel pass computes all three in a single
+    * projection (TextFunctions.repetitionSignals), zero shuffle.
+    * (The first cut exploded the corpus three times and hash-
+    * aggregated on (doc_id, gram) — 3 corpus-wide shuffles plus two
+    * doc_id joins for values that never cross documents; measured
+    * ~4× slower at sf0.1 and strictly worse at 100 TB.) Argmax ties
+    * break on (count DESC, gram DESC), matching the oracle. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
       .select(col("doc_id"),
-        round(col("c") * length(col("g")) / col("n_chars") + lit(1e-9), 4)
-          .as(out))
-    val dup5 = counts(5)
-      .filter(col("c") > 1)
-      .groupBy(col("doc_id"))
-      .agg(round(sum(col("c") * length(col("g"))) / first(col("n_chars"))
-        + lit(1e-9), 4).as("dup5_frac"))
-    topFrac(2, "top2_frac")
-      .join(topFrac(3, "top3_frac"), Seq("doc_id"))
-      .join(dup5, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("top2_frac"), col("top3_frac"),
-        coalesce(col("dup5_frac"), lit(0.0)).as("dup5_frac"))
-  }
+        graft.functions.TextFunctions
+          .repetitionSignals(col("text"), col("n_chars")).as("r"))
+      .select(col("doc_id"), col("r._1").as("top2_frac"),
+        col("r._2").as("top3_frac"), col("r._3").as("dup5_frac"))
 
   val textRepetitionSql: String =
     """WITH t AS (
