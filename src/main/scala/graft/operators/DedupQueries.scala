@@ -424,6 +424,74 @@ object DedupQueries {
         col("near_dup_of"))
   }
 
+  /** dedup_incremental_bloom — the SAME result as dedup_incremental
+    * (byte-identical, shared oracle SQL) with the exact stage
+    * restructured around a broadcast Bloom filter, the shape a 100 TB
+    * incremental run wants:
+    *
+    *   plain:  fresh ⋉ DISTINCT(sha256 over corpus)   — the distinct
+    *           is a corpus-wide agg shuffle and the semi-join shuffles
+    *           both sides on h.
+    *   bloom:  (1) one scan-aggregate builds a mergeable Bloom sketch
+    *           of corpus hashes (spark.util.sketch, treeAggregate
+    *           under the hood — no shuffle, driver gets ~1.2 MB/1M
+    *           docs at 1% fpp); (2) fresh hashes are prefiltered by
+    *           the broadcast sketch — only true dups + ~1% false
+    *           positives survive; (3) the surviving candidate set is
+    *           tiny, so CONFIRMATION is a map-side broadcast semi-join
+    *           against one more corpus scan. Zero corpus-wide
+    *           shuffles; false positives are eliminated exactly.
+    *
+    * The near-dup stage is shared with dedup_incremental. */
+  private[graft] def dedupIncrementalBloomFrom(
+      old: DataFrame, fresh: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def capped(df: DataFrame): DataFrame = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("blk")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= BLOCK_CAP)
+      .drop("rn")
+    val spark = old.sparkSession
+    val oldH = old.select(sha2(col("text"), 256).as("h"))
+    // expectedNumItems: at production scale this is a known corpus
+    // stat; here a parquet metadata count (no data scan)
+    val bloom = oldH.stat.bloomFilter("h", math.max(old.count(), 1L), 0.01)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: String) => bloomBc.value.mightContainString(h))
+    val freshH = fresh.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    val candH = freshH.filter(mightContain(col("h")))
+      .select(col("h")).distinct()
+    val confirmed = oldH
+      .join(broadcast(candH), Seq("h"), "left_semi")
+      .distinct()
+    val exact = freshH
+      .join(broadcast(confirmed), Seq("h"), "left_semi")
+      .select(col("doc_id"), lit(1).as("exact_dup"))
+    val near = capped(shingledFrom(fresh))
+      .select(col("blk"), col("doc_id").as("n"), col("shin").as("sn"))
+      .join(capped(shingledFrom(old))
+        .select(col("blk"), col("doc_id").as("o"), col("shin").as("so")),
+        Seq("blk"))
+      .filter(round(FastSig.jaccardSorted(col("sn"), col("so")), 4)
+        >= JACCARD_T)
+      .groupBy(col("n"))
+      .agg(min(col("o")).as("near_dup_of"))
+      .withColumnRenamed("n", "doc_id")
+    fresh.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_dup"), lit(0)).as("exact_dup"),
+        col("near_dup_of"))
+  }
+
+  def dedupIncrementalBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    dedupIncrementalBloomFrom(
+      docs.filter(col("doc_id") % 10 =!= 7),
+      docs.filter(col("doc_id") % 10 === 7))
+  }
+
   val dedupIncrementalSql: String =
     s"""WITH d0 AS (
        |  SELECT doc_id, text, substr(text, 1, 32) AS blk,
@@ -466,7 +534,8 @@ object DedupQueries {
     "dedup_cluster_cc" -> (dedupClusterCc _),
     "dedup_common_spans" -> (dedupCommonSpans _),
     "dedup_decontaminate" -> (dedupDecontaminate _),
-    "dedup_incremental" -> (dedupIncremental _)
+    "dedup_incremental" -> (dedupIncremental _),
+    "dedup_incremental_bloom" -> (dedupIncrementalBloom _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -475,7 +544,10 @@ object DedupQueries {
     "dedup_cluster_cc" -> dedupClusterCcSql,
     "dedup_common_spans" -> dedupCommonSpansSql,
     "dedup_decontaminate" -> dedupDecontaminateSql,
-    "dedup_incremental" -> dedupIncrementalSql
+    "dedup_incremental" -> dedupIncrementalSql,
+    // the bloom variant is result-identical by construction (no false
+    // negatives; false positives exactly confirmed) — same oracle
+    "dedup_incremental_bloom" -> dedupIncrementalSql
     // dedup_near_minhash / dedup_simhash: algorithmic — property-tested
   )
 }

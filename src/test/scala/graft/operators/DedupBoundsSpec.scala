@@ -28,4 +28,33 @@ class DedupBoundsSpec extends SparkSpec {
     // an unrelated small block is untouched by the cap
     assert(pairs.contains((9000L, 9001L)))
   }
+
+  test("bloom-prefiltered incremental dedup is result-identical") {
+    import spark.implicits._
+    // dups, near-dups and uniques split across old/fresh: the bloom
+    // prefilter must keep every true dup (no false negatives) and the
+    // exact confirmation must kill every bloom false positive
+    val base = (0 until 200).map { i =>
+      (i.toLong, s"document number $i talks about topic ${i % 17} " +
+        s"in enough words to shingle properly ${i % 5}")
+    }
+    // fresh ids end in 7; every other one copies an old doc verbatim
+    // ((id+3) % 200 ends in 0 — an old id)
+    val docs = base.map { case (id, t) =>
+      if (id % 10 == 7 && (id / 10) % 2 == 0)
+        (id, base(((id + 3) % 200).toInt)._2)
+      else (id, t)
+    }.toDF("doc_id", "text")
+    val old = docs.filter(col("doc_id") % 10 =!= 7)
+    val fresh = docs.filter(col("doc_id") % 10 === 7)
+    val plain = DedupQueries.dedupIncrementalFrom(old, fresh)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val bloom = DedupQueries.dedupIncrementalBloomFrom(old, fresh)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(bloom == plain, "bloom variant must be byte-identical")
+    assert(plain.exists(_._2 == 1), "fixture must contain true exact dups")
+    assert(plain.exists(_._2 == 0), "fixture must contain non-dups")
+  }
 }
