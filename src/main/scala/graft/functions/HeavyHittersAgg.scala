@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Mergeable heavy-hitters (frequent-items) sketch — Misra-Gries with
+  * `capacity` counters, the mergeable-summaries form (Agarwal et al.,
+  * PODS'12): pointwise-add then truncate to the top `capacity` by
+  * subtracting the (capacity+1)-th largest count.
+  *
+  * Guarantees (n = stream length, C = capacity), preserved under
+  * arbitrary partial-aggregation merge order:
+  *   - est(x) ≤ true(x) ≤ est(x) + n/(C+1)  for every reported x
+  *   - every item with true(x) > n/(C+1) is reported
+  *   - if the group's distinct-item count ≤ C, counts are EXACT
+  *     (no decrement ever fires) — the regime agg_heavy_hitters runs
+  *     in, which is why it can carry a full SQL oracle.
+  *
+  * This is the 100 TB "top user_ids / domains / tokens per partition"
+  * primitive: per-partition sketches are tiny (≤ C entries), merge in
+  * the combiner, and never shuffle raw (group, item) pairs — contrast
+  * with an exact two-phase agg whose intermediate is one row per
+  * DISTINCT (group, item).
+  */
+object HeavyHittersAgg {
+
+  type Sketch = scala.collection.mutable.HashMap[Long, Long]
+
+  case class Hit(item: Long, n: Long)
+
+  def agg(capacity: Int): Aggregator[Long, Sketch, Seq[Hit]] =
+    new Aggregator[Long, Sketch, Seq[Hit]] {
+
+      def zero: Sketch = new Sketch
+
+      def reduce(b: Sketch, item: Long): Sketch = {
+        b.get(item) match {
+          case Some(v) => b.update(item, v + 1)
+          case None if b.size < capacity => b.update(item, 1L)
+          case None =>
+            // classic MG decrement-all; O(C) but fires only under
+            // eviction pressure (never when distinct ≤ C)
+            val dead = List.newBuilder[Long]
+            b.foreach { case (k, v) =>
+              if (v == 1L) dead += k else b.update(k, v - 1)
+            }
+            dead.result().foreach(b.remove)
+        }
+        b
+      }
+
+      def merge(a: Sketch, b: Sketch): Sketch = {
+        b.foreach { case (k, v) => a.update(k, a.getOrElse(k, 0L) + v) }
+        if (a.size > capacity) {
+          val vs = a.values.toArray
+          java.util.Arrays.sort(vs)
+          val cut = vs(vs.length - capacity - 1) // (C+1)-th largest
+          val dead = List.newBuilder[Long]
+          a.foreach { case (k, v) =>
+            if (v - cut <= 0L) dead += k else a.update(k, v - cut)
+          }
+          dead.result().foreach(a.remove)
+        }
+        a
+      }
+
+      def finish(b: Sketch): Seq[Hit] = b.toSeq
+        .sortBy { case (item, n) => (-n, item) }
+        .map { case (item, n) => Hit(item, n) }
+
+      def bufferEncoder: Encoder[Sketch] = Encoders.kryo[Sketch]
+      def outputEncoder: Encoder[Seq[Hit]] = ExpressionEncoder[Seq[Hit]]()
+    }
+}

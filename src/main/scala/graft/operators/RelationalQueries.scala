@@ -477,8 +477,41 @@ object RelationalQueries {
       .unionByName(merged)
   }
 
+  /** agg_heavy_hitters — top-5 user_ids per event_type through the
+    * MERGEABLE Misra-Gries sketch (HeavyHittersAgg): per-partition
+    * sketches of ≤4096 counters merge in the combiner, so the shuffle
+    * carries C entries per (partition, group) instead of one row per
+    * distinct (group, user) — the sketch-side twin of
+    * agg_hll_partitioned for "who dominates this partition" questions
+    * at 100 TB. Capacity 4096 exceeds the corpus' distinct-user count,
+    * so counts here are EXACT (the sketch's documented exact regime)
+    * and the query carries a full SQL oracle; the approximate regime's
+    * error bound is property-tested at small capacity. */
+  def aggHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sk = events(s, dir)
+      .select(col("event_type"), col("user_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(graft.functions.HeavyHittersAgg.agg(4096).toColumn.name("hits"))
+      .toDF("event_type", "hits")
+    sk.select(col("event_type"),
+        posexplode(slice(col("hits"), 1, 5)))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.item").as("user_id"), col("col.n").as("n_events"))
+  }
+
+  val aggHeavyHittersSql: String =
+    """SELECT event_type, rk, user_id, n_events FROM (
+      |  SELECT event_type, user_id, count(*) AS n_events,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY count(*) DESC, user_id) AS rk
+      |  FROM events GROUP BY event_type, user_id) t
+      |WHERE rk <= 5""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
+    "agg_heavy_hitters" -> (aggHeavyHitters _),
     "src_parallelize" -> (srcParallelize _),
     "src_time_grid" -> (srcTimeGrid _),
     "src_drop_missing" -> (srcDropMissing _),
@@ -508,6 +541,7 @@ object RelationalQueries {
 
   def oracle: Map[String, String] = Map(
     "q1_pricing" -> q1PricingSql,
+    "agg_heavy_hitters" -> aggHeavyHittersSql,
     "src_parallelize" -> srcParallelizeSql,
     "src_time_grid" -> srcTimeGridSql,
     "src_drop_missing" -> srcDropMissingSql,
