@@ -373,7 +373,44 @@ object TextQueries {
       |LEFT JOIN d5 ON r2.doc_id = d5.doc_id
       |WHERE r2.rn = 1""".stripMargin
 
+  /** text_chunk — fixed-size training chunks with overlap: every doc
+    * split into CHUNK_W-word windows advancing by CHUNK_STRIDE (the
+    * pre-tokenization step of an LLM training pipeline; the overlap
+    * preserves cross-boundary context). Pure per-row explode — zero
+    * shuffle, embarrassingly parallel; chunk count per doc is
+    * ⌈(n−W)/S⌉+1 so output volume is ~n/S × corpus, controlled by the
+    * stride. Short docs yield exactly one (possibly short) chunk. */
+  private val CHUNK_W = 64
+  private val CHUNK_STRIDE = 48
+
+  def textChunk(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"), explode(sequence(lit(0),
+        greatest(ceil((size(col("ws")) - lit(CHUNK_W))
+          .cast("double") / CHUNK_STRIDE).cast("int"), lit(0))))
+        .as("ci"))
+      .select(col("doc_id"), col("ci").cast("long").as("chunk_id"),
+        array_join(slice(col("ws"), col("ci") * CHUNK_STRIDE + 1, lit(CHUNK_W)),
+          " ").as("chunk"),
+        size(slice(col("ws"), col("ci") * CHUNK_STRIDE + 1, lit(CHUNK_W)))
+          .cast("long").as("n_tokens"))
+
+  val textChunkSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |c AS (SELECT doc_id, ws, unnest(generate_series(0,
+       |    greatest(CAST(ceil((len(ws) - $CHUNK_W.0) / $CHUNK_STRIDE)
+       |      AS INT), 0))) AS ci FROM t)
+       |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+       |  array_to_string(ws[ci*$CHUNK_STRIDE+1 :
+       |    ci*$CHUNK_STRIDE+$CHUNK_W], ' ') AS chunk,
+       |  CAST(len(ws[ci*$CHUNK_STRIDE+1 : ci*$CHUNK_STRIDE+$CHUNK_W])
+       |    AS BIGINT) AS n_tokens
+       |FROM c""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunk" -> (textChunk _),
     "text_repetition" -> (textRepetition _),
     "text_token_count" -> (textTokenCount _),
     "text_quality_filter" -> (textQualityFilter _),
@@ -388,6 +425,7 @@ object TextQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "text_chunk" -> textChunkSql,
     "text_repetition" -> textRepetitionSql,
     "text_token_count" -> textTokenCountSql,
     "text_quality_filter" -> textQualityFilterSql,
