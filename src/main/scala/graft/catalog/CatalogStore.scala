@@ -227,11 +227,6 @@ object CatalogStore {
       .mode("overwrite")
       .partitionBy(partCols: _*)
       .parquet(staging.toString)
-    def renameOrThrow(src: org.apache.hadoop.fs.Path,
-        dst: org.apache.hadoop.fs.Path, what: String): Unit =
-      if (!fs.rename(src, dst))
-        throw new java.io.IOException(
-          s"$what rename failed: $src -> $dst")
     try {
       def leafDirs(p: org.apache.hadoop.fs.Path,
           depth: Int): Seq[org.apache.hadoop.fs.Path] =
@@ -250,21 +245,8 @@ object CatalogStore {
       val stagedLeaves = leafDirs(staging, partCols.length)
       if (atomicRenameFs(fs)) {
         stagedLeaves.foreach { src =>
-          val rel = relOf(src, staging)
-          val dst = new org.apache.hadoop.fs.Path(hPath, rel)
-          val dstParent = dst.getParent
-          if (!fs.exists(dstParent)) fs.mkdirs(dstParent)
-          val backup = new org.apache.hadoop.fs.Path(dstParent,
-            s".${dst.getName}.old-${java.util.UUID.randomUUID}")
-          val hadOld = fs.exists(dst)
-          if (hadOld) renameOrThrow(dst, backup, "backup")
-          try renameOrThrow(src, dst, "swap-in")
-          catch {
-            case e: Throwable =>
-              if (hadOld) fs.rename(backup, dst) // best-effort restore
-              throw e
-          }
-          if (hadOld) fs.delete(backup, true)
+          swapDir(fs, src, new org.apache.hadoop.fs.Path(
+            hPath, relOf(src, staging)))
         }
       } else if (rejectsDynamicOverwrite(
           // no fallback arg: RuntimeConfig validates an explicit
@@ -315,6 +297,35 @@ object CatalogStore {
         throw new java.io.IOException(
           s"partition swap failed; staged merge preserved at $staging", e)
     }
+  }
+
+  /** Crash-safe directory replacement on an atomic-rename filesystem:
+    * the old dir is renamed to a hidden backup before the new one
+    * swaps in, a failed swap-in restores the backup, and every
+    * rename's boolean result is CHECKED (Hadoop FileSystems report
+    * most failures by returning false). Shared by upsert's partition
+    * swap and CatalogMaintenance.compact's leaf rewrite. */
+  private[catalog] def swapDir(
+      fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Unit = {
+    def renameOrThrow(s: org.apache.hadoop.fs.Path,
+        d: org.apache.hadoop.fs.Path, what: String): Unit =
+      if (!fs.rename(s, d))
+        throw new java.io.IOException(s"$what rename failed: $s -> $d")
+    val dstParent = dst.getParent
+    if (!fs.exists(dstParent)) fs.mkdirs(dstParent)
+    val backup = new org.apache.hadoop.fs.Path(dstParent,
+      s".${dst.getName}.old-${java.util.UUID.randomUUID}")
+    val hadOld = fs.exists(dst)
+    if (hadOld) renameOrThrow(dst, backup, "backup")
+    try renameOrThrow(src, dst, "swap-in")
+    catch {
+      case e: Throwable =>
+        if (hadOld) fs.rename(backup, dst) // best-effort restore
+        throw e
+    }
+    if (hadOld) fs.delete(backup, true)
   }
 
   /** The S3A cloud committers (Hadoop's PathOutputCommitProtocol —

@@ -160,6 +160,37 @@ object SourceSinkQueries {
       .toDF("initial_count", "after_upsert", "distinct_ids", "idempotent")
   }
 
+  /** snk_compact — small-file compaction of an upserted catalog
+    * (CatalogMaintenance): a sliver-heavy write (32 tasks × every
+    * leaf) is compacted to ⌈bytes/target⌉ files per leaf with the
+    * same checked swap protocol as upsert; the output row proves
+    * rows survived bit-for-bit and the file count collapsed.
+    * Side-effectful ⇒ rows-only; crash/equivalence details in
+    * CatalogMaintenanceSpec. */
+  def snkCompact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.catalog.CatalogMaintenance
+    val path = Files.createTempDirectory("graft-compact").toString + "/items"
+    val (items, _) = ItemAssembly.assemble(
+      new FixtureGranuleSource(end = "2022-05-01 03:59:59").granules(s))
+    // sliver write: round-robin repartition makes EVERY task write a
+    // sliver into EVERY partition dir — the anti-pattern compaction
+    // exists to clean up
+    CatalogStore.withMonth(items).repartition(32)
+      .write.partitionBy("collection_id", "month").parquet(path)
+    val before = CatalogMaintenance.fileStats(s, path)
+      .agg(count(lit(1)), sum(col("n_rows"))).first()
+    val (leavesSeen, leavesCompacted) =
+      CatalogMaintenance.compact(s, path, targetBytes = 1L << 30)
+    val after = CatalogMaintenance.fileStats(s, path)
+      .agg(count(lit(1)), sum(col("n_rows"))).first()
+    Seq((before.getLong(0), after.getLong(0), leavesCompacted.toLong,
+        before.getLong(1) == after.getLong(1),
+        after.getLong(0) == leavesSeen.toLong))
+      .toDF("files_before", "files_after", "leaves_compacted",
+        "rows_preserved", "one_file_per_leaf")
+  }
+
   /** src_netcdf_attrs — REAL NetCDF classic granules on disk → header
     * attribute extraction (NetcdfClassic) → B1 metadata rows → item
     * assembly. The engine form of OpenURLWithFSSpec → OpenWithXarray
@@ -346,6 +377,7 @@ object SourceSinkQueries {
     "src_orc" -> (srcOrc _),
     "snk_listing_cache" -> (snkListingCache _),
     "snk_upsert" -> (snkUpsert _),
+    "snk_compact" -> (snkCompact _),
     "snk_jdbc_upsert" -> (snkJdbcUpsert _),
     "catalog_search" -> (catalogSearch _),
     "catalog_fc_page" -> (catalogFcPage _),
