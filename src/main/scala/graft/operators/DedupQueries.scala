@@ -198,12 +198,56 @@ object DedupQueries {
     clustersFrom(
       dedupNgramJaccardFrom(documents(s, dir)).select(col("a"), col("b")))
 
+  /** Edge-count ceiling for the driver union-find shortcut: 2²⁰ pairs
+    * ≈ 16 MB collected — far under driver headroom, far over any
+    * near-dup pair set a healthy dedup produces per run. Above it the
+    * distributed pointer-doubling loop runs; below it the iterative
+    * loop's per-round job latency (2 joins + agg + sum × O(log d)
+    * rounds) would dominate the actual work, so the driver computes
+    * the SAME components in one pass (equality property-tested). */
+  private[graft] val DRIVER_CC_MAX = 1 << 20
+
   /** Pairs (a, b) → (doc_id, cluster_id, is_keeper); exposed for the
-    * chain-diameter and transitivity tests. */
-  private[graft] def clustersFrom(pairs: DataFrame): DataFrame = {
+    * chain-diameter and transitivity tests. `driverMax` is overridden
+    * to 0 in tests to force the distributed path. */
+  private[graft] def clustersFrom(pairs: DataFrame,
+      driverMax: Long = DRIVER_CC_MAX): DataFrame = {
     val edges = pairs.select(col("a").as("x"), col("b").as("y"))
       .union(pairs.select(col("b").as("x"), col("a").as("y")))
       .persist()
+    val nEdges = edges.count() / 2
+    if (nEdges <= driverMax) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = pairs.select(col("a").cast("long"), col("b").cast("long"))
+        .as[(Long, Long)].collect()
+      edges.unpersist()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent(c); parent.update(c, r); c = nxt
+        }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // min-label union: the component root is its min member, the
+        // exact labels the distributed loop converges to
+        if (ra < rb) parent.update(rb, ra)
+        else if (rb < ra) parent.update(ra, rb)
+      }
+      val rows = parent.keys.toSeq.sorted.map { v =>
+        val r = find(v)
+        (v, r, if (v == r) 1 else 0)
+      }
+      return spark.createDataFrame(rows)
+        .toDF("doc_id", "cluster_id", "is_keeper")
+    }
     var labels = edges.groupBy(col("x")).agg(min(col("y")).as("mn"))
       .select(col("x"), least(col("x"), col("mn")).as("lbl"))
       .localCheckpoint()

@@ -54,6 +54,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!mh.contains("CartesianProduct"), mh)
   }
 
+  test("bloom-incremental exact stage joins broadcast-only") {
+    // the whole point of dedup_incremental_bloom: the exact stage
+    // must confirm candidates via BROADCAST semi-joins (map-side over
+    // one corpus scan), never a corpus-wide shuffle join on the hash
+    val df = DedupQueries.dedupIncrementalBloom(spark, sf)
+    df.collect() // AQE finalizes on execution
+    val p = df.queryExecution.executedPlan.toString
+    val broadcastJoins =
+      "BroadcastHashJoin.*LeftSemi".r.findAllIn(p).size
+    assert(broadcastJoins >= 2,
+      s"want both semi-joins broadcast, found $broadcastJoins:\n$p")
+    assert(!"SortMergeJoin.*\\[h".r.findFirstIn(p).isDefined,
+      "corpus hash must never ride a shuffle join")
+  }
+
   test("flagship aggregation runs inside whole-stage codegen") {
     val df = RelationalQueries.q1Pricing(spark, sf)
     df.collect() // AQE finalizes the plan only on execution

@@ -11,13 +11,16 @@ class DedupClusterSpec extends SparkSpec {
     import spark.implicits._
     // path graph 0-1-...-60: diameter 60 — impossible for one-hop
     // propagation inside the 20-round cap, so this proves the
-    // pointer-doubling hop converges in O(log diameter)
+    // pointer-doubling hop converges in O(log diameter).
+    // driverMax = 0 forces the DISTRIBUTED path (the driver
+    // union-find shortcut would otherwise absorb a fixture this
+    // small); the shortcut itself is equality-tested below.
     val chain = (0L until 60L).map(i => (i, i + 1))
     // plus a separate triangle 100-101-102 and an isolated pair
     val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
     val pair = Seq((200L, 201L))
     val out = DedupQueries.clustersFrom(
-        (chain ++ tri ++ pair).toDF("a", "b"))
+        (chain ++ tri ++ pair).toDF("a", "b"), driverMax = 0)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
       .sortBy(_._1)
@@ -59,9 +62,16 @@ class DedupClusterSpec extends SparkSpec {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val truth = parent.keys.map(x => x -> find(x)).toMap
-      val got = DedupQueries.clustersFrom(edges.toDF("a", "b"))
+      // BOTH paths must agree with ground truth and with each other:
+      // the driver union-find shortcut (default) and the distributed
+      // pointer-doubling loop (driverMax = 0)
+      val shortcut = DedupQueries.clustersFrom(edges.toDF("a", "b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == truth, s"labels diverge for edge set $edges")
+      val distributed = DedupQueries
+        .clustersFrom(edges.toDF("a", "b"), driverMax = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(shortcut == truth, s"driver path diverges for $edges")
+      assert(distributed == truth, s"distributed path diverges for $edges")
     }
   }
 
