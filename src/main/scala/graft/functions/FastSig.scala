@@ -108,6 +108,34 @@ object FastSig {
     }
   }
 
+  /** Johnson-Lindenstrauss random projection d→k: the SAME
+    * deterministic ±1 hyperplane family as hyperplaneSigFast, but
+    * keeping the projection VALUES (scaled 1/√k) instead of their
+    * signs. Achlioptas (JPSS'03): ±1 entries give the JL distance-
+    * preservation guarantee with no stored matrix — component (j,d)
+    * is recomputed from mix(seed,j,d), so the "matrix" ships as one
+    * long seed. Per-row local, zero shuffle; distortion bound
+    * property-tested. */
+  def randomProjection(k: Int, seed: Long = 42L): UserDefinedFunction =
+    udf { emb: Seq[Double] =>
+      val invSqrtK = 1.0 / math.sqrt(k.toDouble)
+      val out = new Array[Double](k)
+      var j = 0
+      while (j < k) {
+        var acc = 0.0
+        var d = 0
+        while (d < emb.length) {
+          val sign =
+            if ((mix(seed ^ (j.toLong << 32) ^ d) & 1L) == 0L) 1.0 else -1.0
+          acc += emb(d) * sign
+          d += 1
+        }
+        out(j) = acc * invSqrtK
+        j += 1
+      }
+      out
+    }
+
   /** Random-hyperplane LSH signature in one pass: `bits` sign bits of
     * projections onto deterministic ±1 hyperplanes (component (b,d)
     * from mix(seed,b,d)) packed into a long. */

@@ -431,6 +431,27 @@ object SimilarityQueries {
     * synthetic corpus while still meaning "near-duplicate meaning". */
   private val SEM_T = 0.45
 
+  /** emb_random_projection — Johnson-Lindenstrauss dimension
+    * reduction (FastSig.randomProjection): every embedding projected
+    * d→16 through a deterministic ±1 matrix recomputed from a seed
+    * (Achlioptas'03 — nothing to broadcast, nothing stored). The
+    * standard pre-step before ANN / clustering at 100 TB: downstream
+    * distance work shrinks d/16× while pairwise distances are
+    * preserved within the JL bound (property-tested at k=64). Pure
+    * per-row kernel — zero shuffle. Hash-matrix values are
+    * engine-specific ⇒ rows-only; the output carries input/output
+    * norms so the distortion is visible in the dump. */
+  def embRandomProjection(s: SparkSession, dir: String): DataFrame = {
+    val emb = col("embedding").cast("array<double>")
+    embeddings(s, dir)
+      .select(col("vec_id"),
+        graft.functions.FastSig.randomProjection(16)(emb).as("proj"),
+        round(l2Norm(emb) + lit(1e-9), 4).as("norm_in"))
+      .select(col("vec_id"), to_json(col("proj")).as("proj_json"),
+        col("norm_in"),
+        round(l2Norm(col("proj")) + lit(1e-9), 4).as("norm_out"))
+  }
+
   /** emb_stats — embedding-hygiene audit per label partition: count,
     * norm spread, dimensionality agreement, and degenerate
     * (near-zero-norm) vector count — the preflight every ANN / dedup
@@ -471,7 +492,8 @@ object SimilarityQueries {
     "dedup_near_embedding" -> (dedupNearEmbedding _),
     "sim_knn_join" -> (simKnnJoin _),
     "dedup_semantic" -> (dedupSemantic _),
-    "emb_stats" -> (embStats _)
+    "emb_stats" -> (embStats _),
+    "emb_random_projection" -> (embRandomProjection _)
   )
 
   def oracle: Map[String, String] = Map(

@@ -80,6 +80,30 @@ class FunctionsSpec extends SparkSpec {
     assert(w1 == w2, "fallback path past MAX_DIM must match the UDF")
   }
 
+  test("random projection preserves pairwise distances (JL bound)") {
+    import spark.implicits._
+    import graft.functions.FastSig
+    val rnd = new scala.util.Random(13)
+    val d = 128
+    val n = 40
+    val vecs = Seq.tabulate(n)(i =>
+      (i.toLong, Seq.fill(d)(rnd.nextGaussian())))
+    val proj = vecs.toDF("id", "emb")
+      .select(col("id"), FastSig.randomProjection(64)(col("emb")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def dist(a: Seq[Double], b: Seq[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val orig = vecs.toMap
+    val ratios = for {
+      i <- 0 until n; j <- (i + 1) until n
+    } yield dist(proj(i), proj(j)) / dist(orig(i), orig(j))
+    // k=64 → distance-ratio std ≈ 1/sqrt(2k) ≈ 0.09; these are ±4σ+
+    assert(ratios.forall(r => r > 0.6 && r < 1.5),
+      s"distortion out of band: min=${ratios.min} max=${ratios.max}")
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.9 && mean < 1.1, s"mean distortion $mean")
+  }
+
   test("hashedShingles encodes word boundaries (no concat collisions)") {
     import spark.implicits._
     import graft.functions.FastSig
