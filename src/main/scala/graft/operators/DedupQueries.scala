@@ -219,7 +219,12 @@ object DedupQueries {
     if (nEdges <= driverMax) {
       val spark = pairs.sparkSession
       import spark.implicits._
-      val es = pairs.select(col("a").cast("long"), col("b").cast("long"))
+      // collect from the PERSISTED doubled frame (x<=y keeps each
+      // undirected edge once, and both copies of a self-loop) —
+      // collecting `pairs` would recompute the expensive upstream
+      // candidate join the count() just materialized into the cache
+      val es = edges.filter(col("x") <= col("y"))
+        .select(col("x").cast("long"), col("y").cast("long"))
         .as[(Long, Long)].collect()
       edges.unpersist()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
