@@ -299,7 +299,32 @@ object JoinQueries {
       |JOIN customer ON o_custkey = c_custkey
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
 
+  /** join_skew_salted — the skew-mitigation join as a declared,
+    * oracle-checked query: lineitem⋈part through
+    * SkewUtils.saltedInnerJoin (probe salted into 8 sub-keys, build
+    * replicated ×8 — the manual spread for hot keys AQE's skew
+    * splitting can't reach, e.g. a viral document's LSH bucket). The
+    * oracle is the PLAIN join: salting must be semantically
+    * invisible. */
+  def joinSkewSalted(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SkewUtils.saltedInnerJoin(
+      lineitem(s, dir).select(col("l_partkey"), col("l_quantity")),
+      part(s, dir).filter(col("p_size") >= 25)
+        .select(col("p_partkey").as("l_partkey"), col("p_size")),
+      "l_partkey")
+      .groupBy(col("p_size"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")) + lit(1e-9), 2).as("qty"))
+
+  val joinSkewSaltedSql: String =
+    """SELECT p_size, count(*) AS n,
+      |  round(sum(l_quantity) + 1e-9, 2) AS qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_size >= 25
+      |GROUP BY p_size""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_skew_salted" -> (joinSkewSalted _),
     "q3_shipping" -> (q3Shipping _),
     "q5_local_supplier" -> (q5LocalSupplier _),
     "q18_large_orders" -> (q18LargeOrders _),
@@ -314,6 +339,7 @@ object JoinQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "join_skew_salted" -> joinSkewSaltedSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_local_supplier" -> q5LocalSupplierSql,
     "q18_large_orders" -> q18LargeOrdersSql,

@@ -409,7 +409,47 @@ object TextQueries {
        |    AS BIGINT) AS n_tokens
        |FROM c""".stripMargin
 
+  /** text_unigram_logprob — cheap corpus-LM quality signal (the
+    * CCNet-style "does this look like the corpus" filter): each doc
+    * scored by its tokens' average unigram log-probability under the
+    * corpus itself. Low scores flag gibberish / OOV-heavy / off-
+    * distribution docs.
+    *
+    * Scale shape: one explode → hash agg builds the vocab (|vocab|
+    * rows — ~1M terms ≈ tens of MB, broadcastable at 100 TB), the
+    * corpus total reduces to ONE row, and scoring is a map-side
+    * broadcast join + per-doc agg keyed by doc_id — no corpus-global
+    * shuffle beyond the vocab agg. */
+  def textUnigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val total = vocab.agg(sum(col("n_w")).as("n_total"))
+    toks.join(broadcast(vocab), Seq("w"))
+      .join(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(log(col("n_w") / col("n_total"))) + lit(1e-9), 4)
+          .as("avg_logprob"),
+        count(lit(1)).as("n_tokens"))
+  }
+
+  val textUnigramLogprobSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, t.w
+      |  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+      |  WHERE len(t.w) > 0),
+      |vocab AS (SELECT w, count(*) AS n_w FROM toks GROUP BY w),
+      |tot AS (SELECT sum(n_w) AS n_total FROM vocab)
+      |SELECT doc_id,
+      |  round(avg(ln(CAST(n_w AS DOUBLE) / n_total)) + 1e-9, 4)
+      |    AS avg_logprob,
+      |  count(*) AS n_tokens
+      |FROM toks JOIN vocab USING (w) CROSS JOIN tot
+      |GROUP BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_unigram_logprob" -> (textUnigramLogprob _),
     "text_chunk" -> (textChunk _),
     "text_repetition" -> (textRepetition _),
     "text_token_count" -> (textTokenCount _),
@@ -425,6 +465,7 @@ object TextQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "text_unigram_logprob" -> textUnigramLogprobSql,
     "text_chunk" -> textChunkSql,
     "text_repetition" -> textRepetitionSql,
     "text_token_count" -> textTokenCountSql,
