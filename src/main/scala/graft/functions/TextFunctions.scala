@@ -115,7 +115,13 @@ object TextFunctions {
     * argmax ties break on (count DESC, gram DESC), and fractions are
     * round(c*len(g)/n_chars + 1e-9, 4). */
   val repetitionSignals: UserDefinedFunction =
-    udf { (text: String, nChars: Long) =>
+    udf(repetitionSignalsImpl _)
+
+  /** Pure kernel behind repetitionSignals — exposed so PropertySpec
+    * can cross-check it against a brute-force reference on generated
+    * texts without a Spark session. */
+  private[graft] def repetitionSignalsImpl(
+      text: String, nChars: Long): (Double, Double, Double) = {
       def round4(x: Double): Double =
         BigDecimal(x + 1e-9)
           .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)

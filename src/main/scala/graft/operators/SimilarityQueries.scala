@@ -431,6 +431,73 @@ object SimilarityQueries {
     * synthetic corpus while still meaning "near-duplicate meaning". */
   private val SEM_T = 0.45
 
+  /** emb_kmeans — spherical k-means to convergence (the curation
+    * clustering primitive: SemDeDup partitions the corpus by k-means
+    * cluster before any pairwise work; topic balancing samples per
+    * cluster). Deterministic hash-sampled init (ivfCentroids), then
+    * Lloyd rounds via refineCentroids until centroid movement
+    * < 1e-6 or MAX rounds. Per round: ONE map-side broadcast
+    * assignment + ONE partial-agg shuffle bounded by k×d partial
+    * sums per partition — corpus rows never shuffle, centroids live
+    * on the driver (k bounded like ivfK ≤ 65,536 ≈ 33 MB). Cluster
+    * geometry is engine-specific ⇒ rows-only; planted-blob recovery
+    * and convergence are unit-tested. */
+  def embKmeans(s: SparkSession, dir: String): DataFrame =
+    embKmeansFrom(withNorm(embeddings(s, dir)), 8)
+
+  private val KMEANS_MAX_ITERS = 20
+
+  private[graft] def embKmeansFrom(e0: DataFrame, k: Int): DataFrame = {
+    val s = e0.sparkSession
+    val e = nonDegenerate(e0)
+    var cents = ivfCentroids(e, k).collect().map { r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+    }
+    var moved = Double.MaxValue
+    var it = 0
+    while (moved > 1e-6 && it < KMEANS_MAX_ITERS) {
+      val next = refineCentroids(s, e, cents)
+      val prev = cents.map(c => c._1 -> c._2).toMap
+      moved = if (next.isEmpty) 0.0
+        else next.map { case (cid, emb, _) =>
+          prev.get(cid) match {
+            case Some(p) =>
+              var ss = 0.0
+              var i = 0
+              while (i < emb.length) {
+                val d = emb(i) - p(i); ss += d * d; i += 1
+              }
+              math.sqrt(ss)
+            case None => Double.MaxValue
+          }
+        }.max
+      cents = next
+      it += 1
+    }
+    val cBc = s.sparkContext.broadcast(cents)
+    val assign = udf { (emb: Seq[Double], nrm: Double) =>
+      val a = topCentroids(cBc.value, 1, emb, nrm)
+      if (a.isEmpty) -1L else a(0)
+    }
+    val simTo = udf { (emb: Seq[Double], nrm: Double, cid: Long) =>
+      cBc.value.find(_._1 == cid) match {
+        case Some((_, ce, cn)) if nrm > 0 && cn > 0 =>
+          var dot = 0.0
+          var i = 0
+          while (i < ce.length) { dot += ce(i) * emb(i); i += 1 }
+          dot / (nrm * cn)
+        case _ => 0.0
+      }
+    }
+    e.withColumn("cid", assign(col("emb"), col("nrm")))
+      .filter(col("cid") >= 0)
+      .withColumn("cos", simTo(col("emb"), col("nrm"), col("cid")))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("cos")) + lit(1e-9), 4).as("avg_cos"),
+        round(min(col("cos")) + lit(1e-9), 4).as("min_cos"))
+  }
+
   /** emb_random_projection — Johnson-Lindenstrauss dimension
     * reduction (FastSig.randomProjection): every embedding projected
     * d→16 through a deterministic ±1 matrix recomputed from a seed
@@ -493,7 +560,8 @@ object SimilarityQueries {
     "sim_knn_join" -> (simKnnJoin _),
     "dedup_semantic" -> (dedupSemantic _),
     "emb_stats" -> (embStats _),
-    "emb_random_projection" -> (embRandomProjection _)
+    "emb_random_projection" -> (embRandomProjection _),
+    "emb_kmeans" -> (embKmeans _)
   )
 
   def oracle: Map[String, String] = Map(

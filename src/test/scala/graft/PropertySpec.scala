@@ -159,6 +159,38 @@ object PropertySpec extends Properties("graft") {
       render(reparsed) == text
     }
 
+  private val wordGen = Gen.oneOf("a", "b", "cc", "ddd", "e", "")
+  private val textGen: Gen[String] = for {
+    n <- Gen.chooseNum(0, 30)
+    ws <- Gen.listOfN(n, wordGen)
+  } yield ws.mkString(" ")
+
+  property("repetition kernel matches a brute-force reference") =
+    forAll(textGen) { text =>
+      // independent slow reference: materialize every gram list with
+      // sliding(), count with groupBy, same tie-break and rounding
+      def round4(x: Double) = BigDecimal(x + 1e-9)
+        .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+      val nChars = math.max(text.length.toLong, 1L)
+      val words = text.split(" ", -1)
+      def grams(n: Int): Seq[String] =
+        if (words.length < n) Seq(text)
+        else words.sliding(n).map(_.mkString(" ")).toSeq
+      def top(n: Int): Double = {
+        val counts = grams(n).groupBy(identity).view.mapValues(_.size)
+        val (g, c) = counts.toSeq.maxBy { case (g, c) => (c, g) }
+        round4(c.toDouble * g.length / nChars)
+      }
+      def dup(n: Int): Double = {
+        val covered = grams(n).groupBy(identity).view.mapValues(_.size)
+          .collect { case (g, c) if c > 1 => c.toLong * g.length }.sum
+        if (covered == 0) 0.0 else round4(covered.toDouble / nChars)
+      }
+      val got = graft.functions.TextFunctions
+        .repetitionSignalsImpl(text, nChars)
+      got == ((top(2), top(3), dup(5)))
+    }
+
   property("url template is injective on the 3-minute grid") =
     forAll(Gen.chooseNum(0L, 1000000L), Gen.chooseNum(0L, 1000000L)) {
       (a, b) =>

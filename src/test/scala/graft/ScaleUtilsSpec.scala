@@ -24,6 +24,36 @@ class ScaleUtilsSpec extends SparkSpec {
     assert(ivf.size == 10)
   }
 
+  test("k-means recovers planted orthogonal blobs with pure clusters") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // three tight blobs around orthogonal axes in R^16 — any cluster
+    // that merged two blobs would have avg cosine ≈ 0.7 to its mean,
+    // a pure tight blob stays ≥ 0.9
+    val vecs = for {
+      blob <- 0 until 3
+      i <- 0 until 60
+    } yield {
+      val v = Array.fill(16)(rnd.nextGaussian() * 0.05)
+      v(blob * 5) += 1.0
+      ((blob * 60 + i).toLong, s"b$blob", v.toSeq.map(x => x.toFloat))
+    }
+    val e = vecs.toDF("vec_id", "label", "embedding")
+    val out = SimilarityQueries
+      .embKmeansFrom(
+        e.select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("emb"))
+          .withColumn("nrm",
+            graft.functions.ArrayDot.l2Norm(col("emb"))), 3)
+      .collect()
+    assert(out.map(_.getLong(1)).sum == 180, "every vector clustered")
+    assert(out.length <= 3)
+    out.foreach { r =>
+      assert(r.getDouble(2) >= 0.9,
+        s"cluster ${r.getLong(0)} avg_cos ${r.getDouble(2)} — merged blobs?")
+    }
+  }
+
   test("salted join equals plain join") {
     val li = Tables.lineitem(spark, sf).select(col("l_partkey"), col("l_quantity"))
     val p = Tables.part(spark, sf).select(col("p_partkey").as("l_partkey"), col("p_brand"))
