@@ -70,23 +70,39 @@ object CatalogMaintenance {
       if (files.length > want) {
         val staging = new org.apache.hadoop.fs.Path(leaf.getParent,
           s".${leaf.getName}.compact-${java.util.UUID.randomUUID}")
+        // the staging WRITE may fail with the leaf untouched — safe
+        // to clean up and rethrow
         try {
           spark.read.parquet(leaf.toString)
             .coalesce(want)
             .write.mode("overwrite").parquet(staging.toString)
-          if (CatalogStore.atomicRenameFs(fs)) {
-            CatalogStore.swapDir(fs, staging, leaf)
-          } else {
-            // object store: committer overwrite of exactly this leaf
-            // (static — never dynamic, so cloud committers are fine)
-            val df = spark.read.parquet(staging.toString)
-            df.write.mode("overwrite").parquet(leaf.toString)
-            fs.delete(staging, true)
-          }
         } catch {
-          case e: Throwable =>
-            fs.delete(staging, true) // compaction is retryable; the
-            throw e                  // original leaf is still intact
+          case e: Throwable => fs.delete(staging, true); throw e
+        }
+        if (CatalogStore.atomicRenameFs(fs)) {
+          // a swap failure restores the original (or its backup);
+          // staging is preserved and named for manual recovery
+          try CatalogStore.swapDir(fs, staging, leaf)
+          catch {
+            case e: Throwable => throw new java.io.IOException(
+              s"compaction swap failed; staged copy preserved at $staging", e)
+          }
+          fs.delete(staging, true)
+        } else {
+          // object store: committer overwrite of exactly this leaf
+          // (static — never dynamic, so cloud committers are fine).
+          // mode(overwrite) deletes the leaf BEFORE the rewrite job
+          // runs, so on failure the STAGING COPY is the only
+          // remaining data — never delete it here; preserve and name
+          // it, exactly like upsert's commit path.
+          try {
+            spark.read.parquet(staging.toString)
+              .write.mode("overwrite").parquet(leaf.toString)
+          } catch {
+            case e: Throwable => throw new java.io.IOException(
+              s"compaction overwrite failed; staged copy preserved at $staging", e)
+          }
+          fs.delete(staging, true)
         }
         compacted += 1
       }

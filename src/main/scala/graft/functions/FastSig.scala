@@ -118,6 +118,8 @@ object FastSig {
     * property-tested. */
   def randomProjection(k: Int, seed: Long = 42L): UserDefinedFunction =
     udf { emb: Seq[Double] =>
+      if (emb == null) Array.empty[Double]
+      else {
       val invSqrtK = 1.0 / math.sqrt(k.toDouble)
       val out = new Array[Double](k)
       var j = 0
@@ -134,6 +136,7 @@ object FastSig {
         j += 1
       }
       out
+      }
     }
 
   /** Random-hyperplane LSH signature in one pass: `bits` sign bits of

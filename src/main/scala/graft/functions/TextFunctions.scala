@@ -122,6 +122,9 @@ object TextFunctions {
     * texts without a Spark session. */
   private[graft] def repetitionSignalsImpl(
       text: String, nChars: Long): (Double, Double, Double) = {
+      // an empty doc (n_chars = 0) has no repetition; guarding here
+      // also keeps round4 away from BigDecimal(NaN), which THROWS
+      if (nChars <= 0L) return (0.0, 0.0, 0.0)
       def round4(x: Double): Double =
         BigDecimal(x + 1e-9)
           .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)

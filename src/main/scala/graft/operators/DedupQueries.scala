@@ -442,7 +442,11 @@ object DedupQueries {
       docs.filter(col("doc_id") % 10 === 7))
   }
 
-  private[graft] def dedupIncrementalFrom(
+  /** Shared near-dup stage of BOTH incremental variants: block-capped
+    * fresh×old shingle Jaccard → min old partner per fresh doc. Kept
+    * in one place so the bloom variant's "result-identical" invariant
+    * is structural, not a convention. */
+  private def incrementalNearStage(
       old: DataFrame, fresh: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def capped(df: DataFrame): DataFrame = df
@@ -450,12 +454,7 @@ object DedupQueries {
         Window.partitionBy(col("blk")).orderBy(col("doc_id"))))
       .filter(col("rn") <= BLOCK_CAP)
       .drop("rn")
-    val oldHashes = old.select(sha2(col("text"), 256).as("h")).distinct()
-    val exact = fresh
-      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
-      .join(oldHashes, Seq("h"), "left_semi")
-      .select(col("doc_id"), lit(1).as("exact_dup"))
-    val near = capped(shingledFrom(fresh))
+    capped(shingledFrom(fresh))
       .select(col("blk"), col("doc_id").as("n"), col("shin").as("sn"))
       .join(capped(shingledFrom(old))
         .select(col("blk"), col("doc_id").as("o"), col("shin").as("so")),
@@ -465,12 +464,27 @@ object DedupQueries {
       .groupBy(col("n"))
       .agg(min(col("o")).as("near_dup_of"))
       .withColumnRenamed("n", "doc_id")
+  }
+
+  /** Shared final assembly of both incremental variants. */
+  private def incrementalResult(
+      fresh: DataFrame, exact: DataFrame, near: DataFrame): DataFrame =
     fresh.select(col("doc_id"))
       .join(exact, Seq("doc_id"), "left")
       .join(near, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("exact_dup"), lit(0)).as("exact_dup"),
         col("near_dup_of"))
+
+  private[graft] def dedupIncrementalFrom(
+      old: DataFrame, fresh: DataFrame): DataFrame = {
+    val oldHashes = old.select(sha2(col("text"), 256).as("h")).distinct()
+    val exact = fresh
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .join(oldHashes, Seq("h"), "left_semi")
+      .select(col("doc_id"), lit(1).as("exact_dup"))
+    incrementalResult(fresh, exact,
+      incrementalNearStage(old, fresh))
   }
 
   /** dedup_incremental_bloom — the SAME result as dedup_incremental
@@ -493,20 +507,23 @@ object DedupQueries {
     *
     * The near-dup stage is shared with dedup_incremental. */
   private[graft] def dedupIncrementalBloomFrom(
-      old: DataFrame, fresh: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    def capped(df: DataFrame): DataFrame = df
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("blk")).orderBy(col("doc_id"))))
-      .filter(col("rn") <= BLOCK_CAP)
-      .drop("rn")
+      old: DataFrame, fresh: DataFrame,
+      expectedOldItems: Long = -1L): DataFrame = {
     val spark = old.sparkSession
     val oldH = old.select(sha2(col("text"), 256).as("h"))
-    // expectedNumItems: at production scale this is a known corpus
-    // stat; here a parquet metadata count (no data scan)
-    val bloom = oldH.stat.bloomFilter("h", math.max(old.count(), 1L), 0.01)
+    // bloom sizing: a production run passes the known corpus row
+    // stat via expectedOldItems; the default falls back to one
+    // count() pass (a real scan when `old` carries filters — avoid
+    // it at scale by passing the stat)
+    val expected = if (expectedOldItems > 0) expectedOldItems
+      else math.max(old.count(), 1L)
+    val bloom = oldH.stat.bloomFilter("h", expected, 0.01)
     val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((h: String) => bloomBc.value.mightContainString(h))
+    // null-safe: sha2 of a null text is null; the plain variant's
+    // semi-join ignores null h, so the prefilter must too (a bare
+    // mightContainString(null) would NPE the whole job)
+    val mightContain = udf((h: String) =>
+      h != null && bloomBc.value.mightContainString(h))
     val freshH = fresh.select(col("doc_id"), sha2(col("text"), 256).as("h"))
     val candH = freshH.filter(mightContain(col("h")))
       .select(col("h")).distinct()
@@ -516,22 +533,8 @@ object DedupQueries {
     val exact = freshH
       .join(broadcast(confirmed), Seq("h"), "left_semi")
       .select(col("doc_id"), lit(1).as("exact_dup"))
-    val near = capped(shingledFrom(fresh))
-      .select(col("blk"), col("doc_id").as("n"), col("shin").as("sn"))
-      .join(capped(shingledFrom(old))
-        .select(col("blk"), col("doc_id").as("o"), col("shin").as("so")),
-        Seq("blk"))
-      .filter(round(FastSig.jaccardSorted(col("sn"), col("so")), 4)
-        >= JACCARD_T)
-      .groupBy(col("n"))
-      .agg(min(col("o")).as("near_dup_of"))
-      .withColumnRenamed("n", "doc_id")
-    fresh.select(col("doc_id"))
-      .join(exact, Seq("doc_id"), "left")
-      .join(near, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("exact_dup"), lit(0)).as("exact_dup"),
-        col("near_dup_of"))
+    incrementalResult(fresh, exact,
+      incrementalNearStage(old, fresh))
   }
 
   def dedupIncrementalBloom(s: SparkSession, dir: String): DataFrame = {

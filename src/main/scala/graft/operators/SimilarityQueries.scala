@@ -475,23 +475,39 @@ object SimilarityQueries {
       it += 1
     }
     val cBc = s.sparkContext.broadcast(cents)
-    val assign = udf { (emb: Seq[Double], nrm: Double) =>
-      val a = topCentroids(cBc.value, 1, emb, nrm)
-      if (a.isEmpty) -1L else a(0)
-    }
-    val simTo = udf { (emb: Seq[Double], nrm: Double, cid: Long) =>
-      cBc.value.find(_._1 == cid) match {
-        case Some((_, ce, cn)) if nrm > 0 && cn > 0 =>
-          var dot = 0.0
-          var i = 0
-          while (i < ce.length) { dot += ce(i) * emb(i); i += 1 }
-          dot / (nrm * cn)
-        case _ => 0.0
+    // ONE kernel pass per row: the winning centroid AND its cosine
+    // from the same O(k·d) sweep (a separate lookup UDF would re-scan
+    // the k-array and re-compute the dot product per row); dims
+    // clamped so a ragged-dimension vector degrades instead of
+    // crashing (the condition emb_stats exists to audit)
+    val assignSim = udf { (emb: Seq[Double], nrm: Double) =>
+      val cs = cBc.value
+      if (emb == null || nrm <= 0.0 || cs.isEmpty) (-1L, 0.0)
+      else {
+        val ev = emb.toArray
+        var bestCid = -1L
+        var bestSim = Double.NegativeInfinity
+        var i = 0
+        while (i < cs.length) {
+          val (cid, ce, cn) = cs(i)
+          if (cn > 0) {
+            var dot = 0.0
+            var d = 0
+            val n = math.min(ce.length, ev.length)
+            while (d < n) { dot += ce(d) * ev(d); d += 1 }
+            val sim = dot / (nrm * cn)
+            if (sim > bestSim || (sim == bestSim && cid < bestCid)) {
+              bestSim = sim; bestCid = cid
+            }
+          }
+          i += 1
+        }
+        (bestCid, if (bestCid < 0) 0.0 else bestSim)
       }
     }
-    e.withColumn("cid", assign(col("emb"), col("nrm")))
+    e.withColumn("a", assignSim(col("emb"), col("nrm")))
+      .select(col("a._1").as("cid"), col("a._2").as("cos"))
       .filter(col("cid") >= 0)
-      .withColumn("cos", simTo(col("emb"), col("nrm"), col("cid")))
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n"),
         round(avg(col("cos")) + lit(1e-9), 4).as("avg_cos"),

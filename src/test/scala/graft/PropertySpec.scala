@@ -165,6 +165,13 @@ object PropertySpec extends Properties("graft") {
     ws <- Gen.listOfN(n, wordGen)
   } yield ws.mkString(" ")
 
+  property("repetition kernel is total on degenerate inputs") =
+    Prop.all(
+      graft.functions.TextFunctions
+        .repetitionSignalsImpl("", 0L) == ((0.0, 0.0, 0.0)),
+      graft.functions.TextFunctions
+        .repetitionSignalsImpl(null, 0L) == ((0.0, 0.0, 0.0)))
+
   property("repetition kernel matches a brute-force reference") =
     forAll(textGen) { text =>
       // independent slow reference: materialize every gram list with

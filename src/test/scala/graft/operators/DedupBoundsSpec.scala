@@ -39,12 +39,14 @@ class DedupBoundsSpec extends SparkSpec {
         s"in enough words to shingle properly ${i % 5}")
     }
     // fresh ids end in 7; every other one copies an old doc verbatim
-    // ((id+3) % 200 ends in 0 — an old id)
-    val docs = base.map { case (id, t) =>
+    // ((id+3) % 200 ends in 0 — an old id); two null-text rows (one
+    // per side) must flow through both variants without NPE
+    val docs = (base.map { case (id, t) =>
       if (id % 10 == 7 && (id / 10) % 2 == 0)
         (id, base(((id + 3) % 200).toInt)._2)
       else (id, t)
-    }.toDF("doc_id", "text")
+    } ++ Seq((900L, null: String), (907L, null: String)))
+      .toDF("doc_id", "text")
     val old = docs.filter(col("doc_id") % 10 =!= 7)
     val fresh = docs.filter(col("doc_id") % 10 === 7)
     val plain = DedupQueries.dedupIncrementalFrom(old, fresh)
