@@ -435,8 +435,12 @@ object SimilarityQueries {
     * clustering primitive: SemDeDup partitions the corpus by k-means
     * cluster before any pairwise work; topic balancing samples per
     * cluster). Deterministic hash-sampled init (ivfCentroids), then
-    * Lloyd rounds via refineCentroids until centroid movement
-    * < 1e-6 or MAX rounds. Per round: ONE map-side broadcast
+    * Lloyd rounds via refineCentroids until centroid movement decays
+    * below 5% of the FIRST round's movement (scale-free: an absolute
+    * tolerance either never fires on noisy data — movement plateaus
+    * at a few % of centroid norm as points oscillate between equally
+    * good clusters — or fires instantly on tight data) or MAX
+    * rounds. Per round: ONE map-side broadcast
     * assignment + ONE partial-agg shuffle bounded by k×d partial
     * sums per partition — corpus rows never shuffle, centroids live
     * on the driver (k bounded like ivfK ≤ 65,536 ≈ 33 MB). Cluster
@@ -454,8 +458,10 @@ object SimilarityQueries {
       (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
     }
     var moved = Double.MaxValue
+    var firstMoved = -1.0
     var it = 0
-    while (moved > 1e-6 && it < KMEANS_MAX_ITERS) {
+    while (moved > math.max(1e-9, firstMoved * 0.05) &&
+        it < KMEANS_MAX_ITERS) {
       val next = refineCentroids(s, e, cents)
       val prev = cents.map(c => c._1 -> c._2).toMap
       moved = if (next.isEmpty) 0.0
@@ -472,6 +478,7 @@ object SimilarityQueries {
           }
         }.max
       cents = next
+      if (firstMoved < 0.0) firstMoved = moved
       it += 1
     }
     val cBc = s.sparkContext.broadcast(cents)
