@@ -77,17 +77,22 @@ object CatalogMaintenance {
             .coalesce(want)
             .write.mode("overwrite").parquet(staging.toString)
         } catch {
-          case e: Throwable => fs.delete(staging, true); throw e
+          case e: Throwable =>
+            // best-effort cleanup must never mask the write failure
+            try fs.delete(staging, true)
+            catch { case _: Throwable => () }
+            throw e
         }
         if (CatalogStore.atomicRenameFs(fs)) {
           // a swap failure restores the original (or its backup);
-          // staging is preserved and named for manual recovery
+          // staging is preserved and named for manual recovery. On
+          // success the staging path itself was renamed onto the
+          // leaf — nothing left to clean up.
           try CatalogStore.swapDir(fs, staging, leaf)
           catch {
             case e: Throwable => throw new java.io.IOException(
               s"compaction swap failed; staged copy preserved at $staging", e)
           }
-          fs.delete(staging, true)
         } else {
           // object store: committer overwrite of exactly this leaf
           // (static — never dynamic, so cloud committers are fine).

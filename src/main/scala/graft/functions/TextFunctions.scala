@@ -122,9 +122,12 @@ object TextFunctions {
     * texts without a Spark session. */
   private[graft] def repetitionSignalsImpl(
       text: String, nChars: Long): (Double, Double, Double) = {
-      // an empty doc (n_chars = 0) has no repetition; guarding here
-      // also keeps round4 away from BigDecimal(NaN), which THROWS
-      if (nChars <= 0L) return (0.0, 0.0, 0.0)
+      // denominator floored at 1 — MIRRORED in the DuckDB oracle as
+      // greatest(n_chars, 1): an empty doc (n_chars = 0) scores 0.0
+      // on both engines instead of NaN (BigDecimal(NaN) throws), and
+      // inconsistent metadata (n_chars = 0 with non-empty text)
+      // still produces identical values on both sides
+      val denom = math.max(nChars, 1L)
       def round4(x: Double): Double =
         BigDecimal(x + 1e-9)
           .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)
@@ -161,14 +164,14 @@ object TextFunctions {
             bestG = g; bestC = c
           }
         }
-        round4(bestC.toDouble * bestG.length / nChars)
+        round4(bestC.toDouble * bestG.length / denom)
       }
       def dupFrac(n: Int): Double = {
         var covered = 0L
         counts(n).foreach { case (g, c) =>
           if (c > 1) covered += c.toLong * g.length
         }
-        if (covered == 0L) 0.0 else round4(covered.toDouble / nChars)
+        if (covered == 0L) 0.0 else round4(covered.toDouble / denom)
       }
       (topFrac(2), topFrac(3), dupFrac(5))
     }

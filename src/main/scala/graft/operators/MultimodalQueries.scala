@@ -40,13 +40,39 @@ object MultimodalQueries {
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     graft.multimodal.MediaPipeline.featureStats(s, dir)
 
+  /** multimodal_dedup — exact media dedup by payload content hash:
+    * the binary twin of dedup_exact (hashing opaque image/audio/video
+    * bytes is the standard first dedup pass over a media corpus — no
+    * decode needed). One hash agg; only the 32-byte digest travels,
+    * never payload bytes. Keeper = min doc_id per distinct payload. */
+  def multimodalDedup(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"),
+        sha2(col("text").cast("binary"), 256).as("payload_sha"),
+        length(col("text").cast("binary")).as("payload_bytes"))
+      .groupBy(col("payload_sha"), col("payload_bytes"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+
+  // DuckDB's sha256 takes VARCHAR; hashing the string is byte-
+  // identical to Spark's sha2(text.cast(binary)) because the binary
+  // cast IS the UTF-8 encoding of the string.
+  val multimodalDedupSql: String =
+    """SELECT sha256(text) AS payload_sha,
+      |  octet_length(encode(text)) AS payload_bytes,
+      |  min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_struct" -> (multimodalStruct _),
-    "multimodal_features" -> (multimodalFeatures _)
+    "multimodal_features" -> (multimodalFeatures _),
+    "multimodal_dedup" -> (multimodalDedup _)
   )
 
   def oracle: Map[String, String] = Map(
-    "multimodal_struct" -> multimodalStructSql
+    "multimodal_struct" -> multimodalStructSql,
+    "multimodal_dedup" -> multimodalDedupSql
     // multimodal_features: stub-decoder output — unit-tested plumbing
   )
 }

@@ -460,7 +460,9 @@ object SimilarityQueries {
     var moved = Double.MaxValue
     var firstMoved = -1.0
     var it = 0
-    while (moved > math.max(1e-9, firstMoved * 0.05) &&
+    // absolute floor 1e-6: already-converged input (round-1 movement
+    // itself ~1e-8) must stop after one round, not chase 5% of noise
+    while (moved > math.max(1e-6, firstMoved * 0.05) &&
         it < KMEANS_MAX_ITERS) {
       val next = refineCentroids(s, e, cents)
       val prev = cents.map(c => c._1 -> c._2).toMap

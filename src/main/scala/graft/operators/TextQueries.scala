@@ -355,16 +355,18 @@ object TextQueries {
       |c5 AS (SELECT doc_id, n_chars, g, count(*) AS c FROM g5
       |       GROUP BY doc_id, n_chars, g),
       |r2 AS (SELECT doc_id,
-      |    round(CAST(c * len(g) AS DOUBLE) / n_chars + 1e-9, 4) AS top2_frac,
+      |    round(CAST(c * len(g) AS DOUBLE) / greatest(n_chars, 1) + 1e-9,
+      |      4) AS top2_frac,
       |    row_number() OVER (PARTITION BY doc_id
       |      ORDER BY c DESC, g DESC) AS rn FROM c2),
       |r3 AS (SELECT doc_id,
-      |    round(CAST(c * len(g) AS DOUBLE) / n_chars + 1e-9, 4) AS top3_frac,
+      |    round(CAST(c * len(g) AS DOUBLE) / greatest(n_chars, 1) + 1e-9,
+      |      4) AS top3_frac,
       |    row_number() OVER (PARTITION BY doc_id
       |      ORDER BY c DESC, g DESC) AS rn FROM c3),
       |d5 AS (SELECT doc_id,
-      |    round(CAST(sum(c * len(g)) AS DOUBLE) / any_value(n_chars)
-      |      + 1e-9, 4) AS dup5_frac
+      |    round(CAST(sum(c * len(g)) AS DOUBLE)
+      |      / greatest(any_value(n_chars), 1) + 1e-9, 4) AS dup5_frac
       |  FROM c5 WHERE c > 1 GROUP BY doc_id)
       |SELECT r2.doc_id AS doc_id, r2.top2_frac, r3.top3_frac,
       |  coalesce(d5.dup5_frac, 0.0) AS dup5_frac
