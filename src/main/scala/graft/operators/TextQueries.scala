@@ -450,7 +450,39 @@ object TextQueries {
       |FROM toks JOIN vocab USING (w) CROSS JOIN tot
       |GROUP BY doc_id""".stripMargin
 
+  /** text_quality_decile — per-language quality deciles via ntile
+    * (the "train on the top-N deciles, downsample the rest" curation
+    * primitive; mixture building selects by decile). One window per
+    * language partition with a total order (quality, doc_id) so both
+    * engines agree on every boundary row. */
+  def textQualityDecile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        QualityScore.quality.as("quality"))
+      .withColumn("decile", ntile(10).over(w))
+      .select(col("doc_id"), col("lang"), col("quality"),
+        col("decile").cast("long").as("decile"))
+  }
+
+  val textQualityDecileSql: String =
+    """WITH q AS (
+      |  SELECT doc_id, lang,
+      |    round(least(CAST(n_chars AS DOUBLE)/500.0, 1.0)*0.4 +
+      |      (CAST(len(list_filter(string_split(text,' '),
+      |        w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+      |        / len(string_split(text,' ')))*0.3 +
+      |      (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+      |        / len(string_split(text,' ')))*0.3 + 1e-9, 4) AS quality
+      |  FROM documents)
+      |SELECT doc_id, lang, quality,
+      |  CAST(ntile(10) OVER (PARTITION BY lang
+      |    ORDER BY quality DESC, doc_id) AS BIGINT) AS decile
+      |FROM q""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_decile" -> (textQualityDecile _),
     "text_unigram_logprob" -> (textUnigramLogprob _),
     "text_chunk" -> (textChunk _),
     "text_repetition" -> (textRepetition _),
@@ -467,6 +499,7 @@ object TextQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "text_quality_decile" -> textQualityDecileSql,
     "text_unigram_logprob" -> textUnigramLogprobSql,
     "text_chunk" -> textChunkSql,
     "text_repetition" -> textRepetitionSql,
