@@ -47,8 +47,14 @@ object CatalogStore {
       .partitionBy("collection_id", "month")
       .parquet(path)
 
+  /** mergeSchema: after an additive-evolution upsert only the
+    * AFFECTED partitions carry the new column — without footer
+    * merging a read could plan from an old file's schema and hide
+    * it. Costs per-file footer reads at planning; a 100 TB
+    * deployment amortizes this with a stored schema (or evolves by
+    * full rewrite), but correctness comes first here. */
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    spark.read.option("mergeSchema", "true").parquet(path)
 
   /** Typed view of the items table (SURVEY §1.3 Dataset[StacItem]). */
   def readTyped(spark: SparkSession, path: String)
@@ -154,9 +160,23 @@ object CatalogStore {
     val partCols =
       if (monthly) Seq("collection_id", "month") else Seq("collection_id")
     val affected = deltaP.select("collection_id").distinct()
+    // additive schema evolution: a delta may CARRY NEW COLUMNS (the
+    // catalog's existing rows take null there); it may never DROP
+    // one — that would silently lose the column's data from every
+    // affected partition's rewrite
+    val dropped = existingAll.columns.toSet -- deltaP.columns.toSet
+    require(dropped.isEmpty,
+      s"upsert delta drops existing catalog columns " +
+        s"${dropped.mkString(", ")} — only additive evolution is " +
+        "supported; select the full catalog schema in the delta")
+    val have = existingAll.columns.toSet
+    val aligned = deltaP.schema.fields.toIndexedSeq.map { f =>
+      if (have.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
     val existing = existingAll
       .join(broadcast(affected), Seq("collection_id"), "left_semi")
-      .select(deltaP.columns.map(col).toIndexedSeq: _*)
+      .select(aligned: _*)
     val dataCols = deltaP.columns.map(col).toIndexedSeq
     // item identity is (item_id, collection_id) — matching the
     // partition layout and the JDBC sink's composite key. Partitioning

@@ -127,6 +127,47 @@ object StreamingOps {
       }
   }
 
+  /** Streaming heavy hitters — the SAME Misra-Gries sketch as
+    * agg_heavy_hitters kept as per-key flatMapGroupsWithState state:
+    * each micro-batch folds its rows into the key's sketch with the
+    * IDENTICAL update kernel (HeavyHittersAgg.update — one sketch
+    * implementation audited for both modes) and emits the key's
+    * current top-k. State size is O(keys × capacity) regardless of
+    * stream length — the bounded-state form of "who dominates this
+    * feed", e.g. top crawl domains per content-type over an unbounded
+    * ingest. Stream-equals-batch is unit-tested. */
+  case class HitUpdate(key: String, rk: Int, item: Long, n: Long)
+
+  def heavyHittersStream(
+      events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      capacity: Int = 4096, k: Int = 5)
+      : org.apache.spark.sql.Dataset[HitUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.functions.HeavyHittersAgg
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val sketchEnc: org.apache.spark.sql.Encoder[HeavyHittersAgg.Sketch] =
+      org.apache.spark.sql.Encoders.kryo[HeavyHittersAgg.Sketch]
+    events
+      .selectExpr("event_type", "user_id")
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HeavyHittersAgg.Sketch, HitUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long)],
+            state: GroupState[HeavyHittersAgg.Sketch]) =>
+          val sk = state.getOption
+            .getOrElse(new HeavyHittersAgg.Sketch)
+          rows.foreach { case (_, item) =>
+            HeavyHittersAgg.update(sk, item, capacity)
+          }
+          state.update(sk)
+          HeavyHittersAgg.top(sk).take(k).zipWithIndex.iterator.map {
+            case (h, i) => HitUpdate(key, i + 1, h.item, h.n)
+          }
+      }
+  }
+
   /** stream_upsert_sink — continuous merge into the catalog: each
     * micro-batch runs the same last-write-wins upsert as batch ingest
     * (exactly-once per batch id via checkpoint). */

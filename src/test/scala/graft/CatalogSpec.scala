@@ -308,6 +308,40 @@ class CatalogSpec extends SparkSpec {
     assert(all.count() == 7)
   }
 
+  test("upsert supports additive schema evolution, rejects column drops") {
+    val path = Files.createTempDirectory("graft-evolve").toString + "/items"
+    val source = new FixtureGranuleSource()
+    val (items, _) = ItemAssembly.assemble(source.granules(spark))
+    CatalogStore.writeMonthly(items, path)
+    val before = CatalogStore.read(spark, path).count()
+    // delta carries a NEW column and touches a subset of items
+    val delta = items.limit(3)
+      .withColumn("quality_score", lit(0.9))
+      .withColumn("ingested_at",
+        current_timestamp() + expr("INTERVAL 1 HOUR"))
+    CatalogStore.upsert(spark, path, delta)
+    val after = CatalogStore.read(spark, path)
+    assert(after.columns.contains("quality_score"),
+      "evolved column must be visible through the store's read")
+    assert(after.count() == before, "evolution must not change row count")
+    assert(after.filter(col("quality_score") === 0.9).count() == 3,
+      "upserted rows carry the new value")
+    assert(after.filter(col("quality_score").isNull).count() == before - 3,
+      "pre-evolution rows read as null in the new column")
+    // idempotent replay with the evolved schema still merges cleanly
+    CatalogStore.upsert(spark, path, delta)
+    assert(CatalogStore.read(spark, path).count() == before)
+    // dropping a column is refused loudly, catalog untouched
+    val bad = items.limit(1).drop("properties")
+      .withColumn("ingested_at",
+        current_timestamp() + expr("INTERVAL 2 HOUR"))
+    val ex = intercept[IllegalArgumentException] {
+      CatalogStore.upsert(spark, path, bad)
+    }
+    assert(ex.getMessage.contains("properties"))
+    assert(CatalogStore.read(spark, path).count() == before)
+  }
+
   test("upsert on a non-atomic-rename filesystem commits via dynamic overwrite") {
     // mockobj:// delegates to the local FS but advertises an object-
     // store scheme, steering upsert onto the committer-based fallback

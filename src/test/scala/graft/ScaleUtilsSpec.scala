@@ -62,6 +62,45 @@ class ScaleUtilsSpec extends SparkSpec {
     assert(salted == plain, s"salted=$salted plain=$plain")
   }
 
+  test("streaming heavy hitters equals the batch sketch across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val events = mem.toDF().toDF("event_type", "user_id")
+    val q = StreamingOps.heavyHittersStream(events, capacity = 64, k = 3)
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("update").start()
+    val batch1 = Seq(("click", 1L), ("click", 1L), ("click", 2L),
+      ("view", 9L))
+    val batch2 = Seq(("click", 1L), ("click", 3L), ("click", 3L),
+      ("click", 3L), ("view", 9L), ("view", 8L))
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // per-item counts are MONOTONE across updates, so max(n) is the
+    // final sketch value — exact regime (distinct << capacity) means
+    // stream state must equal true counts
+    val byItem = spark.table("hh_stream")
+      .groupBy(col("key"), col("item"))
+      .agg(org.apache.spark.sql.functions.max(col("n")).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(byItem(("click", 1L)) == 3L && byItem(("click", 3L)) == 3L &&
+      byItem(("click", 2L)) == 1L, s"got $byItem")
+    assert(byItem(("view", 9L)) == 2L && byItem(("view", 8L)) == 1L)
+    // the final batch's emission carries the converged ranking:
+    // (n desc, item asc) → click: item1, item3, item2
+    val finalRows = spark.table("hh_stream")
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(finalRows.contains(("click", 1, 1L, 3L)), s"got $finalRows")
+    assert(finalRows.contains(("click", 2, 3L, 3L)), s"got $finalRows")
+    assert(finalRows.contains(("click", 3, 2L, 1L)), s"got $finalRows")
+    assert(finalRows.contains(("view", 1, 9L, 2L)), s"got $finalRows")
+  }
+
   test("flatMapGroupsWithState accumulates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
