@@ -481,7 +481,162 @@ object TextQueries {
       |    ORDER BY quality DESC, doc_id) AS BIGINT) AS decile
       |FROM q""".stripMargin
 
+  /** text_pack_sequences — training-sequence packing (concat-and-cut):
+    * each (lang, shard) token stream is laid out in a deterministic
+    * hash order and cut every PACK_BUDGET tokens, assigning every doc
+    * the sequence it STARTS in and its offset there — the GPT-style
+    * "concatenate documents, split into fixed context windows" packing
+    * step that precedes tokenized-shard writing.
+    *
+    * Scale shape: packing is inherently sequential WITHIN a stream, so
+    * the stream is (lang, shard-of-8) — independent bounded streams
+    * that pack in parallel, exactly how production packers shard. One
+    * window shuffle on (lang, shard); the running sum is O(1) state
+    * per partition. The hash order makes the layout reproducible
+    * across runs/engines (same reason the samplers hash instead of
+    * rand()). */
+  private val PACK_BUDGET = 512L
+  private val PACK_SHARDS = 8L
+
+  def textPackSequences(s: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(
+      substring(sha2(col("doc_id").cast("string"), 256), 1, 6), 16, 10)
+      .cast("bigint")
+    val w = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("bucket"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        bucket.as("bucket"))
+      .withColumn("shard", col("bucket") % PACK_SHARDS)
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $PACK_BUDGET").as("seq_id"),
+        expr(s"(cum - n_tokens) % $PACK_BUDGET").as("seq_offset"))
+  }
+
+  val textPackSequencesSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 6)
+       |      AS BIGINT) AS bucket
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, bucket % $PACK_SHARDS AS shard, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY lang, bucket % $PACK_SHARDS
+       |      ORDER BY bucket, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t)
+       |SELECT doc_id, lang, shard, n_tokens,
+       |  (cum - n_tokens) // $PACK_BUDGET AS seq_id,
+       |  (cum - n_tokens) % $PACK_BUDGET AS seq_offset
+       |FROM c""".stripMargin
+
+  /** text_html_strip — web-corpus boilerplate removal: script/style
+    * blocks and comments dropped, tags stripped, the common HTML
+    * entities decoded, whitespace collapsed — the first cleanup pass
+    * over crawled pages before any quality scoring. Pure
+    * regexp_replace/replace chain: narrow, codegen'd, zero shuffle at
+    * any scale. The corpus text is plain, so an HTML wrapper is
+    * synthesized per row (same pattern as text_pii_scrub) to actually
+    * exercise every strip rule; regexes stay in the RE2 ∩
+    * java.util.regex subset ([\\s\\S] instead of DOTALL) so the
+    * DuckDB oracle reproduces the exact bytes. */
+  def textHtmlStrip(s: SparkSession, dir: String): DataFrame = {
+    val page = concat(
+      lit("<html><head><script type=\"text/javascript\">var x = 1;</script>" +
+        "<style>p { color: red }</style></head><body><h1>Doc "),
+      col("doc_id"),
+      lit("</h1><!-- boilerplate --><p>"), col("text"),
+      lit(" &amp; more &lt;escaped&gt; &quot;text&quot;&nbsp;here</p>" +
+        "</body></html>"))
+    val noBlocks = regexp_replace(
+      regexp_replace(
+        regexp_replace(page, "<script[^>]*>[\\s\\S]*?</script>", " "),
+        "<style[^>]*>[\\s\\S]*?</style>", " "),
+      "<!--[\\s\\S]*?-->", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
+      "&gt;" -> ">", "&quot;" -> "\"")
+      .foldLeft(noTags) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
+    val clean = trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " "))
+    documents(s, dir).select(col("doc_id"), clean.as("stripped"),
+      length(clean).cast("long").as("n_stripped_chars"))
+  }
+
+  val textHtmlStripSql: String =
+    """WITH page AS (
+      |  SELECT doc_id,
+      |    '<html><head><script type="text/javascript">var x = 1;</script>'
+      |    || '<style>p { color: red }</style></head><body><h1>Doc '
+      |    || doc_id || '</h1><!-- boilerplate --><p>' || text
+      |    || ' &amp; more &lt;escaped&gt; &quot;text&quot;&nbsp;here</p>'
+      |    || '</body></html>' AS h
+      |  FROM documents),
+      |stripped AS (
+      |  SELECT doc_id, trim(regexp_replace(
+      |    replace(replace(replace(replace(replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            regexp_replace(h, '<script[^>]*>[\s\S]*?</script>', ' ', 'g'),
+      |            '<style[^>]*>[\s\S]*?</style>', ' ', 'g'),
+      |          '<!--[\s\S]*?-->', ' ', 'g'),
+      |        '<[^>]+>', ' ', 'g'),
+      |      '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+      |      '&quot;', '"'),
+      |    '[ \t\r\n]+', ' ', 'g')) AS stripped
+      |  FROM page)
+      |SELECT doc_id, stripped,
+      |  CAST(len(stripped) AS BIGINT) AS n_stripped_chars
+      |FROM stripped""".stripMargin
+
+  /** text_mixture_card — the dataset-mixture card: per (source, lang)
+    * doc counts, BPE-estimate token budget, mean quality, and each
+    * cell's share of the corpus token budget — the table a mixture
+    * builder samples from ("60% web, 20% code, …" starts here).
+    *
+    * Scale shape: one two-phase hash agg reduces the corpus to
+    * |sources|×|langs| rows; the share window runs over THAT tiny
+    * aggregate (single partition of a few dozen rows), never over the
+    * corpus. */
+  def textMixtureCard(s: SparkSession, dir: String): DataFrame = {
+    val card = documents(s, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(ceil(col("n_chars") / 4.0).cast("long")).as("bpe_tokens"),
+        round(avg(QualityScore.quality) + lit(1e-9), 4).as("avg_quality"))
+    card.withColumn("token_share",
+      round(col("bpe_tokens") / sum(col("bpe_tokens"))
+        .over(Window.partitionBy()) + lit(1e-9), 4))
+  }
+
+  val textMixtureCardSql: String =
+    """WITH q AS (
+      |  SELECT source, lang, n_chars,
+      |    round(least(CAST(n_chars AS DOUBLE)/500.0, 1.0)*0.4 +
+      |      (CAST(len(list_filter(string_split(text,' '),
+      |        w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+      |        / len(string_split(text,' ')))*0.3 +
+      |      (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+      |        / len(string_split(text,' ')))*0.3 + 1e-9, 4) AS quality
+      |  FROM documents),
+      |card AS (
+      |  SELECT source, lang, count(*) AS n_docs,
+      |    sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS bpe_tokens,
+      |    round(avg(quality) + 1e-9, 4) AS avg_quality
+      |  FROM q GROUP BY source, lang)
+      |SELECT source, lang, n_docs, bpe_tokens, avg_quality,
+      |  round(CAST(bpe_tokens AS DOUBLE) / sum(bpe_tokens) OVER ()
+      |    + 1e-9, 4) AS token_share
+      |FROM card""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pack_sequences" -> (textPackSequences _),
+    "text_html_strip" -> (textHtmlStrip _),
+    "text_mixture_card" -> (textMixtureCard _),
     "text_quality_decile" -> (textQualityDecile _),
     "text_unigram_logprob" -> (textUnigramLogprob _),
     "text_chunk" -> (textChunk _),
@@ -499,6 +654,9 @@ object TextQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "text_pack_sequences" -> textPackSequencesSql,
+    "text_html_strip" -> textHtmlStripSql,
+    "text_mixture_card" -> textMixtureCardSql,
     "text_quality_decile" -> textQualityDecileSql,
     "text_unigram_logprob" -> textUnigramLogprobSql,
     "text_chunk" -> textChunkSql,

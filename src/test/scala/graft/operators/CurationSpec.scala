@@ -39,6 +39,68 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing is gapless and budget-aligned per stream") {
+    // concat-and-cut invariants: within every (lang, shard) stream the
+    // docs' token spans tile the stream exactly (offset_i+1 follows
+    // from cum_i), every start offset is inside its sequence
+    // (0 <= seq_offset < budget), and seq_id is exactly the number of
+    // complete budgets before the doc's first token
+    val rows = TextQueries.textPackSequences(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val budget = 512L
+    rows.foreach { r =>
+      val (tok, seqId, off) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(tok > 0)
+      assert(off >= 0 && off < budget, s"offset $off outside [0, $budget)")
+      assert(seqId >= 0)
+    }
+    // per-stream tiling: sorted by global start = seq_id*budget + off,
+    // consecutive docs must start exactly n_tokens apart
+    rows.groupBy(r => (r.getString(1), r.getLong(2))).foreach {
+      case (_, docs) =>
+        val spans = docs
+          .map(r => (r.getLong(4) * budget + r.getLong(5), r.getLong(3)))
+          .sortBy(_._1)
+        spans.sliding(2).foreach {
+          case Array((s0, t0), (s1, _)) =>
+            assert(s1 == s0 + t0, s"gap in stream: $s0+$t0 != $s1")
+          case _ =>
+        }
+        assert(spans.head._1 == 0L, "stream does not start at offset 0")
+    }
+  }
+
+  test("html strip output is html-free and idempotent on clean text") {
+    val out = TextQueries.textHtmlStrip(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val t = r.getString(1)
+      // markup gone; entity-decoded "<escaped>" is CONTENT and must
+      // survive (decode runs after the strip, by design)
+      Seq("<html", "<h1", "<p>", "</", "<script", "<style", "<!--")
+        .foreach(tag => assert(!t.contains(tag), s"markup $tag survived"))
+      assert(t.contains("& more <escaped> \"text\" here"),
+        "decoded entities missing")
+      assert(!t.contains("&amp;") && !t.contains("&nbsp;"),
+        "entity survived the strip")
+      assert(!t.contains("var x = 1"), "script body survived the strip")
+      assert(!t.contains("  "), "whitespace not collapsed")
+      assert(t == t.trim)
+      assert(r.getLong(2) == t.length.toLong)
+    }
+  }
+
+  test("mixture card token shares sum to 1") {
+    val card = TextQueries.textMixtureCard(spark, sf).collect()
+    assert(card.nonEmpty)
+    val share = card.map(_.getDouble(5)).sum
+    assert(math.abs(share - 1.0) < 0.01, s"shares sum to $share")
+    card.foreach { r =>
+      assert(r.getLong(2) > 0 && r.getLong(3) > 0)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.2)
+    }
+  }
+
   test("approx-percentile filter agrees with the exact filter") {
     val exact = TextQueries.textQualityFilter(spark, sf)
       .select("doc_id").collect().map(_.getLong(0)).toSet
