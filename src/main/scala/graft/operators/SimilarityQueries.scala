@@ -576,7 +576,74 @@ object SimilarityQueries {
       |  count(*) FILTER (WHERE nrm < 1e-6) AS n_degenerate
       |FROM e GROUP BY label""".stripMargin
 
+  /** emb_outliers — embedding-space outlier audit, the "drop corrupted
+    * / off-distribution vectors" curation filter: a vector is flagged
+    * when its norm sits more than 2σ from its label's mean (truncated
+    * / corrupted payloads) or its cosine to the label centroid falls
+    * below 0.1 (lives in the wrong region — mislabeled or garbage).
+    *
+    * Scale shape: label norm stats are one hash agg to |labels| rows;
+    * centroids come from a posexplode + two-phase hash agg bounded by
+    * |labels|×d partial sums (the refineCentroids shuffle bound); both
+    * broadcast back, so scoring is map-side — the corpus is scanned
+    * twice and never shuffled. */
+  def embOutliers(s: SparkSession, dir: String): DataFrame =
+    embOutliersFrom(withNorm(embeddings(s, dir)))
+
+  /** Fixture-drivable core — expects (vec_id, label, emb, nrm). */
+  private[graft] def embOutliersFrom(e: DataFrame): DataFrame = {
+    val stats = e.groupBy(col("label")).agg(
+      avg(col("nrm")).as("m"), stddev_pop(col("nrm")).as("sd"))
+    val cent = e
+      .select(col("label"), posexplode(col("emb")).as(Seq("i", "v")))
+      .groupBy(col("label"), col("i")).agg(avg(col("v")).as("cv"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("cv")))),
+        p => p.getField("cv")).as("cemb"))
+      .select(col("label"), col("cemb"), l2Norm(col("cemb")).as("cn"))
+    e.join(broadcast(stats), Seq("label"))
+      .join(broadcast(cent), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        round(col("nrm") + lit(1e-9), 4).as("nrm"),
+        round((col("nrm") - col("m")) / nullif(col("sd"), lit(0.0))
+          + lit(1e-9), 4).as("norm_z"),
+        round(arrayDot(col("emb"), col("cemb")) / (col("nrm") * col("cn"))
+          + lit(1e-9), 4).as("cos_centroid"))
+      .filter(abs(col("norm_z")) > 2.0 || col("cos_centroid") < 0.1)
+  }
+
+  val embOutliersSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+      |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+      |      v -> v*v))) AS nrm
+      |  FROM embeddings),
+      |stats AS (
+      |  SELECT label, avg(nrm) AS m, stddev_pop(nrm) AS sd
+      |  FROM e GROUP BY label),
+      |cent AS (
+      |  SELECT label, i, avg(emb[i]) AS cv
+      |  FROM e, unnest(generate_series(1, len(emb))) AS t(i)
+      |  GROUP BY label, i),
+      |cnrm AS (SELECT label, sqrt(sum(cv*cv)) AS cn FROM cent GROUP BY label),
+      |dots AS (
+      |  SELECT e.vec_id, sum(e.emb[c.i] * c.cv) AS dot
+      |  FROM e JOIN cent c ON e.label = c.label
+      |  GROUP BY e.vec_id),
+      |scored AS (
+      |  SELECT e.vec_id, e.label,
+      |    round(e.nrm + 1e-9, 4) AS nrm,
+      |    round((e.nrm - s.m) / nullif(s.sd, 0.0) + 1e-9, 4) AS norm_z,
+      |    round(d.dot / (e.nrm * n.cn) + 1e-9, 4) AS cos_centroid
+      |  FROM e
+      |  JOIN stats s ON e.label = s.label
+      |  JOIN cnrm n ON e.label = n.label
+      |  JOIN dots d ON e.vec_id = d.vec_id)
+      |SELECT * FROM scored
+      |WHERE abs(norm_z) > 2.0 OR cos_centroid < 0.1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_outliers" -> (embOutliers _),
     "sim_topk_cosine" -> (simTopkCosine _),
     "sim_pairwise_threshold" -> (simPairwiseThreshold _),
     "sim_ann_lsh" -> (simAnnLsh _),
@@ -590,6 +657,7 @@ object SimilarityQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "emb_outliers" -> embOutliersSql,
     "sim_topk_cosine" -> simTopkCosineSql,
     "sim_pairwise_threshold" -> simPairwiseThresholdSql,
     "emb_stats" -> embStatsSql

@@ -633,7 +633,75 @@ object TextQueries {
       |    + 1e-9, 4) AS token_share
       |FROM card""".stripMargin
 
+  /** text_entropy — per-document Shannon word entropy (bits) and
+    * vocabulary size: the cheap gibberish/boilerplate detector that
+    * complements text_repetition (repeated boilerplate → low entropy,
+    * random noise → entropy ≈ log2(n_words)).
+    *
+    * Scale shape: entropy is PER-DOCUMENT, so like the repetition
+    * kernel nothing leaves the row — counts come from
+    * distinct×filter inside one projection (O(u·n) per row on ~100-
+    * word docs), ZERO shuffle, instead of the explode → two hash aggs
+    * → join shape that shuffles the whole exploded corpus twice. */
+  def textEntropy(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val n = size(ws).cast("double")
+    val counts = transform(array_distinct(ws),
+      w => size(filter(ws, x => x === w)).cast("double"))
+    // H = log2(n) - Σ c·log2(c) / n  (exact rewrite of -Σ p·log2 p;
+    // one log per DISTINCT word and no division inside the loop)
+    val h = log2(n) - aggregate(counts, lit(0.0),
+      (acc, c) => acc + c * log2(c)) / n
+    documents(s, dir).select(
+      col("doc_id"),
+      size(array_distinct(ws)).cast("long").as("n_vocab"),
+      round(h + lit(1e-9), 4).as("entropy_bits"))
+  }
+
+  val textEntropySql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |c AS (
+      |  SELECT doc_id, len(ws) AS n, len(list_distinct(ws)) AS u,
+      |    list_transform(list_distinct(ws),
+      |      w -> CAST(len(list_filter(ws, x -> x = w)) AS DOUBLE)) AS cnts
+      |  FROM t)
+      |SELECT doc_id, CAST(u AS BIGINT) AS n_vocab,
+      |  round(log2(n) - list_sum(list_transform(cnts, c -> c * log2(c))) / n
+      |    + 1e-9, 4) AS entropy_bits
+      |FROM c""".stripMargin
+
+  /** text_length_histogram — the sequence-length distribution every
+    * training pipeline reports before packing: docs bucketed by
+    * power-of-two whitespace-token count, with doc and token mass per
+    * bucket. ONE hash agg to ~30 rows (buckets are log2-bounded), so
+    * the corpus reduces map-side; no sort, no window. */
+  def textLengthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val n = size(split(col("text"), " ")).cast("long")
+    documents(s, dir)
+      .select(floor(log(2.0, greatest(n, lit(1L)))).cast("long").as("bucket"),
+        n.as("n_tokens"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+      .select(col("bucket"),
+        expr("CAST(shiftleft(1L, CAST(bucket AS INT)) AS BIGINT)")
+          .as("bucket_lo"),
+        col("n_docs"), col("tokens"))
+  }
+
+  val textLengthHistogramSql: String =
+    """WITH t AS (
+      |  SELECT CAST(floor(log2(greatest(len(string_split(text, ' ')), 1)))
+      |      AS BIGINT) AS bucket,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents)
+      |SELECT bucket, CAST(1 << bucket AS BIGINT) AS bucket_lo,
+      |  count(*) AS n_docs, sum(n_tokens) AS tokens
+      |FROM t GROUP BY bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_entropy" -> (textEntropy _),
+    "text_length_histogram" -> (textLengthHistogram _),
     "text_pack_sequences" -> (textPackSequences _),
     "text_html_strip" -> (textHtmlStrip _),
     "text_mixture_card" -> (textMixtureCard _),
@@ -654,6 +722,8 @@ object TextQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "text_entropy" -> textEntropySql,
+    "text_length_histogram" -> textLengthHistogramSql,
     "text_pack_sequences" -> textPackSequencesSql,
     "text_html_strip" -> textHtmlStripSql,
     "text_mixture_card" -> textMixtureCardSql,

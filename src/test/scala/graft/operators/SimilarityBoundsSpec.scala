@@ -185,4 +185,30 @@ class SimilarityBoundsSpec extends SparkSpec {
     }
     assert(found >= 8, s"only $found/10 planted near-dup pairs recalled")
   }
+
+  test("planted corrupted vectors are flagged as outliers") {
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    // one tight cluster around a fixed direction: inliers have norm
+    // ~1 and centroid cosine ~1
+    val center = Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.1)
+    val inliers = Seq.tabulate(100) { i =>
+      (i.toLong, 0, center.map(x => x + 0.01 * rnd.nextGaussian()))
+    }
+    val blownNorm = (900L, 0, center.map(_ * 25.0)) // corrupted payload
+    val wrongDir = (901L, 0, center.map(-_)) // lives opposite the cluster
+    import spark.implicits._
+    val df = (inliers :+ blownNorm :+ wrongDir)
+      .toDF("vec_id", "label", "emb")
+      .select(col("vec_id"), col("label"), col("emb"),
+        l2Norm(col("emb")).as("nrm"))
+    val flagged = SimilarityQueries.embOutliersFrom(df)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged.contains(900L), "norm outlier not flagged")
+    assert(flagged.contains(901L), "direction outlier not flagged")
+    // the tight cluster itself stays clean (tolerate a couple of
+    // boundary flags from the corrupted vectors skewing the stats)
+    assert((flagged - 900L - 901L).size <= 5,
+      s"too many inliers flagged: ${flagged.size - 2}")
+  }
 }
