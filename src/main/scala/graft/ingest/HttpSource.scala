@@ -1,0 +1,100 @@
+package graft.ingest
+
+import java.io.InputStream
+import java.net.{HttpURLConnection, URI}
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Remote HTTP open with auth kwargs — the engine form of the
+  * reference's fsspec HTTP open with `storage_kwargs` (headers/auth
+  * client kwargs, avhrr recipe.py:124,154): a URL table is fetched IN
+  * THE EXECUTORS, one connection per row, with the caller's header
+  * map applied to every request.
+  *
+  * Scale design: the URL frame's partitioning IS the fetch
+  * parallelism — repartition(n) = n concurrent streams, so politeness
+  * limits are a plan knob, not code. The driver never opens a
+  * connection. Bodies are streamed through a digest and byte counter
+  * (never materialized), capped at maxBytes, so a mis-pointed URL
+  * can't blow executor memory. Transient failures retry twice with
+  * linear backoff; terminal failures become status rows (-1), never
+  * task failures — one dead URL must not kill a 100 TB ingest stage.
+  */
+object HttpSource {
+
+  /** One fetch outcome: HTTP status (-1 = connect error), byte count
+    * and content digest (empty on non-200). */
+  case class Fetched(url: String, status: Int, n_bytes: Long, sha256: String)
+
+  private val RETRIES = 2
+
+  /** GET every row of `urls` (a single `url` string column) with
+    * `headers` applied — auth tokens, user agents, byte ranges. */
+  def openUrls(
+      s: SparkSession,
+      urls: DataFrame,
+      headers: Map[String, String],
+      connectTimeoutMs: Int = 10000,
+      readTimeoutMs: Int = 30000,
+      maxBytes: Long = 64L << 20): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val hdrs = headers.toSeq // Map is serializable, Seq keeps it cheap
+    urls.select(col("url")).as[String]
+      .mapPartitions { it =>
+        it.map(u => fetchOne(u, hdrs, connectTimeoutMs, readTimeoutMs,
+          maxBytes))
+      }
+      .toDF()
+  }
+
+  private def fetchOne(
+      url: String,
+      headers: Seq[(String, String)],
+      connectTimeoutMs: Int,
+      readTimeoutMs: Int,
+      maxBytes: Long): Fetched = {
+    var attempt = 0
+    while (true) {
+      try {
+        val conn = URI.create(url).toURL.openConnection()
+          .asInstanceOf[HttpURLConnection]
+        try {
+          conn.setConnectTimeout(connectTimeoutMs)
+          conn.setReadTimeout(readTimeoutMs)
+          conn.setRequestMethod("GET")
+          headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+          val status = conn.getResponseCode
+          if (status != 200) return Fetched(url, status, 0L, "")
+          val (n, digest) = drain(conn.getInputStream, maxBytes)
+          return Fetched(url, status, n, digest)
+        } finally conn.disconnect()
+      } catch {
+        case _: java.io.IOException if attempt < RETRIES =>
+          attempt += 1
+          Thread.sleep(200L * attempt)
+        case _: Exception =>
+          return Fetched(url, -1, 0L, "")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Stream the body through sha256 + a counter; never buffers more
+    * than 64 KiB. Stops (and reports the capped count) at maxBytes. */
+  private def drain(in: InputStream, maxBytes: Long): (Long, String) = {
+    val md = MessageDigest.getInstance("SHA-256")
+    val buf = new Array[Byte](65536)
+    var total = 0L
+    try {
+      var read = in.read(buf)
+      while (read >= 0 && total < maxBytes) {
+        md.update(buf, 0, read)
+        total += read
+        read = in.read(buf)
+      }
+    } finally in.close()
+    (total, md.digest().map("%02x".format(_)).mkString)
+  }
+}
