@@ -168,6 +168,54 @@ object StreamingOps {
       }
   }
 
+  /** Streaming sequence packer — text_pack_sequences as per-stream
+    * state: each (lang, shard) key carries its cumulative token count
+    * in flatMapGroupsWithState, so documents arriving over an
+    * unbounded ingest are appended to the SAME concat-and-cut layout
+    * the batch packer produces — the "pack as you crawl" form.
+    * State is ONE long per stream key (O(langs × shards), constant);
+    * docs are packed in arrival order within a batch after an
+    * in-batch (bucket, doc_id) sort, so replaying the corpus in
+    * bucket order reproduces the batch layout exactly (StreamingSpec
+    * asserts bit-parity across multi-batch replays). */
+  case class PackState(cum: Long)
+  case class PackedDoc(doc_id: Long, lang: String, shard: Long,
+      n_tokens: Long, seq_id: Long, seq_offset: Long)
+
+  def packSequencesStream(
+      docs: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      budget: Long = 512L)
+      : org.apache.spark.sql.Dataset[PackedDoc] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .selectExpr("doc_id", "lang",
+        "CAST(size(split(text, ' ')) AS LONG) AS n_tokens",
+        "CAST(conv(substring(sha2(CAST(doc_id AS STRING), 256), 1, 6), 16, 10) AS LONG) AS bucket")
+      .selectExpr("doc_id", "lang", "n_tokens", "bucket",
+        "bucket % 8 AS shard")
+      .as[(Long, String, Long, Long, Long)]
+      .groupByKey(r => (r._2, r._5))
+      .flatMapGroupsWithState[PackState, PackedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (String, Long), rows: Iterator[(Long, String, Long, Long, Long)],
+            state: GroupState[PackState]) =>
+          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          // deterministic within-batch order (cross-batch order is
+          // the stream's arrival order, as in any real packer)
+          val out = rows.toSeq.sortBy(r => (r._4, r._1)).map {
+            case (docId, lang, tok, _, shard) =>
+              val start = cum
+              cum += tok
+              PackedDoc(docId, lang, shard, tok,
+                start / budget, start % budget)
+          }
+          state.update(PackState(cum))
+          out.iterator
+      }
+  }
+
   /** stream_upsert_sink — continuous merge into the catalog: each
     * micro-batch runs the same last-write-wins upsert as batch ingest
     * (exactly-once per batch id via checkpoint). */

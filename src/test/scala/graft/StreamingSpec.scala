@@ -15,6 +15,8 @@ import graft.streaming.StreamingOps
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
 
+case class Doc(doc_id: Long, lang: String, text: String)
+
 class StreamingSpec extends SparkSpec {
 
   private def ts(m: Int): Timestamp =
@@ -153,6 +155,38 @@ class StreamingSpec extends SparkSpec {
     // restart on the same checkpoint: nothing re-judged
     run()
     assert(spark.read.parquet(outDir).count() == got.size)
+  }
+
+  test("streaming packer equals the batch packer across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // feed the corpus in two batches split at the median hash bucket:
+    // within every (lang, shard) stream, all batch-1 docs precede all
+    // batch-2 docs in bucket order, so arrival order == the batch
+    // packer's layout order and the outputs must be bit-identical
+    val docs = graft.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "lang", "text",
+        "CAST(conv(substring(sha2(CAST(doc_id AS STRING), 256), 1, 6), 16, 10) AS LONG) AS bucket")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val cut = docs.map(_._4).sorted.apply(docs.length / 2)
+    val batch1 = docs.filter(_._4 < cut).map(d => Doc(d._1, d._2, d._3))
+    val batch2 = docs.filter(_._4 >= cut).map(d => Doc(d._1, d._2, d._3))
+    val mem = MemoryStream[Doc]
+    val q = StreamingOps.packSequencesStream(mem.toDF())
+      .writeStream.format("memory").queryName("packed_stream")
+      .outputMode("append").start()
+    mem.addData(batch1.toIndexedSeq: _*); q.processAllAvailable()
+    mem.addData(batch2.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+    val got = spark.table("packed_stream").collect().map(key).toSet
+    val want = graft.operators.TextQueries.textPackSequences(spark, sf)
+      .collect().map(key).toSet
+    assert(got == want, "streamed packing diverges from the batch layout")
+    assert(got.size == docs.length)
   }
 
   test("sessionize runs as a real stream (watermark + append)") {
