@@ -699,7 +699,190 @@ object TextQueries {
       |  count(*) AS n_docs, sum(n_tokens) AS tokens
       |FROM t GROUP BY bucket""".stripMargin
 
+  /** text_cooccurrence — PMI phrase mining: the top adjacent word
+    * pairs per language ranked by pointwise mutual information
+    * (log p(ab) / p(a)p(b)), the collocation signal used to build
+    * phrase vocabularies and spot templated corpora. Tokens and
+    * bigrams each reduce through ONE two-phase hash agg; unigram
+    * totals are tiny (|vocab| rows) and broadcast back onto the
+    * bigram counts, so nothing corpus-sized is joined. Low-count
+    * pairs (n < 5) are dropped before ranking — the standard PMI
+    * noise floor. */
+  def textCooccurrence(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val docs = documents(s, dir)
+    val bigrams = docs.select(col("lang"),
+      explode(expr(
+        """CASE WHEN size(split(text, ' ')) < 2 THEN array()
+          |ELSE transform(sequence(0, size(split(text, ' ')) - 2),
+          |  i -> struct(split(text, ' ')[i] AS a,
+          |              split(text, ' ')[i + 1] AS b)) END""".stripMargin))
+        .as("g"))
+      .select(col("lang"), col("g.a"), col("g.b"))
+      .filter(length(col("a")) > 0 && length(col("b")) > 0)
+      .groupBy(col("lang"), col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val unigrams = docs
+      .select(col("lang"), explode(ws).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("n_w"))
+    val totals = unigrams.groupBy(col("lang"))
+      .agg(sum(col("n_w")).as("n_total"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+    bigrams.filter(col("n_ab") >= 5)
+      .join(broadcast(unigrams.withColumnRenamed("w", "a")
+        .withColumnRenamed("n_w", "n_a")), Seq("lang", "a"))
+      .join(broadcast(unigrams.withColumnRenamed("w", "b")
+        .withColumnRenamed("n_w", "n_b")), Seq("lang", "b"))
+      .join(broadcast(totals), Seq("lang"))
+      .withColumn("pmi", round(
+        log(col("n_ab") * col("n_total") / (col("n_a") * col("n_b")))
+          + lit(1e-9), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("lang"), col("rk"), col("a"), col("b"), col("n_ab"),
+        col("pmi"))
+  }
+
+  val textCooccurrenceSql: String =
+    """WITH t AS (
+      |  SELECT lang, string_split(text, ' ') AS ws FROM documents),
+      |bg AS (
+      |  SELECT lang, ws[i] AS a, ws[i + 1] AS b, count(*) AS n_ab
+      |  FROM t, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+      |  WHERE len(ws[i]) > 0 AND len(ws[i + 1]) > 0
+      |  GROUP BY lang, a, b),
+      |ug AS (
+      |  SELECT lang, u.w, count(*) AS n_w
+      |  FROM t, unnest(ws) AS u(w) WHERE len(u.w) > 0
+      |  GROUP BY lang, u.w),
+      |tot AS (SELECT lang, sum(n_w) AS n_total FROM ug GROUP BY lang),
+      |scored AS (
+      |  SELECT bg.lang, bg.a, bg.b, bg.n_ab,
+      |    round(ln(CAST(bg.n_ab AS DOUBLE) * tot.n_total
+      |      / (ua.n_w * ub.n_w)) + 1e-9, 4) AS pmi
+      |  FROM bg
+      |  JOIN ug ua ON bg.lang = ua.lang AND bg.a = ua.w
+      |  JOIN ug ub ON bg.lang = ub.lang AND bg.b = ub.w
+      |  JOIN tot ON bg.lang = tot.lang
+      |  WHERE bg.n_ab >= 5)
+      |SELECT lang, rk, a, b, n_ab, pmi FROM (
+      |  SELECT lang, a, b, n_ab, pmi,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY pmi DESC, a, b) AS rk
+      |  FROM scored)
+      |WHERE rk <= 10""".stripMargin
+
+  /** agg_ks_drift — dataset drift monitor: the two-sample
+    * Kolmogorov–Smirnov statistic between each source's quality
+    * distribution and the rest of the corpus, per language — the
+    * "did this crawl snapshot shift" alarm run between ingest
+    * batches. D = max over distinct values v of |F_src(v) − F_rest(v)|
+    * (CDFs only jump at observed values, so the distinct-value grid
+    * is the exact KS, not an approximation).
+    *
+    * Scale shape: the corpus first reduces through ONE hash agg to
+    * (lang, source, q) counts — q is rounded to 4 decimals, so that
+    * aggregate is bounded by |lang|×|source|×10⁴ rows no matter the
+    * corpus size. The per-candidate expansion and the CDF windows run
+    * over THAT aggregate; the corpus itself is scanned once and never
+    * joined or windowed. */
+  def aggKsDrift(s: SparkSession, dir: String): DataFrame =
+    aggKsDriftFrom(documents(s, dir)
+      .select(col("lang"), col("source"), QualityScore.quality.as("q")))
+
+  /** Fixture-drivable core — expects (lang, source, q). */
+  private[graft] def aggKsDriftFrom(scored: DataFrame): DataFrame = {
+    val cnt = scored
+      .groupBy(col("lang"), col("source"), col("q"))
+      .agg(count(lit(1)).as("n"))
+    val sources = cnt.select(col("lang"), col("source").as("src")).distinct()
+    // per candidate source: in/out counts at every distinct (lang, q)
+    val grid = cnt.join(sources, Seq("lang"))
+      .groupBy(col("lang"), col("src"), col("q"))
+      .agg(sum(when(col("source") === col("src"), col("n"))
+        .otherwise(lit(0L))).as("n_in"),
+        sum(when(col("source") =!= col("src"), col("n"))
+          .otherwise(lit(0L))).as("n_out"))
+    val w = Window.partitionBy(col("lang"), col("src")).orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("lang"), col("src"))
+    grid
+      .withColumn("cum_in", sum(col("n_in")).over(w))
+      .withColumn("cum_out", sum(col("n_out")).over(w))
+      .withColumn("t_in", sum(col("n_in")).over(tot))
+      .withColumn("t_out", sum(col("n_out")).over(tot))
+      .groupBy(col("lang"), col("src"))
+      .agg(round(max(abs(col("cum_in") / col("t_in")
+        - col("cum_out") / col("t_out"))) + lit(1e-9), 4).as("ks_d"))
+      .select(col("lang"), col("src").as("source"), col("ks_d"))
+  }
+
+  val aggKsDriftSql: String =
+    """WITH sc AS (
+      |  SELECT lang, source,
+      |    round(least(CAST(n_chars AS DOUBLE)/500.0, 1.0)*0.4 +
+      |      (CAST(len(list_filter(string_split(text,' '),
+      |        w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+      |        / len(string_split(text,' ')))*0.3 +
+      |      (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+      |        / len(string_split(text,' ')))*0.3 + 1e-9, 4) AS q
+      |  FROM documents),
+      |cnt AS (
+      |  SELECT lang, source, q, count(*) AS n
+      |  FROM sc GROUP BY lang, source, q),
+      |srcs AS (SELECT DISTINCT lang, source AS src FROM cnt),
+      |grid AS (
+      |  SELECT cnt.lang, srcs.src, cnt.q,
+      |    sum(CASE WHEN cnt.source = srcs.src THEN n ELSE 0 END) AS n_in,
+      |    sum(CASE WHEN cnt.source <> srcs.src THEN n ELSE 0 END) AS n_out
+      |  FROM cnt JOIN srcs ON cnt.lang = srcs.lang
+      |  GROUP BY cnt.lang, srcs.src, cnt.q),
+      |cdf AS (
+      |  SELECT lang, src,
+      |    sum(n_in) OVER (PARTITION BY lang, src ORDER BY q
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_in,
+      |    sum(n_out) OVER (PARTITION BY lang, src ORDER BY q
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_out,
+      |    sum(n_in) OVER (PARTITION BY lang, src) AS t_in,
+      |    sum(n_out) OVER (PARTITION BY lang, src) AS t_out
+      |  FROM grid)
+      |SELECT lang, src AS source,
+      |  round(max(abs(CAST(cum_in AS DOUBLE) / t_in
+      |    - CAST(cum_out AS DOUBLE) / t_out)) + 1e-9, 4) AS ks_d
+      |FROM cdf GROUP BY lang, src""".stripMargin
+
+  /** win_quality_cdf — each document's percentile position within its
+    * language (cume_dist): the rank feature mixture builders and
+    * downsamplers key on. One window per language partition. */
+  def winQualityCdf(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality"), col("doc_id"))
+    documents(s, dir)
+      .select(col("doc_id"), col("lang"), QualityScore.quality.as("quality"))
+      .withColumn("cdf", round(cume_dist().over(w) + lit(1e-9), 4))
+  }
+
+  val winQualityCdfSql: String =
+    """WITH q AS (
+      |  SELECT doc_id, lang,
+      |    round(least(CAST(n_chars AS DOUBLE)/500.0, 1.0)*0.4 +
+      |      (CAST(len(list_filter(string_split(text,' '),
+      |        w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+      |        / len(string_split(text,' ')))*0.3 +
+      |      (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+      |        / len(string_split(text,' ')))*0.3 + 1e-9, 4) AS quality
+      |  FROM documents)
+      |SELECT doc_id, lang, quality,
+      |  round(cume_dist() OVER (PARTITION BY lang
+      |    ORDER BY quality, doc_id) + 1e-9, 4) AS cdf
+      |FROM q""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_cooccurrence" -> (textCooccurrence _),
+    "agg_ks_drift" -> (aggKsDrift _),
+    "win_quality_cdf" -> (winQualityCdf _),
     "text_entropy" -> (textEntropy _),
     "text_length_histogram" -> (textLengthHistogram _),
     "text_pack_sequences" -> (textPackSequences _),
@@ -722,6 +905,9 @@ object TextQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "text_cooccurrence" -> textCooccurrenceSql,
+    "agg_ks_drift" -> aggKsDriftSql,
+    "win_quality_cdf" -> winQualityCdfSql,
     "text_entropy" -> textEntropySql,
     "text_length_histogram" -> textLengthHistogramSql,
     "text_pack_sequences" -> textPackSequencesSql,

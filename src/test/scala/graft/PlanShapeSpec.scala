@@ -133,4 +133,28 @@ class PlanShapeSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("per-document kernels are shuffle-free; packer shuffles exactly once") {
+    // entropy and html-strip never leave the row: a single scan →
+    // project, NO Exchange anywhere in the plan
+    Seq(
+      plan(TextQueries.textEntropy(spark, sf)),
+      plan(TextQueries.textHtmlStrip(spark, sf))
+    ).foreach { p =>
+      assert(!p.contains("Exchange"), s"per-doc kernel must not shuffle:\n$p")
+    }
+    // histogram: map-side partial agg then one exchange to ~30 buckets
+    val h = plan(TextQueries.textLengthHistogram(spark, sf))
+    assert(h.sliding("Exchange".length).count(_ == "Exchange") <= 2, h)
+    // packer: exactly ONE shuffle — the (lang, shard) window sort
+    val pk = plan(TextQueries.textPackSequences(spark, sf))
+    assert(pk.sliding("Exchange".length).count(_ == "Exchange") == 1,
+      s"packer must shuffle once on (lang, shard):\n$pk")
+    assert(pk.contains("Window"), pk)
+    // outliers: stats and centroids come back BROADCAST; the corpus
+    // itself is never exchanged by the scoring joins
+    val o = plan(SimilarityQueries.embOutliers(spark, sf))
+    assert(o.contains("BroadcastHashJoin"), o)
+    assert(!o.contains("SortMergeJoin"), s"corpus must not shuffle-join:\n$o")
+  }
 }

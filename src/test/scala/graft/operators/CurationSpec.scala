@@ -101,6 +101,42 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("KS drift separates a shifted source from identical ones") {
+    import spark.implicits._
+    // two sources drawn from the same grid, one source shifted +0.5:
+    // the shifted source must dominate the drift ranking with a D near
+    // 1, the identical pair stays near the tie floor
+    val same = for (s <- Seq("a", "b"); i <- 0 until 200)
+      yield ("en", s, (i % 50) / 100.0)
+    val shifted = for (i <- 0 until 200)
+      yield ("en", "c", (i % 50) / 100.0 + 0.5)
+    val d = TextQueries.aggKsDriftFrom((same ++ shifted)
+      .toDF("lang", "source", "q"))
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    // the shifted source maxes out; the identical pair each see HALF
+    // their rest-pool shifted, so one-vs-rest puts them at exactly 0.5
+    // — still clearly below the true drifter
+    assert(d("c") > 0.9, s"shifted source D=${d("c")}")
+    assert(math.abs(d("a") - d("b")) < 1e-9, "identical sources must tie")
+    assert(d("a") < d("c") - 0.3, s"drifter not separated: ${d}")
+    d.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+    // control: with no drifted source every one-vs-rest D collapses
+    val flat = TextQueries.aggKsDriftFrom(same.toDF("lang", "source", "q"))
+      .collect().map(_.getDouble(2))
+    assert(flat.forall(_ < 0.05), s"flat pool drifted: ${flat.toSeq}")
+  }
+
+  test("quality CDF is a proper per-language CDF") {
+    val rows = TextQueries.winQualityCdf(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0001))
+    // max per language is exactly 1 (cume_dist of the last row)
+    rows.groupBy(_.getString(1)).foreach { case (lang, rs) =>
+      assert(math.abs(rs.map(_.getDouble(3)).max - 1.0) < 1e-3,
+        s"$lang CDF does not reach 1")
+    }
+  }
+
   test("approx-percentile filter agrees with the exact filter") {
     val exact = TextQueries.textQualityFilter(spark, sf)
       .select("doc_id").collect().map(_.getLong(0)).toSet
