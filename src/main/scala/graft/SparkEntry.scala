@@ -28,6 +28,7 @@ object SparkEntry {
       operators.SimilarityQueries.queries ++
       operators.MultimodalQueries.queries ++
       operators.PipelineQueries.queries ++
+      operators.EventQueries.queries ++
       operators.SourceSinkQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -43,5 +44,6 @@ object SparkEntry {
       operators.SimilarityQueries.oracle ++
       operators.MultimodalQueries.oracle ++
       operators.PipelineQueries.oracle ++
+      operators.EventQueries.oracle ++
       operators.SourceSinkQueries.oracle
 }

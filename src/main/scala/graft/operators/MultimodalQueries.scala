@@ -64,10 +64,63 @@ object MultimodalQueries {
       |FROM documents
       |GROUP BY 1, 2""".stripMargin
 
+  /** multimodal_near_dup — perceptual near-dup over DECODED media:
+    * sign-quantize the decoder's 64 feature dims into a 64-bit
+    * pHash-style signature, band it 4×16 bits for LSH candidates,
+    * verify by Hamming ≤ 3 — the near-duplicate image/audio pass that
+    * exact payload hashing (multimodal_dedup) cannot do. Same banded
+    * shape as dedup_simhash: candidates come from an equi-join on
+    * (band, value), only (doc_id, sig) travels, and the verify is one
+    * xor+popcount per candidate pair. The decode itself is the stub
+    * (real codecs slot into MediaPipeline.Decoder); the quantize /
+    * band / verify pipeline is the real, tested Spark surface.
+    * Rows-only (decoder-defined values); planted-jitter recall is
+    * unit-tested through the fixture core. */
+  def multimodalNearDup(s: SparkSession, dir: String): DataFrame = {
+    val feats = graft.multimodal.MediaPipeline
+      .extractFeatures(graft.multimodal.MediaPipeline.mediaRecords(s, dir),
+        new graft.multimodal.MediaPipeline.StubDecoder(64))
+      .toDF()
+      .select(col("doc_id"), col("features"))
+    // the corpus itself has no repeated payloads, so a 2% re-crawl
+    // slice (same media, new id — the case this operator exists for)
+    // is synthesized per run, same pattern as text_pii_scrub's
+    // appended PII: the banded join and Hamming verify run for real
+    val recrawl = feats.filter(col("doc_id") % 50 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    multimodalNearDupFrom(feats.unionAll(recrawl))
+  }
+
+  /** Fixture-drivable core — expects (doc_id, features[64]). */
+  private[graft] def multimodalNearDupFrom(feats: DataFrame): DataFrame = {
+    val sig = feats.select(col("doc_id"),
+      expr("""aggregate(zip_with(features, sequence(0, size(features) - 1),
+              |  (f, i) -> IF(f > 0F, shiftleft(1L, i), 0L)),
+              |  0L, (acc, b) -> acc | b)""".stripMargin).as("sig"))
+    val bands = sig.select(col("doc_id"), col("sig"),
+      explode(expr(
+        """transform(sequence(0, 3),
+          |  b -> struct(b AS band, shiftright(sig, b * 16) & 65535L AS v))"""
+          .stripMargin)).as("g"))
+      .select(col("doc_id"), col("sig"), col("g.band"), col("g.v"))
+    val a = bands.select(col("band"), col("v"), col("doc_id").as("a"),
+      col("sig").as("sa"))
+    val b = bands.select(col("band"), col("v"), col("doc_id").as("b"),
+      col("sig").as("sb"))
+    a.join(b, Seq("band", "v"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_struct" -> (multimodalStruct _),
     "multimodal_features" -> (multimodalFeatures _),
-    "multimodal_dedup" -> (multimodalDedup _)
+    "multimodal_dedup" -> (multimodalDedup _),
+    "multimodal_near_dup" -> (multimodalNearDup _)
   )
 
   def oracle: Map[String, String] = Map(

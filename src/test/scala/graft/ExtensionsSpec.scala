@@ -9,6 +9,32 @@ import graft.operators._
   */
 class ExtensionsSpec extends SparkSpec {
 
+  test("perceptual near-dup recalls planted feature jitters") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 64-dim sign features well away from the quantize boundary, plus
+    // 10 jittered twins that flip at most a couple of signs
+    val base = Seq.tabulate(120) { i =>
+      (i.toLong, Array.fill(64)((rnd.nextFloat() * 2 - 1) match {
+        case f if math.abs(f) < 0.1f => 0.2f * math.signum(f + 0.01f)
+        case f => f
+      }))
+    }
+    val twins = Seq.tabulate(10) { i =>
+      (500L + i, base(i)._2.map(f => f + 0.02f * rnd.nextFloat()))
+    }
+    val feats = (base ++ twins).toDF("doc_id", "features")
+    val pairs = graft.operators.MultimodalQueries
+      .multimodalNearDupFrom(feats)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0 until 10).count(i => pairs.contains((i.toLong, 500L + i)))
+    assert(found >= 9, s"only $found/10 planted media twins recalled")
+    // distant vectors must not flood in: pair count stays near the
+    // planted set (the 16-bit bands make random collisions ~n²/2¹⁶)
+    assert(pairs.size <= 30, s"too many pairs: ${pairs.size}")
+  }
+
   test("minhash LSH recalls planted near-dups found by exact jaccard") {
     val exact = DedupQueries.dedupNgramJaccard(spark, sf)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
