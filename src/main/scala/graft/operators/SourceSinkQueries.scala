@@ -191,6 +191,42 @@ object SourceSinkQueries {
         "rows_preserved", "one_file_per_leaf")
   }
 
+  /** snk_train_shards — the training-shard writer: packed sequences
+    * land as lang=…/shard=… parquet leaves, each leaf ONE file sorted
+    * by (seq_id, seq_offset) — the layout a data loader streams
+    * sequentially and prunes by partition key. repartition on the
+    * leaf keys makes exactly one task own each leaf (no sliver
+    * files); sortWithinPartitions costs a per-task sort, never a
+    * global one. Side-effectful ⇒ rows-only; the output row proves
+    * rows survived, every leaf is single-file, and files are
+    * internally seq-ordered. */
+  def snkTrainShards(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val path = Files.createTempDirectory("graft-shards").toString + "/packed"
+    val packed = TextQueries.textPackSequences(s, dir)
+    packed
+      .repartition(col("lang"), col("shard"))
+      .sortWithinPartitions(col("seq_id"), col("seq_offset"))
+      .write.partitionBy("lang", "shard").parquet(path)
+    val back = s.read.parquet(path)
+      .withColumn("f", input_file_name())
+    val filesPerLeaf = back.groupBy(col("lang"), col("shard"))
+      .agg(countDistinct(col("f")).as("nf"))
+      .agg(max(col("nf"))).first().getLong(0)
+    // in-file order: parquet scan preserves row order within a file,
+    // so a lag over the file-ordered rows must never decrease
+    val w = Window.partitionBy(col("f"))
+      .orderBy(monotonically_increasing_id())
+    val disorder = back
+      .withColumn("prev", lag(col("seq_id") * 100000L + col("seq_offset"), 1)
+        .over(w))
+      .filter(col("prev") > col("seq_id") * 100000L + col("seq_offset"))
+      .count()
+    Seq((packed.count(), back.count(), filesPerLeaf, disorder == 0))
+      .toDF("rows_in", "rows_out", "max_files_per_leaf", "seq_sorted")
+  }
+
   /** src_netcdf_attrs — REAL NetCDF classic granules on disk → header
     * attribute extraction (NetcdfClassic) → B1 metadata rows → item
     * assembly. The engine form of OpenURLWithFSSpec → OpenWithXarray
@@ -378,6 +414,7 @@ object SourceSinkQueries {
     "snk_listing_cache" -> (snkListingCache _),
     "snk_upsert" -> (snkUpsert _),
     "snk_compact" -> (snkCompact _),
+    "snk_train_shards" -> (snkTrainShards _),
     "snk_jdbc_upsert" -> (snkJdbcUpsert _),
     "catalog_search" -> (catalogSearch _),
     "catalog_fc_page" -> (catalogFcPage _),

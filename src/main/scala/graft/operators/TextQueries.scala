@@ -879,7 +879,37 @@ object TextQueries {
       |    ORDER BY quality, doc_id) + 1e-9, 4) AS cdf
       |FROM q""".stripMargin
 
+  /** fn_sentence_split — sentence segmentation with offsets: each doc
+    * exploded into '[^.!?]+[.!?]?' runs (punctuation kept with its
+    * sentence), indexed, trimmed — the unit both sentence-level dedup
+    * and citation/attribution work key on. The regex stays in the
+    * RE2 ∩ java.util.regex subset (no lookbehind) so both engines
+    * produce identical splits. Pure per-row explode: zero shuffle,
+    * output ~sentences/doc × corpus. */
+  def fnSentenceSplit(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(expr("regexp_extract_all(text, '[^.!?]+[.!?]?', 0)"))
+          .as(Seq("sent_idx", "raw")))
+      .select(col("doc_id"), col("sent_idx").cast("long").as("sent_idx"),
+        trim(col("raw")).as("sentence"),
+        size(split(trim(col("raw")), " ")).cast("long").as("n_words"))
+      .filter(length(col("sentence")) > 0)
+
+  val fnSentenceSplitSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]?') AS sents
+      |  FROM documents),
+      |x AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx,
+      |    trim(sents[i]) AS sentence
+      |  FROM t, unnest(generate_series(1, len(sents))) AS u(i))
+      |SELECT doc_id, sent_idx, sentence,
+      |  CAST(len(string_split(sentence, ' ')) AS BIGINT) AS n_words
+      |FROM x WHERE len(sentence) > 0""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_sentence_split" -> (fnSentenceSplit _),
     "text_cooccurrence" -> (textCooccurrence _),
     "agg_ks_drift" -> (aggKsDrift _),
     "win_quality_cdf" -> (winQualityCdf _),
@@ -905,6 +935,7 @@ object TextQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_sentence_split" -> fnSentenceSplitSql,
     "text_cooccurrence" -> textCooccurrenceSql,
     "agg_ks_drift" -> aggKsDriftSql,
     "win_quality_cdf" -> winQualityCdfSql,
