@@ -709,21 +709,23 @@ object TextQueries {
     * pairs (n < 5) are dropped before ranking — the standard PMI
     * noise floor. */
   def textCooccurrence(s: SparkSession, dir: String): DataFrame = {
-    val ws = split(col("text"), " ")
     val docs = documents(s, dir)
-    val bigrams = docs.select(col("lang"),
-      explode(expr(
-        """CASE WHEN size(split(text, ' ')) < 2 THEN array()
-          |ELSE transform(sequence(0, size(split(text, ' ')) - 2),
-          |  i -> struct(split(text, ' ')[i] AS a,
-          |              split(text, ' ')[i + 1] AS b)) END""".stripMargin))
-        .as("g"))
+    // ws is BOUND as a column before any lambda touches it — indexing
+    // a split() expression inside transform() re-splits the text per
+    // element (O(n²) per doc; measured 9 s vs 1 s at sf0.1). zip_with
+    // against the shifted tail builds every adjacent pair in one pass
+    // (the tail is 1 shorter, so the last pair has b = null → dropped).
+    val pre = docs.select(col("lang"), split(col("text"), " ").as("ws"))
+    val bigrams = pre.select(col("lang"),
+      explode(zip_with(col("ws"), slice(col("ws"), 2, 1 << 30),
+        (x, y) => struct(x.as("a"), y.as("b")))).as("g"))
       .select(col("lang"), col("g.a"), col("g.b"))
-      .filter(length(col("a")) > 0 && length(col("b")) > 0)
+      .filter(col("b").isNotNull &&
+        length(col("a")) > 0 && length(col("b")) > 0)
       .groupBy(col("lang"), col("a"), col("b"))
       .agg(count(lit(1)).as("n_ab"))
-    val unigrams = docs
-      .select(col("lang"), explode(ws).as("w"))
+    val unigrams = pre
+      .select(col("lang"), explode(col("ws")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("n_w"))
     val totals = unigrams.groupBy(col("lang"))
@@ -813,6 +815,9 @@ object TextQueries {
       .withColumn("cum_out", sum(col("n_out")).over(w))
       .withColumn("t_in", sum(col("n_in")).over(tot))
       .withColumn("t_out", sum(col("n_out")).over(tot))
+      // a language with a single source has no rest-pool: D is
+      // undefined there, not zero — drop instead of dividing by zero
+      .filter(col("t_in") > 0 && col("t_out") > 0)
       .groupBy(col("lang"), col("src"))
       .agg(round(max(abs(col("cum_in") / col("t_in")
         - col("cum_out") / col("t_out"))) + lit(1e-9), 4).as("ks_d"))
@@ -851,7 +856,8 @@ object TextQueries {
       |SELECT lang, src AS source,
       |  round(max(abs(CAST(cum_in AS DOUBLE) / t_in
       |    - CAST(cum_out AS DOUBLE) / t_out)) + 1e-9, 4) AS ks_d
-      |FROM cdf GROUP BY lang, src""".stripMargin
+      |FROM cdf WHERE t_in > 0 AND t_out > 0
+      |GROUP BY lang, src""".stripMargin
 
   /** win_quality_cdf — each document's percentile position within its
     * language (cume_dist): the rank feature mixture builders and
@@ -908,7 +914,40 @@ object TextQueries {
       |  CAST(len(string_split(sentence, ' ')) AS BIGINT) AS n_words
       |FROM x WHERE len(sentence) > 0""".stripMargin
 
+  /** fn_unicode_normalize — NFC normalization + control-char strip:
+    * the canonicalization pass that makes visually-identical strings
+    * byte-identical BEFORE any hash-based dedup (composed é vs e +
+    * combining accent would otherwise defeat exact dedup). NFC runs
+    * in a UDF (java.text.Normalizer — a justified non-codegen kernel:
+    * no Catalyst expression exposes ICU normalization); the control
+    * strip is a codegen regexp. The corpus is ASCII, so a combining-
+    * accent suffix is synthesized per row to exercise the fold (same
+    * pattern as text_pii_scrub); DuckDB's nfc_normalize provides the
+    * cross-engine oracle. */
+  def fnUnicodeNormalize(s: SparkSession, dir: String): DataFrame = {
+    val nfc = udf { (t: String) =>
+      if (t == null) null
+      else java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
+    }
+    val raw = concat(col("text"),
+      lit(" café naïve ctrl"))
+    documents(s, dir).select(
+      col("doc_id"),
+      regexp_replace(nfc(raw), "[\\x00-\\x1f\\x7f]", "").as("normalized"))
+      .withColumn("n_chars_norm", length(col("normalized")).cast("long"))
+  }
+
+  val fnUnicodeNormalizeSql: String =
+    "WITH t AS (\n" +
+      "  SELECT doc_id, regexp_replace(\n" +
+      "    nfc_normalize(text || ' café naïve ctrl'),\n" +
+      "    '[\\x00-\\x1f\\x7f]', '', 'g') AS normalized\n" +
+      "  FROM documents)\n" +
+      "SELECT doc_id, normalized,\n" +
+      "  CAST(len(normalized) AS BIGINT) AS n_chars_norm\nFROM t"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_unicode_normalize" -> (fnUnicodeNormalize _),
     "fn_sentence_split" -> (fnSentenceSplit _),
     "text_cooccurrence" -> (textCooccurrence _),
     "agg_ks_drift" -> (aggKsDrift _),
@@ -935,6 +974,7 @@ object TextQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_unicode_normalize" -> fnUnicodeNormalizeSql,
     "fn_sentence_split" -> fnSentenceSplitSql,
     "text_cooccurrence" -> textCooccurrenceSql,
     "agg_ks_drift" -> aggKsDriftSql,
