@@ -558,8 +558,10 @@ object TextQueries {
         "<style[^>]*>[\\s\\S]*?</style>", " "),
       "<!--[\\s\\S]*?-->", " ")
     val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
-    val decoded = Seq("&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
-      "&gt;" -> ">", "&quot;" -> "\"")
+    // &amp; decodes LAST: the other way round "&amp;lt;" would
+    // double-decode to "<" instead of the literal "&lt;"
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
     val clean = trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " "))
     documents(s, dir).select(col("doc_id"), clean.as("stripped"),
@@ -585,8 +587,8 @@ object TextQueries {
       |            '<style[^>]*>[\s\S]*?</style>', ' ', 'g'),
       |          '<!--[\s\S]*?-->', ' ', 'g'),
       |        '<[^>]+>', ' ', 'g'),
-      |      '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-      |      '&quot;', '"'),
+      |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |      '&amp;', '&'),
       |    '[ \t\r\n]+', ' ', 'g')) AS stripped
       |  FROM page)
       |SELECT doc_id, stripped,
