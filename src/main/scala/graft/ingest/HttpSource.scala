@@ -66,7 +66,9 @@ object HttpSource {
           conn.setRequestMethod("GET")
           headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
           val status = conn.getResponseCode
-          if (status != 200) return Fetched(url, status, 0L, "")
+          // any 2xx carries a body worth draining — 206 is the normal
+          // reply to the Range headers this API advertises
+          if (status / 100 != 2) return Fetched(url, status, 0L, "")
           val (n, digest) = drain(conn.getInputStream, maxBytes)
           return Fetched(url, status, n, digest)
         } finally conn.disconnect()
@@ -82,7 +84,10 @@ object HttpSource {
   }
 
   /** Stream the body through sha256 + a counter; never buffers more
-    * than 64 KiB. Stops (and reports the capped count) at maxBytes. */
+    * than 64 KiB. Hashes and counts EXACTLY maxBytes when the body is
+    * larger — clamping inside the last read keeps the digest a
+    * deterministic content key regardless of how the socket chunks
+    * the stream. */
   private def drain(in: InputStream, maxBytes: Long): (Long, String) = {
     val md = MessageDigest.getInstance("SHA-256")
     val buf = new Array[Byte](65536)
@@ -90,9 +95,10 @@ object HttpSource {
     try {
       var read = in.read(buf)
       while (read >= 0 && total < maxBytes) {
-        md.update(buf, 0, read)
-        total += read
-        read = in.read(buf)
+        val take = math.min(read.toLong, maxBytes - total).toInt
+        md.update(buf, 0, take)
+        total += take
+        if (total < maxBytes) read = in.read(buf) else read = -1
       }
     } finally in.close()
     (total, md.digest().map("%02x".format(_)).mkString)

@@ -205,19 +205,27 @@ object SourceSinkQueries {
     import org.apache.spark.sql.expressions.Window
     val path = Files.createTempDirectory("graft-shards").toString + "/packed"
     val packed = TextQueries.textPackSequences(s, dir)
+    // the local sort MUST lead with the partition columns: the V1
+    // partitioned-write path requires ordering on (lang, shard) and
+    // EliminateSorts DISCARDS a user sort that doesn't conform,
+    // silently writing unsorted leaves (verified on Spark 4.1.2 —
+    // a (seq_id)-only sort survives in-memory by accident and breaks
+    // on spill)
     packed
       .repartition(col("lang"), col("shard"))
-      .sortWithinPartitions(col("seq_id"), col("seq_offset"))
+      .sortWithinPartitions(col("lang"), col("shard"), col("seq_id"),
+        col("seq_offset"))
       .write.partitionBy("lang", "shard").parquet(path)
+    // _metadata.row_index is the TRUE in-file position — unlike
+    // monotonically_increasing_id it stays correct when a big file
+    // spans several input splits
     val back = s.read.parquet(path)
-      .withColumn("f", input_file_name())
+      .select(col("*"), col("_metadata.file_path").as("f"),
+        col("_metadata.row_index").as("pos"))
     val filesPerLeaf = back.groupBy(col("lang"), col("shard"))
       .agg(countDistinct(col("f")).as("nf"))
       .agg(max(col("nf"))).first().getLong(0)
-    // in-file order: parquet scan preserves row order within a file,
-    // so a lag over the file-ordered rows must never decrease
-    val w = Window.partitionBy(col("f"))
-      .orderBy(monotonically_increasing_id())
+    val w = Window.partitionBy(col("f")).orderBy(col("pos"))
     val disorder = back
       .withColumn("prev", lag(col("seq_id") * 100000L + col("seq_offset"), 1)
         .over(w))

@@ -740,8 +740,12 @@ object TextQueries {
       .join(broadcast(unigrams.withColumnRenamed("w", "b")
         .withColumnRenamed("n_w", "n_b")), Seq("lang", "b"))
       .join(broadcast(totals), Seq("lang"))
+      // DOUBLE before multiplying: n_ab×n_total overflows LONG on a
+      // trillion-token corpus (ANSI throw / silent wrap) — the oracle
+      // already multiplies in DOUBLE
       .withColumn("pmi", round(
-        log(col("n_ab") * col("n_total") / (col("n_a") * col("n_b")))
+        log(col("n_ab").cast("double") * col("n_total")
+          / (col("n_a").cast("double") * col("n_b")))
           + lit(1e-9), 4))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 10)
