@@ -105,15 +105,112 @@ object SampleQueries {
       |  max(bucket) AS max_bucket
       |FROM b GROUP BY 1""".stripMargin
 
+  /** Temperature exponent for mixture re-weighting — the α of
+    * p_i^α multilingual-sampling (α<1 upweights low-resource
+    * languages; α=0.3 is the published CC100/XLM-R setting). */
+  private val ALPHA = 0.3
+
+  /** sample_temperature — temperature-scaled language-mixture weights:
+    * per-language token counts → natural share p = n/Σn and the
+    * α-tempered sampling weight q = n^α/Σn^α (total^α cancels, so q
+    * is computed from raw counts — no intermediate normalization).
+    * This is the table a mixture builder multiplies against its token
+    * budget to decide how much of each language to draw.
+    *
+    * Scale shape: ONE map-side-combined hash agg collapses the corpus
+    * to |langs| rows; the Σ join is a broadcast of a 1-row aggregate.
+    * Nothing downstream of the first agg scales with corpus size. */
+  def sampleTemperature(s: SparkSession, dir: String): DataFrame = {
+    val perLang = documents(s, dir)
+      .select(col("lang"), size(split(col("text"), " ")).as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_tok")).as("n_tokens"))
+    val tot = perLang.agg(
+      sum(col("n_tokens")).as("n_total"),
+      sum(pow(col("n_tokens"), lit(ALPHA))).as("z"))
+    perLang.join(broadcast(tot))
+      .select(col("lang"), col("n_tokens"),
+        round(col("n_tokens") / col("n_total") + lit(1e-9), 4).as("p"),
+        round(pow(col("n_tokens"), lit(ALPHA)) / col("z") + lit(1e-9), 4)
+          .as("q"))
+  }
+
+  val sampleTemperatureSql: String =
+    s"""WITH pl AS (
+       |  SELECT lang, sum(len(string_split(text, ' '))) AS n_tokens
+       |  FROM documents GROUP BY lang),
+       |tot AS (SELECT sum(n_tokens) AS n_total,
+       |  sum(power(CAST(n_tokens AS DOUBLE), $ALPHA)) AS z FROM pl)
+       |SELECT lang, n_tokens,
+       |  round(CAST(n_tokens AS DOUBLE) / n_total + 1e-9, 4) AS p,
+       |  round(power(CAST(n_tokens AS DOUBLE), $ALPHA) / z + 1e-9, 4) AS q
+       |FROM pl CROSS JOIN tot""".stripMargin
+
+  /** Per-language token budget for sample_token_budget. A FIXED
+    * integer budget (not weights × budget): the cutoff must be
+    * bit-reproducible across engines, and an integer threshold over
+    * an integer running sum is — whereas a pow()-derived budget can
+    * straddle a floor() boundary between libm implementations. A
+    * production mixture run feeds the (rounded) sample_temperature
+    * weights in as per-language constants the same way. */
+  private val LANG_BUDGET = 2500L
+
+  /** sample_token_budget — budget-bounded mixture draw: per language,
+    * take documents in deterministic hash order until the token
+    * budget is spent (a doc is kept iff it STARTS under budget, so
+    * the draw overshoots by at most one document — the standard
+    * packing rule). Reports per-language kept docs/tokens against
+    * budget; the same plan minus the final agg yields the kept rows.
+    *
+    * Scale shape: one window shuffle on the language key with O(1)
+    * running-sum state; skewed languages cost their row count, no
+    * more. The hash order makes the draw a versioned dataset: same
+    * rows on every engine, run, and partitioning. */
+  def sampleTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("bucket"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, dir)
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        hashBucket(col("doc_id")).as("bucket"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .filter(col("cum") - col("n_tok") < LANG_BUDGET)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("n_tok")).as("n_tokens_kept"))
+      .withColumn("budget", lit(LANG_BUDGET))
+  }
+
+  val sampleTokenBudgetSql: String =
+    s"""WITH b AS (
+       |  SELECT lang, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 6)
+       |      AS BIGINT) % 1000 AS bucket
+       |  FROM documents),
+       |c AS (
+       |  SELECT lang, n_tok, sum(n_tok) OVER (PARTITION BY lang
+       |    ORDER BY bucket, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM b)
+       |SELECT lang, count(*) AS n_docs_kept, sum(n_tok) AS n_tokens_kept,
+       |  $LANG_BUDGET AS budget
+       |FROM c WHERE cum - n_tok < $LANG_BUDGET GROUP BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_hash_fraction" -> (sampleHashFraction _),
     "sample_stratified" -> (sampleStratified _),
-    "sample_split" -> (sampleSplit _)
+    "sample_split" -> (sampleSplit _),
+    "sample_temperature" -> (sampleTemperature _),
+    "sample_token_budget" -> (sampleTokenBudget _)
   )
 
   def oracle: Map[String, String] = Map(
     "sample_hash_fraction" -> sampleHashFractionSql,
     "sample_stratified" -> sampleStratifiedSql,
-    "sample_split" -> sampleSplitSql
+    "sample_split" -> sampleSplitSql,
+    "sample_temperature" -> sampleTemperatureSql,
+    "sample_token_budget" -> sampleTokenBudgetSql
   )
 }

@@ -952,7 +952,120 @@ object TextQueries {
       "SELECT doc_id, normalized,\n" +
       "  CAST(len(normalized) AS BIGINT) AS n_chars_norm\nFROM t"
 
+  /** text_bpe_pairs — one round of BPE tokenizer training: the global
+    * count of adjacent character pairs inside words, top-20. Training
+    * a BPE vocabulary IS iterating this count-and-merge step, and the
+    * count is the only part that touches the corpus — so it's the
+    * part that must be distributed.
+    *
+    * Scale shape: explode to pairs → ONE map-side-combined hash agg
+    * (pair cardinality is bounded by |alphabet|², tiny next to the
+    * corpus) → TakeOrderedAndProject for the global top-k. No window,
+    * no second shuffle; the (cnt DESC, pair) total order makes the
+    * top-20 set deterministic across engines. */
+  def textBpePairs(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w)-1), i -> substr(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+
+  val textBpePairsSql: String =
+    """WITH w AS (
+      |  SELECT t.w FROM documents, unnest(string_split(text, ' ')) AS t(w)
+      |  WHERE len(t.w) >= 2),
+      |p AS (
+      |  SELECT substr(w, g.i, 2) AS pair
+      |  FROM w, unnest(generate_series(1, len(w) - 1)) AS g(i)),
+      |c AS (SELECT pair, count(*) AS cnt FROM p GROUP BY pair)
+      |SELECT pair, cnt FROM c ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+
+  /** Interpolation weight of the bigram term in text_bigram_logprob:
+    * score = avg log(λ·P(b|a) + (1−λ)·P(b)) — Jelinek-Mercer
+    * smoothing, the unigram back-off keeping unseen-context pairs
+    * finite. */
+  private val BIGRAM_LAMBDA = 0.7
+
+  /** text_bigram_logprob — corpus-LM perplexity scoring one order up
+    * from text_unigram_logprob: per-doc mean log-likelihood under an
+    * interpolated bigram model estimated from the corpus itself (the
+    * CCNet/KenLM-style quality signal — boilerplate and gibberish
+    * score low). Docs with <2 tokens carry no bigram and drop out on
+    * both engines.
+    *
+    * Scale shape: bigram generation is ONE zip_with over the bound
+    * split array (no O(n²) re-split — see BENCH_LOCAL.md on
+    * text_cooccurrence); vocab estimation is two map-side-combined
+    * hash aggs. Scoring joins occurrences against the vocabs —
+    * broadcast here; at 100 TB the bigram vocab outgrows a broadcast
+    * and AQE falls back to a shuffle join on the SAME plan, with the
+    * occurrence side already partitioned by pair from the count
+    * stage. */
+  def textBigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val base = documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val toks = base
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .filter(length(col("w")) > 0)
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val tot = uni.agg(sum(col("n_w")).as("n_tot"))
+    val bi = base
+      .select(col("doc_id"),
+        // 1 << 30, not Int.MaxValue: slice computes start+length in
+        // int and MaxValue overflows it to an empty slice
+        explode(zip_with(col("ws"), slice(col("ws"), 2, 1 << 30),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      .filter(length(col("a")) > 0 && length(col("b")) > 0)
+    val bv = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    bi
+      .join(broadcast(bv), Seq("a", "b"))
+      .join(broadcast(uni.select(col("w").as("a"), col("n_w").as("n_a"))),
+        Seq("a"))
+      .join(broadcast(uni.select(col("w").as("b"), col("n_w").as("n_b"))),
+        Seq("b"))
+      .join(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(
+        round(avg(log(
+          lit(BIGRAM_LAMBDA) * col("n_ab") / col("n_a") +
+            lit(1.0 - BIGRAM_LAMBDA) * col("n_b") / col("n_tot")))
+          + lit(1e-9), 4).as("avg_logprob"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
+  val textBigramLogprobSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |toks AS (
+       |  SELECT doc_id, t.w FROM d, unnest(ws) AS t(w) WHERE len(t.w) > 0),
+       |uni AS (SELECT w, count(*) AS n_w FROM toks GROUP BY w),
+       |tot AS (SELECT sum(n_w) AS n_tot FROM uni),
+       |bi AS (
+       |  SELECT doc_id, ws[g.i] AS a, ws[g.i + 1] AS b
+       |  FROM d, unnest(generate_series(1, len(ws) - 1)) AS g(i)
+       |  WHERE len(ws[g.i]) > 0 AND len(ws[g.i + 1]) > 0),
+       |bv AS (SELECT a, b, count(*) AS n_ab FROM bi GROUP BY a, b)
+       |SELECT doc_id,
+       |  round(avg(ln(
+       |    $BIGRAM_LAMBDA * CAST(n_ab AS DOUBLE) / ua.n_w +
+       |    ${1.0 - BIGRAM_LAMBDA} * CAST(ub.n_w AS DOUBLE) / n_tot))
+       |    + 1e-9, 4) AS avg_logprob,
+       |  count(*) AS n_bigrams
+       |FROM bi
+       |JOIN bv USING (a, b)
+       |JOIN uni ua ON bi.a = ua.w
+       |JOIN uni ub ON bi.b = ub.w
+       |CROSS JOIN tot
+       |GROUP BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_pairs" -> (textBpePairs _),
+    "text_bigram_logprob" -> (textBigramLogprob _),
     "fn_unicode_normalize" -> (fnUnicodeNormalize _),
     "fn_sentence_split" -> (fnSentenceSplit _),
     "text_cooccurrence" -> (textCooccurrence _),
@@ -980,6 +1093,8 @@ object TextQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "text_bpe_pairs" -> textBpePairsSql,
+    "text_bigram_logprob" -> textBigramLogprobSql,
     "fn_unicode_normalize" -> fnUnicodeNormalizeSql,
     "fn_sentence_split" -> fnSentenceSplitSql,
     "text_cooccurrence" -> textCooccurrenceSql,

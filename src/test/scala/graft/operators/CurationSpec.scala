@@ -159,4 +159,36 @@ class CurationSpec extends SparkSpec {
     assert(rows.length >= (n * 0.75).toInt && rows.length <= n,
       s"kept ${rows.length} of $n")
   }
+
+  test("bpe pair counts equal a plain-Scala recount of the corpus") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    for {
+      t <- docs
+      w <- t.split(" ", -1) if w.length >= 2
+      i <- 0 until w.length - 1
+    } {
+      val p = w.substring(i, i + 2)
+      counts(p) = counts.getOrElse(p, 0L) + 1L
+    }
+    val expected = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+    val got = TextQueries.textBpePairs(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == expected)
+  }
+
+  test("bigram logprob covers exactly the multi-word docs, nonpositive") {
+    import org.apache.spark.sql.functions._
+    val out = TextQueries.textBigramLogprob(spark, sf).collect()
+    assert(out.nonEmpty)
+    // log of a probability: ≤ 0 (rounding epsilon aside)
+    assert(out.forall(_.getDouble(1) <= 1e-6))
+    val perDoc = graft.Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).as("n"))
+      .collect().map(_.getInt(0)).filter(_ >= 2)
+    assert(out.length == perDoc.length)
+    // one bigram per adjacent word pair on clean single-spaced text
+    assert(out.map(_.getLong(2)).sum == perDoc.map(_ - 1L).sum)
+  }
 }

@@ -24,4 +24,41 @@ class SampleSpec extends SparkSpec {
       .groupBy("lang").count().collect().map(_.getLong(1))
     assert(perLang.nonEmpty && perLang.forall(_ == 12L))
   }
+
+  test("temperature weights flatten the mixture toward low-resource languages") {
+    val rows = SampleQueries.sampleTemperature(spark, sf).collect()
+    val p = rows.map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val q = rows.map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // both weight columns are distributions (to rounding)
+    assert(math.abs(p.values.sum - 1.0) < 1e-2)
+    assert(math.abs(q.values.sum - 1.0) < 1e-2)
+    // α<1 moves mass from the richest language to the poorest
+    val hi = p.maxBy(_._2)._1
+    val lo = p.minBy(_._2)._1
+    assert(q(lo) > p(lo) && q(hi) < p(hi))
+  }
+
+  test("token-budget draw spends the budget with at most one doc of overshoot") {
+    import org.apache.spark.sql.functions._
+    val res = SampleQueries.sampleTokenBudget(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val stats = graft.Tables.documents(spark, sf)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("tot"), max(col("n")).as("mx"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(res.keySet == stats.keySet)
+    res.foreach { case (lang, (nDocs, nTok, budget)) =>
+      val (tot, mx) = stats(lang)
+      if (tot >= budget) assert(nTok >= budget) // budget fully spent
+      assert(nTok < budget + mx) // kept docs START under budget
+      assert(nDocs > 0)
+    }
+    // deterministic: the same draw on a rerun
+    val again = SampleQueries.sampleTokenBudget(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(again == res.map { case (k, v) => k -> v._2 })
+  }
 }
