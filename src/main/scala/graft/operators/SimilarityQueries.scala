@@ -642,7 +642,63 @@ object SimilarityQueries {
       |SELECT * FROM scored
       |WHERE abs(norm_z) > 2.0 OR cos_centroid < 0.1""".stripMargin
 
+  /** emb_quantize_int8 — symmetric per-vector int8 quantization audit:
+    * scale = max|x|/127, q_i = round(x_i/scale), reported with the
+    * relative reconstruction error ‖x − q·scale‖/‖x‖. This is the 4×
+    * storage / memory-bandwidth play every 100 TB embedding store
+    * makes before ANN serving; the error column is the acceptance
+    * gate (int8 typically costs <2% recall when rel_err stays small).
+    *
+    * Scale shape: pure per-row expressions — no shuffle, no UDF, one
+    * scan; the whole audit rides whole-stage codegen. Zero vectors
+    * (scale = 0) are defined as error 0 rather than NaN. Arithmetic
+    * order (scale FIRST, then x/scale) is mirrored exactly in the
+    * oracle — a mathematically-equal rewrite like x·127/max diverges
+    * in floating point. */
+  def embQuantizeInt8(s: SparkSession, dir: String): DataFrame =
+    embQuantizeInt8From(embeddings(s, dir))
+
+  /** Fixture-drivable core (vec_id, label, embedding). */
+  private[graft] def embQuantizeInt8From(e: DataFrame): DataFrame = {
+    val withScale = e.select(col("vec_id"), col("label"),
+      transform(col("embedding"), v => v.cast("double")).as("x"))
+      .withColumn("scale",
+        array_max(transform(col("x"), v => abs(v))) / lit(127d))
+    val err2 = aggregate(
+      transform(col("x"), v => {
+        val d = v - round(v / col("scale")) * col("scale")
+        d * d
+      }), lit(0d), (acc, v) => acc + v)
+    val norm2 = aggregate(
+      transform(col("x"), v => v * v), lit(0d), (acc, v) => acc + v)
+    withScale.select(col("vec_id"), col("label"),
+      round(col("scale") + lit(1e-9), 6).as("q_scale"),
+      when(col("scale") === 0d, lit(0d))
+        .otherwise(round(sqrt(err2 / norm2) + lit(1e-9), 4))
+        .as("rel_err"))
+  }
+
+  val embQuantizeInt8Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, label, x,
+      |    list_max(list_transform(x, v -> abs(v))) / 127 AS scale
+      |  FROM e)
+      |SELECT vec_id, label,
+      |  round(scale + 1e-9, 6) AS q_scale,
+      |  CASE WHEN scale = 0 THEN 0.0 ELSE
+      |    round(sqrt(
+      |      list_sum(list_transform(x,
+      |        v -> (v - round(v / scale) * scale)
+      |           * (v - round(v / scale) * scale))) /
+      |      list_sum(list_transform(x, v -> v * v))) + 1e-9, 4)
+      |  END AS rel_err
+      |FROM s""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_quantize_int8" -> (embQuantizeInt8 _),
     "emb_outliers" -> (embOutliers _),
     "sim_topk_cosine" -> (simTopkCosine _),
     "sim_pairwise_threshold" -> (simPairwiseThreshold _),
@@ -657,6 +713,7 @@ object SimilarityQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "emb_quantize_int8" -> embQuantizeInt8Sql,
     "emb_outliers" -> embOutliersSql,
     "sim_topk_cosine" -> simTopkCosineSql,
     "sim_pairwise_threshold" -> simPairwiseThresholdSql,

@@ -1063,7 +1063,63 @@ object TextQueries {
        |CROSS JOIN tot
        |GROUP BY doc_id""".stripMargin
 
+  /** text_sentence_dedup — intra-document repeated-sentence scrub:
+    * boilerplate (cookie banners, navigation crumbs, SEO spam) repeats
+    * the same sentence inside one document; keep each sentence's FIRST
+    * occurrence, reassemble the document in order, report the drop
+    * count. Complements dedup_common_spans (which scrubs spans shared
+    * ACROSS documents) with the per-document pass C4-style cleaners
+    * run first. Sentence boundaries reuse fn_sentence_split's regex.
+    *
+    * Scale shape: per-document state only — one window keyed
+    * (doc_id, sentence) for first-occurrence ranking and one doc-keyed
+    * agg for reassembly; both shuffles carry doc-sized groups, so
+    * skew is bounded by the longest document, not the corpus. */
+  def textSentenceDedup(s: SparkSession, dir: String): DataFrame =
+    textSentenceDedupFrom(documents(s, dir))
+
+  /** Fixture-drivable core (doc_id, text). */
+  private[graft] def textSentenceDedupFrom(docs: DataFrame): DataFrame = {
+    val sents = docs
+      .select(col("doc_id"),
+        posexplode(expr("regexp_extract_all(text, '[^.!?]+[.!?]?', 0)"))
+          .as(Seq("pos", "raw")))
+      .select(col("doc_id"), col("pos"), trim(col("raw")).as("sent"))
+      .filter(length(col("sent")) > 0)
+    val w = Window.partitionBy(col("doc_id"), col("sent"))
+      .orderBy(col("pos"))
+    sents
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        // collect_list skips the nulls the when() leaves for rn>1
+        array_join(transform(array_sort(collect_list(
+          when(col("rn") === 1, struct(col("pos"), col("sent"))))),
+          x => x.getField("sent")), " ").as("text_clean"),
+        count(when(col("rn") === 1, lit(1))).as("n_kept"),
+        count(when(col("rn") > 1, lit(1))).as("n_dropped"))
+  }
+
+  val textSentenceDedupSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]?') AS sents
+      |  FROM documents),
+      |x AS (
+      |  SELECT doc_id, u.i AS pos, trim(sents[u.i]) AS sent
+      |  FROM t, unnest(generate_series(1, len(sents))) AS u(i)),
+      |f AS (
+      |  SELECT doc_id, pos, sent,
+      |    row_number() OVER (PARTITION BY doc_id, sent ORDER BY pos) AS rn
+      |  FROM x WHERE len(sent) > 0)
+      |SELECT doc_id,
+      |  string_agg(sent, ' ' ORDER BY pos) FILTER (WHERE rn = 1)
+      |    AS text_clean,
+      |  count(*) FILTER (WHERE rn = 1) AS n_kept,
+      |  count(*) FILTER (WHERE rn > 1) AS n_dropped
+      |FROM f GROUP BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_sentence_dedup" -> (textSentenceDedup _),
     "text_bpe_pairs" -> (textBpePairs _),
     "text_bigram_logprob" -> (textBigramLogprob _),
     "fn_unicode_normalize" -> (fnUnicodeNormalize _),
@@ -1093,6 +1149,7 @@ object TextQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "text_sentence_dedup" -> textSentenceDedupSql,
     "text_bpe_pairs" -> textBpePairsSql,
     "text_bigram_logprob" -> textBigramLogprobSql,
     "fn_unicode_normalize" -> fnUnicodeNormalizeSql,

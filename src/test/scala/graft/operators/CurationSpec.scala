@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** Quality-threshold curation: the exact-percentile filter (oracle
   * path) and the approx_percentile filter (100 TB path) must agree on
@@ -176,6 +177,42 @@ class CurationSpec extends SparkSpec {
     val got = TextQueries.textBpePairs(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toSeq
     assert(got == expected)
+  }
+
+  test("sentence dedup drops exactly the repeats and preserves order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Accept cookies. Real content here. Accept cookies. More text!"),
+      (2L, "No repeats at all. Second sentence?"),
+      (3L, "Same. Same. Same.")
+    ).toDF("doc_id", "text")
+    val out = TextQueries.textSentenceDedupFrom(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) ==
+      (("Accept cookies. Real content here. More text!", 3L, 1L)))
+    assert(out(2L) == (("No repeats at all. Second sentence?", 2L, 0L)))
+    assert(out(3L) == (("Same.", 1L, 2L)))
+  }
+
+  test("int8 quantization error is small, zero for zero vectors, exact for grid vectors") {
+    import spark.implicits._
+    val e = Seq(
+      // exactly representable on the int8 grid: x = scale * k
+      (1L, Array(127.0f, -127.0f, 0.0f), 0),
+      (2L, Array(0.0f, 0.0f, 0.0f), 0), // degenerate: defined error 0
+      (3L, Array(0.3f, -0.7f, 0.11f), 1)
+    ).toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("label").cast("int").as("label"),
+        col("embedding"))
+    val out = SimilarityQueries.embQuantizeInt8From(e)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L)._1 == 1.0 && out(1L)._2 == 0.0)
+    assert(out(2L) == ((0.0, 0.0)))
+    // int8 rounding error bound: per-element ≤ scale/2 ⇒ relative
+    // error ≤ (scale/2)·√d / ‖x‖ — loose check: under 1%
+    assert(out(3L)._2 > 0.0 && out(3L)._2 < 0.01)
   }
 
   test("bigram logprob covers exactly the multi-word docs, nonpositive") {
