@@ -323,7 +323,44 @@ object JoinQueries {
       |WHERE p_size >= 25
       |GROUP BY p_size""".stripMargin
 
+  /** join_fuzzy — blocked Levenshtein entity resolution: customer
+    * names within edit distance 1, candidate pairs restricted to a
+    * blocking key (the name minus its last 2 characters) so the
+    * self-join is bounded at ≤100 members per block — the classic
+    * blocked record-linkage shape (block → pair → verify).
+    *
+    * Scale shape: ONE hash equi-join shuffle on the block key; the
+    * quadratic Levenshtein verify runs only inside blocks, so cost is
+    * Σ|block|² with |block| ≤ 100 by construction — no corpus-wide
+    * O(n²), no skew (blocks are near-uniform by key design). The
+    * distance is a codegen'd built-in, not a UDF. */
+  def joinFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir).select(col("c_custkey"), col("c_name"),
+      expr("substring(c_name, 1, length(c_name) - 2)").as("blk"))
+    c.select(col("blk"), col("c_custkey").as("id_a"),
+        col("c_name").as("name_a"))
+      .join(c.select(col("blk"), col("c_custkey").as("id_b"),
+        col("c_name").as("name_b")), Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  val joinFuzzySql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_name,
+      |    substring(c_name, 1, len(c_name) - 2) AS blk
+      |  FROM customer)
+      |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      |FROM c a JOIN c b USING (blk)
+      |WHERE a.c_custkey < b.c_custkey
+      |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_fuzzy" -> (joinFuzzy _),
     "join_skew_salted" -> (joinSkewSalted _),
     "q3_shipping" -> (q3Shipping _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -339,6 +376,7 @@ object JoinQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "join_fuzzy" -> joinFuzzySql,
     "join_skew_salted" -> joinSkewSaltedSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_local_supplier" -> q5LocalSupplierSql,

@@ -124,6 +124,47 @@ object SourceSinkQueries {
 
   val srcFormatSql: String = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
 
+  /** src_jsonl_quarantine — JSONL ingest with corrupt-record
+    * quarantine: the crawl-dump reality where a 100 TB drop always
+    * carries truncated/garbage/mistyped lines. Explicit schema (never
+    * inference in a production path) + PERMISSIVE mode routes every
+    * unparseable line into a corrupt-record column instead of failing
+    * the job or silently dropping rows; the malformed ROW SURVIVES for
+    * a quarantine sink. Output proves the split (20 parsed + 3
+    * planted-corrupt). Fixture building collects 20 rows to write the
+    * temp file — harness cost, not the operator; the read path is a
+    * distributed scan.
+    *
+    * Scale: JSON parsing is per-line and schema-projected (only the
+    * declared columns are parsed), so the scan parallelizes like any
+    * text source; quarantine is a narrow flag, no shuffle. */
+  def srcJsonlQuarantine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft-jsonl")
+    val good = graft.Tables.documents(s, dir).limit(20)
+      .select(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))))
+      .as[String].collect()
+    val corrupt = Seq(
+      """{"doc_id": 999999, "lang": "en", "n_chars":""", // truncated
+      "definitely not json",
+      """{"doc_id": "abc", "lang": 7}""" // mistyped fields
+    )
+    val path = tmp.resolve("docs.jsonl")
+    Files.write(path,
+      (good ++ corrupt).mkString("\n").getBytes("UTF-8"))
+    val df = s.read
+      .schema("doc_id LONG, lang STRING, n_chars LONG, _corrupt STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json("file:" + path)
+    // count() over doc_id AND _corrupt: Spark disallows queries whose
+    // referenced columns are ONLY the internal corrupt-record column,
+    // and column pruning reduces a boolean projection to exactly that.
+    // Every parsed line has doc_id; every quarantined line has _corrupt.
+    df.agg(count(col("doc_id")).as("n_good"),
+      count(col("_corrupt")).as("n_quarantined"))
+  }
+
   /** snk_listing_cache — the cache write+hit cycle
     * (insitu recipe.py:35-44): miss lists and writes parquet, hit
     * reads it back without re-listing. Output proves both paths. */
@@ -418,6 +459,7 @@ object SourceSinkQueries {
     "src_yaml_collections" -> (srcYamlCollections _),
     "src_csv" -> (srcCsv _),
     "src_json" -> (srcJson _),
+    "src_jsonl_quarantine" -> (srcJsonlQuarantine _),
     "src_orc" -> (srcOrc _),
     "snk_listing_cache" -> (snkListingCache _),
     "snk_upsert" -> (snkUpsert _),

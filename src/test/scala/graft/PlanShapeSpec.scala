@@ -157,4 +157,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(o.contains("BroadcastHashJoin"), o)
     assert(!o.contains("SortMergeJoin"), s"corpus must not shuffle-join:\n$o")
   }
+
+  test("quantize audit is shuffle-free; BPE top-k heaps instead of sorting") {
+    // int8 audit: pure per-row expressions — a scan-speed pass with
+    // NO Exchange (SCALE.md's 'audits 100 TB at scan speed')
+    val q = plan(SimilarityQueries.embQuantizeInt8(spark, sf))
+    assert(!q.contains("Exchange"), s"quantize audit must not shuffle:\n$q")
+    // BPE pair count: one map-side-combined agg exchange, then the
+    // global top-20 via per-partition heaps — never a global Sort
+    val b = plan(TextQueries.textBpePairs(spark, sf))
+    assert(b.contains("TakeOrderedAndProject"), b)
+    assert(b.sliding("Exchange".length).count(_ == "Exchange") <= 1, b)
+    // temperature weights: corpus collapses in the FIRST agg; the Σ
+    // join must be a broadcast of the 1-row aggregate
+    val t = plan(SampleQueries.sampleTemperature(spark, sf))
+    assert(t.contains("BroadcastNestedLoopJoin") ||
+      t.contains("BroadcastHashJoin"), t)
+    assert(!t.contains("SortMergeJoin"), t)
+  }
 }
