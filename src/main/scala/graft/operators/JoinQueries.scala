@@ -342,9 +342,11 @@ object JoinQueries {
       .join(c.select(col("blk"), col("c_custkey").as("id_b"),
         col("c_name").as("name_b")), Seq("blk"))
       .filter(col("id_a") < col("id_b"))
+      // threshold form: banded O(n·k) with early exit (returns -1
+      // past the threshold) instead of the full O(n²) DP per pair
       .withColumn("dist",
-        levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .filter(col("dist") <= 1)
+        levenshtein(col("name_a"), col("name_b"), 1).cast("long"))
+      .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
