@@ -24,7 +24,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object HttpSource {
 
   /** One fetch outcome: HTTP status (-1 = connect error), byte count
-    * and content digest (empty on non-200). */
+    * and content digest. For any 2xx the body is drained and sha256
+    * is the digest of the (possibly empty — think 204) bytes read up
+    * to maxBytes; the "" sentinel means NO body was fetched (non-2xx
+    * or connect error), so distinguish empty-body from not-fetched by
+    * the sentinel, not by n_bytes. */
   case class Fetched(url: String, status: Int, n_bytes: Long, sha256: String)
 
   private val RETRIES = 2

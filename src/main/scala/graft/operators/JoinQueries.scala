@@ -335,8 +335,12 @@ object JoinQueries {
     * O(n²), no skew (blocks are near-uniform by key design). The
     * distance is a codegen'd built-in, not a UDF. */
   def joinFuzzy(s: SparkSession, dir: String): DataFrame = {
+    // greatest(len-2, 0) on BOTH engines: a name shorter than 2 chars
+    // would give substring a negative length — Spark returns "" but
+    // DuckDB raises, an engine-parity crash on dirty data
     val c = customer(s, dir).select(col("c_custkey"), col("c_name"),
-      expr("substring(c_name, 1, length(c_name) - 2)").as("blk"))
+      expr("substring(c_name, 1, greatest(length(c_name) - 2, 0))")
+        .as("blk"))
     c.select(col("blk"), col("c_custkey").as("id_a"),
         col("c_name").as("name_a"))
       .join(c.select(col("blk"), col("c_custkey").as("id_b"),
@@ -353,7 +357,7 @@ object JoinQueries {
   val joinFuzzySql: String =
     """WITH c AS (
       |  SELECT c_custkey, c_name,
-      |    substring(c_name, 1, len(c_name) - 2) AS blk
+      |    substring(c_name, 1, greatest(len(c_name) - 2, 0)) AS blk
       |  FROM customer)
       |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
       |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist

@@ -671,11 +671,16 @@ object SimilarityQueries {
       }), lit(0d), (acc, v) => acc + v)
     val norm2 = aggregate(
       transform(col("x"), v => v * v), lit(0d), (acc, v) => acc + v)
+    // is_degenerate comes from the UNROUNDED scale: a tiny-magnitude
+    // vector (max|x| < ~6e-5) rounds q_scale to 0.000000 without
+    // being the zero vector — the explicit flag keeps the sentinel
+    // unambiguous instead of overloading q_scale == 0
     withScale.select(col("vec_id"), col("label"),
       round(col("scale") + lit(1e-9), 6).as("q_scale"),
       when(col("scale") === 0d, lit(0d))
         .otherwise(round(sqrt(err2 / norm2) + lit(1e-9), 4))
-        .as("rel_err"))
+        .as("rel_err"),
+      (col("scale") === 0d).as("is_degenerate"))
   }
 
   val embQuantizeInt8Sql: String =
@@ -694,7 +699,8 @@ object SimilarityQueries {
       |        v -> (v - round(v / scale) * scale)
       |           * (v - round(v / scale) * scale))) /
       |      list_sum(list_transform(x, v -> v * v))) + 1e-9, 4)
-      |  END AS rel_err
+      |  END AS rel_err,
+      |  scale = 0 AS is_degenerate
       |FROM s""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

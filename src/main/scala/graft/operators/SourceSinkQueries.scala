@@ -152,6 +152,9 @@ object SourceSinkQueries {
     val path = tmp.resolve("docs.jsonl")
     Files.write(path,
       (good ++ corrupt).mkString("\n").getBytes("UTF-8"))
+    // fixture hygiene: file first, then dir (deleteOnExit is LIFO)
+    tmp.toFile.deleteOnExit()
+    path.toFile.deleteOnExit()
     val df = s.read
       .schema("doc_id LONG, lang STRING, n_chars LONG, _corrupt STRING")
       .option("mode", "PERMISSIVE")

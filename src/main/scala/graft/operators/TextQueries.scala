@@ -14,6 +14,22 @@ import graft.functions.TextFunctions
   */
 object TextQueries {
 
+  /** Adjacent word pairs from a BOUND split array, one pass: zip_with
+    * against the tail shifted by one. The tail is 1 shorter, so the
+    * last pair carries b = null — callers filter it. 1 << 30, not
+    * Int.MaxValue: slice computes start+length in int and MaxValue
+    * overflows it to an empty slice. Shared by textCooccurrence and
+    * textBigramLogprob so the overflow workaround lives once. */
+  private[operators] def adjacentPairs(ws: Column): Column =
+    zip_with(ws, slice(ws, 2, 1 << 30),
+      (a, b) => struct(a.as("a"), b.as("b")))
+
+  /** Sentence-boundary regex (RE2 ∩ java.util.regex subset): runs of
+    * non-terminators with an optional trailing terminator. The ONE
+    * definition behind fn_sentence_split and text_sentence_dedup and
+    * both their oracles — a segmentation change must not desync them. */
+  private[operators] val SENT_RE = "[^.!?]+[.!?]?"
+
   /** text_stats — per-language corpus statistics: doc counts, char
     * lengths, word counts, BPE-ish token counts. Single hash agg. */
   def textStats(s: SparkSession, dir: String): DataFrame = {
@@ -719,8 +735,7 @@ object TextQueries {
     // (the tail is 1 shorter, so the last pair has b = null → dropped).
     val pre = docs.select(col("lang"), split(col("text"), " ").as("ws"))
     val bigrams = pre.select(col("lang"),
-      explode(zip_with(col("ws"), slice(col("ws"), 2, 1 << 30),
-        (x, y) => struct(x.as("a"), y.as("b")))).as("g"))
+      explode(adjacentPairs(col("ws"))).as("g"))
       .select(col("lang"), col("g.a"), col("g.b"))
       .filter(col("b").isNotNull &&
         length(col("a")) > 0 && length(col("b")) > 0)
@@ -901,7 +916,7 @@ object TextQueries {
   def fnSentenceSplit(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
       .select(col("doc_id"),
-        posexplode(expr("regexp_extract_all(text, '[^.!?]+[.!?]?', 0)"))
+        posexplode(expr(s"regexp_extract_all(text, '$SENT_RE', 0)"))
           .as(Seq("sent_idx", "raw")))
       .select(col("doc_id"), col("sent_idx").cast("long").as("sent_idx"),
         trim(col("raw")).as("sentence"),
@@ -909,8 +924,8 @@ object TextQueries {
       .filter(length(col("sentence")) > 0)
 
   val fnSentenceSplitSql: String =
-    """WITH t AS (
-      |  SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]?') AS sents
+    s"""WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(text, '$SENT_RE') AS sents
       |  FROM documents),
       |x AS (
       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx,
@@ -1015,20 +1030,19 @@ object TextQueries {
     val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
     val tot = uni.agg(sum(col("n_w")).as("n_tot"))
     val bi = base
-      .select(col("doc_id"),
-        // 1 << 30, not Int.MaxValue: slice computes start+length in
-        // int and MaxValue overflows it to an empty slice
-        explode(zip_with(col("ws"), slice(col("ws"), 2, 1 << 30),
-          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .select(col("doc_id"), explode(adjacentPairs(col("ws"))).as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
       .filter(length(col("a")) > 0 && length(col("b")) > 0)
     val bv = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    // NO broadcast hints on the vocab joins: an explicit hint is
+    // never demoted, and the bigram vocab is corpus-scale. Unhinted,
+    // AQE broadcasts them at runtime while they fit and degrades to a
+    // shuffle join (already partitioned by the count stage's keys)
+    // when they don't. tot is a 1-row aggregate — always safe.
     bi
-      .join(broadcast(bv), Seq("a", "b"))
-      .join(broadcast(uni.select(col("w").as("a"), col("n_w").as("n_a"))),
-        Seq("a"))
-      .join(broadcast(uni.select(col("w").as("b"), col("n_w").as("n_b"))),
-        Seq("b"))
+      .join(bv, Seq("a", "b"))
+      .join(uni.select(col("w").as("a"), col("n_w").as("n_a")), Seq("a"))
+      .join(uni.select(col("w").as("b"), col("n_w").as("n_b")), Seq("b"))
       .join(broadcast(tot))
       .groupBy(col("doc_id"))
       .agg(
@@ -1082,7 +1096,7 @@ object TextQueries {
   private[graft] def textSentenceDedupFrom(docs: DataFrame): DataFrame = {
     val sents = docs
       .select(col("doc_id"),
-        posexplode(expr("regexp_extract_all(text, '[^.!?]+[.!?]?', 0)"))
+        posexplode(expr(s"regexp_extract_all(text, '$SENT_RE', 0)"))
           .as(Seq("pos", "raw")))
       .select(col("doc_id"), col("pos"), trim(col("raw")).as("sent"))
       .filter(length(col("sent")) > 0)
@@ -1101,8 +1115,8 @@ object TextQueries {
   }
 
   val textSentenceDedupSql: String =
-    """WITH t AS (
-      |  SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]?') AS sents
+    s"""WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(text, '$SENT_RE') AS sents
       |  FROM documents),
       |x AS (
       |  SELECT doc_id, u.i AS pos, trim(sents[u.i]) AS sent

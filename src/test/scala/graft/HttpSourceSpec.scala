@@ -82,10 +82,16 @@ class HttpSourceSpec extends SparkSpec {
       val row = HttpSource.openUrls(spark, urls,
         Map("Authorization" -> TOKEN), maxBytes = 1000L).collect().head
       assert(row.getInt(1) == 200)
-      // drained in 64 KiB reads: the single small body fits one read,
-      // so the cap floor is min(body, first-read) — here body > cap
-      // means count stops once past 1000
-      assert(row.getLong(2) <= 65536L && row.getLong(2) >= 1000L)
+      // the clamp hashes and counts EXACTLY maxBytes of a larger
+      // body: the count is 1000, not wherever the 64 KiB read landed,
+      // and the digest is the digest of precisely those first bytes
+      assert(row.getLong(2) == 1000L)
+      val full = HttpSource.openUrls(spark, urls,
+        Map("Authorization" -> TOKEN)).collect().head
+      assert(full.getLong(2) > 1000L, "fixture body must exceed the cap")
+      assert(row.getString(3) != full.getString(3),
+        "truncated digest must differ from the full-body digest")
+      assert(row.getString(3).length == 64)
     }
   }
 }

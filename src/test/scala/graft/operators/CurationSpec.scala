@@ -206,13 +206,14 @@ class CurationSpec extends SparkSpec {
       .select(col("vec_id"), col("label").cast("int").as("label"),
         col("embedding"))
     val out = SimilarityQueries.embQuantizeInt8From(e)
-      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3))))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getBoolean(4))))
       .toMap
-    assert(out(1L)._1 == 1.0 && out(1L)._2 == 0.0)
-    assert(out(2L) == ((0.0, 0.0)))
+    assert(out(1L)._1 == 1.0 && out(1L)._2 == 0.0 && !out(1L)._3)
+    assert(out(2L) == ((0.0, 0.0, true)))
     // int8 rounding error bound: per-element ≤ scale/2 ⇒ relative
     // error ≤ (scale/2)·√d / ‖x‖ — loose check: under 1%
-    assert(out(3L)._2 > 0.0 && out(3L)._2 < 0.01)
+    assert(out(3L)._2 > 0.0 && out(3L)._2 < 0.01 && !out(3L)._3)
   }
 
   test("bigram logprob covers exactly the multi-word docs, nonpositive") {
