@@ -71,11 +71,97 @@ object PipelineQueries {
        |FROM sq, thr WHERE sq.quality >= thr.thr
        |GROUP BY lang""".stripMargin
 
+  /** pipeline_build_mixture — mixture construction end-to-end, as a
+    * production run would chain it: exact-dedup keepers → P20 quality
+    * gate → α-temperature weights over the SURVIVORS → deterministic
+    * hash-ordered token-budget draw per language. Output is the
+    * mixture card: per language, the docs/tokens actually drawn and
+    * the tempered weight they were drawn under. Every stage is the
+    * already-verified operator; the oracle recomputes the whole chain
+    * so the COMPOSITION is hash-checked.
+    *
+    * Scale shape: same bounds as the stages — content-hash agg,
+    * one broadcast scalar threshold, one |langs|-row weight agg with
+    * a 1-row broadcast Σ, one per-language window with O(1) state.
+    * Nothing after the quality gate scales with corpus size except
+    * the window's linear pass. */
+  def pipelineBuildMixture(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, dir)
+    val keep1 = DedupQueries.dedupExactFrom(docs)
+      .select(col("keep_id").as("doc_id"))
+    val sq = docs.join(keep1, Seq("doc_id"))
+      .withColumn("quality", TextQueries.QualityScore.quality)
+    val thr = sq.agg(
+      round(expr("percentile(quality, 0.2)") + lit(1e-9), 6).as("thr"))
+    val f = sq.join(broadcast(thr))
+      .filter(col("quality") >= col("thr"))
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        SampleQueries.hashBucket(col("doc_id")).as("bucket"))
+    val perLang = f.groupBy(col("lang"))
+      .agg(sum(col("n_tok")).as("n_tokens"))
+    val z = perLang.agg(
+      sum(pow(col("n_tokens"), lit(SampleQueries.ALPHA))).as("z"))
+    val weights = perLang.join(broadcast(z))
+      .select(col("lang"),
+        round(pow(col("n_tokens"), lit(SampleQueries.ALPHA)) / col("z")
+          + lit(1e-9), 4).as("q"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("bucket"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    f.withColumn("cum", sum(col("n_tok")).over(w))
+      .filter(col("cum") - col("n_tok") < SampleQueries.LANG_BUDGET)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("n_tok")).as("n_tokens_kept"))
+      .join(weights, Seq("lang"))
+  }
+
+  val pipelineBuildMixtureSql: String =
+    s"""WITH keep1 AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+       |sq AS (
+       |  SELECT doc_id, lang, text,
+       |    round(least(CAST(n_chars AS DOUBLE)/500.0, 1.0)*0.4 +
+       |      (CAST(len(list_filter(string_split(text,' '),
+       |        w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+       |        / len(string_split(text,' ')))*0.3 +
+       |      (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+       |        / len(string_split(text,' ')))*0.3 + 1e-9, 4) AS quality
+       |  FROM documents JOIN keep1 USING (doc_id)),
+       |thr AS (SELECT round(quantile_cont(quality, 0.2) + 1e-9, 6) AS thr
+       |        FROM sq),
+       |f AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 6)
+       |      AS BIGINT) % 1000 AS bucket
+       |  FROM sq, thr WHERE quality >= thr),
+       |pl AS (SELECT lang, sum(n_tok) AS n_tokens FROM f GROUP BY lang),
+       |zz AS (SELECT sum(power(CAST(n_tokens AS DOUBLE),
+       |  ${SampleQueries.ALPHA})) AS z FROM pl),
+       |w AS (SELECT lang, round(power(CAST(n_tokens AS DOUBLE),
+       |  ${SampleQueries.ALPHA}) / z + 1e-9, 4) AS q
+       |  FROM pl CROSS JOIN zz),
+       |c AS (
+       |  SELECT lang, n_tok, sum(n_tok) OVER (PARTITION BY lang
+       |    ORDER BY bucket, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM f)
+       |SELECT c.lang, count(*) AS n_docs_kept,
+       |  sum(n_tok) AS n_tokens_kept, q
+       |FROM c JOIN w ON c.lang = w.lang
+       |WHERE cum - n_tok < ${SampleQueries.LANG_BUDGET}
+       |GROUP BY c.lang, q""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_clean_corpus" -> (pipelineCleanCorpus _)
+    "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
+    "pipeline_build_mixture" -> (pipelineBuildMixture _)
   )
 
   def oracle: Map[String, String] = Map(
-    "pipeline_clean_corpus" -> pipelineCleanCorpusSql
+    "pipeline_clean_corpus" -> pipelineCleanCorpusSql,
+    "pipeline_build_mixture" -> pipelineBuildMixtureSql
   )
 }

@@ -20,7 +20,7 @@ object SampleQueries {
   /** Stable cross-engine sample bucket in [0, 1000): the first 6 hex
     * chars of sha256(key) as an int. sha256 hex is identical
     * everywhere, so the oracle reproduces the exact row set. */
-  private def hashBucket(key: org.apache.spark.sql.Column) =
+  private[operators] def hashBucket(key: org.apache.spark.sql.Column) =
     conv(substring(sha2(key.cast("string"), 256), 1, 6), 16, 10)
       .cast("bigint") % 1000
 
@@ -108,7 +108,7 @@ object SampleQueries {
   /** Temperature exponent for mixture re-weighting — the α of
     * p_i^α multilingual-sampling (α<1 upweights low-resource
     * languages; α=0.3 is the published CC100/XLM-R setting). */
-  private val ALPHA = 0.3
+  private[operators] val ALPHA = 0.3
 
   /** sample_temperature — temperature-scaled language-mixture weights:
     * per-language token counts → natural share p = n/Σn and the
@@ -153,7 +153,7 @@ object SampleQueries {
     * straddle a floor() boundary between libm implementations. A
     * production mixture run feeds the (rounded) sample_temperature
     * weights in as per-language constants the same way. */
-  private val LANG_BUDGET = 2500L
+  private[operators] val LANG_BUDGET = 2500L
 
   /** sample_token_budget — budget-bounded mixture draw: per language,
     * take documents in deterministic hash order until the token
