@@ -166,20 +166,27 @@ object SampleQueries {
     * running-sum state; skewed languages cost their row count, no
     * more. The hash order makes the draw a versioned dataset: same
     * rows on every engine, run, and partitioning. */
-  def sampleTokenBudget(s: SparkSession, dir: String): DataFrame = {
+  def sampleTokenBudget(s: SparkSession, dir: String): DataFrame =
+    tokenBudgetKeptFrom(documents(s, dir))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("n_tok")).as("n_tokens_kept"))
+      .withColumn("budget", lit(LANG_BUDGET))
+
+  /** The kept ROWS of the budget draw (lang, doc_id, n_tok, bucket) —
+    * the set the streaming admission operator must reproduce
+    * (StreamingSpec asserts stream==batch parity on it). */
+  private[graft] def tokenBudgetKeptFrom(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("bucket"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    documents(s, dir)
+    docs
       .select(col("lang"), col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tok"),
         hashBucket(col("doc_id")).as("bucket"))
       .withColumn("cum", sum(col("n_tok")).over(w))
       .filter(col("cum") - col("n_tok") < LANG_BUDGET)
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs_kept"),
-        sum(col("n_tok")).as("n_tokens_kept"))
-      .withColumn("budget", lit(LANG_BUDGET))
+      .drop("cum")
   }
 
   val sampleTokenBudgetSql: String =

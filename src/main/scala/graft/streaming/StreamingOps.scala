@@ -216,6 +216,51 @@ object StreamingOps {
       }
   }
 
+  /** Streaming token-budget admission — sample_token_budget as
+    * per-language state: each language carries its cumulative token
+    * count in flatMapGroupsWithState and a document is ADMITTED iff
+    * it STARTS under budget (the batch draw's packing rule). The
+    * admit-as-you-crawl form of mixture construction: state is ONE
+    * long per language (O(|langs|), constant on an unbounded feed),
+    * and replaying the corpus in hash-bucket order reproduces the
+    * batch draw exactly — StreamingSpec asserts set-parity across a
+    * multi-batch replay. Rejected docs flow through flagged, not
+    * dropped, so a downstream sink can route overflow elsewhere. */
+  case class AdmitState(cum: Long)
+  case class AdmitVerdict(doc_id: Long, lang: String, n_tokens: Long,
+      admitted: Boolean)
+
+  def budgetAdmitStream(
+      docs: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      budget: Long)
+      : org.apache.spark.sql.Dataset[AdmitVerdict] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .selectExpr("doc_id", "lang",
+        "CAST(size(split(text, ' ')) AS LONG) AS n_tokens",
+        "CAST(conv(substring(sha2(CAST(doc_id AS STRING), 256), 1, 6), 16, 10) AS LONG) % 1000 AS bucket")
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[AdmitState, AdmitVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (lang: String, rows: Iterator[(Long, String, Long, Long)],
+            state: GroupState[AdmitState]) =>
+          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          // deterministic within-batch order; cross-batch order is
+          // arrival order, exactly like the packer
+          val out = rows.toSeq.sortBy(r => (r._4, r._1)).map {
+            case (docId, _, tok, _) =>
+              val start = cum
+              cum += tok
+              AdmitVerdict(docId, lang, tok, start < budget)
+          }
+          state.update(AdmitState(cum))
+          out.iterator
+      }
+  }
+
   /** stream_upsert_sink — continuous merge into the catalog: each
     * micro-batch runs the same last-write-wins upsert as batch ingest
     * (exactly-once per batch id via checkpoint). */

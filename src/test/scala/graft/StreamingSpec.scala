@@ -189,6 +189,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.size == docs.length)
   }
 
+  test("streaming budget admission equals the batch draw across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same replay discipline as the packer test: split at the median
+    // hash bucket so per-language arrival order == the batch draw's
+    // hash order, making the admitted sets comparable
+    val docs = graft.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "lang", "text",
+        "CAST(conv(substring(sha2(CAST(doc_id AS STRING), 256), 1, 6), 16, 10) AS LONG) % 1000 AS bucket")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val cut = docs.map(_._4).sorted.apply(docs.length / 2)
+    val b1 = docs.filter(_._4 < cut).map(d => Doc(d._1, d._2, d._3))
+    val b2 = docs.filter(_._4 >= cut).map(d => Doc(d._1, d._2, d._3))
+    val mem = MemoryStream[Doc]
+    val q = StreamingOps.budgetAdmitStream(mem.toDF(), 2500L)
+      .writeStream.format("memory").queryName("admit_stream")
+      .outputMode("append").start()
+    mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    val judged = spark.table("admit_stream").collect()
+    val got = judged.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    val want = graft.operators.SampleQueries
+      .tokenBudgetKeptFrom(graft.Tables.documents(spark, sf))
+      .collect().map(_.getLong(1)).toSet
+    assert(got == want, "streamed admission diverges from the batch draw")
+    // rejected docs flow through flagged, not dropped
+    assert(judged.length == docs.length)
+  }
+
   test("sessionize runs as a real stream (watermark + append)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
