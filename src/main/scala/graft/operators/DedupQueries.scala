@@ -308,6 +308,49 @@ object DedupQueries {
        |  CAST(x = min(r) AS INT) AS is_keeper
        |FROM reach GROUP BY x""".stripMargin
 
+  /** dedup_keep_best — near-dup cluster resolution by QUALITY: where
+    * dedup_cluster_cc keeps the min-id member (cheap, arbitrary),
+    * production dedup keeps the BEST member of each duplicate
+    * cluster — highest composite quality, doc_id tiebreak. Reports
+    * each cluster's keeper, its quality, and the member count.
+    *
+    * Scale shape: the cluster table is pairs-sized (tiny next to the
+    * corpus); quality joins in on doc_id and one window per cluster
+    * ranks members — cluster sizes bound the window partitions, and
+    * a healthy dedup has small clusters by construction. */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, dir)
+    val clusters = clustersFrom(
+      dedupNgramJaccardFrom(docs).select(col("a"), col("b")))
+    val q = docs.select(col("doc_id"),
+      TextQueries.QualityScore.quality.as("quality"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    clusters.join(q, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(max(when(col("rk") === 1, col("doc_id"))).as("keeper_id"),
+        max(when(col("rk") === 1, col("quality"))).as("best_quality"),
+        count(lit(1)).as("n_members"))
+  }
+
+  val dedupKeepBestSql: String =
+    s"""WITH cc AS (SELECT doc_id, cluster_id
+       |  FROM ($dedupClusterCcSql) z),
+       |q AS (SELECT doc_id,
+       |  ${TextQueries.QualityScore.QUALITY_SQL} AS quality
+       |  FROM documents),
+       |r AS (
+       |  SELECT cluster_id, cc.doc_id, quality, row_number() OVER (
+       |    PARTITION BY cluster_id ORDER BY quality DESC, cc.doc_id) AS rk
+       |  FROM cc JOIN q ON cc.doc_id = q.doc_id)
+       |SELECT cluster_id,
+       |  max(CASE WHEN rk = 1 THEN doc_id END) AS keeper_id,
+       |  max(CASE WHEN rk = 1 THEN quality END) AS best_quality,
+       |  count(*) AS n_members
+       |FROM r GROUP BY cluster_id""".stripMargin
+
   /** Span width (words) for corpus-level span dedup. */
   private val SPAN_W = 10
 
@@ -584,6 +627,7 @@ object DedupQueries {
     "dedup_near_minhash" -> (dedupNearMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_cluster_cc" -> (dedupClusterCc _),
+    "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_common_spans" -> (dedupCommonSpans _),
     "dedup_decontaminate" -> (dedupDecontaminate _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -592,6 +636,7 @@ object DedupQueries {
 
   def oracle: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
+    "dedup_keep_best" -> dedupKeepBestSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_cluster_cc" -> dedupClusterCcSql,
     "dedup_common_spans" -> dedupCommonSpansSql,

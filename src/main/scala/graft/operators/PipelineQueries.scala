@@ -57,12 +57,7 @@ object PipelineQueries {
        |         WHERE d.doc_id NOT IN (SELECT doc_id FROM drop2)),
        |sq AS (
        |  SELECT doc_id, lang, n_chars,
-       |    round(least(CAST(n_chars AS DOUBLE)/500.0, 1.0)*0.4 +
-       |      (CAST(len(list_filter(string_split(text,' '),
-       |        w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
-       |        / len(string_split(text,' ')))*0.3 +
-       |      (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
-       |        / len(string_split(text,' ')))*0.3 + 1e-9, 4) AS quality
+       |    ${TextQueries.QualityScore.QUALITY_SQL} AS quality
        |  FROM surv),
        |thr AS (SELECT round(quantile_cont(quality, 0.2) + 1e-9, 6) AS thr
        |        FROM sq)
@@ -123,12 +118,7 @@ object PipelineQueries {
        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
        |sq AS (
        |  SELECT doc_id, lang, text,
-       |    round(least(CAST(n_chars AS DOUBLE)/500.0, 1.0)*0.4 +
-       |      (CAST(len(list_filter(string_split(text,' '),
-       |        w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
-       |        / len(string_split(text,' ')))*0.3 +
-       |      (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
-       |        / len(string_split(text,' ')))*0.3 + 1e-9, 4) AS quality
+       |    ${TextQueries.QualityScore.QUALITY_SQL} AS quality
        |  FROM documents JOIN keep1 USING (doc_id)),
        |thr AS (SELECT round(quantile_cont(quality, 0.2) + 1e-9, 6) AS thr
        |        FROM sq),

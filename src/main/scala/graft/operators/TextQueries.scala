@@ -105,6 +105,17 @@ object TextQueries {
       least(col("n_chars").cast("double") / 500.0, lit(1.0))
     val quality: Column =
       round(lenScore * 0.4 + stopRatio * 0.3 + diversity * 0.3 + 1e-9, 4)
+
+    /** The SAME composite score as DuckDB SQL — the ONE definition
+      * every oracle interpolates (six call sites; a weight change
+      * must not desync an oracle from the Spark expression). */
+    val QUALITY_SQL: String =
+      "round(least(CAST(n_chars AS DOUBLE)/500.0, 1.0)*0.4 + " +
+        "(CAST(len(list_filter(string_split(text,' '), " +
+        "w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE) " +
+        "/ len(string_split(text,' ')))*0.3 + " +
+        "(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) " +
+        "/ len(string_split(text,' ')))*0.3 + 1e-9, 4)"
   }
 
   def textQuality(s: SparkSession, dir: String): DataFrame =
@@ -483,14 +494,9 @@ object TextQueries {
   }
 
   val textQualityDecileSql: String =
-    """WITH q AS (
+    s"""WITH q AS (
       |  SELECT doc_id, lang,
-      |    round(least(CAST(n_chars AS DOUBLE)/500.0, 1.0)*0.4 +
-      |      (CAST(len(list_filter(string_split(text,' '),
-      |        w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
-      |        / len(string_split(text,' ')))*0.3 +
-      |      (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
-      |        / len(string_split(text,' ')))*0.3 + 1e-9, 4) AS quality
+      |    ${QualityScore.QUALITY_SQL} AS quality
       |  FROM documents)
       |SELECT doc_id, lang, quality,
       |  CAST(ntile(10) OVER (PARTITION BY lang
@@ -632,14 +638,9 @@ object TextQueries {
   }
 
   val textMixtureCardSql: String =
-    """WITH q AS (
+    s"""WITH q AS (
       |  SELECT source, lang, n_chars,
-      |    round(least(CAST(n_chars AS DOUBLE)/500.0, 1.0)*0.4 +
-      |      (CAST(len(list_filter(string_split(text,' '),
-      |        w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
-      |        / len(string_split(text,' ')))*0.3 +
-      |      (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
-      |        / len(string_split(text,' ')))*0.3 + 1e-9, 4) AS quality
+      |    ${QualityScore.QUALITY_SQL} AS quality
       |  FROM documents),
       |card AS (
       |  SELECT source, lang, count(*) AS n_docs,
@@ -846,14 +847,9 @@ object TextQueries {
   }
 
   val aggKsDriftSql: String =
-    """WITH sc AS (
+    s"""WITH sc AS (
       |  SELECT lang, source,
-      |    round(least(CAST(n_chars AS DOUBLE)/500.0, 1.0)*0.4 +
-      |      (CAST(len(list_filter(string_split(text,' '),
-      |        w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
-      |        / len(string_split(text,' ')))*0.3 +
-      |      (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
-      |        / len(string_split(text,' ')))*0.3 + 1e-9, 4) AS q
+      |    ${QualityScore.QUALITY_SQL} AS q
       |  FROM documents),
       |cnt AS (
       |  SELECT lang, source, q, count(*) AS n
@@ -892,14 +888,9 @@ object TextQueries {
   }
 
   val winQualityCdfSql: String =
-    """WITH q AS (
+    s"""WITH q AS (
       |  SELECT doc_id, lang,
-      |    round(least(CAST(n_chars AS DOUBLE)/500.0, 1.0)*0.4 +
-      |      (CAST(len(list_filter(string_split(text,' '),
-      |        w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
-      |        / len(string_split(text,' ')))*0.3 +
-      |      (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
-      |        / len(string_split(text,' ')))*0.3 + 1e-9, 4) AS quality
+      |    ${QualityScore.QUALITY_SQL} AS quality
       |  FROM documents)
       |SELECT doc_id, lang, quality,
       |  round(cume_dist() OVER (PARTITION BY lang
@@ -979,6 +970,14 @@ object TextQueries {
     * no second shuffle; the (cnt DESC, pair) total order makes the
     * top-20 set deterministic across engines. */
   def textBpePairs(s: SparkSession, dir: String): DataFrame =
+    bpePairCounts(s, dir)
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+
+  /** The full (pair, cnt) table — shared by the top-20 report and the
+    * merge-list learning in textBpeEncode (which takes a different,
+    * deeper prefix). */
+  private def bpePairCounts(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 2)
@@ -987,8 +986,6 @@ object TextQueries {
         .as("pair"))
       .groupBy(col("pair"))
       .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("pair"))
-      .limit(20)
 
   val textBpePairsSql: String =
     """WITH w AS (
@@ -999,6 +996,82 @@ object TextQueries {
       |  FROM w, unnest(generate_series(1, len(w) - 1)) AS g(i)),
       |c AS (SELECT pair, count(*) AS cnt FROM p GROUP BY pair)
       |SELECT pair, cnt FROM c ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+
+  /** Number of BPE merges text_bpe_encode learns and applies — enough
+    * to show real compression on the fixture corpus while keeping the
+    * broadcast "model" trivially small. */
+  private val BPE_MERGES = 50
+
+  /** Greedy BPE encoder kernel: apply a ranked merge list to one
+    * word (chars → repeatedly merge the best-ranked adjacent pair
+    * until none applies) and return its token count. The REFERENCE
+    * algorithm every BPE tokenizer runs at encode time; a justified
+    * non-codegen kernel (iterative, data-dependent loop — same class
+    * as the NFC normalizer). Deterministic: ties broken by rank. */
+  private[operators] def bpeTokenCount(
+      word: String, rank: Map[String, Int]): Int = {
+    if (word.isEmpty) return 0
+    var toks = word.map(_.toString).toArray
+    var done = false
+    while (!done && toks.length > 1) {
+      var best = -1
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < toks.length - 1) {
+        val r = rank.getOrElse(toks(i) + toks(i + 1), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; best = i }
+        i += 1
+      }
+      if (best < 0) done = true
+      else {
+        val merged = toks(best) + toks(best + 1)
+        toks = (toks.take(best) :+ merged) ++ toks.drop(best + 2)
+      }
+    }
+    toks.length
+  }
+
+  /** text_bpe_encode — the apply half of the tokenizer loop: learn the
+    * top-50 merges from the corpus (text_bpe_pairs' count, iterated
+    * greedily ON THE PAIR TABLE, not re-scanning the corpus per merge)
+    * and encode every document, reporting BPE token count vs
+    * whitespace words and the compression ratio. Per-language output.
+    *
+    * Scale shape: the merge list is learned from the bounded pair
+    * table (|alphabet|² rows — ONE corpus scan) and travels as a
+    * ≤50-entry broadcast; encoding is a map-side UDF pass, no
+    * shuffle beyond the final per-language agg. DuckDB cannot express
+    * the iterative merge ⇒ rows-only; a plain-Scala reference BPE in
+    * CurationSpec pins the kernel. NOTE the single-scan merge
+    * learning is the standard frequency-rank approximation (ranks
+    * come from the base pair counts, not recounted after each merge)
+    * — the apply-side kernel is exact greedy BPE either way. */
+  def textBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpePairCounts(s, dir)
+      .orderBy(col("cnt").desc, col("pair")).limit(BPE_MERGES)
+      .collect().map(_.getString(0))
+    val rank = merges.zipWithIndex.toMap
+    val b = s.sparkContext.broadcast(rank)
+    val countUdf = udf { text: String =>
+      if (text == null) 0L
+      else {
+        val r = b.value
+        var n = 0L
+        text.split(" ", -1).foreach { w => n += bpeTokenCount(w, r) }
+        n
+      }
+    }
+    documents(s, dir)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        countUdf(col("text")).as("n_bpe"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe")).as("n_bpe"),
+        round(sum(col("n_bpe")) / sum(col("n_words")) + lit(1e-9), 4)
+          .as("tokens_per_word"))
+  }
 
   /** Interpolation weight of the bigram term in text_bigram_logprob:
     * score = avg log(λ·P(b|a) + (1−λ)·P(b)) — Jelinek-Mercer
@@ -1135,6 +1208,7 @@ object TextQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_sentence_dedup" -> (textSentenceDedup _),
     "text_bpe_pairs" -> (textBpePairs _),
+    "text_bpe_encode" -> (textBpeEncode _),
     "text_bigram_logprob" -> (textBigramLogprob _),
     "fn_unicode_normalize" -> (fnUnicodeNormalize _),
     "fn_sentence_split" -> (fnSentenceSplit _),

@@ -216,6 +216,40 @@ class CurationSpec extends SparkSpec {
     assert(out(3L)._2 > 0.0 && out(3L)._2 < 0.01 && !out(3L)._3)
   }
 
+  test("bpe encode matches a plain-Scala greedy reference and compresses") {
+    val out = TextQueries.textBpeEncode(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // reference: recompute the merge ranks and re-encode in plain Scala
+    val docs = graft.Tables.documents(spark, sf)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    for {
+      (_, t) <- docs; w <- t.split(" ", -1) if w.length >= 2
+      i <- 0 until w.length - 1
+    } {
+      val p = w.substring(i, i + 2)
+      counts(p) = counts.getOrElse(p, 0L) + 1L
+    }
+    val rank = counts.toSeq.sortBy { case (p, c) => (-c, p) }
+      .take(50).map(_._1).zipWithIndex.toMap
+    val want = docs.groupBy(_._1).map { case (lang, ds) =>
+      val words = ds.map(_._2.split(" ", -1).length.toLong).sum
+      val bpe = ds.map(_._2.split(" ", -1)
+        .map(w => TextQueries.bpeTokenCount(w, rank).toLong).sum).sum
+      lang -> ((words, bpe))
+    }
+    want.foreach { case (lang, (words, bpe)) =>
+      val (gotWords, gotBpe, ratio) = out(lang)
+      assert(gotWords == words && gotBpe == bpe,
+        s"$lang: got ($gotWords, $gotBpe) want ($words, $bpe)")
+      // merges learned from the corpus must compress it: more tokens
+      // than words (subword), far fewer than characters
+      assert(ratio > 1.0, s"$lang ratio $ratio")
+    }
+  }
+
   test("bigram logprob covers exactly the multi-word docs, nonpositive") {
     import org.apache.spark.sql.functions._
     val out = TextQueries.textBigramLogprob(spark, sf).collect()
