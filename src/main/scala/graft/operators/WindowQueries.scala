@@ -173,7 +173,52 @@ object WindowQueries {
       |          ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
       |      FROM orders) WHERE rn = 1""".stripMargin
 
+  /** win_anomaly — rolling z-score anomaly detection: each event
+    * judged against ITS USER's trailing-50-event baseline (mean /
+    * sample stddev over the preceding rows only — the event never
+    * sees itself), flagged when the rounded |z| ≥ 2.5 with at least
+    * 20 baseline events. The per-entity rolling baseline is the
+    * standard ops/fraud monitoring shape.
+    *
+    * Scale shape: ONE window shuffle keyed user_id — entity
+    * cardinality grows with the data, so partitions stay balanced at
+    * 100 TB (keying by the 5-value event_type would serialize the
+    * corpus through 5 partitions); the bounded ROWS frame keeps
+    * per-row state O(50). z is rounded BEFORE thresholding on both
+    * engines so the flag set can't diverge on a last-ulp boundary. */
+  def winAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-50, -1)
+    events(s, dir)
+      .withColumn("mu", avg(col("value")).over(w))
+      .withColumn("sd", stddev_samp(col("value")).over(w))
+      .withColumn("n", count(col("value")).over(w))
+      .filter(col("n") >= 20 && col("sd") > 0)
+      .withColumn("z",
+        round((col("value") - col("mu")) / col("sd") + lit(1e-9), 4))
+      .filter(abs(col("z")) >= 2.5)
+      .select(col("event_id"), col("user_id"), col("z"))
+  }
+
+  val winAnomalySql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |  FROM events),
+      |wd AS (
+      |  SELECT event_id, user_id, value,
+      |    avg(value) OVER w AS mu,
+      |    stddev_samp(value) OVER w AS sd,
+      |    count(value) OVER w AS n
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING))
+      |SELECT event_id, user_id,
+      |  round((value - mu) / sd + 1e-9, 4) AS z
+      |FROM wd WHERE n >= 20 AND sd > 0
+      |  AND abs(round((value - mu) / sd + 1e-9, 4)) >= 2.5""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_anomaly" -> (winAnomaly _),
     "win_dedup_rank" -> (winDedupRank _),
     "win_gap_detect" -> (winGapDetect _),
     "win_topk_per_group" -> (winTopkPerGroup _),
@@ -185,6 +230,7 @@ object WindowQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "win_anomaly" -> winAnomalySql,
     "win_dedup_rank" -> winDedupRankSql,
     "win_gap_detect" -> winGapDetectSql,
     "win_topk_per_group" -> winTopkPerGroupSql,
