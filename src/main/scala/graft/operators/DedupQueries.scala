@@ -323,11 +323,13 @@ object DedupQueries {
     val docs = documents(s, dir)
     val clusters = clustersFrom(
       dedupNgramJaccardFrom(docs).select(col("a"), col("b")))
-    val q = docs.select(col("doc_id"),
-      TextQueries.QualityScore.quality.as("quality"))
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("quality").desc, col("doc_id"))
-    clusters.join(q, Seq("doc_id"))
+    // join FIRST, score after: quality costs three token passes per
+    // doc, and only cluster members (pairs-sized) need it — scoring
+    // the whole corpus before the join would be a wasted full pass
+    clusters.join(docs, Seq("doc_id"))
+      .withColumn("quality", TextQueries.QualityScore.quality)
       .withColumn("rk", row_number().over(w))
       .groupBy(col("cluster_id"))
       .agg(max(when(col("rk") === 1, col("doc_id"))).as("keeper_id"),

@@ -81,7 +81,6 @@ object PipelineQueries {
     * Nothing after the quality gate scales with corpus size except
     * the window's linear pass. */
   def pipelineBuildMixture(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = documents(s, dir)
     val keep1 = DedupQueries.dedupExactFrom(docs)
       .select(col("keep_id").as("doc_id"))
@@ -89,24 +88,18 @@ object PipelineQueries {
       .withColumn("quality", TextQueries.QualityScore.quality)
     val thr = sq.agg(
       round(expr("percentile(quality, 0.2)") + lit(1e-9), 6).as("thr"))
-    val f = sq.join(broadcast(thr))
+    // the survivors keep their text, so the SHARED stage cores run
+    // unchanged: one packing rule, one weight formula — the pipeline
+    // cannot drift from the standalone operators
+    val surv = sq.join(broadcast(thr))
       .filter(col("quality") >= col("thr"))
-      .select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"),
-        SampleQueries.hashBucket(col("doc_id")).as("bucket"))
-    val perLang = f.groupBy(col("lang"))
-      .agg(sum(col("n_tok")).as("n_tokens"))
-    val z = perLang.agg(
-      sum(pow(col("n_tokens"), lit(SampleQueries.ALPHA))).as("z"))
-    val weights = perLang.join(broadcast(z))
-      .select(col("lang"),
-        round(pow(col("n_tokens"), lit(SampleQueries.ALPHA)) / col("z")
-          + lit(1e-9), 4).as("q"))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("bucket"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    f.withColumn("cum", sum(col("n_tok")).over(w))
-      .filter(col("cum") - col("n_tok") < SampleQueries.LANG_BUDGET)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val weights = SampleQueries.temperatureWeightsFrom(
+      surv.select(col("lang"),
+          size(split(col("text"), " ")).as("n_tok"))
+        .groupBy(col("lang")).agg(sum(col("n_tok")).as("n_tokens")))
+      .select(col("lang"), col("q"))
+    SampleQueries.tokenBudgetKeptFrom(surv)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs_kept"),
         sum(col("n_tok")).as("n_tokens_kept"))

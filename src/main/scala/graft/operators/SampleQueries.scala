@@ -20,7 +20,7 @@ object SampleQueries {
   /** Stable cross-engine sample bucket in [0, 1000): the first 6 hex
     * chars of sha256(key) as an int. sha256 hex is identical
     * everywhere, so the oracle reproduces the exact row set. */
-  private[operators] def hashBucket(key: org.apache.spark.sql.Column) =
+  private[graft] def hashBucket(key: org.apache.spark.sql.Column) =
     conv(substring(sha2(key.cast("string"), 256), 1, 6), 16, 10)
       .cast("bigint") % 1000
 
@@ -108,7 +108,7 @@ object SampleQueries {
   /** Temperature exponent for mixture re-weighting — the α of
     * p_i^α multilingual-sampling (α<1 upweights low-resource
     * languages; α=0.3 is the published CC100/XLM-R setting). */
-  private[operators] val ALPHA = 0.3
+  private[graft] val ALPHA = 0.3
 
   /** sample_temperature — temperature-scaled language-mixture weights:
     * per-language token counts → natural share p = n/Σn and the
@@ -120,11 +120,18 @@ object SampleQueries {
     * Scale shape: ONE map-side-combined hash agg collapses the corpus
     * to |langs| rows; the Σ join is a broadcast of a 1-row aggregate.
     * Nothing downstream of the first agg scales with corpus size. */
-  def sampleTemperature(s: SparkSession, dir: String): DataFrame = {
-    val perLang = documents(s, dir)
-      .select(col("lang"), size(split(col("text"), " ")).as("n_tok"))
-      .groupBy(col("lang"))
-      .agg(sum(col("n_tok")).as("n_tokens"))
+  def sampleTemperature(s: SparkSession, dir: String): DataFrame =
+    temperatureWeightsFrom(
+      documents(s, dir)
+        .select(col("lang"), size(split(col("text"), " ")).as("n_tok"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_tok")).as("n_tokens")))
+
+  /** The weight formula on an already-aggregated (lang, n_tokens)
+    * frame — the ONE definition of p and q; pipeline_build_mixture
+    * reuses it over its survivor counts so the tempering rule cannot
+    * drift between the standalone and composed operators. */
+  private[graft] def temperatureWeightsFrom(perLang: DataFrame): DataFrame = {
     val tot = perLang.agg(
       sum(col("n_tokens")).as("n_total"),
       sum(pow(col("n_tokens"), lit(ALPHA))).as("z"))
@@ -153,7 +160,7 @@ object SampleQueries {
     * straddle a floor() boundary between libm implementations. A
     * production mixture run feeds the (rounded) sample_temperature
     * weights in as per-language constants the same way. */
-  private[operators] val LANG_BUDGET = 2500L
+  private[graft] val LANG_BUDGET = 2500L
 
   /** sample_token_budget — budget-bounded mixture draw: per language,
     * take documents in deterministic hash order until the token
@@ -173,9 +180,11 @@ object SampleQueries {
         sum(col("n_tok")).as("n_tokens_kept"))
       .withColumn("budget", lit(LANG_BUDGET))
 
-  /** The kept ROWS of the budget draw (lang, doc_id, n_tok, bucket) —
-    * the set the streaming admission operator must reproduce
-    * (StreamingSpec asserts stream==batch parity on it). */
+  /** The kept ROWS of the budget draw (lang, doc_id, n_tok, bucket)
+    * from any (doc_id, lang, text) frame — the ONE packing rule,
+    * reproduced by the streaming admission operator (StreamingSpec
+    * asserts stream==batch parity) and reused over the survivor set
+    * by pipeline_build_mixture. */
   private[graft] def tokenBudgetKeptFrom(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("bucket"), col("doc_id"))

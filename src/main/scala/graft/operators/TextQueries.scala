@@ -107,8 +107,10 @@ object TextQueries {
       round(lenScore * 0.4 + stopRatio * 0.3 + diversity * 0.3 + 1e-9, 4)
 
     /** The SAME composite score as DuckDB SQL — the ONE definition
-      * every oracle interpolates (six call sites; a weight change
-      * must not desync an oracle from the Spark expression). */
+      * every quality-scoring oracle interpolates (a weight change
+      * must not desync an oracle from the Spark expression; grep
+      * QUALITY_SQL for the current call sites rather than trusting
+      * a count here). */
     val QUALITY_SQL: String =
       "round(least(CAST(n_chars AS DOUBLE)/500.0, 1.0)*0.4 + " +
         "(CAST(len(list_filter(string_split(text,' '), " +

@@ -232,15 +232,19 @@ object StreamingOps {
 
   def budgetAdmitStream(
       docs: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-      budget: Long)
+      budget: Long = graft.operators.SampleQueries.LANG_BUDGET)
       : org.apache.spark.sql.Dataset[AdmitVerdict] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = docs.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.functions.{col, size, split}
     docs
-      .selectExpr("doc_id", "lang",
-        "CAST(size(split(text, ' ')) AS LONG) AS n_tokens",
-        "CAST(conv(substring(sha2(CAST(doc_id AS STRING), 256), 1, 6), 16, 10) AS LONG) % 1000 AS bucket")
+      // the SHARED bucket definition and budget: a batch-side change
+      // desyncs here at compile/parity-test time, not silently
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        graft.operators.SampleQueries.hashBucket(col("doc_id"))
+          .as("bucket"))
       .as[(Long, String, Long, Long)]
       .groupByKey(_._2)
       .flatMapGroupsWithState[AdmitState, AdmitVerdict](

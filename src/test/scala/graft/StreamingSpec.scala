@@ -196,15 +196,16 @@ class StreamingSpec extends SparkSpec {
     // hash bucket so per-language arrival order == the batch draw's
     // hash order, making the admitted sets comparable
     val docs = graft.Tables.documents(spark, sf)
-      .selectExpr("doc_id", "lang", "text",
-        "CAST(conv(substring(sha2(CAST(doc_id AS STRING), 256), 1, 6), 16, 10) AS LONG) % 1000 AS bucket")
+      .withColumn("bucket",
+        graft.operators.SampleQueries.hashBucket(col("doc_id")))
+      .select("doc_id", "lang", "text", "bucket")
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
     val cut = docs.map(_._4).sorted.apply(docs.length / 2)
     val b1 = docs.filter(_._4 < cut).map(d => Doc(d._1, d._2, d._3))
     val b2 = docs.filter(_._4 >= cut).map(d => Doc(d._1, d._2, d._3))
     val mem = MemoryStream[Doc]
-    val q = StreamingOps.budgetAdmitStream(mem.toDF(), 2500L)
+    val q = StreamingOps.budgetAdmitStream(mem.toDF())
       .writeStream.format("memory").queryName("admit_stream")
       .outputMode("append").start()
     mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
