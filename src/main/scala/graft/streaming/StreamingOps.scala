@@ -265,6 +265,68 @@ object StreamingOps {
       }
   }
 
+  /** Streaming rolling-anomaly detector — win_anomaly as per-user
+    * state: a bounded ring of the user's last 50 values rides
+    * flatMapGroupsWithState, each event judged against the ring
+    * BEFORE being appended (the batch frame's "preceding rows only"
+    * rule). State is O(users × 50) regardless of stream length —
+    * the always-on form of the fraud/ops monitor. Replaying events
+    * in (ts, event_id) order reproduces the batch flags up to
+    * last-ulp variance-algorithm differences at the |z| threshold
+    * (StreamingSpec bounds the disagreement to threshold-boundary
+    * rows). */
+  case class AnomalyState(ring: List[Double])
+  case class AnomalyFlag(event_id: Long, user_id: Long, z: Double)
+
+  private val ANOMALY_RING = 50
+  private val ANOMALY_MIN_N = 20
+  private val ANOMALY_Z = 2.5
+
+  def anomalyStream(
+      events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row])
+      : org.apache.spark.sql.Dataset[AnomalyFlag] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      // unix_micros, not CAST(ts AS LONG): the cast truncates to
+      // SECONDS and would tie-order same-second events differently
+      // than the batch window's full-precision ts
+      .selectExpr("event_id", "unix_micros(ts) AS tsl", "user_id", "value")
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[AnomalyState, AnomalyFlag](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long, Double)],
+            state: GroupState[AnomalyState]) =>
+          var ring = state.getOption.map(_.ring).getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer.empty[AnomalyFlag]
+          // deterministic within-batch order mirrors the batch window
+          rows.toSeq.sortBy(r => (r._2, r._1)).foreach {
+            case (eventId, _, _, value) =>
+              val n = ring.length
+              if (n >= ANOMALY_MIN_N) {
+                val mu = ring.sum / n
+                val sd = math.sqrt(
+                  ring.map(v => (v - mu) * (v - mu)).sum / (n - 1))
+                if (sd > 0) {
+                  // the EXACT rounding Spark's round() applies to a
+                  // double (decimal-string HALF_UP) — rint would be
+                  // HALF_EVEN and could flip a boundary flag
+                  val z = BigDecimal((value - mu) / sd + 1e-9)
+                    .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+                    .toDouble
+                  if (math.abs(z) >= ANOMALY_Z)
+                    out += AnomalyFlag(eventId, user, z)
+                }
+              }
+              ring = (ring :+ value).takeRight(ANOMALY_RING)
+          }
+          state.update(AnomalyState(ring))
+          out.iterator
+      }
+  }
+
   /** stream_upsert_sink — continuous merge into the catalog: each
     * micro-batch runs the same last-write-wins upsert as batch ingest
     * (exactly-once per batch id via checkpoint). */

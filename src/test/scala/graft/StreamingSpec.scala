@@ -221,6 +221,47 @@ class StreamingSpec extends SparkSpec {
     assert(judged.length == docs.length)
   }
 
+  test("streaming anomaly flags equal the batch window up to threshold boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // sf0.01: ~66 events/user, enough to clear the 20-event baseline
+    val sfDir = "/root/testdata/sf0.01"
+    val evs = graft.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id")
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val mid = evs.length / 2
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.anomalyStream(mem.toDF())
+      .writeStream.format("memory").queryName("anomaly_stream")
+      .outputMode("append").start()
+    mem.addData(evs.take(mid).toIndexedSeq: _*); q.processAllAvailable()
+    mem.addData(evs.drop(mid).toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("anomaly_stream").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val want = graft.operators.WindowQueries.winAnomaly(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(want.nonEmpty, "fixture must produce anomalies")
+    // agreeing flags must agree on z exactly
+    (got.keySet intersect want.keySet).foreach { id =>
+      assert(got(id) == want(id), s"z diverges for $id")
+    }
+    // any disagreement must sit ON the threshold boundary (the two
+    // sides compute variance by different algorithms; last-ulp
+    // differences may flip |z| across 2.5 only when z is exactly there)
+    val onlyStream = got.keySet diff want.keySet
+    val onlyBatch = want.keySet diff got.keySet
+    (onlyStream.map(got) ++ onlyBatch.map(want)).foreach { z =>
+      assert(math.abs(math.abs(z) - 2.5) < 5e-4,
+        s"non-boundary disagreement at z=$z")
+    }
+    assert((onlyStream.size + onlyBatch.size) <= math.max(2, want.size / 50),
+      s"too many boundary disagreements: ${onlyStream.size + onlyBatch.size}")
+  }
+
   test("sessionize runs as a real stream (watermark + append)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
