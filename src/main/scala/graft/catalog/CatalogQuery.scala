@@ -50,8 +50,14 @@ object CatalogQuery {
       // overlap test on the pushdown-able scalar columns; a query box
       // with w > e crosses the antimeridian (STAC spec) and splits
       // into [w,180] ∪ [-180,e]
-      def lonOverlap(qw: Double, qe: Double) =
-        col("bbox_w") <= qe && lit(qw) <= col("bbox_e")
+      // ITEM boxes can cross too (a dateline swath stores w > e per
+      // STAC): a crossing item's lon interval is [w,180] ∪ [-180,e],
+      // which overlaps a normal query segment iff either half does
+      def lonOverlap(qw: Double, qe: Double) = {
+        val crosses = col("bbox_w") > col("bbox_e")
+        when(crosses, col("bbox_w") <= qe || lit(qw) <= col("bbox_e"))
+          .otherwise(col("bbox_w") <= qe && lit(qw) <= col("bbox_e"))
+      }
       val lon =
         if (w <= e) lonOverlap(w, e)
         else lonOverlap(w, 180.0) || lonOverlap(-180.0, e)
@@ -104,12 +110,22 @@ object CatalogQuery {
       keys: Seq[(String, Boolean)], token: Seq[Any]): Column = {
     require(keys.length == token.length,
       s"token arity ${token.length} != sort arity ${keys.length}")
-    // (k1 > t1) or (k1 = t1 and (k2 > t2)) or ...
+    // (k1 > t1) or (k1 = t1 and (k2 > t2)) or ... — NULL-AWARE:
+    // a boundary value of null would otherwise make the whole
+    // predicate NULL (c > lit(null) is never true) and silently drop
+    // every row after the boundary. Spark orders nulls FIRST for asc
+    // and LAST for desc; "greater/equal than a null boundary" is
+    // spelled out against that order.
     keys.zip(token).foldRight(lit(false)) {
       case (((name, asc), tv), rest) =>
         val c = col(name)
-        val cmp = if (asc) c > lit(tv) else c < lit(tv)
-        cmp || (c === lit(tv) && rest)
+        val (gt, eq) =
+          if (tv == null) {
+            if (asc) (c.isNotNull, c.isNull) // nulls first: any value is past it
+            else (lit(false), c.isNull) // nulls last: nothing is past it
+          } else if (asc) (c > lit(tv), c === lit(tv))
+          else (c < lit(tv) || c.isNull, c === lit(tv))
+        gt || (eq && rest)
     }
   }
 

@@ -147,7 +147,17 @@ object CatalogStore {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hPath)) {
-      if (!delta.isEmpty) write(delta, path)
+      // honor the delta's layout at bootstrap: a first batch carrying
+      // the derived month column must create the (collection_id,
+      // month) layout — a collection_id-only write here would store
+      // month as a DATA column, and the next upsert (which derives
+      // partCols from the columns it reads) would swap month= leaf
+      // dirs in beside the bootstrap's loose files: a mixed-depth
+      // layout that breaks partition discovery.
+      if (!delta.isEmpty) {
+        if (delta.columns.contains("month")) writeMonthly(delta, path)
+        else write(delta, path)
+      }
       return
     }
     val existingAll = read(spark, path)

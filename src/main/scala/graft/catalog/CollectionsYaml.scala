@@ -72,7 +72,14 @@ object CollectionsYaml {
   }
 
   /** Category suffix derivation: `id.rsplit("-", 1)[1]`
-    * (insitu recipe.py:193-195). */
+    * (insitu recipe.py:193-195). A hyphen-less id is a config error:
+    * the mirrored Python raises IndexError, so surface it rather than
+    * letting the whole id flow downstream as a bogus category. */
   def categories(collections: Seq[StacCollection]): Seq[String] =
-    collections.map(c => c.id.substring(c.id.lastIndexOf('-') + 1))
+    collections.map { c =>
+      val cut = c.id.lastIndexOf('-')
+      require(cut >= 0,
+        s"collection id '${c.id}' has no '-' category suffix")
+      c.id.substring(cut + 1)
+    }
 }

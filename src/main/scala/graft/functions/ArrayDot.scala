@@ -52,6 +52,11 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       var s = 0.0
       var i = 0
       while (i < n) {
+        // a null ELEMENT must null the result (the interpreted
+        // zip_with composition and DuckDB both do) — getDouble on a
+        // null slot would silently read 0.0: a plausible-but-wrong
+        // score, exactly what the mismatch contract forbids
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         s += x.getDouble(i) * y.getDouble(i)
         i += 1
       }
@@ -76,9 +81,12 @@ case class ArrayDotProduct(left: Expression, right: Expression)
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
          |    $acc += $a.getDouble($i) * $b.getDouble($i);
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })

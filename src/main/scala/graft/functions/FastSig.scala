@@ -70,7 +70,11 @@ object FastSig {
   }
 
   /** Jaccard of two SORTED distinct long arrays via linear merge. */
-  val jaccardSorted: UserDefinedFunction = udf { (a: Seq[Long], b: Seq[Long]) =>
+  val jaccardSorted: UserDefinedFunction = udf { (a0: Seq[Long], b0: Seq[Long]) =>
+    // null-tolerant like the siblings in this file: one dirty row
+    // (e.g. a null side from an outer join) must not NPE the task
+    val a = if (a0 == null) Seq.empty[Long] else a0
+    val b = if (b0 == null) Seq.empty[Long] else b0
     var i = 0; var j = 0; var inter = 0
     while (i < a.length && j < b.length) {
       val x = a(i); val y = b(j)
@@ -98,7 +102,11 @@ object FastSig {
   }
 
   /** Band hashes over a minhash signature (rows = numPerm/nBands). */
-  def bandHashes(nBands: Int): UserDefinedFunction = udf { sig: Seq[Long] =>
+  def bandHashes(nBands: Int): UserDefinedFunction = udf { sig0: Seq[Long] =>
+    val sig = if (sig0 == null) Seq.empty[Long] else sig0
+    require(sig.length % nBands == 0,
+      s"signature length ${sig.length} must divide into $nBands bands —" +
+        " a remainder would silently discard the trailing permutations")
     val rows = sig.length / nBands
     Array.tabulate(nBands) { b =>
       var h = b.toLong
@@ -143,7 +151,8 @@ object FastSig {
     * projections onto deterministic ±1 hyperplanes (component (b,d)
     * from mix(seed,b,d)) packed into a long. */
   def hyperplaneSigFast(bits: Int, seed: Long = 42L): UserDefinedFunction =
-    udf { emb: Seq[Double] =>
+    udf { emb0: Seq[Double] =>
+      val emb = if (emb0 == null) Seq.empty[Double] else emb0
       var sig = 0L
       var b = 0
       while (b < bits) {

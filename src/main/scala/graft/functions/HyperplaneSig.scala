@@ -57,6 +57,10 @@ object SigTable {
 case class HyperplaneSigExpr(child: Expression, bits: Int, seed: Long)
     extends UnaryExpression {
 
+  // null on a null ELEMENT (mirrors ArrayDotProduct) ⇒ nullable even
+  // under a non-nullable child
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -78,6 +82,10 @@ case class HyperplaneSigExpr(child: Expression, bits: Int, seed: Long)
       var proj = 0.0
       var d = 0
       while (d < n) {
+        // null element → null signature (mirrors ArrayDotProduct):
+        // reading the slot as 0.0 would hash the vector into a bucket
+        // it doesn't belong to
+        if (emb.isNullAt(d)) return null
         val negative =
           if (d < SigTable.MAX_DIM) ((words(d >> 6) >>> (d & 63)) & 1L) != 0L
           else SigTable.negSign(seed, b, d)
@@ -105,19 +113,24 @@ case class HyperplaneSigExpr(child: Expression, bits: Int, seed: Long)
       s"""
          |int $n = $a.numElements();
          |long $sig = 0L;
-         |for (int $b = 0; $b < $bits; $b++) {
-         |  long[] $w = $tbl[$b];
-         |  double $proj = 0.0;
-         |  for (int $d = 0; $d < $n; $d++) {
-         |    boolean neg = ($d < ${SigTable.MAX_DIM})
-         |      ? ((($w[$d >> 6] >>> ($d & 63)) & 1L) != 0L)
-         |      : graft.functions.SigTable.negSign(${seed}L, $b, $d);
-         |    double $v = $a.getDouble($d);
-         |    $proj += neg ? -$v : $v;
-         |  }
-         |  if ($proj >= 0) $sig |= (1L << $b);
+         |for (int $d = 0; $d < $n; $d++) {
+         |  if ($a.isNullAt($d)) { ${ev.isNull} = true; break; }
          |}
-         |${ev.value} = $sig;
+         |if (!${ev.isNull}) {
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    long[] $w = $tbl[$b];
+         |    double $proj = 0.0;
+         |    for (int $d = 0; $d < $n; $d++) {
+         |      boolean neg = ($d < ${SigTable.MAX_DIM})
+         |        ? ((($w[$d >> 6] >>> ($d & 63)) & 1L) != 0L)
+         |        : graft.functions.SigTable.negSign(${seed}L, $b, $d);
+         |      double $v = $a.getDouble($d);
+         |      $proj += neg ? -$v : $v;
+         |    }
+         |    if ($proj >= 0) $sig |= (1L << $b);
+         |  }
+         |  ${ev.value} = $sig;
+         |}
        """.stripMargin
     })
   }

@@ -80,8 +80,25 @@ object SurrogateRepair {
           else if ((b & 0xf0) == 0xe0) 3
           else if ((b & 0xf8) == 0xf0) 4
           else 0
+        // STRICT second-byte range per lead (RFC 3629 table): a
+        // structural-only check would accept overlong (C0/C1, E0 80),
+        // surrogate (ED A0..BF) and >U+10FFFF (F4 90.., F5..) forms,
+        // which new String() turns into U+FFFD — destroying the bytes
+        // the latin-1 fallback exists to preserve
+        def b2ok: Boolean = {
+          val b2 = bytes(i + 1) & 0xff
+          b match {
+            case 0xc0 | 0xc1 => false // overlong 2-byte
+            case 0xe0 => b2 >= 0xa0 && b2 <= 0xbf // no overlong 3-byte
+            case 0xed => b2 >= 0x80 && b2 <= 0x9f // no surrogates
+            case 0xf0 => b2 >= 0x90 && b2 <= 0xbf // no overlong 4-byte
+            case 0xf4 => b2 >= 0x80 && b2 <= 0x8f // ≤ U+10FFFF
+            case x if x >= 0xf5 => false // > U+10FFFF
+            case _ => (b2 & 0xc0) == 0x80
+          }
+        }
         val ok = len > 0 && i + len <= bytes.length &&
-          (1 until len).forall(j => (bytes(i + j) & 0xc0) == 0x80)
+          (1 until len).forall(j => (bytes(i + j) & 0xc0) == 0x80) && b2ok
         if (ok) {
           out.append(new String(bytes, i, len, StandardCharsets.UTF_8))
           i += len

@@ -26,7 +26,8 @@ object TextFunctions {
 
   /** SimHash-64 over a token array: per bit, sum ±1 contributions of
     * each token's hash; bit set iff the sum is positive. */
-  val simhash64: UserDefinedFunction = udf { toks: Seq[String] =>
+  val simhash64: UserDefinedFunction = udf { toks0: Seq[String] =>
+    val toks = if (toks0 == null) Seq.empty[String] else toks0
     val counts = new Array[Int](64)
     toks.foreach { t =>
       var h = scala.util.hashing.MurmurHash3.stringHash(t).toLong & 0xffffffffL

@@ -31,8 +31,13 @@ object VectorFunctions {
   /** Split a packed bit-signature into `nBands` band values for LSH
     * bucketing (band join = candidates agreeing on ≥1 band). */
   def sigBands(sig: Column, bits: Int, nBands: Int): Column = {
+    require(bits % nBands == 0,
+      s"bits=$bits must divide evenly into $nBands bands — a remainder" +
+        " would silently drop the high bits from every band hash")
     val bandBits = bits / nBands
-    val mask = (1L << bandBits) - 1
+    // -1L, not (1L<<64)-1: Java shifts mod 64, so at bandBits=64 the
+    // naive mask is 0 and every band hash collapses to one bucket
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
     array((0 until nBands).map { j =>
       struct(lit(j).as("band"),
         (shiftright(sig, j * bandBits).bitwiseAND(lit(mask))).as("bh"))
@@ -47,8 +52,10 @@ object VectorFunctions {
     * — a constant factor on a short-key shuffle, never a function of
     * corpus size. */
   def sigBandProbes(sig: Column, bits: Int, nBands: Int): Column = {
+    require(bits % nBands == 0,
+      s"bits=$bits must divide evenly into $nBands bands")
     val bandBits = bits / nBands
-    val mask = (1L << bandBits) - 1
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
     array((0 until nBands).flatMap { j =>
       val base = shiftright(sig, j * bandBits).bitwiseAND(lit(mask))
       (base +: (0 until bandBits).map(i => base.bitwiseXOR(lit(1L << i))))

@@ -84,19 +84,27 @@ object Geometry {
         ExtractedGeom("Invalid", "", 0, 0, 0, 0,
           math.max(lon.length, lat.length), 0)
       else {
-      val raw = lon.zip(lat).toIndexedSeq
+      // NaN/Infinity fill values (routine in NetCDF) must be dropped
+      // BEFORE geometry assembly: NaN is illegal in JSON (the Feature
+      // would be unparsable) and would poison every bbox scalar. The
+      // raw count still reports the full input so the drop is visible.
+      val rawAll = lon.zip(lat).toIndexedSeq
+      val raw = rawAll.filter { case (x, y) =>
+        java.lang.Double.isFinite(x) && java.lang.Double.isFinite(y)
+      }
       // dedupe consecutive duplicates
       val dedup = raw.headOption.map { h =>
         raw.tail.foldLeft(IndexedSeq(h)) { (acc, p) =>
           if (acc.last == p) acc else acc :+ p
         }
       }.getOrElse(IndexedSeq.empty)
-      if (dedup.isEmpty) ExtractedGeom("Empty", "", 0, 0, 0, 0, raw.length, 0)
+      if (dedup.isEmpty)
+        ExtractedGeom("Empty", "", 0, 0, 0, 0, rawAll.length, 0)
       else if (dedup.length == 1) {
         val (x, y) = dedup.head
         ExtractedGeom("Point",
           s"""{"type":"Point","coordinates":[$x,$y]}""",
-          x, y, x, y, raw.length, 1)
+          x, y, x, y, rawAll.length, 1)
       } else {
         val simp = douglasPeucker(dedup, tolerance)
         val coords = simp.map { case (x, y) => s"[$x,$y]" }.mkString(",")
@@ -104,7 +112,7 @@ object Geometry {
         val ys = dedup.map(_._2)
         ExtractedGeom("LineString",
           s"""{"type":"LineString","coordinates":[$coords]}""",
-          xs.min, ys.min, xs.max, ys.max, raw.length, simp.length)
+          xs.min, ys.min, xs.max, ys.max, rawAll.length, simp.length)
       }
       }
     }

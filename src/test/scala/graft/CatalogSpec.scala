@@ -184,6 +184,52 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("keyset paging survives a null sort-key boundary") {
+    import spark.implicits._
+    val items = Seq(
+      ("i1", null.asInstanceOf[java.lang.Double]),
+      ("i2", null.asInstanceOf[java.lang.Double]),
+      ("i3", null.asInstanceOf[java.lang.Double]),
+      ("i4", java.lang.Double.valueOf(1.0)),
+      ("i5", java.lang.Double.valueOf(2.0))
+    ).toDF("item_id", "score")
+    val q = CatalogQuery.Search(sortBy = Seq(("score", true)), limit = 2)
+    // asc → nulls first: page 1 ends ON a null boundary
+    val p1 = CatalogQuery.compile(items, q).collect()
+    assert(p1.map(_.getString(0)).sameElements(Array("i1", "i2")))
+    val t1 = CatalogQuery.nextToken(p1, q).get
+    val p2 = CatalogQuery.compile(items, q.copy(afterToken = Some(t1)))
+      .collect()
+    // the null-boundary predicate must NOT drop the remaining rows
+    assert(p2.map(_.getString(0)).sameElements(Array("i3", "i4")),
+      s"page 2 lost rows after a null boundary: ${p2.mkString(",")}")
+    val t2 = CatalogQuery.nextToken(p2, q).get
+    val p3 = CatalogQuery.compile(items, q.copy(afterToken = Some(t2)))
+      .collect()
+    assert(p3.map(_.getString(0)).sameElements(Array("i5")))
+  }
+
+  test("bbox search finds antimeridian-crossing items") {
+    import spark.implicits._
+    val items = Seq(
+      // dateline swath: stored w > e per STAC
+      ("cross", 170.0, -10.0, -170.0, 10.0),
+      ("normal", 0.0, -10.0, 20.0, 10.0)
+    ).toDF("item_id", "bbox_w", "bbox_s", "bbox_e", "bbox_n")
+    def search(w: Double, s: Double, e: Double, n: Double) =
+      CatalogQuery.compile(items,
+        CatalogQuery.Search(bbox = Some((w, s, e, n))))
+        .collect().map(_.getString(0)).toSet
+    // query east of the dateline overlaps the [170,180] half
+    assert(search(160.0, -5.0, 180.0, 5.0) == Set("cross"))
+    // query west of the dateline overlaps the [-180,-170] half
+    assert(search(-180.0, -5.0, -160.0, 5.0) == Set("cross"))
+    // mid-ocean query away from both items matches neither
+    assert(search(60.0, -5.0, 80.0, 5.0) == Set.empty[String])
+    // crossing QUERY and crossing ITEM together
+    assert(search(175.0, -5.0, -175.0, 5.0) == Set("cross"))
+  }
+
   test("FeatureCollection pages serialize, token-walk and re-parse") {
     val path = s"$tmp/fc-items"
     val (items, _) = ItemAssembly.assemble(

@@ -136,4 +136,59 @@ class FunctionsSpec extends SparkSpec {
     assert(got(1L) == BboxUnionAgg.Bbox(-10, -20, 8, 5))
     assert(got(2L) == BboxUnionAgg.Bbox(0, 0, 1, 1))
   }
+
+  test("array_dot and hyperplane_sig null a result on a null ELEMENT") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),
+      (2L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0))
+    ).toDF("id", "a", "b")
+      .selectExpr("id", "CAST(a AS ARRAY<DOUBLE>) AS a",
+        "CAST(b AS ARRAY<DOUBLE>) AS b")
+    val dots = df.select(col("id"),
+      graft.functions.ArrayDot.arrayDot(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!dots(1L), "clean row must score")
+    assert(dots(2L), "null element must null the dot, not read 0.0")
+    val sigs = df.select(col("id"),
+      graft.functions.HyperplaneSig.hyperplaneSig(col("a"), 16).as("s"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!sigs(1L) && sigs(2L),
+      "null element must null the signature on both eval paths")
+  }
+
+  test("band splitting rejects non-divisible configs; 64-bit band mask is full") {
+    intercept[IllegalArgumentException] {
+      graft.functions.VectorFunctions.sigBands(
+        org.apache.spark.sql.functions.lit(1L), 64, 3)
+    }
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // bandBits = 64: the single band hash must be the signature
+    // itself, not a zero-masked constant
+    val sig = 0x0123456789abcdefL
+    val got = Seq(sig).toDF("sig")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.VectorFunctions.sigBands(col("sig"), 64, 1)).as("b"))
+      .select(col("b.bh")).collect().map(_.getLong(0))
+    assert(got.sameElements(Array(sig)))
+  }
+
+  test("decode-repair preserves overlong/surrogate byte forms as latin-1") {
+    import graft.functions.SurrogateRepair
+    // overlong '/' (C0 AF) and a CESU-8 surrogate lead (ED A0 80):
+    // structurally plausible, but strict UTF-8 must REJECT them so the
+    // bytes survive as latin-1 instead of dissolving into U+FFFD
+    val overlong = SurrogateRepair.decodeRepair(
+      Array(0xc0.toByte, 0xaf.toByte))
+    assert(overlong == "\u00c0\u00af", s"got ${overlong.map(_.toInt)}")
+    val surrogate = SurrogateRepair.decodeRepair(
+      Array(0xed.toByte, 0xa0.toByte, 0x80.toByte))
+    assert(!surrogate.contains('\ufffd'))
+    assert(surrogate == "\u00ed\u00a0\u0080")
+    // a REAL 3-byte char still decodes (ED 9F BF = U+D7FF, legal)
+    assert(SurrogateRepair.decodeRepair(
+      Array(0xed.toByte, 0x9f.toByte, 0xbf.toByte)) == "\ud7ff")
+  }
 }

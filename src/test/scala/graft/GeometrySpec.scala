@@ -40,6 +40,32 @@ class GeometrySpec extends SparkSpec {
     assert(rows(3L)._1 == "Point")
   }
 
+  test("NaN/Infinity fill values are dropped before geometry assembly") {
+    import spark.implicits._
+    val nan = Double.NaN
+    val inf = Double.PositiveInfinity
+    val df = Seq(
+      // one NaN fill point inside an otherwise good track
+      (1L, Seq(0.0, nan, 2.0, 3.0), Seq(0.0, nan, 0.5, 1.0)),
+      // all points non-finite → Empty, not a NaN geometry
+      (2L, Seq(nan, inf), Seq(nan, 1.0))
+    ).toDF("id", "lon", "lat")
+      .select(col("id"),
+        Geometry.extractTrajectory(0.001)(col("lon"), col("lat")).as("g"))
+      .select("id", "g.geo_type", "g.geometry", "g.bbox_w", "g.bbox_e",
+        "g.n_points_in")
+    val rows = df.collect().map(r => r.getLong(0) ->
+      ((r.getString(1), r.getString(2), r.getDouble(3), r.getDouble(4),
+        r.getInt(5)))).toMap
+    val (t1, geo1, w1, e1, n1) = rows(1L)
+    assert(t1 == "LineString")
+    // NaN is illegal JSON: the serialized Feature must stay parsable
+    assert(!geo1.contains("NaN") && !geo1.contains("Infinity"), geo1)
+    assert(!w1.isNaN && !e1.isNaN && w1 == 0.0 && e1 == 3.0)
+    assert(n1 == 4, "input count still reports the raw length")
+    assert(rows(2L)._1 == "Empty", "all-non-finite must quarantine")
+  }
+
   test("surrogate repair restores surrogateescape bytes") {
     // Python surrogateescape: byte 0xE9 (latin-1 'é') → U+DCE9
     val broken = "caf" + '\udce9'
