@@ -214,7 +214,38 @@ object SampleQueries {
        |  $LANG_BUDGET AS budget
        |FROM c WHERE cum - n_tok < $LANG_BUDGET GROUP BY lang""".stripMargin
 
+  /** agg_dataset_checksum — order-independent dataset fingerprint:
+    * per language, the row count, token total, and a content checksum
+    * (SUM of per-row sha256-derived longs — commutative, so the value
+    * is independent of partitioning, task order, and row order).
+    * The dataset-versioning primitive: two pipelines (or two engines,
+    * or two runs) producing the same checksum row agree on the full
+    * content without moving or sorting a byte of it.
+    *
+    * Scale shape: one map-side-combined hash agg to |langs| rows —
+    * checksum cost is the scan itself. */
+  def aggDatasetChecksum(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        // first 12 hex chars = 48 bits: sums of 500k such values stay
+        // far under LONG overflow at any realistic partition count
+        conv(substring(sha2(col("text"), 256), 1, 12), 16, 10)
+          .cast("bigint").as("h"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("h")).as("content_sum"))
+
+  val aggDatasetChecksumSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  sum(len(string_split(text, ' '))) AS n_tokens,
+      |  sum(CAST('0x' || substr(sha256(text), 1, 12) AS BIGINT))
+      |    AS content_sum
+      |FROM documents GROUP BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_dataset_checksum" -> (aggDatasetChecksum _),
     "sample_hash_fraction" -> (sampleHashFraction _),
     "sample_stratified" -> (sampleStratified _),
     "sample_split" -> (sampleSplit _),
@@ -223,6 +254,7 @@ object SampleQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_dataset_checksum" -> aggDatasetChecksumSql,
     "sample_hash_fraction" -> sampleHashFractionSql,
     "sample_stratified" -> sampleStratifiedSql,
     "sample_split" -> sampleSplitSql,

@@ -204,6 +204,51 @@ object SourceSinkQueries {
       .toDF("initial_count", "after_upsert", "distinct_ids", "idempotent")
   }
 
+  /** catalog_changelog — snapshot CDC through the real store: write a
+    * catalog, upsert a delta that MODIFIES some items and ADDS others,
+    * and diff the two snapshots. The output row proves the changelog
+    * classifies exactly the touched items (and that an untouched
+    * re-ingest contributes nothing). Side-effectful fixture ⇒
+    * rows-only; CatalogDiffSpec covers removed/changed corners. */
+  def catalogChangelog(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.catalog.CatalogDiff
+    val path = Files.createTempDirectory("graft-cdc").toString + "/items"
+    val (items, _) = ItemAssembly.assemble(
+      new FixtureGranuleSource(end = "2022-05-01 03:59:59").granules(s))
+    CatalogStore.write(items, path)
+    // pin v1 as its OWN snapshot copy. cache() is NOT enough twice
+    // over: unmaterialized it would lazily re-read the post-upsert
+    // files, and materialized the CacheManager plan-matches the
+    // identical v2 read and serves IT from the v1 cache — either way
+    // the diff compares a snapshot with itself and reports nothing
+    val v1Path = Files.createTempDirectory("graft-cdc-v1").toString + "/v1"
+    CatalogStore.read(s, path).write.parquet(v1Path)
+    val v1 = s.read.parquet(v1Path)
+    // delta: hour-0 items re-ingested with a bumped ingested_at and a
+    // CHANGED source_url; hours 4-5 are NEW
+    val changedIds = items.filter(hour(col("start_datetime")) === 0)
+      .select("item_id").as[String].collect().toSet
+    val changed = v1.filter(col("item_id").isin(changedIds.toSeq: _*))
+      .withColumn("source_url", concat(col("source_url"), lit("?v=2")))
+      .withColumn("ingested_at",
+        col("ingested_at") + expr("INTERVAL 1 HOUR"))
+    val (fresh, _) = ItemAssembly.assemble(
+      new FixtureGranuleSource(
+        start = "2022-05-01 04:01:03", end = "2022-05-01 05:59:59")
+        .granules(s))
+    CatalogStore.upsert(s, path, changed.unionByName(fresh))
+    val v2 = CatalogStore.read(s, path)
+    val log = CatalogDiff.changelog(v1, v2)
+    val byChange = log.groupBy(col("change")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq((byChange.getOrElse("added", 0L),
+      byChange.getOrElse("changed", 0L),
+      byChange.getOrElse("removed", 0L),
+      byChange.getOrElse("changed", 0L) == changedIds.size))
+      .toDF("n_added", "n_changed", "n_removed", "changed_matches")
+  }
+
   /** snk_compact — small-file compaction of an upserted catalog
     * (CatalogMaintenance): a sliver-heavy write (32 tasks × every
     * leaf) is compacted to ⌈bytes/target⌉ files per leaf with the
@@ -463,6 +508,7 @@ object SourceSinkQueries {
     "src_csv" -> (srcCsv _),
     "src_json" -> (srcJson _),
     "src_jsonl_quarantine" -> (srcJsonlQuarantine _),
+    "catalog_changelog" -> (catalogChangelog _),
     "src_orc" -> (srcOrc _),
     "snk_listing_cache" -> (snkListingCache _),
     "snk_upsert" -> (snkUpsert _),
