@@ -32,6 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftExtensions.hyperplaneSigBuilder))
     // the single custom optimizer rule: bbox_overlaps joins → bucketed
     ext.injectOptimizerRule(_ => graft.plans.RewriteBboxOverlapJoin)
+    // whole-operator extension: two-phase heap top-k per group
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }
 
@@ -80,5 +82,7 @@ object GraftExtensions {
       spark.experimental.extraOptimizations ++=
         Seq(graft.plans.RewriteBboxOverlapJoin)
     }
+    org.apache.spark.sql.graftbridge.GraftExpr
+      .addStrategy(spark, graft.plans.TopKPerGroupStrategy)
   }
 }

@@ -217,7 +217,32 @@ object WindowQueries {
       |FROM wd WHERE n >= 20 AND sd > 0
       |  AND abs(round((value - mu) / sd + 1e-9, 4)) >= 2.5""".stripMargin
 
+  /** win_topk_custom — win_topk_per_group through the CUSTOM physical
+    * operator (plans.TopKPerGroup): two-phase bounded heaps instead
+    * of a per-partition full sort, ≤ k rows per (group, partition)
+    * through the exchange. Same answer as the window form — the
+    * oracle IS the window SQL — on a plan with no Sort and no
+    * WindowExec (TopKSpec asserts the shape). Ordering carries an
+    * event_id tiebreak: a total order is what makes heap and window
+    * agree on boundary rows. */
+  def winTopkCustom(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    graft.plans.TopKPerGroup.topKPerGroup(
+      events(s, dir).select(col("user_id"), col("event_id"), col("value")),
+      keys = Seq("user_id"),
+      orderBy = Seq(("value", false), ("event_id", true)),
+      k = 3)
+  }
+
+  val winTopkCustomSql: String =
+    """SELECT user_id, event_id, value FROM (
+      |  SELECT user_id, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY value DESC, event_id) AS rk
+      |  FROM events) t WHERE rk <= 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_topk_custom" -> (winTopkCustom _),
     "win_anomaly" -> (winAnomaly _),
     "win_dedup_rank" -> (winDedupRank _),
     "win_gap_detect" -> (winGapDetect _),
@@ -230,6 +255,7 @@ object WindowQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "win_topk_custom" -> winTopkCustomSql,
     "win_anomaly" -> winAnomalySql,
     "win_dedup_rank" -> winDedupRankSql,
     "win_gap_detect" -> winGapDetectSql,
