@@ -70,6 +70,10 @@ object HttpSource {
           conn.setRequestMethod("GET")
           headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
           val status = conn.getResponseCode
+          // a 5xx is as transient as a connect error: retry it under
+          // the same backoff instead of permanently recording failure
+          if (status >= 500 && attempt < RETRIES)
+            throw new java.io.IOException(s"transient HTTP $status")
           // any 2xx carries a body worth draining — 206 is the normal
           // reply to the Range headers this API advertises
           if (status / 100 != 2) return Fetched(url, status, 0L, "")

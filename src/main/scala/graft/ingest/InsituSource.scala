@@ -51,12 +51,18 @@ object InsituSource {
         (pmod(shiftright(col("seed"), 13), lit(140)).cast("double") - 70))
       // collinear easterly drift with a kink at 3/4 of the track —
       // DP(ε=0.001) must keep only endpoints + the kink
+      // every 11th platform is a MOORED buoy: a multi-row track whose
+      // coordinates are ALL identical — the promised all-same-point →
+      // Point degenerate (distinct from the n_pts=1 single-row case)
+      .withColumn("moored", col("pidx") % 11 === 10)
       .withColumn("lon", expr(
-        "transform(sequence(0, n_pts - 1), i -> lon0 + i * 0.05)"))
+        "transform(sequence(0, n_pts - 1), " +
+          "i -> CASE WHEN moored THEN lon0 ELSE lon0 + i * 0.05 END)"))
       .withColumn("lat", expr(
         """transform(sequence(0, n_pts - 1), i ->
-          |  CASE WHEN i < (n_pts * 3) DIV 4 THEN lat0
-          |       ELSE lat0 + (i - (n_pts * 3) DIV 4) * 0.03 END)""".stripMargin))
+          |  CASE WHEN moored OR i < (n_pts * 3) DIV 4 THEN lat0
+          |       ELSE lat0 + (i - (n_pts * 3) DIV 4) * 0.03 END)"""
+          .stripMargin))
       .withColumn("time", expr(
         s"""transform(sequence(0, n_pts - 1), i ->
            |  timestampadd(HOUR, CAST(i AS INT),

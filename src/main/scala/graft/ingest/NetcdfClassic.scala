@@ -167,10 +167,10 @@ object NetcdfClassic {
   private def readValues(
       in: DataInputStream, ncType: Int, nelems: Int): String = {
     val elemSize = ncType match {
-      case 1 | 2 => 1 // NC_BYTE / NC_CHAR
-      case 3 => 2 // NC_SHORT
-      case 4 | 5 => 4 // NC_INT / NC_FLOAT
-      case 6 => 8 // NC_DOUBLE
+      case 1 | 2 | 7 => 1 // NC_BYTE / NC_CHAR / NC_UBYTE
+      case 3 | 8 => 2 // NC_SHORT / NC_USHORT
+      case 4 | 5 | 9 => 4 // NC_INT / NC_FLOAT / NC_UINT
+      case 6 | 10 | 11 => 8 // NC_DOUBLE / NC_INT64 / NC_UINT64
       case other => throw new IOException(s"unknown nc_type $other")
     }
     val total = nelems.toLong * elemSize
@@ -191,6 +191,21 @@ object NetcdfClassic {
         Seq.fill(nelems)(in.readFloat().toString).mkString(", ")
       case 6 =>
         Seq.fill(nelems)(in.readDouble().toString).mkString(", ")
+      // CDF-5 types (magic version 5 is accepted above, so its
+      // attribute types must decode too — pnetcdf emits them
+      // routinely): unsigned widths render via the wider signed type
+      case 7 =>
+        Seq.fill(nelems)((in.readByte() & 0xff).toString).mkString(", ")
+      case 8 =>
+        Seq.fill(nelems)((in.readShort() & 0xffff).toString).mkString(", ")
+      case 9 =>
+        Seq.fill(nelems)((in.readInt().toLong & 0xffffffffL).toString)
+          .mkString(", ")
+      case 10 =>
+        Seq.fill(nelems)(in.readLong().toString).mkString(", ")
+      case 11 =>
+        Seq.fill(nelems)(java.lang.Long.toUnsignedString(in.readLong()))
+          .mkString(", ")
     }
     skipPad(in, total.toInt)
     out

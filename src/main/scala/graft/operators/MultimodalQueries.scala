@@ -112,8 +112,11 @@ object MultimodalQueries {
       .select(col("a"), col("b"),
         bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long")
           .as("hamming"))
-      .distinct()
+      // filter FIRST: hamming is a pure function of the pair, so the
+      // verdict is identical — but the distinct's exchange now carries
+      // only the surviving near-dups, not every hot-band collision
       .filter(col("hamming") <= 3)
+      .distinct()
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

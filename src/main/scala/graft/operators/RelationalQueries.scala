@@ -178,6 +178,11 @@ object RelationalQueries {
     val yq = pmod(floor(unix_timestamp(col("ts")) / 60), lit(65536L))
     events(s, dir)
       .select(col("event_id"), mortonKey(xq, yq).as("zval"))
+      // the CLUSTERING itself: a range-partitioned global sort on the
+      // key, so a consumer writing these rows produces zval-ordered
+      // files with tight per-file envelopes on both dimensions — the
+      // key alone orders nothing
+      .orderBy(col("zval"), col("event_id"))
   }
 
   val sortZorderSql: String = {

@@ -519,13 +519,18 @@ object TextQueries {
     * per partition. The hash order makes the layout reproducible
     * across runs/engines (same reason the samplers hash instead of
     * rand()). */
-  private val PACK_BUDGET = 512L
-  private val PACK_SHARDS = 8L
+  private[graft] val PACK_BUDGET = 512L
+  private[graft] val PACK_SHARDS = 8L
+
+  /** The packer's stream-layout hash (full 24-bit value, NOT the
+    * %1000 sampling bucket) — ONE definition shared with the
+    * streaming packer so the two layouts cannot drift. */
+  private[graft] def packBucket(key: Column): Column =
+    conv(substring(sha2(key.cast("string"), 256), 1, 6), 16, 10)
+      .cast("bigint")
 
   def textPackSequences(s: SparkSession, dir: String): DataFrame = {
-    val bucket = conv(
-      substring(sha2(col("doc_id").cast("string"), 256), 1, 6), 16, 10)
-      .cast("bigint")
+    val bucket = packBucket(col("doc_id"))
     val w = Window.partitionBy(col("lang"), col("shard"))
       .orderBy(col("bucket"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

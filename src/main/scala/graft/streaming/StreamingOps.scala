@@ -123,7 +123,12 @@ object StreamingOps {
           var v = prev.totalValue
           rows.foreach { case (_, value) => n += 1; v += value }
           state.update(UserState(n, v))
-          Iterator(UserUpdate(user, n, math.rint(v * 100) / 100))
+          // decimal HALF_UP — the rounding Spark's round() applies,
+          // so the batch twin agrees on .xx5 boundaries (rint is
+          // HALF_EVEN and would diverge there)
+          Iterator(UserUpdate(user, n,
+            BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble))
       }
   }
 
@@ -184,17 +189,22 @@ object StreamingOps {
 
   def packSequencesStream(
       docs: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-      budget: Long = 512L)
+      budget: Long = graft.operators.TextQueries.PACK_BUDGET)
       : org.apache.spark.sql.Dataset[PackedDoc] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = docs.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.functions.{col, size, split}
+    // SHARED layout constants and hash: a batch-side packer change
+    // surfaces here at compile/parity-test time instead of silently
+    // producing a second, different layout
     docs
-      .selectExpr("doc_id", "lang",
-        "CAST(size(split(text, ' ')) AS LONG) AS n_tokens",
-        "CAST(conv(substring(sha2(CAST(doc_id AS STRING), 256), 1, 6), 16, 10) AS LONG) AS bucket")
-      .selectExpr("doc_id", "lang", "n_tokens", "bucket",
-        "bucket % 8 AS shard")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        graft.operators.TextQueries.packBucket(col("doc_id"))
+          .as("bucket"))
+      .withColumn("shard",
+        col("bucket") % graft.operators.TextQueries.PACK_SHARDS)
       .as[(Long, String, Long, Long, Long)]
       .groupByKey(r => (r._2, r._5))
       .flatMapGroupsWithState[PackState, PackedDoc](
