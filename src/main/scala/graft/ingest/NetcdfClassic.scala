@@ -116,6 +116,10 @@ object NetcdfClassic {
   case class FloatAttr(v: Float) extends AttrValue
   case class IntAttr(v: Seq[Int]) extends AttrValue
   case class ShortAttr(v: Short) extends AttrValue
+  /** CDF-5-only: NC_INT64 (nc_type 10). */
+  case class LongAttr(v: Seq[Long]) extends AttrValue
+  /** CDF-5-only: NC_UBYTE (nc_type 7); values rendered unsigned. */
+  case class UByteAttr(v: Seq[Int]) extends AttrValue
 
   /** Inverse of readHeader: serialize a classic header (CDF-1/2/5)
     * with the given dims and global attrs and an ABSENT var_list —
@@ -157,6 +161,13 @@ object NetcdfClassic {
           out.writeInt(4); size(is.length.toLong); is.foreach(out.writeInt)
         case ShortAttr(s) =>
           out.writeInt(3); size(1L); out.writeShort(s.toInt); pad(2)
+        case LongAttr(ls) =>
+          require(version == 5, "NC_INT64 attrs are CDF-5 only")
+          out.writeInt(10); size(ls.length.toLong); ls.foreach(out.writeLong)
+        case UByteAttr(bs) =>
+          require(version == 5, "NC_UBYTE attrs are CDF-5 only")
+          out.writeInt(7); size(bs.length.toLong)
+          bs.foreach(out.writeByte); pad(bs.length)
       }
     }
     out.writeInt(0); size(0L) // var_list ABSENT

@@ -62,6 +62,20 @@ class NetcdfSpec extends SparkSpec {
     intercept[java.io.IOException](parse("PARQUET1".getBytes))
   }
 
+  test("CDF-5 attribute types decode instead of quarantining the granule") {
+    import NetcdfClassic.{LongAttr, UByteAttr}
+    val attrs = Seq(
+      ("big_count", LongAttr(Seq(3000000000L, -1L))),
+      ("mask", UByteAttr(Seq(0xff, 0x01, 0x80))),
+      ("id", S("cdf5-granule")))
+    val h = parse(bytes(attrs, version = 5))
+    assert(h.version == 5)
+    // int64 renders signed; ubyte renders UNSIGNED (0xff = 255)
+    assert(h.attrs("big_count") == "3000000000, -1")
+    assert(h.attrs("mask") == "255, 1, 128")
+    assert(h.attrs("id") == "cdf5-granule")
+  }
+
   test("corrupt length words surface as IOException, never as crashes") {
     // valid magic + numrecs, then a dim_list whose name-length word
     // reads as a negative int (0xFFFFFF00): must be the quarantinable
