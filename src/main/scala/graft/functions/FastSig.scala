@@ -70,11 +70,13 @@ object FastSig {
   }
 
   /** Jaccard of two SORTED distinct long arrays via linear merge. */
-  val jaccardSorted: UserDefinedFunction = udf { (a0: Seq[Long], b0: Seq[Long]) =>
-    // null-tolerant like the siblings in this file: one dirty row
-    // (e.g. a null side from an outer join) must not NPE the task
-    val a = if (a0 == null) Seq.empty[Long] else a0
-    val b = if (b0 == null) Seq.empty[Long] else b0
+  val jaccardSorted: UserDefinedFunction = udf { (a: Seq[Long], b: Seq[Long]) =>
+    // null in → null out (Spark's convention for its own functions):
+    // mapping null to the EMPTY set would score two dirty rows as
+    // jaccard 1.0 and silently dedupe unrelated documents; a null
+    // verdict drops out of every >= threshold filter instead
+    if (a == null || b == null) null.asInstanceOf[java.lang.Double]
+    else {
     var i = 0; var j = 0; var inter = 0
     while (i < a.length && j < b.length) {
       val x = a(i); val y = b(j)
@@ -83,7 +85,8 @@ object FastSig {
       else j += 1
     }
     val union = a.length + b.length - inter
-    if (union == 0) 1.0 else inter.toDouble / union
+    (if (union == 0) 1.0 else inter.toDouble / union): java.lang.Double
+    }
   }
 
   /** MinHash signature from a hashed shingle set: sig(p) =
@@ -102,8 +105,12 @@ object FastSig {
   }
 
   /** Band hashes over a minhash signature (rows = numPerm/nBands). */
-  def bandHashes(nBands: Int): UserDefinedFunction = udf { sig0: Seq[Long] =>
-    val sig = if (sig0 == null) Seq.empty[Long] else sig0
+  def bandHashes(nBands: Int): UserDefinedFunction = udf { sig: Seq[Long] =>
+    // null in → null out: an empty-set fallback would give every
+    // dirty row the SAME band hashes (h = band index), flooding each
+    // LSH bucket with all-pairs candidates of unrelated rows
+    if (sig == null) null
+    else {
     require(sig.length % nBands == 0,
       s"signature length ${sig.length} must divide into $nBands bands —" +
         " a remainder would silently discard the trailing permutations")
@@ -113,6 +120,7 @@ object FastSig {
       var r = 0
       while (r < rows) { h = mix(h ^ sig(b * rows + r)); r += 1 }
       h
+    }
     }
   }
 
@@ -151,8 +159,13 @@ object FastSig {
     * projections onto deterministic ±1 hyperplanes (component (b,d)
     * from mix(seed,b,d)) packed into a long. */
   def hyperplaneSigFast(bits: Int, seed: Long = 42L): UserDefinedFunction =
-    udf { emb0: Seq[Double] =>
-      val emb = if (emb0 == null) Seq.empty[Double] else emb0
+    udf { emb: Seq[Double] =>
+      // null in → null out, matching HyperplaneSigExpr (the empty-Seq
+      // fallback produced the all-ones signature: every dirty row in
+      // the same LSH bucket). The expression is documented as a
+      // drop-in for this UDF, so their null semantics must agree.
+      if (emb == null) null.asInstanceOf[java.lang.Long]
+      else {
       var sig = 0L
       var b = 0
       while (b < bits) {
@@ -167,6 +180,7 @@ object FastSig {
         if (proj >= 0) sig |= (1L << b)
         b += 1
       }
-      sig
+      sig: java.lang.Long
+      }
     }
 }

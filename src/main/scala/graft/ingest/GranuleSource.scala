@@ -57,13 +57,14 @@ final class FixtureGranuleSource(
       when(slot % badBboxEvery === 0, lit("not-a-number"))
         .otherwise(((slot % 170) - 85).cast("string"))
         .as("westernmost_longitude"),
-      // mix the slot before the modulus (as the v2 source does):
-      // gcd(180 s stride, 120) = 60 would otherwise collapse the raw
-      // slot % 120 to TWO distinct latitudes across the whole fixture
-      (((slot * 2654435761L) % 120) - 60).cast("string")
+      // HASH the slot before the modulus (as the v2 source does): the
+      // raw slot % 120 collapses to TWO values under the 180 s stride
+      // (gcd 60), and a LINEAR multiply-then-mod keeps the same gcd —
+      // only a non-linear mix actually diversifies the residues
+      (pmod(xxhash64(col("ts")), lit(120)) - 60).cast("string")
         .as("southernmost_latitude"),
       (((slot % 170) - 85) + 10).cast("string").as("easternmost_longitude"),
-      ((((slot * 2654435761L) % 120) - 60) + 8).cast("string")
+      ((pmod(xxhash64(col("ts")), lit(120)) - 60) + 8).cast("string")
         .as("northernmost_latitude"),
       date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("time_coverage_start"),
       date_format(col("ts") + expr("INTERVAL 3 MINUTES"),

@@ -83,8 +83,11 @@ case class TopKPerGroupExec(
         val key = proj(row)
         var heap = heaps.get(key)
         if (heap == null) {
+          // cap the INITIAL capacity: k can legitimately exceed every
+          // group (returns whole groups), and preallocating a
+          // k-element array per group would burn heap for nothing
           heap = new java.util.PriorityQueue[InternalRow](
-            kk, ord.reversed())
+            math.min(kk, 16), ord.reversed())
           heaps.put(key.copy(), heap)
         }
         if (heap.size() < kk) heap.add(row.copy())

@@ -125,10 +125,15 @@ object StreamingOps {
           state.update(UserState(n, v))
           // decimal HALF_UP — the rounding Spark's round() applies,
           // so the batch twin agrees on .xx5 boundaries (rint is
-          // HALF_EVEN and would diverge there)
-          Iterator(UserUpdate(user, n,
-            BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-              .toDouble))
+          // HALF_EVEN and would diverge there). Non-finite passes
+          // through unchanged, also like round() — BigDecimal(NaN)
+          // would throw and poison the checkpointed state forever
+          val rounded =
+            if (java.lang.Double.isFinite(v))
+              BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble
+            else v
+          Iterator(UserUpdate(user, n, rounded))
       }
   }
 
@@ -319,11 +324,15 @@ object StreamingOps {
                 val mu = ring.sum / n
                 val sd = math.sqrt(
                   ring.map(v => (v - mu) * (v - mu)).sum / (n - 1))
-                if (sd > 0) {
+                val zRaw = (value - mu) / sd + 1e-9
+                // a non-finite value (dirty feed) must NOT flag — and
+                // must not crash: the batch twin's round() returns NaN
+                // and abs(NaN) >= z is false, so the row just drops
+                if (sd > 0 && java.lang.Double.isFinite(zRaw)) {
                   // the EXACT rounding Spark's round() applies to a
                   // double (decimal-string HALF_UP) — rint would be
                   // HALF_EVEN and could flip a boundary flag
-                  val z = BigDecimal((value - mu) / sd + 1e-9)
+                  val z = BigDecimal(zRaw)
                     .setScale(4, BigDecimal.RoundingMode.HALF_UP)
                     .toDouble
                   if (math.abs(z) >= ANOMALY_Z)
