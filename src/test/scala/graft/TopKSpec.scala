@@ -51,6 +51,29 @@ class TopKSpec extends SparkSpec {
     assert(run(1000000).count() == n)
   }
 
+  test("randomized: heap equals window over seeded datasets and ks") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    for (seed <- Seq(1L, 7L, 42L); k <- Seq(1, 2, 5)) {
+      val rnd = new scala.util.Random(seed)
+      // skewed groups, duplicate values, negative values
+      val rows = (0 until 500).map { i =>
+        (rnd.nextInt(7).toLong, i.toLong,
+          math.floor(rnd.nextGaussian() * 3) / 2)
+      }
+      val df = rows.toDF("g", "id", "v")
+      val got = TopKPerGroup.topKPerGroup(df, Seq("g"),
+        Seq(("v", false), ("id", true)), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+      val want = df.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k).drop("rk")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"seed=$seed k=$k")
+    }
+  }
+
   test("duplicate order values resolve by the tiebreak, not partitioning") {
     import spark.implicits._
     val df = Seq(
