@@ -41,7 +41,11 @@ object FastSig {
     * DETERMINISTICALLY — a systematic collision class, not the
     * random ~n²/2⁻⁶⁴ one). */
   def hashedShingles(k: Int): UserDefinedFunction = udf { text: String =>
-    if (text == null) Array.empty[Long]
+    // null in → null OUT: an empty set would give every null-text doc
+    // the identical minhash signature ([Long.MaxValue × perms]) and
+    // band hashes — C(n,2) bogus jaccard-1.0 "near-dup" pairs through
+    // one LSH bucket for n dirty rows
+    if (text == null) null
     else {
       // limit -1 keeps trailing empty tokens — matching Spark's
       // split() and DuckDB's string_split, so shingle sets agree
@@ -92,6 +96,8 @@ object FastSig {
   /** MinHash signature from a hashed shingle set: sig(p) =
     * min over shingles of mix(h ^ perm_p) — one pass per doc. */
   def minhashSig(numPerm: Int): UserDefinedFunction = udf { shin: Seq[Long] =>
+    if (shin == null) null
+    else {
     val sig = Array.fill(numPerm)(Long.MaxValue)
     shin.foreach { h =>
       var p = 0
@@ -102,6 +108,7 @@ object FastSig {
       }
     }
     sig
+    }
   }
 
   /** Band hashes over a minhash signature (rows = numPerm/nBands). */

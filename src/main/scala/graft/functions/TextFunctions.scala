@@ -27,7 +27,12 @@ object TextFunctions {
   /** SimHash-64 over a token array: per bit, sum ±1 contributions of
     * each token's hash; bit set iff the sum is positive. */
   val simhash64: UserDefinedFunction = udf { toks0: Seq[String] =>
-    val toks = if (toks0 == null) Seq.empty[String] else toks0
+    // null in → null out: empty-token fallback gave every null-text
+    // doc signature 0 — all of them Hamming-0 "near-dups" of each
+    // other through the band join
+    if (toks0 == null) null.asInstanceOf[java.lang.Long]
+    else {
+    val toks = toks0
     val counts = new Array[Int](64)
     toks.foreach { t =>
       var h = scala.util.hashing.MurmurHash3.stringHash(t).toLong & 0xffffffffL
@@ -42,7 +47,8 @@ object TextFunctions {
     var sig = 0L
     var b = 0
     while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
-    sig
+    sig: java.lang.Long
+    }
   }
 
   /** Hamming distance between two 64-bit signatures. */

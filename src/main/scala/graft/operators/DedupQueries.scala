@@ -73,13 +73,19 @@ object DedupQueries {
 
   /** DataFrame-level core (doc_id, text) so the skew-fixture test can
     * drive an oversized block through the cap directly. */
-  private[graft] def dedupNgramJaccardFrom(docs: DataFrame): DataFrame = {
+  /** The load-bearing skew cap: first BLOCK_CAP members per block by
+    * doc_id — ONE definition for the full self-join and the
+    * incremental near stage (both oracles mirror it verbatim). */
+  private def capBlocks(d: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = shingledFrom(docs)
-      .withColumn("rn", row_number().over(
+    d.withColumn("rn", row_number().over(
         Window.partitionBy(col("blk")).orderBy(col("doc_id"))))
       .filter(col("rn") <= BLOCK_CAP)
       .drop("rn")
+  }
+
+  private[graft] def dedupNgramJaccardFrom(docs: DataFrame): DataFrame = {
+    val d = capBlocks(shingledFrom(docs))
     val a = d.select(col("blk"), col("doc_id").as("a"), col("shin").as("sa"))
     val b = d.select(col("blk"), col("doc_id").as("b"), col("shin").as("sb"))
     a.join(b, Seq("blk"))
@@ -493,12 +499,7 @@ object DedupQueries {
     * is structural, not a convention. */
   private def incrementalNearStage(
       old: DataFrame, fresh: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    def capped(df: DataFrame): DataFrame = df
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("blk")).orderBy(col("doc_id"))))
-      .filter(col("rn") <= BLOCK_CAP)
-      .drop("rn")
+    def capped(df: DataFrame): DataFrame = capBlocks(df)
     capped(shingledFrom(fresh))
       .select(col("blk"), col("doc_id").as("n"), col("shin").as("sn"))
       .join(capped(shingledFrom(old))

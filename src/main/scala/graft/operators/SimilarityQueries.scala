@@ -29,7 +29,9 @@ object SimilarityQueries {
     * Broadcast 1-row query side; double-precision cosine; rounded sort
     * key + vec_id tiebreak for cross-engine determinism. */
   def simTopkCosine(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(embeddings(s, dir))
+    // zero-norm vectors score NaN, and Spark orders NaN ABOVE every
+    // real similarity — exclude them up front (mirrored in the oracle)
+    val e = nonDegenerate(withNorm(embeddings(s, dir)))
     val q = e.filter(col("vec_id") === 0)
       .select(col("emb").as("qv"), col("nrm").as("qn"))
     e.join(broadcast(q))
@@ -41,18 +43,23 @@ object SimilarityQueries {
   }
 
   val simTopkCosineSql: String =
-    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
-      |           FROM embeddings WHERE vec_id = 0)
+    """WITH nd AS (SELECT * FROM embeddings
+      |  WHERE sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+      |    v -> v*v))) > 0),
+      |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+      |      FROM nd WHERE vec_id = 0)
       |SELECT vec_id,
       |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6)
       |    AS sim
-      |FROM embeddings, q
+      |FROM nd, q
       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
 
   /** sim_pairwise_threshold — all pairs above cosine 0.4 within label
     * blocks: block equi-join + filter; norms precomputed per side. */
   def simPairwiseThreshold(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(embeddings(s, dir))
+    // NaN >= 0.4 is TRUE under Spark's NaN-greatest ordering: a
+    // zero-norm row would emit garbage pairs — exclude up front
+    val e = nonDegenerate(withNorm(embeddings(s, dir)))
     val a = e.select(col("label"), col("vec_id").as("a"),
       col("emb").as("ea"), col("nrm").as("na"))
     val b = e.select(col("label"), col("vec_id").as("b"),
@@ -66,10 +73,13 @@ object SimilarityQueries {
   }
 
   val simPairwiseThresholdSql: String =
-    """SELECT x.label AS label, x.vec_id AS a, y.vec_id AS b,
+    """WITH nd AS (SELECT * FROM embeddings
+      |  WHERE sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+      |    v -> v*v))) > 0)
+      |SELECT x.label AS label, x.vec_id AS a, y.vec_id AS b,
       |  round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
       |    CAST(y.embedding AS DOUBLE[])), 4) AS sim
-      |FROM embeddings x JOIN embeddings y
+      |FROM nd x JOIN nd y
       |  ON x.label = y.label AND x.vec_id < y.vec_id
       |WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
       |    CAST(y.embedding AS DOUBLE[])), 4) >= 0.4""".stripMargin
@@ -93,7 +103,7 @@ object SimilarityQueries {
     * (capped); multi-probe restores recall. Approximate ⇒ rows-only;
     * recall vs brute force property-tested. */
   def simAnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(embeddings(s, dir))
+    val e = nonDegenerate(withNorm(embeddings(s, dir)))
       .withColumn("sig", HyperplaneSig.hyperplaneSig(col("emb"), SIG_BITS))
     val bands = e.select(col("vec_id"), col("emb"), col("nrm"),
       explode(VectorFunctions.sigBands(col("sig"), SIG_BITS, N_BANDS)).as("bb"))

@@ -41,18 +41,22 @@ object TextQueries {
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
-        round(avg(col("n_chars")), 2).as("avg_chars"),
-        round(avg(col("n_words")), 2).as("avg_words"),
-        round(avg(col("n_tokens")), 2).as("avg_tokens"),
+        // +1e-9 pre-round on BOTH engines (the file-wide convention):
+        // an average landing exactly on a .xx5 boundary otherwise
+        // rounds differently between Spark's decimal-string HALF_UP
+        // and DuckDB's binary-double round
+        round(avg(col("n_chars")) + lit(1e-9), 2).as("avg_chars"),
+        round(avg(col("n_words")) + lit(1e-9), 2).as("avg_words"),
+        round(avg(col("n_tokens")) + lit(1e-9), 2).as("avg_tokens"),
         max(col("n_chars")).as("max_chars"))
   }
 
   val textStatsSql: String =
     """SELECT lang, count(*) AS n_docs,
-      |  round(avg(n_chars), 2) AS avg_chars,
-      |  round(avg(len(string_split(text, ' '))), 2) AS avg_words,
-      |  round(avg(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))), 2)
-      |    AS avg_tokens,
+      |  round(avg(n_chars) + 1e-9, 2) AS avg_chars,
+      |  round(avg(len(string_split(text, ' '))) + 1e-9, 2) AS avg_words,
+      |  round(avg(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+      |    + 1e-9, 2) AS avg_tokens,
       |  max(n_chars) AS max_chars
       |FROM documents GROUP BY lang""".stripMargin
 
