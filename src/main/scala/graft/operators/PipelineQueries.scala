@@ -133,7 +133,7 @@ object PipelineQueries {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |  FROM f)
        |SELECT c.lang, count(*) AS n_docs_kept,
-       |  sum(n_tok) AS n_tokens_kept, q
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens_kept, q
        |FROM c JOIN w ON c.lang = w.lang
        |WHERE cum - n_tok < ${SampleQueries.LANG_BUDGET}
        |GROUP BY c.lang, q""".stripMargin

@@ -143,8 +143,11 @@ object SampleQueries {
   }
 
   val sampleTemperatureSql: String =
+    // CAST(sum(..) AS BIGINT): DuckDB's sum(BIGINT) returns HUGEINT,
+    // which the driver's hasher renders differently from Spark's int64.
     s"""WITH pl AS (
-       |  SELECT lang, sum(len(string_split(text, ' '))) AS n_tokens
+       |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+       |    AS n_tokens
        |  FROM documents GROUP BY lang),
        |tot AS (SELECT sum(n_tokens) AS n_total,
        |  sum(power(CAST(n_tokens AS DOUBLE), $ALPHA)) AS z FROM pl)
@@ -210,17 +213,28 @@ object SampleQueries {
        |    ORDER BY bucket, doc_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |  FROM b)
-       |SELECT lang, count(*) AS n_docs_kept, sum(n_tok) AS n_tokens_kept,
+       |SELECT lang, count(*) AS n_docs_kept,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens_kept,
        |  $LANG_BUDGET AS budget
        |FROM c WHERE cum - n_tok < $LANG_BUDGET GROUP BY lang""".stripMargin
 
+  /** Explicit checksum modulus: the content sum is defined as
+    * Σ h_i mod 2^62, NOT a raw LONG sum. At 100 TB (trillions of rows
+    * × 48-bit values) a raw int64 sum overflows and Spark wraps while
+    * DuckDB's HUGEINT doesn't — the "engine-independent fingerprint"
+    * would diverge exactly when it matters. Summing in DECIMAL(38,0)
+    * (Spark) / HUGEINT (DuckDB) and taking an explicit modulus makes
+    * the value well-defined at ANY row count: 2^88 worst-case sum is
+    * far inside both 38-digit decimal and int128. */
+  private[graft] val CHECKSUM_MOD = 4611686018427387904L // 2^62
+
   /** agg_dataset_checksum — order-independent dataset fingerprint:
     * per language, the row count, token total, and a content checksum
-    * (SUM of per-row sha256-derived longs — commutative, so the value
-    * is independent of partitioning, task order, and row order).
-    * The dataset-versioning primitive: two pipelines (or two engines,
-    * or two runs) producing the same checksum row agree on the full
-    * content without moving or sorting a byte of it.
+    * (SUM of per-row sha256-derived longs mod 2^62 — commutative, so
+    * the value is independent of partitioning, task order, and row
+    * order). The dataset-versioning primitive: two pipelines (or two
+    * engines, or two runs) producing the same checksum row agree on
+    * the full content without moving or sorting a byte of it.
     *
     * Scale shape: one map-side-combined hash agg to |langs| rows —
     * checksum cost is the scan itself. */
@@ -228,21 +242,26 @@ object SampleQueries {
     documents(s, dir)
       .select(col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tok"),
-        // first 12 hex chars = 48 bits: sums of 500k such values stay
-        // far under LONG overflow at any realistic partition count
+        // first 12 hex chars = 48 bits per row; overflow-safety comes
+        // from the DECIMAL(38,0) accumulator + explicit modulus below,
+        // not from assuming a bounded row count
         conv(substring(sha2(col("text"), 256), 1, 12), 16, 10)
-          .cast("bigint").as("h"))
+          .cast("decimal(38,0)").as("h"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("n_tokens"),
-        sum(col("h")).as("content_sum"))
+        (sum(col("h")) % lit(CHECKSUM_MOD)).cast("long").as("content_sum"))
 
   val aggDatasetChecksumSql: String =
-    """SELECT lang, count(*) AS n_docs,
-      |  sum(len(string_split(text, ' '))) AS n_tokens,
-      |  sum(CAST('0x' || substr(sha256(text), 1, 12) AS BIGINT))
-      |    AS content_sum
-      |FROM documents GROUP BY lang""".stripMargin
+    // CAST(sum AS BIGINT): DuckDB sums BIGINT into HUGEINT, which the
+    // driver's hasher renders differently from Spark's int64; the
+    // content sum additionally takes the explicit 2^62 modulus so the
+    // fingerprint is engine-independent at any scale.
+    s"""SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CAST('0x' || substr(sha256(text), 1, 12) AS BIGINT))
+       |    % $CHECKSUM_MOD AS BIGINT) AS content_sum
+       |FROM documents GROUP BY lang""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_dataset_checksum" -> (aggDatasetChecksum _),

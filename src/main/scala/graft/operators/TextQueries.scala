@@ -450,18 +450,21 @@ object TextQueries {
     * corpus itself. Low scores flag gibberish / OOV-heavy / off-
     * distribution docs.
     *
-    * Scale shape: one explode → hash agg builds the vocab (|vocab|
-    * rows — ~1M terms ≈ tens of MB, broadcastable at 100 TB), the
-    * corpus total reduces to ONE row, and scoring is a map-side
-    * broadcast join + per-doc agg keyed by doc_id — no corpus-global
-    * shuffle beyond the vocab agg. */
+    * Scale shape: one explode → hash agg builds the vocab, the corpus
+    * total reduces to ONE row (that 1-row frame IS safely broadcast),
+    * and scoring joins tokens to vocab on the word key. The vocab join
+    * is deliberately UNHINTED: distinct whitespace tokens on raw web
+    * text reach billions, so an explicit broadcast() — which AQE never
+    * demotes — would OOM the driver at 100 TB. Unhinted, AQE picks a
+    * broadcast when the vocab measures small and a shuffled hash join
+    * when it doesn't. */
   def textUnigramLogprob(s: SparkSession, dir: String): DataFrame = {
     val toks = documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
     val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
     val total = vocab.agg(sum(col("n_w")).as("n_total"))
-    toks.join(broadcast(vocab), Seq("w"))
+    toks.join(vocab, Seq("w"))
       .join(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(round(avg(log(col("n_w") / col("n_total"))) + lit(1e-9), 4)
@@ -563,9 +566,12 @@ object TextQueries {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |  FROM t)
        |SELECT doc_id, lang, shard, n_tokens,
-       |  (cum - n_tokens) // $PACK_BUDGET AS seq_id,
-       |  (cum - n_tokens) % $PACK_BUDGET AS seq_offset
+       |  CAST((cum - n_tokens) // $PACK_BUDGET AS BIGINT) AS seq_id,
+       |  CAST((cum - n_tokens) % $PACK_BUDGET AS BIGINT) AS seq_offset
        |FROM c""".stripMargin
+  // CAST .. AS BIGINT above: cum is a DuckDB sum(BIGINT) → HUGEINT,
+  // which propagates into seq_id/seq_offset and hashes differently
+  // from Spark's int64 in the driver.
 
   /** text_html_strip — web-corpus boilerplate removal: script/style
     * blocks and comments dropped, tags stripped, the common HTML
@@ -655,7 +661,8 @@ object TextQueries {
       |  FROM documents),
       |card AS (
       |  SELECT source, lang, count(*) AS n_docs,
-      |    sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS bpe_tokens,
+      |    CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT)
+      |      AS bpe_tokens,
       |    round(avg(quality) + 1e-9, 4) AS avg_quality
       |  FROM q GROUP BY source, lang)
       |SELECT source, lang, n_docs, bpe_tokens, avg_quality,
@@ -669,23 +676,48 @@ object TextQueries {
     * random noise → entropy ≈ log2(n_words)).
     *
     * Scale shape: entropy is PER-DOCUMENT, so like the repetition
-    * kernel nothing leaves the row — counts come from
-    * distinct×filter inside one projection (O(u·n) per row on ~100-
-    * word docs), ZERO shuffle, instead of the explode → two hash aggs
-    * → join shape that shuffles the whole exploded corpus twice. */
-  def textEntropy(s: SparkSession, dir: String): DataFrame = {
+    * kernel nothing leaves the row — ZERO shuffle, instead of the
+    * explode → two hash aggs → join shape that shuffles the whole
+    * exploded corpus twice. The in-row kernel is array_sort + ONE
+    * run-length fold (O(n log n) per doc): the earlier
+    * distinct×filter form was O(u·n) per row, which on a single
+    * book-length doc (n≈u≈10⁵) is ~10¹⁰ comparisons in one row — a
+    * straggler that never finishes on a heavy-tailed real corpus. */
+  def textEntropy(s: SparkSession, dir: String): DataFrame =
+    textEntropyFrom(documents(s, dir))
+
+  private[graft] def textEntropyFrom(docs: DataFrame): DataFrame = {
     val ws = split(col("text"), " ")
     val n = size(ws).cast("double")
-    val counts = transform(array_distinct(ws),
-      w => size(filter(ws, x => x === w)).cast("double"))
+    // Fold state over the SORTED words: (prev word, current run
+    // length, Σ c·log2(c) of closed runs, distinct-word count). Each
+    // run closes when the word changes; the finish step closes the
+    // last run. run=0 guards the empty initial state (0·log2(0)=NaN).
+    def closedAcc(st: Column): Column =
+      st.getField("acc") + when(st.getField("run") > 0.0,
+        st.getField("run") * log2(st.getField("run"))).otherwise(0.0)
+    val folded = aggregate(
+      array_sort(ws),
+      struct(lit(null).cast("string").as("prev"), lit(0.0).as("run"),
+        lit(0.0).as("acc"), lit(0L).as("vocab")),
+      (st, x) => when(x === st.getField("prev"),
+        struct(st.getField("prev").as("prev"),
+          (st.getField("run") + 1.0).as("run"),
+          st.getField("acc").as("acc"),
+          st.getField("vocab").as("vocab")))
+        .otherwise(struct(x.as("prev"), lit(1.0).as("run"),
+          closedAcc(st).as("acc"),
+          (st.getField("vocab") + 1L).as("vocab"))),
+      st => struct(closedAcc(st).as("acc"),
+        st.getField("vocab").as("vocab")))
     // H = log2(n) - Σ c·log2(c) / n  (exact rewrite of -Σ p·log2 p;
     // one log per DISTINCT word and no division inside the loop)
-    val h = log2(n) - aggregate(counts, lit(0.0),
-      (acc, c) => acc + c * log2(c)) / n
-    documents(s, dir).select(
-      col("doc_id"),
-      size(array_distinct(ws)).cast("long").as("n_vocab"),
-      round(h + lit(1e-9), 4).as("entropy_bits"))
+    docs
+      .select(col("doc_id"), n.as("n"), folded.as("f"))
+      .select(col("doc_id"),
+        col("f.vocab").as("n_vocab"),
+        round(log2(col("n")) - col("f.acc") / col("n") + lit(1e-9), 4)
+          .as("entropy_bits"))
   }
 
   val textEntropySql: String =
@@ -706,10 +738,19 @@ object TextQueries {
     * power-of-two whitespace-token count, with doc and token mass per
     * bucket. ONE hash agg to ~30 rows (buckets are log2-bounded), so
     * the corpus reduces map-side; no sort, no window. */
-  def textLengthHistogram(s: SparkSession, dir: String): DataFrame = {
+  def textLengthHistogram(s: SparkSession, dir: String): DataFrame =
+    textLengthHistogramFrom(documents(s, dir))
+
+  private[graft] def textLengthHistogramFrom(docs: DataFrame): DataFrame = {
     val n = size(split(col("text"), " ")).cast("long")
-    documents(s, dir)
-      .select(floor(log(2.0, greatest(n, lit(1L)))).cast("long").as("bucket"),
+    docs
+      // exact integer floor(log2 n): bit-length − 1. floor(log(2.0,n))
+      // evaluates as ln(n)/ln(2), which can land a hair BELOW the
+      // integer at exact powers of two and misbucket them; DuckDB's
+      // native log2 is exact there, so the engines would disagree on
+      // every 2^k-token doc.
+      .select((length(bin(greatest(n, lit(1L)))) - 1).cast("long")
+          .as("bucket"),
         n.as("n_tokens"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
@@ -720,13 +761,16 @@ object TextQueries {
   }
 
   val textLengthHistogramSql: String =
+    // bit_length-of-bin bucket mirrors the Spark side exactly (integer
+    // arithmetic, no libm); CAST(sum AS BIGINT) because DuckDB's
+    // sum(BIGINT) is HUGEINT, which hashes differently from int64.
     """WITH t AS (
-      |  SELECT CAST(floor(log2(greatest(len(string_split(text, ' ')), 1)))
+      |  SELECT CAST(len(bin(greatest(len(string_split(text, ' ')), 1))) - 1
       |      AS BIGINT) AS bucket,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
       |  FROM documents)
       |SELECT bucket, CAST(1 << bucket AS BIGINT) AS bucket_lo,
-      |  count(*) AS n_docs, sum(n_tokens) AS tokens
+      |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens
       |FROM t GROUP BY bucket""".stripMargin
 
   /** text_cooccurrence — PMI phrase mining: the top adjacent word
@@ -761,11 +805,17 @@ object TextQueries {
       .agg(sum(col("n_w")).as("n_total"))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("pmi").desc, col("a"), col("b"))
+    // The unigram joins are UNHINTED: per-lang unigram tables scale
+    // with corpus content (billions of distinct raw-web tokens), and
+    // an explicit broadcast() is never demoted by AQE — a guaranteed
+    // OOM at 100 TB. Unhinted, AQE broadcasts when small and falls
+    // back to shuffled hash joins when not. totals stays hinted: it
+    // is |langs| rows by construction.
     bigrams.filter(col("n_ab") >= 5)
-      .join(broadcast(unigrams.withColumnRenamed("w", "a")
-        .withColumnRenamed("n_w", "n_a")), Seq("lang", "a"))
-      .join(broadcast(unigrams.withColumnRenamed("w", "b")
-        .withColumnRenamed("n_w", "n_b")), Seq("lang", "b"))
+      .join(unigrams.withColumnRenamed("w", "a")
+        .withColumnRenamed("n_w", "n_a"), Seq("lang", "a"))
+      .join(unigrams.withColumnRenamed("w", "b")
+        .withColumnRenamed("n_w", "n_b"), Seq("lang", "b"))
       .join(broadcast(totals), Seq("lang"))
       // DOUBLE before multiplying: n_ab×n_total overflows LONG on a
       // trillion-token corpus (ANSI throw / silent wrap) — the oracle

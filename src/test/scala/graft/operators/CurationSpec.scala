@@ -263,4 +263,57 @@ class CurationSpec extends SparkSpec {
     // one bigram per adjacent word pair on clean single-spaced text
     assert(out.map(_.getLong(2)).sum == perDoc.map(_ - 1L).sum)
   }
+
+  test("entropy kernel matches a plain-Scala reference on a 50k-word doc") {
+    // A book-length heavy-tailed doc: ~25k distinct words, 50k tokens.
+    // The old distinct×filter kernel was O(u·n) — ~1.25e9 interpreted
+    // lambda evals on this ONE row; the sort+run-length kernel must
+    // finish promptly AND agree with an exact reference.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val words = Array.tabulate(50000) { _ =>
+      // Zipf-ish: small ids frequent, long tail mostly unique
+      val z = math.min((math.exp(rnd.nextDouble() * 10.2) - 1).toLong, 25000L)
+      s"w$z"
+    }
+    val text = words.mkString(" ")
+    val started = System.nanoTime()
+    val row = TextQueries.textEntropyFrom(
+      Seq((1L, text)).toDF("doc_id", "text")).collect().head
+    val elapsedSec = (System.nanoTime() - started) / 1e9
+    val counts = words.groupBy(identity).view.mapValues(_.length).values
+    val n = words.length.toDouble
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val want = log2(n) - counts.map(c => c * log2(c.toDouble)).sum / n
+    assert(row.getLong(1) == counts.size.toLong,
+      s"n_vocab ${row.getLong(1)} want ${counts.size}")
+    assert(math.abs(row.getDouble(2) - want) < 1e-3,
+      s"entropy ${row.getDouble(2)} want $want")
+    // generous bound: the whole job (plan + one row) is seconds, not
+    // the minutes the quadratic kernel would take
+    assert(elapsedSec < 60, s"entropy kernel took $elapsedSec s")
+  }
+
+  test("length histogram buckets exact powers of two correctly") {
+    // floor(log(2.0, n)) = ln(n)/ln 2 can land BELOW the integer at
+    // exact powers of two; the bit-length bucket must not. 1024 tokens
+    // must land in bucket 10 (lo=1024), 1023 in bucket 9 (lo=512).
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq.fill(1024)("a").mkString(" ")),
+      (2L, Seq.fill(1023)("b").mkString(" ")),
+      (3L, Seq.fill(1)("c").mkString(" ")),
+      (4L, Seq.fill(65536)("d").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = TextQueries.textLengthHistogramFrom(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0L, 1L, 1L, 1L),          // 1 token → bucket 0
+      (9L, 512L, 1L, 1023L),     // 1023 → bucket 9
+      (10L, 1024L, 1L, 1024L),   // exactly 2^10 → bucket 10
+      (16L, 65536L, 1L, 65536L)  // exactly 2^16 → bucket 16
+    ), got.mkString(", "))
+  }
 }
