@@ -81,9 +81,21 @@ object HttpSource {
           return Fetched(url, status, n, digest)
         } finally conn.disconnect()
       } catch {
+        // task-kill/cancellation signals must propagate, not become a
+        // fake status -1 row: ClosedByInterruptException is an
+        // IOException, so it would otherwise be retried with sleeps
+        // and then swallowed, delaying cancellation and recording a
+        // bogus fetch outcome
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt(); throw e
+        case e: java.nio.channels.ClosedByInterruptException => throw e
         case _: java.io.IOException if attempt < RETRIES =>
           attempt += 1
-          Thread.sleep(200L * attempt)
+          try Thread.sleep(200L * attempt)
+          catch {
+            case ie: InterruptedException =>
+              Thread.currentThread().interrupt(); throw ie
+          }
         case _: Exception =>
           return Fetched(url, -1, 0L, "")
       }

@@ -59,7 +59,7 @@ object NetcdfClassic {
 
     val numRecs = readSize() // STREAMING sentinel (-1) passes through
     val dims = readDimList(in, readSize _)
-    val attrs = readAttrList(in, readSize _)
+    val attrs = readAttrList(in, readSize _, version)
     Header(version, numRecs, dims, attrs)
   }
 
@@ -93,7 +93,8 @@ object NetcdfClassic {
   }
 
   private def readAttrList(
-      in: DataInputStream, readSize: () => Long): Map[String, String] = {
+      in: DataInputStream, readSize: () => Long,
+      version: Int): Map[String, String] = {
     val tag = in.readInt()
     val n0 = readSize()
     if (tag == 0) { require(n0 == 0, "ABSENT gatt_list must be 0 0"); Map.empty }
@@ -104,7 +105,7 @@ object NetcdfClassic {
         val name = readName(in, readSize)
         val ncType = in.readInt()
         val nelems = boundedCount(readSize(), "attr nelems")
-        name -> readValues(in, ncType, nelems)
+        name -> readValues(in, ncType, nelems, version)
       }.toMap
     }
   }
@@ -176,7 +177,13 @@ object NetcdfClassic {
   }
 
   private def readValues(
-      in: DataInputStream, ncType: Int, nelems: Int): String = {
+      in: DataInputStream, ncType: Int, nelems: Int, version: Int): String = {
+    // mirror the writer's require: the unsigned/64-bit types (nc_type
+    // 7-11) exist only in CDF-5 — a CDF-1/2 header containing them is
+    // corrupt and must fail loudly, not parse silently
+    if (ncType >= 7 && version < 5)
+      throw new IOException(
+        s"nc_type $ncType is CDF-5 only but header is version $version")
     val elemSize = ncType match {
       case 1 | 2 | 7 => 1 // NC_BYTE / NC_CHAR / NC_UBYTE
       case 3 | 8 => 2 // NC_SHORT / NC_USHORT

@@ -70,11 +70,16 @@ case class TopKPerGroupExec(
     else Seq(ClusteredDistribution(groupExprs))
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val groupProj = () => UnsafeProjection.create(groupExprs, child.output)
-    val ord = new LazilyGeneratedOrdering(order, child.output)
+    // bind plan fields to locals BEFORE building the closure — a
+    // lambda referencing `groupExprs`/`child` directly captures `this`
+    // (the whole physical subtree) and serializes it into every task,
+    // the same capture hazard Spark's own exec nodes avoid
+    val ge = groupExprs
+    val childOutput = child.output
+    val ord = new LazilyGeneratedOrdering(order, childOutput)
     val kk = k
     child.execute().mapPartitions({ rows =>
-      val proj = groupProj()
+      val proj = UnsafeProjection.create(ge, childOutput)
       // per-group bounded heap: head = WORST kept row (reverse order),
       // so a better row evicts the head in O(log k)
       val heaps = new java.util.HashMap[UnsafeRow,

@@ -76,6 +76,25 @@ class NetcdfSpec extends SparkSpec {
     assert(h.attrs("id") == "cdf5-granule")
   }
 
+  test("CDF-5-only attribute types in a CDF-1 header fail loudly") {
+    // the writer refuses nc_type 7-11 below version 5; the reader must
+    // enforce the same bound — a CDF-1 header carrying NC_INT64 is
+    // corrupt and must quarantine, not parse silently
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeBytes("CDF"); out.writeByte(1)
+    out.writeInt(0) // numrecs
+    out.writeInt(0); out.writeInt(0) // ABSENT dim_list
+    out.writeInt(0x0C); out.writeInt(1) // one global attr
+    out.writeInt(1); out.writeByte('x'); out.write(Array[Byte](0, 0, 0))
+    out.writeInt(10) // NC_INT64 — CDF-5 only
+    out.writeInt(1)
+    out.writeLong(42L)
+    out.flush()
+    val e = intercept[java.io.IOException](parse(bos.toByteArray))
+    assert(e.getMessage.contains("CDF-5 only"), e.getMessage)
+  }
+
   test("corrupt length words surface as IOException, never as crashes") {
     // valid magic + numrecs, then a dim_list whose name-length word
     // reads as a negative int (0xFFFFFF00): must be the quarantinable
