@@ -34,6 +34,10 @@ object CatalogQuery {
       /** CQL2-text filter (STAC filter extension), e.g.
         * "bbox_n >= 20 AND collection_id LIKE 'AVHRR%'". */
       cql2: Option[String] = None,
+      /** Same filter in its JSON encoding (`filter-lang: cql2-json`) —
+        * the form a STAC client POSTs; compiles through the same AST
+        * as the text form. */
+      cql2Json: Option[String] = None,
       sortBy: Seq[(String, Boolean)] = Seq(("item_id", true)), // asc?
       limit: Int = 100,
       /** keyset token: sort-key values of the last row of the prior
@@ -92,6 +96,9 @@ object CatalogQuery {
     }
     q.cql2.foreach { f =>
       df = df.filter(Cql2Filter.compile(f, items.columns.toSet))
+    }
+    q.cql2Json.foreach { f =>
+      df = df.filter(Cql2Filter.compileJson(f, items.columns.toSet))
     }
     // total order: user sort keys + item_id tiebreak
     val sortKeys = q.sortBy ++ Seq(("item_id", true))

@@ -43,6 +43,85 @@ object Cql2Filter {
   def compile(text: String, topCols: Set[String]): Column =
     toColumn(new Parser(text).parseAll(), topCols)
 
+  /** Compile a CQL2-JSON expression (`filter-lang: cql2-json` —
+    * stac-fastapi accepts both encodings of the filter extension,
+    * reference query surface docker-compose.yml:1-28). The JSON form
+    * maps onto the SAME AST as the text compiler, so both languages
+    * share one Column translation and cannot drift. */
+  def compileJson(json: String, topCols: Set[String]): Column =
+    toColumn(parseJson(json), topCols)
+
+  /** CQL2-JSON → AST (OGC 21-065 JSON encoding): every node is
+    * `{"op": .., "args": [..]}`; property operands are
+    * `{"property": name}`; literals are JSON scalars; IN's second arg
+    * is a JSON array. and/or are n-ary in the spec and fold left. */
+  def parseJson(json: String): Node = {
+    val root =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"cql2-json is not valid JSON: ${e.getMessage}")
+      }
+    fromJsonNode(root)
+  }
+
+  private def fromJsonNode(
+      n: com.fasterxml.jackson.databind.JsonNode): Node = {
+    require(n != null && n.isObject && n.has("op"),
+      s"cql2-json node must be an object with an 'op': $n")
+    val op = n.get("op").asText()
+    val argsNode = n.get("args")
+    val args: Seq[com.fasterxml.jackson.databind.JsonNode] =
+      if (argsNode == null || !argsNode.isArray) Seq.empty
+      else (0 until argsNode.size).map(argsNode.get)
+    def propOf(a: com.fasterxml.jackson.databind.JsonNode): String = {
+      require(a.isObject && a.has("property"),
+        s"expected a {\"property\": ..} operand, got $a")
+      a.get("property").asText()
+    }
+    // integers parse as Long and floats as Double — the same literal
+    // types the text parser produces, so toColumn's try-cast rules
+    // apply identically to both encodings
+    def litOf(a: com.fasterxml.jackson.databind.JsonNode): Any =
+      if (a.isTextual) a.asText()
+      else if (a.isBoolean) a.asBoolean()
+      else if (a.isIntegralNumber) a.asLong()
+      else if (a.isNumber) a.asDouble()
+      else throw new IllegalArgumentException(
+        s"unsupported cql2-json literal: $a")
+    def nAry(mk: (Node, Node) => Node): Node = {
+      require(args.length >= 2, s"'$op' needs >= 2 args, got ${args.length}")
+      args.map(fromJsonNode).reduceLeft(mk)
+    }
+    op.toLowerCase match {
+      case "and" => nAry(And.apply)
+      case "or" => nAry(Or.apply)
+      case "not" =>
+        require(args.length == 1, s"'not' needs 1 arg, got ${args.length}")
+        Not(fromJsonNode(args.head))
+      case "=" | "<>" | "<" | "<=" | ">" | ">=" =>
+        require(args.length == 2, s"'$op' needs 2 args, got ${args.length}")
+        Cmp(propOf(args(0)), op, litOf(args(1)))
+      case "like" =>
+        require(args.length == 2, s"'like' needs 2 args")
+        litOf(args(1)) match {
+          case s: String => Like(propOf(args(0)), s)
+          case other => throw new IllegalArgumentException(
+            s"LIKE needs a string pattern, got $other")
+        }
+      case "in" =>
+        require(args.length == 2 && args(1).isArray,
+          s"'in' needs (property, array) args: $n")
+        In(propOf(args(0)),
+          (0 until args(1).size).map(i => litOf(args(1).get(i))))
+      case "isnull" =>
+        require(args.length == 1, s"'isNull' needs 1 arg")
+        IsNull(propOf(args.head), negated = false)
+      case other => throw new IllegalArgumentException(
+        s"unsupported cql2-json op: '$other'")
+    }
+  }
+
   /** TRY-mode cast: a map property value that doesn't parse as the
     * literal's type becomes null (three-valued ⇒ row filtered out)
     * instead of an ANSI CAST_INVALID_INPUT crash killing the whole

@@ -101,6 +101,77 @@ class Cql2FilterSpec extends SparkSpec {
     intercept[Exception](Cql2Filter.compile("lang = 'en' extra", Set("lang")))
   }
 
+  test("cql2-json compiles to the same AST and results as cql2-text") {
+    import Cql2Filter._
+    // identical filters, both encodings — the ASTs must be EQUAL, so
+    // every downstream Column translation is shared by construction
+    val pairs = Seq(
+      "n_chars > 300" ->
+        """{"op":">","args":[{"property":"n_chars"},300]}""",
+      "lang = 'en' AND n_chars <= 200" ->
+        """{"op":"and","args":[
+          |{"op":"=","args":[{"property":"lang"},"en"]},
+          |{"op":"<=","args":[{"property":"n_chars"},200]}]}""".stripMargin,
+      "lang IN ('en', 'de', 'zh')" ->
+        """{"op":"in","args":[{"property":"lang"},["en","de","zh"]]}""",
+      "source LIKE 'src1%'" ->
+        """{"op":"like","args":[{"property":"source"},"src1%"]}""",
+      "lang IS NULL" ->
+        """{"op":"isNull","args":[{"property":"lang"}]}""",
+      "NOT (lang = 'en')" ->
+        """{"op":"not","args":[
+          |{"op":"=","args":[{"property":"lang"},"en"]}]}""".stripMargin,
+      "lang = 'en' OR lang = 'fr' AND n_chars > 300" ->
+        """{"op":"or","args":[
+          |{"op":"=","args":[{"property":"lang"},"en"]},
+          |{"op":"and","args":[
+          |  {"op":"=","args":[{"property":"lang"},"fr"]},
+          |  {"op":">","args":[{"property":"n_chars"},300]}]}]}""".stripMargin
+    )
+    pairs.foreach { case (text, json) =>
+      assert(parseJson(json) == new Parser(text).parseAll(),
+        s"AST mismatch for: $text")
+      val t = docs.filter(compile(text, docs.columns.toSet)).count()
+      val j = docs.filter(compileJson(json, docs.columns.toSet)).count()
+      assert(t == j, s"row-count mismatch for: $text ($t vs $j)")
+    }
+    // n-ary and folds left; floats stay Double, ints stay Long
+    assert(parseJson(
+      """{"op":"and","args":[
+        |{"op":"=","args":[{"property":"a"},1]},
+        |{"op":"=","args":[{"property":"b"},2.5]},
+        |{"op":"=","args":[{"property":"c"},true]}]}""".stripMargin) ==
+      And(And(Cmp("a", "=", 1L), Cmp("b", "=", 2.5)), Cmp("c", "=", true)))
+    // malformed JSON / unknown ops / bad shapes fail loudly
+    intercept[IllegalArgumentException](parseJson("not json at all"))
+    intercept[IllegalArgumentException](
+      parseJson("""{"op":"between","args":[]}"""))
+    intercept[Exception](
+      parseJson("""{"op":"=","args":[{"property":"a"}]}"""))
+    intercept[Exception](
+      parseJson("""{"op":"in","args":[{"property":"a"},"not-array"]}"""))
+  }
+
+  test("cql2-json plugs into the STAC search compiler like cql2-text") {
+    val path = java.nio.file.Files.createTempDirectory("graft-cqlj").toString
+    val (items, _) = graft.catalog.ItemAssembly.assemble(
+      new graft.ingest.FixtureGranuleSource(
+        end = "2022-05-01 02:59:59").granules(spark))
+    graft.catalog.CatalogStore.write(items, s"$path/items")
+    val all = graft.catalog.CatalogStore.read(spark, s"$path/items")
+    val viaText = CatalogQuery.compile(all, CatalogQuery.Search(
+      cql2 = Some("bbox_n >= 0 AND item_id LIKE 'granule-%'"),
+      limit = 1000)).collect().map(_.getAs[String]("item_id")).toSeq
+    val viaJson = CatalogQuery.compile(all, CatalogQuery.Search(
+      cql2Json = Some(
+        """{"op":"and","args":[
+          |{"op":">=","args":[{"property":"bbox_n"},0]},
+          |{"op":"like","args":[{"property":"item_id"},"granule-%"]}]}"""
+          .stripMargin),
+      limit = 1000)).collect().map(_.getAs[String]("item_id")).toSeq
+    assert(viaText.nonEmpty && viaText == viaJson)
+  }
+
   test("cql2 filter plugs into the STAC search compiler") {
     val path = java.nio.file.Files.createTempDirectory("graft-cql").toString
     val (items, _) = graft.catalog.ItemAssembly.assemble(
