@@ -10,8 +10,9 @@ import java.nio.charset.StandardCharsets
   * (avhrr recipe.py:46-63); everything it consumes lives in the
   * header, so this reader parses magic → numrecs → dim_list →
   * gatt_list and never touches variable data: a 100 MB granule costs
-  * a few KB of reads. netcdf4/HDF5-backed granules still need a real
-  * library and stay behind the same GranuleSource seam.
+  * a few KB of reads. netcdf4/HDF5-backed granules route through the
+  * sibling Hdf5Header root-attribute reader (the GranuleSource seam
+  * sniffs the magic).
   *
   * All integers are big-endian; CDF-5 widens the NON_NEG fields to
   * 64 bits. Names and values are padded to 4-byte boundaries.
@@ -49,8 +50,8 @@ object NetcdfClassic {
     in.readFully(magic)
     if (magic(0) != 'C' || magic(1) != 'D' || magic(2) != 'F')
       throw new IOException(
-        "not a NetCDF classic file (HDF5-backed netcdf4 needs a real " +
-          "NetCDF library behind the GranuleSource seam)")
+        "not a NetCDF classic file (HDF5-backed netcdf4 routes through " +
+          "Hdf5Header — NetcdfGranuleSource sniffs the magic)")
     val version = magic(3).toInt
     require(version == 1 || version == 2 || version == 5,
       s"unsupported NetCDF classic version $version")

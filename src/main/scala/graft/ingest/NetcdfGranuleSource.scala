@@ -89,10 +89,20 @@ object NetcdfGranuleSource {
     val p = new org.apache.hadoop.fs.Path(url)
     try {
       val fs = p.getFileSystem(conf)
-      val in = new DataInputStream(
-        new BufferedInputStream(fs.open(p), 8192))
-      try NetcdfClassic.readHeader(in).attrs
-      finally in.close()
+      val bin = new BufferedInputStream(fs.open(p), 8192)
+      val in = new DataInputStream(bin)
+      try {
+        // sniff the magic to route the two on-disk formats netcdf
+        // produces: classic CDF-1/2/5 vs HDF5-backed netcdf4
+        // (file_type="netcdf4", avhrr recipe.py:120,126)
+        bin.mark(8)
+        val magic = new Array[Byte](8)
+        val got = in.read(magic)
+        bin.reset()
+        if (got >= 8 && Hdf5Header.isHdf5Magic(magic))
+          Hdf5Header.readRootAttrs(in)
+        else NetcdfClassic.readHeader(in).attrs
+      } finally in.close()
     } catch {
       // Narrow on purpose: NetcdfClassic bounds every length word, so
       // corrupt FILES always surface as IOException (or a require's

@@ -354,6 +354,36 @@ object SourceSinkQueries {
       .orderBy(col("item_id"))
   }
 
+  /** src_hdf5_attrs — HDF5-backed netcdf4 granules (the reference's
+    * actual production file_type, avhrr recipe.py:120,126) → root
+    * attribute extraction (Hdf5Header: superblock → object header →
+    * attribute messages, fixed AND vlen strings) → B1 rows → item
+    * assembly, through the SAME NetcdfGranuleSource seam as classic
+    * files (the source sniffs the magic). File-synthesizing ⇒
+    * rows-only; format parsing proven in Hdf5Spec. */
+  def srcHdf5Attrs(s: SparkSession, dir: String): DataFrame = {
+    import graft.ingest.NetcdfClassic._
+    val tmp = Files.createTempDirectory("graft-h5q").toString
+    (0 until 24).foreach { i =>
+      val bytes = graft.ingest.Hdf5Header.buildFile(Seq(
+        ("id", CharAttr("AVHRR_SST_METOP_B-OSISAF-L2P-v1.0")),
+        ("uuid", CharAttr(f"granule-h5-$i%03d")),
+        ("westernmost_longitude", CharAttr((i * 7 % 170 - 85).toString)),
+        ("southernmost_latitude", CharAttr((i * 5 % 120 - 60).toString)),
+        ("easternmost_longitude", CharAttr((i * 7 % 170 - 75).toString)),
+        ("northernmost_latitude", CharAttr((i * 5 % 120 - 52).toString)),
+        ("time_coverage_start", CharAttr(f"2022-05-01T${i % 24}%02d:01:03")),
+        ("time_coverage_end", CharAttr(f"2022-05-01T${i % 24}%02d:03:59"))),
+        vlenStrings = i % 2 == 1) // mix NC_CHAR and NC_STRING storage
+      Files.write(java.nio.file.Paths.get(s"$tmp/g$i.nc"), bytes)
+    }
+    val src = new graft.ingest.NetcdfGranuleSource(s"file:$tmp/*.nc")
+    val (items, _) = ItemAssembly.assemble(src.granules(s))
+    items.select(col("item_id"), col("collection_id"),
+        col("bbox_w"), col("bbox_n"), col("start_datetime"))
+      .orderBy(col("item_id"))
+  }
+
   /** snk_jdbc_upsert — the pgstac-parity JDBC sink (ToPgStac, avhrr
     * recipe.py:85,137) against embedded Derby: upsert, idempotent
     * re-run, newer-delta replace — all proven in the output row.
@@ -503,6 +533,7 @@ object SourceSinkQueries {
     "src_open_url" -> (srcOpenUrl _),
     "src_scientific" -> (srcScientific _),
     "src_netcdf_attrs" -> (srcNetcdfAttrs _),
+    "src_hdf5_attrs" -> (srcHdf5Attrs _),
     "src_scientific_v2" -> (srcScientificV2 _),
     "src_yaml_collections" -> (srcYamlCollections _),
     "src_csv" -> (srcCsv _),

@@ -1,0 +1,151 @@
+package graft
+
+import java.io.{ByteArrayInputStream, DataInputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets
+
+import graft.ingest.{Hdf5Header, NetcdfClassic, NetcdfGranuleSource}
+
+/** HDF5 root-attribute reader: writer round-trips (fixed + vlen
+  * strings, numerics), hand-built v2/OHDR and v3-attribute fixtures,
+  * corrupt-input quarantine, and the granule-source e2e that mixes
+  * HDF5 and classic files under one glob. */
+class Hdf5Spec extends SparkSpec {
+  import NetcdfClassic._
+
+  private def parse(b: Array[Byte]): Map[String, String] =
+    Hdf5Header.readRootAttrs(new DataInputStream(new ByteArrayInputStream(b)))
+
+  private val granuleAttrs: Seq[(String, AttrValue)] = Seq(
+    ("id", CharAttr("AVHRR_SST_METOP_B-OSISAF-L2P-v1.0")),
+    ("uuid", CharAttr("granule-h5-001")),
+    ("westernmost_longitude", CharAttr("-85.0")),
+    ("southernmost_latitude", CharAttr("-60.0")),
+    ("easternmost_longitude", CharAttr("85.0")),
+    ("northernmost_latitude", CharAttr("60.0")),
+    ("time_coverage_start", CharAttr("2022-05-01T00:01:03")),
+    ("time_coverage_end", CharAttr("2022-05-01T00:03:59")))
+
+  test("fixed-string and numeric attrs round-trip through superblock v0") {
+    val attrs = granuleAttrs ++ Seq(
+      ("resolution", DoubleAttr(0.05)),
+      ("scale", FloatAttr(1.5f)),
+      ("bands", IntAttr(Seq(1, 2, 3))),
+      ("flag", ShortAttr(7.toShort)),
+      ("big_count", LongAttr(Seq(3000000000L, -1L))),
+      ("mask", UByteAttr(Seq(0xff, 0x01, 0x80))))
+    val got = parse(Hdf5Header.buildFile(attrs))
+    assert(got("id") == "AVHRR_SST_METOP_B-OSISAF-L2P-v1.0")
+    assert(got("uuid") == "granule-h5-001")
+    assert(got("time_coverage_start") == "2022-05-01T00:01:03")
+    assert(got("resolution") == "0.05")
+    assert(got("scale") == "1.5")
+    assert(got("bands") == "1, 2, 3")
+    assert(got("flag") == "7")
+    assert(got("big_count") == "3000000000, -1")
+    assert(got("mask") == "255, 1, 128")
+  }
+
+  test("vlen string attrs resolve through the global heap") {
+    // netcdf-c stores NC_STRING attrs as vlen + global heap; NC_CHAR
+    // as fixed strings — both must parse to the same values
+    val fixed = parse(Hdf5Header.buildFile(granuleAttrs))
+    val vlen = parse(Hdf5Header.buildFile(granuleAttrs, vlenStrings = true))
+    assert(vlen == fixed)
+    assert(vlen("uuid") == "granule-h5-001")
+  }
+
+  test("superblock v2 + OHDR object header + v3 attribute parse") {
+    // hand-built "latest format" file: superblock v2 (root addr at
+    // offset 36) pointing at an OHDR v2 header holding one v3
+    // attribute (uuid = 'ohdr-granule'); checksums are zeros (the
+    // reader does not verify them)
+    val bos = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = bos.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v); u8(v >> 8) }
+    def u32(v: Long): Unit = { u16(v.toInt); u16((v >> 16).toInt) }
+    def u64(v: Long): Unit = { u32(v); u32(v >> 32) }
+    bos.write(Array(0x89, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    u8(2) // superblock v2
+    u8(8); u8(8) // offset/length sizes
+    u8(0) // consistency flags
+    u64(0L) // base
+    u64(-1L) // extension
+    u64(200L) // eof
+    u64(48L) // ROOT object header address
+    u32(0L) // superblock checksum (unverified)
+    // OHDR at 48
+    val name = "uuid".getBytes(StandardCharsets.UTF_8) :+ 0.toByte
+    val value = "ohdr-granule".getBytes(StandardCharsets.UTF_8)
+    // v3 attr body: ver,flags,name size,dt size,ds size,encoding,
+    // then name/dt/ds/data UNPADDED
+    val attrBody = 9 + name.length + 8 + 8 + value.length
+    val chunk0 = 4 + attrBody + 4 // msg header + body + checksum
+    bos.write("OHDR".getBytes(StandardCharsets.US_ASCII))
+    u8(2) // version
+    u8(0x00) // flags: 1-byte chunk0 size, no times, no phase change
+    u8(chunk0)
+    u8(0x0C); u16(attrBody); u8(0) // message: type, size, flags
+    u8(3); u8(0) // attribute v3, no sharing
+    u16(name.length); u16(8); u16(8)
+    u8(0) // name encoding: ASCII
+    bos.write(name)
+    // datatype: fixed string of value.length
+    u8(0x13); u8(0); u8(0); u8(0); u32(value.length.toLong)
+    // dataspace v2 scalar: version,rank,flags,type(scalar=0)... v2 is
+    // version(1) rank(1) flags(1) type(1)
+    u8(2); u8(0); u8(0); u8(0); u32(0L) // pad to declared 8 bytes
+    bos.write(value)
+    u32(0L) // chunk checksum (unverified)
+    val got = parse(bos.toByteArray)
+    assert(got == Map("uuid" -> "ohdr-granule"))
+  }
+
+  test("corrupt HDF5 input quarantines as IOException, never crashes") {
+    // truncated signature
+    intercept[java.io.IOException](parse("HDF".getBytes))
+    // valid signature, unsupported superblock version
+    val badVer = Hdf5Header.buildFile(granuleAttrs).clone()
+    badVer(8) = 7
+    intercept[java.io.IOException](parse(badVer))
+    // root address pointing past the probe: bounds error, not OOM
+    val badAddr = Hdf5Header.buildFile(granuleAttrs).clone()
+    badAddr(64) = 0xff.toByte; badAddr(65) = 0xff.toByte
+    badAddr(66) = 0x7f.toByte
+    intercept[java.io.IOException](parse(badAddr))
+    // corrupt attribute count / message overrun
+    val badMsg = Hdf5Header.buildFile(granuleAttrs).clone()
+    badMsg(96 + 2) = 0x40.toByte // claim 64 messages in the v1 header
+    intercept[java.io.IOException](parse(badMsg))
+  }
+
+  test("HDF5 and classic granules mix under one glob end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5").toString
+    def gAttrs(i: Int): Seq[(String, AttrValue)] = Seq(
+      ("id", CharAttr("AVHRR_SST_METOP_B-OSISAF-L2P-v1.0")),
+      ("uuid", CharAttr(f"granule-mix-$i%03d")),
+      ("westernmost_longitude", CharAttr((i * 7 % 170 - 85).toString)),
+      ("southernmost_latitude", CharAttr((i * 5 % 120 - 60).toString)),
+      ("easternmost_longitude", CharAttr((i * 7 % 170 - 75).toString)),
+      ("northernmost_latitude", CharAttr((i * 5 % 120 - 52).toString)),
+      ("time_coverage_start", CharAttr(f"2022-05-01T${i % 24}%02d:01:03")),
+      ("time_coverage_end", CharAttr(f"2022-05-01T${i % 24}%02d:03:59")))
+    (0 until 6).foreach { i =>
+      val bytes =
+        if (i % 2 == 0) Hdf5Header.buildFile(gAttrs(i), vlenStrings = i == 4)
+        else NetcdfClassic.buildHeader(gAttrs(i),
+          dims = Seq(("ni", 409L), ("nj", 5680L)), version = 1)
+      val f = new FileOutputStream(s"$dir/g$i.nc")
+      try f.write(bytes) finally f.close()
+    }
+    val src = new NetcdfGranuleSource(s"file:$dir/*.nc")
+    val rows = src.granules(spark).collect()
+    assert(rows.length == 6)
+    val uuids = rows.map(_.getAs[String]("uuid")).sorted.toSeq
+    assert(uuids == (0 until 6).map(i => f"granule-mix-$i%03d"))
+    // item assembly consumes both formats identically
+    val (items, quarantined) =
+      graft.catalog.ItemAssembly.assemble(src.granules(spark))
+    assert(items.count() == 6 && quarantined.count() == 0)
+  }
+}
