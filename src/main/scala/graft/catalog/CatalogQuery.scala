@@ -24,6 +24,13 @@ object CatalogQuery {
       collections: Seq[String] = Seq.empty,
       ids: Seq[String] = Seq.empty,
       bbox: Option[(Double, Double, Double, Double)] = None, // w,s,e,n
+      /** STAC `intersects` search: a GeoJSON geometry the item's
+        * geometry must EXACTLY intersect (pgstac's ST_Intersects, not
+        * bbox overlap — a LineString crossing only the corner region
+        * of a query box must NOT match). Compiled as a pushdown-able
+        * bbox prefilter on the envelope plus the exact predicate on
+        * the candidates — the PostGIS index-then-recheck shape. */
+      intersects: Option[String] = None,
       interval: Option[(Timestamp, Timestamp)] = None,
       propEquals: Map[String, String] = Map.empty,
       /** Month-partition pruning slack: items may span at most this
@@ -88,6 +95,18 @@ object CatalogQuery {
         df = df.filter(col("month") >= fmt.format(lo) &&
           col("month") <= fmt.format(hi))
       }
+    }
+    q.intersects.foreach { g =>
+      val geom = graft.geometry.Geometry.parseGeoJson(g).getOrElse(
+        throw new IllegalArgumentException(
+          s"intersects: unsupported or malformed GeoJSON: $g"))
+      val (w, s, e, n) = graft.geometry.Geometry.envelope(geom)
+      // envelope prefilter on the scalar bbox columns (pushdown-able;
+      // prunes the scan) THEN the exact test on candidates only
+      df = df.filter(col("bbox_w") <= e && lit(w) <= col("bbox_e") &&
+          col("bbox_s") <= n && lit(s) <= col("bbox_n"))
+        .filter(graft.geometry.Geometry.intersectsUdf(
+          col("geometry"), lit(g)))
     }
     q.propEquals.foreach { case (k, v) =>
       // try_element_at: missing key ⇒ null ⇒ row filtered, instead of

@@ -74,6 +74,191 @@ object Geometry {
       n_points_in: Int,
       n_points_out: Int)
 
+  // ---- exact ST_Intersects (SURVEY §7.3 divergence closed) ----
+  //
+  // pgstac's GiST search (docker-compose.yml:30-44) evaluates true
+  // ST_Intersects; bbox overlap alone false-positives whenever a
+  // LineString crosses only the corner REGION of a query box. The
+  // exact predicate below implements the standard computational-
+  // geometry tests (orientation/segment intersection, boundary-
+  // inclusive ray-cast point-in-polygon) over the GeoJSON subset this
+  // module itself emits: Point, LineString, Polygon (+ Multi* and
+  // holes). STAC `bbox` search stays bbox-only by spec; `intersects`
+  // search runs the bbox prefilter (pushdown-able) THEN this exact
+  // test on the candidates — the PostGIS index-then-recheck shape.
+
+  sealed trait Geom
+  case class GPoint(x: Double, y: Double) extends Geom
+  case class GLine(pts: IndexedSeq[(Double, Double)]) extends Geom
+  /** head ring = outer boundary, tail = holes. */
+  case class GPolygon(rings: IndexedSeq[IndexedSeq[(Double, Double)]])
+      extends Geom
+  case class GMulti(parts: IndexedSeq[Geom]) extends Geom
+
+  /** Minimal GeoJSON geometry parser (Jackson ships with Spark).
+    * Malformed/unsupported input → None: a dirty geometry row must
+    * filter out of a search, never crash it. */
+  def parseGeoJson(s: String): Option[Geom] =
+    try {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+      fromJson(n)
+    } catch { case _: Exception => None }
+
+  private def fromJson(
+      n: com.fasterxml.jackson.databind.JsonNode): Option[Geom] = {
+    if (n == null || !n.isObject || !n.has("type")) return None
+    def pt(a: com.fasterxml.jackson.databind.JsonNode): (Double, Double) =
+      (a.get(0).asDouble(), a.get(1).asDouble())
+    def ring(a: com.fasterxml.jackson.databind.JsonNode) =
+      (0 until a.size).map(i => pt(a.get(i)))
+    val c = n.get("coordinates")
+    n.get("type").asText() match {
+      case "Point" if c != null && c.size >= 2 =>
+        Some(GPoint(c.get(0).asDouble(), c.get(1).asDouble()))
+      case "LineString" if c != null && c.size >= 2 =>
+        Some(GLine(ring(c)))
+      case "Polygon" if c != null && c.size >= 1 =>
+        Some(GPolygon((0 until c.size).map(i => ring(c.get(i)))))
+      case "MultiPolygon" if c != null =>
+        Some(GMulti((0 until c.size).map(i =>
+          GPolygon((0 until c.get(i).size).map(j => ring(c.get(i).get(j)))))))
+      case "MultiLineString" if c != null =>
+        Some(GMulti((0 until c.size).map(i => GLine(ring(c.get(i))))))
+      case "MultiPoint" if c != null =>
+        Some(GMulti((0 until c.size).map(i =>
+          GPoint(c.get(i).get(0).asDouble(), c.get(i).get(1).asDouble()))))
+      case _ => None
+    }
+  }
+
+  private def orient(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double): Int =
+    math.signum((bx - ax) * (cy - ay) - (by - ay) * (cx - ax)).toInt
+
+  private def onSegment(px: Double, py: Double, qx: Double, qy: Double,
+      rx: Double, ry: Double): Boolean =
+    orient(px, py, qx, qy, rx, ry) == 0 &&
+      rx >= math.min(px, qx) && rx <= math.max(px, qx) &&
+      ry >= math.min(py, qy) && ry <= math.max(py, qy)
+
+  /** Closed-segment intersection (touching endpoints count — matches
+    * ST_Intersects' boundary-inclusive semantics). */
+  private[geometry] def segIntersect(
+      a: (Double, Double), b: (Double, Double),
+      c: (Double, Double), d: (Double, Double)): Boolean = {
+    val o1 = orient(a._1, a._2, b._1, b._2, c._1, c._2)
+    val o2 = orient(a._1, a._2, b._1, b._2, d._1, d._2)
+    val o3 = orient(c._1, c._2, d._1, d._2, a._1, a._2)
+    val o4 = orient(c._1, c._2, d._1, d._2, b._1, b._2)
+    (o1 != o2 && o3 != o4) ||
+      onSegment(a._1, a._2, b._1, b._2, c._1, c._2) ||
+      onSegment(a._1, a._2, b._1, b._2, d._1, d._2) ||
+      onSegment(c._1, c._2, d._1, d._2, a._1, a._2) ||
+      onSegment(c._1, c._2, d._1, d._2, b._1, b._2)
+  }
+
+  private def segments(pts: IndexedSeq[(Double, Double)]) =
+    if (pts.length < 2) IndexedSeq.empty
+    else pts.zip(pts.tail)
+
+  /** Boundary-inclusive ray cast against one ring. */
+  private def pointInRing(
+      x: Double, y: Double, ring: IndexedSeq[(Double, Double)]): Boolean = {
+    val closed = if (ring.nonEmpty && ring.head != ring.last)
+      ring :+ ring.head else ring
+    var inside = false
+    segments(closed).foreach { case ((x1, y1), (x2, y2)) =>
+      if (onSegment(x1, y1, x2, y2, x, y)) return true
+      if ((y1 > y) != (y2 > y) &&
+        x < (x2 - x1) * (y - y1) / (y2 - y1) + x1) inside = !inside
+    }
+    inside
+  }
+
+  /** Inside the outer ring, on any boundary, and not STRICTLY inside
+    * a hole. */
+  private def pointInPolygon(x: Double, y: Double, p: GPolygon): Boolean = {
+    if (p.rings.isEmpty || !pointInRing(x, y, p.rings.head)) return false
+    p.rings.tail.forall { hole =>
+      val closed = if (hole.nonEmpty && hole.head != hole.last)
+        hole :+ hole.head else hole
+      val onEdge = segments(closed).exists { case ((x1, y1), (x2, y2)) =>
+        onSegment(x1, y1, x2, y2, x, y) }
+      onEdge || !pointInRing(x, y, hole)
+    }
+  }
+
+  private def ringSegs(p: GPolygon) = p.rings.flatMap { r =>
+    segments(if (r.nonEmpty && r.head != r.last) r :+ r.head else r)
+  }
+
+  /** Exact boundary-inclusive intersects over the supported GeoJSON
+    * subset — the DE-9IM "interiors or boundaries share a point"
+    * predicate pgstac answers for STAC `intersects` search. */
+  def intersects(a: Geom, b: Geom): Boolean = (a, b) match {
+    case (GMulti(ps), g) => ps.exists(intersects(_, g))
+    case (g, GMulti(ps)) => ps.exists(intersects(g, _))
+    case (GPoint(x1, y1), GPoint(x2, y2)) => x1 == x2 && y1 == y2
+    case (p: GPoint, l: GLine) => pointOnLine(p, l)
+    case (l: GLine, p: GPoint) => pointOnLine(p, l)
+    case (GPoint(x, y), pg: GPolygon) => pointInPolygon(x, y, pg)
+    case (pg: GPolygon, GPoint(x, y)) => pointInPolygon(x, y, pg)
+    case (l1: GLine, l2: GLine) =>
+      segments(l1.pts).exists(s1 => segments(l2.pts).exists(s2 =>
+        segIntersect(s1._1, s1._2, s2._1, s2._2))) ||
+        (l1.pts.length == 1 && pointOnLine(GPoint(l1.pts.head._1,
+          l1.pts.head._2), l2)) ||
+        (l2.pts.length == 1 && pointOnLine(GPoint(l2.pts.head._1,
+          l2.pts.head._2), l1))
+    case (l: GLine, pg: GPolygon) => linePolygon(l, pg)
+    case (pg: GPolygon, l: GLine) => linePolygon(l, pg)
+    case (p1: GPolygon, p2: GPolygon) =>
+      ringSegs(p1).exists(s1 => ringSegs(p2).exists(s2 =>
+        segIntersect(s1._1, s1._2, s2._1, s2._2))) ||
+        p1.rings.headOption.exists(_.headOption.exists { case (x, y) =>
+          pointInPolygon(x, y, p2) }) ||
+        p2.rings.headOption.exists(_.headOption.exists { case (x, y) =>
+          pointInPolygon(x, y, p1) })
+  }
+
+  private def pointOnLine(p: GPoint, l: GLine): Boolean =
+    segments(l.pts).exists { case ((x1, y1), (x2, y2)) =>
+      onSegment(x1, y1, x2, y2, p.x, p.y) } ||
+      (l.pts.length == 1 && l.pts.head == ((p.x, p.y)))
+
+  private def linePolygon(l: GLine, pg: GPolygon): Boolean =
+    segments(l.pts).exists(s => ringSegs(pg).exists(e =>
+      segIntersect(s._1, s._2, e._1, e._2))) ||
+      l.pts.headOption.exists { case (x, y) => pointInPolygon(x, y, pg) }
+
+  /** GeoJSON×GeoJSON exact intersects as a UDF (per-row local work;
+    * the caller is expected to bbox-prefilter so this runs on
+    * candidates, not the catalog). Null/malformed → false. */
+  val intersectsUdf: UserDefinedFunction =
+    udf { (ga: String, gb: String) =>
+      (ga != null && gb != null) && (for {
+        a <- parseGeoJson(ga)
+        b <- parseGeoJson(gb)
+      } yield intersects(a, b)).getOrElse(false)
+    }
+
+  /** The [w,s,e,n] envelope of a parsed geometry — drives the
+    * pushdown-able bbox prefilter for `intersects` search. */
+  def envelope(g: Geom): (Double, Double, Double, Double) = g match {
+    case GPoint(x, y) => (x, y, x, y)
+    case GLine(pts) =>
+      (pts.map(_._1).min, pts.map(_._2).min,
+        pts.map(_._1).max, pts.map(_._2).max)
+    case GPolygon(rings) =>
+      val all = rings.headOption.getOrElse(IndexedSeq.empty)
+      (all.map(_._1).min, all.map(_._2).min,
+        all.map(_._1).max, all.map(_._2).max)
+    case GMulti(parts) =>
+      val es = parts.map(envelope)
+      (es.map(_._1).min, es.map(_._2).min, es.map(_._3).max,
+        es.map(_._4).max)
+  }
+
   def extractTrajectory(tolerance: Double = 0.001): UserDefinedFunction =
     udf { (lon: Seq[Double], lat: Seq[Double]) =>
       // a single bad granule (null/mismatched coordinate arrays) must

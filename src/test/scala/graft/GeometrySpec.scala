@@ -40,6 +40,100 @@ class GeometrySpec extends SparkSpec {
     assert(rows(3L)._1 == "Point")
   }
 
+  test("exact intersects: the corner-region LineString false positive") {
+    import Geometry._
+    // the pgstac-parity case: a diagonal track whose bbox overlaps the
+    // query box's corner region without the line ever entering the box
+    val box = """{"type":"Polygon","coordinates":[[[0,0],[10,0],[10,10],[0,10],[0,0]]]}"""
+    // x+y=20.5 passes OUTSIDE the (10,10) corner; x+y=19 cuts inside it
+    val missTrack =
+      """{"type":"LineString","coordinates":[[9.5,11],[11,9.5]]}"""
+    val hitTrack =
+      """{"type":"LineString","coordinates":[[8,11],[11,8]]}"""
+    def ix(a: String, b: String): Boolean = (for {
+      ga <- parseGeoJson(a); gb <- parseGeoJson(b)
+    } yield intersects(ga, gb)).getOrElse(fail(s"parse failed: $a / $b"))
+    // bbox of missTrack is [8,8]-[11,11]: OVERLAPS the box bbox...
+    assert(envelope(parseGeoJson(missTrack).get)._1 <= 10.0)
+    // ...but the exact test says no (the line passes outside (10,10))
+    assert(!ix(missTrack, box))
+    // while the closer diagonal clips the corner and does intersect
+    assert(ix(hitTrack, box))
+    assert(ix(box, hitTrack)) // symmetric
+  }
+
+  test("exact intersects: points, containment, holes, touching") {
+    import Geometry._
+    def g(s: String) = parseGeoJson(s).get
+    val box = g("""{"type":"Polygon","coordinates":[[[0,0],[10,0],[10,10],[0,10],[0,0]]]}""")
+    // boundary-inclusive: a point ON the edge intersects
+    assert(intersects(g("""{"type":"Point","coordinates":[10,5]}"""), box))
+    assert(intersects(g("""{"type":"Point","coordinates":[5,5]}"""), box))
+    assert(!intersects(g("""{"type":"Point","coordinates":[10.01,5]}"""), box))
+    // containment without edge crossings still intersects (both ways)
+    val inner = g("""{"type":"Polygon","coordinates":[[[4,4],[6,4],[6,6],[4,6],[4,4]]]}""")
+    assert(intersects(inner, box) && intersects(box, inner))
+    // a line fully inside intersects; a line inside a HOLE does not
+    val donut = g("""{"type":"Polygon","coordinates":[
+      [[0,0],[10,0],[10,10],[0,10],[0,0]],
+      [[3,3],[7,3],[7,7],[3,7],[3,3]]]}""".replaceAll("\\s", ""))
+    assert(intersects(
+      g("""{"type":"LineString","coordinates":[[1,1],[2,2]]}"""), donut))
+    assert(!intersects(
+      g("""{"type":"LineString","coordinates":[[4,4],[6,6]]}"""), donut))
+    // crossing the hole's edge from inside it DOES intersect
+    assert(intersects(
+      g("""{"type":"LineString","coordinates":[[5,5],[5,12]]}"""), donut))
+    // touching polygons (shared edge) intersect
+    val east = g("""{"type":"Polygon","coordinates":[[[10,0],[20,0],[20,10],[10,10],[10,0]]]}""")
+    assert(intersects(box, east))
+    // disjoint polygons don't
+    val far = g("""{"type":"Polygon","coordinates":[[[30,30],[40,30],[40,40],[30,40],[30,30]]]}""")
+    assert(!intersects(box, far))
+    // multi-geometries: any part suffices
+    val multi = g("""{"type":"MultiPolygon","coordinates":[
+      [[[30,30],[40,30],[40,40],[30,40],[30,30]]],
+      [[[4,4],[6,4],[6,6],[4,6],[4,4]]]]}""".replaceAll("\\s", ""))
+    assert(intersects(multi, box))
+    // malformed input parses to None, predicate stays total
+    assert(parseGeoJson("{\"type\":\"Weird\"}").isEmpty)
+    assert(parseGeoJson("not json").isEmpty)
+  }
+
+  test("intersects search: exact predicate vs bbox search divergence") {
+    import spark.implicits._
+    import graft.catalog.CatalogQuery
+    // items carrying LineString geometries: one clips the query box's
+    // corner, one only bbox-overlaps it, one is far away
+    val mk = Geometry.extractTrajectory(0.0)
+    val items = Seq(
+      ("hit", Seq(8.0, 11.0), Seq(11.0, 8.0)),
+      ("bbox_only", Seq(9.5, 11.0), Seq(11.0, 9.5)),
+      ("far", Seq(30.0, 40.0), Seq(30.0, 40.0))
+    ).toDF("item_id", "lon", "lat")
+      .withColumn("g", mk(col("lon"), col("lat")))
+      .select(col("item_id"), col("g.geometry").as("geometry"),
+        col("g.bbox_w").as("bbox_w"), col("g.bbox_s").as("bbox_s"),
+        col("g.bbox_e").as("bbox_e"), col("g.bbox_n").as("bbox_n"))
+    val queryBox = """{"type":"Polygon","coordinates":[[[0,0],[10,0],[10,10],[0,10],[0,0]]]}"""
+    val viaBbox = items.filter(
+        col("bbox_w") <= 10.0 && col("bbox_e") >= 0.0 &&
+          col("bbox_s") <= 10.0 && col("bbox_n") >= 0.0)
+      .collect().map(_.getString(0)).toSet
+    assert(viaBbox == Set("hit", "bbox_only"), "bbox overlap false-positives")
+    val viaExact = items
+      .filter(col("bbox_w") <= 10.0 && col("bbox_e") >= 0.0 &&
+        col("bbox_s") <= 10.0 && col("bbox_n") >= 0.0)
+      .filter(Geometry.intersectsUdf(col("geometry"), lit(queryBox)))
+      .collect().map(_.getString(0)).toSet
+    assert(viaExact == Set("hit"), "exact intersects rejects the corner miss")
+    // and through the Search parameter end-to-end
+    val viaSearch = CatalogQuery.compile(items,
+      CatalogQuery.Search(intersects = Some(queryBox), limit = 10))
+      .collect().map(_.getString(0)).toSet
+    assert(viaSearch == Set("hit"))
+  }
+
   test("NaN/Infinity fill values are dropped before geometry assembly") {
     import spark.implicits._
     val nan = Double.NaN

@@ -24,6 +24,24 @@ class ScaleUtilsSpec extends SparkSpec {
     assert(ivf.size == 10)
   }
 
+  test("ANN recall@10 holds at the bench scale (sf0.1)", SlowTest) {
+    // The fast tests pin recall at sf0.001/sf0.01; probe constants
+    // (nprobe, bucket caps, band widths) must also hold at the scale
+    // the driver benches — a 100× corpus with the same constants is
+    // exactly where ANN recall silently collapses.
+    val big = "/root/testdata/sf0.1"
+    val exact = SimilarityQueries.simTopkCosine(spark, big)
+      .collect().map(_.getLong(0)).toSet
+    val lsh = SimilarityQueries.simAnnLsh(spark, big)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = SimilarityQueries.simAnnIvf(spark, big)
+      .collect().map(_.getLong(0)).toSet
+    val lshRecall = exact.intersect(lsh).size.toDouble / exact.size
+    val ivfRecall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(lshRecall >= 0.6, s"LSH recall@10 = $lshRecall at sf0.1")
+    assert(ivfRecall >= 0.6, s"IVF recall@10 = $ivfRecall at sf0.1")
+  }
+
   test("k-means recovers planted orthogonal blobs with pure clusters") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
