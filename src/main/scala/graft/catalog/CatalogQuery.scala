@@ -125,9 +125,36 @@ object CatalogQuery {
       if (asc) col(name).asc else col(name).desc
     }
     q.afterToken.foreach { token =>
+      validateToken(items, sortKeys, token)
       df = df.filter(keysetPredicate(sortKeys, token))
     }
     df.orderBy(sortCols: _*).limit(q.limit)
+  }
+
+  /** A page token must carry values of the sort columns' own types —
+    * a client replaying a token against a DIFFERENT sortby would
+    * otherwise push a mistyped literal into the keyset predicate and
+    * die mid-scan as an opaque cast error. Fail fast and clean (the
+    * HTTP layer maps IllegalArgumentException to 400). */
+  private def validateToken(items: DataFrame,
+      keys: Seq[(String, Boolean)], token: Seq[Any]): Unit = {
+    import org.apache.spark.sql.types._
+    val types = items.schema.fields.map(f => f.name -> f.dataType).toMap
+    keys.zip(token).foreach { case ((name, _), v) =>
+      val ok = (types.get(name), v) match {
+        case (None, _) => false // unsortable column caught below anyway
+        case (_, null) => true
+        case (Some(StringType), _: String) => true
+        case (Some(LongType), _: Long) => true
+        case (Some(IntegerType), _: Int) => true
+        case (Some(DoubleType), _: Double) => true
+        case (Some(BooleanType), _: Boolean) => true
+        case (Some(TimestampType), _: Timestamp) => true
+        case _ => false
+      }
+      require(ok, s"page token does not match sort key '$name' — " +
+        "tokens are only valid for the sortby they were issued under")
+    }
   }
 
   /** Lexicographic keyset predicate: row > token under the sort order

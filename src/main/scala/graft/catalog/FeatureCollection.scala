@@ -110,9 +110,13 @@ object FeatureCollection {
       numberReturned: Int)
 
   /** Run the search and serialize the page. `token` is the nextToken
-    * of the previous page (overrides q.afterToken when present). */
+    * of the previous page (overrides q.afterToken when present).
+    * `nextHref` switches the next link from the POST convention (self
+    * href + token in a body merge patch) to a caller-built GET href
+    * embedding the token — the two shapes stac-fastapi serves. */
   def page(items: DataFrame, q: CatalogQuery.Search,
-      token: Option[String] = None, selfHref: String = "/search"): Page = {
+      token: Option[String] = None, selfHref: String = "/search",
+      nextHref: Option[String => String] = None): Page = {
     val search = token match {
       case Some(t) => q.copy(afterToken = Some(decodeToken(t)))
       case None => q
@@ -130,8 +134,14 @@ object FeatureCollection {
     // numeric-armored but escape them too — defense in depth)
     val href = jsonEscape(selfHref)
     val links = Seq(s"""{"rel":"self","href":"$href"}""") ++
-      next.map(t =>
-        s"""{"rel":"next","href":"$href","body":{"token":"${jsonEscape(t)}"}}""")
+      next.map { t =>
+        nextHref match {
+          case Some(build) =>
+            s"""{"rel":"next","href":"${jsonEscape(build(t))}"}"""
+          case None =>
+            s"""{"rel":"next","href":"$href","body":{"token":"${jsonEscape(t)}"}}"""
+        }
+      }
     val body = s"""{"type":"FeatureCollection"""" +
       s""","numberReturned":${features.length}""" +
       s""","features":[${features.mkString(",")}]""" +

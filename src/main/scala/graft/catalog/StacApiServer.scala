@@ -1,0 +1,331 @@
+package graft.catalog
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.sql.Timestamp
+import java.util.concurrent.Executors
+
+import scala.util.control.NonFatal
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.DataFrame
+
+/** The STAC API HTTP surface (SURVEY §3.3) — the role stac-fastapi
+  * plays in the reference stack (docker-compose.yml:1-28), served
+  * straight off the engine's Spark catalog instead of pgstac:
+  *
+  *   GET  /                      landing page (links + conformance)
+  *   GET  /conformance
+  *   GET  /collections           collection documents (collections.yaml)
+  *   GET  /collections/{id}
+  *   GET  /collections/{id}/items   limit/token/bbox/datetime params
+  *   GET  /search                bbox, datetime, collections, ids,
+  *                               filter (cql2-text), sortby, limit, token
+  *   POST /search                JSON body; adds `intersects` (GeoJSON)
+  *                               and `filter-lang: cql2-json`
+  *
+  * Built on the JDK's HttpServer — zero new dependencies. Every search
+  * compiles through CatalogQuery (one Catalyst plan per request:
+  * partition pruning + parquet pushdown stand in for pgstac's GiST
+  * index) and serializes through FeatureCollection (only one ≤ limit
+  * page is ever held on the driver). The server is a thin protocol
+  * adapter: parameter parsing in, Search out, Page back — so anything
+  * the engine can answer, a real STAC client can now ask for over HTTP.
+  */
+class StacApiServer(
+    items: DataFrame,
+    collections: Seq[StacModel.StacCollection] = Seq.empty,
+    catalogId: String = "graft") {
+
+  import StacApiServer._
+
+  private var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
+
+  /** Bind and serve; port 0 picks an ephemeral port. Returns the base
+    * URI, e.g. `http://127.0.0.1:49213`. */
+  def start(port: Int = 0): String = {
+    require(server == null, "already started")
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/", (ex: HttpExchange) => route(ex))
+    // small fixed pool: each request runs a Spark action on the driver;
+    // the cluster, not the HTTP pool, provides the parallelism. Daemon
+    // threads: HttpServer.stop does NOT shut down a user-supplied
+    // executor, and 4 live non-daemon threads would pin the whole
+    // driver JVM open at exit
+    pool = Executors.newFixedThreadPool(4, r => {
+      val t = new Thread(r, "stac-api")
+      t.setDaemon(true)
+      t
+    })
+    server.setExecutor(pool)
+    server.start()
+    s"http://127.0.0.1:${server.getAddress.getPort}"
+  }
+
+  def stop(): Unit = if (server != null) {
+    server.stop(0)
+    pool.shutdown()
+    server = null
+    pool = null
+  }
+
+  private def route(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath.stripSuffix("/") match {
+      case "" => "/"
+      case p => p
+    }
+    try {
+      (ex.getRequestMethod, path) match {
+        case ("GET", "/") => respond(ex, 200, landingPage)
+        case ("GET", "/conformance") => respond(ex, 200, conformancePage)
+        case ("GET", "/collections") => respond(ex, 200,
+          s"""{"collections":[${collections.map(mapper.writeValueAsString)
+            .mkString(",")}],"links":[{"rel":"self","href":"/collections"}]}""")
+        case ("GET", CollectionPath(id)) =>
+          collections.find(_.id == id) match {
+            case Some(c) => respond(ex, 200, mapper.writeValueAsString(c))
+            case None => error(ex, 404, s"no such collection: $id")
+          }
+        case ("GET", CollectionItemsPath(id)) =>
+          if (collections.nonEmpty && !collections.exists(_.id == id))
+            error(ex, 404, s"no such collection: $id")
+          else {
+            val params = queryParams(ex)
+            val q = searchFromParams(params).copy(collections = Seq(id))
+            serveSearch(ex, q, params.get("token"),
+              s"/collections/$id/items", getParams = Some(params))
+          }
+        case ("GET", "/search") =>
+          val params = queryParams(ex)
+          serveSearch(ex, searchFromParams(params), params.get("token"),
+            "/search", getParams = Some(params))
+        case ("POST", "/search") =>
+          val body = new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          val node =
+            if (body.isBlank) mapper.createObjectNode()
+            else mapper.readTree(body)
+          val (q, token) = searchFromJson(node)
+          serveSearch(ex, q, token, "/search", getParams = None)
+        case ("GET" | "POST", _) => error(ex, 404, s"no route: $path")
+        case (m, _) => error(ex, 405, s"method not allowed: $m")
+      }
+    } catch {
+      case e @ (_: IllegalArgumentException |
+          _: com.fasterxml.jackson.core.JacksonException) =>
+        error(ex, 400, Option(e.getMessage).getOrElse("bad request"))
+      case NonFatal(e) =>
+        error(ex, 500, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    } finally ex.close()
+  }
+
+  private def serveSearch(ex: HttpExchange, q: CatalogQuery.Search,
+      token: Option[String], selfHref: String,
+      getParams: Option[Map[String, String]]): Unit = {
+    // GET pages link next as an href carrying ALL original query
+    // params (limit/sortby/filters must survive the page walk — a
+    // token alone re-sorts page 2 under the DEFAULT order and the
+    // keyset predicate misfires) with only the token swapped; POST
+    // pages follow the stac-fastapi convention of a body merge patch
+    val nextHref = getParams.map { params =>
+      (t: String) => {
+        val qs = (params - "token" + ("token" -> t)).toSeq.map {
+          case (k, v) =>
+            java.net.URLEncoder.encode(k, StandardCharsets.UTF_8) + "=" +
+              java.net.URLEncoder.encode(v, StandardCharsets.UTF_8)
+        }
+        s"$selfHref?${qs.mkString("&")}"
+      }
+    }
+    val page = FeatureCollection.page(items, q, token, selfHref, nextHref)
+    respond(ex, 200, page.body)
+  }
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+  }
+
+  private def error(ex: HttpExchange, status: Int, msg: String): Unit =
+    respond(ex, status,
+      s"""{"code":$status,"description":"${FeatureCollection.jsonEscape(msg)}"}""")
+
+  private def landingPage: String = {
+    val links = Seq(
+      """{"rel":"self","href":"/"}""",
+      """{"rel":"conformance","href":"/conformance"}""",
+      """{"rel":"data","href":"/collections"}""",
+      """{"rel":"search","href":"/search","method":"GET"}""",
+      """{"rel":"search","href":"/search","method":"POST"}""")
+    s"""{"type":"Catalog","id":"${FeatureCollection.jsonEscape(catalogId)}"""" +
+      s""","stac_version":"1.0.0","description":"graft engine catalog"""" +
+      s""","links":[${links.mkString(",")}]""" +
+      s""","conformsTo":[${conformsTo.map("\"" + _ + "\"").mkString(",")}]}"""
+  }
+
+  private def conformancePage: String =
+    s"""{"conformsTo":[${conformsTo.map("\"" + _ + "\"").mkString(",")}]}"""
+}
+
+object StacApiServer {
+
+  private val mapper =
+    new ObjectMapper().registerModule(DefaultScalaModule)
+
+  private val CollectionPath = "/collections/([^/]+)".r
+  private val CollectionItemsPath = "/collections/([^/]+)/items".r
+
+  /** Conformance classes actually implemented — core, collections,
+    * item search, filter (text+json), and sort. */
+  val conformsTo: Seq[String] = Seq(
+    "https://api.stacspec.org/v1.0.0/core",
+    "https://api.stacspec.org/v1.0.0/collections",
+    "https://api.stacspec.org/v1.0.0/item-search",
+    "https://api.stacspec.org/v1.0.0/item-search#filter",
+    "https://api.stacspec.org/v1.0.0/item-search#sort",
+    "http://www.opengis.net/spec/cql2/1.0/conf/cql2-text",
+    "http://www.opengis.net/spec/cql2/1.0/conf/cql2-json")
+
+  private[catalog] def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).map { raw =>
+      raw.split("&").filter(_.nonEmpty).map { kv =>
+        val (k, v) = kv.split("=", 2) match {
+          case Array(k, v) => (k, v)
+          case Array(k) => (k, "")
+        }
+        java.net.URLDecoder.decode(k, StandardCharsets.UTF_8) ->
+          java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** GET-parameter form (STAC item-search query encoding). */
+  private[catalog] def searchFromParams(
+      p: Map[String, String]): CatalogQuery.Search = {
+    var q = CatalogQuery.Search()
+    p.get("collections").foreach(v =>
+      q = q.copy(collections = v.split(",").toSeq.filter(_.nonEmpty)))
+    p.get("ids").foreach(v =>
+      q = q.copy(ids = v.split(",").toSeq.filter(_.nonEmpty)))
+    p.get("bbox").foreach { v =>
+      q = q.copy(bbox = Some(parseBbox(v.split(",").toSeq.map(d =>
+        try d.toDouble catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"bbox: not a number: '$d'")
+        }))))
+    }
+    p.get("datetime").foreach(v => q = q.copy(interval = Some(parseInterval(v))))
+    p.get("intersects").foreach(v => q = q.copy(intersects = Some(v)))
+    p.get("filter").foreach { f =>
+      // GET carries cql2-text unless filter-lang says otherwise
+      if (p.get("filter-lang").contains("cql2-json"))
+        q = q.copy(cql2Json = Some(f))
+      else q = q.copy(cql2 = Some(f))
+    }
+    p.get("sortby").foreach(v => q = q.copy(sortBy = parseSortText(v)))
+    p.get("limit").foreach { v =>
+      val n = try v.toInt catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"limit: not an integer: '$v'")
+      }
+      require(n > 0 && n <= 10000, s"limit out of range: $n")
+      q = q.copy(limit = n)
+    }
+    q
+  }
+
+  /** POST-body form (application/json). Returns (search, page token). */
+  private[catalog] def searchFromJson(
+      n: JsonNode): (CatalogQuery.Search, Option[String]) = {
+    var q = CatalogQuery.Search()
+    def strings(field: String): Seq[String] = {
+      val a = n.get(field)
+      require(a.isArray, s"$field: expected a JSON array")
+      (0 until a.size).map(a.get(_).asText())
+    }
+    if (n.has("collections")) q = q.copy(collections = strings("collections"))
+    if (n.has("ids")) q = q.copy(ids = strings("ids"))
+    if (n.has("bbox")) {
+      val a = n.get("bbox")
+      require(a.isArray, "bbox: expected a JSON array")
+      q = q.copy(bbox = Some(parseBbox(
+        (0 until a.size).map(a.get(_).asDouble()))))
+    }
+    if (n.has("datetime"))
+      q = q.copy(interval = Some(parseInterval(n.get("datetime").asText())))
+    if (n.has("intersects")) {
+      val g = n.get("intersects")
+      require(g.isObject, "intersects: expected a GeoJSON geometry object")
+      q = q.copy(intersects = Some(g.toString))
+    }
+    if (n.has("filter")) {
+      val f = n.get("filter")
+      val lang = Option(n.get("filter-lang")).map(_.asText())
+        .getOrElse(if (f.isObject) "cql2-json" else "cql2-text")
+      lang match {
+        case "cql2-json" =>
+          require(f.isObject, "filter: cql2-json filter must be an object")
+          q = q.copy(cql2Json = Some(f.toString))
+        case "cql2-text" =>
+          require(f.isTextual, "filter: cql2-text filter must be a string")
+          q = q.copy(cql2 = Some(f.asText()))
+        case other =>
+          throw new IllegalArgumentException(s"unknown filter-lang: $other")
+      }
+    }
+    if (n.has("sortby")) {
+      val a = n.get("sortby")
+      require(a.isArray, "sortby: expected a JSON array")
+      q = q.copy(sortBy = (0 until a.size).map { i =>
+        val s = a.get(i)
+        require(s.isObject && s.has("field"),
+          "sortby: entries must be {field, direction} objects")
+        (s.get("field").asText(),
+          !Option(s.get("direction")).exists(_.asText() == "desc"))
+      })
+    }
+    if (n.has("limit")) {
+      val l = n.get("limit").asInt()
+      require(l > 0 && l <= 10000, s"limit out of range: $l")
+      q = q.copy(limit = l)
+    }
+    (q, Option(n.get("token")).map(_.asText()))
+  }
+
+  /** STAC bbox: [w,s,e,n] or [w,s,zmin,e,n,zmax] (elevation dropped). */
+  private[catalog] def parseBbox(
+      ds: Seq[Double]): (Double, Double, Double, Double) = ds match {
+    case Seq(w, s, e, n) => (w, s, e, n)
+    case Seq(w, s, _, e, n, _) => (w, s, e, n)
+    case _ => throw new IllegalArgumentException(
+      s"bbox: expected 4 or 6 numbers, got ${ds.length}")
+  }
+
+  /** RFC 3339 instant or interval; `..` (or empty) opens an end. */
+  private[catalog] def parseInterval(s: String): (Timestamp, Timestamp) = {
+    def ts(part: String, open: Timestamp): Timestamp =
+      if (part.isEmpty || part == "..") open
+      else try Timestamp.from(java.time.OffsetDateTime.parse(part).toInstant)
+      catch { case _: java.time.format.DateTimeParseException =>
+        throw new IllegalArgumentException(s"datetime: not RFC 3339: '$part'")
+      }
+    val minTs = Timestamp.valueOf("0001-01-01 00:00:00")
+    val maxTs = Timestamp.valueOf("9999-12-31 23:59:59")
+    s.split("/", -1) match {
+      case Array(single) => val t = ts(single, minTs); (t, t)
+      case Array(a, b) => (ts(a, minTs), ts(b, maxTs))
+      case _ => throw new IllegalArgumentException(
+        s"datetime: expected instant or interval, got '$s'")
+    }
+  }
+
+  /** GET sortby: `+field,-field,field` (bare = ascending). */
+  private[catalog] def parseSortText(s: String): Seq[(String, Boolean)] =
+    s.split(",").toSeq.filter(_.nonEmpty).map {
+      case f if f.startsWith("-") => (f.substring(1), false)
+      case f if f.startsWith("+") => (f.substring(1), true)
+      case f => (f, true)
+    }
+}

@@ -494,6 +494,63 @@ object SourceSinkQueries {
       .orderBy(col("page"), col("item_id"))
   }
 
+  /** catalog_api_http — the full STAC API stack over real HTTP
+    * (stac-fastapi's role, docker-compose.yml:1-28): catalog → JDK
+    * HttpServer → HttpClient walks GET-search pages through next
+    * hrefs and POSTs a cql2-json search, checking HTTP parity with
+    * the direct FeatureCollection page. Rows-only (driver-
+    * orchestrated protocol walk; parity + errors e2e in StacApiSpec). */
+  def catalogApiHttp(s: SparkSession, dir: String): DataFrame = {
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val path = Files.createTempDirectory("graft-api-q").toString + "/items"
+    val (items, _) = ItemAssembly.assemble(
+      new FixtureGranuleSource(end = "2022-05-01 02:59:59").granules(s))
+    CatalogStore.write(items, path)
+    val stored = CatalogStore.read(s, path)
+    val server = new graft.catalog.StacApiServer(stored)
+    val base = server.start()
+    try {
+      val http = HttpClient.newHttpClient()
+      def get(p: String): String = http.send(
+        HttpRequest.newBuilder(java.net.URI.create(base + p)).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      def ids(body: String): Seq[String] = {
+        val f = om.readTree(body).get("features")
+        (0 until f.size).map(f.get(_).get("id").asText())
+      }
+      // walk every page over HTTP
+      var href = "/search?limit=10&sortby=%2Bstart_datetime"
+      var viaHttp = Vector.empty[String]
+      var pages = 0
+      while (href != null && pages < 100) {
+        val body = get(href)
+        viaHttp ++= ids(body)
+        pages += 1
+        val links = om.readTree(body).get("links")
+        href = (0 until links.size).map(links.get)
+          .find(_.get("rel").asText() == "next")
+          .map(_.get("href").asText()).orNull
+      }
+      // POST a cql2-json filtered search
+      val post = http.send(
+        HttpRequest.newBuilder(java.net.URI.create(base + "/search"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"filter-lang":"cql2-json","filter":
+              {"op":">=","args":[{"property":"bbox_n"},20]},
+              "limit":500}""".replaceAll("\n\\s*", "")))
+          .build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      val nFiltered = ids(post).length
+      val direct = stored.orderBy(col("start_datetime"), col("item_id"))
+        .select("item_id").collect().map(_.getString(0)).toSeq
+      import s.implicits._
+      Seq((viaHttp.length.toLong, pages.toLong, nFiltered.toLong,
+        viaHttp == direct))
+        .toDF("n_items_http", "n_pages", "n_filtered", "http_matches_direct")
+    } finally server.stop()
+  }
+
   /** fn_geometry_extract — trajectory → simplified GeoJSON + bbox
     * (extract_geometry(tolerance=0.001), insitu recipe.py:91-93).
     * Trajectories synthesized per-row from the time grid. */
@@ -548,6 +605,7 @@ object SourceSinkQueries {
     "snk_jdbc_upsert" -> (snkJdbcUpsert _),
     "catalog_search" -> (catalogSearch _),
     "catalog_fc_page" -> (catalogFcPage _),
+    "catalog_api_http" -> (catalogApiHttp _),
     "insitu_ingest" -> (insituIngest _),
     "fn_geometry_extract" -> (fnGeometryExtract _),
     "fn_surrogate_repair" -> (fnSurrogateRepair _)

@@ -1,0 +1,199 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.catalog._
+import graft.ingest.FixtureGranuleSource
+
+/** The STAC API served over real HTTP (SURVEY §3.3; stac-fastapi's
+  * role in docker-compose.yml:1-28): a JDK HttpClient walks the same
+  * endpoints a STAC client would — landing, conformance, collections,
+  * GET/POST search with bbox/datetime/filter/intersects and token
+  * paging — against the engine's Spark-backed catalog.
+  */
+class StacApiSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+  private lazy val http = HttpClient.newHttpClient()
+
+  private lazy val (base, items, server) = {
+    val tmp = Files.createTempDirectory("graft-api").toString + "/items"
+    val (built, _) = ItemAssembly.assemble(
+      new FixtureGranuleSource(end = "2022-05-01 02:59:59").granules(spark))
+    CatalogStore.write(built, tmp)
+    val stored = CatalogStore.read(spark, tmp)
+    val cols = CollectionsYaml.load(spark,
+      getClass.getResource("/collections_fixture.yaml").getPath).collect().toSeq
+    val srv = new StacApiServer(stored, cols, catalogId = "graft-test")
+    (srv.start(), stored, srv)
+  }
+
+  override def afterAll(): Unit = {
+    try server.stop() finally super.afterAll()
+  }
+
+  private def get(path: String): (Int, String) = {
+    val r = http.send(
+      HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def post(path: String, body: String): (Int, String) = {
+    val r = http.send(
+      HttpRequest.newBuilder(URI.create(base + path))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def featureIds(body: String): Seq[String] = {
+    val n = mapper.readTree(body).get("features")
+    (0 until n.size).map(n.get(_).get("id").asText())
+  }
+
+  test("landing, conformance, and collection documents serve") {
+    val (s0, landing) = get("/")
+    assert(s0 == 200)
+    val ln = mapper.readTree(landing)
+    assert(ln.get("type").asText() == "Catalog")
+    assert(ln.get("conformsTo").size >= 5)
+
+    val (s1, conf) = get("/conformance")
+    assert(s1 == 200 && conf.contains("item-search"))
+
+    val (s2, colls) = get("/collections")
+    assert(s2 == 200)
+    val cn = mapper.readTree(colls).get("collections")
+    assert(cn.size == 3)
+
+    val (s3, one) = get("/collections/AVHRR_SST_METOP_B-OSISAF-L2P-v1.0")
+    assert(s3 == 200)
+    assert(mapper.readTree(one).get("license").asText().nonEmpty)
+    assert(mapper.readTree(one).get("id").asText()
+      == "AVHRR_SST_METOP_B-OSISAF-L2P-v1.0")
+
+    assert(get("/collections/NOPE")._1 == 404)
+    assert(get("/no/such/route")._1 == 404)
+  }
+
+  test("GET /search pages through next hrefs, disjoint and complete") {
+    val total = items.count().toInt
+    val limit = 7
+    var path = s"/search?limit=$limit&sortby=%2Bstart_datetime"
+    var seen = Vector.empty[String]
+    var pages = 0
+    while (path != null && pages < 100) {
+      val (status, body) = get(path)
+      assert(status == 200, body)
+      seen ++= featureIds(body)
+      pages += 1
+      val links = mapper.readTree(body).get("links")
+      val next = (0 until links.size).map(links.get)
+        .find(_.get("rel").asText() == "next")
+      path = next.map(_.get("href").asText()).orNull
+    }
+    assert(seen.length == total, "every item exactly once across pages")
+    assert(seen.distinct.length == total, "no item repeats across pages")
+    // parity with the direct (non-HTTP) page call
+    val direct = FeatureCollection.page(items,
+      CatalogQuery.Search(sortBy = Seq(("start_datetime", true)), limit = limit))
+    assert(featureIds(direct.body) == seen.take(limit))
+  }
+
+  test("GET /collections/{id}/items applies bbox + datetime params") {
+    val path = "/collections/AVHRR_SST_METOP_B-OSISAF-L2P-v1.0/items" +
+      "?bbox=-60,-40,60,40" +
+      "&datetime=2022-05-01T01:00:00Z/2022-05-01T02:00:00Z&limit=50"
+    val (status, body) = get(path)
+    assert(status == 200, body)
+    val ids = featureIds(body)
+    assert(ids.nonEmpty)
+    // equivalent direct search returns the same ids
+    val direct = CatalogQuery.compile(items, CatalogQuery.Search(
+      collections = Seq("AVHRR_SST_METOP_B-OSISAF-L2P-v1.0"),
+      bbox = Some((-60.0, -40.0, 60.0, 40.0)),
+      interval = Some((
+        java.sql.Timestamp.valueOf("2022-05-01 01:00:00"),
+        java.sql.Timestamp.valueOf("2022-05-01 02:00:00"))),
+      limit = 50)).select("item_id").collect().map(_.getString(0)).toSet
+    assert(ids.toSet == direct)
+    assert(get("/collections/NOPE/items")._1 == 404)
+  }
+
+  test("POST /search: cql2-json filter, sortby desc, and body token paging") {
+    val req = """{
+      "filter-lang": "cql2-json",
+      "filter": {"op": ">=", "args": [{"property": "bbox_n"}, 20]},
+      "sortby": [{"field": "start_datetime", "direction": "desc"}],
+      "limit": 5
+    }"""
+    val (status, body) = post("/search", req)
+    assert(status == 200, body)
+    val page1 = featureIds(body)
+    assert(page1.size == 5)
+    // next link carries a body token (POST convention); merge it in
+    val links = mapper.readTree(body).get("links")
+    val token = (0 until links.size).map(links.get)
+      .find(_.get("rel").asText() == "next").get
+      .get("body").get("token").asText()
+    val (s2, body2) = post("/search",
+      req.stripSuffix("}").stripSuffix("\n    ") + s""", "token": "$token"}""")
+    assert(s2 == 200, body2)
+    val page2 = featureIds(body2)
+    assert(page2.nonEmpty && page1.toSet.intersect(page2.toSet).isEmpty)
+    // the filter actually applied: every result has bbox_n >= 20
+    val direct = CatalogQuery.compile(items, CatalogQuery.Search(
+      cql2 = Some("bbox_n >= 20"),
+      sortBy = Seq(("start_datetime", false)), limit = 5))
+      .select("item_id").collect().map(_.getString(0)).toSeq
+    assert(page1 == direct)
+  }
+
+  test("POST /search intersects runs the exact predicate, not bbox overlap") {
+    // all fixture geometries are polygons spanning wide swaths; assert
+    // protocol plumbing end-to-end: intersects returns a subset of the
+    // equivalent envelope bbox search, and both non-empty
+    val env = """[-20, -20, 20, 20]"""
+    val (sb, bodyB) = post("/search",
+      s"""{"bbox": $env, "limit": 500}""")
+    assert(sb == 200, bodyB)
+    val viaBbox = featureIds(bodyB).toSet
+    val poly = """{"type":"Polygon","coordinates":
+      [[[-20,-20],[20,-20],[20,20],[-20,20],[-20,-20]]]}"""
+    val (si, bodyI) = post("/search",
+      s"""{"intersects": ${poly.replaceAll("\\s", "")}, "limit": 500}""")
+    assert(si == 200, bodyI)
+    val viaExact = featureIds(bodyI).toSet
+    assert(viaExact.nonEmpty && viaExact.subsetOf(viaBbox))
+  }
+
+  test("malformed requests answer 400 with a JSON error, not a crash") {
+    assert(get("/search?bbox=1,2,three,4")._1 == 400)
+    assert(get("/search?limit=0")._1 == 400)
+    assert(get("/search?limit=nope")._1 == 400)
+    assert(get("/search?datetime=yesterday")._1 == 400)
+    val (s1, b1) = post("/search", """{"filter-lang":"cql2-json","filter": 3}""")
+    assert(s1 == 400 && mapper.readTree(b1).get("code").asInt() == 400)
+    assert(post("/search", "{not json")._1 == 400)
+    // an invalid page token is a clean 400 (decodeToken raises IAE)
+    assert(get("/search?token=garbage")._1 == 400)
+    // a token replayed under a DIFFERENT sortby is a clean 400, not a
+    // 500 cast error mid-scan
+    val (_, sorted) = get("/search?limit=3&sortby=%2Bstart_datetime")
+    val tok = {
+      val links = mapper.readTree(sorted).get("links")
+      val href = (0 until links.size).map(links.get)
+        .find(_.get("rel").asText() == "next").get.get("href").asText()
+      href.split("token=")(1)
+    }
+    assert(get(s"/search?limit=3&sortby=%2Bbbox_n&token=$tok")._1 == 400)
+    // server still healthy after the error barrage
+    assert(get("/")._1 == 200)
+  }
+}
