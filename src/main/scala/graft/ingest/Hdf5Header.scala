@@ -84,7 +84,15 @@ object Hdf5Header {
 
   def readRootAttrs(head: Array[Byte]): Map[String, String] = {
     val buf = new Buf(head)
-    if (!isHdf5Magic(head))
+    messagesOf(buf, rootAddrOf(buf))
+      .filter(_.msgType == MSG_ATTRIBUTE)
+      .map(m => parseAttribute(buf, m.off, m.size))
+      .toMap
+  }
+
+  /** Superblock → root object header address (v0 / v2 / v3). */
+  private def rootAddrOf(buf: Buf): Long = {
+    if (!isHdf5Magic(buf.b))
       throw new IOException("not an HDF5 file (bad signature)")
     val rootAddr = buf.u8(8) match {
       case 0 =>
@@ -102,10 +110,7 @@ object Hdf5Header {
     }
     if (rootAddr == UNDEF)
       throw new IOException("HDF5 root object header address undefined")
-    messagesOf(buf, rootAddr)
-      .filter(_.msgType == MSG_ATTRIBUTE)
-      .map(m => parseAttribute(buf, m.off, m.size))
-      .toMap
+    rootAddr
   }
 
   private def requireWidths(offsets: Int, lengths: Int): Unit =
@@ -113,8 +118,16 @@ object Hdf5Header {
       throw new IOException(
         s"unsupported HDF5 offset/length widths $offsets/$lengths (need 8/8)")
 
+  private val MSG_DATASPACE = 0x0001
+  private val MSG_LINK_INFO = 0x0002
+  private val MSG_DATATYPE = 0x0003
+  private val MSG_FILL = 0x0005
+  private val MSG_LINK = 0x0006
+  private val MSG_LAYOUT = 0x0008
+  private val MSG_FILTER = 0x000B
   private val MSG_ATTRIBUTE = 0x000C
   private val MSG_CONTINUATION = 0x0010
+  private val MSG_SYMBOL_TABLE = 0x0011
 
   private case class Msg(msgType: Int, off: Long, size: Int)
 
@@ -371,7 +384,509 @@ object Hdf5Header {
     out.toByteArray
   }
 
+  // ---- datasets: netcdf4 VARIABLES, not just attrs ----
+  //
+  // The insitu recipe reads 1-D coordinate variables out of its
+  // netcdf4 granules (extract_geometry(ds, x="LONGITUDE",
+  // y="LATITUDE", time="TIME"), insitu recipe.py:91-93) — attrs alone
+  // don't cover it. This section implements the additional format
+  // surface that netcdf-c-written variables need: root-group child
+  // enumeration (symbol-table B-tree v1 + local heap, or v2 link
+  // messages), dataset object headers (dataspace/datatype/fill/
+  // layout/filter-pipeline), contiguous + chunked (B-tree v1 indexed)
+  // raw data, and the two filters netcdf-c applies (shuffle,
+  // deflate — inflated with java.util.zip, no native lib).
+
+  /** One decoded variable: row-major numeric data plus its attrs. */
+  case class Hdf5Dataset(
+      name: String,
+      dims: Seq[Long],
+      attrs: Map[String, String],
+      data: Array[Double])
+
+  /** Whole-file random-access view (datasets live past the head
+    * probe, so this takes the full granule bytes — bounded by the
+    * caller; granules are MBs). */
+  final class Hdf5File(bytes: Array[Byte]) {
+    private val buf = new Buf(bytes)
+    private val rootMsgs = messagesOf(buf, rootAddrOf(buf))
+
+    val rootAttrs: Map[String, String] = rootMsgs
+      .filter(_.msgType == MSG_ATTRIBUTE)
+      .map(m => parseAttribute(buf, m.off, m.size))
+      .toMap
+
+    /** Root-group children in file order: (name, object header addr). */
+    private val children: Seq[(String, Long)] = childrenOf(buf, rootMsgs)
+
+    def datasetNames: Seq[String] = children.map(_._1)
+
+    def dataset(name: String): Hdf5Dataset =
+      children.find(_._1 == name) match {
+        case None => throw new IOException(
+          s"no dataset '$name' in root group (have: ${
+            children.map(_._1).mkString(", ")})")
+        case Some((_, addr)) => readDataset(buf, name, addr)
+      }
+  }
+
+  def readFile(bytes: Array[Byte]): Hdf5File = new Hdf5File(bytes)
+
+  // -- root-group children --
+
+  private def childrenOf(buf: Buf, msgs: Seq[Msg]): Seq[(String, Long)] = {
+    val links = msgs.filter(_.msgType == MSG_LINK)
+      .map(m => parseLink(buf, m.off))
+    if (links.nonEmpty) links
+    else msgs.find(_.msgType == MSG_SYMBOL_TABLE) match {
+      case Some(st) =>
+        symbolTableChildren(buf, buf.u64(st.off), buf.u64(st.off + 8))
+      case None =>
+        // v2 headers spill >8 links into a fractal heap (link info
+        // message with a defined heap address) — out of scope, but
+        // the error must say so rather than silently yield no vars
+        val spilled = msgs.find(_.msgType == MSG_LINK_INFO)
+          .exists(m => buf.u64(m.off + (if ((buf.u8(m.off + 1) & 0x01) != 0)
+            10 else 2)) != UNDEF)
+        if (spilled) throw new IOException(
+          "fractal-heap link storage unsupported (dense groups)")
+        Seq.empty
+    }
+  }
+
+  /** Hard link message v1: name + child object header address. */
+  private def parseLink(buf: Buf, off: Long): (String, Long) = {
+    if (buf.u8(off) != 1)
+      throw new IOException(s"unsupported HDF5 link message version ${buf.u8(off)}")
+    val flags = buf.u8(off + 1)
+    var o = off + 2
+    if ((flags & 0x08) != 0) {
+      val t = buf.u8(o); o += 1
+      if (t != 0) throw new IOException(
+        s"only hard links supported in root group (link type $t)")
+    }
+    if ((flags & 0x04) != 0) o += 8 // creation order
+    if ((flags & 0x10) != 0) o += 1 // charset
+    val nameLen = buf.uint(o, 1 << (flags & 0x03))
+    o += (1 << (flags & 0x03))
+    if (nameLen > (1 << 16))
+      throw new IOException(s"link name of $nameLen bytes out of bounds")
+    val name = new String(buf.bytes(o, nameLen.toInt), StandardCharsets.UTF_8)
+    (name, buf.u64(o + nameLen))
+  }
+
+  /** The "earliest format" group: B-tree v1 over SNOD symbol-table
+    * nodes, names in the local heap — netcdf-c's default layout. */
+  private def symbolTableChildren(
+      buf: Buf, btreeAddr: Long, heapAddr: Long): Seq[(String, Long)] = {
+    if (new String(buf.bytes(heapAddr, 4), StandardCharsets.US_ASCII) != "HEAP")
+      throw new IOException(s"no local heap at offset $heapAddr")
+    val dataSeg = buf.u64(heapAddr + 24)
+    def walk(addr: Long, depth: Int): Seq[(String, Long)] = {
+      if (depth > 32)
+        throw new IOException("HDF5 group B-tree deeper than 32 levels")
+      if (new String(buf.bytes(addr, 4), StandardCharsets.US_ASCII) != "TREE")
+        throw new IOException(s"no B-tree node at offset $addr")
+      if (buf.u8(addr + 4) != 0)
+        throw new IOException("chunk B-tree node where a group node expected")
+      val level = buf.u8(addr + 5)
+      val n = buf.u16(addr + 6)
+      // header(24) then key0(8) child0(8) key1 child1 … keyN
+      (0 until n).flatMap { i =>
+        val child = buf.u64(addr + 24 + 8 + i.toLong * 16)
+        if (level > 0) walk(child, depth + 1)
+        else snodEntries(buf, child, dataSeg)
+      }
+    }
+    walk(btreeAddr, 0)
+  }
+
+  private def snodEntries(
+      buf: Buf, addr: Long, heapData: Long): Seq[(String, Long)] = {
+    if (new String(buf.bytes(addr, 4), StandardCharsets.US_ASCII) != "SNOD")
+      throw new IOException(s"no SNOD symbol node at offset $addr")
+    val n = buf.u16(addr + 6)
+    (0 until n).map { i =>
+      val e = addr + 8 + i.toLong * 40
+      (cStringAt(buf, heapData + buf.u64(e)), buf.u64(e + 8))
+    }
+  }
+
+  private def cStringAt(buf: Buf, off: Long): String = {
+    var end = off
+    while (buf.u8(end) != 0) end += 1 // u8 bounds-checks each step
+    new String(buf.bytes(off, (end - off).toInt), StandardCharsets.UTF_8)
+  }
+
+  // -- dataset object header → decoded data --
+
+  private case class Dtype(cls: Int, size: Int, signed: Boolean)
+
+  private def parseDtype(buf: Buf, off: Long): Dtype = {
+    val cls = buf.u8(off) & 0x0f
+    val bits0 = buf.u8(off + 1)
+    val size = buf.u32(off + 4)
+    if (cls != 0 && cls != 1)
+      throw new IOException(
+        s"unsupported HDF5 dataset datatype class $cls (numeric only)")
+    if ((bits0 & 0x01) != 0)
+      throw new IOException("big-endian HDF5 dataset data unsupported")
+    if (size < 1 || size > 8)
+      throw new IOException(s"unsupported HDF5 element size $size")
+    if (cls == 1 && size != 4 && size != 8)
+      throw new IOException(s"unsupported HDF5 float width $size")
+    Dtype(cls, size.toInt, cls == 1 || (bits0 & 0x08) != 0)
+  }
+
+  private def dataspaceDims(buf: Buf, off: Long): Seq[Long] = {
+    val version = buf.u8(off)
+    val rank = buf.u8(off + 1)
+    val dimsOff = version match {
+      case 1 => off + 8
+      case 2 => off + 4
+      case v => throw new IOException(s"unsupported HDF5 dataspace version $v")
+    }
+    (0 until rank).map(i => buf.u64(dimsOff + i.toLong * 8))
+  }
+
+  private sealed trait DataLayout
+  private case class Compact(off: Long, size: Int) extends DataLayout
+  private case class Contiguous(addr: Long, size: Long) extends DataLayout
+  private case class Chunked(btree: Long, chunkDims: Seq[Long], elemSize: Int)
+      extends DataLayout
+
+  private def parseLayout(buf: Buf, off: Long): DataLayout = {
+    val version = buf.u8(off)
+    if (version != 3) throw new IOException(
+      s"unsupported HDF5 data layout version $version (netcdf-c writes v3)")
+    buf.u8(off + 1) match {
+      case 0 => Compact(off + 4, buf.u16(off + 2))
+      case 1 => Contiguous(buf.u64(off + 2), buf.u64(off + 10))
+      case 2 =>
+        val ndims = buf.u8(off + 2) // rank + 1 (trailing element-size dim)
+        val btree = buf.u64(off + 3)
+        val dims = (0 until ndims - 1).map(i => buf.u32(off + 11 + i.toLong * 4))
+        val esz = buf.u32(off + 11 + (ndims - 1).toLong * 4)
+        Chunked(btree, dims, esz.toInt)
+      case c => throw new IOException(s"unsupported HDF5 layout class $c")
+    }
+  }
+
+  /** Filter pipeline in application order: (filter id, flags). */
+  private def parseFilters(buf: Buf, off: Long): Seq[(Int, Int)] = {
+    val version = buf.u8(off)
+    val n = buf.u8(off + 1)
+    var o = version match {
+      case 1 => off + 8
+      case 2 => off + 2
+      case v => throw new IOException(
+        s"unsupported HDF5 filter pipeline version $v")
+    }
+    (0 until n).map { _ =>
+      val id = buf.u16(o)
+      val hasName = version == 1 || id >= 256
+      val nameLen = if (hasName) buf.u16(o + 2) else 0
+      val fOff = if (hasName) o + 4 else o + 2
+      val flags = buf.u16(fOff)
+      val nVals = buf.u16(fOff + 2)
+      var p = fOff + 4
+      if (nameLen > 0)
+        p += (if (version == 1) pad8(nameLen.toLong) else nameLen.toLong)
+      p += 4L * nVals
+      if (version == 1 && nVals % 2 == 1) p += 4
+      o = p
+      (id, flags)
+    }
+  }
+
+  private val FILTER_DEFLATE = 1
+  private val FILTER_SHUFFLE = 2
+
+  /** Undefined data address ⇒ never written ⇒ fill value (netcdf's
+    * lazy allocation); absent fill message ⇒ NaN for floats, 0 for
+    * ints (netcdf defaults surface through _FillValue attrs anyway). */
+  private def parseFill(buf: Buf, off: Long, dt: Dtype): Double = {
+    val default = if (dt.cls == 1) Double.NaN else 0.0
+    buf.u8(off) match {
+      case v @ (1 | 2) =>
+        val _ = v
+        if (buf.u8(off + 3) != 1) default
+        else {
+          val sz = buf.u32(off + 4).toInt
+          if (sz < dt.size) default
+          else decodeElems(buf.bytes(off + 8, dt.size), dt, 1)(0)
+        }
+      case 3 =>
+        if ((buf.u8(off + 1) & 0x20) == 0) default
+        else {
+          val sz = buf.u32(off + 2).toInt
+          if (sz < dt.size) default
+          else decodeElems(buf.bytes(off + 6, dt.size), dt, 1)(0)
+        }
+      case v => throw new IOException(s"unsupported HDF5 fill version $v")
+    }
+  }
+
+  /** Little-endian numeric block → doubles. */
+  private def decodeElems(b: Array[Byte], dt: Dtype, n: Int): Array[Double] = {
+    val out = new Array[Double](n)
+    val bb = java.nio.ByteBuffer.wrap(b)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < n) {
+      out(i) = (dt.cls, dt.size) match {
+        case (1, 4) => bb.getFloat(i * 4).toDouble
+        case (1, 8) => bb.getDouble(i * 8)
+        case (0, 1) =>
+          if (dt.signed) bb.get(i).toDouble else (bb.get(i) & 0xff).toDouble
+        case (0, 2) => if (dt.signed) bb.getShort(i * 2).toDouble
+          else (bb.getShort(i * 2) & 0xffff).toDouble
+        case (0, 4) => if (dt.signed) bb.getInt(i * 4).toDouble
+          else (bb.getInt(i * 4).toLong & 0xffffffffL).toDouble
+        case (0, 8) => bb.getLong(i * 8).toDouble
+        case (c, s) =>
+          throw new IOException(s"unsupported dataset element class $c size $s")
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Elements cap: 16 M (128 MB as doubles) — a granule VARIABLE is
+    * bounded (the largest reference field, 409×5680 SST, is 2.3 M);
+    * anything bigger in a header is corruption, not data. */
+  private val MAX_ELEMS = 1 << 24
+
+  private def readDataset(buf: Buf, name: String, addr: Long): Hdf5Dataset = {
+    val msgs = messagesOf(buf, addr)
+    def find(t: Int, what: String): Msg = msgs.find(_.msgType == t)
+      .getOrElse(throw new IOException(s"dataset '$name' lacks $what message"))
+    val attrs = msgs.filter(_.msgType == MSG_ATTRIBUTE)
+      .map(m => parseAttribute(buf, m.off, m.size)).toMap
+    val dims = dataspaceDims(buf, find(MSG_DATASPACE, "dataspace").off)
+    val dt = parseDtype(buf, find(MSG_DATATYPE, "datatype").off)
+    val total = dims.foldLeft(1L)(_ * _)
+    if (total < 0 || total > MAX_ELEMS)
+      throw new IOException(s"dataset '$name' claims $total elements (cap $MAX_ELEMS)")
+    val fill = msgs.find(_.msgType == MSG_FILL)
+      .map(m => parseFill(buf, m.off, dt))
+      .getOrElse(if (dt.cls == 1) Double.NaN else 0.0)
+    val filters = msgs.find(_.msgType == MSG_FILTER)
+      .map(m => parseFilters(buf, m.off)).getOrElse(Seq.empty)
+    filters.foreach { case (id, _) =>
+      if (id != FILTER_DEFLATE && id != FILTER_SHUFFLE)
+        throw new IOException(
+          s"unsupported HDF5 filter $id on dataset '$name' " +
+            "(shuffle + deflate only)")
+    }
+    val out = Array.fill(total.toInt)(fill)
+    parseLayout(buf, find(MSG_LAYOUT, "layout").off) match {
+      case Compact(o, size) =>
+        val want = total.toInt * dt.size
+        if (size < want)
+          throw new IOException(s"compact data of $size bytes < $want")
+        System.arraycopy(decodeElems(buf.bytes(o, want), dt, total.toInt),
+          0, out, 0, total.toInt)
+      case Contiguous(dataAddr, size) =>
+        if (dataAddr != UNDEF) { // UNDEF = never allocated ⇒ all fill
+          val want = total.toInt * dt.size
+          if (size < want)
+            throw new IOException(s"contiguous data of $size bytes < $want")
+          System.arraycopy(decodeElems(buf.bytes(dataAddr, want), dt,
+            total.toInt), 0, out, 0, total.toInt)
+        }
+      case Chunked(btree, chunkDims, elemSize) =>
+        if (elemSize != dt.size)
+          throw new IOException(
+            s"chunk element size $elemSize != datatype size ${dt.size}")
+        if (chunkDims.length != dims.length)
+          throw new IOException(
+            s"chunk rank ${chunkDims.length} != dataspace rank ${dims.length}")
+        if (btree != UNDEF)
+          readChunks(buf, name, btree, dims, chunkDims, dt, filters, out)
+    }
+    Hdf5Dataset(name, dims, attrs, out)
+  }
+
+  private def readChunks(buf: Buf, name: String, btreeAddr: Long,
+      dims: Seq[Long], chunkDims: Seq[Long], dt: Dtype,
+      filters: Seq[(Int, Int)], out: Array[Double]): Unit = {
+    val rank = dims.length
+    val chunkElems = chunkDims.foldLeft(1L)(_ * _)
+    if (chunkElems <= 0 || chunkElems > MAX_ELEMS)
+      throw new IOException(s"chunk of $chunkElems elements out of bounds")
+    // row-major strides over the full dataspace and one chunk
+    val dimStride = dims.scanRight(1L)(_ * _).tail
+    val chunkStride = chunkDims.scanRight(1L)(_ * _).tail
+    def walk(addr: Long, depth: Int): Unit = {
+      if (depth > 32)
+        throw new IOException("HDF5 chunk B-tree deeper than 32 levels")
+      if (new String(buf.bytes(addr, 4), StandardCharsets.US_ASCII) != "TREE")
+        throw new IOException(s"no chunk B-tree node at offset $addr")
+      if (buf.u8(addr + 4) != 1)
+        throw new IOException("group B-tree node where a chunk node expected")
+      val level = buf.u8(addr + 5)
+      val n = buf.u16(addr + 6)
+      // key: chunk bytes(4) + filter mask(4) + offsets(8 × (rank+1))
+      val keySize = 8L + 8L * (rank + 1)
+      (0 until n).foreach { i =>
+        val keyOff = addr + 24 + i * (keySize + 8)
+        val child = buf.u64(keyOff + keySize)
+        if (level > 0) walk(child, depth + 1)
+        else {
+          val storedBytes = buf.u32(keyOff).toInt
+          val mask = buf.u32(keyOff + 4).toInt
+          val coords = (0 until rank).map(d => buf.u64(keyOff + 8 + d * 8))
+          placeChunk(buf.bytes(child, storedBytes), mask, coords)
+        }
+      }
+    }
+    def placeChunk(stored: Array[Byte], mask: Int, coords: Seq[Long]): Unit = {
+      // filters were APPLIED pipeline-order on write ⇒ undo reversed;
+      // mask bit i set = filter i was skipped for this chunk
+      var data = stored
+      filters.zipWithIndex.reverse.foreach { case ((id, _), i) =>
+        if ((mask & (1 << i)) == 0) data = id match {
+          case FILTER_DEFLATE => inflate(data, (chunkElems * dt.size).toInt)
+          case FILTER_SHUFFLE => unshuffle(data, dt.size)
+        }
+      }
+      if (data.length < chunkElems * dt.size)
+        throw new IOException(s"chunk decoded to ${data.length} bytes, " +
+          s"need ${chunkElems * dt.size}")
+      val vals = decodeElems(data, dt, chunkElems.toInt)
+      var l = 0L
+      while (l < chunkElems) {
+        // local chunk coords → global coords; clip partial edge chunks
+        var flat = 0L
+        var inBounds = true
+        var d = 0
+        while (d < rank && inBounds) {
+          val g = coords(d) + (l / chunkStride(d)) % chunkDims(d)
+          if (g >= dims(d)) inBounds = false
+          else flat += g * dimStride(d)
+          d += 1
+        }
+        if (inBounds) out(flat.toInt) = vals(l.toInt)
+        l += 1
+      }
+    }
+    walk(btreeAddr, 0)
+  }
+
+  private def inflate(data: Array[Byte], expect: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(expect)
+      val chunk = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(chunk)
+        if (n == 0 && inf.needsInput())
+          throw new IOException("truncated deflate stream in HDF5 chunk")
+        out.write(chunk, 0, n)
+        if (out.size() > expect + 8192)
+          throw new IOException(
+            s"deflated HDF5 chunk exceeds expected $expect bytes")
+      }
+      out.toByteArray
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new IOException(s"corrupt deflate stream: ${e.getMessage}")
+    } finally inf.end()
+  }
+
+  /** Undo the byte-shuffle filter: n size-byte elements stored as
+    * `size` planes of n bytes each. */
+  private def unshuffle(data: Array[Byte], size: Int): Array[Byte] = {
+    if (size <= 1 || data.length % size != 0) data
+    else {
+      val n = data.length / size
+      val out = new Array[Byte](data.length)
+      var j = 0
+      while (j < size) {
+        var i = 0
+        while (i < n) {
+          out(i * size + j) = data(j * n + i)
+          i += 1
+        }
+        j += 1
+      }
+      out
+    }
+  }
+
   // ---- fixture writer (reader's inverse, like NetcdfClassic.buildHeader) ----
+
+  // -- shared datatype/dataspace/value encoders --
+
+  private def dtString(len: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(0x13.toByte); b.put(0.toByte); b.put(0.toByte); b.put(0.toByte)
+    b.putInt(len)
+    b.array()
+  }
+  private def dtVlenString: Array[Byte] = {
+    // class 9 v1, type=string(1); base type: the 8-byte fixed-string
+    val b = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(0x19.toByte); b.put(0x01.toByte); b.put(0.toByte); b.put(0.toByte)
+    b.putInt(16) // element size on disk: len + heap addr + index
+    b.put(dtString(1))
+    b.array()
+  }
+  private def dtFixed(size: Int, signed: Boolean): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(0x10.toByte); b.put((if (signed) 0x08 else 0x00).toByte)
+    b.put(0.toByte); b.put(0.toByte)
+    b.putInt(size)
+    b.putShort(0); b.putShort((size * 8).toShort)
+    b.array()
+  }
+  private def dtFloat(size: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(20)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(0x11.toByte); b.put(0x20.toByte)
+    b.put((if (size == 8) 63 else 31).toByte); b.put(0.toByte)
+    b.putInt(size)
+    b.putShort(0); b.putShort((size * 8).toShort)
+    if (size == 8) { b.put(52.toByte); b.put(11.toByte); b.put(0.toByte)
+      b.put(52.toByte); b.putInt(1023) }
+    else { b.put(23.toByte); b.put(8.toByte); b.put(0.toByte)
+      b.put(23.toByte); b.putInt(127) }
+    b.array()
+  }
+  private def dsScalar: Array[Byte] = Array[Byte](1, 0, 0, 0, 0, 0, 0, 0)
+  private def ds1d(n: Long): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte); b.put(1.toByte); b.put(0.toByte)
+    (0 until 5).foreach(_ => b.put(0.toByte))
+    b.putLong(n)
+    b.array()
+  }
+  /** Simple v1 dataspace of any rank. */
+  private def dsNd(dims: Seq[Long]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(8 + 8 * dims.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte); b.put(dims.length.toByte); b.put(0.toByte)
+    (0 until 5).foreach(_ => b.put(0.toByte))
+    dims.foreach(b.putLong)
+    b.array()
+  }
+  private def le(width: Int, v: Long): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(width)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    width match {
+      case 1 => b.put(v.toByte)
+      case 2 => b.putShort(v.toShort)
+      case 4 => b.putInt(v.toInt)
+      case 8 => b.putLong(v)
+    }
+    b.array()
+  }
 
   /** Serialize a minimal-but-valid HDF5 file holding the given root
     * attributes: superblock v0 → v1 object header → v1 attribute
@@ -390,66 +905,6 @@ object Hdf5Header {
     def u64(v: Long): Unit = { u32(v); u32(v >> 32) }
     def raw(b: Array[Byte]): Unit = bos.write(b)
     def padTo8(n: Int): Unit = (0 until ((8 - n % 8) % 8)).foreach(_ => u8(0))
-
-    // -- datatype/dataspace/data encodings per attr value --
-    def dtString(len: Int): Array[Byte] = {
-      val b = java.nio.ByteBuffer.allocate(8)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      b.put(0x13.toByte); b.put(0.toByte); b.put(0.toByte); b.put(0.toByte)
-      b.putInt(len)
-      b.array()
-    }
-    def dtVlenString: Array[Byte] = {
-      // class 9 v1, type=string(1); base type: the 8-byte fixed-string
-      val b = java.nio.ByteBuffer.allocate(16)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      b.put(0x19.toByte); b.put(0x01.toByte); b.put(0.toByte); b.put(0.toByte)
-      b.putInt(16) // element size on disk: len + heap addr + index
-      b.put(dtString(1))
-      b.array()
-    }
-    def dtFixed(size: Int, signed: Boolean): Array[Byte] = {
-      val b = java.nio.ByteBuffer.allocate(12)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      b.put(0x10.toByte); b.put((if (signed) 0x08 else 0x00).toByte)
-      b.put(0.toByte); b.put(0.toByte)
-      b.putInt(size)
-      b.putShort(0); b.putShort((size * 8).toShort)
-      b.array()
-    }
-    def dtFloat(size: Int): Array[Byte] = {
-      val b = java.nio.ByteBuffer.allocate(20)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      b.put(0x11.toByte); b.put(0x20.toByte)
-      b.put((if (size == 8) 63 else 31).toByte); b.put(0.toByte)
-      b.putInt(size)
-      b.putShort(0); b.putShort((size * 8).toShort)
-      if (size == 8) { b.put(52.toByte); b.put(11.toByte); b.put(0.toByte)
-        b.put(52.toByte); b.putInt(1023) }
-      else { b.put(23.toByte); b.put(8.toByte); b.put(0.toByte)
-        b.put(23.toByte); b.putInt(127) }
-      b.array()
-    }
-    def dsScalar: Array[Byte] = Array[Byte](1, 0, 0, 0, 0, 0, 0, 0)
-    def ds1d(n: Long): Array[Byte] = {
-      val b = java.nio.ByteBuffer.allocate(16)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      b.put(1.toByte); b.put(1.toByte); b.put(0.toByte)
-      (0 until 5).foreach(_ => b.put(0.toByte))
-      b.putLong(n)
-      b.array()
-    }
-    def le(width: Int, v: Long): Array[Byte] = {
-      val b = java.nio.ByteBuffer.allocate(width)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      width match {
-        case 1 => b.put(v.toByte)
-        case 2 => b.putShort(v.toShort)
-        case 4 => b.putInt(v.toInt)
-        case 8 => b.putLong(v)
-      }
-      b.array()
-    }
 
     // -- global heap for vlen strings (placed at offset 96, BEFORE the
     // object header, so heap addresses are known when messages build) --
@@ -551,6 +1006,379 @@ object Hdf5Header {
     msgs.foreach { m =>
       u16(MSG_ATTRIBUTE); u16(m.length); u8(0); u8(0); u8(0); u8(0)
       raw(m)
+    }
+    bos.toByteArray
+  }
+
+  // -- data-file writer: root attrs + real VARIABLES (symbol-table
+  // group, contiguous or chunked+shuffle+deflate layouts) --
+
+  /** One fixture variable, netcdf-c shaped: row-major doubles encoded
+    * as `dtype` (f4/f8/i1/i2/i4/i8), optionally chunked with the
+    * shuffle and deflate filters netcdf applies. */
+  case class FixtureVar(
+      name: String,
+      dims: Seq[Long],
+      values: Array[Double],
+      dtype: String = "f8",
+      chunks: Option[Seq[Long]] = None,
+      deflate: Boolean = false,
+      shuffle: Boolean = false,
+      fill: Option[Double] = None,
+      attrs: Seq[(String, NetcdfClassic.AttrValue)] = Seq.empty)
+
+  def buildDataFile(
+      attrs: Seq[(String, NetcdfClassic.AttrValue)],
+      vars: Seq[FixtureVar]): Array[Byte] = {
+    import NetcdfClassic._
+    // SNOD entries must be name-ordered (HDF5 B-tree invariant)
+    val vs = vars.sortBy(_.name)
+
+    def dtypeOf(s: String): (Array[Byte], Int, Int) = s match {
+      case "f8" => (dtFloat(8), 8, 1)
+      case "f4" => (dtFloat(4), 4, 1)
+      case "i8" => (dtFixed(8, signed = true), 8, 0)
+      case "i4" => (dtFixed(4, signed = true), 4, 0)
+      case "i2" => (dtFixed(2, signed = true), 2, 0)
+      case "i1" => (dtFixed(1, signed = true), 1, 0)
+      case other => throw new IllegalArgumentException(s"dtype $other")
+    }
+    def encode(v: Double, cls: Int, size: Int): Array[Byte] = (cls, size) match {
+      case (1, 8) => le(8, java.lang.Double.doubleToLongBits(v))
+      case (1, 4) => le(4, java.lang.Float.floatToIntBits(v.toFloat).toLong)
+      case (0, w) => le(w, v.toLong)
+      case (c, w) => throw new IllegalArgumentException(s"dtype $c/$w")
+    }
+    def padded(b: Array[Byte]): Array[Byte] =
+      if (b.length % 8 == 0) b
+      else b ++ new Array[Byte]((8 - b.length % 8) % 8)
+    // v1 attribute message body (same framing buildFile emits)
+    def attrMsg(attrName: String, value: AttrValue): Array[Byte] = {
+      val (dt, ds, data) = value match {
+        case CharAttr(s) =>
+          val b = s.getBytes(StandardCharsets.UTF_8)
+          (dtString(b.length), dsScalar, b)
+        case DoubleAttr(d) =>
+          (dtFloat(8), dsScalar, le(8, java.lang.Double.doubleToLongBits(d)))
+        case FloatAttr(f) =>
+          (dtFloat(4), dsScalar, le(4, java.lang.Float.floatToIntBits(f).toLong))
+        case IntAttr(is) => (dtFixed(4, signed = true),
+          ds1d(is.length.toLong), is.toArray.flatMap(i => le(4, i.toLong)))
+        case ShortAttr(sh) => (dtFixed(2, signed = true), dsScalar, le(2, sh.toLong))
+        case LongAttr(ls) => (dtFixed(8, signed = true),
+          ds1d(ls.length.toLong), ls.toArray.flatMap(l => le(8, l)))
+        case UByteAttr(ubs) => (dtFixed(1, signed = false),
+          ds1d(ubs.length.toLong), ubs.toArray.flatMap(v => le(1, v.toLong)))
+      }
+      val nameBytes = attrName.getBytes(StandardCharsets.UTF_8) :+ 0.toByte
+      val mb = new java.io.ByteArrayOutputStream()
+      mb.write(1); mb.write(0)
+      mb.write(le(2, nameBytes.length.toLong)); mb.write(le(2, dt.length.toLong))
+      mb.write(le(2, ds.length.toLong))
+      mb.write(padded(nameBytes)); mb.write(padded(dt)); mb.write(padded(ds))
+      mb.write(padded(data))
+      mb.toByteArray
+    }
+    // v1 filter-pipeline message: shuffle then deflate, netcdf's order
+    def filterMsg(v: FixtureVar, elemSize: Int): Option[Array[Byte]] = {
+      if (!v.deflate && !v.shuffle) None
+      else {
+        val fb = new java.io.ByteArrayOutputStream()
+        val n = (if (v.shuffle) 1 else 0) + (if (v.deflate) 1 else 0)
+        fb.write(1); fb.write(n); fb.write(new Array[Byte](6))
+        def one(id: Int, value: Long): Unit = {
+          fb.write(le(2, id.toLong)); fb.write(le(2, 0L)) // no name
+          fb.write(le(2, 1L)); fb.write(le(2, 1L)) // optional flag, 1 value
+          fb.write(le(4, value)); fb.write(le(4, 0L)) // odd count ⇒ pad word
+        }
+        if (v.shuffle) one(FILTER_SHUFFLE, elemSize.toLong)
+        if (v.deflate) one(FILTER_DEFLATE, 6L)
+        Some(fb.toByteArray)
+      }
+    }
+    def fillMsg(v: FixtureVar, cls: Int, size: Int): Option[Array[Byte]] =
+      v.fill.map { f =>
+        val fb = new java.io.ByteArrayOutputStream()
+        fb.write(2); fb.write(2); fb.write(0); fb.write(1) // v2, defined
+        fb.write(le(4, size.toLong)); fb.write(encode(f, cls, size))
+        padded(fb.toByteArray)
+      }
+    def deflateBytes(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(6)
+      try {
+        d.setInput(raw); d.finish()
+        val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+        val chunk = new Array[Byte](8192)
+        while (!d.finished()) out.write(chunk, 0, d.deflate(chunk))
+        out.toByteArray
+      } finally d.end()
+    }
+    def shuffleBytes(raw: Array[Byte], size: Int): Array[Byte] = {
+      val n = raw.length / size
+      val out = new Array[Byte](raw.length)
+      var i = 0
+      while (i < n) {
+        var j = 0
+        while (j < size) { out(j * n + i) = raw(i * size + j); j += 1 }
+        i += 1
+      }
+      out
+    }
+
+    // -- per-var precomputation: messages (addresses patched later)
+    // and encoded data blocks --
+    case class VarPlan(
+        v: FixtureVar, cls: Int, esz: Int,
+        dtB: Array[Byte], dsB: Array[Byte],
+        filterB: Option[Array[Byte]], fillB: Option[Array[Byte]],
+        attrB: Seq[Array[Byte]],
+        layoutLen: Int,
+        // chunked: (gridCoords, storedBytes); contiguous: one raw block
+        chunksOut: Seq[(Seq[Long], Array[Byte])],
+        contiguous: Option[Array[Byte]]) {
+      def btreeLen: Int = {
+        val keySize = 8 + 8 * (v.dims.length + 1)
+        24 + chunksOut.length * (keySize + 8) + keySize
+      }
+      def headerLen: Int = {
+        val bodies = Seq(dtB, dsB).map(b => 8 + padded(b).length).sum +
+          (8 + layoutLen) +
+          filterB.map(8 + _.length).getOrElse(0) +
+          fillB.map(8 + _.length).getOrElse(0) +
+          attrB.map(8 + _.length).sum
+        16 + bodies
+      }
+      def nMsgs: Int = 3 + filterB.size + fillB.size + attrB.length
+    }
+    val plans = vs.map { v =>
+      val (dtB, esz, cls) = dtypeOf(v.dtype)
+      val total = v.dims.foldLeft(1L)(_ * _)
+      require(v.values.length.toLong == total,
+        s"${v.name}: ${v.values.length} values for dims ${v.dims}")
+      val raw = {
+        val bb = java.nio.ByteBuffer.allocate(v.values.length * esz)
+        v.values.foreach(x => bb.put(encode(x, cls, esz)))
+        bb.array()
+      }
+      v.chunks match {
+        case None =>
+          // layout v3 contiguous: ver+class+addr+size = 18 → pad 24
+          VarPlan(v, cls, esz, dtB, dsNd(v.dims), filterMsg(v, esz),
+            fillMsg(v, cls, esz), v.attrs.map { case (n2, a) => attrMsg(n2, a) },
+            layoutLen = 24, chunksOut = Seq.empty, contiguous = Some(raw))
+        case Some(cdims) =>
+          require(cdims.length == v.dims.length,
+            s"${v.name}: chunk rank != rank")
+          val rank = v.dims.length
+          val chunkElems = cdims.foldLeft(1L)(_ * _).toInt
+          val dimStride = v.dims.scanRight(1L)(_ * _).tail
+          val chunkStride = cdims.scanRight(1L)(_ * _).tail
+          // row-major walk of the chunk grid
+          val gridDims = v.dims.zip(cdims).map { case (d, c) => (d + c - 1) / c }
+          val nChunks = gridDims.foldLeft(1L)(_ * _).toInt
+          val gridStride = gridDims.scanRight(1L)(_ * _).tail
+          val chunksOut = (0 until nChunks).map { g =>
+            val coords = (0 until rank).map(d =>
+              ((g / gridStride(d)) % gridDims(d)) * cdims(d))
+            val cb = java.nio.ByteBuffer.allocate(chunkElems * esz)
+            var l = 0
+            while (l < chunkElems) {
+              var flat = 0L
+              var inBounds = true
+              var d = 0
+              while (d < rank && inBounds) {
+                val gc = coords(d) + (l / chunkStride(d)) % cdims(d)
+                if (gc >= v.dims(d)) inBounds = false
+                else flat += gc * dimStride(d)
+                d += 1
+              }
+              cb.put(encode(if (inBounds) v.values(flat.toInt) else 0.0,
+                cls, esz))
+              l += 1
+            }
+            var stored = cb.array()
+            if (v.shuffle) stored = shuffleBytes(stored, esz)
+            if (v.deflate) stored = deflateBytes(stored)
+            (coords, stored)
+          }.filterNot { case (coords, _) =>
+            // netcdf's lazy allocation: an all-fill chunk is never
+            // written; the reader reconstitutes it from the fill msg
+            v.fill.exists { f =>
+              val chunkVals = (0 until chunkElems).flatMap { l =>
+                var flat = 0L
+                var inBounds = true
+                var d = 0
+                while (d < rank && inBounds) {
+                  val gc = coords(d) + (l / chunkStride(d)) % cdims(d)
+                  if (gc >= v.dims(d)) inBounds = false
+                  else flat += gc * dimStride(d)
+                  d += 1
+                }
+                if (inBounds) Some(v.values(flat.toInt)) else None
+              }
+              chunkVals.forall(_ == f)
+            }
+          }
+          // layout v3 chunked: 3 + 8 + 4*(rank+1) → pad8
+          val layoutLen = ((3 + 8 + 4 * (rank + 1)) + 7) & ~7
+          VarPlan(v, cls, esz, dtB, dsNd(v.dims), filterMsg(v, esz),
+            fillMsg(v, cls, esz), v.attrs.map { case (n2, a) => attrMsg(n2, a) },
+            layoutLen, chunksOut, contiguous = None)
+      }
+    }
+
+    // -- address assignment --
+    val rootAttrMsgs = attrs.map { case (n2, a) => attrMsg(n2, a) }
+    val rootHeaderLen = 16 + (8 + 16) + rootAttrMsgs.map(8 + _.length).sum
+    val ROOT = 96L
+    val heapAddr = ROOT + rootHeaderLen
+    val nameOffsets = {
+      var off = 8L // offset 0 reserved (empty name)
+      vs.map { v =>
+        val o = off
+        off += pad8(v.name.getBytes(StandardCharsets.UTF_8).length + 1L)
+        (v.name, o)
+      }.toMap
+    }
+    val heapDataLen = 8L + vs.map(v =>
+      pad8(v.name.getBytes(StandardCharsets.UTF_8).length + 1L)).sum
+    val btreeAddr = heapAddr + 32 + heapDataLen
+    val snodAddr = btreeAddr + 48
+    val snodLen = 8L + 40L * vs.length
+    var cursor = snodAddr + snodLen
+    val headerAddrs = plans.map { p =>
+      val a = cursor; cursor += p.headerLen; a
+    }
+    // data region: per var, btree (if chunked) then blocks
+    val dataAddrs: Seq[(Long, Seq[Long])] = plans.map { p =>
+      if (p.contiguous.isDefined) {
+        val a = cursor; cursor += p.contiguous.get.length; (a, Seq.empty)
+      } else {
+        val bt = cursor; cursor += p.btreeLen
+        val blocks = p.chunksOut.map { case (_, b) =>
+          val a = cursor; cursor += b.length; a
+        }
+        (bt, blocks)
+      }
+    }
+    val eof = cursor
+
+    // -- emit --
+    val bos = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = bos.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v); u8(v >> 8) }
+    def u32(v: Long): Unit = { u16(v.toInt); u16((v >> 16).toInt) }
+    def u64(v: Long): Unit = { u32(v); u32(v >> 32) }
+    def raw(b: Array[Byte]): Unit = bos.write(b)
+    def msg(t: Int, body: Array[Byte]): Unit = {
+      u16(t); u16(body.length); u8(0); u8(0); u8(0); u8(0); raw(body)
+    }
+    // superblock v0
+    raw(SIGNATURE)
+    u8(0); u8(0); u8(0); u8(0); u8(0)
+    u8(8); u8(8); u8(0)
+    u16(4); u16(16)
+    u32(0L)
+    u64(0L)
+    u64(UNDEF)
+    u64(eof)
+    u64(UNDEF)
+    u64(0L) // root link name offset
+    u64(ROOT)
+    u32(1L); u32(0L) // cache type 1 (group), reserved
+    (0 until 16).foreach(_ => u8(0))
+    // root v1 object header: symbol table msg + root attrs
+    u8(1); u8(0)
+    u16(1 + rootAttrMsgs.length)
+    u32(1L)
+    u32((rootHeaderLen - 16).toLong)
+    u32(0L)
+    val stBody = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    stBody.putLong(btreeAddr); stBody.putLong(heapAddr)
+    msg(MSG_SYMBOL_TABLE, stBody.array())
+    rootAttrMsgs.foreach(m => msg(MSG_ATTRIBUTE, m))
+    // local heap
+    raw("HEAP".getBytes(StandardCharsets.US_ASCII))
+    u8(0); u8(0); u8(0); u8(0)
+    u64(heapDataLen)
+    u64(heapDataLen) // free list: none (head past the names)
+    u64(heapAddr + 32)
+    (0 until 8).foreach(_ => u8(0)) // reserved empty name at offset 0
+    vs.foreach { v =>
+      val nb = v.name.getBytes(StandardCharsets.UTF_8) :+ 0.toByte
+      raw(nb)
+      (0 until (pad8(nb.length.toLong) - nb.length).toInt).foreach(_ => u8(0))
+    }
+    // group B-tree: one leaf pointing at the single SNOD
+    raw("TREE".getBytes(StandardCharsets.US_ASCII))
+    u8(0); u8(0) // group node, level 0
+    u16(1)
+    u64(UNDEF); u64(UNDEF)
+    u64(0L) // key 0: offset of smallest name (reserved empty)
+    u64(snodAddr)
+    u64(nameOffsets(vs.last.name)) // key 1: offset of largest name
+    // SNOD
+    raw("SNOD".getBytes(StandardCharsets.US_ASCII))
+    u8(1); u8(0)
+    u16(vs.length)
+    vs.zip(headerAddrs).foreach { case (v, hAddr) =>
+      u64(nameOffsets(v.name))
+      u64(hAddr)
+      u32(0L); u32(0L)
+      (0 until 16).foreach(_ => u8(0))
+    }
+    // per-var object headers
+    plans.zip(dataAddrs).foreach { case (p, (dataAddr, chunkAddrs)) =>
+      u8(1); u8(0)
+      u16(p.nMsgs)
+      u32(1L)
+      u32((p.headerLen - 16).toLong)
+      u32(0L)
+      msg(MSG_DATATYPE, padded(p.dtB))
+      msg(MSG_DATASPACE, padded(p.dsB))
+      p.fillB.foreach(b => msg(MSG_FILL, b))
+      p.filterB.foreach(b => msg(MSG_FILTER, b))
+      val lb = java.nio.ByteBuffer.allocate(p.layoutLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      if (p.contiguous.isDefined) {
+        lb.put(3.toByte); lb.put(1.toByte)
+        lb.putLong(dataAddr); lb.putLong(p.contiguous.get.length.toLong)
+      } else {
+        val rank = p.v.dims.length
+        lb.put(3.toByte); lb.put(2.toByte); lb.put((rank + 1).toByte)
+        lb.putLong(dataAddr) // chunk B-tree address
+        p.v.chunks.get.foreach(c => lb.putInt(c.toInt))
+        lb.putInt(p.esz)
+      }
+      msg(MSG_LAYOUT, lb.array())
+      p.attrB.foreach(b => msg(MSG_ATTRIBUTE, b))
+      val _ = chunkAddrs
+    }
+    // data region
+    plans.zip(dataAddrs).foreach { case (p, (dataAddr, chunkAddrs)) =>
+      p.contiguous match {
+        case Some(rawData) => raw(rawData)
+        case None =>
+          val rank = p.v.dims.length
+          // chunk B-tree leaf
+          raw("TREE".getBytes(StandardCharsets.US_ASCII))
+          u8(1); u8(0)
+          u16(p.chunksOut.length)
+          u64(UNDEF); u64(UNDEF)
+          p.chunksOut.zip(chunkAddrs).foreach { case ((coords, stored), a) =>
+            u32(stored.length.toLong); u32(0L)
+            coords.foreach(u64)
+            u64(0L) // trailing element-size offset
+            u64(a)
+          }
+          // final key: the dataspace bound
+          u32(0L); u32(0L)
+          p.v.dims.foreach(u64)
+          u64(0L)
+          p.chunksOut.foreach { case (_, stored) => raw(stored) }
+          val _ = (dataAddr, rank)
+      }
     }
     bos.toByteArray
   }

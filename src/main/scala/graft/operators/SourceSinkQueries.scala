@@ -494,6 +494,69 @@ object SourceSinkQueries {
       .orderBy(col("page"), col("item_id"))
   }
 
+  /** src_hdf5_vars — netcdf4 VARIABLE data, not just attrs: the
+    * insitu recipe reads LONGITUDE/LATITUDE/TIME coordinate variables
+    * out of its HDF5-backed granules (extract_geometry, insitu
+    * recipe.py:91-93). Granules written netcdf-style (chunked +
+    * shuffle + deflate), decoded DISTRIBUTED (one mapPartitions over
+    * the listing; each task reads only its files), then the same
+    * trajectory-geometry UDF the insitu vertical uses. Rows-only
+    * (UDF-valued geometry); byte-level round-trips in Hdf5Spec. */
+  def srcHdf5Vars(s: SparkSession, dir: String): DataFrame = {
+    import graft.ingest.Hdf5Header
+    import graft.ingest.Hdf5Header.FixtureVar
+    import graft.ingest.NetcdfClassic.CharAttr
+    val tmp = Files.createTempDirectory("graft-h5vars").toString
+    (0 until 6).foreach { g =>
+      val n = 36 + 4 * g
+      val lon = Array.tabulate(n)(i => -60.0 + g * 7 + i * 0.25)
+      val lat = Array.tabulate(n)(i =>
+        -30.0 + g * 5 + (if (i < n / 2) 0.0 else (i - n / 2 + 1) * 0.1))
+      val time = Array.tabulate(n)(i => 8000.0 + g * 30 + i / 24.0)
+      val bytes = Hdf5Header.buildDataFile(
+        Seq(("id", CharAttr(f"platform-$g%03d"))),
+        Seq(
+          FixtureVar("LONGITUDE", Seq(n.toLong), lon,
+            chunks = Some(Seq(16L)), deflate = true, shuffle = true),
+          FixtureVar("LATITUDE", Seq(n.toLong), lat,
+            chunks = Some(Seq(16L)), deflate = true, shuffle = true),
+          FixtureVar("TIME", Seq(n.toLong), time,
+            attrs = Seq(("units", CharAttr("days since 1950-01-01"))))))
+      val fo = new java.io.FileOutputStream(s"$tmp/traj-$g.nc")
+      try fo.write(bytes) finally fo.close()
+    }
+    import s.implicits._
+    val coords = ListingCache.globListing(s, s"file:$tmp/*.nc").as[String]
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        it.map { url =>
+          val p = new org.apache.hadoop.fs.Path(url)
+          val fs = p.getFileSystem(conf)
+          val in = fs.open(p)
+          val bytes = try {
+            val len = fs.getFileStatus(p).getLen.toInt
+            val b = new Array[Byte](len)
+            in.readFully(0, b)
+            b
+          } finally in.close()
+          val f = Hdf5Header.readFile(bytes)
+          val t = f.dataset("TIME").data
+          (f.rootAttrs("id"),
+            f.dataset("LONGITUDE").data.toSeq,
+            f.dataset("LATITUDE").data.toSeq,
+            t.min, t.max)
+        }
+      }
+      .toDF("platform_id", "lon", "lat", "t_min", "t_max")
+    coords
+      .select(col("platform_id"), col("t_min"), col("t_max"),
+        Geometry.extractTrajectory(0.001)(col("lon"), col("lat")).as("g"))
+      .select(col("platform_id"), col("g.geo_type"),
+        col("g.n_points_in"), col("g.n_points_out"),
+        col("g.bbox_w"), col("g.bbox_n"), col("t_min"), col("t_max"))
+      .orderBy(col("platform_id"))
+  }
+
   /** catalog_api_http — the full STAC API stack over real HTTP
     * (stac-fastapi's role, docker-compose.yml:1-28): catalog → JDK
     * HttpServer → HttpClient walks GET-search pages through next
@@ -520,7 +583,7 @@ object SourceSinkQueries {
         (0 until f.size).map(f.get(_).get("id").asText())
       }
       // walk every page over HTTP
-      var href = "/search?limit=10&sortby=%2Bstart_datetime"
+      var href = "/search?limit=25&sortby=%2Bstart_datetime"
       var viaHttp = Vector.empty[String]
       var pages = 0
       while (href != null && pages < 100) {
@@ -591,6 +654,7 @@ object SourceSinkQueries {
     "src_scientific" -> (srcScientific _),
     "src_netcdf_attrs" -> (srcNetcdfAttrs _),
     "src_hdf5_attrs" -> (srcHdf5Attrs _),
+    "src_hdf5_vars" -> (srcHdf5Vars _),
     "src_scientific_v2" -> (srcScientificV2 _),
     "src_yaml_collections" -> (srcYamlCollections _),
     "src_csv" -> (srcCsv _),

@@ -119,6 +119,122 @@ class Hdf5Spec extends SparkSpec {
     intercept[java.io.IOException](parse(badMsg))
   }
 
+  test("contiguous variables round-trip with dims, values, and attrs") {
+    import Hdf5Header.FixtureVar
+    val lon = Array.tabulate(12)(i => -85.0 + i * 0.5)
+    val bytes = Hdf5Header.buildDataFile(
+      granuleAttrs,
+      Seq(FixtureVar("LONGITUDE", Seq(12L), lon,
+        attrs = Seq(("units", CharAttr("degrees_east")),
+          ("valid_range", IntAttr(Seq(-180, 180)))))))
+    val f = Hdf5Header.readFile(bytes)
+    // root attrs unaffected by the richer group structure
+    assert(f.rootAttrs("uuid") == "granule-h5-001")
+    assert(f.datasetNames == Seq("LONGITUDE"))
+    val ds = f.dataset("LONGITUDE")
+    assert(ds.dims == Seq(12L))
+    assert(ds.data.toSeq == lon.toSeq)
+    assert(ds.attrs("units") == "degrees_east")
+    assert(ds.attrs("valid_range") == "-180, 180")
+    intercept[java.io.IOException](f.dataset("LATITUDE"))
+  }
+
+  test("chunked + shuffle + deflate 2-D data reassembles, edge chunks clip") {
+    import Hdf5Header.FixtureVar
+    // 7×5 grid in 4×3 chunks: a 2×2 chunk grid with both edges partial
+    val vals = Array.tabulate(35)(i => (i * 31 % 97).toDouble - 40)
+    val bytes = Hdf5Header.buildDataFile(
+      granuleAttrs,
+      Seq(
+        FixtureVar("sst", Seq(7L, 5L), vals, dtype = "i4",
+          chunks = Some(Seq(4L, 3L)), deflate = true, shuffle = true),
+        FixtureVar("quality", Seq(7L, 5L), vals.map(v => (v.toInt % 5).toDouble),
+          dtype = "i2", chunks = Some(Seq(7L, 5L)))))
+    val f = Hdf5Header.readFile(bytes)
+    assert(f.datasetNames.sorted == Seq("quality", "sst"))
+    assert(f.dataset("sst").data.toSeq == vals.toSeq)
+    assert(f.dataset("quality").data.toSeq ==
+      vals.map(v => (v.toInt % 5).toDouble).toSeq)
+  }
+
+  test("unwritten all-fill chunks reconstitute from the fill value") {
+    import Hdf5Header.FixtureVar
+    // second half of the variable is pure fill ⇒ netcdf lazy
+    // allocation never writes that chunk; the reader must fill it
+    val vals = Array.tabulate(16)(i => if (i < 8) i.toDouble else -999.0)
+    val bytes = Hdf5Header.buildDataFile(
+      granuleAttrs,
+      Seq(FixtureVar("TIME", Seq(16L), vals, dtype = "f8",
+        chunks = Some(Seq(8L)), deflate = true, fill = Some(-999.0))))
+    val ds = Hdf5Header.readFile(bytes).dataset("TIME")
+    assert(ds.data.toSeq == vals.toSeq)
+  }
+
+  test("corrupt dataset structures quarantine as IOException") {
+    import Hdf5Header.FixtureVar
+    val good = Hdf5Header.buildDataFile(granuleAttrs,
+      Seq(FixtureVar("v", Seq(4L), Array(1.0, 2, 3, 4),
+        chunks = Some(Seq(2L)), deflate = true)))
+    // corrupt the chunk B-tree signature (first TREE after the group's)
+    def indexOfTree(b: Array[Byte], from: Int): Int = {
+      val sig = "TREE".getBytes
+      (from until b.length - 4).find(i => sig.indices.forall(j =>
+        b(i + j) == sig(j))).getOrElse(-1)
+    }
+    val g1 = indexOfTree(good, 0)
+    val chunkTree = indexOfTree(good, g1 + 4)
+    assert(chunkTree > 0)
+    val bad = good.clone(); bad(chunkTree) = 'X'.toByte
+    intercept[java.io.IOException](
+      Hdf5Header.readFile(bad).dataset("v"))
+    // truncated deflate stream
+    val short = java.util.Arrays.copyOf(good, good.length - 3)
+    intercept[java.io.IOException](
+      Hdf5Header.readFile(short).dataset("v"))
+    // root attrs still parse from the intact head either way
+    assert(Hdf5Header.readFile(bad).rootAttrs("uuid") == "granule-h5-001")
+  }
+
+  test("netcdf4 trajectory variables drive extract_geometry end-to-end") {
+    import Hdf5Header.FixtureVar
+    import org.apache.spark.sql.functions._
+    // the insitu shape (recipe.py:91-93): LONGITUDE/LATITUDE/TIME 1-D
+    // coordinate variables, netcdf-chunked and compressed
+    val n = 48
+    val lon = Array.tabulate(n)(i => -40.0 + i * 0.25)
+    val lat = Array.tabulate(n)(i => 10.0 + (if (i < 24) 0.0 else (i - 23) * 0.1))
+    val time = Array.tabulate(n)(i => 8000.0 + i / 24.0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5v").toString
+    val bytes = Hdf5Header.buildDataFile(
+      Seq(("id", CharAttr("GL_TS_DB_FIXTURE"))),
+      Seq(
+        FixtureVar("LONGITUDE", Seq(n.toLong), lon,
+          chunks = Some(Seq(16L)), deflate = true, shuffle = true),
+        FixtureVar("LATITUDE", Seq(n.toLong), lat,
+          chunks = Some(Seq(16L)), deflate = true, shuffle = true),
+        FixtureVar("TIME", Seq(n.toLong), time,
+          attrs = Seq(("units", CharAttr("days since 1950-01-01"))))))
+    val path = s"$dir/traj.nc"
+    val fo = new FileOutputStream(path)
+    try fo.write(bytes) finally fo.close()
+    // read back THROUGH the file and build the geometry the way
+    // InsituAssembly does
+    val f = Hdf5Header.readFile(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    assert(f.dataset("TIME").attrs("units") == "days since 1950-01-01")
+    import spark.implicits._
+    val df = Seq((f.dataset("LONGITUDE").data.toSeq,
+      f.dataset("LATITUDE").data.toSeq)).toDF("lon", "lat")
+    val g = df.select(
+      graft.geometry.Geometry.extractTrajectory(0.001)(col("lon"), col("lat"))
+        .as("g")).select("g.geo_type", "g.n_points_in", "g.n_points_out")
+      .first()
+    assert(g.getString(0) == "LineString")
+    assert(g.getInt(1) == n)
+    // Douglas-Peucker collapses the two straight runs to ~3 points
+    assert(g.getInt(2) <= 4)
+  }
+
   test("HDF5 and classic granules mix under one glob end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("graft-h5").toString
     def gAttrs(i: Int): Seq[(String, AttrValue)] = Seq(
