@@ -102,11 +102,11 @@ object CatalogQuery {
           s"intersects: unsupported or malformed GeoJSON: $g"))
       val (w, s, e, n) = graft.geometry.Geometry.envelope(geom)
       // envelope prefilter on the scalar bbox columns (pushdown-able;
-      // prunes the scan) THEN the exact test on candidates only
+      // prunes the scan) THEN the exact test on candidates only — the
+      // query geometry parsed ONCE here, not per row
       df = df.filter(col("bbox_w") <= e && lit(w) <= col("bbox_e") &&
           col("bbox_s") <= n && lit(s) <= col("bbox_n"))
-        .filter(graft.geometry.Geometry.intersectsUdf(
-          col("geometry"), lit(g)))
+        .filter(graft.geometry.Geometry.intersectsWith(geom)(col("geometry")))
     }
     q.propEquals.foreach { case (k, v) =>
       // try_element_at: missing key ⇒ null ⇒ row filtered, instead of
@@ -119,7 +119,13 @@ object CatalogQuery {
     q.cql2Json.foreach { f =>
       df = df.filter(Cql2Filter.compileJson(f, items.columns.toSet))
     }
-    // total order: user sort keys + item_id tiebreak
+    // total order: user sort keys + item_id tiebreak. Validate the
+    // names here: an unknown sort column would otherwise surface as an
+    // AnalysisException mid-plan — a 500 where a 400 belongs
+    q.sortBy.foreach { case (name, _) =>
+      require(items.columns.contains(name),
+        s"unknown sort field: '$name'")
+    }
     val sortKeys = q.sortBy ++ Seq(("item_id", true))
     val sortCols = sortKeys.map { case (name, asc) =>
       if (asc) col(name).asc else col(name).desc

@@ -250,8 +250,13 @@ object StacApiServer {
     if (n.has("bbox")) {
       val a = n.get("bbox")
       require(a.isArray, "bbox: expected a JSON array")
-      q = q.copy(bbox = Some(parseBbox(
-        (0 until a.size).map(a.get(_).asDouble()))))
+      // asDouble() would silently coerce "a"/null/objects to 0.0 and
+      // run a wrong search; the GET path 400s on these — match it
+      q = q.copy(bbox = Some(parseBbox((0 until a.size).map { i =>
+        val e = a.get(i)
+        require(e.isNumber, s"bbox: not a number: $e")
+        e.asDouble()
+      })))
     }
     if (n.has("datetime"))
       q = q.copy(interval = Some(parseInterval(n.get("datetime").asText())))
@@ -321,11 +326,13 @@ object StacApiServer {
     }
   }
 
-  /** GET sortby: `+field,-field,field` (bare = ascending). */
+  /** GET sortby: `+field,-field,field` (bare = ascending). A leading
+    * space also means ascending: an unencoded `+` in the query string
+    * URL-decodes to ' ', the single most common client slip. */
   private[catalog] def parseSortText(s: String): Seq[(String, Boolean)] =
     s.split(",").toSeq.filter(_.nonEmpty).map {
       case f if f.startsWith("-") => (f.substring(1), false)
-      case f if f.startsWith("+") => (f.substring(1), true)
+      case f if f.startsWith("+") || f.startsWith(" ") => (f.substring(1), true)
       case f => (f, true)
     }
 }

@@ -112,7 +112,10 @@ object Geometry {
     def ring(a: com.fasterxml.jackson.databind.JsonNode) =
       (0 until a.size).map(i => pt(a.get(i)))
     val c = n.get("coordinates")
-    n.get("type").asText() match {
+    // degenerate-but-well-formed JSON (empty Multi*, empty rings) must
+    // parse to None, not to a Geom that later crashes envelope()/
+    // intersects() with empty.min — a 500 where a 400 belongs
+    val parsed = n.get("type").asText() match {
       case "Point" if c != null && c.size >= 2 =>
         Some(GPoint(c.get(0).asDouble(), c.get(1).asDouble()))
       case "LineString" if c != null && c.size >= 2 =>
@@ -129,6 +132,14 @@ object Geometry {
           GPoint(c.get(i).get(0).asDouble(), c.get(i).get(1).asDouble()))))
       case _ => None
     }
+    parsed.filter(nonDegenerate)
+  }
+
+  private def nonDegenerate(g: Geom): Boolean = g match {
+    case _: GPoint => true
+    case GLine(pts) => pts.length >= 2
+    case GPolygon(rings) => rings.nonEmpty && rings.forall(_.length >= 3)
+    case GMulti(parts) => parts.nonEmpty && parts.forall(nonDegenerate)
   }
 
   private def orient(ax: Double, ay: Double, bx: Double, by: Double,
@@ -231,9 +242,20 @@ object Geometry {
       segIntersect(s._1, s._2, e._1, e._2))) ||
       l.pts.headOption.exists { case (x, y) => pointInPolygon(x, y, pg) }
 
-  /** GeoJSON×GeoJSON exact intersects as a UDF (per-row local work;
-    * the caller is expected to bbox-prefilter so this runs on
-    * candidates, not the catalog). Null/malformed → false. */
+  /** Exact intersects against a FIXED query geometry, parsed ONCE on
+    * the driver and closed over — the per-row work is one parse of the
+    * row's geometry plus the exact test (the caller is expected to
+    * bbox-prefilter so this runs on candidates, not the catalog).
+    * Null/malformed rows → false. */
+  def intersectsWith(query: Geom): UserDefinedFunction =
+    udf { (rowGeo: String) =>
+      rowGeo != null &&
+        parseGeoJson(rowGeo).exists(g => intersects(g, query))
+    }
+
+  /** GeoJSON×GeoJSON exact intersects as a UDF — for row×row use;
+    * prefer intersectsWith for a constant query geometry (avoids
+    * re-parsing the same string per row). Null/malformed → false. */
   val intersectsUdf: UserDefinedFunction =
     udf { (ga: String, gb: String) =>
       (ga != null && gb != null) && (for {

@@ -54,7 +54,10 @@ object Hdf5Header {
   private final class Buf(val b: Array[Byte]) {
     def len: Int = b.length
     private def check(o: Long, n: Int): Unit =
-      if (o < 0 || n < 0 || o + n > len)
+      // `o > len - n`, NOT `o + n > len`: a crafted offset near
+      // Long.MaxValue overflows the sum negative, slips the check, and
+      // dies as AIOOBE — which escapes the IOException-only quarantine
+      if (o < 0 || n < 0 || o > len.toLong - n)
         throw new IOException(
           s"HDF5 reference beyond ${len}-byte probe (offset $o, need $n)")
     def u8(o: Long): Int = { check(o, 1); b(o.toInt) & 0xff }
@@ -782,7 +785,10 @@ object Hdf5Header {
       val chunk = new Array[Byte](8192)
       while (!inf.finished()) {
         val n = inf.inflate(chunk)
-        if (n == 0 && inf.needsInput())
+        // needsDictionary: inflate() returns 0 with needsInput()=false
+        // forever — without this check a crafted FDICT chunk spins the
+        // task at 100% CPU instead of quarantining
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
           throw new IOException("truncated deflate stream in HDF5 chunk")
         out.write(chunk, 0, n)
         if (out.size() > expect + 8192)
@@ -887,6 +893,48 @@ object Hdf5Header {
     }
     b.array()
   }
+  private def padTo8(b: Array[Byte]): Array[Byte] =
+    if (b.length % 8 == 0) b
+    else b ++ new Array[Byte]((8 - b.length % 8) % 8)
+
+  /** v1 attribute message, shared by both fixture writers. String
+    * attrs encode fixed by default; `vlenRef` maps the UTF-8 payload
+    * to its 16-byte vlen record (len + global heap addr + index) for
+    * the NC_STRING form. */
+  private def attrMessageV1(
+      attrName: String, value: NetcdfClassic.AttrValue,
+      vlenRef: Option[Array[Byte] => Array[Byte]]): Array[Byte] = {
+    import NetcdfClassic._
+    val (dt, ds, data) = value match {
+      case CharAttr(s) =>
+        val b = s.getBytes(StandardCharsets.UTF_8)
+        vlenRef match {
+          case Some(ref) => (dtVlenString, dsScalar, ref(b))
+          case None => (dtString(b.length), dsScalar, b)
+        }
+      case DoubleAttr(d) =>
+        (dtFloat(8), dsScalar, le(8, java.lang.Double.doubleToLongBits(d)))
+      case FloatAttr(f) =>
+        (dtFloat(4), dsScalar, le(4, java.lang.Float.floatToIntBits(f).toLong))
+      case IntAttr(is) => (dtFixed(4, signed = true),
+        ds1d(is.length.toLong), is.toArray.flatMap(i => le(4, i.toLong)))
+      case ShortAttr(sh) =>
+        (dtFixed(2, signed = true), dsScalar, le(2, sh.toLong))
+      case LongAttr(ls) => (dtFixed(8, signed = true),
+        ds1d(ls.length.toLong), ls.toArray.flatMap(l => le(8, l)))
+      case UByteAttr(ubs) => (dtFixed(1, signed = false),
+        ds1d(ubs.length.toLong), ubs.toArray.flatMap(v => le(1, v.toLong)))
+    }
+    val nameBytes = attrName.getBytes(StandardCharsets.UTF_8) :+ 0.toByte
+    val mb = new java.io.ByteArrayOutputStream()
+    mb.write(1); mb.write(0) // attribute message v1
+    mb.write(le(2, nameBytes.length.toLong))
+    mb.write(le(2, dt.length.toLong))
+    mb.write(le(2, ds.length.toLong))
+    mb.write(padTo8(nameBytes)); mb.write(padTo8(dt)); mb.write(padTo8(ds))
+    mb.write(padTo8(data))
+    mb.toByteArray
+  }
 
   /** Serialize a minimal-but-valid HDF5 file holding the given root
     * attributes: superblock v0 → v1 object header → v1 attribute
@@ -934,50 +982,17 @@ object Hdf5Header {
     }
     val objHeaderAddr = HEAP_ADDR + heapBytes.length
 
-    // -- attribute messages --
+    // -- attribute messages (one shared encoder with buildDataFile) --
     var vlenIdx = 0
     val msgs: Seq[Array[Byte]] = attrs.map { case (attrName, value) =>
-      val (dt, ds, data) = value match {
-        case CharAttr(s) =>
-          val b = s.getBytes(StandardCharsets.UTF_8)
-          if (vlenStrings) {
-            vlenIdx += 1
-            val d = java.nio.ByteBuffer.allocate(16)
-              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-            d.putInt(b.length); d.putLong(HEAP_ADDR); d.putInt(vlenIdx)
-            (dtVlenString, dsScalar, d.array())
-          } else (dtString(b.length), dsScalar, b)
-        case DoubleAttr(d) =>
-          (dtFloat(8), dsScalar,
-            le(8, java.lang.Double.doubleToLongBits(d)))
-        case FloatAttr(f) =>
-          (dtFloat(4), dsScalar,
-            le(4, java.lang.Float.floatToIntBits(f).toLong))
-        case IntAttr(is) =>
-          (dtFixed(4, signed = true), ds1d(is.length.toLong),
-            is.toArray.flatMap(i => le(4, i.toLong)))
-        case ShortAttr(sh) =>
-          (dtFixed(2, signed = true), dsScalar, le(2, sh.toLong))
-        case LongAttr(ls) =>
-          (dtFixed(8, signed = true), ds1d(ls.length.toLong),
-            ls.toArray.flatMap(l => le(8, l)))
-        case UByteAttr(bs) =>
-          (dtFixed(1, signed = false), ds1d(bs.length.toLong),
-            bs.toArray.flatMap(v => le(1, v.toLong)))
-      }
-      val nameBytes = attrName.getBytes(StandardCharsets.UTF_8) :+ 0.toByte
-      val mb = new java.io.ByteArrayOutputStream()
-      def m8(v: Int): Unit = mb.write(v & 0xff)
-      def m16(v: Int): Unit = { m8(v); m8(v >> 8) }
-      def mPad8(): Unit =
-        (0 until ((8 - mb.size() % 8) % 8)).foreach(_ => m8(0))
-      m8(1); m8(0) // attribute message v1
-      m16(nameBytes.length); m16(dt.length); m16(ds.length)
-      mb.write(nameBytes); mPad8()
-      mb.write(dt); mPad8()
-      mb.write(ds); mPad8()
-      mb.write(data); mPad8()
-      mb.toByteArray
+      val vref = if (!vlenStrings) None else Some((b: Array[Byte]) => {
+        vlenIdx += 1
+        val d = java.nio.ByteBuffer.allocate(16)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        d.putInt(b.length); d.putLong(HEAP_ADDR); d.putInt(vlenIdx)
+        d.array()
+      })
+      attrMessageV1(attrName, value, vref)
     }
     val msgBytes = msgs.map(m => 8 + m.length).sum
 
@@ -1049,36 +1064,11 @@ object Hdf5Header {
       case (0, w) => le(w, v.toLong)
       case (c, w) => throw new IllegalArgumentException(s"dtype $c/$w")
     }
-    def padded(b: Array[Byte]): Array[Byte] =
-      if (b.length % 8 == 0) b
-      else b ++ new Array[Byte]((8 - b.length % 8) % 8)
-    // v1 attribute message body (same framing buildFile emits)
-    def attrMsg(attrName: String, value: AttrValue): Array[Byte] = {
-      val (dt, ds, data) = value match {
-        case CharAttr(s) =>
-          val b = s.getBytes(StandardCharsets.UTF_8)
-          (dtString(b.length), dsScalar, b)
-        case DoubleAttr(d) =>
-          (dtFloat(8), dsScalar, le(8, java.lang.Double.doubleToLongBits(d)))
-        case FloatAttr(f) =>
-          (dtFloat(4), dsScalar, le(4, java.lang.Float.floatToIntBits(f).toLong))
-        case IntAttr(is) => (dtFixed(4, signed = true),
-          ds1d(is.length.toLong), is.toArray.flatMap(i => le(4, i.toLong)))
-        case ShortAttr(sh) => (dtFixed(2, signed = true), dsScalar, le(2, sh.toLong))
-        case LongAttr(ls) => (dtFixed(8, signed = true),
-          ds1d(ls.length.toLong), ls.toArray.flatMap(l => le(8, l)))
-        case UByteAttr(ubs) => (dtFixed(1, signed = false),
-          ds1d(ubs.length.toLong), ubs.toArray.flatMap(v => le(1, v.toLong)))
-      }
-      val nameBytes = attrName.getBytes(StandardCharsets.UTF_8) :+ 0.toByte
-      val mb = new java.io.ByteArrayOutputStream()
-      mb.write(1); mb.write(0)
-      mb.write(le(2, nameBytes.length.toLong)); mb.write(le(2, dt.length.toLong))
-      mb.write(le(2, ds.length.toLong))
-      mb.write(padded(nameBytes)); mb.write(padded(dt)); mb.write(padded(ds))
-      mb.write(padded(data))
-      mb.toByteArray
-    }
+    def padded(b: Array[Byte]): Array[Byte] = padTo8(b)
+    // v1 attribute message: the SAME shared encoder buildFile uses
+    // (fixed strings here — data files don't need the vlen form)
+    def attrMsg(attrName: String, value: AttrValue): Array[Byte] =
+      attrMessageV1(attrName, value, vlenRef = None)
     // v1 filter-pipeline message: shuffle then deflate, netcdf's order
     def filterMsg(v: FixtureVar, elemSize: Int): Option[Array[Byte]] = {
       if (!v.deflate && !v.shuffle) None

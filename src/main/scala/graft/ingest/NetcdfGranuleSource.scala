@@ -97,7 +97,10 @@ object NetcdfGranuleSource {
         // (file_type="netcdf4", avhrr recipe.py:120,126)
         bin.mark(8)
         val magic = new Array[Byte](8)
-        val got = in.read(magic)
+        // readNBytes loops to 8 bytes or EOF — a single read() may
+        // legally return short (block boundary) and misroute a valid
+        // HDF5 granule into the classic parser's quarantine
+        val got = in.readNBytes(magic, 0, 8)
         bin.reset()
         if (got >= 8 && Hdf5Header.isHdf5Magic(magic))
           Hdf5Header.readRootAttrs(in)

@@ -98,6 +98,13 @@ class GeometrySpec extends SparkSpec {
     // malformed input parses to None, predicate stays total
     assert(parseGeoJson("{\"type\":\"Weird\"}").isEmpty)
     assert(parseGeoJson("not json").isEmpty)
+    // degenerate-but-well-formed geometries also parse to None — a
+    // Geom with no points would crash envelope()/intersects later
+    assert(parseGeoJson("""{"type":"MultiPolygon","coordinates":[]}""").isEmpty)
+    assert(parseGeoJson("""{"type":"Polygon","coordinates":[[]]}""").isEmpty)
+    assert(parseGeoJson(
+      """{"type":"Polygon","coordinates":[[[0,0],[1,1]]]}""").isEmpty)
+    assert(parseGeoJson("""{"type":"LineString","coordinates":[[0,0]]}""").isEmpty)
   }
 
   test("intersects search: exact predicate vs bbox search divergence") {

@@ -193,6 +193,18 @@ class StacApiSpec extends SparkSpec {
       href.split("token=")(1)
     }
     assert(get(s"/search?limit=3&sortby=%2Bbbox_n&token=$tok")._1 == 400)
+    // unknown sort column: 400, not an AnalysisException-500
+    assert(get("/search?sortby=bogus_col")._1 == 400)
+    // an UNENCODED '+' decodes to a space — still means ascending
+    assert(get("/search?limit=3&sortby=+start_datetime")._1 == 200)
+    // POST bbox with non-numeric entries must 400 like the GET path,
+    // not silently search bbox (0,0,0,0)
+    assert(post("/search", """{"bbox":["a","b","c","d"]}""")._1 == 400)
+    // degenerate-but-well-formed intersects geometry: clean 400
+    assert(post("/search",
+      """{"intersects":{"type":"MultiPolygon","coordinates":[]}}""")._1 == 400)
+    assert(post("/search",
+      """{"intersects":{"type":"Polygon","coordinates":[[]]}}""")._1 == 400)
     // server still healthy after the error barrage
     assert(get("/")._1 == 200)
   }
