@@ -557,6 +557,66 @@ object SourceSinkQueries {
       .orderBy(col("platform_id"))
   }
 
+  /** src_insitu_netcdf4 — the insitu vertical over REAL netcdf4
+    * files end-to-end: category-shaped paths → Hdf5InsituSource
+    * (whole-file HDF5 decode of LONGITUDE/LATITUDE/TIME + global
+    * attrs, distributed) → InsituAssembly (the same generate_stac_item
+    * path the synthetic fixture drives) → per-collection summary.
+    * Includes a corrupt granule that must quarantine, not kill.
+    * Rows-only (UDF-valued geometry). */
+  def srcInsituNetcdf4(s: SparkSession, dir: String): DataFrame = {
+    import graft.ingest.{Hdf5Header, Hdf5InsituSource}
+    import graft.ingest.Hdf5Header.FixtureVar
+    import graft.ingest.NetcdfClassic.CharAttr
+    val tmp = Files.createTempDirectory("graft-insitu4").toString
+    val epochDays = 26418.0 // 2022-05-01 in days since 1950-01-01
+    for (cat <- Seq("DB", "TS", "BO"); i <- 0 until 3) {
+      val d = new java.io.File(s"$tmp/$cat/202205")
+      d.mkdirs()
+      val n = 24
+      val moored = cat == "BO" && i == 2
+      val lon = Array.tabulate(n)(k =>
+        if (moored) -12.5 else -40.0 + i * 10 + k * 0.05)
+      val lat = Array.tabulate(n)(k =>
+        if (moored) 31.0
+        else 10.0 + i * 5 + (if (k < 18) 0.0 else (k - 17) * 0.03))
+      val time = Array.tabulate(n)(k => epochDays + 30 * i + k / 24.0)
+      val bytes = Hdf5Header.buildDataFile(
+        Seq(
+          ("id", CharAttr(f"$cat%s-$i%04d")),
+          ("geospatial_lon_min", CharAttr(lon.min.toString)),
+          ("geospatial_lat_min", CharAttr(lat.min.toString)),
+          ("geospatial_lon_max", CharAttr(lon.max.toString)),
+          ("geospatial_lat_max", CharAttr(lat.max.toString)),
+          ("institution", CharAttr(s"inst-$cat"))),
+        Seq(
+          FixtureVar("LONGITUDE", Seq(n.toLong), lon,
+            chunks = Some(Seq(16L)), deflate = true, shuffle = true),
+          FixtureVar("LATITUDE", Seq(n.toLong), lat,
+            chunks = Some(Seq(16L)), deflate = true, shuffle = true),
+          FixtureVar("TIME", Seq(n.toLong), time,
+            attrs = Seq(("units", CharAttr("days since 1950-01-01"))))))
+      val payload =
+        if (cat == "DB" && i == 1) bytes.take(40) // corrupt: truncated
+        else bytes
+      val fo = new java.io.FileOutputStream(s"$tmp/$cat/202205/GL_PR_$cat-$i.nc")
+      try fo.write(payload) finally fo.close()
+    }
+    val platforms = Hdf5InsituSource.platforms(s, s"file:$tmp/*/*/*.nc")
+    val (items, errors) = graft.catalog.InsituAssembly.assemble(platforms)
+    val errN = errors.count()
+    items
+      .groupBy(col("collection_id"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(element_at(col("properties"), "geo_type") === "LineString", 1)
+          .otherwise(0)).as("n_tracks"),
+        sum(when(element_at(col("properties"), "geo_type") === "Point", 1)
+          .otherwise(0)).as("n_points"),
+        min(col("start_datetime")).as("t_min"))
+      .withColumn("n_quarantined", lit(errN))
+      .orderBy(col("collection_id"))
+  }
+
   /** catalog_api_http — the full STAC API stack over real HTTP
     * (stac-fastapi's role, docker-compose.yml:1-28): catalog → JDK
     * HttpServer → HttpClient walks GET-search pages through next
@@ -655,6 +715,7 @@ object SourceSinkQueries {
     "src_netcdf_attrs" -> (srcNetcdfAttrs _),
     "src_hdf5_attrs" -> (srcHdf5Attrs _),
     "src_hdf5_vars" -> (srcHdf5Vars _),
+    "src_insitu_netcdf4" -> (srcInsituNetcdf4 _),
     "src_scientific_v2" -> (srcScientificV2 _),
     "src_yaml_collections" -> (srcYamlCollections _),
     "src_csv" -> (srcCsv _),

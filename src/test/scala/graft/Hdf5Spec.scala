@@ -235,6 +235,38 @@ class Hdf5Spec extends SparkSpec {
     assert(g.getInt(2) <= 4)
   }
 
+  test("real netcdf4 platform files run the insitu vertical end-to-end") {
+    val rows = graft.operators.SourceSinkQueries
+      .srcInsituNetcdf4(spark, "").collect()
+    // three categories → three derived collections
+    assert(rows.map(_.getString(0)).toSeq == Seq("BO", "DB", "TS").map(c =>
+      s"INSITU_GLO_PHYBGCWAV_DISCRETE_MYNRT_013_030-$c"))
+    val byCat = rows.map(r => r.getString(0).split("-").last ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    // BO: 3 platforms, one moored (all-same-point → Point)
+    assert(byCat("BO") == ((3L, 2L, 1L, 1L)))
+    // DB: the truncated granule quarantines → 2 survivors
+    assert(byCat("DB") == ((2L, 2L, 0L, 1L)))
+    assert(byCat("TS") == ((3L, 3L, 0L, 1L)))
+    // CF time decoded: 2022-05-01 in days-since-1950
+    val t0 = rows.map(_.getTimestamp(4)).min
+    assert(t0 == java.sql.Timestamp.valueOf("2022-05-01 00:00:00"))
+  }
+
+  test("CF time unit forms parse; junk calendars degrade to no datetimes") {
+    import graft.ingest.Hdf5InsituSource.cfEpoch
+    val day = 86400L * 1000000L
+    assert(cfEpoch("days since 1950-01-01").contains((day, -631152000000000L)))
+    assert(cfEpoch("hours since 1970-01-01T00:00:00Z")
+      .contains((3600L * 1000000L, 0L)))
+    assert(cfEpoch("seconds since 1970-01-01 00:00:00")
+      .contains((1000000L, 0L)))
+    assert(cfEpoch("Days Since 2000-01-01").isDefined)
+    assert(cfEpoch("fortnights since 1970-01-01").isEmpty)
+    assert(cfEpoch("days since the beginning").isEmpty)
+    assert(cfEpoch("").isEmpty)
+  }
+
   test("HDF5 and classic granules mix under one glob end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("graft-h5").toString
     def gAttrs(i: Int): Seq[(String, AttrValue)] = Seq(
