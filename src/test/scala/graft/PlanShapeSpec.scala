@@ -22,6 +22,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(q1.contains("LessThanOrEqual(l_shipdate"), "date bound pushed")
   }
 
+  test("intersects search pushes its envelope prefilter into the scan") {
+    import java.nio.file.Files
+    import graft.catalog.{CatalogQuery, CatalogStore, ItemAssembly}
+    val path = Files.createTempDirectory("graft-ixplan").toString + "/items"
+    val (items, _) = ItemAssembly.assemble(
+      new graft.ingest.FixtureGranuleSource(end = "2022-05-01 00:59:59")
+        .granules(spark))
+    CatalogStore.write(items, path)
+    val box = """{"type":"Polygon","coordinates":
+      [[[0,0],[10,0],[10,10],[0,10],[0,0]]]}""".replaceAll("\\s", "")
+    val p = plan(CatalogQuery.compile(CatalogStore.read(spark, path),
+      CatalogQuery.Search(intersects = Some(box), limit = 10)))
+    // the pgstac index-then-recheck shape: the envelope lands in the
+    // parquet scan as pushed row-group predicates (the toString
+    // truncates the PushedFilters list, so match its prefix), the
+    // exact-geometry UDF runs only on the surviving candidates, and
+    // no exchange separates scan from filter
+    assert(p.contains("PushedFilters: [IsNotNull(bbox_w)"), p)
+    assert(p.contains("LessThanOrEqual(bbox") || p.contains("bbox_w#"), p)
+    assert(p.contains("UDF(geometry"), "exact recheck present")
+    assert(!p.contains("Exchange"), "search is scan→filter→topk, no shuffle")
+  }
+
   test("dimension joins broadcast, never shuffle the small side") {
     val p = plan(JoinQueries.joinBroadcastDim(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
