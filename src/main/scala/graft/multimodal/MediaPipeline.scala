@@ -9,11 +9,15 @@ import org.apache.spark.sql.functions._
   * (media_type, width/height/duration in a map) — the same shape the
   * reference gives granule assets (href + media_type,
   * avhrr recipe.py:70). Decode / feature-extraction runs per-partition
-  * over batches, the Spark-side contract a real decoder (image/audio
-  * lib) would plug into. The decoder itself is STUBBED here — the
-  * container has no media libs — with a deterministic fake that hashes
-  * payload bytes into a feature vector, so schema, partitioning, batch
-  * shape and the executor-side loop are all real and tested.
+  * over batches, the Spark-side contract any decoder plugs into.
+  *
+  * Two decoders implement the trait: RealDecoders.PixelDecoder — a
+  * REAL pure-JVM decode of netpbm/BMP images and PCM WAV audio
+  * (block-mean luma, DCT pHash, windowed RMS/ZCR) — and the
+  * StubDecoder below, kept for formats that genuinely need a codec
+  * library this container lacks (JPEG, MP4): a deterministic fake
+  * that hashes payload bytes, so the distributed plumbing stays
+  * exercised even for undecodable types.
   */
 object MediaPipeline {
 

