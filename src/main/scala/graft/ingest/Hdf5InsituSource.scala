@@ -46,14 +46,8 @@ object Hdf5InsituSource {
       glob: String,
       storageOptions: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
-    val sessionConf: Map[String, String] = {
-      val c = spark.sparkContext.hadoopConfiguration
-      val it = c.iterator()
-      val buf = Map.newBuilder[String, String]
-      while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
-      buf.result()
-    }
-    val options = storageOptions
+    val sessionConf = ListingCache.sessionConfSnapshot(spark)
+    val options = storageOptions // local binding: the closure must not capture `spark`
     ListingCache.globListing(spark, glob, storageOptions).as[String]
       .mapPartitions { it =>
         val conf = ListingCache.confWith(
@@ -85,7 +79,9 @@ object Hdf5InsituSource {
       val times = time.attrs.get("units").flatMap(cfEpoch) match {
         case Some((perUnitMicros, epochMicros)) =>
           time.data.toSeq.map { v =>
-            val micros = epochMicros + (v * perUnitMicros).toLong
+            // round, don't truncate: 1/24 days is binary-inexact and
+            // truncation lands hour marks at 00:59:59.999999
+            val micros = epochMicros + Math.round(v * perUnitMicros)
             val ts = new Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
             ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
             ts
@@ -122,15 +118,21 @@ object Hdf5InsituSource {
           case "day" => 86400L * 1000000L
         }
         // epoch forms seen in the wild: 1950-01-01, 1950-01-01 00:00:00,
-        // 1950-01-01T00:00:00Z, with optional fractional seconds
+        // 1950-01-01T00:00:00Z, 2000-01-01T00:00:00+02:00. An explicit
+        // offset must be HONORED (truncating it would silently shift
+        // every timestamp), bare forms are UTC per CF convention.
         val e = epochRaw.trim.replace(" ", "T")
-          .stripSuffix("Z").takeWhile(c => c != '+')
         try {
-          val ldt =
-            if (e.contains("T")) java.time.LocalDateTime.parse(e)
+          val instant =
+            if (e.endsWith("Z") || e.lastIndexOf('+') > 7 ||
+              e.lastIndexOf('-') > 7) // offset sign past the date part
+              java.time.OffsetDateTime.parse(e).toInstant
+            else if (e.contains("T"))
+              java.time.LocalDateTime.parse(e)
+                .toInstant(java.time.ZoneOffset.UTC)
             else java.time.LocalDate.parse(e).atStartOfDay()
-          Some((perUnit,
-            ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L))
+              .toInstant(java.time.ZoneOffset.UTC)
+          Some((perUnit, instant.toEpochMilli * 1000L))
         } catch { case _: java.time.format.DateTimeParseException => None }
       case _ => None
     }

@@ -68,6 +68,21 @@ object ListingCache {
       c
     }
 
+  /** Snapshot the SESSION Hadoop conf as a plain serializable Map for
+    * executor-side `fs.open`: credentials set the standard way
+    * (spark.hadoop.fs.s3a.* on the session) must reach executor tasks
+    * too — a bare `new Configuration()` there silently drops them and
+    * every granule "quarantines" on auth errors. One definition for
+    * every file-reading source (NetcdfGranuleSource,
+    * Hdf5InsituSource). */
+  def sessionConfSnapshot(spark: SparkSession): Map[String, String] = {
+    val c = spark.sparkContext.hadoopConfiguration
+    val it = c.iterator()
+    val buf = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
+    buf.result()
+  }
+
   /** Glob listing over any Hadoop-visible filesystem
     * (src_glob_listing): file:// here, hdfs:///s3a:// on a cluster.
     * `storageOptions` = per-source auth/endpoint overrides. */

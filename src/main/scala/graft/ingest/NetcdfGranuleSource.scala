@@ -31,20 +31,10 @@ final class NetcdfGranuleSource(
     val cols = NetcdfGranuleSource.B1_COLUMNS
     val binding = attrMap
     val options = storageOptions
-    // Snapshot the SESSION Hadoop conf on the driver: credentials set
-    // the standard way (spark.hadoop.fs.s3a.* on the session) must
-    // reach executor-side fs.open too — a bare new Configuration()
-    // there would silently drop them and every granule would
-    // "quarantine" on auth errors. Per-source storageOptions override
-    // the session (the reference's storage_kwargs,
-    // avhrr recipe.py:124,154).
-    val sessionConf: Map[String, String] = {
-      val c = spark.sparkContext.hadoopConfiguration
-      val it = c.iterator()
-      val buf = Map.newBuilder[String, String]
-      while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
-      buf.result()
-    }
+    // Session-conf snapshot (credential propagation rationale on the
+    // shared helper); per-source storageOptions override the session
+    // (the reference's storage_kwargs, avhrr recipe.py:124,154).
+    val sessionConf = ListingCache.sessionConfSnapshot(spark)
     ListingCache.globListing(spark, glob, storageOptions).as[String]
       .mapPartitions { it =>
         val conf = ListingCache.confWith(

@@ -85,7 +85,9 @@ object MediaPipeline {
   /** Per-partition decode: one decoder instance per partition (the
     * expensive init a real codec needs), streaming over rows — the
     * mapPartitions shape that scales to arbitrarily wide partitions
-    * without materializing batches. */
+    * without materializing batches. STRICT: a decoder failure fails
+    * the job — use decodeQuarantined over corpora that may hold
+    * corrupt or undecodable payloads. */
   def extractFeatures(
       records: Dataset[MediaRecord],
       decoder: Decoder): Dataset[MediaFeatures] = {
@@ -94,6 +96,36 @@ object MediaPipeline {
       it.map { r =>
         MediaFeatures(r.doc_id, r.media_type, r.payload.length,
           decoder.decode(r.media_type, r.payload))
+      }
+    }
+  }
+
+  /** One decode outcome: `error` is null on success, else the reason
+    * and `features` is empty — the media twin of the granule sources'
+    * quarantine rows (one bad file must never kill the corpus job). */
+  case class MediaDecoded(
+      doc_id: Long,
+      media_type: String,
+      n_bytes: Int,
+      features: Array[Float],
+      error: String)
+
+  /** Decode with per-row quarantine: malformed payloads and formats
+    * the decoder refuses (IllegalArgumentException) become error rows
+    * instead of task failures. */
+  def decodeQuarantined(
+      records: Dataset[MediaRecord],
+      decoder: Decoder): Dataset[MediaDecoded] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        try MediaDecoded(r.doc_id, r.media_type, r.payload.length,
+          decoder.decode(r.media_type, r.payload), null)
+        catch {
+          case e: IllegalArgumentException =>
+            MediaDecoded(r.doc_id, r.media_type, r.payload.length,
+              Array.empty[Float], e.getMessage)
+        }
       }
     }
   }

@@ -15,8 +15,9 @@ package graft.multimodal
   * block-mean luma features, a DCT-based 64-bit perceptual hash
   * (the standard pHash construction: 32×32 luma → DCT-II → top-left
   * 8×8 minus DC → median threshold), and windowed RMS/zero-crossing
-  * audio features. Malformed payloads raise IllegalArgumentException —
-  * callers quarantine, the job never dies on one bad file.
+  * audio features. Malformed payloads raise IllegalArgumentException;
+  * run corpora through MediaPipeline.decodeQuarantined, which turns
+  * those into error rows so the job never dies on one bad file.
   *
   * Reference parity note: the reference treats media strictly as
   * opaque assets (href + media_type, avhrr recipe.py:70); this module
@@ -103,7 +104,10 @@ object RealDecoders {
     val compression = u32le(b, 30)
     if (compression != 0) bad(s"compressed BMP (method $compression) unsupported")
     if (bpp != 24 && bpp != 32) bad(s"only 24/32-bit BMP supported, got $bpp")
-    if (w <= 0 || h == 0 || w.toLong * h > MAX_PIXELS)
+    // h <= 0 AFTER abs: math.abs(Int.MinValue) is still negative, and
+    // a crafted 0x80000000 height would otherwise slip every check and
+    // die as NegativeArraySizeException outside the quarantine contract
+    if (w <= 0 || h <= 0 || w.toLong * h > MAX_PIXELS)
       bad(s"BMP dims $w x $h out of bounds")
     val bytesPp = bpp / 8
     val stride = (w * bytesPp + 3) & ~3
@@ -178,9 +182,44 @@ object RealDecoders {
 
   // ---- transforms over decoded data ----
 
-  /** Bilinear resize of a luma grid. */
+  /** Resize a luma grid: area-average (box filter) when decimating by
+    * more than 2× — point-sampling bilinear at high ratios ALIASES
+    * (two re-crawls of one photo at different sizes hit different
+    * source-pixel phases and hash apart), which is why standard pHash
+    * implementations box-filter first — bilinear otherwise. */
   def resize(img: GrayImage, w2: Int, h2: Int): GrayImage = {
     require(w2 > 0 && h2 > 0, s"resize to $w2 x $h2")
+    if (img.width > 2 * w2 || img.height > 2 * h2) areaResize(img, w2, h2)
+    else bilinearResize(img, w2, h2)
+  }
+
+  /** Mean of the source box feeding each output cell. */
+  private def areaResize(img: GrayImage, w2: Int, h2: Int): GrayImage = {
+    val out = new Array[Float](w2 * h2)
+    var y = 0
+    while (y < h2) {
+      val y0 = y * img.height / h2
+      val y1 = math.max(y0 + 1, (y + 1) * img.height / h2)
+      var x = 0
+      while (x < w2) {
+        val x0 = x * img.width / w2
+        val x1 = math.max(x0 + 1, (x + 1) * img.width / w2)
+        var s = 0.0
+        var yy = y0
+        while (yy < y1) {
+          var xx = x0
+          while (xx < x1) { s += img.luma(yy * img.width + xx); xx += 1 }
+          yy += 1
+        }
+        out(y * w2 + x) = (s / ((y1 - y0) * (x1 - x0))).toFloat
+        x += 1
+      }
+      y += 1
+    }
+    GrayImage(w2, h2, out)
+  }
+
+  private def bilinearResize(img: GrayImage, w2: Int, h2: Int): GrayImage = {
     val out = new Array[Float](w2 * h2)
     val sx = img.width.toFloat / w2
     val sy = img.height.toFloat / h2

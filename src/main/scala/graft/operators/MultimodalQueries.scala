@@ -126,8 +126,10 @@ object MultimodalQueries {
     * netpbm/BMP/WAV decode → block-mean luma / windowed RMS+ZCR
     * features), plus a DCT pHash near-dup check: each image's
     * brightness-jittered re-crawl twin must land within Hamming ≤ 6 of
-    * its original while distinct images stay far. Rows-only (decoder-
-    * defined floats); decode math is unit-tested in RealDecodersSpec. */
+    * its original (bound asserted in RealDecodersSpec; observed ≤ 2)
+    * while distinct images stay far. Two poison payloads (a truncated
+    * BMP, an undecodable mp4) ride along and must quarantine to error
+    * rows, not kill the job. Rows-only (decoder-defined floats). */
   def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.RealDecoders
     import graft.multimodal.RealDecoders.{GrayImage, PcmAudio}
@@ -160,34 +162,47 @@ object MultimodalQueries {
             (0.4 * math.sin(2 * math.Pi * (80 + 5 * i) * j / 8000.0)).toFloat))),
           Map.empty))
       }
-    }
+    } ++ Seq( // poison: must quarantine to error rows, never fail tasks
+      MediaRecord(2000001L, "image/bmp",
+        RealDecoders.encodeBmp(texture(1, 16, 16)).take(30), Map.empty),
+      MediaRecord(2000002L, "video/mp4", Array[Byte](0, 0, 0, 24), Map.empty))
     val ds = records.toDS().repartition(8)
-    // distributed decode: features AND the real pHash per image
+    // distributed decode: features AND the real pHash per image, each
+    // row individually quarantined (the decodeQuarantined discipline —
+    // inlined here because the pHash needs the decoded pixels too)
     val decoded = ds.mapPartitions { it =>
       val dec = new RealDecoders.PixelDecoder
       it.map { r =>
-        val feats = dec.decode(r.media_type, r.payload)
-        val ph = r.media_type match {
-          case "image/bmp" => RealDecoders.phash64(
-            RealDecoders.decodeBmp(r.payload))
-          case "image/x-portable-graymap" => RealDecoders.phash64(
-            RealDecoders.decodeNetpbm(r.payload))
-          case _ => 0L
+        try {
+          val feats = dec.decode(r.media_type, r.payload)
+          val ph = r.media_type match {
+            case "image/bmp" => RealDecoders.phash64(
+              RealDecoders.decodeBmp(r.payload))
+            case "image/x-portable-graymap" => RealDecoders.phash64(
+              RealDecoders.decodeNetpbm(r.payload))
+            case _ => 0L
+          }
+          (r.doc_id, r.media_type, feats(0), ph, null: String)
+        } catch {
+          case e: IllegalArgumentException =>
+            (r.doc_id, r.media_type, 0f, 0L, e.getMessage)
         }
-        (r.doc_id, r.media_type, feats(0), ph)
       }
-    }.toDF("doc_id", "media_type", "f0", "phash")
-    val images = decoded.filter(col("media_type") === "image/bmp")
+    }.toDF("doc_id", "media_type", "f0", "phash", "error")
+    val nQuarantined = decoded.filter(col("error").isNotNull).count()
+    val ok = decoded.filter(col("error").isNull)
+    val images = ok.filter(col("media_type") === "image/bmp")
     val pairs = images.select(col("doc_id").as("a"), col("phash").as("pa"))
       .join(images.select(col("doc_id").as("b"), col("phash").as("pb")),
         col("b") === col("a") + 1000000L)
       .select(bit_count(col("pa").bitwiseXOR(col("pb"))).as("hamming"))
-    decoded.groupBy(col("media_type"))
+    ok.groupBy(col("media_type"))
       .agg(count(lit(1)).as("n_media"),
         round(avg(col("f0")), 3).as("avg_f0"))
       .crossJoin(pairs.agg( // one aggregate row stamped onto 3 groups
         max(col("hamming")).as("max_twin_hamming"),
         count(lit(1)).as("n_twins")))
+      .withColumn("n_quarantined", lit(nQuarantined))
       .orderBy(col("media_type"))
   }
 

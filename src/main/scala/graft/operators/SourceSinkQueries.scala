@@ -602,7 +602,11 @@ object SourceSinkQueries {
       val fo = new java.io.FileOutputStream(s"$tmp/$cat/202205/GL_PR_$cat-$i.nc")
       try fo.write(payload) finally fo.close()
     }
+    // one decode pass: errors.count() and the items agg both read the
+    // checkpointed platforms, not the whole-file HDF5 decode twice
+    // (same discipline as insituIngest)
     val platforms = Hdf5InsituSource.platforms(s, s"file:$tmp/*/*/*.nc")
+      .localCheckpoint()
     val (items, errors) = graft.catalog.InsituAssembly.assemble(platforms)
     val errN = errors.count()
     items

@@ -124,5 +124,27 @@ class RealDecodersSpec extends SparkSpec {
     // image rows are luma means in [0,1]
     val images = feats.filter(_.media_type.startsWith("image/"))
     assert(images.forall(_.features.forall(v => v >= 0f && v <= 1f)))
+    // quarantined decode: poison rows become error rows, job survives
+    val poisoned = records.union(Seq(
+      MediaPipeline.MediaRecord(900L, "image/bmp",
+        encodeBmp(gradient(8, 8)).take(20), Map.empty),
+      MediaPipeline.MediaRecord(901L, "video/mp4",
+        Array[Byte](1, 2, 3), Map.empty)).toDS())
+    val out = MediaPipeline.decodeQuarantined(poisoned,
+      new PixelDecoder).collect()
+    assert(out.count(_.error != null) == 2)
+    assert(out.filter(_.error != null).forall(_.features.isEmpty))
+    assert(out.count(_.error == null) == 30)
+  }
+
+  test("multimodal_decode holds its documented bounds end-to-end") {
+    val rows = MultimodalQueries.multimodalDecode(spark, sf).collect()
+    assert(rows.length == 3)
+    val r = rows.head
+    // every brightness-jittered twin within the documented bound
+    assert(r.getAs[Int]("max_twin_hamming") <= 6)
+    assert(r.getAs[Long]("n_twins") == 20)
+    // exactly the two poison payloads quarantined
+    assert(r.getAs[Long]("n_quarantined") == 2)
   }
 }
