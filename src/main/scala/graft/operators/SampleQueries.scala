@@ -263,13 +263,67 @@ object SampleQueries {
        |    % $CHECKSUM_MOD AS BIGINT) AS content_sum
        |FROM documents GROUP BY lang""".stripMargin
 
+  /** sample_epoch_shuffle — the deterministic multi-epoch data
+    * schedule a trainer consumes: every epoch must visit every doc in
+    * a DIFFERENT but reproducible order. Order key =
+    * sha256(epoch || ':' || doc_id) — reshuffles per epoch, identical
+    * on every engine/run/partitioning (rand() is none of those).
+    *
+    * Scale shape: the naive form (row_number over one global order
+    * per epoch) funnels each epoch through ONE reducer — a scale-
+    * killer. Instead the hash splits into 8 SHARDS and ranks within
+    * (epoch, shard): fully parallel windows whose groups are
+    * corpus/8, and the loader streams shards in order — exactly the
+    * layout snk_train_shards writes. Output pins the head of each
+    * (epoch, shard) stream so the oracle checks real order, not just
+    * membership. */
+  def sampleEpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val epochs = s.range(0, 3).toDF("epoch")
+    val keyed = documents(s, dir)
+      .select(col("doc_id")).crossJoin(broadcast(epochs))
+      .withColumn("okey",
+        sha2(concat(col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string")), 256))
+      .withColumn("shard",
+        (conv(substring(col("okey"), 1, 6), 16, 10)
+          .cast("bigint") % 8).cast("int"))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("okey"), col("doc_id"))
+    keyed
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5) // pinned head of each shard stream
+      .select(col("epoch"), col("shard"), col("rank"), col("doc_id"))
+      .orderBy(col("epoch"), col("shard"), col("rank"))
+  }
+
+  val sampleEpochShuffleSql: String =
+    """WITH k AS (
+      |  SELECT e.epoch, d.doc_id,
+      |    sha256(CAST(e.epoch AS VARCHAR) || ':' ||
+      |      CAST(d.doc_id AS VARCHAR)) AS okey
+      |  FROM documents d, (SELECT unnest(generate_series(0, 2)) AS epoch) e),
+      |r AS (
+      |  SELECT epoch,
+      |    CAST(CAST('0x' || substr(okey, 1, 6) AS BIGINT) % 8 AS INT)
+      |      AS shard,
+      |    doc_id, okey
+      |  FROM k)
+      |SELECT epoch, shard,
+      |  CAST(row_number() OVER (PARTITION BY epoch, shard
+      |    ORDER BY okey, doc_id) AS INT) AS rank,
+      |  doc_id
+      |FROM r
+      |QUALIFY rank <= 5
+      |ORDER BY epoch, shard, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_dataset_checksum" -> (aggDatasetChecksum _),
     "sample_hash_fraction" -> (sampleHashFraction _),
     "sample_stratified" -> (sampleStratified _),
     "sample_split" -> (sampleSplit _),
     "sample_temperature" -> (sampleTemperature _),
-    "sample_token_budget" -> (sampleTokenBudget _)
+    "sample_token_budget" -> (sampleTokenBudget _),
+    "sample_epoch_shuffle" -> (sampleEpochShuffle _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -278,6 +332,7 @@ object SampleQueries {
     "sample_stratified" -> sampleStratifiedSql,
     "sample_split" -> sampleSplitSql,
     "sample_temperature" -> sampleTemperatureSql,
-    "sample_token_budget" -> sampleTokenBudgetSql
+    "sample_token_budget" -> sampleTokenBudgetSql,
+    "sample_epoch_shuffle" -> sampleEpochShuffleSql
   )
 }

@@ -1266,8 +1266,71 @@ object TextQueries {
       |  count(*) FILTER (WHERE rn > 1) AS n_dropped
       |FROM f GROUP BY doc_id""".stripMargin
 
+  /** text_line_dedup_global — CROSS-document line dedup, the
+    * RefinedWeb/FineWeb pass text_sentence_dedup (intra-doc) does not
+    * cover: boilerplate repeated across the corpus ("All rights
+    * reserved.", cookie banners) keeps only its globally FIRST
+    * occurrence (min (doc_id, pos)); every other document loses the
+    * line and is reassembled in order.
+    *
+    * Scale shape: the winner per sentence comes from groupBy(sent)
+    * .min(okey) — a PARTIAL-AGGREGATING shuffle (map-side combine
+    * collapses each hot sentence to one row per task), NOT a window
+    * over the sentence key, where one "Home" sentence appearing 10 M
+    * times would pile into a single reducer group. The join back is a
+    * plain equi-join on sent, and reassembly shuffles doc-sized
+    * groups. okey packs (doc_id, pos) into one BIGINT so min() stays
+    * a single-column agg. */
+  def textLineDedupGlobal(s: SparkSession, dir: String): DataFrame =
+    textLineDedupGlobalFrom(documents(s, dir))
+
+  /** Fixture-drivable core (doc_id, text). */
+  private[graft] def textLineDedupGlobalFrom(docs: DataFrame): DataFrame = {
+    val sents = docs
+      .select(col("doc_id"),
+        posexplode(expr(s"regexp_extract_all(text, '$SENT_RE', 0)"))
+          .as(Seq("pos", "raw")))
+      .select(col("doc_id"), col("pos"), trim(col("raw")).as("sent"))
+      .filter(length(col("sent")) > 0)
+      // pos < 2^20 (a million-sentence doc is a parse bug, and the
+      // pack below needs the bound); okey = doc_id * 2^20 + pos
+      .filter(col("pos") < 1048576)
+      .withColumn("okey", col("doc_id") * lit(1048576L) + col("pos"))
+    val winners = sents.groupBy(col("sent"))
+      .agg(min(col("okey")).as("first_key"))
+    sents.join(winners, Seq("sent"))
+      .withColumn("keep", col("okey") === col("first_key"))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+          when(col("keep"), struct(col("pos"), col("sent"))))),
+          x => x.getField("sent")), " ").as("text_clean"),
+        count(when(col("keep"), lit(1))).as("n_kept"),
+        count(when(!col("keep"), lit(1))).as("n_dropped"))
+  }
+
+  val textLineDedupGlobalSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(text, '$SENT_RE') AS sents
+      |  FROM documents),
+      |x AS (
+      |  SELECT doc_id, u.i - 1 AS pos, trim(sents[u.i]) AS sent
+      |  FROM t, unnest(generate_series(1, len(sents))) AS u(i)),
+      |f AS (
+      |  SELECT doc_id, pos, sent, doc_id * 1048576 + pos AS okey
+      |  FROM x WHERE len(sent) > 0 AND pos < 1048576),
+      |w AS (SELECT sent, min(okey) AS first_key FROM f GROUP BY sent)
+      |SELECT f.doc_id,
+      |  coalesce(string_agg(f.sent, ' ' ORDER BY f.pos)
+      |    FILTER (WHERE f.okey = w.first_key), '') AS text_clean,
+      |  count(*) FILTER (WHERE f.okey = w.first_key) AS n_kept,
+      |  count(*) FILTER (WHERE f.okey <> w.first_key) AS n_dropped
+      |FROM f JOIN w USING (sent)
+      |GROUP BY f.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_sentence_dedup" -> (textSentenceDedup _),
+    "text_line_dedup_global" -> (textLineDedupGlobal _),
     "text_bpe_pairs" -> (textBpePairs _),
     "text_bpe_encode" -> (textBpeEncode _),
     "text_bigram_logprob" -> (textBigramLogprob _),
@@ -1299,6 +1362,7 @@ object TextQueries {
 
   def oracle: Map[String, String] = Map(
     "text_sentence_dedup" -> textSentenceDedupSql,
+    "text_line_dedup_global" -> textLineDedupGlobalSql,
     "text_bpe_pairs" -> textBpePairsSql,
     "text_bigram_logprob" -> textBigramLogprobSql,
     "fn_unicode_normalize" -> fnUnicodeNormalizeSql,

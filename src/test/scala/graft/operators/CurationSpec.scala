@@ -195,6 +195,25 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) == (("Same.", 1L, 2L)))
   }
 
+  test("global line dedup keeps only the corpus-first occurrence") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "All rights reserved. Unique to one."),
+      (2L, "Fresh opener here. All rights reserved. Tail text!"),
+      // intra-doc repeat AND cross-doc repeat in the same doc
+      (3L, "All rights reserved. All rights reserved. Own line."),
+      // every line first-occurred elsewhere: doc empties cleanly
+      (4L, "All rights reserved. Unique to one.")
+    ).toDF("doc_id", "text")
+    val out = TextQueries.textLineDedupGlobalFrom(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("All rights reserved. Unique to one.", 2L, 0L)))
+    assert(out(2L) == (("Fresh opener here. Tail text!", 2L, 1L)))
+    assert(out(3L) == (("Own line.", 1L, 2L)))
+    assert(out(4L) == (("", 0L, 2L)))
+  }
+
   test("int8 quantization error is small, zero for zero vectors, exact for grid vectors") {
     import spark.implicits._
     val e = Seq(
