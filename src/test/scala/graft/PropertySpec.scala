@@ -208,4 +208,103 @@ object PropertySpec extends Properties("graft") {
         val tb = java.time.Instant.ofEpochSecond(b * 180)
         (a == b) == (fmt.format(ta) == fmt.format(tb))
     }
+
+  // ---- HDF5 variable round-trip over the whole parameter space ----
+
+  private val hdf5VarGen: Gen[graft.ingest.Hdf5Header.FixtureVar] = for {
+    rank <- Gen.chooseNum(1, 3)
+    dims <- Gen.listOfN(rank, Gen.chooseNum(1L, 9L))
+    dtype <- Gen.oneOf("f8", "f4", "i8", "i4", "i2", "i1")
+    chunked <- Gen.oneOf(true, false)
+    // chunk dims may exceed, equal, or straddle the dims (edge chunks)
+    chunks <- Gen.listOfN(rank, Gen.chooseNum(1L, 11L))
+    deflate <- Gen.oneOf(true, false)
+    shuffle <- Gen.oneOf(true, false)
+    seed <- Gen.chooseNum(0, 1 << 20)
+  } yield {
+    val n = dims.product.toInt
+    // values exactly representable in every generated dtype: small ints
+    val values = Array.tabulate(n)(i => ((seed + i * 31) % 101 - 50).toDouble)
+    graft.ingest.Hdf5Header.FixtureVar(
+      s"v$seed", dims, values, dtype,
+      chunks = if (chunked) Some(chunks) else None,
+      deflate = chunked && deflate, shuffle = chunked && shuffle)
+  }
+
+  property("hdf5 variables round-trip for any rank/dtype/chunking") =
+    forAll(Gen.listOfN(2, hdf5VarGen)) { vars =>
+      // distinct names (the SNOD requires unique sorted names)
+      val named = vars.zipWithIndex.map { case (v, i) =>
+        v.copy(name = s"var_$i")
+      }
+      val bytes = graft.ingest.Hdf5Header.buildDataFile(
+        Seq(("id", graft.ingest.NetcdfClassic.CharAttr("prop"))), named)
+      val f = graft.ingest.Hdf5Header.readFile(bytes)
+      named.forall { v =>
+        val ds = f.dataset(v.name)
+        ds.dims == v.dims && ds.data.toSeq == v.values.toSeq
+      }
+    }
+
+  // ---- exact-intersects predicate invariants ----
+
+  private val geomGen: Gen[Geometry.Geom] = {
+    val pt = for { x <- coord; y <- Gen.chooseNum(-90.0, 90.0) }
+      yield Geometry.GPoint(x, y)
+    val line = for {
+      n <- Gen.chooseNum(2, 6)
+      pts <- Gen.listOfN(n, Gen.zip(coord, Gen.chooseNum(-90.0, 90.0)))
+    } yield Geometry.GLine(pts.toIndexedSeq)
+    val poly = boxGen.map { case (w, s, e, n) =>
+      Geometry.GPolygon(IndexedSeq(IndexedSeq(
+        (w, s), (e, s), (e, n), (w, n), (w, s))))
+    }
+    Gen.oneOf(pt, line, poly)
+  }
+
+  property("exact intersects is symmetric") =
+    forAll(geomGen, geomGen) { (a, b) =>
+      Geometry.intersects(a, b) == Geometry.intersects(b, a)
+    }
+
+  property("exact intersects is reflexive for non-degenerate geometries") =
+    forAll(geomGen) { g => Geometry.intersects(g, g) }
+
+  property("exact intersects implies envelope overlap") =
+    forAll(geomGen, geomGen) { (a, b) =>
+      // the envelope PREFILTER must never discard a true intersection
+      // (candidates ⊇ matches — the index-then-recheck contract)
+      !Geometry.intersects(a, b) || {
+        val (aw, as_, ae, an) = Geometry.envelope(a)
+        val (bw, bs, be, bn) = Geometry.envelope(b)
+        aw <= be && bw <= ae && as_ <= bn && bs <= an
+      }
+    }
+
+  // ---- media decoder invariants ----
+
+  property("pgm round-trip is exact on the 8-bit grid") =
+    forAll(Gen.chooseNum(1, 40), Gen.chooseNum(1, 40),
+      Gen.chooseNum(0, 1 << 20)) { (w, h, seed) =>
+      import graft.multimodal.RealDecoders._
+      val img = GrayImage(w, h,
+        Array.tabulate(w * h)(i => ((seed + i * 7) % 256) / 255f))
+      val back = decodeNetpbm(encodePgm(img))
+      back.width == w && back.height == h &&
+        back.luma.zip(img.luma).forall { case (a, b) =>
+          math.abs(a - b) <= 0.5f / 255f + 1e-6f
+        }
+    }
+
+  property("cf time scale is linear: t(v+1unit) - t(v) = unit") =
+    forAll(Gen.oneOf("seconds", "hours", "days"),
+      Gen.chooseNum(-50000.0, 50000.0)) { (unit, v) =>
+      graft.ingest.Hdf5InsituSource.cfEpoch(s"$unit since 1970-01-01")
+        .exists { case (perUnit, epoch) =>
+          val a = epoch + Math.round(v * perUnit)
+          val b = epoch + Math.round((v + 1) * perUnit)
+          // rounding keeps unit steps exact far beyond any real axis
+          b - a == perUnit
+        }
+    }
 }
