@@ -119,12 +119,18 @@ object CatalogQuery {
     q.cql2Json.foreach { f =>
       df = df.filter(Cql2Filter.compileJson(f, items.columns.toSet))
     }
-    // total order: user sort keys + item_id tiebreak. Validate the
-    // names here: an unknown sort column would otherwise surface as an
-    // AnalysisException mid-plan — a 500 where a 400 belongs
+    // total order: user sort keys + item_id tiebreak. Validate names
+    // AND types here: an unknown sort column would otherwise surface
+    // as an AnalysisException mid-plan, and a container-typed one
+    // (properties map, assets array) passes orderBy-name checks but
+    // dies in orderBy or token encoding — both 500s where 400 belongs
     q.sortBy.foreach { case (name, _) =>
       require(items.columns.contains(name),
         s"unknown sort field: '$name'")
+      val dt = items.schema(name).dataType
+      require(sortableType(dt),
+        s"unsortable sort field: '$name' (${dt.simpleString}) — sortby " +
+          "supports string/int/bigint/double/boolean/timestamp columns")
     }
     val sortKeys = q.sortBy ++ Seq(("item_id", true))
     val sortCols = sortKeys.map { case (name, asc) =>
@@ -135,6 +141,19 @@ object CatalogQuery {
       df = df.filter(keysetPredicate(sortKeys, token))
     }
     df.orderBy(sortCols: _*).limit(q.limit)
+  }
+
+  /** The atomic orderable types the keyset token machinery
+    * (validateToken here; the HTTP layer's token codec) round-trips —
+    * sortby is restricted to these so every accepted sort is also
+    * pageable. */
+  private def sortableType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType | LongType | IntegerType | DoubleType |
+           BooleanType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
   }
 
   /** A page token must carry values of the sort columns' own types —
@@ -156,6 +175,7 @@ object CatalogQuery {
         case (Some(DoubleType), _: Double) => true
         case (Some(BooleanType), _: Boolean) => true
         case (Some(TimestampType), _: Timestamp) => true
+        case (Some(TimestampNTZType), _: java.time.LocalDateTime) => true
         case _ => false
       }
       require(ok, s"page token does not match sort key '$name' — " +

@@ -152,8 +152,15 @@ class StacApiServer(
   }
 
   private def error(ex: HttpExchange, status: Int, msg: String): Unit =
-    respond(ex, status,
-      s"""{"code":$status,"description":"${FeatureCollection.jsonEscape(msg)}"}""")
+    // a failure AFTER the response started (client hung up mid-write)
+    // cannot be answered with an error document — a second
+    // sendResponseHeaders would throw IllegalStateException out of the
+    // handler. getResponseCode is -1 exactly until headers are sent
+    // (per-exchange state — HttpExchange.setAttribute is NOT: it
+    // writes the shared HttpContext map).
+    if (ex.getResponseCode == -1)
+      respond(ex, status,
+        s"""{"code":$status,"description":"${FeatureCollection.jsonEscape(msg)}"}""")
 
   private def landingPage: String = {
     val links = Seq(
@@ -181,7 +188,8 @@ object StacApiServer {
   private val CollectionItemsPath = "/collections/([^/]+)/items".r
 
   /** Conformance classes actually implemented — core, collections,
-    * item search, filter (text+json), and sort. */
+    * item search, filter (text+json incl. spatial/temporal/advanced
+    * comparison operators), and sort. */
   val conformsTo: Seq[String] = Seq(
     "https://api.stacspec.org/v1.0.0/core",
     "https://api.stacspec.org/v1.0.0/collections",
@@ -189,7 +197,11 @@ object StacApiServer {
     "https://api.stacspec.org/v1.0.0/item-search#filter",
     "https://api.stacspec.org/v1.0.0/item-search#sort",
     "http://www.opengis.net/spec/cql2/1.0/conf/cql2-text",
-    "http://www.opengis.net/spec/cql2/1.0/conf/cql2-json")
+    "http://www.opengis.net/spec/cql2/1.0/conf/cql2-json",
+    "http://www.opengis.net/spec/cql2/1.0/conf/advanced-comparison-operators",
+    "http://www.opengis.net/spec/cql2/1.0/conf/case-insensitive-comparison",
+    "http://www.opengis.net/spec/cql2/1.0/conf/basic-spatial-functions",
+    "http://www.opengis.net/spec/cql2/1.0/conf/temporal-functions")
 
   private[catalog] def queryParams(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getRawQuery).map { raw =>

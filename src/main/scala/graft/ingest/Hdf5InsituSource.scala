@@ -105,6 +105,14 @@ object Hdf5InsituSource {
     }
   }
 
+  /** CF epoch components: date, optional time (with optional fractional
+    * seconds), optional Z/±hh[:mm] offset — each component 1-or-2 digit
+    * tolerant. */
+  private val EpochRe =
+    ("""(\d{1,4})-(\d{1,2})-(\d{1,2})""" +
+      """(?:[T ](\d{1,2}):(\d{1,2})(?::(\d{1,2})(\.\d+)?)?)?""" +
+      """\s*(Z|[+-]\d{1,2}(?::?\d{2})?)?""").r
+
   /** CF time units "<unit> since <epoch>" → (micros per unit, epoch
     * micros). Unrecognized forms → None (times omitted, not wrong). */
   private[graft] def cfEpoch(units: String): Option[(Long, Long)] = {
@@ -118,22 +126,34 @@ object Hdf5InsituSource {
           case "day" => 86400L * 1000000L
         }
         // epoch forms seen in the wild: 1950-01-01, 1950-01-01 00:00:00,
-        // 1950-01-01T00:00:00Z, 2000-01-01T00:00:00+02:00. An explicit
-        // offset must be HONORED (truncating it would silently shift
-        // every timestamp), bare forms are UTC per CF convention.
-        val e = epochRaw.trim.replace(" ", "T")
-        try {
-          val instant =
-            if (e.endsWith("Z") || e.lastIndexOf('+') > 7 ||
-              e.lastIndexOf('-') > 7) // offset sign past the date part
-              java.time.OffsetDateTime.parse(e).toInstant
-            else if (e.contains("T"))
-              java.time.LocalDateTime.parse(e)
-                .toInstant(java.time.ZoneOffset.UTC)
-            else java.time.LocalDate.parse(e).atStartOfDay()
-              .toInstant(java.time.ZoneOffset.UTC)
-          Some((perUnit, instant.toEpochMilli * 1000L))
-        } catch { case _: java.time.format.DateTimeParseException => None }
+        // 1950-01-01T00:00:00Z, 2000-01-01T00:00:00+02:00 — and the
+        // NON-zero-padded spellings real archives carry ('1950-1-1',
+        // '1800-01-01 00:00:0.0'), which strict ISO parsing rejects and
+        // would silently drop every timestamp of such a granule.
+        // Component-parse instead of format-parse: pad-independence for
+        // free, explicit offsets HONORED (truncating one would shift
+        // every timestamp), bare forms UTC per CF convention.
+        epochRaw.trim match {
+          case EpochRe(y, mo, d, h, mi, sec, frac, off) =>
+            try {
+              val offset =
+                if (off == null || off == "Z") java.time.ZoneOffset.UTC
+                else java.time.ZoneOffset.of(off)
+              val nanos =
+                if (frac == null) 0
+                else math.round(frac.toDouble * 1e9).toInt
+              val odt = java.time.OffsetDateTime.of(
+                y.toInt, mo.toInt, d.toInt,
+                if (h == null) 0 else h.toInt,
+                if (mi == null) 0 else mi.toInt,
+                if (sec == null) 0 else sec.toInt,
+                nanos, offset)
+              Some((perUnit, odt.toInstant.toEpochMilli * 1000L))
+            } catch { // invalid month/day/offset → unrecognized, not wrong
+              case _: java.time.DateTimeException => None
+            }
+          case _ => None
+        }
       case _ => None
     }
   }

@@ -12,12 +12,13 @@ import org.apache.spark.sql.functions._
   * over batches, the Spark-side contract any decoder plugs into.
   *
   * Two decoders implement the trait: RealDecoders.PixelDecoder — a
-  * REAL pure-JVM decode of netpbm/BMP images and PCM WAV audio
-  * (block-mean luma, DCT pHash, windowed RMS/ZCR) — and the
-  * StubDecoder below, kept for formats that genuinely need a codec
-  * library this container lacks (JPEG, MP4): a deterministic fake
-  * that hashes payload bytes, so the distributed plumbing stays
-  * exercised even for undecodable types.
+  * REAL decode of JPEG/PNG/GIF/TIFF (JDK ImageIO) plus netpbm/BMP
+  * images and PCM WAV audio in pure byte arithmetic (block-mean luma,
+  * DCT pHash, windowed RMS/ZCR) — and the StubDecoder below, kept for
+  * formats that genuinely need a codec library this container lacks
+  * (MP4 video): a deterministic fake that hashes payload bytes, so
+  * the distributed plumbing stays exercised even for undecodable
+  * types.
   */
 object MediaPipeline {
 
@@ -111,8 +112,12 @@ object MediaPipeline {
       error: String)
 
   /** Decode with per-row quarantine: malformed payloads and formats
-    * the decoder refuses (IllegalArgumentException) become error rows
-    * instead of task failures. */
+    * the decoder refuses become error rows instead of task failures.
+    * NonFatal, not just IllegalArgumentException: the contract is
+    * "one bad file never kills the corpus job", and it must hold for
+    * ANY decoder behind the seam — a third-party codec throwing AIOOBE
+    * or NegativeArraySizeException on an adversarial payload is
+    * exactly the case quarantine exists for. */
   def decodeQuarantined(
       records: Dataset[MediaRecord],
       decoder: Decoder): Dataset[MediaDecoded] = {
@@ -122,9 +127,10 @@ object MediaPipeline {
         try MediaDecoded(r.doc_id, r.media_type, r.payload.length,
           decoder.decode(r.media_type, r.payload), null)
         catch {
-          case e: IllegalArgumentException =>
+          case scala.util.control.NonFatal(e) =>
             MediaDecoded(r.doc_id, r.media_type, r.payload.length,
-              Array.empty[Float], e.getMessage)
+              Array.empty[Float],
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
         }
       }
     }

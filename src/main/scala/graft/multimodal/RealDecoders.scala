@@ -2,14 +2,19 @@ package graft.multimodal
 
 /** REAL media decoding in pure JVM — no native or third-party libs.
   *
-  * The MediaPipeline.Decoder seam was stubbed because this container
-  * ships no media libraries; that is true for JPEG/MP4, but three
-  * production formats need nothing beyond byte arithmetic and are
-  * decoded for real here:
+  * Two decode paths, zero new dependencies:
   *
-  *   - netpbm P5/P6 (PGM/PPM)   — the scientific-imaging interchange
-  *   - BMP (24/32-bit BI_RGB)   — uncompressed Windows bitmaps
-  *   - WAV (RIFF PCM 8/16-bit)  — uncompressed audio
+  *   - javax.imageio (java.desktop, in every standard JDK): JPEG,
+  *     PNG, GIF, TIFF — the formats real crawled-image corpora are
+  *     overwhelmingly made of;
+  *   - byte-arithmetic decoders written here for formats ImageIO
+  *     lacks or where exact pixel control matters:
+  *       netpbm P5/P6 (PGM/PPM)   — the scientific-imaging interchange
+  *       BMP (24/32-bit BI_RGB)   — uncompressed Windows bitmaps
+  *       WAV (RIFF PCM 8/16-bit)  — uncompressed audio
+  *
+  * Video containers (MP4) remain undecodable without a codec library
+  * and still quarantine.
   *
   * On top of the decoded pixels/samples: bilinear resize, 8×8
   * block-mean luma features, a DCT-based 64-bit perceptual hash
@@ -180,6 +185,61 @@ object RealDecoders {
     PcmAudio(rate, mono)
   }
 
+  // ---- JPEG/PNG/GIF/TIFF via JDK ImageIO (java.desktop module) ----
+
+  /** Decode via javax.imageio — present in every standard JDK with
+    * JPEG/PNG/GIF/TIFF/BMP/WBMP readers registered; no display needed
+    * (pure raster work, headless-safe). Luma via the same Rec.601
+    * weights as the byte-arithmetic decoders so pHash values are
+    * comparable across decode paths. */
+  def decodeImageIo(b: Array[Byte]): GrayImage = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      catch {
+        // ImageIO readers throw IOException (and occasionally runtime
+        // errors) on truncated/adversarial payloads — normalize to the
+        // quarantine contract's IllegalArgumentException
+        case e: java.io.IOException => bad(s"ImageIO: ${e.getMessage}")
+      }
+    if (img == null) bad("ImageIO: no registered reader for payload")
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w <= 0 || h <= 0 || w.toLong * h > MAX_PIXELS)
+      bad(s"image dims $w x $h out of bounds")
+    val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+    val luma = new Array[Float](w * h)
+    var i = 0
+    while (i < luma.length) {
+      val p = rgb(i)
+      luma(i) = (0.299f * ((p >> 16) & 0xff) + 0.587f * ((p >> 8) & 0xff) +
+        0.114f * (p & 0xff)) / 255f
+      i += 1
+    }
+    GrayImage(w, h, luma)
+  }
+
+  /** Fixture encoder through ImageIO (`"jpeg"`, `"png"`, ...) — the
+    * decode path's inverse for tests and synthetic corpora. */
+  def encodeImageIo(img: GrayImage, format: String): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(img.width, img.height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val v = (math.max(0f, math.min(1f, img.luma(y * img.width + x)))
+          * 255f).round
+        bi.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(bi, format, baos))
+      bad(s"no ImageIO writer for format '$format'")
+    baos.toByteArray
+  }
+
   // ---- transforms over decoded data ----
 
   /** Resize a luma grid: area-average (box filter) when decimating by
@@ -284,7 +344,7 @@ object RealDecoders {
     }
     val ac = coef.drop(1)
     val sorted = ac.sorted
-    val median = (sorted(31) + sorted(32)) / 2
+    val median = sorted(31) // true median of 63 values (the standard pHash threshold)
     var bits = 0L
     var i = 0
     while (i < 63) {
@@ -322,9 +382,10 @@ object RealDecoders {
     out
   }
 
-  /** The real Decoder for MediaPipeline: netpbm/BMP → 8×8 block-mean
-    * luma (64 floats); WAV → 32×(RMS, ZCR) (64 floats). Formats this
-    * container genuinely cannot decode (JPEG, MP4) still raise — the
+  /** The real Decoder for MediaPipeline: JPEG/PNG/GIF/TIFF via JDK
+    * ImageIO and netpbm/BMP via the byte decoders → 8×8 block-mean
+    * luma (64 floats); WAV → 32×(RMS, ZCR) (64 floats). Formats that
+    * genuinely need a codec library (MP4 video) still raise — the
     * pipeline quarantines them rather than faking features. */
   final class PixelDecoder extends MediaPipeline.Decoder {
     def featureDim: Int = 64
@@ -333,9 +394,12 @@ object RealDecoders {
         case "image/x-portable-graymap" | "image/x-portable-pixmap" =>
           blockMeanFeatures(decodeNetpbm(payload))
         case "image/bmp" => blockMeanFeatures(decodeBmp(payload))
+        case "image/jpeg" | "image/jpg" | "image/png" | "image/gif" |
+             "image/tiff" =>
+          blockMeanFeatures(decodeImageIo(payload))
         case "audio/wav" | "audio/x-wav" => audioFeatures(decodeWav(payload))
         case other =>
-          bad(s"no pure-JVM decoder for $other (JPEG/MP4 need a codec lib)")
+          bad(s"no decoder for $other (video needs a codec lib)")
       }
   }
 

@@ -119,17 +119,20 @@ object MultimodalQueries {
       .distinct()
   }
 
-  /** multimodal_decode — REAL media decoding end-to-end, no stub: BMP
-    * and PGM payloads rendered per doc (textured sinusoid patterns),
-    * WAV tones synthesized per doc, all encoded driver-side then
-    * decoded DISTRIBUTED by RealDecoders.PixelDecoder (pure-JVM
-    * netpbm/BMP/WAV decode → block-mean luma / windowed RMS+ZCR
-    * features), plus a DCT pHash near-dup check: each image's
-    * brightness-jittered re-crawl twin must land within Hamming ≤ 6 of
-    * its original (bound asserted in RealDecodersSpec; observed ≤ 2)
-    * while distinct images stay far. Two poison payloads (a truncated
-    * BMP, an undecodable mp4) ride along and must quarantine to error
-    * rows, not kill the job. Rows-only (decoder-defined floats). */
+  /** multimodal_decode — REAL media decoding end-to-end, no stub:
+    * JPEG payloads (JDK ImageIO — the format real crawled-image
+    * corpora are made of), BMP and PGM payloads rendered per doc
+    * (textured sinusoid patterns), PNG re-encodes, WAV tones
+    * synthesized per doc, all encoded driver-side then decoded
+    * DISTRIBUTED by RealDecoders.PixelDecoder → block-mean luma /
+    * windowed RMS+ZCR features, plus a DCT pHash near-dup check: each
+    * image's brightness-jittered re-crawl twin (JPEG twins pass
+    * through REAL lossy re-encoding) must land within Hamming ≤ 6 of
+    * its original (bound asserted in RealDecodersSpec) while distinct
+    * images stay far. Three poison payloads (a truncated BMP, a
+    * truncated JPEG, an undecodable mp4) ride along and must
+    * quarantine to error rows, not kill the job. Rows-only
+    * (decoder-defined floats). */
   def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.RealDecoders
     import graft.multimodal.RealDecoders.{GrayImage, PcmAudio}
@@ -142,21 +145,34 @@ object MultimodalQueries {
           0.15 * math.cos(y * (0.5 + seed % 5 * 0.21)) +
           0.1 * math.sin((x + 2 * y) * 0.23)).toFloat
       })
+    def jittered(img: GrayImage): GrayImage =
+      GrayImage(img.width, img.height, img.luma.map(v => v * 0.85f + 0.05f))
     val records = (0 until 60).flatMap { i =>
       val id = i.toLong
-      (i % 3) match {
+      (i % 4) match {
         case 0 =>
+          // re-crawl twin through REAL lossy JPEG: original and its
+          // brightness-jittered twin both survive quantization noise
           val img = texture(i, 48, 36)
-          // re-crawl twin: brightness-scaled, must near-dup to original
+          Seq(
+            MediaRecord(id, "image/jpeg",
+              RealDecoders.encodeImageIo(img, "jpeg"), Map.empty),
+            MediaRecord(id + 1000000L, "image/jpeg",
+              RealDecoders.encodeImageIo(jittered(img), "jpeg"), Map.empty))
+        case 1 =>
+          val img = texture(i, 48, 36)
           Seq(
             MediaRecord(id, "image/bmp", RealDecoders.encodeBmp(img),
               Map.empty),
             MediaRecord(id + 1000000L, "image/bmp",
-              RealDecoders.encodeBmp(
-                GrayImage(img.width, img.height,
-                  img.luma.map(v => v * 0.85f + 0.05f))), Map.empty))
-        case 1 => Seq(MediaRecord(id, "image/x-portable-graymap",
-          RealDecoders.encodePgm(texture(i + 100, 32, 32)), Map.empty))
+              RealDecoders.encodeBmp(jittered(img)), Map.empty))
+        case 2 =>
+          Seq(
+            MediaRecord(id, "image/x-portable-graymap",
+              RealDecoders.encodePgm(texture(i + 100, 32, 32)), Map.empty),
+            MediaRecord(id + 3000000L, "image/png",
+              RealDecoders.encodeImageIo(texture(i + 200, 40, 30), "png"),
+              Map.empty))
         case _ => Seq(MediaRecord(id, "audio/wav",
           RealDecoders.encodeWav(PcmAudio(8000, Array.tabulate(1600)(j =>
             (0.4 * math.sin(2 * math.Pi * (80 + 5 * i) * j / 8000.0)).toFloat))),
@@ -165,6 +181,9 @@ object MultimodalQueries {
     } ++ Seq( // poison: must quarantine to error rows, never fail tasks
       MediaRecord(2000001L, "image/bmp",
         RealDecoders.encodeBmp(texture(1, 16, 16)).take(30), Map.empty),
+      MediaRecord(2000003L, "image/jpeg",
+        RealDecoders.encodeImageIo(texture(2, 16, 16), "jpeg").take(40),
+        Map.empty),
       MediaRecord(2000002L, "video/mp4", Array[Byte](0, 0, 0, 24), Map.empty))
     val ds = records.toDS().repartition(8)
     // distributed decode: features AND the real pHash per image, each
@@ -178,20 +197,26 @@ object MultimodalQueries {
           val ph = r.media_type match {
             case "image/bmp" => RealDecoders.phash64(
               RealDecoders.decodeBmp(r.payload))
+            case "image/jpeg" | "image/png" => RealDecoders.phash64(
+              RealDecoders.decodeImageIo(r.payload))
             case "image/x-portable-graymap" => RealDecoders.phash64(
               RealDecoders.decodeNetpbm(r.payload))
             case _ => 0L
           }
           (r.doc_id, r.media_type, feats(0), ph, null: String)
         } catch {
-          case e: IllegalArgumentException =>
-            (r.doc_id, r.media_type, 0f, 0L, e.getMessage)
+          // NonFatal, not just IllegalArgumentException: third-party
+          // decoder internals (ImageIO) may throw runtime errors on
+          // adversarial bytes — same contract as decodeQuarantined
+          case scala.util.control.NonFatal(e) =>
+            (r.doc_id, r.media_type, 0f, 0L,
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
         }
       }
     }.toDF("doc_id", "media_type", "f0", "phash", "error")
     val nQuarantined = decoded.filter(col("error").isNotNull).count()
     val ok = decoded.filter(col("error").isNull)
-    val images = ok.filter(col("media_type") === "image/bmp")
+    val images = ok.filter(col("media_type").isin("image/bmp", "image/jpeg"))
     val pairs = images.select(col("doc_id").as("a"), col("phash").as("pa"))
       .join(images.select(col("doc_id").as("b"), col("phash").as("pb")),
         col("b") === col("a") + 1000000L)

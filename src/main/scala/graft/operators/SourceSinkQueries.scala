@@ -465,6 +465,86 @@ object SourceSinkQueries {
         "bbox_w", "bbox_n")
   }
 
+  /** catalog_search_core — the ORACLE-CHECKED twin of catalog_search
+    * (SURVEY §3.3): the search compiler's full relational core —
+    * collection membership, bbox overlap INCLUDING antimeridian
+    * handling on both the query box (w > e splits into two segments)
+    * and item boxes (a crossing swath stores w > e), datetime-interval
+    * overlap, a CQL2-text property filter, keyset-token paging, and
+    * sortby + tiebreak + limit — over an items frame derived
+    * arithmetically from the driver's `orders` table so DuckDB can
+    * replay the identical derivation + search in ANSI SQL. The one
+    * non-ANSI residual (exact ST_Intersects recheck) stays under
+    * catalog_search / GeometrySpec. */
+  def catalogSearchCore(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    // lon base/width chosen so ~5% of items genuinely wrap the
+    // antimeridian (bbox_w > bbox_e), exercising lonOverlap's crossing
+    // branch; all moduli on positive keys so Spark and DuckDB agree
+    val wb = (k * 7 % 360 - 180).cast("double")
+    val wd = (k % 17 + 10).cast("double")
+    val items = s.read.parquet(s"$dir/orders.parquet").select(
+      concat(lit("item-"), lpad(k.cast("string"), 10, "0")).as("item_id"),
+      col("o_orderpriority").as("collection_id"),
+      wb.as("bbox_w"),
+      when(wb + wd > 180.0, wb + wd - 360.0).otherwise(wb + wd).as("bbox_e"),
+      (k * 3 % 140 - 80).cast("double").as("bbox_s"),
+      (k * 3 % 140 - 80 + 5 + k % 13).cast("double").as("bbox_n"),
+      // parquet stores o_orderdate as timestamp_ntz; cast to the
+      // session-TZ (UTC) timestamp the search compiler's token
+      // machinery round-trips
+      col("o_orderdate").cast("timestamp").as("start_datetime"),
+      (col("o_orderdate").cast("timestamp") + expr("INTERVAL 2 DAY"))
+        .as("end_datetime"),
+      col("o_totalprice").as("price"))
+    CatalogQuery.compile(items, CatalogQuery.Search(
+      collections = Seq("1-URGENT", "2-HIGH"),
+      bbox = Some((140.0, -60.0, -140.0, 60.0)), // w > e: crossing query
+      interval = Some((
+        java.sql.Timestamp.valueOf("1994-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("1996-12-31 00:00:00"))),
+      cql2 = Some("price >= 10000"),
+      sortBy = Seq(("start_datetime", true)),
+      afterToken = Some(Seq(
+        java.sql.Timestamp.valueOf("1994-06-01 00:00:00"),
+        "item-0000000000")),
+      limit = 50))
+      .select("item_id", "collection_id", "start_datetime",
+        "bbox_w", "bbox_e", "bbox_s", "bbox_n", "price")
+  }
+
+  private val catalogSearchCoreSql: String =
+    """WITH items AS (
+      |  SELECT 'item-' || lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS item_id,
+      |    o_orderpriority AS collection_id,
+      |    CAST(o_orderkey * 7 % 360 - 180 AS DOUBLE) AS bbox_w,
+      |    CAST(CASE WHEN (o_orderkey * 7 % 360 - 180) + (o_orderkey % 17 + 10) > 180
+      |      THEN (o_orderkey * 7 % 360 - 180) + (o_orderkey % 17 + 10) - 360
+      |      ELSE (o_orderkey * 7 % 360 - 180) + (o_orderkey % 17 + 10) END AS DOUBLE) AS bbox_e,
+      |    CAST(o_orderkey * 3 % 140 - 80 AS DOUBLE) AS bbox_s,
+      |    CAST(o_orderkey * 3 % 140 - 80 + 5 + o_orderkey % 13 AS DOUBLE) AS bbox_n,
+      |    o_orderdate AS start_datetime,
+      |    o_orderdate + INTERVAL 2 DAY AS end_datetime,
+      |    o_totalprice AS price
+      |  FROM orders)
+      |SELECT item_id, collection_id, start_datetime,
+      |  bbox_w, bbox_e, bbox_s, bbox_n, price
+      |FROM items
+      |WHERE collection_id IN ('1-URGENT', '2-HIGH')
+      |  AND ((CASE WHEN bbox_w > bbox_e THEN bbox_w <= 180.0 OR 140.0 <= bbox_e
+      |             ELSE bbox_w <= 180.0 AND 140.0 <= bbox_e END)
+      |    OR (CASE WHEN bbox_w > bbox_e THEN bbox_w <= -140.0 OR -180.0 <= bbox_e
+      |             ELSE bbox_w <= -140.0 AND -180.0 <= bbox_e END))
+      |  AND bbox_s <= 60.0 AND -60.0 <= bbox_n
+      |  AND start_datetime <= TIMESTAMP '1996-12-31 00:00:00'
+      |  AND TIMESTAMP '1994-01-01 00:00:00' <= end_datetime
+      |  AND price >= 10000
+      |  AND (start_datetime > TIMESTAMP '1994-06-01 00:00:00'
+      |    OR (start_datetime = TIMESTAMP '1994-06-01 00:00:00'
+      |        AND item_id > 'item-0000000000'))
+      |ORDER BY start_datetime, item_id
+      |LIMIT 50""".stripMargin
+
   /** catalog_fc_page — the STAC FeatureCollection response serializer
     * (stac-fastapi's JSON surface, docker-compose.yml:1-28): three
     * token-walked pages re-exploded to (page, feature) rows. Feature
@@ -659,12 +739,16 @@ object SourceSinkQueries {
           .find(_.get("rel").asText() == "next")
           .map(_.get("href").asText()).orNull
       }
-      // POST a cql2-json filtered search
+      // POST a cql2-json SPATIAL search (s_intersects — the pgstac
+      // conformance class) — exercises the envelope-prefilter + exact
+      // recheck plan over real HTTP
       val post = http.send(
         HttpRequest.newBuilder(java.net.URI.create(base + "/search"))
           .POST(HttpRequest.BodyPublishers.ofString(
             """{"filter-lang":"cql2-json","filter":
-              {"op":">=","args":[{"property":"bbox_n"},20]},
+              {"op":"s_intersects","args":[{"property":"geometry"},
+              {"type":"Polygon",
+              "coordinates":[[[0,0],[60,0],[60,40],[0,40],[0,0]]]}]},
               "limit":500}""".replaceAll("\n\\s*", "")))
           .build(),
         HttpResponse.BodyHandlers.ofString()).body()
@@ -733,6 +817,7 @@ object SourceSinkQueries {
     "snk_train_shards" -> (snkTrainShards _),
     "snk_jdbc_upsert" -> (snkJdbcUpsert _),
     "catalog_search" -> (catalogSearch _),
+    "catalog_search_core" -> (catalogSearchCore _),
     "catalog_fc_page" -> (catalogFcPage _),
     "catalog_api_http" -> (catalogApiHttp _),
     "insitu_ingest" -> (insituIngest _),
@@ -744,7 +829,8 @@ object SourceSinkQueries {
     "src_listing_cache" -> srcListingCacheSql,
     "src_csv" -> srcFormatSql,
     "src_json" -> srcFormatSql,
-    "src_orc" -> srcFormatSql
+    "src_orc" -> srcFormatSql,
+    "catalog_search_core" -> catalogSearchCoreSql
     // all others: env-dependent, side-effectful, or UDF-valued —
     // covered by CatalogSpec/GeometrySpec/StreamingSpec unit+e2e tests
   )

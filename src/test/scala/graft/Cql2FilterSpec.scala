@@ -172,6 +172,82 @@ class Cql2FilterSpec extends SparkSpec {
     assert(viaText.nonEmpty && viaText == viaJson)
   }
 
+  test("spatial/temporal/advanced ops: text and json forms, hand-computed") {
+    import spark.implicits._
+    val items = Seq(
+      ("i1", """{"type":"Point","coordinates":[5.0,5.0]}""",
+        5.0, 5.0, 5.0, 5.0,
+        "2022-05-01 00:00:00", "2022-05-01 06:00:00", Map("name" -> "Alpha")),
+      ("i2", """{"type":"LineString","coordinates":[[20.0,20.0],[30.0,30.0]]}""",
+        20.0, 20.0, 30.0, 30.0,
+        "2022-05-02 00:00:00", "2022-05-02 06:00:00", Map("name" -> "beta")),
+      ("i3", """{"type":"Point","coordinates":[-50.0,8.0]}""",
+        -50.0, 8.0, -50.0, 8.0,
+        "2022-06-01 00:00:00", "2022-06-02 00:00:00", Map("name" -> "GAMMA"))
+    ).toDF("item_id", "geometry", "bbox_w", "bbox_s", "bbox_e", "bbox_n",
+        "start_s", "end_s", "properties")
+      .withColumn("start_datetime", col("start_s").cast("timestamp"))
+      .withColumn("end_datetime", col("end_s").cast("timestamp"))
+      .drop("start_s", "end_s")
+    def ids(text: String): Seq[String] = items
+      .filter(Cql2Filter.compile(text, items.columns.toSet))
+      .collect().map(_.getString(0)).toSeq.sorted
+    def idsJ(json: String): Seq[String] = items
+      .filter(Cql2Filter.compileJson(json, items.columns.toSet))
+      .collect().map(_.getString(0)).toSeq.sorted
+
+    // s_intersects: polygon containing only i1; WKT and GeoJSON forms
+    assert(ids(
+      "S_INTERSECTS(geometry, POLYGON((0 0, 10 0, 10 10, 0 10, 0 0)))") ==
+      Seq("i1"))
+    assert(idsJ(
+      """{"op":"s_intersects","args":[{"property":"geometry"},
+        |{"type":"Polygon",
+        | "coordinates":[[[0,0],[10,0],[10,10],[0,10],[0,0]]]}]}"""
+        .stripMargin) == Seq("i1"))
+    // BBOX literal covers i1 and i3
+    assert(ids("S_INTERSECTS(geometry, BBOX(-60, 0, 10, 10))") ==
+      Seq("i1", "i3"))
+    // envelope-overlaps-but-exact-misses: the i2 diagonal's bbox meets
+    // this box, the line itself does not — the recheck must reject it
+    assert(ids(
+      "S_INTERSECTS(geometry, POLYGON((28 18, 32 18, 32 22, 28 22, 28 18)))")
+      .isEmpty)
+    // t_intersects on `datetime` → [start,end] interval overlap
+    assert(ids("T_INTERSECTS(datetime, " +
+      "INTERVAL('2022-05-01T03:00:00Z', '2022-05-01T23:00:00Z'))") ==
+      Seq("i1"))
+    assert(idsJ(
+      """{"op":"t_intersects","args":[{"property":"datetime"},
+        |{"interval":["2022-05-01T03:00:00Z","2022-05-01T23:00:00Z"]}]}"""
+        .stripMargin) == Seq("i1"))
+    // anyinteracts alias + open upper end
+    assert(ids("ANYINTERACTS(datetime, INTERVAL('2022-05-15T00:00:00Z', '..'))")
+      == Seq("i3"))
+    // a plain timestamp column → containment semantics
+    assert(ids("T_INTERSECTS(start_datetime, " +
+      "INTERVAL('2022-05-01T12:00:00Z', '2022-06-01T12:00:00Z'))") ==
+      Seq("i2", "i3"))
+    // BETWEEN is bounds-inclusive; NOT BETWEEN negates
+    assert(ids("bbox_n BETWEEN 5 AND 20") == Seq("i1", "i3"))
+    assert(ids("bbox_n NOT BETWEEN 5 AND 20") == Seq("i2"))
+    assert(idsJ("""{"op":"between","args":[{"property":"bbox_n"},5,20]}""") ==
+      Seq("i1", "i3"))
+    // CASEI over a map-fallback property, IN, LIKE, and a top column
+    assert(ids("CASEI(name) = CASEI('ALPHA')") == Seq("i1"))
+    assert(ids("CASEI(name) IN ('beta', 'gamma')") == Seq("i2", "i3"))
+    assert(ids("CASEI(item_id) LIKE 'I1%'") == Seq("i1"))
+    assert(idsJ(
+      """{"op":"=","args":[{"op":"casei","args":[{"property":"name"}]},
+        |{"op":"casei","args":["ALPHA"]}]}""".stripMargin) == Seq("i1"))
+    // malformed spatial/temporal forms fail loudly, as 400-able errors
+    intercept[IllegalArgumentException](
+      Cql2Filter.compile("S_INTERSECTS(geometry, CIRCLE(0 0 5))", Set.empty))
+    intercept[IllegalArgumentException](
+      Cql2Filter.compile("T_INTERSECTS(datetime, INTERVAL('nope', '..'))",
+        Set.empty))
+  }
+
   test("cql2 filter plugs into the STAC search compiler") {
     val path = java.nio.file.Files.createTempDirectory("graft-cql").toString
     val (items, _) = graft.catalog.ItemAssembly.assemble(

@@ -140,13 +140,14 @@ object PropertySpec extends Properties("graft") {
       case other => other.toString
     }
     n match {
-      case Cmp(p, op, v) => s"$p $op ${lit(v)}"
-      case In(p, vs) => s"$p IN (${vs.map(lit).mkString(", ")})"
-      case Like(p, s) => s"$p LIKE ${lit(s)}"
+      case Cmp(p, op, v, _, _) => s"$p $op ${lit(v)}"
+      case In(p, vs, _) => s"$p IN (${vs.map(lit).mkString(", ")})"
+      case Like(p, s, _) => s"$p LIKE ${lit(s)}"
       case IsNull(p, neg) => s"$p IS ${if (neg) "NOT " else ""}NULL"
       case And(l, r) => s"(${render(l)}) AND (${render(r)})"
       case Or(l, r) => s"(${render(l)}) OR (${render(r)})"
       case Not(e) => s"NOT (${render(e)})"
+      case other => sys.error(s"generator never emits $other")
     }
   }
 

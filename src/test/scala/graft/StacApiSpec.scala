@@ -173,6 +173,49 @@ class StacApiSpec extends SparkSpec {
     assert(viaExact.nonEmpty && viaExact.subsetOf(viaBbox))
   }
 
+  test("CQL2 spatial/temporal/casei filters run over HTTP, both encodings") {
+    // s_intersects via GET cql2-text: HTTP result == direct compile
+    val wkt = "S_INTERSECTS(geometry, POLYGON((0 0, 60 0, 60 40, 0 40, 0 0)))"
+    val (sg, bodyG) = get("/search?limit=500&filter=" +
+      java.net.URLEncoder.encode(wkt, java.nio.charset.StandardCharsets.UTF_8))
+    assert(sg == 200, bodyG)
+    val viaText = featureIds(bodyG).toSet
+    val direct = CatalogQuery.compile(items, CatalogQuery.Search(
+      cql2 = Some(wkt), limit = 500))
+      .select("item_id").collect().map(_.getString(0)).toSet
+    assert(viaText.nonEmpty && viaText == direct)
+    // the same filter as POSTed cql2-json must agree
+    val (sj, bodyJ) = post("/search",
+      """{"filter-lang":"cql2-json","filter":
+        {"op":"s_intersects","args":[{"property":"geometry"},
+        {"type":"Polygon",
+        "coordinates":[[[0,0],[60,0],[60,40],[0,40],[0,0]]]}]},
+        "limit":500}""".replaceAll("\n\\s*", ""))
+    assert(sj == 200, bodyJ)
+    assert(featureIds(bodyJ).toSet == viaText)
+    // t_intersects over HTTP narrows to the granules overlapping the hour
+    val tq = "T_INTERSECTS(datetime, " +
+      "INTERVAL('2022-05-01T00:00:00Z', '2022-05-01T00:59:59Z'))"
+    val (st, bodyT) = get("/search?limit=500&filter=" +
+      java.net.URLEncoder.encode(tq, java.nio.charset.StandardCharsets.UTF_8))
+    assert(st == 200, bodyT)
+    val viaTime = featureIds(bodyT).toSet
+    val directTime = CatalogQuery.compile(items, CatalogQuery.Search(
+      cql2 = Some(tq), limit = 500))
+      .select("item_id").collect().map(_.getString(0)).toSet
+    assert(viaTime.nonEmpty && viaTime == directTime &&
+      viaTime.size < items.count())
+    // the new conformance classes are advertised
+    val (_, conf) = get("/conformance")
+    assert(conf.contains("basic-spatial-functions") &&
+      conf.contains("temporal-functions") &&
+      conf.contains("case-insensitive-comparison"))
+    // casei + between compile through the HTTP text path too
+    assert(get("/search?limit=5&filter=" + java.net.URLEncoder.encode(
+      "CASEI(item_id) LIKE 'GRANULE%' AND bbox_n BETWEEN -90 AND 90",
+      java.nio.charset.StandardCharsets.UTF_8))._1 == 200)
+  }
+
   test("malformed requests answer 400 with a JSON error, not a crash") {
     assert(get("/search?bbox=1,2,three,4")._1 == 400)
     assert(get("/search?limit=0")._1 == 400)

@@ -137,14 +137,39 @@ class RealDecodersSpec extends SparkSpec {
     assert(out.count(_.error == null) == 30)
   }
 
+  test("ImageIO decode: JPEG/PNG round-trip, pHash stability, quarantine") {
+    val img = textured(64, 48)
+    // PNG is lossless: 8-bit quantization is the only loss
+    val png = decodeImageIo(encodeImageIo(img, "png"))
+    assert(png.width == 64 && png.height == 48)
+    png.luma.zip(img.luma).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 1.5f / 255f, s"$a vs $b")
+    }
+    // real lossy JPEG: quantization noise must not move the pHash
+    val jpg = decodeImageIo(encodeImageIo(img, "jpeg"))
+    assert(java.lang.Long.bitCount(phash64(img) ^ phash64(jpg)) <= 6)
+    // the re-crawl shape: brightness jitter THROUGH lossy re-encoding
+    val twin = decodeImageIo(encodeImageIo(
+      GrayImage(64, 48, img.luma.map(v => v * 0.85f + 0.05f)), "jpeg"))
+    assert(java.lang.Long.bitCount(phash64(img) ^ phash64(twin)) <= 6)
+    // truncated JPEG and garbage quarantine per the decoder contract
+    intercept[IllegalArgumentException](
+      decodeImageIo(encodeImageIo(img, "jpeg").take(40)))
+    intercept[IllegalArgumentException](decodeImageIo(Array[Byte](1, 2, 3)))
+    // the Decoder seam routes JPEG/PNG through ImageIO
+    val d = new PixelDecoder
+    assert(d.decode("image/jpeg", encodeImageIo(img, "jpeg")).length == 64)
+    assert(d.decode("image/png", encodeImageIo(img, "png")).length == 64)
+  }
+
   test("multimodal_decode holds its documented bounds end-to-end") {
     val rows = MultimodalQueries.multimodalDecode(spark, sf).collect()
-    assert(rows.length == 3)
+    assert(rows.length == 5) // jpeg, bmp, pgm, png, wav
     val r = rows.head
-    // every brightness-jittered twin within the documented bound
+    // every brightness-jittered twin (JPEG AND BMP) within the bound
     assert(r.getAs[Int]("max_twin_hamming") <= 6)
-    assert(r.getAs[Long]("n_twins") == 20)
-    // exactly the two poison payloads quarantined
-    assert(r.getAs[Long]("n_quarantined") == 2)
+    assert(r.getAs[Long]("n_twins") == 30)
+    // exactly the three poison payloads quarantined
+    assert(r.getAs[Long]("n_quarantined") == 3)
   }
 }
