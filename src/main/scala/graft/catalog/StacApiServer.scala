@@ -34,10 +34,22 @@ import org.apache.spark.sql.DataFrame
   * adapter: parameter parsing in, Search out, Page back — so anything
   * the engine can answer, a real STAC client can now ask for over HTTP.
   */
-class StacApiServer(
-    items: DataFrame,
-    collections: Seq[StacModel.StacCollection] = Seq.empty,
-    catalogId: String = "graft") {
+class StacApiServer private (
+    itemsSource: () => DataFrame,
+    collections: Seq[StacModel.StacCollection],
+    catalogId: String) {
+
+  /** Serve a fixed items frame (the common case: one catalog read
+    * shared by every request). */
+  def this(items: DataFrame,
+      collections: Seq[StacModel.StacCollection] = Seq.empty,
+      catalogId: String = "graft") =
+    this(() => items, collections, catalogId)
+
+  /** Resolved per request — a live server (StacApiServer.live) re-reads
+    * the catalog path so items upserted by a running stream become
+    * searchable as soon as their micro-batch commits. */
+  private def items: DataFrame = itemsSource()
 
   import StacApiServer._
 
@@ -180,6 +192,19 @@ class StacApiServer(
 }
 
 object StacApiServer {
+
+  /** NRT server over a catalog PATH: each request plans against a
+    * fresh CatalogStore.read, so a concurrent stream_upsert_sink's
+    * merges are visible without restarting the server — the reference's
+    * late-arrival loop (insitu collections.yaml: files land 24-48 h
+    * late) closed end-to-end. Costs a parquet listing + footer merge
+    * per request; a high-QPS deployment fronts this with the fixed-
+    * frame constructor refreshed on a timer instead. */
+  def live(spark: org.apache.spark.sql.SparkSession, path: String,
+      collections: Seq[StacModel.StacCollection] = Seq.empty,
+      catalogId: String = "graft"): StacApiServer =
+    new StacApiServer(() => CatalogStore.read(spark, path),
+      collections, catalogId)
 
   private val mapper =
     new ObjectMapper().registerModule(DefaultScalaModule)

@@ -18,10 +18,23 @@ import java.nio.charset.StandardCharsets
   *     NC_STRING attrs; NC_CHAR attrs are fixed strings)
   *   dataspaces: scalar and simple-1D
   *
-  * Everything else (B-trees, chunked data, filters, groups below
-  * root) is out of scope on purpose: granule METADATA lives in the
-  * root header, so this reader costs one bounded sequential probe of
-  * the file head — no library, no random I/O at 100 TB listing scale.
+  * plus whole-file DATASET decode (Hdf5File) for the insitu vertical.
+  *
+  * Support matrix (each "no" fails with a distinguishable IOException
+  * that the quarantine path records per file — pinned in Hdf5Spec):
+  *
+  *   root-group links : symbol-table (netcdf-c default)  yes
+  *                      compact v2 link messages          yes
+  *                      dense (fractal-heap, libhdf5
+  *                        1.10+ groups with >8 links)     no, loud
+  *   chunk filters    : shuffle, deflate                  yes
+  *                      szip / fletcher32 / others        no, loud
+  *   data endianness  : little-endian                     yes
+  *                      big-endian                        no, loud
+  *   groups below root, vlen/compound datasets            no, loud
+  *
+  * The attrs-only probe stays a bounded sequential read of the file
+  * head — no library, no random I/O at 100 TB listing scale.
   *
   * Unknown versions/classes raise IOException with a precise message:
   * the GranuleSource quarantine path records the reason per file

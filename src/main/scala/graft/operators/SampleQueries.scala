@@ -263,38 +263,60 @@ object SampleQueries {
        |    % $CHECKSUM_MOD AS BIGINT) AS content_sum
        |FROM documents GROUP BY lang""".stripMargin
 
-  /** sample_epoch_shuffle — the deterministic multi-epoch data
-    * schedule a trainer consumes: every epoch must visit every doc in
-    * a DIFFERENT but reproducible order. Order key =
-    * sha256(epoch || ':' || doc_id) — reshuffles per epoch, identical
-    * on every engine/run/partitioning (rand() is none of those).
-    *
-    * Scale shape: the naive form (row_number over one global order
-    * per epoch) funnels each epoch through ONE reducer — a scale-
-    * killer. Instead the hash splits into 8 SHARDS and ranks within
-    * (epoch, shard): fully parallel windows whose groups are
-    * corpus/8, and the loader streams shards in order — exactly the
-    * layout snk_train_shards writes. Output pins the head of each
-    * (epoch, shard) stream so the oracle checks real order, not just
-    * membership. */
-  def sampleEpochShuffle(s: SparkSession, dir: String): DataFrame = {
-    val epochs = s.range(0, 3).toDF("epoch")
-    val keyed = documents(s, dir)
+  /** Shard count for a full per-epoch schedule: one shard per
+    * ~`targetDocsPerShard` docs, so each (epoch, shard) window sorts a
+    * bounded row count REGARDLESS of corpus size — window parallelism
+    * scales with the data instead of a fixed divisor funneling
+    * corpus/8 rows through one reducer at 100 TB. */
+  def epochShuffleShards(corpusDocs: Long,
+      targetDocsPerShard: Long = 1L << 20): Int = {
+    require(targetDocsPerShard > 0)
+    // overflow-safe ceiling division (corpusDocs may be Long.MaxValue)
+    val ceil = corpusDocs / targetDocsPerShard +
+      (if (corpusDocs % targetDocsPerShard > 0) 1L else 0L)
+    math.max(1L, math.min(1L << 20, ceil)).toInt
+  }
+
+  /** The deterministic multi-epoch schedule over any doc frame: every
+    * epoch visits every doc in a DIFFERENT but reproducible order.
+    * Order key = sha256(epoch || ':' || doc_id) — reshuffles per
+    * epoch, identical on every engine/run/partitioning (rand() is
+    * none of those). The hash splits into `nShards` SHARDS and ranks
+    * within (epoch, shard): fully parallel windows whose groups are
+    * corpus/nShards, and the loader streams shards in order — exactly
+    * the layout snk_train_shards writes. Size nShards with
+    * [[epochShuffleShards]]; `headPerShard` (None = full schedule)
+    * pins only each stream's head, which Spark executes as a
+    * WindowGroupLimit partial top-k (no full sort materialized). */
+  def epochShuffleFrom(docs: DataFrame, nEpochs: Int, nShards: Int,
+      headPerShard: Option[Int]): DataFrame = {
+    require(nEpochs > 0 && nShards > 0)
+    val s = docs.sparkSession
+    val epochs = s.range(0, nEpochs.toLong).toDF("epoch")
+    val keyed = docs
       .select(col("doc_id")).crossJoin(broadcast(epochs))
       .withColumn("okey",
         sha2(concat(col("epoch").cast("string"), lit(":"),
           col("doc_id").cast("string")), 256))
       .withColumn("shard",
         (conv(substring(col("okey"), 1, 6), 16, 10)
-          .cast("bigint") % 8).cast("int"))
+          .cast("bigint") % nShards).cast("int"))
     val w = Window.partitionBy(col("epoch"), col("shard"))
       .orderBy(col("okey"), col("doc_id"))
-    keyed
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5) // pinned head of each shard stream
+    val ranked = keyed.withColumn("rank", row_number().over(w))
+    headPerShard.fold(ranked)(h => ranked.filter(col("rank") <= h))
       .select(col("epoch"), col("shard"), col("rank"), col("doc_id"))
-      .orderBy(col("epoch"), col("shard"), col("rank"))
   }
+
+  /** sample_epoch_shuffle — the declared schedule: 3 epochs, the head
+    * of each shard stream pinned so the oracle checks real order, not
+    * just membership. nShards is pinned to 8 HERE to keep the oracle
+    * byte-stable; production callers size it via epochShuffleShards
+    * so the window groups stay bounded at any corpus size. */
+  def sampleEpochShuffle(s: SparkSession, dir: String): DataFrame =
+    epochShuffleFrom(documents(s, dir), nEpochs = 3, nShards = 8,
+      headPerShard = Some(5))
+      .orderBy(col("epoch"), col("shard"), col("rank"))
 
   val sampleEpochShuffleSql: String =
     """WITH k AS (

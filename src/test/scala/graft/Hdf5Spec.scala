@@ -101,6 +101,46 @@ class Hdf5Spec extends SparkSpec {
     assert(got == Map("uuid" -> "ohdr-granule"))
   }
 
+  test("dense-group (fractal heap) link storage quarantines distinguishably") {
+    // hand-built superblock v2 + OHDR root whose only message is a
+    // Link Info with a DEFINED fractal-heap address — the layout
+    // libhdf5 1.10+ writes once a group exceeds the compact-link
+    // threshold (8 links). Out of scope by design; the reader must
+    // say so, not silently yield an empty variable list.
+    val bos = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = bos.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v); u8(v >> 8) }
+    def u32(v: Long): Unit = { u16(v.toInt); u16((v >> 16).toInt) }
+    def u64(v: Long): Unit = { u32(v); u32(v >> 32) }
+    bos.write(Array(0x89, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    u8(2) // superblock v2
+    u8(8); u8(8) // offset/length sizes
+    u8(0) // consistency flags
+    u64(0L) // base
+    u64(-1L) // extension
+    u64(200L) // eof
+    u64(48L) // ROOT object header address
+    u32(0L) // superblock checksum (unverified)
+    // OHDR at 48: one Link Info message — version, flags (no creation
+    // index), fractal heap address (DEFINED), name-index b-tree (undef)
+    val body = 1 + 1 + 8 + 8
+    val chunk0 = 4 + body + 4
+    bos.write("OHDR".getBytes(StandardCharsets.US_ASCII))
+    u8(2) // object header version
+    u8(0x00) // flags: 1-byte chunk0 size
+    u8(chunk0)
+    u8(0x02); u16(body); u8(0) // message: LINK_INFO, size, flags
+    u8(0); u8(0) // link-info version 0, flags 0
+    u64(0x1000L) // fractal heap address: defined ⇒ dense storage
+    u64(-1L) // name-index b-tree: undefined
+    u32(0L) // chunk checksum (unverified)
+    val e = intercept[java.io.IOException](
+      Hdf5Header.readFile(bos.toByteArray))
+    assert(e.getMessage.contains("fractal-heap"),
+      s"error must name the unsupported layout, got: ${e.getMessage}")
+  }
+
   test("corrupt HDF5 input quarantines as IOException, never crashes") {
     // truncated signature
     intercept[java.io.IOException](parse("HDF".getBytes))
@@ -262,6 +302,17 @@ class Hdf5Spec extends SparkSpec {
     assert(cfEpoch("seconds since 1970-01-01 00:00:00")
       .contains((1000000L, 0L)))
     assert(cfEpoch("Days Since 2000-01-01").isDefined)
+    // non-zero-padded spellings real archives carry must parse, not
+    // silently drop every timestamp of the granule
+    assert(cfEpoch("days since 1950-1-1").contains((day, -631152000000000L)))
+    assert(cfEpoch("hours since 1800-01-01 00:00:0.0").isDefined)
+    assert(cfEpoch("seconds since 1970-1-1 0:0:0")
+      .contains((1000000L, 0L)))
+    // explicit offsets still honored, not truncated
+    assert(cfEpoch("hours since 1970-01-01T02:00:00+02:00")
+      .contains((3600L * 1000000L, 0L)))
+    // invalid month/day: unrecognized, not wrong
+    assert(cfEpoch("days since 1970-13-01").isEmpty)
     assert(cfEpoch("fortnights since 1970-01-01").isEmpty)
     assert(cfEpoch("days since the beginning").isEmpty)
     assert(cfEpoch("").isEmpty)

@@ -125,6 +125,57 @@ class StreamingSpec extends SparkSpec {
     assert(items.count() == items.select("item_id").distinct().count())
   }
 
+  test("late item becomes searchable over the LIVE API after its micro-batch") {
+    // the reference's NRT loop closed end-to-end (insitu
+    // collections.yaml: files arrive 24-48 h late): file-ingest stream
+    // → ItemAssembly → stream_upsert_sink → a LIVE StacApiServer whose
+    // searches see each merge as soon as its micro-batch commits
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nrt").toString
+    val inDir = s"$tmp/in"; val catalog = s"$tmp/catalog"; val ckpt = s"$tmp/ckpt"
+    val (items0, _) = graft.catalog.ItemAssembly.assemble(
+      new graft.ingest.FixtureGranuleSource(
+        end = "2022-05-01 00:59:59").granules(spark))
+    graft.catalog.CatalogStore.write(items0, catalog)
+    val server = graft.catalog.StacApiServer.live(spark, catalog)
+    val base = server.start()
+    try {
+      val http = HttpClient.newHttpClient()
+      def searchIds(q: String): Set[String] = {
+        val body = http.send(
+          HttpRequest.newBuilder(java.net.URI.create(base + q)).GET().build(),
+          HttpResponse.BodyHandlers.ofString()).body()
+        val f = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(body).get("features")
+        (0 until f.size).map(f.get(_).get("id").asText()).toSet
+      }
+      // the late window (a day BEFORE the catalog's current content)
+      val lateWindow = "/search?limit=500&datetime=" +
+        "2022-04-30T00:00:00Z%2F2022-04-30T23:59:59Z"
+      val before = searchIds(lateWindow)
+      assert(before.isEmpty, "late window empty before the stream runs")
+      val n0 = searchIds("/search?limit=500").size
+      assert(n0 > 0)
+      // a granule file LANDS now carrying day-old event times
+      new graft.ingest.FixtureGranuleSource(
+        start = "2022-04-30 03:00:00", end = "2022-04-30 05:59:59")
+        .granules(spark).write.parquet(inDir)
+      val schema = spark.read.parquet(inDir).schema
+      val (itemsS, _) = graft.catalog.ItemAssembly.assemble(
+        StreamingOps.fileIngest(spark, inDir, schema))
+      val q = StreamingOps.upsertSink(itemsS, catalog, ckpt).start()
+      q.awaitTermination(120000)
+      // the SAME live server, no restart: the late items are searchable
+      val after = searchIds(lateWindow)
+      assert(after.nonEmpty, "late items searchable after their batch")
+      assert(searchIds("/search?limit=500").size == n0 + after.size)
+      // and the late window search narrows, not just grows: the
+      // original hour's items stay outside it
+      assert(after.intersect(searchIds("/search?limit=500&datetime=" +
+        "2022-05-01T00:00:00Z%2F2022-05-01T23:59:59Z")).isEmpty)
+    } finally server.stop()
+  }
+
   test("streaming incremental dedup equals the batch operator exactly once") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup").toString

@@ -25,6 +25,39 @@ class SampleSpec extends SparkSpec {
     assert(perLang.nonEmpty && perLang.forall(_ == 12L))
   }
 
+  test("epoch shuffle: full schedule complete per epoch at any shard count") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id")
+    val n = docs.count()
+    // full schedule (headPerShard = None) with a non-default shard
+    // count: every doc exactly once per epoch, ranks contiguous per
+    // (epoch, shard)
+    val full = SampleQueries.epochShuffleFrom(docs, nEpochs = 2,
+      nShards = 16, headPerShard = None).cache()
+    try {
+      assert(full.count() == 2 * n)
+      assert(full.groupBy("epoch").count().collect()
+        .forall(_.getLong(1) == n))
+      assert(full.select("epoch", "doc_id").distinct().count() == 2 * n)
+      val maxRankSum = full.groupBy("epoch", "shard")
+        .agg(org.apache.spark.sql.functions.max("rank").as("m"))
+        .groupBy("epoch")
+        .agg(org.apache.spark.sql.functions.sum("m").as("t"))
+        .collect()
+      assert(maxRankSum.forall(_.getLong(1) == n),
+        "ranks are contiguous 1..shardSize within every shard")
+      // epochs genuinely reshuffle: the two epoch orders differ
+      val headsByEpoch = full.filter(org.apache.spark.sql.functions
+          .col("rank") === 1)
+        .collect().groupBy(_.getLong(0)).view
+        .mapValues(_.map(r => (r.getInt(1), r.getLong(3))).toSet).toMap
+      assert(headsByEpoch(0L) != headsByEpoch(1L))
+    } finally full.unpersist()
+    // shard sizing scales with the corpus and stays bounded
+    assert(SampleQueries.epochShuffleShards(1000L) == 1)
+    assert(SampleQueries.epochShuffleShards(5L << 20) == 5)
+    assert(SampleQueries.epochShuffleShards(Long.MaxValue) == (1 << 20))
+  }
+
   test("temperature weights flatten the mixture toward low-resource languages") {
     val rows = SampleQueries.sampleTemperature(spark, sf).collect()
     val p = rows.map(r => r.getString(0) -> r.getDouble(2)).toMap
