@@ -19,6 +19,28 @@ import org.apache.spark.sql.functions._
   */
 object CatalogQuery {
 
+  /** STAC fields-extension projection: `include` non-empty keeps only
+    * the listed keys (plus the always-rendered type/stac_version/id/
+    * collection); `exclude` drops listed keys. Keys are the optional
+    * Feature members (bbox, geometry, properties, assets, links) or
+    * `properties.<name>` paths selecting inside the properties map. */
+  case class FieldsSpec(
+      include: Seq[String] = Seq.empty,
+      exclude: Seq[String] = Seq.empty) {
+    def isDefault: Boolean = include.isEmpty && exclude.isEmpty
+    private val legal = Set("bbox", "geometry", "properties", "assets", "links")
+    (include ++ exclude).foreach { f =>
+      require(legal.contains(f) || f.startsWith("properties."),
+        s"unknown field '$f' — fields selects bbox/geometry/properties/" +
+          "assets/links or properties.<name> paths")
+    }
+    /** Is the top-level member rendered at all? */
+    def topIncluded(key: String): Boolean =
+      (include.isEmpty ||
+        include.exists(i => i == key || i.startsWith(key + "."))) &&
+        !exclude.contains(key)
+  }
+
   /** STAC /search parameters (subset the reference serves). */
   case class Search(
       collections: Seq[String] = Seq.empty,
@@ -47,6 +69,10 @@ object CatalogQuery {
       cql2Json: Option[String] = None,
       sortBy: Seq[(String, Boolean)] = Seq(("item_id", true)), // asc?
       limit: Int = 100,
+      /** STAC `fields` extension: response projection. Filtering is
+        * untouched — compile() ignores this; FeatureCollection applies
+        * it at serialization. */
+      fields: FieldsSpec = FieldsSpec(),
       /** keyset token: sort-key values of the last row of the prior
         * page (STAC `token` paging). */
       afterToken: Option[Seq[Any]] = None)

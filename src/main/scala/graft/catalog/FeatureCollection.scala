@@ -25,23 +25,42 @@ object FeatureCollection {
     * geometry column already holds GeoJSON text, so it is spliced
     * into the to_json output as a raw object — to_json itself would
     * double-encode it as an escaped string. */
-  def featureColumn: Column = {
-    val base = to_json(struct(
-      lit("Feature").as("type"),
-      lit("1.0.0").as("stac_version"),
-      col("item_id").as("id"),
-      col("collection_id").as("collection"),
-      col("bbox"),
-      col("properties"),
-      col("assets"),
-      col("links")))
-    // a null geometry column must splice as the JSON literal `null`
-    // ("geometry": null is a valid GeoJSON Feature) — without the
-    // coalesce, concat nulls the WHOLE feature string and the
-    // features array would gain a bare `null` entry
-    concat(base.substr(lit(1), length(base) - 1),
-      lit(",\"geometry\":"), coalesce(col("geometry"), lit("null")),
-      lit("}"))
+  def featureColumn: Column = featureColumn(CatalogQuery.FieldsSpec())
+
+  /** Fields-extension variant: the projection happens INSIDE the
+    * distributed to_json (and a map_filter for properties.<name>
+    * paths), so excluded members never travel to the driver — a
+    * fields-narrowed page of wide items costs the narrow bytes. */
+  def featureColumn(f: CatalogQuery.FieldsSpec): Column = {
+    // properties.<name> sub-selection inside the map
+    val subInc = f.include.filter(_.startsWith("properties."))
+      .map(_.stripPrefix("properties."))
+    val subExc = f.exclude.filter(_.startsWith("properties."))
+      .map(_.stripPrefix("properties."))
+    var props = col("properties")
+    if (subInc.nonEmpty)
+      props = map_filter(props, (k, _) => k.isin(subInc: _*))
+    if (subExc.nonEmpty)
+      props = map_filter(props, (k, _) => !k.isin(subExc: _*))
+    val parts = Seq(
+      Some(lit("Feature").as("type")),
+      Some(lit("1.0.0").as("stac_version")),
+      Some(col("item_id").as("id")),
+      Some(col("collection_id").as("collection")),
+      if (f.topIncluded("bbox")) Some(col("bbox")) else None,
+      if (f.topIncluded("properties")) Some(props.as("properties")) else None,
+      if (f.topIncluded("assets")) Some(col("assets")) else None,
+      if (f.topIncluded("links")) Some(col("links")) else None).flatten
+    val base = to_json(struct(parts: _*))
+    if (!f.topIncluded("geometry")) base
+    else
+      // a null geometry column must splice as the JSON literal `null`
+      // ("geometry": null is a valid GeoJSON Feature) — without the
+      // coalesce, concat nulls the WHOLE feature string and the
+      // features array would gain a bare `null` entry
+      concat(base.substr(lit(1), length(base) - 1),
+        lit(",\"geometry\":"), coalesce(col("geometry"), lit("null")),
+        lit("}"))
   }
 
   /** Minimal JSON string escaping for driver-side splices (hrefs,
@@ -123,7 +142,8 @@ object FeatureCollection {
     }
     val keyCols = (search.sortBy ++ Seq(("item_id", true))).map(_._1)
     val rows = CatalogQuery.compile(items, search)
-      .select(featureColumn.as("_feature") +: keyCols.map(col): _*)
+      .select(featureColumn(search.fields).as("_feature") +:
+        keyCols.map(col): _*)
       .collect()
     val features = rows.map(_.getString(0))
     // one paging policy: CatalogQuery.nextToken owns the short-page /

@@ -221,6 +221,7 @@ object StacApiServer {
     "https://api.stacspec.org/v1.0.0/item-search",
     "https://api.stacspec.org/v1.0.0/item-search#filter",
     "https://api.stacspec.org/v1.0.0/item-search#sort",
+    "https://api.stacspec.org/v1.0.0/item-search#fields",
     "http://www.opengis.net/spec/cql2/1.0/conf/cql2-text",
     "http://www.opengis.net/spec/cql2/1.0/conf/cql2-json",
     "http://www.opengis.net/spec/cql2/1.0/conf/advanced-comparison-operators",
@@ -263,6 +264,16 @@ object StacApiServer {
       else q = q.copy(cql2 = Some(f))
     }
     p.get("sortby").foreach(v => q = q.copy(sortBy = parseSortText(v)))
+    // fields extension, GET form: `fields=bbox,properties.q,-assets`
+    // (leading '-' excludes; bare/'+'/space — an unencoded '+' — includes)
+    p.get("fields").foreach { v =>
+      val (exc, inc) = v.split(",").toSeq.filter(_.nonEmpty)
+        .partition(_.startsWith("-"))
+      q = q.copy(fields = CatalogQuery.FieldsSpec(
+        include = inc.map(f =>
+          if (f.startsWith("+") || f.startsWith(" ")) f.substring(1) else f),
+        exclude = exc.map(_.substring(1))))
+    }
     p.get("limit").foreach { v =>
       val n = try v.toInt catch { case _: NumberFormatException =>
         throw new IllegalArgumentException(s"limit: not an integer: '$v'")
@@ -332,6 +343,16 @@ object StacApiServer {
       val l = n.get("limit").asInt()
       require(l > 0 && l <= 10000, s"limit out of range: $l")
       q = q.copy(limit = l)
+    }
+    if (n.has("fields")) {
+      val fs = n.get("fields")
+      require(fs.isObject, "fields: expected {include, exclude} object")
+      def arr(key: String): Seq[String] = Option(fs.get(key)).map { a =>
+        require(a.isArray, s"fields.$key: expected a JSON array")
+        (0 until a.size).map(a.get(_).asText())
+      }.getOrElse(Seq.empty)
+      q = q.copy(fields = CatalogQuery.FieldsSpec(
+        include = arr("include"), exclude = arr("exclude")))
     }
     (q, Option(n.get("token")).map(_.asText()))
   }

@@ -484,21 +484,34 @@ object RelationalQueries {
 
   /** agg_heavy_hitters — top-5 user_ids per event_type through the
     * MERGEABLE Misra-Gries sketch (HeavyHittersAgg): per-partition
-    * sketches of ≤4096 counters merge in the combiner, so the shuffle
-    * carries C entries per (partition, group) instead of one row per
-    * distinct (group, user) — the sketch-side twin of
+    * sketches of ≤capacity counters merge in the combiner, so the
+    * shuffle carries C entries per (partition, group) instead of one
+    * row per distinct (group, user) — the sketch-side twin of
     * agg_hll_partitioned for "who dominates this partition" questions
-    * at 100 TB. Capacity 4096 exceeds the corpus' distinct-user count,
-    * so counts here are EXACT (the sketch's documented exact regime)
-    * and the query carries a full SQL oracle; the approximate regime's
-    * error bound is property-tested at small capacity. */
+    * at 100 TB.
+    *
+    * The declared query carries an EXACT SQL oracle, so the sketch
+    * must stay in its documented exact regime (capacity ≥ distinct
+    * keys ⇒ no decrements ⇒ exact counts): capacity is sized from a
+    * distinct-count pre-pass, NOT a fixed constant — a hardcoded 4096
+    * broke silently the first time a tested corpus outgrew it (caught
+    * by the synthesized-sf1.0 gate at 20k distinct users, where the
+    * undercounting sketch surfaced wrong top-5s). At true 100 TB user
+    * cardinality no exact regime exists; that path uses a fixed-
+    * capacity sketch for its approximate guarantee, property-tested
+    * in HeavyHittersSpec. */
   def aggHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sk = events(s, dir)
-      .select(col("event_type"), col("user_id"))
+    val ev = events(s, dir).select(col("event_type"), col("user_id"))
+    val distinctUsers = ev.select("user_id").distinct().count()
+    // clip guards combiner memory if someone points this at a corpus
+    // with >4M users — past the clip the exact-oracle contract no
+    // longer holds and the approximate regime takes over
+    val cap = math.min(1L << 22, math.max(4096L, distinctUsers + 1)).toInt
+    val sk = ev
       .as[(String, Long)]
       .groupByKey(_._1).mapValues(_._2)
-      .agg(graft.functions.HeavyHittersAgg.agg(4096).toColumn.name("hits"))
+      .agg(graft.functions.HeavyHittersAgg.agg(cap).toColumn.name("hits"))
       .toDF("event_type", "hits")
     sk.select(col("event_type"),
         posexplode(slice(col("hits"), 1, 5)))

@@ -216,6 +216,52 @@ class StacApiSpec extends SparkSpec {
       java.nio.charset.StandardCharsets.UTF_8))._1 == 200)
   }
 
+  test("fields extension projects responses in both encodings") {
+    def enc(s: String) = java.net.URLEncoder.encode(s,
+      java.nio.charset.StandardCharsets.UTF_8)
+    // exclude drops members; core members always render
+    val (s1, b1) = get("/search?limit=3&fields=-assets,-links")
+    assert(s1 == 200, b1)
+    val f1 = mapper.readTree(b1).get("features").get(0)
+    assert(!f1.has("assets") && !f1.has("links"))
+    assert(f1.has("geometry") && f1.has("bbox") && f1.has("id") &&
+      f1.has("properties"))
+    // include narrows to the listed members + the always-rendered core
+    val (s2, b2) = get("/search?limit=3&fields=bbox")
+    assert(s2 == 200, b2)
+    val f2 = mapper.readTree(b2).get("features").get(0)
+    assert(f2.has("bbox") && f2.has("id") && f2.has("collection"))
+    assert(!f2.has("geometry") && !f2.has("assets") && !f2.has("properties"))
+    // properties.<name> path keeps only that key inside the map
+    val (s3, b3) = get("/search?limit=3&fields=" +
+      enc("properties.start_datetime"))
+    assert(s3 == 200, b3)
+    val f3 = mapper.readTree(b3).get("features").get(0)
+    val propKeys = {
+      val it = f3.get("properties").fieldNames()
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) buf += it.next()
+      buf.toSeq
+    }
+    assert(propKeys == Seq("start_datetime"), s"got $propKeys")
+    assert(!f3.has("bbox") && !f3.has("geometry"))
+    // POST form agrees with the GET form
+    val (s4, b4) = post("/search",
+      """{"limit":3,"fields":{"exclude":["assets","links"]}}""")
+    assert(s4 == 200, b4)
+    assert(mapper.readTree(b4).get("features") ==
+      mapper.readTree(b1).get("features"))
+    // unknown field name is a clean 400
+    assert(get("/search?fields=nope")._1 == 400)
+    // fields survive the page walk (next href carries them)
+    val links = mapper.readTree(b1).get("links")
+    val next = (0 until links.size).map(links.get)
+      .find(_.get("rel").asText() == "next").get.get("href").asText()
+    val (s5, b5) = get(next)
+    assert(s5 == 200 && !mapper.readTree(b5).get("features").get(0)
+      .has("assets"))
+  }
+
   test("malformed requests answer 400 with a JSON error, not a crash") {
     assert(get("/search?bbox=1,2,three,4")._1 == 400)
     assert(get("/search?limit=0")._1 == 400)
