@@ -138,6 +138,35 @@ object CatalogStore {
     xxhash64(struct(tieCols: _*))
   }
 
+  /** Delete items by id: read → filter → rewrite, the fixture-scale
+    * path behind the API's Transaction extension. Returns the number
+    * of items removed. The survivors are materialized (localCheckpoint)
+    * BEFORE the directory is overwritten — overwriting a path mid-scan
+    * is a read-your-own-delete race. A 100 TB catalog deletes by
+    * partition-scoped rewrite or tombstone + compaction
+    * (CatalogMaintenance) instead of this full rewrite. */
+  def delete(spark: SparkSession, path: String,
+      itemIds: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.col
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath) || itemIds.isEmpty) return 0L
+    val existing = read(spark, path)
+    val monthly = existing.columns.contains("month")
+    val n = existing.filter(col("item_id").isin(itemIds: _*)).count()
+    if (n == 0) return 0L
+    val keep = existing.drop("month")
+      .filter(!col("item_id").isin(itemIds: _*)).localCheckpoint()
+    fs.delete(hPath, true)
+    // deleting the last item returns the catalog to bootstrap state —
+    // a zero-row partitioned write would wedge later reads instead
+    if (!keep.isEmpty) {
+      if (monthly) writeMonthly(keep, path) else write(keep, path)
+    }
+    keep.unpersist()
+    n
+  }
+
   def upsert(spark: SparkSession, path: String, delta: DataFrame): Unit = {
     // bootstrap: first merge into a not-yet-existing catalog is a
     // plain write (a streaming upsertSink's first batch hits this).

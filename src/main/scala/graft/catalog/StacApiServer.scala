@@ -37,14 +37,18 @@ import org.apache.spark.sql.DataFrame
 class StacApiServer private (
     itemsSource: () => DataFrame,
     collections: Seq[StacModel.StacCollection],
-    catalogId: String) {
+    catalogId: String,
+    /** (spark, catalogPath) when the server is backed by a writable
+      * catalog path — enables the Transaction extension (POST/PUT/
+      * DELETE items). Fixed-frame servers are read-only: 405. */
+    store: Option[(org.apache.spark.sql.SparkSession, String)]) {
 
   /** Serve a fixed items frame (the common case: one catalog read
     * shared by every request). */
   def this(items: DataFrame,
       collections: Seq[StacModel.StacCollection] = Seq.empty,
       catalogId: String = "graft") =
-    this(() => items, collections, catalogId)
+    this(() => items, collections, catalogId, None)
 
   /** Resolved per request — a live server (StacApiServer.live) re-reads
     * the catalog path so items upserted by a running stream become
@@ -101,6 +105,8 @@ class StacApiServer private (
             case Some(c) => respond(ex, 200, mapper.writeValueAsString(c))
             case None => error(ex, 404, s"no such collection: $id")
           }
+        case ("GET", CollectionItemPath(cid, iid)) =>
+          serveItem(ex, cid, iid)
         case ("GET", CollectionItemsPath(id)) =>
           if (collections.nonEmpty && !collections.exists(_.id == id))
             error(ex, 404, s"no such collection: $id")
@@ -110,6 +116,12 @@ class StacApiServer private (
             serveSearch(ex, q, params.get("token"),
               s"/collections/$id/items", getParams = Some(params))
           }
+        case ("POST", CollectionItemsPath(cid)) =>
+          transact(ex, cid, itemId = None, replace = false)
+        case ("PUT", CollectionItemPath(cid, iid)) =>
+          transact(ex, cid, itemId = Some(iid), replace = true)
+        case ("DELETE", CollectionItemPath(cid, iid)) =>
+          deleteItem(ex, cid, iid)
         case ("GET", "/search") =>
           val params = queryParams(ex)
           serveSearch(ex, searchFromParams(params), params.get("token"),
@@ -122,7 +134,8 @@ class StacApiServer private (
             else mapper.readTree(body)
           val (q, token) = searchFromJson(node)
           serveSearch(ex, q, token, "/search", getParams = None)
-        case ("GET" | "POST", _) => error(ex, 404, s"no route: $path")
+        case ("GET" | "POST" | "PUT" | "DELETE", _) =>
+          error(ex, 404, s"no route: $path")
         case (m, _) => error(ex, 405, s"method not allowed: $m")
       }
     } catch {
@@ -155,6 +168,63 @@ class StacApiServer private (
     val page = FeatureCollection.page(items, q, token, selfHref, nextHref)
     respond(ex, 200, page.body)
   }
+
+  /** OGC Features core: one item by id, as a GeoJSON Feature. */
+  private def serveItem(ex: HttpExchange, cid: String, iid: String): Unit = {
+    val rows = CatalogQuery.compile(items, CatalogQuery.Search(
+      collections = Seq(cid), ids = Seq(iid), limit = 1))
+      .select(FeatureCollection.featureColumn.as("f")).collect()
+    if (rows.isEmpty) error(ex, 404, s"no item '$iid' in '$cid'")
+    else respond(ex, 200, rows.head.getString(0))
+  }
+
+  /** Transaction extension: POST (create, 409 on existing id) and PUT
+    * (create-or-replace). Mutations serialize through one lock —
+    * upsert is read-merge-write, and two interleaved merges would
+    * lose one of them. */
+  private def transact(ex: HttpExchange, cid: String,
+      itemId: Option[String], replace: Boolean): Unit = store match {
+    case None =>
+      error(ex, 405, "read-only server: transactions need a " +
+        "path-backed catalog (StacApiServer.live)")
+    case Some((spark, path)) =>
+      if (collections.nonEmpty && !collections.exists(_.id == cid)) {
+        error(ex, 404, s"no such collection: $cid"); return
+      }
+      val body = new String(ex.getRequestBody.readAllBytes(),
+        StandardCharsets.UTF_8)
+      val item = itemFromJson(mapper.readTree(body), cid, itemId)
+      txLock.synchronized {
+        val exists = scala.util.Try(CatalogStore.read(spark, path)
+          .filter(org.apache.spark.sql.functions.col("item_id") === item.item_id)
+          .limit(1).count() > 0).getOrElse(false)
+        if (exists && !replace)
+          error(ex, 409, s"item '${item.item_id}' already exists — PUT replaces")
+        else {
+          import spark.implicits._
+          CatalogStore.upsert(spark, path, Seq(item).toDS().toDF())
+          respond(ex, if (exists) 200 else 201,
+            s"""{"id":"${FeatureCollection.jsonEscape(item.item_id)}"""" +
+              s""","collection":"${FeatureCollection.jsonEscape(cid)}"}""")
+        }
+      }
+  }
+
+  private def deleteItem(ex: HttpExchange, cid: String, iid: String): Unit =
+    store match {
+      case None =>
+        error(ex, 405, "read-only server: transactions need a " +
+          "path-backed catalog (StacApiServer.live)")
+      case Some((spark, path)) => txLock.synchronized {
+        val n = CatalogStore.delete(spark, path, Seq(iid))
+        if (n == 0) error(ex, 404, s"no item '$iid' in '$cid'")
+        else { // 204: empty body by definition
+          ex.sendResponseHeaders(204, -1)
+        }
+      }
+    }
+
+  private val txLock = new Object
 
   private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -204,13 +274,14 @@ object StacApiServer {
       collections: Seq[StacModel.StacCollection] = Seq.empty,
       catalogId: String = "graft"): StacApiServer =
     new StacApiServer(() => CatalogStore.read(spark, path),
-      collections, catalogId)
+      collections, catalogId, Some((spark, path)))
 
   private val mapper =
     new ObjectMapper().registerModule(DefaultScalaModule)
 
   private val CollectionPath = "/collections/([^/]+)".r
   private val CollectionItemsPath = "/collections/([^/]+)/items".r
+  private val CollectionItemPath = "/collections/([^/]+)/items/([^/]+)".r
 
   /** Conformance classes actually implemented — core, collections,
     * item search, filter (text+json incl. spatial/temporal/advanced
@@ -222,6 +293,8 @@ object StacApiServer {
     "https://api.stacspec.org/v1.0.0/item-search#filter",
     "https://api.stacspec.org/v1.0.0/item-search#sort",
     "https://api.stacspec.org/v1.0.0/item-search#fields",
+    "https://api.stacspec.org/v1.0.0/ogcapi-features",
+    "https://api.stacspec.org/v1.0.0/ogcapi-features/extensions/transaction",
     "http://www.opengis.net/spec/cql2/1.0/conf/cql2-text",
     "http://www.opengis.net/spec/cql2/1.0/conf/cql2-json",
     "http://www.opengis.net/spec/cql2/1.0/conf/advanced-comparison-operators",
@@ -355,6 +428,96 @@ object StacApiServer {
         include = arr("include"), exclude = arr("exclude")))
     }
     (q, Option(n.get("token")).map(_.asText()))
+  }
+
+  /** A POSTed/PUT STAC Item JSON → the catalog's typed row. Field
+    * discipline matches the search side: bbox from the body or the
+    * geometry envelope, datetimes from properties.datetime /
+    * start_datetime / end_datetime (RFC 3339), property scalars
+    * flattened to the stringly map the catalog stores. Malformed
+    * input raises IllegalArgumentException → 400. */
+  private[catalog] def itemFromJson(n: JsonNode, cid: String,
+      forcedId: Option[String]): StacModel.StacItem = {
+    require(n != null && n.isObject, "item: expected a JSON object")
+    val id = forcedId.getOrElse {
+      require(n.has("id") && n.get("id").isTextual, "item: 'id' required")
+      n.get("id").asText()
+    }
+    require(id.nonEmpty, "item: empty id")
+    forcedId.foreach { fid =>
+      if (n.has("id"))
+        require(n.get("id").asText() == fid,
+          s"item id '${n.get("id").asText()}' does not match the path '$fid'")
+    }
+    val geomNode = Option(n.get("geometry")).filter(g => !g.isNull)
+    val geomStr = geomNode.map(_.toString).orNull
+    val parsedGeom = geomNode.map { g =>
+      graft.geometry.Geometry.parseGeoJson(g.toString).getOrElse(
+        throw new IllegalArgumentException(
+          "item: unsupported or malformed geometry"))
+    }
+    val bbox: Seq[Double] =
+      if (n.has("bbox") && n.get("bbox").isArray) {
+        val a = n.get("bbox")
+        val ds = (0 until a.size).map { i =>
+          require(a.get(i).isNumber, s"item bbox: not a number: ${a.get(i)}")
+          a.get(i).asDouble()
+        }
+        require(ds.length == 4 || ds.length == 6,
+          s"item bbox: expected 4 or 6 numbers, got ${ds.length}")
+        if (ds.length == 6) Seq(ds(0), ds(1), ds(3), ds(4)) else ds
+      } else parsedGeom.map { g =>
+        val (w, s, e, nn) = graft.geometry.Geometry.envelope(g)
+        Seq(w, s, e, nn)
+      }.getOrElse(throw new IllegalArgumentException(
+        "item: a bbox or a geometry is required"))
+    val props = Option(n.get("properties")).getOrElse(mapper.createObjectNode())
+    require(props.isObject, "item: properties must be an object")
+    def propStr(k: String): Option[String] =
+      Option(props.get(k)).filterNot(_.isNull).map(_.asText())
+    def parseTs(s: String): Timestamp =
+      try Timestamp.from(java.time.OffsetDateTime.parse(s).toInstant)
+      catch { case _: java.time.format.DateTimeParseException =>
+        throw new IllegalArgumentException(s"item datetime not RFC 3339: '$s'")
+      }
+    val start = propStr("start_datetime").orElse(propStr("datetime"))
+      .map(parseTs).getOrElse(throw new IllegalArgumentException(
+        "item: properties.datetime or start_datetime required"))
+    val end = propStr("end_datetime").orElse(propStr("datetime"))
+      .map(parseTs).getOrElse(start)
+    val propMap = {
+      val it = props.fieldNames()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) {
+        val k = it.next()
+        val v = props.get(k)
+        b += k -> (if (v.isValueNode) v.asText() else v.toString)
+      }
+      b.result()
+    }
+    val assets = Option(n.get("assets")).filter(_.isObject).map { a =>
+      val it = a.fieldNames()
+      val b = Map.newBuilder[String, StacModel.AssetRef]
+      while (it.hasNext) {
+        val k = it.next()
+        val v = a.get(k)
+        b += k -> StacModel.AssetRef(
+          Option(v.get("href")).map(_.asText()).getOrElse(""),
+          Option(v.get("type")).map(_.asText()).getOrElse(""))
+      }
+      b.result()
+    }.getOrElse(Map.empty)
+    val links = Option(n.get("links")).filter(_.isArray).map { l =>
+      (0 until l.size).map { i =>
+        StacModel.LinkRef(
+          Option(l.get(i).get("rel")).map(_.asText()).getOrElse(""),
+          Option(l.get(i).get("href")).map(_.asText()).getOrElse(""))
+      }
+    }.getOrElse(Seq.empty)
+    StacModel.StacItem(id, cid, geomStr, bbox,
+      bbox(0), bbox(1), bbox(2), bbox(3), start, end, Seq(start),
+      propMap, assets, links, source_url = "api:transaction",
+      ingested_at = new Timestamp(System.currentTimeMillis()))
   }
 
   /** STAC bbox: [w,s,e,n] or [w,s,zmin,e,n,zmax] (elevation dropped). */

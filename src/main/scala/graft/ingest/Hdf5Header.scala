@@ -28,7 +28,8 @@ import java.nio.charset.StandardCharsets
   *                      dense (fractal-heap, libhdf5
   *                        1.10+ groups with >8 links)     no, loud
   *   chunk filters    : shuffle, deflate                  yes
-  *                      szip / fletcher32 / others        no, loud
+  *                      fletcher32 (verified + stripped)  yes
+  *                      szip / others                     no, loud
   *   data endianness  : little-endian                     yes
   *                      big-endian                        no, loud
   *   groups below root, vlen/compound datasets            no, loud
@@ -617,6 +618,55 @@ object Hdf5Header {
 
   private val FILTER_DEFLATE = 1
   private val FILTER_SHUFFLE = 2
+  private val FILTER_FLETCHER32 = 3
+
+  /** HDF5's Fletcher-32 (H5_checksum_fletcher32 in the public HDF5
+    * source): data as BIG-endian 16-bit words, partial sums folded
+    * every 360 words to defer overflow, an odd trailing byte
+    * high-padded, two final folds for remaining carries. */
+  private[ingest] def fletcher32(data: Array[Byte], len: Int): Long = {
+    var sum1 = 0L
+    var sum2 = 0L
+    var i = 0
+    var remaining = len / 2
+    while (remaining > 0) {
+      var t = math.min(360, remaining)
+      remaining -= t
+      while (t > 0) {
+        sum1 += (((data(i) & 0xff) << 8) | (data(i + 1) & 0xff)).toLong
+        sum2 += sum1
+        i += 2
+        t -= 1
+      }
+      sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    }
+    if (len % 2 == 1) {
+      sum1 += ((data(len - 1) & 0xff) << 8).toLong
+      sum2 += sum1
+    }
+    sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+    sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+    sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    (sum2 << 16) | sum1
+  }
+
+  /** Undo the fletcher32 filter: verify the little-endian 4-byte
+    * checksum appended to the chunk, strip it. A mismatch is chunk
+    * corruption — quarantine the granule, don't decode garbage. */
+  private def defletcher(data: Array[Byte]): Array[Byte] = {
+    if (data.length < 4)
+      throw new IOException("fletcher32 chunk shorter than its checksum")
+    val n = data.length - 4
+    val stored = (data(n) & 0xffL) | ((data(n + 1) & 0xffL) << 8) |
+      ((data(n + 2) & 0xffL) << 16) | ((data(n + 3) & 0xffL) << 24)
+    val computed = fletcher32(data, n)
+    if (computed != stored)
+      throw new IOException(
+        f"fletcher32 checksum mismatch: stored 0x$stored%08x, computed 0x$computed%08x")
+    java.util.Arrays.copyOf(data, n)
+  }
 
   /** Undefined data address ⇒ never written ⇒ fill value (netcdf's
     * lazy allocation); absent fill message ⇒ NaN for floats, 0 for
@@ -690,10 +740,11 @@ object Hdf5Header {
     val filters = msgs.find(_.msgType == MSG_FILTER)
       .map(m => parseFilters(buf, m.off)).getOrElse(Seq.empty)
     filters.foreach { case (id, _) =>
-      if (id != FILTER_DEFLATE && id != FILTER_SHUFFLE)
+      if (id != FILTER_DEFLATE && id != FILTER_SHUFFLE &&
+        id != FILTER_FLETCHER32)
         throw new IOException(
           s"unsupported HDF5 filter $id on dataset '$name' " +
-            "(shuffle + deflate only)")
+            "(shuffle + deflate + fletcher32 only)")
     }
     val out = Array.fill(total.toInt)(fill)
     parseLayout(buf, find(MSG_LAYOUT, "layout").off) match {
@@ -765,6 +816,7 @@ object Hdf5Header {
         if ((mask & (1 << i)) == 0) data = id match {
           case FILTER_DEFLATE => inflate(data, (chunkElems * dt.size).toInt)
           case FILTER_SHUFFLE => unshuffle(data, dt.size)
+          case FILTER_FLETCHER32 => defletcher(data)
         }
       }
       if (data.length < chunkElems * dt.size)
@@ -1052,6 +1104,7 @@ object Hdf5Header {
       chunks: Option[Seq[Long]] = None,
       deflate: Boolean = false,
       shuffle: Boolean = false,
+      fletcher: Boolean = false,
       fill: Option[Double] = None,
       attrs: Seq[(String, NetcdfClassic.AttrValue)] = Seq.empty)
 
@@ -1082,20 +1135,24 @@ object Hdf5Header {
     // (fixed strings here — data files don't need the vlen form)
     def attrMsg(attrName: String, value: AttrValue): Array[Byte] =
       attrMessageV1(attrName, value, vlenRef = None)
-    // v1 filter-pipeline message: shuffle then deflate, netcdf's order
+    // v1 filter-pipeline message: shuffle, deflate, then fletcher32 —
+    // netcdf's order (checksum is computed over the compressed bytes)
     def filterMsg(v: FixtureVar, elemSize: Int): Option[Array[Byte]] = {
-      if (!v.deflate && !v.shuffle) None
+      if (!v.deflate && !v.shuffle && !v.fletcher) None
       else {
         val fb = new java.io.ByteArrayOutputStream()
-        val n = (if (v.shuffle) 1 else 0) + (if (v.deflate) 1 else 0)
+        val n = (if (v.shuffle) 1 else 0) + (if (v.deflate) 1 else 0) +
+          (if (v.fletcher) 1 else 0)
         fb.write(1); fb.write(n); fb.write(new Array[Byte](6))
-        def one(id: Int, value: Long): Unit = {
+        def one(id: Int, values: Seq[Long]): Unit = {
           fb.write(le(2, id.toLong)); fb.write(le(2, 0L)) // no name
-          fb.write(le(2, 1L)); fb.write(le(2, 1L)) // optional flag, 1 value
-          fb.write(le(4, value)); fb.write(le(4, 0L)) // odd count ⇒ pad word
+          fb.write(le(2, 1L)); fb.write(le(2, values.length.toLong))
+          values.foreach(x => fb.write(le(4, x)))
+          if (values.length % 2 == 1) fb.write(le(4, 0L)) // odd ⇒ pad word
         }
-        if (v.shuffle) one(FILTER_SHUFFLE, elemSize.toLong)
-        if (v.deflate) one(FILTER_DEFLATE, 6L)
+        if (v.shuffle) one(FILTER_SHUFFLE, Seq(elemSize.toLong))
+        if (v.deflate) one(FILTER_DEFLATE, Seq(6L))
+        if (v.fletcher) one(FILTER_FLETCHER32, Seq.empty)
         Some(fb.toByteArray)
       }
     }
@@ -1202,6 +1259,10 @@ object Hdf5Header {
             var stored = cb.array()
             if (v.shuffle) stored = shuffleBytes(stored, esz)
             if (v.deflate) stored = deflateBytes(stored)
+            if (v.fletcher) {
+              val sum = fletcher32(stored, stored.length)
+              stored = stored ++ le(4, sum)
+            }
             (coords, stored)
           }.filterNot { case (coords, _) =>
             // netcdf's lazy allocation: an all-fill chunk is never

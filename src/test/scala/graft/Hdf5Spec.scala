@@ -197,6 +197,36 @@ class Hdf5Spec extends SparkSpec {
       vals.map(v => (v.toInt % 5).toDouble).toSeq)
   }
 
+  test("fletcher32 chunks verify and strip; corrupted chunks quarantine") {
+    import Hdf5Header.FixtureVar
+    val vals = Array.tabulate(40)(i => -10.0 + i * 0.75)
+    // the full netcdf filter stack: shuffle → deflate → fletcher32
+    // (checksum over the compressed bytes, as libhdf5 writes it)
+    val bytes = Hdf5Header.buildDataFile(
+      granuleAttrs,
+      Seq(FixtureVar("V", Seq(40L), vals, chunks = Some(Seq(16L)),
+        deflate = true, shuffle = true, fletcher = true)))
+    val got = Hdf5Header.readFile(bytes).dataset("V")
+    assert(got.data.toSeq == vals.toSeq)
+    // fletcher32 alone (odd-length chunk bytes exercise the trailing-
+    // byte fold): i1 elements make a 16-byte chunk → use 15 elems
+    val odd = Array.tabulate(15)(i => (i - 7).toDouble)
+    val b2 = Hdf5Header.buildDataFile(
+      granuleAttrs,
+      Seq(FixtureVar("W", Seq(15L), odd, dtype = "i1",
+        chunks = Some(Seq(5L)), fletcher = true)))
+    assert(Hdf5Header.readFile(b2).dataset("W").data.toSeq == odd.toSeq)
+    // flip one raw-data byte: the checksum must catch it as a loud
+    // quarantine, not a silent wrong value
+    val corrupt = bytes.clone()
+    val tail = corrupt.length - 30 // inside the last chunk's payload
+    corrupt(tail) = (corrupt(tail) ^ 0x5a).toByte
+    val e = intercept[java.io.IOException](
+      Hdf5Header.readFile(corrupt).dataset("V"))
+    assert(e.getMessage.contains("fletcher32"),
+      s"expected a fletcher32 mismatch, got: ${e.getMessage}")
+  }
+
   test("unwritten all-fill chunks reconstitute from the fill value") {
     import Hdf5Header.FixtureVar
     // second half of the variable is pure fill ⇒ netcdf lazy

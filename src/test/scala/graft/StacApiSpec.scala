@@ -262,6 +262,72 @@ class StacApiSpec extends SparkSpec {
       .has("assets"))
   }
 
+  test("OGC single-item fetch and the Transaction extension") {
+    val cid = "AVHRR_SST_METOP_B-OSISAF-L2P-v1.0"
+    // a live server over its own store — mutations must not disturb
+    // the shared read-only fixture server
+    val tmp = Files.createTempDirectory("graft-tx").toString + "/items"
+    val (built, _) = ItemAssembly.assemble(
+      new FixtureGranuleSource(end = "2022-05-01 00:59:59").granules(spark))
+    CatalogStore.write(built, tmp)
+    val srv = StacApiServer.live(spark, tmp)
+    val b2 = srv.start()
+    def req(method: String, path: String, body: String = null): (Int, String) = {
+      val builder = HttpRequest.newBuilder(URI.create(b2 + path))
+      val r = http.send((method match {
+        case "GET" => builder.GET()
+        case "DELETE" => builder.DELETE()
+        case m => builder.method(m,
+          HttpRequest.BodyPublishers.ofString(body))
+      }).build(), HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), r.body())
+    }
+    try {
+      val firstId = spark.read.parquet(tmp)
+        .orderBy("item_id").select("item_id").first().getString(0)
+      // OGC Features core: one item by id as a GeoJSON Feature
+      val (s0, one) = req("GET", s"/collections/$cid/items/$firstId")
+      assert(s0 == 200, one)
+      val f = mapper.readTree(one)
+      assert(f.get("id").asText() == firstId &&
+        f.get("type").asText() == "Feature")
+      assert(req("GET", s"/collections/$cid/items/nope")._1 == 404)
+      // POST creates; the item is immediately searchable
+      val item = """{"id":"tx-item-1",
+        "geometry":{"type":"Point","coordinates":[10.0,20.0]},
+        "properties":{"datetime":"2022-05-02T00:00:00Z","grade":"good"},
+        "assets":{"data":{"href":"s3://bucket/g.nc",
+          "type":"application/netcdf"}}}""".replaceAll("\n\\s*", "")
+      val (sc, created) = req("POST", s"/collections/$cid/items", item)
+      assert(sc == 201, created)
+      val (sg, fetched) = req("GET", s"/collections/$cid/items/tx-item-1")
+      assert(sg == 200, fetched)
+      val fj = mapper.readTree(fetched)
+      assert(fj.get("properties").get("grade").asText() == "good")
+      assert(fj.get("bbox").get(0).asDouble() == 10.0) // from the envelope
+      // POST on an existing id: 409, PUT replaces
+      assert(req("POST", s"/collections/$cid/items", item)._1 == 409)
+      val (sp, _) = req("PUT", s"/collections/$cid/items/tx-item-1",
+        item.replace("\"good\"", "\"better\""))
+      assert(sp == 200)
+      assert(mapper.readTree(req("GET",
+        s"/collections/$cid/items/tx-item-1")._2)
+        .get("properties").get("grade").asText() == "better")
+      // malformed item: clean 400s
+      assert(req("POST", s"/collections/$cid/items", """{"id":"x"}""")._1 == 400)
+      assert(req("POST", s"/collections/$cid/items",
+        """{"id":"x","bbox":[1,2,3,4],"properties":{"datetime":"yesterday"}}""")
+        ._1 == 400)
+      // DELETE removes it; a second DELETE 404s; the rest survive
+      assert(req("DELETE", s"/collections/$cid/items/tx-item-1")._1 == 204)
+      assert(req("GET", s"/collections/$cid/items/tx-item-1")._1 == 404)
+      assert(req("DELETE", s"/collections/$cid/items/tx-item-1")._1 == 404)
+      assert(req("GET", s"/collections/$cid/items/$firstId")._1 == 200)
+      // the fixed-frame fixture server stays read-only
+      assert(post(s"/collections/$cid/items", item)._1 == 405)
+    } finally srv.stop()
+  }
+
   test("malformed requests answer 400 with a JSON error, not a crash") {
     assert(get("/search?bbox=1,2,three,4")._1 == 400)
     assert(get("/search?limit=0")._1 == 400)
