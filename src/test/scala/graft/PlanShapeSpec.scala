@@ -45,6 +45,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange"), "search is scan→filter→topk, no shuffle")
   }
 
+  test("catalog_search_core plans as scan→filter→topk with pushdown") {
+    val p = plan(SourceSinkQueries.catalogSearchCore(spark, sf))
+    // sort+limit must fold into one TakeOrderedAndProject — a global
+    // Sort here would materialize the whole filtered catalog at scale
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the collection and price predicates reach the parquet scan as
+    // pushed row-group filters (prefix-match: toString truncates)
+    assert(p.contains("PushedFilters: [IsNotNull("), p)
+    // no shuffle: predicates + keyset token evaluate in the scan stage
+    assert(!p.contains("Exchange"), "search core must not shuffle")
+  }
+
   test("dimension joins broadcast, never shuffle the small side") {
     val p = plan(JoinQueries.joinBroadcastDim(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
