@@ -26,7 +26,11 @@ import java.nio.charset.StandardCharsets
   *   root-group links : symbol-table (netcdf-c default)  yes
   *                      compact v2 link messages          yes
   *                      dense (fractal-heap, libhdf5
-  *                        1.10+ groups with >8 links)     no, loud
+  *                        1.10+ groups with >8 links)     yes — managed
+  *                        unfiltered objects, root direct block or one
+  *                        indirect level, name-index v2 B-tree depth
+  *                        ≤ 1 (huge/tiny IDs, filtered heaps, deeper
+  *                        trees: no, loud)
   *   chunk filters    : shuffle, deflate                  yes
   *                      fletcher32 (verified + stripped)  yes
   *                      szip / others                     no, loud
@@ -459,16 +463,165 @@ object Hdf5Header {
       case Some(st) =>
         symbolTableChildren(buf, buf.u64(st.off), buf.u64(st.off + 8))
       case None =>
-        // v2 headers spill >8 links into a fractal heap (link info
-        // message with a defined heap address) — out of scope, but
-        // the error must say so rather than silently yield no vars
-        val spilled = msgs.find(_.msgType == MSG_LINK_INFO)
-          .exists(m => buf.u64(m.off + (if ((buf.u8(m.off + 1) & 0x01) != 0)
-            10 else 2)) != UNDEF)
-        if (spilled) throw new IOException(
-          "fractal-heap link storage unsupported (dense groups)")
-        Seq.empty
+        // v2 headers spill >8 links into DENSE storage: link messages
+        // live as managed objects in a fractal heap, enumerated via
+        // the name-index v2 B-tree (the layout libhdf5 1.10+ writes
+        // once a group crosses the compact-link threshold)
+        msgs.find(_.msgType == MSG_LINK_INFO) match {
+          case Some(m) =>
+            val base = m.off + (if ((buf.u8(m.off + 1) & 0x01) != 0) 10 else 2)
+            val heapAddr = buf.u64(base)
+            val nameBtree = buf.u64(base + 8)
+            if (heapAddr == UNDEF) Seq.empty
+            else denseGroupChildren(buf, heapAddr, nameBtree)
+          case None => Seq.empty
+        }
     }
+  }
+
+  /** Dense (fractal-heap) link storage: every link rides as a managed
+    * object in the heap; the name-index v2 B-tree's records carry the
+    * heap IDs. Listing walks ALL records (internal nodes included —
+    * a v2 B-tree stores records at every level) and resolves each
+    * heap ID to its link message; the name hash is never needed for
+    * enumeration. Supports what netcdf-style files contain: unfiltered
+    * managed objects, root direct block or one level of indirect
+    * blocks, B-tree depth ≤ 1 — everything else fails loudly. */
+  private def denseGroupChildren(
+      buf: Buf, heapAddr: Long, btreeAddr: Long): Seq[(String, Long)] = {
+    // ---- fractal heap header (FRHP) ----
+    if (new String(buf.bytes(heapAddr, 4), StandardCharsets.US_ASCII) != "FRHP")
+      throw new IOException(s"no fractal heap at offset $heapAddr")
+    if (buf.u8(heapAddr + 4) != 0)
+      throw new IOException(
+        s"unsupported fractal heap version ${buf.u8(heapAddr + 4)}")
+    val idLen = buf.u16(heapAddr + 5)
+    val ioFiltersLen = buf.u16(heapAddr + 7)
+    if (ioFiltersLen != 0)
+      throw new IOException("filtered fractal heap unsupported")
+    val flags = buf.u8(heapAddr + 9)
+    val maxManagedObj = buf.u32(heapAddr + 10)
+    val nHuge = buf.u64(heapAddr + 86)
+    val nTiny = buf.u64(heapAddr + 102)
+    if (nHuge != 0 || nTiny != 0)
+      throw new IOException(
+        s"huge/tiny fractal-heap objects unsupported ($nHuge huge, $nTiny tiny)")
+    val tableWidth = buf.u16(heapAddr + 110)
+    val startBlockSize = buf.u64(heapAddr + 112)
+    val maxDirectBlockSize = buf.u64(heapAddr + 120)
+    val maxHeapBits = buf.u16(heapAddr + 128)
+    val rootBlockAddr = buf.u64(heapAddr + 132)
+    val currentRowsRoot = buf.u16(heapAddr + 140)
+    if (tableWidth <= 0 || startBlockSize <= 0 || maxHeapBits <= 0)
+      throw new IOException("corrupt fractal heap geometry")
+    def minBytes(v: Long): Int = {
+      var n = 1; var x = v >> 8
+      while (x != 0) { n += 1; x >>= 8 }
+      n
+    }
+    val offsetBytes = (maxHeapBits + 7) / 8
+    val lengthBytes = minBytes(maxManagedObj)
+    if (idLen != 1 + offsetBytes + lengthBytes)
+      throw new IOException(
+        s"fractal heap ID length $idLen != 1+$offsetBytes+$lengthBytes")
+    val blockHeaderLen =
+      4 + 1 + 8 + offsetBytes + (if ((flags & 0x02) != 0) 4 else 0)
+
+    // ---- direct-block map: heap linear offset → file address ----
+    case class DBlock(blockOff: Long, size: Long, fileAddr: Long)
+    def rowSize(row: Int): Long =
+      if (row < 2) startBlockSize else startBlockSize << (row - 1)
+    val blocks: Seq[DBlock] =
+      if (currentRowsRoot == 0)
+        Seq(DBlock(0L, startBlockSize, rootBlockAddr))
+      else {
+        if (new String(buf.bytes(rootBlockAddr, 4),
+          StandardCharsets.US_ASCII) != "FHIB")
+          throw new IOException(
+            s"no fractal-heap indirect block at offset $rootBlockAddr")
+        val entriesOff = rootBlockAddr + 4 + 1 + 8 + offsetBytes
+        var heapOff = 0L
+        (0 until currentRowsRoot).flatMap { row =>
+          val sz = rowSize(row)
+          if (sz > maxDirectBlockSize) throw new IOException(
+            "nested indirect fractal-heap blocks unsupported")
+          (0 until tableWidth).flatMap { col =>
+            val slot = row * tableWidth + col
+            val addr = buf.u64(entriesOff + slot.toLong * 8)
+            val off = heapOff
+            heapOff += sz
+            if (addr == UNDEF) None else Some(DBlock(off, sz, addr))
+          }
+        }
+      }
+    blocks.foreach { b =>
+      if (new String(buf.bytes(b.fileAddr, 4),
+        StandardCharsets.US_ASCII) != "FHDB")
+        throw new IOException(
+          s"no fractal-heap direct block at offset ${b.fileAddr}")
+    }
+    def objFileOffset(heapOff: Long): Long = {
+      val b = blocks.find(b =>
+        heapOff >= b.blockOff && heapOff < b.blockOff + b.size)
+        .getOrElse(throw new IOException(
+          s"fractal-heap object offset $heapOff outside any direct block"))
+      val rel = heapOff - b.blockOff
+      if (rel < blockHeaderLen)
+        throw new IOException("fractal-heap object inside block header")
+      b.fileAddr + rel
+    }
+
+    // ---- name-index v2 B-tree (BTHD / BTIN / BTLF) ----
+    if (btreeAddr == UNDEF)
+      throw new IOException("dense group lacks its name-index v2 B-tree")
+    if (new String(buf.bytes(btreeAddr, 4), StandardCharsets.US_ASCII) != "BTHD")
+      throw new IOException(s"no v2 B-tree header at offset $btreeAddr")
+    val btType = buf.u8(btreeAddr + 5)
+    if (btType != 5) // 5 = link-name index
+      throw new IOException(s"unexpected v2 B-tree type $btType")
+    val nodeSize = buf.u32(btreeAddr + 6)
+    val recordSize = buf.u16(btreeAddr + 10)
+    val depth = buf.u16(btreeAddr + 12)
+    val rootNodeAddr = buf.u64(btreeAddr + 16)
+    val nRecRoot = buf.u16(btreeAddr + 24)
+    if (recordSize < 5 || recordSize > 64 || nodeSize < 32)
+      throw new IOException(
+        s"corrupt v2 B-tree geometry: node $nodeSize record $recordSize")
+    // record = name hash (4) + heap ID (recordSize - 4)
+    def recordsOf(addr: Long, n: Int, sig: String): Seq[Long] = {
+      if (new String(buf.bytes(addr, 4), StandardCharsets.US_ASCII) != sig)
+        throw new IOException(s"no $sig v2 B-tree node at offset $addr")
+      (0 until n).map(i => addr + 6 + i.toLong * recordSize)
+    }
+    val recordOffs: Seq[Long] = depth match {
+      case 0 => recordsOf(rootNodeAddr, nRecRoot, "BTLF")
+      case 1 =>
+        val own = recordsOf(rootNodeAddr, nRecRoot, "BTIN")
+        // child pointers follow the records: address + leaf record
+        // count stored in the minimum bytes for a full leaf
+        val maxLeafRec = (nodeSize - 10) / recordSize
+        val nrecBytes = minBytes(maxLeafRec.toLong)
+        val ptrOff = rootNodeAddr + 6 + nRecRoot.toLong * recordSize
+        val ptrLen = 8L + nrecBytes
+        val fromLeaves = (0 to nRecRoot).flatMap { i =>
+          val a = buf.u64(ptrOff + i * ptrLen)
+          val n = buf.uint(ptrOff + i * ptrLen + 8, nrecBytes).toInt
+          recordsOf(a, n, "BTLF")
+        }
+        own ++ fromLeaves
+      case d => throw new IOException(s"v2 B-tree depth $d unsupported")
+    }
+
+    // ---- heap IDs → link messages ----
+    recordOffs.map { rOff =>
+      val idOff = rOff + 4
+      val b0 = buf.u8(idOff)
+      if (((b0 >> 4) & 0x03) != 0)
+        throw new IOException(
+          s"non-managed fractal-heap object type ${(b0 >> 4) & 0x03}")
+      val heapOff = buf.uint(idOff + 1, offsetBytes)
+      parseLink(buf, objFileOffset(heapOff))
+    }.sortBy(_._1)
   }
 
   /** Hard link message v1: name + child object header address. */
@@ -624,7 +777,7 @@ object Hdf5Header {
     * source): data as BIG-endian 16-bit words, partial sums folded
     * every 360 words to defer overflow, an odd trailing byte
     * high-padded, two final folds for remaining carries. */
-  private[ingest] def fletcher32(data: Array[Byte], len: Int): Long = {
+  private[graft] def fletcher32(data: Array[Byte], len: Int): Long = {
     var sum1 = 0L
     var sum2 = 0L
     var i = 0
@@ -1110,7 +1263,11 @@ object Hdf5Header {
 
   def buildDataFile(
       attrs: Seq[(String, NetcdfClassic.AttrValue)],
-      vars: Seq[FixtureVar]): Array[Byte] = {
+      vars: Seq[FixtureVar],
+      /** Store root links DENSELY (fractal heap + name-index v2
+        * B-tree — the libhdf5 1.10+ layout for groups past the
+        * compact threshold) instead of the symbol-table group. */
+      denseLinks: Boolean = false): Array[Byte] = {
     import NetcdfClassic._
     // SNOD entries must be name-ordered (HDF5 B-tree invariant)
     val vs = vars.sortBy(_.name)
@@ -1293,7 +1450,10 @@ object Hdf5Header {
 
     // -- address assignment --
     val rootAttrMsgs = attrs.map { case (n2, a) => attrMsg(n2, a) }
-    val rootHeaderLen = 16 + (8 + 16) + rootAttrMsgs.map(8 + _.length).sum
+    // dense root: link-info message (18-byte body padded to 24);
+    // classic root: symbol-table message (16-byte body)
+    val rootHeaderLen = 16 + (8 + (if (denseLinks) 24 else 16)) +
+      rootAttrMsgs.map(8 + _.length).sum
     val ROOT = 96L
     val heapAddr = ROOT + rootHeaderLen
     val nameOffsets = {
@@ -1309,7 +1469,94 @@ object Hdf5Header {
     val btreeAddr = heapAddr + 32 + heapDataLen
     val snodAddr = btreeAddr + 48
     val snodLen = 8L + 40L * vs.length
-    var cursor = snodAddr + snodLen
+
+    /** Dense-link layout: geometry mirrors libhdf5's defaults scaled
+      * down (4-wide doubling table, 512-byte starting blocks) so
+      * multi-block heaps appear at test sizes; heap IDs are
+      * 1 + 4(offset) + 2(length) bytes; v2 B-tree nodes are 512 bytes
+      * with 11-byte (hash + heap ID) records. */
+    case class DenseLayout(
+        frhpAddr: Long, rootBlockAddr: Long, nRows: Int,
+        blockOffs: Seq[Long], blockSizes: Seq[Long],
+        blockFileAddrs: Seq[Long],
+        objOffs: Seq[Long], objLens: Seq[Int],
+        bthdAddr: Long, depth: Int, rootNodeAddr: Long,
+        internalRecs: Seq[Int], leaves: Seq[Seq[Int]],
+        leafAddrs: Seq[Long], end: Long)
+    val D_WIDTH = 4
+    val D_START = 512L
+    val D_BLOCK_HEADER = 4 + 1 + 8 + 4 + 4 // sig+ver+hdr+offset4+checksum
+    val D_FRHP_LEN = 146L
+    val D_BTHD_LEN = 38L
+    val D_NODE = 512
+    val D_REC = 11
+    val D_LEAF_CAP = 40 // < (D_NODE-10)/D_REC = 45
+    val dense: Option[DenseLayout] = if (!denseLinks) None else Some {
+      val objLens = vs.map(v =>
+        3 + v.name.getBytes(StandardCharsets.UTF_8).length + 8)
+      def rowSize(row: Int): Long =
+        if (row < 2) D_START else D_START << (row - 1)
+      // sequential slot fill in heap-linear order
+      val oo = scala.collection.mutable.ArrayBuffer[Long]()
+      val bo = scala.collection.mutable.ArrayBuffer[Long]()
+      val bsz = scala.collection.mutable.ArrayBuffer[Long]()
+      var nextBlockOff = 0L
+      var used = 0L
+      def open(): Unit = {
+        val sz = rowSize(bo.length / D_WIDTH)
+        bo += nextBlockOff; bsz += sz
+        nextBlockOff += sz
+        used = D_BLOCK_HEADER.toLong
+      }
+      open()
+      objLens.foreach { len =>
+        require(len <= bsz.last - D_BLOCK_HEADER, s"link too long: $len")
+        if (used + len > bsz.last) open()
+        oo += bo.last + used
+        used += len
+      }
+      val nBlocks = bo.length
+      val nRows = (nBlocks + D_WIDTH - 1) / D_WIDTH
+      val rootIsDirect = nBlocks == 1
+      val frhpAddr = heapAddr
+      val fhibLen =
+        if (rootIsDirect) 0L
+        else 4L + 1 + 8 + 4 + nRows.toLong * D_WIDTH * 8 + 4
+      val firstBlockAddr = frhpAddr + D_FRHP_LEN + fhibLen
+      val blockFileAddrs = bsz.scanLeft(firstBlockAddr)(_ + _).init.toSeq
+      val rootBlockAddr =
+        if (rootIsDirect) blockFileAddrs.head
+        else frhpAddr + D_FRHP_LEN
+      val bthdAddr = blockFileAddrs.last + bsz.last
+      // B-tree record split: in-order = leaf0, sep0, leaf1, sep1, ...
+      val n = vs.length
+      val (depth, internalRecs, leaves) =
+        if (n <= D_LEAF_CAP)
+          (0, Seq.empty[Int], Seq((0 until n): Seq[Int]))
+        else {
+          val ls = scala.collection.mutable.ArrayBuffer[Seq[Int]]()
+          val ir = scala.collection.mutable.ArrayBuffer[Int]()
+          var rest: Seq[Int] = 0 until n
+          while (rest.length > D_LEAF_CAP + 1) {
+            ls += rest.take(D_LEAF_CAP)
+            ir += rest(D_LEAF_CAP)
+            rest = rest.drop(D_LEAF_CAP + 1)
+          }
+          ls += rest
+          (1, ir.toSeq, ls.toSeq)
+        }
+      val rootNodeAddr = bthdAddr + D_BTHD_LEN
+      val leafAddrs =
+        if (depth == 0) Seq(rootNodeAddr)
+        else leaves.indices.map(i =>
+          rootNodeAddr + D_NODE.toLong + i.toLong * D_NODE)
+      val end = (if (depth == 0) rootNodeAddr + D_NODE
+        else leafAddrs.last + D_NODE)
+      DenseLayout(frhpAddr, rootBlockAddr, if (rootIsDirect) 0 else nRows,
+        bo.toSeq, bsz.toSeq, blockFileAddrs, oo.toSeq, objLens,
+        bthdAddr, depth, rootNodeAddr, internalRecs, leaves, leafAddrs, end)
+    }
+    var cursor = dense.map(_.end).getOrElse(snodAddr + snodLen)
     val headerAddrs = plans.map { p =>
       val a = cursor; cursor += p.headerLen; a
     }
@@ -1351,46 +1598,181 @@ object Hdf5Header {
     u64(ROOT)
     u32(1L); u32(0L) // cache type 1 (group), reserved
     (0 until 16).foreach(_ => u8(0))
-    // root v1 object header: symbol table msg + root attrs
+    // root v1 object header: group-structure msg + root attrs
     u8(1); u8(0)
     u16(1 + rootAttrMsgs.length)
     u32(1L)
     u32((rootHeaderLen - 16).toLong)
     u32(0L)
-    val stBody = java.nio.ByteBuffer.allocate(16)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    stBody.putLong(btreeAddr); stBody.putLong(heapAddr)
-    msg(MSG_SYMBOL_TABLE, stBody.array())
-    rootAttrMsgs.foreach(m => msg(MSG_ATTRIBUTE, m))
-    // local heap
-    raw("HEAP".getBytes(StandardCharsets.US_ASCII))
-    u8(0); u8(0); u8(0); u8(0)
-    u64(heapDataLen)
-    u64(heapDataLen) // free list: none (head past the names)
-    u64(heapAddr + 32)
-    (0 until 8).foreach(_ => u8(0)) // reserved empty name at offset 0
-    vs.foreach { v =>
-      val nb = v.name.getBytes(StandardCharsets.UTF_8) :+ 0.toByte
-      raw(nb)
-      (0 until (pad8(nb.length.toLong) - nb.length).toInt).foreach(_ => u8(0))
+    dense match {
+      case Some(d) =>
+        // link-info v0, flags 0: fractal heap + name-index addresses
+        val lb = java.nio.ByteBuffer.allocate(24)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        lb.put(0.toByte).put(0.toByte)
+        lb.putLong(d.frhpAddr); lb.putLong(d.bthdAddr)
+        msg(MSG_LINK_INFO, lb.array())
+      case None =>
+        val stBody = java.nio.ByteBuffer.allocate(16)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        stBody.putLong(btreeAddr); stBody.putLong(heapAddr)
+        msg(MSG_SYMBOL_TABLE, stBody.array())
     }
-    // group B-tree: one leaf pointing at the single SNOD
-    raw("TREE".getBytes(StandardCharsets.US_ASCII))
-    u8(0); u8(0) // group node, level 0
-    u16(1)
-    u64(UNDEF); u64(UNDEF)
-    u64(0L) // key 0: offset of smallest name (reserved empty)
-    u64(snodAddr)
-    u64(nameOffsets(vs.last.name)) // key 1: offset of largest name
-    // SNOD
-    raw("SNOD".getBytes(StandardCharsets.US_ASCII))
-    u8(1); u8(0)
-    u16(vs.length)
-    vs.zip(headerAddrs).foreach { case (v, hAddr) =>
-      u64(nameOffsets(v.name))
-      u64(hAddr)
-      u32(0L); u32(0L)
-      (0 until 16).foreach(_ => u8(0))
+    rootAttrMsgs.foreach(m => msg(MSG_ATTRIBUTE, m))
+    dense match {
+      case Some(d) => emitDenseGroup(d)
+      case None =>
+        // local heap
+        raw("HEAP".getBytes(StandardCharsets.US_ASCII))
+        u8(0); u8(0); u8(0); u8(0)
+        u64(heapDataLen)
+        u64(heapDataLen) // free list: none (head past the names)
+        u64(heapAddr + 32)
+        (0 until 8).foreach(_ => u8(0)) // reserved empty name at offset 0
+        vs.foreach { v =>
+          val nb = v.name.getBytes(StandardCharsets.UTF_8) :+ 0.toByte
+          raw(nb)
+          (0 until (pad8(nb.length.toLong) - nb.length).toInt)
+            .foreach(_ => u8(0))
+        }
+        // group B-tree: one leaf pointing at the single SNOD
+        raw("TREE".getBytes(StandardCharsets.US_ASCII))
+        u8(0); u8(0) // group node, level 0
+        u16(1)
+        u64(UNDEF); u64(UNDEF)
+        u64(0L) // key 0: offset of smallest name (reserved empty)
+        u64(snodAddr)
+        u64(nameOffsets(vs.last.name)) // key 1: offset of largest name
+        // SNOD
+        raw("SNOD".getBytes(StandardCharsets.US_ASCII))
+        u8(1); u8(0)
+        u16(vs.length)
+        vs.zip(headerAddrs).foreach { case (v, hAddr) =>
+          u64(nameOffsets(v.name))
+          u64(hAddr)
+          u32(0L); u32(0L)
+          (0 until 16).foreach(_ => u8(0))
+        }
+    }
+
+    def emitDenseGroup(d: DenseLayout): Unit = {
+      // FRHP — 146 bytes; fields the reader ignores hold plausible
+      // values, checksums are zeros (unverified file-wide)
+      raw("FRHP".getBytes(StandardCharsets.US_ASCII))
+      u8(0) // version
+      u16(7) // heap ID length: 1 + 4 offset + 2 length
+      u16(0) // no I/O filters
+      u8(0x02) // flags: direct blocks carry a (zeroed) checksum
+      u32(4096L) // max managed object size (⇒ 2-byte ID lengths)
+      u64(0L) // next huge id
+      u64(UNDEF) // huge-object B-tree
+      u64(0L) // free space
+      u64(UNDEF) // free-space manager
+      val space = d.blockOffs.last + d.blockSizes.last
+      u64(space); u64(space) // managed / allocated space
+      u64(space) // direct-block iterator offset
+      u64(vs.length.toLong) // managed objects
+      u64(0L); u64(0L); u64(0L); u64(0L) // huge/tiny sizes+counts
+      u16(D_WIDTH)
+      u64(D_START)
+      u64(65536L) // max direct block size
+      u16(32) // max heap size (bits) ⇒ 4-byte offsets
+      u16(1) // starting rows in root indirect block
+      u64(d.rootBlockAddr)
+      u16(d.nRows) // 0 ⇒ root is a direct block
+      u32(0L) // checksum
+      // root indirect block, when the heap outgrew one direct block
+      if (d.nRows > 0) {
+        raw("FHIB".getBytes(StandardCharsets.US_ASCII))
+        u8(0)
+        u64(d.frhpAddr)
+        u32(0L) // block offset of the root indirect block
+        (0 until d.nRows * D_WIDTH).foreach { slot =>
+          u64(if (slot < d.blockFileAddrs.length) d.blockFileAddrs(slot)
+          else UNDEF)
+        }
+        u32(0L) // checksum
+      }
+      // direct blocks with packed link-message objects
+      val linkBodies = vs.zip(headerAddrs).map { case (v, hAddr) =>
+        val nb = v.name.getBytes(StandardCharsets.UTF_8)
+        val b = java.nio.ByteBuffer.allocate(3 + nb.length + 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put(1.toByte).put(0.toByte) // link v1, flags: 1-byte name len
+        b.put(nb.length.toByte).put(nb)
+        b.putLong(hAddr)
+        b.array()
+      }
+      d.blockOffs.indices.foreach { bi =>
+        val block = new Array[Byte](d.blockSizes(bi).toInt)
+        val hb = java.nio.ByteBuffer.wrap(block)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        hb.put("FHDB".getBytes(StandardCharsets.US_ASCII))
+        hb.put(0.toByte)
+        hb.putLong(d.frhpAddr)
+        hb.putInt(d.blockOffs(bi).toInt) // 4-byte block offset
+        // (4 zero bytes of checksum follow implicitly)
+        d.objOffs.indices.foreach { oi =>
+          val off = d.objOffs(oi)
+          if (off >= d.blockOffs(bi) &&
+            off < d.blockOffs(bi) + d.blockSizes(bi)) {
+            System.arraycopy(linkBodies(oi), 0, block,
+              (off - d.blockOffs(bi)).toInt, linkBodies(oi).length)
+          }
+        }
+        raw(block)
+      }
+      // name-index v2 B-tree header
+      raw("BTHD".getBytes(StandardCharsets.US_ASCII))
+      u8(0); u8(5) // version, type 5: link-name index
+      u32(D_NODE.toLong); u16(D_REC)
+      u16(d.depth)
+      u8(100); u8(40) // split / merge percent
+      u64(d.rootNodeAddr)
+      u16(if (d.depth == 0) d.leaves.head.length else d.internalRecs.length)
+      u64(vs.length.toLong)
+      u32(0L) // checksum
+      // records in GLOBAL in-order position: hash field = order index
+      // (enumeration never hashes names; order only has to be
+      // consistent within the tree)
+      val order: Map[Int, Int] = {
+        val seq = scala.collection.mutable.ArrayBuffer[Int]()
+        d.leaves.indices.foreach { i =>
+          seq ++= d.leaves(i)
+          if (i < d.internalRecs.length) seq += d.internalRecs(i)
+        }
+        seq.zipWithIndex.toMap
+      }
+      def record(nb: java.nio.ByteBuffer, oi: Int): Unit = {
+        nb.putInt(order(oi))
+        nb.put(0.toByte) // heap ID: version 0, managed
+        nb.putInt(d.objOffs(oi).toInt)
+        nb.putShort(d.objLens(oi).toShort)
+      }
+      def node(sig: String, body: java.nio.ByteBuffer => Unit): Unit = {
+        val block = new Array[Byte](D_NODE)
+        val nb = java.nio.ByteBuffer.wrap(block)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        nb.put(sig.getBytes(StandardCharsets.US_ASCII))
+        nb.put(0.toByte); nb.put(5.toByte)
+        body(nb)
+        raw(block)
+      }
+      if (d.depth == 0) node("BTLF", nb => d.leaves.head.foreach(record(nb, _)))
+      else {
+        node("BTIN", { nb =>
+          d.internalRecs.foreach(record(nb, _))
+          // child pointers: address + record count (1 byte: max leaf
+          // records (512-10)/11 = 45 fits)
+          d.leafAddrs.indices.foreach { i =>
+            nb.putLong(d.leafAddrs(i))
+            nb.put(d.leaves(i).length.toByte)
+          }
+        })
+        d.leaves.indices.foreach { i =>
+          node("BTLF", nb => d.leaves(i).foreach(record(nb, _)))
+        }
+      }
     }
     // per-var object headers
     plans.zip(dataAddrs).foreach { case (p, (dataAddr, chunkAddrs)) =>

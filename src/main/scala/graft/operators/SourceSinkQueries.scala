@@ -675,7 +675,11 @@ object SourceSinkQueries {
           FixtureVar("LATITUDE", Seq(n.toLong), lat,
             chunks = Some(Seq(16L)), deflate = true, shuffle = true),
           FixtureVar("TIME", Seq(n.toLong), time,
-            attrs = Seq(("units", CharAttr("days since 1950-01-01"))))))
+            attrs = Seq(("units", CharAttr("days since 1950-01-01"))))),
+        // one granule per run carries DENSE (fractal-heap) links —
+        // the libhdf5 1.10+ group layout — so the declared query
+        // proves the dense decode path end-to-end, not just in units
+        denseLinks = cat == "TS" && i == 0)
       val payload =
         if (cat == "DB" && i == 1) bytes.take(40) // corrupt: truncated
         else bytes

@@ -101,12 +101,11 @@ class Hdf5Spec extends SparkSpec {
     assert(got == Map("uuid" -> "ohdr-granule"))
   }
 
-  test("dense-group (fractal heap) link storage quarantines distinguishably") {
+  test("dense-group link storage: corrupt heap quarantines, never crashes") {
     // hand-built superblock v2 + OHDR root whose only message is a
-    // Link Info with a DEFINED fractal-heap address — the layout
-    // libhdf5 1.10+ writes once a group exceeds the compact-link
-    // threshold (8 links). Out of scope by design; the reader must
-    // say so, not silently yield an empty variable list.
+    // Link Info with a DEFINED fractal-heap address pointing at
+    // nothing — the dense path must quarantine as IOException, not
+    // crash or silently yield an empty variable list.
     val bos = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = bos.write(v & 0xff)
     def u16(v: Int): Unit = { u8(v); u8(v >> 8) }
@@ -135,10 +134,61 @@ class Hdf5Spec extends SparkSpec {
     u64(0x1000L) // fractal heap address: defined ⇒ dense storage
     u64(-1L) // name-index b-tree: undefined
     u32(0L) // chunk checksum (unverified)
-    val e = intercept[java.io.IOException](
-      Hdf5Header.readFile(bos.toByteArray))
-    assert(e.getMessage.contains("fractal-heap"),
-      s"error must name the unsupported layout, got: ${e.getMessage}")
+    intercept[java.io.IOException](Hdf5Header.readFile(bos.toByteArray))
+  }
+
+  test("dense groups round-trip: root direct block, depth-0 name index") {
+    import Hdf5Header.FixtureVar
+    // 10 links (past libhdf5's compact threshold of 8) fitting one
+    // 512-byte direct block and one B-tree leaf
+    val vars = (0 until 10).map { i =>
+      FixtureVar(f"VAR_$i%02d", Seq(6L),
+        Array.tabulate(6)(j => i * 10.0 + j),
+        attrs = Seq(("units", CharAttr(s"u$i"))))
+    }
+    val bytes = Hdf5Header.buildDataFile(granuleAttrs, vars,
+      denseLinks = true)
+    val f = Hdf5Header.readFile(bytes)
+    // root attrs unaffected by the dense group structure
+    assert(f.rootAttrs("uuid") == "granule-h5-001")
+    assert(f.datasetNames == vars.map(_.name))
+    vars.foreach { v =>
+      val d = f.dataset(v.name)
+      assert(d.data.toSeq == v.values.toSeq, v.name)
+      assert(d.attrs("units") == v.attrs.head._2
+        .asInstanceOf[CharAttr].v)
+    }
+  }
+
+  test("dense groups round-trip: indirect root + depth-1 name index") {
+    import Hdf5Header.FixtureVar
+    // 50 links: objects overflow several 512-byte blocks (root
+    // becomes an indirect block) and 50 > leaf capacity (the name
+    // index gains an internal root whose own records must be
+    // enumerated too — a v2 B-tree stores records at every level)
+    val vars = (0 until 50).map { i =>
+      FixtureVar(f"LONG_VARIABLE_NAME_$i%03d", Seq(4L),
+        Array.tabulate(4)(j => i * 100.0 + j),
+        chunks = if (i % 2 == 0) Some(Seq(2L)) else None,
+        deflate = i % 2 == 0, shuffle = i % 2 == 0)
+    }
+    val bytes = Hdf5Header.buildDataFile(granuleAttrs, vars,
+      denseLinks = true)
+    val f = Hdf5Header.readFile(bytes)
+    assert(f.datasetNames == vars.map(_.name))
+    vars.foreach { v =>
+      assert(f.dataset(v.name).data.toSeq == v.values.toSeq, v.name)
+    }
+    // flipping the FRHP signature quarantines loudly
+    val corrupt = bytes.clone()
+    val frhp = {
+      val s = "FRHP".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      (0 until corrupt.length - 4).find(i =>
+        corrupt(i) == s(0) && corrupt(i + 1) == s(1) &&
+          corrupt(i + 2) == s(2) && corrupt(i + 3) == s(3)).get
+    }
+    corrupt(frhp) = 'X'.toByte
+    intercept[java.io.IOException](Hdf5Header.readFile(corrupt))
   }
 
   test("corrupt HDF5 input quarantines as IOException, never crashes") {

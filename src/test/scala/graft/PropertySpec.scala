@@ -121,7 +121,21 @@ object PropertySpec extends Properties("graft") {
         vs <- Gen.nonEmptyListOf(cqlValueGen).map(_.take(4))
       } yield In(p, vs),
       for { p <- identGen; s <- Gen.alphaNumStr } yield Like(p, s + "%"),
-      for { p <- identGen; n <- Gen.oneOf(true, false) } yield IsNull(p, n))
+      for { p <- identGen; n <- Gen.oneOf(true, false) } yield IsNull(p, n),
+      for {
+        p <- identGen; lo <- cqlValueGen; hi <- cqlValueGen
+      } yield Between(p, lo, hi),
+      // CASEI forms: property side, value side (strings only), both
+      for {
+        p <- identGen; s <- Gen.alphaNumStr
+        cv <- Gen.oneOf(true, false)
+      } yield Cmp(p, "=", s, caseiProp = true, caseiValue = cv),
+      for {
+        p <- identGen
+        vs <- Gen.nonEmptyListOf(cqlValueGen).map(_.take(3))
+      } yield In(p, vs, casei = true),
+      for { p <- identGen; s <- Gen.alphaNumStr } yield
+        Like(p, s + "%", casei = true))
     def tree(depth: Int): Gen[Node] =
       if (depth == 0) leaf
       else Gen.frequency(
@@ -140,10 +154,16 @@ object PropertySpec extends Properties("graft") {
       case other => other.toString
     }
     n match {
-      case Cmp(p, op, v, _, _) => s"$p $op ${lit(v)}"
-      case In(p, vs, _) => s"$p IN (${vs.map(lit).mkString(", ")})"
-      case Like(p, s, _) => s"$p LIKE ${lit(s)}"
+      case Cmp(p, op, v, cp, cv) =>
+        val l = if (cp) s"CASEI($p)" else p
+        val r = if (cv) s"CASEI(${lit(v)})" else lit(v)
+        s"$l $op $r"
+      case In(p, vs, c) =>
+        s"${if (c) s"CASEI($p)" else p} IN (${vs.map(lit).mkString(", ")})"
+      case Like(p, s, c) =>
+        s"${if (c) s"CASEI($p)" else p} LIKE ${lit(s)}"
       case IsNull(p, neg) => s"$p IS ${if (neg) "NOT " else ""}NULL"
+      case Between(p, lo, hi) => s"$p BETWEEN ${lit(lo)} AND ${lit(hi)}"
       case And(l, r) => s"(${render(l)}) AND (${render(r)})"
       case Or(l, r) => s"(${render(l)}) OR (${render(r)})"
       case Not(e) => s"NOT (${render(e)})"
@@ -233,13 +253,17 @@ object PropertySpec extends Properties("graft") {
   }
 
   property("hdf5 variables round-trip for any rank/dtype/chunking") =
-    forAll(Gen.listOfN(2, hdf5VarGen)) { vars =>
-      // distinct names (the SNOD requires unique sorted names)
+    forAll(Gen.listOfN(2, hdf5VarGen), Gen.oneOf(true, false)) {
+      (vars, dense) =>
+      // distinct names (the SNOD requires unique sorted names); the
+      // same variables must decode identically from a symbol-table
+      // group and a dense (fractal-heap) group
       val named = vars.zipWithIndex.map { case (v, i) =>
         v.copy(name = s"var_$i")
       }
       val bytes = graft.ingest.Hdf5Header.buildDataFile(
-        Seq(("id", graft.ingest.NetcdfClassic.CharAttr("prop"))), named)
+        Seq(("id", graft.ingest.NetcdfClassic.CharAttr("prop"))), named,
+        denseLinks = dense)
       val f = graft.ingest.Hdf5Header.readFile(bytes)
       named.forall { v =>
         val ds = f.dataset(v.name)
@@ -307,5 +331,23 @@ object PropertySpec extends Properties("graft") {
           // rounding keeps unit steps exact far beyond any real axis
           b - a == perUnit
         }
+    }
+
+  property("fletcher32 detects any single-byte corruption") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-128, 127).map(_.toByte)),
+      Gen.chooseNum(0, Int.MaxValue), Gen.chooseNum(1, 255)) {
+      (bytes, posSeed, delta) =>
+      val data = bytes.toArray
+      val sum = graft.ingest.Hdf5Header.fletcher32(data, data.length)
+      // checksum is a 32-bit value and is stable
+      val stable = sum == graft.ingest.Hdf5Header.fletcher32(
+        data.clone(), data.length) && (sum >>> 32) == 0
+      // flip one byte by a nonzero delta: the checksum must move
+      // (Fletcher detects ALL single-byte errors by construction)
+      val pos = posSeed % data.length
+      val corrupt = data.clone()
+      corrupt(pos) = (corrupt(pos) + delta).toByte
+      stable && (corrupt(pos) == data(pos) || // wrapped to same value
+        graft.ingest.Hdf5Header.fletcher32(corrupt, corrupt.length) != sum)
     }
 }
