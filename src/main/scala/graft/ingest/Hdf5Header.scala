@@ -33,7 +33,10 @@ import java.nio.charset.StandardCharsets
   *                        trees: no, loud)
   *   chunk filters    : shuffle, deflate                  yes
   *                      fletcher32 (verified + stripped)  yes
-  *                      szip / others                     no, loud
+  *                      szip (CCSDS-Rice, 8/16/32-bit
+  *                        LSB samples, NN + EC — see the
+  *                        [[Szip]] matrix for sub-limits)  yes
+  *                      scaleoffset / nbit / others       no, loud
   *   data endianness  : little-endian                     yes
   *                      big-endian                        no, loud
   *   groups below root, vlen/compound datasets            no, loud
@@ -742,8 +745,9 @@ object Hdf5Header {
     }
   }
 
-  /** Filter pipeline in application order: (filter id, flags). */
-  private def parseFilters(buf: Buf, off: Long): Seq[(Int, Int)] = {
+  /** Filter pipeline in application order:
+    * (filter id, flags, client data values). */
+  private def parseFilters(buf: Buf, off: Long): Seq[(Int, Int, Seq[Long])] = {
     val version = buf.u8(off)
     val n = buf.u8(off + 1)
     var o = version match {
@@ -762,16 +766,18 @@ object Hdf5Header {
       var p = fOff + 4
       if (nameLen > 0)
         p += (if (version == 1) pad8(nameLen.toLong) else nameLen.toLong)
+      val cd = (0 until nVals).map(i => buf.u32(p + 4L * i))
       p += 4L * nVals
       if (version == 1 && nVals % 2 == 1) p += 4
       o = p
-      (id, flags)
+      (id, flags, cd)
     }
   }
 
   private val FILTER_DEFLATE = 1
   private val FILTER_SHUFFLE = 2
   private val FILTER_FLETCHER32 = 3
+  private val FILTER_SZIP = 4
 
   /** HDF5's Fletcher-32 (H5_checksum_fletcher32 in the public HDF5
     * source): data as BIG-endian 16-bit words, partial sums folded
@@ -892,12 +898,16 @@ object Hdf5Header {
       .getOrElse(if (dt.cls == 1) Double.NaN else 0.0)
     val filters = msgs.find(_.msgType == MSG_FILTER)
       .map(m => parseFilters(buf, m.off)).getOrElse(Seq.empty)
-    filters.foreach { case (id, _) =>
+    filters.foreach { case (id, _, cd) =>
       if (id != FILTER_DEFLATE && id != FILTER_SHUFFLE &&
-        id != FILTER_FLETCHER32)
+        id != FILTER_FLETCHER32 && id != FILTER_SZIP)
         throw new IOException(
           s"unsupported HDF5 filter $id on dataset '$name' " +
-            "(shuffle + deflate + fletcher32 only)")
+            "(shuffle + deflate + fletcher32 + szip only)")
+      if (id == FILTER_SZIP && cd.length < 4)
+        throw new IOException(
+          s"szip filter on dataset '$name' carries ${cd.length} " +
+            "client values (need options/bpp/ppb/pps)")
     }
     val out = Array.fill(total.toInt)(fill)
     parseLayout(buf, find(MSG_LAYOUT, "layout").off) match {
@@ -930,7 +940,7 @@ object Hdf5Header {
 
   private def readChunks(buf: Buf, name: String, btreeAddr: Long,
       dims: Seq[Long], chunkDims: Seq[Long], dt: Dtype,
-      filters: Seq[(Int, Int)], out: Array[Double]): Unit = {
+      filters: Seq[(Int, Int, Seq[Long])], out: Array[Double]): Unit = {
     val rank = dims.length
     val chunkElems = chunkDims.foldLeft(1L)(_ * _)
     if (chunkElems <= 0 || chunkElems > MAX_ELEMS)
@@ -965,11 +975,13 @@ object Hdf5Header {
       // filters were APPLIED pipeline-order on write ⇒ undo reversed;
       // mask bit i set = filter i was skipped for this chunk
       var data = stored
-      filters.zipWithIndex.reverse.foreach { case ((id, _), i) =>
+      filters.zipWithIndex.reverse.foreach { case ((id, _, cd), i) =>
         if ((mask & (1 << i)) == 0) data = id match {
           case FILTER_DEFLATE => inflate(data, (chunkElems * dt.size).toInt)
           case FILTER_SHUFFLE => unshuffle(data, dt.size)
           case FILTER_FLETCHER32 => defletcher(data)
+          case FILTER_SZIP => deszip(data, cd, dt.size,
+            (chunkElems * dt.size).toInt)
         }
       }
       if (data.length < chunkElems * dt.size)
@@ -1018,6 +1030,30 @@ object Hdf5Header {
       case e: java.util.zip.DataFormatException =>
         throw new IOException(s"corrupt deflate stream: ${e.getMessage}")
     } finally inf.end()
+  }
+
+  /** Undo the szip filter: H5Zszip prefixes each compressed chunk
+    * with its original byte count (4 bytes little-endian), then the
+    * raw CCSDS-Rice stream decoded by [[Szip.decode]] with the
+    * cd_values carried in the filter message. */
+  private def deszip(data: Array[Byte], cd: Seq[Long], elemSize: Int,
+      expect: Int): Array[Byte] = {
+    if (data.length < 4)
+      throw new IOException("szip chunk shorter than its size prefix")
+    val orig = (data(0) & 0xFFL) | ((data(1) & 0xFFL) << 8) |
+      ((data(2) & 0xFFL) << 16) | ((data(3) & 0xFFL) << 24)
+    if (orig > expect)
+      throw new IOException(
+        s"szip chunk claims $orig original bytes, chunk holds $expect")
+    if (orig % elemSize != 0)
+      throw new IOException(
+        s"szip original size $orig not a multiple of element size $elemSize")
+    val p = Szip.Params(cd(0).toInt, cd(1).toInt, cd(2).toInt, cd(3).toInt)
+    if (p.bitsPerPixel != elemSize * 8)
+      throw new IOException(
+        s"szip bits_per_pixel ${p.bitsPerPixel} != element ${elemSize * 8}")
+    Szip.decode(java.util.Arrays.copyOfRange(data, 4, data.length), p,
+      (orig / elemSize).toInt)
   }
 
   /** Undo the byte-shuffle filter: n size-byte elements stored as
@@ -1258,6 +1294,7 @@ object Hdf5Header {
       deflate: Boolean = false,
       shuffle: Boolean = false,
       fletcher: Boolean = false,
+      szip: Boolean = false,
       fill: Option[Double] = None,
       attrs: Seq[(String, NetcdfClassic.AttrValue)] = Seq.empty)
 
@@ -1295,11 +1332,11 @@ object Hdf5Header {
     // v1 filter-pipeline message: shuffle, deflate, then fletcher32 —
     // netcdf's order (checksum is computed over the compressed bytes)
     def filterMsg(v: FixtureVar, elemSize: Int): Option[Array[Byte]] = {
-      if (!v.deflate && !v.shuffle && !v.fletcher) None
+      if (!v.deflate && !v.shuffle && !v.fletcher && !v.szip) None
       else {
         val fb = new java.io.ByteArrayOutputStream()
         val n = (if (v.shuffle) 1 else 0) + (if (v.deflate) 1 else 0) +
-          (if (v.fletcher) 1 else 0)
+          (if (v.fletcher) 1 else 0) + (if (v.szip) 1 else 0)
         fb.write(1); fb.write(n); fb.write(new Array[Byte](6))
         def one(id: Int, values: Seq[Long]): Unit = {
           fb.write(le(2, id.toLong)); fb.write(le(2, 0L)) // no name
@@ -1309,10 +1346,31 @@ object Hdf5Header {
         }
         if (v.shuffle) one(FILTER_SHUFFLE, Seq(elemSize.toLong))
         if (v.deflate) one(FILTER_DEFLATE, Seq(6L))
+        if (v.szip) {
+          val p = szipParams(v, elemSize)
+          one(FILTER_SZIP, Seq(p.optionsMask.toLong, p.bitsPerPixel.toLong,
+            p.pixelsPerBlock.toLong, p.pixelsPerScanline.toLong))
+        }
         if (v.fletcher) one(FILTER_FLETCHER32, Seq.empty)
         Some(fb.toByteArray)
       }
     }
+    // H5Z__set_local_szip shape: raw stream, LSB byte order, NN
+    // preprocessing, pps = fastest chunk dim capped at 128 blocks
+    def szipParams(v: FixtureVar, elemSize: Int): Szip.Params = {
+      if (v.deflate || v.shuffle) throw new IllegalArgumentException(
+        "fixture: szip composes with fletcher32 only")
+      if (elemSize > 4) throw new IllegalArgumentException(
+        "fixture: szip supports sample sizes up to 32 bits")
+      val ppb = 8
+      val scan = v.chunks.getOrElse(v.dims).last
+      val pps = math.max(ppb.toLong,
+        math.min(scan, 128L * ppb)).toInt
+      Szip.Params(Szip.Raw | Szip.LSB | Szip.NN | Szip.AllowK13,
+        elemSize * 8, ppb, pps)
+    }
+    def szipBytes(raw: Array[Byte], v: FixtureVar, esz: Int): Array[Byte] =
+      le(4, raw.length.toLong) ++ Szip.encode(raw, szipParams(v, esz))
     def fillMsg(v: FixtureVar, cls: Int, size: Int): Option[Array[Byte]] =
       v.fill.map { f =>
         val fb = new java.io.ByteArrayOutputStream()
@@ -1416,6 +1474,7 @@ object Hdf5Header {
             var stored = cb.array()
             if (v.shuffle) stored = shuffleBytes(stored, esz)
             if (v.deflate) stored = deflateBytes(stored)
+            if (v.szip) stored = szipBytes(stored, v, esz)
             if (v.fletcher) {
               val sum = fletcher32(stored, stored.length)
               stored = stored ++ le(4, sum)

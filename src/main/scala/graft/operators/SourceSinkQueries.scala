@@ -672,8 +672,15 @@ object SourceSinkQueries {
         Seq(
           FixtureVar("LONGITUDE", Seq(n.toLong), lon,
             chunks = Some(Seq(16L)), deflate = true, shuffle = true),
-          FixtureVar("LATITUDE", Seq(n.toLong), lat,
-            chunks = Some(Seq(16L)), deflate = true, shuffle = true),
+          // one granule stores f4 + szip(+fletcher32) — the CCSDS-
+          // Rice filter some Copernicus archives enable — so the
+          // declared query proves that decode path e2e as well
+          (if (cat == "TS" && i == 1)
+            FixtureVar("LATITUDE", Seq(n.toLong),
+              lat.map(_.toFloat.toDouble), dtype = "f4",
+              chunks = Some(Seq(16L)), szip = true, fletcher = true)
+          else FixtureVar("LATITUDE", Seq(n.toLong), lat,
+            chunks = Some(Seq(16L)), deflate = true, shuffle = true)),
           FixtureVar("TIME", Seq(n.toLong), time,
             attrs = Seq(("units", CharAttr("days since 1950-01-01"))))),
         // one granule per run carries DENSE (fractal-heap) links —

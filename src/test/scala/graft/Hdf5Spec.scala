@@ -3,7 +3,7 @@ package graft
 import java.io.{ByteArrayInputStream, DataInputStream, FileOutputStream}
 import java.nio.charset.StandardCharsets
 
-import graft.ingest.{Hdf5Header, NetcdfClassic, NetcdfGranuleSource}
+import graft.ingest.{Hdf5Header, NetcdfClassic, NetcdfGranuleSource, Szip}
 
 /** HDF5 root-attribute reader: writer round-trips (fixed + vlen
   * strings, numerics), hand-built v2/OHDR and v3-attribute fixtures,
@@ -426,5 +426,90 @@ class Hdf5Spec extends SparkSpec {
     val (items, quarantined) =
       graft.catalog.ItemAssembly.assemble(src.granules(spark))
     assert(items.count() == 6 && quarantined.count() == 0)
+  }
+
+  test("szip chunks decode end-to-end through the HDF5 reader") {
+    import Hdf5Header.FixtureVar
+    // f4 (32-bit samples): smooth ramp + flat stretches — the NN
+    // predictor's home turf — across several chunks, one partial
+    val vals = Array.tabulate(50)(i =>
+      if (i < 20) 10.0f + i * 0.5f else if (i < 35) 17.5f else i * 1.0f)
+      .map(_.toDouble)
+    val bytes = Hdf5Header.buildDataFile(
+      granuleAttrs,
+      Seq(FixtureVar("SST", Seq(50L), vals, dtype = "f4",
+        chunks = Some(Seq(16L)), szip = true)))
+    assert(Hdf5Header.readFile(bytes).dataset("SST").data.toSeq ==
+      vals.map(_.toFloat.toDouble).toSeq)
+    // i2 (16-bit samples) with the szip → fletcher32 stack libhdf5
+    // writes when both are enabled (checksum over compressed bytes)
+    val iv = Array.tabulate(30)(i => ((i * 37) % 1000 - 500).toDouble)
+    val b2 = Hdf5Header.buildDataFile(
+      granuleAttrs,
+      Seq(FixtureVar("QC", Seq(30L), iv, dtype = "i2",
+        chunks = Some(Seq(10L)), szip = true, fletcher = true)))
+    assert(Hdf5Header.readFile(b2).dataset("QC").data.toSeq == iv.toSeq)
+    // i1 (8-bit samples, 3-bit option IDs)
+    val bv = Array.tabulate(24)(i => ((i % 5) - 2).toDouble)
+    val b3 = Hdf5Header.buildDataFile(
+      granuleAttrs,
+      Seq(FixtureVar("FLAG", Seq(24L), bv, dtype = "i1",
+        chunks = Some(Seq(24L)), szip = true)))
+    assert(Hdf5Header.readFile(b3).dataset("FLAG").data.toSeq == bv.toSeq)
+    // the Rice stream itself carries no checksum — integrity comes
+    // from the fletcher32 stage, which must catch a flipped byte in
+    // the compressed payload as a loud quarantine
+    val corrupt = b2.clone()
+    val t = corrupt.length - 10
+    corrupt(t) = (corrupt(t) ^ 0x77).toByte
+    val e = intercept[java.io.IOException](
+      Hdf5Header.readFile(corrupt).dataset("QC"))
+    assert(e.getMessage.contains("fletcher32") ||
+      e.getMessage.contains("szip"), e.getMessage)
+  }
+
+  test("szip decoder matches hand-built CCSDS 121 spec vectors") {
+    // bit-string helper: the strings below ARE the spec derivation
+    def bits(s: String): Array[Byte] = {
+      val b = s.replaceAll("\\s", "")
+      val out = new Array[Byte]((b.length + 7) / 8)
+      b.zipWithIndex.foreach { case (c, i) =>
+        if (c == '1') out(i / 8) = (out(i / 8) | (0x80 >> (i % 8))).toByte
+      }
+      out
+    }
+    val ec8 = Szip.Params(Szip.Raw | Szip.LSB | Szip.EC, 8, 8, 16)
+    // EC mode, n=8 (3-bit IDs), J=8, one 16-sample scanline.
+    // Block 1 split k=1 (ID 2): samples 3,0,1,2,7,7,7,7 →
+    //   FS of v>>1 = 1,0,0,1,3,3,3,3 then the k=1 LSBs 1,0,1,0,1,1,1,1
+    // Block 2 zero-block (ID 0, selector 0, run 1 → FS 0)
+    val vecA = bits("010  01 1 1 01 0001 0001 0001 0001  10101111  000 0 1")
+    assert(Szip.decode(vecA, ec8, 16).toSeq ==
+      Seq[Byte](3, 0, 1, 2, 7, 7, 7, 7, 0, 0, 0, 0, 0, 0, 0, 0))
+    // NN mode, one block with a reference sample. Samples
+    // 100,101,99,100,100,100,100,100 → ref 100 raw, mapped deltas
+    // 2,3,2,0,0,0,0 FS-coded (k=0, ID 1)
+    val nn8 = Szip.Params(Szip.Raw | Szip.LSB | Szip.NN, 8, 8, 8)
+    val vecB = bits("001  01100100  001 0001 001 1 1 1 1")
+    assert(Szip.decode(vecB, nn8, 8).toSeq ==
+      Seq[Byte](100, 101, 99, 100, 100, 100, 100, 100))
+    // ROS: 64-sample scanline, block 1 uncompressed (ID 7), then a
+    // zero run coded ROS (FS value 4 → z=5 → rest of segment)
+    val ec64 = Szip.Params(Szip.Raw | Szip.LSB | Szip.EC, 8, 8, 64)
+    val vecC = bits("111 00001010 00010100 00011110 00101000" +
+      " 00110010 00111100 01000110 01010000  000 0 00001")
+    val gotC = Szip.decode(vecC, ec64, 64).toSeq
+    assert(gotC.take(8) == Seq[Byte](10, 20, 30, 40, 50, 60, 70, 80))
+    assert(gotC.drop(8).forall(_ == 0))
+    // second extension: pairs (1,0),(0,1),(2,0),(0,0) → interleaved
+    // m = g(g+1)/2 + d2 with g = d1+d2 → 1, 2, 3, 0, FS-coded after
+    // ID 0 + selector 1
+    val vecD = bits("000 1  01 001 0001 1")
+    assert(Szip.decode(vecD, Szip.Params(Szip.Raw | Szip.LSB | Szip.EC,
+      8, 8, 8), 8).toSeq == Seq[Byte](1, 0, 0, 1, 2, 0, 0, 0))
+    // truncation and zero-floods quarantine with loud messages
+    intercept[java.io.IOException](Szip.decode(Array[Byte](0x20), ec8, 16))
+    intercept[java.io.IOException](
+      Szip.decode(new Array[Byte](16 * 1024), nn8, 8))
   }
 }

@@ -241,15 +241,21 @@ object PropertySpec extends Properties("graft") {
     chunks <- Gen.listOfN(rank, Gen.chooseNum(1L, 11L))
     deflate <- Gen.oneOf(true, false)
     shuffle <- Gen.oneOf(true, false)
+    szip <- Gen.oneOf(true, false)
+    fletcher <- Gen.oneOf(true, false)
     seed <- Gen.chooseNum(0, 1 << 20)
   } yield {
     val n = dims.product.toInt
     // values exactly representable in every generated dtype: small ints
     val values = Array.tabulate(n)(i => ((seed + i * 31) % 101 - 50).toDouble)
+    // szip handles ≤32-bit samples and composes with fletcher only
+    val szipOk = chunked && szip && dtype != "f8" && dtype != "i8"
     graft.ingest.Hdf5Header.FixtureVar(
       s"v$seed", dims, values, dtype,
       chunks = if (chunked) Some(chunks) else None,
-      deflate = chunked && deflate, shuffle = chunked && shuffle)
+      deflate = chunked && deflate && !szipOk,
+      shuffle = chunked && shuffle && !szipOk,
+      szip = szipOk, fletcher = chunked && fletcher)
   }
 
   property("hdf5 variables round-trip for any rank/dtype/chunking") =
@@ -270,6 +276,45 @@ object PropertySpec extends Properties("graft") {
         ds.dims == v.dims && ds.data.toSeq == v.values.toSeq
       }
     }
+
+  // ---- szip (CCSDS-Rice) codec round-trip over its parameter space ----
+
+  property("szip encode/decode round-trips for any mode/geometry/data") = {
+    import graft.ingest.Szip
+    val gen = for {
+      n <- Gen.oneOf(8, 16, 32)
+      j <- Gen.oneOf(8, 10, 16, 32)
+      blocksPerScan <- Gen.chooseNum(1, 9)
+      nn <- Gen.oneOf(true, false)
+      // shapes that steer the coder through its options: flat runs
+      // (zero-blocks), smooth ramps (small k), and full-width noise
+      // (no-compression beats any split)
+      shape <- Gen.oneOf("flat", "ramp", "noise", "mixed")
+      count <- Gen.chooseNum(1, 700)
+      seed <- Gen.chooseNum(1, 1 << 20)
+    } yield (n, j, blocksPerScan, nn, shape, count, seed)
+    forAll(gen) { case (n, j, blocksPerScan, nn, shape, count, seed) =>
+      val maxv = if (n == 32) 0xFFFFFFFFL else (1L << n) - 1
+      val rnd = new scala.util.Random(seed)
+      val samples = Array.tabulate(count) { i =>
+        shape match {
+          case "flat" => (seed.toLong * 7) % (maxv + 1)
+          case "ramp" => math.min(maxv, seed.toLong % 1000 + i)
+          case "noise" => rnd.nextLong().abs % (maxv + 1)
+          case _ => if (i % 40 < 20) 42L else rnd.nextLong().abs % (maxv + 1)
+        }
+      }
+      val esz = n / 8
+      val raw = new Array[Byte](count * esz)
+      samples.zipWithIndex.foreach { case (v, i) =>
+        (0 until esz).foreach(b =>
+          raw(i * esz + b) = ((v >>> (8 * b)) & 0xFF).toByte)
+      }
+      val mask = Szip.Raw | Szip.LSB | (if (nn) Szip.NN else Szip.EC)
+      val p = Szip.Params(mask, n, j, j * blocksPerScan)
+      Szip.decode(Szip.encode(raw, p), p, count).toSeq == raw.toSeq
+    }
+  }
 
   // ---- exact-intersects predicate invariants ----
 
