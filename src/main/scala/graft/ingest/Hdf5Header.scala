@@ -92,6 +92,10 @@ object Hdf5Header {
       case 2 => u16(o).toLong
       case 4 => u32(o)
       case 8 => u64(o)
+      case w if w > 0 && w < 8 => // odd widths: 3-byte B-tree record
+        check(o, w) //   counts, 5-byte heap offsets, …
+        (0 until w).foldLeft(0L)((acc, i) =>
+          acc | ((b((o + i).toInt) & 0xFFL) << (8 * i)))
       case w => throw new IOException(s"unsupported HDF5 field width $w")
     }
     def bytes(o: Long, n: Int): Array[Byte] = {
@@ -563,14 +567,22 @@ object Hdf5Header {
         throw new IOException(
           s"no fractal-heap direct block at offset ${b.fileAddr}")
     }
-    def objFileOffset(heapOff: Long): Long = {
+    def objFileOffset(heapOff: Long, objLen: Long): Long = {
       val b = blocks.find(b =>
         heapOff >= b.blockOff && heapOff < b.blockOff + b.size)
         .getOrElse(throw new IOException(
-          s"fractal-heap object offset $heapOff outside any direct block"))
+          s"fractal-heap object offset $heapOff outside any direct block" +
+            (if (currentRowsRoot == 0)
+              " (root direct block assumed Starting Block Size " +
+                s"$startBlockSize; a larger reverted root is unsupported)"
+            else "")))
       val rel = heapOff - b.blockOff
       if (rel < blockHeaderLen)
         throw new IOException("fractal-heap object inside block header")
+      if (objLen <= 0 || rel > b.size - objLen)
+        throw new IOException(
+          s"fractal-heap object ($objLen bytes at $heapOff) " +
+            "overruns its direct block")
       b.fileAddr + rel
     }
 
@@ -623,7 +635,8 @@ object Hdf5Header {
         throw new IOException(
           s"non-managed fractal-heap object type ${(b0 >> 4) & 0x03}")
       val heapOff = buf.uint(idOff + 1, offsetBytes)
-      parseLink(buf, objFileOffset(heapOff))
+      val objLen = buf.uint(idOff + 1 + offsetBytes, lengthBytes)
+      parseLink(buf, objFileOffset(heapOff, objLen))
     }.sortBy(_._1)
   }
 
@@ -911,6 +924,15 @@ object Hdf5Header {
     }
     val out = Array.fill(total.toInt)(fill)
     parseLayout(buf, find(MSG_LAYOUT, "layout").off) match {
+      case layout @ (Compact(_, _) | Contiguous(_, _)) if filters.nonEmpty =>
+        // HDF5 only applies filters to chunked layouts; a pipeline on
+        // a compact/contiguous dataset is a corrupt or crafted file.
+        // Copying the bytes as-if-raw would decode compressed data as
+        // sample values — loud quarantine, never silent garbage.
+        throw new IOException(
+          s"dataset '$name' declares a filter pipeline " +
+            s"(${filters.map(_._1).mkString(",")}) on a " +
+            s"non-chunked ${layout.getClass.getSimpleName} layout")
       case Compact(o, size) =>
         val want = total.toInt * dt.size
         if (size < want)

@@ -78,33 +78,54 @@ object Szip {
 
   // -- MSB-first bit I/O over untrusted bytes --------------------------
 
+  /** MSB-first reader over untrusted bytes. Bytewise accumulator —
+    * this sits on the per-sample granule-decode hot path, so no
+    * per-bit array indexing: `acc` holds `nbits` valid low bits
+    * (≤ 39 after a refill for a 32-bit read, well inside a Long). */
   private final class BitReader(data: Array[Byte]) {
-    private var pos = 0L // bit position
-    private val limit = data.length.toLong * 8
-    def get(bits: Int): Long = {
-      if (pos > limit - bits)
-        throw new IOException("szip: bitstream truncated")
-      var v = 0L
-      var i = 0
-      while (i < bits) {
-        val p = pos + i
-        val bit = (data((p >>> 3).toInt) >>> (7 - (p & 7).toInt)) & 1
-        v = (v << 1) | bit
-        i += 1
+    private var bytePos = 0
+    private var acc = 0L
+    private var nbits = 0
+    private def fill(need: Int): Unit = {
+      while (nbits < need) {
+        if (bytePos >= data.length)
+          throw new IOException("szip: bitstream truncated")
+        acc = (acc << 8) | (data(bytePos) & 0xFFL)
+        bytePos += 1
+        nbits += 8
       }
-      pos += bits
+    }
+    def get(bits: Int): Long = {
+      fill(bits)
+      nbits -= bits
+      val v = (acc >>> nbits) & ((1L << bits) - 1)
+      acc &= (1L << nbits) - 1
       v
     }
-    /** Fundamental-sequence codeword: count of 0 bits before a 1. */
+    /** Fundamental-sequence codeword: count of 0 bits before a 1,
+      * consumed a buffered word at a time via leading-zero count. */
     def fs(cap: Int): Int = {
       var z = 0
-      while (get(1) == 0L) {
-        z += 1
-        if (z > cap)
-          throw new IOException(
-            s"szip: fundamental-sequence codeword exceeds $cap bits")
+      while (true) {
+        if (nbits == 0) fill(1)
+        if (acc == 0L) { // all buffered bits are zeros
+          z += nbits
+          nbits = 0
+          if (z > cap)
+            throw new IOException(
+              s"szip: fundamental-sequence codeword exceeds $cap bits")
+        } else {
+          val zeros = nbits - (64 - java.lang.Long.numberOfLeadingZeros(acc))
+          z += zeros
+          if (z > cap)
+            throw new IOException(
+              s"szip: fundamental-sequence codeword exceeds $cap bits")
+          nbits -= zeros + 1 // the zeros and their terminating 1
+          acc &= (1L << nbits) - 1
+          return z
+        }
       }
-      z
+      -1 // unreachable
     }
   }
 
