@@ -15,10 +15,12 @@ import org.apache.spark.sql.functions._
   * REAL decode of JPEG/PNG/GIF/TIFF (JDK ImageIO) plus netpbm/BMP
   * images and PCM WAV audio in pure byte arithmetic (block-mean luma,
   * DCT pHash, windowed RMS/ZCR) — and the StubDecoder below, kept for
-  * formats that genuinely need a codec library this container lacks
-  * (MP4 video): a deterministic fake that hashes payload bytes, so
-  * the distributed plumbing stays exercised even for undecodable
-  * types.
+  * formats that genuinely need a codec library this container lacks:
+  * a deterministic fake that hashes payload bytes, so the distributed
+  * plumbing stays exercised even for undecodable types. Video is
+  * half-real: Mp4Container demuxes ISO-BMFF for real (headers, sample
+  * tables, keyframe byte extraction — see keyframeSample); only the
+  * codec decode of the extracted sample bytes needs the stub.
   */
 object MediaPipeline {
 
@@ -138,9 +140,8 @@ object MediaPipeline {
 
   /** Frame sampling: split the payload into fixed-size frames and keep
     * every `stride`-th — the video-keyframe / audio-window shape. Pure
-    * per-row work; a real codec replaces the byte-slicing with
-    * container-aware frame extraction, the Spark plumbing (schema,
-    * per-partition batching) is identical. */
+    * per-row work; for MP4 payloads use keyframeSample below, which
+    * replaces the byte-slicing with real container-aware extraction. */
   case class MediaFrames(
       doc_id: Long, media_type: String, n_frames: Int,
       frames: Seq[Array[Byte]])
@@ -158,6 +159,36 @@ object MediaPipeline {
         case i if i % stride == 0 => all(i)
       }
       MediaFrames(r.doc_id, r.media_type, kept.length, kept.toSeq)
+    }
+  }
+
+  /** Container-aware keyframe sampling: MP4 payloads are demuxed for
+    * real (Mp4Container walks the sample tables and pulls sync-sample
+    * bytes out of mdat); other media types fall back to byte-grouped
+    * frameSample slicing. Per-row quarantine — a malformed container
+    * yields zero frames with the reason, never a task failure. This is
+    * the 100 TB shape: keyframe selection reads only the sample table,
+    * so the expensive downstream (codec) work applies to the few
+    * percent of bytes the sync table selects. */
+  def keyframeSample(
+      records: Dataset[MediaRecord],
+      maxFrames: Int = 16): Dataset[MediaFrames] = {
+    require(maxFrames > 0, s"maxFrames must be positive, got $maxFrames")
+    import records.sparkSession.implicits._
+    records.map { r =>
+      val frames =
+        try {
+          if (r.media_type == "video/mp4" || r.media_type == "video/quicktime")
+            Mp4Container.keyframeBytes(r.payload, maxFrames)
+          else {
+            val all = r.payload.grouped(32).toArray
+            all.indices.collect { case i if i % 4 == 0 => all(i) }
+              .take(maxFrames).toSeq
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) => Seq.empty[Array[Byte]]
+        }
+      MediaFrames(r.doc_id, r.media_type, frames.length, frames)
     }
   }
 

@@ -13,8 +13,10 @@ package graft.multimodal
   *       BMP (24/32-bit BI_RGB)   — uncompressed Windows bitmaps
   *       WAV (RIFF PCM 8/16-bit)  — uncompressed audio
   *
-  * Video containers (MP4) remain undecodable without a codec library
-  * and still quarantine.
+  * Video containers (MP4) are demuxed for real by Mp4Container
+  * (ISO-BMFF box walk, sample tables, keyframe byte extraction); the
+  * extracted sample BYTES remain undecodable without a codec library,
+  * so pixel-level video decode still quarantines.
   *
   * On top of the decoded pixels/samples: bilinear resize, 8×8
   * block-mean luma features, a DCT-based 64-bit perceptual hash
@@ -398,8 +400,20 @@ object RealDecoders {
              "image/tiff" =>
           blockMeanFeatures(decodeImageIo(payload))
         case "audio/wav" | "audio/x-wav" => audioFeatures(decodeWav(payload))
+        case "video/mp4" | "video/quicktime" =>
+          // demux is real (proves the container), pixel decode is not:
+          // raise with what the sample table says so quarantine rows
+          // carry the parsed codec, not a generic refusal
+          val t = Mp4Container.parse(payload).tracks
+            .find(_.handler == "vide")
+          bad(t match {
+            case Some(v) =>
+              s"demuxed ${v.codec} video (${v.keyframes.length} keyframes)" +
+                " but pixel decode needs a codec library"
+            case None => "mp4 container has no video track"
+          })
         case other =>
-          bad(s"no decoder for $other (video needs a codec lib)")
+          bad(s"no decoder for $other")
       }
   }
 

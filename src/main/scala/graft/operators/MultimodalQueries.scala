@@ -231,17 +231,74 @@ object MultimodalQueries {
       .orderBy(col("media_type"))
   }
 
+  /** multimodal_video_meta — REAL video container demux, hash-proven:
+    * an ISO-BMFF (MP4) file is encoded per document from arithmetic
+    * on doc_id alone (sample sizes, sync cadence, display dims), then
+    * parsed DISTRIBUTED by Mp4Container — box walk, mvhd/tkhd
+    * headers, the stts×stsc×stsz×stco×stss sample-table cross-walk —
+    * and the keyframe payload bytes are extracted from mdat at the
+    * computed offsets. Because the construction is arithmetic, DuckDB
+    * recomputes every output column without touching a byte of MP4:
+    * a wrong box offset, a mis-walked chunk run, or an off-by-one in
+    * the sync table shifts key_bytes / key_head_sum and the hash
+    * fails. Only codec decode (the bytes' meaning) stays stubbed.
+    * Scale shape: one narrow mapPartitions over documents — no
+    * shuffle until the (tiny) final sort injected by the harness. */
+  def multimodalVideoMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Mp4Container
+    documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (4 + id % 9).toInt
+          val sizes = Array.tabulate(n)(i => (20 + (id + 7L * i) % 50).toInt)
+          val payload = Mp4Container.encodeMp4(seed = id,
+            sampleSizes = sizes, syncEvery = 3, timescale = 1000,
+            sampleDelta = 40, width = (16 * (1 + id % 4)).toInt,
+            height = (16 * (1 + id % 3)).toInt)
+          val t = Mp4Container.parse(payload).tracks.head
+          val frames = Mp4Container.keyframeBytes(payload, maxFrames = 16)
+          (id, t.nSamples.toLong, frames.length.toLong, t.durationMs,
+            t.width.toLong, t.height.toLong,
+            t.keyframes.map(_.size).sum,
+            frames.map(f => (f(0) & 0xff).toLong).sum)
+        }
+      }.toDF("doc_id", "n_samples", "n_keyframes", "duration_ms",
+        "width", "height", "key_bytes", "key_head_sum")
+  }
+
+  // The oracle recomputes the container arithmetic directly: sample i
+  // (0-based) has size 20 + (doc_id + 7i) % 50, every 3rd sample is
+  // sync, byte 0 of sample i is (doc_id + i) % 251, 40 ms per sample.
+  val multimodalVideoMetaSql: String =
+    """SELECT d.doc_id,
+      |  CAST(4 + d.doc_id % 9 AS BIGINT) AS n_samples,
+      |  CAST(count(CASE WHEN g.i % 3 = 0 THEN 1 END) AS BIGINT)
+      |    AS n_keyframes,
+      |  CAST((4 + d.doc_id % 9) * 40 AS BIGINT) AS duration_ms,
+      |  CAST(16 * (1 + d.doc_id % 4) AS BIGINT) AS width,
+      |  CAST(16 * (1 + d.doc_id % 3) AS BIGINT) AS height,
+      |  CAST(sum(CASE WHEN g.i % 3 = 0
+      |    THEN 20 + (d.doc_id + 7 * g.i) % 50 END) AS BIGINT) AS key_bytes,
+      |  CAST(sum(CASE WHEN g.i % 3 = 0
+      |    THEN (d.doc_id + g.i) % 251 END) AS BIGINT) AS key_head_sum
+      |FROM documents d,
+      |  unnest(generate_series(0, CAST(3 + d.doc_id % 9 AS BIGINT))) AS g(i)
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_struct" -> (multimodalStruct _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_dedup" -> (multimodalDedup _),
     "multimodal_near_dup" -> (multimodalNearDup _),
-    "multimodal_decode" -> (multimodalDecode _)
+    "multimodal_decode" -> (multimodalDecode _),
+    "multimodal_video_meta" -> (multimodalVideoMeta _)
   )
 
   def oracle: Map[String, String] = Map(
     "multimodal_struct" -> multimodalStructSql,
-    "multimodal_dedup" -> multimodalDedupSql
+    "multimodal_dedup" -> multimodalDedupSql,
+    "multimodal_video_meta" -> multimodalVideoMetaSql
     // multimodal_features: stub-decoder output — unit-tested plumbing
   )
 }
