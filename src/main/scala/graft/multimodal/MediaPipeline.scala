@@ -141,10 +141,21 @@ object MediaPipeline {
   /** Frame sampling: split the payload into fixed-size frames and keep
     * every `stride`-th — the video-keyframe / audio-window shape. Pure
     * per-row work; for MP4 payloads use keyframeSample below, which
-    * replaces the byte-slicing with real container-aware extraction. */
+    * replaces the byte-slicing with real container-aware extraction.
+    * `error` is null on success (the quarantine contract's shape —
+    * frameSample itself cannot fail, keyframeSample can). */
   case class MediaFrames(
       doc_id: Long, media_type: String, n_frames: Int,
-      frames: Seq[Array[Byte]])
+      frames: Seq[Array[Byte]], error: String = null)
+
+  /** The shared byte-slicing: fixed-size frames, every `stride`-th
+    * kept — frameSample's whole job, keyframeSample's non-container
+    * fallback. */
+  private def byteFrames(
+      payload: Array[Byte], frameBytes: Int, stride: Int): Seq[Array[Byte]] = {
+    val all = payload.grouped(frameBytes).toArray
+    all.indices.collect { case i if i % stride == 0 => all(i) }.toSeq
+  }
 
   def frameSample(
       records: Dataset[MediaRecord],
@@ -154,41 +165,39 @@ object MediaPipeline {
     require(stride > 0, s"stride must be positive, got $stride")
     import records.sparkSession.implicits._
     records.map { r =>
-      val all = r.payload.grouped(frameBytes).toArray
-      val kept = all.indices.collect {
-        case i if i % stride == 0 => all(i)
-      }
-      MediaFrames(r.doc_id, r.media_type, kept.length, kept.toSeq)
+      val kept = byteFrames(r.payload, frameBytes, stride)
+      MediaFrames(r.doc_id, r.media_type, kept.length, kept)
     }
   }
 
   /** Container-aware keyframe sampling: MP4 payloads are demuxed for
     * real (Mp4Container walks the sample tables and pulls sync-sample
-    * bytes out of mdat); other media types fall back to byte-grouped
-    * frameSample slicing. Per-row quarantine — a malformed container
-    * yields zero frames with the reason, never a task failure. This is
-    * the 100 TB shape: keyframe selection reads only the sample table,
-    * so the expensive downstream (codec) work applies to the few
-    * percent of bytes the sync table selects. */
+    * bytes out of mdat); other media types fall back to the byte-
+    * grouped frameSample slicing. Per-row quarantine — a malformed
+    * container yields zero frames with the reason in `error`, never a
+    * task failure. This is the 100 TB shape: keyframe selection reads
+    * only the sample table, so the expensive downstream (codec) work
+    * applies to the few percent of bytes the sync table selects. */
   def keyframeSample(
       records: Dataset[MediaRecord],
-      maxFrames: Int = 16): Dataset[MediaFrames] = {
+      maxFrames: Int = 16,
+      frameBytes: Int = 32,
+      stride: Int = 4): Dataset[MediaFrames] = {
     require(maxFrames > 0, s"maxFrames must be positive, got $maxFrames")
+    require(frameBytes > 0 && stride > 0, "frameBytes/stride must be positive")
     import records.sparkSession.implicits._
     records.map { r =>
-      val frames =
-        try {
+      try {
+        val frames =
           if (r.media_type == "video/mp4" || r.media_type == "video/quicktime")
             Mp4Container.keyframeBytes(r.payload, maxFrames)
-          else {
-            val all = r.payload.grouped(32).toArray
-            all.indices.collect { case i if i % 4 == 0 => all(i) }
-              .take(maxFrames).toSeq
-          }
-        } catch {
-          case scala.util.control.NonFatal(_) => Seq.empty[Array[Byte]]
-        }
-      MediaFrames(r.doc_id, r.media_type, frames.length, frames)
+          else byteFrames(r.payload, frameBytes, stride).take(maxFrames)
+        MediaFrames(r.doc_id, r.media_type, frames.length, frames)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          MediaFrames(r.doc_id, r.media_type, 0, Seq.empty,
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
     }
   }
 

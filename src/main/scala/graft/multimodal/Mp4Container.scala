@@ -126,15 +126,27 @@ object Mp4Container {
   private def need(bs: List[Box], typ: String, ctx: String): Box =
     find(bs, typ).getOrElse(bad(s"mp4: no '$typ' box in $ctx"))
 
+  /** Reads must stay inside the declared box, not just the payload:
+    * a truncated table would otherwise silently read the next box's
+    * bytes as entries and misparse instead of quarantining. */
+  private def within(b: Box, o: Long, n: Long): Unit =
+    if (o < b.start || n < 0 || o + n > b.end)
+      bad(s"mp4: ${b.typ} field of $n bytes at $o overruns box end ${b.end}")
+
   /** Full-box header: (version, payload offset past version+flags). */
-  private def fullBox(buf: Buf, b: Box): (Int, Long) =
+  private def fullBox(buf: Buf, b: Box): (Int, Long) = {
+    within(b, b.start, 4)
     (buf.u8(b.start), b.start + 4)
+  }
 
   // -- sample tables --------------------------------------------------
 
-  private def readCount(buf: Buf, o: Long, cap: Int, what: String): Int = {
+  private def readCount(
+      buf: Buf, b: Box, o: Long, bytesPer: Int, what: String): Int = {
+    within(b, o, 4)
     val n = buf.u32(o)
-    if (n > cap) bad(s"mp4: $what count $n exceeds cap $cap")
+    if (n > MAX_SAMPLES) bad(s"mp4: $what count $n exceeds cap $MAX_SAMPLES")
+    within(b, o + 4, bytesPer.toLong * n) // the entry array itself fits
     n.toInt
   }
 
@@ -142,17 +154,22 @@ object Mp4Container {
   private def sampleSizes(buf: Buf, stbl: List[Box]): Array[Long] = {
     val b = need(stbl, "stsz", "stbl")
     val (_, o) = fullBox(buf, b)
+    within(b, o, 8)
     val const = buf.u32(o)
-    val n = readCount(buf, o + 4, MAX_SAMPLES, "stsz sample")
-    if (const != 0) Array.fill(n)(const)
-    else Array.tabulate(n)(i => buf.u32(o + 8 + 4L * i))
+    if (const != 0) {
+      val n = readCount(buf, b, o + 4, 0, "stsz sample")
+      Array.fill(n)(const)
+    } else {
+      val n = readCount(buf, b, o + 4, 4, "stsz sample")
+      Array.tabulate(n)(i => buf.u32(o + 8 + 4L * i))
+    }
   }
 
   /** stts → per-sample decode time (media timescale units). */
   private def sampleTimes(buf: Buf, stbl: List[Box], n: Int): Array[Long] = {
     val b = need(stbl, "stts", "stbl")
     val (_, o) = fullBox(buf, b)
-    val runs = readCount(buf, o, MAX_SAMPLES, "stts entry")
+    val runs = readCount(buf, b, o, 8, "stts entry")
     val times = new Array[Long](n)
     var t = 0L
     var s = 0
@@ -180,16 +197,16 @@ object Mp4Container {
       buf: Buf, stbl: List[Box], sizes: Array[Long]): Array[Long] = {
     val stscBox = need(stbl, "stsc", "stbl")
     val (_, so) = fullBox(buf, stscBox)
-    val runs = readCount(buf, so, MAX_SAMPLES, "stsc entry")
+    val runs = readCount(buf, stscBox, so, 12, "stsc entry")
     val chunkOffsets: Array[Long] = find(stbl, "stco") match {
       case Some(b) =>
         val (_, o) = fullBox(buf, b)
-        val n = readCount(buf, o, MAX_SAMPLES, "stco entry")
+        val n = readCount(buf, b, o, 4, "stco entry")
         Array.tabulate(n)(i => buf.u32(o + 4 + 4L * i))
       case None =>
         val b = need(stbl, "co64", "stbl")
         val (_, o) = fullBox(buf, b)
-        val n = readCount(buf, o, MAX_SAMPLES, "co64 entry")
+        val n = readCount(buf, b, o, 8, "co64 entry")
         Array.tabulate(n)(i => buf.u64(o + 4 + 8L * i))
     }
     val out = new Array[Long](sizes.length)
@@ -233,7 +250,7 @@ object Mp4Container {
       case None => Array.tabulate(n)(_ + 1)
       case Some(b) =>
         val (_, o) = fullBox(buf, b)
-        val k = readCount(buf, o, MAX_SAMPLES, "stss entry")
+        val k = readCount(buf, b, o, 4, "stss entry")
         Array.tabulate(k) { i =>
           val s = buf.u32(o + 4 + 4L * i)
           if (s < 1 || s > n) bad(s"mp4: sync sample $s outside 1..$n")
@@ -248,8 +265,8 @@ object Mp4Container {
   private def timeHeader(buf: Buf, b: Box): (Long, Long) = {
     val (ver, o) = fullBox(buf, b)
     ver match {
-      case 0 => (buf.u32(o + 8), buf.u32(o + 12))
-      case 1 => (buf.u32(o + 16), buf.u64(o + 20))
+      case 0 => within(b, o, 16); (buf.u32(o + 8), buf.u32(o + 12))
+      case 1 => within(b, o, 28); (buf.u32(o + 16), buf.u64(o + 20))
       case v => bad(s"mp4: ${b.typ} version $v")
     }
   }
@@ -285,6 +302,7 @@ object Mp4Container {
         case v => bad(s"mp4: tkhd version $v")
       }
       // reserved(8) layer(2) alt_group(2) volume(2) reserved(2) matrix(36)
+      within(tkhd, afterDur, 60)
       val width = (buf.u32(afterDur + 52) >> 16).toInt // 16.16 fixed
       val height = (buf.u32(afterDur + 56) >> 16).toInt
       val mdiaBox = need(kids, "mdia", "trak")
@@ -292,13 +310,15 @@ object Mp4Container {
       val (mdTimescale, mdDuration) = timeHeader(buf, need(mdia, "mdhd", "mdia"))
       if (mdTimescale <= 0) bad(s"mp4: media timescale $mdTimescale")
       val handler = find(mdia, "hdlr")
-        .map(h => buf.fourcc(h.start + 8)).getOrElse("")
+        .map { h => within(h, h.start + 8, 4); buf.fourcc(h.start + 8) }
+        .getOrElse("")
       val minf = need(mdia, "minf", "mdia")
       val stbl0 = need(boxes(buf, minf.start, minf.end), "stbl", "minf")
       val stbl = boxes(buf, stbl0.start, stbl0.end)
       val codec = find(stbl, "stsd").map { sd =>
         val (_, o) = fullBox(buf, sd)
-        if (buf.u32(o) < 1) "" else buf.fourcc(o + 8)
+        within(sd, o, 4)
+        if (buf.u32(o) < 1) "" else { within(sd, o + 8, 4); buf.fourcc(o + 8) }
       }.getOrElse("")
       val sizes = sampleSizes(buf, stbl)
       val offsets = sampleOffsets(buf, stbl, sizes)
@@ -318,14 +338,21 @@ object Mp4Container {
     * (`vide`) track — the real container-aware frame sampling that
     * MediaPipeline.frameSample approximates for codec-less formats.
     * The bytes come straight out of `mdat` at the sample table's
-    * offsets; decoding them is the codec stub's job. */
-  def keyframeBytes(payload: Array[Byte], maxFrames: Int): Seq[Array[Byte]] = {
+    * offsets; decoding them is the codec stub's job. An audio-only
+    * container raises: PCM/AAC bytes must never flow downstream
+    * labeled as video keyframes. */
+  def keyframeBytes(payload: Array[Byte], maxFrames: Int): Seq[Array[Byte]] =
+    keyframeBytes(payload, parse(payload), maxFrames)
+
+  /** Parse-once variant for callers that already hold the Mp4Meta of
+    * this exact payload (the hot mapPartitions loops). */
+  def keyframeBytes(
+      payload: Array[Byte], meta: Mp4Meta,
+      maxFrames: Int): Seq[Array[Byte]] = {
     require(maxFrames > 0, s"maxFrames must be positive, got $maxFrames")
     val buf = new Buf(payload)
-    val meta = parse(payload)
     val track = meta.tracks.find(_.handler == "vide")
-      .orElse(meta.tracks.headOption)
-      .getOrElse(bad("mp4: no tracks"))
+      .getOrElse(bad("mp4: no video track to sample keyframes from"))
     track.keyframes.take(maxFrames).map(k => buf.slice(k.offset, k.size))
   }
 
@@ -387,7 +414,7 @@ object Mp4Container {
     val mdhd = box("mdhd", be32(0),
       be32(0, 0, timescale, duration), be32(0x55c40000L)) // und language
     val hdlr = box("hdlr", be32(0), be32(0), "vide".getBytes,
-      be32(0, 0, 0), "graft video ".getBytes)
+      be32(0, 0, 0), "graft video".getBytes ++ Array[Byte](0))
     val stsd = box("stsd", be32(0), be32(1),
       // one minimal sample entry: size(4) format(4) reserved(6) dri(2)
       be32(16), codec.getBytes, be32(0), be32(0))

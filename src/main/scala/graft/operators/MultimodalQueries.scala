@@ -256,8 +256,10 @@ object MultimodalQueries {
             sampleSizes = sizes, syncEvery = 3, timescale = 1000,
             sampleDelta = 40, width = (16 * (1 + id % 4)).toInt,
             height = (16 * (1 + id % 3)).toInt)
-          val t = Mp4Container.parse(payload).tracks.head
-          val frames = Mp4Container.keyframeBytes(payload, maxFrames = 16)
+          val meta = Mp4Container.parse(payload)
+          val t = meta.tracks.head
+          // parse-once overload: the box walk is the row's whole cost
+          val frames = Mp4Container.keyframeBytes(payload, meta, maxFrames = 16)
           (id, t.nSamples.toLong, frames.length.toLong, t.durationMs,
             t.width.toLong, t.height.toLong,
             t.keyframes.map(_.size).sum,

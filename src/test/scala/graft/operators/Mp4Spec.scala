@@ -128,6 +128,11 @@ class Mp4Spec extends SparkSpec {
     val bomb = good.clone()
     java.nio.ByteBuffer.wrap(bomb).putInt(idx + 16, 1 << 24)
     mustFail(bomb, "stsz bomb")
+    // entry array past the box's declared end: must quarantine, not
+    // silently read the next box's bytes as sample sizes
+    val trunc = good.clone()
+    java.nio.ByteBuffer.wrap(trunc).putInt(idx + 16, sizes.length + 1)
+    mustFail(trunc, "stsz entries past box end")
     // chunk offset pointing outside the payload: keyframeBytes must
     // reject the slice, not AIOOBE
     val stco = indexOfBox(good, "stco")
@@ -137,7 +142,17 @@ class Mp4Spec extends SparkSpec {
       Mp4Container.keyframeBytes(wild, 10))
   }
 
-  test("distributed keyframe demux through decodeQuarantined survives poison") {
+  test("audio-only container refuses keyframe extraction") {
+    // PCM/AAC bytes must never flow downstream labeled as keyframes
+    val payload = fixture()
+    val h = indexOfBox(payload, "hdlr")
+    System.arraycopy("soun".getBytes("US-ASCII"), 0, payload, h + 16, 4)
+    val e = intercept[IllegalArgumentException](
+      Mp4Container.keyframeBytes(payload, 4))
+    assert(e.getMessage.contains("no video track"))
+  }
+
+  test("distributed keyframeSample quarantines poison, demuxes the rest") {
     import graft.multimodal.MediaPipeline
     import graft.multimodal.MediaPipeline.MediaRecord
     import spark.implicits._
@@ -146,25 +161,24 @@ class Mp4Spec extends SparkSpec {
         encodeMp4(seed = id, sampleSizes = Array.tabulate(6)(i =>
           20 + ((id + i) % 30).toInt), syncEvery = 2, timescale = 1000,
           sampleDelta = 40, width = 32, height = 24), Map.empty)
-    } :+ MediaRecord(999L, "video/mp4", Array[Byte](0, 0, 0, 9, 'f', 'r'),
-      Map.empty)
-    val ds = records.toDS().repartition(4)
-    val out = ds.mapPartitions { it =>
-      it.map { r =>
-        try {
-          val frames = Mp4Container.keyframeBytes(r.payload, 16)
-          (r.doc_id, frames.length, frames.map(_.length).sum, null: String)
-        } catch {
-          case scala.util.control.NonFatal(e) =>
-            (r.doc_id, 0, 0, e.getMessage)
-        }
-      }
-    }.toDF("doc_id", "n_frames", "key_bytes", "error").cache()
-    assert(out.filter("error is not null").count() == 1)
+    } ++ Seq(
+      MediaRecord(999L, "video/mp4", Array[Byte](0, 0, 0, 9, 'f', 'r'),
+        Map.empty), // malformed container → error row
+      MediaRecord(555L, "audio/wav", Array.tabulate(64)(_.toByte),
+        Map.empty)) // non-video → byte-grouped fallback
+    val out = MediaPipeline
+      .keyframeSample(records.toDS().repartition(4), maxFrames = 16)
+      .toDF().cache()
+    val poison = out.filter("error is not null").collect()
+    assert(poison.length == 1 && poison.head.getAs[Long]("doc_id") == 999L)
+    assert(poison.head.getAs[String]("error").contains("mp4:"))
     val ok = out.filter("error is null")
-    assert(ok.count() == 20)
-    // 6 samples, syncEvery 2 → 3 keyframes each
-    assert(ok.filter("n_frames = 3").count() == 20)
+    assert(ok.count() == 21)
+    // 6 samples, syncEvery 2 → 3 keyframes per valid mp4
+    assert(ok.filter("media_type = 'video/mp4' and n_frames = 3").count() == 20)
+    // fallback: 64 bytes / frameBytes 32 → 2 frames, stride 4 keeps 1
+    assert(ok.filter("media_type = 'audio/wav'").head()
+      .getAs[Int]("n_frames") == 1)
     out.unpersist()
   }
 
