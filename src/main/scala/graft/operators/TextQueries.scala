@@ -190,6 +190,79 @@ object TextQueries {
       |  FROM scored)
       |WHERE rk <= 5""".stripMargin
 
+  /** text_bm25 — Okapi BM25 retrieval scoring (the Lucene idf form:
+    * ln(1 + (N-df+0.5)/(df+0.5)); k1=1.2, b=0.75) of every document
+    * against a fixed query, global top-20. The scale shape: the term
+    * explode is filtered to the |q|=3 query terms BEFORE any
+    * aggregation, so the only wide operation carries ≤ |q| rows per
+    * document — df and the corpus stats (N, avgdl) then join back as
+    * provably bounded broadcasts (|q| rows and 1 row). The global
+    * top-k is orderBy+limit → TakeOrderedAndProject, a per-partition
+    * heap + driver merge of 20 rows, never a full sort. Ordering and
+    * the cutoff use the ROUNDED score (+1e-9, 4dp, both engines) with
+    * doc_id tiebreak, so the selected set is engine-stable. */
+  def textBm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val dl = docs.select(col("doc_id"),
+      size(TextFunctions.tokens(col("text"))).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .filter(col("term").isin(BM25_QUERY: _*)) // prune pre-shuffle
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    tf.join(broadcast(df), Seq("term")) // ≤ |query| rows — bounded
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats)) // 1 row — bounded
+      .withColumn("part",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+          * col("tf") * lit(BM25_K1 + 1) /
+          (col("tf") + lit(BM25_K1) *
+            (lit(1 - BM25_B) + lit(BM25_B) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(round(sum(col("part")) + lit(1e-9), 4).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+      .select(col("doc_id"), col("dl").cast("long").as("dl"),
+        col("n_terms_hit"), col("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val BM25_QUERY = Seq("spark", "vector", "stream")
+  private val BM25_K1 = 1.2
+  private val BM25_B = 0.75
+
+  val textBm25Sql: String =
+    """WITH dl AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+      |  FROM documents),
+      |stats AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM documents)
+      |  WHERE term IN ('spark', 'vector', 'stream')
+      |  GROUP BY 1, 2),
+      |dfreq AS (
+      |  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+      |  FROM tf GROUP BY 1)
+      |SELECT doc_id, CAST(dl.dl AS BIGINT) AS dl,
+      |  CAST(count(*) AS BIGINT) AS n_terms_hit,
+      |  round(sum(
+      |    ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+      |      * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+      |  ) + 1e-9, 4) AS bm25
+      |FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+      |CROSS JOIN stats
+      |GROUP BY doc_id, dl.dl
+      |ORDER BY bm25 DESC, doc_id
+      |LIMIT 20""".stripMargin
+
   /** text_langid — heuristic language ID vs the labeled column.
     * Heuristic ⇒ no SQL oracle (rows-only); accuracy covered by
     * TextQueriesSpec. */
@@ -1355,6 +1428,7 @@ object TextQueries {
     "text_tokens_tf" -> (textTokensTf _),
     "text_quality" -> (textQuality _),
     "text_tfidf" -> (textTfidf _),
+    "text_bm25" -> (textBm25 _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
     "text_containment" -> (textContainment _)
@@ -1385,7 +1459,8 @@ object TextQueries {
     "text_stats" -> textStatsSql,
     "text_tokens_tf" -> textTokensTfSql,
     "text_quality" -> textQualitySql,
-    "text_tfidf" -> textTfidfSql
+    "text_tfidf" -> textTfidfSql,
+    "text_bm25" -> textBm25Sql
     // text_langid / text_fingerprint: heuristic & hash-valued — unit-tested
   )
 }

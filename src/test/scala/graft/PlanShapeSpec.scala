@@ -210,4 +210,21 @@ class PlanShapeSpec extends SparkSpec {
       t.contains("BroadcastHashJoin"), t)
     assert(!t.contains("SortMergeJoin"), t)
   }
+
+  test("bm25 prunes terms pre-shuffle, broadcasts stats, heaps the top-k") {
+    val p = plan(TextQueries.textBm25(spark, sf))
+    // the df (≤|query| rows) and corpus-stats (1 row) joins broadcast;
+    // the doc-length join may go either way at this SF, but nothing
+    // may sort-merge the exploded term stream
+    assert(p.contains("BroadcastHashJoin"), p)
+    // global top-20 is a per-partition heap + driver merge
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort ["), "no global sort for a top-k")
+    // the query-term filter runs before the tf aggregation's exchange:
+    // the isin predicate must sit under the first HashAggregate
+    val firstAgg = p.indexOf("HashAggregate")
+    val termFilter = p.indexOf("spark,vector,stream")
+    assert(termFilter > firstAgg && firstAgg > 0,
+      s"term prune must precede the tf agg (filter@$termFilter agg@$firstAgg)")
+  }
 }
