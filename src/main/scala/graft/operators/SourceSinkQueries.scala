@@ -806,7 +806,115 @@ object SourceSinkQueries {
         (length(col("repaired")) > 0).as("non_empty"),
         substring(col("repaired"), -1, 1).as("last_char"))
 
+  /** The columns src_parquet_meta audits: (table, column, whether the
+    * footer's numeric min/max stats are surfaced). One list drives
+    * BOTH the Spark footer reader and the generated oracle SQL, so
+    * the two sides can't drift. Timestamps and strings keep min/max
+    * null (parquet truncates string stats; timestamp units vary). */
+  private val PARQUET_META_COLS: Seq[(String, String, Boolean)] = Seq(
+    ("lineitem", "l_orderkey", true), ("lineitem", "l_partkey", true),
+    ("lineitem", "l_suppkey", true), ("lineitem", "l_linenumber", true),
+    ("lineitem", "l_quantity", true), ("lineitem", "l_extendedprice", true),
+    ("lineitem", "l_discount", true), ("lineitem", "l_tax", true),
+    ("lineitem", "l_returnflag", false), ("lineitem", "l_linestatus", false),
+    ("lineitem", "l_shipdate", false),
+    ("documents", "doc_id", true), ("documents", "text", false),
+    ("documents", "lang", false), ("documents", "source", false),
+    ("documents", "n_chars", true))
+
+  /** src_parquet_meta — storage-layout audit from parquet FOOTERS
+    * only, hash-proven against the data: per column, the footer's
+    * value count, null count, and numeric min/max stats must equal
+    * what a full scan of the data computes (the oracle recomputes
+    * them from the table views — a mis-decoded stat or miscounted
+    * chunk fails the hash). This is the 100 TB shape for lake
+    * auditing: the job reads kilobytes of footer per file instead of
+    * the data — the driver-side cost is one listing, the per-file
+    * footer parse is distributed, and the result is 16 rows. The
+    * same footer stats are what row-group pruning trusts, so this
+    * doubles as a pruning-integrity check. */
+  def srcParquetMeta(s: SparkSession, dir: String): DataFrame = {
+    val wanted = PARQUET_META_COLS.map { case (t, c, n) => ((t, c), n) }.toMap
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val files: Seq[(String, String)] =
+      PARQUET_META_COLS.map(_._1).distinct.flatMap { t =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
+        val fs = p.getFileSystem(conf)
+        val all =
+          if (fs.getFileStatus(p).isDirectory)
+            fs.listStatus(p).toSeq.map(_.getPath)
+              .filter(_.getName.endsWith(".parquet"))
+          else Seq(p)
+        all.map(f => (t, f.toString))
+      }
+    footerAudit(s, files, wanted)
+  }
+
+  /** The footer-audit core: (table, file) pairs → per-column footer
+    * aggregates. Driven by srcParquetMeta over the test tables and by
+    * SourceFormatsSpec over a multi-file/multi-row-group fixture. */
+  private[graft] def footerAudit(
+      s: SparkSession,
+      files: Seq[(String, String)],
+      wanted: Map[(String, String), Boolean]): DataFrame = {
+    import s.implicits._
+    s.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 32)))
+      .flatMap { case (tbl, file) =>
+        import scala.jdk.CollectionConverters._
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(file),
+          new org.apache.hadoop.conf.Configuration())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          r.getFooter.getBlocks.asScala.toList.flatMap { bg =>
+            bg.getColumns.asScala.toList.flatMap { cc =>
+              val colName = cc.getPath.toDotString
+              wanted.get((tbl, colName)).map { numeric =>
+                val st = cc.getStatistics
+                val haveStats = st != null && !st.isEmpty
+                def num(v: AnyRef): Option[Double] = v match {
+                  case l: java.lang.Long    => Some(l.doubleValue)
+                  case i: java.lang.Integer => Some(i.doubleValue)
+                  case d: java.lang.Double  => Some(d.doubleValue)
+                  case f: java.lang.Float   => Some(f.doubleValue)
+                  case _                    => None
+                }
+                (tbl, colName, cc.getValueCount,
+                  if (haveStats) Some(st.getNumNulls) else None,
+                  if (numeric && haveStats) num(st.genericGetMin.asInstanceOf[AnyRef]) else None,
+                  if (numeric && haveStats) num(st.genericGetMax.asInstanceOf[AnyRef]) else None)
+              }
+            }
+          }
+        } finally r.close()
+      }
+      .toDF("tbl", "col", "chunk_values", "chunk_nulls", "chunk_min",
+        "chunk_max")
+      .groupBy(col("tbl"), col("col"))
+      .agg(
+        sum(col("chunk_values")).as("n_values"),
+        sum(col("chunk_nulls")).as("n_nulls"),
+        // + 0.0 canonicalizes IEEE -0.0 (pyarrow keeps the sign in
+        // stats; the data-side min may come back +0.0) on BOTH engines
+        (min(col("chunk_min")) + lit(0.0)).as("min_val"),
+        (max(col("chunk_max")) + lit(0.0)).as("max_val"))
+  }
+
+  val srcParquetMetaSql: String = PARQUET_META_COLS.map {
+    case (t, c, numeric) =>
+      val mn = if (numeric) s"CAST(min($c) AS DOUBLE) + 0.0"
+               else "CAST(NULL AS DOUBLE)"
+      val mx = if (numeric) s"CAST(max($c) AS DOUBLE) + 0.0"
+               else "CAST(NULL AS DOUBLE)"
+      s"SELECT '$t' AS tbl, '$c' AS col, " +
+        s"CAST(count(*) AS BIGINT) AS n_values, " +
+        s"CAST(count(*) - count($c) AS BIGINT) AS n_nulls, " +
+        s"$mn AS min_val, $mx AS max_val FROM $t"
+  }.mkString("\nUNION ALL\n")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_parquet_meta" -> (srcParquetMeta _),
     "src_listing_cache" -> (srcListingCache _),
     "src_glob_listing" -> (srcGlobListing _),
     "src_open_url" -> (srcOpenUrl _),
@@ -837,6 +945,7 @@ object SourceSinkQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "src_parquet_meta" -> srcParquetMetaSql,
     "src_listing_cache" -> srcListingCacheSql,
     "src_csv" -> srcFormatSql,
     "src_json" -> srcFormatSql,
