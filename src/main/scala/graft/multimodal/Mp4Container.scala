@@ -158,6 +158,14 @@ object Mp4Container {
     val const = buf.u32(o)
     if (const != 0) {
       val n = readCount(buf, b, o + 4, 0, "stsz sample")
+      // the constant-size form has no entry array, so the box-extent
+      // check bounds nothing: a 2 KB payload declaring 2^20 samples
+      // per track x 64 tracks would materialize gigabytes of sample
+      // arrays before any offset validation. Total declared sample
+      // bytes can never exceed the file itself.
+      if (const * n.toLong > buf.len)
+        bad(s"mp4: stsz declares $n x $const-byte samples " +
+          s"but the payload holds ${buf.len} bytes")
       Array.fill(n)(const)
     } else {
       val n = readCount(buf, b, o + 4, 4, "stsz sample")
@@ -285,7 +293,8 @@ object Mp4Container {
     val buf = new Buf(payload)
     val top = boxes(buf, 0, buf.len)
     val majorBrand = find(top, "ftyp")
-      .map(f => buf.fourcc(f.start).trim).getOrElse("")
+      .map { f => within(f, f.start, 4); buf.fourcc(f.start).trim }
+      .getOrElse("")
     val moov = need(top, "moov", "file")
     val moovKids = boxes(buf, moov.start, moov.end)
     val (mvTimescale, mvDuration) = timeHeader(buf, need(moovKids, "mvhd", "moov"))

@@ -835,7 +835,10 @@ object SourceSinkQueries {
     * doubles as a pruning-integrity check. */
   def srcParquetMeta(s: SparkSession, dir: String): DataFrame = {
     val wanted = PARQUET_META_COLS.map { case (t, c, n) => ((t, c), n) }.toMap
-    val conf = new org.apache.hadoop.conf.Configuration()
+    // session conf, NOT a bare new Configuration(): the audit must see
+    // spark.hadoop.* credentials/endpoints on a real lake (the same
+    // pitfall ListingCache.sessionConfSnapshot documents)
+    val conf = s.sparkContext.hadoopConfiguration
     val files: Seq[(String, String)] =
       PARQUET_META_COLS.map(_._1).distinct.flatMap { t =>
         val p = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
@@ -858,13 +861,15 @@ object SourceSinkQueries {
       files: Seq[(String, String)],
       wanted: Map[(String, String), Boolean]): DataFrame = {
     import s.implicits._
+    val confSnapshot = ListingCache.sessionConfSnapshot(s)
     s.sparkContext
       .parallelize(files, math.max(1, math.min(files.size, 32)))
       .flatMap { case (tbl, file) =>
         import scala.jdk.CollectionConverters._
+        val conf = new org.apache.hadoop.conf.Configuration()
+        confSnapshot.foreach { case (k, v) => conf.set(k, v) }
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(file),
-          new org.apache.hadoop.conf.Configuration())
+          new org.apache.hadoop.fs.Path(file), conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try {
           r.getFooter.getBlocks.asScala.toList.flatMap { bg =>
@@ -872,7 +877,12 @@ object SourceSinkQueries {
               val colName = cc.getPath.toDotString
               wanted.get((tbl, colName)).map { numeric =>
                 val st = cc.getStatistics
-                val haveStats = st != null && !st.isEmpty
+                // null-count and min/max are tracked INDEPENDENTLY in
+                // parquet stats: an all-null chunk has no min/max (the
+                // getters would return uninitialized 0s), and a writer
+                // may omit null_count (getNumNulls == -1). Guard each.
+                val haveNulls = st != null && st.isNumNullsSet
+                val haveMinMax = st != null && st.hasNonNullValue
                 def num(v: AnyRef): Option[Double] = v match {
                   case l: java.lang.Long    => Some(l.doubleValue)
                   case i: java.lang.Integer => Some(i.doubleValue)
@@ -881,9 +891,9 @@ object SourceSinkQueries {
                   case _                    => None
                 }
                 (tbl, colName, cc.getValueCount,
-                  if (haveStats) Some(st.getNumNulls) else None,
-                  if (numeric && haveStats) num(st.genericGetMin.asInstanceOf[AnyRef]) else None,
-                  if (numeric && haveStats) num(st.genericGetMax.asInstanceOf[AnyRef]) else None)
+                  if (haveNulls) Some(st.getNumNulls) else None,
+                  if (numeric && haveMinMax) num(st.genericGetMin.asInstanceOf[AnyRef]) else None,
+                  if (numeric && haveMinMax) num(st.genericGetMax.asInstanceOf[AnyRef]) else None)
               }
             }
           }

@@ -222,9 +222,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Sort ["), "no global sort for a top-k")
     // the query-term filter runs before the tf aggregation's exchange:
     // the isin predicate must sit under the first HashAggregate
-    val firstAgg = p.indexOf("HashAggregate")
-    val termFilter = p.indexOf("spark,vector,stream")
-    assert(termFilter > firstAgg && firstAgg > 0,
-      s"term prune must precede the tf agg (filter@$termFilter agg@$firstAgg)")
+    // structural, not string positions (the printed tree interleaves
+    // several branches): the term-prune Filter's SUBTREE must hold no
+    // aggregate or exchange — i.e. the prune sits directly on the
+    // exploded scan, BEFORE the tf aggregation's shuffle
+    // collect() does not descend into the AQE wrapper — unwrap it
+    val exec = TextQueries.textBm25(spark, sf).queryExecution
+      .executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case o => o
+    }
+    val prunes = exec.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("spark") => f
+    }
+    assert(prunes.nonEmpty, s"no term-prune Filter in:\n$p")
+    prunes.foreach { f =>
+      val above = f.collect {
+        case n if n.nodeName.contains("HashAggregate") ||
+          n.nodeName.contains("Exchange") => n.nodeName
+      }
+      assert(above.isEmpty,
+        s"term prune must run pre-shuffle, found $above beneath it")
+    }
   }
 }

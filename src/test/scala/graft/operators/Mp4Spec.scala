@@ -128,6 +128,14 @@ class Mp4Spec extends SparkSpec {
     val bomb = good.clone()
     java.nio.ByteBuffer.wrap(bomb).putInt(idx + 16, 1 << 24)
     mustFail(bomb, "stsz bomb")
+    // constant-size stsz has no entry array for the box-extent check
+    // to bound: a huge const x count that could never fit the payload
+    // must be rejected BEFORE materializing per-sample arrays
+    val bomb2 = good.clone()
+    val bb2 = java.nio.ByteBuffer.wrap(bomb2)
+    bb2.putInt(idx + 12, 1 << 20) // constant sample size
+    bb2.putInt(idx + 16, 1 << 20) // sample count
+    mustFail(bomb2, "stsz constant-size allocation bomb")
     // entry array past the box's declared end: must quarantine, not
     // silently read the next box's bytes as sample sizes
     val trunc = good.clone()
