@@ -806,6 +806,38 @@ object SourceSinkQueries {
         (length(col("repaired")) > 0).as("non_empty"),
         substring(col("repaired"), -1, 1).as("last_char"))
 
+  /** src_schema_evolution — the lake reality that a later drop adds a
+    * column: drop 1 carries the original nation schema, drop 2 adds
+    * n_comment_len. A mergeSchema read unions the schemas — old rows
+    * surface the new column as NULL, no rewrite of drop 1, and the
+    * partition column keeps drops queryable. Scale: schema merge
+    * reads footers only (the same KB-per-file economics as
+    * src_parquet_meta); the data scan is unchanged. The oracle
+    * replays the union semantics relationally. */
+  def srcSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-evo").toString + "/t"
+    val n = graft.Tables.nation(s, dir)
+    n.filter(col("n_nationkey") % 2 === 0)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .write.mode("overwrite").parquet(s"$tmp/dropno=1")
+    n.filter(col("n_nationkey") % 2 === 1)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+        length(col("n_name")).cast("long").as("n_comment_len"))
+      .write.mode("overwrite").parquet(s"$tmp/dropno=2")
+    s.read.option("mergeSchema", "true").parquet(tmp)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+        col("n_comment_len"), col("dropno").cast("long").as("dropno"))
+  }
+
+  val srcSchemaEvolutionSql: String =
+    """SELECT n_nationkey, n_name, n_regionkey,
+      |  CAST(NULL AS BIGINT) AS n_comment_len, CAST(1 AS BIGINT) AS dropno
+      |FROM nation WHERE n_nationkey % 2 = 0
+      |UNION ALL
+      |SELECT n_nationkey, n_name, n_regionkey,
+      |  CAST(length(n_name) AS BIGINT), CAST(2 AS BIGINT)
+      |FROM nation WHERE n_nationkey % 2 = 1""".stripMargin
+
   /** The columns src_parquet_meta audits: (table, column, whether the
     * footer's numeric min/max stats are surfaced). One list drives
     * BOTH the Spark footer reader and the generated oracle SQL, so
@@ -925,6 +957,7 @@ object SourceSinkQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_parquet_meta" -> (srcParquetMeta _),
+    "src_schema_evolution" -> (srcSchemaEvolution _),
     "src_listing_cache" -> (srcListingCache _),
     "src_glob_listing" -> (srcGlobListing _),
     "src_open_url" -> (srcOpenUrl _),
@@ -956,6 +989,7 @@ object SourceSinkQueries {
 
   def oracle: Map[String, String] = Map(
     "src_parquet_meta" -> srcParquetMetaSql,
+    "src_schema_evolution" -> srcSchemaEvolutionSql,
     "src_listing_cache" -> srcListingCacheSql,
     "src_csv" -> srcFormatSql,
     "src_json" -> srcFormatSql,

@@ -395,4 +395,30 @@ object PropertySpec extends Properties("graft") {
       stable && (corrupt(pos) == data(pos) || // wrapped to same value
         graft.ingest.Hdf5Header.fletcher32(corrupt, corrupt.length) != sum)
     }
+
+  property("MP4 encode/parse round-trips the full sample table") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.chooseNum(1, 200)).map(_.take(64)),
+      Gen.chooseNum(1, 7), Gen.chooseNum(1, 9),
+      Gen.chooseNum(1L, 1000000L)) { (sizesL, syncEvery, chunkSize, seed) =>
+      import graft.multimodal.Mp4Container
+      val sizes = sizesL.toArray
+      val payload = Mp4Container.encodeMp4(seed, sizes, syncEvery,
+        timescale = 1000, sampleDelta = 40, width = 32, height = 24,
+        chunkSize = chunkSize)
+      val t = Mp4Container.parse(payload).tracks.head
+      val expectSync = sizes.indices.filter(_ % syncEvery == 0)
+      val frames = Mp4Container.keyframeBytes(payload, maxFrames = 64)
+      t.nSamples == sizes.length &&
+        t.durationMs == sizes.length * 40L &&
+        t.keyframes.map(_.sample) == expectSync.map(_ + 1) &&
+        t.keyframes.map(_.size) == expectSync.map(i => sizes(i).toLong) &&
+        t.keyframes.map(_.timeMs) == expectSync.map(_ * 40L) &&
+        // extracted bytes match the deterministic mdat fill exactly
+        frames.zip(expectSync).forall { case (f, i) =>
+          f.length == sizes(i) && f.zipWithIndex.forall { case (b, j) =>
+            (b & 0xff) == ((seed + i + j) % 251).toInt
+          }
+        }
+    }
 }
