@@ -344,6 +344,30 @@ object RelationalQueries {
       |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90, count(*) AS n
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
+  /** agg_quantile_sketch — the SCALE path agg_percentile's scaladoc
+    * promises: per-group p50/p90/p99 via a mergeable DDSketch
+    * (α = 1%, deterministic log-bucket counts — see
+    * functions/QuantileSketchAgg). Only ≤ maxBuckets counters per
+    * group × partition cross the shuffle, against the exact form's
+    * every-value shuffle. Rows-only (bucket-midpoint estimates are
+    * engine-defined); QuantileSketchSpec pins the α bound against
+    * exact quantiles, merge-order independence, and graceful
+    * collapse. */
+  def aggQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    orders(s, dir)
+      .select(col("o_orderstatus"), col("o_totalprice"))
+      .as[(String, Double)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(graft.functions.QuantileSketchAgg.agg().toColumn.name("q"))
+      .toDF("o_orderstatus", "q")
+      .select(col("o_orderstatus"), col("q.n").as("n"),
+        round(col("q.p50"), 2).as("p50_est"),
+        round(col("q.p90"), 2).as("p90_est"),
+        round(col("q.p99"), 2).as("p99_est"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** agg_stats_moments — second-moment statistics per group: sample
     * stddev, Pearson correlation and sample covariance of quantity vs
     * price. All three are algebraic aggregates (sum/sum²/sum-of-
@@ -551,6 +575,7 @@ object RelationalQueries {
     "agg_hll_partitioned" -> (aggHllPartitioned _),
     "agg_bbox_union" -> (aggBboxUnion _),
     "agg_percentile" -> (aggPercentile _),
+    "agg_quantile_sketch" -> (aggQuantileSketch _),
     "agg_stats_moments" -> (aggStatsMoments _),
     "agg_pivot" -> (aggPivot _),
     "set_except_all" -> (setExceptAll _),
