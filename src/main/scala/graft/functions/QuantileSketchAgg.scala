@@ -47,9 +47,12 @@ object QuantileSketchAgg {
 
   /** Point update in place. */
   def update(s: Sketch, x: Double, alpha: Double, maxBuckets: Int): Unit = {
-    if (x.isNaN || x < 0)
+    // Infinity would poison every upper quantile, and values within a
+    // factor gamma of Double.MaxValue overflow the gamma^k midpoint —
+    // 1e300 is far above any metric this sketch is for
+    if (!java.lang.Double.isFinite(x) || x < 0 || x > 1e300)
       throw new IllegalArgumentException(
-        s"quantile sketch takes non-negative finite values, got $x")
+        s"quantile sketch takes non-negative values below 1e300, got $x")
     if (x < MIN_VALUE) s.zeroCount += 1
     else {
       val k = bucketOf(x, alpha)
@@ -69,16 +72,24 @@ object QuantileSketchAgg {
     a
   }
 
-  /** DDSketch collapsing: fold the LOWEST bucket into its neighbor
-    * above until within budget — upper quantiles keep their α bound,
-    * the collapsed low tail degrades first. */
+  /** DDSketch collapsing: fold the LOWEST buckets into the lowest
+    * surviving one until within budget — upper quantiles keep their
+    * α bound, the collapsed low tail degrades first. One sort + one
+    * pass (equivalent to iterated pairwise-lowest collapse, without
+    * the O(size) min-scan per evicted bucket — a saturated merge
+    * would otherwise pay O(size²)). */
   private def collapse(s: Sketch, maxBuckets: Int): Unit =
-    while (s.buckets.size > maxBuckets) {
-      val ks = s.buckets.keys
-      val lo = ks.min
-      val lo2 = ks.filter(_ != lo).min
-      val n = s.buckets.remove(lo).getOrElse(0L)
-      s.buckets.update(lo2, s.buckets.getOrElse(lo2, 0L) + n)
+    if (s.buckets.size > maxBuckets) {
+      val ks = s.buckets.keys.toArray
+      java.util.Arrays.sort(ks)
+      val excess = s.buckets.size - maxBuckets
+      var acc = 0L
+      var i = 0
+      while (i < excess) {
+        acc += s.buckets.remove(ks(i)).getOrElse(0L)
+        i += 1
+      }
+      s.buckets.update(ks(excess), s.buckets.getOrElse(ks(excess), 0L) + acc)
     }
 
   /** Quantile estimate: the bucket holding the rank-⌈qn⌉ value,

@@ -150,27 +150,30 @@ object Mp4Container {
     n.toInt
   }
 
-  /** stsz → per-sample sizes (constant-size form expanded). */
-  private def sampleSizes(buf: Buf, stbl: List[Box]): Array[Long] = {
+  /** stsz → per-sample sizes (constant-size form expanded).
+    * `budget` is the REMAINING cross-track sample allowance: the
+    * constant-size form has no entry array for the box-extent check
+    * to bound, so without a shared cap a 2 KB payload declaring
+    * 2^20-sample constant-size tracks x 64 tracks would materialize
+    * gigabytes of per-sample arrays (OOM is not NonFatal — it would
+    * defeat the quarantine contract). A shared budget keeps worst-
+    * case allocation bounded while still parsing header-only
+    * (moov-without-mdat) payloads, which a payload-length bound on
+    * declared sample BYTES would wrongly reject. */
+  private def sampleSizes(
+      buf: Buf, stbl: List[Box], budget: Int): Array[Long] = {
     val b = need(stbl, "stsz", "stbl")
     val (_, o) = fullBox(buf, b)
     within(b, o, 8)
     val const = buf.u32(o)
-    if (const != 0) {
-      val n = readCount(buf, b, o + 4, 0, "stsz sample")
-      // the constant-size form has no entry array, so the box-extent
-      // check bounds nothing: a 2 KB payload declaring 2^20 samples
-      // per track x 64 tracks would materialize gigabytes of sample
-      // arrays before any offset validation. Total declared sample
-      // bytes can never exceed the file itself.
-      if (const * n.toLong > buf.len)
-        bad(s"mp4: stsz declares $n x $const-byte samples " +
-          s"but the payload holds ${buf.len} bytes")
-      Array.fill(n)(const)
-    } else {
-      val n = readCount(buf, b, o + 4, 4, "stsz sample")
-      Array.tabulate(n)(i => buf.u32(o + 8 + 4L * i))
-    }
+    val n =
+      if (const != 0) readCount(buf, b, o + 4, 0, "stsz sample")
+      else readCount(buf, b, o + 4, 4, "stsz sample")
+    if (n > budget)
+      bad(s"mp4: $n samples exceed the remaining cross-track " +
+        s"budget $budget (cap $MAX_SAMPLES)")
+    if (const != 0) Array.fill(n)(const)
+    else Array.tabulate(n)(i => buf.u32(o + 8 + 4L * i))
   }
 
   /** stts → per-sample decode time (media timescale units). */
@@ -301,6 +304,7 @@ object Mp4Container {
     if (mvTimescale <= 0) bad(s"mp4: movie timescale $mvTimescale")
     val traks = moovKids.filter(_.typ == "trak")
     if (traks.length > MAX_TRACKS) bad(s"mp4: ${traks.length} tracks")
+    var sampleBudget = MAX_SAMPLES // shared across tracks
     val tracks = traks.map { trak =>
       val kids = boxes(buf, trak.start, trak.end)
       val tkhd = need(kids, "tkhd", "trak")
@@ -329,7 +333,8 @@ object Mp4Container {
         within(sd, o, 4)
         if (buf.u32(o) < 1) "" else { within(sd, o + 8, 4); buf.fourcc(o + 8) }
       }.getOrElse("")
-      val sizes = sampleSizes(buf, stbl)
+      val sizes = sampleSizes(buf, stbl, sampleBudget)
+      sampleBudget -= sizes.length
       val offsets = sampleOffsets(buf, stbl, sizes)
       val times = sampleTimes(buf, stbl, sizes.length)
       val keyframes = syncSamples(buf, stbl, sizes.length).toSeq.map { s =>

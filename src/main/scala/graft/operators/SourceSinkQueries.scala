@@ -898,8 +898,8 @@ object SourceSinkQueries {
       .parallelize(files, math.max(1, math.min(files.size, 32)))
       .flatMap { case (tbl, file) =>
         import scala.jdk.CollectionConverters._
-        val conf = new org.apache.hadoop.conf.Configuration()
-        confSnapshot.foreach { case (k, v) => conf.set(k, v) }
+        val conf = ListingCache.confWith(
+          new org.apache.hadoop.conf.Configuration(false), confSnapshot)
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(file), conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -936,11 +936,17 @@ object SourceSinkQueries {
       .groupBy(col("tbl"), col("col"))
       .agg(
         sum(col("chunk_values")).as("n_values"),
-        sum(col("chunk_nulls")).as("n_nulls"),
+        // a chunk with the stat ABSENT must surface as unknown (null),
+        // never as a confidently narrower sum/min/max: sum()/min()
+        // skip nulls, so gate each aggregate on every chunk reporting
+        when(count(col("chunk_nulls")) === count(lit(1)),
+          sum(col("chunk_nulls"))).as("n_nulls"),
         // + 0.0 canonicalizes IEEE -0.0 (pyarrow keeps the sign in
         // stats; the data-side min may come back +0.0) on BOTH engines
-        (min(col("chunk_min")) + lit(0.0)).as("min_val"),
-        (max(col("chunk_max")) + lit(0.0)).as("max_val"))
+        when(count(col("chunk_min")) === count(lit(1)),
+          min(col("chunk_min")) + lit(0.0)).as("min_val"),
+        when(count(col("chunk_max")) === count(lit(1)),
+          max(col("chunk_max")) + lit(0.0)).as("max_val"))
   }
 
   val srcParquetMetaSql: String = PARQUET_META_COLS.map {

@@ -129,12 +129,12 @@ class Mp4Spec extends SparkSpec {
     java.nio.ByteBuffer.wrap(bomb).putInt(idx + 16, 1 << 24)
     mustFail(bomb, "stsz bomb")
     // constant-size stsz has no entry array for the box-extent check
-    // to bound: a huge const x count that could never fit the payload
-    // must be rejected BEFORE materializing per-sample arrays
+    // to bound: a count past the shared cross-track sample budget must
+    // be rejected BEFORE materializing per-sample arrays
     val bomb2 = good.clone()
     val bb2 = java.nio.ByteBuffer.wrap(bomb2)
     bb2.putInt(idx + 12, 1 << 20) // constant sample size
-    bb2.putInt(idx + 16, 1 << 20) // sample count
+    bb2.putInt(idx + 16, (1 << 20) + 1) // count over the shared budget
     mustFail(bomb2, "stsz constant-size allocation bomb")
     // entry array past the box's declared end: must quarantine, not
     // silently read the next box's bytes as sample sizes
@@ -148,6 +148,21 @@ class Mp4Spec extends SparkSpec {
     java.nio.ByteBuffer.wrap(wild).putInt(stco + 16, Int.MaxValue)
     intercept[IllegalArgumentException](
       Mp4Container.keyframeBytes(wild, 10))
+  }
+
+  test("header-only payload (moov without mdat) parses; extraction refuses") {
+    // the range-GET shape: fetch just ftyp+moov, read the sample
+    // tables, then range-GET keyframes from the full object — parse
+    // must work on the header alone (sample OFFSETS are promises about
+    // the full file, not the fetched bytes); only extraction fails
+    val full = fixture()
+    val mdatOff = indexOfBox(full, "mdat")
+    val headerOnly = full.take(mdatOff)
+    val t = parse(headerOnly).tracks.head
+    assert(t.nSamples == sizes.length)
+    assert(t.keyframes.map(_.sample) == Seq(1, 4, 7, 10))
+    intercept[IllegalArgumentException](
+      Mp4Container.keyframeBytes(headerOnly, 4))
   }
 
   test("audio-only container refuses keyframe extraction") {
