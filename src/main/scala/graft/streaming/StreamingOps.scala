@@ -178,6 +178,52 @@ object StreamingOps {
       }
   }
 
+  /** Streaming quantiles — agg_quantile_sketch's DDSketch as
+    * flatMapGroupsWithState state: the IDENTICAL deterministic
+    * bucket-count kernel (QuantileSketchAgg.update — one sketch
+    * implementation audited for both modes), so after any replay of
+    * the same rows the streaming state IS the batch sketch and the
+    * emitted quantiles match the batch aggregator exactly (the
+    * bucket-additive construction is merge-order independent under
+    * budget). State is O(keys × maxBuckets) regardless of stream
+    * length — live p50/p95/p99 latency/price monitoring over an
+    * unbounded feed. Stream-equals-batch is unit-tested. */
+  case class QuantileUpdate(
+      key: String, n: Long, p50: Double, p90: Double, p99: Double)
+
+  def quantilesStream(
+      events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      alpha: Double = graft.functions.QuantileSketchAgg.ALPHA,
+      maxBuckets: Int = graft.functions.QuantileSketchAgg.MAX_BUCKETS)
+      : org.apache.spark.sql.Dataset[QuantileUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.functions.QuantileSketchAgg
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val sketchEnc: org.apache.spark.sql.Encoder[QuantileSketchAgg.Sketch] =
+      org.apache.spark.sql.Encoders.kryo[QuantileSketchAgg.Sketch]
+    events
+      .selectExpr("o_orderstatus", "o_totalprice")
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[QuantileSketchAgg.Sketch, QuantileUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Double)],
+            state: GroupState[QuantileSketchAgg.Sketch]) =>
+          val sk = state.getOption
+            .getOrElse(new QuantileSketchAgg.Sketch)
+          rows.foreach { case (_, x) =>
+            QuantileSketchAgg.update(sk, x, alpha, maxBuckets)
+          }
+          state.update(sk)
+          Iterator.single(QuantileUpdate(key,
+            sk.zeroCount + sk.buckets.valuesIterator.sum,
+            QuantileSketchAgg.quantile(sk, 0.50, alpha),
+            QuantileSketchAgg.quantile(sk, 0.90, alpha),
+            QuantileSketchAgg.quantile(sk, 0.99, alpha)))
+      }
+  }
+
   /** Streaming sequence packer — text_pack_sequences as per-stream
     * state: each (lang, shard) key carries its cumulative token count
     * in flatMapGroupsWithState, so documents arriving over an

@@ -119,6 +119,50 @@ class ScaleUtilsSpec extends SparkSpec {
     assert(finalRows.contains(("view", 1, 9L, 2L)), s"got $finalRows")
   }
 
+  test("streaming quantiles equal the batch sketch after replay") {
+    import spark.implicits._
+    import graft.functions.QuantileSketchAgg
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 600).map { i =>
+      (if (i % 3 == 0) "O" else "F", 10.0 + rnd.nextDouble() * 1000)
+    }
+    val mem = MemoryStream[(String, Double)]
+    val events = mem.toDF().toDF("o_orderstatus", "o_totalprice")
+    val q = StreamingOps.quantilesStream(events)
+      .writeStream.format("memory").queryName("q_stream")
+      .outputMode("update").start()
+    // replay in three uneven micro-batches
+    mem.addData(rows.take(100): _*)
+    q.processAllAvailable()
+    mem.addData(rows.slice(100, 350): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(350): _*)
+    q.processAllAvailable()
+    q.stop()
+    // last emission per key (max n — counts are monotone) must equal
+    // the one-pass batch sketch EXACTLY: same kernel, bucket-additive,
+    // merge-order independent under budget
+    val streamed = spark.table("q_stream")
+      .orderBy(org.apache.spark.sql.functions.col("n").desc)
+      .collect().groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.head }
+    for ((key, group) <- rows.groupBy(_._1)) {
+      val sk = new QuantileSketchAgg.Sketch
+      group.foreach { case (_, x) =>
+        QuantileSketchAgg.update(sk, x, QuantileSketchAgg.ALPHA,
+          QuantileSketchAgg.MAX_BUCKETS)
+      }
+      val r = streamed(key)
+      assert(r.getLong(1) == group.length.toLong)
+      for ((qq, idx) <- Seq(0.50 -> 2, 0.90 -> 3, 0.99 -> 4)) {
+        val batch = QuantileSketchAgg.quantile(sk, qq, QuantileSketchAgg.ALPHA)
+        assert(r.getDouble(idx) == batch,
+          s"$key q=$qq stream=${r.getDouble(idx)} batch=$batch")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState accumulates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
