@@ -77,7 +77,13 @@ object CatalogQuery {
         * page (STAC `token` paging). */
       afterToken: Option[Seq[Any]] = None)
 
-  def compile(items: DataFrame, q: Search): DataFrame = {
+  def compile(items: DataFrame, q: Search): DataFrame =
+    compileSorted(items, compileFilter(items, q), q)
+
+  /** The predicate half of compile — everything BEFORE sort/limit/
+    * keyset. The aggregations endpoint aggregates over this frame
+    * (counting a page would be wrong), search adds the order. */
+  private[graft] def compileFilter(items: DataFrame, q: Search): DataFrame = {
     var df = items
     if (q.collections.nonEmpty)
       df = df.filter(col("collection_id").isin(q.collections: _*))
@@ -145,6 +151,14 @@ object CatalogQuery {
     q.cql2Json.foreach { f =>
       df = df.filter(Cql2Filter.compileJson(f, items.columns.toSet))
     }
+    df
+  }
+
+  /** The ordering half of compile: sort validation, keyset token,
+    * orderBy + limit over an already-filtered frame. */
+  private def compileSorted(
+      items: DataFrame, filtered: DataFrame, q: Search): DataFrame = {
+    var df = filtered
     // total order: user sort keys + item_id tiebreak. Validate names
     // AND types here: an unknown sort column would otherwise surface
     // as an AnalysisException mid-plan, and a container-typed one

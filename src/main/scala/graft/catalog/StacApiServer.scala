@@ -126,6 +126,8 @@ class StacApiServer private (
           val params = queryParams(ex)
           serveSearch(ex, searchFromParams(params), params.get("token"),
             "/search", getParams = Some(params))
+        case ("GET", "/aggregations") =>
+          serveAggregations(ex, searchFromParams(queryParams(ex)))
         case ("POST", "/search") =>
           val body = new String(ex.getRequestBody.readAllBytes(),
             StandardCharsets.UTF_8)
@@ -167,6 +169,42 @@ class StacApiServer private (
     }
     val page = FeatureCollection.page(items, q, token, selfHref, nextHref)
     respond(ex, 200, page.body)
+  }
+
+  /** STAC aggregation extension: total_count, per-collection
+    * frequencies, and a monthly datetime histogram over the SAME
+    * filter surface as /search (collections/bbox/datetime/filter all
+    * apply). Aggregates the filtered FRAME — one Spark hash agg per
+    * family, never a paged row walk — so the counts are exact however
+    * large the catalog; only |collections| + |months| + 1 rows reach
+    * the driver. */
+  private def serveAggregations(
+      ex: HttpExchange, q: CatalogQuery.Search): Unit = {
+    import org.apache.spark.sql.functions.{col, count, date_format, lit}
+    val filtered = CatalogQuery.compileFilter(items, q)
+    val perCollection = filtered.groupBy(col("collection_id"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("collection_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byMonth = filtered
+      .groupBy(date_format(col("start_datetime"), "yyyy-MM").as("m"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("m"))
+      .collect().map(r => (Option(r.getString(0)).getOrElse("none"),
+        r.getLong(1)))
+    val total = perCollection.map(_._2).sum
+    def buckets(bs: Seq[(String, Long)]): String = bs.map { case (k, n) =>
+      s"""{"key":${mapper.writeValueAsString(k)},"frequency":$n}"""
+    }.mkString("[", ",", "]")
+    respond(ex, 200,
+      s"""{"aggregations":[
+         |{"name":"total_count","data_type":"integer","value":$total},
+         |{"name":"collection_frequency","data_type":"frequency_distribution",
+         |"buckets":${buckets(perCollection.toSeq)}},
+         |{"name":"datetime_frequency","data_type":"frequency_distribution",
+         |"frequency_interval":"month","buckets":${buckets(byMonth.toSeq)}}],
+         |"links":[{"rel":"self","href":"/aggregations"}]}"""
+        .stripMargin.replace("\n", ""))
   }
 
   /** OGC Features core: one item by id, as a GeoJSON Feature. */
@@ -293,6 +331,7 @@ object StacApiServer {
     "https://api.stacspec.org/v1.0.0/item-search#filter",
     "https://api.stacspec.org/v1.0.0/item-search#sort",
     "https://api.stacspec.org/v1.0.0/item-search#fields",
+    "https://api.stacspec.org/v0.3.0/aggregation",
     "https://api.stacspec.org/v1.0.0/ogcapi-features",
     "https://api.stacspec.org/v1.0.0/ogcapi-features/extensions/transaction",
     "http://www.opengis.net/spec/cql2/1.0/conf/cql2-text",

@@ -328,6 +328,37 @@ class StacApiSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("GET /aggregations counts the filter surface, not a page") {
+    val (s0, body) = get("/aggregations")
+    assert(s0 == 200, body)
+    val aggs = mapper.readTree(body).get("aggregations")
+    val total = aggs.get(0)
+    assert(total.get("name").asText() == "total_count")
+    // exact frame count — NOT capped at the default page limit (10),
+    // which a paged implementation would wrongly report
+    val expect = items.count()
+    assert(total.get("value").asLong() == expect, body)
+    assert(expect > 10, "fixture must exceed a page to prove the point")
+    val coll = aggs.get(1)
+    assert(coll.get("name").asText() == "collection_frequency")
+    val collTotal = (0 until coll.get("buckets").size())
+      .map(i => coll.get("buckets").get(i).get("frequency").asLong()).sum
+    assert(collTotal == expect)
+    val months = aggs.get(2)
+    assert(months.get("frequency_interval").asText() == "month")
+    assert(months.get("buckets").get(0).get("key").asText()
+      .matches("\\d{4}-\\d{2}"))
+    // the same filter params /search honors narrow the aggregation
+    val (s1, filtered) = get("/aggregations?datetime=" +
+      "2022-05-01T00:00:00Z/2022-05-01T00:59:59Z")
+    assert(s1 == 200)
+    val fTotal = mapper.readTree(filtered).get("aggregations").get(0)
+      .get("value").asLong()
+    assert(fTotal > 0 && fTotal < expect, s"$fTotal vs $expect")
+    // conformance advertises the extension
+    assert(get("/conformance")._2.contains("aggregation"))
+  }
+
   test("malformed requests answer 400 with a JSON error, not a crash") {
     assert(get("/search?bbox=1,2,three,4")._1 == 400)
     assert(get("/search?limit=0")._1 == 400)
