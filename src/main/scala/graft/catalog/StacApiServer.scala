@@ -182,17 +182,21 @@ class StacApiServer private (
       ex: HttpExchange, q: CatalogQuery.Search): Unit = {
     import org.apache.spark.sql.functions.{col, count, date_format, lit}
     val filtered = CatalogQuery.compileFilter(items, q)
-    val perCollection = filtered.groupBy(col("collection_id"))
+    // ONE scan: group by (collection, month) — |collections|×|months|
+    // rows — and roll both marginals up driver-side, instead of two
+    // independent actions each re-running the predicate scan
+    val cells = filtered
+      .groupBy(col("collection_id"),
+        date_format(col("start_datetime"), "yyyy-MM").as("m"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("collection_id"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    val byMonth = filtered
-      .groupBy(date_format(col("start_datetime"), "yyyy-MM").as("m"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("m"))
-      .collect().map(r => (Option(r.getString(0)).getOrElse("none"),
-        r.getLong(1)))
-    val total = perCollection.map(_._2).sum
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1)).getOrElse("none"),
+        r.getLong(2)))
+    val perCollection = cells.groupBy(_._1).toSeq
+      .map { case (c, rs) => (c, rs.map(_._3).sum) }.sortBy(_._1)
+    val byMonth = cells.groupBy(_._2).toSeq
+      .map { case (m, rs) => (m, rs.map(_._3).sum) }.sortBy(_._1)
+    val total = cells.map(_._3).sum
     def buckets(bs: Seq[(String, Long)]): String = bs.map { case (k, n) =>
       s"""{"key":${mapper.writeValueAsString(k)},"frequency":$n}"""
     }.mkString("[", ",", "]")

@@ -79,7 +79,20 @@ object QuantileSketchAgg {
     * the O(size) min-scan per evicted bucket — a saturated merge
     * would otherwise pay O(size²)). */
   private def collapse(s: Sketch, maxBuckets: Int): Unit =
-    if (s.buckets.size > maxBuckets) {
+    if (s.buckets.size == maxBuckets + 1) {
+      // the saturated-update hot path (one bucket over): fold the
+      // lowest into the second-lowest with one O(B) two-min scan —
+      // no sort per input row
+      var lo = Int.MaxValue
+      var lo2 = Int.MaxValue
+      s.buckets.keysIterator.foreach { k =>
+        if (k < lo) { lo2 = lo; lo = k }
+        else if (k < lo2) lo2 = k
+      }
+      val n = s.buckets.remove(lo).getOrElse(0L)
+      s.buckets.update(lo2, s.buckets.getOrElse(lo2, 0L) + n)
+    } else if (s.buckets.size > maxBuckets) {
+      // bulk overflow (merges): one sort + one pass
       val ks = s.buckets.keys.toArray
       java.util.Arrays.sort(ks)
       val excess = s.buckets.size - maxBuckets

@@ -226,6 +226,11 @@ object Mp4Container {
     while (r < runs && s < sizes.length) {
       val firstChunk = buf.u32(so + 4 + 12L * r) // 1-based
       val perChunk = buf.u32(so + 8 + 12L * r)
+      if (r == 0 && firstChunk != 1)
+        // ISO 14496-12 mandates the first run covers chunk 1; a later
+        // start would silently shift every sample to the wrong chunk
+        // base, and wrong offsets still land inside mdat — quarantine
+        bad(s"mp4: stsc first run starts at chunk $firstChunk, not 1")
       if (firstChunk < 1 || firstChunk > chunkOffsets.length)
         bad(s"mp4: stsc first_chunk $firstChunk outside ${chunkOffsets.length} chunks")
       if (perChunk < 1 || perChunk > MAX_SAMPLES)
@@ -262,9 +267,14 @@ object Mp4Container {
       case Some(b) =>
         val (_, o) = fullBox(buf, b)
         val k = readCount(buf, b, o, 4, "stss entry")
+        var prev = 0L
         Array.tabulate(k) { i =>
           val s = buf.u32(o + 4 + 4L * i)
           if (s < 1 || s > n) bad(s"mp4: sync sample $s outside 1..$n")
+          // strictly increasing per spec: a duplicated or unsorted
+          // sync table would double-count keyframes downstream
+          if (s <= prev) bad(s"mp4: sync table not increasing at $s")
+          prev = s
           s.toInt
         }
     }

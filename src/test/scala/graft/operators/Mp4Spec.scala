@@ -141,6 +141,19 @@ class Mp4Spec extends SparkSpec {
     val trunc = good.clone()
     java.nio.ByteBuffer.wrap(trunc).putInt(idx + 16, sizes.length + 1)
     mustFail(trunc, "stsz entries past box end")
+    // stsc first run not starting at chunk 1 would silently shift
+    // every sample to the wrong chunk base (offsets still land inside
+    // mdat, so only validation catches it)
+    val stsc = indexOfBox(good, "stsc")
+    val shifted = good.clone()
+    java.nio.ByteBuffer.wrap(shifted).putInt(stsc + 16, 2)
+    mustFail(shifted, "stsc first run not at chunk 1")
+    // a duplicated / unsorted sync table double-counts keyframes
+    val stss = indexOfBox(good, "stss")
+    val dup = good.clone()
+    val prevSync = java.nio.ByteBuffer.wrap(dup).getInt(stss + 16)
+    java.nio.ByteBuffer.wrap(dup).putInt(stss + 20, prevSync)
+    mustFail(dup, "non-increasing sync table")
     // chunk offset pointing outside the payload: keyframeBytes must
     // reject the slice, not AIOOBE
     val stco = indexOfBox(good, "stco")
