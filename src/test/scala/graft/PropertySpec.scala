@@ -396,6 +396,34 @@ object PropertySpec extends Properties("graft") {
         graft.ingest.Hdf5Header.fletcher32(corrupt, corrupt.length) != sum)
     }
 
+  property("MP4 parse on arbitrary bytes only ever raises the quarantine type") =
+    forAll(Gen.oneOf(
+      // pure noise
+      Gen.chooseNum(0, 600).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray)),
+      // structured corruption: a valid fixture with random bytes stomped
+      for {
+        nStomp <- Gen.chooseNum(1, 12)
+        stomps <- Gen.listOfN(nStomp,
+          Gen.zip(Gen.chooseNum(0, 10000), Gen.chooseNum(-128, 127)))
+      } yield {
+        val b = graft.multimodal.Mp4Container.encodeMp4(7L,
+          Array(30, 41, 25, 60, 33), syncEvery = 2, timescale = 1000,
+          sampleDelta = 40, width = 32, height = 24)
+        stomps.foreach { case (p, v) => b(p % b.length) = v.toByte }
+        b
+      })) { bytes =>
+      // the quarantine contract: NonFatal callers rely on parse never
+      // escaping with AIOOBE/NegativeArraySize/OOM on adversarial input
+      try { graft.multimodal.Mp4Container.parse(bytes); true }
+      catch {
+        case _: IllegalArgumentException => true
+        case e: Throwable =>
+          println(s"escaped ${e.getClass.getName}: ${e.getMessage}")
+          false
+      }
+    }
+
   property("MP4 encode/parse round-trips the full sample table") =
     forAll(
       Gen.nonEmptyListOf(Gen.chooseNum(1, 200)).map(_.take(64)),
