@@ -104,6 +104,10 @@ object Mp4Container {
       val typ = buf.fourcc(o + 4)
       val (payload, boxEnd) =
         if (size32 == 1L) { // largesize
+          // the 16-byte header must itself fit the CONTAINER — the
+          // payload-level check alone would read a sibling's bytes as
+          // the size before the boxEnd backstop fires
+          if (o > end - 16) bad(s"mp4: truncated largesize header at $o")
           val size = buf.u64(o + 8)
           if (size < 16) bad(s"mp4: largesize box '$typ' of $size bytes")
           (o + 16, o + size)
