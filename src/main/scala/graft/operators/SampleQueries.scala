@@ -51,6 +51,37 @@ object SampleQueries {
       |WHERE CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 6)
       |    AS BIGINT) % 1000 < 100""".stripMargin
 
+  /** sample_weighted — weighted sampling WITHOUT replacement by the
+    * Efraimidis–Spirakis A-ES construction (exponential-jump form):
+    * each doc draws key = -ln(u)/w with u a DETERMINISTIC uniform
+    * from its content hash and w = n_chars; the k smallest keys are
+    * a weighted sample without replacement. The training-data use:
+    * quality- or length-weighted corpus draws that are reproducible
+    * across engines, runs, and partitionings — rand() would version
+    * nothing. Scale shape: pure narrow arithmetic (sha2 + ln per
+    * row, no shuffle) into a TakeOrderedAndProject top-k; the key is
+    * rounded (8 dp, +1e-9 both engines) before ordering so the
+    * selected set is engine-stable, doc_id tiebreak. */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), col("n_chars").cast("double").as("w"),
+        // uniform in (0,1): (first 8 sha256 hex digits + 0.5) / 16^8
+        ((conv(substring(sha2(col("doc_id").cast("string"), 256), 1, 8),
+          16, 10).cast("double") + 0.5) / lit(4294967296.0)).as("u"))
+      .select(col("doc_id"), col("w").cast("long").as("w"),
+        round(-log(col("u")) / col("w") + lit(1e-9), 8).as("key"))
+      .orderBy(col("key"), col("doc_id"))
+      .limit(20)
+
+  val sampleWeightedSql: String =
+    """SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+      |  round(-ln((CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)),
+      |      1, 8) AS BIGINT) + 0.5) / 4294967296.0)
+      |    / CAST(n_chars AS DOUBLE) + 1e-9, 8) AS key
+      |FROM documents
+      |ORDER BY key, doc_id
+      |LIMIT 20""".stripMargin
+
   /** sample_stratified — exact per-language quota (12 docs/lang),
     * hash-ordered so the quota is reproducible, not first-seen. One
     * window shuffle on the stratum key; the per-group state is the
@@ -342,6 +373,7 @@ object SampleQueries {
     "agg_dataset_checksum" -> (aggDatasetChecksum _),
     "sample_hash_fraction" -> (sampleHashFraction _),
     "sample_stratified" -> (sampleStratified _),
+    "sample_weighted" -> (sampleWeighted _),
     "sample_split" -> (sampleSplit _),
     "sample_temperature" -> (sampleTemperature _),
     "sample_token_budget" -> (sampleTokenBudget _),
@@ -352,6 +384,7 @@ object SampleQueries {
     "agg_dataset_checksum" -> aggDatasetChecksumSql,
     "sample_hash_fraction" -> sampleHashFractionSql,
     "sample_stratified" -> sampleStratifiedSql,
+    "sample_weighted" -> sampleWeightedSql,
     "sample_split" -> sampleSplitSql,
     "sample_temperature" -> sampleTemperatureSql,
     "sample_token_budget" -> sampleTokenBudgetSql,
