@@ -224,6 +224,47 @@ object StreamingOps {
       }
   }
 
+  /** Streaming weighted reservoir — sample_weighted's A-ES draw as
+    * flatMapGroupsWithState state: Efraimidis–Spirakis keys are
+    * computed per arriving row from the SAME hash-deterministic
+    * uniform as the batch query, and the state is just the k best
+    * (key, doc) pairs — the textbook streaming weighted reservoir,
+    * O(k) state on an unbounded feed. Because keys are deterministic
+    * functions of content, replaying the same rows in ANY micro-batch
+    * split converges to exactly the batch top-k (asserted in
+    * ScaleUtilsSpec). */
+  case class ReservoirPick(lang: String, rk: Int, doc_id: Long, key: Double)
+
+  def weightedReservoirStream(
+      docs: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      k: Int = 20): org.apache.spark.sql.Dataset[ReservoirPick] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .selectExpr("lang", "doc_id",
+        // the batch query's exact key arithmetic: u from the first 8
+        // sha256 hex digits, key = -ln(u)/w rounded to 8 dp
+        """round(-ln((conv(substring(sha2(cast(doc_id AS string), 256),
+          |  1, 8), 16, 10) + 0.5d) / 4294967296d)
+          |  / cast(n_chars AS double) + 1e-9, 8) AS key""".stripMargin)
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(Double, Long)], ReservoirPick](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (lang: String, rows: Iterator[(String, Long, Double)],
+            state: GroupState[Seq[(Double, Long)]]) =>
+          val merged = (state.getOption.getOrElse(Seq.empty) ++
+            rows.map { case (_, id, key) => (key, id) })
+            .sortBy { case (key, id) => (key, id) }
+            .take(k)
+          state.update(merged)
+          merged.iterator.zipWithIndex.map { case ((key, id), i) =>
+            ReservoirPick(lang, i + 1, id, key)
+          }
+      }
+  }
+
   /** Streaming sequence packer — text_pack_sequences as per-stream
     * state: each (lang, shard) key carries its cumulative token count
     * in flatMapGroupsWithState, so documents arriving over an

@@ -163,6 +163,46 @@ class ScaleUtilsSpec extends SparkSpec {
     }
   }
 
+  test("streaming weighted reservoir converges to the batch draw") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0L until 400L).map(i =>
+      (s"l${i % 3}", i, 40 + (i * 7 % 300).toInt)) // (lang, doc_id, n_chars)
+    val mem = MemoryStream[(String, Long, Int)]
+    val docs = mem.toDF().toDF("lang", "doc_id", "n_chars")
+    val q = StreamingOps.weightedReservoirStream(docs, k = 5)
+      .writeStream.format("memory").queryName("res_stream")
+      .outputMode("update").start()
+    mem.addData(rows.take(150): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(150): _*)
+    q.processAllAvailable()
+    q.stop()
+    // batch reference: same key arithmetic over the full set
+    val batch = spark.createDataset(rows).toDF("lang", "doc_id", "n_chars")
+      .selectExpr("lang", "doc_id",
+        """round(-ln((conv(substring(sha2(cast(doc_id AS string), 256),
+          |  1, 8), 16, 10) + 0.5d) / 4294967296d)
+          |  / cast(n_chars AS double) + 1e-9, 8) AS key""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (lang, rs) =>
+        lang -> rs.sortBy(r => (r._3, r._2)).take(5)
+          .map(r => (r._2, r._3)).toSeq
+      }
+    // the stream's LAST emission per (lang, rk) is the converged state
+    val streamed = spark.table("res_stream")
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        r.getLong(2), r.getDouble(3)))
+      .groupBy(t => (t._1, t._2)).map { case (_, ts) => ts.last }
+      .toSeq.groupBy(_._1)
+      .map { case (lang, ts) =>
+        lang -> ts.sortBy(_._2).map(t => (t._3, t._4)).toSeq
+      }
+    assert(streamed == batch,
+      s"stream $streamed\nvs batch $batch")
+  }
+
   test("flatMapGroupsWithState accumulates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
