@@ -396,6 +396,49 @@ object PropertySpec extends Properties("graft") {
         graft.ingest.Hdf5Header.fletcher32(corrupt, corrupt.length) != sum)
     }
 
+  property("HDF5 decode on corrupted granules stays inside the quarantine types") =
+    forAll(Gen.oneOf(
+      // pure noise (sometimes with a valid magic prefix)
+      for {
+        n <- Gen.chooseNum(0, 400)
+        bs <- Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte))
+        magic <- Gen.oneOf(true, false)
+      } yield {
+        val noise = bs.toArray
+        if (magic && noise.length >= 8)
+          Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n') ++
+            noise.drop(8)
+        else noise
+      },
+      // a valid netcdf4 fixture with random bytes stomped
+      for {
+        nStomp <- Gen.chooseNum(1, 16)
+        stomps <- Gen.listOfN(nStomp,
+          Gen.zip(Gen.chooseNum(0, 100000), Gen.chooseNum(-128, 127)))
+      } yield {
+        val b = graft.ingest.Hdf5Header.buildDataFile(
+          Seq(("id", graft.ingest.NetcdfClassic.CharAttr("fuzz"))),
+          Seq(graft.ingest.Hdf5Header.FixtureVar("LONGITUDE", Seq(24L),
+            Array.tabulate(24)(_ * 0.5), chunks = Some(Seq(16L)),
+            deflate = true, shuffle = true)))
+        stomps.foreach { case (p, v) => b(p % b.length) = v.toByte }
+        b
+      })) { bytes =>
+      // Hdf5InsituSource quarantines IOException | IllegalArgumentException
+      // ONLY — anything else (AIOOBE, NegativeArraySize, ...) would kill
+      // the corpus job on one corrupt granule
+      try {
+        val f = graft.ingest.Hdf5Header.readFile(bytes)
+        f.rootAttrs; f.datasetNames.foreach(n => f.dataset(n).data)
+        true
+      } catch {
+        case _: java.io.IOException | _: IllegalArgumentException => true
+        case e: Throwable =>
+          println(s"escaped ${e.getClass.getName}: ${e.getMessage}")
+          false
+      }
+    }
+
   property("MP4 parse on arbitrary bytes only ever raises the quarantine type") =
     forAll(Gen.oneOf(
       // pure noise
