@@ -396,6 +396,45 @@ object PropertySpec extends Properties("graft") {
         graft.ingest.Hdf5Header.fletcher32(corrupt, corrupt.length) != sum)
     }
 
+  property("classic netCDF header parse stays inside the quarantine types") =
+    forAll(Gen.oneOf(
+      for {
+        n <- Gen.chooseNum(0, 300)
+        bs <- Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte))
+        magic <- Gen.oneOf(true, false)
+      } yield {
+        val noise = bs.toArray
+        if (magic && noise.length >= 4) {
+          noise(0) = 'C'; noise(1) = 'D'; noise(2) = 'F'; noise(3) = 1
+        }
+        noise
+      },
+      for {
+        ver <- Gen.oneOf(1, 2, 5)
+        nStomp <- Gen.chooseNum(1, 10)
+        stomps <- Gen.listOfN(nStomp,
+          Gen.zip(Gen.chooseNum(0, 10000), Gen.chooseNum(-128, 127)))
+      } yield {
+        val b = graft.ingest.NetcdfClassic.buildHeader(
+          Seq(("id", graft.ingest.NetcdfClassic.CharAttr("fuzz")),
+            ("n", graft.ingest.NetcdfClassic.IntAttr(Seq(7)))),
+          dims = Seq(("time", 24L)), version = ver)
+        stomps.foreach { case (p, v) => b(p % b.length) = v.toByte }
+        b
+      })) { bytes =>
+      // NetcdfGranuleSource quarantines IOException | IllegalArgumentException
+      try {
+        graft.ingest.NetcdfClassic.readHeader(new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+        true
+      } catch {
+        case _: java.io.IOException | _: IllegalArgumentException => true
+        case e: Throwable =>
+          println(s"escaped ${e.getClass.getName}: ${e.getMessage}")
+          false
+      }
+    }
+
   property("HDF5 decode on corrupted granules stays inside the quarantine types") =
     forAll(Gen.oneOf(
       // pure noise (sometimes with a valid magic prefix)
