@@ -62,14 +62,24 @@ object SampleQueries {
     * row, no shuffle) into a TakeOrderedAndProject top-k; the key is
     * rounded (8 dp, +1e-9 both engines) before ordering so the
     * selected set is engine-stable, doc_id tiebreak. */
+  /** ONE definition of the A-ES key (Spark SQL form): uniform u in
+    * (0,1) from the first 8 sha256 hex digits of doc_id, key =
+    * -ln(u)/n_chars, rounded (+1e-9, 8 dp). The batch query, the
+    * streaming reservoir (StreamingOps.weightedReservoirStream), and
+    * the parity test all use THIS string so the three cannot drift. */
+  private[graft] val AES_KEY_SQL: String =
+    """round(-ln((conv(substring(sha2(cast(doc_id AS string), 256),
+      |  1, 8), 16, 10) + 0.5d) / 4294967296d)
+      |  / cast(n_chars AS double) + 1e-9, 8)""".stripMargin
+
   def sampleWeighted(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
-      .select(col("doc_id"), col("n_chars").cast("double").as("w"),
-        // uniform in (0,1): (first 8 sha256 hex digits + 0.5) / 16^8
-        ((conv(substring(sha2(col("doc_id").cast("string"), 256), 1, 8),
-          16, 10).cast("double") + 0.5) / lit(4294967296.0)).as("u"))
-      .select(col("doc_id"), col("w").cast("long").as("w"),
-        round(-log(col("u")) / col("w") + lit(1e-9), 8).as("key"))
+      // a NULL or non-positive weight has no defined draw — and a
+      // NULL key would sort NULLS FIRST on Spark but NULLS LAST in
+      // DuckDB, splitting the top-k cutoff across engines
+      .filter(col("n_chars").isNotNull && col("n_chars") > 0)
+      .selectExpr("doc_id", "cast(n_chars AS bigint) AS w",
+        s"$AES_KEY_SQL AS key")
       .orderBy(col("key"), col("doc_id"))
       .limit(20)
 
@@ -79,6 +89,7 @@ object SampleQueries {
       |      1, 8) AS BIGINT) + 0.5) / 4294967296.0)
       |    / CAST(n_chars AS DOUBLE) + 1e-9, 8) AS key
       |FROM documents
+      |WHERE n_chars IS NOT NULL AND n_chars > 0
       |ORDER BY key, doc_id
       |LIMIT 20""".stripMargin
 

@@ -242,20 +242,29 @@ object StreamingOps {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
+      .filter("n_chars IS NOT NULL AND n_chars > 0") // batch parity
       .selectExpr("lang", "doc_id",
-        // the batch query's exact key arithmetic: u from the first 8
-        // sha256 hex digits, key = -ln(u)/w rounded to 8 dp
-        """round(-ln((conv(substring(sha2(cast(doc_id AS string), 256),
-          |  1, 8), 16, 10) + 0.5d) / 4294967296d)
-          |  / cast(n_chars AS double) + 1e-9, 8) AS key""".stripMargin)
+        // the batch query's exact key arithmetic — the ONE definition
+        s"${graft.operators.SampleQueries.AES_KEY_SQL} AS key")
       .as[(String, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Seq[(Double, Long)], ReservoirPick](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (lang: String, rows: Iterator[(String, Long, Double)],
             state: GroupState[Seq[(Double, Long)]]) =>
-          val merged = (state.getOption.getOrElse(Seq.empty) ++
-            rows.map { case (_, id, key) => (key, id) })
+          // last-write-wins per doc_id: a re-crawled document's new
+          // key REPLACES its retained entry (and at-least-once
+          // re-delivery of an unchanged row is a no-op) — otherwise a
+          // re-arriving doc would hold multiple reservoir slots.
+          // Truncation caveat: once the state dropped a doc, a worse
+          // re-crawl of a retained one cannot resurrect it — exact
+          // batch convergence is guaranteed for append-only feeds.
+          val arrivals = rows.map { case (_, id, key) => (id, key) }.toSeq
+          val lastWins = arrivals.groupBy(_._1).map(_._2.last)
+          val arrivedIds = lastWins.map(_._1).toSet
+          val merged = (state.getOption.getOrElse(Seq.empty)
+            .filterNot { case (_, id) => arrivedIds(id) } ++
+            lastWins.map { case (id, key) => (key, id) })
             .sortBy { case (key, id) => (key, id) }
             .take(k)
           state.update(merged)

@@ -177,13 +177,15 @@ class ScaleUtilsSpec extends SparkSpec {
     q.processAllAvailable()
     mem.addData(rows.drop(150): _*)
     q.processAllAvailable()
+    // at-least-once re-delivery: the same rows again must be a no-op
+    // (last-write-wins per doc_id), not occupy extra reservoir slots
+    mem.addData(rows.take(60): _*)
+    q.processAllAvailable()
     q.stop()
     // batch reference: same key arithmetic over the full set
     val batch = spark.createDataset(rows).toDF("lang", "doc_id", "n_chars")
       .selectExpr("lang", "doc_id",
-        """round(-ln((conv(substring(sha2(cast(doc_id AS string), 256),
-          |  1, 8), 16, 10) + 0.5d) / 4294967296d)
-          |  / cast(n_chars AS double) + 1e-9, 8) AS key""".stripMargin)
+        s"${graft.operators.SampleQueries.AES_KEY_SQL} AS key")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
       .groupBy(_._1)
       .map { case (lang, rs) =>
