@@ -396,6 +396,25 @@ object PropertySpec extends Properties("graft") {
         graft.ingest.Hdf5Header.fletcher32(corrupt, corrupt.length) != sum)
     }
 
+  property("szip decode on corrupt streams stays inside the quarantine types") = {
+    import graft.ingest.Szip
+    forAll(
+      Gen.chooseNum(0, 120).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray)),
+      Gen.oneOf(8, 16, 32), Gen.chooseNum(1, 200)) { (bytes, n, count) =>
+      // the HDF5 chunk path wraps szip failures into the IOException
+      // quarantine — any other escape (AIOOBE from the bit reader)
+      // would kill a granule-ingest task
+      try { Szip.decode(bytes, Szip.Params(Szip.NN, n, 16, 128), count); true }
+      catch {
+        case _: java.io.IOException | _: IllegalArgumentException => true
+        case e: Throwable =>
+          println(s"escaped ${e.getClass.getName}: ${e.getMessage}")
+          false
+      }
+    }
+  }
+
   property("classic netCDF header parse stays inside the quarantine types") =
     forAll(Gen.oneOf(
       for {
