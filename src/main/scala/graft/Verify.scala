@@ -27,9 +27,10 @@ object Verify {
     // scalar-only — serialize containers with to_json before declaring.
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     var containerViolations = List.empty[String]
-    SparkEntry.queries
+    var failures = List.empty[(String, String)]
+    val declared = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    declared.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         val bad = df.schema.fields.collect {
@@ -41,12 +42,20 @@ object Verify {
           containerViolations ::= s"$name: container-typed output columns ${bad.mkString(", ")}"
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures ::= (name -> s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
       }
     }
     // Loud warning only — a hard exit here would zero a whole driver round
     // for one bad query; harness/check.py is the hard local gate.
     containerViolations.foreach(v => System.err.println(s"[verify] CONTAINER-OUTPUT $v"))
+    // Round-8 lesson: a throwing query used to simply vanish from the
+    // driver's CORRECTNESS keys (21 queries absent for two rounds with no
+    // red signal). Surface the gap on stdout AND as a machine-readable
+    // artifact next to the dumps so absence can never be silent again.
+    val written = declared.size - failures.size
+    println(s"[verify] declared=${declared.size} written=$written failed=${failures.size}" +
+      (if (failures.nonEmpty) s" failed_queries=${failures.map(_._1).sorted.mkString(",")}" else ""))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -63,6 +72,9 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failures.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
     spark.stop()
   }
 }

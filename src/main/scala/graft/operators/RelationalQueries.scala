@@ -349,10 +349,11 @@ object RelationalQueries {
     * (α = 1%, deterministic log-bucket counts — see
     * functions/QuantileSketchAgg). Only ≤ maxBuckets counters per
     * group × partition cross the shuffle, against the exact form's
-    * every-value shuffle. Rows-only (bucket-midpoint estimates are
-    * engine-defined); QuantileSketchSpec pins the α bound against
-    * exact quantiles, merge-order independence, and graceful
-    * collapse. */
+    * every-value shuffle. Oracle-proven: the deterministic log-bucket
+    * construction is recomputed exactly in DuckDB SQL (see
+    * [[aggQuantileSketchSql]]); QuantileSketchSpec additionally pins
+    * the α bound against exact quantiles, merge-order independence,
+    * and graceful collapse. */
   def aggQuantileSketch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     orders(s, dir)
@@ -366,6 +367,36 @@ object RelationalQueries {
         round(col("q.p90"), 2).as("p90_est"),
         round(col("q.p99"), 2).as("p99_est"))
       .orderBy(col("o_orderstatus"))
+  }
+
+  /** DuckDB twin of the DDSketch estimate: the bucket function
+    * (k = ⌈ln x / ln γ⌉, γ = (1+α)/(1-α)) and the rank rule
+    * (rank = max(1, ⌈q·n⌉), first bucket with cum ≥ rank, reported at
+    * its γ-midpoint 2γ^k/(γ+1)) are deterministic and merge-order
+    * independent under the bucket budget, so the sketch is exactly
+    * recomputable in SQL. Every q·n multiply is forced to DOUBLE —
+    * DuckDB would otherwise do it in DECIMAL and round ⌈q·n⌉
+    * differently from the JVM's IEEE-double ceil at rank boundaries. */
+  val aggQuantileSketchSql: String = {
+    def est(q: String, alias: String): String =
+      s"""round(min(CASE WHEN cum >= greatest(1, ceil(CAST($q AS DOUBLE) * CAST(n AS DOUBLE)))
+         |  THEN 2 * pow((1+0.01)/(1-0.01), k) / ((1+0.01)/(1-0.01) + 1) END), 2) AS $alias""".stripMargin
+    s"""WITH b AS (
+       |  SELECT o_orderstatus,
+       |         CAST(ceil(ln(o_totalprice) / ln((1+0.01)/(1-0.01))) AS BIGINT) AS k,
+       |         count(*) AS c
+       |  FROM orders GROUP BY 1, 2
+       |), t AS (
+       |  SELECT o_orderstatus, k, c,
+       |         sum(c) OVER (PARTITION BY o_orderstatus ORDER BY k) AS cum,
+       |         sum(c) OVER (PARTITION BY o_orderstatus) AS n
+       |  FROM b
+       |)
+       |SELECT o_orderstatus, CAST(max(n) AS BIGINT) AS n,
+       |  ${est("0.50", "p50_est")},
+       |  ${est("0.90", "p90_est")},
+       |  ${est("0.99", "p99_est")}
+       |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   }
 
   /** agg_stats_moments — second-moment statistics per group: sample
@@ -604,6 +635,7 @@ object RelationalQueries {
     "agg_distinct_exact" -> aggDistinctExactSql,
     "agg_bbox_union" -> aggBboxUnionSql,
     "agg_percentile" -> aggPercentileSql,
+    "agg_quantile_sketch" -> aggQuantileSketchSql,
     "agg_stats_moments" -> aggStatsMomentsSql,
     "agg_pivot" -> aggPivotSql,
     "set_except_all" -> setExceptAllSql,
