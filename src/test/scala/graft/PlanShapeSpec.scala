@@ -247,4 +247,56 @@ class PlanShapeSpec extends SparkSpec {
         s"term prune must run pre-shuffle, found $above beneath it")
     }
   }
+
+  private def exchanges(p: String): Int =
+    p.sliding("Exchange".length).count(_ == "Exchange")
+
+  test("as-of joins compile to one user-keyed window, never a join") {
+    // the 100 TB scale path: union both sides, ONE shuffle on user_id,
+    // running max inside a window — a range/theta join here would carry
+    // every (error, signup) pair through the exchange
+    Seq(
+      JoinQueries.joinAsofNearest(spark, sf),
+      JoinQueries.joinAsofTolerance(spark, sf)
+    ).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("Join"), s"asof must be a window, not a join:\n$p")
+      assert(p.contains("Window"), p)
+      assert(exchanges(p) == 1, s"exactly one user_id shuffle:\n$p")
+      // the event-type prefilter reaches the parquet scan as a pushed
+      // row-group predicate — the window never sees other event types
+      assert(p.contains("In(event_type"), s"event_type not pushed:\n$p")
+    }
+  }
+
+  test("event windows shuffle once on their partition keys") {
+    // every §2.6 window over the events log is user-keyed: one
+    // Exchange, then sort+window within partitions — no second shuffle
+    Seq(
+      WindowQueries.winRunning(spark, sf),
+      WindowQueries.winDedupRank(spark, sf),
+      WindowQueries.winGapDetect(spark, sf)
+    ).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("Window"), p)
+      assert(exchanges(p) == 1, s"exactly one keyed shuffle:\n$p")
+    }
+  }
+
+  test("funnel and retention stay keyed equi-joins with partial aggs") {
+    // funnel stages and the cohort join are all user_id equi-joins —
+    // a nested-loop or cartesian here explodes at log scale. (AQE may
+    // broadcast the shrinking stage frames at this SF; both hash forms
+    // are fine, pair-producing forms are not.)
+    Seq(
+      EventQueries.winFunnel(spark, sf),
+      EventQueries.aggRetention(spark, sf)
+    ).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+      assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+        s"partial aggregation expected:\n$p")
+    }
+  }
 }
