@@ -275,32 +275,48 @@ object TextQueries {
 
   /** text_containment — contamination/containment detection: doc
     * pairs sharing a large fraction of winnowing fingerprints (the
-    * train/eval-set contamination check of an LLM pipeline). Explode
-    * fingerprints → equi-join on gram (ids only) → shared-gram count
-    * per pair → containment ratio vs the smaller doc. Hash-valued ⇒
-    * rows-only; winnow overlap behavior unit-tested. */
+    * train/eval-set contamination check of an LLM pipeline).
+    *
+    * ONE linear pipeline over a single corpus scan — no self-joins.
+    * (The earlier join-on-gram form referenced the exploded-gram
+    * frame four times; each reference re-ran the winnow UDF and its
+    * shuffle, 10 exchanges in the executed plan.) Winnow fingerprints
+    * are distinct per doc, so after collecting each rare gram's doc
+    * list, the a≤b double-explode counts BOTH structures at once:
+    * off-diagonal (a,b) rows count shared grams, and diagonal (a,a)
+    * rows count each doc's rare-gram total — sizes then come from two
+    * windows over the already-reduced pair frame instead of joining
+    * the corpus-sized gram stream against per-doc counts.
+    *
+    * SCALE GUARD: a gram occurring in k docs contributes k² pair
+    * rows. Grams shared corpus-wide are non-discriminative for
+    * containment (boilerplate/common phrases) — the standard
+    * stop-gram filter caps every bucket at maxDf BEFORE the doc list
+    * is collected, bounding both the collect_list buffers and the
+    * explode fan-out at |grams|×maxDf². Hash-valued ⇒ rows-only;
+    * winnow overlap behavior unit-tested. */
   def textContainment(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val maxDf = 20 // stop-gram cap: buckets bigger than this are noise
-    val grams = documents(s, dir)
+    val pairs = documents(s, dir)
       .select(col("doc_id"),
         explode(TextFunctions.winnow()(col("text"))).as("gram"))
-    // SCALE GUARD: a gram occurring in k docs contributes k² pairs.
-    // Grams shared corpus-wide are non-discriminative for containment
-    // (boilerplate/common phrases) — the standard stop-gram filter
-    // caps every bucket at maxDf, bounding the join at |grams|×maxDf².
-    val rare = grams
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
       .filter(col("df") <= maxDf)
-      .select(col("doc_id"), col("gram"))
-    val nRare = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    val sized = rare.join(nRare, Seq("doc_id"))
-    sized.select(col("gram"), col("doc_id").as("a"), col("n_grams").as("na"))
-      .join(sized.select(col("gram"), col("doc_id").as("b"),
-        col("n_grams").as("nb")), Seq("gram"))
+      // already gram-partitioned by the window: no new exchange here
+      .groupBy(col("gram")).agg(collect_list(col("doc_id")).as("docs"))
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a") <= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+    pairs
+      .withColumn("na",
+        max(when(col("b") === col("a"), col("shared")))
+          .over(Window.partitionBy(col("a"))))
+      .withColumn("nb",
+        max(when(col("a") === col("b"), col("shared")))
+          .over(Window.partitionBy(col("b"))))
       .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("shared"))
       .withColumn("containment",
         round(col("shared") / least(col("na"), col("nb")), 4))
       .filter(col("containment") >= 0.5)

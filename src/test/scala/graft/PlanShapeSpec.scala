@@ -283,6 +283,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("containment is one linear pipeline: single corpus scan, no joins") {
+    // the winnow explode is the expensive stage — the plan must scan
+    // and fingerprint the corpus exactly once (the old self-join form
+    // re-ran it four times) and never join corpus-sized frames
+    val p = plan(TextQueries.textContainment(spark, sf))
+    assert(!p.contains("Join"), s"containment must not self-join:\n$p")
+    val winnowScans = "scan parquet".r.findAllIn(p.toLowerCase).size
+    assert(winnowScans == 1, s"corpus must be scanned once, saw $winnowScans:\n$p")
+    assert(exchanges(p) <= 4, s"pipeline grew a shuffle:\n$p")
+  }
+
   test("funnel and retention stay keyed equi-joins with partial aggs") {
     // funnel stages and the cohort join are all user_id equi-joins —
     // a nested-loop or cartesian here explodes at log scale. (AQE may
