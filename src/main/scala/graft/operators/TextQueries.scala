@@ -218,11 +218,7 @@ object TextQueries {
     tf.join(broadcast(df), Seq("term")) // ≤ |query| rows — bounded
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats)) // 1 row — bounded
-      .withColumn("part",
-        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
-          * col("tf") * lit(BM25_K1 + 1) /
-          (col("tf") + lit(BM25_K1) *
-            (lit(1 - BM25_B) + lit(BM25_B) * col("dl") / col("avgdl"))))
+      .withColumn("part", bm25Part)
       .groupBy(col("doc_id"), col("dl"))
       .agg(round(sum(col("part")) + lit(1e-9), 4).as("bm25"),
         count(lit(1)).as("n_terms_hit"))
@@ -235,6 +231,125 @@ object TextQueries {
   private val BM25_QUERY = Seq("spark", "vector", "stream")
   private val BM25_K1 = 1.2
   private val BM25_B = 0.75
+
+  /** The BM25 per-(doc, term) partial score — shared verbatim by the
+    * scan-time form (textBm25) and the index-served form
+    * (textBm25Indexed) so the two paths cannot drift. */
+  private def bm25Part: Column =
+    log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+      col("tf") * lit(BM25_K1 + 1) /
+      (col("tf") + lit(BM25_K1) *
+        (lit(1 - BM25_B) + lit(BM25_B) * col("dl") / col("avgdl")))
+
+  /** Term → index bucket. String.hashCode is a fixed public algorithm
+    * (JLS §String.hashCode), so the write side (partition column) and
+    * the serve side (literal bucket list for a query's terms) always
+    * agree, with no driver-side Spark job to compute buckets. */
+  private[operators] val IDX_BUCKETS = 64
+  private def idxBucketOf(t: String): Int =
+    Math.floorMod(if (t == null) 0 else t.hashCode, IDX_BUCKETS)
+  private val idxBucket = udf { t: String => idxBucketOf(t) }
+
+  /** snk_text_index / text_bm25_indexed share this builder: a
+    * persisted inverted index — the "build once, serve many" artifact
+    * a 100 TB retrieval deployment actually queries. Layout (parquet):
+    *
+    *   postings/bucket=NN/ (term, doc_id, tf, dl) — term-bucketed
+    *     postings with the doc-length norm DENORMALIZED in (the
+    *     norms-with-postings layout): serving never joins a
+    *     corpus-sized doc table.
+    *   terms/bucket=NN/    (term, df) — per-term document frequency.
+    *   stats/              (n_docs, avgdl) — one row.
+    *
+    * Build cost is one corpus scan + one term-keyed shuffle; the
+    * repartition on bucket keeps the layout at ~one file per bucket
+    * directory instead of tasks × buckets slivers. The fixed bucket
+    * count means a query's terms map to a known directory subset —
+    * partition pruning does the index lookup. The terms table is
+    * derived by reading BACK the written postings, so the audit also
+    * exercises the artifact, not the in-flight frame. */
+  private[graft] def buildTextIndex(s: SparkSession, dir: String): String = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-textindex").toString
+    val docs = documents(s, dir)
+    val dl = docs.select(col("doc_id"),
+      size(TextFunctions.tokens(col("text"))).cast("double").as("dl"))
+    docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("bucket", idxBucket(col("term")))
+      .repartition(IDX_BUCKETS, col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$root/postings")
+    s.read.parquet(s"$root/postings")
+      .groupBy(col("bucket"), col("term"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+      .repartition(IDX_BUCKETS, col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$root/terms")
+    dl.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$root/stats")
+    root
+  }
+
+  /** snk_text_index — build the inverted index and audit the written
+    * postings. Unlike the other sinks, the audit is fully
+    * oracle-checkable: postings are exact whitespace-token counts. */
+  def snkTextIndex(s: SparkSession, dir: String): DataFrame = {
+    val root = buildTextIndex(s, dir)
+    s.read.parquet(s"$root/postings")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("term")).as("n_terms"),
+        count(lit(1)).as("n_postings"),
+        sum(col("tf")).cast("long").as("total_tf"))
+  }
+
+  val snkTextIndexSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM documents)
+      |  GROUP BY 1, 2)
+      |SELECT count(DISTINCT doc_id) AS n_docs,
+      |  count(DISTINCT term) AS n_terms,
+      |  count(*) AS n_postings,
+      |  CAST(sum(tf) AS BIGINT) AS total_tf
+      |FROM tf""".stripMargin
+
+  /** text_bm25_indexed — the SAME top-20 as text_bm25, served from
+    * the persisted index instead of a corpus scan: the query's term
+    * buckets prune to a known directory subset (PartitionFilters on
+    * bucket + pushed row-group filter on term), df and the corpus
+    * stats arrive as ≤|q|-row and 1-row broadcasts, and the norm (dl)
+    * rides the postings — at serve time NOTHING corpus-sized is
+    * scanned, joined, or shuffled. Oracle: text_bm25's SQL verbatim;
+    * PlanShapeSpec pins the pruned-serve shape and TextIndexSpec pins
+    * exact row parity with the scan-time form. */
+  def textBm25Indexed(s: SparkSession, dir: String): DataFrame = {
+    val root = buildTextIndex(s, dir)
+    val buckets = BM25_QUERY.map(idxBucketOf).distinct
+    val postings = s.read.parquet(s"$root/postings")
+      .filter(col("bucket").isin(buckets: _*) &&
+        col("term").isin(BM25_QUERY: _*))
+    val df = s.read.parquet(s"$root/terms")
+      .filter(col("bucket").isin(buckets: _*) &&
+        col("term").isin(BM25_QUERY: _*))
+      .select(col("term"), col("df"))
+    val stats = s.read.parquet(s"$root/stats")
+    postings.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("part", bm25Part)
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(round(sum(col("part")) + lit(1e-9), 4).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+      .select(col("doc_id"), col("dl").cast("long").as("dl"),
+        col("n_terms_hit"), col("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
 
   val textBm25Sql: String =
     """WITH dl AS (
@@ -1445,6 +1560,8 @@ object TextQueries {
     "text_quality" -> (textQuality _),
     "text_tfidf" -> (textTfidf _),
     "text_bm25" -> (textBm25 _),
+    "text_bm25_indexed" -> (textBm25Indexed _),
+    "snk_text_index" -> (snkTextIndex _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
     "text_containment" -> (textContainment _)
@@ -1476,7 +1593,10 @@ object TextQueries {
     "text_tokens_tf" -> textTokensTfSql,
     "text_quality" -> textQualitySql,
     "text_tfidf" -> textTfidfSql,
-    "text_bm25" -> textBm25Sql
+    "text_bm25" -> textBm25Sql,
+    // the index-served form must reproduce the scan-time result exactly
+    "text_bm25_indexed" -> textBm25Sql,
+    "snk_text_index" -> snkTextIndexSql
     // text_langid / text_fingerprint: heuristic & hash-valued — unit-tested
   )
 }
