@@ -250,28 +250,42 @@ object TextQueries {
     Math.floorMod(if (t == null) 0 else t.hashCode, IDX_BUCKETS)
   private val idxBucket = udf { t: String => idxBucketOf(t) }
 
-  /** snk_text_index / text_bm25_indexed share this builder: a
-    * persisted inverted index — the "build once, serve many" artifact
-    * a 100 TB retrieval deployment actually queries. Layout (parquet):
+  /** snk_text_index / text_bm25_indexed / stream_index_upsert share
+    * this layout: a persisted inverted index — the "build once, serve
+    * many" artifact a 100 TB retrieval deployment actually queries.
+    * All parquet:
     *
-    *   postings/bucket=NN/ (term, doc_id, tf, dl) — term-bucketed
-    *     postings with the doc-length norm DENORMALIZED in (the
-    *     norms-with-postings layout): serving never joins a
-    *     corpus-sized doc table.
+    *   postings/bucket=NN/batch_id=M/ (term, doc_id, tf, dl) —
+    *     term-bucketed postings with the doc-length norm DENORMALIZED
+    *     in (the norms-with-postings layout): serving never joins a
+    *     corpus-sized doc table. batch_id scopes each ingest batch to
+    *     its own partition, so a replayed batch OVERWRITES itself
+    *     instead of double-appending — exactly-once via layout.
     *   terms/bucket=NN/    (term, df) — per-term document frequency.
-    *   stats/              (n_docs, avgdl) — one row.
+    *   stats/batch_id=M/   (n_docs, sum_dl) — summable per-batch
+    *     corpus stats; serving folds them (avgdl = Σsum_dl / Σn_docs).
     *
-    * Build cost is one corpus scan + one term-keyed shuffle; the
-    * repartition on bucket keeps the layout at ~one file per bucket
-    * directory instead of tasks × buckets slivers. The fixed bucket
-    * count means a query's terms map to a known directory subset —
-    * partition pruning does the index lookup. The terms table is
-    * derived by reading BACK the written postings, so the audit also
-    * exercises the artifact, not the in-flight frame. */
+    * A batch build is appendToIndex(all docs, batch 0); the streaming
+    * sink calls the same function per micro-batch — one write kernel
+    * to audit for both modes (the upsertSink pattern). */
   private[graft] def buildTextIndex(s: SparkSession, dir: String): String = {
     val root = java.nio.file.Files
       .createTempDirectory("graft-textindex").toString
-    val docs = documents(s, dir)
+    appendToIndex(documents(s, dir).select(col("doc_id"), col("text")),
+      root, batchId = 0L)
+    root
+  }
+
+  /** Merge one batch of NEW documents into the index at `root`.
+    * Per-batch cost is proportional to the batch plus the size of the
+    * TOUCHED term buckets (df refresh reads only those partitions),
+    * never to the corpus text. Every write is a dynamic partition
+    * overwrite scoped by this batch's keys, so replaying a batch id
+    * (streaming retry) is idempotent. Assumes doc_ids are new —
+    * upstream dedup (dedup_incremental / stream_dedup) owns that. */
+  private[graft] def appendToIndex(
+      docs: DataFrame, root: String, batchId: Long): Unit = {
+    val s = docs.sparkSession
     val dl = docs.select(col("doc_id"),
       size(TextFunctions.tokens(col("text"))).cast("double").as("dl"))
     docs.select(col("doc_id"),
@@ -280,19 +294,38 @@ object TextQueries {
       .agg(count(lit(1)).cast("double").as("tf"))
       .join(dl, Seq("doc_id"))
       .withColumn("bucket", idxBucket(col("term")))
+      .withColumn("batch_id", lit(batchId))
       .repartition(IDX_BUCKETS, col("bucket"))
-      .write.partitionBy("bucket").mode("overwrite")
+      .write.partitionBy("bucket", "batch_id")
+      .option("partitionOverwriteMode", "dynamic").mode("overwrite")
       .parquet(s"$root/postings")
+    // everything below derives from the WRITTEN postings (pruned to
+    // this batch's partitions), never re-running the tokenize lineage
+    val mine = s.read.parquet(s"$root/postings")
+      .filter(col("batch_id") === batchId)
+    val touched = mine.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ IDX_BUCKETS values
+    // df refresh: recompute ONLY the buckets this batch touched (a
+    // partition-pruned read across all batches) and swap exactly
+    // those terms/ partitions
     s.read.parquet(s"$root/postings")
+      .filter(col("bucket").isin(touched: _*))
       .groupBy(col("bucket"), col("term"))
       .agg(countDistinct(col("doc_id")).cast("double").as("df"))
-      .repartition(IDX_BUCKETS, col("bucket"))
-      .write.partitionBy("bucket").mode("overwrite")
+      .repartition(math.max(touched.size, 1), col("bucket"))
+      .write.partitionBy("bucket")
+      .option("partitionOverwriteMode", "dynamic").mode("overwrite")
       .parquet(s"$root/terms")
-    dl.agg(count(lit(1)).cast("double").as("n_docs"),
-        avg(col("dl")).as("avgdl"))
-      .write.mode("overwrite").parquet(s"$root/stats")
-    root
+    // per-doc (doc_id, dl) pairs are replicated across a doc's terms —
+    // distinct recovers exactly one row per doc (split() always yields
+    // ≥1 token, so no doc is absent from postings)
+    mine.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        sum(col("dl")).as("sum_dl"))
+      .withColumn("batch_id", lit(batchId))
+      .write.partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic").mode("overwrite")
+      .parquet(s"$root/stats")
   }
 
   /** snk_text_index — build the inverted index and audit the written
@@ -328,8 +361,13 @@ object TextQueries {
     * scanned, joined, or shuffled. Oracle: text_bm25's SQL verbatim;
     * PlanShapeSpec pins the pruned-serve shape and TextIndexSpec pins
     * exact row parity with the scan-time form. */
-  def textBm25Indexed(s: SparkSession, dir: String): DataFrame = {
-    val root = buildTextIndex(s, dir)
+  def textBm25Indexed(s: SparkSession, dir: String): DataFrame =
+    bm25ServeFrom(s, buildTextIndex(s, dir))
+
+  /** Serve the BM25 top-20 from an index at `root` — the shared read
+    * path for the batch-built and stream-maintained index (parity
+    * pinned in TextIndexSpec). */
+  private[graft] def bm25ServeFrom(s: SparkSession, root: String): DataFrame = {
     val buckets = BM25_QUERY.map(idxBucketOf).distinct
     val postings = s.read.parquet(s"$root/postings")
       .filter(col("bucket").isin(buckets: _*) &&
@@ -338,7 +376,12 @@ object TextQueries {
       .filter(col("bucket").isin(buckets: _*) &&
         col("term").isin(BM25_QUERY: _*))
       .select(col("term"), col("df"))
+    // fold the summable per-batch stats: ≤ one tiny row per ingest
+    // batch, avgdl = Σsum_dl / Σn_docs
     val stats = s.read.parquet(s"$root/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .withColumn("avgdl", col("sum_dl") / col("n_docs"))
+      .select(col("n_docs"), col("avgdl"))
     postings.join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("part", bm25Part)

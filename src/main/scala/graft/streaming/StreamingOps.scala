@@ -496,4 +496,25 @@ object StreamingOps {
           .dedupIncrementalFrom(corpus, batch)
           .write.mode("append").parquet(outPath)
       }
+
+  /** stream_index_upsert — incremental inverted-index maintenance:
+    * each micro-batch of new documents is merged into the persisted
+    * term-bucketed index (snk_text_index's layout) by the SAME
+    * appendToIndex kernel the batch build uses. Per-batch cost is
+    * batch-sized plus the touched term buckets' df refresh — never a
+    * corpus re-tokenize. Exactly-once comes from the LAYOUT, not just
+    * the checkpoint: every write is a dynamic partition overwrite
+    * scoped by (bucket, batch_id), so a replayed batch overwrites
+    * itself instead of double-appending; TextIndexSpec pins both the
+    * streamed-vs-batch index parity and the replay idempotence. */
+  def indexUpsertSink(
+      docs: DataFrame, indexRoot: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.TextQueries.appendToIndex(batch, indexRoot, id)
+      }
 }

@@ -42,4 +42,56 @@ class TextIndexSpec extends SparkSpec {
     assert(nDocs > 0 && nPostings >= nDocs && totalTf >= nPostings,
       s"degenerate audit: $row")
   }
+
+  test("stream-maintained index serves identically to the batch build") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val (h1, h2) = docs.splitAt(docs.length / 2)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ixstream").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ixckpt").toString
+    // two AvailableNow runs over ONE checkpoint: the second start
+    // resumes from the offset log, so the halves arrive as two
+    // distinct batch ids — a restart, not a replay
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(h1: _*)
+    graft.streaming.StreamingOps
+      .indexUpsertSink(mem.toDF().toDF("doc_id", "text"), root, ckpt)
+      .start().awaitTermination(120000)
+    mem.addData(h2: _*)
+    graft.streaming.StreamingOps
+      .indexUpsertSink(mem.toDF().toDF("doc_id", "text"), root, ckpt)
+      .start().awaitTermination(120000)
+    val streamed = TextQueries.bm25ServeFrom(spark, root).collect().toSeq
+    val batch = TextQueries.textBm25(spark, sf).collect().toSeq
+    assert(streamed == batch,
+      s"incremental index diverged:\nstreamed=$streamed\nbatch=$batch")
+  }
+
+  test("replaying a batch id overwrites itself — no double counting") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val once = java.nio.file.Files
+      .createTempDirectory("graft-ixonce").toString
+    val twice = java.nio.file.Files
+      .createTempDirectory("graft-ixtwice").toString
+    TextQueries.appendToIndex(docs, once, 0L)
+    TextQueries.appendToIndex(docs, twice, 0L)
+    TextQueries.appendToIndex(docs, twice, 0L) // simulated streaming retry
+    def counts(root: String): (Long, Long) = {
+      val p = spark.read.parquet(s"$root/postings")
+      val st = spark.read.parquet(s"$root/stats")
+        .agg(org.apache.spark.sql.functions.sum("n_docs")).collect()
+        .head.getDouble(0).toLong
+      (p.count(), st)
+    }
+    assert(counts(once) == counts(twice),
+      "a replayed batch must overwrite its own partitions, not append")
+    assert(TextQueries.bm25ServeFrom(spark, once).collect().toSeq ==
+      TextQueries.bm25ServeFrom(spark, twice).collect().toSeq)
+  }
 }
