@@ -73,6 +73,21 @@ class TextIndexSpec extends SparkSpec {
       s"incremental index diverged:\nstreamed=$streamed\nbatch=$batch")
   }
 
+  test("an empty batch is a no-op, before and after the first data") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ixempty").toString
+    // empty FIRST batch: must not create an unreadable postings dir
+    TextQueries.appendToIndex(docs.limit(0), root, 0L)
+    TextQueries.appendToIndex(docs, root, 1L)
+    TextQueries.appendToIndex(docs.limit(0), root, 2L)
+    val ref = java.nio.file.Files
+      .createTempDirectory("graft-ixref").toString
+    TextQueries.appendToIndex(docs, ref, 0L)
+    assert(TextQueries.bm25ServeFrom(spark, root).collect().toSeq ==
+      TextQueries.bm25ServeFrom(spark, ref).collect().toSeq)
+  }
+
   test("replaying a batch id overwrites itself — no double counting") {
     val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
     val once = java.nio.file.Files
