@@ -88,6 +88,44 @@ class TextIndexSpec extends SparkSpec {
       TextQueries.bm25ServeFrom(spark, ref).collect().toSeq)
   }
 
+  test("incremental maintenance matches scan-time bm25 on random corpora and splits") {
+    // seeded trials: arbitrary tiny corpora, arbitrary 1-3-way batch
+    // splits through the SAME merge kernel — the served top-20 must
+    // equal the scan-time computation every time (including corpora
+    // where no document contains any query term → both sides empty)
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val vocab = Vector("spark", "vector", "stream", "the", "a", "data",
+      "x1", "y2", "lake", "row")
+    for (trial <- 1 to 4) {
+      val nDocs = 5 + rng.nextInt(20)
+      val docs = (1 to nDocs).map { i =>
+        val len = 1 + rng.nextInt(30)
+        (i.toLong,
+          Seq.fill(len)(vocab(rng.nextInt(vocab.size))).mkString(" "),
+          "en", "synth", 0L)
+      }
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-ixprop$trial").toString
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-ixproot$trial").toString
+      val k = 1 + rng.nextInt(3)
+      val shuffled = rng.shuffle(docs)
+      val batchSize = math.max(1, (shuffled.size + k - 1) / k)
+      shuffled.grouped(batchSize).zipWithIndex.foreach { case (p, id) =>
+        TextQueries.appendToIndex(
+          p.map { case (d, t, _, _, _) => (d, t) }.toDF("doc_id", "text"),
+          root, id.toLong)
+      }
+      val served = TextQueries.bm25ServeFrom(spark, root).collect().toSeq
+      val scanned = TextQueries.textBm25(spark, dir).collect().toSeq
+      assert(served == scanned,
+        s"trial $trial (n=$nDocs, k=$k) diverged:\n$served\nvs\n$scanned")
+    }
+  }
+
   test("replaying a batch id overwrites itself — no double counting") {
     val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
     val once = java.nio.file.Files
