@@ -377,6 +377,99 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** snk_vector_index / sim_ann_ivf_indexed share this builder: the
+    * persisted IVF index — the vector-side "build once, serve many"
+    * artifact (the text twin is snk_text_index). Layout (parquet):
+    *
+    *   centroids/        (cid, cemb, cnrm) — the refined coarse
+    *     quantizer, ≤ ivfK rows (≈33 MB at the 65,536 cap).
+    *   assignments/cid=NN/ (vec_id, emb, nrm) — every vector stored
+    *     in its IVF_ASSIGN nearest lists, one directory per list
+    *     (the Faiss-style inverted-list file layout).
+    *
+    * Build pays the centroid sample + one Lloyd step + one assignment
+    * scan ONCE; a query then probes nprobe list DIRECTORIES via
+    * partition pruning instead of recomputing the quantizer and
+    * re-assigning the corpus per query (what sim_ann_ivf does, and
+    * any one-shot query must). One build per corpus per JVM. */
+  private val vecIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def buildVectorIndex(s: SparkSession, dir: String): String =
+    vecIndexCache.computeIfAbsent(dir, { _ =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-vecindex").toString
+      val e = withNorm(embeddings(s, dir))
+      val k = ivfK(e.count())
+      val cArr0 = ivfCentroids(e, k).collect().map { r =>
+        (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+      }
+      val cArr = refineCentroids(s, e, cArr0)
+      import s.implicits._
+      cArr.toSeq.map { case (cid, ce, cn) => (cid, ce.toSeq, cn) }
+        .toDF("cid", "cemb", "cnrm")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+      val cBc = s.sparkContext.broadcast(cArr)
+      val assignUdf = udf { (emb: Seq[Double], nrm: Double) =>
+        topCentroids(cBc.value, IVF_ASSIGN, emb, nrm)
+      }
+      e.withColumn("cid", explode(assignUdf(col("emb"), col("nrm"))))
+        .select(col("cid"), col("vec_id"), col("emb"), col("nrm"))
+        .repartition(col("cid"))
+        .write.partitionBy("cid").mode("overwrite")
+        .parquet(s"$root/assignments")
+      root
+    })
+
+  /** snk_vector_index — build the IVF index and audit the written
+    * artifact. Rows-only: assignment counts ride the float-order-
+    * sensitive Lloyd refinement; VectorIndexSpec pins the invariants
+    * (every non-degenerate vector present, ≤ IVF_ASSIGN lists each). */
+  def snkVectorIndex(s: SparkSession, dir: String): DataFrame = {
+    val root = buildVectorIndex(s, dir)
+    val a = s.read.parquet(s"$root/assignments")
+    a.agg(countDistinct(col("vec_id")).as("n_vectors"),
+        countDistinct(col("cid")).as("n_lists_used"),
+        count(lit(1)).as("n_assignments"))
+      .crossJoin(broadcast(s.read.parquet(s"$root/centroids")
+        .agg(count(lit(1)).as("n_lists"))))
+      .select(col("n_vectors"), col("n_lists"), col("n_lists_used"),
+        col("n_assignments"))
+  }
+
+  /** sim_ann_ivf_indexed — sim_ann_ivf's answer served from the
+    * persisted index: the query probes its ivfNProbe nearest
+    * centroids (a ≤33 MB driver read of the quantizer), the probe
+    * list ids partition-prune the assignment DIRECTORIES, and exact
+    * cosine re-ranks only the probed lists' members against the
+    * broadcast 1-row query. At serve time the corpus is touched only
+    * for the 1-row query-vector lookup — everything else reads
+    * nprobe/k of the index. Approximate ⇒ rows-only; recall and the
+    * serve plan are pinned in VectorIndexSpec. */
+  def simAnnIvfIndexed(s: SparkSession, dir: String): DataFrame = {
+    val root = buildVectorIndex(s, dir)
+    val e = withNorm(embeddings(s, dir))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("emb").as("qv"), col("nrm").as("qn"))
+    val qRows = q.collect()
+    if (qRows.isEmpty)
+      return e.select(col("vec_id"), lit(0.0).as("sim")).limit(0)
+    val cArr = s.read.parquet(s"$root/centroids").collect().map { r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+    }.sortBy(_._1)
+    val probeCids = topCentroids(cArr, ivfNProbe(cArr.length),
+      qRows(0).getSeq[Double](0), qRows(0).getDouble(1))
+    s.read.parquet(s"$root/assignments")
+      .filter(col("cid").isin(probeCids.map(Long.box): _*))
+      .dropDuplicates("vec_id")
+      .join(broadcast(q))
+      .select(col("vec_id"),
+        round(arrayDot(col("emb"), col("qv")) / (col("nrm") * col("qn")), 6)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** sim_knn_join — the approximate k-NN GRAPH: top-KNN_K neighbors
     * for EVERY vector (not one query), from the same capped LSH
     * candidate generation as dedup_near_embedding. This is the batch
@@ -720,6 +813,8 @@ object SimilarityQueries {
     "sim_pairwise_threshold" -> (simPairwiseThreshold _),
     "sim_ann_lsh" -> (simAnnLsh _),
     "sim_ann_ivf" -> (simAnnIvf _),
+    "sim_ann_ivf_indexed" -> (simAnnIvfIndexed _),
+    "snk_vector_index" -> (snkVectorIndex _),
     "dedup_near_embedding" -> (dedupNearEmbedding _),
     "sim_knn_join" -> (simKnnJoin _),
     "dedup_semantic" -> (dedupSemantic _),
