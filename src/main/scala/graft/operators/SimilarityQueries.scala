@@ -399,27 +399,55 @@ object SimilarityQueries {
     vecIndexCache.computeIfAbsent(dir, { _ =>
       val root = java.nio.file.Files
         .createTempDirectory("graft-vecindex").toString
-      val e = withNorm(embeddings(s, dir))
-      val k = ivfK(e.count())
-      val cArr0 = ivfCentroids(e, k).collect().map { r =>
-        (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
-      }
-      val cArr = refineCentroids(s, e, cArr0)
-      import s.implicits._
-      cArr.toSeq.map { case (cid, ce, cn) => (cid, ce.toSeq, cn) }
-        .toDF("cid", "cemb", "cnrm")
-        .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
-      val cBc = s.sparkContext.broadcast(cArr)
-      val assignUdf = udf { (emb: Seq[Double], nrm: Double) =>
-        topCentroids(cBc.value, IVF_ASSIGN, emb, nrm)
-      }
-      e.withColumn("cid", explode(assignUdf(col("emb"), col("nrm"))))
-        .select(col("cid"), col("vec_id"), col("emb"), col("nrm"))
-        .repartition(col("cid"))
-        .write.partitionBy("cid").mode("overwrite")
-        .parquet(s"$root/assignments")
+      initVectorIndex(embeddings(s, dir), root)
+      appendToVectorIndex(embeddings(s, dir), root, batchId = 0L)
       root
     })
+
+  /** Train the coarse quantizer on a bootstrap corpus and persist it.
+    * Training is a REBUILD decision: ingest (appendToVectorIndex)
+    * only ever assigns against this persisted quantizer. */
+  private[graft] def initVectorIndex(boot: DataFrame, root: String): Unit = {
+    val s = boot.sparkSession
+    val e = withNorm(boot)
+    val k = ivfK(e.count())
+    val cArr0 = ivfCentroids(e, k).collect().map { r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+    }
+    val cArr = refineCentroids(s, e, cArr0)
+    import s.implicits._
+    cArr.toSeq.map { case (cid, ce, cn) => (cid, ce.toSeq, cn) }
+      .toDF("cid", "cemb", "cnrm")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+  }
+
+  /** Merge one batch of NEW vectors into the index at `root`:
+    * assign against the EXISTING persisted quantizer (deterministic
+    * given quantizer + vector — no re-clustering at ingest time) and
+    * land the lists under assignments/cid=NN/batch_id=M, a dynamic
+    * partition overwrite scoped by this batch's keys so a streaming
+    * replay overwrites itself — the vector twin of the text index's
+    * appendToIndex contract. Expects the embeddings-table schema. */
+  private[graft] def appendToVectorIndex(
+      batch: DataFrame, root: String, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val s = batch.sparkSession
+    val cArr = s.read.parquet(s"$root/centroids").collect().map { r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+    }.sortBy(_._1)
+    val cBc = s.sparkContext.broadcast(cArr)
+    val assignUdf = udf { (emb: Seq[Double], nrm: Double) =>
+      topCentroids(cBc.value, IVF_ASSIGN, emb, nrm)
+    }
+    withNorm(batch)
+      .withColumn("cid", explode(assignUdf(col("emb"), col("nrm"))))
+      .select(col("cid"), col("vec_id"), col("emb"), col("nrm"))
+      .withColumn("batch_id", lit(batchId))
+      .repartition(col("cid"))
+      .write.partitionBy("cid", "batch_id")
+      .option("partitionOverwriteMode", "dynamic").mode("overwrite")
+      .parquet(s"$root/assignments")
+  }
 
   /** snk_vector_index — build the IVF index and audit the written
     * artifact. Rows-only: assignment counts ride the float-order-

@@ -517,4 +517,24 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         graft.operators.TextQueries.appendToIndex(batch, indexRoot, id)
       }
+
+  /** stream_vector_upsert — incremental IVF ingest: each micro-batch
+    * of new vectors is assigned against the index's PERSISTED
+    * quantizer (deterministic; ingest never re-clusters — quantizer
+    * retraining is a rebuild decision) by the SAME appendToVectorIndex
+    * kernel the batch build uses. Replays land as dynamic partition
+    * overwrites under (cid, batch_id) — idempotent by layout, the
+    * vector twin of stream_index_upsert. The index must be
+    * bootstrapped (initVectorIndex / snk_vector_index) first. */
+  def vectorUpsertSink(
+      vectors: DataFrame, indexRoot: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.SimilarityQueries
+          .appendToVectorIndex(batch, indexRoot, id)
+      }
 }

@@ -39,6 +39,61 @@ class VectorIndexSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("stream-ingested index serves identically to the batch build") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // batch reference: quantizer + all assignments in one shot
+    val ref = java.nio.file.Files
+      .createTempDirectory("graft-vecref").toString
+    val corpus = graft.Tables.embeddings(spark, sf)
+    SimilarityQueries.initVectorIndex(corpus, ref)
+    SimilarityQueries.appendToVectorIndex(corpus, ref, 0L)
+    // streamed: SAME persisted quantizer (assignment is deterministic
+    // given quantizer + vector), vectors arriving in two batches
+    val str = java.nio.file.Files
+      .createTempDirectory("graft-vecstr").toString
+    SimilarityQueries.initVectorIndex(corpus, str)
+    val rows = corpus.select("vec_id", "embedding", "label")
+      .as[(Long, Seq[Float], Int)].collect().toSeq
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-vecckpt").toString
+    val mem = MemoryStream[(Long, Seq[Float], Int)]
+    mem.addData(h1: _*)
+    graft.streaming.StreamingOps.vectorUpsertSink(
+        mem.toDF().toDF("vec_id", "embedding", "label"), str, ckpt)
+      .start().awaitTermination(120000)
+    mem.addData(h2: _*)
+    graft.streaming.StreamingOps.vectorUpsertSink(
+        mem.toDF().toDF("vec_id", "embedding", "label"), str, ckpt)
+      .start().awaitTermination(120000)
+    def serve(root: String) = {
+      // the shared serve path, parameterized by root via the cache —
+      // compare the raw artifacts instead: same quantizer ⇒ identical
+      // assignment sets must produce identical list contents
+      spark.read.parquet(s"$root/assignments")
+        .select(col("cid").cast("long"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    }
+    assert(serve(str) == serve(ref),
+      "streamed ingest must reproduce the batch build's lists exactly")
+  }
+
+  test("replaying a vector batch overwrites itself — no double counting") {
+    val corpus = graft.Tables.embeddings(spark, sf)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-vecreplay").toString
+    SimilarityQueries.initVectorIndex(corpus, root)
+    SimilarityQueries.appendToVectorIndex(corpus, root, 0L)
+    val once = spark.read.parquet(s"$root/assignments").count()
+    SimilarityQueries.appendToVectorIndex(corpus, root, 0L) // retry
+    assert(spark.read.parquet(s"$root/assignments").count() == once)
+    // an empty batch is a no-op
+    SimilarityQueries.appendToVectorIndex(corpus.limit(0), root, 1L)
+    assert(spark.read.parquet(s"$root/assignments").count() == once)
+  }
+
   test("serve plan prunes assignment lists and re-ranks only probed members") {
     val df = SimilarityQueries.simAnnIvfIndexed(spark, sf)
     df.collect() // AQE finalizes on execution
