@@ -477,16 +477,28 @@ object SimilarityQueries {
   def simAnnIvfIndexed(s: SparkSession, dir: String): DataFrame = {
     val root = buildVectorIndex(s, dir)
     val e = withNorm(embeddings(s, dir))
-    val q = e.filter(col("vec_id") === 0)
-      .select(col("emb").as("qv"), col("nrm").as("qn"))
-    val qRows = q.collect()
+    val qRows = e.filter(col("vec_id") === 0)
+      .select(col("emb"), col("nrm")).collect()
     if (qRows.isEmpty)
       return e.select(col("vec_id"), lit(0.0).as("sim")).limit(0)
+    annServeFrom(s, root,
+      qRows(0).getSeq[Double](0).toArray, qRows(0).getDouble(1))
+  }
+
+  /** Serve an ANN top-k for an ARBITRARY query vector from an index
+    * at `root` — the library's public query API (the declared qid is
+    * this with the fixture's vec_id=0 vector). Probes the quantizer
+    * driver-side, partition-prunes to the nprobe lists, exact-ranks
+    * their members against the broadcast 1-row query. */
+  private[graft] def annServeFrom(
+      s: SparkSession, root: String,
+      qv: Array[Double], qn: Double, topK: Int = 10): DataFrame = {
+    import s.implicits._
     val cArr = s.read.parquet(s"$root/centroids").collect().map { r =>
       (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
     }.sortBy(_._1)
-    val probeCids = topCentroids(cArr, ivfNProbe(cArr.length),
-      qRows(0).getSeq[Double](0), qRows(0).getDouble(1))
+    val probeCids = topCentroids(cArr, ivfNProbe(cArr.length), qv, qn)
+    val q = Seq((qv.toSeq, qn)).toDF("qv", "qn")
     s.read.parquet(s"$root/assignments")
       .filter(col("cid").isin(probeCids.map(Long.box): _*))
       .dropDuplicates("vec_id")
@@ -495,7 +507,7 @@ object SimilarityQueries {
         round(arrayDot(col("emb"), col("qv")) / (col("nrm") * col("qn")), 6)
           .as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
-      .limit(10)
+      .limit(topK)
   }
 
   /** sim_knn_join — the approximate k-NN GRAPH: top-KNN_K neighbors

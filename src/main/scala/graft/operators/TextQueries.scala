@@ -378,17 +378,21 @@ object TextQueries {
   def textBm25Indexed(s: SparkSession, dir: String): DataFrame =
     bm25ServeFrom(s, buildTextIndex(s, dir))
 
-  /** Serve the BM25 top-20 from an index at `root` — the shared read
+  /** Serve a BM25 top-k from an index at `root` — the shared read
     * path for the batch-built and stream-maintained index (parity
-    * pinned in TextIndexSpec). */
-  private[graft] def bm25ServeFrom(s: SparkSession, root: String): DataFrame = {
-    val buckets = BM25_QUERY.map(idxBucketOf).distinct
+    * pinned in TextIndexSpec), and the library's public query API:
+    * any term set against any built index, cost ∝ the query terms'
+    * pruned buckets. Defaults are the declared qid's fixed query. */
+  private[graft] def bm25ServeFrom(
+      s: SparkSession, root: String,
+      terms: Seq[String] = BM25_QUERY, k: Int = 20): DataFrame = {
+    val buckets = terms.map(idxBucketOf).distinct
     val postings = s.read.parquet(s"$root/postings")
       .filter(col("bucket").isin(buckets: _*) &&
-        col("term").isin(BM25_QUERY: _*))
+        col("term").isin(terms: _*))
     val df = s.read.parquet(s"$root/terms")
       .filter(col("bucket").isin(buckets: _*) &&
-        col("term").isin(BM25_QUERY: _*))
+        col("term").isin(terms: _*))
       .select(col("term"), col("df"))
     // fold the summable per-batch stats: ≤ one tiny row per ingest
     // batch, avgdl = Σsum_dl / Σn_docs
@@ -405,7 +409,7 @@ object TextQueries {
       .select(col("doc_id"), col("dl").cast("long").as("dl"),
         col("n_terms_hit"), col("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(20)
+      .limit(k)
   }
 
   val textBm25Sql: String =

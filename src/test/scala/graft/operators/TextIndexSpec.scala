@@ -34,6 +34,19 @@ class TextIndexSpec extends SparkSpec {
       s"serving must read the index, not the corpus:\n$p")
   }
 
+  test("arbitrary term sets serve from the same built index") {
+    val root = TextQueries.buildTextIndex(spark, sf)
+    val a = TextQueries.bm25ServeFrom(spark, root,
+      terms = Seq("the", "data"), k = 5).collect().toSeq
+    val b = TextQueries.bm25ServeFrom(spark, root,
+      terms = Seq("the", "data"), k = 5).collect().toSeq
+    assert(a == b, "serve must be deterministic for any term set")
+    assert(a.size <= 5)
+    // unknown terms: empty result, not an error
+    assert(TextQueries.bm25ServeFrom(spark, root,
+      terms = Seq("zzz_not_a_token"), k = 5).collect().isEmpty)
+  }
+
   test("audit counts the written postings, not the in-flight frame") {
     val row = TextQueries.snkTextIndex(spark, sf).collect().head
     val nDocs = row.getAs[Long]("n_docs")

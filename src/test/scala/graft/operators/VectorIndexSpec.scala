@@ -94,6 +94,22 @@ class VectorIndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/assignments").count() == once)
   }
 
+  test("arbitrary query vectors serve from the same built index") {
+    val root = SimilarityQueries.buildVectorIndex(spark, sf)
+    // a vector OUTSIDE the corpus: any direction works — the serve
+    // path must be total in the query, not tied to vec_id=0
+    val dim = graft.Tables.embeddings(spark, sf)
+      .select(size(col("embedding"))).collect().head.getInt(0)
+    val qv = Array.tabulate(dim)(i => math.sin(i + 1.0))
+    val qn = math.sqrt(qv.map(v => v * v).sum)
+    val a = SimilarityQueries.annServeFrom(spark, root, qv, qn, topK = 5)
+      .collect().toSeq
+    val b = SimilarityQueries.annServeFrom(spark, root, qv, qn, topK = 5)
+      .collect().toSeq
+    assert(a == b, "serve must be deterministic for any query")
+    assert(a.size <= 5 && a.nonEmpty, s"unexpected result size: ${a.size}")
+  }
+
   test("serve plan prunes assignment lists and re-ranks only probed members") {
     val df = SimilarityQueries.simAnnIvfIndexed(spark, sf)
     df.collect() // AQE finalizes on execution
