@@ -19,6 +19,19 @@ object Bench {
     // Untimed warmup: JIT + codegen + parquet footer caches, so the
     // first measured query doesn't absorb session startup cost.
     SparkEntry.queries.get("q1_pricing").foreach(_(spark, sfDir).count())
+    // Force the one-per-JVM index builds during warmup so every indexed
+    // qid — sink audits AND serve paths — measures its own cost, not
+    // whichever qid happens to sort first. (Before this, alphabetical
+    // order made sim_ann_ivf_indexed pay the vector-index build while
+    // snk_vector_index measured a bare re-audit.)
+    val indexQids = Set("snk_text_index", "text_bm25_indexed",
+      "text_bm25_serve_batch", "stream_index_upsert")
+    val vecIndexQids = Set("snk_vector_index", "sim_ann_ivf_indexed",
+      "sim_ann_serve_batch", "sim_ann_ivf_audit", "stream_vector_upsert")
+    if (only.forall(_.exists(indexQids)))
+      graft.operators.TextQueries.buildTextIndex(spark, sfDir)
+    if (only.forall(_.exists(vecIndexQids)))
+      graft.operators.SimilarityQueries.buildVectorIndex(spark, sfDir)
     // A throwing query records the sentinel -1 (never its time-to-throw:
     // round 8's bench listed analysis exceptions as the suite's fastest
     // entries) and is surfaced in an "errors" map; errors can only grow

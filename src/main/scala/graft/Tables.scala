@@ -70,7 +70,12 @@ object Tables {
   }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    guard(name, spark.read.parquet(s"$dir/$name.parquet"))
+    // events must normalize ts BEFORE the guard: on a legacy
+    // TIMESTAMP(NANOS) fixture the raw read is LongType and the generic
+    // guard would report "fixture drift" for a layout the events loader
+    // explicitly supports. Route through the normalizing loader.
+    if (name == "events") eventsRaw(spark, dir)
+    else guard(name, spark.read.parquet(s"$dir/$name.parquet"))
 
   /** events.ts has shipped in two physical layouts across driver fixture
     * generations: parquet TIMESTAMP(NANOS) (Spark reads it as long nanos

@@ -38,7 +38,13 @@ object QuantileSketchAgg {
     val buckets = new scala.collection.mutable.HashMap[Int, Long]
   }
 
-  case class Quantiles(n: Long, p50: Double, p90: Double, p99: Double)
+  /** n_buckets/zero_count expose the sketch's regime so callers can
+    * ASSERT the exact-recompute precondition: a final merged size
+    * < maxBuckets proves no partial ever collapsed (collapse leaves a
+    * sketch at exactly maxBuckets buckets and merging only adds keys,
+    * so any collapsed partial forces the final size ≥ maxBuckets). */
+  case class Quantiles(n: Long, p50: Double, p90: Double, p99: Double,
+      n_buckets: Long, zero_count: Long)
 
   def gamma(alpha: Double): Double = (1 + alpha) / (1 - alpha)
 
@@ -136,7 +142,9 @@ object QuantileSketchAgg {
         s.zeroCount + s.buckets.valuesIterator.sum,
         quantile(s, 0.50, alpha),
         quantile(s, 0.90, alpha),
-        quantile(s, 0.99, alpha))
+        quantile(s, 0.99, alpha),
+        s.buckets.size.toLong,
+        s.zeroCount)
       def bufferEncoder: Encoder[Sketch] = Encoders.kryo[Sketch]
       def outputEncoder: Encoder[Quantiles] = ExpressionEncoder[Quantiles]()
     }

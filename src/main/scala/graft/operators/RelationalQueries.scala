@@ -353,7 +353,18 @@ object RelationalQueries {
     * construction is recomputed exactly in DuckDB SQL (see
     * [[aggQuantileSketchSql]]); QuantileSketchSpec additionally pins
     * the α bound against exact quantiles, merge-order independence,
-    * and graceful collapse. */
+    * and graceful collapse.
+    *
+    * ORACLE REGIME (asserted at runtime, not assumed): the SQL twin is
+    * exact only while (a) every value ≥ MIN_VALUE — the SQL has no
+    * zero bucket — and (b) no bucket collapse ever fired — the SQL
+    * keeps all γ^k buckets. The filter below runs `assert_true` on the
+    * sketch's own n_buckets/zero_count telemetry, so a fixture change
+    * that leaves the regime fails LOUDLY instead of hash-mismatching.
+    * Residual risk: k = ⌈ln x / ln γ⌉ computed with JVM Math.log vs
+    * DuckDB ln can differ by 1 ulp and flip ceil exactly at a γ^k
+    * boundary; QuantileSketchSpec checks the fixture's values keep a
+    * >1e-9 relative distance from every bucket boundary. */
   def aggQuantileSketch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     orders(s, dir)
@@ -362,6 +373,14 @@ object RelationalQueries {
       .groupByKey(_._1).mapValues(_._2)
       .agg(graft.functions.QuantileSketchAgg.agg().toColumn.name("q"))
       .toDF("o_orderstatus", "q")
+      // filter (not a dropped column) so Catalyst cannot prune the check
+      .filter(assert_true(
+        col("q.n_buckets") < lit(graft.functions.QuantileSketchAgg.MAX_BUCKETS)
+          && col("q.zero_count") === 0,
+        concat(lit("agg_quantile_sketch left its oracle regime (collapse " +
+          "or sub-MIN_VALUE values; buckets/zero: "),
+          col("q.n_buckets"), lit("/"), col("q.zero_count"), lit(")")))
+        .isNull)
       .select(col("o_orderstatus"), col("q.n").as("n"),
         round(col("q.p50"), 2).as("p50_est"),
         round(col("q.p90"), 2).as("p90_est"),

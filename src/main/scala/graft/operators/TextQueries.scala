@@ -269,10 +269,11 @@ object TextQueries {
     * sink calls the same function per micro-batch — one write kernel
     * to audit for both modes (the upsertSink pattern). */
   /** One build per corpus per JVM — "build once, serve many" IS the
-    * index's contract. In a suite run the sink qid (alphabetically
-    * first) pays the build; text_bm25_indexed then measures the
-    * serve path alone, the shape a deployment actually has. Tests
-    * that need fresh roots call appendToIndex directly. */
+    * index's contract. Bench force-builds both indexes during its
+    * untimed warmup, so every indexed qid (sink audit and serve
+    * paths alike) measures its own cost rather than whichever qid
+    * happens to run first paying the build. Tests that need fresh
+    * roots call appendToIndex directly. */
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 

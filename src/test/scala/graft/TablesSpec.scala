@@ -61,6 +61,21 @@ class TablesSpec extends SparkSpec {
     assert(Tables.events(spark, sf).columns.nonEmpty)
   }
 
+  test("generic table() serves events on the legacy long-ts layout") {
+    // Regression (round-9 advice): table(s, dir, "events") used to guard
+    // BEFORE normalizing, so a legacy TIMESTAMP(NANOS) fixture — read as
+    // LongType under the nanosAsLong conf — failed with a misleading
+    // "fixture drift" error on a layout the events loader supports.
+    val tmp = java.nio.file.Files.createTempDirectory("tables-spec-long").toString
+    offsetsNs.map(o => (1L, baseNs + o, 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val e = Tables.table(spark, tmp, "events")
+    assert(e.schema("ts").dataType == TimestampType)
+    val micros = e.select(unix_micros(col("ts"))).as[Long].collect().toSeq.sorted
+    assert(micros == offsetsNs.map(o => (baseNs + o) / 1000).sorted)
+  }
+
   test("guard fails loudly on a family mismatch") {
     val bad = Seq((1L, "x")).toDF("event_id", "ts") // ts as string, not time
       .withColumn("user_id", lit(1L)).withColumn("event_type", lit("a"))

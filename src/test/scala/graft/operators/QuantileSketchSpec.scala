@@ -59,6 +59,35 @@ class QuantileSketchSpec extends SparkSpec {
     assert(math.abs(e - ex) <= ALPHA * ex + 1e-9, s"p99 est=$e exact=$ex")
   }
 
+  test("fixture values keep clear of gamma^k bucket boundaries") {
+    // The DuckDB oracle recomputes k = ceil(ln x / ln gamma) with its
+    // own ln; a 1-ulp divergence from Math.log flips ceil exactly at a
+    // boundary. Assert every fixture value's log-ratio sits a safe
+    // relative distance from the nearest integer, so both engines
+    // agree on every bucket regardless of ulp-level ln differences.
+    import org.apache.spark.sql.functions._
+    val lnG = math.log(gamma(ALPHA))
+    val dists = graft.Tables.orders(spark, sf)
+      .select(col("o_totalprice")).collect().map { r =>
+        val frac = math.log(r.getDouble(0)) / lnG
+        math.abs(frac - math.rint(frac))
+      }
+    assert(dists.min > 1e-9,
+      s"a fixture value sits ${dists.min} from a bucket boundary — " +
+        "the cross-engine ln oracle is no longer safe")
+  }
+
+  test("regime telemetry reports bucket count and zero count") {
+    // the declared query asserts these via assert_true; pin the
+    // telemetry itself so the assertion means what it claims
+    val s = new Sketch
+    Seq(0.0, 1e-12, 5.0, 50.0, 500.0).foreach(v => update(s, v, ALPHA, 16))
+    val q = QuantileSketchAgg.agg(ALPHA, 16) match { case a =>
+      a.finish(s)
+    }
+    assert(q.zero_count == 2 && q.n_buckets == 3 && q.n == 5)
+  }
+
   test("zero bucket and input contract") {
     val s = new Sketch
     Seq(0.0, 1e-12, 5.0, 50.0).foreach(v => update(s, v, ALPHA, 16))
