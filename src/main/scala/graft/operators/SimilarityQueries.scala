@@ -510,6 +510,78 @@ object SimilarityQueries {
       .limit(topK)
   }
 
+  /** The declared batch for sim_ann_serve_batch: a fixed spread of
+    * fixture vec_ids (including sim_ann_ivf's own query, vec_id 0, so
+    * single-serve parity is visible in the batch output). */
+  private[operators] val ANN_BATCH_IDS: Seq[Long] =
+    Seq(0L, 3L, 7L, 11L, 19L, 26L)
+
+  /** sim_ann_serve_batch — the vector twin of text_bm25_serve_batch:
+    * a whole query TABLE of vectors answered in ONE job against the
+    * persisted IVF index (the amortized concurrent-serve shape; the
+    * reference's serve tier runs WEB_CONCURRENCY=10). Approximate ⇒
+    * rows-only; VectorIndexSpec pins per-query hash parity with N
+    * independent single-query serves plus the one-job plan shape. */
+  def simAnnServeBatch(s: SparkSession, dir: String): DataFrame = {
+    val root = buildVectorIndex(s, dir)
+    val e = withNorm(embeddings(s, dir))
+    annServeBatchFrom(s, root,
+      e.filter(col("vec_id").isin(ANN_BATCH_IDS.map(Long.box): _*))
+        .select(col("vec_id").as("query_id"),
+          col("emb").as("qv"), col("nrm").as("qn")))
+  }
+
+  /** Serve an ANN top-k for EVERY query in `queries` (query_id, qv,
+    * qn) from the index at `root`, in one job. Amortization mirrors
+    * the text batch serve:
+    *
+    *   - the quantizer is read ONCE (≤33 MB driver read — the same
+    *     read a single query pays) and probes for the whole batch are
+    *     computed against it driver-side: the request is serve-tier
+    *     sized by construction, and probing is O(|batch| · k · d) —
+    *     the exact work N single serves would do, without N jobs.
+    *   - ONE partition-pruned assignments scan covers the UNION of
+    *     all probed lists; per-query routing is a broadcast join of
+    *     the (cid, query) probe pairs on cid — adding a query adds
+    *     broadcast rows, never scans.
+    *   - exact cosine re-ranks per (query, candidate) once (a vector
+    *     in several probed lists of one query dedups first), then the
+    *     TopKPerGroup heap operator takes each query's top-k with ≤ k
+    *     rows per (query, partition) crossing the exchange.
+    *
+    * At serve time the corpus is never touched — every read is
+    * index-shaped (quantizer + probed lists). */
+  private[graft] def annServeBatchFrom(
+      s: SparkSession, root: String,
+      queries: DataFrame, topK: Int = 10): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    val cArr = s.read.parquet(s"$root/centroids").collect().map { r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+    }.sortBy(_._1)
+    val nprobe = ivfNProbe(cArr.length)
+    val qRows = queries
+      .select(col("query_id").cast("long"), col("qv"), col("qn"))
+      .collect().map { r =>
+        (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+      }
+    val probePairs = qRows.toSeq.flatMap { case (id, qv, qn) =>
+      topCentroids(cArr, nprobe, qv, qn).map(cid => (cid, id, qv.toSeq, qn))
+    }
+    val probes = probePairs.toDF("cid", "query_id", "qv", "qn")
+    val cids = probePairs.map(_._1).distinct
+    val scored = s.read.parquet(s"$root/assignments")
+      .filter(col("cid").isin(cids.map(Long.box): _*))
+      .join(broadcast(probes), Seq("cid"))
+      .dropDuplicates("query_id", "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        round(arrayDot(col("emb"), col("qv")) / (col("nrm") * col("qn")), 6)
+          .as("sim"))
+    graft.plans.TopKPerGroup.topKPerGroup(scored,
+      keys = Seq("query_id"),
+      orderBy = Seq(("sim", false), ("vec_id", true)), k = topK)
+  }
+
   /** sim_knn_join — the approximate k-NN GRAPH: top-KNN_K neighbors
     * for EVERY vector (not one query), from the same capped LSH
     * candidate generation as dedup_near_embedding. This is the batch
@@ -854,6 +926,7 @@ object SimilarityQueries {
     "sim_ann_lsh" -> (simAnnLsh _),
     "sim_ann_ivf" -> (simAnnIvf _),
     "sim_ann_ivf_indexed" -> (simAnnIvfIndexed _),
+    "sim_ann_serve_batch" -> (simAnnServeBatch _),
     "snk_vector_index" -> (snkVectorIndex _),
     "dedup_near_embedding" -> (dedupNearEmbedding _),
     "sim_knn_join" -> (simKnnJoin _),

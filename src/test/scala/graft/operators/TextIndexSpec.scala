@@ -47,6 +47,42 @@ class TextIndexSpec extends SparkSpec {
       terms = Seq("zzz_not_a_token"), k = 5).collect().isEmpty)
   }
 
+  test("batch serve hash-matches N independent single-query serves") {
+    import org.apache.spark.sql.functions.col
+    val root = TextQueries.buildTextIndex(spark, sf)
+    val batch = TextQueries.textBm25ServeBatch(spark, sf)
+    for ((id, terms) <- TextQueries.BM25_BATCH) {
+      val slice = batch.filter(col("query_id") === id).drop("query_id")
+        .orderBy(col("bm25").desc, col("doc_id")).collect().toSeq
+      val single = TextQueries.bm25ServeFrom(spark, root, terms, 20)
+        .collect().toSeq
+      assert(slice == single,
+        s"query $id diverged from its single serve:\n$slice\nvs\n$single")
+    }
+  }
+
+  test("batch serve is one job: scans don't multiply with queries") {
+    val df = TextQueries.textBm25ServeBatch(spark, sf)
+    df.collect() // AQE finalizes on execution
+    // AQE's string repeats the tree under "== Initial Plan ==" — count
+    // scans in the final section only
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // exactly the index's three artifacts are scanned — postings,
+    // terms, stats — however many queries the batch carries; per-query
+    // routing is the broadcast join on term, not extra scans
+    val nScans = "FileScan".r.findAllIn(p).size
+    assert(nScans == 3, s"expected 3 index scans, got $nScans:\n$p")
+    assert(p.contains("PartitionFilters") && p.contains("bucket"),
+      s"batched bucket pruning missing:\n$p")
+    // per-query top-k through the bounded-heap operator, not a
+    // corpus-sized window sort
+    assert(p.contains("TopKPerGroup"), s"heap top-k missing:\n$p")
+    assert(!p.contains("Window"), s"window leaked into batch serve:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"serving must read the index, not the corpus:\n$p")
+  }
+
   test("audit counts the written postings, not the in-flight frame") {
     val row = TextQueries.snkTextIndex(spark, sf).collect().head
     val nDocs = row.getAs[Long]("n_docs")

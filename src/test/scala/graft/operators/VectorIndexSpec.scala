@@ -110,6 +110,44 @@ class VectorIndexSpec extends SparkSpec {
     assert(a.size <= 5 && a.nonEmpty, s"unexpected result size: ${a.size}")
   }
 
+  test("batch serve hash-matches N independent single-query serves") {
+    val root = SimilarityQueries.buildVectorIndex(spark, sf)
+    val batch = SimilarityQueries.simAnnServeBatch(spark, sf)
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+    for (id <- SimilarityQueries.ANN_BATCH_IDS) {
+      val qv = e.filter(col("vec_id") === id)
+        .collect().head.getSeq[Double](1).toArray
+      val qn = math.sqrt(qv.map(v => v * v).sum)
+      val slice = batch.filter(col("query_id") === id).drop("query_id")
+        .orderBy(col("sim").desc, col("vec_id")).collect().toSeq
+      val single = SimilarityQueries.annServeFrom(spark, root, qv, qn)
+        .collect().toSeq
+      assert(slice == single,
+        s"query $id diverged from its single serve:\n$slice\nvs\n$single")
+    }
+  }
+
+  test("batch serve is one job over one pruned assignments scan") {
+    val df = SimilarityQueries.simAnnServeBatch(spark, sf)
+    df.collect() // AQE finalizes on execution
+    // AQE's string repeats the tree under "== Initial Plan ==" — count
+    // scans in the final section only
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the union of all probed lists prunes ONE assignments scan; the
+    // probe pairs ride a broadcast join — queries never add scans
+    val nScans = "FileScan".r.findAllIn(p).size
+    assert(nScans == 1, s"expected 1 assignments scan, got $nScans:\n$p")
+    assert(p.contains("PartitionFilters") && p.contains("cid"),
+      s"probed-list pruning missing:\n$p")
+    assert(p.contains("TopKPerGroup"), s"heap top-k missing:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle joins at serve:\n$p")
+    assert(!p.contains("embeddings.parquet"),
+      s"serve must read the index, not the corpus:\n$p")
+  }
+
   test("serve plan prunes assignment lists and re-ranks only probed members") {
     val df = SimilarityQueries.simAnnIvfIndexed(spark, sf)
     df.collect() // AQE finalizes on execution
