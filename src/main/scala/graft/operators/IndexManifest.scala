@@ -1,0 +1,106 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** The durable-root contract shared by the persisted text and vector
+  * indexes ("build once, serve many" across SESSIONS, not just within
+  * one JVM):
+  *
+  *   - `write` lands `manifest.properties` at the index root AFTER the
+  *     artifacts are fully written, so the manifest doubles as a commit
+  *     marker — `read` on a half-built or foreign directory fails
+  *     loudly instead of serving garbage.
+  *   - the manifest records the ENGINE CONSTANTS the artifact was built
+  *     under (bucket count, assignment fan-out, …). Serving is only
+  *     correct when build-time and serve-time constants agree — e.g. a
+  *     term's bucket is recomputed at serve time for pruning — so the
+  *     open path verifies them instead of trusting the caller.
+  *   - `corpusFingerprint` is the cheap (file count, total bytes, max
+  *     mtime) signature used to key the per-JVM build memos: a corpus
+  *     regenerated in place gets a NEW index instead of a stale
+  *     cache hit. Footer-cheap — it stats files, never reads data.
+  *
+  * Plain java.util.Properties on purpose: no parser to maintain, and
+  * the file stays human-readable next to the parquet artifacts.
+  */
+object IndexManifest {
+
+  val FILE = "manifest.properties"
+
+  def write(root: String, kind: String, config: Map[String, String]): Unit = {
+    val p = new java.util.Properties()
+    p.setProperty("kind", kind)
+    config.foreach { case (k, v) => p.setProperty(k, v) }
+    val out = Files.newOutputStream(Paths.get(root, FILE))
+    try p.store(out, null) finally out.close()
+  }
+
+  /** Read and validate a manifest. `expect` pairs are hard
+    * requirements — a mismatch (or a missing manifest) throws with a
+    * rebuild-or-match diagnosis. Returns the full config. */
+  def open(root: String, kind: String,
+      expect: Map[String, String]): Map[String, String] = {
+    val f = Paths.get(root, FILE)
+    require(Files.exists(f),
+      s"no $FILE under $root — not a completed index root (the manifest " +
+        "is written last, so a missing one means a half-built or foreign " +
+        "directory); build with buildTextIndexAt/buildVectorIndexAt")
+    val p = new java.util.Properties()
+    val in = Files.newInputStream(f)
+    try p.load(in) finally in.close()
+    val m = p.stringPropertyNames().asScala.map(k => k -> p.getProperty(k)).toMap
+    require(m.get("kind").contains(kind),
+      s"index at $root is kind=${m.getOrElse("kind", "?")}, expected $kind")
+    val bad = expect.collect {
+      case (k, v) if !m.get(k).contains(v) =>
+        s"$k: built with ${m.getOrElse(k, "ABSENT")}, engine has $v"
+    }
+    require(bad.isEmpty,
+      s"index at $root was built under different engine constants — " +
+        s"${bad.mkString("; ")}. Rebuild the index (or run a matching " +
+        "engine version); serving would prune/route incorrectly.")
+    m
+  }
+
+  /** (file count, total bytes, max mtime-millis) over one table's
+    * parquet path — file stats only, no data read. */
+  def corpusFingerprint(dir: String, table: String): String = {
+    val p = Paths.get(dir, s"$table.parquet")
+    if (!Files.exists(p)) return "absent"
+    var n = 0L; var bytes = 0L; var mtime = 0L
+    def visit(f: Path): Unit = {
+      n += 1
+      bytes += Files.size(f)
+      mtime = math.max(mtime, Files.getLastModifiedTime(f).toMillis)
+    }
+    if (Files.isDirectory(p)) {
+      val s = Files.walk(p)
+      try s.iterator().asScala.filter(Files.isRegularFile(_)).foreach(visit)
+      finally s.close()
+    } else visit(p)
+    s"$n-$bytes-$mtime"
+  }
+
+  // -- temp-root lifecycle: the per-JVM memoized builds land in temp
+  // directories; register them so a clean JVM exit removes them
+  // (File.deleteOnExit can't remove non-empty directories)
+  private val tempRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val hook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tempRoots.asScala.foreach { r =>
+        try deleteRecursively(Paths.get(r)) catch { case _: Exception => () }
+      }))
+  }
+
+  def registerTempRoot(root: String): Unit = { hook; tempRoots.add(root) }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.foreach(deleteRecursively) finally s.close()
+    }
+    Files.deleteIfExists(p)
+  }
+}

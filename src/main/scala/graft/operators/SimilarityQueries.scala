@@ -395,14 +395,54 @@ object SimilarityQueries {
   private val vecIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private[graft] def buildVectorIndex(s: SparkSession, dir: String): String =
-    vecIndexCache.computeIfAbsent(dir, { _ =>
+  private[graft] def buildVectorIndex(s: SparkSession, dir: String): String = {
+    // memo key includes a file-stat fingerprint: an in-place corpus
+    // regeneration builds a new index instead of serving a stale one
+    val fp = IndexManifest.corpusFingerprint(dir, "embeddings")
+    vecIndexCache.computeIfAbsent(s"$dir|$fp", { _ =>
       val root = java.nio.file.Files
         .createTempDirectory("graft-vecindex").toString
-      initVectorIndex(embeddings(s, dir), root)
-      appendToVectorIndex(embeddings(s, dir), root, batchId = 0L)
-      root
+      IndexManifest.registerTempRoot(root)
+      buildVectorIndexAt(s, dir, root)
     })
+  }
+
+  /** Testing hook: drop the per-JVM build memos. */
+  private[graft] def invalidateIndexCache(): Unit = vecIndexCache.clear()
+
+  /** Build the IVF index into a CALLER-CHOSEN durable root and stamp
+    * it with a manifest — the cross-session deployment contract. A
+    * later session serves via [[openVectorIndex]] with no rebuild and
+    * no re-clustering (the quantizer is part of the artifact). The
+    * manifest lands LAST, marking a completed build. */
+  def buildVectorIndexAt(s: SparkSession, dir: String, root: String): String = {
+    initVectorIndex(embeddings(s, dir), root)
+    appendToVectorIndex(embeddings(s, dir), root, batchId = 0L)
+    val nLists = s.read.parquet(s"$root/centroids").count()
+    IndexManifest.write(root, "vector-ivf", Map(
+      "ivf_assign" -> IVF_ASSIGN.toString,
+      "n_lists" -> nLists.toString,
+      "corpus" -> dir,
+      "corpus_fingerprint" -> IndexManifest.corpusFingerprint(dir, "embeddings")))
+    root
+  }
+
+  /** Reopen a durable IVF root built by [[buildVectorIndexAt]] —
+    * possibly by an earlier session/JVM. Verifies the manifest, the
+    * assignment fan-out constant, and that the persisted quantizer
+    * still matches the manifest's list count (a truncated centroids/
+    * would otherwise mis-probe silently). Returns the root for
+    * [[annServeFrom]] / [[annServeBatchFrom]]. */
+  def openVectorIndex(s: SparkSession, root: String): String = {
+    val m = IndexManifest.open(root, "vector-ivf",
+      Map("ivf_assign" -> IVF_ASSIGN.toString))
+    val nLists = s.read.parquet(s"$root/centroids").count()
+    require(m.get("n_lists").contains(nLists.toString),
+      s"index at $root: manifest says ${m.getOrElse("n_lists", "?")} lists " +
+        s"but centroids/ holds $nLists — artifact corrupted or partially " +
+        "overwritten; rebuild")
+    root
+  }
 
   /** Train the coarse quantizer on a bootstrap corpus and persist it.
     * Training is a REBUILD decision: ingest (appendToVectorIndex)

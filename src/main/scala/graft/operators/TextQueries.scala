@@ -272,19 +272,54 @@ object TextQueries {
     * index's contract. Bench force-builds both indexes during its
     * untimed warmup, so every indexed qid (sink audit and serve
     * paths alike) measures its own cost rather than whichever qid
-    * happens to run first paying the build. Tests that need fresh
-    * roots call appendToIndex directly. */
+    * happens to run first paying the build. The memo key includes a
+    * cheap file-stat fingerprint of the corpus, so a fixture
+    * regenerated in place builds a NEW index instead of silently
+    * serving a stale one; memoized temp roots are removed at JVM
+    * exit. Tests that need fresh roots call appendToIndex directly. */
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private[graft] def buildTextIndex(s: SparkSession, dir: String): String =
-    indexCache.computeIfAbsent(dir, { _ =>
+  private[graft] def buildTextIndex(s: SparkSession, dir: String): String = {
+    val fp = IndexManifest.corpusFingerprint(dir, "documents")
+    indexCache.computeIfAbsent(s"$dir|$fp", { _ =>
       val root = java.nio.file.Files
         .createTempDirectory("graft-textindex").toString
-      appendToIndex(documents(s, dir).select(col("doc_id"), col("text")),
-        root, batchId = 0L)
-      root
+      IndexManifest.registerTempRoot(root)
+      buildTextIndexAt(s, dir, root)
     })
+  }
+
+  /** Testing hook: drop the per-JVM build memos (e.g. after deleting
+    * a memoized root). Serving state is otherwise all on disk. */
+  private[graft] def invalidateIndexCache(): Unit = indexCache.clear()
+
+  /** Build the inverted index into a CALLER-CHOSEN durable root and
+    * stamp it with a manifest — the cross-session deployment contract
+    * (the per-JVM memo above only simulates it). A later session
+    * serves via [[openTextIndex]] with no rebuild. The manifest lands
+    * LAST, so it marks a completed build. */
+  def buildTextIndexAt(s: SparkSession, dir: String, root: String): String = {
+    appendToIndex(documents(s, dir).select(col("doc_id"), col("text")),
+      root, batchId = 0L)
+    IndexManifest.write(root, "text-bm25", Map(
+      "n_buckets" -> IDX_BUCKETS.toString,
+      "corpus" -> dir,
+      "corpus_fingerprint" -> IndexManifest.corpusFingerprint(dir, "documents")))
+    root
+  }
+
+  /** Reopen a durable index root built by [[buildTextIndexAt]] —
+    * possibly by an earlier session/JVM. Verifies the manifest and the
+    * engine constants the serve path depends on (bucket pruning
+    * recomputes term buckets at serve time, so a bucket-count mismatch
+    * would silently drop postings). Returns the root for
+    * [[bm25ServeFrom]] / [[bm25ServeBatchFrom]]. */
+  def openTextIndex(root: String): String = {
+    IndexManifest.open(root, "text-bm25",
+      Map("n_buckets" -> IDX_BUCKETS.toString))
+    root
+  }
 
   /** Merge one batch of NEW documents into the index at `root`.
     * Per-batch cost is proportional to the batch plus the size of the

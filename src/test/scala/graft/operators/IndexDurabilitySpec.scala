@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The cross-session deployment contract for the persisted indexes:
+  * build into a caller-chosen durable root, stamp a manifest, drop all
+  * in-JVM state, REOPEN by root, and serve identically — plus the
+  * failure modes (missing/foreign manifest, engine-constant mismatch,
+  * corrupted artifact) and the stale-memo fix (a corpus regenerated in
+  * place must build a fresh index, not hit the old cache key).
+  */
+class IndexDurabilitySpec extends SparkSpec {
+
+  test("text index: build at a durable root, reopen, serve identically") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-durable-text").toString
+    TextQueries.buildTextIndexAt(spark, sf, root)
+    val before = TextQueries.bm25ServeFrom(spark, root).collect().toSeq
+    // "close the session": the only in-JVM serving state is the build
+    // memo — drop it, then reopen strictly through the manifest path
+    TextQueries.invalidateIndexCache()
+    val reopened = TextQueries.openTextIndex(root)
+    val after = TextQueries.bm25ServeFrom(spark, reopened).collect().toSeq
+    assert(after == before && after.nonEmpty,
+      s"reopened serve diverged:\n$after\nvs\n$before")
+  }
+
+  test("vector index: build at a durable root, reopen, serve identically") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-durable-vec").toString
+    SimilarityQueries.buildVectorIndexAt(spark, sf, root)
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("embedding").cast("array<double>").as("emb"))
+      .filter(col("vec_id") === 0).collect()
+    val qv = e.head.getSeq[Double](0).toArray
+    val qn = math.sqrt(qv.map(v => v * v).sum)
+    val before = SimilarityQueries.annServeFrom(spark, root, qv, qn)
+      .collect().toSeq
+    SimilarityQueries.invalidateIndexCache()
+    val reopened = SimilarityQueries.openVectorIndex(spark, root)
+    val after = SimilarityQueries.annServeFrom(spark, reopened, qv, qn)
+      .collect().toSeq
+    assert(after == before && after.nonEmpty,
+      s"reopened serve diverged:\n$after\nvs\n$before")
+  }
+
+  test("open fails loudly on missing manifests and constant mismatches") {
+    // no manifest at all (half-built or foreign directory)
+    val bare = java.nio.file.Files
+      .createTempDirectory("graft-bare").toString
+    val e1 = intercept[IllegalArgumentException] {
+      TextQueries.openTextIndex(bare)
+    }
+    assert(e1.getMessage.contains("manifest"))
+    // a completed root whose engine constants drifted: doctor the
+    // manifest to a different bucket count — serving would silently
+    // prune wrong buckets, so open must refuse
+    val doctored = java.nio.file.Files
+      .createTempDirectory("graft-doctored").toString
+    IndexManifest.write(doctored, "text-bm25", Map("n_buckets" -> "16"))
+    val e2 = intercept[IllegalArgumentException] {
+      TextQueries.openTextIndex(doctored)
+    }
+    assert(e2.getMessage.contains("n_buckets"))
+    // wrong kind: a vector root opened as a text index
+    IndexManifest.write(bare, "vector-ivf", Map())
+    val e3 = intercept[IllegalArgumentException] {
+      TextQueries.openTextIndex(bare)
+    }
+    assert(e3.getMessage.contains("kind"))
+  }
+
+  test("vector open cross-checks the quantizer against the manifest") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-vec-corrupt").toString
+    SimilarityQueries.buildVectorIndexAt(spark, sf, root)
+    // corrupt the artifact: rewrite centroids/ to a single list while
+    // the manifest still records the full count
+    spark.read.parquet(s"$root/centroids").limit(1)
+      .write.mode("overwrite").parquet(s"$root/centroids_new")
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.iterator().forEachRemaining(rm) finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rm(java.nio.file.Paths.get(s"$root/centroids"))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$root/centroids_new"),
+      java.nio.file.Paths.get(s"$root/centroids"))
+    val e = intercept[IllegalArgumentException] {
+      SimilarityQueries.openVectorIndex(spark, root)
+    }
+    assert(e.getMessage.contains("centroids"))
+  }
+
+  test("a corpus regenerated in place invalidates the build memo") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-regen").toString
+    def writeCorpus(marker: String, n: Int): Unit =
+      (1 to n).map(i => (i.toLong, s"spark $marker doc$i", "en", "synth", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    writeCorpus("alpha", 8)
+    val root1 = TextQueries.buildTextIndex(spark, dir)
+    val served1 = TextQueries.bm25ServeFrom(spark, root1,
+      terms = Seq("alpha"), k = 50).collect().length
+    assert(served1 == 8, "all alpha docs contain the term")
+    // regenerate IN PLACE with different content (different size ⇒
+    // different file-stat fingerprint even within an mtime tick)
+    writeCorpus("beta", 12)
+    val root2 = TextQueries.buildTextIndex(spark, dir)
+    assert(root2 != root1,
+      "the stale memo served an index for the old corpus")
+    assert(TextQueries.bm25ServeFrom(spark, root2,
+      terms = Seq("beta"), k = 50).collect().length == 12)
+    assert(TextQueries.bm25ServeFrom(spark, root2,
+      terms = Seq("alpha"), k = 50).collect().isEmpty)
+  }
+}
