@@ -36,13 +36,23 @@ object Bench {
     // round 8's bench listed analysis exceptions as the suite's fastest
     // entries) and is surfaced in an "errors" map; errors can only grow
     // the reported total, never shrink it.
+    // SPARK_GRAFT_REPEAT=N (builder-side pins): time each query N times
+    // in THIS warm JVM and report the median — a targeted single run
+    // pays cold-JIT/footer costs the full suite amortizes, so repeat
+    // medians are what compares against in-suite numbers.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
     val results = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
-        (name, (System.nanoTime() - t0) / 1e9, None: Option[String])
+        val times = (1 to repeat).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        if (repeat > 1)
+          System.err.println(f"[bench] $name runs: ${times.map(t => f"$t%.3f").mkString(", ")}")
+        (name, times(times.size / 2), None: Option[String])
       } catch { case e: Throwable =>
         (name, -1.0, Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"))
       }

@@ -1491,24 +1491,34 @@ object TextQueries {
   private[operators] def bpeTokenCount(
       word: String, rank: Map[String, Int]): Int = {
     if (word.isEmpty) return 0
-    var toks = word.map(_.toString).toArray
+    // one working array for the whole word, compacted IN PLACE per
+    // merge — the earlier `take ++ drop` rebuild allocated two arrays
+    // per merge, O(n²) allocation on long mergeable words. The
+    // per-merge rescan stays: a merge changes its neighbors' pair
+    // ranks, and greedy best-rank BPE is defined by re-finding the
+    // global best each round.
+    val toks = new Array[String](word.length)
+    var n = 0
+    while (n < word.length) { toks(n) = String.valueOf(word.charAt(n)); n += 1 }
     var done = false
-    while (!done && toks.length > 1) {
+    while (!done && n > 1) {
       var best = -1
       var bestRank = Int.MaxValue
       var i = 0
-      while (i < toks.length - 1) {
+      while (i < n - 1) {
         val r = rank.getOrElse(toks(i) + toks(i + 1), Int.MaxValue)
         if (r < bestRank) { bestRank = r; best = i }
         i += 1
       }
       if (best < 0) done = true
       else {
-        val merged = toks(best) + toks(best + 1)
-        toks = (toks.take(best) :+ merged) ++ toks.drop(best + 2)
+        toks(best) = toks(best) + toks(best + 1)
+        var j = best + 1
+        while (j < n - 1) { toks(j) = toks(j + 1); j += 1 }
+        n -= 1
       }
     }
-    toks.length
+    n
   }
 
   /** text_bpe_encode — the apply half of the tokenizer loop: learn the
