@@ -92,6 +92,24 @@ object SourceSinkQueries {
       .orderBy(col("id"))
   }
 
+  /** The YAML fixture is a static resource, so the typed rows the
+    * parser must produce are constants — a VALUES oracle pins field
+    * extraction, list sizing, and extent formatting exactly. */
+  val srcYamlCollectionsSql: String =
+    """SELECT * FROM (VALUES
+      |  ('AVHRR_SST_METOP_B-OSISAF-L2P-v1.0',
+      |   'Fixture Metop-B Sea Surface Temperature metagranules',
+      |   'no conditions apply', '2016-01-19T08:07:03Z/',
+      |   CAST(2 AS INT), CAST(2 AS INT)),
+      |  ('INSITU_FIXTURE_013_030-BO',
+      |   'Fixture In Situ Observation - Bottles',
+      |   'other', '2020-01-01/', CAST(1 AS INT), CAST(2 AS INT)),
+      |  ('INSITU_FIXTURE_013_030-CT',
+      |   'Fixture In Situ Observation - CTD',
+      |   'other', '2020-01-01/', CAST(1 AS INT), CAST(1 AS INT))
+      |) AS t(id, title, license, extent_temporal, n_providers, n_keywords)
+      |""".stripMargin
+
   /** src_csv / src_json / src_orc — format matrix beyond parquet:
     * write the nation table out in each format and read it back with
     * an EXPLICIT schema (never inference in production paths, SURVEY
@@ -186,6 +204,14 @@ object SourceSinkQueries {
       .toDF("miss_count", "hit_count", "lister_calls")
   }
 
+  /** The fixture dir always holds exactly the 10 TESTDATA tables (the
+    * Tables guard pins that layout), so the miss/hit listing counts and
+    * the single lister invocation are constants. */
+  val snkListingCacheSql: String =
+    """SELECT CAST(10 AS BIGINT) AS miss_count,
+      |  CAST(10 AS BIGINT) AS hit_count,
+      |  CAST(1 AS INT) AS lister_calls""".stripMargin
+
   /** snk_upsert + snk_parquet_catalog — ingest → partitioned catalog →
     * idempotent re-upsert; output proves idempotence (count stable,
     * item_id unique). Side-effectful ⇒ rows-only. */
@@ -208,8 +234,11 @@ object SourceSinkQueries {
     * catalog, upsert a delta that MODIFIES some items and ADDS others,
     * and diff the two snapshots. The output row proves the changelog
     * classifies exactly the touched items (and that an untouched
-    * re-ingest contributes nothing). Side-effectful fixture ⇒
-    * rows-only; CatalogDiffSpec covers removed/changed corners. */
+    * re-ingest contributes nothing). The FixtureGranuleSource grid is
+    * deterministic — 20 hour-0 items modified, 40 items in hours 4-5
+    * added, none removed — so the expected deltas are constants and a
+    * VALUES oracle pins the classification exactly; CatalogDiffSpec
+    * covers removed/changed corners. */
   def catalogChangelog(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.catalog.CatalogDiff
@@ -248,6 +277,12 @@ object SourceSinkQueries {
       byChange.getOrElse("changed", 0L) == changedIds.size))
       .toDF("n_added", "n_changed", "n_removed", "changed_matches")
   }
+
+  val catalogChangelogSql: String =
+    """SELECT CAST(40 AS BIGINT) AS n_added,
+      |  CAST(20 AS BIGINT) AS n_changed,
+      |  CAST(0 AS BIGINT) AS n_removed,
+      |  TRUE AS changed_matches""".stripMargin
 
   /** snk_compact — small-file compaction of an upserted catalog
     * (CatalogMaintenance): a sliver-heavy write (32 tasks × every
@@ -1000,7 +1035,15 @@ object SourceSinkQueries {
     "src_csv" -> srcFormatSql,
     "src_json" -> srcFormatSql,
     "src_orc" -> srcFormatSql,
-    "catalog_search_core" -> catalogSearchCoreSql
+    "catalog_search_core" -> catalogSearchCoreSql,
+    // Deterministic-fixture qids get VALUES oracles: the inputs are
+    // static (a resource YAML, the 10-table fixture layout, the
+    // FixtureGranuleSource time grid), so the expected output is a
+    // constant the oracle pins EXACTLY — a drift in parsing, listing,
+    // or diff classification goes hash-red instead of rows-only-green.
+    "src_yaml_collections" -> srcYamlCollectionsSql,
+    "snk_listing_cache" -> snkListingCacheSql,
+    "catalog_changelog" -> catalogChangelogSql
     // all others: env-dependent, side-effectful, or UDF-valued —
     // covered by CatalogSpec/GeometrySpec/StreamingSpec unit+e2e tests
   )
