@@ -32,6 +32,12 @@ object Bench {
       graft.operators.TextQueries.buildTextIndex(spark, sfDir)
     if (only.forall(_.exists(vecIndexQids)))
       graft.operators.SimilarityQueries.buildVectorIndex(spark, sfDir)
+    // same split for the catalog e2e fixtures: the qids measure the
+    // CDC diff / HTTP search walk, not fixture construction
+    if (only.forall(_.contains("catalog_changelog")))
+      graft.operators.SourceSinkQueries.ensureChangelogFixture(spark)
+    if (only.forall(_.contains("catalog_api_http")))
+      graft.operators.SourceSinkQueries.ensureApiCatalog(spark)
     // A throwing query records the sentinel -1 (never its time-to-throw:
     // round 8's bench listed analysis exceptions as the suite's fastest
     // entries) and is surfaced in an "errors" map; errors can only grow
