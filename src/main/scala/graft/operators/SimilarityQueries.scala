@@ -622,6 +622,43 @@ object SimilarityQueries {
       orderBy = Seq(("sim", false), ("vec_id", true)), k = topK)
   }
 
+  /** When the occupancy audit should trigger a quantizer rebuild:
+    * ingest assigns against the FROZEN quantizer by design, so a
+    * drifting corpus shows up as list imbalance, and past this factor
+    * the worst-probed list costs ~an order more than the mean (see
+    * SCALE.md "IVF maintenance"). */
+  private[operators] val IVF_REBUILD_IMBALANCE = 8.0
+
+  /** sim_ann_ivf_audit — the index-maintenance signal the frozen
+    * quantizer needs: streamed ingest never re-clusters (assignment is
+    * deterministic against the persisted centroids), so nothing else
+    * says WHEN a rebuild is due. One cheap aggregate over the
+    * assignment lists (groupBy on the partition column + count — no
+    * data columns read) reports occupancy skew; `rebuild_due` flips
+    * when the max-to-mean factor passes IVF_REBUILD_IMBALANCE.
+    * Occupancies ride the float-order-sensitive Lloyd refinement ⇒
+    * rows-only; VectorIndexSpec plants a skewed streamed batch and
+    * asserts the imbalance signal grows. */
+  def simAnnIvfAudit(s: SparkSession, dir: String): DataFrame =
+    ivfAuditFrom(s, buildVectorIndex(s, dir))
+
+  private[graft] def ivfAuditFrom(s: SparkSession, root: String): DataFrame = {
+    val nLists = s.read.parquet(s"$root/centroids")
+      .agg(count(lit(1)).as("n_lists"))
+    s.read.parquet(s"$root/assignments")
+      .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_lists_used"),
+        sum(col("n")).as("n_assignments"),
+        max(col("n")).as("max_list"),
+        round(avg(col("n")) + lit(1e-9), 2).as("avg_list"),
+        round(max(col("n")) / avg(col("n")) + lit(1e-9), 2).as("imbalance"))
+      .crossJoin(broadcast(nLists))
+      .select(col("n_lists"), col("n_lists_used"), col("n_assignments"),
+        col("max_list"), col("avg_list"), col("imbalance"),
+        (col("imbalance") > lit(IVF_REBUILD_IMBALANCE)
+          || col("n_lists_used") < col("n_lists") / 2).as("rebuild_due"))
+  }
+
   /** sim_knn_join — the approximate k-NN GRAPH: top-KNN_K neighbors
     * for EVERY vector (not one query), from the same capped LSH
     * candidate generation as dedup_near_embedding. This is the batch
@@ -967,6 +1004,7 @@ object SimilarityQueries {
     "sim_ann_ivf" -> (simAnnIvf _),
     "sim_ann_ivf_indexed" -> (simAnnIvfIndexed _),
     "sim_ann_serve_batch" -> (simAnnServeBatch _),
+    "sim_ann_ivf_audit" -> (simAnnIvfAudit _),
     "snk_vector_index" -> (snkVectorIndex _),
     "dedup_near_embedding" -> (dedupNearEmbedding _),
     "sim_knn_join" -> (simKnnJoin _),

@@ -148,6 +148,37 @@ class VectorIndexSpec extends SparkSpec {
       s"serve must read the index, not the corpus:\n$p")
   }
 
+  test("occupancy audit flags imbalance growth under a skewed streamed batch") {
+    import spark.implicits._
+    // fresh root so the skewed ingest can't pollute the shared memo
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-vec-audit").toString
+    val corpus = graft.Tables.embeddings(spark, sf)
+    SimilarityQueries.initVectorIndex(corpus, root)
+    SimilarityQueries.appendToVectorIndex(corpus, root, 0L)
+    def audit() = SimilarityQueries.ivfAuditFrom(spark, root).collect().head
+    val before = audit()
+    val imbalanceBefore = before.getAs[Double]("imbalance")
+    assert(before.getAs[Long]("n_assignments") > 0)
+    // a drifted corpus: one direction repeated — every copy assigns to
+    // the SAME lists under the frozen quantizer, which is exactly the
+    // drift the audit exists to surface
+    val dim = corpus.select(size(col("embedding"))).collect().head.getInt(0)
+    val spike = corpus.agg(max(col("vec_id").cast("long")))
+      .collect().head.getLong(0)
+    val skewed = (1 to 400).map { i =>
+      (spike + i, Seq.tabulate(dim)(j => math.cos(j * 0.1).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    SimilarityQueries.appendToVectorIndex(skewed, root, 1L)
+    val after = audit()
+    val imbalanceAfter = after.getAs[Double]("imbalance")
+    assert(imbalanceAfter > imbalanceBefore,
+      s"skewed ingest must grow the imbalance signal: " +
+        s"$imbalanceBefore -> $imbalanceAfter")
+    assert(after.getAs[Long]("n_assignments") >
+      before.getAs[Long]("n_assignments"))
+  }
+
   test("serve plan prunes assignment lists and re-ranks only probed members") {
     val df = SimilarityQueries.simAnnIvfIndexed(spark, sf)
     df.collect() // AQE finalizes on execution
