@@ -32,6 +32,12 @@ object Bench {
       graft.operators.TextQueries.buildTextIndex(spark, sfDir)
     if (only.forall(_.exists(vecIndexQids)))
       graft.operators.SimilarityQueries.buildVectorIndex(spark, sfDir)
+    // the compacted-index fixtures follow the same rule: the qids time
+    // the post-compaction audit, not the 3-batch ingest + compaction
+    if (only.forall(_.contains("snk_text_index_compact")))
+      graft.operators.TextQueries.ensureCompactedTextRoot(spark, sfDir)
+    if (only.forall(_.contains("snk_vector_index_compact")))
+      graft.operators.SimilarityQueries.ensureCompactedVectorRoot(spark, sfDir)
     // same split for the catalog e2e fixtures: the qids measure the
     // CDC diff / HTTP search walk, not fixture construction
     if (only.forall(_.contains("catalog_changelog")))

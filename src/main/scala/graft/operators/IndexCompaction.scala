@@ -1,0 +1,201 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Compaction for the persisted index layouts.
+  *
+  * Streamed ingest lands every micro-batch in its own
+  * `<part>=P/batch_id=M/` partition directory (that layout IS the
+  * exactly-once contract: a replayed batch overwrites itself). The
+  * price accrues at serve time: after thousands of micro-batches each
+  * pruned partition holds thousands of tiny files, and file LISTING —
+  * not data volume — starts to dominate the serve path. At deployment
+  * scale this is the classic small-files problem; compaction is the
+  * maintenance operation that pays it down.
+  *
+  * `compact` folds every batch partition into the single LARGEST
+  * batch id per part value (so the stream's monotonically increasing
+  * ids stay monotone across a compaction) and then drops the older
+  * batch directories. The fold is crash-safe via a write-ahead journal
+  * in the index manifest:
+  *
+  *   1. STAGE   — write the merged layout to `<subdir>.compacting/`
+  *                and mark it complete with a `_STAGED` file. A crash
+  *                here leaves the live directory untouched; the next
+  *                compaction overwrites the debris.
+  *   2. JOURNAL — record `compact.pending.<subdir> = mx` in the
+  *                manifest (a single-file replace — the atomic pointer).
+  *   3. SWAP    — per part directory: delete the live one, move the
+  *                staged one in. Idempotent: already-moved parts are
+  *                gone from the staging dir, so a crashed swap re-runs
+  *                to completion.
+  *   4. COMMIT  — clear the journal key, record
+  *                `compact.through.<subdir> = mx`, drop the staging dir.
+  *
+  * `recover` (called first by `compact`, and by the open paths) replays
+  * an interrupted swap from the journal. The directory moves assume
+  * rename-capable storage (local fs, HDFS); on an object store the
+  * same journal drives a copy+delete swap or a generation-pointer
+  * layout — see SCALE.md.
+  *
+  * After compacting through mx, a streaming replay of any batch id
+  * <= mx would dynamic-overwrite a partition that now holds the whole
+  * MERGED corpus — catastrophic data loss, not just a double count —
+  * so the append kernels (`appendToIndex`, `appendToVectorIndex`)
+  * reject such ids loudly via [[compactedThrough]]. Compaction is a
+  * quiesce-time maintenance op: run it when the stream is stopped and
+  * checkpoint-committed.
+  */
+object IndexCompaction {
+
+  /** What one compaction did: the batch id everything folded into,
+    * and the data-file count before/after (the small-files number). */
+  final case class CompactStats(
+      subdir: String, compactedThrough: Long, batchDirsBefore: Long,
+      filesBefore: Long, filesAfter: Long, noop: Boolean)
+
+  private def pendingKey(subdir: String) = s"compact.pending.$subdir"
+  private def throughKey(subdir: String) = s"compact.through.$subdir"
+
+  /** The largest batch id folded away at `root/subdir`, or -1 if never
+    * compacted. Append kernels must only write batch ids ABOVE this. */
+  def compactedThrough(root: String, subdir: String): Long =
+    IndexManifest.readIfExists(root)
+      .get(throughKey(subdir)).map(_.toLong).getOrElse(-1L)
+
+  /** Fold all `batch_id` partitions of `root/subdir` (partitioned by
+    * `partCols :+ batch_id`) into one batch partition per part value.
+    * `merge` transforms the unified read before rewrite — identity for
+    * postings/assignments, an aggregate fold for summable stats. */
+  def compact(s: SparkSession, root: String, subdir: String,
+      partCols: Seq[String],
+      merge: DataFrame => DataFrame = identity): CompactStats = {
+    recover(root, subdir)
+    val live = Paths.get(root, subdir)
+    require(Files.isDirectory(live), s"no $subdir under $root")
+    val batchIds = listBatchIds(live)
+    val before = countDataFiles(live)
+    if (batchIds.size <= 1)
+      return CompactStats(subdir, batchIds.headOption.getOrElse(-1L),
+        batchIds.size, before, before, noop = true)
+    val mx = batchIds.max
+    stage(s, root, subdir, partCols, merge, mx)
+    journal(root, subdir, mx)
+    finalizeSwap(root, subdir)
+    CompactStats(subdir, mx, batchIds.size, before, countDataFiles(live),
+      noop = false)
+  }
+
+  /** Phase 1: write the merged layout to `<subdir>.compacting/` and
+    * mark it `_STAGED`. Never touches the live directory. */
+  private[operators] def stage(s: SparkSession, root: String,
+      subdir: String, partCols: Seq[String],
+      merge: DataFrame => DataFrame, mx: Long): Unit = {
+    val tmp = stagingDir(root, subdir)
+    IndexManifest.deleteRecursively(tmp)
+    val unified = merge(s.read.parquet(s"$root/$subdir").drop("batch_id"))
+      .withColumn("batch_id", lit(mx))
+    // one output task per part value -> exactly one data file per
+    // compacted partition directory
+    val repartitioned =
+      if (partCols.isEmpty) unified.repartition(1)
+      else unified.repartition(partCols.map(col): _*)
+    repartitioned.write
+      .partitionBy(partCols :+ "batch_id": _*)
+      .mode("overwrite").parquet(tmp.toString)
+    Files.createFile(tmp.resolve("_STAGED"))
+  }
+
+  /** Phase 2: the atomic journal write that makes the swap mandatory. */
+  private[operators] def journal(root: String, subdir: String,
+      mx: Long): Unit =
+    IndexManifest.update(root, Map(pendingKey(subdir) -> mx.toString))
+
+  /** Phases 3+4: move staged part directories over the live ones, then
+    * commit. Idempotent — safe to re-run from any crash point after
+    * the journal entry exists. */
+  private[operators] def finalizeSwap(root: String, subdir: String): Unit = {
+    val pending = IndexManifest.readIfExists(root).get(pendingKey(subdir))
+    require(pending.isDefined, s"no pending compaction for $subdir at $root")
+    val mx = pending.get.toLong
+    val live = Paths.get(root, subdir)
+    val tmp = stagingDir(root, subdir)
+    partDirs(tmp).foreach { staged =>
+      val target = live.resolve(staged.getFileName)
+      IndexManifest.deleteRecursively(target)
+      Files.move(staged, target)
+    }
+    // stats-style layouts have no part column: batch dirs sit directly
+    // under the subdir and the staged dir holds them at top level too
+    // (handled above by partDirs matching batch_id=). Any live batch
+    // dir older than mx that had no staged counterpart is fully merged
+    // into the staged output — drop it.
+    partDirs(live).foreach { d =>
+      val n = d.getFileName.toString
+      if (n.startsWith("batch_id=") &&
+        n.stripPrefix("batch_id=").toLong < mx)
+        IndexManifest.deleteRecursively(d)
+    }
+    IndexManifest.update(root,
+      Map(throughKey(subdir) -> mx.toString),
+      remove = Seq(pendingKey(subdir)))
+    IndexManifest.deleteRecursively(tmp)
+  }
+
+  /** Replay an interrupted compaction. A journal entry with a complete
+    * (`_STAGED`) staging dir re-runs the swap; a journal entry whose
+    * staging dir is gone means the swap finished but the commit write
+    * raced a crash — the live dir is already merged, so just commit. */
+  def recover(root: String, subdir: String): Unit = {
+    val m = IndexManifest.readIfExists(root)
+    m.get(pendingKey(subdir)).foreach { _ =>
+      val tmp = stagingDir(root, subdir)
+      if (Files.exists(tmp.resolve("_STAGED")) || !Files.isDirectory(tmp))
+        finalizeSwap(root, subdir)
+      else {
+        // staging dir exists but was never marked complete — yet the
+        // journal says it was. Treat the journal as authoritative only
+        // when the marker confirms it; otherwise the stage is garbage
+        // and the live dir was never touched (moves happen strictly
+        // after the marker), so abandon the attempt.
+        IndexManifest.deleteRecursively(tmp)
+        IndexManifest.update(root, Map.empty,
+          remove = Seq(pendingKey(subdir)))
+      }
+    }
+  }
+
+  private def stagingDir(root: String, subdir: String): Path =
+    Paths.get(root, s"$subdir.compacting")
+
+  private def partDirs(p: Path): Seq[Path] = {
+    if (!Files.isDirectory(p)) return Nil
+    val s = Files.list(p)
+    try s.iterator().asScala.filter(d => Files.isDirectory(d) &&
+      d.getFileName.toString.contains("=")).toSeq
+    finally s.close()
+  }
+
+  /** All batch ids present anywhere under `dir` (metadata-only: walks
+    * directory names, reads no data). */
+  private[operators] def listBatchIds(dir: Path): Seq[Long] = {
+    val s = Files.walk(dir)
+    try s.iterator().asScala
+      .filter(d => Files.isDirectory(d) &&
+        d.getFileName.toString.startsWith("batch_id="))
+      .map(_.getFileName.toString.stripPrefix("batch_id=").toLong)
+      .toSeq.distinct
+    finally s.close()
+  }
+
+  private[operators] def countDataFiles(dir: Path): Long = {
+    val s = Files.walk(dir)
+    try s.iterator().asScala.count(f => Files.isRegularFile(f) &&
+      f.getFileName.toString.endsWith(".parquet"))
+    finally s.close()
+  }
+}

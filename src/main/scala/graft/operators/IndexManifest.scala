@@ -36,6 +36,35 @@ object IndexManifest {
     try p.store(out, null) finally out.close()
   }
 
+  /** Best-effort read with no validation — empty map when the root has
+    * no manifest yet (e.g. a raw streaming root that was never stamped
+    * by a durable build). Maintenance code uses this to consult
+    * compaction keys without imposing the full open() contract. */
+  def readIfExists(root: String): Map[String, String] = {
+    val f = Paths.get(root, FILE)
+    if (!Files.exists(f)) return Map.empty
+    val p = new java.util.Properties()
+    val in = Files.newInputStream(f)
+    try p.load(in) finally in.close()
+    p.stringPropertyNames().asScala.map(k => k -> p.getProperty(k)).toMap
+  }
+
+  /** Read-modify-write of the manifest: merge `set`, drop `remove`,
+    * preserving every other key. Creates the file if absent (raw
+    * streaming roots get a manifest holding only maintenance keys;
+    * open() still rejects them until a build stamps a kind). The
+    * properties file is replaced in one store(), so concurrent readers
+    * see either the old or the new map — this is the "atomic pointer"
+    * the compaction journal relies on. */
+  def update(root: String, set: Map[String, String],
+      remove: Seq[String] = Nil): Unit = {
+    val merged = readIfExists(root) -- remove ++ set
+    val p = new java.util.Properties()
+    merged.foreach { case (k, v) => p.setProperty(k, v) }
+    val out = Files.newOutputStream(Paths.get(root, FILE))
+    try p.store(out, null) finally out.close()
+  }
+
   /** Read and validate a manifest. `expect` pairs are hard
     * requirements — a mismatch (or a missing manifest) throws with a
     * rebuild-or-match diagnosis. Returns the full config. */
@@ -96,7 +125,7 @@ object IndexManifest {
 
   def registerTempRoot(root: String): Unit = { hook; tempRoots.add(root) }
 
-  private def deleteRecursively(p: Path): Unit = {
+  private[operators] def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {
       val s = Files.list(p)
       try s.iterator().asScala.foreach(deleteRecursively) finally s.close()

@@ -20,7 +20,7 @@ import graft.functions.{FastSig, HyperplaneSig, VectorFunctions}
   */
 object SimilarityQueries {
 
-  private def withNorm(df: DataFrame): DataFrame =
+  private[operators] def withNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("emb"))
       .withColumn("nrm", l2Norm(col("emb")))
@@ -436,6 +436,8 @@ object SimilarityQueries {
   def openVectorIndex(s: SparkSession, root: String): String = {
     val m = IndexManifest.open(root, "vector-ivf",
       Map("ivf_assign" -> IVF_ASSIGN.toString))
+    // a compaction that crashed mid-swap replays to completion here
+    IndexCompaction.recover(root, "assignments")
     val nLists = s.read.parquet(s"$root/centroids").count()
     require(m.get("n_lists").contains(nLists.toString),
       s"index at $root: manifest says ${m.getOrElse("n_lists", "?")} lists " +
@@ -470,6 +472,13 @@ object SimilarityQueries {
     * appendToIndex contract. Expects the embeddings-table schema. */
   private[graft] def appendToVectorIndex(
       batch: DataFrame, root: String, batchId: Long): Unit = {
+    // same contract as the text index's appendToIndex: a batch id the
+    // compactor folded away would overwrite the merged segment
+    val ct = IndexCompaction.compactedThrough(root, "assignments")
+    require(batchId > ct,
+      s"batch $batchId replays into an index compacted through $ct — " +
+        "its partitions were folded into the compacted segment; " +
+        "restart the stream with batch ids above the compaction point")
     if (batch.isEmpty) return
     val s = batch.sparkSession
     val cArr = s.read.parquet(s"$root/centroids").collect().map { r =>
@@ -657,6 +666,54 @@ object SimilarityQueries {
         col("max_list"), col("avg_list"), col("imbalance"),
         (col("imbalance") > lit(IVF_REBUILD_IMBALANCE)
           || col("n_lists_used") < col("n_lists") / 2).as("rebuild_due"))
+  }
+
+  /** Compact the IVF index at `root`: fold every (cid, batch_id)
+    * assignment partition into one file per list directory — the
+    * vector twin of [[TextQueries.compactTextIndex]] (same crash-safe
+    * journal, see [[IndexCompaction]]). centroids/ is a single frozen
+    * file and never needs folding. Serve results are identical before
+    * and after — pinned in IndexCompactionSpec. */
+  def compactVectorIndex(s: SparkSession, root: String)
+      : IndexCompaction.CompactStats =
+    IndexCompaction.compact(s, root, "assignments", Seq("cid"))
+
+  /** The snk_vector_index_compact fixture: quantizer trained on the
+    * full corpus, vectors streamed in as three disjoint batches (by
+    * vec_id mod 3), then compacted. Memoized per JVM. */
+  private val compactedVecRootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def ensureCompactedVectorRoot(
+      s: SparkSession, dir: String): String = {
+    val fp = IndexManifest.corpusFingerprint(dir, "embeddings")
+    compactedVecRootCache.computeIfAbsent(s"$dir|$fp", { _ =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-vecindex-compact").toString
+      IndexManifest.registerTempRoot(root)
+      val e = embeddings(s, dir)
+      initVectorIndex(e, root)
+      (0 to 2).foreach { b =>
+        appendToVectorIndex(e.filter(pmod(col("vec_id"), lit(3)) === b),
+          root, batchId = b.toLong)
+      }
+      compactVectorIndex(s, root)
+      root
+    })
+  }
+
+  /** snk_vector_index_compact — stream the corpus into the IVF index
+    * as three batches, compact, audit. Assignment counts ride the
+    * float-order-sensitive Lloyd refinement ⇒ rows-only (like
+    * snk_vector_index); n_batch_parts == 1 and serve parity are
+    * pinned in IndexCompactionSpec. */
+  def snkVectorIndexCompact(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureCompactedVectorRoot(s, dir)
+    s.read.parquet(s"$root/assignments")
+      .agg(countDistinct(col("vec_id")).as("n_vectors"),
+        countDistinct(col("cid")).as("n_lists_used"),
+        count(lit(1)).as("n_assignments"),
+        countDistinct(col("batch_id")).as("n_batch_parts"))
   }
 
   /** sim_knn_join — the approximate k-NN GRAPH: top-KNN_K neighbors
@@ -1006,6 +1063,7 @@ object SimilarityQueries {
     "sim_ann_serve_batch" -> (simAnnServeBatch _),
     "sim_ann_ivf_audit" -> (simAnnIvfAudit _),
     "snk_vector_index" -> (snkVectorIndex _),
+    "snk_vector_index_compact" -> (snkVectorIndexCompact _),
     "dedup_near_embedding" -> (dedupNearEmbedding _),
     "sim_knn_join" -> (simKnnJoin _),
     "dedup_semantic" -> (dedupSemantic _),

@@ -318,6 +318,10 @@ object TextQueries {
   def openTextIndex(root: String): String = {
     IndexManifest.open(root, "text-bm25",
       Map("n_buckets" -> IDX_BUCKETS.toString))
+    // a compaction that crashed mid-swap replays to completion here
+    // (cheap: one manifest read when no journal entry exists)
+    IndexCompaction.recover(root, "postings")
+    IndexCompaction.recover(root, "stats")
     root
   }
 
@@ -330,6 +334,15 @@ object TextQueries {
     * upstream dedup (dedup_incremental / stream_dedup) owns that. */
   private[graft] def appendToIndex(
       docs: DataFrame, root: String, batchId: Long): Unit = {
+    // Replaying a batch id that compaction folded away would dynamic-
+    // overwrite partitions now holding the MERGED corpus — data loss,
+    // not a double count. Fail loudly instead (compaction is a
+    // quiesce-time op; a post-compaction stream restarts above mx).
+    val ct = IndexCompaction.compactedThrough(root, "postings")
+    require(batchId > ct,
+      s"batch $batchId replays into an index compacted through $ct — " +
+        "its partitions were folded into the compacted segment; " +
+        "restart the stream with batch ids above the compaction point")
     // A real trigger can deliver an empty batch; writing it would
     // leave a postings dir with no data files, and the read-back
     // below would die on schema inference. One extra execution of an
@@ -400,6 +413,72 @@ object TextQueries {
       |  count(DISTINCT term) AS n_terms,
       |  count(*) AS n_postings,
       |  CAST(sum(tf) AS BIGINT) AS total_tf
+      |FROM tf""".stripMargin
+
+  /** Compact the inverted index at `root`: fold every (bucket,
+    * batch_id) postings partition into one file per bucket and the
+    * per-batch stats rows into a single summed row — the maintenance
+    * op that pays down streamed ingest's small-files debt (see
+    * [[IndexCompaction]] for the crash-safe journal). terms/ is
+    * already one partition per bucket (each append refreshes touched
+    * buckets in place) and needs no folding. Serve results are
+    * byte-identical before and after — pinned in IndexCompactionSpec. */
+  def compactTextIndex(s: SparkSession, root: String)
+      : Seq[IndexCompaction.CompactStats] = Seq(
+    IndexCompaction.compact(s, root, "postings", Seq("bucket")),
+    IndexCompaction.compact(s, root, "stats", Nil,
+      merge = _.groupBy().agg(
+        sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))))
+
+  /** The snk_text_index_compact fixture: the corpus streamed in as
+    * three disjoint batches (split by doc_id mod 3 — union == corpus),
+    * then compacted. Memoized per JVM like every sink fixture; the
+    * qid times the audit, the specs own behavior. */
+  private val compactedRootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def ensureCompactedTextRoot(
+      s: SparkSession, dir: String): String = {
+    val fp = IndexManifest.corpusFingerprint(dir, "documents")
+    compactedRootCache.computeIfAbsent(s"$dir|$fp", { _ =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-textindex-compact").toString
+      IndexManifest.registerTempRoot(root)
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      (0 to 2).foreach { b =>
+        appendToIndex(docs.filter(pmod(col("doc_id"), lit(3)) === b),
+          root, batchId = b.toLong)
+      }
+      compactTextIndex(s, root)
+      root
+    })
+  }
+
+  /** snk_text_index_compact — stream the corpus in as three batches,
+    * compact, audit. The postings audit must equal snk_text_index's
+    * (compaction moves bytes, never changes content) and exactly ONE
+    * batch partition may remain — both facts oracle-checked. */
+  def snkTextIndexCompact(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureCompactedTextRoot(s, dir)
+    s.read.parquet(s"$root/postings")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("term")).as("n_terms"),
+        count(lit(1)).as("n_postings"),
+        sum(col("tf")).cast("long").as("total_tf"),
+        countDistinct(col("batch_id")).as("n_batch_parts"))
+  }
+
+  val snkTextIndexCompactSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM documents)
+      |  GROUP BY 1, 2)
+      |SELECT count(DISTINCT doc_id) AS n_docs,
+      |  count(DISTINCT term) AS n_terms,
+      |  count(*) AS n_postings,
+      |  CAST(sum(tf) AS BIGINT) AS total_tf,
+      |  CAST(1 AS BIGINT) AS n_batch_parts
       |FROM tf""".stripMargin
 
   /** text_bm25_indexed — the SAME top-20 as text_bm25, served from
@@ -1788,6 +1867,7 @@ object TextQueries {
     "text_bm25_indexed" -> (textBm25Indexed _),
     "text_bm25_serve_batch" -> (textBm25ServeBatch _),
     "snk_text_index" -> (snkTextIndex _),
+    "snk_text_index_compact" -> (snkTextIndexCompact _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
     "text_containment" -> (textContainment _)
@@ -1823,7 +1903,8 @@ object TextQueries {
     "text_bm25_serve_batch" -> textBm25ServeBatchSql,
     // the index-served form must reproduce the scan-time result exactly
     "text_bm25_indexed" -> textBm25Sql,
-    "snk_text_index" -> snkTextIndexSql
+    "snk_text_index" -> snkTextIndexSql,
+    "snk_text_index_compact" -> snkTextIndexCompactSql
     // text_langid / text_fingerprint: heuristic & hash-valued — unit-tested
   )
 }

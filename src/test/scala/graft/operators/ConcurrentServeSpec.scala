@@ -1,0 +1,76 @@
+package graft.operators
+
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Concurrent index serving: one SparkSession, many simultaneous
+  * queries — the shape of a real serve tier, where N request handlers
+  * share a session and every serve must be isolated and correct.
+  * (Spark's scheduler accepts jobs from any thread; a deployment runs
+  * it with spark.scheduler.mode=FAIR so no single heavy query starves
+  * the rest — per-thread pools are set the same way as here.)
+  */
+class ConcurrentServeSpec extends SparkSpec {
+
+  private val TERM_SETS: Seq[Seq[String]] = Seq(
+    Seq("spark", "vector", "stream"), Seq("the", "data"),
+    Seq("join", "hash"), Seq("a"), Seq("lake", "row"),
+    Seq("stream"), Seq("data", "spark"), Seq("zzz_absent"))
+
+  test("8 concurrent bm25 serves equal their sequential runs") {
+    val root = TextQueries.buildTextIndex(spark, sf)
+    val sequential = TERM_SETS.map(ts =>
+      TextQueries.bm25ServeFrom(spark, root, terms = ts, k = 10)
+        .collect().toSeq)
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try {
+      val fs = TERM_SETS.zipWithIndex.map { case (ts, i) =>
+        Future {
+          // the per-request pool a FAIR-scheduled serve tier assigns;
+          // a no-op under the test session's FIFO mode
+          spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", s"serve-$i")
+          TextQueries.bm25ServeFrom(spark, root, terms = ts, k = 10)
+            .collect().toSeq
+        }
+      }
+      val concurrent = Await.result(Future.sequence(fs), 120.seconds)
+      concurrent.zip(sequential).zipWithIndex.foreach {
+        case ((c, s), i) =>
+          assert(c == s, s"query $i diverged under concurrency:\n$c\nvs\n$s")
+      }
+    } finally pool.shutdown()
+  }
+
+  test("concurrent ANN serves equal their sequential runs") {
+    val root = SimilarityQueries.buildVectorIndex(spark, sf)
+    val qs = SimilarityQueries.withNorm(graft.Tables.embeddings(spark, sf))
+      .filter(col("vec_id").isin(0L, 3L, 7L, 11L))
+      .select(col("vec_id"), col("emb"), col("nrm"))
+      .collect().toSeq
+      .map(r => (r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val sequential = qs.map { case (qv, qn) =>
+      SimilarityQueries.annServeFrom(spark, root, qv, qn).collect().toSeq
+    }
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try {
+      val fs = qs.map { case (qv, qn) =>
+        Future {
+          SimilarityQueries.annServeFrom(spark, root, qv, qn).collect().toSeq
+        }
+      }
+      val concurrent = Await.result(Future.sequence(fs), 120.seconds)
+      assert(concurrent == sequential)
+    } finally pool.shutdown()
+  }
+}
