@@ -20,7 +20,12 @@ import org.apache.spark.sql.functions._
   * `compact` folds every batch partition into the single LARGEST
   * batch id per part value (so the stream's monotonically increasing
   * ids stay monotone across a compaction) and then drops the older
-  * batch directories. The fold is crash-safe via a write-ahead journal
+  * batch directories. **Batch-id contract**: `batch_id` is a LAYOUT
+  * coordinate (the exactly-once replay key), not document provenance —
+  * compaction relabels every folded row to the fold target `mx` and
+  * discards the original ids. Consumers that need per-row lineage must
+  * carry it as a data column; anything comparing index content across
+  * a compaction must compare modulo `batch_id`. The fold is crash-safe via a write-ahead journal
   * in the index manifest:
   *
   *   1. STAGE   — write the merged layout to `<subdir>.compacting/`
@@ -117,7 +122,10 @@ object IndexCompaction {
 
   /** Phases 3+4: move staged part directories over the live ones, then
     * commit. Idempotent — safe to re-run from any crash point after
-    * the journal entry exists. */
+    * the journal entry exists, and tolerant of a concurrent recoverer
+    * having already moved individual part dirs (the staged source
+    * vanishing under us with the target present means someone else
+    * completed that move; anything else is a real error). */
   private[operators] def finalizeSwap(root: String, subdir: String): Unit = {
     val pending = IndexManifest.readIfExists(root).get(pendingKey(subdir))
     require(pending.isDefined, s"no pending compaction for $subdir at $root")
@@ -126,8 +134,14 @@ object IndexCompaction {
     val tmp = stagingDir(root, subdir)
     partDirs(tmp).foreach { staged =>
       val target = live.resolve(staged.getFileName)
-      IndexManifest.deleteRecursively(target)
-      Files.move(staged, target)
+      if (Files.exists(staged)) {
+        IndexManifest.deleteRecursively(target)
+        try Files.move(staged, target)
+        catch {
+          case e: java.nio.file.NoSuchFileException =>
+            if (!Files.isDirectory(target)) throw e
+        }
+      }
     }
     // stats-style layouts have no part column: batch dirs sit directly
     // under the subdir and the staged dir holds them at top level too
@@ -146,27 +160,72 @@ object IndexCompaction {
     IndexManifest.deleteRecursively(tmp)
   }
 
+  /** How long a `.recovering` lease may sit unrefreshed before another
+    * opener declares its holder dead and breaks it. */
+  private val LeaseStaleMs = 60000L
+
   /** Replay an interrupted compaction. A journal entry with a complete
     * (`_STAGED`) staging dir re-runs the swap; a journal entry whose
-    * staging dir is gone means the swap finished but the commit write
-    * raced a crash — the live dir is already merged, so just commit. */
+    * staging dir is gone is only trusted as "swap finished, commit
+    * raced the crash" when the live layout proves it (exactly the one
+    * folded batch partition) — any other layout means external
+    * interference, and committing would delete unmerged live data, so
+    * the attempt is abandoned instead.
+    *
+    * Recovery runs destructive moves over live bucket directories, so
+    * concurrent openers of the same durable root are serialized by a
+    * lease file (`<subdir>.recovering`, atomic create). A second
+    * opener waits for the holder to finish rather than racing the
+    * moves; a lease older than [[LeaseStaleMs]] is presumed orphaned
+    * by a crashed holder and broken. */
   def recover(root: String, subdir: String): Unit = {
-    val m = IndexManifest.readIfExists(root)
-    m.get(pendingKey(subdir)).foreach { _ =>
-      val tmp = stagingDir(root, subdir)
-      if (Files.exists(tmp.resolve("_STAGED")) || !Files.isDirectory(tmp))
-        finalizeSwap(root, subdir)
-      else {
-        // staging dir exists but was never marked complete — yet the
-        // journal says it was. Treat the journal as authoritative only
-        // when the marker confirms it; otherwise the stage is garbage
-        // and the live dir was never touched (moves happen strictly
-        // after the marker), so abandon the attempt.
-        IndexManifest.deleteRecursively(tmp)
-        IndexManifest.update(root, Map.empty,
-          remove = Seq(pendingKey(subdir)))
+    // fast path — no journal entry, nothing to do, no lease taken
+    if (IndexManifest.readIfExists(root).get(pendingKey(subdir)).isEmpty)
+      return
+    val lease = Paths.get(root, s"$subdir.recovering")
+    val deadline = System.nanoTime() + LeaseStaleMs * 2000000L
+    var held = false
+    while (!held) {
+      try { Files.createFile(lease); held = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          // another opener is recovering this subdir — wait it out
+          val age = try System.currentTimeMillis() -
+            Files.getLastModifiedTime(lease).toMillis
+          catch { case _: java.io.IOException => 0L }
+          if (age > LeaseStaleMs) Files.deleteIfExists(lease)
+          else if (System.nanoTime() > deadline)
+            throw new IllegalStateException(
+              s"recovery lease $lease still held after wait — a crashed " +
+                "holder should have gone stale; remove the file if the " +
+                "holding process is known dead")
+          else Thread.sleep(50)
       }
     }
+    try {
+      // re-read under the lease: the previous holder may have finished
+      val m = IndexManifest.readIfExists(root)
+      m.get(pendingKey(subdir)).foreach { p =>
+        val mx = p.toLong
+        val live = Paths.get(root, subdir)
+        val tmp = stagingDir(root, subdir)
+        if (Files.exists(tmp.resolve("_STAGED")))
+          finalizeSwap(root, subdir)
+        else if (!Files.isDirectory(tmp) &&
+          listBatchIds(live) == Seq(mx))
+          finalizeSwap(root, subdir) // swap done; only the commit is owed
+        else {
+          // either a half-written stage (no marker: the live dir was
+          // never touched, moves happen strictly after the marker) or
+          // a vanished stage over a live layout that is NOT the folded
+          // end state — committing would delete unmerged batches.
+          // Abandon: drop the debris and the journal entry.
+          IndexManifest.deleteRecursively(tmp)
+          IndexManifest.update(root, Map.empty,
+            remove = Seq(pendingKey(subdir)))
+        }
+      }
+    } finally Files.deleteIfExists(lease)
   }
 
   private def stagingDir(root: String, subdir: String): Path =

@@ -28,13 +28,51 @@ object IndexManifest {
 
   val FILE = "manifest.properties"
 
-  def write(root: String, kind: String, config: Map[String, String]): Unit = {
-    val p = new java.util.Properties()
-    p.setProperty("kind", kind)
-    config.foreach { case (k, v) => p.setProperty(k, v) }
-    val out = Files.newOutputStream(Paths.get(root, FILE))
-    try p.store(out, null) finally out.close()
+  /** Per-root JVM locks serializing manifest read-modify-writes. The
+    * manifest is the compaction journal's commit record, so two
+    * in-process maintenance ops (e.g. the postings and stats folds if
+    * ever parallelized, or recovery racing a compaction) must not
+    * interleave their read-modify-write cycles and silently drop each
+    * other's keys. Cross-process writers are serialized by the
+    * recovery lease in IndexCompaction; readers are safe regardless
+    * because [[storeAtomically]] replaces the file by rename. */
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(root: String): Object =
+    rootLocks.computeIfAbsent(
+      Paths.get(root).toAbsolutePath.normalize.toString, _ => new Object)
+
+  /** Replace `root/FILE` atomically: store to a sibling temp file,
+    * then rename over the target. A crash mid-store leaves only temp
+    * debris — readers always see either the complete old map or the
+    * complete new one, never a truncated file. This is what makes the
+    * manifest usable as the compaction journal's atomic pointer. */
+  private def storeAtomically(root: String, p: java.util.Properties): Unit = {
+    val target = Paths.get(root, FILE)
+    val tmp = Files.createTempFile(Paths.get(root), s".$FILE.", ".tmp")
+    try {
+      val out = Files.newOutputStream(tmp)
+      try p.store(out, null) finally out.close()
+      try Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          // object-store-ish mounts: non-atomic replace is still a
+          // whole-file copy of a fully-written temp, never a truncate
+          Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally Files.deleteIfExists(tmp)
   }
+
+  def write(root: String, kind: String, config: Map[String, String]): Unit =
+    lockFor(root).synchronized {
+      val p = new java.util.Properties()
+      p.setProperty("kind", kind)
+      config.foreach { case (k, v) => p.setProperty(k, v) }
+      storeAtomically(root, p)
+    }
 
   /** Best-effort read with no validation — empty map when the root has
     * no manifest yet (e.g. a raw streaming root that was never stamped
@@ -52,18 +90,19 @@ object IndexManifest {
   /** Read-modify-write of the manifest: merge `set`, drop `remove`,
     * preserving every other key. Creates the file if absent (raw
     * streaming roots get a manifest holding only maintenance keys;
-    * open() still rejects them until a build stamps a kind). The
-    * properties file is replaced in one store(), so concurrent readers
-    * see either the old or the new map — this is the "atomic pointer"
-    * the compaction journal relies on. */
+    * open() still rejects them until a build stamps a kind). The file
+    * is replaced by atomic rename ([[storeAtomically]]) under the
+    * per-root lock, so concurrent readers see either the old or the
+    * new map — this is the "atomic pointer" the compaction journal
+    * relies on — and in-JVM writers never lose each other's keys. */
   def update(root: String, set: Map[String, String],
-      remove: Seq[String] = Nil): Unit = {
-    val merged = readIfExists(root) -- remove ++ set
-    val p = new java.util.Properties()
-    merged.foreach { case (k, v) => p.setProperty(k, v) }
-    val out = Files.newOutputStream(Paths.get(root, FILE))
-    try p.store(out, null) finally out.close()
-  }
+      remove: Seq[String] = Nil): Unit =
+    lockFor(root).synchronized {
+      val merged = readIfExists(root) -- remove ++ set
+      val p = new java.util.Properties()
+      merged.foreach { case (k, v) => p.setProperty(k, v) }
+      storeAtomically(root, p)
+    }
 
   /** Read and validate a manifest. `expect` pairs are hard
     * requirements — a mismatch (or a missing manifest) throws with a

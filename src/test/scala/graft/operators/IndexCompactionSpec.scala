@@ -36,8 +36,10 @@ class IndexCompactionSpec extends SparkSpec {
   test("text compaction: serve parity, one file per bucket, stats folded") {
     val root = multiBatchTextRoot(3)
     val before = TextQueries.bm25ServeFrom(spark, root).collect().toSeq
-    val postingsBefore = spark.read.parquet(s"$root/postings").collect()
-      .map(_.toString).sorted
+    // batch_id is the fold target, relabeled by design (see the
+    // IndexCompaction batch-id contract) — compare content without it
+    val postingsBefore = spark.read.parquet(s"$root/postings")
+      .drop("batch_id").collect().map(_.toString).sorted
     val stats = TextQueries.compactTextIndex(spark, root)
     assert(stats.forall(!_.noop))
     assert(stats.map(_.subdir) == Seq("postings", "stats"))
@@ -57,9 +59,10 @@ class IndexCompactionSpec extends SparkSpec {
         assert(n == 1, s"$d holds $n data files after compaction")
       }
     }
-    // content identical: every posting row and the serve output
-    val postingsAfter = spark.read.parquet(s"$root/postings").collect()
-      .map(_.toString).sorted
+    // content identical modulo the batch_id relabel: every posting row
+    // and the serve output
+    val postingsAfter = spark.read.parquet(s"$root/postings")
+      .drop("batch_id").collect().map(_.toString).sorted
     assert(postingsAfter.toSeq == postingsBefore.toSeq)
     assert(spark.read.parquet(s"$root/stats").count() == 1)
     val after = TextQueries.bm25ServeFrom(spark, root).collect().toSeq
