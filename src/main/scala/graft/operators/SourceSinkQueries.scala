@@ -41,10 +41,19 @@ object SourceSinkQueries {
       |FROM documents""".stripMargin
 
   /** src_glob_listing — Hadoop glob enumeration
-    * (`sorted(fs.glob(...))`, insitu recipe.py:40). Environment-
-    * dependent paths ⇒ rows-only. */
+    * (`sorted(fs.glob(...))`, insitu recipe.py:40). The fixture dir is
+    * the pinned 10-table TESTDATA layout, so the sorted listing is a
+    * constant the oracle re-derives with DuckDB's own glob. */
   def srcGlobListing(s: SparkSession, dir: String): DataFrame =
     ListingCache.globListing(s, s"file:$dir/*.parquet")
+
+  /** DuckDB lists the same directory the driver passes to Verify (the
+    * sf0.01 fixture root) and prefixes the `file:` scheme Hadoop
+    * reports — byte-identical URLs, independently enumerated. */
+  val srcGlobListingSql: String =
+    """SELECT 'file:' || file AS url
+      |FROM glob('/root/testdata/sf0.01/*.parquet')
+      |ORDER BY url""".stripMargin
 
   /** src_open_url — opened-file handles as rows: Spark's binaryFile
     * source over the test tables (the engine form of
@@ -306,7 +315,8 @@ object SourceSinkQueries {
     * leaf) is compacted to ⌈bytes/target⌉ files per leaf with the
     * same checked swap protocol as upsert; the output row proves
     * rows survived bit-for-bit and the file count collapsed.
-    * Side-effectful ⇒ rows-only; crash/equivalence details in
+    * Side-effectful, but the outcome is a fixture
+    * constant ⇒ VALUES oracle; crash/equivalence details in
     * CatalogMaintenanceSpec. */
   def snkCompact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -332,15 +342,28 @@ object SourceSinkQueries {
         "rows_preserved", "one_file_per_leaf")
   }
 
+  /** The sliver write is 32 round-robin tasks over the 80-item fixture
+    * (≥2 rows per task), all landing in the single (collection, month)
+    * leaf the 4-hour grid spans → exactly 32 files before, 1 after,
+    * 1 leaf compacted. Constants for the fixture layout ⇒ a VALUES
+    * oracle pins the whole compaction outcome. */
+  val snkCompactSql: String =
+    """SELECT CAST(32 AS BIGINT) AS files_before,
+      |  CAST(1 AS BIGINT) AS files_after,
+      |  CAST(1 AS BIGINT) AS leaves_compacted,
+      |  TRUE AS rows_preserved,
+      |  TRUE AS one_file_per_leaf""".stripMargin
+
   /** snk_train_shards — the training-shard writer: packed sequences
     * land as lang=…/shard=… parquet leaves, each leaf ONE file sorted
     * by (seq_id, seq_offset) — the layout a data loader streams
     * sequentially and prunes by partition key. repartition on the
     * leaf keys makes exactly one task own each leaf (no sliver
     * files); sortWithinPartitions costs a per-task sort, never a
-    * global one. Side-effectful ⇒ rows-only; the output row proves
-    * rows survived, every leaf is single-file, and files are
-    * internally seq-ordered. */
+    * global one. Side-effectful, but the audit row derives
+    * from `documents` ⇒ oracle-checked; the output row proves rows
+    * survived, every leaf is single-file, and files are internally
+    * seq-ordered. */
   def snkTrainShards(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -375,6 +398,18 @@ object SourceSinkQueries {
     Seq((packed.count(), back.count(), filesPerLeaf, disorder == 0))
       .toDF("rows_in", "rows_out", "max_files_per_leaf", "seq_sorted")
   }
+
+  /** The packer emits exactly one row per document, the shard write
+    * preserves every row, and the layout invariants (one file per
+    * leaf, in-file seq order) are booleans the sink must always hold —
+    * so the oracle derives the counts from `documents` itself and
+    * stays correct under fixture regeneration. */
+  val snkTrainShardsSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS rows_in,
+      |  CAST(count(*) AS BIGINT) AS rows_out,
+      |  CAST(1 AS BIGINT) AS max_files_per_leaf,
+      |  TRUE AS seq_sorted
+      |FROM documents""".stripMargin
 
   /** src_netcdf_attrs — REAL NetCDF classic granules on disk → header
     * attribute extraction (NetcdfClassic) → B1 metadata rows → item
@@ -600,9 +635,9 @@ object SourceSinkQueries {
   /** catalog_fc_page — the STAC FeatureCollection response serializer
     * (stac-fastapi's JSON surface, docker-compose.yml:1-28): three
     * token-walked pages re-exploded to (page, feature) rows. Feature
-    * JSON is deterministic (no ingest timestamps serialized) but the
-    * envelope walk is driver-orchestrated ⇒ rows-only; shape asserted
-    * e2e in CatalogSpec. */
+    * JSON is deterministic (no ingest timestamps serialized) and the
+    * fixture grid is a constant ⇒ the oracle regenerates the expected
+    * pages; envelope shape asserted e2e in CatalogSpec. */
   def catalogFcPage(s: SparkSession, dir: String): DataFrame = {
     import graft.catalog.FeatureCollection
     val path = Files.createTempDirectory("graft-fc").toString + "/items"
@@ -625,6 +660,22 @@ object SourceSinkQueries {
           ".features.id")).as("item_id"))
       .orderBy(col("page"), col("item_id"))
   }
+
+  /** The fixture granules sit on a continuous 3-minute grid from
+    * 2022-05-01 00:01:03, item ids are `granule-<yyyyMMddHHmmss>`, and
+    * the search sorts by start_datetime with limit 10 — so three
+    * token-walked pages are exactly the first 30 grid slots, 10 per
+    * page. The oracle regenerates that grid instead of trusting the
+    * serializer: any drift in paging, token handling, or feature-JSON
+    * ids goes hash-red. */
+  val catalogFcPageSql: String =
+    """SELECT CAST(1 + (row_number() OVER (ORDER BY ts) - 1) // 10 AS INT)
+      |    AS page,
+      |  'granule-' || strftime(ts, '%Y%m%d%H%M%S') AS item_id
+      |FROM generate_series(TIMESTAMP '2022-05-01 00:01:03',
+      |                     TIMESTAMP '2022-05-01 01:28:03',
+      |                     INTERVAL 3 MINUTE) t(ts)
+      |ORDER BY page, item_id""".stripMargin
 
   /** src_hdf5_vars — netcdf4 VARIABLE data, not just attrs: the
     * insitu recipe reads LONGITUDE/LATITUDE/TIME coordinate variables
@@ -1075,7 +1126,11 @@ object SourceSinkQueries {
     // or diff classification goes hash-red instead of rows-only-green.
     "src_yaml_collections" -> srcYamlCollectionsSql,
     "snk_listing_cache" -> snkListingCacheSql,
-    "catalog_changelog" -> catalogChangelogSql
+    "catalog_changelog" -> catalogChangelogSql,
+    "src_glob_listing" -> srcGlobListingSql,
+    "snk_compact" -> snkCompactSql,
+    "snk_train_shards" -> snkTrainShardsSql,
+    "catalog_fc_page" -> catalogFcPageSql
     // all others: env-dependent, side-effectful, or UDF-valued —
     // covered by CatalogSpec/GeometrySpec/StreamingSpec unit+e2e tests
   )
