@@ -75,6 +75,49 @@ class DedupClusterSpec extends SparkSpec {
     }
   }
 
+  test("the DRIVER_CC_MAX cap routes to the distributed path and " +
+    "both paths agree at the boundary") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    // routing is observable through the plan: the driver union-find
+    // returns a collected local relation, the distributed loop ends
+    // on checkpointed RDD leaves. Plant one edge set at the cap and
+    // one just over it — same shape, diameter 1 (disjoint pairs), so
+    // the over-cap run converges in O(1) rounds instead of walking a
+    // 2^20-diameter chain.
+    def driverBuilt(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    val cap = DedupQueries.DRIVER_CC_MAX.toLong
+    def pairs(n: Long) = spark.range(n)
+      .select((col("id") * 2).as("a"), (col("id") * 2 + 1).as("b"))
+    val atCap = DedupQueries.clustersFrom(pairs(cap))
+    assert(driverBuilt(atCap),
+      "nEdges == DRIVER_CC_MAX must take the driver union-find")
+    val overCap = DedupQueries.clustersFrom(pairs(cap + 8))
+    assert(!driverBuilt(overCap),
+      "nEdges > DRIVER_CC_MAX must take the distributed loop")
+    // both runs must produce the exact pair-graph labels: every node
+    // labeled by its even partner, keeper iff it IS the even partner.
+    // Asserted distributed (no 2M-row collect).
+    for ((out, n) <- Seq((atCap, cap), (overCap, cap + 8))) {
+      assert(out.count() == 2 * n)
+      assert(out.filter(
+        col("cluster_id") =!= col("doc_id") - pmod(col("doc_id"), lit(2)))
+        .count() == 0L, "labels must be the even partner")
+      assert(out.filter(col("is_keeper") === 1).count() == n)
+    }
+    // and at the boundary the two paths agree row-for-row on the SAME
+    // graph: a mixed graph (chains + pairs) run through both.
+    import spark.implicits._
+    val mixed = ((0L until 40L).map(i => (i, i + 1)) ++
+      (100L until 160L by 2).map(i => (i, i + 1))).toDF("a", "b")
+    val viaDriver = DedupQueries.clustersFrom(mixed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    val viaDistributed = DedupQueries.clustersFrom(mixed, driverMax = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    assert(viaDriver.sameElements(viaDistributed))
+  }
+
   test("common spans are scrubbed corpus-wide, order preserved") {
     import spark.implicits._
     val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // one exact span

@@ -96,6 +96,83 @@ class IndexDurabilitySpec extends SparkSpec {
     assert(e.getMessage.contains("centroids"))
   }
 
+  test("text lifecycle: build, stream-append, compact, reopen, serve") {
+    // the deployment sequence durability and compaction must survive
+    // TOGETHER: a durable build, streamed appends, a quiesce-time
+    // fold, session close, and a fresh open — the manifest must carry
+    // BOTH the build keys (or open() refuses) and compactedThrough
+    // (or a replayed batch id silently overwrites the merged corpus).
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-life-text").toString
+    IndexManifest.registerTempRoot(root)
+    TextQueries.buildTextIndexAt(spark, sf, root)
+    val d1 = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    val d2 = d1.withColumn("doc_id", col("doc_id") + 100000L)
+    TextQueries.appendToIndex(d1, root, 1L)
+    TextQueries.appendToIndex(d2, root, 2L)
+    val stats = TextQueries.compactTextIndex(spark, root)
+    assert(stats.forall(!_.noop))
+    // close the session and reopen strictly through the manifest path
+    TextQueries.invalidateIndexCache()
+    val reopened = TextQueries.openTextIndex(root)
+    assert(IndexCompaction.compactedThrough(reopened, "postings") == 2L,
+      "compactedThrough must survive the reopen")
+    // a replayed folded id is still rejected AFTER reopen
+    val e = intercept[IllegalArgumentException] {
+      TextQueries.appendToIndex(d1, reopened, 2L)
+    }
+    assert(e.getMessage.contains("compacted through 2"))
+    // serve equals a never-compacted single-batch twin of the full
+    // corpus; ingest continues above the fold point
+    val base = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val twin = java.nio.file.Files
+      .createTempDirectory("graft-life-text-twin").toString
+    IndexManifest.registerTempRoot(twin)
+    TextQueries.appendToIndex(base.unionByName(d1).unionByName(d2),
+      twin, 0L)
+    assert(TextQueries.bm25ServeFrom(spark, reopened).collect().toSeq ==
+      TextQueries.bm25ServeFrom(spark, twin).collect().toSeq)
+    val d3 = d2.withColumn("doc_id", col("doc_id") + 100000L)
+    TextQueries.appendToIndex(d3, reopened, 3L)
+    TextQueries.appendToIndex(d3, twin, 1L)
+    assert(TextQueries.bm25ServeFrom(spark, reopened).collect().toSeq ==
+      TextQueries.bm25ServeFrom(spark, twin).collect().toSeq)
+  }
+
+  test("vector lifecycle: build, stream-append, compact, reopen, serve") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-life-vec").toString
+    IndexManifest.registerTempRoot(root)
+    SimilarityQueries.buildVectorIndexAt(spark, sf, root)
+    val e = graft.Tables.embeddings(spark, sf)
+    val e1 = e.withColumn("vec_id", col("vec_id") + 100000L)
+    SimilarityQueries.appendToVectorIndex(e1, root, 1L)
+    val st = SimilarityQueries.compactVectorIndex(spark, root)
+    assert(!st.noop)
+    SimilarityQueries.invalidateIndexCache()
+    val reopened = SimilarityQueries.openVectorIndex(spark, root)
+    assert(IndexCompaction.compactedThrough(reopened, "assignments") == 1L,
+      "compactedThrough must survive the reopen")
+    intercept[IllegalArgumentException] {
+      SimilarityQueries.appendToVectorIndex(e1, reopened, 1L)
+    }
+    val q = SimilarityQueries.withNorm(e).filter(col("vec_id") === 0)
+      .select(col("emb"), col("nrm")).collect().head
+    val qv = q.getSeq[Double](0).toArray
+    val served = SimilarityQueries
+      .annServeFrom(spark, reopened, qv, q.getDouble(1)).collect().toSeq
+    assert(served.nonEmpty)
+    // ingest continues above the fold point on the reopened root
+    SimilarityQueries.appendToVectorIndex(
+      e.withColumn("vec_id", col("vec_id") + 200000L), reopened, 2L)
+    assert(SimilarityQueries
+      .annServeFrom(spark, reopened, qv, q.getDouble(1)).collect()
+      .toSeq.size == served.size)
+  }
+
   test("a corpus regenerated in place invalidates the build memo") {
     import spark.implicits._
     val dir = java.nio.file.Files
