@@ -231,14 +231,17 @@ object SimilarityQueries {
       .select(col("vec_id").as("cid"), col("emb").as("cemb"),
         col("nrm").as("cnrm"))
 
-  /** Probe width: a fixed share of the lists (k/4, floor 3) capped at
-    * 64 so probe cost flattens once k saturates. Hash-sampled
-    * centroids are NOT k-means — on an unclustered corpus recall
-    * tracks the probed share of data, so small corpora (small k)
-    * probe a large fraction while at full k=65,536 the cap keeps the
-    * probe at 64 lists ≈ 0.1% of vectors. */
+  /** Probe width: a fixed share of the lists (k/2, floor 4) capped at
+    * 64 so probe cost flattens once k saturates. One-round-Lloyd
+    * centroids are weak k-means — on an unclustered corpus recall
+    * tracks the probed share of data (measured curve in SCALE.md "IVF
+    * recall"): k/4 gave mean recall@10 ≈ 0.84-0.86 across the
+    * fixtures, k/2 gives 0.96-0.98 with min ≥ 0.9 at sf0.1 — so small
+    * corpora probe half their lists while at full k=65,536 the cap
+    * keeps the probe at 64 lists ≈ 0.1% of vectors, where recall
+    * rides the real cluster structure the refinement captures. */
   private[operators] def ivfNProbe(k: Int): Int =
-    math.min(64, math.max(3, math.ceil(k / 4.0).toInt))
+    math.min(64, math.max(4, math.ceil(k / 2.0).toInt))
 
   /** Vectors index into this many of their nearest lists (soft
     * assignment). 2× index size buys recall hash-sampled centroids
@@ -541,12 +544,14 @@ object SimilarityQueries {
     * their members against the broadcast 1-row query. */
   private[graft] def annServeFrom(
       s: SparkSession, root: String,
-      qv: Array[Double], qn: Double, topK: Int = 10): DataFrame = {
+      qv: Array[Double], qn: Double, topK: Int = 10,
+      nprobe: Option[Int] = None): DataFrame = {
     import s.implicits._
     val cArr = s.read.parquet(s"$root/centroids").collect().map { r =>
       (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
     }.sortBy(_._1)
-    val probeCids = topCentroids(cArr, ivfNProbe(cArr.length), qv, qn)
+    val probeCids = topCentroids(cArr,
+      nprobe.getOrElse(ivfNProbe(cArr.length)), qv, qn)
     val q = Seq((qv.toSeq, qn)).toDF("qv", "qn")
     s.read.parquet(s"$root/assignments")
       .filter(col("cid").isin(probeCids.map(Long.box): _*))
@@ -602,13 +607,14 @@ object SimilarityQueries {
     * index-shaped (quantizer + probed lists). */
   private[graft] def annServeBatchFrom(
       s: SparkSession, root: String,
-      queries: DataFrame, topK: Int = 10): DataFrame = {
+      queries: DataFrame, topK: Int = 10,
+      nprobeOverride: Option[Int] = None): DataFrame = {
     import s.implicits._
     graft.GraftExtensions.register(s)
     val cArr = s.read.parquet(s"$root/centroids").collect().map { r =>
       (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
     }.sortBy(_._1)
-    val nprobe = ivfNProbe(cArr.length)
+    val nprobe = nprobeOverride.getOrElse(ivfNProbe(cArr.length))
     val qRows = queries
       .select(col("query_id").cast("long"), col("qv"), col("qn"))
       .collect().map { r =>

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Recall study for the persisted IVF index: for each fixture scale,
+  * build the index once and measure mean recall@10 over a spread of
+  * query vectors as a function of the probe width. The resulting
+  * curve drives the ivfNProbe tuning recorded in SCALE.md.
+  *
+  * Run: sbt "Test/runMain graft.tools.RecallProbe"
+  */
+object RecallProbe {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .appName("graft-recall-probe").master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      for (sf <- Seq("0.001", "0.01", "0.1")) run(spark, s"/root/testdata/sf$sf")
+    } finally spark.stop()
+  }
+
+  def run(s: SparkSession, dir: String): Unit = {
+    val e = SimilarityQueries.withNorm(graft.Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("emb"), col("nrm"))
+    val all = e.collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val n = all.length
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-recallprobe").toString
+    IndexManifest.registerTempRoot(root)
+    SimilarityQueries.buildVectorIndexAt(s, dir, root)
+    val k = s.read.parquet(s"$root/centroids").count().toInt
+
+    // 32 queries spread across the id range
+    val qids = (0 until 32).map(i => all(i * n / 32)._1).distinct
+    val queries = all.filter(t => qids.contains(t._1))
+    def exactTop10(qv: Array[Double], qn: Double): Set[Long] =
+      all.map { case (id, v, nr) =>
+        val dot = (0 until v.length).map(i => v(i) * qv(i)).sum
+        (id, dot / (nr * qn))
+      }.sortBy(t => (-t._2, t._1)).take(10).map(_._1).toSet
+    val truth = queries.map { case (id, qv, qn) =>
+      id -> exactTop10(qv, qn)
+    }.toMap
+
+    import s.implicits._
+    val qdf = queries.toSeq.map { case (id, qv, qn) => (id, qv.toSeq, qn) }
+      .toDF("query_id", "qv", "qn")
+    val default = SimilarityQueries.ivfNProbe(k)
+    val widths = Seq(default, math.max(3, k / 3), math.max(3, k / 2),
+      (k * 2) / 3, k).distinct.sorted
+    println(s"== $dir: n=$n k=$k default_nprobe=$default")
+    for (w <- widths) {
+      val served = SimilarityQueries
+        .annServeBatchFrom(s, root, qdf, nprobeOverride = Some(w))
+        .collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val recalls = truth.map { case (id, t) =>
+        t.intersect(served.getOrElse(id, Set.empty)).size.toDouble / t.size
+      }
+      val mean = recalls.sum / recalls.size
+      val mn = recalls.min
+      println(f"   nprobe=$w%3d  probe_share=${w.toDouble / k}%.2f  " +
+        f"mean_recall@10=$mean%.3f  min_recall@10=$mn%.3f")
+    }
+  }
+}

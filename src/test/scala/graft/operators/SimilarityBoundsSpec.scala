@@ -17,9 +17,9 @@ class SimilarityBoundsSpec extends SparkSpec {
     assert(SimilarityQueries.ivfK(10000000000L) == 65536)
   }
 
-  test("ivfNProbe scales with k/4, floor 3, cap 64") {
-    assert(SimilarityQueries.ivfNProbe(4) == 3)
-    assert(SimilarityQueries.ivfNProbe(23) == 6)
+  test("ivfNProbe scales with k/2, floor 4, cap 64") {
+    assert(SimilarityQueries.ivfNProbe(4) == 4)
+    assert(SimilarityQueries.ivfNProbe(23) == 12)
     assert(SimilarityQueries.ivfNProbe(256) == 64)
     assert(SimilarityQueries.ivfNProbe(65536) == 64)
   }

@@ -33,6 +33,41 @@ class VectorIndexSpec extends SparkSpec {
     assert(recall >= 0.5, s"indexed IVF recall@10 = $recall too low")
   }
 
+  test("sf0.1 batch serve holds mean recall@10 >= 0.9 at the default " +
+    "probe width") {
+    // the serving-tier quality bar, measured where the bench runs
+    // (sf0.1, the largest fixture) over a 32-query spread — not just
+    // the single fixture query. The k/2 default probe width was
+    // chosen from the recall-vs-probe curve in SCALE.md "IVF recall";
+    // this pin catches any future k/nprobe/assignment regression.
+    val dir = "/root/testdata/sf0.1"
+    val e = SimilarityQueries.withNorm(graft.Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("emb"), col("nrm"))
+    val all = e.collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val n = all.length
+    val root = SimilarityQueries.buildVectorIndex(spark, dir)
+    val qs = (0 until 32).map(i => all(i * n / 32)).distinct
+    def exactTop10(qv: Array[Double], qn: Double): Set[Long] =
+      all.map { case (id, v, nr) =>
+        (id, v.indices.map(i => v(i) * qv(i)).sum / (nr * qn))
+      }.sortBy(t => (-t._2, t._1)).take(10).map(_._1).toSet
+    import spark.implicits._
+    val qdf = qs.map { case (id, qv, qn) => (id, qv.toSeq, qn) }
+      .toDF("query_id", "qv", "qn")
+    val served = SimilarityQueries.annServeBatchFrom(spark, root, qdf)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = qs.map { case (id, qv, qn) =>
+      val t = exactTop10(qv, qn)
+      t.intersect(served.getOrElse(id, Set.empty)).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, f"sf0.1 mean recall@10 = $mean%.3f below the bar")
+    assert(recalls.min >= 0.6,
+      f"worst query recall@10 = ${recalls.min}%.2f collapsed")
+  }
+
   test("serving twice from one index is deterministic") {
     val a = SimilarityQueries.simAnnIvfIndexed(spark, sf).collect().toSeq
     val b = SimilarityQueries.simAnnIvfIndexed(spark, sf).collect().toSeq
