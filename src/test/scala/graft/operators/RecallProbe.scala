@@ -19,9 +19,11 @@ object RecallProbe {
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try {
-      for (sf <- Seq("0.001", "0.01", "0.1")) run(spark, s"/root/testdata/sf$sf")
-    } finally spark.stop()
+    val dirs =
+      if (args.nonEmpty) args.toSeq
+      else Seq("0.001", "0.01", "0.1").map(sf => s"/root/testdata/sf$sf")
+    try dirs.foreach(run(spark, _))
+    finally spark.stop()
   }
 
   def run(s: SparkSession, dir: String): Unit = {
