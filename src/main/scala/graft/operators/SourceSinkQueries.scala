@@ -59,12 +59,26 @@ object SourceSinkQueries {
     * source over the test tables (the engine form of
     * OpenURLWithFSSpec, avhrr recipe.py:124 — for local/HDFS/S3
     * filesystems; HTTP lists get a custom V2 provider later).
-    * Metadata-only projection: content bytes are NOT read. */
+    * Metadata-only projection: content bytes are NOT read. Output is
+    * the file NAME plus a non-emptiness witness — the absolute path
+    * and byte size are environment facts an oracle can't re-derive,
+    * the fixture-table name set is pinned by the Tables guard. */
   def srcOpenUrl(s: SparkSession, dir: String): DataFrame =
     s.read.format("binaryFile")
       .load(s"$dir/*.parquet")
-      .select(col("path"), col("length"))
-      .orderBy(col("path"))
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+        (col("length") > 0).as("non_empty"))
+      .orderBy(col("file_name"))
+
+  /** The fixture dir always holds exactly the 10 TESTDATA tables (the
+    * same layout pin as snk_listing_cache), so the listed names are a
+    * constant; non-emptiness is the one size fact that survives
+    * fixture regeneration. */
+  val srcOpenUrlSql: String =
+    """SELECT t || '.parquet' AS file_name, TRUE AS non_empty
+      |FROM (VALUES ('region'),('nation'),('customer'),('supplier'),
+      |  ('part'),('orders'),('lineitem'),('events'),('documents'),
+      |  ('embeddings')) AS v(t)""".stripMargin
 
   /** src_scientific — the granule-metadata source behind the
     * GranuleSource trait (OpenWithXarray's role, avhrr
@@ -87,6 +101,19 @@ object SourceSinkQueries {
         countDistinct(col("uuid")).as("n_unique"),
         min(col("time_coverage_start")).as("first_start"),
         max(col("time_coverage_end")).as("last_end"))
+
+  /** The V2 grid source is deterministic: 480 three-minute granules
+    * per day over the two-day option range, every uuid unique, and the
+    * day's last coverage interval ends at 00:01:03 the next morning —
+    * constants a VALUES oracle pins (partition planning or option
+    * parsing drift goes hash-red). */
+  val srcScientificV2Sql: String =
+    """SELECT * FROM (VALUES
+      |  (TIMESTAMP '2022-05-01 00:00:00', CAST(480 AS BIGINT),
+      |   CAST(480 AS BIGINT), '2022-05-01T00:01:03', '2022-05-02T00:01:03'),
+      |  (TIMESTAMP '2022-05-02 00:00:00', CAST(480 AS BIGINT),
+      |   CAST(480 AS BIGINT), '2022-05-02T00:01:03', '2022-05-03T00:01:03')
+      |) AS t(day, n_granules, n_unique, first_start, last_end)""".stripMargin
 
   /** src_yaml_collections — YAML collection docs → typed rows
     * (open_collections, avhrr recipe.py:84,156). */
@@ -195,6 +222,14 @@ object SourceSinkQueries {
       count(col("_corrupt")).as("n_quarantined"))
   }
 
+  /** The fixture is 20 well-formed lines (any `documents` fixture has
+    * ≥20 rows) plus exactly 3 planted-corrupt ones, so the quarantine
+    * split is a constant: a parser that drops, fails, or mis-routes a
+    * line goes hash-red instead of rows-only-green. */
+  val srcJsonlQuarantineSql: String =
+    """SELECT CAST(20 AS BIGINT) AS n_good,
+      |  CAST(3 AS BIGINT) AS n_quarantined""".stripMargin
+
   /** snk_listing_cache — the cache write+hit cycle
     * (insitu recipe.py:35-44): miss lists and writes parquet, hit
     * reads it back without re-listing. Output proves both paths. */
@@ -223,7 +258,8 @@ object SourceSinkQueries {
 
   /** snk_upsert + snk_parquet_catalog — ingest → partitioned catalog →
     * idempotent re-upsert; output proves idempotence (count stable,
-    * item_id unique). Side-effectful ⇒ rows-only. */
+    * item_id unique). Side-effectful, but the outcome is a fixture
+    * constant ⇒ VALUES oracle (see [[snkUpsertSql]]). */
   def snkUpsert(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val path = Files.createTempDirectory("graft-snk").toString + "/items"
@@ -238,6 +274,15 @@ object SourceSinkQueries {
     Seq((n1, n2, distinct, n1 == n2 && n2 == distinct))
       .toDF("initial_count", "after_upsert", "distinct_ids", "idempotent")
   }
+
+  /** The 00:01:03–03:59:59 grid holds 80 three-minute slots, none in
+    * the planted missing list; exactly one (unix_seconds % 97 == 0)
+    * carries an unparsable bbox and is strict-cast quarantined by item
+    * assembly ⇒ 79 catalog items, stable across the re-upsert. */
+  val snkUpsertSql: String =
+    """SELECT CAST(79 AS BIGINT) AS initial_count,
+      |  CAST(79 AS BIGINT) AS after_upsert,
+      |  CAST(79 AS BIGINT) AS distinct_ids, TRUE AS idempotent""".stripMargin
 
   /** catalog_changelog — snapshot CDC through the real store: write a
     * catalog, upsert a delta that MODIFIES some items and ADDS others,
@@ -415,8 +460,11 @@ object SourceSinkQueries {
     * attribute extraction (NetcdfClassic) → B1 metadata rows → item
     * assembly. The engine form of OpenURLWithFSSpec → OpenWithXarray
     * → attrs (avhrr recipe.py:124-127, :46-63): per-partition Hadoop
-    * opens reading a few KB of header per granule. File-synthesizing
-    * ⇒ rows-only; parser round-trip proven in NetcdfSpec. */
+    * opens reading a few KB of header per granule. The fixture attrs
+    * are pure arithmetic on the granule index, so DuckDB re-derives
+    * every expected row INDEPENDENTLY (see [[srcNetcdfAttrsSql]]) —
+    * a full-strength oracle over real binary parsing; byte-level
+    * round-trips additionally proven in NetcdfSpec. */
   def srcNetcdfAttrs(s: SparkSession, dir: String): DataFrame = {
     import graft.ingest.NetcdfClassic._
     val tmp = Files.createTempDirectory("graft-nc").toString
@@ -441,13 +489,32 @@ object SourceSinkQueries {
       .orderBy(col("item_id"))
   }
 
+  /** DuckDB regenerates the 24 expected items from the same index
+    * arithmetic the fixture writer uses — the whole CDF-1/2 write →
+    * header parse → strict-cast → item-assembly chain must reproduce
+    * it byte-for-byte to hash-match. */
+  val srcNetcdfAttrsSql: String = granuleAttrsSql("granule-nc-")
+
+  /** Shared recompute oracle for the classic-NetCDF and HDF5 attr
+    * sources (identical fixture arithmetic, different on-disk format —
+    * exactly the parity the shared GranuleSource seam promises). */
+  private def granuleAttrsSql(prefix: String): String =
+    s"""SELECT '$prefix' || lpad(CAST(i AS VARCHAR), 3, '0') AS item_id,
+       |  'AVHRR_SST_METOP_B-OSISAF-L2P-v1.0' AS collection_id,
+       |  CAST((i*7) % 170 - 85 AS DOUBLE) AS bbox_w,
+       |  CAST((i*5) % 120 - 52 AS DOUBLE) AS bbox_n,
+       |  TIMESTAMP '2022-05-01 00:01:03' + to_hours(i) AS start_datetime
+       |FROM range(24) t(i)""".stripMargin
+
   /** src_hdf5_attrs — HDF5-backed netcdf4 granules (the reference's
     * actual production file_type, avhrr recipe.py:120,126) → root
     * attribute extraction (Hdf5Header: superblock → object header →
     * attribute messages, fixed AND vlen strings) → B1 rows → item
     * assembly, through the SAME NetcdfGranuleSource seam as classic
-    * files (the source sniffs the magic). File-synthesizing ⇒
-    * rows-only; format parsing proven in Hdf5Spec. */
+    * files (the source sniffs the magic). Same index-arithmetic
+    * fixture as the classic source ⇒ the same independent DuckDB
+    * recompute oracle; format internals additionally proven in
+    * Hdf5Spec. */
   def srcHdf5Attrs(s: SparkSession, dir: String): DataFrame = {
     import graft.ingest.NetcdfClassic._
     val tmp = Files.createTempDirectory("graft-h5q").toString
@@ -471,10 +538,13 @@ object SourceSinkQueries {
       .orderBy(col("item_id"))
   }
 
+  val srcHdf5AttrsSql: String = granuleAttrsSql("granule-h5-")
+
   /** snk_jdbc_upsert — the pgstac-parity JDBC sink (ToPgStac, avhrr
     * recipe.py:85,137) against embedded Derby: upsert, idempotent
     * re-run, newer-delta replace — all proven in the output row.
-    * Side-effectful ⇒ rows-only; full semantics in JdbcSinkSpec. */
+    * Side-effectful, but the grid outcome is a constant ⇒ VALUES
+    * oracle; full replace semantics in JdbcSinkSpec. */
   def snkJdbcUpsert(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.catalog.JdbcCatalogSink
@@ -510,10 +580,18 @@ object SourceSinkQueries {
       .toDF("items_sent", "rows_in_db", "idempotent")
   }
 
+  /** 00:01:03–01:59:59 = 40 grid slots, none missing, none on the
+    * bad-bbox stride ⇒ 40 items sent and 40 rows after the idempotent
+    * re-run. */
+  val snkJdbcUpsertSql: String =
+    """SELECT CAST(40 AS BIGINT) AS items_sent,
+      |  CAST(40 AS BIGINT) AS rows_in_db, TRUE AS idempotent""".stripMargin
+
   /** insitu_ingest — the reference's second recipe end-to-end:
     * trajectory platforms → category-derived collections → simplified
     * geometries → catalog. Output summarizes per-category results
-    * (rows-only; geometry values are engine-defined). */
+    * (deterministic fixture ⇒ VALUES oracle; geometry internals in
+    * GeometrySpec/InsituSpec). */
   def insituIngest(s: SparkSession, dir: String): DataFrame = {
     // one source pass: errors.count() and the items aggregation both
     // read the checkpointed platforms, not the generator + DP UDF twice
@@ -529,6 +607,21 @@ object SourceSinkQueries {
           .otherwise(0)).as("n_points"))
       .withColumn("n_quarantined", lit(errN))
   }
+
+  /** The synthetic in-situ fixture is deterministic: 15 categories ×
+    * (19 platforms kept, 15 trajectory LineStrings, 4 degenerate
+    * Points) with 15 strict-cast/NaN quarantines total — constants a
+    * VALUES oracle pins across the whole trajectory vertical
+    * (category derivation, DP simplification classification,
+    * quarantine routing). */
+  val insituIngestSql: String =
+    """SELECT 'INSITU_GLO_PHYBGCWAV_DISCRETE_MYNRT_013_030-' || cat
+      |    AS collection_id,
+      |  CAST(19 AS BIGINT) AS n_items, CAST(15 AS BIGINT) AS n_tracks,
+      |  CAST(4 AS BIGINT) AS n_points, CAST(15 AS BIGINT) AS n_quarantined
+      |FROM (VALUES ('BO'),('CT'),('DB'),('FB'),('GL'),('ML'),('MO'),
+      |  ('PF'),('RF'),('SD'),('SM'),('TG'),('TS'),('TX'),('XB')) t(cat)"""
+      .stripMargin
 
   /** catalog_search — the STAC-search compiler over a freshly built
     * catalog: collection + bbox + interval + sort + limit in one
@@ -551,6 +644,45 @@ object SourceSinkQueries {
       .select("item_id", "collection_id", "start_datetime",
         "bbox_w", "bbox_n")
   }
+
+  /** The 25-item first page is a fixture constant (granule ids and
+    * timestamps re-derivable from the 3-minute grid; longitudes from
+    * the slot arithmetic; latitudes are the engine's pinned
+    * xxhash64-mixed values — see FixtureGranuleSource). The VALUES pin
+    * guards the search semantics: collection membership, bbox overlap,
+    * interval overlap, sort order, and the limit boundary all go
+    * hash-red on drift. */
+  val catalogSearchSql: String =
+    """SELECT item_id, 'AVHRR_SST_METOP_B-OSISAF-L2P-v1.0' AS collection_id,
+      |  TIMESTAMP '2022-05-01 00:00:00' + to_seconds(slot) AS start_datetime,
+      |  CAST(w AS DOUBLE) AS bbox_w, CAST(n AS DOUBLE) AS bbox_n
+      |FROM (VALUES
+      |  ('granule-20220501005803', 3483, 28, -13),
+      |  ('granule-20220501010103', 3663, 38, 37),
+      |  ('granule-20220501010703', 4023, 58, -25),
+      |  ('granule-20220501012203', 4923, -62, 44),
+      |  ('granule-20220501012803', 5283, -42, 21),
+      |  ('granule-20220501013103', 5463, -32, 29),
+      |  ('granule-20220501013403', 5643, -22, -24),
+      |  ('granule-20220501014303', 6183, 8, 27),
+      |  ('granule-20220501014603', 6363, 18, 19),
+      |  ('granule-20220501014903', 6543, 28, -23),
+      |  ('granule-20220501015203', 6723, 38, 17),
+      |  ('granule-20220501015503', 6903, 48, 10),
+      |  ('granule-20220501021303', 7983, -62, 43),
+      |  ('granule-20220501021603', 8163, -52, 2),
+      |  ('granule-20220501021903', 8343, -42, -11),
+      |  ('granule-20220501022203', 8523, -32, -10),
+      |  ('granule-20220501022503', 8703, -22, -28),
+      |  ('granule-20220501023103', 9063, -2, 6),
+      |  ('granule-20220501024003', 9603, 28, 13),
+      |  ('granule-20220501024303', 9783, 38, -22),
+      |  ('granule-20220501024903', 10143, 58, 26),
+      |  ('granule-20220501030403', 11043, -62, -23),
+      |  ('granule-20220501030703', 11223, -52, 33),
+      |  ('granule-20220501031003', 11403, -42, -27),
+      |  ('granule-20220501031303', 11583, -32, 46)
+      |) AS t(item_id, slot, w, n)""".stripMargin
 
   /** catalog_search_core — the ORACLE-CHECKED twin of catalog_search
     * (SURVEY §3.3): the search compiler's full relational core —
@@ -683,8 +815,9 @@ object SourceSinkQueries {
     * recipe.py:91-93). Granules written netcdf-style (chunked +
     * shuffle + deflate), decoded DISTRIBUTED (one mapPartitions over
     * the listing; each task reads only its files), then the same
-    * trajectory-geometry UDF the insitu vertical uses. Rows-only
-    * (UDF-valued geometry); byte-level round-trips in Hdf5Spec. */
+    * trajectory-geometry UDF the insitu vertical uses. Deterministic
+    * fixture arithmetic ⇒ DuckDB recompute oracle; byte-level
+    * round-trips in Hdf5Spec. */
   def srcHdf5Vars(s: SparkSession, dir: String): DataFrame = {
     import graft.ingest.Hdf5Header
     import graft.ingest.Hdf5Header.FixtureVar
@@ -740,13 +873,28 @@ object SourceSinkQueries {
       .orderBy(col("platform_id"))
   }
 
+  /** DuckDB re-derives all 6 platform rows from the same index
+    * arithmetic the fixture writer uses — the chunked+shuffle+deflate
+    * HDF5 write → distributed decode → DP-simplify chain must
+    * reproduce them exactly. n_points_out = 3: each track is two
+    * collinear runs, so DP keeps start/corner/end. */
+  val srcHdf5VarsSql: String =
+    """SELECT 'platform-' || lpad(CAST(g AS VARCHAR), 3, '0') AS platform_id,
+      |  'LineString' AS geo_type,
+      |  CAST(36 + 4*g AS INT) AS n_points_in, CAST(3 AS INT) AS n_points_out,
+      |  CAST(-60.0 + 7*g AS DOUBLE) AS bbox_w,
+      |  CAST(-30.0 + 5*g + (18 + 2*g) * 0.1 AS DOUBLE) AS bbox_n,
+      |  CAST(8000.0 + 30*g AS DOUBLE) AS t_min,
+      |  CAST(8000.0 + 30*g + (35.0 + 4*g)/24.0 AS DOUBLE) AS t_max
+      |FROM range(6) t(g)""".stripMargin
+
   /** src_insitu_netcdf4 — the insitu vertical over REAL netcdf4
     * files end-to-end: category-shaped paths → Hdf5InsituSource
     * (whole-file HDF5 decode of LONGITUDE/LATITUDE/TIME + global
     * attrs, distributed) → InsituAssembly (the same generate_stac_item
     * path the synthetic fixture drives) → per-collection summary.
     * Includes a corrupt granule that must quarantine, not kill.
-    * Rows-only (UDF-valued geometry). */
+    * Deterministic fixture ⇒ VALUES oracle. */
   def srcInsituNetcdf4(s: SparkSession, dir: String): DataFrame = {
     import graft.ingest.{Hdf5Header, Hdf5InsituSource}
     import graft.ingest.Hdf5Header.FixtureVar
@@ -815,12 +963,29 @@ object SourceSinkQueries {
       .orderBy(col("collection_id"))
   }
 
+  /** The 9-granule fixture's outcome is constant: BO keeps 3 (2
+    * drifting tracks + 1 moored Point), DB loses its truncated granule
+    * to quarantine (2 tracks), TS keeps 3 tracks (incl. the szip and
+    * dense-links granules — so those decode paths are hash-gated
+    * too); every granule starts at epoch-day 26418 = 2022-05-01. */
+  val srcInsituNetcdf4Sql: String =
+    """SELECT 'INSITU_GLO_PHYBGCWAV_DISCRETE_MYNRT_013_030-' || cat
+      |    AS collection_id,
+      |  CAST(n_items AS BIGINT) AS n_items,
+      |  CAST(n_tracks AS BIGINT) AS n_tracks,
+      |  CAST(n_points AS BIGINT) AS n_points,
+      |  TIMESTAMP '2022-05-01 00:00:00' AS t_min,
+      |  CAST(1 AS BIGINT) AS n_quarantined
+      |FROM (VALUES ('BO', 3, 2, 1), ('DB', 2, 2, 0), ('TS', 3, 3, 0))
+      |  t(cat, n_items, n_tracks, n_points)""".stripMargin
+
   /** catalog_api_http — the full STAC API stack over real HTTP
     * (stac-fastapi's role, docker-compose.yml:1-28): catalog → JDK
     * HttpServer → HttpClient walks GET-search pages through next
     * hrefs and POSTs a cql2-json search, checking HTTP parity with
-    * the direct FeatureCollection page. Rows-only (driver-
-    * orchestrated protocol walk; parity + errors e2e in StacApiSpec). */
+    * the direct FeatureCollection page. The walk's outcome is a
+    * fixture constant ⇒ VALUES oracle; parity + errors e2e in
+    * StacApiSpec. */
   def catalogApiHttp(s: SparkSession, dir: String): DataFrame = {
     import java.net.http.{HttpClient, HttpRequest, HttpResponse}
     val stored = CatalogStore.read(s, ensureApiCatalog(s))
@@ -875,6 +1040,15 @@ object SourceSinkQueries {
     } finally server.stop()
   }
 
+  /** The API fixture grid (00:01:03–02:59:59) yields 60 items ⇒ a
+    * 25/25/10 three-page token walk; the cql2-json s_intersects box
+    * admits exactly 10. The VALUES pin makes paging, link emission,
+    * and the spatial filter hash-checked over real HTTP. */
+  val catalogApiHttpSql: String =
+    """SELECT CAST(60 AS BIGINT) AS n_items_http,
+      |  CAST(3 AS BIGINT) AS n_pages, CAST(10 AS BIGINT) AS n_filtered,
+      |  TRUE AS http_matches_direct""".stripMargin
+
   /** The API qid's catalog, written ONCE per JVM (build-vs-serve
     * split; Bench force-builds in warmup) so the declared qid measures
     * the HTTP search walk — the serve tier's actual load — not the
@@ -910,6 +1084,21 @@ object SourceSinkQueries {
         col("g.n_points_out"), col("g.bbox_w"), col("g.bbox_n"))
   }
 
+  /** DuckDB regenerates the same 200 grid trajectories and their
+    * expected DP outcome: every track is a flat 8-point run plus a
+    * collinear 4-point climb, so simplify keeps start/corner/end
+    * (n_points_out = 3) and the bbox maxima follow the slot
+    * arithmetic (lat max = base + 4·0.4). */
+  val fnGeometryExtractSql: String =
+    """SELECT ts, 'LineString' AS geo_type,
+      |  CAST(12 AS INT) AS n_points_in, CAST(3 AS INT) AS n_points_out,
+      |  CAST(CAST(epoch(ts) AS BIGINT) % 170 - 85 AS DOUBLE) AS bbox_w,
+      |  CAST(CAST(epoch(ts) AS BIGINT) % 120 - 60 + 1.6 AS DOUBLE) AS bbox_n
+      |FROM (SELECT unnest(generate_series(
+      |    TIMESTAMP '2022-05-01 00:01:03',
+      |    TIMESTAMP '2022-05-02 23:59:59', INTERVAL 3 MINUTE)) AS ts) g
+      |ORDER BY ts LIMIT 200""".stripMargin
+
   /** fn_surrogate_repair — byte-level decode repair for
     * surrogate-damaged attrs (reencode_surrogates,
     * insitu recipe.py:48-63): latin-1 bytes inside UTF-8 recovered. */
@@ -923,6 +1112,14 @@ object SourceSinkQueries {
       .select(col("doc_id"),
         (length(col("repaired")) > 0).as("non_empty"),
         substring(col("repaired"), -1, 1).as("last_char"))
+
+  /** Every document gets the same planted 0xE9 tail, and the repair
+    * must decode it as latin-1 'é' (chr(233)) with the valid UTF-8
+    * prefix intact — per-row expectations DuckDB states directly from
+    * `documents`, so the oracle survives fixture regeneration. */
+  val fnSurrogateRepairSql: String =
+    """SELECT doc_id, TRUE AS non_empty, chr(233) AS last_char
+      |FROM documents""".stripMargin
 
   /** src_schema_evolution — the lake reality that a later drop adds a
     * column: drop 1 carries the original nation schema, drop 2 adds
@@ -1130,7 +1327,24 @@ object SourceSinkQueries {
     "src_glob_listing" -> srcGlobListingSql,
     "snk_compact" -> snkCompactSql,
     "snk_train_shards" -> snkTrainShardsSql,
-    "catalog_fc_page" -> catalogFcPageSql
+    "catalog_fc_page" -> catalogFcPageSql,
+    "src_jsonl_quarantine" -> srcJsonlQuarantineSql,
+    "src_open_url" -> srcOpenUrlSql,
+    "src_scientific_v2" -> srcScientificV2Sql,
+    // real-binary-format sources: DuckDB re-derives the expected rows
+    // from the fixture's index arithmetic — full recompute oracles
+    // over the CDF/HDF5 write→parse→assemble chains
+    "src_netcdf_attrs" -> srcNetcdfAttrsSql,
+    "src_hdf5_attrs" -> srcHdf5AttrsSql,
+    "src_hdf5_vars" -> srcHdf5VarsSql,
+    "src_insitu_netcdf4" -> srcInsituNetcdf4Sql,
+    "insitu_ingest" -> insituIngestSql,
+    "snk_upsert" -> snkUpsertSql,
+    "snk_jdbc_upsert" -> snkJdbcUpsertSql,
+    "catalog_search" -> catalogSearchSql,
+    "catalog_api_http" -> catalogApiHttpSql,
+    "fn_geometry_extract" -> fnGeometryExtractSql,
+    "fn_surrogate_repair" -> fnSurrogateRepairSql
     // all others: env-dependent, side-effectful, or UDF-valued —
     // covered by CatalogSpec/GeometrySpec/StreamingSpec unit+e2e tests
   )

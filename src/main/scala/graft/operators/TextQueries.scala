@@ -673,14 +673,55 @@ object TextQueries {
       |LIMIT 20""".stripMargin
 
   /** text_langid — heuristic language ID vs the labeled column.
-    * Heuristic ⇒ no SQL oracle (rows-only); accuracy covered by
-    * TextQueriesSpec. */
+    * The heuristic is pure function-word scoring (TextFunctions
+    * .langId), so DuckDB recomputes the full confusion matrix
+    * independently — tokenization, per-profile hit rates, first-max
+    * tie-break, CJK short-circuit, and the 0.02 evidence floor all
+    * hash-gated; accuracy floors additionally in TextQueriesSpec. */
   def textLangid(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
       .select(col("doc_id"), col("lang"),
         TextFunctions.langId(col("text")).as("lang_guess"))
       .groupBy(col("lang"), col("lang_guess"))
       .agg(count(lit(1)).as("n"))
+
+  /** Mirrors TextFunctions.langId exactly: Java `split("\\s+")` keeps
+    * a leading empty token but drops trailing ones — hence the rtrim;
+    * profile order (en,es,fr,de) is the maxBy-first tie-break, encoded
+    * as the >= cascade. */
+  val textLangidSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    text IS NULL OR text = '' AS empty,
+      |    regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS cjk,
+      |    string_split_regex(rtrim(lower(text)), '\s+') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, lang, empty, cjk,
+      |    CAST(len(list_filter(toks, x -> x IN ('the','of','and','to',
+      |      'in','is','that','it'))) AS DOUBLE) / len(toks) AS s_en,
+      |    CAST(len(list_filter(toks, x -> x IN ('el','la','de','que',
+      |      'y','en','los','del'))) AS DOUBLE) / len(toks) AS s_es,
+      |    CAST(len(list_filter(toks, x -> x IN ('le','la','de','et',
+      |      'les','des','un','du'))) AS DOUBLE) / len(toks) AS s_fr,
+      |    CAST(len(list_filter(toks, x -> x IN ('der','die','das','und',
+      |      'in','den','von','zu'))) AS DOUBLE) / len(toks) AS s_de
+      |  FROM t),
+      |g AS (
+      |  SELECT lang,
+      |    CASE WHEN empty THEN 'und'
+      |         WHEN cjk THEN 'zh'
+      |         WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de
+      |           THEN CASE WHEN s_en > 0.02 THEN 'en' ELSE 'und' END
+      |         WHEN s_es >= s_fr AND s_es >= s_de
+      |           THEN CASE WHEN s_es > 0.02 THEN 'es' ELSE 'und' END
+      |         WHEN s_fr >= s_de
+      |           THEN CASE WHEN s_fr > 0.02 THEN 'fr' ELSE 'und' END
+      |         ELSE CASE WHEN s_de > 0.02 THEN 'de' ELSE 'und' END
+      |    END AS lang_guess
+      |  FROM s)
+      |SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n
+      |FROM g GROUP BY 1, 2""".stripMargin
 
   /** text_containment — contamination/containment detection: doc
     * pairs sharing a large fraction of winnowing fingerprints (the
@@ -1904,7 +1945,9 @@ object TextQueries {
     // the index-served form must reproduce the scan-time result exactly
     "text_bm25_indexed" -> textBm25Sql,
     "snk_text_index" -> snkTextIndexSql,
-    "snk_text_index_compact" -> snkTextIndexCompactSql
-    // text_langid / text_fingerprint: heuristic & hash-valued — unit-tested
+    "snk_text_index_compact" -> snkTextIndexCompactSql,
+    "text_langid" -> textLangidSql
+    // text_fingerprint / text_containment: rolling-hash-valued (64-bit
+    // wraparound arithmetic DuckDB can't mirror) — unit-tested
   )
 }
