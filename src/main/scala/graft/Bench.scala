@@ -38,6 +38,12 @@ object Bench {
       graft.operators.TextQueries.ensureCompactedTextRoot(spark, sfDir)
     if (only.forall(_.contains("snk_vector_index_compact")))
       graft.operators.SimilarityQueries.ensureCompactedVectorRoot(spark, sfDir)
+    // the delete-qid fixtures too: the qids time the tombstone-aware
+    // audit (the serve-visible view), not the ingest + delete cycle
+    if (only.forall(_.contains("snk_text_index_delete")))
+      graft.operators.TextQueries.ensureDeletedTextRoot(spark, sfDir)
+    if (only.forall(_.contains("snk_vector_index_delete")))
+      graft.operators.SimilarityQueries.ensureDeletedVectorRoot(spark, sfDir)
     // same split for the catalog e2e fixtures: the qids measure the
     // CDC diff / HTTP search walk, not fixture construction
     if (only.forall(_.contains("catalog_changelog")))

@@ -75,16 +75,21 @@ object IndexCompaction {
   /** Fold all `batch_id` partitions of `root/subdir` (partitioned by
     * `partCols :+ batch_id`) into one batch partition per part value.
     * `merge` transforms the unified read before rewrite — identity for
-    * postings/assignments, an aggregate fold for summable stats. */
+    * postings/assignments, an aggregate fold for summable stats, a
+    * tombstone anti-join when deletes are being applied. `force` runs
+    * the fold even over a single batch partition (needed exactly when
+    * `merge` must rewrite content — e.g. pending tombstones — and the
+    * small-files motive alone would have skipped it). */
   def compact(s: SparkSession, root: String, subdir: String,
       partCols: Seq[String],
-      merge: DataFrame => DataFrame = identity): CompactStats = {
+      merge: DataFrame => DataFrame = identity,
+      force: Boolean = false): CompactStats = {
     recover(root, subdir)
     val live = Paths.get(root, subdir)
     require(Files.isDirectory(live), s"no $subdir under $root")
     val batchIds = listBatchIds(live)
     val before = countDataFiles(live)
-    if (batchIds.size <= 1)
+    if (batchIds.isEmpty || (batchIds.size <= 1 && !force))
       return CompactStats(subdir, batchIds.headOption.getOrElse(-1L),
         batchIds.size, before, before, noop = true)
     val mx = batchIds.max

@@ -553,8 +553,12 @@ object SimilarityQueries {
     val probeCids = topCentroids(cArr,
       nprobe.getOrElse(ivfNProbe(cArr.length)), qv, qn)
     val q = Seq((qv.toSeq, qn)).toDF("qv", "qn")
-    s.read.parquet(s"$root/assignments")
+    val probed = s.read.parquet(s"$root/assignments")
       .filter(col("cid").isin(probeCids.map(Long.box): _*))
+    // deleted vectors are invisible the moment the tombstone lands
+    // (physical removal waits for the next compaction)
+    IndexDeletes.readDeletes(s, root, "vec_id")
+      .fold(probed)(d => probed.join(broadcast(d), Seq("vec_id"), "left_anti"))
       .dropDuplicates("vec_id")
       .join(broadcast(q))
       .select(col("vec_id"),
@@ -625,8 +629,12 @@ object SimilarityQueries {
     }
     val probes = probePairs.toDF("cid", "query_id", "qv", "qn")
     val cids = probePairs.map(_._1).distinct
-    val scored = s.read.parquet(s"$root/assignments")
+    val probed0 = s.read.parquet(s"$root/assignments")
       .filter(col("cid").isin(cids.map(Long.box): _*))
+    // same tombstone handling as the single-query serve
+    val scored = IndexDeletes.readDeletes(s, root, "vec_id")
+      .fold(probed0)(d =>
+        probed0.join(broadcast(d), Seq("vec_id"), "left_anti"))
       .join(broadcast(probes), Seq("cid"))
       .dropDuplicates("query_id", "vec_id")
       .select(col("query_id"), col("vec_id"),
@@ -679,10 +687,53 @@ object SimilarityQueries {
     * vector twin of [[TextQueries.compactTextIndex]] (same crash-safe
     * journal, see [[IndexCompaction]]). centroids/ is a single frozen
     * file and never needs folding. Serve results are identical before
-    * and after — pinned in IndexCompactionSpec. */
+    * and after — pinned in IndexCompactionSpec.
+    *
+    * Pending tombstones ([[deleteFromVectorIndex]]) are applied
+    * physically: the fold anti-joins them out of every list (forced
+    * even over a single batch) and clears them LAST — a crash
+    * beforehand leaves tombstones in place and serving correct. */
   def compactVectorIndex(s: SparkSession, root: String)
-      : IndexCompaction.CompactStats =
-    IndexCompaction.compact(s, root, "assignments", Seq("cid"))
+      : IndexCompaction.CompactStats = {
+    val del = IndexDeletes.readDeletes(s, root, "vec_id")
+    val stats = IndexCompaction.compact(s, root, "assignments", Seq("cid"),
+      merge = df => del.fold(df)(d =>
+        df.join(broadcast(d), Seq("vec_id"), "left_anti")),
+      force = del.isDefined)
+    if (del.isDefined) IndexDeletes.clearDeletes(root)
+    stats
+  }
+
+  /** Delete vectors from the IVF index at `root` — the vector twin of
+    * [[TextQueries.deleteFromTextIndex]] (see [[IndexDeletes]] for the
+    * tombstone design). O(|ids|) work, no scan at all: the IVF layout
+    * keeps no derived statistics that need a correction row (the
+    * quantizer is frozen by contract and df has no analog), so a
+    * delete is just the tombstone write. Serving anti-joins the
+    * tombstones; the next [[compactVectorIndex]] removes the rows
+    * physically. The occupancy audit ([[ivfAuditFrom]]) deliberately
+    * keeps counting tombstoned rows — they still occupy list files,
+    * which is exactly what the audit prices. Returns the number of
+    * newly tombstoned ids. */
+  def deleteFromVectorIndex(s: SparkSession, root: String,
+      ids: DataFrame, batchId: Long): Long = {
+    Seq("assignments", IndexDeletes.Subdir).foreach { d =>
+      val ct = IndexCompaction.compactedThrough(root, d)
+      require(batchId > ct,
+        s"delete batch $batchId replays into an index compacted " +
+          s"through $ct at $d — restart above the compaction point")
+    }
+    val others = IndexDeletes.readDeletesExcept(s, root, "vec_id", batchId)
+    val newly = others.foldLeft(ids.select(col("vec_id")).distinct()) {
+      (d, t) => d.join(broadcast(t), Seq("vec_id"), "left_anti")
+    }.cache()
+    try {
+      val n = newly.count()
+      if (n == 0) return 0L
+      IndexDeletes.writeTombstones(newly, root, "vec_id", batchId)
+      n
+    } finally newly.unpersist()
+  }
 
   /** The snk_vector_index_compact fixture: quantizer trained on the
     * full corpus, vectors streamed in as three disjoint batches (by
@@ -721,6 +772,62 @@ object SimilarityQueries {
         count(lit(1)).as("n_assignments"),
         countDistinct(col("batch_id")).as("n_batch_parts"))
   }
+
+  /** The snk_vector_index_delete fixture: quantizer trained on the
+    * full corpus, vectors streamed in as three batches, then every
+    * vec_id ≡ 3 (mod 7) tombstoned as delete batch 3. Memoized per
+    * JVM. */
+  private val deletedVecRootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def ensureDeletedVectorRoot(
+      s: SparkSession, dir: String): String = {
+    val fp = IndexManifest.corpusFingerprint(dir, "embeddings")
+    deletedVecRootCache.computeIfAbsent(s"$dir|$fp", { _ =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-vecindex-del").toString
+      IndexManifest.registerTempRoot(root)
+      val e = embeddings(s, dir)
+      initVectorIndex(e, root)
+      (0 to 2).foreach { b =>
+        appendToVectorIndex(e.filter(pmod(col("vec_id"), lit(3)) === b),
+          root, batchId = b.toLong)
+      }
+      deleteFromVectorIndex(s, root,
+        e.filter(pmod(col("vec_id"), lit(7)) === 3).select("vec_id"),
+        batchId = 3L)
+      root
+    })
+  }
+
+  /** snk_vector_index_delete — tombstone deletes on the persisted IVF
+    * index ([[deleteFromVectorIndex]]): audit the serve-visible live
+    * vector set after the delete batch. Unlike the other vector-index
+    * audits this IS oracle-checked — the live distinct-vector count
+    * doesn't ride the Lloyd float order (every non-degenerate vector
+    * lands in assignments regardless of which lists), so DuckDB
+    * recomputes it from `embeddings` minus the deleted ids; a
+    * tombstone leaking into the serve view goes hash-red. */
+  def snkVectorIndexDelete(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureDeletedVectorRoot(s, dir)
+    val del = IndexDeletes.readDeletes(s, root, "vec_id")
+      .getOrElse(sys.error(s"delete fixture at $root lost its tombstones"))
+    s.read.parquet(s"$root/assignments")
+      .join(broadcast(del), Seq("vec_id"), "left_anti")
+      .agg(countDistinct(col("vec_id")).as("n_live_vectors"))
+      .crossJoin(broadcast(del.agg(count(lit(1)).as("n_tombstones"))))
+  }
+
+  /** Degeneracy mirrored from the assign kernel (topCentroids returns
+    * no lists for a null embedding or zero norm). */
+  val snkVectorIndexDeleteSql: String =
+    """SELECT
+      |  (SELECT count(DISTINCT vec_id) FROM embeddings
+      |   WHERE embedding IS NOT NULL
+      |     AND list_sum(list_transform(embedding, x -> x * x)) > 0
+      |     AND vec_id % 7 <> 3) AS n_live_vectors,
+      |  (SELECT count(DISTINCT vec_id) FROM embeddings
+      |   WHERE vec_id % 7 = 3) AS n_tombstones""".stripMargin
 
   /** sim_knn_join — the approximate k-NN GRAPH: top-KNN_K neighbors
     * for EVERY vector (not one query), from the same capped LSH
@@ -1070,6 +1177,7 @@ object SimilarityQueries {
     "sim_ann_ivf_audit" -> (simAnnIvfAudit _),
     "snk_vector_index" -> (snkVectorIndex _),
     "snk_vector_index_compact" -> (snkVectorIndexCompact _),
+    "snk_vector_index_delete" -> (snkVectorIndexDelete _),
     "dedup_near_embedding" -> (dedupNearEmbedding _),
     "sim_knn_join" -> (simKnnJoin _),
     "dedup_semantic" -> (dedupSemantic _),
@@ -1083,7 +1191,8 @@ object SimilarityQueries {
     "emb_outliers" -> embOutliersSql,
     "sim_topk_cosine" -> simTopkCosineSql,
     "sim_pairwise_threshold" -> simPairwiseThresholdSql,
-    "emb_stats" -> embStatsSql
+    "emb_stats" -> embStatsSql,
+    "snk_vector_index_delete" -> snkVectorIndexDeleteSql
     // sim_ann_lsh: approximate — recall property-tested
   )
 }

@@ -322,6 +322,7 @@ object TextQueries {
     // (cheap: one manifest read when no journal entry exists)
     IndexCompaction.recover(root, "postings")
     IndexCompaction.recover(root, "stats")
+    IndexCompaction.recover(root, "doclens")
     root
   }
 
@@ -338,11 +339,18 @@ object TextQueries {
     // overwrite partitions now holding the MERGED corpus — data loss,
     // not a double count. Fail loudly instead (compaction is a
     // quiesce-time op; a post-compaction stream restarts above mx).
-    val ct = IndexCompaction.compactedThrough(root, "postings")
-    require(batchId > ct,
-      s"batch $batchId replays into an index compacted through $ct — " +
-        "its partitions were folded into the compacted segment; " +
-        "restart the stream with batch ids above the compaction point")
+    // Guard on EVERY folded subdir, not just postings: a delete-aware
+    // compaction folds stats/doclens through the DELETE batch's id,
+    // which can sit above the postings fold point — an ingest batch
+    // between the two would clobber the folded stats row.
+    Seq("postings", "stats", "doclens").foreach { d =>
+      val ct = IndexCompaction.compactedThrough(root, d)
+      require(batchId > ct,
+        s"batch $batchId replays into an index compacted through $ct " +
+          s"at $d — its partitions were folded into the compacted " +
+          "segment; restart the stream with batch ids above the " +
+          "compaction point")
+    }
     // A real trigger can deliver an empty batch; writing it would
     // leave a postings dir with no data files, and the read-back
     // below would die on schema inference. One extra execution of an
@@ -381,14 +389,80 @@ object TextQueries {
       .parquet(s"$root/terms")
     // per-doc (doc_id, dl) pairs are replicated across a doc's terms —
     // distinct recovers exactly one row per doc (split() always yields
-    // ≥1 token, so no doc is absent from postings)
+    // ≥1 token, so no doc is absent from postings). Persisted as the
+    // doclens/ sidecar: ~16 bytes per doc, the table that lets a later
+    // DELETE price its stats correction without a corpus-wide postings
+    // scan (deleteFromTextIndex). Stats then derive from the WRITTEN
+    // sidecar — one lineage, guaranteed agreement.
     mine.select(col("doc_id"), col("dl")).distinct()
+      .withColumn("batch_id", lit(batchId))
+      .write.partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic").mode("overwrite")
+      .parquet(s"$root/doclens")
+    s.read.parquet(s"$root/doclens")
+      .filter(col("batch_id") === batchId)
       .agg(count(lit(1)).cast("double").as("n_docs"),
         sum(col("dl")).as("sum_dl"))
       .withColumn("batch_id", lit(batchId))
       .write.partitionBy("batch_id")
       .option("partitionOverwriteMode", "dynamic").mode("overwrite")
       .parquet(s"$root/stats")
+  }
+
+  /** Delete documents from the index at `root` — the takedown/GDPR
+    * path (see [[IndexDeletes]] for the tombstone design). O(|ids| +
+    * |doclens|) work, never a postings scan:
+    *
+    *   - the ids are priced against the doclens/ sidecar (one tiny
+    *     row per doc) to find which are LIVE and what document length
+    *     each carried; already-tombstoned and never-ingested ids
+    *     contribute nothing (delete is idempotent by content).
+    *   - tombstones land in `deletes/batch_id=D/`; serving anti-joins
+    *     them and recomputes query-term df from live postings.
+    *   - a NEGATIVE summable stats row (−n_docs, −sum_dl) lands in
+    *     `stats/batch_id=D/` — the existing serve-time stats fold then
+    *     yields live-corpus n_docs/avgdl with no serve-path change.
+    *
+    * Delete batches share the ingest stream's monotone batch-id space.
+    * Replays are safe: the "newly deleted" set is computed against
+    * every OTHER batch's tombstones, so a replay recomputes and
+    * overwrites exactly its first attempt's partitions. Returns the
+    * number of newly tombstoned (live) docs. Pre-sidecar roots (built
+    * before doclens existed) fall back to deriving (doc_id, dl) from
+    * a postings scan — correct, just not cheap. */
+  def deleteFromTextIndex(s: SparkSession, root: String,
+      ids: DataFrame, batchId: Long): Long = {
+    Seq("postings", "stats", "doclens", IndexDeletes.Subdir).foreach { d =>
+      val ct = IndexCompaction.compactedThrough(root, d)
+      require(batchId > ct,
+        s"delete batch $batchId replays into an index compacted " +
+          s"through $ct at $d — restart above the compaction point")
+    }
+    val doclens =
+      if (java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(root, "doclens")))
+        s.read.parquet(s"$root/doclens").select(col("doc_id"), col("dl"))
+      else // pre-sidecar root: recover (doc_id, dl) from postings
+        s.read.parquet(s"$root/postings")
+          .select(col("doc_id"), col("dl")).distinct()
+    val others = IndexDeletes.readDeletesExcept(s, root, "doc_id", batchId)
+    val newly = others.foldLeft(
+      doclens.join(broadcast(ids.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")) { (d, t) =>
+      d.join(broadcast(t), Seq("doc_id"), "left_anti")
+    }.cache()
+    try {
+      val n = newly.count()
+      if (n == 0) return 0L
+      IndexDeletes.writeTombstones(newly, root, "doc_id", batchId)
+      newly.agg((-count(lit(1))).cast("double").as("n_docs"),
+        (-sum(col("dl"))).as("sum_dl"))
+        .withColumn("batch_id", lit(batchId))
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic").mode("overwrite")
+        .parquet(s"$root/stats")
+      n
+    } finally newly.unpersist()
   }
 
   /** snk_text_index — build the inverted index and audit the written
@@ -421,14 +495,51 @@ object TextQueries {
     * op that pays down streamed ingest's small-files debt (see
     * [[IndexCompaction]] for the crash-safe journal). terms/ is
     * already one partition per bucket (each append refreshes touched
-    * buckets in place) and needs no folding. Serve results are
-    * byte-identical before and after — pinned in IndexCompactionSpec. */
+    * buckets in place) and needs no folding — UNLESS tombstones are
+    * pending. Serve results are byte-identical before and after —
+    * pinned in IndexCompactionSpec.
+    *
+    * Pending tombstones (deleteFromTextIndex) are applied physically
+    * here: the postings and doclens folds anti-join them out (forced
+    * even over a single batch), the stats fold sums the deletes'
+    * negative rows away, terms/ df is rebuilt from the live postings,
+    * and the tombstones are cleared LAST — a crash at any earlier
+    * point leaves tombstones in place and serving correct (an
+    * anti-join of already-removed rows is a no-op). */
   def compactTextIndex(s: SparkSession, root: String)
-      : Seq[IndexCompaction.CompactStats] = Seq(
-    IndexCompaction.compact(s, root, "postings", Seq("bucket")),
-    IndexCompaction.compact(s, root, "stats", Nil,
-      merge = _.groupBy().agg(
-        sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))))
+      : Seq[IndexCompaction.CompactStats] = {
+    val del = IndexDeletes.readDeletes(s, root, "doc_id")
+    def dropDeleted(df: DataFrame): DataFrame =
+      del.fold(df)(d => df.join(broadcast(d), Seq("doc_id"), "left_anti"))
+    val stats = Seq(
+      IndexCompaction.compact(s, root, "postings", Seq("bucket"),
+        merge = dropDeleted, force = del.isDefined),
+      IndexCompaction.compact(s, root, "stats", Nil,
+        merge = _.groupBy().agg(
+          sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl")),
+        force = del.isDefined)) ++
+      // pre-sidecar roots have no doclens/ to fold
+      (if (java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(root, "doclens")))
+        Seq(IndexCompaction.compact(s, root, "doclens", Nil,
+          merge = dropDeleted, force = del.isDefined))
+      else Nil)
+    if (del.isDefined) {
+      // deleted docs no longer count toward df: rebuild terms/ from
+      // the now-live postings (compaction already paid a corpus-wide
+      // rewrite; this is one more bounded aggregate over it), then
+      // clear the tombstones — the LAST step, see the scaladoc
+      s.read.parquet(s"$root/postings")
+        .groupBy(col("bucket"), col("term"))
+        .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(s"$root/terms")
+      IndexDeletes.clearDeletes(root)
+    }
+    stats
+  }
 
   /** The snk_text_index_compact fixture: the corpus streamed in as
     * three disjoint batches (split by doc_id mod 3 — union == corpus),
@@ -481,6 +592,71 @@ object TextQueries {
       |  CAST(1 AS BIGINT) AS n_batch_parts
       |FROM tf""".stripMargin
 
+  /** The snk_text_index_delete fixture: the corpus streamed in as
+    * three batches, then every doc_id ≡ 3 (mod 7) tombstoned as delete
+    * batch 3 — the takedown arriving mid-stream. Memoized per JVM like
+    * every sink fixture; the qid times the serve-visible audit, the
+    * lifecycle specs own behavior. */
+  private val deletedRootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def ensureDeletedTextRoot(
+      s: SparkSession, dir: String): String = {
+    val fp = IndexManifest.corpusFingerprint(dir, "documents")
+    deletedRootCache.computeIfAbsent(s"$dir|$fp", { _ =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-textindex-del").toString
+      IndexManifest.registerTempRoot(root)
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      (0 to 2).foreach { b =>
+        appendToIndex(docs.filter(pmod(col("doc_id"), lit(3)) === b),
+          root, batchId = b.toLong)
+      }
+      deleteFromTextIndex(s, root,
+        docs.filter(pmod(col("doc_id"), lit(7)) === 3).select("doc_id"),
+        batchId = 3L)
+      root
+    })
+  }
+
+  /** snk_text_index_delete — tombstone deletes on the persisted
+    * inverted index (see [[deleteFromTextIndex]]): audit what a
+    * SERVE-time reader sees after the delete batch — the live postings
+    * (tombstones anti-joined, exactly the serve path's view) must
+    * equal an index over the never-deleted corpus, and the tombstone
+    * count is the planted id set. Fully oracle-checked: DuckDB
+    * recomputes the live index from `documents` minus the deleted
+    * ids, so a tombstone that leaks into (or over-hides from) the
+    * serve view goes hash-red. */
+  def snkTextIndexDelete(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureDeletedTextRoot(s, dir)
+    val del = IndexDeletes.readDeletes(s, root, "doc_id")
+      .getOrElse(sys.error(s"delete fixture at $root lost its tombstones"))
+    s.read.parquet(s"$root/postings")
+      .join(broadcast(del), Seq("doc_id"), "left_anti")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("term")).as("n_terms"),
+        count(lit(1)).as("n_postings"),
+        sum(col("tf")).cast("long").as("total_tf"))
+      .crossJoin(broadcast(del.agg(count(lit(1)).as("n_tombstones"))))
+  }
+
+  val snkTextIndexDeleteSql: String =
+    """WITH live AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM live)
+      |  GROUP BY 1, 2)
+      |SELECT count(DISTINCT doc_id) AS n_docs,
+      |  count(DISTINCT term) AS n_terms,
+      |  count(*) AS n_postings,
+      |  CAST(sum(tf) AS BIGINT) AS total_tf,
+      |  (SELECT count(*) FROM documents WHERE doc_id % 7 = 3)
+      |    AS n_tombstones
+      |FROM tf""".stripMargin
+
   /** text_bm25_indexed — the SAME top-20 as text_bm25, served from
     * the persisted index instead of a corpus scan: the query's term
     * buckets prune to a known directory subset (PartitionFilters on
@@ -502,13 +678,26 @@ object TextQueries {
       s: SparkSession, root: String,
       terms: Seq[String] = BM25_QUERY, k: Int = 20): DataFrame = {
     val buckets = terms.map(idxBucketOf).distinct
-    val postings = s.read.parquet(s"$root/postings")
+    val del = IndexDeletes.readDeletes(s, root, "doc_id")
+    val postings0 = s.read.parquet(s"$root/postings")
       .filter(col("bucket").isin(buckets: _*) &&
         col("term").isin(terms: _*))
-    val df = s.read.parquet(s"$root/terms")
-      .filter(col("bucket").isin(buckets: _*) &&
-        col("term").isin(terms: _*))
-      .select(col("term"), col("df"))
+    // tombstones present: hide deleted docs and recompute query-term
+    // df from the LIVE pruned postings (a term lives wholly in its
+    // bucket, so the pruned scan sees that term's every posting —
+    // the recount is exact and costs only the already-read rows).
+    // Corpus stats need no special path: the delete wrote a negative
+    // summable stats row, so the fold below is already live-corpus.
+    val postings = del.fold(postings0)(d =>
+      postings0.join(broadcast(d), Seq("doc_id"), "left_anti"))
+    val df = del match {
+      case None => s.read.parquet(s"$root/terms")
+        .filter(col("bucket").isin(buckets: _*) &&
+          col("term").isin(terms: _*))
+        .select(col("term"), col("df"))
+      case Some(_) => postings.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    }
     // fold the summable per-batch stats: ≤ one tiny row per ingest
     // batch, avgdl = Σsum_dl / Σn_docs
     val stats = s.read.parquet(s"$root/stats")
@@ -582,13 +771,23 @@ object TextQueries {
     val qterms = queries.select(col("term")).distinct()
       .collect().map(_.getString(0)).toSeq // bounded: the request's terms
     val buckets = qterms.map(idxBucketOf).distinct
-    val postings = s.read.parquet(s"$root/postings")
+    val del = IndexDeletes.readDeletes(s, root, "doc_id")
+    val postings0 = s.read.parquet(s"$root/postings")
       .filter(col("bucket").isin(buckets: _*) &&
         col("term").isin(qterms: _*))
-    val dfr = s.read.parquet(s"$root/terms")
-      .filter(col("bucket").isin(buckets: _*) &&
-        col("term").isin(qterms: _*))
-      .select(col("term"), col("df"))
+    // same tombstone handling as the single-query serve: anti-join +
+    // exact live df recount over the pruned rows (stats fold already
+    // live via the delete's negative row)
+    val postings = del.fold(postings0)(d =>
+      postings0.join(broadcast(d), Seq("doc_id"), "left_anti"))
+    val dfr = del match {
+      case None => s.read.parquet(s"$root/terms")
+        .filter(col("bucket").isin(buckets: _*) &&
+          col("term").isin(qterms: _*))
+        .select(col("term"), col("df"))
+      case Some(_) => postings.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    }
     val stats = s.read.parquet(s"$root/stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
       .withColumn("avgdl", col("sum_dl") / col("n_docs"))
@@ -1910,6 +2109,7 @@ object TextQueries {
     "snk_text_index" -> (snkTextIndex _),
     "snk_text_index_compact" -> (snkTextIndexCompact _),
     "text_langid" -> (textLangid _),
+    "snk_text_index_delete" -> (snkTextIndexDelete _),
     "text_fingerprint" -> (textFingerprint _),
     "text_containment" -> (textContainment _)
   )
@@ -1946,6 +2146,7 @@ object TextQueries {
     "text_bm25_indexed" -> textBm25Sql,
     "snk_text_index" -> snkTextIndexSql,
     "snk_text_index_compact" -> snkTextIndexCompactSql,
+    "snk_text_index_delete" -> snkTextIndexDeleteSql,
     "text_langid" -> textLangidSql
     // text_fingerprint / text_containment: rolling-hash-valued (64-bit
     // wraparound arithmetic DuckDB can't mirror) — unit-tested

@@ -42,7 +42,7 @@ class IndexCompactionSpec extends SparkSpec {
       .drop("batch_id").collect().map(_.toString).sorted
     val stats = TextQueries.compactTextIndex(spark, root)
     assert(stats.forall(!_.noop))
-    assert(stats.map(_.subdir) == Seq("postings", "stats"))
+    assert(stats.map(_.subdir) == Seq("postings", "stats", "doclens"))
     // fewer files, single batch partition everywhere
     stats.foreach { st =>
       assert(st.filesAfter < st.filesBefore,

@@ -1,0 +1,217 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Tombstone deletes on the persisted indexes (IndexDeletes +
+  * deleteFromTextIndex / deleteFromVectorIndex): a deleted id must be
+  * invisible to every serve path the moment the tombstone lands —
+  * with EXACT score parity against an index whose corpus never held
+  * the deleted docs (postings, df, and corpus stats all corrected) —
+  * replays and re-deletes must be no-ops, and the next compaction
+  * must remove the rows physically and clear the tombstones.
+  */
+class IndexDeleteSpec extends SparkSpec {
+
+  private def docs = graft.Tables.documents(spark, sf)
+    .select(col("doc_id"), col("text"))
+
+  private def tmpRoot(prefix: String): String = {
+    val r = Files.createTempDirectory(prefix).toString
+    IndexManifest.registerTempRoot(r)
+    r
+  }
+
+  /** Streamed-in text root (3 batches) with doc_id ≡ 2 (mod 5)
+    * tombstoned as batch 3, plus a never-deleted twin over the
+    * filtered corpus. */
+  private def deletedAndTwin(): (String, String, Long) = {
+    val root = tmpRoot("graft-del")
+    (0 to 2).foreach { b =>
+      TextQueries.appendToIndex(
+        docs.filter(pmod(col("doc_id"), lit(3)) === b), root, b.toLong)
+    }
+    val n = TextQueries.deleteFromTextIndex(spark, root,
+      docs.filter(pmod(col("doc_id"), lit(5)) === 2).select("doc_id"), 3L)
+    val twin = tmpRoot("graft-del-twin")
+    TextQueries.appendToIndex(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 2), twin, 0L)
+    (root, twin, n)
+  }
+
+  test("text: a deleted doc is invisible with exact filtered-corpus parity") {
+    val (root, twin, n) = deletedAndTwin()
+    assert(n == docs.filter(pmod(col("doc_id"), lit(5)) === 2).count())
+    // single serve: scores depend on postings AND df AND n_docs/avgdl —
+    // exact equality proves all three corrections, not just the hide
+    assert(TextQueries.bm25ServeFrom(spark, root).collect().toSeq ==
+      TextQueries.bm25ServeFrom(spark, twin).collect().toSeq)
+    val alt = Seq("the", "data")
+    assert(TextQueries.bm25ServeFrom(spark, root, alt, 7).collect().toSeq ==
+      TextQueries.bm25ServeFrom(spark, twin, alt, 7).collect().toSeq)
+    // batch serve path shares the correction logic but is its own code
+    import spark.implicits._
+    val q = TextQueries.BM25_BATCH
+      .flatMap { case (id, ts) => ts.distinct.map(id -> _) }
+      .toDF("query_id", "term")
+    assert(
+      TextQueries.bm25ServeBatchFrom(spark, root, q)
+        .collect().map(_.toString).sorted.toSeq ==
+      TextQueries.bm25ServeBatchFrom(spark, twin, q)
+        .collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("text: delete replays overwrite themselves; re-deletes are no-ops") {
+    val (root, _, n) = deletedAndTwin()
+    val ids = docs.filter(pmod(col("doc_id"), lit(5)) === 2).select("doc_id")
+    val serveBefore = TextQueries.bm25ServeFrom(spark, root).collect().toSeq
+    val statsBefore = spark.read.parquet(s"$root/stats")
+      .agg(sum("n_docs"), sum("sum_dl")).collect().head
+    // replay of the SAME delete batch recomputes the same newly-set
+    assert(TextQueries.deleteFromTextIndex(spark, root, ids, 3L) == n)
+    // re-delete of already-dead ids under a FRESH batch is a no-op
+    assert(TextQueries.deleteFromTextIndex(spark, root, ids, 4L) == 0L)
+    assert(spark.read.parquet(s"$root/deletes")
+      .select("doc_id").distinct().count() == n)
+    assert(spark.read.parquet(s"$root/stats")
+      .agg(sum("n_docs"), sum("sum_dl")).collect().head == statsBefore)
+    assert(TextQueries.bm25ServeFrom(spark, root).collect().toSeq
+      == serveBefore)
+  }
+
+  test("text: compaction applies deletes physically and clears tombstones") {
+    val (root, twin, _) = deletedAndTwin()
+    val before = TextQueries.bm25ServeFrom(spark, root).collect().toSeq
+    val stats = TextQueries.compactTextIndex(spark, root)
+    assert(stats.forall(!_.noop))
+    // rows physically gone from every layout, tombstones cleared
+    assert(spark.read.parquet(s"$root/postings")
+      .filter(pmod(col("doc_id"), lit(5)) === 2).count() == 0)
+    assert(spark.read.parquet(s"$root/doclens")
+      .filter(pmod(col("doc_id"), lit(5)) === 2).count() == 0)
+    assert(!Files.exists(Paths.get(root, "deletes")))
+    // folded stats row equals the live corpus's
+    val live = spark.read.parquet(s"$root/stats").collect().head
+    val ref = spark.read.parquet(s"$twin/stats").collect().head
+    assert(live.getAs[Double]("n_docs") == ref.getAs[Double]("n_docs"))
+    assert(live.getAs[Double]("sum_dl") == ref.getAs[Double]("sum_dl"))
+    // terms/ df was rebuilt over live postings: the no-tombstone serve
+    // path (terms-table df) must still match the twin exactly
+    assert(TextQueries.bm25ServeFrom(spark, root).collect().toSeq == before)
+    assert(TextQueries.bm25ServeFrom(spark, root).collect().toSeq ==
+      TextQueries.bm25ServeFrom(spark, twin).collect().toSeq)
+    // stats folded through the DELETE batch id (3) even though
+    // postings only held ids 0-2 — ingest must restart above BOTH
+    assert(IndexCompaction.compactedThrough(root, "stats") == 3L)
+    val e = intercept[IllegalArgumentException] {
+      TextQueries.appendToIndex(
+        docs.withColumn("doc_id", col("doc_id") + 500000L), root, 3L)
+    }
+    assert(e.getMessage.contains("at stats"))
+    TextQueries.appendToIndex(
+      docs.withColumn("doc_id", col("doc_id") + 500000L), root, 4L)
+  }
+
+  test("text: delete batches respect the compaction guard") {
+    val (root, _, _) = deletedAndTwin()
+    TextQueries.compactTextIndex(spark, root)
+    val e = intercept[IllegalArgumentException] {
+      TextQueries.deleteFromTextIndex(spark, root,
+        docs.select("doc_id").limit(1), 2L)
+    }
+    assert(e.getMessage.contains("compacted through"))
+  }
+
+  test("text: durable root serves deletes after reopen") {
+    val root = tmpRoot("graft-del-durable")
+    TextQueries.buildTextIndexAt(spark, sf, root)
+    TextQueries.deleteFromTextIndex(spark, root,
+      docs.filter(pmod(col("doc_id"), lit(5)) === 2).select("doc_id"), 1L)
+    val served = TextQueries.bm25ServeFrom(
+      spark, TextQueries.openTextIndex(root)).collect().toSeq
+    val twin = tmpRoot("graft-del-durable-twin")
+    TextQueries.appendToIndex(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 2), twin, 0L)
+    assert(served == TextQueries.bm25ServeFrom(spark, twin).collect().toSeq)
+  }
+
+  /** Vector root with every vector ingested and doc_id ≡ 2 (mod 5)
+    * tombstoned, plus a twin sharing the SAME quantizer whose corpus
+    * never held the deleted vectors. */
+  private def vecDeletedAndTwin(): (String, String) = {
+    val e = graft.Tables.embeddings(spark, sf)
+    val root = tmpRoot("graft-vdel")
+    SimilarityQueries.initVectorIndex(e, root)
+    val twin = tmpRoot("graft-vdel-twin")
+    Files.createDirectories(Paths.get(twin, "centroids"))
+    // identical quantizer by construction: copy the frozen centroids
+    val src = Paths.get(root, "centroids")
+    val walk = Files.walk(src)
+    try walk.iterator().forEachRemaining { p =>
+      if (Files.isRegularFile(p))
+        Files.copy(p, Paths.get(twin, "centroids",
+          p.getFileName.toString))
+    } finally walk.close()
+    SimilarityQueries.appendToVectorIndex(e, root, 0L)
+    SimilarityQueries.deleteFromVectorIndex(spark, root,
+      e.filter(pmod(col("vec_id"), lit(5)) === 2).select("vec_id"), 1L)
+    SimilarityQueries.appendToVectorIndex(
+      e.filter(pmod(col("vec_id"), lit(5)) =!= 2), twin, 0L)
+    (root, twin)
+  }
+
+  test("vector: deleted ids vanish from both serve paths with twin parity") {
+    val (root, twin) = vecDeletedAndTwin()
+    val e = SimilarityQueries.withNorm(graft.Tables.embeddings(spark, sf))
+    val qs = e.filter(col("vec_id").isin(0L, 7L, 26L))
+      .select(col("vec_id"), col("emb"), col("nrm")).collect()
+    qs.foreach { r =>
+      val qv = r.getSeq[Double](1).toArray
+      val a = SimilarityQueries
+        .annServeFrom(spark, root, qv, r.getDouble(2)).collect().toSeq
+      assert(a.forall(_.getLong(0) % 5 != 2))
+      assert(a == SimilarityQueries
+        .annServeFrom(spark, twin, qv, r.getDouble(2)).collect().toSeq)
+    }
+    val q = e.filter(col("vec_id").isin(0L, 7L, 26L))
+      .select(col("vec_id").as("query_id"),
+        col("emb").as("qv"), col("nrm").as("qn"))
+    val a = SimilarityQueries.annServeBatchFrom(spark, root, q)
+      .collect().map(_.toString).sorted.toSeq
+    val b = SimilarityQueries.annServeBatchFrom(spark, twin, q)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("vector: compaction applies deletes physically and clears them") {
+    val (root, _) = vecDeletedAndTwin()
+    val e = SimilarityQueries.withNorm(graft.Tables.embeddings(spark, sf))
+    val q = e.filter(col("vec_id") === 0L)
+      .select(col("emb"), col("nrm")).collect().head
+    val qv = q.getSeq[Double](0).toArray
+    val before = SimilarityQueries
+      .annServeFrom(spark, root, qv, q.getDouble(1)).collect().toSeq
+    val st = SimilarityQueries.compactVectorIndex(spark, root)
+    assert(!st.noop)
+    assert(spark.read.parquet(s"$root/assignments")
+      .filter(pmod(col("vec_id"), lit(5)) === 2).count() == 0)
+    assert(!Files.exists(Paths.get(root, "deletes")))
+    assert(SimilarityQueries
+      .annServeFrom(spark, root, qv, q.getDouble(1)).collect().toSeq
+      == before)
+  }
+
+  test("the declared delete qids audit the serve-visible live set") {
+    val t = TextQueries.snkTextIndexDelete(spark, sf).collect().head
+    assert(t.getAs[Long]("n_tombstones") ==
+      docs.filter(pmod(col("doc_id"), lit(7)) === 3).count())
+    assert(t.getAs[Long]("n_docs") ==
+      docs.filter(pmod(col("doc_id"), lit(7)) =!= 3).count())
+    val v = SimilarityQueries.snkVectorIndexDelete(spark, sf).collect().head
+    assert(v.getAs[Long]("n_tombstones") > 0)
+    assert(v.getAs[Long]("n_live_vectors") > 0)
+  }
+}
