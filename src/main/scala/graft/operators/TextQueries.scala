@@ -442,9 +442,12 @@ object TextQueries {
       if (java.nio.file.Files.isDirectory(
         java.nio.file.Paths.get(root, "doclens")))
         s.read.parquet(s"$root/doclens").select(col("doc_id"), col("dl"))
-      else // pre-sidecar root: recover (doc_id, dl) from postings
+      else if (java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(root, "postings")))
+        // pre-sidecar root: recover (doc_id, dl) from postings
         s.read.parquet(s"$root/postings")
           .select(col("doc_id"), col("dl")).distinct()
+      else return 0L // nothing ingested yet — nothing can be live
     val others = IndexDeletes.readDeletesExcept(s, root, "doc_id", batchId)
     val newly = others.foldLeft(
       doclens.join(broadcast(ids.select(col("doc_id")).distinct()),

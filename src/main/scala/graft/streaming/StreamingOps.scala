@@ -537,4 +537,50 @@ object StreamingOps {
         graft.operators.SimilarityQueries
           .appendToVectorIndex(batch, indexRoot, id)
       }
+
+  /** stream_index_delete — a takedown FEED against the serving index:
+    * each micro-batch of doc_ids is tombstoned by the SAME
+    * deleteFromTextIndex kernel (tombstones + negative stats row;
+    * see IndexDeletes), so deleted docs vanish from serve as the
+    * batch commits. Exactly-once by layout: replays recompute their
+    * newly-deleted set against every OTHER batch's tombstones and
+    * overwrite their own partitions.
+    *
+    * `batchIdBase` maps this stream's 0-based micro-batch counter
+    * into the index's SINGLE monotone batch-id space: tombstone and
+    * stats partitions are keyed by batch_id alone, so a delete stream
+    * must not collide with the ingest stream's ids — give it a base
+    * above every id the ingest stream will ever emit (e.g. a
+    * generation epoch << 32). */
+  def indexDeleteSink(
+      ids: DataFrame, indexRoot: String, checkpoint: String,
+      batchIdBase: Long): DataStreamWriter[org.apache.spark.sql.Row] =
+    ids.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.TextQueries
+          .deleteFromTextIndex(batch.sparkSession, indexRoot,
+            batch, batchIdBase + id)
+        ()
+      }
+
+  /** stream_vector_delete — the vector twin: micro-batches of vec_ids
+    * tombstoned via deleteFromVectorIndex (pure tombstone writes; the
+    * frozen quantizer needs no correction). Same batchIdBase contract
+    * as [[indexDeleteSink]]. */
+  def vectorDeleteSink(
+      ids: DataFrame, indexRoot: String, checkpoint: String,
+      batchIdBase: Long): DataStreamWriter[org.apache.spark.sql.Row] =
+    ids.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.SimilarityQueries
+          .deleteFromVectorIndex(batch.sparkSession, indexRoot,
+            batch, batchIdBase + id)
+        ()
+      }
 }

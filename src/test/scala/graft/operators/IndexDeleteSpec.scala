@@ -204,6 +204,44 @@ class IndexDeleteSpec extends SparkSpec {
       == before)
   }
 
+  test("streamed takedown feed serves like the batch delete") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = tmpRoot("graft-sdel")
+    TextQueries.appendToIndex(docs, root, 0L)
+    val delIds = docs.filter(pmod(col("doc_id"), lit(5)) === 2)
+      .select("doc_id").as[Long].collect().toSeq
+    val (h1, h2) = delIds.splitAt(delIds.length / 2)
+    val ckpt = Files.createTempDirectory("graft-sdel-ckpt").toString
+    // two AvailableNow runs over one checkpoint: two micro-batch ids,
+    // both mapped above the ingest stream's ids by the base
+    val mem = MemoryStream[Long]
+    mem.addData(h1: _*)
+    graft.streaming.StreamingOps
+      .indexDeleteSink(mem.toDF().toDF("doc_id"), root, ckpt,
+        batchIdBase = 1000L)
+      .start().awaitTermination(120000)
+    mem.addData(h2: _*)
+    graft.streaming.StreamingOps
+      .indexDeleteSink(mem.toDF().toDF("doc_id"), root, ckpt,
+        batchIdBase = 1000L)
+      .start().awaitTermination(120000)
+    val twin = tmpRoot("graft-sdel-twin")
+    TextQueries.appendToIndex(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 2), twin, 0L)
+    val served = TextQueries.bm25ServeFrom(spark, root).collect().toSeq
+    assert(served == TextQueries.bm25ServeFrom(spark, twin).collect().toSeq)
+    // a third run with no new data replays nothing and changes nothing
+    graft.streaming.StreamingOps
+      .indexDeleteSink(mem.toDF().toDF("doc_id"), root, ckpt,
+        batchIdBase = 1000L)
+      .start().awaitTermination(120000)
+    assert(TextQueries.bm25ServeFrom(spark, root).collect().toSeq == served)
+    assert(spark.read.parquet(s"$root/deletes")
+      .select("doc_id").distinct().count() == delIds.length)
+  }
+
   test("the declared delete qids audit the serve-visible live set") {
     val t = TextQueries.snkTextIndexDelete(spark, sf).collect().head
     assert(t.getAs[Long]("n_tombstones") ==
