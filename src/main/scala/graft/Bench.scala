@@ -44,6 +44,8 @@ object Bench {
       graft.operators.TextQueries.ensureDeletedTextRoot(spark, sfDir)
     if (only.forall(_.contains("snk_vector_index_delete")))
       graft.operators.SimilarityQueries.ensureDeletedVectorRoot(spark, sfDir)
+    if (only.forall(_.contains("sim_ann_ivf_rebuild")))
+      graft.operators.SimilarityQueries.ensureRebuiltVectorRoot(spark, sfDir)
     // same split for the catalog e2e fixtures: the qids measure the
     // CDC diff / HTTP search walk, not fixture construction
     if (only.forall(_.contains("catalog_changelog")))

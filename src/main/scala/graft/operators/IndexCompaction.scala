@@ -183,18 +183,21 @@ object IndexCompaction {
     * opener waits for the holder to finish rather than racing the
     * moves; a lease older than [[LeaseStaleMs]] is presumed orphaned
     * by a crashed holder and broken. */
-  def recover(root: String, subdir: String): Unit = {
-    // fast path — no journal entry, nothing to do, no lease taken
-    if (IndexManifest.readIfExists(root).get(pendingKey(subdir)).isEmpty)
-      return
-    val lease = Paths.get(root, s"$subdir.recovering")
+  /** Serialize a destructive recovery section on `root` behind an
+    * atomic-create lease file (`<name>.recovering`): a second opener
+    * waits the holder out; a lease older than [[LeaseStaleMs]] is
+    * presumed orphaned by a crashed holder and broken. Shared by
+    * compaction recovery and the IVF rebuild's swap recovery. */
+  private[operators] def withRecoveryLease(root: String, name: String)(
+      body: => Unit): Unit = {
+    val lease = Paths.get(root, s"$name.recovering")
     val deadline = System.nanoTime() + LeaseStaleMs * 2000000L
     var held = false
     while (!held) {
       try { Files.createFile(lease); held = true }
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          // another opener is recovering this subdir — wait it out
+          // another opener is recovering this section — wait it out
           val age = try System.currentTimeMillis() -
             Files.getLastModifiedTime(lease).toMillis
           catch { case _: java.io.IOException => 0L }
@@ -207,7 +210,14 @@ object IndexCompaction {
           else Thread.sleep(50)
       }
     }
-    try {
+    try body finally Files.deleteIfExists(lease)
+  }
+
+  def recover(root: String, subdir: String): Unit = {
+    // fast path — no journal entry, nothing to do, no lease taken
+    if (IndexManifest.readIfExists(root).get(pendingKey(subdir)).isEmpty)
+      return
+    withRecoveryLease(root, subdir) {
       // re-read under the lease: the previous holder may have finished
       val m = IndexManifest.readIfExists(root)
       m.get(pendingKey(subdir)).foreach { p =>
@@ -230,7 +240,7 @@ object IndexCompaction {
             remove = Seq(pendingKey(subdir)))
         }
       }
-    } finally Files.deleteIfExists(lease)
+    }
   }
 
   private def stagingDir(root: String, subdir: String): Path =

@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -437,10 +439,14 @@ object SimilarityQueries {
     * would otherwise mis-probe silently). Returns the root for
     * [[annServeFrom]] / [[annServeBatchFrom]]. */
   def openVectorIndex(s: SparkSession, root: String): String = {
-    val m = IndexManifest.open(root, "vector-ivf",
+    val m0 = IndexManifest.open(root, "vector-ivf",
       Map("ivf_assign" -> IVF_ASSIGN.toString))
-    // a compaction that crashed mid-swap replays to completion here
+    // a compaction or rebuild that crashed mid-swap replays here
     IndexCompaction.recover(root, "assignments")
+    recoverRebuild(root)
+    // re-read: a replayed rebuild commit updates n_lists
+    val m = if (m0.contains("rebuild.pending"))
+      IndexManifest.readIfExists(root) else m0
     val nLists = s.read.parquet(s"$root/centroids").count()
     require(m.get("n_lists").contains(nLists.toString),
       s"index at $root: manifest says ${m.getOrElse("n_lists", "?")} lists " +
@@ -704,6 +710,133 @@ object SimilarityQueries {
     stats
   }
 
+  /** Rebuild the IVF quantizer from the index's current LIVE vectors —
+    * the maintenance op [[simAnnIvfAudit]]'s `rebuild_due` signal asks
+    * for. Streamed ingest assigns against the FROZEN quantizer by
+    * design, so a drifting corpus piles into ever-fewer lists; the
+    * audit prices that, and THIS pays it down: retrain (the same
+    * hash-sample + one-Lloyd-step trainer the first build used, now
+    * over everything ingested since), reassign every live vector, and
+    * swap both artifacts in atomically. Pending tombstones are applied
+    * in passing (the rebuild reads only live vectors and clears the
+    * tombstones on commit).
+    *
+    * Crash-safe via the same journal discipline as compaction:
+    *
+    *   1. STAGE   — write the new centroids/ and assignments/ under
+    *                `rebuild.staging/`, mark `_STAGED`. Live dirs
+    *                untouched; serving continues on the old quantizer.
+    *   2. JOURNAL — `rebuild.pending = newId` in the manifest.
+    *   3. SWAP    — replace both live dirs with the staged ones
+    *                (idempotent: an already-moved dir is skipped).
+    *   4. COMMIT  — update `n_lists`, fence the batch-id space
+    *                (`compact.through.assignments = newId`, so every
+    *                pre-rebuild batch id is rejected on replay and
+    *                ingest restarts above the rebuild), clear the
+    *                journal key and tombstones, drop the staging dir.
+    *
+    * [[openVectorIndex]] replays an interrupted swap from the journal
+    * (under the shared recovery lease). Like compaction, rebuild is a
+    * quiesce-time op: run it with the ingest stream stopped. Returns
+    * the new fold id ingest must resume above. */
+  def rebuildVectorIndex(s: SparkSession, root: String): Long = {
+    IndexCompaction.recover(root, "assignments")
+    recoverRebuild(root)
+    import s.implicits._
+    val aDir = Paths.get(root, "assignments")
+    val del = IndexDeletes.readDeletes(s, root, "vec_id")
+    val live0 = s.read.parquet(s"$root/assignments")
+      .dropDuplicates("vec_id")
+      .select(col("vec_id"), col("emb"), col("nrm"))
+    val live = del.fold(live0)(d =>
+      live0.join(broadcast(d), Seq("vec_id"), "left_anti"))
+    val newId = (IndexCompaction.listBatchIds(aDir) :+
+      IndexCompaction.compactedThrough(root, "assignments")).max + 1L
+    val tmp = Paths.get(root, "rebuild.staging")
+    IndexManifest.deleteRecursively(tmp)
+    // STAGE: train on the live set, then assign the live set — the
+    // staged artifacts materialize fully before any live dir is
+    // touched, so the read-from-old / write-to-staged lineage is safe
+    val k = ivfK(live.count())
+    val cArr = refineCentroids(s, live,
+      ivfCentroids(live, k).collect().map { r =>
+        (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+      })
+    cArr.toSeq.map { case (cid, ce, cn) => (cid, ce.toSeq, cn) }
+      .toDF("cid", "cemb", "cnrm")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(tmp.resolve("centroids").toString)
+    val cBc = s.sparkContext.broadcast(cArr)
+    val assignUdf = udf { (emb: Seq[Double], nrm: Double) =>
+      topCentroids(cBc.value, IVF_ASSIGN, emb, nrm)
+    }
+    live.withColumn("cid", explode(assignUdf(col("emb"), col("nrm"))))
+      .select(col("cid"), col("vec_id"), col("emb"), col("nrm"))
+      .withColumn("batch_id", lit(newId))
+      .repartition(col("cid"))
+      .write.partitionBy("cid", "batch_id").mode("overwrite")
+      .parquet(tmp.resolve("assignments").toString)
+    Files.createFile(tmp.resolve("_STAGED"))
+    // JOURNAL (the new list count rides the journal so a recovering
+    // opener can commit n_lists without a Spark read), then SWAP+COMMIT
+    IndexManifest.update(root, Map(
+      "rebuild.pending" -> newId.toString,
+      "rebuild.pending.nlists" -> cArr.length.toString))
+    finalizeRebuild(root)
+    newId
+  }
+
+  /** Phases 3+4 of [[rebuildVectorIndex]] — idempotent from any crash
+    * point after the journal entry exists. */
+  private def finalizeRebuild(root: String): Unit = {
+    val pending = IndexManifest.readIfExists(root).get("rebuild.pending")
+    require(pending.isDefined, s"no pending rebuild at $root")
+    val newId = pending.get.toLong
+    val tmp = Paths.get(root, "rebuild.staging")
+    Seq("assignments", "centroids").foreach { d =>
+      val staged = tmp.resolve(d)
+      val target = Paths.get(root, d)
+      if (Files.exists(staged)) {
+        IndexManifest.deleteRecursively(target)
+        try Files.move(staged, target)
+        catch {
+          case e: java.nio.file.NoSuchFileException =>
+            if (!Files.isDirectory(target)) throw e
+        }
+      }
+    }
+    val nLists = IndexManifest.readIfExists(root)
+      .getOrElse("rebuild.pending.nlists",
+        sys.error(s"rebuild journal at $root lost its nlists record"))
+    IndexManifest.update(root,
+      Map("compact.through.assignments" -> newId.toString,
+        "n_lists" -> nLists),
+      remove = Seq("rebuild.pending", "rebuild.pending.nlists"))
+    IndexDeletes.clearDeletes(root)
+    IndexManifest.deleteRecursively(tmp)
+  }
+
+  /** Replay an interrupted rebuild swap (journal entry present). A
+    * complete (`_STAGED`) staging dir re-runs the swap; debris without
+    * the marker is abandoned — the live dirs were never touched. */
+  private[operators] def recoverRebuild(root: String): Unit = {
+    if (IndexManifest.readIfExists(root).get("rebuild.pending").isEmpty)
+      return
+    IndexCompaction.withRecoveryLease(root, "rebuild") {
+      val m = IndexManifest.readIfExists(root)
+      if (m.get("rebuild.pending").isDefined) {
+        val tmp = Paths.get(root, "rebuild.staging")
+        if (Files.exists(tmp.resolve("_STAGED")))
+          finalizeRebuild(root)
+        else {
+          IndexManifest.deleteRecursively(tmp)
+          IndexManifest.update(root, Map.empty,
+            remove = Seq("rebuild.pending", "rebuild.pending.nlists"))
+        }
+      }
+    }
+  }
+
   /** Delete vectors from the IVF index at `root` — the vector twin of
     * [[TextQueries.deleteFromTextIndex]] (see [[IndexDeletes]] for the
     * tombstone design). O(|ids|) work, no scan at all: the IVF layout
@@ -772,6 +905,72 @@ object SimilarityQueries {
         count(lit(1)).as("n_assignments"),
         countDistinct(col("batch_id")).as("n_batch_parts"))
   }
+
+  /** The sim_ann_ivf_rebuild fixture: the audit→rebuild lifecycle.
+    * Corpus ingested as batch 0 against a quantizer trained on it;
+    * then a DRIFTED batch floods in — one clone per non-null-embedding
+    * row, every clone the identical all-ones vector, so they pile into
+    * the same few lists (the audit's worst case); then the rebuild
+    * retrains on everything and reassigns. Memoized per JVM. */
+  private val rebuiltVecRootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def ensureRebuiltVectorRoot(
+      s: SparkSession, dir: String): String = {
+    val fp = IndexManifest.corpusFingerprint(dir, "embeddings")
+    rebuiltVecRootCache.computeIfAbsent(s"$dir|$fp", { _ =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-vecindex-rebuild").toString
+      IndexManifest.registerTempRoot(root)
+      val e = embeddings(s, dir)
+      initVectorIndex(e, root)
+      appendToVectorIndex(e, root, batchId = 0L)
+      appendToVectorIndex(driftClones(e), root, batchId = 1L)
+      rebuildVectorIndex(s, root)
+      root
+    })
+  }
+
+  /** The drifted ingest: one clone per non-null-embedding row, all
+    * sharing one direction (the all-ones vector) a corpus-trained
+    * quantizer has no centroid near. */
+  private[operators] def driftClones(e: DataFrame): DataFrame =
+    e.filter(col("embedding").isNotNull)
+      .select((col("vec_id") + 200000L).as("vec_id"), col("label"),
+        transform(col("embedding"), _ => lit(1.0d)).as("embedding"))
+
+  /** sim_ann_ivf_rebuild — the operation [[simAnnIvfAudit]]'s
+    * rebuild_due signal triggers ([[rebuildVectorIndex]]): retrain the
+    * quantizer on the drifted corpus and reassign. The declared audit
+    * is oracle-checked on the rebuild's hard invariant — the live
+    * vector set is PRESERVED exactly (original non-degenerates plus
+    * the planted clones, nothing lost, nothing invented) — while the
+    * float-order-dependent imbalance improvement is pinned in
+    * IvfRebuildSpec. */
+  def simAnnIvfRebuild(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureRebuiltVectorRoot(s, dir)
+    val e = embeddings(s, dir)
+    val expected = withNorm(e).filter(col("nrm") > 0).select(col("vec_id"))
+      .union(driftClones(e).select(col("vec_id")))
+    val present = s.read.parquet(s"$root/assignments")
+      .select(col("vec_id")).distinct()
+    val missing = expected.join(present, Seq("vec_id"), "left_anti").count()
+    val invented = present.join(expected, Seq("vec_id"), "left_anti").count()
+    present.agg(count(lit(1)).as("n_vectors"))
+      .withColumn("vectors_preserved", lit(missing == 0 && invented == 0))
+  }
+
+  /** Mirrors the assign kernel's degeneracy rule (null embedding or
+    * zero norm never enters a list); every planted clone is the
+    * all-ones vector, so all survive. */
+  val simAnnIvfRebuildSql: String =
+    """SELECT
+      |  (SELECT count(*) FROM embeddings
+      |   WHERE embedding IS NOT NULL
+      |     AND list_sum(list_transform(embedding, x -> x * x)) > 0)
+      |  + (SELECT count(*) FROM embeddings WHERE embedding IS NOT NULL)
+      |    AS n_vectors,
+      |  TRUE AS vectors_preserved""".stripMargin
 
   /** The snk_vector_index_delete fixture: quantizer trained on the
     * full corpus, vectors streamed in as three batches, then every
@@ -1178,6 +1377,7 @@ object SimilarityQueries {
     "snk_vector_index" -> (snkVectorIndex _),
     "snk_vector_index_compact" -> (snkVectorIndexCompact _),
     "snk_vector_index_delete" -> (snkVectorIndexDelete _),
+    "sim_ann_ivf_rebuild" -> (simAnnIvfRebuild _),
     "dedup_near_embedding" -> (dedupNearEmbedding _),
     "sim_knn_join" -> (simKnnJoin _),
     "dedup_semantic" -> (dedupSemantic _),
@@ -1192,7 +1392,8 @@ object SimilarityQueries {
     "sim_topk_cosine" -> simTopkCosineSql,
     "sim_pairwise_threshold" -> simPairwiseThresholdSql,
     "emb_stats" -> embStatsSql,
-    "snk_vector_index_delete" -> snkVectorIndexDeleteSql
+    "snk_vector_index_delete" -> snkVectorIndexDeleteSql,
+    "sim_ann_ivf_rebuild" -> simAnnIvfRebuildSql
     // sim_ann_lsh: approximate — recall property-tested
   )
 }
