@@ -945,8 +945,11 @@ object TextQueries {
     * containment (boilerplate/common phrases) — the standard
     * stop-gram filter caps every bucket at maxDf BEFORE the doc list
     * is collected, bounding both the collect_list buffers and the
-    * explode fan-out at |grams|×maxDf². Hash-valued ⇒ rows-only;
-    * winnow overlap behavior unit-tested. */
+    * explode fan-out at |grams|×maxDf². Oracle: the full winnow
+    * recompute ([[winnowFpCte]]) extended relationally — df cap,
+    * a≤b pair counting, containment threshold — so the whole
+    * contamination verdict is hash-gated; overlap behavior
+    * additionally unit-tested. */
   def textContainment(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val maxDf = 20 // stop-gram cap: buckets bigger than this are noise
@@ -975,9 +978,76 @@ object TextQueries {
       .select(col("a"), col("b"), col("shared"), col("containment"))
   }
 
+  val textContainmentSql: String =
+    s"""WITH $winnowFpCte,
+       |grams AS (SELECT doc_id, unnest(f) AS gram FROM fp),
+       |keep AS (SELECT gram FROM grams GROUP BY gram
+       |         HAVING count(*) <= 20),
+       |g2 AS (SELECT doc_id, gram FROM grams
+       |       WHERE gram IN (SELECT gram FROM keep)),
+       |pairs AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+       |  FROM g2 x JOIN g2 y USING (gram) WHERE x.doc_id <= y.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM g2 GROUP BY 1)
+       |SELECT a, b, shared,
+       |  round(shared / least(na.n, nb.n), 4) AS containment
+       |FROM pairs JOIN sizes na ON na.doc_id = pairs.a
+       |JOIN sizes nb ON nb.doc_id = pairs.b
+       |WHERE a < b AND round(shared / least(na.n, nb.n), 4) >= 0.5"""
+      .stripMargin
+
+  /** The winnow kernel recomputed in DuckDB — EXACTLY, including
+    * Java's 64-bit wraparound polynomial hash: the k-gram arithmetic
+    * runs in HUGEINT (wrapping once at the end ≡ wrapping every
+    * step — both are the same ring homomorphism mod 2^64) and casts
+    * back to signed BIGINT, so even the hash VALUES are independently
+    * re-derived, not trusted. Constants mirror TextFunctions.winnow's
+    * defaults (k = 8, w = 4, seed = 1125899906842597, base 31); BMP
+    * text makes DuckDB's codepoint substr agree with Java's charAt. */
+  private def winnowFpCte: String = {
+    val poly = (0 until 8).map { j =>
+      if (j < 7)
+        s"unicode(substr(text, i+$j, 1))::HUGEINT * " +
+          s"${BigInt(31).pow(7 - j)}::HUGEINT"
+      else "unicode(substr(text, i+7, 1))::HUGEINT"
+    }.mkString("\n      + ")
+    val wrapped =
+      s"""CAST(((1125899906842597::HUGEINT * 852891037441::HUGEINT
+         |      + $poly)
+         |    % 18446744073709551616::HUGEINT
+         |    + 9223372036854775808::HUGEINT)
+         |  % 18446744073709551616::HUGEINT
+         |  - 9223372036854775808::HUGEINT AS BIGINT)""".stripMargin
+    s"""h AS (
+       |  SELECT doc_id,
+       |    CASE WHEN text IS NULL OR length(text) < 8
+       |      THEN CAST([] AS BIGINT[])
+       |    ELSE list_transform(range(1, length(text) - 6), i ->
+       |      $wrapped) END AS hashes
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(hashes) < 4 THEN CAST([] AS BIGINT[])
+       |    ELSE list_transform(range(1, len(hashes) - 2), i ->
+       |      least(hashes[i], hashes[i+1], hashes[i+2], hashes[i+3]))
+       |    END AS mins
+       |  FROM h),
+       |fp AS (SELECT doc_id, list_sort(list_distinct(mins)) AS f FROM w)"""
+      .stripMargin
+  }
+
+  val textFingerprintSql: String =
+    s"""WITH $winnowFpCte
+       |SELECT doc_id, CAST(len(f) AS INT) AS n_grams,
+       |  '[' || array_to_string(f, ',') || ']' AS fingerprint_json
+       |FROM fp""".stripMargin
+
   /** text_fingerprint — winnowing fingerprints (rolling-hash k-grams,
     * min-per-window): compact doc signatures for containment checks.
-    * Rows-only; determinism + self-similarity unit-tested. */
+    * Hash-valued, but the hash is plain Java arithmetic DuckDB can
+    * reproduce in HUGEINT ⇒ full recompute oracle (see
+    * [[winnowFpCte]]); determinism + self-similarity unit-tested. */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
       .select(col("doc_id"),
@@ -2150,8 +2220,10 @@ object TextQueries {
     "snk_text_index" -> snkTextIndexSql,
     "snk_text_index_compact" -> snkTextIndexCompactSql,
     "snk_text_index_delete" -> snkTextIndexDeleteSql,
-    "text_langid" -> textLangidSql
-    // text_fingerprint / text_containment: rolling-hash-valued (64-bit
-    // wraparound arithmetic DuckDB can't mirror) — unit-tested
+    "text_langid" -> textLangidSql,
+    // the 64-bit wraparound winnow hash IS mirrorable — HUGEINT
+    // arithmetic wrapped once at the end (same ring mod 2^64)
+    "text_fingerprint" -> textFingerprintSql,
+    "text_containment" -> textContainmentSql
   )
 }
