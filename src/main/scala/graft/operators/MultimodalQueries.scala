@@ -35,10 +35,25 @@ object MultimodalQueries {
       |FROM documents""".stripMargin
 
   /** multimodal_features — the mapPartitions decode pipeline (stub
-    * decoder; see graft.multimodal.MediaPipeline). Rows-only: the
-    * fake features are engine-defined. */
+    * decoder; see graft.multimodal.MediaPipeline). The feature VALUES
+    * are decoder-defined, but the pipeline's shape is not: per-class
+    * record counts, payload byte totals, and the every-record-decoded
+    * count are all facts DuckDB re-derives from `documents` — so the
+    * audit is hash-gated and survives fixture regeneration. */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     graft.multimodal.MediaPipeline.featureStats(s, dir)
+
+  /** The doc_id%3 media-class assignment and the UTF-8 payload length
+    * mirror mediaRecords; n_decoded == n_media because every payload
+    * must emerge from the decode with a full finite feature vector. */
+  val multimodalFeaturesSql: String =
+    """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+      |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+      |       ELSE 'video/mp4' END AS media_type,
+      |  count(*) AS n_media,
+      |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+      |  count(*) AS n_decoded
+      |FROM documents GROUP BY 1""".stripMargin
 
   /** multimodal_dedup — exact media dedup by payload content hash:
     * the binary twin of dedup_exact (hashing opaque image/audio/video
@@ -74,7 +89,10 @@ object MultimodalQueries {
     * xor+popcount per candidate pair. The decode itself is the stub
     * (real codecs slot into MediaPipeline.Decoder); the quantize /
     * band / verify pipeline is the real, tested Spark surface.
-    * Rows-only (decoder-defined values); planted-jitter recall is
+    * Oracle-checked: identical payloads give identical signatures
+    * whatever the decoder, so the output must be EXACTLY the planted
+    * re-crawl pairs at Hamming 0 (a spurious band survivor or a lost
+    * twin goes hash-red); planted-jitter recall is additionally
     * unit-tested through the fixture core. */
   def multimodalNearDup(s: SparkSession, dir: String): DataFrame = {
     val feats = graft.multimodal.MediaPipeline
@@ -118,6 +136,16 @@ object MultimodalQueries {
       .filter(col("hamming") <= 3)
       .distinct()
   }
+
+  /** The corpus has no repeated payloads and random 64-bit signatures
+    * collide a band AND land within Hamming 3 with probability ~2⁻⁴⁰,
+    * so the survivors are exactly the synthesized 2% re-crawl twins —
+    * identical payload ⇒ identical signature ⇒ Hamming 0, decoder
+    * irrelevant. */
+  val multimodalNearDupSql: String =
+    """SELECT doc_id AS a, doc_id + 1000000 AS b,
+      |  CAST(0 AS BIGINT) AS hamming
+      |FROM documents WHERE doc_id % 50 = 0""".stripMargin
 
   /** multimodal_decode — REAL media decoding end-to-end, no stub:
     * JPEG payloads (JDK ImageIO — the format real crawled-image
@@ -300,7 +328,10 @@ object MultimodalQueries {
   def oracle: Map[String, String] = Map(
     "multimodal_struct" -> multimodalStructSql,
     "multimodal_dedup" -> multimodalDedupSql,
-    "multimodal_video_meta" -> multimodalVideoMetaSql
-    // multimodal_features: stub-decoder output — unit-tested plumbing
+    "multimodal_video_meta" -> multimodalVideoMetaSql,
+    "multimodal_features" -> multimodalFeaturesSql,
+    "multimodal_near_dup" -> multimodalNearDupSql
+    // multimodal_decode: real-codec float features (JPEG quantization
+    // noise is codec-defined) — bounds pinned in RealDecodersSpec
   )
 }
