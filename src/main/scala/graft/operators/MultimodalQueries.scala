@@ -137,15 +137,24 @@ object MultimodalQueries {
       .distinct()
   }
 
-  /** The corpus has no repeated payloads and random 64-bit signatures
-    * collide a band AND land within Hamming 3 with probability ~2⁻⁴⁰,
-    * so the survivors are exactly the synthesized 2% re-crawl twins —
-    * identical payload ⇒ identical signature ⇒ Hamming 0, decoder
-    * irrelevant. */
+  /** Identical payload ⇒ identical signature ⇒ Hamming 0 (decoder
+    * irrelevant), and DIFFERENT random 64-bit signatures collide a
+    * band AND land within Hamming 3 with probability ~2⁻⁴⁰ — so the
+    * survivors are exactly the identical-payload pairs of the
+    * (corpus ∪ synthesized 2% re-crawl) set. Stated as a payload
+    * self-join, the oracle holds on any corpus, including ones with
+    * naturally repeated texts (the synthesized 10× sf1.0 fixture
+    * replicates documents verbatim). */
   val multimodalNearDupSql: String =
-    """SELECT doc_id AS a, doc_id + 1000000 AS b,
+    """WITH m AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents
+      |  WHERE doc_id % 50 = 0)
+      |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
       |  CAST(0 AS BIGINT) AS hamming
-      |FROM documents WHERE doc_id % 50 = 0""".stripMargin
+      |FROM m x JOIN m y ON x.text = y.text AND x.doc_id < y.doc_id"""
+      .stripMargin
 
   /** multimodal_decode — REAL media decoding end-to-end, no stub:
     * JPEG payloads (JDK ImageIO — the format real crawled-image
