@@ -204,6 +204,21 @@ class IndexDeleteSpec extends SparkSpec {
       == before)
   }
 
+  test("tombstones do not cost the serve plan its pruning") {
+    val (root, _, _) = deletedAndTwin()
+    val df = TextQueries.bm25ServeFrom(spark, root)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the anti-join must ride a broadcast; bucket partition pruning
+    // and the pushed term filter survive untouched
+    assert(p.contains("PartitionFilters") && p.contains("bucket"),
+      s"tombstones broke bucket pruning:\n$p")
+    assert(p.contains("In(term"), s"term filter not pushed:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"tombstone filter is not a broadcast anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"serve must not shuffle-join:\n$p")
+  }
+
   test("streamed takedown feed serves like the batch delete") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
