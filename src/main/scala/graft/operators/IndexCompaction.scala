@@ -138,15 +138,7 @@ object IndexCompaction {
     val live = Paths.get(root, subdir)
     val tmp = stagingDir(root, subdir)
     partDirs(tmp).foreach { staged =>
-      val target = live.resolve(staged.getFileName)
-      if (Files.exists(staged)) {
-        IndexManifest.deleteRecursively(target)
-        try Files.move(staged, target)
-        catch {
-          case e: java.nio.file.NoSuchFileException =>
-            if (!Files.isDirectory(target)) throw e
-        }
-      }
+      moveStagedOver(staged, live.resolve(staged.getFileName))
     }
     // stats-style layouts have no part column: batch dirs sit directly
     // under the subdir and the staged dir holds them at top level too
@@ -165,37 +157,53 @@ object IndexCompaction {
     IndexManifest.deleteRecursively(tmp)
   }
 
+  /** Replace `target` with `staged` tolerantly: an absent staged dir
+    * with the target already a directory means another recoverer
+    * completed this move first (skip); anything else is a real error.
+    * THE shared staged-swap move — compaction's finalizeSwap and the
+    * IVF rebuild's finalizeRebuild both go through here so the
+    * crash/concurrency semantics live in exactly one place. */
+  private[operators] def moveStagedOver(staged: Path, target: Path): Unit =
+    if (Files.exists(staged)) {
+      IndexManifest.deleteRecursively(target)
+      try Files.move(staged, target)
+      catch {
+        case e: java.nio.file.NoSuchFileException =>
+          if (!Files.isDirectory(target)) throw e
+      }
+    }
+
   /** How long a `.recovering` lease may sit unrefreshed before another
-    * opener declares its holder dead and breaks it. */
+    * opener declares its holder dead and breaks it. Holders refresh
+    * their lease at a quarter of this period, so only a genuinely
+    * dead process goes stale — a long recovery (thousands of dir
+    * moves on slow storage) keeps its lease alive. */
   private val LeaseStaleMs = 60000L
 
-  /** Replay an interrupted compaction. A journal entry with a complete
-    * (`_STAGED`) staging dir re-runs the swap; a journal entry whose
-    * staging dir is gone is only trusted as "swap finished, commit
-    * raced the crash" when the live layout proves it (exactly the one
-    * folded batch partition) — any other layout means external
-    * interference, and committing would delete unmerged live data, so
-    * the attempt is abandoned instead.
-    *
-    * Recovery runs destructive moves over live bucket directories, so
-    * concurrent openers of the same durable root are serialized by a
-    * lease file (`<subdir>.recovering`, atomic create). A second
-    * opener waits for the holder to finish rather than racing the
-    * moves; a lease older than [[LeaseStaleMs]] is presumed orphaned
-    * by a crashed holder and broken. */
-  /** Serialize a destructive recovery section on `root` behind an
-    * atomic-create lease file (`<name>.recovering`): a second opener
+  /** Serialize a destructive recovery section on `root` behind a
+    * lease file (`<name>.recovering`, atomic create): a second opener
     * waits the holder out; a lease older than [[LeaseStaleMs]] is
-    * presumed orphaned by a crashed holder and broken. Shared by
-    * compaction recovery and the IVF rebuild's swap recovery. */
+    * presumed orphaned by a crashed holder and broken. Two hardening
+    * details: the holder writes a unique token into the lease and a
+    * daemon thread refreshes its mtime, so (a) a live holder is never
+    * declared stale however long the body runs, and (b) a holder
+    * whose lease WAS broken (e.g. a 60 s GC pause) will not delete
+    * the new holder's lease on exit — it only removes a lease still
+    * carrying its own token. Shared by compaction recovery and the
+    * IVF rebuild's swap recovery. */
   private[operators] def withRecoveryLease(root: String, name: String)(
       body: => Unit): Unit = {
     val lease = Paths.get(root, s"$name.recovering")
+    val token = java.util.UUID.randomUUID().toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val deadline = System.nanoTime() + LeaseStaleMs * 2000000L
     var held = false
     while (!held) {
-      try { Files.createFile(lease); held = true }
-      catch {
+      try {
+        Files.write(lease, token,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        held = true
+      } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           // another opener is recovering this section — wait it out
           val age = try System.currentTimeMillis() -
@@ -210,9 +218,35 @@ object IndexCompaction {
           else Thread.sleep(50)
       }
     }
-    try body finally Files.deleteIfExists(lease)
+    val refresher = new Thread(() => {
+      try while (!Thread.interrupted()) {
+        Thread.sleep(LeaseStaleMs / 4)
+        Files.setLastModifiedTime(lease,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis()))
+      } catch { case _: InterruptedException | _: java.io.IOException => () }
+    }, s"graft-lease-refresh-$name")
+    refresher.setDaemon(true)
+    refresher.start()
+    try body finally {
+      refresher.interrupt()
+      // delete only OUR lease — if it was broken and re-acquired, the
+      // file now carries the new holder's token and must survive
+      try if (Files.exists(lease) &&
+        java.util.Arrays.equals(Files.readAllBytes(lease), token))
+        Files.deleteIfExists(lease)
+      catch { case _: java.io.IOException => () }
+    }
   }
 
+  /** Replay an interrupted compaction. A journal entry with a complete
+    * (`_STAGED`) staging dir re-runs the swap; a journal entry whose
+    * staging dir is gone is only trusted as "swap finished, commit
+    * raced the crash" when the live layout proves it (exactly the one
+    * folded batch partition) — any other layout means external
+    * interference, and committing would delete unmerged live data, so
+    * the attempt is abandoned instead. Destructive moves over live
+    * bucket directories are serialized by [[withRecoveryLease]]. */
   def recover(root: String, subdir: String): Unit = {
     // fast path — no journal entry, nothing to do, no lease taken
     if (IndexManifest.readIfExists(root).get(pendingKey(subdir)).isEmpty)

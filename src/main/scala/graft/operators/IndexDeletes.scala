@@ -83,6 +83,28 @@ object IndexDeletes {
   def clearDeletes(root: String): Unit =
     IndexManifest.deleteRecursively(Paths.get(root, Subdir))
 
+  /** Fence replayed delete batches, THEN drop the tombstones: records
+    * `compact.through.deletes = max folded delete batch id` before
+    * clearing, so a delete stream whose checkpoint is lost cannot
+    * re-apply a pre-compaction tombstone batch — its ids may have
+    * been legitimately re-ingested since the compaction boundary, and
+    * a bare replay would silently erase them. The commit paths
+    * (compactTextIndex / compactVectorIndex / finalizeRebuild) call
+    * this in place of a bare clear; crash between fence and clear is
+    * safe (leftover tombstones of already-removed rows are no-ops and
+    * the next maintenance pass re-clears). */
+  def fenceAndClear(root: String): Unit = {
+    if (!Files.isDirectory(Paths.get(root, Subdir))) return
+    val ids = IndexCompaction.listBatchIds(Paths.get(root, Subdir))
+    if (ids.nonEmpty) {
+      val prev = IndexCompaction.compactedThrough(root, Subdir)
+      IndexManifest.update(root,
+        Map(s"compact.through.$Subdir" ->
+          math.max(prev, ids.max).toString))
+    }
+    clearDeletes(root)
+  }
+
   /** Whether any tombstones exist at `root` (directory probe only). */
   def hasDeletes(root: String): Boolean =
     hasParquet(Paths.get(root, Subdir))

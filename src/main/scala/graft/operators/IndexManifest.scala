@@ -58,10 +58,21 @@ object IndexManifest {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       catch {
         case _: java.nio.file.AtomicMoveNotSupportedException =>
-          // object-store-ish mounts: non-atomic replace is still a
-          // whole-file copy of a fully-written temp, never a truncate
+          // Object-store-ish mounts: the non-atomic replace may be a
+          // delete-then-copy, during which the manifest is briefly
+          // ABSENT — and an absent manifest reads as compactedThrough
+          // = -1, which would wave a folded batch id past the replay
+          // guard (the exact loss the journal exists to prevent).
+          // Park the current map at a .bak sibling first; readIfExists
+          // falls back to it, so readers in the window see the
+          // just-previous map (the same thing they'd have seen a
+          // moment earlier) instead of nothing.
+          if (Files.exists(target))
+            Files.copy(target, Paths.get(root, s"$FILE.bak"),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           Files.move(tmp, target,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          Files.deleteIfExists(Paths.get(root, s"$FILE.bak"))
       }
     } finally Files.deleteIfExists(tmp)
   }
@@ -79,12 +90,24 @@ object IndexManifest {
     * by a durable build). Maintenance code uses this to consult
     * compaction keys without imposing the full open() contract. */
   def readIfExists(root: String): Map[String, String] = {
-    val f = Paths.get(root, FILE)
-    if (!Files.exists(f)) return Map.empty
-    val p = new java.util.Properties()
-    val in = Files.newInputStream(f)
-    try p.load(in) finally in.close()
-    p.stringPropertyNames().asScala.map(k => k -> p.getProperty(k)).toMap
+    // .bak fallback: on ATOMIC_MOVE-less mounts storeAtomically parks
+    // the previous map beside the target during its non-atomic
+    // replace; a reader catching the absent-target window (checked by
+    // the read itself, so the exists-then-open race is covered too)
+    // sees the just-previous map — through values only ever grow, so
+    // an older map errs toward rejecting batches, never admitting a
+    // folded one — instead of an empty map's ct = -1.
+    def load(f: Path): Option[Map[String, String]] =
+      try {
+        val p = new java.util.Properties()
+        val in = Files.newInputStream(f)
+        try p.load(in) finally in.close()
+        Some(p.stringPropertyNames().asScala
+          .map(k => k -> p.getProperty(k)).toMap)
+      } catch { case _: java.io.IOException => None }
+    load(Paths.get(root, FILE))
+      .orElse(load(Paths.get(root, s"$FILE.bak")))
+      .getOrElse(Map.empty)
   }
 
   /** Read-modify-write of the manifest: merge `set`, drop `remove`,

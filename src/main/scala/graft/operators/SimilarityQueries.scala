@@ -706,7 +706,7 @@ object SimilarityQueries {
       merge = df => del.fold(df)(d =>
         df.join(broadcast(d), Seq("vec_id"), "left_anti")),
       force = del.isDefined)
-    if (del.isDefined) IndexDeletes.clearDeletes(root)
+    if (del.isDefined) IndexDeletes.fenceAndClear(root)
     stats
   }
 
@@ -748,8 +748,11 @@ object SimilarityQueries {
     val live0 = s.read.parquet(s"$root/assignments")
       .dropDuplicates("vec_id")
       .select(col("vec_id"), col("emb"), col("nrm"))
+    // four consumers below (count, centroid sample, Lloyd refinement,
+    // staged assignment write) — cache so the corpus-of-the-index scan
+    // + dedup shuffle runs once, not per consumer
     val live = del.fold(live0)(d =>
-      live0.join(broadcast(d), Seq("vec_id"), "left_anti"))
+      live0.join(broadcast(d), Seq("vec_id"), "left_anti")).cache()
     val newId = (IndexCompaction.listBatchIds(aDir) :+
       IndexCompaction.compactedThrough(root, "assignments")).max + 1L
     val tmp = Paths.get(root, "rebuild.staging")
@@ -776,6 +779,7 @@ object SimilarityQueries {
       .repartition(col("cid"))
       .write.partitionBy("cid", "batch_id").mode("overwrite")
       .parquet(tmp.resolve("assignments").toString)
+    live.unpersist()
     Files.createFile(tmp.resolve("_STAGED"))
     // JOURNAL (the new list count rides the journal so a recovering
     // opener can commit n_lists without a Spark read), then SWAP+COMMIT
@@ -794,16 +798,7 @@ object SimilarityQueries {
     val newId = pending.get.toLong
     val tmp = Paths.get(root, "rebuild.staging")
     Seq("assignments", "centroids").foreach { d =>
-      val staged = tmp.resolve(d)
-      val target = Paths.get(root, d)
-      if (Files.exists(staged)) {
-        IndexManifest.deleteRecursively(target)
-        try Files.move(staged, target)
-        catch {
-          case e: java.nio.file.NoSuchFileException =>
-            if (!Files.isDirectory(target)) throw e
-        }
-      }
+      IndexCompaction.moveStagedOver(tmp.resolve(d), Paths.get(root, d))
     }
     val nLists = IndexManifest.readIfExists(root)
       .getOrElse("rebuild.pending.nlists",
@@ -812,7 +807,7 @@ object SimilarityQueries {
       Map("compact.through.assignments" -> newId.toString,
         "n_lists" -> nLists),
       remove = Seq("rebuild.pending", "rebuild.pending.nlists"))
-    IndexDeletes.clearDeletes(root)
+    IndexDeletes.fenceAndClear(root)
     IndexManifest.deleteRecursively(tmp)
   }
 

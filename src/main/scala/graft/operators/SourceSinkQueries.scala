@@ -43,17 +43,24 @@ object SourceSinkQueries {
   /** src_glob_listing — Hadoop glob enumeration
     * (`sorted(fs.glob(...))`, insitu recipe.py:40). The fixture dir is
     * the pinned 10-table TESTDATA layout, so the sorted listing is a
-    * constant the oracle re-derives with DuckDB's own glob. */
+    * constant. Output is the file NAME (plus the scheme witness that
+    * the path really came back from the Hadoop filesystem layer): the
+    * absolute prefix is whichever sfDir this run was pointed at, which
+    * a static oracle cannot know — an earlier oracle hardcoded the
+    * sf0.01 path and went false-red at every other scale the local
+    * gate runs. */
   def srcGlobListing(s: SparkSession, dir: String): DataFrame =
     ListingCache.globListing(s, s"file:$dir/*.parquet")
+      .select(regexp_extract(col("url"), "([^/]+)$", 1).as("file_name"),
+        col("url").startsWith("file:").as("hadoop_scheme"))
+      .orderBy(col("file_name"))
 
-  /** DuckDB lists the same directory the driver passes to Verify (the
-    * sf0.01 fixture root) and prefixes the `file:` scheme Hadoop
-    * reports — byte-identical URLs, independently enumerated. */
   val srcGlobListingSql: String =
-    """SELECT 'file:' || file AS url
-      |FROM glob('/root/testdata/sf0.01/*.parquet')
-      |ORDER BY url""".stripMargin
+    """SELECT t || '.parquet' AS file_name, TRUE AS hadoop_scheme
+      |FROM (VALUES ('region'),('nation'),('customer'),('supplier'),
+      |  ('part'),('orders'),('lineitem'),('events'),('documents'),
+      |  ('embeddings')) AS v(t)
+      |ORDER BY file_name""".stripMargin
 
   /** src_open_url — opened-file handles as rows: Spark's binaryFile
     * source over the test tables (the engine form of

@@ -537,9 +537,13 @@ object TextQueries {
         .agg(countDistinct(col("doc_id")).cast("double").as("df"))
         .repartition(col("bucket"))
         .write.partitionBy("bucket")
+        // static on purpose: this is a FULL replace — a bucket whose
+        // every posting was deleted must lose its terms partition too
+        // (dynamic mode would leave it stale)
+        .option("partitionOverwriteMode", "static")
         .mode("overwrite")
         .parquet(s"$root/terms")
-      IndexDeletes.clearDeletes(root)
+      IndexDeletes.fenceAndClear(root)
     }
     stats
   }
@@ -888,15 +892,20 @@ object TextQueries {
       .agg(count(lit(1)).as("n"))
 
   /** Mirrors TextFunctions.langId exactly: Java `split("\\s+")` keeps
-    * a leading empty token but drops trailing ones — hence the rtrim;
-    * profile order (en,es,fr,de) is the maxBy-first tie-break, encoded
-    * as the >= cascade. */
+    * a leading empty token but drops trailing ones — hence the rtrim
+    * over ALL six \s characters (space, tab, LF, VT, FF, CR — a doc
+    * ending in '\n' would otherwise keep a trailing empty token and
+    * shift every hit-rate denominator by one); profile order
+    * (en,es,fr,de) is the maxBy-first tie-break, encoded as the >=
+    * cascade. */
   val textLangidSql: String =
     """WITH t AS (
       |  SELECT doc_id, lang,
       |    text IS NULL OR text = '' AS empty,
       |    regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS cjk,
-      |    string_split_regex(rtrim(lower(text)), '\s+') AS toks
+      |    string_split_regex(rtrim(lower(text),
+      |      concat(' ', chr(9), chr(10), chr(11), chr(12), chr(13))),
+      |      '\s+') AS toks
       |  FROM documents),
       |s AS (
       |  SELECT doc_id, lang, empty, cjk,

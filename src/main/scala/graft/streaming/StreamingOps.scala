@@ -546,15 +546,22 @@ object StreamingOps {
     * newly-deleted set against every OTHER batch's tombstones and
     * overwrite their own partitions.
     *
-    * `batchIdBase` maps this stream's 0-based micro-batch counter
-    * into the index's SINGLE monotone batch-id space: tombstone and
-    * stats partitions are keyed by batch_id alone, so a delete stream
-    * must not collide with the ingest stream's ids — give it a base
-    * above every id the ingest stream will ever emit (e.g. a
-    * generation epoch << 32). */
+    * `mapBatchId` folds this stream's 0-based micro-batch counter
+    * into the index's SINGLE monotone batch-id space (tombstone and
+    * stats partitions key on batch_id alone, so the ingest and
+    * takedown streams must not collide). The default pairing — ingest
+    * micro-batches at even ids (2k) and takedown micro-batches at odd
+    * (2k + 1) — keeps BOTH streams' ids advancing together, so the
+    * fence a delete-aware compaction records (the max folded batch
+    * id) is cleared by both streams' next batches after the
+    * documented post-compaction restart. Do NOT map the takedown
+    * stream far above the ingest stream (e.g. an epoch << 32 base):
+    * the compaction fence would then sit above every future ingest
+    * id and brick the ingest stream. */
   def indexDeleteSink(
       ids: DataFrame, indexRoot: String, checkpoint: String,
-      batchIdBase: Long): DataStreamWriter[org.apache.spark.sql.Row] =
+      mapBatchId: Long => Long = 2 * _ + 1)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
     ids.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -562,17 +569,18 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         graft.operators.TextQueries
           .deleteFromTextIndex(batch.sparkSession, indexRoot,
-            batch, batchIdBase + id)
+            batch, mapBatchId(id))
         ()
       }
 
   /** stream_vector_delete — the vector twin: micro-batches of vec_ids
     * tombstoned via deleteFromVectorIndex (pure tombstone writes; the
-    * frozen quantizer needs no correction). Same batchIdBase contract
+    * frozen quantizer needs no correction). Same mapBatchId contract
     * as [[indexDeleteSink]]. */
   def vectorDeleteSink(
       ids: DataFrame, indexRoot: String, checkpoint: String,
-      batchIdBase: Long): DataStreamWriter[org.apache.spark.sql.Row] =
+      mapBatchId: Long => Long = 2 * _ + 1)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
     ids.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -580,7 +588,7 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         graft.operators.SimilarityQueries
           .deleteFromVectorIndex(batch.sparkSession, indexRoot,
-            batch, batchIdBase + id)
+            batch, mapBatchId(id))
         ()
       }
 }

@@ -204,6 +204,26 @@ class IndexDeleteSpec extends SparkSpec {
       == before)
   }
 
+  test("vector: a replayed delete batch is fenced after compaction") {
+    val (root, _) = vecDeletedAndTwin()
+    SimilarityQueries.compactVectorIndex(spark, root)
+    val e = graft.Tables.embeddings(spark, sf)
+    // a previously deleted id legitimately re-ingested after the fold
+    SimilarityQueries.appendToVectorIndex(
+      e.filter(pmod(col("vec_id"), lit(5)) === 2), root, 2L)
+    // the delete stream loses its checkpoint and replays batch 1 —
+    // without the fence this would silently re-erase the re-ingested
+    // ids; with it the replay fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      SimilarityQueries.deleteFromVectorIndex(spark, root,
+        e.filter(pmod(col("vec_id"), lit(5)) === 2).select("vec_id"), 1L)
+    }
+    assert(ex.getMessage.contains("at deletes"))
+    // fresh delete batches above the fence still land
+    assert(SimilarityQueries.deleteFromVectorIndex(spark, root,
+      e.filter(col("vec_id") === 7).select("vec_id"), 3L) == 1L)
+  }
+
   test("tombstones do not cost the serve plan its pruning") {
     val (root, _, _) = deletedAndTwin()
     val df = TextQueries.bm25ServeFrom(spark, root)
@@ -230,17 +250,16 @@ class IndexDeleteSpec extends SparkSpec {
     val (h1, h2) = delIds.splitAt(delIds.length / 2)
     val ckpt = Files.createTempDirectory("graft-sdel-ckpt").toString
     // two AvailableNow runs over one checkpoint: two micro-batch ids,
-    // both mapped above the ingest stream's ids by the base
+    // mapped to the odd id lane (2k+1) so they interleave with the
+    // even-lane ingest ids instead of towering above them
     val mem = MemoryStream[Long]
     mem.addData(h1: _*)
     graft.streaming.StreamingOps
-      .indexDeleteSink(mem.toDF().toDF("doc_id"), root, ckpt,
-        batchIdBase = 1000L)
+      .indexDeleteSink(mem.toDF().toDF("doc_id"), root, ckpt)
       .start().awaitTermination(120000)
     mem.addData(h2: _*)
     graft.streaming.StreamingOps
-      .indexDeleteSink(mem.toDF().toDF("doc_id"), root, ckpt,
-        batchIdBase = 1000L)
+      .indexDeleteSink(mem.toDF().toDF("doc_id"), root, ckpt)
       .start().awaitTermination(120000)
     val twin = tmpRoot("graft-sdel-twin")
     TextQueries.appendToIndex(
@@ -249,8 +268,7 @@ class IndexDeleteSpec extends SparkSpec {
     assert(served == TextQueries.bm25ServeFrom(spark, twin).collect().toSeq)
     // a third run with no new data replays nothing and changes nothing
     graft.streaming.StreamingOps
-      .indexDeleteSink(mem.toDF().toDF("doc_id"), root, ckpt,
-        batchIdBase = 1000L)
+      .indexDeleteSink(mem.toDF().toDF("doc_id"), root, ckpt)
       .start().awaitTermination(120000)
     assert(TextQueries.bm25ServeFrom(spark, root).collect().toSeq == served)
     assert(spark.read.parquet(s"$root/deletes")

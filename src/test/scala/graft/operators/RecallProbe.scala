@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * query vectors as a function of the probe width. The resulting
   * curve drives the ivfNProbe tuning recorded in SCALE.md.
   *
-  * Run: sbt "Test/runMain graft.tools.RecallProbe"
+  * Run: sbt "Test/runMain graft.operators.RecallProbe"
   */
 object RecallProbe {
 
