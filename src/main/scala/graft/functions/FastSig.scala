@@ -139,6 +139,14 @@ object FastSig {
     * is recomputed from mix(seed,j,d), so the "matrix" ships as one
     * long seed. Per-row local, zero shuffle; distortion bound
     * property-tested. */
+  /** The ±1 entry of the seed-only JL projection "matrix" — exposed so
+    * the DuckDB oracle builder can precompute the same matrix as a SQL
+    * literal (the matrix is a pure function of (seed, j, d), so the
+    * oracle re-derives the full projection without mirroring splitmix
+    * in SQL). */
+  private[graft] def projectionSign(seed: Long, j: Int, d: Int): Double =
+    if ((mix(seed ^ (j.toLong << 32) ^ d) & 1L) == 0L) 1.0 else -1.0
+
   def randomProjection(k: Int, seed: Long = 42L): UserDefinedFunction =
     udf { emb: Seq[Double] =>
       if (emb == null) Array.empty[Double]
@@ -150,9 +158,7 @@ object FastSig {
         var acc = 0.0
         var d = 0
         while (d < emb.length) {
-          val sign =
-            if ((mix(seed ^ (j.toLong << 32) ^ d) & 1L) == 0L) 1.0 else -1.0
-          acc += emb(d) * sign
+          acc += emb(d) * projectionSign(seed, j, d)
           d += 1
         }
         out(j) = acc * invSqrtK

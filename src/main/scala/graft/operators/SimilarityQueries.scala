@@ -508,20 +508,39 @@ object SimilarityQueries {
   }
 
   /** snk_vector_index — build the IVF index and audit the written
-    * artifact. Rows-only: assignment counts ride the float-order-
-    * sensitive Lloyd refinement; VectorIndexSpec pins the invariants
-    * (every non-degenerate vector present, ≤ IVF_ASSIGN lists each). */
+    * artifact on its INVARTIANT facts, which are oracle-checkable:
+    * every non-degenerate vector present exactly once per assigned
+    * list, the IVF_ASSIGN fan-out exact (k ≥ 4 always, so each vector
+    * lands in exactly 2 lists), and the quantizer bounded by the ⌈√n⌉
+    * training cap. Which lists the Lloyd refinement kept
+    * (n_lists_used, occupancy) rides float order and stays in
+    * VectorIndexSpec / the audit qid. */
   def snkVectorIndex(s: SparkSession, dir: String): DataFrame = {
     val root = buildVectorIndex(s, dir)
     val a = s.read.parquet(s"$root/assignments")
     a.agg(countDistinct(col("vec_id")).as("n_vectors"),
-        countDistinct(col("cid")).as("n_lists_used"),
         count(lit(1)).as("n_assignments"))
       .crossJoin(broadcast(s.read.parquet(s"$root/centroids")
         .agg(count(lit(1)).as("n_lists"))))
-      .select(col("n_vectors"), col("n_lists"), col("n_lists_used"),
-        col("n_assignments"))
+      .select(col("n_vectors"), col("n_assignments"),
+        (col("n_lists") > 0 &&
+          col("n_lists") <= lit(65536L)).as("quantizer_bounded"))
   }
+
+  /** Degeneracy mirrored from the assign kernel; fan-out is exactly
+    * IVF_ASSIGN because the quantizer never trains fewer than 4
+    * centroids; the 65,536 bound is the hard broadcast cap. */
+  val snkVectorIndexSql: String =
+    """SELECT
+      |  (SELECT count(DISTINCT vec_id) FROM embeddings
+      |   WHERE embedding IS NOT NULL
+      |     AND list_sum(list_transform(embedding, x -> x * x)) > 0)
+      |    AS n_vectors,
+      |  (SELECT 2 * count(DISTINCT vec_id) FROM embeddings
+      |   WHERE embedding IS NOT NULL
+      |     AND list_sum(list_transform(embedding, x -> x * x)) > 0)
+      |    AS n_assignments,
+      |  TRUE AS quantizer_bounded""".stripMargin
 
   /** sim_ann_ivf_indexed — sim_ann_ivf's answer served from the
     * persisted index: the query probes its ivfNProbe nearest
@@ -888,18 +907,30 @@ object SimilarityQueries {
   }
 
   /** snk_vector_index_compact — stream the corpus into the IVF index
-    * as three batches, compact, audit. Assignment counts ride the
-    * float-order-sensitive Lloyd refinement ⇒ rows-only (like
-    * snk_vector_index); n_batch_parts == 1 and serve parity are
-    * pinned in IndexCompactionSpec. */
+    * as three batches, compact, audit. Oracle-checked on the same
+    * invariants as snk_vector_index (compaction moves bytes, never
+    * content) plus the one-batch-partition fold outcome; which lists
+    * the vectors occupy stays Lloyd-order-dependent and is pinned in
+    * IndexCompactionSpec via serve parity instead. */
   def snkVectorIndexCompact(s: SparkSession, dir: String): DataFrame = {
     val root = ensureCompactedVectorRoot(s, dir)
     s.read.parquet(s"$root/assignments")
       .agg(countDistinct(col("vec_id")).as("n_vectors"),
-        countDistinct(col("cid")).as("n_lists_used"),
         count(lit(1)).as("n_assignments"),
         countDistinct(col("batch_id")).as("n_batch_parts"))
   }
+
+  val snkVectorIndexCompactSql: String =
+    """SELECT
+      |  (SELECT count(DISTINCT vec_id) FROM embeddings
+      |   WHERE embedding IS NOT NULL
+      |     AND list_sum(list_transform(embedding, x -> x * x)) > 0)
+      |    AS n_vectors,
+      |  (SELECT 2 * count(DISTINCT vec_id) FROM embeddings
+      |   WHERE embedding IS NOT NULL
+      |     AND list_sum(list_transform(embedding, x -> x * x)) > 0)
+      |    AS n_assignments,
+      |  CAST(1 AS BIGINT) AS n_batch_parts""".stripMargin
 
   /** The sim_ann_ivf_rebuild fixture: the audit→rebuild lifecycle.
     * Corpus ingested as batch 0 against a quantizer trained on it;
@@ -1195,9 +1226,54 @@ object SimilarityQueries {
       .select(col("vec_id"),
         graft.functions.FastSig.randomProjection(16)(emb).as("proj"),
         round(l2Norm(emb) + lit(1e-9), 4).as("norm_in"))
-      .select(col("vec_id"), to_json(col("proj")).as("proj_json"),
+      // %.4f per element, NOT to_json: Java renders doubles below 1e-3
+      // in E-notation while DuckDB does not, so the cross-engine
+      // string form is the C-style fixed format both sides share
+      .select(col("vec_id"),
+        concat(lit("["),
+          array_join(expr(
+            "transform(proj, x -> format_string('%.4f', x + 1e-9))"), ","),
+          lit("]")).as("proj_json"),
         col("norm_in"),
         round(l2Norm(col("proj")) + lit(1e-9), 4).as("norm_out"))
+  }
+
+  /** DuckDB re-derives the ENTIRE projection: the ±1 matrix is a pure
+    * function of (seed, j, d) precomputed here as a SQL literal
+    * (FastSig.projectionSign — the same kernel the UDF calls), the
+    * per-component sum runs in the same ascending-d order so the
+    * doubles are bit-identical, and printf('%.4f') matches
+    * format_string. Matrix columns cover dims up to 256 (fixture dim
+    * is far below; a larger future dim just needs the literal
+    * widened). */
+  val embRandomProjectionSql: String = {
+    val maxDim = 256
+    val rows = (0 until 16).map { j =>
+      "[" + (0 until maxDim)
+        .map(d => if (graft.functions.FastSig
+          .projectionSign(42L, j, d) > 0) "1" else "-1")
+        .mkString(",") + "]"
+    }.mkString(",\n      ")
+    s"""WITH s(m) AS (SELECT [$rows]),
+       |p AS (
+       |  SELECT vec_id,
+       |    CAST(embedding AS DOUBLE[]) AS e,
+       |    list_transform(range(1, 17), j ->
+       |      list_sum(list_transform(range(1, len(embedding) + 1), i ->
+       |        CAST(embedding[i] AS DOUBLE) * m[j][i])) * 0.25) AS proj
+       |  FROM embeddings, s),
+       |n AS (
+       |  SELECT vec_id, proj,
+       |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nin,
+       |    sqrt(list_sum(list_transform(proj, x -> x * x))) AS nout
+       |  FROM p)
+       |SELECT vec_id,
+       |  '[' || array_to_string(
+       |    list_transform(proj, x -> printf('%.4f', x + 0.000000001)), ',')
+       |    || ']' AS proj_json,
+       |  round(nin + 0.000000001, 4) AS norm_in,
+       |  round(nout + 0.000000001, 4) AS norm_out
+       |FROM n""".stripMargin
   }
 
   /** emb_stats — embedding-hygiene audit per label partition: count,
@@ -1388,7 +1464,10 @@ object SimilarityQueries {
     "sim_pairwise_threshold" -> simPairwiseThresholdSql,
     "emb_stats" -> embStatsSql,
     "snk_vector_index_delete" -> snkVectorIndexDeleteSql,
-    "sim_ann_ivf_rebuild" -> simAnnIvfRebuildSql
+    "sim_ann_ivf_rebuild" -> simAnnIvfRebuildSql,
+    "snk_vector_index" -> snkVectorIndexSql,
+    "snk_vector_index_compact" -> snkVectorIndexCompactSql,
+    "emb_random_projection" -> embRandomProjectionSql
     // sim_ann_lsh: approximate — recall property-tested
   )
 }

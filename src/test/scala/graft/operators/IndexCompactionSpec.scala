@@ -131,6 +131,32 @@ class IndexCompactionSpec extends SparkSpec {
     assert(TextQueries.bm25ServeFrom(spark, root).collect().toSeq == before)
   }
 
+  test("recovery lease: stale leases are broken, only own lease removed") {
+    val root = tmpRoot("graft-lease")
+    val lease = Paths.get(root, "x.recovering")
+    // a crashed holder's lease: wrong token, stale mtime
+    Files.write(lease, "dead-holder".getBytes)
+    Files.setLastModifiedTime(lease,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 120000L))
+    var ran = false
+    IndexCompaction.withRecoveryLease(root, "x") {
+      ran = true
+      // we hold it now: file present, carrying OUR token (not the
+      // dead holder's)
+      assert(Files.exists(lease))
+      assert(!new String(Files.readAllBytes(lease)).contains("dead-holder"))
+      // simulate OUR lease being broken and re-acquired by another
+      // process mid-body: the exit path must NOT delete their lease
+      Files.write(lease, "other-holder".getBytes)
+    }
+    assert(ran)
+    assert(Files.exists(lease) &&
+      new String(Files.readAllBytes(lease)) == "other-holder",
+      "exit path removed a lease it no longer owned")
+    Files.deleteIfExists(lease)
+  }
+
   test("vector compaction: ANN serve parity on the same root, pre vs post") {
     val e = graft.Tables.embeddings(spark, sf)
     val root = tmpRoot("graft-cpv")
