@@ -94,6 +94,50 @@ object SourceSinkQueries {
   def srcScientific(s: SparkSession, dir: String): DataFrame =
     new FixtureGranuleSource().granules(s)
 
+  /** The full 478-row granule table re-derived from first principles
+    * at SQL-build time: the grid/missing/url/bbox arithmetic is
+    * replayed in plain Java time/long math, and the hash-mixed
+    * latitudes via the PUBLIC XXH64 algorithm (seed 42 over the
+    * timestamp's microsecond long — exactly what Spark's xxhash64
+    * hashes for a TimestampType column). The emitted VALUES are
+    * engine-independent constants, so distributed grid generation,
+    * the anti-join, and every derivation column are hash-gated. */
+  val srcScientificSql: String = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val start = java.time.LocalDateTime.parse("2022-05-01T00:01:03")
+    val end = java.time.LocalDateTime.parse("2022-05-01T23:59:59")
+    val missing = Set("2022-05-01T08:01:03", "2022-05-01T17:31:03")
+    val urlFmt =
+      java.time.format.DateTimeFormatter.ofPattern("yyyy/DDD/yyyyMMddHHmmss")
+    val isoFmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+    val sqlFmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+    val compactFmt =
+      java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss")
+    val rows = Iterator.iterate(start)(_.plusMinutes(3))
+      .takeWhile(!_.isAfter(end))
+      .filterNot(t => missing.contains(t.format(isoFmt)))
+      .map { t =>
+        val slot = t.toEpochSecond(java.time.ZoneOffset.UTC)
+        val lat = Math.floorMod(XXH64.hashLong(slot * 1000000L, 42L), 120L) - 60L
+        val w = slot % 170 - 85
+        val wStr = if (slot % 97 == 0) "not-a-number" else w.toString
+        s"(TIMESTAMP '${t.format(sqlFmt)}', " +
+          s"'https://example.org/sst/${t.format(urlFmt)}-OSISAF-L2P.nc', " +
+          s"'AVHRR_SST_METOP_B-OSISAF-L2P-v1.0', " +
+          s"'granule-${t.format(compactFmt)}', " +
+          s"'$wStr', '$lat', '${w + 10}', '${lat + 8}', " +
+          s"'${t.format(isoFmt)}', '${t.plusMinutes(3).format(isoFmt)}')"
+      }.mkString(",\n  ")
+    s"""SELECT * FROM (VALUES
+       |  $rows
+       |) AS t(ts, source, id, uuid, westernmost_longitude,
+       |  southernmost_latitude, easternmost_longitude,
+       |  northernmost_latitude, time_coverage_start, time_coverage_end)"""
+      .stripMargin
+  }
+
   /** src_scientific_v2 — the DataSourceV2 granule source: partitioned
     * virtual table of granule metadata (graft.ingest.v2); the V2
     * skeleton a NetCDF reader plugs into. Aggregated so the output is
@@ -1337,6 +1381,7 @@ object SourceSinkQueries {
     "catalog_fc_page" -> catalogFcPageSql,
     "src_jsonl_quarantine" -> srcJsonlQuarantineSql,
     "src_open_url" -> srcOpenUrlSql,
+    "src_scientific" -> srcScientificSql,
     "src_scientific_v2" -> srcScientificV2Sql,
     // real-binary-format sources: DuckDB re-derives the expected rows
     // from the fixture's index arithmetic — full recompute oracles
