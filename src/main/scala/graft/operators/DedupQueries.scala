@@ -147,11 +147,23 @@ object DedupQueries {
       .select(col("a"), col("b"), col("jac"))
   }
 
+  /** Band-bucket cap for the SimHash join — the same flood guard the
+    * other LSH paths carry (near_embedding 512, ngram blocks 256): a
+    * duplicate-heavy corpus (dedup's whole use case) floods a band
+    * bucket with identical signatures, and an uncapped self-join goes
+    * |bucket|² — measured 72× for 10× data on the replicated sf1.0
+    * fixture. With the cap, candidate work is bounded at
+    * buckets × cap²; members beyond the cap in a flooded bucket are
+    * the documented recall trade (identical docs share all 4 bands,
+    * so each flood keeps the same first 512 by doc_id). */
+  private val SIMHASH_BAND_CAP = 512
+
   /** dedup_simhash — 64-bit SimHash, 4×16-bit band candidates,
     * verified by Hamming distance ≤ 6. Near-identical docs differ in
     * few bits; banding guarantees candidates for distance ≤ 3 and
     * catches most ≤ 6. Rows-only (hash-valued). */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val d = documents(s, dir)
       .select(col("doc_id"),
         TextFunctions.simhash64(TextFunctions.tokens(col("text")))
@@ -161,6 +173,10 @@ object DedupQueries {
         .as("bb"))
       .select(col("doc_id"), col("sig"),
         col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= SIMHASH_BAND_CAP)
+      .drop("rn")
     bands.select(col("band"), col("bh"), col("doc_id").as("a"),
         col("sig").as("siga"))
       .join(bands.select(col("band"), col("bh"), col("doc_id").as("b"),
