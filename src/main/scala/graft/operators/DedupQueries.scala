@@ -76,13 +76,8 @@ object DedupQueries {
   /** The load-bearing skew cap: first BLOCK_CAP members per block by
     * doc_id — ONE definition for the full self-join and the
     * incremental near stage (both oracles mirror it verbatim). */
-  private def capBlocks(d: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    d.withColumn("rn", row_number().over(
-        Window.partitionBy(col("blk")).orderBy(col("doc_id"))))
-      .filter(col("rn") <= BLOCK_CAP)
-      .drop("rn")
-  }
+  private def capBlocks(d: DataFrame): DataFrame =
+    SkewUtils.capPerKey(d, Seq("blk"), "doc_id", BLOCK_CAP)
 
   private[graft] def dedupNgramJaccardFrom(docs: DataFrame): DataFrame = {
     val d = capBlocks(shingledFrom(docs))
@@ -163,20 +158,17 @@ object DedupQueries {
     * few bits; banding guarantees candidates for distance ≤ 3 and
     * catches most ≤ 6. Rows-only (hash-valued). */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = documents(s, dir)
       .select(col("doc_id"),
         TextFunctions.simhash64(TextFunctions.tokens(col("text")))
           .as("sig"))
-    val bands = d.select(col("doc_id"), col("sig"),
-      explode(graft.functions.VectorFunctions.sigBands(col("sig"), 64, 4))
-        .as("bb"))
-      .select(col("doc_id"), col("sig"),
-        col("bb.band").as("band"), col("bb.bh").as("bh"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))))
-      .filter(col("rn") <= SIMHASH_BAND_CAP)
-      .drop("rn")
+    val bands = SkewUtils.capPerKey(
+      d.select(col("doc_id"), col("sig"),
+        explode(graft.functions.VectorFunctions.sigBands(col("sig"), 64, 4))
+          .as("bb"))
+        .select(col("doc_id"), col("sig"),
+          col("bb.band").as("band"), col("bb.bh").as("bh")),
+      Seq("band", "bh"), "doc_id", SIMHASH_BAND_CAP)
     bands.select(col("band"), col("bh"), col("doc_id").as("a"),
         col("sig").as("siga"))
       .join(bands.select(col("band"), col("bh"), col("doc_id").as("b"),

@@ -219,12 +219,21 @@ object IndexCompaction {
       }
     }
     val refresher = new Thread(() => {
-      try while (!Thread.interrupted()) {
-        Thread.sleep(LeaseStaleMs / 4)
-        Files.setLastModifiedTime(lease,
-          java.nio.file.attribute.FileTime.fromMillis(
-            System.currentTimeMillis()))
-      } catch { case _: InterruptedException | _: java.io.IOException => () }
+      var alive = true
+      while (alive) {
+        try {
+          Thread.sleep(LeaseStaleMs / 4)
+          Files.setLastModifiedTime(lease,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis()))
+        } catch {
+          case _: InterruptedException => alive = false
+          // a transient refresh failure (busy mount) must NOT kill the
+          // refresher — that would let a live holder's lease go stale
+          // and re-admit the concurrent-recovery race; retry next tick
+          case _: java.io.IOException => ()
+        }
+      }
     }, s"graft-lease-refresh-$name")
     refresher.setDaemon(true)
     refresher.start()

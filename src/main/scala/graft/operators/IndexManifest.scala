@@ -67,12 +67,19 @@ object IndexManifest {
           // falls back to it, so readers in the window see the
           // just-previous map (the same thing they'd have seen a
           // moment earlier) instead of nothing.
+          // the .bak is left in place (overwritten on the next store)
+          // so there is no instant where neither file exists. Residual
+          // honesty: on a mount whose replace is delete-then-copy a
+          // reader can still catch the target HALF-copied and parse a
+          // truncated map — closing that fully needs FS atomicity or
+          // content checksums; the maintenance ops that write here are
+          // quiesce-time single-writer by contract, which is the real
+          // guard on such mounts.
           if (Files.exists(target))
             Files.copy(target, Paths.get(root, s"$FILE.bak"),
               java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           Files.move(tmp, target,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          Files.deleteIfExists(Paths.get(root, s"$FILE.bak"))
       }
     } finally Files.deleteIfExists(tmp)
   }
@@ -96,7 +103,10 @@ object IndexManifest {
     // the read itself, so the exists-then-open race is covered too)
     // sees the just-previous map — through values only ever grow, so
     // an older map errs toward rejecting batches, never admitting a
-    // folded one — instead of an empty map's ct = -1.
+    // folded one — instead of an empty map's ct = -1. ONLY absence
+    // falls through: any other IO failure propagates loudly, because
+    // treating it as "no manifest" would fail every guard open and
+    // let update()'s read-modify-write silently wipe existing keys.
     def load(f: Path): Option[Map[String, String]] =
       try {
         val p = new java.util.Properties()
@@ -104,7 +114,7 @@ object IndexManifest {
         try p.load(in) finally in.close()
         Some(p.stringPropertyNames().asScala
           .map(k => k -> p.getProperty(k)).toMap)
-      } catch { case _: java.io.IOException => None }
+      } catch { case _: java.nio.file.NoSuchFileException => None }
     load(Paths.get(root, FILE))
       .orElse(load(Paths.get(root, s"$FILE.bak")))
       .getOrElse(Map.empty)

@@ -339,17 +339,14 @@ object JoinQueries {
     * blocked-linkage recall trade. The distance is a codegen'd
     * built-in, not a UDF. */
   def joinFuzzy(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // greatest(len-2, 0) on BOTH engines: a name shorter than 2 chars
     // would give substring a negative length — Spark returns "" but
     // DuckDB raises, an engine-parity crash on dirty data
-    val c = customer(s, dir).select(col("c_custkey"), col("c_name"),
-      expr("substring(c_name, 1, greatest(length(c_name) - 2, 0))")
-        .as("blk"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("blk")).orderBy(col("c_custkey"))))
-      .filter(col("rn") <= 100)
-      .drop("rn")
+    val c = SkewUtils.capPerKey(
+      customer(s, dir).select(col("c_custkey"), col("c_name"),
+        expr("substring(c_name, 1, greatest(length(c_name) - 2, 0))")
+          .as("blk")),
+      Seq("blk"), "c_custkey", 100)
     c.select(col("blk"), col("c_custkey").as("id_a"),
         col("c_name").as("name_a"))
       .join(c.select(col("blk"), col("c_custkey").as("id_b"),

@@ -130,14 +130,10 @@ object SimilarityQueries {
   }
 
   /** Cap a (band, bh)-bucketed side to its first BUCKET_CAP members
-    * by vec_id (deterministic skew guard; see BUCKET_CAP). */
-  private def capBuckets(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    df.withColumn("rn", row_number().over(
-      Window.partitionBy(col("band"), col("bh")).orderBy(col("vec_id"))))
-      .filter(col("rn") <= BUCKET_CAP)
-      .drop("rn")
-  }
+    * by vec_id (deterministic skew guard; see BUCKET_CAP) — the
+    * shared flood-guard kernel. */
+  private def capBuckets(df: DataFrame): DataFrame =
+    SkewUtils.capPerKey(df, Seq("band", "bh"), "vec_id", BUCKET_CAP)
 
   /** dedup_near_embedding — embedding-cosine near-dup candidates via
     * LSH bucketing: 64-bit hyperplane signature, 8 bands × 8 bits,
@@ -522,24 +518,28 @@ object SimilarityQueries {
         count(lit(1)).as("n_assignments"))
       .crossJoin(broadcast(s.read.parquet(s"$root/centroids")
         .agg(count(lit(1)).as("n_lists"))))
-      .select(col("n_vectors"), col("n_assignments"),
+      .select(col("n_vectors"),
+        // stated against the ACTUAL list count, not a hardcoded 2: a
+        // degenerate corpus can collapse the refined quantizer below
+        // IVF_ASSIGN lists, and the fan-out contract is min(a, k)
+        (col("n_assignments") === col("n_vectors") *
+          least(lit(IVF_ASSIGN.toLong), col("n_lists")))
+          .as("fanout_exact"),
         (col("n_lists") > 0 &&
           col("n_lists") <= lit(65536L)).as("quantizer_bounded"))
   }
 
-  /** Degeneracy mirrored from the assign kernel; fan-out is exactly
-    * IVF_ASSIGN because the quantizer never trains fewer than 4
-    * centroids; the 65,536 bound is the hard broadcast cap. */
+  /** Degeneracy mirrored from the assign kernel; the fan-out and
+    * quantizer bounds are stated as booleans the engine computes
+    * against its actual artifact, so the oracle pins them without
+    * assuming a list count. */
   val snkVectorIndexSql: String =
     """SELECT
       |  (SELECT count(DISTINCT vec_id) FROM embeddings
       |   WHERE embedding IS NOT NULL
       |     AND list_sum(list_transform(embedding, x -> x * x)) > 0)
       |    AS n_vectors,
-      |  (SELECT 2 * count(DISTINCT vec_id) FROM embeddings
-      |   WHERE embedding IS NOT NULL
-      |     AND list_sum(list_transform(embedding, x -> x * x)) > 0)
-      |    AS n_assignments,
+      |  TRUE AS fanout_exact,
       |  TRUE AS quantizer_bounded""".stripMargin
 
   /** sim_ann_ivf_indexed — sim_ann_ivf's answer served from the
@@ -778,33 +778,37 @@ object SimilarityQueries {
     IndexManifest.deleteRecursively(tmp)
     // STAGE: train on the live set, then assign the live set — the
     // staged artifacts materialize fully before any live dir is
-    // touched, so the read-from-old / write-to-staged lineage is safe
-    val k = ivfK(live.count())
-    val cArr = refineCentroids(s, live,
-      ivfCentroids(live, k).collect().map { r =>
-        (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
-      })
-    cArr.toSeq.map { case (cid, ce, cn) => (cid, ce.toSeq, cn) }
-      .toDF("cid", "cemb", "cnrm")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(tmp.resolve("centroids").toString)
-    val cBc = s.sparkContext.broadcast(cArr)
-    val assignUdf = udf { (emb: Seq[Double], nrm: Double) =>
-      topCentroids(cBc.value, IVF_ASSIGN, emb, nrm)
-    }
-    live.withColumn("cid", explode(assignUdf(col("emb"), col("nrm"))))
-      .select(col("cid"), col("vec_id"), col("emb"), col("nrm"))
-      .withColumn("batch_id", lit(newId))
-      .repartition(col("cid"))
-      .write.partitionBy("cid", "batch_id").mode("overwrite")
-      .parquet(tmp.resolve("assignments").toString)
-    live.unpersist()
+    // touched, so the read-from-old / write-to-staged lineage is safe.
+    // unpersist in finally: a failed stage (disk full, task death)
+    // must not leave the corpus-of-the-index pinned in cache
+    val nLists = try {
+      val k = ivfK(live.count())
+      val cArr = refineCentroids(s, live,
+        ivfCentroids(live, k).collect().map { r =>
+          (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+        })
+      cArr.toSeq.map { case (cid, ce, cn) => (cid, ce.toSeq, cn) }
+        .toDF("cid", "cemb", "cnrm")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(tmp.resolve("centroids").toString)
+      val cBc = s.sparkContext.broadcast(cArr)
+      val assignUdf = udf { (emb: Seq[Double], nrm: Double) =>
+        topCentroids(cBc.value, IVF_ASSIGN, emb, nrm)
+      }
+      live.withColumn("cid", explode(assignUdf(col("emb"), col("nrm"))))
+        .select(col("cid"), col("vec_id"), col("emb"), col("nrm"))
+        .withColumn("batch_id", lit(newId))
+        .repartition(col("cid"))
+        .write.partitionBy("cid", "batch_id").mode("overwrite")
+        .parquet(tmp.resolve("assignments").toString)
+      cArr.length
+    } finally live.unpersist()
     Files.createFile(tmp.resolve("_STAGED"))
     // JOURNAL (the new list count rides the journal so a recovering
     // opener can commit n_lists without a Spark read), then SWAP+COMMIT
     IndexManifest.update(root, Map(
       "rebuild.pending" -> newId.toString,
-      "rebuild.pending.nlists" -> cArr.length.toString))
+      "rebuild.pending.nlists" -> nLists.toString))
     finalizeRebuild(root)
     newId
   }
@@ -918,6 +922,13 @@ object SimilarityQueries {
       .agg(countDistinct(col("vec_id")).as("n_vectors"),
         count(lit(1)).as("n_assignments"),
         countDistinct(col("batch_id")).as("n_batch_parts"))
+      .crossJoin(broadcast(s.read.parquet(s"$root/centroids")
+        .agg(count(lit(1)).as("n_lists"))))
+      .select(col("n_vectors"),
+        (col("n_assignments") === col("n_vectors") *
+          least(lit(IVF_ASSIGN.toLong), col("n_lists")))
+          .as("fanout_exact"),
+        col("n_batch_parts"))
   }
 
   val snkVectorIndexCompactSql: String =
@@ -926,10 +937,7 @@ object SimilarityQueries {
       |   WHERE embedding IS NOT NULL
       |     AND list_sum(list_transform(embedding, x -> x * x)) > 0)
       |    AS n_vectors,
-      |  (SELECT 2 * count(DISTINCT vec_id) FROM embeddings
-      |   WHERE embedding IS NOT NULL
-      |     AND list_sum(list_transform(embedding, x -> x * x)) > 0)
-      |    AS n_assignments,
+      |  TRUE AS fanout_exact,
       |  CAST(1 AS BIGINT) AS n_batch_parts""".stripMargin
 
   /** The sim_ann_ivf_rebuild fixture: the audit→rebuild lifecycle.
@@ -1256,23 +1264,35 @@ object SimilarityQueries {
     }.mkString(",\n      ")
     s"""WITH s(m) AS (SELECT [$rows]),
        |p AS (
-       |  SELECT vec_id,
+       |  SELECT vec_id, embedding IS NULL AS no_emb,
        |    CAST(embedding AS DOUBLE[]) AS e,
+       |    -- coalesce: list_sum([]) is NULL in DuckDB but the Scala
+       |    -- kernel folds an empty embedding to 16 exact zeros
        |    list_transform(range(1, 17), j ->
-       |      list_sum(list_transform(range(1, len(embedding) + 1), i ->
-       |        CAST(embedding[i] AS DOUBLE) * m[j][i])) * 0.25) AS proj
+       |      coalesce(list_sum(
+       |        list_transform(range(1, len(embedding) + 1), i ->
+       |          CAST(embedding[i] AS DOUBLE) * m[j][i])), 0) * 0.25)
+       |      AS proj
        |  FROM embeddings, s),
        |n AS (
-       |  SELECT vec_id, proj,
-       |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nin,
-       |    sqrt(list_sum(list_transform(proj, x -> x * x))) AS nout
+       |  SELECT vec_id, no_emb, proj,
+       |    sqrt(coalesce(list_sum(list_transform(e, x -> x * x)), 0))
+       |      AS nin,
+       |    sqrt(coalesce(list_sum(list_transform(proj, x -> x * x)), 0))
+       |      AS nout
        |  FROM p)
        |SELECT vec_id,
-       |  '[' || array_to_string(
-       |    list_transform(proj, x -> printf('%.4f', x + 0.000000001)), ',')
-       |    || ']' AS proj_json,
-       |  round(nin + 0.000000001, 4) AS norm_in,
-       |  round(nout + 0.000000001, 4) AS norm_out
+       |  -- null in → empty projection out (the UDF's null contract);
+       |  -- norm_in stays NULL (no vector to measure), norm_out is the
+       |  -- norm of the empty projection, 0
+       |  CASE WHEN no_emb THEN '[]'
+       |    ELSE '[' || array_to_string(
+       |      list_transform(proj, x -> printf('%.4f', x + 0.000000001)),
+       |      ',') || ']' END AS proj_json,
+       |  CASE WHEN no_emb THEN NULL
+       |    ELSE round(nin + 0.000000001, 4) END AS norm_in,
+       |  CASE WHEN no_emb THEN round(0.000000001, 4)
+       |    ELSE round(nout + 0.000000001, 4) END AS norm_out
        |FROM n""".stripMargin
   }
 

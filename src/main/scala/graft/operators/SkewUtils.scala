@@ -27,4 +27,22 @@ object SkewUtils {
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** THE flood guard for blocked self-joins: keep each key group's
+    * first `cap` members by `orderCol` (deterministic), dropping the
+    * rest. Every blocked quadratic verify (LSH band buckets, n-gram
+    * prefix blocks, record-linkage blocks) goes through here so the
+    * Σ|block|² bound — and its recall-trade semantics — live in ONE
+    * place. A duplicate-heavy corpus floods blocks; without the cap
+    * the in-block verify is quadratic in the flood (measured 80× for
+    * 10× data on the replicated sf1.0 fixture before join_fuzzy was
+    * capped). */
+  def capPerKey(df: DataFrame, keys: Seq[String], orderCol: String,
+      cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("_rn", row_number().over(
+      Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))))
+      .filter(col("_rn") <= cap)
+      .drop("_rn")
+  }
 }

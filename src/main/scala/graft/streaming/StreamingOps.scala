@@ -506,16 +506,24 @@ object StreamingOps {
     * the checkpoint: every write is a dynamic partition overwrite
     * scoped by (bucket, batch_id), so a replayed batch overwrites
     * itself instead of double-appending; TextIndexSpec pins both the
-    * streamed-vs-batch index parity and the replay idempotence. */
+    * streamed-vs-batch index parity and the replay idempotence.
+    *
+    * `mapBatchId` defaults to the EVEN id lane (2k) — the other half
+    * of the delete sinks' odd-lane contract: an ingest stream and a
+    * takedown stream against the same root must never write the same
+    * batch_id (stats partitions key on it alone; a collision would
+    * silently overwrite one stream's stats row with the other's). */
   def indexUpsertSink(
-      docs: DataFrame, indexRoot: String,
-      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+      docs: DataFrame, indexRoot: String, checkpoint: String,
+      mapBatchId: Long => Long = 2 * _)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        graft.operators.TextQueries.appendToIndex(batch, indexRoot, id)
+        graft.operators.TextQueries
+          .appendToIndex(batch, indexRoot, mapBatchId(id))
       }
 
   /** stream_vector_upsert — incremental IVF ingest: each micro-batch
@@ -525,17 +533,19 @@ object StreamingOps {
     * kernel the batch build uses. Replays land as dynamic partition
     * overwrites under (cid, batch_id) — idempotent by layout, the
     * vector twin of stream_index_upsert. The index must be
-    * bootstrapped (initVectorIndex / snk_vector_index) first. */
+    * bootstrapped (initVectorIndex / snk_vector_index) first.
+    * Same even-lane mapBatchId contract as [[indexUpsertSink]]. */
   def vectorUpsertSink(
-      vectors: DataFrame, indexRoot: String,
-      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+      vectors: DataFrame, indexRoot: String, checkpoint: String,
+      mapBatchId: Long => Long = 2 * _)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
         graft.operators.SimilarityQueries
-          .appendToVectorIndex(batch, indexRoot, id)
+          .appendToVectorIndex(batch, indexRoot, mapBatchId(id))
       }
 
   /** stream_index_delete — a takedown FEED against the serving index:

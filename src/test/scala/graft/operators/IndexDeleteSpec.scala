@@ -244,7 +244,24 @@ class IndexDeleteSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val root = tmpRoot("graft-sdel")
-    TextQueries.appendToIndex(docs, root, 0L)
+    // the ingest arrives through the STREAMING sink too — two halves
+    // over one checkpoint land on the even id lane (0, 2), proving the
+    // two streams' lanes interleave against one root without a
+    // batch-id collision (stats partitions key on batch_id alone)
+    val ingestCkpt = Files.createTempDirectory("graft-sdel-ing").toString
+    val docRows = docs.as[(Long, String)].collect().toSeq
+    val (d1, d2) = docRows.splitAt(docRows.length / 2)
+    val ingest = MemoryStream[(Long, String)]
+    ingest.addData(d1: _*)
+    graft.streaming.StreamingOps
+      .indexUpsertSink(ingest.toDF().toDF("doc_id", "text"), root, ingestCkpt)
+      .start().awaitTermination(120000)
+    ingest.addData(d2: _*)
+    graft.streaming.StreamingOps
+      .indexUpsertSink(ingest.toDF().toDF("doc_id", "text"), root, ingestCkpt)
+      .start().awaitTermination(120000)
+    assert(IndexCompaction.listBatchIds(
+      java.nio.file.Paths.get(root, "stats")).sorted == Seq(0L, 2L))
     val delIds = docs.filter(pmod(col("doc_id"), lit(5)) === 2)
       .select("doc_id").as[Long].collect().toSeq
     val (h1, h2) = delIds.splitAt(delIds.length / 2)
