@@ -50,6 +50,41 @@ class ConcurrentServeSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("concurrent serves stay correct on a tombstoned root") {
+    // the serve tier after a takedown: every handler must apply the
+    // tombstone correction identically — same live df recount, same
+    // stats fold — under concurrency
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-cserve-del").toString
+    IndexManifest.registerTempRoot(root)
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    TextQueries.appendToIndex(docs, root, 0L)
+    TextQueries.deleteFromTextIndex(spark, root,
+      docs.filter(pmod(col("doc_id"), lit(5)) === 2).select("doc_id"), 1L)
+    val sequential = TERM_SETS.map(ts =>
+      TextQueries.bm25ServeFrom(spark, root, terms = ts, k = 10)
+        .collect().toSeq)
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try {
+      val fs = TERM_SETS.map { ts =>
+        Future {
+          TextQueries.bm25ServeFrom(spark, root, terms = ts, k = 10)
+            .collect().toSeq
+        }
+      }
+      val concurrent = Await.result(Future.sequence(fs), 120.seconds)
+      concurrent.zip(sequential).zipWithIndex.foreach {
+        case ((c, s), i) =>
+          assert(c == s,
+            s"tombstoned query $i diverged under concurrency:\n$c\nvs\n$s")
+          assert(c.forall(_.getLong(0) % 5 != 2),
+            s"query $i leaked a deleted doc under concurrency")
+      }
+    } finally pool.shutdown()
+  }
+
   test("concurrent ANN serves equal their sequential runs") {
     val root = SimilarityQueries.buildVectorIndex(spark, sf)
     val qs = SimilarityQueries.withNorm(graft.Tables.embeddings(spark, sf))
