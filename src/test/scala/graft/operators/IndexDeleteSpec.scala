@@ -292,6 +292,35 @@ class IndexDeleteSpec extends SparkSpec {
       .select("doc_id").distinct().count() == delIds.length)
   }
 
+  test("streamed vector takedown hides ids as batches commit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val e = graft.Tables.embeddings(spark, sf)
+    val root = tmpRoot("graft-svdel")
+    SimilarityQueries.initVectorIndex(e, root)
+    SimilarityQueries.appendToVectorIndex(e, root, 0L)
+    val delIds = e.filter(pmod(col("vec_id"), lit(5)) === 2)
+      .select("vec_id").as[Long].collect().toSeq
+    val ckpt = Files.createTempDirectory("graft-svdel-ckpt").toString
+    val mem = MemoryStream[Long]
+    mem.addData(delIds: _*)
+    graft.streaming.StreamingOps
+      .vectorDeleteSink(mem.toDF().toDF("vec_id"), root, ckpt)
+      .start().awaitTermination(120000)
+    val q = SimilarityQueries.withNorm(e).filter(col("vec_id") === 0)
+      .select(col("emb"), col("nrm")).collect().head
+    val served = SimilarityQueries.annServeFrom(spark, root,
+      q.getSeq[Double](0).toArray, q.getDouble(1), topK = 100).collect()
+    assert(served.nonEmpty && served.forall(_.getLong(0) % 5 != 2))
+    // replay run with no new data changes nothing
+    graft.streaming.StreamingOps
+      .vectorDeleteSink(mem.toDF().toDF("vec_id"), root, ckpt)
+      .start().awaitTermination(120000)
+    assert(spark.read.parquet(s"$root/deletes")
+      .select("vec_id").distinct().count() == delIds.length)
+  }
+
   test("the declared delete qids audit the serve-visible live set") {
     val t = TextQueries.snkTextIndexDelete(spark, sf).collect().head
     assert(t.getAs[Long]("n_tombstones") ==
