@@ -497,6 +497,27 @@ object StreamingOps {
           .write.mode("append").parquet(outPath)
       }
 
+
+  /** The base both index sinks map their micro-batch counters above:
+    * one past the highest compaction fence on any folded subdir of
+    * `root`, rounded up to EVEN so the even/odd lanes stay aligned.
+    * Computed once per writer construction — compaction is a
+    * quiesce-time op by contract, so the fence cannot move under a
+    * running stream — which makes the post-compaction resume work by
+    * construction: restart with a fresh checkpoint (the documented
+    * procedure) and the counter restarts at 0, landing the first
+    * batches at fence+1/fence+2 instead of wedging below a fence the
+    * OTHER stream's batches raised. (With a fixed 2k/2k+1 mapping,
+    * whichever stream had run fewer micro-batches would see its next
+    * FRESH id rejected as a replay after any compaction.) */
+  private[streaming] def laneBase(root: String): Long = {
+    val subdirs = Seq("postings", "stats", "doclens", "assignments",
+      graft.operators.IndexDeletes.Subdir)
+    val mx = subdirs
+      .map(graft.operators.IndexCompaction.compactedThrough(root, _)).max
+    ((mx + 2) / 2) * 2 // >= mx + 1, even
+  }
+
   /** stream_index_upsert — incremental inverted-index maintenance:
     * each micro-batch of new documents is merged into the persisted
     * term-bucketed index (snk_text_index's layout) by the SAME
@@ -508,23 +529,32 @@ object StreamingOps {
     * itself instead of double-appending; TextIndexSpec pins both the
     * streamed-vs-batch index parity and the replay idempotence.
     *
-    * `mapBatchId` defaults to the EVEN id lane (2k) — the other half
-    * of the delete sinks' odd-lane contract: an ingest stream and a
-    * takedown stream against the same root must never write the same
-    * batch_id (stats partitions key on it alone; a collision would
-    * silently overwrite one stream's stats row with the other's). */
+    * `mapBatchId` defaults to the EVEN id lane above the compaction
+    * fence ([[laneBase]] + 2k) — the other half of the delete sinks'
+    * odd-lane contract: an ingest stream and a takedown stream
+    * against the same root must never write the same batch_id (stats
+    * partitions key on it alone; a collision would silently overwrite
+    * one stream's stats row with the other's). NOTE for roots built
+    * by pre-lane versions of these sinks (identity mapping): compact
+    * to a single fold and resume with a fresh checkpoint before
+    * mixing in a takedown stream. */
   def indexUpsertSink(
       docs: DataFrame, indexRoot: String, checkpoint: String,
-      mapBatchId: Long => Long = 2 * _)
-      : DataStreamWriter[org.apache.spark.sql.Row] =
+      mapBatchId: Option[Long => Long] = None)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    val f = mapBatchId.getOrElse {
+      val base = laneBase(indexRoot)
+      (k: Long) => base + 2 * k
+    }
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
         graft.operators.TextQueries
-          .appendToIndex(batch, indexRoot, mapBatchId(id))
+          .appendToIndex(batch, indexRoot, f(id))
       }
+  }
 
   /** stream_vector_upsert — incremental IVF ingest: each micro-batch
     * of new vectors is assigned against the index's PERSISTED
@@ -537,16 +567,21 @@ object StreamingOps {
     * Same even-lane mapBatchId contract as [[indexUpsertSink]]. */
   def vectorUpsertSink(
       vectors: DataFrame, indexRoot: String, checkpoint: String,
-      mapBatchId: Long => Long = 2 * _)
-      : DataStreamWriter[org.apache.spark.sql.Row] =
+      mapBatchId: Option[Long => Long] = None)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    val f = mapBatchId.getOrElse {
+      val base = laneBase(indexRoot)
+      (k: Long) => base + 2 * k
+    }
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
         graft.operators.SimilarityQueries
-          .appendToVectorIndex(batch, indexRoot, mapBatchId(id))
+          .appendToVectorIndex(batch, indexRoot, f(id))
       }
+  }
 
   /** stream_index_delete — a takedown FEED against the serving index:
     * each micro-batch of doc_ids is tombstoned by the SAME
@@ -560,18 +595,23 @@ object StreamingOps {
     * into the index's SINGLE monotone batch-id space (tombstone and
     * stats partitions key on batch_id alone, so the ingest and
     * takedown streams must not collide). The default pairing — ingest
-    * micro-batches at even ids (2k) and takedown micro-batches at odd
-    * (2k + 1) — keeps BOTH streams' ids advancing together, so the
-    * fence a delete-aware compaction records (the max folded batch
-    * id) is cleared by both streams' next batches after the
-    * documented post-compaction restart. Do NOT map the takedown
-    * stream far above the ingest stream (e.g. an epoch << 32 base):
-    * the compaction fence would then sit above every future ingest
-    * id and brick the ingest stream. */
+    * micro-batches on the even lane and takedown micro-batches on the
+    * odd lane, both based one past the compaction fence
+    * ([[laneBase]]) — keeps the streams' ids advancing together AND
+    * clearing the fence after the documented post-compaction restart
+    * (fresh checkpoints; the counter restarts at 0 but the base has
+    * moved above the fold). Do NOT map the takedown stream far above
+    * the ingest stream (e.g. an epoch << 32 base): the compaction
+    * fence would then sit above every future ingest id and brick the
+    * ingest stream. */
   def indexDeleteSink(
       ids: DataFrame, indexRoot: String, checkpoint: String,
-      mapBatchId: Long => Long = 2 * _ + 1)
-      : DataStreamWriter[org.apache.spark.sql.Row] =
+      mapBatchId: Option[Long => Long] = None)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    val f = mapBatchId.getOrElse {
+      val base = laneBase(indexRoot)
+      (k: Long) => base + 2 * k + 1
+    }
     ids.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -579,9 +619,10 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         graft.operators.TextQueries
           .deleteFromTextIndex(batch.sparkSession, indexRoot,
-            batch, mapBatchId(id))
+            batch, f(id))
         ()
       }
+  }
 
   /** stream_vector_delete — the vector twin: micro-batches of vec_ids
     * tombstoned via deleteFromVectorIndex (pure tombstone writes; the
@@ -589,8 +630,12 @@ object StreamingOps {
     * as [[indexDeleteSink]]. */
   def vectorDeleteSink(
       ids: DataFrame, indexRoot: String, checkpoint: String,
-      mapBatchId: Long => Long = 2 * _ + 1)
-      : DataStreamWriter[org.apache.spark.sql.Row] =
+      mapBatchId: Option[Long => Long] = None)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    val f = mapBatchId.getOrElse {
+      val base = laneBase(indexRoot)
+      (k: Long) => base + 2 * k + 1
+    }
     ids.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -598,7 +643,9 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         graft.operators.SimilarityQueries
           .deleteFromVectorIndex(batch.sparkSession, indexRoot,
-            batch, mapBatchId(id))
+            batch, f(id))
         ()
       }
+  }
+
 }

@@ -292,6 +292,53 @@ class IndexDeleteSpec extends SparkSpec {
       .select("doc_id").distinct().count() == delIds.length)
   }
 
+  test("both stream lanes resume above a compaction fence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = tmpRoot("graft-lane")
+    // ingest lane (even) + takedown lane (odd), then quiesce + compact
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val ing = MemoryStream[(Long, String)]
+    ing.addData(rows: _*)
+    val ingCkpt = Files.createTempDirectory("graft-lane-i").toString
+    graft.streaming.StreamingOps
+      .indexUpsertSink(ing.toDF().toDF("doc_id", "text"), root, ingCkpt)
+      .start().awaitTermination(120000)
+    val del = MemoryStream[Long]
+    del.addData(rows.filter(_._1 % 5 == 2).map(_._1): _*)
+    val delCkpt = Files.createTempDirectory("graft-lane-d").toString
+    graft.streaming.StreamingOps
+      .indexDeleteSink(del.toDF().toDF("doc_id"), root, delCkpt)
+      .start().awaitTermination(120000)
+    TextQueries.compactTextIndex(spark, root)
+    // resume BOTH lanes with fresh checkpoints (the documented
+    // post-compaction restart): the fence sits at the delete batch's
+    // id, yet each lane's FIRST new batch must clear it — with a
+    // fixed 2k/2k+1 mapping the shorter-lived stream would wedge here
+    val ing2 = MemoryStream[(Long, String)]
+    ing2.addData(rows.map { case (id, t) => (id + 700000L, t) }: _*)
+    graft.streaming.StreamingOps
+      .indexUpsertSink(ing2.toDF().toDF("doc_id", "text"), root,
+        Files.createTempDirectory("graft-lane-i2").toString)
+      .start().awaitTermination(120000)
+    val del2 = MemoryStream[Long]
+    del2.addData(rows.filter(_._1 % 5 == 3).map(_._1): _*)
+    graft.streaming.StreamingOps
+      .indexDeleteSink(del2.toDF().toDF("doc_id"), root,
+        Files.createTempDirectory("graft-lane-d2").toString)
+      .start().awaitTermination(120000)
+    // serve equals a batch-built twin of (docs minus %5∈{2,3}) ∪ resumed
+    val twin = tmpRoot("graft-lane-twin")
+    TextQueries.appendToIndex(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 2 &&
+        pmod(col("doc_id"), lit(5)) =!= 3)
+        .unionByName(docs.withColumn("doc_id", col("doc_id") + 700000L)),
+      twin, 0L)
+    assert(TextQueries.bm25ServeFrom(spark, root).collect().toSeq ==
+      TextQueries.bm25ServeFrom(spark, twin).collect().toSeq)
+  }
+
   test("streamed vector takedown hides ids as batches commit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
