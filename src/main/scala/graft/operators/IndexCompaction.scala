@@ -117,7 +117,19 @@ object IndexCompaction {
     repartitioned.write
       .partitionBy(partCols :+ "batch_id": _*)
       .mode("overwrite").parquet(tmp.toString)
-    Files.createFile(tmp.resolve("_STAGED"))
+    // The marker carries the staged part-dir NAMES (v2): they are the
+    // authoritative post-swap directory set. Without it, a part value
+    // whose every row was merged away (a bucket/cid list fully
+    // tombstoned by a delete-applying fold) leaves no staged
+    // counterpart, the swap never touches its live dir, and the
+    // supposedly-deleted rows would resurrect once the tombstones are
+    // cleared. Written to a temp name + atomic-ish move so a crash
+    // mid-write cannot leave a torn marker that reads as complete.
+    val markerTmp = tmp.resolve("_STAGED.tmp")
+    Files.write(markerTmp,
+      ("v2" +: partDirs(tmp).map(_.getFileName.toString))
+        .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(markerTmp, tmp.resolve("_STAGED"))
   }
 
   /** Phase 2: the atomic journal write that makes the swap mandatory. */
@@ -137,19 +149,51 @@ object IndexCompaction {
     val mx = pending.get.toLong
     val live = Paths.get(root, subdir)
     val tmp = stagingDir(root, subdir)
+    // v2 markers list the staged part-dir names — the authoritative
+    // post-swap set (see stage()). Read BEFORE moving: the staged dirs
+    // drain out of tmp as they move, but the intended end state must
+    // not. Legacy (empty) markers yield None and fall back to the old
+    // batch_id-only prune.
+    val stagedSet: Option[Set[String]] = {
+      val marker = tmp.resolve("_STAGED")
+      if (!Files.exists(marker)) None
+      else {
+        val lines = Files.readAllLines(marker).asScala
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        if (lines.headOption.contains("v2")) Some(lines.tail.toSet) else None
+      }
+    }
     partDirs(tmp).foreach { staged =>
       moveStagedOver(staged, live.resolve(staged.getFileName))
     }
-    // stats-style layouts have no part column: batch dirs sit directly
-    // under the subdir and the staged dir holds them at top level too
-    // (handled above by partDirs matching batch_id=). Any live batch
-    // dir older than mx that had no staged counterpart is fully merged
-    // into the staged output — drop it.
-    partDirs(live).foreach { d =>
-      val n = d.getFileName.toString
-      if (n.startsWith("batch_id=") &&
-        n.stripPrefix("batch_id=").toLong < mx)
-        IndexManifest.deleteRecursively(d)
+    stagedSet match {
+      case Some(names) =>
+        // any live part dir outside the staged set was either fully
+        // merged into a staged sibling (old top-level batch dirs) or
+        // fully EMPTIED by the merge (a bucket/cid whose every row was
+        // tombstoned — it gets no staged counterpart at all, because
+        // Spark writes no partition dir for zero rows). Both must go:
+        // leaving the emptied dir would resurrect deleted rows the
+        // moment fenceAndClear drops their tombstones. Idempotent
+        // across crash-replays — the set comes from the durable
+        // marker, not from what happens to remain in tmp.
+        partDirs(live).foreach { d =>
+          if (!names.contains(d.getFileName.toString))
+            IndexManifest.deleteRecursively(d)
+        }
+      case None =>
+        // legacy marker: stats-style layouts have no part column —
+        // batch dirs sit directly under the subdir. Any live batch dir
+        // older than mx is fully merged into the staged output — drop
+        // it. (Emptied part dirs cannot be detected without the v2
+        // name list; legacy staged runs predate delete-applying
+        // compactions, so none can exist.)
+        partDirs(live).foreach { d =>
+          val n = d.getFileName.toString
+          if (n.startsWith("batch_id=") &&
+            n.stripPrefix("batch_id=").toLong < mx)
+            IndexManifest.deleteRecursively(d)
+        }
     }
     IndexManifest.update(root,
       Map(throughKey(subdir) -> mx.toString),

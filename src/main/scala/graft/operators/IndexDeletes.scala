@@ -109,7 +109,7 @@ object IndexDeletes {
   def hasDeletes(root: String): Boolean =
     hasParquet(Paths.get(root, Subdir))
 
-  private def hasParquet(p: java.nio.file.Path): Boolean = {
+  private[operators] def hasParquet(p: java.nio.file.Path): Boolean = {
     if (!Files.isDirectory(p)) return false
     val s = Files.walk(p)
     try s.iterator().asScala.exists(f => Files.isRegularFile(f) &&

@@ -75,6 +75,14 @@ object IndexManifest {
           // content checksums; the maintenance ops that write here are
           // quiesce-time single-writer by contract, which is the real
           // guard on such mounts.
+          // stamp the root as non-atomic FIRST: readIfExists only
+          // consults the .bak on roots carrying this marker, so a
+          // mount with real atomic renames can never serve a stale
+          // .bak after the main file vanishes for an unrelated reason
+          // (which would let update()'s read-modify-write resurrect a
+          // cleared journal key or lower a compact.through fence)
+          try Files.createFile(Paths.get(root, s"$FILE.nonatomic"))
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
           if (Files.exists(target))
             Files.copy(target, Paths.get(root, s"$FILE.bak"),
               java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -103,10 +111,16 @@ object IndexManifest {
     // the read itself, so the exists-then-open race is covered too)
     // sees the just-previous map — through values only ever grow, so
     // an older map errs toward rejecting batches, never admitting a
-    // folded one — instead of an empty map's ct = -1. ONLY absence
-    // falls through: any other IO failure propagates loudly, because
-    // treating it as "no manifest" would fail every guard open and
-    // let update()'s read-modify-write silently wipe existing keys.
+    // folded one — instead of an empty map's ct = -1. The fallback is
+    // SCOPED to roots stamped `.nonatomic` by the fallback store path:
+    // on a mount with real atomic renames the main file can only be
+    // absent because it never existed or something external removed
+    // it, and silently reading a leftover .bak there would hand
+    // update()'s read-modify-write a stale map (resurrecting a cleared
+    // rebuild.pending, lowering a fence). ONLY absence falls through:
+    // any other IO failure propagates loudly, because treating it as
+    // "no manifest" would fail every guard open and let update()'s
+    // read-modify-write silently wipe existing keys.
     def load(f: Path): Option[Map[String, String]] =
       try {
         val p = new java.util.Properties()
@@ -116,7 +130,11 @@ object IndexManifest {
           .map(k => k -> p.getProperty(k)).toMap)
       } catch { case _: java.nio.file.NoSuchFileException => None }
     load(Paths.get(root, FILE))
-      .orElse(load(Paths.get(root, s"$FILE.bak")))
+      .orElse {
+        if (Files.exists(Paths.get(root, s"$FILE.nonatomic")))
+          load(Paths.get(root, s"$FILE.bak"))
+        else None
+      }
       .getOrElse(Map.empty)
   }
 

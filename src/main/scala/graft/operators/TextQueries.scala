@@ -429,7 +429,18 @@ object TextQueries {
     * overwrites exactly its first attempt's partitions. Returns the
     * number of newly tombstoned (live) docs. Pre-sidecar roots (built
     * before doclens existed) fall back to deriving (doc_id, dl) from
-    * a postings scan — correct, just not cheap. */
+    * a postings scan, and PARTIALLY covered sidecars derive just their
+    * uncovered batches (see [[docLengthsOf]]) — correct either way,
+    * just not sidecar-cheap.
+    *
+    * Crash-ordering: tombstones land BEFORE the negative stats row on
+    * purpose — a crash between the two fails SAFE for takedown
+    * semantics (the docs are already invisible; n_docs/avgdl ride
+    * slightly high until repair) where the opposite order would keep
+    * serving supposedly-deleted docs. The skew self-heals on the
+    * stream's checkpoint replay, and even without a replay the next
+    * [[compactTextIndex]] re-derives the folded stats row from the
+    * live doclens rather than trusting the per-batch rows. */
   def deleteFromTextIndex(s: SparkSession, root: String,
       ids: DataFrame, batchId: Long): Long = {
     Seq("postings", "stats", "doclens", IndexDeletes.Subdir).foreach { d =>
@@ -438,16 +449,8 @@ object TextQueries {
         s"delete batch $batchId replays into an index compacted " +
           s"through $ct at $d — restart above the compaction point")
     }
-    val doclens =
-      if (java.nio.file.Files.isDirectory(
-        java.nio.file.Paths.get(root, "doclens")))
-        s.read.parquet(s"$root/doclens").select(col("doc_id"), col("dl"))
-      else if (java.nio.file.Files.isDirectory(
-        java.nio.file.Paths.get(root, "postings")))
-        // pre-sidecar root: recover (doc_id, dl) from postings
-        s.read.parquet(s"$root/postings")
-          .select(col("doc_id"), col("dl")).distinct()
-      else return 0L // nothing ingested yet — nothing can be live
+    val doclens = docLengthsOf(s, root)
+      .getOrElse(return 0L) // nothing ingested yet — nothing can be live
     val others = IndexDeletes.readDeletesExcept(s, root, "doc_id", batchId)
     val newly = others.foldLeft(
       doclens.join(broadcast(ids.select(col("doc_id")).distinct()),
@@ -466,6 +469,67 @@ object TextQueries {
         .parquet(s"$root/stats")
       n
     } finally newly.unpersist()
+  }
+
+  /** The (doc_id, dl) pairs of every ingested document — None when
+    * nothing was ever ingested. The doclens/ sidecar is the cheap
+    * source, but its mere EXISTENCE is not full coverage: a root with
+    * pre-sidecar ingest batches plus one post-upgrade append holds a
+    * PARTIAL sidecar, and trusting it would make deletes of old-batch
+    * docs silent no-ops (no doclens row → no tombstone → "0 deleted").
+    * Coverage is priced by batch ids (directory names, no data read):
+    * postings batches absent from doclens/ get their pairs re-derived
+    * from exactly those postings partitions — cost proportional to the
+    * uncovered batches, never the covered corpus. */
+  private def docLengthsOf(s: SparkSession, root: String)
+      : Option[DataFrame] = {
+    val dlDir = java.nio.file.Paths.get(root, "doclens")
+    val poDir = java.nio.file.Paths.get(root, "postings")
+    val hasDl = IndexDeletes.hasParquet(dlDir)
+    val hasPo = IndexDeletes.hasParquet(poDir)
+    if (!hasDl && !hasPo) return None
+    if (!hasDl) // pre-sidecar root: recover everything from postings
+      return Some(s.read.parquet(s"$root/postings")
+        .select(col("doc_id"), col("dl")).distinct())
+    val base = s.read.parquet(s"$root/doclens")
+      .select(col("doc_id"), col("dl"))
+    val missing =
+      if (!hasPo) Nil
+      else (IndexCompaction.listBatchIds(poDir).toSet --
+        IndexCompaction.listBatchIds(dlDir).toSet).toSeq
+    if (missing.isEmpty) Some(base)
+    else Some(base.unionByName(
+      s.read.parquet(s"$root/postings")
+        .filter(col("batch_id").isin(missing.map(Long.box): _*))
+        .select(col("doc_id"), col("dl")).distinct()))
+  }
+
+  /** Make a partially-covered doclens/ sidecar whole: derive the
+    * (doc_id, dl) rows of every postings batch the sidecar is missing
+    * and land them under their own batch partitions. Run by
+    * [[compactTextIndex]] BEFORE its folds — compaction relabels every
+    * folded row to one batch id, which would otherwise make the
+    * batch-id coverage check above read a still-partial sidecar as
+    * complete forever after. No-op on fully covered and on wholly
+    * pre-sidecar roots (the latter keep their documented
+    * postings-scan fallback until an append writes the first sidecar
+    * batch). */
+  private[operators] def backfillDoclens(s: SparkSession,
+      root: String): Unit = {
+    val dlDir = java.nio.file.Paths.get(root, "doclens")
+    val poDir = java.nio.file.Paths.get(root, "postings")
+    if (!IndexDeletes.hasParquet(dlDir) ||
+      !IndexDeletes.hasParquet(poDir)) return
+    val missing = (IndexCompaction.listBatchIds(poDir).toSet --
+      IndexCompaction.listBatchIds(dlDir).toSet).toSeq
+    if (missing.isEmpty) return
+    s.read.parquet(s"$root/postings")
+      .filter(col("batch_id").isin(missing.map(Long.box): _*))
+      .select(col("doc_id"), col("dl"), col("batch_id"))
+      .distinct()
+      .write.partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic").mode("overwrite")
+      .parquet(s"$root/doclens")
   }
 
   /** snk_text_index — build the inverted index and audit the written
@@ -511,19 +575,37 @@ object TextQueries {
     * anti-join of already-removed rows is a no-op). */
   def compactTextIndex(s: SparkSession, root: String)
       : Seq[IndexCompaction.CompactStats] = {
+    // a partially-covered sidecar must be made whole BEFORE the folds:
+    // the fold relabels every row to one batch id, after which the
+    // coverage gap could never be detected again (see backfillDoclens)
+    backfillDoclens(s, root)
     val del = IndexDeletes.readDeletes(s, root, "doc_id")
     def dropDeleted(df: DataFrame): DataFrame =
       del.fold(df)(d => df.join(broadcast(d), Seq("doc_id"), "left_anti"))
+    val hasDoclens = IndexDeletes.hasParquet(
+      java.nio.file.Paths.get(root, "doclens"))
+    // the folded stats row is re-DERIVED from the live doclens rather
+    // than summed from the per-batch rows whenever the sidecar exists:
+    // a delete that crashed between its tombstone write and its
+    // negative stats row leaves the per-batch sum skewed, and folding
+    // that sum would make the skew permanent — the sidecar is the
+    // ground truth the per-batch rows merely cache. Pre-sidecar roots
+    // keep the summing fold (their rows are the only record).
+    val statsMerge: DataFrame => DataFrame =
+      if (hasDoclens)
+        _ => dropDeleted(s.read.parquet(s"$root/doclens"))
+          .agg(count(lit(1)).cast("double").as("n_docs"),
+            sum(col("dl")).as("sum_dl"))
+      else
+        _.groupBy().agg(
+          sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     val stats = Seq(
       IndexCompaction.compact(s, root, "postings", Seq("bucket"),
         merge = dropDeleted, force = del.isDefined),
       IndexCompaction.compact(s, root, "stats", Nil,
-        merge = _.groupBy().agg(
-          sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl")),
-        force = del.isDefined)) ++
+        merge = statsMerge, force = del.isDefined)) ++
       // pre-sidecar roots have no doclens/ to fold
-      (if (java.nio.file.Files.isDirectory(
-        java.nio.file.Paths.get(root, "doclens")))
+      (if (hasDoclens)
         Seq(IndexCompaction.compact(s, root, "doclens", Nil,
           merge = dropDeleted, force = del.isDefined))
       else Nil)

@@ -368,6 +368,143 @@ class IndexDeleteSpec extends SparkSpec {
       .select("vec_id").distinct().count() == delIds.length)
   }
 
+  test("text: a fully-tombstoned bucket dir is removed by compaction") {
+    val root = tmpRoot("graft-del-bucket")
+    (0 to 2).foreach { b =>
+      TextQueries.appendToIndex(
+        docs.filter(pmod(col("doc_id"), lit(3)) === b), root, b.toLong)
+    }
+    // the bucket with the fewest distinct docs — tombstone its WHOLE
+    // membership so the delete-applying fold empties the bucket dir
+    val target = spark.read.parquet(s"$root/postings")
+      .groupBy(col("bucket").cast("int").as("bucket"))
+      .agg(countDistinct(col("doc_id")).as("n"))
+      .orderBy(col("n"), col("bucket")).collect().head.getInt(0)
+    val victimIds = spark.read.parquet(s"$root/postings")
+      .filter(col("bucket") === target).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    import spark.implicits._
+    assert(TextQueries.deleteFromTextIndex(spark, root,
+      victimIds.toDF("doc_id"), 3L) == victimIds.length)
+    TextQueries.compactTextIndex(spark, root)
+    // the emptied dir must be GONE: a stale survivor (it has no staged
+    // counterpart — Spark writes no partition dir for zero rows) would
+    // resurrect the docs the moment their tombstones were cleared
+    assert(!Files.exists(Paths.get(root, "postings", s"bucket=$target")))
+    assert(!Files.exists(Paths.get(root, "deletes")))
+    assert(spark.read.parquet(s"$root/postings")
+      .filter(col("doc_id").isin(victimIds.map(Long.box): _*))
+      .count() == 0)
+    // full serve parity against a twin that never held the victims
+    val twin = tmpRoot("graft-del-bucket-twin")
+    TextQueries.appendToIndex(
+      docs.filter(!col("doc_id").isin(victimIds.map(Long.box): _*)),
+      twin, 0L)
+    assert(TextQueries.bm25ServeFrom(spark, root).collect().toSeq ==
+      TextQueries.bm25ServeFrom(spark, twin).collect().toSeq)
+  }
+
+  test("vector: a fully-tombstoned cid list dir is removed by compaction") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val root = tmpRoot("graft-vdel-cid")
+    SimilarityQueries.initVectorIndex(e, root)
+    SimilarityQueries.appendToVectorIndex(e, root, 0L)
+    val target = spark.read.parquet(s"$root/assignments")
+      .groupBy(col("cid").cast("long").as("cid"))
+      .agg(countDistinct(col("vec_id")).as("n"))
+      .orderBy(col("n"), col("cid")).collect().head.getLong(0)
+    val victimIds = spark.read.parquet(s"$root/assignments")
+      .filter(col("cid") === target).select("vec_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    import spark.implicits._
+    assert(SimilarityQueries.deleteFromVectorIndex(spark, root,
+      victimIds.toDF("vec_id"), 1L) == victimIds.length)
+    SimilarityQueries.compactVectorIndex(spark, root)
+    assert(!Files.exists(Paths.get(root, "assignments", s"cid=$target")))
+    assert(!Files.exists(Paths.get(root, "deletes")))
+    assert(spark.read.parquet(s"$root/assignments")
+      .filter(col("vec_id").isin(victimIds.map(Long.box): _*))
+      .count() == 0)
+  }
+
+  /** A root whose doclens/ sidecar covers only SOME ingest batches —
+    * the shape an upgraded pre-sidecar deployment has after its first
+    * post-upgrade append: postings batches 0-2, sidecar rows for
+    * batch 2 only. */
+  private def partialSidecarRoot(): String = {
+    val root = tmpRoot("graft-del-partial")
+    (0 to 2).foreach { b =>
+      TextQueries.appendToIndex(
+        docs.filter(pmod(col("doc_id"), lit(3)) === b), root, b.toLong)
+    }
+    Seq(0L, 1L).foreach { b =>
+      IndexManifest.deleteRecursively(
+        Paths.get(root, "doclens", s"batch_id=$b"))
+    }
+    root
+  }
+
+  test("text: deletes land for docs whose batch predates the sidecar") {
+    val root = partialSidecarRoot()
+    // victims live in batch 0 — the sidecar has no row for them, and a
+    // sidecar-trusting delete would silently return 0 (a failed
+    // takedown); coverage pricing must re-derive their lengths from
+    // exactly the uncovered postings batches
+    import spark.implicits._
+    val ids = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select("doc_id").orderBy("doc_id").limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(TextQueries.deleteFromTextIndex(spark, root,
+      ids.toDF("doc_id"), 3L) == ids.length)
+    // the stats correction priced the REAL lengths: parity with a twin
+    val twin = tmpRoot("graft-del-partial-twin")
+    TextQueries.appendToIndex(
+      docs.filter(!col("doc_id").isin(ids.map(Long.box): _*)), twin, 0L)
+    assert(TextQueries.bm25ServeFrom(spark, root).collect().toSeq ==
+      TextQueries.bm25ServeFrom(spark, twin).collect().toSeq)
+  }
+
+  test("text: compaction backfills a partial sidecar before folding") {
+    val root = partialSidecarRoot()
+    TextQueries.compactTextIndex(spark, root)
+    // post-fold the sidecar must cover the whole corpus — the fold
+    // relabels batch ids, so an unfilled gap would be undetectable
+    // (and every later delete of an old-batch doc a silent no-op)
+    assert(spark.read.parquet(s"$root/doclens").count() == docs.count())
+    import spark.implicits._
+    val ids = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+      .select("doc_id").orderBy("doc_id").limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(TextQueries.deleteFromTextIndex(spark, root,
+      ids.toDF("doc_id"), 4L) == ids.length)
+  }
+
+  test("text: compaction re-derives stats after a crashed delete") {
+    val root = tmpRoot("graft-del-crash")
+    (0 to 1).foreach { b =>
+      TextQueries.appendToIndex(
+        docs.filter(pmod(col("doc_id"), lit(2)) === b), root, b.toLong)
+    }
+    // simulate deleteFromTextIndex dying between its tombstone write
+    // and its negative stats row: tombstones exist, stats un-corrected
+    val victims = docs.filter(pmod(col("doc_id"), lit(5)) === 2)
+      .select("doc_id")
+    IndexDeletes.writeTombstones(victims, root, "doc_id", 2L)
+    TextQueries.compactTextIndex(spark, root)
+    // the fold must NOT trust the (skewed) per-batch stats sum — it
+    // re-derives from the live doclens, so the skew cannot become
+    // permanent
+    val twin = tmpRoot("graft-del-crash-twin")
+    TextQueries.appendToIndex(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 2), twin, 0L)
+    val live = spark.read.parquet(s"$root/stats").collect().head
+    val ref = spark.read.parquet(s"$twin/stats").collect().head
+    assert(live.getAs[Double]("n_docs") == ref.getAs[Double]("n_docs"))
+    assert(live.getAs[Double]("sum_dl") == ref.getAs[Double]("sum_dl"))
+    assert(TextQueries.bm25ServeFrom(spark, root).collect().toSeq ==
+      TextQueries.bm25ServeFrom(spark, twin).collect().toSeq)
+  }
+
   test("the declared delete qids audit the serve-visible live set") {
     val t = TextQueries.snkTextIndexDelete(spark, sf).collect().head
     assert(t.getAs[Long]("n_tombstones") ==

@@ -173,6 +173,27 @@ class IndexDurabilitySpec extends SparkSpec {
       .toSeq.size == served.size)
   }
 
+  test("a leftover .bak is ignored on roots the atomic store path owns") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft-bak-scope").toString
+    IndexManifest.update(root, Map("compact.through.postings" -> "7"))
+    // a stale sibling copy appears (operator cp, a backup tool, a
+    // crashed older engine) and then the main manifest vanishes for an
+    // unrelated reason — on an ATOMIC_MOVE-capable mount the .bak must
+    // NOT be served: trusting it would resurrect old journal state
+    Files.copy(Paths.get(root, IndexManifest.FILE),
+      Paths.get(root, s"${IndexManifest.FILE}.bak"))
+    IndexManifest.update(root, Map("compact.through.postings" -> "9"))
+    Files.delete(Paths.get(root, IndexManifest.FILE))
+    assert(IndexManifest.readIfExists(root).isEmpty,
+      "stale .bak served on an atomic mount")
+    // but a root stamped by the non-atomic store path keeps the
+    // designed absent-window fallback
+    Files.createFile(Paths.get(root, s"${IndexManifest.FILE}.nonatomic"))
+    assert(IndexManifest.readIfExists(root)
+      .get("compact.through.postings").contains("7"))
+  }
+
   test("a corpus regenerated in place invalidates the build memo") {
     import spark.implicits._
     val dir = java.nio.file.Files
