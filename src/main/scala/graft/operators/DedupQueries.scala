@@ -114,15 +114,59 @@ object DedupQueries {
       |WHERE round(CAST(len(list_intersect(x.shin, y.shin)) AS DOUBLE) /
       |      len(list_distinct(list_concat(x.shin, y.shin))), 4) >= 0.8""".stripMargin
 
-  /** dedup_near_minhash — MinHash(16 perms) + LSH(4 bands × 4 rows):
-    * candidates = pairs sharing ≥1 band bucket (equi-join on
-    * (band, bandhash), ids only); verified with exact Jaccard ≥ 0.8
-    * after re-joining shingle sets for the candidates. Catches
-    * near-dups regardless of edit position (no prefix-block
-    * assumption). Algorithmic ⇒ rows-only; recall vs the exact
+  /** Exact-content collapse shared by the signature-LSH near-dup
+    * paths (simhash / minhash): one representative (min doc_id) per
+    * distinct text. Verbatim duplicates are precisely the corpus LSH
+    * band buckets choke on — identical texts share EVERY band, so a
+    * dup-heavy corpus (dedup's own target) piles whole copy-classes
+    * into single buckets and an uncapped self-join goes |class|²
+    * (measured 72× time for 10× data on the replicated sf1.0 fixture
+    * before this stage existed). Collapsing first means banding sees
+    * one row per CONTENT; copy-class members re-enter the output as
+    * linear STAR edges to their representative (rep < member since
+    * rep = min id), which preserves exactly the connected components
+    * of the old intra-class cliques at O(n) instead of O(n²) edges —
+    * cluster membership is fully recoverable, only the redundant
+    * transitive pairs are gone. Returns (d0 = doc_id/text/ch,
+    * reps = ch/doc_id). */
+  private def exactCollapse(docs: DataFrame): (DataFrame, DataFrame) = {
+    val d0 = docs.select(col("doc_id"), sha2(col("text"), 256).as("ch"))
+    // the representative CARRIES its text out of the aggregate
+    // (first() is safe: every text in a ch-group is identical by
+    // construction, so whichever partial wins yields the same value)
+    // — no join back against the corpus, and partial aggregation
+    // collapses a verbatim flood map-side before it ever shuffles
+    val reps = docs.select(col("doc_id"), col("text"),
+        sha2(col("text"), 256).as("ch"))
+      .groupBy(col("ch"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+    (d0, reps)
+  }
+
+  /** The member→representative star edges of [[exactCollapse]], with
+    * a caller-chosen score column for the (identical-content) pair. */
+  private def starEdges(d0: DataFrame, reps: DataFrame,
+      score: org.apache.spark.sql.Column): DataFrame =
+    d0.join(reps.select(col("ch"), col("doc_id").as("a")), Seq("ch"))
+      .filter(col("doc_id") =!= col("a"))
+      .select(col("a"), col("doc_id").as("b"), score)
+
+  /** dedup_near_minhash — exact-collapse, then MinHash(16 perms) +
+    * LSH(4 bands × 4 rows) over the representatives: candidates =
+    * rep pairs sharing ≥1 band bucket (equi-join on (band, bandhash),
+    * ids only); verified with exact Jaccard ≥ 0.8 after re-joining
+    * shingle sets for the candidates; copy-class members appear as
+    * jac=1.0 star edges to their representative. Catches near-dups
+    * regardless of edit position (no prefix-block assumption).
+    * Algorithmic ⇒ rows-only; component-level recall vs the exact
     * Jaccard ground truth is property-tested. */
-  def dedupNearMinhash(s: SparkSession, dir: String): DataFrame = {
-    val d = shingled(s, dir).select(col("doc_id"), col("shin"))
+  def dedupNearMinhash(s: SparkSession, dir: String): DataFrame =
+    dedupNearMinhashFrom(documents(s, dir))
+
+  private[graft] def dedupNearMinhashFrom(docs: DataFrame): DataFrame = {
+    val (d0, reps) = exactCollapse(docs)
+    val d = shingledFrom(reps.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("shin"))
     val bands = d.select(col("doc_id"),
       posexplode(FastSig.bandHashes(N_BANDS)(
         FastSig.minhashSig(NUM_PERM)(col("shin")))))
@@ -140,28 +184,32 @@ object DedupQueries {
         round(FastSig.jaccardSorted(col("sa"), col("sb")), 4))
       .filter(col("jac") >= JACCARD_T)
       .select(col("a"), col("b"), col("jac"))
+      .unionByName(starEdges(d0, reps, lit(1.0).as("jac")))
   }
 
-  /** Band-bucket cap for the SimHash join — the same flood guard the
-    * other LSH paths carry (near_embedding 512, ngram blocks 256): a
-    * duplicate-heavy corpus (dedup's whole use case) floods a band
-    * bucket with identical signatures, and an uncapped self-join goes
-    * |bucket|² — measured 72× for 10× data on the replicated sf1.0
-    * fixture. With the cap, candidate work is bounded at
-    * buckets × cap²; members beyond the cap in a flooded bucket are
-    * the documented recall trade (identical docs share all 4 bands,
-    * so each flood keeps the same first 512 by doc_id). */
+  /** Band-bucket cap for the SimHash rep join. After the exact
+    * collapse this is a pure safety net: buckets hold DISTINCT texts
+    * only, so saturating it takes ≥512 distinct near-identical
+    * contents agreeing on a 16-bit band — a templated-corpus shape,
+    * not the verbatim-copy flood that used to saturate it (copies
+    * never reach the band stage anymore). Candidate work stays
+    * bounded at buckets × cap² in the worst case. */
   private val SIMHASH_BAND_CAP = 512
 
-  /** dedup_simhash — 64-bit SimHash, 4×16-bit band candidates,
-    * verified by Hamming distance ≤ 6. Near-identical docs differ in
-    * few bits; banding guarantees candidates for distance ≤ 3 and
+  /** dedup_simhash — exact-collapse, then 64-bit SimHash with
+    * 4×16-bit band candidates over the representatives, verified by
+    * Hamming distance ≤ 6; copy-class members appear as hamming=0
+    * star edges to their representative. Near-identical docs differ
+    * in few bits; banding guarantees candidates for distance ≤ 3 and
     * catches most ≤ 6. Rows-only (hash-valued). */
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val d = documents(s, dir)
-      .select(col("doc_id"),
-        TextFunctions.simhash64(TextFunctions.tokens(col("text")))
-          .as("sig"))
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    dedupSimhashFrom(documents(s, dir))
+
+  private[graft] def dedupSimhashFrom(docs: DataFrame): DataFrame = {
+    val (d0, reps) = exactCollapse(docs)
+    val d = reps.select(col("doc_id"),
+      TextFunctions.simhash64(TextFunctions.tokens(col("text")))
+        .as("sig"))
     val bands = SkewUtils.capPerKey(
       d.select(col("doc_id"), col("sig"),
         explode(graft.functions.VectorFunctions.sigBands(col("sig"), 64, 4))
@@ -179,6 +227,7 @@ object DedupQueries {
         TextFunctions.hamming64(col("siga"), col("sigb")))
       .filter(col("hamming") <= 6)
       .select(col("a"), col("b"), col("hamming"))
+      .unionByName(starEdges(d0, reps, lit(0).as("hamming")))
   }
 
   /** Iteration bound for connected-components label propagation.

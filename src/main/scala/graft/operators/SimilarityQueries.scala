@@ -147,12 +147,13 @@ object SimilarityQueries {
     * Σ_buckets (bandBits+1)·BUCKET_CAP × BUCKET_CAP — never an
     * all-pairs product, constant (not linear) in the size of an
     * identical-vector flood, and without a second window shuffle over
-    * the 9× probe fan-out. The cap costs recall inside degenerate
-    * buckets: members past the first BUCKET_CAP of their exact bucket
-    * lose their pairs (and their probes), which is the documented
-    * trade (identical-vector floods are exact dedup's job, not
-    * LSH's). Approximate recall ⇒ rows-only; the bucket cap and flood
-    * bound are asserted by SimilarityBoundsSpec. */
+    * the 9× probe fan-out. Identical vectors never reach the buckets
+    * at all — they collapse to one representative first (see
+    * [[dedupNearEmbeddingFrom]]) — so the cap is a safety net for
+    * DISTINCT near-identical vectors agreeing on a band, not the
+    * verbatim-copy flood that used to saturate it. Approximate recall
+    * ⇒ rows-only; the bucket cap and flood bound are asserted by
+    * SimilarityBoundsSpec. */
   def dedupNearEmbedding(s: SparkSession, dir: String): DataFrame =
     dedupNearEmbeddingFrom(withNorm(embeddings(s, dir)))
 
@@ -207,11 +208,41 @@ object SimilarityQueries {
 
   /** DataFrame-level core of dedup_near_embedding so fixtures (e.g. a
     * skewed identical-vector flood) can drive it directly. Expects
-    * columns (vec_id, emb, nrm). */
+    * columns (vec_id, emb, nrm).
+    *
+    * Identical vectors are collapsed to one representative (min
+    * vec_id, grouped on the raw array) BEFORE the LSH stage — the
+    * text twin of DedupQueries.exactCollapse: verbatim copies share
+    * every band, so a copy-heavy corpus floods band buckets straight
+    * to BUCKET_CAP and members past it silently lose their pairs.
+    * Post-collapse the buckets hold distinct vectors only; copy-class
+    * members re-enter as sim=1.0 star edges to their representative
+    * (linear, same connected components as the old intra-class
+    * cliques). */
   private[graft] def dedupNearEmbeddingFrom(e0: DataFrame): DataFrame = {
-    val e = nonDegenerate(e0)
+    val e1 = nonDegenerate(e0)
+    // collapse key: two independent hashes over the raw array (96+
+    // bits) — the same accept-2⁻⁹⁶-collisions standard the hashed
+    // shingle sets already live by, in exchange for shuffling two
+    // longs per row instead of grouping/joining on the array itself.
+    // The representative CARRIES its array out of the aggregate
+    // (first() is safe: arrays in a key-group are identical modulo
+    // that collision bound), and partial aggregation collapses a
+    // verbatim flood map-side before it ever shuffles.
+    val keyed = e1.select(col("vec_id"), col("emb"), col("nrm"),
+      xxhash64(col("emb")).as("ck1"), hash(col("emb")).as("ck2"))
+    val reps = keyed.groupBy(col("ck1"), col("ck2"))
+      .agg(min(col("vec_id")).as("vec_id"),
+        first(col("emb")).as("emb"), first(col("nrm")).as("nrm"))
+    val e = reps.select(col("vec_id"), col("emb"), col("nrm"))
+    val stars = keyed.select(col("ck1"), col("ck2"), col("vec_id"))
+      .join(reps.select(col("ck1"), col("ck2"), col("vec_id").as("a")),
+        Seq("ck1", "ck2"))
+      .filter(col("vec_id") =!= col("a"))
+      .select(col("a"), col("vec_id").as("b"), lit(1.0).as("sim"))
     scorePairs(e, nearEmbeddingCandidates(e), 4)
       .filter(col("sim") >= 0.45)
+      .unionByName(stars)
   }
 
   /** Coarse-quantizer size: k = ⌈√n⌉, hard-capped so the broadcast

@@ -29,6 +29,46 @@ class DedupBoundsSpec extends SparkSpec {
     assert(pairs.contains((9000L, 9001L)))
   }
 
+  test("simhash: a verbatim flood collapses to star edges, cap untouched") {
+    import spark.implicits._
+    val boiler = "the same boilerplate paragraph repeated verbatim in " +
+      "every single document of this flood with plenty of words"
+    // 600 identical docs — ABOVE the 512 band cap: pre-collapse this
+    // saturated every band bucket (members past the cap silently lost
+    // their pairs on exactly dedup's target corpus) and cost C(512,2)
+    // candidate pairs; post-collapse banding sees ONE row for the
+    // whole flood and every member keeps its membership via a star
+    // edge to the representative
+    val flood = (0 until 600).map(i => (i.toLong, boiler))
+    val others = Seq(
+      (9000L, "a tiny distinct doc about penguins and icebergs today"),
+      (9001L, "a tiny distinct doc about penguins and icebergs today"))
+    val pairs = DedupQueries
+      .dedupSimhashFrom((flood ++ others).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val floodPairs = pairs.filter { case (a, b, _) => a < 9000 && b < 9000 }
+    assert(floodPairs.length == 599,
+      s"flood must yield exactly 599 star edges, got ${floodPairs.length}")
+    assert(floodPairs.forall { case (a, _, h) => a == 0L && h == 0 })
+    // EVERY member appears — no cap-induced recall loss at any flood size
+    assert(floodPairs.map(_._2).toSet == (1L until 600L).toSet)
+    // the identical pair outside the flood is a star edge too
+    assert(pairs.contains((9000L, 9001L, 0)))
+  }
+
+  test("minhash: a verbatim flood collapses to star edges") {
+    import spark.implicits._
+    val boiler = "another boilerplate paragraph repeated verbatim in " +
+      "every single document of this second flood with plenty of words"
+    val flood = (0 until 600).map(i => (i.toLong, boiler))
+    val pairs = DedupQueries
+      .dedupNearMinhashFrom(flood.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length == 599)
+    assert(pairs.forall { case (a, _, j) => a == 0L && j == 1.0 })
+    assert(pairs.map(_._2).toSet == (1L until 600L).toSet)
+  }
+
   test("bloom-prefiltered incremental dedup is result-identical") {
     import spark.implicits._
     // dups, near-dups and uniques split across old/fresh: the bloom

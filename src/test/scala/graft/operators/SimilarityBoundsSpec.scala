@@ -86,6 +86,24 @@ class SimilarityBoundsSpec extends SparkSpec {
       s"flood candidates $cands exceed the two-sided bucket-cap bound")
   }
 
+  test("identical-vector flood collapses to star edges in the pair output") {
+    // the full dedup path (not just the candidate stage): 1200 copies
+    // of one vector — above BUCKET_CAP — must come back as 1199
+    // sim=1.0 star edges to the min vec_id, every member present, no
+    // C(cap,2) clique and no cap-induced membership loss
+    val emb = Seq.tabulate(8)(i => if (i == 0) 1.0 else 0.1)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val flood = spark.range(1200).select(col("id").as("vec_id"),
+      typedLit(emb).as("emb"))
+      .withColumn("nrm", l2Norm(col("emb")))
+    val pairs = SimilarityQueries.dedupNearEmbeddingFrom(flood)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length == 1199, s"want 1199 star edges, got ${pairs.length}")
+    assert(pairs.forall { case (a, _, s) => a == 0L && s == 1.0 })
+    assert(pairs.map(_._2).toSet == (1L until 1200L).toSet)
+  }
+
   test("knn join ranks planted twins first") {
     val rnd = new scala.util.Random(43)
     val dim = 16
