@@ -343,7 +343,7 @@ object IndexCompaction {
 
   /** All batch ids present anywhere under `dir` (metadata-only: walks
     * directory names, reads no data). */
-  private[operators] def listBatchIds(dir: Path): Seq[Long] = {
+  private[graft] def listBatchIds(dir: Path): Seq[Long] = {
     val s = Files.walk(dir)
     try s.iterator().asScala
       .filter(d => Files.isDirectory(d) &&

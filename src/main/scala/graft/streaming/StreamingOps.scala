@@ -510,12 +510,47 @@ object StreamingOps {
     * OTHER stream's batches raised. (With a fixed 2k/2k+1 mapping,
     * whichever stream had run fewer micro-batches would see its next
     * FRESH id rejected as a replay after any compaction.) */
-  private[streaming] def laneBase(root: String): Long = {
-    val subdirs = Seq("postings", "stats", "doclens", "assignments",
-      graft.operators.IndexDeletes.Subdir)
-    val mx = subdirs
+  private[streaming] val LaneSubdirs = Seq("postings", "stats",
+    "doclens", "assignments", graft.operators.IndexDeletes.Subdir)
+
+  private[graft] def laneBase(root: String): Long = {
+    val mx = LaneSubdirs
       .map(graft.operators.IndexCompaction.compactedThrough(root, _)).max
     ((mx + 2) / 2) * 2 // >= mx + 1, even
+  }
+
+  /** One-call adoption of the id-lane contract for index roots built
+    * by PRE-LANE sink versions (identity micro-batch mapping): stamps
+    * every folded subdir's compaction fence at the root's current max
+    * batch id, so [[laneBase]] — and with it both stream lanes —
+    * starts one past everything already written, WITHOUT paying the
+    * compaction the scaladoc used to prescribe. The existing batch
+    * dirs stay exactly as they are (the next real compaction folds
+    * them normally — it can only move fences up from here); raising
+    * the fences also arms the append/delete replay guards against
+    * every pre-migration id, which is what makes the immediate
+    * dual-stream join safe: no new batch can collide with or
+    * overwrite a legacy partition. Quiesce-time op: run with all
+    * streams against `root` stopped, and restart them with FRESH
+    * checkpoints (a pre-migration checkpoint would replay ids the new
+    * fence rejects — loudly, by design). Idempotent, and a no-op on
+    * empty roots and on roots already fenced at their max id. */
+  def migrateToLanes(root: String): Unit = {
+    val mx = LaneSubdirs.map { d =>
+      val p = java.nio.file.Paths.get(root, d)
+      val onDisk =
+        if (java.nio.file.Files.isDirectory(p))
+          graft.operators.IndexCompaction.listBatchIds(p)
+        else Nil
+      (onDisk :+ graft.operators.IndexCompaction.compactedThrough(root, d)).max
+    }.max
+    if (mx < 0) return // nothing written yet — lanes already start at 0
+    val raises: Map[String, String] = LaneSubdirs
+      .filter(d =>
+        graft.operators.IndexCompaction.compactedThrough(root, d) < mx)
+      .map(d => s"compact.through.$d" -> mx.toString).toMap
+    if (raises.nonEmpty)
+      graft.operators.IndexManifest.update(root, raises)
   }
 
   /** stream_index_upsert — incremental inverted-index maintenance:
@@ -534,10 +569,10 @@ object StreamingOps {
     * odd-lane contract: an ingest stream and a takedown stream
     * against the same root must never write the same batch_id (stats
     * partitions key on it alone; a collision would silently overwrite
-    * one stream's stats row with the other's). NOTE for roots built
-    * by pre-lane versions of these sinks (identity mapping): compact
-    * to a single fold and resume with a fresh checkpoint before
-    * mixing in a takedown stream. */
+    * one stream's stats row with the other's). Roots built by
+    * pre-lane versions of these sinks (identity mapping): run
+    * [[migrateToLanes]] once — it fences the legacy ids so both lanes
+    * start above them — then resume with fresh checkpoints. */
   def indexUpsertSink(
       docs: DataFrame, indexRoot: String, checkpoint: String,
       mapBatchId: Option[Long => Long] = None)

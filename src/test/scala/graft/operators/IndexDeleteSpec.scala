@@ -505,6 +505,56 @@ class IndexDeleteSpec extends SparkSpec {
       TextQueries.bm25ServeFrom(spark, twin).collect().toSeq)
   }
 
+  test("migrateToLanes lets both streams join a pre-lane root immediately") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = tmpRoot("graft-mig")
+    // a legacy root: three identity-mapped ingest batches (the
+    // pre-lane sink behavior), never compacted — no fence anywhere
+    (0 to 2).foreach { b =>
+      TextQueries.appendToIndex(
+        docs.filter(pmod(col("doc_id"), lit(3)) === b), root, b.toLong)
+    }
+    graft.streaming.StreamingOps.migrateToLanes(root)
+    // both lanes start one past the legacy ids: base = 4 (even)
+    // — WITHOUT a compaction, the legacy batch dirs untouched
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val ing = MemoryStream[(Long, String)]
+    ing.addData(rows.map { case (id, t) => (id + 800000L, t) }: _*)
+    graft.streaming.StreamingOps
+      .indexUpsertSink(ing.toDF().toDF("doc_id", "text"), root,
+        Files.createTempDirectory("graft-mig-i").toString)
+      .start().awaitTermination(120000)
+    val del = MemoryStream[Long]
+    del.addData(rows.filter(_._1 % 5 == 2).map(_._1): _*)
+    graft.streaming.StreamingOps
+      .indexDeleteSink(del.toDF().toDF("doc_id"), root,
+        Files.createTempDirectory("graft-mig-d").toString)
+      .start().awaitTermination(120000)
+    assert(IndexCompaction.listBatchIds(
+      Paths.get(root, "postings")).sorted == Seq(0L, 1L, 2L, 4L))
+    assert(IndexCompaction.listBatchIds(
+      Paths.get(root, IndexDeletes.Subdir)) == Seq(5L))
+    // serve parity: (legacy ∪ streamed) minus the takedown set
+    val twin = tmpRoot("graft-mig-twin")
+    TextQueries.appendToIndex(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 2)
+        .unionByName(docs.withColumn("doc_id", col("doc_id") + 800000L)),
+      twin, 0L)
+    assert(TextQueries.bm25ServeFrom(spark, root).collect().toSeq ==
+      TextQueries.bm25ServeFrom(spark, twin).collect().toSeq)
+    // the armed fence rejects a legacy id replay loudly
+    val e = intercept[IllegalArgumentException] {
+      TextQueries.appendToIndex(docs.limit(1), root, 2L)
+    }
+    assert(e.getMessage.contains("compacted through"))
+    // re-running re-fences at the new max id — a later re-adoption
+    // (fresh checkpoints again) starts above the streamed batches
+    graft.streaming.StreamingOps.migrateToLanes(root)
+    assert(graft.streaming.StreamingOps.laneBase(root) >= 6L)
+  }
+
   test("the declared delete qids audit the serve-visible live set") {
     val t = TextQueries.snkTextIndexDelete(spark, sf).collect().head
     assert(t.getAs[Long]("n_tombstones") ==
