@@ -268,6 +268,79 @@ object MultimodalQueries {
       .orderBy(col("media_type"))
   }
 
+  /** multimodal_decode_audit — the PURE-INTEGER half of the decode
+    * surface, hash-proven: per document a small grayscale image is
+    * synthesized from doc_id arithmetic alone (level(x,y) =
+    * (doc_id·31 + x·7 + y·13) mod 251), encoded to REAL bytes — BMP
+    * (24-bit BI_RGB, bottom-up, stride-padded) for even ids, binary
+    * PGM for odd — then decoded DISTRIBUTED by the same decodeBmp /
+    * decodeNetpbm kernels multimodal_decode uses, and audited on
+    * exact integer facts: decoded dims, the level sum, and a
+    * POSITION-weighted level sum. Because the pixel values are
+    * arithmetic, DuckDB recomputes all of it without touching a byte
+    * of BMP/PGM — a wrong stride, a missed bottom-up row flip, a
+    * header off-by-one, or a BGR-order slip shifts lum_sum/pos_sum
+    * and the hash fails (pos_sum is what catches pure ORDER bugs
+    * that a value sum would forgive). The float/codec residue (JPEG/
+    * PNG via ImageIO, WAV RMS, pHash) stays in multimodal_decode,
+    * rows-only by nature. Scale shape: one narrow mapPartitions over
+    * documents, no shuffle. */
+  def multimodalDecodeAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.RealDecoders
+    import graft.multimodal.RealDecoders.GrayImage
+    documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (8 + id % 5).toInt
+          val h = (6 + id % 4).toInt
+          val levels = Array.tabulate(w * h) { i =>
+            ((id * 31 + (i % w) * 7 + (i / w) * 13) % 251).toInt
+          }
+          val img = GrayImage(w, h, levels.map(_ / 255f))
+          val dec =
+            if (id % 2 == 0) RealDecoders.decodeBmp(RealDecoders.encodeBmp(img))
+            else RealDecoders.decodeNetpbm(RealDecoders.encodePgm(img))
+          var lumSum = 0L; var posSum = 0L
+          var i = 0
+          while (i < dec.luma.length) {
+            val lvl = math.round(dec.luma(i) * 255f).toLong
+            lumSum += lvl
+            posSum += (i + 1) * lvl
+            i += 1
+          }
+          (if (id % 2 == 0) "image/bmp" else "image/x-portable-graymap",
+            id, dec.width.toLong, dec.height.toLong, lumSum, posSum)
+        }
+      }.toDF("media_type", "doc_id", "width", "height",
+        "lum_sum", "pos_sum")
+  }
+
+  // The oracle regenerates the raster from the same doc_id arithmetic
+  // — pixel (x, y) of doc d has level (d*31 + x*7 + y*13) % 251 at
+  // linear position y*w + x — and never parses an image byte.
+  val multimodalDecodeAuditSql: String =
+    """WITH cells AS (
+      |  SELECT d.doc_id,
+      |    CAST(8 + d.doc_id % 5 AS BIGINT) AS w,
+      |    CAST(6 + d.doc_id % 4 AS BIGINT) AS h,
+      |    y.yy, x.xx,
+      |    (d.doc_id * 31 + x.xx * 7 + y.yy * 13) % 251 AS lvl
+      |  FROM documents d,
+      |    unnest(generate_series(0, CAST(5 + d.doc_id % 4 AS BIGINT)))
+      |      AS y(yy),
+      |    unnest(generate_series(0, CAST(7 + d.doc_id % 5 AS BIGINT)))
+      |      AS x(xx))
+      |SELECT
+      |  CASE WHEN doc_id % 2 = 0 THEN 'image/bmp'
+      |       ELSE 'image/x-portable-graymap' END AS media_type,
+      |  doc_id,
+      |  max(w) AS width,
+      |  max(h) AS height,
+      |  CAST(sum(lvl) AS BIGINT) AS lum_sum,
+      |  CAST(sum((yy * w + xx + 1) * lvl) AS BIGINT) AS pos_sum
+      |FROM cells GROUP BY 1, 2""".stripMargin
+
   /** multimodal_video_meta — REAL video container demux, hash-proven:
     * an ISO-BMFF (MP4) file is encoded per document from arithmetic
     * on doc_id alone (sample sizes, sync cadence, display dims), then
@@ -331,6 +404,7 @@ object MultimodalQueries {
     "multimodal_dedup" -> (multimodalDedup _),
     "multimodal_near_dup" -> (multimodalNearDup _),
     "multimodal_decode" -> (multimodalDecode _),
+    "multimodal_decode_audit" -> (multimodalDecodeAudit _),
     "multimodal_video_meta" -> (multimodalVideoMeta _)
   )
 
@@ -339,8 +413,11 @@ object MultimodalQueries {
     "multimodal_dedup" -> multimodalDedupSql,
     "multimodal_video_meta" -> multimodalVideoMetaSql,
     "multimodal_features" -> multimodalFeaturesSql,
-    "multimodal_near_dup" -> multimodalNearDupSql
+    "multimodal_near_dup" -> multimodalNearDupSql,
+    "multimodal_decode_audit" -> multimodalDecodeAuditSql
     // multimodal_decode: real-codec float features (JPEG quantization
-    // noise is codec-defined) — bounds pinned in RealDecodersSpec
+    // noise is codec-defined) — bounds pinned in RealDecodersSpec;
+    // its pure-integer decode half is hash-checked by
+    // multimodal_decode_audit above
   )
 }
