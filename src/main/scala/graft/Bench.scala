@@ -46,6 +46,8 @@ object Bench {
       graft.operators.SimilarityQueries.ensureDeletedVectorRoot(spark, sfDir)
     if (only.forall(_.contains("sim_ann_ivf_rebuild")))
       graft.operators.SimilarityQueries.ensureRebuiltVectorRoot(spark, sfDir)
+    if (only.forall(_.contains("sim_ann_ivf_repair")))
+      graft.operators.SimilarityQueries.ensureRepairedVectorRoot(spark, sfDir)
     // same split for the catalog e2e fixtures: the qids measure the
     // CDC diff / HTTP search walk, not fixture construction
     if (only.forall(_.contains("catalog_changelog")))

@@ -468,11 +468,12 @@ object SimilarityQueries {
   def openVectorIndex(s: SparkSession, root: String): String = {
     val m0 = IndexManifest.open(root, "vector-ivf",
       Map("ivf_assign" -> IVF_ASSIGN.toString))
-    // a compaction or rebuild that crashed mid-swap replays here
+    // a compaction, rebuild or repair that crashed mid-swap replays here
     IndexCompaction.recover(root, "assignments")
     recoverRebuild(root)
-    // re-read: a replayed rebuild commit updates n_lists
-    val m = if (m0.contains("rebuild.pending"))
+    recoverRepair(root)
+    // re-read: a replayed rebuild/repair commit updates n_lists
+    val m = if (m0.contains("rebuild.pending") || m0.contains("repair.pending"))
       IndexManifest.readIfExists(root) else m0
     val nLists = s.read.parquet(s"$root/centroids").count()
     require(m.get("n_lists").contains(nLists.toString),
@@ -886,6 +887,199 @@ object SimilarityQueries {
     }
   }
 
+  /** Incremental IVF repair — the surgical alternative to a full
+    * [[rebuildVectorIndex]]. The audit usually flags a FEW oversized
+    * lists (drift piles new content into whichever lists sit nearest
+    * the new mode); retraining the whole quantizer to fix them is a
+    * full-corpus job at 100 TB. This touches ONLY the flagged lists:
+    *
+    *   - occupancy comes from one count over the cid partition column
+    *     (no data columns read); lists above `imbalance` × mean are
+    *     flagged, worst-first, capped at `maxListsPerCall`.
+    *   - each flagged list is SPLIT in place: m = clamp(⌈n/mean⌉, 2,
+    *     16) children seeded by a deterministic hash-sample of the
+    *     list's own members and refined by the shared one-step Lloyd
+    *     kernel over this list's members only; the first child keeps
+    *     the list's cid, the rest take fresh ids above the current
+    *     max. A flood of IDENTICAL vectors cannot be split
+    *     geometrically (it is one point) — detected by a >90%
+    *     dominant child — and falls back to a HASH split over m
+    *     copies of the list's centroid: file/probe balance is
+    *     restored, and a query near the point ranks the identical
+    *     children consecutively so its probe spread covers them.
+    *   - zero-member centroids are dropped (probe rank for nothing).
+    *   - unflagged lists are not read, not rewritten, not moved.
+    *
+    * Same stage→journal→swap→commit discipline as the rebuild: its
+    * own `repair.pending` journal key and `repair.staging/` dir, the
+    * shared [[IndexCompaction.moveStagedOver]] swap, replayed by
+    * [[recoverRepair]] under the recovery lease. The swap moves the
+    * staged CENTROIDS first: until then every query still probes the
+    * old quantizer against the intact flagged dirs, and afterwards
+    * the probe set includes the children whether or not their dirs
+    * have landed yet (a missing child dir reads as empty while the
+    * old flagged dir still holds everything) — so a reader never
+    * loses recall mid-swap. Commit fences the batch-id space at the
+    * repair's fold id (quiesce-time op: restart streams above it with
+    * fresh checkpoints). Tombstones are NOT cleared — unflagged lists
+    * keep their rows, so the serve-time anti-join must stay armed;
+    * compaction owns physical deletes. Returns the fold id, or -1
+    * when nothing needed repair. Full [[rebuildVectorIndex]] remains
+    * the fallback for corpus-wide drift. */
+  def repairVectorIndex(s: SparkSession, root: String,
+      imbalance: Double = IVF_REBUILD_IMBALANCE,
+      maxListsPerCall: Int = 64): Long = {
+    IndexCompaction.recover(root, "assignments")
+    recoverRebuild(root)
+    recoverRepair(root)
+    import s.implicits._
+    val occ = s.read.parquet(s"$root/assignments")
+      .groupBy(col("cid").cast("long").as("cid"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (occ.isEmpty) return -1L
+    val mean = occ.map(_._2).sum.toDouble / occ.length
+    val flagged = occ.filter(_._2 > imbalance * mean)
+      .sortBy(-_._2).take(maxListsPerCall).map(_._1).sorted
+    val cArr = s.read.parquet(s"$root/centroids").collect().map { r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+    }.sortBy(_._1)
+    val occupied = occ.map(_._1).toSet
+    val untouched = cArr.filter(c =>
+      !flagged.contains(c._1) && occupied.contains(c._1))
+    if (flagged.isEmpty && untouched.length == cArr.length) return -1L
+    // the fold id sits above EVERY id in the shared batch-id space —
+    // delete batches included, so the fence stays monotone with them
+    val delDir = Paths.get(root, IndexDeletes.Subdir)
+    val delIds =
+      if (Files.isDirectory(delDir)) IndexCompaction.listBatchIds(delDir)
+      else Nil
+    val newId = (IndexCompaction.listBatchIds(Paths.get(root, "assignments"))
+      ++ delIds
+      :+ IndexCompaction.compactedThrough(root, "assignments")).max + 1L
+    val tmp = Paths.get(root, "repair.staging")
+    IndexManifest.deleteRecursively(tmp)
+    Files.createDirectories(tmp)
+    var nextCid = cArr.map(_._1).max + 1L
+    val newCentroids = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Array[Double], Double)]
+    newCentroids ++= untouched
+    flagged.foreach { x =>
+      val members = s.read.parquet(s"$root/assignments")
+        .filter(col("cid") === x)
+        .select(col("vec_id"), col("emb"), col("nrm")).cache()
+      try {
+        val n = members.count()
+        val m = math.min(16L, math.max(2L,
+          math.ceil(n / math.max(mean, 1.0)).toLong)).toInt
+        val seeds = members
+          .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(m)
+          .collect().zipWithIndex.map { case (r, i) =>
+            (if (i == 0) x else { val c = nextCid; nextCid += 1L; c },
+              r.getSeq[Double](1).toArray, r.getDouble(2))
+          }
+        val children0 = refineCentroids(s, members, seeds)
+        val cBc = s.sparkContext.broadcast(children0)
+        val near1 = udf { (emb: Seq[Double], nrm: Double) =>
+          val a = topCentroids(cBc.value, 1, emb, nrm)
+          if (a.isEmpty) -1L else a(0)
+        }
+        val assigned = members
+          .withColumn("cid", near1(col("emb"), col("nrm")))
+          .filter(col("cid") >= 0)
+        val counts = assigned.groupBy(col("cid")).count().collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val degenerate = counts.length < 2 ||
+          counts.map(_._2).max > 0.9 * n
+        val (children, finalAssigned) =
+          if (!degenerate)
+            (children0.filter(c => counts.exists(_._1 == c._1)), assigned)
+          else {
+            val base = cArr.find(_._1 == x).get
+            val hashChildren = seeds.map { case (cid, _, _) =>
+              (cid, base._2, base._3) }
+            val ids = hashChildren.map(_._1).toSeq
+            (hashChildren, members.withColumn("cid",
+              element_at(typedLit(ids),
+                (pmod(xxhash64(col("vec_id")), lit(ids.size)) + 1)
+                  .cast("int"))))
+          }
+        finalAssigned
+          .select(col("cid"), col("vec_id"), col("emb"), col("nrm"))
+          .withColumn("batch_id", lit(newId))
+          .repartition(col("cid"))
+          .write.partitionBy("cid", "batch_id").mode("append")
+          .parquet(tmp.resolve("assignments").toString)
+        newCentroids ++= children
+      } finally members.unpersist()
+    }
+    newCentroids.toSeq.map { case (cid, ce, cn) => (cid, ce.toSeq, cn) }
+      .toDF("cid", "cemb", "cnrm")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(tmp.resolve("centroids").toString)
+    Files.createFile(tmp.resolve("_STAGED"))
+    IndexManifest.update(root, Map(
+      "repair.pending" -> newId.toString,
+      "repair.pending.nlists" -> newCentroids.length.toString))
+    finalizeRepair(root)
+    newId
+  }
+
+  /** Phases 3+4 of [[repairVectorIndex]] — idempotent from any crash
+    * point after the journal entry exists. Centroids land FIRST (see
+    * the repair scaladoc's mid-swap recall argument). */
+  private def finalizeRepair(root: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val pending = IndexManifest.readIfExists(root).get("repair.pending")
+    require(pending.isDefined, s"no pending repair at $root")
+    val newId = pending.get.toLong
+    val tmp = Paths.get(root, "repair.staging")
+    IndexCompaction.moveStagedOver(tmp.resolve("centroids"),
+      Paths.get(root, "centroids"))
+    val stagedA = tmp.resolve("assignments")
+    if (Files.isDirectory(stagedA)) {
+      val st = Files.list(stagedA)
+      val dirs = try st.iterator().asScala.filter(d =>
+        Files.isDirectory(d) &&
+          d.getFileName.toString.startsWith("cid=")).toSeq
+      finally st.close()
+      dirs.foreach { d =>
+        IndexCompaction.moveStagedOver(d,
+          Paths.get(root, "assignments", d.getFileName.toString))
+      }
+    }
+    val nLists = IndexManifest.readIfExists(root)
+      .getOrElse("repair.pending.nlists",
+        sys.error(s"repair journal at $root lost its nlists record"))
+    IndexManifest.update(root,
+      Map("compact.through.assignments" -> newId.toString,
+        "n_lists" -> nLists),
+      remove = Seq("repair.pending", "repair.pending.nlists"))
+    IndexManifest.deleteRecursively(tmp)
+  }
+
+  /** Replay an interrupted repair swap (journal entry present) — the
+    * repair twin of [[recoverRebuild]]: a complete (`_STAGED`)
+    * staging dir re-runs the swap; debris without the marker is
+    * abandoned (the live dirs were never touched). */
+  private[operators] def recoverRepair(root: String): Unit = {
+    if (IndexManifest.readIfExists(root).get("repair.pending").isEmpty)
+      return
+    IndexCompaction.withRecoveryLease(root, "repair") {
+      val m = IndexManifest.readIfExists(root)
+      if (m.get("repair.pending").isDefined) {
+        val tmp = Paths.get(root, "repair.staging")
+        if (Files.exists(tmp.resolve("_STAGED")))
+          finalizeRepair(root)
+        else {
+          IndexManifest.deleteRecursively(tmp)
+          IndexManifest.update(root, Map.empty,
+            remove = Seq("repair.pending", "repair.pending.nlists"))
+        }
+      }
+    }
+  }
+
   /** Delete vectors from the IVF index at `root` — the vector twin of
     * [[TextQueries.deleteFromTextIndex]] (see [[IndexDeletes]] for the
     * tombstone design). O(|ids|) work, no scan at all: the IVF layout
@@ -1036,6 +1230,54 @@ object SimilarityQueries {
       |  + (SELECT count(*) FROM embeddings WHERE embedding IS NOT NULL)
       |    AS n_vectors,
       |  TRUE AS vectors_preserved""".stripMargin
+
+  /** The sim_ann_ivf_repair fixture: the audit→REPAIR lifecycle —
+    * same planted drift as the rebuild fixture (clones piling into a
+    * few lists), but paid down surgically by [[repairVectorIndex]]
+    * instead of a full retrain. Memoized per JVM. */
+  private val repairedVecRootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def ensureRepairedVectorRoot(
+      s: SparkSession, dir: String): String = {
+    val fp = IndexManifest.corpusFingerprint(dir, "embeddings")
+    repairedVecRootCache.computeIfAbsent(s"$dir|$fp", { _ =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-vecindex-repair").toString
+      IndexManifest.registerTempRoot(root)
+      val e = embeddings(s, dir)
+      initVectorIndex(e, root)
+      appendToVectorIndex(e, root, batchId = 0L)
+      appendToVectorIndex(driftClones(e), root, batchId = 1L)
+      // threshold 2×: the fixture corpora are small enough that the
+      // planted flood can land short of the production 8× trigger —
+      // the qid audits the repair's outcome, not the trigger policy
+      repairVectorIndex(s, root, imbalance = 2.0)
+      root
+    })
+  }
+
+  /** sim_ann_ivf_repair — the surgical maintenance op
+    * ([[repairVectorIndex]]): split only the audit-flagged lists,
+    * leave the rest of the quantizer untouched. Oracle-checked on the
+    * same hard invariant as the rebuild — the live vector set is
+    * PRESERVED exactly (nothing lost, nothing invented, every vector
+    * still in ≥1 list) — while the touched-lists-only IO shape and
+    * the imbalance improvement are pinned in IvfRebuildSpec. */
+  def simAnnIvfRepair(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureRepairedVectorRoot(s, dir)
+    val e = embeddings(s, dir)
+    val expected = withNorm(e).filter(col("nrm") > 0).select(col("vec_id"))
+      .union(driftClones(e).select(col("vec_id")))
+    val present = s.read.parquet(s"$root/assignments")
+      .select(col("vec_id")).distinct()
+    val missing = expected.join(present, Seq("vec_id"), "left_anti").count()
+    val invented = present.join(expected, Seq("vec_id"), "left_anti").count()
+    present.agg(count(lit(1)).as("n_vectors"))
+      .withColumn("vectors_preserved", lit(missing == 0 && invented == 0))
+  }
+
+  val simAnnIvfRepairSql: String = simAnnIvfRebuildSql
 
   /** The snk_vector_index_delete fixture: quantizer trained on the
     * full corpus, vectors streamed in as three batches, then every
@@ -1500,6 +1742,7 @@ object SimilarityQueries {
     "snk_vector_index_compact" -> (snkVectorIndexCompact _),
     "snk_vector_index_delete" -> (snkVectorIndexDelete _),
     "sim_ann_ivf_rebuild" -> (simAnnIvfRebuild _),
+    "sim_ann_ivf_repair" -> (simAnnIvfRepair _),
     "dedup_near_embedding" -> (dedupNearEmbedding _),
     "sim_knn_join" -> (simKnnJoin _),
     "dedup_semantic" -> (dedupSemantic _),
@@ -1516,6 +1759,7 @@ object SimilarityQueries {
     "emb_stats" -> embStatsSql,
     "snk_vector_index_delete" -> snkVectorIndexDeleteSql,
     "sim_ann_ivf_rebuild" -> simAnnIvfRebuildSql,
+    "sim_ann_ivf_repair" -> simAnnIvfRepairSql,
     "snk_vector_index" -> snkVectorIndexSql,
     "snk_vector_index_compact" -> snkVectorIndexCompactSql,
     "emb_random_projection" -> embRandomProjectionSql
