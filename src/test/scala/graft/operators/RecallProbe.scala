@@ -19,11 +19,57 @@ object RecallProbe {
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dirs =
-      if (args.nonEmpty) args.toSeq
-      else Seq("0.001", "0.01", "0.1").map(sf => s"/root/testdata/sf$sf")
-    try dirs.foreach(run(spark, _))
-    finally spark.stop()
+    try args.toSeq match {
+      case Seq("--jitter", src, dst) =>
+        runJitterLifecycle(spark, src, dst)
+      case dirs if dirs.nonEmpty => dirs.foreach(run(spark, _))
+      case _ =>
+        Seq("0.001", "0.01", "0.1")
+          .map(sf => s"/root/testdata/sf$sf").foreach(run(spark, _))
+    } finally spark.stop()
+  }
+
+  /** The round-12 jittered-sf1.0 study (VERDICT r11 task 1): a 10×
+    * fixture whose copies are PERTURBED, not verbatim — the regime
+    * where recall is a real measurement — probed through the full
+    * lifecycle: batch build (curve over probe widths), streamed
+    * ingest against the first copy's quantizer, and the post-rebuild
+    * index.
+    *
+    * Run: sbt "Test/runMain graft.operators.RecallProbe --jitter
+    *   /root/testdata/sf0.1 /tmp/sf1.0-jitter"
+    */
+  def runJitterLifecycle(s: SparkSession, src: String, dst: String): Unit = {
+    JitterFixture.ensure(s, src, dst)
+    // 1. batch-built index: the standard curve
+    run(s, dst)
+    // 2. streamed ingest: quantizer trained on the BASE copy only,
+    // the nine jittered copies appended as stream batches — the
+    // live-deployment shape (ingest never re-clusters)
+    val e = SimilarityQueries.withNorm(graft.Tables.embeddings(s, dst))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-recall-jitter-stream").toString
+    IndexManifest.registerTempRoot(root)
+    val base = graft.Tables.embeddings(s, dst)
+      .filter(col("vec_id") < 1000000L)
+    SimilarityQueries.initVectorIndex(base, root)
+    (0 until 10).foreach { j =>
+      SimilarityQueries.appendToVectorIndex(
+        graft.Tables.embeddings(s, dst)
+          .filter(col("vec_id") >= j * 1000000L &&
+            col("vec_id") < (j + 1) * 1000000L),
+        root, j.toLong)
+    }
+    val k2 = s.read.parquet(s"$root/centroids").count().toInt
+    val (m2, n2) = JitterFixture.recallAt(s, dst, root, nQueries = 32)
+    println(f"   streamed-ingest (k=$k2, default nprobe): " +
+      f"mean_recall@10=$m2%.3f  min_recall@10=$n2%.3f")
+    // 3. after the full rebuild (quantizer retrained on everything)
+    SimilarityQueries.rebuildVectorIndex(s, root)
+    val k3 = s.read.parquet(s"$root/centroids").count().toInt
+    val (m3, n3) = JitterFixture.recallAt(s, dst, root, nQueries = 32)
+    println(f"   post-rebuild    (k=$k3, default nprobe): " +
+      f"mean_recall@10=$m3%.3f  min_recall@10=$n3%.3f")
   }
 
   def run(s: SparkSession, dir: String): Unit = {
@@ -54,8 +100,9 @@ object RecallProbe {
     val qdf = queries.toSeq.map { case (id, qv, qn) => (id, qv.toSeq, qn) }
       .toDF("query_id", "qv", "qn")
     val default = SimilarityQueries.ivfNProbe(k)
-    val widths = Seq(default, math.max(3, k / 3), math.max(3, k / 2),
-      (k * 2) / 3, k).distinct.sorted
+    val widths = Seq(math.max(3, k / 16), math.max(3, k / 8),
+      math.max(3, k / 4), default, math.max(3, k / 3),
+      math.max(3, k / 2), (k * 2) / 3, k).distinct.sorted
     println(s"== $dir: n=$n k=$k default_nprobe=$default")
     for (w <- widths) {
       val served = SimilarityQueries
