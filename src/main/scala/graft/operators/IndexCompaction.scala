@@ -53,7 +53,12 @@ import org.apache.spark.sql.functions._
   * so the append kernels (`appendToIndex`, `appendToVectorIndex`)
   * reject such ids loudly via [[compactedThrough]]. Compaction is a
   * quiesce-time maintenance op: run it when the stream is stopped and
-  * checkpoint-committed.
+  * checkpoint-committed. On the SERVE side the quiesce contract is
+  * enforced, not just stated: the top-level maintenance ops
+  * (compactTextIndex / compactVectorIndex / rebuild / repair) run
+  * under [[IndexLease.withMaintenance]] and refuse while any in-JVM
+  * serve lease is held — the swap deletes live directories, and a
+  * reader mid-scan cannot be guaranteed pre-or-post state on file://.
   */
 object IndexCompaction {
 

@@ -751,7 +751,7 @@ object SimilarityQueries {
     * even over a single batch) and clears them LAST — a crash
     * beforehand leaves tombstones in place and serving correct. */
   def compactVectorIndex(s: SparkSession, root: String)
-      : IndexCompaction.CompactStats = {
+      : IndexCompaction.CompactStats = IndexLease.withMaintenance(root) {
     val del = IndexDeletes.readDeletes(s, root, "vec_id")
     val stats = IndexCompaction.compact(s, root, "assignments", Seq("cid"),
       merge = df => del.fold(df)(d =>
@@ -790,7 +790,8 @@ object SimilarityQueries {
     * (under the shared recovery lease). Like compaction, rebuild is a
     * quiesce-time op: run it with the ingest stream stopped. Returns
     * the new fold id ingest must resume above. */
-  def rebuildVectorIndex(s: SparkSession, root: String): Long = {
+  def rebuildVectorIndex(s: SparkSession, root: String): Long =
+      IndexLease.withMaintenance(root) {
     IndexCompaction.recover(root, "assignments")
     recoverRebuild(root)
     import s.implicits._
@@ -928,7 +929,7 @@ object SimilarityQueries {
     * the fallback for corpus-wide drift. */
   def repairVectorIndex(s: SparkSession, root: String,
       imbalance: Double = IVF_REBUILD_IMBALANCE,
-      maxListsPerCall: Int = 64): Long = {
+      maxListsPerCall: Int = 64): Long = IndexLease.withMaintenance(root) {
     IndexCompaction.recover(root, "assignments")
     recoverRebuild(root)
     recoverRepair(root)

@@ -574,7 +574,7 @@ object TextQueries {
     * point leaves tombstones in place and serving correct (an
     * anti-join of already-removed rows is a no-op). */
   def compactTextIndex(s: SparkSession, root: String)
-      : Seq[IndexCompaction.CompactStats] = {
+      : Seq[IndexCompaction.CompactStats] = IndexLease.withMaintenance(root) {
     // a partially-covered sidecar must be made whole BEFORE the folds:
     // the fold relabels every row to one batch id, after which the
     // coverage gap could never be detected again (see backfillDoclens)
