@@ -1352,7 +1352,22 @@ object SimilarityQueries {
 
   private[graft] def simKnnJoinFrom(e0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = nonDegenerate(e0)
+    val e1 = nonDegenerate(e0)
+    // identical vectors add no information to a k-NN GRAPH, and a
+    // copy-heavy corpus floods the LSH band buckets straight to
+    // their cap (the verbatim-100× sf10 probe OOM'd here before this
+    // stage existed). Same exact collapse as dedupNearEmbeddingFrom:
+    // the graph is built over representatives; copy-class members
+    // re-attach as sim=1.0 / rk=0 star edges in BOTH directions
+    // (a member's nearest neighbor IS its verbatim copy), which
+    // preserves the connectivity dedup_semantic clusters on at O(n)
+    // extra edges.
+    val keyed = e1.select(col("vec_id"), col("emb"), col("nrm"),
+      xxhash64(col("emb")).as("ck1"), hash(col("emb")).as("ck2"))
+    val reps = keyed.groupBy(col("ck1"), col("ck2"))
+      .agg(min(col("vec_id")).as("vec_id"),
+        first(col("emb")).as("emb"), first(col("nrm")).as("nrm"))
+    val e = reps.select(col("vec_id"), col("emb"), col("nrm"))
     // score each undirected pair ONCE (the arrayDot verify is the
     // dominant cost), then mirror the scored rows for the per-vector
     // ranking — sim(a,b) = sim(b,a)
@@ -1361,10 +1376,20 @@ object SimilarityQueries {
       scored.select(col("b").as("a"), col("a").as("b"), col("sim")))
     val w = Window.partitionBy(col("a"))
       .orderBy(col("sim").desc, col("b"))
-    sym
+    val ranked = sym
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= KNN_K)
       .select(col("a"), col("b"), col("sim"), col("rk"))
+    val starHalf = keyed.select(col("ck1"), col("ck2"), col("vec_id"))
+      .join(reps.select(col("ck1"), col("ck2"), col("vec_id").as("a")),
+        Seq("ck1", "ck2"))
+      .filter(col("vec_id") =!= col("a"))
+      .select(col("a"), col("vec_id").as("b"),
+        lit(1.0).as("sim"), lit(0).as("rk"))
+    ranked
+      .unionByName(starHalf)
+      .unionByName(starHalf.select(col("b").as("a"), col("a").as("b"),
+        col("sim"), col("rk")))
   }
 
   /** dedup_semantic — SemDeDup-style semantic dedup over embeddings:
