@@ -200,8 +200,16 @@ object IndexCompaction {
             IndexManifest.deleteRecursively(d)
         }
     }
+    // fences only ever RISE: mx is the max batch id the fold saw, but
+    // the standing fence can legitimately sit higher — migrateToLanes
+    // stamps it at the root's global max (delete batches included),
+    // and a repair that only dropped empty centroids fences at a fold
+    // id it never wrote. Committing a bare mx here would LOWER such a
+    // fence and re-admit exactly the replays it was raised to reject.
+    val prior = IndexManifest.readIfExists(root)
+      .get(throughKey(subdir)).map(_.toLong).getOrElse(-1L)
     IndexManifest.update(root,
-      Map(throughKey(subdir) -> mx.toString),
+      Map(throughKey(subdir) -> math.max(prior, mx).toString),
       remove = Seq(pendingKey(subdir)))
     IndexManifest.deleteRecursively(tmp)
   }

@@ -33,9 +33,21 @@ object IndexLease {
     String, java.util.concurrent.atomic.AtomicLong]()
 
   private def state(root: String): java.util.concurrent.atomic.AtomicLong =
-    states.computeIfAbsent(
-      java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString,
+    states.computeIfAbsent(canonical(root),
       _ => new java.util.concurrent.atomic.AtomicLong(0L))
+
+  /** One key per PHYSICAL root: toRealPath resolves symlinks (a serve
+    * tier opening `/indexes/current` and a scheduler configured with
+    * the target dir must collide on one counter — normalize alone
+    * would give them independent locks and void the exclusion).
+    * Falls back to the normalized absolute path when the root does
+    * not exist yet. */
+  private def canonical(root: String): String =
+    try java.nio.file.Paths.get(root).toRealPath().toString
+    catch {
+      case _: java.io.IOException =>
+        java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString
+    }
 
   /** Hold a shared serve lease on `root` around a query's plan AND
     * execution (the DataFrame a serve path returns is lazy — a lease

@@ -133,6 +133,21 @@ object IndexManifest {
       .orElse {
         if (Files.exists(Paths.get(root, s"$FILE.nonatomic")))
           load(Paths.get(root, s"$FILE.bak"))
+        else if (Files.exists(Paths.get(root, s"$FILE.bak")))
+          // an UNMARKED .bak with the main file gone is ambiguous:
+          // either a pre-marker binary crashed inside its non-atomic
+          // replace window (the .bak is the truth) or something
+          // external removed the main file on an atomic mount (the
+          // .bak may be arbitrarily stale). Guessing either way is a
+          // silent failure mode — trusting a stale map can resurrect
+          // journal state, and an empty map reads as ct = -1 and
+          // fails every replay guard open. Demand adjudication.
+          throw new IllegalStateException(
+            s"$root has $FILE.bak but no $FILE and no $FILE.nonatomic " +
+              "marker — either restore the manifest, or (if this root " +
+              "was written by an older engine on a non-atomic mount and " +
+              "the .bak is known current) rename the .bak to the " +
+              "manifest name; refusing to guess")
         else None
       }
       .getOrElse(Map.empty)

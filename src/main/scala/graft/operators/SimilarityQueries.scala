@@ -219,30 +219,38 @@ object SimilarityQueries {
     * members re-enter as sim=1.0 star edges to their representative
     * (linear, same connected components as the old intra-class
     * cliques). */
-  private[graft] def dedupNearEmbeddingFrom(e0: DataFrame): DataFrame = {
-    val e1 = nonDegenerate(e0)
-    // collapse key: two independent hashes over the raw array (96+
-    // bits) — the same accept-2⁻⁹⁶-collisions standard the hashed
-    // shingle sets already live by, in exchange for shuffling two
-    // longs per row instead of grouping/joining on the array itself.
-    // The representative CARRIES its array out of the aggregate
-    // (first() is safe: arrays in a key-group are identical modulo
-    // that collision bound), and partial aggregation collapses a
-    // verbatim flood map-side before it ever shuffles.
+  /** Exact-content collapse for the vector near-dup/knn paths — the
+    * embedding twin of DedupQueries.exactCollapse. Collapse key: two
+    * independent hashes over the raw array (96+ bits, the same
+    * accept-2⁻⁹⁶-collisions standard the hashed shingle sets live
+    * by) in exchange for shuffling two longs per row instead of
+    * grouping/joining on the array itself. The representative
+    * CARRIES its array out of the aggregate (first() is safe: arrays
+    * in a key-group are identical modulo that collision bound), and
+    * partial aggregation collapses a verbatim flood map-side before
+    * it ever shuffles. Returns (reps as (vec_id, emb, nrm), the
+    * rep→member star-edge pairs as (a, b)). ONE definition — both
+    * consumers must agree on what "identical vector" means. */
+  private def collapseIdenticalVectors(e1: DataFrame)
+      : (DataFrame, DataFrame) = {
     val keyed = e1.select(col("vec_id"), col("emb"), col("nrm"),
       xxhash64(col("emb")).as("ck1"), hash(col("emb")).as("ck2"))
     val reps = keyed.groupBy(col("ck1"), col("ck2"))
       .agg(min(col("vec_id")).as("vec_id"),
         first(col("emb")).as("emb"), first(col("nrm")).as("nrm"))
-    val e = reps.select(col("vec_id"), col("emb"), col("nrm"))
     val stars = keyed.select(col("ck1"), col("ck2"), col("vec_id"))
       .join(reps.select(col("ck1"), col("ck2"), col("vec_id").as("a")),
         Seq("ck1", "ck2"))
       .filter(col("vec_id") =!= col("a"))
-      .select(col("a"), col("vec_id").as("b"), lit(1.0).as("sim"))
+      .select(col("a"), col("vec_id").as("b"))
+    (reps.select(col("vec_id"), col("emb"), col("nrm")), stars)
+  }
+
+  private[graft] def dedupNearEmbeddingFrom(e0: DataFrame): DataFrame = {
+    val (e, stars) = collapseIdenticalVectors(nonDegenerate(e0))
     scorePairs(e, nearEmbeddingCandidates(e), 4)
       .filter(col("sim") >= 0.45)
-      .unionByName(stars)
+      .unionByName(stars.withColumn("sim", lit(1.0)))
   }
 
   /** Coarse-quantizer size: k = ⌈√n⌉, hard-capped so the broadcast
@@ -996,8 +1004,18 @@ object SimilarityQueries {
           if (!degenerate)
             (children0.filter(c => counts.exists(_._1 == c._1)), assigned)
           else {
-            val base = cArr.find(_._1 == x).get
-            val hashChildren = seeds.map { case (cid, _, _) =>
+            val base = cArr.find(_._1 == x).getOrElse(sys.error(
+              s"flagged list $x has assignments but no centroid at " +
+                s"$root — artifact corrupted; run rebuildVectorIndex"))
+            // the children share ONE centroid point, so a query at
+            // the flood ranks them consecutively and must probe ALL
+            // of them to keep the pre-split recall — cap the fan-out
+            // at the CURRENT default probe width (nprobe only grows
+            // as lists are added), or members past the probe horizon
+            // would become unreachable for exactly that query
+            val hm = math.max(2, math.min(seeds.length,
+              ivfNProbe(cArr.length)))
+            val hashChildren = seeds.take(hm).map { case (cid, _, _) =>
               (cid, base._2, base._3) }
             val ids = hashChildren.map(_._1).toSeq
             (hashChildren, members.withColumn("cid",
@@ -1018,7 +1036,31 @@ object SimilarityQueries {
       .toDF("cid", "cemb", "cnrm")
       .coalesce(1).write.mode("overwrite")
       .parquet(tmp.resolve("centroids").toString)
-    Files.createFile(tmp.resolve("_STAGED"))
+    // The marker records which live cid dirs this repair REPLACES
+    // (the flagged set) and which staged dirs exist — same durable
+    // bookkeeping as compaction's v2 marker. Without it, a flagged
+    // list whose keeper child ends up EMPTY after the split (its
+    // refined mean moved; Spark writes no dir for zero rows) would
+    // keep its live dir untouched through the swap: a ghost list
+    // holding every member a second time, inflating audits forever.
+    val stagedNames: Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      val stagedA = tmp.resolve("assignments")
+      if (!Files.isDirectory(stagedA)) Nil
+      else {
+        val st = Files.list(stagedA)
+        try st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("cid=")).toSeq
+        finally st.close()
+      }
+    }
+    val markerTmp = tmp.resolve("_STAGED.tmp")
+    Files.write(markerTmp,
+      ("v2" +:
+        (flagged.map(x => s"replaced:cid=$x") ++
+          stagedNames.map(n => s"staged:$n")))
+        .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(markerTmp, tmp.resolve("_STAGED"))
     IndexManifest.update(root, Map(
       "repair.pending" -> newId.toString,
       "repair.pending.nlists" -> newCentroids.length.toString))
@@ -1035,6 +1077,19 @@ object SimilarityQueries {
     require(pending.isDefined, s"no pending repair at $root")
     val newId = pending.get.toLong
     val tmp = Paths.get(root, "repair.staging")
+    // read the durable replaced/staged lists BEFORE moving anything —
+    // staged dirs drain out of tmp as they move, the intended end
+    // state must not (crash-replay reads the same marker)
+    val markerLines: Seq[String] = {
+      val marker = tmp.resolve("_STAGED")
+      if (!Files.exists(marker)) Nil
+      else Files.readAllLines(marker).asScala
+        .map(_.trim).filter(_.nonEmpty).toSeq
+    }
+    val replaced = markerLines.collect {
+      case l if l.startsWith("replaced:") => l.stripPrefix("replaced:") }
+    val staged = markerLines.collect {
+      case l if l.startsWith("staged:") => l.stripPrefix("staged:") }.toSet
     IndexCompaction.moveStagedOver(tmp.resolve("centroids"),
       Paths.get(root, "centroids"))
     val stagedA = tmp.resolve("assignments")
@@ -1048,6 +1103,13 @@ object SimilarityQueries {
         IndexCompaction.moveStagedOver(d,
           Paths.get(root, "assignments", d.getFileName.toString))
       }
+    }
+    // a replaced list with no staged counterpart was fully emptied by
+    // the split (zero-row keeper child) — its live dir must go, or it
+    // survives as a ghost holding every member a second time
+    replaced.filterNot(staged).foreach { name =>
+      IndexManifest.deleteRecursively(
+        Paths.get(root, "assignments", name))
     }
     val nLists = IndexManifest.readIfExists(root)
       .getOrElse("repair.pending.nlists",
@@ -1352,22 +1414,16 @@ object SimilarityQueries {
 
   private[graft] def simKnnJoinFrom(e0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e1 = nonDegenerate(e0)
     // identical vectors add no information to a k-NN GRAPH, and a
     // copy-heavy corpus floods the LSH band buckets straight to
     // their cap (the verbatim-100× sf10 probe OOM'd here before this
-    // stage existed). Same exact collapse as dedupNearEmbeddingFrom:
+    // stage existed). Shared collapse ([[collapseIdenticalVectors]]):
     // the graph is built over representatives; copy-class members
     // re-attach as sim=1.0 / rk=0 star edges in BOTH directions
     // (a member's nearest neighbor IS its verbatim copy), which
     // preserves the connectivity dedup_semantic clusters on at O(n)
     // extra edges.
-    val keyed = e1.select(col("vec_id"), col("emb"), col("nrm"),
-      xxhash64(col("emb")).as("ck1"), hash(col("emb")).as("ck2"))
-    val reps = keyed.groupBy(col("ck1"), col("ck2"))
-      .agg(min(col("vec_id")).as("vec_id"),
-        first(col("emb")).as("emb"), first(col("nrm")).as("nrm"))
-    val e = reps.select(col("vec_id"), col("emb"), col("nrm"))
+    val (e, stars) = collapseIdenticalVectors(nonDegenerate(e0))
     // score each undirected pair ONCE (the arrayDot verify is the
     // dominant cost), then mirror the scored rows for the per-vector
     // ranking — sim(a,b) = sim(b,a)
@@ -1380,12 +1436,8 @@ object SimilarityQueries {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= KNN_K)
       .select(col("a"), col("b"), col("sim"), col("rk"))
-    val starHalf = keyed.select(col("ck1"), col("ck2"), col("vec_id"))
-      .join(reps.select(col("ck1"), col("ck2"), col("vec_id").as("a")),
-        Seq("ck1", "ck2"))
-      .filter(col("vec_id") =!= col("a"))
-      .select(col("a"), col("vec_id").as("b"),
-        lit(1.0).as("sim"), lit(0).as("rk"))
+    val starHalf = stars
+      .select(col("a"), col("b"), lit(1.0).as("sim"), lit(0).as("rk"))
     ranked
       .unionByName(starHalf)
       .unionByName(starHalf.select(col("b").as("a"), col("a").as("b"),

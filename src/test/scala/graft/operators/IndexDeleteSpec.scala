@@ -553,6 +553,13 @@ class IndexDeleteSpec extends SparkSpec {
     // (fresh checkpoints again) starts above the streamed batches
     graft.streaming.StreamingOps.migrateToLanes(root)
     assert(graft.streaming.StreamingOps.laneBase(root) >= 6L)
+    // fences only rise: a compaction folding to a LOWER max batch id
+    // (postings top out at 4, the migration fence sits at 5) must not
+    // lower the stamped fence — that would re-admit the legacy-id
+    // replays the migration promised to reject
+    TextQueries.compactTextIndex(spark, root)
+    assert(IndexCompaction.compactedThrough(root, "postings") >= 5L,
+      "compaction lowered a migration fence")
   }
 
   test("the declared delete qids audit the serve-visible live set") {

@@ -173,22 +173,25 @@ class IndexDurabilitySpec extends SparkSpec {
       .toSeq.size == served.size)
   }
 
-  test("a leftover .bak is ignored on roots the atomic store path owns") {
+  test("an unmarked .bak with a vanished manifest refuses to guess") {
     import java.nio.file.{Files, Paths}
     val root = Files.createTempDirectory("graft-bak-scope").toString
     IndexManifest.update(root, Map("compact.through.postings" -> "7"))
     // a stale sibling copy appears (operator cp, a backup tool, a
-    // crashed older engine) and then the main manifest vanishes for an
-    // unrelated reason — on an ATOMIC_MOVE-capable mount the .bak must
-    // NOT be served: trusting it would resurrect old journal state
+    // pre-marker engine's fallback store) and then the main manifest
+    // vanishes. Serving the .bak could resurrect old journal state;
+    // serving NOTHING reads as ct = -1 and fails every replay guard
+    // open. Neither silent choice is safe — the read must refuse.
     Files.copy(Paths.get(root, IndexManifest.FILE),
       Paths.get(root, s"${IndexManifest.FILE}.bak"))
     IndexManifest.update(root, Map("compact.through.postings" -> "9"))
     Files.delete(Paths.get(root, IndexManifest.FILE))
-    assert(IndexManifest.readIfExists(root).isEmpty,
-      "stale .bak served on an atomic mount")
-    // but a root stamped by the non-atomic store path keeps the
-    // designed absent-window fallback
+    val e = intercept[IllegalStateException] {
+      IndexManifest.readIfExists(root)
+    }
+    assert(e.getMessage.contains("refusing to guess"))
+    // a root stamped by the non-atomic store path keeps the designed
+    // absent-window fallback (the .bak is then the just-previous map)
     Files.createFile(Paths.get(root, s"${IndexManifest.FILE}.nonatomic"))
     assert(IndexManifest.readIfExists(root)
       .get("compact.through.postings").contains("7"))
