@@ -312,6 +312,52 @@ class IvfRebuildSpec extends SparkSpec {
     }
   }
 
+  test("a replaced list with no staged counterpart is pruned at swap") {
+    // the ghost-list case: a flagged list whose keeper child came out
+    // of the split EMPTY writes no staged cid dir — the swap must
+    // delete the live dir anyway (marker-driven), or its members
+    // survive duplicated and every later audit counts them twice
+    val root = tmpRoot("graft-rp-ghost")
+    SimilarityQueries.initVectorIndex(e, root)
+    SimilarityQueries.appendToVectorIndex(e, root, 0L)
+    val victim = spark.read.parquet(s"$root/assignments")
+      .groupBy(col("cid").cast("long").as("cid"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("cid")).collect().head.getLong(0)
+    val victimIds = spark.read.parquet(s"$root/assignments")
+      .filter(col("cid") === victim).select("vec_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    // hand-build the crash state: a staged repair whose marker says
+    // cid=victim was replaced but stages nothing for it (the empty-
+    // keeper shape), with the centroids unchanged
+    val tmp = Paths.get(root, "repair.staging")
+    Files.createDirectories(tmp.resolve("assignments"))
+    val w = Files.walk(Paths.get(root, "centroids"))
+    try w.iterator().forEachRemaining { p =>
+      val t = tmp.resolve("centroids").resolve(
+        Paths.get(root, "centroids").relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t)
+    } finally w.close()
+    Files.write(tmp.resolve("_STAGED"),
+      s"v2\nreplaced:cid=$victim".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    val nLists = spark.read.parquet(s"$root/centroids").count()
+    IndexManifest.update(root, Map(
+      "repair.pending" -> "5",
+      "repair.pending.nlists" -> nLists.toString))
+    SimilarityQueries.recoverRepair(root)
+    assert(!Files.exists(Paths.get(root, "assignments", s"cid=$victim")),
+      "ghost list survived the marker-driven swap")
+    assert(!Files.exists(tmp))
+    // soft assignment: every victim-list member also lives in its
+    // second list, so nothing is fully lost — only the replaced dir
+    val remaining = spark.read.parquet(s"$root/assignments")
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(victimIds.forall(remaining.contains),
+      "pruning the replaced dir lost sole copies")
+  }
+
   test("the declared repair qid preserves the vector set") {
     val row = SimilarityQueries.simAnnIvfRepair(spark, sf).collect().head
     assert(row.getAs[Boolean]("vectors_preserved"))
