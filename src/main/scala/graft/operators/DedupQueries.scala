@@ -188,12 +188,14 @@ object DedupQueries {
   }
 
   /** Band-bucket cap for the SimHash rep join. After the exact
-    * collapse this is a pure safety net: buckets hold DISTINCT texts
-    * only, so saturating it takes ≥512 distinct near-identical
-    * contents agreeing on a 16-bit band — a templated-corpus shape,
-    * not the verbatim-copy flood that used to saturate it (copies
-    * never reach the band stage anymore). Candidate work stays
-    * bounded at buckets × cap² in the worst case. */
+    * collapse buckets hold DISTINCT texts only, so saturating it
+    * takes ≥512 distinct near-identical contents agreeing on a
+    * 16-bit band — a templated/permuted-corpus shape. Members past
+    * the cap are NOT dropped (capPerKeyWithOverflow): each chains to
+    * an in-cap anchor as one extra candidate pair through the same
+    * Hamming verify, so even that shape keeps every member in its
+    * verified component. Candidate work stays bounded at
+    * buckets × (cap² + overflow). */
   private val SIMHASH_BAND_CAP = 512
 
   /** dedup_simhash — exact-collapse, then 64-bit SimHash with
@@ -210,19 +212,26 @@ object DedupQueries {
     val d = reps.select(col("doc_id"),
       TextFunctions.simhash64(TextFunctions.tokens(col("text")))
         .as("sig"))
-    val bands = SkewUtils.capPerKey(
+    val (bands, overflow) = SkewUtils.capPerKeyWithOverflow(
       d.select(col("doc_id"), col("sig"),
         explode(graft.functions.VectorFunctions.sigBands(col("sig"), 64, 4))
           .as("bb"))
         .select(col("doc_id"), col("sig"),
           col("bb.band").as("band"), col("bb.bh").as("bh")),
       Seq("band", "bh"), "doc_id", SIMHASH_BAND_CAP)
-    bands.select(col("band"), col("bh"), col("doc_id").as("a"),
-        col("sig").as("siga"))
-      .join(bands.select(col("band"), col("bh"), col("doc_id").as("b"),
-        col("sig").as("sigb")), Seq("band", "bh"))
+    val bucketCands = bands
+      .select(col("band"), col("bh"), col("doc_id").as("a"))
+      .join(bands.select(col("band"), col("bh"), col("doc_id").as("b")),
+        Seq("band", "bh"))
       .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    // overflow chains go through the SAME verify as bucket candidates
+    bucketCands.unionByName(overflow)
       .dropDuplicates("a", "b")
+      .join(d.select(col("doc_id").as("a"), col("sig").as("siga")),
+        Seq("a"))
+      .join(d.select(col("doc_id").as("b"), col("sig").as("sigb")),
+        Seq("b"))
       .withColumn("hamming",
         TextFunctions.hamming64(col("siga"), col("sigb")))
       .filter(col("hamming") <= 6)

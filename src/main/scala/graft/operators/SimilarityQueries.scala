@@ -129,12 +129,6 @@ object SimilarityQueries {
       .limit(10)
   }
 
-  /** Cap a (band, bh)-bucketed side to its first BUCKET_CAP members
-    * by vec_id (deterministic skew guard; see BUCKET_CAP) — the
-    * shared flood-guard kernel. */
-  private def capBuckets(df: DataFrame): DataFrame =
-    SkewUtils.capPerKey(df, Seq("band", "bh"), "vec_id", BUCKET_CAP)
-
   /** dedup_near_embedding — embedding-cosine near-dup candidates via
     * LSH bucketing: 64-bit hyperplane signature, 8 bands × 8 bits,
     * multi-probe on one join side (Hamming-≤1 within a band), exact
@@ -164,10 +158,20 @@ object SimilarityQueries {
     val bandBits = SIG_BITS / N_BANDS
     val sigs = e.select(col("vec_id"),
       HyperplaneSig.hyperplaneSig(col("emb"), SIG_BITS).as("sig"))
-    // exact band buckets, capped per (band, bh) — the only window
-    val bands = capBuckets(sigs.select(col("vec_id"),
-      explode(VectorFunctions.sigBands(col("sig"), SIG_BITS, N_BANDS)).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bh").as("bh")))
+    // exact band buckets, capped per (band, bh) — the only window.
+    // Members past the cap are not dropped: each chains to an in-cap
+    // anchor as one extra candidate (capPerKeyWithOverflow), decided
+    // by the caller's exact-cosine verify like any other pair — a
+    // flood of DISTINCT near-identical vectors (the shape the exact
+    // collapse cannot merge) keeps every member in its verified
+    // component.
+    val (bands, overflow) = SkewUtils.capPerKeyWithOverflow(
+      sigs.select(col("vec_id"),
+        explode(VectorFunctions.sigBands(col("sig"), SIG_BITS, N_BANDS))
+          .as("bb"))
+        .select(col("vec_id"), col("bb.band").as("band"),
+          col("bb.bh").as("bh")),
+      Seq("band", "bh"), "vec_id", BUCKET_CAP)
     // Hamming-≤1 probes derived from the capped rows by flipping band
     // bits in-map: a probed bucket receives rows from ≤ bandBits+1
     // capped source buckets (population ≤ (bandBits+1)·BUCKET_CAP),
@@ -180,6 +184,7 @@ object SimilarityQueries {
         Seq("band", "bh"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"))
+      .unionByName(overflow)
       .dropDuplicates("a", "b")
   }
 

@@ -45,4 +45,37 @@ object SkewUtils {
       .filter(col("_rn") <= cap)
       .drop("_rn")
   }
+
+  /** The flood guard WITHOUT the recall trade, for paths whose pair
+    * semantics allow extra candidates (the rows-only LSH verifies):
+    * members past `cap` are not dropped — each emits ONE candidate
+    * pair to a deterministic in-cap anchor of its bucket (anchor
+    * rank = ((rn−1) mod cap)+1, round-robin so no anchor carries
+    * more than |overflow|/cap chains), and the downstream exact
+    * verify decides the pair like any other candidate. A
+    * near-identical flood of DISTINCT items (the shape the exact
+    * collapse cannot merge: templated texts, tightly-jittered
+    * vectors) thus keeps EVERY member connected to the bucket's
+    * verified component at O(|overflow|) extra pairs, while the
+    * in-bucket self-join still runs on at most `cap` members —
+    * total candidate work Σ buckets × (cap² + |overflow|), never
+    * |bucket|². Returns (capped rows, overflow (a, b) `orderCol`
+    * pairs with a < b — the anchor ranks earlier, and ranks follow
+    * `orderCol`). */
+  def capPerKeyWithOverflow(df: DataFrame, keys: Seq[String],
+      orderCol: String, cap: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val rn = df.withColumn("_rn", row_number().over(
+      Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))))
+    val capped = rn.filter(col("_rn") <= cap)
+    val pairs = rn.filter(col("_rn") > cap)
+      .withColumn("_arn", (col("_rn") - 1) % cap + 1)
+      .select(keys.map(col) :+ col("_arn") :+
+        col(orderCol).as("b"): _*)
+      .join(capped.select(keys.map(col) :+ col("_rn").as("_arn") :+
+        col(orderCol).as("a"): _*),
+        keys :+ "_arn")
+      .select(col("a"), col("b"))
+    (capped.drop("_rn"), pairs)
+  }
 }

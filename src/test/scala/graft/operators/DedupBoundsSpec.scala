@@ -69,6 +69,34 @@ class DedupBoundsSpec extends SparkSpec {
     assert(pairs.map(_._2).toSet == (1L until 600L).toSet)
   }
 
+  test("simhash: a flood of DISTINCT permuted texts keeps every member") {
+    // the shape the exact collapse cannot merge: same token MULTISET,
+    // different order — sha256(text) distinct (no collapse) but
+    // simhash is bag-of-tokens (identical sig), so all 600 land in
+    // one bucket per band, above the 512 cap. Pre-overflow, members
+    // past the cap silently lost all pairs; the chained anchor
+    // candidates (hamming 0 — same sig) must keep every one.
+    import spark.implicits._
+    val words = (0 until 40).map(i => s"tok$i")
+    val docs = (0 until 600).map { i =>
+      val rot = words.drop(i % 40) ++ words.take(i % 40)
+      val j = i / 40 + 1
+      // rotate + swap position 0 with position j: distinct orderings
+      val t = if (j < rot.length)
+        (rot.updated(0, rot(j)).updated(j, rot(0))) else rot
+      (i.toLong, t.mkString(" "))
+    }
+    assert(docs.map(_._2).distinct.length == 600,
+      "fixture texts must be pairwise distinct")
+    val pairs = DedupQueries
+      .dedupSimhashFrom(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.forall(_._3 == 0), "permutations share one sig")
+    val present = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(present == (0L until 600L).toSet,
+      s"distinct-flood members lost: ${(0L until 600L).toSet -- present}")
+  }
+
   test("bloom-prefiltered incremental dedup is result-identical") {
     import spark.implicits._
     // dups, near-dups and uniques split across old/fresh: the bloom

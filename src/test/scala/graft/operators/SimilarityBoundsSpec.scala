@@ -72,18 +72,49 @@ class SimilarityBoundsSpec extends SparkSpec {
       Array.empty[(Long, Array[Double], Double)]).isEmpty)
   }
 
-  test("identical-vector flood: candidates bounded by BUCKET_CAP on both sides") {
-    // 1200 copies of one vector all hash to one bucket per band; with
-    // both join sides capped at 512 the distinct candidate pairs are
-    // at most C(512, 2) — constant in flood size, not linear.
+  test("identical-vector flood: candidates bounded AND every member kept") {
+    // 1200 copies of one vector all hash to one bucket per band; the
+    // join sides are capped at 512 so the in-bucket pairs are at most
+    // C(512, 2), and each of the 688 overflow members contributes
+    // exactly ONE chained anchor candidate — bounded at
+    // C(cap, 2) + (n − cap), never |bucket|², with NO member dropped.
     val emb = Seq.tabulate(8)(i => if (i == 0) 1.0 else 0.1)
     val flood = spark.range(1200).select(col("id").as("vec_id"),
       typedLit(emb).as("emb"))
-    val cands = SimilarityQueries.nearEmbeddingCandidates(flood).count()
+    val cands = SimilarityQueries.nearEmbeddingCandidates(flood)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
     val cap = 512L
-    assert(cands > 0L, "flood members must still pair up")
-    assert(cands <= cap * (cap - 1) / 2,
-      s"flood candidates $cands exceed the two-sided bucket-cap bound")
+    assert(cands.nonEmpty, "flood members must still pair up")
+    assert(cands.length <= cap * (cap - 1) / 2 + (1200 - cap),
+      s"flood candidates ${cands.length} exceed the cap+overflow bound")
+    // the overflow chains keep EVERY flood member in the candidate
+    // graph — the old cap silently dropped members 513..1200
+    val present = cands.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(present == (0L until 1200L).toSet,
+      s"members lost by the cap: ${(0L until 1200L).toSet -- present}")
+  }
+
+  test("a flood of DISTINCT near-identical vectors keeps every member") {
+    // the shape the exact collapse cannot merge: 1200 DISTINCT
+    // vectors jittered so tightly around one point that every
+    // hyperplane signature agrees (one bucket per band, >> cap) and
+    // every pairwise cosine ≈ 1. Pre-overflow, members past 512
+    // silently lost ALL pairs on exactly dedup's target corpus;
+    // the chained candidates must keep each one connected through
+    // the exact-cosine verify.
+    val dim = 8
+    import spark.implicits._
+    val rows = (0 until 1200).map { i =>
+      (i.toLong, Seq.tabulate(dim)(d =>
+        (if (d == 0) 1.0 else 0.1) + 1e-9 * ((i * 31 + d * 7) % 97)))
+    }
+    val df = rows.toDF("vec_id", "emb")
+      .select(col("vec_id"), col("emb"), l2Norm(col("emb")).as("nrm"))
+    val pairs = SimilarityQueries.dedupNearEmbeddingFrom(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val present = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(present == (0L until 1200L).toSet,
+      s"distinct-flood members lost: ${(0L until 1200L).toSet -- present}")
   }
 
   test("identical-vector flood collapses to star edges in the pair output") {
