@@ -163,19 +163,31 @@ object DedupQueries {
   def dedupNearMinhash(s: SparkSession, dir: String): DataFrame =
     dedupNearMinhashFrom(documents(s, dir))
 
+  /** Band-bucket cap for the MinHash rep join — same layered flood
+    * guard as simhash: verbatim copies never reach the bands (exact
+    * collapse), distinct near-identical floods (e.g. texts sharing
+    * one shingle SET at different repetition counts) cap at 512 with
+    * members past it CHAINED to in-cap anchors through the same
+    * exact-Jaccard verify, so no member silently loses its
+    * component. */
+  private val MINHASH_BAND_CAP = 512
+
   private[graft] def dedupNearMinhashFrom(docs: DataFrame): DataFrame = {
     val (d0, reps) = exactCollapse(docs)
     val d = shingledFrom(reps.select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("shin"))
-    val bands = d.select(col("doc_id"),
-      posexplode(FastSig.bandHashes(N_BANDS)(
-        FastSig.minhashSig(NUM_PERM)(col("shin")))))
-      .toDF("doc_id", "band", "bh")
+    val (bands, overflow) = SkewUtils.capPerKeyWithOverflow(
+      d.select(col("doc_id"),
+        posexplode(FastSig.bandHashes(N_BANDS)(
+          FastSig.minhashSig(NUM_PERM)(col("shin")))))
+        .toDF("doc_id", "band", "bh"),
+      Seq("band", "bh"), "doc_id", MINHASH_BAND_CAP)
     val cands = bands.select(col("band"), col("bh"), col("doc_id").as("a"))
       .join(bands.select(col("band"), col("bh"), col("doc_id").as("b")),
         Seq("band", "bh"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"))
+      .unionByName(overflow)
       .dropDuplicates("a", "b")
     cands
       .join(d.select(col("doc_id").as("a"), col("shin").as("sa")), Seq("a"))

@@ -97,6 +97,28 @@ class DedupBoundsSpec extends SparkSpec {
       s"distinct-flood members lost: ${(0L until 600L).toSet -- present}")
   }
 
+  test("minhash: a flood of DISTINCT same-shingle-set texts keeps every member") {
+    // distinct texts sharing ONE shingle SET: "a b c" repeated k
+    // times has exactly the 3 cyclic 3-grams whatever k is, so 600
+    // distinct texts (k = 2..601) collapse to nothing (distinct
+    // sha256), produce IDENTICAL minhash signatures (set-based), and
+    // flood every band bucket above the 512 cap; pairwise set
+    // Jaccard is 1.0, so every chained anchor candidate verifies
+    val base = "alpha beta gamma"
+    import spark.implicits._
+    val docs = (0 until 600).map { i =>
+      (i.toLong, Seq.fill(i + 2)(base).mkString(" "))
+    }
+    assert(docs.map(_._2).distinct.length == 600)
+    val pairs = DedupQueries
+      .dedupNearMinhashFrom(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.forall(_._3 == 1.0), "same shingle set => jaccard 1.0")
+    val present = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(present == (0L until 600L).toSet,
+      s"distinct-flood members lost: ${(0L until 600L).toSet -- present}")
+  }
+
   test("bloom-prefiltered incremental dedup is result-identical") {
     import spark.implicits._
     // dups, near-dups and uniques split across old/fresh: the bloom
