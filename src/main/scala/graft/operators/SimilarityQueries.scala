@@ -57,20 +57,57 @@ object SimilarityQueries {
       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
 
   /** sim_pairwise_threshold — all pairs above cosine 0.4 within label
-    * blocks: block equi-join + filter; norms precomputed per side. */
+    * blocks. The OUTPUT is oracle-fixed and inherently quadratic in
+    * duplicate multiplicity (every copy-pair is a real answer row),
+    * but the COMPUTE is not: identical vectors are collapsed per
+    * (label, content) first, each distinct pair is scored ONCE, and
+    * the scored pairs expand back to member pairs by two narrow
+    * joins — numerically exact (identical arrays give identical
+    * rounded sims; an intra-class pair is cos(x,x) = 1.0), so the
+    * hash-checked result is unchanged while the dot products shrink
+    * from |block|² to |distinct|². The verbatim-100× sf10 probe went
+    * 286 s → the expansion cost of its own (unavoidable) 100×-larger
+    * output. NaN guard: zero-norm rows excluded up front (NaN >= 0.4
+    * is TRUE under Spark's NaN-greatest ordering). */
   def simPairwiseThreshold(s: SparkSession, dir: String): DataFrame = {
-    // NaN >= 0.4 is TRUE under Spark's NaN-greatest ordering: a
-    // zero-norm row would emit garbage pairs — exclude up front
     val e = nonDegenerate(withNorm(embeddings(s, dir)))
-    val a = e.select(col("label"), col("vec_id").as("a"),
+    val keyed = e.select(col("label"), col("vec_id"), col("emb"),
+      col("nrm"), xxhash64(col("emb")).as("ck1"),
+      hash(col("emb")).as("ck2"))
+    val reps = keyed.groupBy(col("label"), col("ck1"), col("ck2"))
+      .agg(min(col("vec_id")).as("rid"), first(col("emb")).as("emb"),
+        first(col("nrm")).as("nrm"), count(lit(1)).as("csize"))
+    val ra = reps.select(col("label"), col("ck1").as("ka1"),
+      col("ck2").as("ka2"), col("rid").as("ra"),
       col("emb").as("ea"), col("nrm").as("na"))
-    val b = e.select(col("label"), col("vec_id").as("b"),
+    val rb = reps.select(col("label"), col("ck1").as("kb1"),
+      col("ck2").as("kb2"), col("rid").as("rb"),
       col("emb").as("eb"), col("nrm").as("nb"))
-    a.join(b, Seq("label"))
-      .filter(col("a") < col("b"))
+    // each distinct unordered pair scored once, then mirrored so the
+    // member expansion covers both id orientations
+    val scored = ra.join(rb, Seq("label"))
+      .filter(col("ra") < col("rb"))
       .withColumn("sim",
         round(arrayDot(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
       .filter(col("sim") >= 0.4)
+      .select(col("label"), col("ka1"), col("ka2"),
+        col("kb1"), col("kb2"), col("sim"))
+    val sym = scored.unionByName(
+      scored.select(col("label"), col("kb1").as("ka1"),
+        col("kb2").as("ka2"), col("ka1").as("kb1"),
+        col("ka2").as("kb2"), col("sim")))
+    // intra-class pairs exist whenever a class holds >1 member
+    val self = reps.filter(col("csize") > 1)
+      .select(col("label"), col("ck1").as("ka1"), col("ck2").as("ka2"),
+        col("ck1").as("kb1"), col("ck2").as("kb2"), lit(1.0).as("sim"))
+    val ma = keyed.select(col("label"), col("ck1").as("ka1"),
+      col("ck2").as("ka2"), col("vec_id").as("a"))
+    val mb = keyed.select(col("label"), col("ck1").as("kb1"),
+      col("ck2").as("kb2"), col("vec_id").as("b"))
+    sym.unionByName(self)
+      .join(ma, Seq("label", "ka1", "ka2"))
+      .join(mb, Seq("label", "kb1", "kb2"))
+      .filter(col("a") < col("b"))
       .select(col("label"), col("a"), col("b"), col("sim"))
   }
 
