@@ -203,10 +203,12 @@ object DedupQueries {
     * collapse buckets hold DISTINCT texts only, so saturating it
     * takes ≥512 distinct near-identical contents agreeing on a
     * 16-bit band — a templated/permuted-corpus shape. Members past
-    * the cap are NOT dropped (capPerKeyWithOverflow): each chains to
-    * an in-cap anchor as one extra candidate pair through the same
-    * Hamming verify, so even that shape keeps every member in its
-    * verified component. Candidate work stays bounded at
+    * the cap are NOT dropped (capPerKeyWithOverflow): each chains
+    * rank-minus-cap as one extra candidate pair through the same
+    * Hamming verify — candidate-level connectivity, with a
+    * component splitting only where a chain link fails the verify
+    * (the motivating permuted/templated shapes verify at hamming 0,
+    * spec-pinned). Candidate work stays bounded at
     * buckets × (cap² + overflow). */
   private val SIMHASH_BAND_CAP = 512
 
@@ -224,11 +226,13 @@ object DedupQueries {
     val d = reps.select(col("doc_id"),
       TextFunctions.simhash64(TextFunctions.tokens(col("text")))
         .as("sig"))
+    // ids only through the cap window — the verify re-joins sigs for
+    // the surviving candidates, so the sig never rides the exchange
     val (bands, overflow) = SkewUtils.capPerKeyWithOverflow(
-      d.select(col("doc_id"), col("sig"),
+      d.select(col("doc_id"),
         explode(graft.functions.VectorFunctions.sigBands(col("sig"), 64, 4))
           .as("bb"))
-        .select(col("doc_id"), col("sig"),
+        .select(col("doc_id"),
           col("bb.band").as("band"), col("bb.bh").as("bh")),
       Seq("band", "bh"), "doc_id", SIMHASH_BAND_CAP)
     val bucketCands = bands

@@ -96,10 +96,19 @@ object SimilarityQueries {
       scored.select(col("label"), col("kb1").as("ka1"),
         col("kb2").as("ka2"), col("ka1").as("kb1"),
         col("ka2").as("kb2"), col("sim")))
-    // intra-class pairs exist whenever a class holds >1 member
+    // intra-class pairs exist whenever a class holds >1 member. The
+    // sim is COMPUTED with the same expression as every other pair,
+    // not hard-coded 1.0: for finite vectors the two agree, but a
+    // degenerate embedding (overflowing norms, NaN elements) slips
+    // past the nrm > 0 guard under Spark's NaN-greatest ordering,
+    // and the pre-collapse operator emitted its NaN sim — bit-parity
+    // means reproducing that, not editorializing it away
     val self = reps.filter(col("csize") > 1)
       .select(col("label"), col("ck1").as("ka1"), col("ck2").as("ka2"),
-        col("ck1").as("kb1"), col("ck2").as("kb2"), lit(1.0).as("sim"))
+        col("ck1").as("kb1"), col("ck2").as("kb2"),
+        round(arrayDot(col("emb"), col("emb")) / (col("nrm") * col("nrm")),
+          4).as("sim"))
+      .filter(col("sim") >= 0.4)
     val ma = keyed.select(col("label"), col("ck1").as("ka1"),
       col("ck2").as("ka2"), col("vec_id").as("a"))
     val mb = keyed.select(col("label"), col("ck1").as("kb1"),
@@ -196,12 +205,16 @@ object SimilarityQueries {
     val sigs = e.select(col("vec_id"),
       HyperplaneSig.hyperplaneSig(col("emb"), SIG_BITS).as("sig"))
     // exact band buckets, capped per (band, bh) — the only window.
-    // Members past the cap are not dropped: each chains to an in-cap
-    // anchor as one extra candidate (capPerKeyWithOverflow), decided
-    // by the caller's exact-cosine verify like any other pair — a
-    // flood of DISTINCT near-identical vectors (the shape the exact
-    // collapse cannot merge) keeps every member in its verified
-    // component.
+    // Members past the cap are not dropped: each chains rank-minus-
+    // cap as one extra candidate (capPerKeyWithOverflow), decided by
+    // the caller's exact-cosine verify like any other pair — a flood
+    // of DISTINCT near-identical vectors (the shape the exact
+    // collapse cannot merge) stays candidate-connected through the
+    // chain, splitting only where a link fails the verify (the
+    // tightly-jittered motivating shape verifies at cos ~ 1,
+    // spec-pinned), and the rank-minus-cap topology keeps every
+    // node's chain degree <= 2 so no anchor's downstream window or
+    // verify partition grows with flood size.
     val (bands, overflow) = SkewUtils.capPerKeyWithOverflow(
       sigs.select(col("vec_id"),
         explode(VectorFunctions.sigBands(col("sig"), SIG_BITS, N_BANDS))

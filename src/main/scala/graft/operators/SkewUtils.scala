@@ -46,21 +46,26 @@ object SkewUtils {
       .drop("_rn")
   }
 
-  /** The flood guard WITHOUT the recall trade, for paths whose pair
-    * semantics allow extra candidates (the rows-only LSH verifies):
-    * members past `cap` are not dropped — each emits ONE candidate
-    * pair to a deterministic in-cap anchor of its bucket (anchor
-    * rank = ((rn−1) mod cap)+1, round-robin so no anchor carries
-    * more than |overflow|/cap chains), and the downstream exact
-    * verify decides the pair like any other candidate. A
-    * near-identical flood of DISTINCT items (the shape the exact
-    * collapse cannot merge: templated texts, tightly-jittered
-    * vectors) thus keeps EVERY member connected to the bucket's
-    * verified component at O(|overflow|) extra pairs, while the
-    * in-bucket self-join still runs on at most `cap` members —
-    * total candidate work Σ buckets × (cap² + |overflow|), never
-    * |bucket|². Returns (capped rows, overflow (a, b) `orderCol`
-    * pairs with a < b — the anchor ranks earlier, and ranks follow
+  /** The flood guard without the silent-drop trade, for paths whose
+    * pair semantics allow extra candidates (the rows-only LSH
+    * verifies): members past `cap` are not dropped — each emits ONE
+    * candidate pair to the bucket member `cap` ranks EARLIER
+    * (in-cap for ranks (cap, 2·cap], a fellow overflow member
+    * beyond), and the downstream exact verify decides the pair like
+    * any other candidate. The rank-minus-cap chaining keeps every
+    * node's chain degree ≤ 2 per bucket — no anchor's downstream
+    * work (per-vector windows, verify partitions) grows with flood
+    * size — while connecting the whole bucket TRANSITIVELY through
+    * the chain. The connectivity is candidate-level, not
+    * guaranteed-recall: each link still has to pass the caller's
+    * verify, so a component splits exactly where a link fails it —
+    * for the motivating shapes (distinct items whose contents are
+    * near-identical: templated/permuted texts, tightly-jittered
+    * vectors) neighboring ranks verify and every member stays in
+    * the component, which is what the flood specs pin. Candidate
+    * work: Σ buckets × (cap² + |overflow|), never |bucket|².
+    * Returns (capped rows, overflow (a, b) `orderCol` pairs with
+    * a < b — the anchor ranks earlier, and ranks follow
     * `orderCol`). */
   def capPerKeyWithOverflow(df: DataFrame, keys: Seq[String],
       orderCol: String, cap: Int): (DataFrame, DataFrame) = {
@@ -69,10 +74,9 @@ object SkewUtils {
       Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))))
     val capped = rn.filter(col("_rn") <= cap)
     val pairs = rn.filter(col("_rn") > cap)
-      .withColumn("_arn", (col("_rn") - 1) % cap + 1)
-      .select(keys.map(col) :+ col("_arn") :+
+      .select(keys.map(col) :+ (col("_rn") - cap).as("_arn") :+
         col(orderCol).as("b"): _*)
-      .join(capped.select(keys.map(col) :+ col("_rn").as("_arn") :+
+      .join(rn.select(keys.map(col) :+ col("_rn").as("_arn") :+
         col(orderCol).as("a"): _*),
         keys :+ "_arn")
       .select(col("a"), col("b"))
