@@ -343,6 +343,22 @@ object IndexCompaction {
     }
   }
 
+  /** Replay every unreplayed compaction journal at `root` — the guard
+    * the APPEND/DELETE kernels run before landing new batch
+    * directories. A crashed compaction's pending journal will replay
+    * eventually (the next compact() or open path), and the v2
+    * marker-driven prune then deletes every live part dir absent from
+    * the staged set — which would include anything appended after the
+    * crash but before the replay. Replaying first keeps the prune's
+    * view of "live" current, so resumed streams cannot lose batches
+    * to a later recovery. Cheap when nothing is pending: one manifest
+    * read, no lease taken. */
+  def recoverAllPending(root: String): Unit =
+    IndexManifest.readIfExists(root).keys
+      .filter(_.startsWith("compact.pending."))
+      .toSeq.sorted
+      .foreach(k => recover(root, k.stripPrefix("compact.pending.")))
+
   private def stagingDir(root: String, subdir: String): Path =
     Paths.get(root, s"$subdir.compacting")
 

@@ -572,6 +572,14 @@ object SimilarityQueries {
     * appendToIndex contract. Expects the embeddings-table schema. */
   private[graft] def appendToVectorIndex(
       batch: DataFrame, root: String, batchId: Long): Unit = {
+    // Replay any crashed maintenance journal BEFORE landing new batch
+    // dirs: an unreplayed compaction/rebuild/repair swap's eventual
+    // replay prunes live dirs absent from its staged set — which
+    // would include this append's partitions (data loss). Each call
+    // is one manifest read when nothing is pending.
+    IndexCompaction.recoverAllPending(root)
+    recoverRebuild(root)
+    recoverRepair(root)
     // same contract as the text index's appendToIndex: a batch id the
     // compactor folded away would overwrite the merged segment
     val ct = IndexCompaction.compactedThrough(root, "assignments")
@@ -1211,6 +1219,10 @@ object SimilarityQueries {
     * newly tombstoned ids. */
   def deleteFromVectorIndex(s: SparkSession, root: String,
       ids: DataFrame, batchId: Long): Long = {
+    // same pre-append discipline as appendToVectorIndex
+    IndexCompaction.recoverAllPending(root)
+    recoverRebuild(root)
+    recoverRepair(root)
     Seq("assignments", IndexDeletes.Subdir).foreach { d =>
       val ct = IndexCompaction.compactedThrough(root, d)
       require(batchId > ct,

@@ -335,6 +335,12 @@ object TextQueries {
     * upstream dedup (dedup_incremental / stream_dedup) owns that. */
   private[graft] def appendToIndex(
       docs: DataFrame, root: String, batchId: Long): Unit = {
+    // An unreplayed crashed compaction MUST replay before this append
+    // lands new batch dirs: the eventual replay's marker-driven prune
+    // deletes every live part dir absent from its staged set — which
+    // would include the dirs this append is about to write. One
+    // manifest read when nothing is pending.
+    IndexCompaction.recoverAllPending(root)
     // Replaying a batch id that compaction folded away would dynamic-
     // overwrite partitions now holding the MERGED corpus — data loss,
     // not a double count. Fail loudly instead (compaction is a
@@ -443,6 +449,10 @@ object TextQueries {
     * live doclens rather than trusting the per-batch rows. */
   def deleteFromTextIndex(s: SparkSession, root: String,
       ids: DataFrame, batchId: Long): Long = {
+    // same pre-append discipline as appendToIndex: replay any crashed
+    // compaction before landing tombstone/stats dirs a later replay's
+    // prune would otherwise delete
+    IndexCompaction.recoverAllPending(root)
     Seq("postings", "stats", "doclens", IndexDeletes.Subdir).foreach { d =>
       val ct = IndexCompaction.compactedThrough(root, d)
       require(batchId > ct,

@@ -117,6 +117,38 @@ class IndexCompactionSpec extends SparkSpec {
     assert(TextQueries.bm25ServeFrom(spark, root).collect().toSeq == before)
   }
 
+  test("an append into a crashed compaction replays the journal first") {
+    // the r12-advice data-loss sequence: compaction crashes between
+    // journal and swap; a streaming sink resumes appends; the crashed
+    // run's journal eventually replays and its staged-set prune would
+    // delete the freshly appended dirs. The append kernels now replay
+    // the journal BEFORE landing anything, so the prune's view of
+    // "live" is current and the fresh batch survives every later replay.
+    val root = multiBatchTextRoot(3)
+    IndexCompaction.stage(spark, root, "postings", Seq("bucket"),
+      identity, mx = 2L)
+    IndexCompaction.journal(root, "postings", 2L)
+    val extra = docs.withColumn("doc_id", col("doc_id") + 100000L)
+    TextQueries.appendToIndex(extra, root, 3L)
+    // the pending swap was replayed before the append landed
+    assert(IndexCompaction.compactedThrough(root, "postings") == 2L)
+    assert(!Files.exists(Paths.get(root, "postings.compacting")))
+    // the eventual replay site (open paths / next compact) is now a
+    // no-op and cannot eat batch 3
+    IndexCompaction.recover(root, "postings")
+    assert(IndexCompaction.listBatchIds(
+      Paths.get(root, "postings")).sorted == Seq(2L, 3L))
+    val twin = tmpRoot("graft-cpxresume")
+    TextQueries.appendToIndex(docs.unionByName(extra), twin, 0L)
+    assert(TextQueries.bm25ServeFrom(spark, root).collect().toSeq ==
+      TextQueries.bm25ServeFrom(spark, twin).collect().toSeq)
+    // and a resumed batch id at-or-below the fold point is rejected by
+    // the fence the pre-append replay just raised
+    intercept[IllegalArgumentException] {
+      TextQueries.appendToIndex(docs, root, 2L)
+    }
+  }
+
   test("a crash before the staging marker abandons the attempt intact") {
     val root = multiBatchTextRoot(2)
     val before = TextQueries.bm25ServeFrom(spark, root).collect().toSeq
