@@ -1056,9 +1056,29 @@ object SimilarityQueries {
           val a = topCentroids(cBc.value, 1, emb, nrm)
           if (a.isEmpty) -1L else a(0)
         }
-        val assigned = members
+        val assignedRaw = members
           .withColumn("cid", near1(col("emb"), col("nrm")))
-          .filter(col("cid") >= 0)
+        // near1 returns -1 for rows it cannot RANK — e.g. NaN-element
+        // embeddings, which ride Spark's NaN-greatest ordering past
+        // the ingest path's nrm > 0 guard and then score NaN against
+        // every child. Dropping them would silently violate the
+        // repair's nothing-lost invariant (simAnnIvfRepair
+        // oracle-checks it), so fold them into the keeper child — or,
+        // when the keeper itself placed no rows, the smallest placed
+        // child (placed cids ⊆ children0, so the fallback always has
+        // a centroid). A list whose EVERY row is unplaceable has no
+        // placed child at all and falls through to the degenerate
+        // hash-split below, which assigns by vec_id hash and ranks
+        // nothing.
+        val placedCids = assignedRaw.filter(col("cid") >= 0)
+          .select(col("cid")).distinct().collect().map(_.getLong(0))
+        val fallbackCid =
+          if (placedCids.contains(x) || placedCids.isEmpty) x
+          else placedCids.min
+        val assigned =
+          if (placedCids.isEmpty) assignedRaw.filter(col("cid") >= 0)
+          else assignedRaw.withColumn("cid",
+            when(col("cid") >= 0, col("cid")).otherwise(lit(fallbackCid)))
         val counts = assigned.groupBy(col("cid")).count().collect()
           .map(r => (r.getLong(0), r.getLong(1)))
         val degenerate = counts.length < 2 ||

@@ -261,6 +261,58 @@ class IvfRebuildSpec extends SparkSpec {
     assert(top.nonEmpty && top.head.getLong(0) == 400007L)
   }
 
+  test("repair keeps rows its ranker cannot place (NaN embeddings)") {
+    // NaN-element embeddings ride Spark's NaN-greatest ordering past
+    // nrm > 0 guards, but score NaN against every centroid, so the
+    // split's nearest-child ranker cannot place them (near1 = -1).
+    // They must fold into a child that HAS a centroid instead of
+    // silently vanishing — the repair's nothing-lost invariant.
+    val root = tmpRoot("graft-rp-nan")
+    SimilarityQueries.initVectorIndex(e, root)
+    SimilarityQueries.appendToVectorIndex(e, root, 0L)
+    // a diffuse cloud so the split takes the geometric (non-degenerate)
+    // path — the one that ranks members against refined children
+    val cloud = e.filter(col("embedding").isNotNull)
+      .select((col("vec_id") + 400000L).as("vec_id"), col("label"),
+        expr("""transform(embedding,
+          (x, i) -> 1.0 + 0.25 * cos(CAST(vec_id * (i + 1) AS DOUBLE)))""")
+          .as("embedding"))
+    SimilarityQueries.appendToVectorIndex(cloud, root, 1L)
+    val occ = spark.read.parquet(s"$root/assignments")
+      .groupBy(col("cid").cast("long").as("cid"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mean = occ.map(_._2).sum.toDouble / occ.length
+    val fx = occ.maxBy(_._2)._1
+    assert(occ.maxBy(_._2)._2 > 2.0 * mean, "fixture must flag a list")
+    // plant the NaN member directly in the flooded list's layout (the
+    // shape a guard-skirting ingest would have landed)
+    val d = e.filter(col("embedding").isNotNull)
+      .select(size(col("embedding"))).first().getInt(0)
+    import spark.implicits._
+    Seq((fx, 999999L, Seq.fill(d)(Double.NaN), Double.NaN))
+      .toDF("cid", "vec_id", "emb", "nrm")
+      .withColumn("batch_id", lit(1L))
+      .repartition(1)
+      .write.partitionBy("cid", "batch_id").mode("append")
+      .parquet(s"$root/assignments")
+    val liveBefore = spark.read.parquet(s"$root/assignments")
+      .select("vec_id").distinct().count()
+    SimilarityQueries.repairVectorIndex(spark, root, imbalance = 2.0)
+    val a = spark.read.parquet(s"$root/assignments")
+    // nothing lost — the NaN row included
+    assert(a.select("vec_id").distinct().count() == liveBefore)
+    assert(a.filter(col("vec_id") === 999999L).count() >= 1,
+      "repair dropped the unplaceable NaN member")
+    // and it sits in a list that HAS a centroid (reachable + auditable)
+    val cids = spark.read.parquet(s"$root/centroids")
+      .select("cid").collect().map(_.getLong(0)).toSet
+    val nanCids = a.filter(col("vec_id") === 999999L)
+      .select(col("cid").cast("long")).collect().map(_.getLong(0))
+    assert(nanCids.forall(cids.contains),
+      s"NaN member landed in centroid-less list(s): ${nanCids.toSeq}")
+  }
+
   test("repair leaves tombstones armed for the untouched lists") {
     val root = floodedRoot()
     SimilarityQueries.deleteFromVectorIndex(spark, root,
