@@ -941,7 +941,7 @@ object SimilarityQueries {
   /** Replay an interrupted rebuild swap (journal entry present). A
     * complete (`_STAGED`) staging dir re-runs the swap; debris without
     * the marker is abandoned — the live dirs were never touched. */
-  private[operators] def recoverRebuild(root: String): Unit = {
+  private[graft] def recoverRebuild(root: String): Unit = {
     if (IndexManifest.readIfExists(root).get("rebuild.pending").isEmpty)
       return
     IndexCompaction.withRecoveryLease(root, "rebuild") {
@@ -1208,7 +1208,7 @@ object SimilarityQueries {
     * repair twin of [[recoverRebuild]]: a complete (`_STAGED`)
     * staging dir re-runs the swap; debris without the marker is
     * abandoned (the live dirs were never touched). */
-  private[operators] def recoverRepair(root: String): Unit = {
+  private[graft] def recoverRepair(root: String): Unit = {
     if (IndexManifest.readIfExists(root).get("repair.pending").isEmpty)
       return
     IndexCompaction.withRecoveryLease(root, "repair") {

@@ -535,7 +535,17 @@ object StreamingOps {
     * checkpoints (a pre-migration checkpoint would replay ids the new
     * fence rejects — loudly, by design). Idempotent, and a no-op on
     * empty roots and on roots already fenced at their max id. */
-  def migrateToLanes(root: String): Unit = {
+  def migrateToLanes(root: String): Unit =
+      graft.operators.IndexLease.withMaintenance(root) {
+    // Fences move here, so this is maintenance and follows the same
+    // discipline as compaction/rebuild/repair: exclusive lease (no
+    // live serve readers), and any CRASHED maintenance journal is
+    // replayed first — raising compact.through over an unreplayed
+    // pending swap would intertwine two recovery states (the replay's
+    // prune acting on a fence the crashed run never saw).
+    graft.operators.IndexCompaction.recoverAllPending(root)
+    graft.operators.SimilarityQueries.recoverRebuild(root)
+    graft.operators.SimilarityQueries.recoverRepair(root)
     val mx = LaneSubdirs.map { d =>
       val p = java.nio.file.Paths.get(root, d)
       val onDisk =
@@ -544,13 +554,15 @@ object StreamingOps {
         else Nil
       (onDisk :+ graft.operators.IndexCompaction.compactedThrough(root, d)).max
     }.max
-    if (mx < 0) return // nothing written yet — lanes already start at 0
-    val raises: Map[String, String] = LaneSubdirs
-      .filter(d =>
-        graft.operators.IndexCompaction.compactedThrough(root, d) < mx)
-      .map(d => s"compact.through.$d" -> mx.toString).toMap
-    if (raises.nonEmpty)
-      graft.operators.IndexManifest.update(root, raises)
+    // mx < 0: nothing written yet — lanes already start at 0
+    if (mx >= 0) {
+      val raises: Map[String, String] = LaneSubdirs
+        .filter(d =>
+          graft.operators.IndexCompaction.compactedThrough(root, d) < mx)
+        .map(d => s"compact.through.$d" -> mx.toString).toMap
+      if (raises.nonEmpty)
+        graft.operators.IndexManifest.update(root, raises)
+    }
   }
 
   /** stream_index_upsert — incremental inverted-index maintenance:

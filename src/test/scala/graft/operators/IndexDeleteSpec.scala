@@ -562,6 +562,35 @@ class IndexDeleteSpec extends SparkSpec {
       "compaction lowered a migration fence")
   }
 
+  test("migrateToLanes is maintenance: leased, and replays pending journals") {
+    val root = tmpRoot("graft-mig-mnt")
+    (0 to 1).foreach { b =>
+      TextQueries.appendToIndex(
+        docs.filter(pmod(col("doc_id"), lit(2)) === b), root, b.toLong)
+    }
+    // it moves fences, so it refuses under a live serve lease — the
+    // same discipline as the swap ops
+    IndexLease.withServeLease(root) {
+      val e = intercept[IllegalStateException] {
+        graft.streaming.StreamingOps.migrateToLanes(root)
+      }
+      assert(e.getMessage.contains("serve lease"))
+    }
+    // and a crashed compaction's journal replays BEFORE fences rise —
+    // raising compact.through over an unreplayed pending swap would
+    // intertwine two recovery states
+    val before = TextQueries.bm25ServeFrom(spark, root).collect().toSeq
+    IndexCompaction.stage(spark, root, "postings", Seq("bucket"),
+      identity, mx = 1L)
+    IndexCompaction.journal(root, "postings", 1L)
+    graft.streaming.StreamingOps.migrateToLanes(root)
+    assert(!Files.exists(Paths.get(root, "postings.compacting")))
+    assert(IndexCompaction.listBatchIds(
+      Paths.get(root, "postings")) == Seq(1L))
+    assert(IndexCompaction.compactedThrough(root, "postings") == 1L)
+    assert(TextQueries.bm25ServeFrom(spark, root).collect().toSeq == before)
+  }
+
   test("the declared delete qids audit the serve-visible live set") {
     val t = TextQueries.snkTextIndexDelete(spark, sf).collect().head
     assert(t.getAs[Long]("n_tombstones") ==
