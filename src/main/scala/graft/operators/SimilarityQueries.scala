@@ -661,7 +661,7 @@ object SimilarityQueries {
       .select(col("emb"), col("nrm")).collect()
     if (qRows.isEmpty)
       return e.select(col("vec_id"), lit(0.0).as("sim")).limit(0)
-    annServeFrom(s, root,
+    IndexServe.annTopK(s, root,
       qRows(0).getSeq[Double](0).toArray, qRows(0).getDouble(1))
   }
 
@@ -670,7 +670,7 @@ object SimilarityQueries {
     * this with the fixture's vec_id=0 vector). Probes the quantizer
     * driver-side, partition-prunes to the nprobe lists, exact-ranks
     * their members against the broadcast 1-row query. */
-  private[graft] def annServeFrom(
+  private[operators] def annServeFrom(
       s: SparkSession, root: String,
       qv: Array[Double], qn: Double, topK: Int = 10,
       nprobe: Option[Int] = None): DataFrame = {
@@ -711,7 +711,7 @@ object SimilarityQueries {
   def simAnnServeBatch(s: SparkSession, dir: String): DataFrame = {
     val root = buildVectorIndex(s, dir)
     val e = withNorm(embeddings(s, dir))
-    annServeBatchFrom(s, root,
+    IndexServe.annTopKBatch(s, root,
       e.filter(col("vec_id").isin(ANN_BATCH_IDS.map(Long.box): _*))
         .select(col("vec_id").as("query_id"),
           col("emb").as("qv"), col("nrm").as("qn")))
@@ -737,7 +737,7 @@ object SimilarityQueries {
     *
     * At serve time the corpus is never touched — every read is
     * index-shaped (quantizer + probed lists). */
-  private[graft] def annServeBatchFrom(
+  private[operators] def annServeBatchFrom(
       s: SparkSession, root: String,
       queries: DataFrame, topK: Int = 10,
       nprobeOverride: Option[Int] = None): DataFrame = {

@@ -228,7 +228,7 @@ object TextQueries {
       .limit(20)
   }
 
-  private val BM25_QUERY = Seq("spark", "vector", "stream")
+  private[operators] val BM25_QUERY = Seq("spark", "vector", "stream")
   private val BM25_K1 = 1.2
   private val BM25_B = 0.75
 
@@ -766,14 +766,14 @@ object TextQueries {
     * PlanShapeSpec pins the pruned-serve shape and TextIndexSpec pins
     * exact row parity with the scan-time form. */
   def textBm25Indexed(s: SparkSession, dir: String): DataFrame =
-    bm25ServeFrom(s, buildTextIndex(s, dir))
+    IndexServe.bm25TopK(s, buildTextIndex(s, dir))
 
   /** Serve a BM25 top-k from an index at `root` — the shared read
     * path for the batch-built and stream-maintained index (parity
     * pinned in TextIndexSpec), and the library's public query API:
     * any term set against any built index, cost ∝ the query terms'
     * pruned buckets. Defaults are the declared qid's fixed query. */
-  private[graft] def bm25ServeFrom(
+  private[operators] def bm25ServeFrom(
       s: SparkSession, root: String,
       terms: Seq[String] = BM25_QUERY, k: Int = 20): DataFrame = {
     val buckets = terms.map(idxBucketOf).distinct
@@ -840,7 +840,7 @@ object TextQueries {
     import s.implicits._
     val q = BM25_BATCH.flatMap { case (id, ts) => ts.distinct.map(id -> _) }
       .toDF("query_id", "term")
-    bm25ServeBatchFrom(s, buildTextIndex(s, dir), q)
+    IndexServe.bm25TopKBatch(s, buildTextIndex(s, dir), q)
   }
 
   /** Serve a BM25 top-k for EVERY query in `queries` (query_id, term)
@@ -863,7 +863,7 @@ object TextQueries {
     *
     * Still NOTHING corpus-sized is scanned, joined, or shuffled at
     * serve time. */
-  private[graft] def bm25ServeBatchFrom(
+  private[operators] def bm25ServeBatchFrom(
       s: SparkSession, root: String,
       queries: DataFrame, k: Int = 20): DataFrame = {
     graft.GraftExtensions.register(s)

@@ -26,7 +26,7 @@ class ConcurrentServeSpec extends SparkSpec {
   test("8 concurrent bm25 serves equal their sequential runs") {
     val root = TextQueries.buildTextIndex(spark, sf)
     val sequential = TERM_SETS.map(ts =>
-      TextQueries.bm25ServeFrom(spark, root, terms = ts, k = 10)
+      IndexServe.bm25TopK(spark, root, terms = ts, k = 10)
         .collect().toSeq)
     val pool = Executors.newFixedThreadPool(8)
     implicit val ec: ExecutionContext =
@@ -38,7 +38,7 @@ class ConcurrentServeSpec extends SparkSpec {
           // a no-op under the test session's FIFO mode
           spark.sparkContext.setLocalProperty(
             "spark.scheduler.pool", s"serve-$i")
-          TextQueries.bm25ServeFrom(spark, root, terms = ts, k = 10)
+          IndexServe.bm25TopK(spark, root, terms = ts, k = 10)
             .collect().toSeq
         }
       }
@@ -62,7 +62,7 @@ class ConcurrentServeSpec extends SparkSpec {
     TextQueries.deleteFromTextIndex(spark, root,
       docs.filter(pmod(col("doc_id"), lit(5)) === 2).select("doc_id"), 1L)
     val sequential = TERM_SETS.map(ts =>
-      TextQueries.bm25ServeFrom(spark, root, terms = ts, k = 10)
+      IndexServe.bm25TopK(spark, root, terms = ts, k = 10)
         .collect().toSeq)
     val pool = Executors.newFixedThreadPool(8)
     implicit val ec: ExecutionContext =
@@ -70,7 +70,7 @@ class ConcurrentServeSpec extends SparkSpec {
     try {
       val fs = TERM_SETS.map { ts =>
         Future {
-          TextQueries.bm25ServeFrom(spark, root, terms = ts, k = 10)
+          IndexServe.bm25TopK(spark, root, terms = ts, k = 10)
             .collect().toSeq
         }
       }
@@ -100,9 +100,7 @@ class ConcurrentServeSpec extends SparkSpec {
       TextQueries.appendToIndex(
         docs.filter(pmod(col("doc_id"), lit(3)) === b), root, b.toLong)
     }
-    val pre = IndexLease.withServeLease(root) {
-      TextQueries.bm25ServeFrom(spark, root).collect().toSeq
-    }
+    val pre = IndexServe.bm25TopK(spark, root).collect().toSeq
     // a serving thread holds the lease through plan+execute in a
     // loop; the maintenance attempt in between must refuse
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -112,13 +110,12 @@ class ConcurrentServeSpec extends SparkSpec {
     val server = new Thread(() => {
       while (!stop.get()) {
         try {
-          IndexLease.withServeLease(root) {
-            gate.countDown()
-            val got = TextQueries.bm25ServeFrom(spark, root)
-              .collect().toSeq
-            if (got != pre) failures.add(new AssertionError(
-              s"serve diverged from pre-state:\n$got\nvs\n$pre"))
-          }
+          // the facade holds the serve lease across plan+execute —
+          // the serving thread needs no lease discipline of its own
+          val got = IndexServe.bm25TopK(spark, root).collect().toSeq
+          gate.countDown()
+          if (got != pre) failures.add(new AssertionError(
+            s"serve diverged from pre-state:\n$got\nvs\n$pre"))
           served.incrementAndGet()
         } catch {
           // a maintenance-window refusal is the DESIGNED outcome for
@@ -155,14 +152,12 @@ class ConcurrentServeSpec extends SparkSpec {
     // quiesced: maintenance proceeds; serves resume on the post-state
     // (content identical modulo the by-design batch_id fold)
     TextQueries.compactTextIndex(spark, root)
-    val post = IndexLease.withServeLease(root) {
-      TextQueries.bm25ServeFrom(spark, root).collect().toSeq
-    }
+    val post = IndexServe.bm25TopK(spark, root).collect().toSeq
     assert(post == pre, "compaction changed serve content")
-    // and while maintenance holds the root, new serve leases refuse
+    // and while maintenance holds the root, the facade itself refuses
     IndexLease.withMaintenance(root) {
       val e = intercept[IllegalStateException] {
-        IndexLease.withServeLease(root)(())
+        IndexServe.bm25TopK(spark, root)
       }
       assert(e.getMessage.contains("maintenance"))
     }
@@ -201,7 +196,7 @@ class ConcurrentServeSpec extends SparkSpec {
       .collect().toSeq
       .map(r => (r.getSeq[Double](1).toArray, r.getDouble(2)))
     val sequential = qs.map { case (qv, qn) =>
-      SimilarityQueries.annServeFrom(spark, root, qv, qn).collect().toSeq
+      IndexServe.annTopK(spark, root, qv, qn).collect().toSeq
     }
     val pool = Executors.newFixedThreadPool(4)
     implicit val ec: ExecutionContext =
@@ -209,7 +204,7 @@ class ConcurrentServeSpec extends SparkSpec {
     try {
       val fs = qs.map { case (qv, qn) =>
         Future {
-          SimilarityQueries.annServeFrom(spark, root, qv, qn).collect().toSeq
+          IndexServe.annTopK(spark, root, qv, qn).collect().toSeq
         }
       }
       val concurrent = Await.result(Future.sequence(fs), 120.seconds)

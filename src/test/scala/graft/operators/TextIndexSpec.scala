@@ -18,7 +18,11 @@ class TextIndexSpec extends SparkSpec {
   }
 
   test("serve plan prunes term buckets and never scans the corpus") {
-    val df = TextQueries.textBm25Indexed(spark, sf)
+    // the qid routes through the collecting IndexServe facade (a local
+    // relation after return) — the plan under pin lives in the lazy
+    // internal the facade executes
+    val df = TextQueries.bm25ServeFrom(spark,
+      TextQueries.buildTextIndex(spark, sf))
     df.collect() // AQE finalizes on execution
     val p = df.queryExecution.executedPlan.toString
     // the bucket predicate must act as directory-level partition
@@ -62,7 +66,12 @@ class TextIndexSpec extends SparkSpec {
   }
 
   test("batch serve is one job: scans don't multiply with queries") {
-    val df = TextQueries.textBm25ServeBatch(spark, sf)
+    import spark.implicits._
+    val q = TextQueries.BM25_BATCH
+      .flatMap { case (id, ts) => ts.distinct.map(id -> _) }
+      .toDF("query_id", "term")
+    val df = TextQueries.bm25ServeBatchFrom(spark,
+      TextQueries.buildTextIndex(spark, sf), q)
     df.collect() // AQE finalizes on execution
     // AQE's string repeats the tree under "== Initial Plan ==" — count
     // scans in the final section only

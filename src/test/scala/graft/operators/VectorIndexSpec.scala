@@ -191,7 +191,13 @@ class VectorIndexSpec extends SparkSpec {
   }
 
   test("batch serve is one job over one pruned assignments scan") {
-    val df = SimilarityQueries.simAnnServeBatch(spark, sf)
+    val root = SimilarityQueries.buildVectorIndex(spark, sf)
+    val e = SimilarityQueries.withNorm(graft.Tables.embeddings(spark, sf))
+    val qdf = e.filter(col("vec_id")
+        .isin(SimilarityQueries.ANN_BATCH_IDS.map(Long.box): _*))
+      .select(col("vec_id").as("query_id"),
+        col("emb").as("qv"), col("nrm").as("qn"))
+    val df = SimilarityQueries.annServeBatchFrom(spark, root, qdf)
     df.collect() // AQE finalizes on execution
     // AQE's string repeats the tree under "== Initial Plan ==" — count
     // scans in the final section only
@@ -241,7 +247,12 @@ class VectorIndexSpec extends SparkSpec {
   }
 
   test("serve plan prunes assignment lists and re-ranks only probed members") {
-    val df = SimilarityQueries.simAnnIvfIndexed(spark, sf)
+    val root = SimilarityQueries.buildVectorIndex(spark, sf)
+    val q = SimilarityQueries.withNorm(graft.Tables.embeddings(spark, sf))
+      .filter(col("vec_id") === 0)
+      .select(col("emb"), col("nrm")).collect().head
+    val df = SimilarityQueries.annServeFrom(spark, root,
+      q.getSeq[Double](0).toArray, q.getDouble(1))
     df.collect() // AQE finalizes on execution
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("PartitionFilters") && p.contains("cid"),
