@@ -248,8 +248,8 @@ object IndexCompaction {
     * the new holder's lease on exit — it only removes a lease still
     * carrying its own token. Shared by compaction recovery and the
     * IVF rebuild's swap recovery. */
-  private[operators] def withRecoveryLease(root: String, name: String)(
-      body: => Unit): Unit = {
+  private[operators] def withRecoveryLease[T](root: String, name: String)(
+      body: => T): T = {
     val lease = Paths.get(root, s"$name.recovering")
     val token = java.util.UUID.randomUUID().toString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
