@@ -41,11 +41,19 @@ object IndexDeletes {
     * distinct frame — None when no tombstones exist (the common case;
     * serve paths skip all delete handling on None). Directory-probe
     * cheap: no Spark job when the dir is absent or holds no data. */
+  // engine-owned layout (long ids under batch_id partitions) —
+  // declaring it skips footer inference on every tombstone-aware serve
+  private def delSchema(idCol: String) = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField(idCol, LongType), StructField("batch_id", LongType)))
+  }
+
   def readDeletes(s: SparkSession, root: String,
       idCol: String): Option[DataFrame] = {
     val p = Paths.get(root, Subdir)
     if (!hasParquet(p)) None
-    else Some(s.read.parquet(s"$root/$Subdir")
+    else Some(s.read.schema(delSchema(idCol)).parquet(s"$root/$Subdir")
       .select(col(idCol)).distinct())
   }
 
@@ -57,7 +65,7 @@ object IndexDeletes {
       batchId: Long): Option[DataFrame] = {
     val p = Paths.get(root, Subdir)
     if (!hasParquet(p)) None
-    else Some(s.read.parquet(s"$root/$Subdir")
+    else Some(s.read.schema(delSchema(idCol)).parquet(s"$root/$Subdir")
       .filter(col("batch_id") =!= batchId)
       .select(col(idCol)).distinct())
   }

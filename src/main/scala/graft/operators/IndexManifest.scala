@@ -199,8 +199,16 @@ object IndexManifest {
 
   /** (file count, total bytes, max mtime-millis) over one table's
     * parquet path — file stats only, no data read. */
-  def corpusFingerprint(dir: String, table: String): String = {
-    val p = Paths.get(dir, s"$table.parquet")
+  def corpusFingerprint(dir: String, table: String): String =
+    pathFingerprint(Paths.get(dir, s"$table.parquet"))
+
+  /** The generic form of [[corpusFingerprint]]: a cheap change
+    * signature over any file or directory. Serve paths key their
+    * per-JVM read memos (stats fold, IVF quantizer) on this — a
+    * compaction/rebuild/delete rewrites files, the signature moves,
+    * the memo refreshes; nothing ever serves through a stale cache
+    * without a matching on-disk state. */
+  def pathFingerprint(p: Path): String = {
     if (!Files.exists(p)) return "absent"
     var n = 0L; var bytes = 0L; var mtime = 0L
     def visit(f: Path): Unit = {

@@ -665,6 +665,42 @@ object SimilarityQueries {
       qRows(0).getSeq[Double](0).toArray, qRows(0).getDouble(1))
   }
 
+  // Serve-time read schema for the assignment lists (engine-owned
+  // layout — skips per-plan parquet footer inference, a fixed cost on
+  // every serve call).
+  private val AssignSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("emb", ArrayType(DoubleType)),
+      StructField("nrm", DoubleType),
+      StructField("cid", LongType),
+      StructField("batch_id", LongType)))
+  }
+
+  /** The coarse quantizer, memoized per root behind a centroids-dir
+    * fingerprint (stat-only): every serve needs the full ≤33 MB
+    * centroid array driver-side to compute probes, but reading it
+    * back per call costs a Spark job. A rebuild/repair/re-init
+    * rewrites centroids/, moves the fingerprint, and refreshes the
+    * memo — stale serves over a changed quantizer are impossible.
+    * Maintenance paths keep their own fresh reads (they run rarely
+    * and must see exactly what is on disk mid-operation). */
+  private val quantizerCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Array[(Long, Array[Double], Double)])]()
+
+  private def quantizerOf(
+      s: SparkSession, root: String): Array[(Long, Array[Double], Double)] = {
+    val fp = IndexManifest.pathFingerprint(Paths.get(root, "centroids"))
+    val cached = quantizerCache.get(root)
+    if (cached != null && cached._1 == fp) return cached._2
+    val cArr = s.read.parquet(s"$root/centroids").collect().map { r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+    }.sortBy(_._1)
+    quantizerCache.put(root, (fp, cArr))
+    cArr
+  }
+
   /** Serve an ANN top-k for an ARBITRARY query vector from an index
     * at `root` — the library's public query API (the declared qid is
     * this with the fixture's vec_id=0 vector). Probes the quantizer
@@ -675,13 +711,11 @@ object SimilarityQueries {
       qv: Array[Double], qn: Double, topK: Int = 10,
       nprobe: Option[Int] = None): DataFrame = {
     import s.implicits._
-    val cArr = s.read.parquet(s"$root/centroids").collect().map { r =>
-      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
-    }.sortBy(_._1)
+    val cArr = quantizerOf(s, root)
     val probeCids = topCentroids(cArr,
       nprobe.getOrElse(ivfNProbe(cArr.length)), qv, qn)
     val q = Seq((qv.toSeq, qn)).toDF("qv", "qn")
-    val probed = s.read.parquet(s"$root/assignments")
+    val probed = s.read.schema(AssignSchema).parquet(s"$root/assignments")
       .filter(col("cid").isin(probeCids.map(Long.box): _*))
     // deleted vectors are invisible the moment the tombstone lands
     // (physical removal waits for the next compaction)
@@ -743,9 +777,7 @@ object SimilarityQueries {
       nprobeOverride: Option[Int] = None): DataFrame = {
     import s.implicits._
     graft.GraftExtensions.register(s)
-    val cArr = s.read.parquet(s"$root/centroids").collect().map { r =>
-      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
-    }.sortBy(_._1)
+    val cArr = quantizerOf(s, root)
     val nprobe = nprobeOverride.getOrElse(ivfNProbe(cArr.length))
     val qRows = queries
       .select(col("query_id").cast("long"), col("qv"), col("qn"))
@@ -757,7 +789,7 @@ object SimilarityQueries {
     }
     val probes = probePairs.toDF("cid", "query_id", "qv", "qn")
     val cids = probePairs.map(_._1).distinct
-    val probed0 = s.read.parquet(s"$root/assignments")
+    val probed0 = s.read.schema(AssignSchema).parquet(s"$root/assignments")
       .filter(col("cid").isin(cids.map(Long.box): _*))
     // same tombstone handling as the single-query serve
     val scored = IndexDeletes.readDeletes(s, root, "vec_id")

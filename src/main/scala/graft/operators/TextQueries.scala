@@ -1,8 +1,11 @@
 package graft.operators
 
+import java.nio.file.Paths
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import graft.Tables._
 import graft.functions.TextFunctions
 
@@ -768,6 +771,46 @@ object TextQueries {
   def textBm25Indexed(s: SparkSession, dir: String): DataFrame =
     IndexServe.bm25TopK(s, buildTextIndex(s, dir))
 
+  // Serve-time read schemas. The index layouts are engine-owned (see
+  // the layout scaladoc above), so declaring them skips parquet
+  // footer-inference at plan time — a fixed ~50 ms per read per serve
+  // call that a high-QPS tier pays on every request.
+  private val PostingsSchema = StructType(Seq(
+    StructField("term", StringType), StructField("doc_id", LongType),
+    StructField("tf", DoubleType), StructField("dl", DoubleType),
+    StructField("bucket", IntegerType), StructField("batch_id", LongType)))
+  private val TermsSchema = StructType(Seq(
+    StructField("term", StringType), StructField("df", DoubleType),
+    StructField("bucket", IntegerType)))
+  private val StatsSchema = StructType(Seq(
+    StructField("n_docs", DoubleType), StructField("sum_dl", DoubleType),
+    StructField("batch_id", LongType)))
+
+  /** The live-corpus (n_docs, avgdl) fold, memoized per root behind a
+    * stats-dir fingerprint: the fold is one tiny aggregate, but as a
+    * broadcast subquery it costs a whole Spark job on EVERY serve
+    * call. The fingerprint (file count/bytes/max-mtime — stat-only)
+    * moves whenever an ingest, delete, or compaction touches stats/,
+    * so the memo can never serve a stale fold over a changed index;
+    * delete-correctness is free because deletes land NEGATIVE rows in
+    * the same fold. */
+  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, (Double, Double))]()
+
+  private def liveTextStats(
+      s: SparkSession, root: String): (Double, Double) = {
+    val fp = IndexManifest.pathFingerprint(Paths.get(root, "stats"))
+    val cached = statsCache.get(root)
+    if (cached != null && cached._1 == fp) return cached._2
+    val r = s.read.schema(StatsSchema).parquet(s"$root/stats")
+      .agg(sum(col("n_docs")), sum(col("sum_dl"))).collect().head
+    val v =
+      if (r.isNullAt(0) || r.getDouble(0) == 0.0) (0.0, 1.0)
+      else (r.getDouble(0), r.getDouble(1) / r.getDouble(0))
+    statsCache.put(root, (fp, v))
+    v
+  }
+
   /** Serve a BM25 top-k from an index at `root` — the shared read
     * path for the batch-built and stream-maintained index (parity
     * pinned in TextIndexSpec), and the library's public query API:
@@ -778,7 +821,8 @@ object TextQueries {
       terms: Seq[String] = BM25_QUERY, k: Int = 20): DataFrame = {
     val buckets = terms.map(idxBucketOf).distinct
     val del = IndexDeletes.readDeletes(s, root, "doc_id")
-    val postings0 = s.read.parquet(s"$root/postings")
+    val postings0 = s.read.schema(PostingsSchema)
+      .parquet(s"$root/postings")
       .filter(col("bucket").isin(buckets: _*) &&
         col("term").isin(terms: _*))
     // tombstones present: hide deleted docs and recompute query-term
@@ -786,25 +830,24 @@ object TextQueries {
     // bucket, so the pruned scan sees that term's every posting —
     // the recount is exact and costs only the already-read rows).
     // Corpus stats need no special path: the delete wrote a negative
-    // summable stats row, so the fold below is already live-corpus.
+    // summable stats row, so the memoized fold is already live-corpus.
     val postings = del.fold(postings0)(d =>
       postings0.join(broadcast(d), Seq("doc_id"), "left_anti"))
     val df = del match {
-      case None => s.read.parquet(s"$root/terms")
+      case None => s.read.schema(TermsSchema).parquet(s"$root/terms")
         .filter(col("bucket").isin(buckets: _*) &&
           col("term").isin(terms: _*))
         .select(col("term"), col("df"))
       case Some(_) => postings.groupBy(col("term"))
         .agg(countDistinct(col("doc_id")).cast("double").as("df"))
     }
-    // fold the summable per-batch stats: ≤ one tiny row per ingest
-    // batch, avgdl = Σsum_dl / Σn_docs
-    val stats = s.read.parquet(s"$root/stats")
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-      .withColumn("avgdl", col("sum_dl") / col("n_docs"))
-      .select(col("n_docs"), col("avgdl"))
+    // corpus stats enter as driver-memoized LITERALS (liveTextStats):
+    // constants fold into codegen, and the per-serve broadcast job the
+    // 1-row subquery used to cost is gone
+    val (nDocs, avgdl) = liveTextStats(s, root)
     postings.join(broadcast(df), Seq("term"))
-      .crossJoin(broadcast(stats))
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("avgdl", lit(avgdl))
       .withColumn("part", bm25Part)
       .groupBy(col("doc_id"), col("dl"))
       .agg(round(sum(col("part")) + lit(1e-9), 4).as("bm25"),
@@ -871,7 +914,8 @@ object TextQueries {
       .collect().map(_.getString(0)).toSeq // bounded: the request's terms
     val buckets = qterms.map(idxBucketOf).distinct
     val del = IndexDeletes.readDeletes(s, root, "doc_id")
-    val postings0 = s.read.parquet(s"$root/postings")
+    val postings0 = s.read.schema(PostingsSchema)
+      .parquet(s"$root/postings")
       .filter(col("bucket").isin(buckets: _*) &&
         col("term").isin(qterms: _*))
     // same tombstone handling as the single-query serve: anti-join +
@@ -880,21 +924,20 @@ object TextQueries {
     val postings = del.fold(postings0)(d =>
       postings0.join(broadcast(d), Seq("doc_id"), "left_anti"))
     val dfr = del match {
-      case None => s.read.parquet(s"$root/terms")
+      case None => s.read.schema(TermsSchema).parquet(s"$root/terms")
         .filter(col("bucket").isin(buckets: _*) &&
           col("term").isin(qterms: _*))
         .select(col("term"), col("df"))
       case Some(_) => postings.groupBy(col("term"))
         .agg(countDistinct(col("doc_id")).cast("double").as("df"))
     }
-    val stats = s.read.parquet(s"$root/stats")
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-      .withColumn("avgdl", col("sum_dl") / col("n_docs"))
-      .select(col("n_docs"), col("avgdl"))
+    // same driver-memoized literal stats as the single-query serve
+    val (nDocs, avgdl) = liveTextStats(s, root)
     val scored = postings
       .join(broadcast(queries), Seq("term"))
       .join(broadcast(dfr), Seq("term"))
-      .crossJoin(broadcast(stats))
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("avgdl", lit(avgdl))
       .withColumn("part", bm25Part)
       .groupBy(col("query_id"), col("doc_id"), col("dl"))
       .agg(round(sum(col("part")) + lit(1e-9), 4).as("bm25"),
