@@ -158,8 +158,10 @@ object DedupQueries {
     * shingle sets for the candidates; copy-class members appear as
     * jac=1.0 star edges to their representative. Catches near-dups
     * regardless of edit position (no prefix-block assumption).
-    * Algorithmic ⇒ rows-only; component-level recall vs the exact
-    * Jaccard ground truth is property-tested. */
+    * Oracle: full DuckDB HUGEINT recompute of the splitmix shingle
+    * fold, permutations, bands, and verify ([[dedupNearMinhashSql]]);
+    * component-level recall vs the exact Jaccard ground truth is
+    * additionally property-tested. */
   def dedupNearMinhash(s: SparkSession, dir: String): DataFrame =
     dedupNearMinhashFrom(documents(s, dir))
 
@@ -217,7 +219,9 @@ object DedupQueries {
     * Hamming distance ≤ 6; copy-class members appear as hamming=0
     * star edges to their representative. Near-identical docs differ
     * in few bits; banding guarantees candidates for distance ≤ 3 and
-    * catches most ≤ 6. Rows-only (hash-valued). */
+    * catches most ≤ 6. Oracle: full DuckDB recompute of the murmur3
+    * token hashes, bit-majority signature, bands, and Hamming verify
+    * ([[dedupSimhashSql]]). */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     dedupSimhashFrom(documents(s, dir))
 
@@ -706,6 +710,190 @@ object DedupQueries {
        |LEFT JOIN oldh oh ON sha256(f.text) = oh.h
        |LEFT JOIN near ON near.doc_id = f.doc_id""".stripMargin
 
+  // ---- DuckDB recompute oracles for the signature-LSH ops ----
+  //
+  // The same full-recompute pattern text_fingerprint proved out
+  // (TextQueries.winnowFpCte): the signatures are plain Java integer
+  // folds, so DuckDB re-derives them in HUGEINT modular arithmetic —
+  // signatures, band keys, candidate join, verify, star edges — and
+  // the pair sets hash-compare exactly. One honest boundary: the
+  // engine caps band buckets at 512 with overflow chaining
+  // (SkewUtils.capPerKeyWithOverflow); the oracle recomputes the
+  // UNCAPPED join, which is identical while no bucket of distinct
+  // representatives exceeds the cap — true by construction at oracle
+  // scale (the fixture holds fewer distinct texts than the cap), and
+  // the flood/no-loss behavior past the cap stays property-tested.
+
+  /** splitmix64 finalizer over the UNSIGNED [0, 2^64) domain carried
+    * in HUGEINT. 64×64-bit products would overflow the signed 128-bit
+    * HUGEINT, so each multiply is split at 2^32:
+    * z*C mod 2^64 = (z*C_lo + (z*C_hi mod 2^32)*2^32) mod 2^64. */
+  private def mix64Sql(x: String): String = {
+    val M = "18446744073709551616::HUGEINT"
+    def mulmod(y: String, hi: Long, lo: Long): String =
+      s"((($y * $lo::HUGEINT) + ((($y * $hi::HUGEINT) % 4294967296::HUGEINT)" +
+        s" * 4294967296::HUGEINT)) % $M)"
+    val z1 = s"((($x) + 11400714819323198485::HUGEINT) % $M)"
+    val y1 = s"(xor($z1, $z1 >> 30))"
+    val z2 = mulmod(y1, 3210233709L, 484501945L)  // 0xbf58476d1ce4e5b9
+    val y2 = s"(xor($z2, $z2 >> 27))"
+    val z3 = mulmod(y2, 2496678331L, 322310635L)  // 0x94d049bb133111eb
+    s"(xor($z3, $z3 >> 31))"
+  }
+
+  /** One murmur3-32 block mix (the Scala MurmurHash3 kernel
+    * simhash64 tokenizes with), as a list_reduce lambda body over
+    * accumulator `h` and char-pair word `k` — all values held in
+    * [0, 2^32), where 32×32-bit products fit HUGEINT natively. */
+  private def mix32Sql: String = {
+    val M = "4294967296::HUGEINT"
+    val k1 = s"((k * 3432918353::HUGEINT) % $M)"          // * 0xcc9e2d51
+    val k2 = s"(((($k1 * 32768::HUGEINT) % $M)) | ($k1 >> 17))" // rotl 15
+    val k3 = s"(($k2 * 461845907::HUGEINT) % $M)"          // * 0x1b873593
+    val h1 = s"(xor(h, $k3))"
+    val h2 = s"(((($h1 * 8192::HUGEINT) % $M)) | ($h1 >> 19))"  // rotl 13
+    s"((($h2 * 5::HUGEINT) + 3864292196::HUGEINT) % $M)"   // *5 + 0xe6546b64
+  }
+
+  /** dedup_simhash oracle: per-token Scala murmur3 stringHash
+    * (char-pair mix, odd-tail mixLast, length finalize) spread to 64
+    * bits by the xorshift the engine uses, per-bit majority vote into
+    * the 64-bit signature, 4×16-bit band join, Hamming ≤ 6 verify,
+    * plus the copy-class star edges. */
+  private[graft] val dedupSimhashSql: String = {
+    val pairs = "list_transform(range(1, length(t), 2), i -> " +
+      "((unicode(substr(t, CAST(i AS INT), 1))::HUGEINT * 65536::HUGEINT) + " +
+      "unicode(substr(t, CAST(i AS INT) + 1, 1))::HUGEINT))"
+    // seed = MurmurHash3.stringSeed = 0xf7ca7fd2
+    val red = s"list_reduce(list_prepend(4157243346::HUGEINT, $pairs), " +
+      s"(h, k) -> $mix32Sql)"
+    // mixLast of the unpaired trailing char (odd-length tokens)
+    val m32 = "4294967296::HUGEINT"
+    val lc = "unicode(substr(t, length(t), 1))::HUGEINT"
+    val lk1 = s"(($lc * 3432918353::HUGEINT) % $m32)"
+    val lk2 = s"(((($lk1 * 32768::HUGEINT) % $m32)) | ($lk1 >> 17))"
+    val lk3 = s"(($lk2 * 461845907::HUGEINT) % $m32)"
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+       |reps AS (SELECT min(doc_id) AS doc_id, text FROM base GROUP BY text),
+       |t0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM reps),
+       |m AS (SELECT doc_id, t,
+       |  (CASE WHEN length(t) % 2 = 1 THEN xor($red, $lk3)
+       |   ELSE $red END) AS h FROM t0),
+       |f1 AS (SELECT doc_id, xor(h, length(t)::HUGEINT) AS h FROM m),
+       |f2 AS (SELECT doc_id, xor(h, h >> 16) AS h FROM f1),
+       |g1 AS (SELECT doc_id,
+       |  (h * 2246822507::HUGEINT) % $m32 AS h FROM f2),
+       |g2 AS (SELECT doc_id, xor(h, h >> 13) AS h FROM g1),
+       |g3 AS (SELECT doc_id,
+       |  (h * 3266489909::HUGEINT) % $m32 AS h FROM g2),
+       |g4 AS (SELECT doc_id, xor(h, h >> 16) AS h FROM g3),
+       |s1 AS (SELECT doc_id, xor(h,
+       |  (h * 2097152::HUGEINT) % 18446744073709551616::HUGEINT) AS h
+       |  FROM g4),
+       |s2 AS (SELECT doc_id, xor(h, h >> 35) AS h FROM s1),
+       |s3 AS (SELECT doc_id, xor(h,
+       |  (h * 16::HUGEINT) % 18446744073709551616::HUGEINT)
+       |  % 18446744073709551616::HUGEINT AS h FROM s2),
+       |hl AS (SELECT doc_id, list(h) AS hs FROM s3 GROUP BY doc_id),
+       |sg AS (SELECT doc_id, list_sum(list_transform(range(0, 64), b ->
+       |    CASE WHEN list_sum(list_transform(hs, hh ->
+       |        CASE WHEN (hh >> CAST(b AS INT)) & 1::HUGEINT = 1::HUGEINT
+       |        THEN 1 ELSE -1 END)) > 0
+       |    THEN (1::HUGEINT << CAST(b AS INT)) ELSE 0::HUGEINT END)) AS sig
+       |  FROM hl),
+       |bands AS (
+       |  SELECT sg.doc_id, bx.band,
+       |    (sg.sig >> CAST(bx.band * 16 AS INT)) & 65535::HUGEINT AS bh
+       |  FROM sg CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bx),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+       |    AND x.doc_id < y.doc_id),
+       |ver AS (
+       |  SELECT c.a, c.b,
+       |    CAST(bit_count(CAST(xor(sa.sig, sb.sig) AS BIGINT)) AS INT)
+       |      AS hamming
+       |  FROM cand c
+       |  JOIN sg sa ON sa.doc_id = c.a
+       |  JOIN sg sb ON sb.doc_id = c.b)
+       |SELECT a, b, hamming FROM ver WHERE hamming <= 6
+       |UNION ALL
+       |SELECT r.doc_id AS a, mm.doc_id AS b, 0 AS hamming
+       |FROM base mm JOIN reps r
+       |  ON mm.text = r.text AND mm.doc_id <> r.doc_id""".stripMargin
+  }
+
+  /** dedup_near_minhash oracle: the splitmix char fold over 3-word
+    * shingles (word boundaries as the engine's 0x1f marker mixed in
+    * through the SAME reduce lambda), 16 signed-min permutations,
+    * 4-row band folds, band join, exact-Jaccard ≥ 0.8 verify over the
+    * recomputed shingle sets, plus the copy-class star edges. */
+  private[graft] val dedupNearMinhashSql: String = {
+    val M = "18446744073709551616::HUGEINT"
+    // p * 0xc2b2ae3d27d4eb4f under Java's wrapping long multiply
+    val permMasks = (0 until NUM_PERM).map { p =>
+      (BigInt(p) * BigInt("c2b2ae3d27d4eb4f", 16)).mod(BigInt(2).pow(64))
+    }
+    val perms = permMasks.map(m => s"$m::HUGEINT").mkString("[", ", ", "]")
+    val lam = s"(a, c) -> ${mix64Sql("xor(a, c)")}"
+    // flat per-shingle value stream: chars of the 3 words with the
+    // 0x1f boundary marker appended after each — byte-identical to
+    // hashString(w, h) chained with mix(h ^ 0x1f)
+    val flat = "flatten(list_transform([ws[CAST(i AS INT)], " +
+      "ws[CAST(i AS INT)+1], ws[CAST(i AS INT)+2]], w -> " +
+      "list_append(list_transform(range(1, length(w)+1), c -> " +
+      "unicode(substr(w, CAST(c AS INT), 1))::HUGEINT), 31::HUGEINT)))"
+    val codesText = "list_transform(range(1, length(text)+1), c -> " +
+      "unicode(substr(text, CAST(c AS INT), 1))::HUGEINT)"
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+       |reps AS (SELECT min(doc_id) AS doc_id, text FROM base GROUP BY text),
+       |rw AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM reps),
+       |shin AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ws) < 3 THEN
+       |      [list_reduce(list_prepend(7::HUGEINT, $codesText), $lam)]
+       |    ELSE list_distinct(list_transform(range(1, len(ws) - 1), i ->
+       |      list_reduce(list_prepend(7::HUGEINT, $flat), $lam)))
+       |    END AS sh FROM rw),
+       |sh1 AS (SELECT doc_id, unnest(sh) AS h FROM shin),
+       |pv AS (
+       |  SELECT doc_id, p, v - (CASE WHEN v >= 9223372036854775808::HUGEINT
+       |      THEN $M ELSE 0::HUGEINT END) AS sv
+       |  FROM (
+       |    SELECT s.doc_id, pm.p, ${mix64Sql("xor(s.h, pm.m)")} AS v
+       |    FROM sh1 s CROSS JOIN
+       |      (SELECT unnest(range(0, $NUM_PERM)) AS p,
+       |              unnest($perms) AS m) pm)),
+       |sig AS (SELECT doc_id, p, min(sv) AS sv FROM pv GROUP BY doc_id, p),
+       |usig AS (
+       |  SELECT doc_id, list(((sv::HUGEINT % $M) + $M) % $M ORDER BY p)
+       |    AS us
+       |  FROM sig GROUP BY doc_id),
+       |bands AS (
+       |  SELECT u.doc_id, b.band,
+       |    list_reduce(list_prepend(b.band::HUGEINT,
+       |      u.us[(b.band*4+1):(b.band*4+4)]), $lam) AS bh
+       |  FROM usig u CROSS JOIN (SELECT unnest(range(0, $N_BANDS)) AS band) b),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+       |    AND x.doc_id < y.doc_id),
+       |ver AS (
+       |  SELECT c.a, c.b,
+       |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |          len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jac
+       |  FROM cand c
+       |  JOIN shin sa ON sa.doc_id = c.a
+       |  JOIN shin sb ON sb.doc_id = c.b)
+       |SELECT a, b, jac FROM ver WHERE jac >= $JACCARD_T
+       |UNION ALL
+       |SELECT r.doc_id AS a, mm.doc_id AS b, 1.0 AS jac
+       |FROM base mm JOIN reps r
+       |  ON mm.text = r.text AND mm.doc_id <> r.doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -729,7 +917,10 @@ object DedupQueries {
     "dedup_incremental" -> dedupIncrementalSql,
     // the bloom variant is result-identical by construction (no false
     // negatives; false positives exactly confirmed) — same oracle
-    "dedup_incremental_bloom" -> dedupIncrementalSql
-    // dedup_near_minhash / dedup_simhash: algorithmic — property-tested
+    "dedup_incremental_bloom" -> dedupIncrementalSql,
+    // full HUGEINT recomputes (signatures + bands + verify + stars);
+    // recall/flood behavior past the band cap stays property-tested
+    "dedup_near_minhash" -> dedupNearMinhashSql,
+    "dedup_simhash" -> dedupSimhashSql
   )
 }
