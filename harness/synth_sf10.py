@@ -1,10 +1,18 @@
 #!/usr/bin/env python3
-"""Synthesize the sf10 probe fixture (100x sf0.1) for the
-scale-sensitive families only (VERDICT r11 task 7): documents (500k),
-embeddings (200k), lineitem (60M — the bench warmup table). Same
-FK-preserving replication recipe as synth_sf1.py, 100 copies with the
-same per-copy key offsets (sf0.1 keys are far below one step, so no
-copy collides).
+"""Synthesize the sf10 probe fixture (100x sf0.1). Part 1/2 (r12):
+documents (500k), embeddings (200k), lineitem (60M). Part 3 (r13):
+the FK'd star-schema dims and the events stream, so the join/window/
+event families can be probed at 100x too. Same FK-preserving
+replication recipe as synth_sf1.py: 100 copies with CONSISTENT
+per-copy key offsets on both sides of every FK (l_orderkey and
+o_orderkey step together, o_custkey and c_custkey, l_suppkey and
+s_suppkey, l_partkey and p_partkey), so referential integrity holds
+in every copy. nation/region are genuine dims — copied once,
+unshifted, and every copy's c_nationkey/s_nationkey still resolves.
+events replicates by (event_id, user_id): each copy is a fresh user
+population over the SAME time range — per-user sessions/funnels stay
+intact while windows see 100x density, which is exactly the scale-up
+shape a real event stream has.
 
 Usage: python3 harness/synth_sf10.py [src_dir] [dst_dir]
 Defaults: /root/testdata/sf0.1 -> /tmp/sf10
@@ -25,7 +33,15 @@ OFFSETS = {
     "embeddings": {"vec_id": 1_000_000},
     "lineitem": {"l_orderkey": 10_000_000, "l_partkey": 1_000_000,
                  "l_suppkey": 100_000},
+    "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
+    "customer": {"c_custkey": 1_000_000},
+    "supplier": {"s_suppkey": 100_000},
+    "part": {"p_partkey": 1_000_000},
+    "events": {"event_id": 10_000_000, "user_id": 1_000_000},
 }
+
+# small dims: single unshifted copy keeps every replicated FK valid
+COPY_AS_IS = ["nation", "region"]
 
 
 def main():
@@ -44,6 +60,10 @@ def main():
         out = pa.concat_tables(copies)
         pq.write_table(out, DST / f"{name}.parquet", version="2.6")
         print(f"{name}: {t.num_rows} -> {out.num_rows} rows")
+    for name in COPY_AS_IS:
+        t = pq.read_table(SRC / f"{name}.parquet")
+        pq.write_table(t, DST / f"{name}.parquet", version="2.6")
+        print(f"{name}: {t.num_rows} rows (dim, unreplicated)")
 
 
 if __name__ == "__main__":
