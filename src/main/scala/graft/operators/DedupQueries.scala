@@ -735,9 +735,9 @@ object DedupQueries {
         s" * 4294967296::HUGEINT)) % $M)"
     val z1 = s"((($x) + 11400714819323198485::HUGEINT) % $M)"
     val y1 = s"(xor($z1, $z1 >> 30))"
-    val z2 = mulmod(y1, 3210233709L, 484501945L)  // 0xbf58476d1ce4e5b9
+    val z2 = mulmod(y1, 3210233709L, 484763065L)  // 0xbf58476d1ce4e5b9
     val y2 = s"(xor($z2, $z2 >> 27))"
-    val z3 = mulmod(y2, 2496678331L, 322310635L)  // 0x94d049bb133111eb
+    val z3 = mulmod(y2, 2496678331L, 321982955L)  // 0x94d049bb133111eb
     s"(xor($z3, $z3 >> 31))"
   }
 
