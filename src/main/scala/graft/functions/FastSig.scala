@@ -22,12 +22,18 @@ object FastSig {
     z ^ (z >>> 31)
   }
 
+  /** Char fold over CODE POINTS, not UTF-16 units: the DuckDB oracle
+    * recomputes this fold with `unicode(substr(...))`, which is
+    * code-point addressed — folding surrogate pairs as two units here
+    * would diverge engine from oracle on any astral character (emoji,
+    * rare CJK). Identical to a charAt fold on BMP-only text. */
   private def hashString(s: String, seed: Long): Long = {
     var h = seed
     var i = 0
     while (i < s.length) {
-      h = mix(h ^ s.charAt(i))
-      i += 1
+      val cp = s.codePointAt(i)
+      h = mix(h ^ cp)
+      i += Character.charCount(cp)
     }
     h
   }

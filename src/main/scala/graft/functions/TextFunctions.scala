@@ -24,6 +24,34 @@ object TextFunctions {
   def bpeishCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
 
+  /** Scala-stdlib murmur3 stringHash re-derived over CODE POINTS
+    * instead of UTF-16 units (same seed, pair mix, mixLast, length
+    * finalize): the DuckDB oracle recomputes the kernel with
+    * `unicode(substr(...))`, which is code-point addressed, so the
+    * UTF-16 original would diverge on any astral character. Identical
+    * to MurmurHash3.stringHash on BMP-only text. */
+  private[graft] def murmur3TokenHash(t: String): Int = {
+    import java.lang.Integer.{rotateLeft => rotl}
+    val cps = t.codePoints().toArray
+    var h = 0xf7ca7fd2 // MurmurHash3.stringSeed
+    var i = 0
+    while (i + 1 < cps.length) {
+      var k = (cps(i) << 16) + cps(i + 1) // wraps mod 2^32, as the oracle's % does
+      k *= 0xcc9e2d51; k = rotl(k, 15); k *= 0x1b873593
+      h ^= k; h = rotl(h, 13); h = h * 5 + 0xe6546b64
+      i += 2
+    }
+    if (i < cps.length) { // mixLast of the unpaired trailing code point
+      var k = cps(i)
+      k *= 0xcc9e2d51; k = rotl(k, 15); k *= 0x1b873593
+      h ^= k
+    }
+    h ^= cps.length
+    h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13
+    h *= 0xc2b2ae35; h ^= h >>> 16
+    h
+  }
+
   /** SimHash-64 over a token array: per bit, sum ±1 contributions of
     * each token's hash; bit set iff the sum is positive. */
   val simhash64: UserDefinedFunction = udf { toks0: Seq[String] =>
@@ -35,7 +63,7 @@ object TextFunctions {
     val toks = toks0
     val counts = new Array[Int](64)
     toks.foreach { t =>
-      var h = scala.util.hashing.MurmurHash3.stringHash(t).toLong & 0xffffffffL
+      var h = murmur3TokenHash(t).toLong & 0xffffffffL
       // spread 32-bit murmur to 64 bits (xorshift finalizer)
       h ^= h << 21; h ^= h >>> 35; h ^= h << 4
       var b = 0
@@ -60,15 +88,19 @@ object TextFunctions {
     * rolling hashes of char k-grams, min per window of w, distinct +
     * sorted → a compact, position-robust fingerprint set. */
   def winnow(k: Int = 8, w: Int = 4): UserDefinedFunction = udf { text: String =>
-    if (text == null || text.length < k) Array.empty[Long]
+    // k-grams over CODE POINTS, not UTF-16 units — the DuckDB oracle
+    // (winnowFpCte) recomputes the rolling hash with unicode(substr),
+    // which is code-point addressed; identical on BMP-only text
+    val cps = if (text == null) null else text.codePoints().toArray
+    if (cps == null || cps.length < k) Array.empty[Long]
     else {
-      val n = text.length - k + 1
+      val n = cps.length - k + 1
       val hashes = new Array[Long](n)
       var i = 0
       while (i < n) {
         var h = 1125899906842597L
         var j = 0
-        while (j < k) { h = 31 * h + text.charAt(i + j); j += 1 }
+        while (j < k) { h = 31 * h + cps(i + j); j += 1 }
         hashes(i) = h
         i += 1
       }

@@ -755,8 +755,10 @@ object DedupQueries {
     s"((($h2 * 5::HUGEINT) + 3864292196::HUGEINT) % $M)"   // *5 + 0xe6546b64
   }
 
-  /** dedup_simhash oracle: per-token Scala murmur3 stringHash
-    * (char-pair mix, odd-tail mixLast, length finalize) spread to 64
+  /** dedup_simhash oracle: per-token murmur3 over code points
+    * (TextFunctions.murmur3TokenHash — pair mix, odd-tail mixLast,
+    * length finalize; code-point addressing matches DuckDB's
+    * unicode()/substr for ALL of Unicode) spread to 64
     * bits by the xorshift the engine uses, per-bit majority vote into
     * the 64-bit signature, 4×16-bit band join, Hamming ≤ 6 verify,
     * plus the copy-class star edges. */

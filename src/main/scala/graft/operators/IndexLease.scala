@@ -68,11 +68,19 @@ object IndexLease {
   private[operators] val processToken: String =
     java.util.UUID.randomUUID().toString
 
+  /** "Never refreshed" sentinel for RootState.lastRefresh. NOT 0:
+    * System.nanoTime has an arbitrary origin and may be small or
+    * negative, so a 0 sentinel compared with `now - 0 < window` would
+    * silently suppress every epoch write while nanoTime sits below
+    * the window — no heartbeat at all, and a foreign maintainer would
+    * see no fresh epochs over live serves. */
+  private val Never = Long.MinValue
+
   private final class RootState {
     val count = new java.util.concurrent.atomic.AtomicLong(0L)
     // nanoTime of the last epoch-file refresh (throttles serve-path
     // writes to one per quarter-staleness window)
-    val lastRefresh = new java.util.concurrent.atomic.AtomicLong(0L)
+    val lastRefresh = new java.util.concurrent.atomic.AtomicLong(Never)
     @volatile var ticker: Thread = null
   }
 
@@ -115,7 +123,8 @@ object IndexLease {
   private def refreshEpoch(root: String, st: RootState): Unit = {
     val now = System.nanoTime()
     val last = st.lastRefresh.get()
-    if (now - last < StaleMs * 250000L) return // < StaleMs/4 in nanos
+    if (last != Never && now - last < StaleMs * 250000L)
+      return // refreshed < StaleMs/4 ago (nanos)
     if (!st.lastRefresh.compareAndSet(last, now)) return // someone else is on it
     try {
       val f = epochFile(root)
@@ -144,7 +153,7 @@ object IndexLease {
           try Thread.sleep(StaleMs / 4)
           catch { case _: InterruptedException => return }
           if (st.count.get() > 0L) {
-            st.lastRefresh.set(0L) // force through the throttle
+            st.lastRefresh.set(Never) // force through the throttle
             refreshEpoch(root, st)
           }
         }
@@ -184,7 +193,29 @@ object IndexLease {
           processToken.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         catch { case _: java.io.IOException => false } // vanished = released
         if (foreign) {
-          if (ageMs(ml) > StaleMs) Files.deleteIfExists(ml) // dead maintainer
+          if (ageMs(ml) > StaleMs) {
+            // Dead maintainer. If it died MID-SWAP (pending journal
+            // keys in the manifest), the live layout may be half
+            // swapped — some part dirs deleted, staged ones not yet
+            // moved in — and serving it would silently return wrong
+            // results (missing documents) on every request. Refuse
+            // with the remediation instead of stealing the lease.
+            if (IndexRecovery.pendingKeys(root).nonEmpty)
+              throw new IllegalStateException(
+                s"index root $root has a STALE maintenance lease and " +
+                  "an unreplayed maintenance journal — the maintainer " +
+                  "died mid-swap and the live layout may be " +
+                  "inconsistent; run IndexRecovery.replayPendingLeased" +
+                  "(root) (any append/compact path does) before serving")
+            // Died after commit (journal clear): the layout is
+            // consistent — break the lease. Re-check staleness right
+            // before the delete so a lease freshly RE-acquired by a
+            // live maintainer during our age check is not deleted
+            // (file leases have no atomic compare-and-delete; the
+            // recheck narrows the window from a whole check-to-delete
+            // stall to microseconds).
+            if (ageMs(ml) > StaleMs) Files.deleteIfExists(ml)
+          }
           else {
             // retract our epoch when we hold the only lease here, so
             // the live foreign maintainer's next attempt proceeds
@@ -192,7 +223,7 @@ object IndexLease {
             if (st.count.get() == 1L)
               try {
                 Files.deleteIfExists(epochFile(root))
-                st.lastRefresh.set(0L)
+                st.lastRefresh.set(Never)
               } catch { case _: java.io.IOException => () }
             throw new IllegalStateException(
               s"index root $root is under maintenance by another process " +
@@ -237,7 +268,7 @@ object IndexLease {
         // window another maintainer could steal).
         try {
           Files.deleteIfExists(epochFile(root))
-          st.lastRefresh.set(0L)
+          st.lastRefresh.set(Never)
         } catch { case _: java.io.IOException => () }
         val foreign = listForeignEpochs(root)
         val fresh = foreign.filter(ageMs(_) <= StaleMs)
@@ -248,9 +279,22 @@ object IndexLease {
               " — quiesce the serve fleet first, or wait for the epochs " +
               s"to go stale (${StaleMs} ms) if those processes are dead")
         foreign.foreach { p => // stale: dead servers — steal
-          try Files.deleteIfExists(p)
+          // re-check age right before the delete: a server that was
+          // merely paused may have refreshed its epoch since the scan
+          // (deleting a FRESH epoch would admit this maintenance under
+          // that server's live serves)
+          try if (ageMs(p) > StaleMs) Files.deleteIfExists(p)
           catch { case _: java.io.IOException => () }
         }
+        // post-steal re-scan: an epoch that turned fresh during the
+        // steal (or survived it) means its server is alive after all
+        val fresh2 = listForeignEpochs(root).filter(ageMs(_) <= StaleMs)
+        if (fresh2.nonEmpty)
+          throw new IllegalStateException(
+            s"refusing maintenance on $root: serve epoch(s) " +
+              s"[${fresh2.map(_.getFileName).mkString(", ")}] turned " +
+              "fresh during the stale-epoch steal — the process is " +
+              "alive; quiesce the serve fleet first")
         body
       }
     } finally st.count.set(0L)

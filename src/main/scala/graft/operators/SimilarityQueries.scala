@@ -531,10 +531,10 @@ object SimilarityQueries {
   def openVectorIndex(s: SparkSession, root: String): String = {
     val m0 = IndexManifest.open(root, "vector-ivf",
       Map("ivf_assign" -> IVF_ASSIGN.toString))
-    // a compaction, rebuild or repair that crashed mid-swap replays here
-    IndexCompaction.recover(root, "assignments")
-    recoverRebuild(root)
-    recoverRepair(root)
+    // a compaction, rebuild or repair that crashed mid-swap replays
+    // here, under the exclusive maintenance lease (the replay moves
+    // live dirs; one manifest read when nothing is pending)
+    IndexRecovery.replayPendingLeased(root)
     // re-read: a replayed rebuild/repair commit updates n_lists
     val m = if (m0.contains("rebuild.pending") || m0.contains("repair.pending"))
       IndexManifest.readIfExists(root) else m0
@@ -575,11 +575,10 @@ object SimilarityQueries {
     // Replay any crashed maintenance journal BEFORE landing new batch
     // dirs: an unreplayed compaction/rebuild/repair swap's eventual
     // replay prunes live dirs absent from its staged set — which
-    // would include this append's partitions (data loss). Each call
-    // is one manifest read when nothing is pending.
-    IndexCompaction.recoverAllPending(root)
-    recoverRebuild(root)
-    recoverRepair(root)
+    // would include this append's partitions (data loss). One
+    // manifest read when nothing is pending; the replay itself runs
+    // under the exclusive maintenance lease (it moves live dirs).
+    IndexRecovery.replayPendingLeased(root)
     // same contract as the text index's appendToIndex: a batch id the
     // compactor folded away would overwrite the merged segment
     val ct = IndexCompaction.compactedThrough(root, "assignments")
@@ -686,19 +685,21 @@ object SimilarityQueries {
     * memo — stale serves over a changed quantizer are impossible.
     * Maintenance paths keep their own fresh reads (they run rarely
     * and must see exactly what is on disk mid-operation). */
-  private val quantizerCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, Array[(Long, Array[Double], Double)])]()
+  // cap × ≤33 MB bounds the worst-case resident quantizer memory at
+  // ~264 MB; an evicted root costs one reload job on its next serve
+  private val quantizerCache =
+    new BoundedMemo[Array[(Long, Array[Double], Double)]](8)
 
   private def quantizerOf(
       s: SparkSession, root: String): Array[(Long, Array[Double], Double)] = {
     val fp = IndexManifest.pathFingerprint(Paths.get(root, "centroids"))
-    val cached = quantizerCache.get(root)
-    if (cached != null && cached._1 == fp) return cached._2
-    val cArr = s.read.parquet(s"$root/centroids").collect().map { r =>
-      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
-    }.sortBy(_._1)
-    quantizerCache.put(root, (fp, cArr))
-    cArr
+    quantizerCache.get(root, fp).getOrElse {
+      val cArr = s.read.parquet(s"$root/centroids").collect().map { r =>
+        (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+      }.sortBy(_._1)
+      quantizerCache.put(root, fp, cArr)
+      cArr
+    }
   }
 
   /** Serve an ANN top-k for an ARBITRARY query vector from an index
@@ -1102,8 +1103,17 @@ object SimilarityQueries {
         // placed child at all and falls through to the degenerate
         // hash-split below, which assigns by vec_id hash and ranks
         // nothing.
-        val placedCids = assignedRaw.filter(col("cid") >= 0)
-          .select(col("cid")).distinct().collect().map(_.getLong(0))
+        // ONE aggregation serves both decisions: the -1 row carries
+        // the unplaceable count, the rest are the placed cids — the
+        // post-fold counts derive arithmetically instead of running a
+        // second Spark job per flagged list (up to 64 lists/call on
+        // the maintenance path)
+        val rawCounts = assignedRaw.groupBy(col("cid")).count().collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val placed = rawCounts.filter(_._1 >= 0L)
+        val unplaced =
+          rawCounts.collectFirst { case (-1L, c) => c }.getOrElse(0L)
+        val placedCids = placed.map(_._1)
         val fallbackCid =
           if (placedCids.contains(x) || placedCids.isEmpty) x
           else placedCids.min
@@ -1111,8 +1121,8 @@ object SimilarityQueries {
           if (placedCids.isEmpty) assignedRaw.filter(col("cid") >= 0)
           else assignedRaw.withColumn("cid",
             when(col("cid") >= 0, col("cid")).otherwise(lit(fallbackCid)))
-        val counts = assigned.groupBy(col("cid")).count().collect()
-          .map(r => (r.getLong(0), r.getLong(1)))
+        val counts = placed.map { case (c, k) =>
+          if (c == fallbackCid) (c, k + unplaced) else (c, k) }
         val degenerate = counts.length < 2 ||
           counts.map(_._2).max > 0.9 * n
         val (children, finalAssigned) =
@@ -1271,10 +1281,9 @@ object SimilarityQueries {
     * newly tombstoned ids. */
   def deleteFromVectorIndex(s: SparkSession, root: String,
       ids: DataFrame, batchId: Long): Long = {
-    // same pre-append discipline as appendToVectorIndex
-    IndexCompaction.recoverAllPending(root)
-    recoverRebuild(root)
-    recoverRepair(root)
+    // same pre-append discipline as appendToVectorIndex (leased
+    // replay, loud refusal while serves are live)
+    IndexRecovery.replayPendingLeased(root)
     Seq("assignments", IndexDeletes.Subdir).foreach { d =>
       val ct = IndexCompaction.compactedThrough(root, d)
       require(batchId > ct,

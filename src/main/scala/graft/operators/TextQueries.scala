@@ -321,11 +321,10 @@ object TextQueries {
   def openTextIndex(root: String): String = {
     IndexManifest.open(root, "text-bm25",
       Map("n_buckets" -> IDX_BUCKETS.toString))
-    // a compaction that crashed mid-swap replays to completion here
-    // (cheap: one manifest read when no journal entry exists)
-    IndexCompaction.recover(root, "postings")
-    IndexCompaction.recover(root, "stats")
-    IndexCompaction.recover(root, "doclens")
+    // a compaction that crashed mid-swap replays to completion here,
+    // under the exclusive maintenance lease — the replay moves live
+    // dirs (one manifest read when no journal entry exists)
+    IndexRecovery.replayPendingLeased(root)
     root
   }
 
@@ -342,8 +341,9 @@ object TextQueries {
     // lands new batch dirs: the eventual replay's marker-driven prune
     // deletes every live part dir absent from its staged set — which
     // would include the dirs this append is about to write. One
-    // manifest read when nothing is pending.
-    IndexCompaction.recoverAllPending(root)
+    // manifest read when nothing is pending; the replay itself runs
+    // under the exclusive maintenance lease (it moves live dirs).
+    IndexRecovery.replayPendingLeased(root)
     // Replaying a batch id that compaction folded away would dynamic-
     // overwrite partitions now holding the MERGED corpus — data loss,
     // not a double count. Fail loudly instead (compaction is a
@@ -453,9 +453,10 @@ object TextQueries {
   def deleteFromTextIndex(s: SparkSession, root: String,
       ids: DataFrame, batchId: Long): Long = {
     // same pre-append discipline as appendToIndex: replay any crashed
-    // compaction before landing tombstone/stats dirs a later replay's
-    // prune would otherwise delete
-    IndexCompaction.recoverAllPending(root)
+    // compaction (leased — the replay moves live dirs) before landing
+    // tombstone/stats dirs a later replay's prune would otherwise
+    // delete
+    IndexRecovery.replayPendingLeased(root)
     Seq("postings", "stats", "doclens", IndexDeletes.Subdir).foreach { d =>
       val ct = IndexCompaction.compactedThrough(root, d)
       require(batchId > ct,
@@ -794,21 +795,20 @@ object TextQueries {
     * so the memo can never serve a stale fold over a changed index;
     * delete-correctness is free because deletes land NEGATIVE rows in
     * the same fold. */
-  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, (Double, Double))]()
+  private val statsCache = new BoundedMemo[(Double, Double)](64)
 
   private def liveTextStats(
       s: SparkSession, root: String): (Double, Double) = {
     val fp = IndexManifest.pathFingerprint(Paths.get(root, "stats"))
-    val cached = statsCache.get(root)
-    if (cached != null && cached._1 == fp) return cached._2
-    val r = s.read.schema(StatsSchema).parquet(s"$root/stats")
-      .agg(sum(col("n_docs")), sum(col("sum_dl"))).collect().head
-    val v =
-      if (r.isNullAt(0) || r.getDouble(0) == 0.0) (0.0, 1.0)
-      else (r.getDouble(0), r.getDouble(1) / r.getDouble(0))
-    statsCache.put(root, (fp, v))
-    v
+    statsCache.get(root, fp).getOrElse {
+      val r = s.read.schema(StatsSchema).parquet(s"$root/stats")
+        .agg(sum(col("n_docs")), sum(col("sum_dl"))).collect().head
+      val v =
+        if (r.isNullAt(0) || r.getDouble(0) == 0.0) (0.0, 1.0)
+        else (r.getDouble(0), r.getDouble(1) / r.getDouble(0))
+      statsCache.put(root, fp, v)
+      v
+    }
   }
 
   /** Serve a BM25 top-k from an index at `root` — the shared read
@@ -1147,8 +1147,9 @@ object TextQueries {
     * step — both are the same ring homomorphism mod 2^64) and casts
     * back to signed BIGINT, so even the hash VALUES are independently
     * re-derived, not trusted. Constants mirror TextFunctions.winnow's
-    * defaults (k = 8, w = 4, seed = 1125899906842597, base 31); BMP
-    * text makes DuckDB's codepoint substr agree with Java's charAt. */
+    * defaults (k = 8, w = 4, seed = 1125899906842597, base 31); the
+    * engine folds CODE POINTS (TextFunctions.winnow), so DuckDB's
+    * codepoint-addressed substr agrees for ALL of Unicode. */
   private def winnowFpCte: String = {
     val poly = (0 until 8).map { j =>
       if (j < 7)

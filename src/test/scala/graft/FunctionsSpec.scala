@@ -122,6 +122,56 @@ class FunctionsSpec extends SparkSpec {
     assert(same(0) == same(1))
   }
 
+  test("token/winnow hashes fold CODE POINTS (oracle addressing), " +
+    "BMP-identical to the stdlib") {
+    import scala.util.hashing.MurmurHash3
+    import graft.functions.TextFunctions
+    // BMP: the code-point fold IS the stdlib stringHash (one unit per
+    // code point) — no behavior change on any existing corpus
+    val bmp = Seq("", "a", "ab", "abc", "hello", "héllo wörld", "日本語",
+      "x" * 100, "mixed 日本 and ascii")
+    bmp.foreach { s =>
+      assert(TextFunctions.murmur3TokenHash(s) == MurmurHash3.stringHash(s),
+        s"BMP '$s' must hash exactly as MurmurHash3.stringHash")
+    }
+    // Astral: U+1F600 is TWO UTF-16 units but ONE code point — the
+    // kernel must hash it as one. Reference = the stdlib's own public
+    // mix/mixLast/finalizeHash folded over code points (independent
+    // of the kernel's inlined rotl/multiply arithmetic).
+    def ref(s: String): Int = {
+      val cps = s.codePoints().toArray
+      var h = 0xf7ca7fd2 // MurmurHash3.stringSeed
+      var i = 0
+      while (i + 1 < cps.length) {
+        h = MurmurHash3.mix(h, (cps(i) << 16) + cps(i + 1)); i += 2
+      }
+      if (i < cps.length) h = MurmurHash3.mixLast(h, cps(i))
+      MurmurHash3.finalizeHash(h, cps.length)
+    }
+    val astral = Seq("😀", "a😀", "😀b",
+      "a😀b", "😀😁😂")
+    astral.foreach { s =>
+      assert(TextFunctions.murmur3TokenHash(s) == ref(s),
+        s"astral '$s' must hash over code points")
+      assert(TextFunctions.murmur3TokenHash(s) != MurmurHash3.stringHash(s),
+        "sanity: astral input must actually exercise the divergence")
+    }
+    // winnow: k-gram positions advance by code point — a string of 5
+    // astral chars has 4 2-grams (not 9 UTF-16 2-grams), recomputed
+    // here with the same 31-polynomial over code points
+    val w = "😀😁😂😃😄"
+    import spark.implicits._
+    val got = Seq(w).toDF("text")
+      .select(TextFunctions.winnow(k = 2, w = 2)(col("text")).as("f"))
+      .collect().head.getSeq[Long](0).toSet
+    val cps = w.codePoints().toArray
+    val grams = (0 to cps.length - 2).map(i =>
+      31L * (31L * 1125899906842597L + cps(i)) + cps(i + 1))
+    val expect = (0 to grams.length - 2).map(i =>
+      math.min(grams(i), grams(i + 1))).toSet
+    assert(got == expect, s"winnow astral fingerprint: $got vs $expect")
+  }
+
   test("bbox union aggregator merges partial buffers correctly") {
     import spark.implicits._
     import graft.functions.BboxUnionAgg

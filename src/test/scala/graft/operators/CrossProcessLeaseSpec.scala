@@ -84,6 +84,59 @@ class CrossProcessLeaseSpec extends SparkSpec {
     assert(!Files.exists(ml), "stale foreign maintenance lease must break")
   }
 
+  test("serving refuses to break a stale maintenance lease over an " +
+    "unreplayed journal") {
+    val root = freshRoot()
+    val pre = IndexServe.bm25TopK(spark, root).collect().toSeq
+    // the foreign maintainer journaled a compaction, then died BEFORE
+    // committing: stale lease + pending journal key = the live layout
+    // cannot be trusted, so serving must refuse with the remediation
+    // rather than steal the lease and read a half-swapped index
+    val ml = Paths.get(root, "maintenance.recovering")
+    Files.write(ml, "foreign-maintainer-jvm".getBytes)
+    stale(ml)
+    IndexManifest.update(root, Map("compact.pending.postings" -> "1"))
+    IndexLease.resetInJvmStateForTest()
+    val e = intercept[IllegalStateException] {
+      IndexServe.bm25TopK(spark, root)
+    }
+    assert(e.getMessage.contains("unreplayed maintenance journal"),
+      e.getMessage)
+    // remediation: the leased replay clears the journal (this one has
+    // no staging dir and a multi-batch live layout — the abandon
+    // branch) and breaks the stale lease; serving then resumes with
+    // the pre-crash results
+    IndexRecovery.replayPendingLeased(root)
+    assert(IndexRecovery.pendingKeys(root).isEmpty)
+    IndexLease.resetInJvmStateForTest()
+    assert(IndexServe.bm25TopK(spark, root).collect().toSeq == pre)
+  }
+
+  test("appends replay a crashed journal under the maintenance lease " +
+    "and refuse while serves are live") {
+    val root = freshRoot()
+    IndexManifest.update(root, Map("compact.pending.postings" -> "1"))
+    // a serve lease is live in this JVM: the append's journal replay
+    // moves live directories, so it must refuse exactly like any
+    // scheduled maintenance — not race the reader
+    val e = intercept[IllegalStateException] {
+      IndexLease.withServeLease(root) {
+        TextQueries.appendToIndex(
+          docs.limit(5).withColumn("doc_id", col("doc_id") + 100000L),
+          root, 2L)
+      }
+    }
+    assert(e.getMessage.contains("serve lease"), e.getMessage)
+    assert(IndexRecovery.pendingKeys(root).nonEmpty,
+      "refused append must leave the journal for a quiesced replay")
+    // quiesced: the same append replays the journal first, then lands
+    TextQueries.appendToIndex(
+      docs.limit(5).withColumn("doc_id", col("doc_id") + 100000L),
+      root, 2L)
+    assert(IndexRecovery.pendingKeys(root).isEmpty,
+      "append must replay the pending journal before landing batches")
+  }
+
   test("maintenance and serve of THIS process keep their fast path") {
     // no foreign files: the durable layer must not get in its own way
     val root = freshRoot()
