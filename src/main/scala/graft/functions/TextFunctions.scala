@@ -32,21 +32,31 @@ object TextFunctions {
     * to MurmurHash3.stringHash on BMP-only text. */
   private[graft] def murmur3TokenHash(t: String): Int = {
     import java.lang.Integer.{rotateLeft => rotl}
-    val cps = t.codePoints().toArray
+    // single zero-allocation pass: pair code points as they stream by
+    // (this sits under simhash64, which calls it once per token of the
+    // whole corpus — an int[] per token would dominate the profile)
     var h = 0xf7ca7fd2 // MurmurHash3.stringSeed
+    var prev = -1 // buffered first half of a pair; -1 = none pending
+    var n = 0 // code-point count for the length finalize
     var i = 0
-    while (i + 1 < cps.length) {
-      var k = (cps(i) << 16) + cps(i + 1) // wraps mod 2^32, as the oracle's % does
-      k *= 0xcc9e2d51; k = rotl(k, 15); k *= 0x1b873593
-      h ^= k; h = rotl(h, 13); h = h * 5 + 0xe6546b64
-      i += 2
+    while (i < t.length) {
+      val cp = t.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1
+      if (prev < 0) prev = cp
+      else {
+        var k = (prev << 16) + cp // wraps mod 2^32, as the oracle's % does
+        k *= 0xcc9e2d51; k = rotl(k, 15); k *= 0x1b873593
+        h ^= k; h = rotl(h, 13); h = h * 5 + 0xe6546b64
+        prev = -1
+      }
     }
-    if (i < cps.length) { // mixLast of the unpaired trailing code point
-      var k = cps(i)
+    if (prev >= 0) { // mixLast of the unpaired trailing code point
+      var k = prev
       k *= 0xcc9e2d51; k = rotl(k, 15); k *= 0x1b873593
       h ^= k
     }
-    h ^= cps.length
+    h ^= n
     h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13
     h *= 0xc2b2ae35; h ^= h >>> 16
     h
