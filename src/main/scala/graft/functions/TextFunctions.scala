@@ -100,30 +100,67 @@ object TextFunctions {
   def winnow(k: Int = 8, w: Int = 4): UserDefinedFunction = udf { text: String =>
     // k-grams over CODE POINTS, not UTF-16 units — the DuckDB oracle
     // (winnowFpCte) recomputes the rolling hash with unicode(substr),
-    // which is code-point addressed; identical on BMP-only text
-    val cps = if (text == null) null else text.codePoints().toArray
-    if (cps == null || cps.length < k) Array.empty[Long]
+    // which is code-point addressed. For BMP-only text the code-point
+    // fold IS the charAt fold, so the overwhelmingly-common case takes
+    // a zero-allocation charAt path (one surrogate pre-scan; an int[]
+    // per document is measurable GC churn at corpus scale) and only
+    // genuinely astral documents materialize the code-point array.
+    if (text == null) Array.empty[Long]
     else {
-      val n = cps.length - k + 1
-      val hashes = new Array[Long](n)
-      var i = 0
-      while (i < n) {
-        var h = 1125899906842597L
-        var j = 0
-        while (j < k) { h = 31 * h + cps(i + j); j += 1 }
-        hashes(i) = h
-        i += 1
+      var astral = false
+      var ci = 0
+      while (ci < text.length) {
+        if (Character.isSurrogate(text.charAt(ci))) {
+          astral = true; ci = text.length
+        } else ci += 1
       }
-      val sel = scala.collection.mutable.SortedSet.empty[Long]
-      i = 0
-      while (i + w <= n) {
-        var m = hashes(i)
-        var j = 1
-        while (j < w) { if (hashes(i + j) < m) m = hashes(i + j); j += 1 }
-        sel += m
-        i += 1
+      val hashes: Array[Long] =
+        if (!astral) {
+          if (text.length < k) null
+          else {
+            val n = text.length - k + 1
+            val hs = new Array[Long](n)
+            var i = 0
+            while (i < n) {
+              var h = 1125899906842597L
+              var j = 0
+              while (j < k) { h = 31 * h + text.charAt(i + j); j += 1 }
+              hs(i) = h
+              i += 1
+            }
+            hs
+          }
+        } else {
+          val cps = text.codePoints().toArray
+          if (cps.length < k) null
+          else {
+            val n = cps.length - k + 1
+            val hs = new Array[Long](n)
+            var i = 0
+            while (i < n) {
+              var h = 1125899906842597L
+              var j = 0
+              while (j < k) { h = 31 * h + cps(i + j); j += 1 }
+              hs(i) = h
+              i += 1
+            }
+            hs
+          }
+        }
+      if (hashes == null) Array.empty[Long]
+      else {
+        val n = hashes.length
+        val sel = scala.collection.mutable.SortedSet.empty[Long]
+        var i = 0
+        while (i + w <= n) {
+          var m = hashes(i)
+          var j = 1
+          while (j < w) { if (hashes(i + j) < m) m = hashes(i + j); j += 1 }
+          sel += m
+          i += 1
+        }
+        sel.toArray
       }
-      sel.toArray
     }
   }
 
