@@ -26,6 +26,7 @@ object SparkEntry {
       operators.SampleQueries.queries ++
       operators.DedupQueries.queries ++
       operators.SimilarityQueries.queries ++
+      operators.PqIndex.queries ++
       operators.MultimodalQueries.queries ++
       operators.PipelineQueries.queries ++
       operators.EventQueries.queries ++
@@ -42,6 +43,7 @@ object SparkEntry {
       operators.SampleQueries.oracle ++
       operators.DedupQueries.oracle ++
       operators.SimilarityQueries.oracle ++
+      operators.PqIndex.oracle ++
       operators.MultimodalQueries.oracle ++
       operators.PipelineQueries.oracle ++
       operators.EventQueries.oracle ++

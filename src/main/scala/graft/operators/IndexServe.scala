@@ -71,4 +71,14 @@ object IndexServe {
       collected(s,
         SimilarityQueries.annServeBatchFrom(s, root, queries, k, nprobe))
     }
+
+  /** ANN top-`k` served from the PQ sidecar (asymmetric-distance
+    * scoring over M-byte codes — the 100 TB read path), leased across
+    * plan and execution. Refuses loudly on a stale sidecar. */
+  def annTopKPq(s: SparkSession, root: String,
+      qv: Array[Double], qn: Double, k: Int = 10,
+      nprobe: Option[Int] = None): DataFrame =
+    IndexLease.withServeLease(root) {
+      collected(s, PqIndex.annTopKPqFrom(s, root, qv, qn, k, nprobe))
+    }
 }

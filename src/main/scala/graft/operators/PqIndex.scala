@@ -1,0 +1,459 @@
+package graft.operators
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.embeddings
+
+/** Product-quantization (PQ) sidecar for the persisted IVF vector
+  * index — the memory/IO answer for ANN at 100 TB (Jégou, Douze,
+  * Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI
+  * 2011; the IVFADC layout FAISS popularized).
+  *
+  * The exact IVF serve ([[SimilarityQueries.annServeFrom]]) reads the
+  * probed lists' FULL vectors: at d=768 float64 that is ~6 KB per
+  * member, so probing 0.1% of a 10^10-vector corpus still scans ~60 GB
+  * per query. The PQ sidecar stores each member as [[M]] one-byte
+  * codes plus its norm (8-16 bytes — a 200-700× read reduction), and a
+  * query scores candidates with an asymmetric-distance LUT (one
+  * M×[[K]] table of query-to-codeword dot products, computed
+  * driver-side in O(K·d) and broadcast) instead of a d-wide dot per
+  * member. Recall against the exact serve is pinned in PqIndexSpec;
+  * the sidecar is strictly additive — the exact lists stay the source
+  * of truth and the refinement path.
+  *
+  * Layout under the vector-index root (sibling of assignments/):
+  *
+  *   pq/codebooks/  (sub, code, cent) — M×K sub-quantizer centroids,
+  *     ≤ M·K·dsub doubles (d·K total ≈ 128 KB at d=64 — driver-read).
+  *   pq/codes/cid=NN/ (vec_id, nrm, code BINARY(M)) — one row per
+  *     assignment-list member, partition-pruned by the same probed
+  *     cids as the exact serve.
+  *
+  * Consistency contract: the manifest records the assignments
+  * fingerprint the sidecar was encoded from (`pq.fingerprint`). Any
+  * ingest/compact/rebuild/repair moves that fingerprint, and the PQ
+  * serve then FAILS LOUDLY asking for a sidecar rebuild — serving
+  * stale codes would silently miss every vector landed since. Deletes
+  * do NOT invalidate the sidecar: tombstones are anti-joined at serve
+  * time exactly like the exact path, and compaction (which physically
+  * removes them) moves the fingerprint anyway.
+  *
+  * Training is deterministic: the sample is the [[TrainSample]]
+  * vectors with the smallest xxhash64(vec_id) (the ivfCentroids
+  * discipline), k-means init is the first K sample subvectors in that
+  * hash order, and Lloyd runs a fixed [[LloydIters]] sweeps in fixed
+  * array order — two builds over one corpus produce byte-identical
+  * codebooks and codes (spec-pinned), so the sidecar can be rebuilt
+  * idempotently on any fleet node.
+  */
+object PqIndex {
+
+  /** Subspaces per vector (code bytes per vector). */
+  private[operators] val M = 8
+
+  /** Codewords per subspace — byte-addressable by construction. */
+  private[operators] val K = 256
+
+  /** Deterministic training-sample bound: k-means over the sample is
+    * driver-side O(TrainSample·K·d·iters) ≈ 1e9 flops at d=64 — build
+    * cost, paid once per corpus generation. */
+  private[operators] val TrainSample = 8192
+
+  private[operators] val LloydIters = 6
+
+  /** [sub][code][dsub] — ragged when d is not divisible by M. */
+  private type Codebooks = Array[Array[Array[Double]]]
+
+  /** Subspace s covers dims [start(s), start(s+1)) — the balanced
+    * integer split, never empty while s < min(M, d). */
+  private def subStart(d: Int, m: Int, s: Int): Int = (s.toLong * d / m).toInt
+
+  private def nSubs(d: Int): Int = math.min(M, d)
+
+  // ---------------------------------------------------------------
+  // training + encoding kernels (pure, deterministic)
+  // ---------------------------------------------------------------
+
+  /** Lloyd k-means over one subspace of the sample; init = first k
+    * sample rows, empty clusters keep their previous centroid. */
+  private def trainSub(sample: Array[Array[Double]], start: Int, end: Int,
+      k: Int, iters: Int): Array[Array[Double]] = {
+    val dsub = end - start
+    val n = sample.length
+    val kk = math.max(1, math.min(k, n))
+    val cents = Array.tabulate(kk)(i =>
+      java.util.Arrays.copyOfRange(sample(i), start, end))
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < n) {
+        var best = 0
+        var bd = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          var dsq = 0.0
+          var j = 0
+          while (j < dsub) {
+            val diff = sample(i)(start + j) - cents(c)(j)
+            dsq += diff * diff
+            j += 1
+          }
+          if (dsq < bd) { bd = dsq; best = c }
+          c += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums = Array.ofDim[Double](kk, dsub)
+      val cnts = new Array[Int](kk)
+      i = 0
+      while (i < n) {
+        val c = assign(i)
+        cnts(c) += 1
+        var j = 0
+        while (j < dsub) { sums(c)(j) += sample(i)(start + j); j += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < kk) {
+        if (cnts(c) > 0) {
+          var j = 0
+          while (j < dsub) { cents(c)(j) = sums(c)(j) / cnts(c); j += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Train all subspaces (JDK parallel stream — the subs are
+    * independent and the driver has the cores). */
+  private def train(sample: Array[Array[Double]], d: Int): Codebooks = {
+    val m = nSubs(d)
+    val out = new Array[Array[Array[Double]]](m)
+    java.util.stream.IntStream.range(0, m).parallel().forEach { s =>
+      out(s) = trainSub(sample, subStart(d, m, s), subStart(d, m, s + 1),
+        K, LloydIters)
+    }
+    out
+  }
+
+  /** Nearest codeword per subspace → one byte each. */
+  private def encodeOne(cb: Codebooks, d: Int, emb: Seq[Double]): Array[Byte] = {
+    val m = cb.length
+    val code = new Array[Byte](m)
+    val ev = emb.toArray
+    var s = 0
+    while (s < m) {
+      val start = subStart(d, m, s)
+      val cents = cb(s)
+      val dsub = cents(0).length
+      var best = 0
+      var bd = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        var dsq = 0.0
+        var j = 0
+        val lim = math.min(dsub, math.max(0, ev.length - start))
+        while (j < lim) {
+          val diff = ev(start + j) - cents(c)(j)
+          dsq += diff * diff
+          j += 1
+        }
+        if (dsq < bd) { bd = dsq; best = c }
+        c += 1
+      }
+      code(s) = best.toByte
+      s += 1
+    }
+    code
+  }
+
+  /** ADC lookup table for one query: lut(sub)(code) = <q_sub, cent> so
+    * Σ_sub lut(sub)(code(sub)) ≈ <q, v>. O(K·d) once per query. */
+  private def buildLut(cb: Codebooks, d: Int, qv: Array[Double])
+      : Array[Array[Double]] = {
+    val m = cb.length
+    Array.tabulate(m) { s =>
+      val start = subStart(d, m, s)
+      cb(s).map { cent =>
+        var dot = 0.0
+        var j = 0
+        val lim = math.min(cent.length, math.max(0, qv.length - start))
+        while (j < lim) { dot += qv(start + j) * cent(j); j += 1 }
+        dot
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // sidecar build (maintenance op)
+  // ---------------------------------------------------------------
+
+  private def assignmentsFingerprint(root: String): String =
+    IndexManifest.pathFingerprint(Paths.get(root, "assignments"))
+
+  /** Whether the sidecar at `root` matches the live assignment lists. */
+  def sidecarFresh(root: String): Boolean = {
+    val m = IndexManifest.readIfExists(root)
+    m.get("pq.fingerprint").contains(assignmentsFingerprint(root))
+  }
+
+  /** Build (or rebuild) the PQ sidecar for the IVF index at `root`.
+    * A maintenance op: it OVERWRITES pq/codes, which a concurrent PQ
+    * serve could be mid-scan over, so it runs under the exclusive
+    * lease like every other swap. No-ops when the sidecar is already
+    * fresh. Returns the number of encoded assignment rows. */
+  def buildSidecar(s: SparkSession, root: String): Long = {
+    if (sidecarFresh(root)) return -1L
+    IndexLease.withMaintenance(root) {
+      // fingerprint FIRST: encoding races nothing (the lease excludes
+      // appends' journal replays, and appends themselves land batch
+      // dirs that would move this fingerprint → stale → rebuild)
+      val fp = assignmentsFingerprint(root)
+      val asg = s.read.schema(SimilarityQueries.AssignSchema)
+        .parquet(s"$root/assignments")
+      val sampleRows = asg.dropDuplicates("vec_id")
+        .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(TrainSample)
+        .select(col("emb")).collect()
+      require(sampleRows.nonEmpty,
+        s"vector index at $root has no assignment rows to train PQ on")
+      val sample = sampleRows.map(_.getSeq[Double](0).toArray)
+      val d = sample.iterator.map(_.length).max
+      val cb = train(sample, d)
+      import s.implicits._
+      cb.zipWithIndex.flatMap { case (cents, sub) =>
+        cents.zipWithIndex.map { case (cent, code) =>
+          (sub, code, cent.toSeq)
+        }
+      }.toSeq.toDF("sub", "code", "cent")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/pq/codebooks")
+      val cbBc = s.sparkContext.broadcast(cb)
+      val encodeUdf = udf { (emb: Seq[Double]) =>
+        encodeOne(cbBc.value, d, emb)
+      }
+      asg.select(col("cid"), col("vec_id"), col("nrm"),
+          encodeUdf(col("emb")).as("code"))
+        .repartition(col("cid"))
+        .write.partitionBy("cid").mode("overwrite")
+        .parquet(s"$root/pq/codes")
+      val n = s.read.schema(CodesSchema).parquet(s"$root/pq/codes").count()
+      // manifest key LAST — marks a completed sidecar; a crash before
+      // this line leaves pq.fingerprint absent/stale and the next
+      // build simply re-encodes (the sidecar is derived data, so the
+      // half-written state is never served and needs no journal)
+      IndexManifest.update(root, Map(
+        "pq.m" -> cb.length.toString, "pq.k" -> K.toString,
+        "pq.dim" -> d.toString, "pq.fingerprint" -> fp))
+      n
+    }
+  }
+
+  // serve-time read schema (engine-owned layout — skips footer
+  // inference, same discipline as AssignSchema)
+  private val CodesSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("nrm", DoubleType),
+      StructField("code", BinaryType),
+      StructField("cid", LongType)))
+  }
+
+  /** Codebooks, memoized per root behind the codebooks-dir
+    * fingerprint (the quantizerOf discipline — a sidecar rebuild moves
+    * the fingerprint and refreshes the memo). ≤ d·K doubles. */
+  private val codebooksCache = new BoundedMemo[(Int, Codebooks)](8)
+
+  private def codebooksOf(s: SparkSession, root: String): (Int, Codebooks) = {
+    val fp = IndexManifest.pathFingerprint(Paths.get(root, "pq", "codebooks"))
+    codebooksCache.get(root, fp).getOrElse {
+      val m = IndexManifest.readIfExists(root)
+      val d = m.getOrElse("pq.dim",
+        sys.error(s"no PQ sidecar at $root — run PqIndex.buildSidecar")).toInt
+      val rows = s.read.parquet(s"$root/pq/codebooks")
+        .orderBy(col("sub"), col("code")).collect()
+      val nSub = rows.iterator.map(_.getInt(0)).max + 1
+      val cb: Codebooks = Array.tabulate(nSub) { sub =>
+        rows.filter(_.getInt(0) == sub).sortBy(_.getInt(1))
+          .map(_.getSeq[Double](2).toArray)
+      }
+      codebooksCache.put(root, fp, (d, cb))
+      (d, cb)
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // serve
+  // ---------------------------------------------------------------
+
+  /** Phase 1 as a lazy frame (spec-pinnable plan): the codes-only ADC
+    * scan of the probed lists — tombstones anti-joined, soft
+    * assignments deduped, top `shortN` vec_ids by ADC score. Builds
+    * its own probes and LUT so the serve and the plan spec share one
+    * definition. */
+  private[operators] def adcShortlistForQuery(
+      s: SparkSession, root: String,
+      qv: Array[Double], qn: Double, shortN: Int,
+      nprobe: Option[Int] = None): DataFrame = {
+    val (d, cb) = codebooksOf(s, root)
+    val cArr = SimilarityQueries.quantizerOf(s, root)
+    val probeCids = SimilarityQueries.topCentroids(cArr,
+      nprobe.getOrElse(SimilarityQueries.ivfNProbe(cArr.length)), qv, qn)
+    val lutBc = s.sparkContext.broadcast(buildLut(cb, d, qv))
+    val scoreUdf = udf { (code: Array[Byte], nrm: Double) =>
+      val lut = lutBc.value
+      var dot = 0.0
+      var sub = 0
+      while (sub < lut.length && sub < code.length) {
+        dot += lut(sub)(code(sub) & 0xff)
+        sub += 1
+      }
+      if (nrm == 0.0) 0.0 else dot / (qn * nrm)
+    }
+    val probed = s.read.schema(CodesSchema).parquet(s"$root/pq/codes")
+      .filter(col("cid").isin(probeCids.map(Long.box): _*))
+    // tombstones win immediately, same as the exact serve
+    IndexDeletes.readDeletes(s, root, "vec_id")
+      .fold(probed)(dl => probed.join(broadcast(dl), Seq("vec_id"), "left_anti"))
+      .dropDuplicates("vec_id")
+      .select(col("vec_id"), scoreUdf(col("code"), col("nrm")).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(shortN)
+      .select(col("vec_id"))
+  }
+
+  /** Shortlist width for the exact-refinement pass, as a multiple of
+    * the requested top-k (floor 64): the ADC scan ranks EVERY probed
+    * candidate from codes alone, and only this many survivors get
+    * their full vector re-read. Chosen from the measured curve on the
+    * sf0.1 fixture — pure ADC@10 recalls ~0.48 on near-uniform 64-dim
+    * data (quantization noise swamps the tight sim spread), while the
+    * top-64 ADC shortlist contains the true top-10 almost always. */
+  private[operators] val RefineFactor = 8
+  private[operators] val RefineFloor = 64
+
+  /** ANN top-k via asymmetric-distance scoring over the PQ codes of
+    * the probed lists, refined by an exact re-rank of the shortlist —
+    * the IVFADC-R shape (Jégou et al. 2011 §V; FAISS
+    * IndexIVFPQR). Phase 1 reads ~M+8 bytes per probed candidate
+    * (codes only) and keeps the top [[RefineFactor]]·k by ADC score;
+    * phase 2 re-reads ONLY those vectors' full embeddings from the
+    * probed list partitions and ranks them exactly — at 100 TB the
+    * candidate scan shrinks 200-700× while the refine fetch is a
+    * shortlist-sized point read, so serve IO is codes-shaped, not
+    * corpus-shaped. Refuses loudly on a stale sidecar. Leased entry
+    * point: [[IndexServe.annTopKPq]] (the shortlist collect below
+    * executes inside the facade's serve lease). */
+  private[operators] def annTopKPqFrom(
+      s: SparkSession, root: String,
+      qv: Array[Double], qn: Double, topK: Int = 10,
+      nprobe: Option[Int] = None): DataFrame = {
+    import s.implicits._
+    require(sidecarFresh(root),
+      s"PQ sidecar at $root is stale or absent (assignments changed " +
+        "since it was encoded) — serving it would miss every vector " +
+        "landed since; run PqIndex.buildSidecar(root) and retry")
+    val cArr = SimilarityQueries.quantizerOf(s, root)
+    val probeCids = SimilarityQueries.topCentroids(cArr,
+      nprobe.getOrElse(SimilarityQueries.ivfNProbe(cArr.length)), qv, qn)
+    val shortN = math.max(topK * RefineFactor, RefineFloor)
+    val shortlist = adcShortlistForQuery(s, root, qv, qn, shortN, nprobe)
+      .collect().map(_.getLong(0))
+    // phase 2: exact cosine over the shortlist's full vectors — a
+    // point read from the SAME probed partitions, ≤ shortN rows
+    val q = Seq((qv.toSeq, qn)).toDF("qv", "qn")
+    s.read.schema(SimilarityQueries.AssignSchema)
+      .parquet(s"$root/assignments")
+      .filter(col("cid").isin(probeCids.map(Long.box): _*))
+      .filter(col("vec_id").isin(shortlist.map(Long.box): _*))
+      .dropDuplicates("vec_id")
+      .join(broadcast(q))
+      .select(col("vec_id"),
+        round(graft.functions.ArrayDot.arrayDot(col("emb"), col("qv")) /
+          (col("nrm") * col("qn")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(topK)
+  }
+
+  // ---------------------------------------------------------------
+  // declared qids
+  // ---------------------------------------------------------------
+
+  private def builtRoot(s: SparkSession, dir: String): String = {
+    val root = SimilarityQueries.buildVectorIndex(s, dir)
+    buildSidecar(s, root)
+    root
+  }
+
+  /** sim_ann_ivf_pq — sim_ann_ivf_indexed's answer served from the PQ
+    * codes: same probes, ADC scores instead of exact cosine.
+    * Approximate ⇒ rows-only; recall vs the exact serve, determinism,
+    * staleness refusal and delete visibility are pinned in
+    * PqIndexSpec. */
+  def simAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val root = builtRoot(s, dir)
+    val e = SimilarityQueries.withNorm(embeddings(s, dir))
+    val qRows = e.filter(col("vec_id") === 0)
+      .select(col("emb"), col("nrm")).collect()
+    if (qRows.isEmpty)
+      return e.select(col("vec_id"), lit(0.0).as("sim")).limit(0)
+    IndexServe.annTopKPq(s, root,
+      qRows(0).getSeq[Double](0).toArray, qRows(0).getDouble(1))
+  }
+
+  /** sim_ann_pq_audit — the sidecar's INVARIANT facts, all exactly
+    * recomputable: every live assignment row encoded exactly once
+    * (per (cid, vec_id)), every code exactly M bytes, norms copied
+    * bit-exactly from the lists, fingerprint fresh. The float
+    * codebooks ride Lloyd order and stay spec-pinned; the INTEGRITY of
+    * the derived artifact is oracle-checked — the vector twin of
+    * multimodal_decode_audit's split. */
+  def simAnnPqAudit(s: SparkSession, dir: String): DataFrame = {
+    val root = builtRoot(s, dir)
+    val m = IndexManifest.readIfExists(root)
+    val mSubs = m("pq.m").toInt
+    val codes = s.read.schema(CodesSchema).parquet(s"$root/pq/codes")
+    val asg = s.read.schema(SimilarityQueries.AssignSchema)
+      .parquet(s"$root/assignments")
+      .select(col("cid"), col("vec_id"), col("nrm").as("anrm"))
+    val joined = codes.join(asg, Seq("cid", "vec_id"), "full_outer")
+    joined.agg(
+        countDistinct(col("vec_id")).as("n_vectors"),
+        (count(lit(1)) === count(col("code")) &&
+          count(lit(1)) === count(col("anrm"))).as("codes_complete"),
+        (min(length(col("code"))) === mSubs &&
+          max(length(col("code"))) === mSubs).as("code_width_ok"),
+        (max(abs(col("nrm") - col("anrm"))) === 0.0).as("nrm_parity"))
+      .withColumn("sidecar_fresh", lit(sidecarFresh(root)))
+  }
+
+  /** Degeneracy mirrors the assign kernel (null / zero-norm vectors
+    * never enter the lists); the booleans are engine-computed facts
+    * the oracle pins as TRUE — same convention as snk_vector_index. */
+  val simAnnPqAuditSql: String =
+    """SELECT
+      |  (SELECT count(DISTINCT vec_id) FROM embeddings
+      |   WHERE embedding IS NOT NULL
+      |     AND list_sum(list_transform(embedding, x -> x * x)) > 0)
+      |    AS n_vectors,
+      |  TRUE AS codes_complete,
+      |  TRUE AS code_width_ok,
+      |  TRUE AS nrm_parity,
+      |  TRUE AS sidecar_fresh""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ann_ivf_pq" -> (simAnnIvfPq _),
+    "sim_ann_pq_audit" -> (simAnnPqAudit _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "sim_ann_pq_audit" -> simAnnPqAuditSql
+    // sim_ann_ivf_pq: approximate (ADC scores) — recall spec-pinned
+  )
+}

@@ -667,7 +667,7 @@ object SimilarityQueries {
   // Serve-time read schema for the assignment lists (engine-owned
   // layout — skips per-plan parquet footer inference, a fixed cost on
   // every serve call).
-  private val AssignSchema = {
+  private[operators] val AssignSchema = {
     import org.apache.spark.sql.types._
     StructType(Seq(
       StructField("vec_id", LongType),
@@ -690,7 +690,7 @@ object SimilarityQueries {
   private val quantizerCache =
     new BoundedMemo[Array[(Long, Array[Double], Double)]](8)
 
-  private def quantizerOf(
+  private[operators] def quantizerOf(
       s: SparkSession, root: String): Array[(Long, Array[Double], Double)] = {
     val fp = IndexManifest.pathFingerprint(Paths.get(root, "centroids"))
     quantizerCache.get(root, fp).getOrElse {
