@@ -81,4 +81,13 @@ object IndexServe {
     IndexLease.withServeLease(root) {
       collected(s, PqIndex.annTopKPqFrom(s, root, qv, qn, k, nprobe))
     }
+
+  /** PQ-served ANN top-`k` for EVERY query in `queries` (query_id,
+    * qv, qn) — two leased jobs for the whole table. */
+  def annTopKPqBatch(s: SparkSession, root: String,
+      queries: DataFrame, k: Int = 10,
+      nprobe: Option[Int] = None): DataFrame =
+    IndexLease.withServeLease(root) {
+      collected(s, PqIndex.annTopKPqBatchFrom(s, root, queries, k, nprobe))
+    }
 }

@@ -381,6 +381,87 @@ object PqIndex {
       .limit(topK)
   }
 
+  /** Batch form: ANN top-k for EVERY query in `queries` (query_id,
+    * qv, qn) from the PQ codes in TWO jobs total — the amortized
+    * concurrent-serve shape ([[SimilarityQueries.annServeBatchFrom]]'s
+    * compressed twin). Phase 1 is ONE codes scan pruned to the union
+    * of all probed lists, per-query routing via a broadcast (cid,
+    * query_id) join, ADC scoring against a broadcast query_id→LUT map,
+    * and a per-query shortlist from the TopKPerGroup heap operator.
+    * Phase 2 is ONE pruned full-vector fetch filtered to the union
+    * shortlist, re-joined to its queries by broadcast, exact cosine,
+    * per-query top-k. Per-query results are hash-identical to N
+    * single [[annTopKPqFrom]] serves (same LUT, same fold order, same
+    * tie-breaks — spec-pinned). */
+  private[operators] def annTopKPqBatchFrom(
+      s: SparkSession, root: String,
+      queries: DataFrame, topK: Int = 10,
+      nprobe: Option[Int] = None): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    require(sidecarFresh(root),
+      s"PQ sidecar at $root is stale or absent — run " +
+        "PqIndex.buildSidecar(root) and retry")
+    val (d, cb) = codebooksOf(s, root)
+    val cArr = SimilarityQueries.quantizerOf(s, root)
+    val np = nprobe.getOrElse(SimilarityQueries.ivfNProbe(cArr.length))
+    val qRows = queries
+      .select(col("query_id").cast("long"), col("qv"), col("qn"))
+      .collect().map { r =>
+        (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+      }
+    val probePairs = qRows.toSeq.flatMap { case (id, qv, qn) =>
+      SimilarityQueries.topCentroids(cArr, np, qv, qn)
+        .map(cid => (cid, id))
+    }
+    val luts: Map[Long, (Array[Array[Double]], Double)] =
+      qRows.map { case (id, qv, qn) => id -> (buildLut(cb, d, qv), qn) }.toMap
+    val lutBc = s.sparkContext.broadcast(luts)
+    val adcUdf = udf { (qid: Long, code: Array[Byte], nrm: Double) =>
+      val (lut, qn) = lutBc.value(qid)
+      var dot = 0.0
+      var sub = 0
+      while (sub < lut.length && sub < code.length) {
+        dot += lut(sub)(code(sub) & 0xff)
+        sub += 1
+      }
+      if (nrm == 0.0) 0.0 else dot / (qn * nrm)
+    }
+    val probes = probePairs.toDF("cid", "query_id")
+    val cids = probePairs.map(_._1).distinct
+    val probed = s.read.schema(CodesSchema).parquet(s"$root/pq/codes")
+      .filter(col("cid").isin(cids.map(Long.box): _*))
+    val live = IndexDeletes.readDeletes(s, root, "vec_id")
+      .fold(probed)(dl => probed.join(broadcast(dl), Seq("vec_id"), "left_anti"))
+    val shortN = math.max(topK * RefineFactor, RefineFloor)
+    val shortPairs = graft.plans.TopKPerGroup.topKPerGroup(
+      live.join(broadcast(probes), Seq("cid"))
+        .dropDuplicates("query_id", "vec_id")
+        .select(col("query_id"), col("vec_id"),
+          adcUdf(col("query_id"), col("code"), col("nrm")).as("adc")),
+      keys = Seq("query_id"),
+      orderBy = Seq(("adc", false), ("vec_id", true)), k = shortN)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val shortIds = shortPairs.map(_._2).distinct
+    val shortDf = shortPairs.toSeq.toDF("query_id", "vec_id")
+    val qDf = qRows.toSeq.map { case (id, qv, qn) => (id, qv.toSeq, qn) }
+      .toDF("query_id", "qv", "qn")
+    val fetched = s.read.schema(SimilarityQueries.AssignSchema)
+      .parquet(s"$root/assignments")
+      .filter(col("cid").isin(cids.map(Long.box): _*))
+      .filter(col("vec_id").isin(shortIds.map(Long.box): _*))
+      .dropDuplicates("vec_id")
+      .join(broadcast(shortDf), Seq("vec_id"))
+      .join(broadcast(qDf), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(graft.functions.ArrayDot.arrayDot(col("emb"), col("qv")) /
+          (col("nrm") * col("qn")), 6).as("sim"))
+    graft.plans.TopKPerGroup.topKPerGroup(fetched,
+      keys = Seq("query_id"),
+      orderBy = Seq(("sim", false), ("vec_id", true)), k = topK)
+  }
+
   // ---------------------------------------------------------------
   // declared qids
   // ---------------------------------------------------------------
@@ -405,6 +486,21 @@ object PqIndex {
       return e.select(col("vec_id"), lit(0.0).as("sim")).limit(0)
     IndexServe.annTopKPq(s, root,
       qRows(0).getSeq[Double](0).toArray, qRows(0).getDouble(1))
+  }
+
+  /** sim_ann_pq_serve_batch — the compressed concurrent-serve shape:
+    * the sim_ann_serve_batch query table answered from the PQ codes
+    * in two jobs (one codes scan + one shortlist fetch). Approximate
+    * ⇒ rows-only; per-query hash parity with N single PQ serves and
+    * the one-scan plan are pinned in PqIndexSpec. */
+  def simAnnPqServeBatch(s: SparkSession, dir: String): DataFrame = {
+    val root = builtRoot(s, dir)
+    val e = SimilarityQueries.withNorm(embeddings(s, dir))
+    IndexServe.annTopKPqBatch(s, root,
+      e.filter(col("vec_id").isin(
+        SimilarityQueries.ANN_BATCH_IDS.map(Long.box): _*))
+        .select(col("vec_id").as("query_id"),
+          col("emb").as("qv"), col("nrm").as("qn")))
   }
 
   /** sim_ann_pq_audit — the sidecar's INVARIANT facts, all exactly
@@ -449,6 +545,7 @@ object PqIndex {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ann_ivf_pq" -> (simAnnIvfPq _),
+    "sim_ann_pq_serve_batch" -> (simAnnPqServeBatch _),
     "sim_ann_pq_audit" -> (simAnnPqAudit _)
   )
 

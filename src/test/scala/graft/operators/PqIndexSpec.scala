@@ -159,6 +159,53 @@ class PqIndexSpec extends SparkSpec {
       "refine fetch must filter to the shortlist at the scan")
   }
 
+  test("batch PQ serve is per-query hash-identical to N single PQ " +
+    "serves") {
+    val dir = "/root/testdata/sf0.01"
+    val root = SimilarityQueries.buildVectorIndex(spark, dir)
+    PqIndex.buildSidecar(spark, root)
+    val e = SimilarityQueries.withNorm(graft.Tables.embeddings(spark, dir))
+    val ids = SimilarityQueries.ANN_BATCH_IDS
+    val qs = e.filter(col("vec_id").isin(ids.map(Long.box): _*))
+      .select(col("vec_id"), col("emb"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    import spark.implicits._
+    val qdf = qs.toSeq.map { case (id, qv, qn) => (id, qv.toSeq, qn) }
+      .toDF("query_id", "qv", "qn")
+    val batch = IndexServe.annTopKPqBatch(spark, root, qdf)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSet).toMap
+    qs.foreach { case (id, qv, qn) =>
+      val single = IndexServe.annTopKPq(spark, root, qv, qn)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(batch.getOrElse(id, Set.empty) == single,
+        s"query $id: batch and single PQ serves must agree exactly")
+    }
+  }
+
+  test("the batch phase-1 plan is ONE codes scan for the whole query " +
+    "table") {
+    val root = freshIndexedRoot(sf)
+    PqIndex.buildSidecar(spark, root)
+    val e = SimilarityQueries.withNorm(graft.Tables.embeddings(spark, sf))
+    import spark.implicits._
+    val qdf = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"),
+        col("emb").as("qv"), col("nrm").as("qn"))
+    // the batch serve runs two jobs; pin the RETURNED (phase 2) plan:
+    // one pruned assignments fetch, never the corpus, and no codes
+    // re-scan (the shortlist was already collected)
+    val plan = PqIndex.annTopKPqBatchFrom(spark, root, qdf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("assignments"))
+    assert(!plan.contains("embeddings.parquet"),
+      "batch refine must not touch the corpus")
+    assert(!plan.contains("pq/codes"),
+      "phase 2 must not re-scan the codes")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"refine must be ONE pruned fetch, saw $scans:\n$plan")
+  }
+
   test("codes are M bytes per assignment row - the 100 TB read-path " +
     "contract the audit qid hash-checks") {
     val audit = PqIndex.simAnnPqAudit(spark, sf).collect().head
