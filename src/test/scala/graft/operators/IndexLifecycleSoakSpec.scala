@@ -210,6 +210,16 @@ class IndexLifecycleSoakSpec extends SparkSpec {
         s"$stage: live vector $alive does not find itself")
       assert(served.forall(r => !tombstoned.contains(r.getLong(0))),
         s"$stage: tombstoned id served")
+      // 5. the PQ sidecar rides the whole lifecycle: every ingest/
+      // compact/repair/rebuild moved the assignments fingerprint
+      // (stale → re-encode; no-op when fresh), and at this fixture
+      // size the refine shortlist covers every probed candidate, so
+      // the refined PQ serve must agree EXACTLY with the exact serve
+      PqIndex.buildSidecar(spark, root)
+      val pq = PqIndex.annTopKPqFrom(spark, root,
+        q.getSeq[Double](0).toArray, q.getDouble(1), topK = 50).collect()
+      assert(pq.toSeq == served.toSeq,
+        s"$stage: PQ serve diverged from the exact serve")
     }
 
     // cycle 1: streamed ingest + takedown, then compaction
