@@ -22,6 +22,11 @@ object RecallProbe {
     try args.toSeq match {
       case Seq("--jitter", src, dst) =>
         runJitterLifecycle(spark, src, dst)
+      case "--pq" +: dirs if dirs.nonEmpty =>
+        dirs.foreach(runPq(spark, _))
+      case Seq("--pqjitter", src, dst) =>
+        JitterFixture.ensure(spark, src, dst)
+        runPq(spark, dst)
       case dirs if dirs.nonEmpty => dirs.foreach(run(spark, _))
       case _ =>
         Seq("0.001", "0.01", "0.1")
@@ -70,6 +75,61 @@ object RecallProbe {
     val (m3, n3) = JitterFixture.recallAt(s, dst, root, nQueries = 32)
     println(f"   post-rebuild    (k=$k3, default nprobe): " +
       f"mean_recall@10=$m3%.3f  min_recall@10=$n3%.3f")
+  }
+
+  /** PQ study: refined-ADC recall vs the exact serve at the default
+    * probe width, plus the physical read-size ratio. Run:
+    * sbt "Test/runMain graft.operators.RecallProbe --pq <dirs...>" or
+    * --pqjitter <src> <dst> for the jittered 10× fixture. */
+  def runPq(s: SparkSession, dir: String): Unit = {
+    val e = SimilarityQueries.withNorm(graft.Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("emb"), col("nrm"))
+    val all = e.collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val n = all.length
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-pqprobe").toString
+    IndexManifest.registerTempRoot(root)
+    SimilarityQueries.buildVectorIndexAt(s, dir, root)
+    PqIndex.buildSidecar(s, root)
+    val k = s.read.parquet(s"$root/centroids").count().toInt
+    val qids = (0 until 32).map(i => all(i * n / 32)._1).distinct
+    val queries = all.filter(t => qids.contains(t._1))
+    def exactTop10(qv: Array[Double], qn: Double): Set[Long] =
+      all.map { case (id, v, nr) =>
+        (id, (0 until v.length).map(i => v(i) * qv(i)).sum / (nr * qn))
+      }.sortBy(t => (-t._2, t._1)).take(10).map(_._1).toSet
+    val truth = queries.map { case (id, qv, qn) =>
+      id -> exactTop10(qv, qn)
+    }.toMap
+    import s.implicits._
+    val qdf = queries.toSeq.map { case (id, qv, qn) => (id, qv.toSeq, qn) }
+      .toDF("query_id", "qv", "qn")
+    def recallOf(served: Map[Long, Set[Long]]): (Double, Double) = {
+      val rs = truth.map { case (id, t) =>
+        t.intersect(served.getOrElse(id, Set.empty)).size.toDouble / t.size
+      }
+      (rs.sum / rs.size, rs.min)
+    }
+    def grouped(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val (em, en) = recallOf(grouped(
+      SimilarityQueries.annServeBatchFrom(s, root, qdf)))
+    val (pm, pn) = recallOf(grouped(
+      PqIndex.annTopKPqBatchFrom(s, root, qdf)))
+    def bytes(sub: String): Long = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(root, sub))
+      try st.filter(f => f.toString.endsWith(".parquet"))
+        .mapToLong(java.nio.file.Files.size(_)).sum
+      finally st.close()
+    }
+    val cb = bytes("pq/codes")
+    val ab = bytes("assignments")
+    println(f"== PQ $dir: n=$n k=$k  exact mean/min@10=$em%.3f/$en%.2f  " +
+      f"refined-PQ mean/min@10=$pm%.3f/$pn%.2f  " +
+      f"codes=${cb / 1024}%d KiB vs lists=${ab / 1024}%d KiB " +
+      f"(${ab.toDouble / cb}%.1fx)")
   }
 
   def run(s: SparkSession, dir: String): Unit = {
