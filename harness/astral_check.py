@@ -31,6 +31,7 @@ QIDS = ",".join([
     "dedup_ngram_jaccard",    # text n-gram jaccard oracle
     "text_fingerprint",       # winnow kernel
     "text_containment",       # winnow-based containment
+    "text_bpe_encode",        # code-point BPE kernel vs recursive CTE
 ])
 
 
