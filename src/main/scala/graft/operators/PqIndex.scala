@@ -198,7 +198,12 @@ object PqIndex {
   private def assignmentsFingerprint(root: String): String =
     IndexManifest.pathFingerprint(Paths.get(root, "assignments"))
 
-  /** Whether the sidecar at `root` matches the live assignment lists. */
+  /** Whether the sidecar at `root` matches the live assignment lists.
+    * Cost note: the fingerprint is a stat-only walk of assignments/ —
+    * the same order of work as the file listing every parquet scan of
+    * that directory performs at planning time, so the per-serve
+    * freshness check adds no new asymptotic cost over the probe scan
+    * it guards. */
   def sidecarFresh(root: String): Boolean = {
     val m = IndexManifest.readIfExists(root)
     m.get("pq.fingerprint").contains(assignmentsFingerprint(root))
