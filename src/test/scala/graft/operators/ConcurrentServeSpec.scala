@@ -188,6 +188,49 @@ class ConcurrentServeSpec extends SparkSpec {
     SimilarityQueries.rebuildVectorIndex(spark, root)
   }
 
+  test("concurrent PQ serves equal their sequential runs and honor " +
+    "the quiesce contract") {
+    val root = SimilarityQueries.buildVectorIndex(spark, sf)
+    PqIndex.buildSidecar(spark, root)
+    val qs = SimilarityQueries.withNorm(graft.Tables.embeddings(spark, sf))
+      .filter(col("vec_id").isin(0L, 3L, 7L, 11L))
+      .select(col("vec_id"), col("emb"), col("nrm"))
+      .collect().toSeq
+      .map(r => (r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val sequential = qs.map { case (qv, qn) =>
+      IndexServe.annTopKPq(spark, root, qv, qn).collect().toSeq
+    }
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try {
+      val fs = qs.map { case (qv, qn) =>
+        Future {
+          IndexServe.annTopKPq(spark, root, qv, qn).collect().toSeq
+        }
+      }
+      val concurrent = Await.result(Future.sequence(fs), 120.seconds)
+      assert(concurrent == sequential)
+    } finally pool.shutdown()
+    // the sidecar BUILD is maintenance: it refuses under a live serve
+    // lease (it overwrites pq/codes a reader could be mid-scan over)
+    IndexManifest.update(root, Map("pq.fingerprint" -> "forced-stale"))
+    IndexLease.withServeLease(root) {
+      val b = intercept[IllegalStateException] {
+        PqIndex.buildSidecar(spark, root)
+      }
+      assert(b.getMessage.contains("serve lease"))
+    }
+    PqIndex.buildSidecar(spark, root)
+    // and the PQ facade refuses while maintenance holds the root
+    IndexLease.withMaintenance(root) {
+      val e = intercept[IllegalStateException] {
+        IndexServe.annTopKPq(spark, root, qs.head._1, qs.head._2)
+      }
+      assert(e.getMessage.contains("maintenance"))
+    }
+  }
+
   test("concurrent ANN serves equal their sequential runs") {
     val root = SimilarityQueries.buildVectorIndex(spark, sf)
     val qs = SimilarityQueries.withNorm(graft.Tables.embeddings(spark, sf))

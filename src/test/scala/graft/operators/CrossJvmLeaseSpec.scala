@@ -132,6 +132,31 @@ class CrossJvmLeaseSpec extends AnyFunSuite {
       "maintenance must release its on-disk lease")
   }
 
+  test("two processes' maintenance serializes on the on-disk lease — " +
+    "this JVM's maintenance WAITS out a live foreign holder") {
+    val root = freshRoot()
+    val probe = new Probe("maint", root)
+    try {
+      probe.awaitHeld()
+      val done = new CountDownLatch(1)
+      val t = new Thread(() => {
+        IndexLease.withMaintenance(root) { done.countDown() }
+      })
+      t.start()
+      // while the child HOLDS the recovery lease, our maintenance must
+      // be blocked in the acquire loop, not running its body (two
+      // concurrent swaps on one root would interleave dir moves)
+      assert(!done.await(2, TimeUnit.SECONDS),
+        "maintenance ran while a live foreign maintainer held the lease")
+      probe.release()
+      // foreign holder released cleanly: the waiter acquires and runs
+      assert(done.await(60, TimeUnit.SECONDS),
+        "maintenance never acquired after the foreign holder released")
+      t.join(60000)
+      assert(!Files.exists(Paths.get(root, "maintenance.recovering")))
+    } finally probe.destroy()
+  }
+
   test("two REAL JVMs serve the same root concurrently (shared lease), " +
     "each under its own epoch") {
     val root = freshRoot()
