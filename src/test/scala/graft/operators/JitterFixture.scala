@@ -46,8 +46,8 @@ object JitterFixture {
     * brute-force ground truth over `nQueries` queries spread across
     * the corpus of `dir`. */
   def recallAt(s: SparkSession, dir: String, root: String,
-      nQueries: Int = 16, nprobe: Option[Int] = None)
-      : (Double, Double) = {
+      nQueries: Int = 16, nprobe: Option[Int] = None,
+      pq: Boolean = false): (Double, Double) = {
     import s.implicits._
     val all = SimilarityQueries.withNorm(graft.Tables.embeddings(s, dir))
       .select(col("vec_id"), col("emb"), col("nrm"))
@@ -68,8 +68,10 @@ object JitterFixture {
     }.toMap
     val qdf = queries.map { case (id, qv, qn) => (id, qv.toSeq, qn) }
       .toDF("query_id", "qv", "qn")
-    val served = SimilarityQueries
-      .annServeBatchFrom(s, root, qdf, nprobeOverride = nprobe)
+    val served = (if (pq)
+        PqIndex.annTopKPqBatchFrom(s, root, qdf, nprobe = nprobe)
+      else SimilarityQueries.annServeBatchFrom(s, root, qdf,
+        nprobeOverride = nprobe))
       .collect().groupBy(_.getLong(0))
       .view.mapValues(_.map(_.getLong(1)).toSet).toMap
     val recalls = truth.map { case (id, t) =>

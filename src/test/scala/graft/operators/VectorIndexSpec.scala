@@ -92,6 +92,17 @@ class VectorIndexSpec extends SparkSpec {
       f"jittered 10x mean recall@10 = $mean%.3f below the bar")
     assert(min >= 0.6,
       f"jittered 10x worst recall@10 = $min%.2f collapsed")
+    // the PQ read path in the SAME clustered regime (the one the
+    // 100 TB extrapolation relies on): refined ADC must match the
+    // exact serve's bar here — measured 1.000/1.00 in the SCALE.md
+    // study, pinned with the exact path's margins
+    PqIndex.buildSidecar(spark, root)
+    val (pm, pn) = JitterFixture.recallAt(spark, dir, root,
+      nQueries = 16, pq = true)
+    assert(pm >= 0.9,
+      f"jittered 10x PQ mean recall@10 = $pm%.3f below the bar")
+    assert(pn >= 0.6,
+      f"jittered 10x PQ worst recall@10 = $pn%.2f collapsed")
   }
 
   test("serving twice from one index is deterministic") {
