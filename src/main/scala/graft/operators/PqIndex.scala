@@ -216,7 +216,24 @@ object PqIndex {
     * fresh. Returns the number of encoded assignment rows. */
   def buildSidecar(s: SparkSession, root: String): Long = {
     if (sidecarFresh(root)) return -1L
-    IndexLease.withMaintenance(root) {
+    IndexLease.withMaintenance(root) { doBuild(s, root) }
+  }
+
+  /** Refresh an EXISTING sidecar from inside a maintenance body that
+    * already holds the exclusive lease (the lease is not reentrant).
+    * The vector maintenance ops (compact/rebuild/repair) call this on
+    * commit so a root that HAS a PQ sidecar comes out of scheduled
+    * maintenance serveable on both paths, with no manual rebuild
+    * step. Roots without a sidecar are untouched; ingest appends stay
+    * stale-by-design (a per-batch re-encode would serialize the
+    * stream on retraining — the serve's staleness refusal is the
+    * guard there, and the next scheduled maintenance heals it). */
+  private[operators] def refreshIfPresent(s: SparkSession, root: String): Unit =
+    if (IndexManifest.readIfExists(root).contains("pq.m") &&
+      !sidecarFresh(root)) { doBuild(s, root); () }
+
+  private def doBuild(s: SparkSession, root: String): Long = {
+    {
       // fingerprint FIRST: encoding races nothing (the lease excludes
       // appends' journal replays, and appends themselves land batch
       // dirs that would move this fingerprint → stale → rebuild)

@@ -862,6 +862,9 @@ object SimilarityQueries {
         df.join(broadcast(d), Seq("vec_id"), "left_anti")),
       force = del.isDefined)
     if (del.isDefined) IndexDeletes.fenceAndClear(root)
+    // a root carrying a PQ sidecar leaves maintenance serveable on
+    // both paths (the fold moved the assignments fingerprint)
+    PqIndex.refreshIfPresent(s, root)
     stats
   }
 
@@ -947,6 +950,10 @@ object SimilarityQueries {
       "rebuild.pending" -> newId.toString,
       "rebuild.pending.nlists" -> nLists.toString))
     finalizeRebuild(root)
+    // retrain the PQ sidecar over the rebuilt lists while the lease
+    // is still held (rebuild exists because the corpus drifted — the
+    // sub-quantizers should follow)
+    PqIndex.refreshIfPresent(s, root)
     newId
   }
 
@@ -1190,6 +1197,9 @@ object SimilarityQueries {
       "repair.pending" -> newId.toString,
       "repair.pending.nlists" -> newCentroids.length.toString))
     finalizeRepair(root)
+    // re-encode the PQ sidecar over the repaired lists under the same
+    // held lease (split lists moved the assignments fingerprint)
+    PqIndex.refreshIfPresent(s, root)
     newId
   }
 

@@ -206,6 +206,45 @@ class PqIndexSpec extends SparkSpec {
     assert(scans == 1, s"refine must be ONE pruned fetch, saw $scans:\n$plan")
   }
 
+  test("scheduled vector maintenance refreshes an existing sidecar " +
+    "automatically; ingest leaves it stale by design") {
+    val root = freshIndexedRoot(sf)
+    PqIndex.buildSidecar(spark, root)
+    // ingest: stale by design (per-batch re-encode would serialize
+    // the stream on retraining) — the serve refuses until maintenance
+    val batch = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === 7)
+      .withColumn("vec_id", col("vec_id") + 700000L)
+    SimilarityQueries.appendToVectorIndex(batch, root, batchId = 1L)
+    assert(!PqIndex.sidecarFresh(root),
+      "an append must leave the sidecar stale")
+    // compaction (the scheduled maintenance op) heals it in-lease
+    SimilarityQueries.compactVectorIndex(spark, root)
+    assert(PqIndex.sidecarFresh(root),
+      "compaction must refresh an existing sidecar")
+    // and the healed sidecar really serves the appended vector
+    val e = SimilarityQueries.withNorm(graft.Tables.embeddings(spark, sf))
+    val q = e.filter(col("vec_id") === 7).select(col("emb"), col("nrm"))
+      .collect().head
+    val served = IndexServe.annTopKPq(spark, root,
+      q.getSeq[Double](0).toArray, q.getDouble(1))
+      .collect().map(_.getLong(0)).toSet
+    assert(served.contains(700007L),
+      s"appended identical vector must serve after the refresh: $served")
+    // rebuild retrains the sub-quantizers over the rebuilt lists
+    SimilarityQueries.appendToVectorIndex(
+      graft.Tables.embeddings(spark, sf).limit(3)
+        .withColumn("vec_id", col("vec_id") + 900000L), root, batchId = 9L)
+    SimilarityQueries.rebuildVectorIndex(spark, root)
+    assert(PqIndex.sidecarFresh(root),
+      "rebuild must refresh an existing sidecar")
+    // a root WITHOUT a sidecar is untouched by maintenance
+    val bare = freshIndexedRoot(sf)
+    SimilarityQueries.compactVectorIndex(spark, bare)
+    assert(!Files.exists(Paths.get(bare, "pq")),
+      "maintenance must not conjure a sidecar nobody built")
+  }
+
   test("codes are M bytes per assignment row - the 100 TB read-path " +
     "contract the audit qid hash-checks") {
     val audit = PqIndex.simAnnPqAudit(spark, sf).collect().head
