@@ -728,7 +728,7 @@ object DedupQueries {
     * in HUGEINT. 64×64-bit products would overflow the signed 128-bit
     * HUGEINT, so each multiply is split at 2^32:
     * z*C mod 2^64 = (z*C_lo + (z*C_hi mod 2^32)*2^32) mod 2^64. */
-  private def mix64Sql(x: String): String = {
+  private[operators] def mix64Sql(x: String): String = {
     val M = "18446744073709551616::HUGEINT"
     def mulmod(y: String, hi: Long, lo: Long): String =
       s"((($y * $lo::HUGEINT) + ((($y * $hi::HUGEINT) % 4294967296::HUGEINT)" +

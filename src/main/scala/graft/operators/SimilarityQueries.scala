@@ -148,8 +148,10 @@ object SimilarityQueries {
     * on the broadcast query side. Candidates share a probed bucket
     * with the query; exact cosine re-rank on candidates only. Wide
     * bands bound candidate volume to the probed buckets' population
-    * (capped); multi-probe restores recall. Approximate ⇒ rows-only;
-    * recall vs brute force property-tested. */
+    * (capped); multi-probe restores recall. Oracle: the signature,
+    * probe, and re-rank pipeline recomputed in SQL ([[simAnnLshSql]])
+    * — bitwise, not tolerance-based; recall vs brute force stays
+    * property-tested. */
   def simAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = nonDegenerate(withNorm(embeddings(s, dir)))
       .withColumn("sig", HyperplaneSig.hyperplaneSig(col("emb"), SIG_BITS))
@@ -175,6 +177,124 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** Shared CTE fragments recomputing [[HyperplaneSigExpr]]'s
+    * signature in DuckDB, so the LSH qids get full recompute oracles
+    * instead of rows-only checks. The ±1 hyperplane table comes from
+    * the same splitmix64 stream (seed 42, key `seed ^ (b<<32) ^ d`,
+    * low bit ⇒ negative component) via the HUGEINT mix used by the
+    * minhash oracle; the per-(vector, bit) projection is the SAME
+    * left-to-right double fold the codegen loop runs — `list_reduce`
+    * folds in index order, so the sum is bitwise identical and the
+    * sign bit cannot drift even when the fold rounds. Band hashes
+    * are rebuilt from individual bits (bit `8j+i` ⇒ bh bit `i` of
+    * band `j`), sidestepping sign-extension on the packed long.
+    * Expects a CTE `re` with (vec_id, emb DOUBLE[]); emits
+    * `bands` (vec_id, band, bh, rn) with rn = the per-(band, bh)
+    * vec_id rank [[SkewUtils.capPerKeyWithOverflow]] caps on. The
+    * hyperplane table covers dims 0..127 (fixture dim is 64); a
+    * larger embedding fails loudly via error() instead of folding a
+    * silently-positive missing component. */
+  private def sigBandsSqlCtes: String = {
+    val bandBits = SIG_BITS / N_BANDS
+    val mixed = DedupQueries.mix64Sql(
+      "xor(xor(42::HUGEINT, b * 4294967296::HUGEINT), d::HUGEINT)")
+    s"""bdneg AS (SELECT b, d, CAST($mixed % 2::HUGEINT AS INT) AS neg
+       |  FROM range(0,$SIG_BITS) t1(b), range(0,128) t2(d)),
+       |sgn AS (SELECT b,
+       |    list(CASE WHEN neg = 1 THEN -1.0 ELSE 1.0 END ORDER BY d) AS sg
+       |  FROM bdneg GROUP BY b),
+       |bits AS (SELECT vec_id, b, CASE
+       |    WHEN len(emb) > 128 THEN
+       |      CAST(error('embedding dim > 128: extend bdneg range') AS INT)
+       |    WHEN list_reduce(list_prepend(0.0,
+       |        list_transform(range(1, len(emb)+1),
+       |          i -> CASE WHEN sg[i] < 0 THEN -emb[i] ELSE emb[i] END)),
+       |      (a, v) -> a + v) >= 0 THEN 1 ELSE 0 END AS bit
+       |  FROM re, sgn),
+       |bands AS (SELECT vec_id, CAST(b // $bandBits AS INT) AS band,
+       |    CAST(sum(bit * (1 << (b % $bandBits))) AS BIGINT) AS bh,
+       |    row_number() OVER (PARTITION BY CAST(b // $bandBits AS INT),
+       |      CAST(sum(bit * (1 << (b % $bandBits))) AS BIGINT)
+       |      ORDER BY vec_id) AS rn
+       |  FROM bits GROUP BY vec_id, b // $bandBits)""".stripMargin
+  }
+
+  /** sim_ann_lsh oracle: recompute signatures (see
+    * [[sigBandsSqlCtes]]), the query's 72 multi-probe keys (each
+    * band hash plus its single-bit flips), the probed-bucket
+    * candidate set, and the exact cosine re-rank —
+    * `list_cosine_similarity` is the same left-to-right fold as the
+    * codegen dot, so the rounded sims are bit-identical (the
+    * sim_topk_cosine oracle proves that pairing). No bucket cap on
+    * this path (the engine joins the raw bands against the broadcast
+    * probe side), so rn is unused. */
+  val simAnnLshSql: String = {
+    val bandBits = SIG_BITS / N_BANDS
+    s"""WITH nd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings
+       |  WHERE sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+       |    v -> v*v))) > 0),
+       |re AS (SELECT vec_id, emb FROM nd),
+       |$sigBandsSqlCtes,
+       |qb AS (SELECT band, bh FROM bands WHERE vec_id = 0),
+       |probes AS (
+       |  SELECT band, bh FROM qb
+       |  UNION
+       |  SELECT band, xor(bh, CAST(1 << i AS BIGINT)) AS bh
+       |  FROM qb, range(0,$bandBits) t(i)),
+       |cand AS (SELECT DISTINCT bs.vec_id
+       |  FROM bands bs JOIN probes p ON bs.band = p.band AND bs.bh = p.bh),
+       |q AS (SELECT emb AS qv FROM nd WHERE vec_id = 0)
+       |SELECT nd.vec_id,
+       |  round(list_cosine_similarity(nd.emb, q.qv), 6) AS sim
+       |FROM cand JOIN nd USING (vec_id), q
+       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** dedup_near_embedding oracle: the full pipeline recomputed —
+    * exact collapse (GROUP BY the array itself; the engine groups on
+    * a 96-bit content hash, identical modulo that collision bound),
+    * rep-only signatures, the per-(band, bh) vec_id-ranked cap with
+    * rank-minus-cap overflow chaining (bitwise the
+    * [[SkewUtils.capPerKeyWithOverflow]] topology — rn is
+    * deterministic because the order key is the unique vec_id),
+    * Hamming-≤1 probes from the capped rows, exact-cosine verify at
+    * round(·,4) ≥ 0.45, and the rep→member sim=1.0 star edges. */
+  val dedupNearEmbeddingSql: String = {
+    val bandBits = SIG_BITS / N_BANDS
+    val masks = (0L +: (0 until bandBits).map(1L << _))
+      .mkString("[", ",", "]")
+    s"""WITH nd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings
+       |  WHERE sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+       |    v -> v*v))) > 0),
+       |reps AS (SELECT emb, min(vec_id) AS rep FROM nd GROUP BY emb),
+       |stars AS (SELECT r.rep AS a, n.vec_id AS b
+       |  FROM nd n JOIN reps r ON n.emb = r.emb WHERE n.vec_id <> r.rep),
+       |re AS (SELECT rep AS vec_id, emb FROM reps),
+       |$sigBandsSqlCtes,
+       |capped AS (SELECT vec_id, band, bh FROM bands WHERE rn <= $BUCKET_CAP),
+       |ovf AS (SELECT a2.vec_id AS a, b2.vec_id AS b
+       |  FROM (SELECT band, bh, rn - $BUCKET_CAP AS arn, vec_id
+       |        FROM bands WHERE rn > $BUCKET_CAP) b2
+       |  JOIN (SELECT band, bh, rn AS arn, vec_id FROM bands) a2
+       |    USING (band, bh, arn)),
+       |probes AS (SELECT vec_id, band, xor(bh, m) AS bh
+       |  FROM capped, (SELECT unnest($masks::BIGINT[]) AS m)),
+       |cand AS (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT p.vec_id AS a, c.vec_id AS b FROM probes p
+       |      JOIN capped c ON p.band = c.band AND p.bh = c.bh
+       |    WHERE p.vec_id < c.vec_id
+       |    UNION ALL SELECT a, b FROM ovf)),
+       |scored AS (SELECT a, b,
+       |    round(list_cosine_similarity(ea.emb, eb.emb), 4) AS sim
+       |  FROM cand JOIN re ea ON cand.a = ea.vec_id
+       |    JOIN re eb ON cand.b = eb.vec_id)
+       |SELECT a, b, sim FROM scored WHERE sim >= 0.45
+       |UNION ALL SELECT a, b, 1.0 AS sim FROM stars""".stripMargin
+  }
+
   /** dedup_near_embedding — embedding-cosine near-dup candidates via
     * LSH bucketing: 64-bit hyperplane signature, 8 bands × 8 bits,
     * multi-probe on one join side (Hamming-≤1 within a band), exact
@@ -191,9 +311,11 @@ object SimilarityQueries {
     * at all — they collapse to one representative first (see
     * [[dedupNearEmbeddingFrom]]) — so the cap is a safety net for
     * DISTINCT near-identical vectors agreeing on a band, not the
-    * verbatim-copy flood that used to saturate it. Approximate recall
-    * ⇒ rows-only; the bucket cap and flood bound are asserted by
-    * SimilarityBoundsSpec. */
+    * verbatim-copy flood that used to saturate it. Oracle: the whole
+    * pipeline — collapse, capped banding, overflow chains, probes,
+    * verify, star edges — recomputed in SQL
+    * ([[dedupNearEmbeddingSql]]); the bucket cap and flood bound are
+    * additionally asserted by SimilarityBoundsSpec. */
   def dedupNearEmbedding(s: SparkSession, dir: String): DataFrame =
     dedupNearEmbeddingFrom(withNorm(embeddings(s, dir)))
 
@@ -1978,7 +2100,8 @@ object SimilarityQueries {
     "sim_ann_ivf_repair" -> simAnnIvfRepairSql,
     "snk_vector_index" -> snkVectorIndexSql,
     "snk_vector_index_compact" -> snkVectorIndexCompactSql,
-    "emb_random_projection" -> embRandomProjectionSql
-    // sim_ann_lsh: approximate — recall property-tested
+    "emb_random_projection" -> embRandomProjectionSql,
+    "sim_ann_lsh" -> simAnnLshSql,
+    "dedup_near_embedding" -> dedupNearEmbeddingSql
   )
 }
