@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.functions.HllSketch
 
 /** Core relational operators: sources, aggregations, sorts, set ops.
   *
@@ -523,37 +524,126 @@ object RelationalQueries {
       |  max(CAST(p_partkey % 8 AS DOUBLE) * -10 + 12.0) AS n
       |FROM part GROUP BY 1""".stripMargin
 
-  /** agg_distinct_approx — HLL++ distinct at 100 TB scale. Sketch
-    * values are engine-specific ⇒ no SQL oracle (driver rows-only
-    * check); exactness bound unit-tested against countDistinct. */
-  def aggDistinctApprox(s: SparkSession, dir: String): DataFrame =
-    lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("n_parts_approx"))
+  // ---- deterministic HLL (graft.functions.HllSketch) ---------------
+  private val HLL_P = 12
+  private val HLL_M = 1 << HLL_P        // 4096 registers
+  private val HLL_RMAX = 64 - HLL_P + 1 // 53: max rank a register holds
+  /** α_m·m² of the raw HLL estimate. The SAME double literal is
+    * embedded in the oracle SQL (Double.toString round-trips), so
+    * both engines divide an identical constant. */
+  private val HLL_ALPHA_M2 = 0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M
 
-  /** agg_hll_partitioned — MERGEABLE distinct-count sketches
-    * (Datasketches HLL): per-partition sketches unioned into a global
-    * estimate WITHOUT rescanning rows. This is the primitive that
-    * makes 100 TB distinct-count pipelines incremental: store one
-    * serialized sketch per (source, day) partition, answer "distinct
-    * users over any date range / source set" by hll_union over the
-    * selected sketches — reading kilobytes of sketch instead of
-    * terabytes of rows. approx_count_distinct can't do this (its
-    * sketch is not exposed); hll_sketch_agg's is. Estimates are
-    * engine-specific ⇒ rows-only; the error bound and the
-    * union-vs-rescan equality are unit-tested. */
+  /** Register file of `key` per `group`: one row per (group, bucket)
+    * with the max rank — THE mergeable sketch (union = max per
+    * bucket), built by an ordinary hash aggregate so partial
+    * aggregation combines a partition's duplicates map-side and the
+    * shuffle carries ≤ m rows per (partition, group), never the
+    * corpus. */
+  private[graft] def hllRegisters(
+      df: DataFrame, group: String, key: String): DataFrame =
+    df.select(col(group), HllSketch.hllRegister(col(key), HLL_P).as("reg"))
+      .groupBy(col(group), shiftrightunsigned(col("reg"), 6).as("bucket"))
+      .agg(max(col("reg").bitwiseAND(lit(63L))).as("rk"))
+
+  /** HLL estimate from a register file — every step is either exact
+    * integer math (the harmonic sum as Σ 2^(RMAX−rank) in
+    * DECIMAL(38,0)) or a double op on identical operands, so a
+    * DuckDB recompute lands on the SAME rounded integer: the one
+    * transcendental (ln in the linear-counting branch) feeds a
+    * round-to-integer a libm ulp cannot move across a boundary. */
+  private[graft] def hllEstimate(
+      regs: DataFrame, group: String, out: String): DataFrame =
+    regs.groupBy(col(group))
+      .agg(count(lit(1)).as("nz"),
+        sum(expr(s"cast(shiftleft(1L, cast($HLL_RMAX - rk as int)) " +
+          "as decimal(38,0))")).as("sn"))
+      .withColumn("v", lit(HLL_M.toLong) - col("nz"))
+      .withColumn("eraw", lit(HLL_ALPHA_M2) /
+        (col("v").cast("double") +
+          col("sn").cast("double") / lit(9007199254740992.0)))
+      .withColumn("est",
+        when(col("eraw") <= lit(2.5 * HLL_M) && col("v") > 0,
+          lit(HLL_M.toDouble) *
+            log(lit(HLL_M.toDouble) / col("v").cast("double")))
+          .otherwise(col("eraw")))
+      .select(col(group), round(col("est"), 0).cast("long").as(out))
+
+  /** Oracle twin of hllRegisters ∘ hllEstimate: splitmix64 in the
+    * HUGEINT [0,2^64) domain (DedupQueries.mix64Sql), bucket = top 12
+    * bits, rank = 53 − bitlen(low-52 suffix) (= the engine's
+    * nlz(h<<p)+1), exact integer harmonic sum, identical estimate
+    * arithmetic. */
+  private def hllOracleSql(
+      table: String, group: String, key: String, out: String,
+      groupExpr: String = ""): String = {
+    val src = if (groupExpr.isEmpty) group else s"$groupExpr AS g"
+    val g = if (groupExpr.isEmpty) group else "g"
+    val ukey = s"(CASE WHEN $key < 0 THEN $key::HUGEINT + " +
+      s"18446744073709551616::HUGEINT ELSE $key::HUGEINT END)"
+    val mixed = DedupQueries.mix64Sql(ukey)
+    val pow52 = "4503599627370496::HUGEINT"
+    s"""h AS (SELECT $src, $mixed AS h FROM $table),
+       |regs AS (SELECT $g, CAST(h >> 52 AS BIGINT) AS bucket,
+       |    max(CASE WHEN h % $pow52 = 0::HUGEINT THEN $HLL_RMAX
+       |      ELSE $HLL_RMAX -
+       |        length(format('{:b}', CAST(h % $pow52 AS BIGINT))) END) AS rk
+       |  FROM h GROUP BY $g, h >> 52),
+       |est AS (SELECT $g, $HLL_M - count(*) AS v,
+       |    sum(1::HUGEINT << CAST($HLL_RMAX - rk AS INT)) AS sn
+       |  FROM regs GROUP BY $g),
+       |fin AS (SELECT $g, v, $HLL_ALPHA_M2 /
+       |    (CAST(v AS DOUBLE) + CAST(sn AS DOUBLE) / 9007199254740992.0)
+       |    AS eraw FROM est)
+       |SELECT $g AS $group, CAST(round(CASE
+       |    WHEN eraw <= ${2.5 * HLL_M} AND v > 0
+       |    THEN $HLL_M.0 * ln($HLL_M.0 / CAST(v AS DOUBLE))
+       |    ELSE eraw END, 0) AS BIGINT) AS $out
+       |FROM fin""".stripMargin
+  }
+
+  /** agg_distinct_approx — HLL distinct parts per returnflag through
+    * the deterministic register sketch ([[graft.functions.HllSketch]]):
+    * at 100 TB the shuffle carries ≤ 4096 register rows per
+    * (partition, group) instead of the distinct keys themselves.
+    * Full recompute oracle (the sketch math is SQL-expressible);
+    * the 5%-of-exact bound stays unit-tested. */
+  def aggDistinctApprox(s: SparkSession, dir: String): DataFrame =
+    hllEstimate(
+      hllRegisters(lineitem(s, dir).select("l_returnflag", "l_partkey"),
+        "l_returnflag", "l_partkey"),
+      "l_returnflag", "n_parts_approx")
+
+  val aggDistinctApproxSql: String =
+    "WITH " + hllOracleSql(
+      "lineitem", "l_returnflag", "l_partkey", "n_parts_approx")
+
+  /** agg_hll_partitioned — MERGEABLE distinct-count sketches: the
+    * per-type register files union into a global estimate WITHOUT
+    * rescanning rows (union = max rank per bucket — the same algebra
+    * a stored per-(source, day) register table answers any rollup
+    * with, reading kilobytes of sketch instead of terabytes of
+    * rows). Deterministic registers ⇒ full recompute oracle: the
+    * oracle rebuilds the global registers from rows, which the
+    * max-merge makes IDENTICAL to the engine's union of per-type
+    * sketches; union == one-pass stays unit-tested. */
   def aggHllPartitioned(s: SparkSession, dir: String): DataFrame = {
-    val perType = events(s, dir)
-      .groupBy(col("event_type"))
-      .agg(hll_sketch_agg(col("user_id")).as("sk"))
-    val merged = perType
-      .agg(hll_union_agg(col("sk")).as("sk"))
-      .select(lit("ALL").as("event_type"),
-        hll_sketch_estimate(col("sk")).as("approx_users"))
-    perType
-      .select(col("event_type"),
-        hll_sketch_estimate(col("sk")).as("approx_users"))
-      .unionByName(merged)
+    val perType = hllRegisters(
+      events(s, dir).select("event_type", "user_id"),
+      "event_type", "user_id")
+    val union = perType.groupBy(col("bucket"))
+      .agg(max(col("rk")).as("rk"))
+      .withColumn("event_type", lit("ALL"))
+    hllEstimate(perType, "event_type", "approx_users")
+      .unionByName(hllEstimate(union, "event_type", "approx_users"))
+  }
+
+  val aggHllPartitionedSql: String = {
+    val per = hllOracleSql(
+      "events", "event_type", "user_id", "approx_users")
+    val all = hllOracleSql(
+      "events", "event_type", "user_id", "approx_users",
+      groupExpr = "'ALL'")
+    s"WITH $per\nUNION ALL\nSELECT * FROM (WITH $all)"
   }
 
   /** agg_heavy_hitters — top-5 user_ids per event_type through the
@@ -658,7 +748,8 @@ object RelationalQueries {
     "agg_stats_moments" -> aggStatsMomentsSql,
     "agg_pivot" -> aggPivotSql,
     "set_except_all" -> setExceptAllSql,
-    "fn_unpivot" -> fnUnpivotSql
-    // agg_distinct_approx: intentionally no oracle (sketch-valued)
+    "fn_unpivot" -> fnUnpivotSql,
+    "agg_distinct_approx" -> aggDistinctApproxSql,
+    "agg_hll_partitioned" -> aggHllPartitionedSql
   )
 }

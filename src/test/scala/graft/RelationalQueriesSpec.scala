@@ -58,10 +58,13 @@ class RelationalQueriesSpec extends SparkSpec {
     // within bound WITHOUT rescanning rows — the mergeability claim
     val globalExact = e.select(countDistinct(col("user_id"))).head.getLong(0)
     assert(math.abs(got("ALL") - globalExact).toDouble / globalExact < 0.05)
-    // and it equals the estimate of a direct global sketch (same
-    // deterministic sketch algebra, not merely close)
-    val direct = e.agg(hll_sketch_estimate(
-      hll_sketch_agg(col("user_id"))).as("n")).head.getLong(0)
+    // and it equals the estimate of a direct one-pass global sketch
+    // (the max-per-bucket union algebra is exact, not merely close)
+    val direct = RelationalQueries.hllEstimate(
+      RelationalQueries.hllRegisters(
+        e.select(lit("ALL").as("event_type"), col("user_id")),
+        "event_type", "user_id"),
+      "event_type", "n").head.getLong(1)
     assert(got("ALL") == direct, "union of partials must equal one-pass sketch")
   }
 }
