@@ -142,6 +142,18 @@ object SimilarityQueries {
     * dedup's job, not LSH's. */
   private val BUCKET_CAP = 512
 
+  /** Neighbors per vector in the k-NN graph (sim_knn_join). Declared
+    * here, before the oracle SQL vals that embed it — object-init
+    * order would otherwise fold an uninitialized 0 into the SQL. */
+  private val KNN_K = 3
+
+  /** Same floor as dedup_near_embedding (which rounds at scale 4 vs
+    * the graph's scale 6 — a pair within 5e-5 of the floor can differ
+    * between the two operators by design). Guarantees >0 rows on the
+    * synthetic corpus while still meaning "near-duplicate meaning".
+    * Declared before the SQL vals that embed it (init order). */
+  private val SEM_T = 0.45
+
   /** sim_ann_lsh — approximate top-10 for the vec_id=0 query via
     * random-hyperplane LSH: 64-bit one-pass signature, 8 bands × 8
     * bits, multi-probe (each band hash plus its 8 single-bit flips)
@@ -251,20 +263,23 @@ object SimilarityQueries {
        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
   }
 
-  /** dedup_near_embedding oracle: the full pipeline recomputed —
-    * exact collapse (GROUP BY the array itself; the engine groups on
-    * a 96-bit content hash, identical modulo that collision bound),
-    * rep-only signatures, the per-(band, bh) vec_id-ranked cap with
-    * rank-minus-cap overflow chaining (bitwise the
+  /** CTE chain through `scored`, shared by every oracle that rides
+    * the collapsed-and-capped LSH candidate pipeline
+    * (dedup_near_embedding at verify scale 4; sim_knn_join /
+    * dedup_semantic at graph scale 6): exact collapse (GROUP BY the
+    * array itself; the engine groups on a 96-bit content hash,
+    * identical modulo that collision bound), rep-only signatures,
+    * the per-(band, bh) vec_id-ranked cap with rank-minus-cap
+    * overflow chaining (bitwise the
     * [[SkewUtils.capPerKeyWithOverflow]] topology — rn is
     * deterministic because the order key is the unique vec_id),
-    * Hamming-≤1 probes from the capped rows, exact-cosine verify at
-    * round(·,4) ≥ 0.45, and the rep→member sim=1.0 star edges. */
-  val dedupNearEmbeddingSql: String = {
+    * Hamming-≤1 probes from the capped rows, and the exact-cosine
+    * score of each candidate pair. */
+  private def lshScoredSqlCtes(scale: Int): String = {
     val bandBits = SIG_BITS / N_BANDS
     val masks = (0L +: (0 until bandBits).map(1L << _))
       .mkString("[", ",", "]")
-    s"""WITH nd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+    s"""nd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
        |  FROM embeddings
        |  WHERE sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
        |    v -> v*v))) > 0),
@@ -288,12 +303,58 @@ object SimilarityQueries {
        |    WHERE p.vec_id < c.vec_id
        |    UNION ALL SELECT a, b FROM ovf)),
        |scored AS (SELECT a, b,
-       |    round(list_cosine_similarity(ea.emb, eb.emb), 4) AS sim
+       |    round(list_cosine_similarity(ea.emb, eb.emb), $scale) AS sim
        |  FROM cand JOIN re ea ON cand.a = ea.vec_id
-       |    JOIN re eb ON cand.b = eb.vec_id)
+       |    JOIN re eb ON cand.b = eb.vec_id)""".stripMargin
+  }
+
+  /** dedup_near_embedding oracle: [[lshScoredSqlCtes]] at verify
+    * scale 4, the ≥ 0.45 verify, and the rep→member sim=1.0 star
+    * edges. */
+  val dedupNearEmbeddingSql: String =
+    s"""WITH ${lshScoredSqlCtes(4)}
        |SELECT a, b, sim FROM scored WHERE sim >= 0.45
        |UNION ALL SELECT a, b, 1.0 AS sim FROM stars""".stripMargin
-  }
+
+  /** CTE chain through `knn` — the full [[simKnnJoinFrom]] recompute:
+    * scored pairs mirrored to both directions, row_number per vector
+    * ordered (sim desc, b), top KNN_K, plus the star edges in both
+    * directions at sim 1.0 / rk 0. */
+  private def knnSqlCtes: String =
+    s"""${lshScoredSqlCtes(6)},
+       |sym AS (SELECT a, b, sim FROM scored
+       |  UNION ALL SELECT b AS a, a AS b, sim FROM scored),
+       |ranked AS (SELECT a, b, sim,
+       |    row_number() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rk
+       |  FROM sym),
+       |knn AS (SELECT a, b, sim, CAST(rk AS INT) AS rk
+       |    FROM ranked WHERE rk <= $KNN_K
+       |  UNION ALL SELECT a, b, 1.0 AS sim, 0 AS rk FROM stars
+       |  UNION ALL SELECT b AS a, a AS b, 1.0 AS sim, 0 AS rk
+       |    FROM stars)""".stripMargin
+
+  /** sim_knn_join oracle — the graph itself. */
+  val simKnnJoinSql: String =
+    s"WITH $knnSqlCtes\nSELECT a, b, sim, rk FROM knn"
+
+  /** dedup_semantic oracle: knn edges ≥ SEM_T normalized to
+    * undirected (least/greatest, distinct), then min-label connected
+    * components by the same recursive-reachability CTE the
+    * dedup_cluster_cc oracle uses (cluster = min reachable id,
+    * keeper = the min itself). */
+  val dedupSemanticSql: String =
+    s"""WITH RECURSIVE $knnSqlCtes,
+       |sedges AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+       |  FROM knn WHERE sim >= $SEM_T),
+       |edges AS (SELECT a AS x, b AS y FROM sedges
+       |  UNION SELECT b AS x, a AS y FROM sedges),
+       |reach(x, r) AS (
+       |  SELECT x, x AS r FROM (SELECT DISTINCT x FROM edges) n
+       |  UNION
+       |  SELECT e.x, reach.r FROM edges e JOIN reach ON e.y = reach.x)
+       |SELECT x AS vec_id, min(r) AS cluster_id,
+       |  CAST(x = min(r) AS INT) AS is_keeper
+       |FROM reach GROUP BY x""".stripMargin
 
   /** dedup_near_embedding — embedding-cosine near-dup candidates via
     * LSH bucketing: 64-bit hyperplane signature, 8 bands × 8 bits,
@@ -1665,12 +1726,11 @@ object SimilarityQueries {
     * candidate pairs, exact cosine on candidates only, then a
     * window top-k per vector whose partition size is bounded by the
     * per-vector candidate bound (bands × (bandBits+1) × BUCKET_CAP),
-    * never by corpus size. Approximate ⇒ rows-only; planted-twin
-    * rank-1 recovery is unit-tested. */
+    * never by corpus size. Oracle: the whole graph recomputed in SQL
+    * ([[simKnnJoinSql]]); planted-twin rank-1 recovery stays
+    * unit-tested. */
   def simKnnJoin(s: SparkSession, dir: String): DataFrame =
     simKnnJoinFrom(withNorm(embeddings(s, dir)))
-
-  private val KNN_K = 3
 
   private[graft] def simKnnJoinFrom(e0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1710,7 +1770,9 @@ object SimilarityQueries {
     * dedup_cluster_cc), one keeper per cluster. The full
     * embedding-side answer to "keep one of each meaning": candidate
     * generation, scoring, graph, and clustering are all the bounded
-    * stages verified individually. Approximate ⇒ rows-only. */
+    * stages verified individually — and the whole chain is ALSO
+    * recomputed end-to-end by the SQL oracle ([[dedupSemanticSql]],
+    * recursive-CTE connected components). */
   def dedupSemantic(s: SparkSession, dir: String): DataFrame =
     dedupSemanticFrom(withNorm(embeddings(s, dir)))
 
@@ -1730,12 +1792,6 @@ object SimilarityQueries {
       .select(col("doc_id").as("vec_id"), col("cluster_id"),
         col("is_keeper"))
   }
-
-  /** Same floor as dedup_near_embedding (which rounds at scale 4 vs
-    * the graph's scale 6 — a pair within 5e-5 of the floor can differ
-    * between the two operators by design). Guarantees >0 rows on the
-    * synthetic corpus while still meaning "near-duplicate meaning". */
-  private val SEM_T = 0.45
 
   /** emb_kmeans — spherical k-means to convergence (the curation
     * clustering primitive: SemDeDup partitions the corpus by k-means
@@ -2102,6 +2158,8 @@ object SimilarityQueries {
     "snk_vector_index_compact" -> snkVectorIndexCompactSql,
     "emb_random_projection" -> embRandomProjectionSql,
     "sim_ann_lsh" -> simAnnLshSql,
-    "dedup_near_embedding" -> dedupNearEmbeddingSql
+    "dedup_near_embedding" -> dedupNearEmbeddingSql,
+    "sim_knn_join" -> simKnnJoinSql,
+    "dedup_semantic" -> dedupSemanticSql
   )
 }
