@@ -525,6 +525,44 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  private def hllRegs(keys: Seq[Long]): Map[Long, Long] =
+    keys.foldLeft(Map.empty[Long, Long]) { (m, k) =>
+      val reg = graft.functions.HllSketch.register(k, 12)
+      val (b, r) = (reg / 64, reg % 64)
+      m.updated(b, math.max(m.getOrElse(b, 0L), r))
+    }
+
+  property("hll register packs bucket < 2^p and rank in [1, 64-p+1]") =
+    forAll { (k: Long) =>
+      val reg = graft.functions.HllSketch.register(k, 12)
+      val (b, r) = (reg / 64, reg % 64)
+      b >= 0 && b < 4096 && r >= 1 && r <= 53
+    }
+
+  property("hll register files merge by max-per-bucket (sketch algebra)") =
+    forAll(Gen.listOf(Gen.long), Gen.listOf(Gen.long)) { (xs, ys) =>
+      val merged = (hllRegs(xs).toSeq ++ hllRegs(ys).toSeq)
+        .groupMapReduce(_._1)(_._2)(math.max)
+      merged == hllRegs(xs ++ ys)
+    }
+
+  property("hll estimate lands within 10% on 200..4000 distinct keys") =
+    forAll(Gen.chooseNum(200, 4000), Gen.long) { (n, seed) =>
+      // distinct keys from a splitmix stream — the generator itself
+      // may collide; count the actual distinct set
+      val keys = (0 until n).map(i =>
+        graft.functions.HllSketch.mix(seed + i)).distinct
+      val regs = hllRegs(keys)
+      val m = 4096
+      val v = m - regs.size
+      val sn = regs.valuesIterator.map(r => BigInt(1) << (53 - r).toInt).sum
+      val alpha = 0.7213 / (1 + 1.079 / m) * m * m
+      val eraw = alpha / (v.toDouble + sn.toDouble / 9007199254740992.0)
+      val est = if (eraw <= 2.5 * m && v > 0)
+        m * math.log(m.toDouble / v) else eraw
+      math.abs(est - keys.size) <= 0.10 * keys.size
+    }
+
   property("MP4 encode/parse round-trips the full sample table") =
     forAll(
       Gen.nonEmptyListOf(Gen.chooseNum(1, 200)).map(_.take(64)),

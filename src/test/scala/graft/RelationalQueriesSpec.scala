@@ -67,4 +67,24 @@ class RelationalQueriesSpec extends SparkSpec {
       "event_type", "n").head.getLong(1)
     assert(got("ALL") == direct, "union of partials must equal one-pass sketch")
   }
+
+  test("hll registers: codegen parity and repartition invariance") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val keys = (1L to 5000L).map(i => ("g", i * 2654435761L + 7))
+    def est(parts: Int): Long = RelationalQueries.hllEstimate(
+      RelationalQueries.hllRegisters(
+        keys.toDF("g", "k").repartition(parts), "g", "k"),
+      "g", "n").head.getLong(1)
+    // every stage is order-independent math — partitioning must not move
+    // the estimate by even one count
+    assert(est(1) == est(32))
+    // the codegen expression agrees with the static kernel it inlines
+    val got = keys.toDF("g", "k")
+      .select(graft.functions.HllSketch.hllRegister(col("k"), 12))
+      .as[Long].collect().sorted.toSeq
+    val want = keys.map(k =>
+      graft.functions.HllSketch.register(k._2, 12)).sorted
+    assert(got == want)
+  }
 }
