@@ -14,8 +14,11 @@ import org.apache.spark.sql.functions.udf
   */
 object FastSig {
 
-  /** splitmix64 finalizer — deterministic, well-mixed 64-bit hash. */
-  @inline private def mix(z0: Long): Long = {
+  /** splitmix64 finalizer — deterministic, well-mixed 64-bit hash.
+    * Exposed to graft so deterministic sampling keys (e.g. the
+    * emb_kmeans init) can reuse the one hash the DuckDB oracles
+    * already recompute via DedupQueries.mix64Sql. */
+  @inline private[graft] def mix(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL

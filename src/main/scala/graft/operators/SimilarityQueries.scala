@@ -533,7 +533,23 @@ object SimilarityQueries {
     * partial sums, independent of corpus size. Turns the hash sample
     * into real k-means(1) centroids: lists follow the data's actual
     * cluster structure instead of arbitrary sample points. Empty
-    * lists drop out (count can only shrink below k). */
+    * lists drop out (count can only shrink below k).
+    *
+    * DETERMINISTIC (round 13): the one order-dependent step in
+    * distributed Lloyd is the float mean, so the mean is computed on
+    * a 2²⁴ fixed-point grid — per-(cid, dim) sums of ve =
+    * floor(v·2²⁴ + 0.5), exact and associative by construction
+    * (carried as decimal(38,0): overflow-proof at any corpus size;
+    * the grid ≈ 6e-8 per-element quantization is far below the
+    * corpus noise any ANN list layout rides on). New element =
+    * (sv/n)/2²⁴ in double, norms as driver-side l2r folds — every
+    * remaining op is an explicitly sequenced IEEE op a DuckDB oracle
+    * performs identically, which is what promotes the whole IVF
+    * build→probe→serve pipeline AND emb_kmeans to full recompute
+    * oracles ([[simAnnIvfSql]], [[embKmeansSql]]). Centroids return
+    * sorted by cid (scan order never matters — topCentroids'
+    * insertion rule is order-free — but a deterministic array is one
+    * less thing to reason about). */
   private[operators] def refineCentroids(
       s: SparkSession, e: DataFrame,
       cArr: Array[(Long, Array[Double], Double)])
@@ -544,24 +560,27 @@ object SimilarityQueries {
       val a = topCentroids(cBc.value, 1, emb, nrm)
       if (a.isEmpty) -1L else a(0)
     }
-    val means = e.withColumn("cid", near1(col("emb"), col("nrm")))
+    val sums = e.withColumn("cid", near1(col("emb"), col("nrm")))
       .filter(col("cid") >= 0)
       .select(col("cid"), posexplode(col("emb")))
       .toDF("cid", "idx", "v")
+      .withColumn("ve",
+        floor(col("v") * lit(KMEANS_GRID) + lit(0.5)).cast("decimal(38,0)"))
       .groupBy(col("cid"), col("idx"))
-      .agg(avg(col("v")).as("m"))
-      .groupBy(col("cid"))
-      .agg(array_sort(collect_list(struct(col("idx"), col("m")))).as("ms"))
-      .select(col("cid"),
-        transform(col("ms"), x => x.getField("m")).as("cemb"))
+      .agg(sum(col("ve")).as("sv"), count(lit(1)).as("n"))
       .collect()
-    means.map { r =>
-      val emb = r.getSeq[Double](1).toArray
+    sums.groupBy(_.getLong(0)).toArray.map { case (cid, rows) =>
+      val byIdx = rows
+        .map(r => (r.getInt(1), r.getDecimal(2), r.getLong(3)))
+        .sortBy(_._1)
+      val emb = byIdx.map { case (_, sv, n) =>
+        (sv.doubleValue / n.toDouble) / KMEANS_GRID
+      }
       var ss = 0.0
       var i = 0
       while (i < emb.length) { ss += emb(i) * emb(i); i += 1 }
-      (r.getLong(0), emb, math.sqrt(ss))
-    }
+      (cid, emb, math.sqrt(ss))
+    }.sortBy(_._1)
   }
 
   /** Top-`a` centroid ids for one vector by (cosine desc, cid asc) —
@@ -617,9 +636,11 @@ object SimilarityQueries {
     * and the one-row query collect are driver scalars, same
     * discipline as text_tfidf. The sampled quantizer is refined by
     * ONE distributed Lloyd step (refineCentroids — real k-means(1)
-    * with a bounded shuffle) before use. Approximate ⇒ rows-only;
-    * recall is asserted by ScaleUtilsSpec and the
-    * ivfK/ivfNProbe/refinement bounds by SimilarityBoundsSpec. */
+    * with a bounded, EXACT-arithmetic shuffle) before use. The whole
+    * pipeline is deterministic as of round 13, so the qid carries a
+    * full recompute oracle ([[simAnnIvfSql]]); recall vs brute force
+    * stays asserted by ScaleUtilsSpec and the ivfK/ivfNProbe/
+    * refinement bounds by SimilarityBoundsSpec. */
   def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(embeddings(s, dir))
     val q = e.filter(col("vec_id") === 0)
@@ -654,6 +675,202 @@ object SimilarityQueries {
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(10)
   }
+
+  /** Spark's xxhash64 of one BIGINT (seed 42) recomputed in DuckDB
+    * HUGEINT — the XXH64 single-8-byte-block path: one k1 round, the
+    * length fold, and the avalanche, each 64×64 multiply split hi/lo
+    * so the product stays mod-2⁶⁴ exact (the same mulmod scheme as
+    * DedupQueries.mix64Sql). Validated bit-for-bit against
+    * org.apache.spark.sql.functions.xxhash64 across sign/magnitude
+    * edge cases. `x` must already be a HUGEINT in [0, 2⁶⁴). */
+  private def xxhash64Sql(x: String): String = {
+    val M = "18446744073709551616::HUGEINT"
+    def mulmod(y: String, c: BigInt): String = {
+      val hi = c >> 32
+      val lo = c & 0xFFFFFFFFL
+      s"((($y * $lo::HUGEINT) + ((($y * $hi::HUGEINT) % " +
+        s"4294967296::HUGEINT) * 4294967296::HUGEINT)) % $M)"
+    }
+    def rotl(y: String, r: Int): String =
+      s"((($y * ${BigInt(1) << r}::HUGEINT) % $M) + ($y >> ${64 - r}))"
+    val P1 = BigInt("9E3779B185EBCA87", 16)
+    val P2 = BigInt("C2B2AE3D27D4EB4F", 16)
+    val P3 = BigInt("165667B19E3779F9", 16)
+    val P4 = BigInt("85EBCA77C2B2AE63", 16)
+    val P5 = BigInt("27D4EB2F165667C5", 16)
+    val k1 = mulmod(rotl(mulmod(x, P2), 31), P1)
+    val h0 = s"(xor((${P5 + 42 + 8}::HUGEINT), $k1))"
+    val h1 = s"((${mulmod(rotl(h0, 27), P1)} + $P4::HUGEINT) % $M)"
+    val h2 = s"(xor($h1, $h1 >> 33))"
+    val h3 = mulmod(h2, P2)
+    val h4 = s"(xor($h3, $h3 >> 29))"
+    val h5 = mulmod(h4, P3)
+    s"(xor($h5, $h5 >> 32))"
+  }
+
+  /** Shared CTE prefix replaying the deterministic IVF build in
+    * DuckDB — nd (l2r-fold norms), the ⌈√n⌉-capped k, the xxhash64
+    * init sample (the same ordering [[ivfCentroids]] runs), ONE
+    * exact-grid Lloyd step (argmax assignment via min(struct) over
+    * the l2r dot fold = [[topCentroids]]' insertion rule;
+    * per-(cid, dim) integer sums = [[refineCentroids]]' decimal
+    * sums), the refined-list-count nprobe (`nprb`, what the
+    * persisted-index serve path uses), and the IVF_ASSIGN=2
+    * fan-out (`asg2`). Every downstream IVF oracle builds on
+    * `cents`/`asg2`. */
+  private def ivfBuildSqlCtes: String = {
+    val h = xxhash64Sql(
+      "(CASE WHEN vec_id < 0 THEN vec_id::HUGEINT + " +
+        "18446744073709551616::HUGEINT ELSE vec_id::HUGEINT END)")
+    val signed = s"($h - CASE WHEN $h >= 9223372036854775808::HUGEINT " +
+      "THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)"
+    s"""nd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+       |    sqrt(list_reduce(list_prepend(0.0,
+       |      list_transform(CAST(embedding AS DOUBLE[]), v -> v * v)),
+       |      (a, x) -> a + x)) AS nrm
+       |  FROM embeddings),
+       |par AS (SELECT
+       |    CAST(least(greatest(4, ceil(sqrt(count(*)))), 65536) AS INT)
+       |      AS k
+       |  FROM nd),
+       |init AS (SELECT vec_id AS cid, emb AS cemb, nrm AS cnrm
+       |  FROM nd ORDER BY $signed, vec_id LIMIT (SELECT k FROM par)),
+       |asg1 AS (SELECT v.vec_id, v.emb,
+       |    min(struct_pack(ns := -($ivfDotSql / (v.nrm * c.cnrm)),
+       |      cid := c.cid)) AS b
+       |  FROM (SELECT * FROM nd WHERE nrm > 0) v, init c
+       |  WHERE c.cnrm > 0
+       |  GROUP BY v.vec_id, v.emb, v.nrm),
+       |sums AS (SELECT (b).cid AS cid,
+       |    unnest(range(1, len(emb) + 1)) AS idx,
+       |    CAST(floor(unnest(emb) * 16777216.0 + 0.5) AS BIGINT) AS ve
+       |  FROM asg1),
+       |cents AS (SELECT cid, list(el ORDER BY idx) AS cemb,
+       |    sqrt(list_reduce(list_prepend(0.0,
+       |      list(el * el ORDER BY idx)), (a, x) -> a + x)) AS cnrm
+       |  FROM (SELECT cid, idx,
+       |      (CAST(sum(ve) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+       |        / 16777216.0 AS el
+       |    FROM sums GROUP BY cid, idx) GROUP BY cid),
+       |nprb AS (SELECT CAST(least(64, greatest(4, ceil(count(*) / 2.0)))
+       |    AS INT) AS np FROM cents),
+       |asg2 AS (SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY $ivfDotSql / (v.nrm * c.cnrm) DESC, c.cid) AS rn
+       |    FROM (SELECT * FROM nd WHERE nrm > 0) v, cents c
+       |    WHERE c.cnrm > 0) WHERE rn <= $IVF_ASSIGN)""".stripMargin
+  }
+
+  /** The l2r dot fold between a vector CTE row `v.emb` and a centroid
+    * row `c.cemb` — bit-identical to the [[topCentroids]] kernel loop
+    * (same clamp, same product order, same left fold). */
+  private val ivfDotSql: String =
+    "list_reduce(list_prepend(0.0, list_transform(" +
+      "range(1, least(len(v.emb), len(c.cemb)) + 1), " +
+      "i -> c.cemb[i] * v.emb[i])), (a, x) -> a + x)"
+
+  /** sim_ann_ivf oracle: the one-shot path — probe width ivfNProbe(k)
+    * from the TRAINING cap k (the refined quantizer can only be
+    * smaller), candidates from the IVF_ASSIGN fan-out ∩ probed lists,
+    * exact-cosine re-rank at 6 dp. A full recompute: the engine's
+    * sample, Lloyd step, probe, and re-rank are all replayed, so this
+    * is hash-equality on the served rows, not a tolerance check. */
+  lazy val simAnnIvfSql: String =
+    s"""WITH $ivfBuildSqlCtes,
+       |kprb AS (SELECT CAST(least(64, greatest(4, ceil(k / 2.0)))
+       |    AS INT) AS np FROM par),
+       |q AS (SELECT emb AS qv, nrm AS qn FROM nd WHERE vec_id = 0),
+       |probes AS (SELECT c.cid
+       |  FROM (SELECT qv AS emb, qn AS nrm FROM q) v, cents c
+       |  WHERE c.cnrm > 0 AND v.nrm > 0
+       |  ORDER BY $ivfDotSql / (v.nrm * c.cnrm) DESC, c.cid
+       |  LIMIT (SELECT np FROM kprb)),
+       |cand AS (SELECT DISTINCT vec_id FROM asg2 JOIN probes USING (cid))
+       |SELECT v.vec_id,
+       |  round(list_reduce(list_prepend(0.0, list_transform(
+       |      range(1, least(len(v.emb), len(q.qv)) + 1),
+       |      i -> v.emb[i] * q.qv[i])), (a, x) -> a + x)
+       |    / (v.nrm * q.qn), 6) AS sim
+       |FROM cand JOIN nd v USING (vec_id), q
+       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
+  /** sim_ann_ivf_indexed oracle: identical pipeline, except the probe
+    * width comes from the REFINED list count (`nprb`) — what
+    * [[annServeFrom]] computes from the persisted quantizer it
+    * reopened (ivfNProbe(cArr.length)), vs the one-shot path's
+    * training-cap k. The two coincide unless the Lloyd step dropped
+    * lists. This makes the qid an end-to-end oracle of build +
+    * persist + reopen + serve. */
+  lazy val simAnnIvfIndexedSql: String =
+    s"""WITH $ivfBuildSqlCtes,
+       |q AS (SELECT emb AS qv, nrm AS qn FROM nd WHERE vec_id = 0),
+       |probes AS (SELECT c.cid
+       |  FROM (SELECT qv AS emb, qn AS nrm FROM q) v, cents c
+       |  WHERE c.cnrm > 0 AND v.nrm > 0
+       |  ORDER BY $ivfDotSql / (v.nrm * c.cnrm) DESC, c.cid
+       |  LIMIT (SELECT np FROM nprb)),
+       |cand AS (SELECT DISTINCT vec_id FROM asg2 JOIN probes USING (cid))
+       |SELECT v.vec_id,
+       |  round(list_reduce(list_prepend(0.0, list_transform(
+       |      range(1, least(len(v.emb), len(q.qv)) + 1),
+       |      i -> v.emb[i] * q.qv[i])), (a, x) -> a + x)
+       |    / (v.nrm * q.qn), 6) AS sim
+       |FROM cand JOIN nd v USING (vec_id), q
+       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
+  /** sim_ann_serve_batch oracle: the batch serve replayed per query —
+    * per-query probes at the serve-path width (`nprb`), the probed
+    * candidate union, 6-dp re-rank, strict top-10 per query
+    * (row_number ordered sim DESC, vec_id — the TopKPerGroup order
+    * key). */
+  lazy val simAnnServeBatchSql: String = {
+    val ids = ANN_BATCH_IDS.mkString(", ")
+    s"""WITH $ivfBuildSqlCtes,
+       |qs AS (SELECT vec_id AS query_id, emb AS qv, nrm AS qn
+       |  FROM nd WHERE vec_id IN ($ids)),
+       |probes AS (SELECT query_id, cid FROM (
+       |    SELECT q.query_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY list_reduce(list_prepend(0.0, list_transform(
+       |            range(1, least(len(q.qv), len(c.cemb)) + 1),
+       |            i -> c.cemb[i] * q.qv[i])), (a, x) -> a + x)
+       |          / (q.qn * c.cnrm) DESC, c.cid) AS rn
+       |    FROM qs q, cents c WHERE c.cnrm > 0 AND q.qn > 0)
+       |  WHERE rn <= (SELECT np FROM nprb)),
+       |cand AS (SELECT DISTINCT p.query_id, a.vec_id
+       |  FROM probes p JOIN asg2 a USING (cid)),
+       |scored AS (SELECT c.query_id, c.vec_id,
+       |    round(list_reduce(list_prepend(0.0, list_transform(
+       |        range(1, least(len(v.emb), len(q.qv)) + 1),
+       |        i -> v.emb[i] * q.qv[i])), (a, x) -> a + x)
+       |      / (v.nrm * q.qn), 6) AS sim
+       |  FROM cand c JOIN nd v USING (vec_id)
+       |    JOIN qs q ON q.query_id = c.query_id)
+       |SELECT query_id, vec_id, sim FROM (
+       |  SELECT query_id, vec_id, sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, vec_id) AS rk
+       |  FROM scored) WHERE rk <= 10""".stripMargin
+  }
+
+  /** sim_ann_ivf_audit oracle: occupancy of the deterministic
+    * IVF_ASSIGN fan-out over the refined lists — previously
+    * "occupancies ride the float-order-sensitive Lloyd refinement ⇒
+    * rows-only"; with the exact-grid refinement the full maintenance
+    * signal (skew, imbalance, rebuild_due) is recomputable. */
+  lazy val simAnnIvfAuditSql: String =
+    s"""WITH $ivfBuildSqlCtes,
+       |occ AS (SELECT cid, count(*) AS n FROM asg2 GROUP BY cid)
+       |SELECT (SELECT count(*) FROM cents) AS n_lists,
+       |  count(*) AS n_lists_used,
+       |  CAST(sum(n) AS BIGINT) AS n_assignments,
+       |  max(n) AS max_list,
+       |  round(avg(n) + 1e-9, 2) AS avg_list,
+       |  round(max(n) / avg(n) + 1e-9, 2) AS imbalance,
+       |  (round(max(n) / avg(n) + 1e-9, 2) > $IVF_REBUILD_IMBALANCE
+       |   OR count(*) < (SELECT count(*) FROM cents) / 2) AS rebuild_due
+       |FROM occ""".stripMargin
 
   /** snk_vector_index / sim_ann_ivf_indexed share this builder: the
     * persisted IVF index — the vector-side "build once, serve many"
@@ -794,8 +1011,8 @@ object SimilarityQueries {
     * list, the IVF_ASSIGN fan-out exact (k ≥ 4 always, so each vector
     * lands in exactly 2 lists), and the quantizer bounded by the ⌈√n⌉
     * training cap. Which lists the Lloyd refinement kept
-    * (n_lists_used, occupancy) rides float order and stays in
-    * VectorIndexSpec / the audit qid. */
+    * (n_lists_used, occupancy) is deterministic as of round 13 and
+    * fully oracle-checked by the audit qid ([[simAnnIvfAuditSql]]). */
   def snkVectorIndex(s: SparkSession, dir: String): DataFrame = {
     val root = buildVectorIndex(s, dir)
     val a = s.read.parquet(s"$root/assignments")
@@ -834,8 +1051,10 @@ object SimilarityQueries {
     * cosine re-ranks only the probed lists' members against the
     * broadcast 1-row query. At serve time the corpus is touched only
     * for the 1-row query-vector lookup — everything else reads
-    * nprobe/k of the index. Approximate ⇒ rows-only; recall and the
-    * serve plan are pinned in VectorIndexSpec. */
+    * nprobe/k of the index. Full recompute oracle as of round 13
+    * ([[simAnnIvfIndexedSql]] — an end-to-end check of build +
+    * persist + reopen + serve); recall and the serve plan stay
+    * pinned in VectorIndexSpec. */
   def simAnnIvfIndexed(s: SparkSession, dir: String): DataFrame = {
     val root = buildVectorIndex(s, dir)
     val e = withNorm(embeddings(s, dir))
@@ -923,9 +1142,10 @@ object SimilarityQueries {
   /** sim_ann_serve_batch — the vector twin of text_bm25_serve_batch:
     * a whole query TABLE of vectors answered in ONE job against the
     * persisted IVF index (the amortized concurrent-serve shape; the
-    * reference's serve tier runs WEB_CONCURRENCY=10). Approximate ⇒
-    * rows-only; VectorIndexSpec pins per-query hash parity with N
-    * independent single-query serves plus the one-job plan shape. */
+    * reference's serve tier runs WEB_CONCURRENCY=10). Full recompute
+    * oracle as of round 13 ([[simAnnServeBatchSql]]); VectorIndexSpec
+    * still pins per-query hash parity with N independent single-query
+    * serves plus the one-job plan shape. */
   def simAnnServeBatch(s: SparkSession, dir: String): DataFrame = {
     val root = buildVectorIndex(s, dir)
     val e = withNorm(embeddings(s, dir))
@@ -1002,10 +1222,12 @@ object SimilarityQueries {
     * says WHEN a rebuild is due. One cheap aggregate over the
     * assignment lists (groupBy on the partition column + count — no
     * data columns read) reports occupancy skew; `rebuild_due` flips
-    * when the max-to-mean factor passes IVF_REBUILD_IMBALANCE.
-    * Occupancies ride the float-order-sensitive Lloyd refinement ⇒
-    * rows-only; VectorIndexSpec plants a skewed streamed batch and
-    * asserts the imbalance signal grows. */
+    * when the max-to-mean factor passes IVF_REBUILD_IMBALANCE. With
+    * the exact-grid Lloyd refinement the occupancies are
+    * deterministic, so the full maintenance signal carries a
+    * recompute oracle ([[simAnnIvfAuditSql]]); VectorIndexSpec still
+    * plants a skewed streamed batch and asserts the imbalance signal
+    * grows. */
   def simAnnIvfAudit(s: SparkSession, dir: String): DataFrame =
     ivfAuditFrom(s, buildVectorIndex(s, dir))
 
@@ -1796,34 +2018,89 @@ object SimilarityQueries {
   /** emb_kmeans — spherical k-means to convergence (the curation
     * clustering primitive: SemDeDup partitions the corpus by k-means
     * cluster before any pairwise work; topic balancing samples per
-    * cluster). Deterministic hash-sampled init (ivfCentroids), then
-    * Lloyd rounds via refineCentroids until centroid movement decays
-    * below 5% of the FIRST round's movement (scale-free: an absolute
-    * tolerance either never fires on noisy data — movement plateaus
-    * at a few % of centroid norm as points oscillate between equally
-    * good clusters — or fires instantly on tight data) or MAX
-    * rounds. Per round: ONE map-side broadcast
-    * assignment + ONE partial-agg shuffle bounded by k×d partial
-    * sums per partition — corpus rows never shuffle, centroids live
-    * on the driver (k bounded like ivfK ≤ 65,536 ≈ 33 MB). Cluster
-    * geometry is engine-specific ⇒ rows-only; planted-blob recovery
-    * and convergence are unit-tested. */
+    * cluster). Deterministic end-to-end, so the whole Lloyd loop is
+    * DuckDB-recomputable ([[embKmeansSql]]) and the qid carries a
+    * full hash oracle instead of a rows-only check:
+    *
+    *  - init: the k vectors with the smallest (splitmix64(vec_id),
+    *    vec_id) — the one hash the oracles already replay in HUGEINT
+    *    (DedupQueries.mix64Sql), vs. Spark's xxhash64 which has no
+    *    SQL recompute;
+    *  - per round: map-side broadcast argmax-cosine assignment (l2r
+    *    dot fold, tie → min cid) + per-(cid, dim) EXACT integer sums
+    *    of ve = floor(v·2²⁴ + 0.5) — float sums are the one
+    *    order-dependent step in distributed Lloyd, so the mean is
+    *    computed on a fixed-point grid where partial aggregation is
+    *    associative by construction (sum carried as decimal(38,0):
+    *    overflow-proof at any corpus size). New element =
+    *    (sv/n)/2²⁴ in double — every remaining op is an explicitly
+    *    sequenced IEEE op both engines perform identically;
+    *  - stop when max centroid movement (l2r sqrt-sum-sq) decays
+    *    below 5% of the FIRST round's movement (scale-free: an
+    *    absolute tolerance either never fires on noisy data or fires
+    *    instantly on tight data; absolute floor 1e-6 so
+    *    already-converged input stops after one round) or MAX rounds;
+    *  - output cosines quantized in the kernel to floor(cos·1e8+0.5)
+    *    so avg/min aggregate over exact longs, never floats.
+    *
+    * Per round: ONE broadcast assignment + ONE partial-agg shuffle
+    * bounded by k×d partial sums per partition — corpus rows never
+    * shuffle, centroids live on the driver (k bounded like ivfK ≤
+    * 65,536 ≈ 33 MB). Planted-blob recovery and repartition
+    * invariance are unit-tested. */
   def embKmeans(s: SparkSession, dir: String): DataFrame =
-    embKmeansFrom(withNorm(embeddings(s, dir)), 8)
+    kmeansSummary(kmeansAssignFp(
+      nonDegenerate(withNorm(embeddings(s, dir))),
+      kmeansCentroidsFor(s, dir, 8)))
 
   private val KMEANS_MAX_ITERS = 20
+  private val KMEANS_GRID = 16777216.0 // 2^24: ve = floor(v*2^24 + .5)
+  private val COS_GRID = 1e8 // output cosine fixed-point grid
 
-  private[graft] def embKmeansFrom(e0: DataFrame, k: Int): DataFrame = {
-    val s = e0.sparkSession
-    val e = nonDegenerate(e0)
-    var cents = ivfCentroids(e, k).collect().map { r =>
-      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+  /** Winning (cid, sim) for one vector over the broadcast centroids:
+    * l2r dot fold over the clamped common dims (a ragged vector
+    * degrades instead of crashing — emb_stats audits the condition),
+    * sim = dot/(nrm·cn), ties → min cid, zero-norm centroids skipped.
+    * The oracle replays this argmax bit-for-bit via min(struct) over
+    * the identical fold. */
+  private def bestCentroid(
+      cents: Array[(Long, Array[Double], Double)],
+      emb: Seq[Double], nrm: Double): (Long, Double) = {
+    if (emb == null || nrm <= 0.0 || cents.isEmpty)
+      return (-1L, 0.0)
+    val ev = emb.toArray
+    var bc = -1L
+    var bs = Double.NegativeInfinity
+    var i = 0
+    while (i < cents.length) {
+      val (cid, ce, cn) = cents(i)
+      if (cn > 0) {
+        var dot = 0.0
+        var d = 0
+        val n = math.min(ce.length, ev.length)
+        while (d < n) { dot += ce(d) * ev(d); d += 1 }
+        val sim = dot / (nrm * cn)
+        if (sim > bs || (sim == bs && cid < bc)) { bs = sim; bc = cid }
+      }
+      i += 1
     }
+    (bc, if (bc < 0) 0.0 else bs)
+  }
+
+  /** The Lloyd loop: deterministic init + exact refinements to the
+    * scale-free stopping rule. Returns the converged centroids. */
+  private[graft] def kmeansLoop(
+      e: DataFrame, k: Int): Array[(Long, Array[Double], Double)] = {
+    val s = e.sparkSession
+    val mix64 = udf { (x: Long) => graft.functions.FastSig.mix(x) }
+    var cents = e.orderBy(mix64(col("vec_id")), col("vec_id")).limit(k)
+      .select(col("vec_id"), col("emb"), col("nrm"))
+      .collect().map { r =>
+        (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+      }
     var moved = Double.MaxValue
     var firstMoved = -1.0
     var it = 0
-    // absolute floor 1e-6: already-converged input (round-1 movement
-    // itself ~1e-8) must stop after one round, not chase 5% of noise
     while (moved > math.max(1e-6, firstMoved * 0.05) &&
         it < KMEANS_MAX_ITERS) {
       val next = refineCentroids(s, e, cents)
@@ -1845,45 +2122,183 @@ object SimilarityQueries {
       if (firstMoved < 0.0) firstMoved = moved
       it += 1
     }
-    val cBc = s.sparkContext.broadcast(cents)
-    // ONE kernel pass per row: the winning centroid AND its cosine
-    // from the same O(k·d) sweep (a separate lookup UDF would re-scan
-    // the k-array and re-compute the dot product per row); dims
-    // clamped so a ragged-dimension vector degrades instead of
-    // crashing (the condition emb_stats exists to audit)
-    val assignSim = udf { (emb: Seq[Double], nrm: Double) =>
-      val cs = cBc.value
-      if (emb == null || nrm <= 0.0 || cs.isEmpty) (-1L, 0.0)
-      else {
-        val ev = emb.toArray
-        var bestCid = -1L
-        var bestSim = Double.NegativeInfinity
-        var i = 0
-        while (i < cs.length) {
-          val (cid, ce, cn) = cs(i)
-          if (cn > 0) {
-            var dot = 0.0
-            var d = 0
-            val n = math.min(ce.length, ev.length)
-            while (d < n) { dot += ce(d) * ev(d); d += 1 }
-            val sim = dot / (nrm * cn)
-            if (sim > bestSim || (sim == bestSim && cid < bestCid)) {
-              bestSim = sim; bestCid = cid
-            }
-          }
-          i += 1
-        }
-        (bestCid, if (bestCid < 0) 0.0 else bestSim)
-      }
-    }
-    e.withColumn("a", assignSim(col("emb"), col("nrm")))
-      .select(col("a._1").as("cid"), col("a._2").as("cos"))
-      .filter(col("cid") >= 0)
-      .groupBy(col("cid"))
-      .agg(count(lit(1)).as("n"),
-        round(avg(col("cos")) + lit(1e-9), 4).as("avg_cos"),
-        round(min(col("cos")) + lit(1e-9), 4).as("min_cos"))
+    cents
   }
+
+  /** Converged centroids per (corpus, k), memoized behind the corpus
+    * file-stat fingerprint like the index builders: emb_kmeans and
+    * emb_kmeans_assign share one Lloyd loop per JVM instead of
+    * re-converging per qid. */
+  private val kmeansCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[(Long, Array[Double], Double)]]()
+
+  private def kmeansCentroidsFor(
+      s: SparkSession, dir: String, k: Int)
+      : Array[(Long, Array[Double], Double)] = {
+    val fp = IndexManifest.corpusFingerprint(dir, "embeddings")
+    kmeansCache.computeIfAbsent(s"$dir|$fp|$k", { _ =>
+      kmeansLoop(nonDegenerate(withNorm(embeddings(s, dir))), k)
+    })
+  }
+
+  /** Per-row winning (cid, cosine-on-the-1e8-grid) against converged
+    * centroids — ONE kernel pass per row: winning centroid AND its
+    * cosine from the same O(k·d) sweep, the cosine quantized IN the
+    * kernel so downstream aggregates see exact longs — the only
+    * float aggregation in the old shape, and the one step an oracle
+    * could not replay order-independently. */
+  private def kmeansAssignFp(
+      e: DataFrame, cents: Array[(Long, Array[Double], Double)])
+      : DataFrame = {
+    val cBc = e.sparkSession.sparkContext.broadcast(cents)
+    val assignFp = udf { (emb: Seq[Double], nrm: Double) =>
+      val (cid, sim) = bestCentroid(cBc.value, emb, nrm)
+      (cid, math.floor(sim * COS_GRID + 0.5).toLong)
+    }
+    e.withColumn("a", assignFp(col("emb"), col("nrm")))
+      .select(col("vec_id"), col("a._1").as("cid"), col("a._2").as("fp"))
+      .filter(col("cid") >= 0)
+  }
+
+  private def kmeansSummary(asg: DataFrame): DataFrame =
+    asg.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        round((sum(col("fp")).cast("double") /
+          count(lit(1)).cast("double")) / lit(COS_GRID) + lit(1e-9), 4)
+          .as("avg_cos"),
+        round(min(col("fp")).cast("double") / lit(COS_GRID) + lit(1e-9), 4)
+          .as("min_cos"))
+
+  private[graft] def embKmeansFrom(e0: DataFrame, k: Int): DataFrame = {
+    val e = nonDegenerate(e0)
+    kmeansSummary(kmeansAssignFp(e, kmeansLoop(e, k)))
+  }
+
+  /** emb_kmeans_assign — the per-vector assignment table (vec_id →
+    * cluster, cosine to its centroid): the artifact downstream
+    * curation actually consumes — SemDeDup partitions pairwise work
+    * by this column; topic balancing samples per cid; low-cos rows
+    * are the outlier review queue. Same converged centroids as
+    * emb_kmeans (shared memo), one broadcast kernel pass, zero
+    * shuffle — and the same full recompute oracle chain
+    * ([[embKmeansAssignSql]]). */
+  def embKmeansAssign(s: SparkSession, dir: String): DataFrame =
+    kmeansAssignFp(nonDegenerate(withNorm(embeddings(s, dir))),
+      kmeansCentroidsFor(s, dir, 8))
+      .select(col("vec_id"), col("cid"),
+        round(col("fp").cast("double") / lit(COS_GRID) + lit(1e-9), 6)
+          .as("cos"))
+
+  /** emb_kmeans oracle: the full deterministic Lloyd loop replayed in
+    * one recursive CTE. State is ONE row per iteration — (it, cents
+    * LIST<STRUCT(cid, cemb, cnrm)>, moved, fm) — because DuckDB's
+    * recursive term may reference the working table once; every
+    * stage (assignment argmax via min(struct) over the l2r dot fold,
+    * exact 2²⁴-grid integer means per (cid, dim), movement as the
+    * max l2r distance to the carried-through old centroid) chains as
+    * nested derived tables off that single reference. The winning
+    * centroid's OLD embedding rides inside the argmax struct so the
+    * movement join needs no second reference. Loop condition, folds,
+    * and the final fixed-point cosine aggregation mirror
+    * [[embKmeansFrom]] op-for-op. */
+  private def kmeansSqlCtes: String = {
+    val h = DedupQueries.mix64Sql(
+      "(CASE WHEN vec_id < 0 THEN vec_id::HUGEINT + " +
+        "18446744073709551616::HUGEINT ELSE vec_id::HUGEINT END)")
+    val signed = s"($h - CASE WHEN $h >= 9223372036854775808::HUGEINT " +
+      "THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)"
+    val dot = "list_reduce(list_prepend(0.0, list_transform(" +
+      "range(1, least(len(v.emb), len(c.cemb)) + 1), " +
+      "i -> c.cemb[i] * v.emb[i])), (a, x) -> a + x)"
+    s"""
+       |nd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+       |    sqrt(list_reduce(list_prepend(0.0,
+       |      list_transform(CAST(embedding AS DOUBLE[]), v -> v * v)),
+       |      (a, x) -> a + x)) AS nrm
+       |  FROM embeddings),
+       |nz AS (SELECT * FROM nd WHERE nrm > 0),
+       |init AS (SELECT vec_id AS cid, emb AS cemb, nrm AS cnrm
+       |  FROM nz ORDER BY $signed, vec_id LIMIT 8),
+       |st(it, cents, moved, fm) AS (
+       |  SELECT 0,
+       |    (SELECT list(struct_pack(cid := cid, cemb := cemb,
+       |       cnrm := cnrm) ORDER BY cid) FROM init),
+       |    CAST('inf' AS DOUBLE), CAST(NULL AS DOUBLE)
+       |  UNION ALL
+       |  SELECT it2 + 1, ncents, mv, COALESCE(fm2, mv)
+       |  FROM (
+       |    SELECT any_value(it2) AS it2, any_value(fm2) AS fm2,
+       |      list(struct_pack(cid := cid, cemb := cemb, cnrm := cnrm)
+       |        ORDER BY cid) AS ncents,
+       |      max(dist) AS mv
+       |    FROM (
+       |      SELECT it2, fm2, cid,
+       |        list(el ORDER BY idx) AS cemb,
+       |        sqrt(list_reduce(list_prepend(0.0,
+       |          list(el * el ORDER BY idx)), (a, x) -> a + x)) AS cnrm,
+       |        sqrt(list_reduce(list_prepend(0.0,
+       |          list((el - oel) * (el - oel) ORDER BY idx)),
+       |          (a, x) -> a + x)) AS dist
+       |      FROM (
+       |        SELECT it2, fm2, cid, idx,
+       |          (CAST(sum(ve) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+       |            / 16777216.0 AS el,
+       |          any_value(oel) AS oel
+       |        FROM (
+       |          SELECT it2, fm2, (b).cid AS cid,
+       |            unnest(range(1, len(emb) + 1)) AS idx,
+       |            CAST(floor(unnest(emb) * 16777216.0 + 0.5)
+       |              AS BIGINT) AS ve,
+       |            unnest(list_transform(range(1, len(emb) + 1),
+       |              i -> (b).oemb[i])) AS oel
+       |          FROM (
+       |            SELECT v.vec_id, v.emb, any_value(c.it2) AS it2,
+       |              any_value(c.fm2) AS fm2,
+       |              min(struct_pack(ns := -($dot / (v.nrm * c.cnrm)),
+       |                cid := c.cid, oemb := c.cemb)) AS b
+       |            FROM nz v, (
+       |              SELECT s.it AS it2, s.fm AS fm2, u.c.cid AS cid,
+       |                u.c.cemb AS cemb, u.c.cnrm AS cnrm
+       |              FROM st s, unnest(s.cents) u(c)
+       |              WHERE s.moved > greatest(1e-6,
+       |                  COALESCE(s.fm, -1.0) * 0.05)
+       |                AND s.it < 20
+       |            ) c
+       |            WHERE c.cnrm > 0
+       |            GROUP BY v.vec_id, v.emb, v.nrm
+       |          )
+       |        ) GROUP BY it2, fm2, cid, idx
+       |      ) GROUP BY it2, fm2, cid
+       |    ) GROUP BY it2, fm2
+       |  )
+       |),
+       |fin AS (SELECT cents FROM st ORDER BY it DESC LIMIT 1),
+       |fc AS (SELECT u.c.cid AS cid, u.c.cemb AS cemb, u.c.cnrm AS cnrm
+       |  FROM fin, unnest(fin.cents) u(c) WHERE u.c.cnrm > 0),
+       |asg AS (SELECT v.vec_id,
+       |    min(struct_pack(ns := -($dot / (v.nrm * c.cnrm)),
+       |      cid := c.cid)) AS b
+       |  FROM nz v, fc c GROUP BY v.vec_id, v.emb, v.nrm),
+       |fps AS (SELECT v.vec_id, (b).cid AS cid,
+       |    CAST(floor(-((b).ns) * 100000000.0 + 0.5) AS BIGINT) AS fp
+       |  FROM asg v)""".stripMargin
+  }
+
+  val embKmeansSql: String =
+    s"""WITH RECURSIVE $kmeansSqlCtes
+       |SELECT cid, count(*) AS n,
+       |  round((CAST(sum(fp) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+       |    / 100000000.0 + 1e-9, 4) AS avg_cos,
+       |  round(CAST(min(fp) AS DOUBLE) / 100000000.0 + 1e-9, 4) AS min_cos
+       |FROM fps GROUP BY cid""".stripMargin
+
+  /** emb_kmeans_assign oracle: same converged-centroid CTE chain,
+    * per-vector final projection at 6 dp. */
+  val embKmeansAssignSql: String =
+    s"""WITH RECURSIVE $kmeansSqlCtes
+       |SELECT vec_id, cid,
+       |  round(CAST(fp AS DOUBLE) / 100000000.0 + 1e-9, 6) AS cos
+       |FROM fps""".stripMargin
 
   /** emb_random_projection — Johnson-Lindenstrauss dimension
     * reduction (FastSig.randomProjection): every embedding projected
@@ -2142,7 +2557,8 @@ object SimilarityQueries {
     "dedup_semantic" -> (dedupSemantic _),
     "emb_stats" -> (embStats _),
     "emb_random_projection" -> (embRandomProjection _),
-    "emb_kmeans" -> (embKmeans _)
+    "emb_kmeans" -> (embKmeans _),
+    "emb_kmeans_assign" -> (embKmeansAssign _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -2160,6 +2576,12 @@ object SimilarityQueries {
     "sim_ann_lsh" -> simAnnLshSql,
     "dedup_near_embedding" -> dedupNearEmbeddingSql,
     "sim_knn_join" -> simKnnJoinSql,
-    "dedup_semantic" -> dedupSemanticSql
+    "dedup_semantic" -> dedupSemanticSql,
+    "emb_kmeans" -> embKmeansSql,
+    "emb_kmeans_assign" -> embKmeansAssignSql,
+    "sim_ann_ivf" -> simAnnIvfSql,
+    "sim_ann_ivf_indexed" -> simAnnIvfIndexedSql,
+    "sim_ann_serve_batch" -> simAnnServeBatchSql,
+    "sim_ann_ivf_audit" -> simAnnIvfAuditSql
   )
 }

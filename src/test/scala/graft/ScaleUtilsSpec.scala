@@ -72,6 +72,36 @@ class ScaleUtilsSpec extends SparkSpec {
     }
   }
 
+  test("emb_kmeans and the IVF audit are repartition-invariant " +
+      "(the determinism the recompute oracles rest on)") {
+    // The float mean was the one order-dependent step in distributed
+    // Lloyd; the 2^24-grid integer sums make every partitioning of
+    // the corpus produce bit-identical centroids, assignments, and
+    // aggregates. Exercised through the two public surfaces that
+    // fold over refineCentroids output.
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val base = graft.Tables.embeddings(spark, sf)
+    def kmeansOf(parts: Int) = SimilarityQueries.embKmeansFrom(
+      base.repartition(parts)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("emb"))
+        .withColumn("nrm",
+          graft.functions.ArrayDot.l2Norm(col("emb"))), 8)
+    assert(canon(kmeansOf(1)) == canon(kmeansOf(13)),
+      "kmeans output drifted across partitionings")
+    assert(canon(kmeansOf(13)).nonEmpty)
+    // the per-vector assign table must reconcile with the summary:
+    // same clusters, same member counts
+    val summary = SimilarityQueries.embKmeans(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val assign = SimilarityQueries.embKmeansAssign(spark, sf)
+      .groupBy(col("cid")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assign == summary,
+      s"assign counts $assign != summary counts $summary")
+  }
+
   test("salted join equals plain join") {
     val li = Tables.lineitem(spark, sf).select(col("l_partkey"), col("l_quantity"))
     val p = Tables.part(spark, sf).select(col("p_partkey").as("l_partkey"), col("p_brand"))

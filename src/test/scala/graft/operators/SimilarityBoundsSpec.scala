@@ -63,10 +63,14 @@ class SimilarityBoundsSpec extends SparkSpec {
     assert(refined.length <= sample.length)
     val m1 = refined.find(_._1 == 0L).get._2
     val m2 = refined.find(_._1 == 100L).get._2
-    // exact means: (1.0, avg(0.00..0.19)) and mirrored
+    // exact means: (1.0, avg(0.00..0.19)) and mirrored. Tolerance is
+    // the 2^-24 fixed-point grid (round 13: means are exact integer
+    // sums of floor(v*2^24 + 0.5), so recovery is within half a grid
+    // step ≈ 3e-8 per element, not float-exact)
     val exp = (0 until 20).map(_ * 0.01).sum / 20
-    assert(math.abs(m1(0) - 1.0) < 1e-12 && math.abs(m1(1) - exp) < 1e-12)
-    assert(math.abs(m2(1) - 1.0) < 1e-12 && math.abs(m2(0) - exp) < 1e-12)
+    val tol = 1.0 / (1 << 24)
+    assert(math.abs(m1(0) - 1.0) < tol && math.abs(m1(1) - exp) < tol)
+    assert(math.abs(m2(1) - 1.0) < tol && math.abs(m2(0) - exp) < tol)
     // empty input passes through
     assert(SimilarityQueries.refineCentroids(spark, e,
       Array.empty[(Long, Array[Double], Double)]).isEmpty)
