@@ -3,6 +3,7 @@ package graft.operators
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.ArrayDot.{arrayDot, l2Norm}
@@ -55,6 +56,175 @@ object SimilarityQueries {
       |    AS sim
       |FROM nd, q
       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Reciprocal-rank-fusion depth: each retrieval system contributes
+    * a pool of this many candidates before fusing. */
+  private[operators] val HYBRID_POOL = 50
+  /** The RRF damping constant (K in 1/(K + rank)) — 60, the value the
+    * original RRF evaluation fixed and every production hybrid stack
+    * defaults to. */
+  private val RRF_K = 60
+  private val HYBRID_TOPK = 20
+
+  /** RRF fusion of a lexical pool (doc_id, bm25) and a dense pool
+    * (doc_id, sim): rank each pool by its own rounded score with
+    * doc_id tiebreak, fuse as Σ 1/(RRF_K + rank) over the systems
+    * that returned the doc, take the fused top-[[HYBRID_TOPK]].
+    * Missing-side ranks stay NULL in the output (the consumer sees
+    * WHICH system surfaced each doc); their fusion contribution is 0.
+    *
+    * Scale shape: both inputs are already top-[[HYBRID_POOL]] frames
+    * (TakeOrderedAndProject heaps upstream), so the unpartitioned
+    * row_number windows and the full-outer join here touch ≤ 2·pool
+    * rows TOTAL regardless of corpus size — the single-partition
+    * window is bounded by the pool constant, never by data. */
+  private def rrfFuse(lex: DataFrame, dense: DataFrame): DataFrame = {
+    val lexr = lex.select(col("doc_id"),
+      row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+        .cast("long").as("lex_rank"))
+    val denr = dense.select(col("doc_id"),
+      row_number().over(Window.orderBy(col("sim").desc, col("doc_id")))
+        .cast("long").as("dense_rank"))
+    lexr.join(denr, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(RRF_K) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RRF_K) + col("dense_rank")), lit(0.0)),
+        6))
+      .select(col("doc_id"), col("lex_rank"), col("dense_rank"), col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(HYBRID_TOPK)
+  }
+
+  /** sim_hybrid_rrf — hybrid retrieval: BM25 over `documents` fused
+    * with exact cosine over `embeddings` (vec_id = doc_id: one
+    * embedding per document) by reciprocal-rank fusion. THE
+    * curation-retrieval shape a training-data pipeline runs for
+    * decontamination sweeps and quality retrieval: lexical catches
+    * literal term overlap, dense catches paraphrase, RRF needs no
+    * score calibration between the two. Both pools are global top-50
+    * heaps (TakeOrderedAndProject — per-partition heap + driver merge
+    * of pool-sized rows, never a corpus sort), fusion work is
+    * pool-bounded (see [[rrfFuse]]), so the whole operator adds TWO
+    * bounded reductions over scans that are each already the proven
+    * text_bm25 / sim_topk_cosine shape. Full recompute oracle
+    * ([[simHybridRrfSql]]): pools, ranks, fused scores, and the final
+    * cut are all replayed in SQL and hash-compared. */
+  def simHybridRrf(s: SparkSession, dir: String): DataFrame =
+    rrfFuse(
+      TextQueries.bm25Top(s, dir, HYBRID_POOL)
+        .select(col("doc_id"), col("bm25")),
+      simTopkCosinePool(s, dir, HYBRID_POOL))
+
+  /** The exact-cosine pool at a caller-chosen depth — simTopkCosine's
+    * pipeline with vec_id surfaced as doc_id; the dense half of
+    * [[simHybridRrf]]. */
+  private[operators] def simTopkCosinePool(
+      s: SparkSession, dir: String, k: Int): DataFrame = {
+    val e = nonDegenerate(withNorm(embeddings(s, dir)))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("emb").as("qv"), col("nrm").as("qn"))
+    e.join(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(arrayDot(col("emb"), col("qv")) / (col("nrm") * col("qn")), 6)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** The RRF fusion tail shared by the two hybrid oracles — expects
+    * CTEs `lexpool(doc_id, bm25)` and `denpool(doc_id, sim)` in
+    * scope. Ranks are BIGINT in both engines (Spark casts
+    * row_number to long); the 1.0/(K+rank) terms are IEEE double
+    * divisions both engines perform identically. */
+  private def rrfFuseSqlTail: String =
+    s"""lexr AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+       |  FROM lexpool),
+       |denr AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY sim DESC, doc_id) AS dense_rank
+       |  FROM denpool)
+       |SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+       |  l.lex_rank, d.dense_rank,
+       |  round(COALESCE(CAST(1.0 AS DOUBLE) / ($RRF_K + l.lex_rank),
+       |      CAST(0.0 AS DOUBLE))
+       |    + COALESCE(CAST(1.0 AS DOUBLE) / ($RRF_K + d.dense_rank),
+       |      CAST(0.0 AS DOUBLE)), 6) AS rrf
+       |FROM lexr l FULL OUTER JOIN denr d ON l.doc_id = d.doc_id
+       |ORDER BY rrf DESC, doc_id LIMIT $HYBRID_TOPK""".stripMargin
+
+  /** sim_hybrid_rrf oracle: the lexical pool is [[TextQueries
+    * .bm25PoolSqlCtes]] (textBm25Sql's exact CTEs at pool depth), the
+    * dense pool is simTopkCosineSql's exact shape at pool depth, and
+    * the fusion tail replays ranks + RRF arithmetic. */
+  lazy val simHybridRrfSql: String =
+    s"""WITH ${TextQueries.bm25PoolSqlCtes(HYBRID_POOL)},
+       |nd AS (SELECT * FROM (
+       |    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+       |      sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+       |        v -> v * v))) AS nrm
+       |    FROM embeddings) t WHERE nrm > 0),
+       |q AS (SELECT emb AS qv FROM nd WHERE vec_id = 0),
+       |denpool AS (SELECT vec_id AS doc_id,
+       |    round(list_cosine_similarity(emb, qv), 6) AS sim
+       |  FROM nd, q
+       |  ORDER BY sim DESC, vec_id LIMIT $HYBRID_POOL),
+       |$rrfFuseSqlTail""".stripMargin
+
+  /** sim_hybrid_serve — the SERVE-TIER form of [[simHybridRrf]]: the
+    * lexical pool comes from the persisted inverted index and the
+    * dense pool from the persisted IVF index, both through the leased
+    * [[IndexServe]] facade (each pool read holds the serve lease, so
+    * maintenance can never swap directories under a half-fused
+    * query). At 100 TB this is the hybrid endpoint's actual request
+    * path: nothing corpus-sized is scanned — the text side reads the
+    * query's term buckets, the vector side the probed IVF lists, and
+    * fusion is pool-bounded driver work. The dense pool is the IVF
+    * APPROXIMATION (probed-list candidates, exact re-rank), so the
+    * fused ranking can differ from sim_hybrid_rrf exactly where ANN
+    * recall differs — the oracle models the probe, not the exact
+    * scan ([[simHybridServeSql]]). */
+  def simHybridServe(s: SparkSession, dir: String): DataFrame = {
+    val lex = IndexServe.bm25TopK(s, TextQueries.buildTextIndex(s, dir),
+      TextQueries.BM25_QUERY, HYBRID_POOL)
+      .select(col("doc_id"), col("bm25"))
+    val vecRoot = buildVectorIndex(s, dir)
+    val qRows = withNorm(embeddings(s, dir))
+      .filter(col("vec_id") === 0)
+      .select(col("emb"), col("nrm")).collect()
+    val dense =
+      if (qRows.isEmpty)
+        lex.select(col("doc_id"), lit(0.0).as("sim")).limit(0)
+      else IndexServe.annTopK(s, vecRoot,
+        qRows(0).getSeq[Double](0).toArray, qRows(0).getDouble(1),
+        HYBRID_POOL)
+        .select(col("vec_id").as("doc_id"), col("sim"))
+    rrfFuse(lex, dense)
+  }
+
+  /** sim_hybrid_serve oracle: lexical pool = the scan-time BM25 CTEs
+    * (index-served BM25 is hash-identical to the scan — the
+    * text_bm25_indexed contract), dense pool = the IVF serve pipeline
+    * ([[simAnnIvfIndexedSql]]'s build + nprb-width probe + exact
+    * re-rank) cut at pool depth, fusion tail shared with
+    * [[simHybridRrfSql]]. */
+  lazy val simHybridServeSql: String =
+    s"""WITH ${TextQueries.bm25PoolSqlCtes(HYBRID_POOL)},
+       |$ivfBuildSqlCtes,
+       |q AS (SELECT emb AS qv, nrm AS qn FROM nd WHERE vec_id = 0),
+       |probes AS (SELECT c.cid
+       |  FROM (SELECT qv AS emb, qn AS nrm FROM q) v, cents c
+       |  WHERE c.cnrm > 0 AND v.nrm > 0
+       |  ORDER BY $ivfDotSql / (v.nrm * c.cnrm) DESC, c.cid
+       |  LIMIT (SELECT np FROM nprb)),
+       |cand AS (SELECT DISTINCT vec_id FROM asg2 JOIN probes USING (cid)),
+       |denpool AS (SELECT v.vec_id AS doc_id,
+       |    round(list_reduce(list_prepend(0.0, list_transform(
+       |        range(1, least(len(v.emb), len(q.qv)) + 1),
+       |        i -> v.emb[i] * q.qv[i])), (a, x) -> a + x)
+       |      / (v.nrm * q.qn), 6) AS sim
+       |  FROM cand JOIN nd v USING (vec_id), q
+       |  ORDER BY sim DESC, vec_id LIMIT $HYBRID_POOL),
+       |$rrfFuseSqlTail""".stripMargin
 
   /** sim_pairwise_threshold — all pairs above cosine 0.4 within label
     * blocks. The OUTPUT is oracle-fixed and inherently quadratic in
@@ -2558,7 +2728,9 @@ object SimilarityQueries {
     "emb_stats" -> (embStats _),
     "emb_random_projection" -> (embRandomProjection _),
     "emb_kmeans" -> (embKmeans _),
-    "emb_kmeans_assign" -> (embKmeansAssign _)
+    "emb_kmeans_assign" -> (embKmeansAssign _),
+    "sim_hybrid_rrf" -> (simHybridRrf _),
+    "sim_hybrid_serve" -> (simHybridServe _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -2582,6 +2754,8 @@ object SimilarityQueries {
     "sim_ann_ivf" -> simAnnIvfSql,
     "sim_ann_ivf_indexed" -> simAnnIvfIndexedSql,
     "sim_ann_serve_batch" -> simAnnServeBatchSql,
-    "sim_ann_ivf_audit" -> simAnnIvfAuditSql
+    "sim_ann_ivf_audit" -> simAnnIvfAuditSql,
+    "sim_hybrid_rrf" -> simHybridRrfSql,
+    "sim_hybrid_serve" -> simHybridServeSql
   )
 }

@@ -204,7 +204,14 @@ object TextQueries {
     * heap + driver merge of 20 rows, never a full sort. Ordering and
     * the cutoff use the ROUNDED score (+1e-9, 4dp, both engines) with
     * doc_id tiebreak, so the selected set is engine-stable. */
-  def textBm25(s: SparkSession, dir: String): DataFrame = {
+  def textBm25(s: SparkSession, dir: String): DataFrame =
+    bm25Top(s, dir, 20)
+
+  /** The BM25 scan-time pipeline with a caller-chosen pool size —
+    * textBm25 IS bm25Top(_, _, 20); the hybrid-fusion operator
+    * ([[SimilarityQueries.simHybridRrf]]) takes a deeper pool. */
+  private[operators] def bm25Top(
+      s: SparkSession, dir: String, k: Int): DataFrame = {
     val docs = documents(s, dir)
     val dl = docs.select(col("doc_id"),
       size(TextFunctions.tokens(col("text"))).cast("double").as("dl"))
@@ -228,7 +235,7 @@ object TextQueries {
       .select(col("doc_id"), col("dl").cast("long").as("dl"),
         col("n_terms_hit"), col("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(20)
+      .limit(k)
   }
 
   private[operators] val BM25_QUERY = Seq("spark", "vector", "stream")
@@ -1012,6 +1019,43 @@ object TextQueries {
       |GROUP BY doc_id, dl.dl
       |ORDER BY bm25 DESC, doc_id
       |LIMIT 20""".stripMargin
+
+  /** The BM25 lexical pool as a composable CTE chain — dl, stats, tf,
+    * dfreq exactly as in [[textBm25Sql]], plus
+    * `lexpool(doc_id, bm25)` = the rounded-score top-`k` (the same
+    * rounded sort key + doc_id tiebreak, so the pool membership is
+    * engine-stable). The lexical half of the hybrid-fusion oracles
+    * ([[SimilarityQueries.simHybridRrfSql]]); the serve-tier hybrid
+    * reuses it verbatim because index-served BM25 is hash-identical
+    * to the scan-time form (text_bm25_indexed's oracle IS
+    * textBm25Sql). */
+  private[operators] def bm25PoolSqlCtes(k: Int): String =
+    s"""dl AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+       |  FROM documents),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |        FROM documents)
+       |  WHERE term IN ('spark', 'vector', 'stream')
+       |  GROUP BY 1, 2),
+       |dfreq AS (
+       |  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+       |  FROM tf GROUP BY 1),
+       |lexpool AS (
+       |  SELECT doc_id,
+       |    round(sum(
+       |      ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+       |        * tf * (1.2 + 1)
+       |        / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+       |    ) + 1e-9, 4) AS bm25
+       |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+       |  CROSS JOIN stats
+       |  GROUP BY doc_id, dl.dl
+       |  ORDER BY bm25 DESC, doc_id
+       |  LIMIT $k)""".stripMargin
 
   /** text_langid — heuristic language ID vs the labeled column.
     * The heuristic is pure function-word scoring (TextFunctions
