@@ -25,10 +25,11 @@ object Bench {
     // order made sim_ann_ivf_indexed pay the vector-index build while
     // snk_vector_index measured a bare re-audit.)
     val indexQids = Set("snk_text_index", "text_bm25_indexed",
-      "text_bm25_serve_batch", "stream_index_upsert", "sim_hybrid_serve")
+      "text_bm25_serve_batch", "stream_index_upsert", "sim_hybrid_serve",
+      "sim_hybrid_serve_batch")
     val vecIndexQids = Set("snk_vector_index", "sim_ann_ivf_indexed",
       "sim_ann_serve_batch", "sim_ann_ivf_audit", "stream_vector_upsert",
-      "sim_hybrid_serve")
+      "sim_hybrid_serve", "sim_hybrid_serve_batch")
     if (only.forall(_.exists(indexQids)))
       graft.operators.TextQueries.buildTextIndex(spark, sfDir)
     if (only.forall(_.exists(vecIndexQids)))

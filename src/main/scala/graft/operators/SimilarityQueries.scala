@@ -226,6 +226,156 @@ object SimilarityQueries {
        |  ORDER BY sim DESC, vec_id LIMIT $HYBRID_POOL),
        |$rrfFuseSqlTail""".stripMargin
 
+  /** The hybrid batch pairing: BM25_BATCH's i-th term set rides with
+    * ANN_BATCH_IDS' i-th query vector under one query_id. */
+  private[operators] lazy val HYBRID_BATCH: Seq[(Int, Long)] =
+    TextQueries.BM25_BATCH.map(_._1).zip(ANN_BATCH_IDS)
+
+  /** sim_hybrid_serve_batch — the CONCURRENT-serve shape of
+    * [[simHybridServe]]: a whole TABLE of paired (term set, query
+    * vector) requests answered against BOTH persisted indexes in one
+    * leased batch read each, then fused per query. Amortization is
+    * inherited wholesale: the text side is one term-bucket-pruned
+    * postings scan for the union of the batch's terms
+    * ([[TextQueries.bm25ServeBatchFrom]]), the vector side one
+    * assignments scan pruned to the union of all probed lists
+    * ([[annServeBatchFrom]]), and fusion is ≤ 2·pool rows per query
+    * through partitioned rank windows — adding a query adds broadcast
+    * rows and pool rows, never scans. Full recompute oracle
+    * ([[simHybridServeBatchSql]]); HybridRetrievalSpec pins per-query
+    * hash parity with the single-query hybrid serve. */
+  def simHybridServeBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val terms = TextQueries.BM25_BATCH
+      .flatMap { case (id, ts) => ts.distinct.map(id -> _) }
+      .toDF("query_id", "term")
+    val lex = IndexServe.bm25TopKBatch(s,
+      TextQueries.buildTextIndex(s, dir), terms, HYBRID_POOL)
+      .select(col("query_id"), col("doc_id"), col("bm25"))
+    val vmap = HYBRID_BATCH.toDF("query_id", "vec_id")
+    val qs = withNorm(embeddings(s, dir))
+      .join(broadcast(vmap), Seq("vec_id"))
+      .select(col("query_id"), col("emb").as("qv"), col("nrm").as("qn"))
+    val dense = IndexServe.annTopKBatch(s,
+      buildVectorIndex(s, dir), qs, HYBRID_POOL)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("sim"))
+    rrfFuseBatch(lex, dense)
+  }
+
+  /** Per-query RRF fusion — [[rrfFuse]] with every window partitioned
+    * by query_id, so each query's rank/fuse work stays pool-bounded
+    * and queries never interact. Inputs are the leased batch pools
+    * (local relations ≤ |batch|·pool rows). */
+  private def rrfFuseBatch(lex: DataFrame, dense: DataFrame): DataFrame = {
+    val lw = Window.partitionBy(col("query_id"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    val dw = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("doc_id"))
+    // the ANN batch path routes query ids through driver-built Long
+    // frames — pin the declared output type to int on both sides
+    val lexr = lex.select(col("query_id").cast("int").as("query_id"),
+      col("doc_id"), row_number().over(lw).cast("long").as("lex_rank"))
+    val denr = dense.select(col("query_id").cast("int").as("query_id"),
+      col("doc_id"), row_number().over(dw).cast("long").as("dense_rank"))
+    val fused = lexr.join(denr, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(RRF_K) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RRF_K) + col("dense_rank")), lit(0.0)),
+        6))
+    fused.withColumn("frk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("frk") <= HYBRID_TOPK)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"),
+        col("dense_rank"), col("rrf"))
+  }
+
+  /** sim_hybrid_serve_batch oracle: the per-query lexical pools are
+    * textBm25ServeBatchSql's inner ranking cut at pool depth, the
+    * per-query dense pools are simAnnServeBatchSql's probe pipeline
+    * cut at pool depth, and the fusion replays ranks + RRF + the
+    * per-query final cut. */
+  lazy val simHybridServeBatchSql: String = {
+    val termVals = TextQueries.BM25_BATCH
+      .flatMap { case (id, ts) => ts.distinct.map(t => s"($id, '$t')") }
+      .mkString(", ")
+    val pairVals = HYBRID_BATCH
+      .map { case (q, v) => s"($q, $v)" }.mkString(", ")
+    val bm25Expr =
+      """round(sum(
+        |      ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+        |        * tf * (1.2 + 1)
+        |        / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+        |    ) + 1e-9, 4)""".stripMargin
+    s"""WITH queries(query_id, term) AS (VALUES $termVals),
+       |pair(query_id, vec_id) AS (VALUES $pairVals),
+       |dl AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+       |  FROM documents),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |        FROM documents)
+       |  WHERE term IN (SELECT term FROM queries)
+       |  GROUP BY 1, 2),
+       |dfreq AS (
+       |  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+       |  FROM tf GROUP BY 1),
+       |lexr AS (
+       |  SELECT query_id, doc_id, rk AS lex_rank FROM (
+       |    SELECT q.query_id, tf.doc_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY $bm25Expr DESC, tf.doc_id) AS rk
+       |    FROM queries q JOIN tf USING (term) JOIN dfreq USING (term)
+       |    JOIN dl USING (doc_id) CROSS JOIN stats
+       |    GROUP BY q.query_id, tf.doc_id, dl.dl, n_docs, avgdl) t
+       |  WHERE rk <= $HYBRID_POOL),
+       |$ivfBuildSqlCtes,
+       |qs AS (SELECT p.query_id, n.emb AS qv, n.nrm AS qn
+       |  FROM pair p JOIN nd n USING (vec_id)),
+       |probes AS (SELECT query_id, cid FROM (
+       |    SELECT q.query_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY list_reduce(list_prepend(0.0, list_transform(
+       |            range(1, least(len(q.qv), len(c.cemb)) + 1),
+       |            i -> c.cemb[i] * q.qv[i])), (a, x) -> a + x)
+       |          / (q.qn * c.cnrm) DESC, c.cid) AS rn
+       |    FROM qs q, cents c WHERE c.cnrm > 0 AND q.qn > 0) t
+       |  WHERE rn <= (SELECT np FROM nprb)),
+       |cand AS (SELECT DISTINCT p.query_id, a.vec_id
+       |  FROM probes p JOIN asg2 a USING (cid)),
+       |scored AS (SELECT c.query_id, c.vec_id,
+       |    round(list_reduce(list_prepend(0.0, list_transform(
+       |        range(1, least(len(v.emb), len(q.qv)) + 1),
+       |        i -> v.emb[i] * q.qv[i])), (a, x) -> a + x)
+       |      / (v.nrm * q.qn), 6) AS sim
+       |  FROM cand c JOIN nd v USING (vec_id)
+       |    JOIN qs q ON q.query_id = c.query_id),
+       |denr AS (
+       |  SELECT query_id, vec_id AS doc_id, rk AS dense_rank FROM (
+       |    SELECT query_id, vec_id, sim,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sim DESC, vec_id) AS rk
+       |    FROM scored) t
+       |  WHERE rk <= $HYBRID_POOL),
+       |fused AS (
+       |  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+       |    COALESCE(l.doc_id, d.doc_id) AS doc_id,
+       |    l.lex_rank, d.dense_rank,
+       |    round(COALESCE(CAST(1.0 AS DOUBLE) / ($RRF_K + l.lex_rank),
+       |        CAST(0.0 AS DOUBLE))
+       |      + COALESCE(CAST(1.0 AS DOUBLE) / ($RRF_K + d.dense_rank),
+       |        CAST(0.0 AS DOUBLE)), 6) AS rrf
+       |  FROM lexr l FULL OUTER JOIN denr d
+       |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+       |SELECT query_id, doc_id, lex_rank, dense_rank, rrf FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf DESC, doc_id) AS frk
+       |  FROM fused) t WHERE frk <= $HYBRID_TOPK""".stripMargin
+  }
+
   /** sim_pairwise_threshold — all pairs above cosine 0.4 within label
     * blocks. The OUTPUT is oracle-fixed and inherently quadratic in
     * duplicate multiplicity (every copy-pair is a real answer row),
@@ -2730,7 +2880,8 @@ object SimilarityQueries {
     "emb_kmeans" -> (embKmeans _),
     "emb_kmeans_assign" -> (embKmeansAssign _),
     "sim_hybrid_rrf" -> (simHybridRrf _),
-    "sim_hybrid_serve" -> (simHybridServe _)
+    "sim_hybrid_serve" -> (simHybridServe _),
+    "sim_hybrid_serve_batch" -> (simHybridServeBatch _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -2756,6 +2907,7 @@ object SimilarityQueries {
     "sim_ann_serve_batch" -> simAnnServeBatchSql,
     "sim_ann_ivf_audit" -> simAnnIvfAuditSql,
     "sim_hybrid_rrf" -> simHybridRrfSql,
-    "sim_hybrid_serve" -> simHybridServeSql
+    "sim_hybrid_serve" -> simHybridServeSql,
+    "sim_hybrid_serve_batch" -> simHybridServeBatchSql
   )
 }

@@ -79,4 +79,26 @@ class HybridRetrievalSpec extends SparkSpec {
       assert(math.abs(r.getDouble(3) - (lex + den)) < 5e-7)
     }
   }
+
+  test("batch fusion: query 1 (the single serve's own terms + vector) " +
+    "is hash-identical to the single-query hybrid serve") {
+    val batch = SimilarityQueries.simHybridServeBatch(spark, sf).collect()
+    assert(batch.nonEmpty)
+    val q1 = batch.filter(_.getInt(0) == 1)
+      .map(r => (r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        r.getDouble(4))).toSeq
+    val single = served
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(q1 == single)
+    // every batch query fuses validly
+    batch.groupBy(_.getInt(0)).foreach { case (_, rows) =>
+      val keys = rows.map(r => (r.getDouble(4), r.getLong(1))).toSeq
+      assert(keys == keys.sortBy { case (v, id) => (-v, id) })
+    }
+  }
 }
