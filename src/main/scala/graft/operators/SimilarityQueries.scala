@@ -376,6 +376,138 @@ object SimilarityQueries {
        |  FROM fused) t WHERE frk <= $HYBRID_TOPK""".stripMargin
   }
 
+  private val MMR_K = 10
+  private val MMR_LAMBDA = 0.7
+
+  /** sim_mmr_rerank — maximal-marginal-relevance diversification of
+    * the dense top-[[HYBRID_POOL]] pool into [[MMR_K]] results:
+    * greedily pick argmax λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)
+    * (λ=0.7, ties → doc_id asc). THE diversity primitive a curation
+    * pipeline runs over any retrieval pool before sampling exemplars
+    * — near-duplicate pool members can't crowd the output, because
+    * after one is picked its twins' marginal scores collapse.
+    *
+    * Scale shape: the DISTRIBUTED part is the proven top-k pool scan
+    * (TakeOrderedAndProject over the corpus); the greedy loop then
+    * runs driver-side over the collected pool — bounded by the pool
+    * CONSTANT (50 rows, ≤ pool² = 2,500 pairwise dots), the same
+    * driver-read class as the ≤33 MB IVF quantizer, and independent
+    * of corpus size by construction. Pairwise sims reuse the exact
+    * Spark kernel semantics (l2r dot fold / norm product, 6-dp
+    * HALF_UP round) so the whole selection is a full recompute
+    * oracle ([[simMmrRerankSql]]: the pool, the 50×50 pair table,
+    * and the greedy recursion replayed as a state-as-one-row
+    * recursive CTE, the [[embKmeansSql]] idiom). */
+  def simMmrRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = nonDegenerate(withNorm(embeddings(s, dir)))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("emb").as("qv"), col("nrm").as("qn"))
+    val pool = e.join(broadcast(q))
+      .select(col("vec_id").as("doc_id"), col("emb"), col("nrm"),
+        round(arrayDot(col("emb"), col("qv")) / (col("nrm") * col("qn")), 6)
+          .as("qsim"))
+      .orderBy(col("qsim").desc, col("doc_id"))
+      .limit(HYBRID_POOL)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+        r.getDouble(2), r.getDouble(3)))
+    // 6-dp HALF_UP — Round's own double path, so the driver kernel
+    // and the distributed expression can never disagree
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def pairSim(a: (Long, Array[Double], Double, Double),
+        b: (Long, Array[Double], Double, Double)): Double = {
+      val lim = math.min(a._2.length, b._2.length)
+      var dot = 0.0
+      var i = 0
+      while (i < lim) { dot += a._2(i) * b._2(i); i += 1 }
+      r6(dot / (a._3 * b._3))
+    }
+    val byId = pool.map(p => p._1 -> p).toMap
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Double)] // (doc_id, raw mmr at selection time)
+    val remaining = scala.collection.mutable.LinkedHashMap
+      .from(pool.map(p => p._1 -> p))
+    while (picked.length < MMR_K && remaining.nonEmpty) {
+      var bestId = Long.MaxValue
+      var bestMmr = Double.NegativeInfinity
+      remaining.valuesIterator.foreach { p =>
+        // max over the picked set — which may be NEGATIVE; 0.0 only
+        // stands in for the empty set (the oracle's COALESCE(mx, 0))
+        var mx = Double.NegativeInfinity
+        picked.foreach { case (pid, _) =>
+          val s2 = pairSim(p, byId(pid))
+          if (s2 > mx) mx = s2
+        }
+        if (picked.isEmpty) mx = 0.0
+        val mmr = MMR_LAMBDA * p._4 - (1 - MMR_LAMBDA) * mx
+        if (mmr > bestMmr || (mmr == bestMmr && p._1 < bestId)) {
+          bestMmr = mmr; bestId = p._1
+        }
+      }
+      picked += ((bestId, bestMmr))
+      remaining.remove(bestId)
+    }
+    picked.zipWithIndex.map { case ((id, mmr), i) =>
+      ((i + 1).toLong, id, r6(mmr))
+    }.toSeq.toDF("rank", "doc_id", "mmr")
+  }
+
+  /** sim_mmr_rerank oracle: pool + 50×50 pair table + the greedy
+    * selection replayed as one-row-state recursion — min(struct)
+    * argmax (negated mmr, then doc_id) exactly like the engine's
+    * comparator. */
+  lazy val simMmrRerankSql: String =
+    s"""WITH RECURSIVE
+       |nd AS (SELECT * FROM (
+       |    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+       |      sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+       |        v -> v * v))) AS nrm
+       |    FROM embeddings) t WHERE nrm > 0),
+       |q AS (SELECT emb AS qv FROM nd WHERE vec_id = 0),
+       |pool AS (SELECT vec_id AS doc_id, emb, nrm,
+       |    round(list_cosine_similarity(emb, qv), 6) AS qsim
+       |  FROM nd, q
+       |  ORDER BY qsim DESC, vec_id LIMIT $HYBRID_POOL),
+       |pair AS (SELECT a.doc_id AS ad, b.doc_id AS bd,
+       |    round(list_cosine_similarity(a.emb, b.emb), 6) AS s
+       |  FROM pool a, pool b WHERE a.doc_id <> b.doc_id),
+       |st(step, picked, scores) AS (
+       |  SELECT 0, CAST([] AS BIGINT[]), CAST([] AS DOUBLE[])
+       |  UNION ALL
+       |  SELECT step + 1,
+       |    list_append(picked, (b).did),
+       |    list_append(scores, -((b).nm))
+       |  FROM (
+       |    SELECT any_value(t.step) AS step,
+       |      any_value(t.picked) AS picked,
+       |      any_value(t.scores) AS scores,
+       |      min(struct_pack(
+       |        nm := -(CAST($MMR_LAMBDA AS DOUBLE) * t.qsim
+       |          - CAST(${1 - MMR_LAMBDA} AS DOUBLE)
+       |            * COALESCE(t.mx, 0.0)),
+       |        did := t.did)) AS b
+       |    FROM (
+       |      SELECT s.step AS step, p.doc_id AS did, p.qsim AS qsim,
+       |        any_value(s.picked) AS picked,
+       |        any_value(s.scores) AS scores,
+       |        max(CASE WHEN list_contains(s.picked, pr.bd)
+       |          THEN pr.s END) AS mx
+       |      FROM st s
+       |      JOIN pool p ON NOT list_contains(s.picked, p.doc_id)
+       |      LEFT JOIN pair pr ON pr.ad = p.doc_id
+       |      WHERE s.step < $MMR_K
+       |      GROUP BY s.step, p.doc_id, p.qsim
+       |    ) t GROUP BY t.step
+       |  ) z
+       |),
+       |fin AS (SELECT picked, scores FROM st ORDER BY step DESC LIMIT 1)
+       |SELECT unnest(range(1, len(picked) + 1)) AS rank,
+       |  unnest(picked) AS doc_id,
+       |  round(unnest(scores), 6) AS mmr
+       |FROM fin""".stripMargin
+
   /** sim_pairwise_threshold — all pairs above cosine 0.4 within label
     * blocks. The OUTPUT is oracle-fixed and inherently quadratic in
     * duplicate multiplicity (every copy-pair is a real answer row),
@@ -2881,7 +3013,8 @@ object SimilarityQueries {
     "emb_kmeans_assign" -> (embKmeansAssign _),
     "sim_hybrid_rrf" -> (simHybridRrf _),
     "sim_hybrid_serve" -> (simHybridServe _),
-    "sim_hybrid_serve_batch" -> (simHybridServeBatch _)
+    "sim_hybrid_serve_batch" -> (simHybridServeBatch _),
+    "sim_mmr_rerank" -> (simMmrRerank _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -2908,6 +3041,7 @@ object SimilarityQueries {
     "sim_ann_ivf_audit" -> simAnnIvfAuditSql,
     "sim_hybrid_rrf" -> simHybridRrfSql,
     "sim_hybrid_serve" -> simHybridServeSql,
-    "sim_hybrid_serve_batch" -> simHybridServeBatchSql
+    "sim_hybrid_serve_batch" -> simHybridServeBatchSql,
+    "sim_mmr_rerank" -> simMmrRerankSql
   )
 }

@@ -101,4 +101,59 @@ class HybridRetrievalSpec extends SparkSpec {
       assert(keys == keys.sortBy { case (v, id) => (-v, id) })
     }
   }
+
+  test("mmr: first pick is the pool's relevance top-1, every pick is " +
+    "distinct, and marginal scores never exceed lambda * qsim") {
+    import org.apache.spark.sql.functions._
+    val mmr = SimilarityQueries.simMmrRerank(spark, sf).collect()
+    assert(mmr.nonEmpty && mmr.length <= 10)
+    // ranks are 1..n in order
+    assert(mmr.map(_.getLong(0)).toSeq == (1L to mmr.length).toSeq)
+    val ids = mmr.map(_.getLong(1))
+    assert(ids.distinct.length == ids.length)
+    val pool = SimilarityQueries.simTopkCosinePool(spark, sf, 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // selected docs come from the pool
+    ids.foreach(id => assert(pool.contains(id)))
+    // first pick maximizes pure relevance (empty-set MMR = 0.7 * qsim,
+    // monotone in qsim) with doc_id tiebreak
+    val best = pool.toSeq.sortBy { case (id, s) => (-s, id) }.head._1
+    assert(ids.head == best)
+    // no marginal score can exceed its own relevance term
+    mmr.foreach { r =>
+      assert(r.getDouble(2) <= 0.7 * pool(r.getLong(1)) + 1e-9)
+    }
+  }
+
+  test("mmr diversification: a planted near-duplicate of the top doc " +
+    "is deferred below a less-similar but diverse doc") {
+    // synthetic 4-vector pool driven through the same kernels the
+    // operator uses: q = x-axis, a at ~26 degrees in the xy-plane,
+    // a' a near-dup of a (sim(a',a) ~ 0.9997), b EQUALLY relevant-ish
+    // but rotated into the xz-plane so it is far from a. Relevance
+    // order is q, a, a', b; MMR must defer the near-dup: q, a, b, a'
+    // (mmr_b = 0.7*0.850 - 0.3*0.850 = 0.340 beats
+    //  mmr_a' = 0.7*0.890 - 0.3*0.9997 = 0.323).
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Array(1.0, 0.0, 0.0)),       // the query vector itself
+      (1L, Array(0.9, 0.436, 0.0)),     // a: most relevant
+      (2L, Array(0.89, 0.456, 0.0)),    // a': near-dup of a
+      (3L, Array(0.85, 0.0, 0.5268))    // b: relevant but diverse
+    ).toDF("vec_id", "embedding")
+      .withColumn("label", org.apache.spark.sql.functions.lit(0))
+    val dir = java.nio.file.Files
+      .createTempDirectory("mmr_fixture").toString
+    rows.select(org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.col("embedding")
+        .cast("array<float>").as("embedding"),
+      org.apache.spark.sql.functions.col("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val sel = SimilarityQueries.simMmrRerank(spark, dir)
+      .collect().map(_.getLong(1)).toSeq
+    // q itself (sim 1.0) leads; then a; then the DIVERSE b jumps the
+    // near-dup a' despite a' having higher raw relevance
+    assert(sel.take(4) == Seq(0L, 1L, 3L, 2L),
+      s"expected diversity-aware order 0,1,3,2 but got $sel")
+  }
 }
