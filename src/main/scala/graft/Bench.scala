@@ -26,10 +26,11 @@ object Bench {
     // snk_vector_index measured a bare re-audit.)
     val indexQids = Set("snk_text_index", "text_bm25_indexed",
       "text_bm25_serve_batch", "stream_index_upsert", "sim_hybrid_serve",
-      "sim_hybrid_serve_batch")
+      "sim_hybrid_serve_batch", "pipeline_decontaminate_retrieval")
     val vecIndexQids = Set("snk_vector_index", "sim_ann_ivf_indexed",
       "sim_ann_serve_batch", "sim_ann_ivf_audit", "stream_vector_upsert",
-      "sim_hybrid_serve", "sim_hybrid_serve_batch")
+      "sim_hybrid_serve", "sim_hybrid_serve_batch",
+      "pipeline_decontaminate_retrieval")
     if (only.forall(_.exists(indexQids)))
       graft.operators.TextQueries.buildTextIndex(spark, sfDir)
     if (only.forall(_.exists(vecIndexQids)))

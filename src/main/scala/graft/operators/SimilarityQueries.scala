@@ -295,7 +295,16 @@ object SimilarityQueries {
     * per-query dense pools are simAnnServeBatchSql's probe pipeline
     * cut at pool depth, and the fusion replays ranks + RRF + the
     * per-query final cut. */
-  lazy val simHybridServeBatchSql: String = {
+  lazy val simHybridServeBatchSql: String =
+    s"""WITH $hybridServeBatchSqlCtes
+       |SELECT query_id, doc_id, lex_rank, dense_rank, rrf
+       |FROM hybridtop""".stripMargin
+
+  /** The whole batch-hybrid pipeline as a CTE chain ending in
+    * `hybridtop(query_id, doc_id, lex_rank, dense_rank, rrf)` — the
+    * per-query fused top-[[HYBRID_TOPK]]. Shared by the qid's own
+    * oracle and the retrieval-decontamination composition. */
+  private lazy val hybridServeBatchSqlCtes: String = {
     val termVals = TextQueries.BM25_BATCH
       .flatMap { case (id, ts) => ts.distinct.map(t => s"($id, '$t')") }
       .mkString(", ")
@@ -307,7 +316,7 @@ object SimilarityQueries {
         |        * tf * (1.2 + 1)
         |        / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
         |    ) + 1e-9, 4)""".stripMargin
-    s"""WITH queries(query_id, term) AS (VALUES $termVals),
+    s"""queries(query_id, term) AS (VALUES $termVals),
        |pair(query_id, vec_id) AS (VALUES $pairVals),
        |dl AS (
        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
@@ -369,12 +378,55 @@ object SimilarityQueries {
        |      + COALESCE(CAST(1.0 AS DOUBLE) / ($RRF_K + d.dense_rank),
        |        CAST(0.0 AS DOUBLE)), 6) AS rrf
        |  FROM lexr l FULL OUTER JOIN denr d
-       |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
-       |SELECT query_id, doc_id, lex_rank, dense_rank, rrf FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY query_id
-       |      ORDER BY rrf DESC, doc_id) AS frk
-       |  FROM fused) t WHERE frk <= $HYBRID_TOPK""".stripMargin
+       |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+       |hybridtop AS (
+       |  SELECT query_id, doc_id, lex_rank, dense_rank, rrf FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY rrf DESC, doc_id) AS frk
+       |    FROM fused) t WHERE frk <= $HYBRID_TOPK)""".stripMargin
   }
+
+  /** pipeline_decontaminate_retrieval — retrieval-driven
+    * decontamination: treat the hybrid batch's six paired queries as
+    * benchmark probes, flag every document the fused rankings surface
+    * (the union of the per-query top-[[HYBRID_TOPK]]), and report the
+    * per-source contamination ledger (n_docs / n_flagged / n_clean).
+    * The retrieval-side complement of dedup_decontaminate's n-gram
+    * overlap sweep: n-grams catch verbatim leakage, hybrid retrieval
+    * catches the paraphrased-but-retrievable kind a benchmark answer
+    * key leaks through. Scale shape: the flagged set is bounded by
+    * |batch|·k (≤120 rows — broadcast), so the sweep is one
+    * broadcast left-join over the corpus + a per-source aggregate;
+    * the retrieval itself is the index-shaped batch serve. Whole
+    * chain oracled ([[pipelineDecontaminateRetrievalSql]]) — the
+    * hybrid CTEs composed with the flag join, like
+    * pipeline_clean_corpus's whole-chain pattern. */
+  def pipelineDecontaminateRetrieval(
+      s: SparkSession, dir: String): DataFrame = {
+    val flagged = simHybridServeBatch(s, dir)
+      .select(col("doc_id")).distinct()
+      .withColumn("flag", lit(1L))
+    documents(s, dir)
+      .join(broadcast(flagged), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("flag"), lit(0L))).as("n_flagged"))
+      .withColumn("n_clean", col("n_docs") - col("n_flagged"))
+  }
+
+  /** Whole-chain oracle: the batch-hybrid CTEs + the distinct flagged
+    * set + the per-source ledger. */
+  lazy val pipelineDecontaminateRetrievalSql: String =
+    s"""WITH $hybridServeBatchSqlCtes,
+       |flagged AS (SELECT DISTINCT doc_id FROM hybridtop)
+       |SELECT d.source,
+       |  count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN f.doc_id IS NULL THEN 0 ELSE 1 END)
+       |    AS BIGINT) AS n_flagged,
+       |  count(*) - CAST(sum(CASE WHEN f.doc_id IS NULL THEN 0 ELSE 1
+       |    END) AS BIGINT) AS n_clean
+       |FROM documents d LEFT JOIN flagged f USING (doc_id)
+       |GROUP BY d.source""".stripMargin
 
   private val MMR_K = 10
   private val MMR_LAMBDA = 0.7
@@ -3014,7 +3066,8 @@ object SimilarityQueries {
     "sim_hybrid_rrf" -> (simHybridRrf _),
     "sim_hybrid_serve" -> (simHybridServe _),
     "sim_hybrid_serve_batch" -> (simHybridServeBatch _),
-    "sim_mmr_rerank" -> (simMmrRerank _)
+    "sim_mmr_rerank" -> (simMmrRerank _),
+    "pipeline_decontaminate_retrieval" -> (pipelineDecontaminateRetrieval _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -3042,6 +3095,7 @@ object SimilarityQueries {
     "sim_hybrid_rrf" -> simHybridRrfSql,
     "sim_hybrid_serve" -> simHybridServeSql,
     "sim_hybrid_serve_batch" -> simHybridServeBatchSql,
-    "sim_mmr_rerank" -> simMmrRerankSql
+    "sim_mmr_rerank" -> simMmrRerankSql,
+    "pipeline_decontaminate_retrieval" -> pipelineDecontaminateRetrievalSql
   )
 }

@@ -156,4 +156,19 @@ class HybridRetrievalSpec extends SparkSpec {
     assert(sel.take(4) == Seq(0L, 1L, 3L, 2L),
       s"expected diversity-aware order 0,1,3,2 but got $sel")
   }
+
+  test("retrieval decontamination: ledger sums to the corpus, flags " +
+    "exactly the batch's fused union, clean = docs - flagged") {
+    val ledger = SimilarityQueries
+      .pipelineDecontaminateRetrieval(spark, sf).collect()
+    assert(ledger.nonEmpty)
+    val batchDocs = SimilarityQueries.simHybridServeBatch(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val corpus = graft.Tables.documents(spark, sf).count()
+    assert(ledger.map(_.getLong(1)).sum == corpus)
+    assert(ledger.map(_.getLong(2)).sum == batchDocs.size.toLong)
+    ledger.foreach { r =>
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2))
+    }
+  }
 }
