@@ -30,7 +30,7 @@ object Bench {
     val vecIndexQids = Set("snk_vector_index", "sim_ann_ivf_indexed",
       "sim_ann_serve_batch", "sim_ann_ivf_audit", "stream_vector_upsert",
       "sim_hybrid_serve", "sim_hybrid_serve_batch",
-      "pipeline_decontaminate_retrieval")
+      "pipeline_decontaminate_retrieval", "sim_mmr_serve")
     if (only.forall(_.exists(indexQids)))
       graft.operators.TextQueries.buildTextIndex(spark, sfDir)
     if (only.forall(_.exists(vecIndexQids)))

@@ -72,6 +72,23 @@ object IndexServe {
         SimilarityQueries.annServeBatchFrom(s, root, queries, k, nprobe))
     }
 
+  /** MMR-diversified ANN top-k from the IVF index at `root`: the
+    * probed-list pool (vectors riding the assignments read) is
+    * collected under the serve lease, then the pool-bounded greedy
+    * runs driver-side — the diversified serve endpoint. `poolK`
+    * bounds the candidate pool; the greedy's own k is the operator
+    * constant. */
+  def annMmrTopK(s: SparkSession, root: String,
+      qv: Array[Double], qn: Double,
+      poolK: Int = 50): DataFrame = {
+    val pool = IndexLease.withServeLease(root) {
+      SimilarityQueries.annServePoolFrom(s, root, qv, qn, poolK)
+        .collect()
+    }.map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+      r.getDouble(2), r.getDouble(3)))
+    SimilarityQueries.mmrGreedy(s, pool)
+  }
+
   /** ANN top-`k` served from the PQ sidecar (asymmetric-distance
     * scoring over M-byte codes — the 100 TB read path), leased across
     * plan and execution. Refuses loudly on a stale sidecar. */

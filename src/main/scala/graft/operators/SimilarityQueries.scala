@@ -451,7 +451,6 @@ object SimilarityQueries {
     * and the greedy recursion replayed as a state-as-one-row
     * recursive CTE, the [[embKmeansSql]] idiom). */
   def simMmrRerank(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val e = nonDegenerate(withNorm(embeddings(s, dir)))
     val q = e.filter(col("vec_id") === 0)
       .select(col("emb").as("qv"), col("nrm").as("qn"))
@@ -464,6 +463,15 @@ object SimilarityQueries {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
         r.getDouble(2), r.getDouble(3)))
+    mmrGreedy(s, pool)
+  }
+
+  /** The shared pool-bounded MMR greedy — selection over an already
+    * collected (doc_id, emb, nrm, qsim) pool; both the scan-pool and
+    * serve-pool forms route here so the two can never drift. */
+  private[operators] def mmrGreedy(s: SparkSession,
+      pool: Array[(Long, Array[Double], Double, Double)]): DataFrame = {
+    import s.implicits._
     // 6-dp HALF_UP — Round's own double path, so the driver kernel
     // and the distributed expression can never disagree
     def r6(x: Double): Double =
@@ -506,6 +514,71 @@ object SimilarityQueries {
     }.toSeq.toDF("rank", "doc_id", "mmr")
   }
 
+  /** The probed-list candidate pool WITH vectors — [[annServeFrom]]
+    * keeping (emb, nrm) so a diversification pass can score pairwise
+    * sims without touching the corpus: the vectors ride the
+    * assignments read the serve already pays for. */
+  private[operators] def annServePoolFrom(
+      s: SparkSession, root: String,
+      qv: Array[Double], qn: Double, topK: Int): DataFrame = {
+    import s.implicits._
+    val cArr = quantizerOf(s, root)
+    val probeCids = topCentroids(cArr, ivfNProbe(cArr.length), qv, qn)
+    val q = Seq((qv.toSeq, qn)).toDF("qv", "qn")
+    val probed = s.read.schema(AssignSchema).parquet(s"$root/assignments")
+      .filter(col("cid").isin(probeCids.map(Long.box): _*))
+    IndexDeletes.readDeletes(s, root, "vec_id")
+      .fold(probed)(d =>
+        probed.join(broadcast(d), Seq("vec_id"), "left_anti"))
+      .dropDuplicates("vec_id")
+      .join(broadcast(q))
+      .select(col("vec_id").as("doc_id"), col("emb"), col("nrm"),
+        round(arrayDot(col("emb"), col("qv")) / (col("nrm") * col("qn")), 6)
+          .as("qsim"))
+      .orderBy(col("qsim").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** sim_mmr_serve — MMR diversification DIRECTLY off the persisted
+    * IVF index: the pool is the probed-list top-[[HYBRID_POOL]] with
+    * its vectors riding the assignments read (the corpus is never
+    * touched), collected under the serve lease through
+    * [[IndexServe.annMmrTopK]], then the same pool-bounded greedy as
+    * [[simMmrRerank]]. The serve-tier diversified-ANN endpoint a
+    * curation request hits at 100 TB. Oracle ([[simMmrServeSql]]):
+    * the IVF build + nprb-width probe CTEs feed the same pair-table
+    * + greedy recursion as the scan form. */
+  def simMmrServe(s: SparkSession, dir: String): DataFrame = {
+    val root = buildVectorIndex(s, dir)
+    val qRows = withNorm(embeddings(s, dir))
+      .filter(col("vec_id") === 0)
+      .select(col("emb"), col("nrm")).collect()
+    if (qRows.isEmpty) return mmrGreedy(s, Array.empty)
+    IndexServe.annMmrTopK(s, root,
+      qRows(0).getSeq[Double](0).toArray, qRows(0).getDouble(1))
+  }
+
+  /** sim_mmr_serve oracle: IVF build CTEs + the serve-width probe +
+    * pool-with-vectors re-rank, then the identical pair-table and
+    * greedy recursion as [[simMmrRerankSql]]. */
+  lazy val simMmrServeSql: String =
+    s"""WITH RECURSIVE $ivfBuildSqlCtes,
+       |q AS (SELECT emb AS qv, nrm AS qn FROM nd WHERE vec_id = 0),
+       |probes AS (SELECT c.cid
+       |  FROM (SELECT qv AS emb, qn AS nrm FROM q) v, cents c
+       |  WHERE c.cnrm > 0 AND v.nrm > 0
+       |  ORDER BY $ivfDotSql / (v.nrm * c.cnrm) DESC, c.cid
+       |  LIMIT (SELECT np FROM nprb)),
+       |cand AS (SELECT DISTINCT vec_id FROM asg2 JOIN probes USING (cid)),
+       |pool AS (SELECT v.vec_id AS doc_id, v.emb, v.nrm,
+       |    round(list_reduce(list_prepend(0.0, list_transform(
+       |        range(1, least(len(v.emb), len(q.qv)) + 1),
+       |        i -> v.emb[i] * q.qv[i])), (a, x) -> a + x)
+       |      / (v.nrm * q.qn), 6) AS qsim
+       |  FROM cand JOIN nd v USING (vec_id), q
+       |  ORDER BY qsim DESC, v.vec_id LIMIT $HYBRID_POOL),
+       |$mmrGreedySqlTail""".stripMargin
+
   /** sim_mmr_rerank oracle: pool + 50×50 pair table + the greedy
     * selection replayed as one-row-state recursion — min(struct)
     * argmax (negated mmr, then doc_id) exactly like the engine's
@@ -522,7 +595,13 @@ object SimilarityQueries {
        |    round(list_cosine_similarity(emb, qv), 6) AS qsim
        |  FROM nd, q
        |  ORDER BY qsim DESC, vec_id LIMIT $HYBRID_POOL),
-       |pair AS (SELECT a.doc_id AS ad, b.doc_id AS bd,
+       |$mmrGreedySqlTail""".stripMargin
+
+  /** The MMR greedy recursion as a composable CTE tail — expects a
+    * `pool(doc_id, emb, nrm, qsim)` CTE in scope; both MMR oracles
+    * end here so the replayed selection rule is literally shared. */
+  private lazy val mmrGreedySqlTail: String =
+    s"""pair AS (SELECT a.doc_id AS ad, b.doc_id AS bd,
        |    round(list_cosine_similarity(a.emb, b.emb), 6) AS s
        |  FROM pool a, pool b WHERE a.doc_id <> b.doc_id),
        |st(step, picked, scores) AS (
@@ -3067,7 +3146,8 @@ object SimilarityQueries {
     "sim_hybrid_serve" -> (simHybridServe _),
     "sim_hybrid_serve_batch" -> (simHybridServeBatch _),
     "sim_mmr_rerank" -> (simMmrRerank _),
-    "pipeline_decontaminate_retrieval" -> (pipelineDecontaminateRetrieval _)
+    "pipeline_decontaminate_retrieval" -> (pipelineDecontaminateRetrieval _),
+    "sim_mmr_serve" -> (simMmrServe _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -3096,6 +3176,7 @@ object SimilarityQueries {
     "sim_hybrid_serve" -> simHybridServeSql,
     "sim_hybrid_serve_batch" -> simHybridServeBatchSql,
     "sim_mmr_rerank" -> simMmrRerankSql,
-    "pipeline_decontaminate_retrieval" -> pipelineDecontaminateRetrievalSql
+    "pipeline_decontaminate_retrieval" -> pipelineDecontaminateRetrievalSql,
+    "sim_mmr_serve" -> simMmrServeSql
   )
 }

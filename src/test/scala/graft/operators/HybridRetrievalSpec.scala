@@ -157,6 +157,32 @@ class HybridRetrievalSpec extends SparkSpec {
       s"expected diversity-aware order 0,1,3,2 but got $sel")
   }
 
+  test("serve-tier mmr: leased probed-pool selection holds the greedy " +
+    "invariants and stays inside the probed pool") {
+    val served = SimilarityQueries.simMmrServe(spark, sf).collect()
+    assert(served.nonEmpty && served.length <= 10)
+    assert(served.map(_.getLong(0)).toSeq == (1L to served.length).toSeq)
+    val ids = served.map(_.getLong(1))
+    assert(ids.distinct.length == ids.length)
+    // the pool the greedy ran over IS the probed-list top-50 — every
+    // pick must come from it, and the first pick is its relevance top
+    val root = SimilarityQueries.buildVectorIndex(spark, sf)
+    val e = graft.Tables.embeddings(spark, sf)
+    import org.apache.spark.sql.functions._
+    val qRow = e.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).collect()(0)
+      .getSeq[Double](0).toArray
+    val qn = math.sqrt(qRow.map(x => x * x).sum)
+    val pool = SimilarityQueries
+      .annServePoolFrom(spark, root, qRow, qn, 50)
+      .select("doc_id", "qsim").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val poolIds = pool.map(_._1).toSet
+    ids.foreach(id => assert(poolIds.contains(id)))
+    assert(ids.head ==
+      pool.sortBy { case (id, s2) => (-s2, id) }.head._1)
+  }
+
   test("retrieval decontamination: ledger sums to the corpus, flags " +
     "exactly the batch's fused union, clean = docs - flagged") {
     val ledger = SimilarityQueries
