@@ -1113,6 +1113,114 @@ object TextQueries {
       |SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n
       |FROM g GROUP BY 1, 2""".stripMargin
 
+  /** text_nb_classify — a TRAINED document classifier, the
+    * GPT-3/CCNet-style "train a model on labeled data, score the
+    * corpus" curation stage (quality filtering trains
+    * curated-vs-crawl; language filtering trains fasttext-style
+    * supervised ID — here the labeled axis is `lang`). Multinomial
+    * Naive Bayes with add-one smoothing: docs with doc_id % 10 < 7
+    * train the model, the rest are scored and labeled.
+    *
+    * Scale design: training is ONE map-side-combining hash aggregate
+    * over the train split's tokens — the model ((class, token)
+    * counts, class totals, vocab size, priors) is vocab-bounded, not
+    * corpus-bounded, and broadcasts; scoring is a per-token
+    * broadcast lookup fanned out over the (small, fixed) class set
+    * with one partial-aggregating groupBy per doc — no corpus-sized
+    * shuffle carries text, and AQE degrades the scoring joins to
+    * shuffle joins if a production vocab outgrows a broadcast
+    * (text_bigram_logprob's contract). Scores are Σ ln(p) doubles
+    * rounded at 6 dp: class gaps on real counts sit orders of
+    * magnitude above ulp noise, the same engine-stable-rounding
+    * contract text_bm25 and text_unigram_logprob already pin. The
+    * argmax tie-break is (rounded score desc, lang asc) in both
+    * engines. */
+  def textNbClassify(s: SparkSession, dir: String): DataFrame =
+    textNbClassifyFrom(documents(s, dir))
+
+  /** Fixture seam (the <name>From pattern): planted-vocabulary and
+    * tie-break specs drive THIS method with synthetic documents. */
+  private[graft] def textNbClassifyFrom(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = d
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val train = toks.filter(pmod(col("doc_id"), lit(10)) < 7)
+    val cnt = train.groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumnRenamed("lang", "clang")
+    val tot = train.groupBy(col("lang"))
+      .agg(count(lit(1)).as("tot"))
+      .withColumnRenamed("lang", "clang")
+    val vsz = train.agg(countDistinct(col("tok")).as("v"))
+    val prior = train.select(col("doc_id"), col("lang")).distinct()
+      .groupBy(col("lang")).agg(count(lit(1)).as("nd"))
+      .withColumnRenamed("lang", "clang")
+    val ntr = train.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("ntr"))
+    val test = toks.filter(pmod(col("doc_id"), lit(10)) >= 7)
+    val scored = test.select(col("doc_id"), col("tok"))
+      .crossJoin(broadcast(tot))
+      .join(broadcast(cnt), Seq("clang", "tok"), "left")
+      .crossJoin(broadcast(vsz))
+      .select(col("doc_id"), col("clang"),
+        log((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double") /
+          (col("tot") + col("v")).cast("double")).as("lp"))
+      .groupBy(col("doc_id"), col("clang"))
+      .agg(sum(col("lp")).as("slp"))
+      .join(broadcast(prior), Seq("clang"))
+      .crossJoin(broadcast(ntr))
+      .select(col("doc_id"), col("clang"),
+        round(col("slp") +
+          log(col("nd").cast("double") / col("ntr").cast("double")), 6)
+          .as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("clang"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("clang").as("pred_lang"), col("score"))
+  }
+
+  /** text_nb_classify oracle — the whole train-then-score chain in
+    * SQL: same split, same add-one smoothed token table, same
+    * Σ ln(p) + ln(prior) score at the same 6-dp rounding, same
+    * (score desc, lang) argmax. */
+  val textNbClassifySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, t.tok
+      |  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+      |  WHERE len(t.tok) > 0),
+      |train AS (SELECT * FROM toks WHERE doc_id % 10 < 7),
+      |cnt AS (SELECT lang AS clang, tok, count(*) AS cnt
+      |  FROM train GROUP BY 1, 2),
+      |tot AS (SELECT lang AS clang, count(*) AS tot
+      |  FROM train GROUP BY 1),
+      |vsz AS (SELECT count(DISTINCT tok) AS v FROM train),
+      |prior AS (SELECT lang AS clang, count(DISTINCT doc_id) AS nd
+      |  FROM train GROUP BY 1),
+      |ntr AS (SELECT count(DISTINCT doc_id) AS ntr FROM train),
+      |test AS (SELECT doc_id, tok FROM toks WHERE doc_id % 10 >= 7),
+      |scored AS (
+      |  SELECT doc_id, tot.clang AS clang,
+      |    round(sum(ln(CAST(COALESCE(cnt.cnt, 0) + 1 AS DOUBLE) /
+      |        CAST(tot.tot + vsz.v AS DOUBLE)))
+      |      + ln(CAST(prior.nd AS DOUBLE) / CAST(ntr.ntr AS DOUBLE)),
+      |      6) AS score
+      |  FROM test CROSS JOIN tot
+      |  LEFT JOIN cnt ON cnt.clang = tot.clang AND cnt.tok = test.tok
+      |  CROSS JOIN vsz
+      |  JOIN prior ON prior.clang = tot.clang
+      |  CROSS JOIN ntr
+      |  GROUP BY doc_id, tot.clang, prior.nd, ntr.ntr),
+      |ranked AS (
+      |  SELECT doc_id, clang, score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, clang) AS rk
+      |  FROM scored)
+      |SELECT doc_id, clang AS pred_lang, score
+      |FROM ranked WHERE rk = 1""".stripMargin
+
   /** text_containment — contamination/containment detection: doc
     * pairs sharing a large fraction of winnowing fingerprints (the
     * train/eval-set contamination check of an LLM pipeline).
@@ -2452,6 +2560,7 @@ object TextQueries {
     "snk_text_index" -> (snkTextIndex _),
     "snk_text_index_compact" -> (snkTextIndexCompact _),
     "text_langid" -> (textLangid _),
+    "text_nb_classify" -> (textNbClassify _),
     "snk_text_index_delete" -> (snkTextIndexDelete _),
     "text_fingerprint" -> (textFingerprint _),
     "text_containment" -> (textContainment _)
@@ -2492,6 +2601,7 @@ object TextQueries {
     "snk_text_index_compact" -> snkTextIndexCompactSql,
     "snk_text_index_delete" -> snkTextIndexDeleteSql,
     "text_langid" -> textLangidSql,
+    "text_nb_classify" -> textNbClassifySql,
     // the 64-bit wraparound winnow hash IS mirrorable — HUGEINT
     // arithmetic wrapped once at the end (same ring mod 2^64)
     "text_fingerprint" -> textFingerprintSql,

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import graft.SparkSpec
+
+/** text_nb_classify pins: planted disjoint vocabularies are
+  * recovered on the held-out split, smoothing keeps unseen tokens
+  * from crashing or dominating, the argmax tie-break is the
+  * documented (score desc, lang asc), and the train/score split is
+  * exactly doc_id % 10. */
+class NbClassifySpec extends SparkSpec {
+
+  private def docs(rows: Seq[(Long, String, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "lang", "text")
+  }
+
+  private def predict(d: DataFrame): Map[Long, (String, Double)] =
+    TextQueries.textNbClassifyFrom(d).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+
+  test("planted disjoint vocabularies classify the held-out split") {
+    // train docs: ids with doc_id % 10 < 7; test docs: % 10 >= 7
+    val rows = Seq[(Long, String, String)](
+      (0L, "aa", "apple banana cherry apple"),
+      (10L, "aa", "banana apple apple cherry banana"),
+      (20L, "aa", "cherry cherry apple"),
+      (1L, "bb", "xylo zebra quark zebra"),
+      (11L, "bb", "quark quark zebra xylo"),
+      (21L, "bb", "zebra xylo quark"),
+      // held out — pure class-aa words and pure class-bb words
+      (7L, "aa", "apple cherry banana"),
+      (18L, "bb", "zebra quark quark"))
+    val p = predict(docs(rows))
+    assert(p.keySet == Set(7L, 18L))
+    assert(p(7L)._1 == "aa")
+    assert(p(18L)._1 == "bb")
+    assert(p.values.forall { case (_, s) => !s.isNaN && s < 0.0 })
+  }
+
+  test("all-unseen tokens fall back to priors with lang-asc tie-break") {
+    // symmetric classes: same token totals, same doc counts — an
+    // unseen-vocabulary test doc scores identically under both, and
+    // the documented tie-break picks the lexicographically smaller
+    val rows = Seq[(Long, String, String)](
+      (0L, "bb", "one two three"),
+      (10L, "aa", "four five six"),
+      (8L, "zz", "never seen words"))
+    val p = predict(docs(rows))
+    assert(p(8L)._1 == "aa")
+  }
+
+  test("the split is exactly doc_id % 10: train docs are never scored") {
+    val rows = Seq[(Long, String, String)](
+      (6L, "aa", "apple apple"), // 6 % 10 = 6 → train
+      (17L, "aa", "apple"), // 17 % 10 = 7 → scored
+      (29L, "bb", "zebra")) // 29 % 10 = 9 → scored
+    val p = predict(docs(rows))
+    assert(p.keySet == Set(17L, 29L))
+  }
+
+  test("fixture smoke: every held-out doc gets exactly one label") {
+    val d = graft.Tables.documents(spark, sf)
+    val out = TextQueries.textNbClassify(spark, sf)
+    val expected = d.filter("doc_id % 10 >= 7").count()
+    assert(out.count() == expected)
+    assert(out.select("doc_id").distinct().count() == expected)
+  }
+}
