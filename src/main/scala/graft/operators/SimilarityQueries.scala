@@ -730,6 +730,15 @@ object SimilarityQueries {
     * order would otherwise fold an uninitialized 0 into the SQL. */
   private val KNN_K = 3
 
+  /** graph_pagerank constants — declared before the SQL vals that
+    * embed them (object-init order, same as [[KNN_K]]). PR_SCALE is
+    * the total rank mass in fixed-point units (1 = 10⁻¹² of the
+    * corpus's rank); PR_ITERS fixed rounds at damping 85/100. All
+    * arithmetic is integer floor division so partial aggregation is
+    * associative and both engines agree bit-for-bit. */
+  private[operators] val PR_ITERS = 10
+  private[operators] val PR_SCALE = 1000000000000L
+
   /** Same floor as dedup_near_embedding (which rounds at scale 4 vs
     * the graph's scale 6 — a pair within 5e-5 of the floor can differ
     * between the two operators by design). Guarantees >0 rows on the
@@ -919,6 +928,51 @@ object SimilarityQueries {
   /** sim_knn_join oracle — the graph itself. */
   val simKnnJoinSql: String =
     s"WITH $knnSqlCtes\nSELECT a, b, sim, rk FROM knn"
+
+  /** graph_pagerank oracle — the same distinct-edge topology the
+    * engine iterates ([[knnSqlCtes]] → `uedges`), reduced to
+    * index-space adjacency lists (incoming sources per node,
+    * out-degree per node), then the [[PR_ITERS]] fixed-point rounds
+    * replayed as a state-as-one-row recursive CTE (the
+    * [[embKmeansSql]] idiom: DuckDB's recursive term may reference
+    * the working table once, so the whole rank vector rides in a
+    * single LIST and the per-node update is a nested
+    * `list_transform`). Every operation is BIGINT floor arithmetic —
+    * `//` here, `DIV` in Spark, both exact on non-negative operands
+    * — so the hash compare is bit-exact, not tolerance-based. Nodes
+    * with no incoming edges keep base mass only; `dg` is padded with
+    * 1 for nodes that never appear as an edge source (the pad is
+    * unreachable — `inc[v]` only lists sources that HAVE out-edges —
+    * it just keeps the list total). */
+  val graphPagerankSql: String =
+    s"""WITH RECURSIVE $knnSqlCtes,
+       |uedges AS (SELECT DISTINCT a, b FROM knn),
+       |pidx AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS i
+       |  FROM nd),
+       |pie AS (SELECT bi.i AS tv, ai.i AS sv
+       |  FROM uedges e JOIN pidx ai ON e.a = ai.vec_id
+       |  JOIN pidx bi ON e.b = bi.vec_id),
+       |pincl AS (SELECT x.i, COALESCE(g.l, []) AS l FROM pidx x
+       |  LEFT JOIN (SELECT tv, list(sv ORDER BY sv) AS l FROM pie
+       |    GROUP BY tv) g ON g.tv = x.i),
+       |pdgl AS (SELECT x.i, COALESCE(d.dg, 1) AS dg FROM pidx x
+       |  LEFT JOIN (SELECT sv, count(*) AS dg FROM pie GROUP BY sv) d
+       |    ON d.sv = x.i),
+       |ptopo AS (SELECT (SELECT count(*) FROM pidx) AS n,
+       |  (SELECT list(l ORDER BY i) FROM pincl) AS inc,
+       |  (SELECT list(dg ORDER BY i) FROM pdgl) AS dg),
+       |prst(it, rs) AS (
+       |  SELECT 0, (SELECT list_transform(range(1, n + 1),
+       |      v -> $PR_SCALE // n) FROM ptopo)
+       |  UNION ALL
+       |  SELECT p.it + 1, list_transform(range(1, t.n + 1),
+       |      v -> ($PR_SCALE * 15 // 100 // t.n) +
+       |        COALESCE(list_sum(list_transform(t.inc[v],
+       |          u -> (85 * p.rs[u]) // (100 * t.dg[u]))), 0))
+       |  FROM prst p, ptopo t WHERE p.it < $PR_ITERS),
+       |pfin AS (SELECT rs FROM prst ORDER BY it DESC LIMIT 1)
+       |SELECT x.vec_id, pfin.rs[x.i] AS rank_fp
+       |FROM pidx x, pfin""".stripMargin
 
   /** dedup_semantic oracle: knn edges ≥ SEM_T normalized to
     * undirected (least/greatest, distinct), then min-label connected
@@ -2598,6 +2652,170 @@ object SimilarityQueries {
         col("is_keeper"))
   }
 
+  /** graph_pagerank — PageRank over the k-NN similarity graph: the
+    * centrality-ranked curation signal (CommonCrawl-style
+    * harmonic/PageRank ranking, applied to the similarity graph a
+    * near-dup pipeline already builds — high-rank nodes are the
+    * "canonical" members of dense semantic neighborhoods, the
+    * natural keeper priority and sampling weight; a capability
+    * beyond the reference's catalog surface, in the extension tier
+    * SURVEY.md §2.11 defines). Runs ENTIRELY in integer fixed-point
+    * (rank mass PR_SCALE split uniformly, damping 85/100, floor
+    * division everywhere) so the distributed contribution sums are
+    * associative — iteration order, partitioning, and partial
+    * aggregation cannot move a single unit, and the oracle
+    * ([[graphPagerankSql]]) hash-matches bit-for-bit. Dangling mass
+    * (nodes with no out-edges) evaporates by design — standard for
+    * ranking use, where only the ORDER matters — so Σrank declines
+    * toward the base floor instead of holding at PR_SCALE; the spec
+    * pins conservation bounds.
+    *
+    * Scale design: the graph is edges = O(n·k) rows, cached once;
+    * each round is one join + one partial-aggregating groupBy on the
+    * same key — at 1000 executors, pre-partitioning edges and ranks
+    * by node id makes every round a co-partitioned join with no
+    * re-shuffle of the big side. The 10-round lineage stays a linear
+    * chain over the cached topology; on a real cluster checkpoint
+    * every few rounds to truncate lineage (documented in SCALE.md).
+    */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame =
+    graphPagerankFrom(withNorm(embeddings(s, dir)))
+
+  private[graft] def graphPagerankFrom(e0: DataFrame): DataFrame = {
+    val e = nonDegenerate(e0)
+    pagerankRanks(e, simKnnJoinFrom(e))
+  }
+
+  /** The fixed-point recurrence over a PRE-BUILT knn graph — the seam
+    * that lets dedup_keep_central share one graph between clustering
+    * and centrality instead of paying the candidate join twice. */
+  private[graft] def pagerankRanks(e: DataFrame, knn: DataFrame)
+      : DataFrame = {
+    // topology: the knn graph's distinct directed edges (rk ranks and
+    // star duplicates collapse away), materialized once — every
+    // iteration reuses the cached edge/degree tables
+    val edges = knn.select(col("a"), col("b")).distinct()
+      .persist()
+    val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      .persist()
+    val nodes = e.select(col("vec_id")).persist()
+    val n = nodes.count()
+    val base = PR_SCALE * 15L / 100L / n
+    var ranks = nodes.select(col("vec_id"), lit(PR_SCALE / n).as("r"))
+    for (_ <- 1 to PR_ITERS) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("vec_id", "a"), Seq("a"))
+        .join(deg, Seq("a"))
+        .select(col("b"),
+          expr("(85 * r) DIV (100 * deg)").as("c"))
+        .groupBy(col("b")).agg(sum(col("c")).as("cs"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("b", "vec_id"),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (lit(base) + coalesce(col("cs"), lit(0L))).as("r"))
+    }
+    ranks.select(col("vec_id"), col("r").as("rank_fp"))
+  }
+
+  /** dedup_keep_central — semantic near-dup cluster resolution by
+    * CENTRALITY: dedup_semantic's connected components, but the
+    * keeper is the member with the highest [[graphPagerankFrom
+    * PageRank]] in the k-NN similarity graph (vec_id tie-break) —
+    * "keep the canonical member of each meaning", the
+    * CommonCrawl-style centrality keeper rather than
+    * dedup_cluster_cc's arbitrary min-id or dedup_keep_best's
+    * per-doc quality score. Emits one row per cluster: keeper, its
+    * fixed-point rank, and the member count.
+    *
+    * Scale design: the expensive stage — LSH candidates + exact
+    * cosine — runs ONCE; the shared k-NN graph (O(n·k) rows, cached)
+    * feeds both the component loop and the 10 integer-fixed-point
+    * rank rounds, and everything downstream (cluster table, rank
+    * table, the per-cluster argmax window) is pairs-/node-sized, not
+    * corpus-sized. Because ranks are integer and associative, the
+    * keeper choice is bit-stable under any partitioning — no
+    * float-order flakes in the argmax. Oracle: the WHOLE chain
+    * (graph, components, ranks, argmax) recomputed in one DuckDB
+    * recursive-CTE query ([[dedupKeepCentralSql]]). */
+  def dedupKeepCentral(s: SparkSession, dir: String): DataFrame =
+    dedupKeepCentralFrom(withNorm(embeddings(s, dir)))
+
+  private[graft] def dedupKeepCentralFrom(e0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = nonDegenerate(e0)
+    val knn = simKnnJoinFrom(e).persist()
+    val sedges = knn.filter(col("sim") >= SEM_T)
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .dropDuplicates("a", "b")
+    val clusters = DedupQueries.clustersFrom(sedges)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    val ranks = pagerankRanks(e, knn)
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("rank_fp").desc, col("vec_id"))
+    clusters.join(ranks, Seq("vec_id"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(max(when(col("rk") === 1, col("vec_id"))).as("keeper_id"),
+        max(when(col("rk") === 1, col("rank_fp"))).as("keeper_rank"),
+        count(lit(1)).as("n_members"))
+  }
+
+  /** dedup_keep_central oracle — one WITH RECURSIVE block sharing
+    * [[knnSqlCtes]] between the component CTEs (the
+    * [[dedupSemanticSql]] shape) and the PageRank CTEs (the
+    * [[graphPagerankSql]] shape), then the same
+    * (rank desc, vec_id) argmax per cluster. */
+  val dedupKeepCentralSql: String =
+    s"""WITH RECURSIVE $knnSqlCtes,
+       |sedges AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+       |  FROM knn WHERE sim >= $SEM_T),
+       |cedges AS (SELECT a AS x, b AS y FROM sedges
+       |  UNION SELECT b AS x, a AS y FROM sedges),
+       |reach(x, r) AS (
+       |  SELECT x, x AS r FROM (SELECT DISTINCT x FROM cedges) n
+       |  UNION
+       |  SELECT e.x, reach.r FROM cedges e JOIN reach ON e.y = reach.x),
+       |cc AS (SELECT x AS vec_id, min(r) AS cluster_id
+       |  FROM reach GROUP BY x),
+       |uedges AS (SELECT DISTINCT a, b FROM knn),
+       |pidx AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS i
+       |  FROM nd),
+       |pie AS (SELECT bi.i AS tv, ai.i AS sv
+       |  FROM uedges e JOIN pidx ai ON e.a = ai.vec_id
+       |  JOIN pidx bi ON e.b = bi.vec_id),
+       |pincl AS (SELECT x.i, COALESCE(g.l, []) AS l FROM pidx x
+       |  LEFT JOIN (SELECT tv, list(sv ORDER BY sv) AS l FROM pie
+       |    GROUP BY tv) g ON g.tv = x.i),
+       |pdgl AS (SELECT x.i, COALESCE(d.dg, 1) AS dg FROM pidx x
+       |  LEFT JOIN (SELECT sv, count(*) AS dg FROM pie GROUP BY sv) d
+       |    ON d.sv = x.i),
+       |ptopo AS (SELECT (SELECT count(*) FROM pidx) AS n,
+       |  (SELECT list(l ORDER BY i) FROM pincl) AS inc,
+       |  (SELECT list(dg ORDER BY i) FROM pdgl) AS dg),
+       |prst(it, rs) AS (
+       |  SELECT 0, (SELECT list_transform(range(1, n + 1),
+       |      v -> $PR_SCALE // n) FROM ptopo)
+       |  UNION ALL
+       |  SELECT p.it + 1, list_transform(range(1, t.n + 1),
+       |      v -> ($PR_SCALE * 15 // 100 // t.n) +
+       |        COALESCE(list_sum(list_transform(t.inc[v],
+       |          u -> (85 * p.rs[u]) // (100 * t.dg[u]))), 0))
+       |  FROM prst p, ptopo t WHERE p.it < $PR_ITERS),
+       |pfin AS (SELECT rs FROM prst ORDER BY it DESC LIMIT 1),
+       |prank AS (SELECT x.vec_id, pfin.rs[x.i] AS rank_fp
+       |  FROM pidx x, pfin),
+       |jr AS (SELECT cc.cluster_id, cc.vec_id, prank.rank_fp,
+       |  row_number() OVER (PARTITION BY cc.cluster_id
+       |    ORDER BY prank.rank_fp DESC, cc.vec_id) AS rk
+       |  FROM cc JOIN prank ON cc.vec_id = prank.vec_id)
+       |SELECT cluster_id,
+       |  max(CASE WHEN rk = 1 THEN vec_id END) AS keeper_id,
+       |  max(CASE WHEN rk = 1 THEN rank_fp END) AS keeper_rank,
+       |  count(*) AS n_members
+       |FROM jr GROUP BY cluster_id""".stripMargin
+
   /** emb_kmeans — spherical k-means to convergence (the curation
     * clustering primitive: SemDeDup partitions the corpus by k-means
     * cluster before any pairwise work; topic balancing samples per
@@ -3147,7 +3365,9 @@ object SimilarityQueries {
     "sim_hybrid_serve_batch" -> (simHybridServeBatch _),
     "sim_mmr_rerank" -> (simMmrRerank _),
     "pipeline_decontaminate_retrieval" -> (pipelineDecontaminateRetrieval _),
-    "sim_mmr_serve" -> (simMmrServe _)
+    "sim_mmr_serve" -> (simMmrServe _),
+    "graph_pagerank" -> (graphPagerank _),
+    "dedup_keep_central" -> (dedupKeepCentral _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -3177,6 +3397,8 @@ object SimilarityQueries {
     "sim_hybrid_serve_batch" -> simHybridServeBatchSql,
     "sim_mmr_rerank" -> simMmrRerankSql,
     "pipeline_decontaminate_retrieval" -> pipelineDecontaminateRetrievalSql,
-    "sim_mmr_serve" -> simMmrServeSql
+    "sim_mmr_serve" -> simMmrServeSql,
+    "graph_pagerank" -> graphPagerankSql,
+    "dedup_keep_central" -> dedupKeepCentralSql
   )
 }
