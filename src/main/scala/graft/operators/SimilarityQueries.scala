@@ -2589,7 +2589,24 @@ object SimilarityQueries {
     * ([[simKnnJoinSql]]); planted-twin rank-1 recovery stays
     * unit-tested. */
   def simKnnJoin(s: SparkSession, dir: String): DataFrame =
-    simKnnJoinFrom(withNorm(embeddings(s, dir)))
+    knnGraphFor(s, dir)
+
+  /** The per-corpus k-NN graph, memoized behind the corpus file-stat
+    * fingerprint and PERSISTED — the [[kmeansCentroidsFor]] idiom.
+    * Four qids consume the same graph (sim_knn_join, dedup_semantic,
+    * graph_pagerank, dedup_keep_central) and the LSH-candidate +
+    * exact-cosine stage is the only corpus-proportional cost in all
+    * four: one build per (JVM, corpus) instead of four. The memo key
+    * carries the fingerprint, so an in-place corpus change can never
+    * serve a stale graph. */
+  private val knnCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def knnGraphFor(s: SparkSession, dir: String): DataFrame = {
+    val fp = IndexManifest.corpusFingerprint(dir, "embeddings")
+    knnCache.computeIfAbsent(s"$dir|$fp",
+      _ => simKnnJoinFrom(withNorm(embeddings(s, dir))).persist())
+  }
 
   private[graft] def simKnnJoinFrom(e0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -2633,16 +2650,21 @@ object SimilarityQueries {
     * recomputed end-to-end by the SQL oracle ([[dedupSemanticSql]],
     * recursive-CTE connected components). */
   def dedupSemantic(s: SparkSession, dir: String): DataFrame =
-    dedupSemanticFrom(withNorm(embeddings(s, dir)))
+    semanticClusters(knnGraphFor(s, dir))
 
   /** Fixture seam (the <name>From pattern) — the planted-meaning test
     * drives THIS method, so the edge rule and SEM_T are exercised in
-    * production form. An edge survives if EITHER direction made its
-    * endpoint's top-k (least/greatest + dropDuplicates — filtering
-    * a < b after the rank window would drop an edge whose smaller-id
-    * side is a hub with k closer neighbors). */
-  private[graft] def dedupSemanticFrom(e: DataFrame): DataFrame = {
-    val edges = simKnnJoinFrom(e)
+    * production form. */
+  private[graft] def dedupSemanticFrom(e: DataFrame): DataFrame =
+    semanticClusters(simKnnJoinFrom(e))
+
+  /** Clusters over a pre-built knn graph. An edge survives if EITHER
+    * direction made its endpoint's top-k (least/greatest +
+    * dropDuplicates — filtering a < b after the rank window would
+    * drop an edge whose smaller-id side is a hub with k closer
+    * neighbors). */
+  private def semanticClusters(knn: DataFrame): DataFrame = {
+    val edges = knn
       .filter(col("sim") >= SEM_T)
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
@@ -2679,23 +2701,64 @@ object SimilarityQueries {
     * every few rounds to truncate lineage (documented in SCALE.md).
     */
   def graphPagerank(s: SparkSession, dir: String): DataFrame =
-    graphPagerankFrom(withNorm(embeddings(s, dir)))
+    pagerankRanks(nonDegenerate(withNorm(embeddings(s, dir))),
+      knnGraphFor(s, dir))
 
   private[graft] def graphPagerankFrom(e0: DataFrame): DataFrame = {
     val e = nonDegenerate(e0)
     pagerankRanks(e, simKnnJoinFrom(e))
   }
 
+  /** Edge-count ceiling for the driver fixed-point shortcut — the
+    * [[DedupQueries.DRIVER_CC_MAX]] idiom: 2²⁰ collected edges ≈
+    * 16 MB, far under driver headroom, and every node has out-edges
+    * in a k-NN graph so the node set is edge-bounded too. Below it,
+    * the distributed loop's 10 rounds × 4 shuffle stages of
+    * per-stage latency dominate the actual integer work by 50×;
+    * because the arithmetic is associative floor division, the
+    * driver loop produces the IDENTICAL table (equality
+    * spec-pinned). Above it the distributed loop runs. */
+  private[graft] val DRIVER_PR_MAX = 1L << 20
+
   /** The fixed-point recurrence over a PRE-BUILT knn graph — the seam
     * that lets dedup_keep_central share one graph between clustering
-    * and centrality instead of paying the candidate join twice. */
-  private[graft] def pagerankRanks(e: DataFrame, knn: DataFrame)
-      : DataFrame = {
+    * and centrality instead of paying the candidate join twice.
+    * `driverMax` is overridden to 0 in tests to force the
+    * distributed path. */
+  private[graft] def pagerankRanks(e: DataFrame, knn: DataFrame,
+      driverMax: Long = DRIVER_PR_MAX): DataFrame = {
     // topology: the knn graph's distinct directed edges (rk ranks and
     // star duplicates collapse away), materialized once — every
     // iteration reuses the cached edge/degree tables
     val edges = knn.select(col("a"), col("b")).distinct()
       .persist()
+    val nEdges = edges.count()
+    if (nEdges <= driverMax) {
+      val spark = e.sparkSession
+      import spark.implicits._
+      val es = edges.select(col("a").cast("long"), col("b").cast("long"))
+        .as[(Long, Long)].collect()
+      edges.unpersist()
+      val nodeIds = e.select(col("vec_id").cast("long"))
+        .as[Long].collect()
+      val n = nodeIds.length
+      val base = PR_SCALE * 15L / 100L / n
+      val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+      es.foreach { case (a, _) => deg.update(a, deg.getOrElse(a, 0L) + 1L) }
+      var r = nodeIds.iterator.map(_ -> PR_SCALE / n).toMap
+      for (_ <- 1 to PR_ITERS) {
+        val contrib = scala.collection.mutable.HashMap.empty[Long, Long]
+        es.foreach { case (a, b) =>
+          val c = (85L * r(a)) / (100L * deg(a))
+          contrib.update(b, contrib.getOrElse(b, 0L) + c)
+        }
+        r = nodeIds.iterator
+          .map(v => v -> (base + contrib.getOrElse(v, 0L))).toMap
+      }
+      return spark
+        .createDataFrame(nodeIds.sorted.map(v => (v, r(v))).toSeq)
+        .toDF("vec_id", "rank_fp")
+    }
     val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
       .persist()
     val nodes = e.select(col("vec_id")).persist()
@@ -2739,18 +2802,18 @@ object SimilarityQueries {
     * (graph, components, ranks, argmax) recomputed in one DuckDB
     * recursive-CTE query ([[dedupKeepCentralSql]]). */
   def dedupKeepCentral(s: SparkSession, dir: String): DataFrame =
-    dedupKeepCentralFrom(withNorm(embeddings(s, dir)))
+    keepCentral(nonDegenerate(withNorm(embeddings(s, dir))),
+      knnGraphFor(s, dir))
 
   private[graft] def dedupKeepCentralFrom(e0: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = nonDegenerate(e0)
-    val knn = simKnnJoinFrom(e).persist()
-    val sedges = knn.filter(col("sim") >= SEM_T)
-      .select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b"))
-      .dropDuplicates("a", "b")
-    val clusters = DedupQueries.clustersFrom(sedges)
-      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    keepCentral(e, simKnnJoinFrom(e).persist())
+  }
+
+  private def keepCentral(e: DataFrame, knn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = semanticClusters(knn)
+      .select(col("vec_id"), col("cluster_id"))
     val ranks = pagerankRanks(e, knn)
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("rank_fp").desc, col("vec_id"))

@@ -75,6 +75,21 @@ class GraphPagerankSpec extends SparkSpec {
     val b = ranksOf(embDf(vecs).repartition(7))
     assert(a == b)
   }
+
+  test("distributed loop == driver shortcut, bit for bit") {
+    // driverMax=0 forces the 10-round distributed join loop; the
+    // associative floor arithmetic means it must land on EXACTLY the
+    // table the collected loop produces
+    val vecs = (0L to 24L).map(i =>
+      i -> Seq(math.cos(i * 0.5), math.sin(i * 0.5), (i % 4) * 0.3))
+    val e = embDf(vecs)
+    val knn = SimilarityQueries.simKnnJoinFrom(e)
+    val dist = SimilarityQueries.pagerankRanks(e, knn, driverMax = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val drv = SimilarityQueries.pagerankRanks(e, knn)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == drv)
+  }
 }
 
 /** dedup_keep_central pins: the keeper really is the highest-rank
