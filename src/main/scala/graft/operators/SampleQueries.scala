@@ -380,7 +380,57 @@ object SampleQueries {
       |QUALIFY rank <= 5
       |ORDER BY epoch, shard, rank""".stripMargin
 
+  /** Expected per-cluster draw for sample_cluster_balanced. */
+  private val CB_TARGET = 32L
+
+  /** sample_cluster_balanced — topic-balanced subsampling: draw
+    * ~[[CB_TARGET]] vectors per k-means cluster regardless of
+    * cluster size (the mixture-balancing step SemDeDup-style
+    * pipelines run after clustering: big topics are downsampled,
+    * small topics kept whole, so no topic dominates the epoch).
+    * Admission is per-cluster hash-rate: a member survives iff
+    * bucket(vec_id)·|cluster| < 1000·TARGET — the integer cross
+    * -multiplied form of bucket/1000 < TARGET/|cluster|, exact with
+    * no float-rate boundary rows. Expected draw = TARGET per
+    * cluster (whole cluster when |cluster| ≤ TARGET); binomial
+    * variance is the price of the scan-shaped plan.
+    *
+    * Scale design: the cluster-size table is k rows (broadcast); the
+    * decision is then a pure narrow predicate on the assignment scan
+    * — no window, no global sort, no shuffle of corpus rows at all
+    * (contrast sample_stratified's per-stratum window, fine at k
+    * strata but a sort bottleneck if a cluster holds half the
+    * corpus). Deterministic under rerun/repartition/engine because
+    * the bucket is content-hash, and the whole chain — converged
+    * centroids, assignment, sizes, admission — replays in the
+    * oracle. */
+  def sampleClusterBalanced(s: SparkSession, dir: String): DataFrame = {
+    val assign = SimilarityQueries.embKmeansAssign(s, dir)
+      .select(col("vec_id"), col("cid"))
+    val sizes = assign.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_cluster"))
+    assign.join(broadcast(sizes), Seq("cid"))
+      .withColumn("bucket", hashBucket(col("vec_id")))
+      .filter(col("bucket") * col("n_cluster") < lit(1000L * CB_TARGET))
+      .select(col("cid"), col("vec_id"), col("bucket"), col("n_cluster"))
+  }
+
+  /** sample_cluster_balanced oracle — the converged-assignment chain
+    * ([[SimilarityQueries.embKmeansAssignSql]]) as a derived table,
+    * then the same integer admission predicate. */
+  val sampleClusterBalancedSql: String =
+    s"""WITH a AS (SELECT vec_id, cid
+       |  FROM (${SimilarityQueries.embKmeansAssignSql}) z),
+       |sz AS (SELECT cid, count(*) AS n_cluster FROM a GROUP BY cid),
+       |b AS (SELECT a.cid, a.vec_id, sz.n_cluster,
+       |  CAST('0x' || substr(sha256(CAST(a.vec_id AS VARCHAR)), 1, 6)
+       |    AS BIGINT) % 1000 AS bucket
+       |  FROM a JOIN sz USING (cid))
+       |SELECT cid, vec_id, bucket, n_cluster FROM b
+       |WHERE bucket * n_cluster < 1000 * $CB_TARGET""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_cluster_balanced" -> (sampleClusterBalanced _),
     "agg_dataset_checksum" -> (aggDatasetChecksum _),
     "sample_hash_fraction" -> (sampleHashFraction _),
     "sample_stratified" -> (sampleStratified _),
@@ -392,6 +442,7 @@ object SampleQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "sample_cluster_balanced" -> sampleClusterBalancedSql,
     "agg_dataset_checksum" -> aggDatasetChecksumSql,
     "sample_hash_fraction" -> sampleHashFractionSql,
     "sample_stratified" -> sampleStratifiedSql,

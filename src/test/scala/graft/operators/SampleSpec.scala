@@ -94,4 +94,39 @@ class SampleSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(again == res.map { case (k, v) => k -> v._2 })
   }
+  test("sample_cluster_balanced: exact admission set, small clusters whole") {
+    val out = SampleQueries.sampleClusterBalanced(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, _, bucket, n) => assert(bucket * n < 32000L) }
+    // independent recompute from the assignment table + a JVM sha256
+    val assign = SimilarityQueries.embKmeansAssign(spark, sf)
+      .select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sizes = assign.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    def bucket(v: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(v.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 6), 16) % 1000L
+    }
+    val expected = assign
+      .filter { case (v, c) => bucket(v) * sizes(c) < 32000L }
+      .map { case (v, c) => (c, v) }.toSet
+    assert(out.map(t => (t._1, t._2)).toSet == expected)
+    // every cluster at or under the 32-target is admitted whole
+    sizes.filter(_._2 <= 32L).keys.foreach { c =>
+      assert(out.count(_._1 == c).toLong == sizes(c), s"cluster $c not whole")
+    }
+    // and the draw is balanced: no admitted cluster exceeds ~target
+    // by more than binomial noise (4 sigma at p=32/n)
+    out.groupBy(_._1).foreach { case (c, rows) =>
+      val n = sizes(c).toDouble
+      if (n > 32) {
+        val sd = math.sqrt(n * (32000.0 / n / 1000.0) * (1 - 32.0 / n))
+        assert(rows.length <= 32 + 4 * sd + 1, s"cluster $c over-drawn")
+      }
+    }
+  }
 }
+
