@@ -1221,6 +1221,83 @@ object TextQueries {
       |SELECT doc_id, clang AS pred_lang, score
       |FROM ranked WHERE rk = 1""".stripMargin
 
+  /** text_nb_top_features — the classifier AUDIT table: for each
+    * class, the 5 tokens with the highest smoothed log-odds
+    * ln(p(tok|c)) − ln(p(tok|¬c)) over text_nb_classify's train
+    * split — "what did the model learn", the review artifact a
+    * production filtering stage publishes next to its scores (and
+    * the fasttext-style feature report). Same add-one smoothing and
+    * token model as the classifier, so the audit is consistent with
+    * the scoring path by construction.
+    *
+    * Scale design: one map-side-combining token aggregate produces
+    * the (class, token) count table and everything downstream is
+    * MODEL-sized (vocab × classes), never corpus-sized; the final
+    * per-class top-5 runs through the TopKPerGroup heap operator —
+    * O(classes × 5) state per task, at most 5 rows per (class,
+    * partition) through the exchange — instead of a full per-class
+    * vocabulary sort. Log-odds are rounded at 6 dp before ranking
+    * (the engine-stable-rounding contract) and the (score desc, tok
+    * asc) order is total, so the boundary is deterministic. */
+  def textNbTopFeatures(s: SparkSession, dir: String): DataFrame =
+    textNbTopFeaturesFrom(documents(s, dir))
+
+  private[graft] def textNbTopFeaturesFrom(d: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(d.sparkSession)
+    val toks = d
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val train = toks.filter(pmod(col("doc_id"), lit(10)) < 7)
+    val cnt = train.groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val tokTot = cnt.groupBy(col("tok")).agg(sum(col("cnt")).as("ttot"))
+    val tot = train.groupBy(col("lang")).agg(count(lit(1)).as("tot"))
+    val gv = train.agg(count(lit(1)).as("g"),
+      countDistinct(col("tok")).as("v"))
+    val scored = cnt
+      .join(tokTot, Seq("tok"))
+      .join(broadcast(tot), Seq("lang"))
+      .crossJoin(broadcast(gv))
+      .select(col("lang"), col("tok"),
+        round(
+          log((col("cnt") + lit(1L)).cast("double") /
+            (col("tot") + col("v")).cast("double")) -
+            log((col("ttot") - col("cnt") + lit(1L)).cast("double") /
+              (col("g") - col("tot") + col("v")).cast("double")), 6)
+          .as("log_odds"))
+    graft.plans.TopKPerGroup.topKPerGroup(scored,
+      keys = Seq("lang"),
+      orderBy = Seq(("log_odds", false), ("tok", true)), k = 5)
+  }
+
+  /** text_nb_top_features oracle — same counts, same smoothing, same
+    * 6-dp rounding, same (log_odds desc, tok) top-5. */
+  val textNbTopFeaturesSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, t.tok
+      |  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+      |  WHERE len(t.tok) > 0),
+      |train AS (SELECT * FROM toks WHERE doc_id % 10 < 7),
+      |cnt AS (SELECT lang, tok, count(*) AS cnt
+      |  FROM train GROUP BY 1, 2),
+      |ttot AS (SELECT tok, sum(cnt) AS ttot FROM cnt GROUP BY 1),
+      |tot AS (SELECT lang, count(*) AS tot FROM train GROUP BY 1),
+      |gv AS (SELECT count(*) AS g, count(DISTINCT tok) AS v FROM train),
+      |scored AS (
+      |  SELECT cnt.lang, cnt.tok,
+      |    round(ln(CAST(cnt.cnt + 1 AS DOUBLE)
+      |        / CAST(tot.tot + gv.v AS DOUBLE))
+      |      - ln(CAST(ttot.ttot - cnt.cnt + 1 AS DOUBLE)
+      |        / CAST(gv.g - tot.tot + gv.v AS DOUBLE)), 6) AS log_odds
+      |  FROM cnt JOIN ttot USING (tok) JOIN tot USING (lang)
+      |  CROSS JOIN gv),
+      |r AS (SELECT lang, tok, log_odds,
+      |  row_number() OVER (PARTITION BY lang
+      |    ORDER BY log_odds DESC, tok) AS rk
+      |  FROM scored)
+      |SELECT lang, tok, log_odds FROM r WHERE rk <= 5""".stripMargin
+
   /** text_containment — contamination/containment detection: doc
     * pairs sharing a large fraction of winnowing fingerprints (the
     * train/eval-set contamination check of an LLM pipeline).
@@ -2561,6 +2638,7 @@ object TextQueries {
     "snk_text_index_compact" -> (snkTextIndexCompact _),
     "text_langid" -> (textLangid _),
     "text_nb_classify" -> (textNbClassify _),
+    "text_nb_top_features" -> (textNbTopFeatures _),
     "snk_text_index_delete" -> (snkTextIndexDelete _),
     "text_fingerprint" -> (textFingerprint _),
     "text_containment" -> (textContainment _)
@@ -2602,6 +2680,7 @@ object TextQueries {
     "snk_text_index_delete" -> snkTextIndexDeleteSql,
     "text_langid" -> textLangidSql,
     "text_nb_classify" -> textNbClassifySql,
+    "text_nb_top_features" -> textNbTopFeaturesSql,
     // the 64-bit wraparound winnow hash IS mirrorable — HUGEINT
     // arithmetic wrapped once at the end (same ring mod 2^64)
     "text_fingerprint" -> textFingerprintSql,

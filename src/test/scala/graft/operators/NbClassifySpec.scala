@@ -59,6 +59,28 @@ class NbClassifySpec extends SparkSpec {
     assert(p.keySet == Set(17L, 29L))
   }
 
+  test("top-features audit surfaces the planted class vocabulary") {
+    val rows = Seq[(Long, String, String)](
+      (0L, "aa", "apple banana cherry apple shared"),
+      (10L, "aa", "banana apple apple cherry banana shared"),
+      (1L, "bb", "xylo zebra quark zebra shared"),
+      (11L, "bb", "quark quark zebra xylo shared"))
+    val out = TextQueries.textNbTopFeaturesFrom(docs(rows)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val byClass = out.groupBy(_._1)
+    assert(byClass.keySet == Set("aa", "bb"))
+    byClass.values.foreach(f => assert(f.length <= 5))
+    // class-exclusive tokens dominate; the shared token never beats
+    // every exclusive one
+    val aaToks = byClass("aa").sortBy(-_._3).map(_._2)
+    val bbToks = byClass("bb").sortBy(-_._3).map(_._2)
+    assert(Set("apple", "banana", "cherry").subsetOf(aaToks.toSet))
+    assert(Set("xylo", "zebra", "quark").subsetOf(bbToks.toSet))
+    assert(aaToks.head != "shared" && bbToks.head != "shared")
+    // log-odds of an exclusive token is positive, shared ~ 0
+    assert(byClass("aa").filter(_._2 == "apple").head._3 > 0.0)
+  }
+
   test("fixture smoke: every held-out doc gets exactly one label") {
     val d = graft.Tables.documents(spark, sf)
     val out = TextQueries.textNbClassify(spark, sf)
