@@ -1140,13 +1140,23 @@ object TextQueries {
 
   /** Fixture seam (the <name>From pattern): planted-vocabulary and
     * tie-break specs drive THIS method with synthetic documents. */
-  private[graft] def textNbClassifyFrom(d: DataFrame): DataFrame = {
+  private[graft] def textNbClassifyFrom(d: DataFrame): DataFrame =
+    nbScoreDocs(d, d.filter(pmod(col("doc_id"), lit(10)) >= 7))
+
+  /** Train on `corpus`'s doc_id%10<7 split, score EVERY row of
+    * `docs` — the seam the streaming admission sink reuses so batch
+    * and stream share one scoring rule (the incrementalDedupSink
+    * pattern). All model inputs are vocab-bounded aggregates of the
+    * corpus; a production deployment materializes them once instead
+    * of re-aggregating per call. */
+  private[graft] def nbScoreDocs(
+      corpus: DataFrame, docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = d
+    val train = corpus
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
-    val train = toks.filter(pmod(col("doc_id"), lit(10)) < 7)
+      .filter(pmod(col("doc_id"), lit(10)) < 7)
     val cnt = train.groupBy(col("lang"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
       .withColumnRenamed("lang", "clang")
@@ -1159,7 +1169,9 @@ object TextQueries {
       .withColumnRenamed("lang", "clang")
     val ntr = train.select(col("doc_id")).distinct()
       .agg(count(lit(1)).as("ntr"))
-    val test = toks.filter(pmod(col("doc_id"), lit(10)) >= 7)
+    val test = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
     val scored = test.select(col("doc_id"), col("tok"))
       .crossJoin(broadcast(tot))
       .join(broadcast(cnt), Seq("clang", "tok"), "left")

@@ -695,4 +695,29 @@ object StreamingOps {
       }
   }
 
+  /** Streaming classifier admission — the stream twin of
+    * text_nb_classify (score-the-crawl-as-it-arrives, the production
+    * shape of a trained quality/language filter): every micro-batch
+    * of incoming docs is scored against the model trained on the
+    * STATIC corpus by the same batch seam
+    * ([[graft.operators.TextQueries.nbScoreDocs]]) — one scoring
+    * rule to audit for both modes, the incrementalDedupSink pattern.
+    * Stateless per doc (the model is a set of vocab-bounded
+    * broadcast aggregates), so exactly-once comes free with the file
+    * sink and there is no watermark to tune. Re-aggregating the
+    * model per micro-batch is the fixture shape; a deployment
+    * materializes the model tables once and the scoring join is
+    * unchanged. */
+  def nbClassifySink(
+      fresh: DataFrame, corpus: DataFrame, outPath: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    fresh.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.TextQueries.nbScoreDocs(corpus, batch)
+          .write.mode("append").parquet(outPath)
+      }
+
 }

@@ -208,6 +208,33 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(outDir).count() == got.size)
   }
 
+  test("streaming classifier admission equals the batch scores exactly once") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-snb").toString
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val docs = graft.Tables.documents(spark, sf)
+    val fresh = docs.filter(col("doc_id") % 10 >= 7)
+    // two files -> the ingest may split batches; scoring is stateless
+    // per doc so the union must equal the batch run regardless
+    fresh.filter(col("doc_id") % 2 === 0).write.parquet(inDir)
+    fresh.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    def run(): Unit = {
+      val stream = StreamingOps.fileIngest(spark, inDir, schema)
+      val q = StreamingOps.nbClassifySink(stream, docs, outDir, ckpt).start()
+      q.awaitTermination(120000)
+    }
+    run()
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val got = keyed(spark.read.parquet(outDir))
+    val want = keyed(graft.operators.TextQueries.textNbClassifyFrom(docs))
+    assert(got == want, "streamed scores must equal the batch operator")
+    // restart on the same checkpoint: nothing re-scored
+    run()
+    assert(spark.read.parquet(outDir).count() == got.size)
+  }
+
   test("streaming packer equals the batch packer across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
