@@ -30,6 +30,7 @@ object SparkEntry {
       operators.MultimodalQueries.queries ++
       operators.PipelineQueries.queries ++
       operators.EventQueries.queries ++
+      operators.TimeSeriesQueries.queries ++
       operators.SourceSinkQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -47,5 +48,6 @@ object SparkEntry {
       operators.MultimodalQueries.oracle ++
       operators.PipelineQueries.oracle ++
       operators.EventQueries.oracle ++
+      operators.TimeSeriesQueries.oracle ++
       operators.SourceSinkQueries.oracle
 }
