@@ -138,13 +138,61 @@ object PipelineQueries {
        |WHERE cum - n_tok < ${SampleQueries.LANG_BUDGET}
        |GROUP BY c.lang, q""".stripMargin
 
+  /** curation_domain_stats — the per-source (per-domain) curation
+    * ledger every web-scale pipeline keeps before sampling: document
+    * and exact-duplicate counts, short-doc share, mean length, and a
+    * keep/flag verdict per source (the RefinedWeb/Dolma "domain
+    * blocklist from corpus statistics" stage, derived from the data
+    * instead of a hand list). ONE hash aggregate over the corpus —
+    * count-distinct of the content hash rides the same shuffle as the
+    * counts; output is |sources| rows. The keep rule compares scaled
+    * INTEGERS (dup_count·10 ≤ n_docs, short·10 ≤ 3·n_docs) so the
+    * verdict never sits on a float-rounding boundary; the rounded
+    * rates are display columns. */
+  def curationDomainStats(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(sha2(col("text"), 256)).as("n_unique"),
+        sum((col("n_chars") < 200).cast("long")).as("n_short"),
+        sum(col("n_chars")).as("sum_chars"))
+      .select(
+        col("source"), col("n_docs"), col("n_unique"),
+        round((col("n_docs") - col("n_unique")).cast("double") /
+          col("n_docs") + lit(1e-9), 6).as("dup_rate"),
+        round(col("n_short").cast("double") / col("n_docs") + lit(1e-9), 6)
+          .as("short_share"),
+        round(col("sum_chars").cast("double") / col("n_docs") + lit(1e-9), 4)
+          .as("mean_chars"),
+        ((col("n_docs") - col("n_unique")) * 10 <= col("n_docs") &&
+          col("n_short") * 10 <= col("n_docs") * 3).as("keep"))
+
+  val curationDomainStatsSql: String =
+    """WITH a AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    count(DISTINCT sha256(text)) AS n_unique,
+      |    sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS n_short,
+      |    sum(n_chars) AS sum_chars
+      |  FROM documents GROUP BY source)
+      |SELECT source, n_docs, n_unique,
+      |  round(CAST(n_docs - n_unique AS DOUBLE) / n_docs + 1e-9, 6)
+      |    AS dup_rate,
+      |  round(CAST(n_short AS DOUBLE) / n_docs + 1e-9, 6) AS short_share,
+      |  round(CAST(sum_chars AS DOUBLE) / n_docs + 1e-9, 4) AS mean_chars,
+      |  ((n_docs - n_unique) * 10 <= n_docs AND n_short * 10 <= n_docs * 3)
+      |    AS keep
+      |FROM a""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
-    "pipeline_build_mixture" -> (pipelineBuildMixture _)
+    "pipeline_build_mixture" -> (pipelineBuildMixture _),
+    "curation_domain_stats" -> (curationDomainStats _)
   )
 
   def oracle: Map[String, String] = Map(
     "pipeline_clean_corpus" -> pipelineCleanCorpusSql,
-    "pipeline_build_mixture" -> pipelineBuildMixtureSql
+    "pipeline_build_mixture" -> pipelineBuildMixtureSql,
+    "curation_domain_stats" -> curationDomainStatsSql
   )
 }

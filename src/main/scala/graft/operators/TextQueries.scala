@@ -2499,6 +2499,99 @@ object TextQueries {
        |CROSS JOIN tot
        |GROUP BY doc_id""".stripMargin
 
+  /** Interpolation weight of the bigram term in text_ppl_filter. */
+  private val PPL_LAMBDA = 0.8
+
+  /** Rounded-NLL admission threshold of text_ppl_filter: keep is
+    * decided on the 4-dp ROUNDED value so the flag can never disagree
+    * between engine and oracle on a sub-rounding float wobble. */
+  private val PPL_KEEP_NLL = 3.4
+
+  /** text_ppl_filter — the CCNet/GPT-3 perplexity gate: train a
+    * bigram LM on the held-out TRAIN split (doc_id%10 < 7), score
+    * EVERY document (train and not) under it, and flag high-perplexity
+    * docs for removal. Differs from text_bigram_logprob in the one way
+    * that matters for curation: the model is trained on a SPLIT, so
+    * scored docs contain genuinely unseen words/bigrams and the
+    * smoothing floor (add-one unigram over the train vocab, uniform
+    * mass for out-of-vocabulary words) is load-bearing, not
+    * decorative — text_bigram_logprob's whole-corpus inner joins
+    * would silently drop every unseen bigram here.
+    *
+    * Scale shape: identical to text_bigram_logprob — two token aggs
+    * over the train split, bigram fan-out over the corpus, vocab
+    * joins left unhinted for AQE, one 1-row broadcast of
+    * (n_tot, |V|). Docs with fewer than two nonempty tokens are
+    * unscorable and absent by design. */
+  def textPplFilter(s: SparkSession, dir: String): DataFrame = {
+    val base = documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val trainToks = base.filter(pmod(col("doc_id"), lit(10)) < 7)
+      .select(explode(col("ws")).as("w"))
+      .filter(length(col("w")) > 0)
+    val uni = trainToks.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val stats = uni.agg(sum(col("n_w")).as("n_tot"),
+      count(lit(1)).as("n_vocab"))
+    def pairs(df: DataFrame) = df
+      .select(col("doc_id"), explode(adjacentPairs(col("ws"))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      .filter(length(col("a")) > 0 && length(col("b")) > 0)
+    val bv = pairs(base.filter(pmod(col("doc_id"), lit(10)) < 7))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    val nll = pairs(base)
+      .join(bv, Seq("a", "b"), "left")
+      .join(uni.select(col("w").as("a"), col("n_w").as("n_a")), Seq("a"), "left")
+      .join(uni.select(col("w").as("b"), col("n_w").as("n_b")), Seq("b"), "left")
+      .join(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(
+        round(-avg(log(
+          lit(PPL_LAMBDA) *
+            coalesce(col("n_ab").cast("double") / col("n_a"), lit(0.0)) +
+            lit(1.0 - PPL_LAMBDA) *
+              (coalesce(col("n_b"), lit(0L)) + lit(1)).cast("double") /
+              (col("n_tot") + col("n_vocab") + lit(1)).cast("double")))
+          + lit(1e-9), 4).as("nll"),
+        count(lit(1)).as("n_bigrams"))
+    nll.select(col("doc_id"), col("n_bigrams"), col("nll"),
+      round(exp(col("nll")) + lit(1e-9), 4).as("ppl"),
+      (col("nll") <= PPL_KEEP_NLL).as("keep"))
+  }
+
+  val textPplFilterSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |ttk AS (
+       |  SELECT t.w FROM d, unnest(ws) AS t(w)
+       |  WHERE doc_id % 10 < 7 AND len(t.w) > 0),
+       |uni AS (SELECT w, count(*) AS n_w FROM ttk GROUP BY w),
+       |st AS (SELECT sum(n_w) AS n_tot, count(*) AS n_vocab FROM uni),
+       |bi AS (
+       |  SELECT doc_id, ws[g.i] AS a, ws[g.i + 1] AS b
+       |  FROM d, unnest(generate_series(1, len(ws) - 1)) AS g(i)
+       |  WHERE len(ws[g.i]) > 0 AND len(ws[g.i + 1]) > 0),
+       |bv AS (SELECT a, b, count(*) AS n_ab FROM bi
+       |       WHERE doc_id % 10 < 7 GROUP BY a, b),
+       |n AS (
+       |  SELECT doc_id,
+       |    round(-avg(ln(
+       |      $PPL_LAMBDA *
+       |        coalesce(CAST(n_ab AS DOUBLE) / ua.n_w, 0.0) +
+       |      ${1.0 - PPL_LAMBDA} *
+       |        CAST(coalesce(ub.n_w, 0) + 1 AS DOUBLE) /
+       |        CAST(n_tot + n_vocab + 1 AS DOUBLE)))
+       |      + 1e-9, 4) AS nll,
+       |    count(*) AS n_bigrams
+       |  FROM bi
+       |  LEFT JOIN bv USING (a, b)
+       |  LEFT JOIN uni ua ON bi.a = ua.w
+       |  LEFT JOIN uni ub ON bi.b = ub.w
+       |  CROSS JOIN st
+       |  GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams, nll,
+       |  round(exp(nll) + 1e-9, 4) AS ppl,
+       |  (nll <= $PPL_KEEP_NLL) AS keep
+       |FROM n""".stripMargin
+
   /** text_sentence_dedup — intra-document repeated-sentence scrub:
     * boilerplate (cookie banners, navigation crumbs, SEO spam) repeats
     * the same sentence inside one document; keep each sentence's FIRST
@@ -2622,6 +2715,7 @@ object TextQueries {
     "text_bpe_pairs" -> (textBpePairs _),
     "text_bpe_encode" -> (textBpeEncode _),
     "text_bigram_logprob" -> (textBigramLogprob _),
+    "text_ppl_filter" -> (textPplFilter _),
     "fn_unicode_normalize" -> (fnUnicodeNormalize _),
     "fn_sentence_split" -> (fnSentenceSplit _),
     "text_cooccurrence" -> (textCooccurrence _),
@@ -2662,6 +2756,7 @@ object TextQueries {
     "text_bpe_pairs" -> textBpePairsSql,
     "text_bpe_encode" -> textBpeEncodeSql,
     "text_bigram_logprob" -> textBigramLogprobSql,
+    "text_ppl_filter" -> textPplFilterSql,
     "fn_unicode_normalize" -> fnUnicodeNormalizeSql,
     "fn_sentence_split" -> fnSentenceSplitSql,
     "text_cooccurrence" -> textCooccurrenceSql,
