@@ -77,8 +77,21 @@ object PqIndex {
   // training + encoding kernels (pure, deterministic)
   // ---------------------------------------------------------------
 
-  /** Lloyd k-means over one subspace of the sample; init = first k
-    * sample rows, empty clusters keep their previous centroid. */
+  /** Training-grid quantum: sample coordinates snap to v·2²⁴ before
+    * Lloyd so the per-cluster means accumulate as EXACT integer sums
+    * — the refineCentroids discipline — making the whole codebook
+    * training order-independent and replayable in the DuckDB oracle
+    * (the step that kept sim_ann_ivf_pq rows-only). The 2⁻²⁴ snap is
+    * far below the quantization error PQ itself introduces (K=256
+    * codewords per 8-dim subspace), so recall is untouched
+    * (spec-pinned). */
+  private[operators] val TrainGrid = 16777216.0 // 2^24
+
+  /** Lloyd k-means over one subspace of the GRID-SNAPPED sample; init
+    * = first k sample rows, empty clusters keep their previous
+    * centroid. Distances run in double over the snapped values (every
+    * op an explicitly sequenced l2r IEEE fold); means divide exact
+    * integer sums, so no step depends on accumulation order. */
   private def trainSub(sample: Array[Array[Double]], start: Int, end: Int,
       k: Int, iters: Int): Array[Array[Double]] = {
     val dsub = end - start
@@ -108,21 +121,30 @@ object PqIndex {
         assign(i) = best
         i += 1
       }
-      val sums = Array.ofDim[Double](kk, dsub)
+      // exact integer sums on the 2^24 grid (snapped inputs make the
+      // floor a pure re-read of the integer, never a second rounding)
+      val sums = Array.ofDim[Long](kk, dsub)
       val cnts = new Array[Int](kk)
       i = 0
       while (i < n) {
         val c = assign(i)
         cnts(c) += 1
         var j = 0
-        while (j < dsub) { sums(c)(j) += sample(i)(start + j); j += 1 }
+        while (j < dsub) {
+          sums(c)(j) +=
+            math.floor(sample(i)(start + j) * TrainGrid + 0.5).toLong
+          j += 1
+        }
         i += 1
       }
       var c = 0
       while (c < kk) {
         if (cnts(c) > 0) {
           var j = 0
-          while (j < dsub) { cents(c)(j) = sums(c)(j) / cnts(c); j += 1 }
+          while (j < dsub) {
+            cents(c)(j) = (sums(c)(j).toDouble / cnts(c).toDouble) / TrainGrid
+            j += 1
+          }
         }
         c += 1
       }
@@ -245,7 +267,10 @@ object PqIndex {
         .select(col("emb")).collect()
       require(sampleRows.nonEmpty,
         s"vector index at $root has no assignment rows to train PQ on")
-      val sample = sampleRows.map(_.getSeq[Double](0).toArray)
+      // snap the TRAINING sample to the 2^24 grid (see TrainGrid) —
+      // encoding still runs over the raw member embeddings
+      val sample = sampleRows.map(_.getSeq[Double](0).toArray
+        .map(v => math.floor(v * TrainGrid + 0.5) / TrainGrid))
       val d = sample.iterator.map(_.length).max
       val cb = train(sample, d)
       import s.implicits._
@@ -565,6 +590,193 @@ object PqIndex {
       |  TRUE AS nrm_parity,
       |  TRUE AS sidecar_fresh""".stripMargin
 
+  // ---------------------------------------------------------------
+  // full recompute oracles (DuckDB)
+  // ---------------------------------------------------------------
+
+  /** The l2r fold Σ f(j) for j = 1..`len` — the shape every kernel
+    * loop in this file compiles to (sequenced adds, no re-ordering). */
+  private def foldSql(len: String, term: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(" +
+      s"range(1, $len + 1), j -> $term)), (a, x) -> a + x)"
+
+  /** Shared CTE suffix replaying the PQ sidecar on top of the IVF
+    * build CTEs ([[SimilarityQueries.ivfBuildSqlCtes]]): the
+    * xxhash64-ordered grid-snapped training sample, the full
+    * [[LloydIters]]-sweep per-subspace Lloyd in ONE recursive CTE
+    * (assignment argmin via min(struct) over the identical l2r
+    * distance fold; per-(code, dim) EXACT 2²⁴-grid integer means;
+    * empty codewords carried via the map-merge against the previous
+    * state), and the per-member encoding of the probed lists — every
+    * step an op-for-op mirror of [[trainSub]]/[[encodeOne]], which is
+    * why the training sample is snapped to the grid in the first
+    * place (see [[TrainGrid]]). */
+  private def pqSqlCtes: String = {
+    val signed = SimilarityQueries.signedXxhash64Sql("vec_id")
+    val dsq = foldSql("len(c.cw)",
+      "(v.sv[j] - c.cw[j]) * (v.sv[j] - c.cw[j])")
+    s"""av AS MATERIALIZED (SELECT vec_id, any_value(emb) AS emb
+       |  FROM asg2 JOIN nd USING (vec_id) GROUP BY vec_id),
+       |smp AS MATERIALIZED (SELECT
+       |    row_number() OVER (ORDER BY h, vec_id) AS rid,
+       |    list_transform(emb,
+       |      v -> floor(v * $TrainGrid + 0.5) / $TrainGrid) AS emb
+       |  FROM (SELECT vec_id, emb, $signed AS h FROM av)
+       |  ORDER BY h, vec_id LIMIT $TrainSample),
+       |pqp AS (SELECT max(len(emb)) AS d,
+       |    least($M, max(len(emb))) AS m,
+       |    least($K, count(*)) AS kk
+       |  FROM smp),
+       |sub AS (SELECT s, 1 + (s * d) // m AS lo, ((s + 1) * d) // m AS hi
+       |  FROM pqp, unnest(range(0, m)) t(s)),
+       |svec AS MATERIALIZED (SELECT rid, s, list_slice(emb, lo, hi) AS sv
+       |  FROM smp, sub),
+       |cb(it, s, code, cw) AS (
+       |  SELECT 0, s, rid, sv
+       |  FROM svec WHERE rid <= (SELECT kk FROM pqp)
+       |  UNION ALL
+       |  SELECT o.it + 1, o.s, o.code, coalesce(m.cemb, o.cw)
+       |  FROM (SELECT it, s, code, cw FROM cb
+       |        WHERE it < $LloydIters) o
+       |  LEFT JOIN (
+       |    SELECT s2, code, list(el ORDER BY j) AS cemb
+       |    FROM (
+       |      SELECT s2, code, j,
+       |        (CAST(sum(ve) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+       |          / $TrainGrid AS el
+       |      FROM (
+       |        SELECT s2, (b).code AS code,
+       |          unnest(range(1, len(sv) + 1)) AS j,
+       |          CAST(floor(unnest(sv) * $TrainGrid + 0.5) AS BIGINT)
+       |            AS ve
+       |        FROM (
+       |          SELECT v.rid, v.s AS s2, v.sv,
+       |            min(struct_pack(d := $dsq, code := c.code)) AS b
+       |          FROM svec v
+       |          JOIN (SELECT s, code, cw FROM cb
+       |                WHERE it < $LloydIters) c
+       |            ON v.s = c.s
+       |          GROUP BY v.rid, v.s, v.sv
+       |        )
+       |      ) GROUP BY s2, code, j
+       |    ) GROUP BY s2, code) m
+       |    ON m.s2 = o.s AND m.code = o.code),
+       |cw AS (SELECT b.s, u.lo, b.code, b.cw
+       |  FROM cb b JOIN sub u USING (s) WHERE b.it = $LloydIters)""".stripMargin
+  }
+
+  /** Encoding + ADC + refine for ONE query CTE `q(qv, qn)` against
+    * probed members `mem(vec_id, emb, nrm)` — the [[annTopKPqFrom]]
+    * two-phase serve. */
+  private def pqServeTailSql: String = {
+    val encDsq = foldSql("len(c.cw)",
+      "(m.emb[c.lo - 1 + j] - c.cw[j]) * (m.emb[c.lo - 1 + j] - c.cw[j])")
+    val lutDot = foldSql("len(c.cw)", "q.qv[c.lo - 1 + j] * c.cw[j]")
+    s"""enc AS (SELECT m.vec_id, c.s,
+       |    min(struct_pack(d := $encDsq, code := c.code)) AS b
+       |  FROM mem m, cw c GROUP BY m.vec_id, c.s),
+       |lut AS (SELECT c.s, c.code, $lutDot AS dot
+       |  FROM cw c, q),
+       |adc AS (SELECT e.vec_id,
+       |    list_reduce(list_prepend(0.0, list(l.dot ORDER BY e.s)),
+       |      (a, x) -> a + x) / (q.qn * any_value(m.nrm)) AS adc
+       |  FROM enc e
+       |  JOIN lut l ON l.s = e.s AND l.code = (e.b).code
+       |  JOIN mem m ON m.vec_id = e.vec_id, q
+       |  GROUP BY e.vec_id, q.qn),
+       |short AS (SELECT vec_id FROM adc
+       |  ORDER BY adc DESC, vec_id LIMIT ${10 * RefineFactor}),
+       |fin AS (SELECT m.vec_id,
+       |    round(${foldSql("least(len(m.emb), len(q.qv))",
+              "m.emb[j] * q.qv[j]")}
+       |      / (m.nrm * q.qn), 6) AS sim
+       |  FROM short JOIN mem m USING (vec_id), q)""".stripMargin
+  }
+
+  /** sim_ann_ivf_pq oracle: IVF build → PQ train → encode → ADC
+    * shortlist → exact refine, all replayed (hash equality on the
+    * served rows — previously rows-only for the float-Lloyd
+    * codebooks; the grid-snapped trainer closed that). */
+  lazy val simAnnIvfPqSql: String =
+    s"""WITH RECURSIVE ${SimilarityQueries.ivfBuildSqlCtes},
+       |$pqSqlCtes,
+       |q AS (SELECT emb AS qv, nrm AS qn FROM nd WHERE vec_id = 0),
+       |probes AS (SELECT c.cid
+       |  FROM (SELECT qv AS emb, qn AS nrm FROM q) v,
+       |    cents c
+       |  WHERE c.cnrm > 0 AND v.nrm > 0
+       |  ORDER BY ${SimilarityQueries.ivfDotSql} / (v.nrm * c.cnrm)
+       |    DESC, c.cid
+       |  LIMIT (SELECT np FROM nprb)),
+       |mem AS MATERIALIZED (SELECT v.vec_id, v.emb, v.nrm FROM nd v
+       |  WHERE v.vec_id IN (
+       |    SELECT DISTINCT vec_id FROM asg2 JOIN probes USING (cid))),
+       |$pqServeTailSql
+       |SELECT vec_id, sim FROM fin
+       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
+  /** sim_ann_pq_serve_batch oracle: the same chain per query id —
+    * per-query probes at the serve width, ONE shared codebook/encode
+    * replay, per-query ADC shortlist (row_number ≤ shortN over
+    * (adc DESC, vec_id) — the TopKPerGroup order), per-query exact
+    * top-10. */
+  lazy val simAnnPqServeBatchSql: String = {
+    val ids = SimilarityQueries.ANN_BATCH_IDS.mkString(", ")
+    val qDot = foldSql("len(c.cw)", "q.qv[c.lo - 1 + j] * c.cw[j]")
+    val encDsq = foldSql("len(c.cw)",
+      "(m.emb[c.lo - 1 + j] - c.cw[j]) * (m.emb[c.lo - 1 + j] - c.cw[j])")
+    s"""WITH RECURSIVE ${SimilarityQueries.ivfBuildSqlCtes},
+       |$pqSqlCtes,
+       |qs AS (SELECT vec_id AS query_id, emb AS qv, nrm AS qn
+       |  FROM nd WHERE vec_id IN ($ids)),
+       |probes AS (SELECT query_id, cid FROM (
+       |    SELECT q.query_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${foldSql("least(len(q.qv), len(c.cemb))",
+                "c.cemb[j] * q.qv[j]")}
+       |          / (q.qn * c.cnrm) DESC, c.cid) AS rn
+       |    FROM qs q, cents c WHERE c.cnrm > 0 AND q.qn > 0)
+       |  WHERE rn <= (SELECT np FROM nprb)),
+       |mem AS MATERIALIZED (SELECT v.vec_id, v.emb, v.nrm FROM nd v
+       |  WHERE v.vec_id IN (
+       |    SELECT DISTINCT a.vec_id
+       |    FROM asg2 a JOIN probes p USING (cid))),
+       |enc AS (SELECT m.vec_id, c.s,
+       |    min(struct_pack(d := $encDsq, code := c.code)) AS b
+       |  FROM mem m, cw c GROUP BY m.vec_id, c.s),
+       |lut AS (SELECT q.query_id, c.s, c.code, $qDot AS dot
+       |  FROM cw c, qs q),
+       |pairs AS (SELECT DISTINCT p.query_id, a.vec_id
+       |  FROM probes p JOIN asg2 a USING (cid)),
+       |adc AS (SELECT pr.query_id, pr.vec_id,
+       |    list_reduce(list_prepend(0.0, list(l.dot ORDER BY e.s)),
+       |      (a, x) -> a + x)
+       |      / (any_value(q.qn) * any_value(m.nrm)) AS adc
+       |  FROM pairs pr
+       |  JOIN enc e ON e.vec_id = pr.vec_id
+       |  JOIN lut l ON l.query_id = pr.query_id AND l.s = e.s
+       |    AND l.code = (e.b).code
+       |  JOIN mem m ON m.vec_id = pr.vec_id
+       |  JOIN qs q ON q.query_id = pr.query_id
+       |  GROUP BY pr.query_id, pr.vec_id),
+       |short AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc DESC, vec_id) AS rn
+       |    FROM adc) WHERE rn <= ${10 * RefineFactor}),
+       |fin AS (SELECT s.query_id, s.vec_id,
+       |    round(${foldSql("least(len(m.emb), len(q.qv))",
+              "m.emb[j] * q.qv[j]")}
+       |      / (m.nrm * q.qn), 6) AS sim
+       |  FROM short s JOIN mem m USING (vec_id)
+       |  JOIN qs q ON q.query_id = s.query_id)
+       |SELECT query_id, vec_id, sim FROM (
+       |  SELECT query_id, vec_id, sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, vec_id) AS rk
+       |  FROM fin) WHERE rk <= 10""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ann_ivf_pq" -> (simAnnIvfPq _),
     "sim_ann_pq_serve_batch" -> (simAnnPqServeBatch _),
@@ -572,7 +784,8 @@ object PqIndex {
   )
 
   def oracle: Map[String, String] = Map(
+    "sim_ann_ivf_pq" -> simAnnIvfPqSql,
+    "sim_ann_pq_serve_batch" -> simAnnPqServeBatchSql,
     "sim_ann_pq_audit" -> simAnnPqAuditSql
-    // sim_ann_ivf_pq: approximate (ADC scores) — recall spec-pinned
   )
 }

@@ -1355,12 +1355,18 @@ object SimilarityQueries {
     * persisted-index serve path uses), and the IVF_ASSIGN=2
     * fan-out (`asg2`). Every downstream IVF oracle builds on
     * `cents`/`asg2`. */
-  private def ivfBuildSqlCtes: String = {
+  /** Spark `ORDER BY xxhash64(<col>)` replayed as a signed-comparable
+    * HUGEINT expression (shared with the PQ sample oracle). */
+  private[operators] def signedXxhash64Sql(colName: String): String = {
     val h = xxhash64Sql(
-      "(CASE WHEN vec_id < 0 THEN vec_id::HUGEINT + " +
-        "18446744073709551616::HUGEINT ELSE vec_id::HUGEINT END)")
-    val signed = s"($h - CASE WHEN $h >= 9223372036854775808::HUGEINT " +
+      s"(CASE WHEN $colName < 0 THEN $colName::HUGEINT + " +
+        s"18446744073709551616::HUGEINT ELSE $colName::HUGEINT END)")
+    s"($h - CASE WHEN $h >= 9223372036854775808::HUGEINT " +
       "THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)"
+  }
+
+  private[operators] def ivfBuildSqlCtes: String = {
+    val signed = signedXxhash64Sql("vec_id")
     s"""nd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
        |    sqrt(list_reduce(list_prepend(0.0,
        |      list_transform(CAST(embedding AS DOUBLE[]), v -> v * v)),
@@ -1402,7 +1408,7 @@ object SimilarityQueries {
   /** The l2r dot fold between a vector CTE row `v.emb` and a centroid
     * row `c.cemb` — bit-identical to the [[topCentroids]] kernel loop
     * (same clamp, same product order, same left fold). */
-  private val ivfDotSql: String =
+  private[operators] val ivfDotSql: String =
     "list_reduce(list_prepend(0.0, list_transform(" +
       "range(1, least(len(v.emb), len(c.cemb)) + 1), " +
       "i -> c.cemb[i] * v.emb[i])), (a, x) -> a + x)"
