@@ -669,9 +669,16 @@ object PqIndex {
     * probed members `mem(vec_id, emb, nrm)` — the [[annTopKPqFrom]]
     * two-phase serve. */
   private def pqServeTailSql: String = {
-    val encDsq = foldSql("len(c.cw)",
+    // fold lengths clamp to the vector's remaining dims (the
+    // [[encodeOne]]/[[buildLut]] `lim`): a ragged short embedding
+    // must contribute zero for its missing dims, not NULL the whole
+    // distance via DuckDB's out-of-range list indexing
+    val encDsq = foldSql(
+      "least(len(c.cw), greatest(0, len(m.emb) - c.lo + 1))",
       "(m.emb[c.lo - 1 + j] - c.cw[j]) * (m.emb[c.lo - 1 + j] - c.cw[j])")
-    val lutDot = foldSql("len(c.cw)", "q.qv[c.lo - 1 + j] * c.cw[j]")
+    val lutDot = foldSql(
+      "least(len(c.cw), greatest(0, len(q.qv) - c.lo + 1))",
+      "q.qv[c.lo - 1 + j] * c.cw[j]")
     s"""enc AS (SELECT m.vec_id, c.s,
        |    min(struct_pack(d := $encDsq, code := c.code)) AS b
        |  FROM mem m, cw c GROUP BY m.vec_id, c.s),
@@ -722,8 +729,12 @@ object PqIndex {
     * top-10. */
   lazy val simAnnPqServeBatchSql: String = {
     val ids = SimilarityQueries.ANN_BATCH_IDS.mkString(", ")
-    val qDot = foldSql("len(c.cw)", "q.qv[c.lo - 1 + j] * c.cw[j]")
-    val encDsq = foldSql("len(c.cw)",
+    // same ragged-length clamp as [[pqServeTailSql]]
+    val qDot = foldSql(
+      "least(len(c.cw), greatest(0, len(q.qv) - c.lo + 1))",
+      "q.qv[c.lo - 1 + j] * c.cw[j]")
+    val encDsq = foldSql(
+      "least(len(c.cw), greatest(0, len(m.emb) - c.lo + 1))",
       "(m.emb[c.lo - 1 + j] - c.cw[j]) * (m.emb[c.lo - 1 + j] - c.cw[j])")
     s"""WITH RECURSIVE ${SimilarityQueries.ivfBuildSqlCtes},
        |$pqSqlCtes,

@@ -2598,20 +2598,36 @@ object SimilarityQueries {
     knnGraphFor(s, dir)
 
   /** The per-corpus k-NN graph, memoized behind the corpus file-stat
-    * fingerprint and PERSISTED — the [[kmeansCentroidsFor]] idiom.
-    * Four qids consume the same graph (sim_knn_join, dedup_semantic,
-    * graph_pagerank, dedup_keep_central) and the LSH-candidate +
-    * exact-cosine stage is the only corpus-proportional cost in all
-    * four: one build per (JVM, corpus) instead of four. The memo key
-    * carries the fingerprint, so an in-place corpus change can never
-    * serve a stale graph. */
+    * fingerprint and PERSISTED. Four qids consume the same graph
+    * (sim_knn_join, dedup_semantic, graph_pagerank,
+    * dedup_keep_central) and the LSH-candidate + exact-cosine stage
+    * is the only corpus-proportional cost in all four: one build per
+    * (JVM, corpus) instead of four.
+    *
+    * Unlike [[kmeansCentroidsFor]] (which stores session-free driver
+    * arrays), the cached value here is a PERSISTED DataFrame, so two
+    * extra invariants hold: (a) the map is keyed by `dir` with the
+    * fingerprint stored IN the value — when an in-place corpus
+    * regeneration changes the fingerprint, the stale entry's cached
+    * partitions are unpersisted and replaced instead of leaking in
+    * the block manager forever; (b) a cached DataFrame bound to a
+    * stopped SparkSession is discarded and rebuilt against the
+    * active one (same-JVM session restart would otherwise throw). */
   private val knnCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
 
   private def knnGraphFor(s: SparkSession, dir: String): DataFrame = {
     val fp = IndexManifest.corpusFingerprint(dir, "embeddings")
-    knnCache.computeIfAbsent(s"$dir|$fp",
-      _ => simKnnJoinFrom(withNorm(embeddings(s, dir))).persist())
+    knnCache.compute(dir, (_, prev) => prev match {
+      case (`fp`, df) if df.sparkSession eq s => prev
+      case _ =>
+        if (prev != null) {
+          // stale fingerprint or dead session: release cached blocks
+          // (no-op if the owning session is already stopped)
+          try prev._2.unpersist() catch { case _: Throwable => () }
+        }
+        (fp, simKnnJoinFrom(withNorm(embeddings(s, dir))).persist())
+    })._2
   }
 
   private[graft] def simKnnJoinFrom(e0: DataFrame): DataFrame = {
@@ -2715,16 +2731,27 @@ object SimilarityQueries {
     pagerankRanks(e, simKnnJoinFrom(e))
   }
 
-  /** Edge-count ceiling for the driver fixed-point shortcut — the
-    * [[DedupQueries.DRIVER_CC_MAX]] idiom: 2²⁰ collected edges ≈
-    * 16 MB, far under driver headroom, and every node has out-edges
-    * in a k-NN graph so the node set is edge-bounded too. Below it,
+  /** Edge- AND node-count ceiling for the driver fixed-point
+    * shortcut — the [[DedupQueries.DRIVER_CC_MAX]] idiom: 2²⁰
+    * collected rows ≈ 16 MB, far under driver headroom. Below it,
     * the distributed loop's 10 rounds × 4 shuffle stages of
     * per-stage latency dominate the actual integer work by 50×;
     * because the arithmetic is associative floor division, the
     * driver loop produces the IDENTICAL table (equality
-    * spec-pinned). Above it the distributed loop runs. */
+    * spec-pinned). Above it the distributed loop runs. The gate
+    * checks BOTH counts: in a healthy k-NN graph nodes are
+    * edge-bounded, but a mostly-LSH-isolated corpus (few edges, huge
+    * n) would pass an edge-only gate and then collect every vec_id —
+    * the node term closes that driver-OOM hole (GraphPagerankSpec
+    * pins the isolated-heavy fixture to the distributed path). */
   private[graft] val DRIVER_PR_MAX = 1L << 20
+
+  /** The driver-shortcut gate, as a pure function so the spec can pin
+    * the isolated-heavy case directly: BOTH the edge list and the
+    * node list are collected, so BOTH must fit. */
+  private[graft] def prDriverEligible(
+      nEdges: Long, nNodes: Long, driverMax: Long): Boolean =
+    nEdges <= driverMax && nNodes <= driverMax
 
   /** The fixed-point recurrence over a PRE-BUILT knn graph — the seam
     * that lets dedup_keep_central share one graph between clustering
@@ -2739,7 +2766,16 @@ object SimilarityQueries {
     val edges = knn.select(col("a"), col("b")).distinct()
       .persist()
     val nEdges = edges.count()
-    if (nEdges <= driverMax) {
+    val nNodes = e.count()
+    if (nNodes == 0) {
+      // degenerate corpus (no non-degenerate vectors): empty ranks,
+      // the simAnnIvfPq contract — not a divide-by-zero in `base`
+      edges.unpersist()
+      val spark = e.sparkSession
+      import spark.implicits._
+      return spark.emptyDataset[(Long, Long)].toDF("vec_id", "rank_fp")
+    }
+    if (prDriverEligible(nEdges, nNodes, driverMax)) {
       val spark = e.sparkSession
       import spark.implicits._
       val es = edges.select(col("a").cast("long"), col("b").cast("long"))
@@ -2768,7 +2804,7 @@ object SimilarityQueries {
     val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
       .persist()
     val nodes = e.select(col("vec_id")).persist()
-    val n = nodes.count()
+    val n = nNodes
     val base = PR_SCALE * 15L / 100L / n
     var ranks = nodes.select(col("vec_id"), lit(PR_SCALE / n).as("r"))
     for (_ <- 1 to PR_ITERS) {
@@ -2784,7 +2820,15 @@ object SimilarityQueries {
         .select(col("vec_id"),
           (lit(base) + coalesce(col("cs"), lit(0L))).as("r"))
     }
-    ranks.select(col("vec_id"), col("r").as("rank_fp"))
+    // materialize the final table (eager localCheckpoint truncates
+    // the 10-round lineage) BEFORE releasing the loop's cached
+    // topology — every invocation above the gate used to leak
+    // edges/deg/nodes blocks; the checkpoint's own blocks are
+    // reclaimed by the ContextCleaner once the result is unreferenced
+    val out = ranks.select(col("vec_id"), col("r").as("rank_fp"))
+      .localCheckpoint(eager = true)
+    edges.unpersist(); deg.unpersist(); nodes.unpersist()
+    out
   }
 
   /** dedup_keep_central — semantic near-dup cluster resolution by

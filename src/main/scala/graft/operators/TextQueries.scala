@@ -1203,7 +1203,7 @@ object TextQueries {
       |  SELECT doc_id, lang, t.tok
       |  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
       |  WHERE len(t.tok) > 0),
-      |train AS (SELECT * FROM toks WHERE doc_id % 10 < 7),
+      |train AS (SELECT * FROM toks WHERE ((doc_id % 10) + 10) % 10 < 7),
       |cnt AS (SELECT lang AS clang, tok, count(*) AS cnt
       |  FROM train GROUP BY 1, 2),
       |tot AS (SELECT lang AS clang, count(*) AS tot
@@ -1212,7 +1212,7 @@ object TextQueries {
       |prior AS (SELECT lang AS clang, count(DISTINCT doc_id) AS nd
       |  FROM train GROUP BY 1),
       |ntr AS (SELECT count(DISTINCT doc_id) AS ntr FROM train),
-      |test AS (SELECT doc_id, tok FROM toks WHERE doc_id % 10 >= 7),
+      |test AS (SELECT doc_id, tok FROM toks WHERE ((doc_id % 10) + 10) % 10 >= 7),
       |scored AS (
       |  SELECT doc_id, tot.clang AS clang,
       |    round(sum(ln(CAST(COALESCE(cnt.cnt, 0) + 1 AS DOUBLE) /
@@ -1290,7 +1290,7 @@ object TextQueries {
       |  SELECT doc_id, lang, t.tok
       |  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
       |  WHERE len(t.tok) > 0),
-      |train AS (SELECT * FROM toks WHERE doc_id % 10 < 7),
+      |train AS (SELECT * FROM toks WHERE ((doc_id % 10) + 10) % 10 < 7),
       |cnt AS (SELECT lang, tok, count(*) AS cnt
       |  FROM train GROUP BY 1, 2),
       |ttot AS (SELECT tok, sum(cnt) AS ttot FROM cnt GROUP BY 1),
@@ -2422,6 +2422,155 @@ object TextQueries {
       |    AS tokens_per_word
       |FROM nd JOIN agg a ON nd.lang = a.lang""".stripMargin
 
+  /** Merge rounds the multi-round trainer runs (text_bpe_train). */
+  private[operators] val BPE_TRAIN_ROUNDS = 16
+
+  /** Token-boundary separator for the trainer's tiled string
+    * representation: U+001F (unit separator), a control char absent
+    * from the corpus contract (whitespace-split words). */
+  private val BSEP = "\u001f"
+
+  /** text_bpe_train — the REAL tokenizer training loop: K=16 rounds
+    * of count → pick best pair → merge → RE-COUNT, the
+    * count-merge-re-encode iteration every production BPE trainer
+    * runs (text_bpe_pairs is one round's count; text_bpe_encode's
+    * merge list was the single-scan frequency-rank approximation —
+    * this operator learns the exact iterated merges). Emits one row
+    * per learned merge: (round, pair_a, pair_b, cnt at selection).
+    *
+    * Representation: each word's token list is tiled into ONE string
+    * `␟t1␟␟t2␟…␟tn␟` (every token bracketed by U+001F), so one merge
+    * round over the whole vocabulary is a single codegen'd
+    * `replace(rep, ␟a␟␟b␟, ␟ab␟)` — string `replace` is
+    * left-to-right non-overlapping, which IS the BPE merge rule
+    * (a run `aaa` merges once), and the bracketing makes token
+    * boundaries unambiguous (a match can only start at a
+    * block-leading separator, so merges always align to whole
+    * tokens). No UDF anywhere in the loop.
+    *
+    * Scale design: ONE corpus scan builds the (word, cnt) table;
+    * every round after that is vocabulary-bounded, never
+    * corpus-bounded — a map-side-combined pair count (pair
+    * cardinality ≤ running vocab²·density, in practice tiny), a
+    * 1-ROW collect (the argmax merge), and one narrow map pass
+    * applying the merge; each round persists its vocab table and
+    * unpersists the previous (K live copies never stack). Per-round
+    * cost documented in SCALE.md. Oracle: the WHOLE K-round loop
+    * replays in one DuckDB recursive CTE — state (it, w, cnt, rep),
+    * each step recomputing the global argmax pair from the working
+    * table and applying the identical replace. */
+  def textBpeTrain(s: SparkSession, dir: String): DataFrame =
+    textBpeTrainFrom(documents(s, dir))
+
+  /** Fixture seam: planted-corpus specs pin hand-computed merge
+    * sequences (including the overlapping-run rule) on THIS method. */
+  private[graft] def textBpeTrainFrom(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    val ss = BSEP + BSEP
+    val wc = d.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    var words = wc.select(col("cnt"), concat(lit(BSEP),
+        array_join(expr(
+          "transform(sequence(1, length(w)), i -> substr(w, i, 1))"),
+          ss),
+        lit(BSEP)).as("rep"))
+      .persist()
+    val learned =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= BPE_TRAIN_ROUNDS && !done) {
+      val top = words
+        .select(col("cnt"), expr(
+          s"transform(split(rep, '$ss'), x -> trim(BOTH '$BSEP' FROM x))")
+          .as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("cnt"), explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+            |  i -> struct(element_at(toks, i) AS a,
+            |              element_at(toks, i + 1) AS b))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("pcnt"))
+        .orderBy(col("pcnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (pa, pb, n) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((r, pa, pb, n))
+        val next = words.select(col("cnt"),
+          call_function("replace", col("rep"),
+            lit(BSEP + pa + ss + pb + BSEP),
+            lit(BSEP + pa + pb + BSEP)).as("rep"))
+          .persist()
+        next.count()
+        words.unpersist()
+        words = next
+        r += 1
+      }
+    }
+    words.unpersist()
+    import s.implicits._
+    learned.toSeq.toDF("round", "pair_a", "pair_b", "cnt")
+  }
+
+  /** text_bpe_train oracle — the K-round loop in ONE recursive CTE:
+    * state rows (it, w, cnt, rep); each step computes the global
+    * (pcnt DESC, pa, pb) argmax pair from the working table and
+    * applies the identical bracketed `replace`. The final select
+    * recomputes, for every state level it, the pair that step chose
+    * (row_number = 1 over the same total order) — one row per round
+    * actually taken, so early termination on a pairless vocabulary
+    * matches the engine loop's break. */
+  val textBpeTrainSql: String = {
+    val k = BPE_TRAIN_ROUNDS
+    val sep = "chr(31)"
+    val ss = s"$sep || $sep"
+    val toks =
+      s"list_transform(string_split(rep, $ss), x -> trim(x, $sep))"
+    s"""WITH RECURSIVE wc AS (
+       |  SELECT t.w AS w, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+       |  WHERE len(t.w) > 0 GROUP BY t.w),
+       |st AS (
+       |  SELECT 0 AS it, w, cnt,
+       |    $sep || array_to_string(
+       |      list_transform(generate_series(1, len(w)),
+       |        i -> substr(w, i, 1)), $ss) || $sep AS rep
+       |  FROM wc
+       |  UNION ALL
+       |  SELECT s.it + 1, s.w, s.cnt,
+       |    replace(s.rep,
+       |      $sep || bp.pa || $ss || bp.pb || $sep,
+       |      $sep || bp.pa || bp.pb || $sep)
+       |  FROM (SELECT * FROM st WHERE it < $k) s,
+       |    (SELECT pa, pb FROM (
+       |       SELECT tt.toks[g.i] AS pa, tt.toks[g.i + 1] AS pb,
+       |         CAST(sum(tt.cnt) AS BIGINT) AS pcnt
+       |       FROM (SELECT cnt, $toks AS toks
+       |             FROM st WHERE it < $k) tt,
+       |         unnest(generate_series(1, len(tt.toks) - 1)) AS g(i)
+       |       GROUP BY 1, 2)
+       |     ORDER BY pcnt DESC, pa, pb LIMIT 1) bp),
+       |mr AS (
+       |  SELECT it, pa, pb, pcnt,
+       |    row_number() OVER (PARTITION BY it
+       |      ORDER BY pcnt DESC, pa, pb) AS rk
+       |  FROM (
+       |    SELECT tt.it, tt.toks[g.i] AS pa, tt.toks[g.i + 1] AS pb,
+       |      CAST(sum(tt.cnt) AS BIGINT) AS pcnt
+       |    FROM (SELECT it, cnt, $toks AS toks
+       |          FROM st WHERE it < $k) tt,
+       |      unnest(generate_series(1, len(tt.toks) - 1)) AS g(i)
+       |    GROUP BY 1, 2, 3))
+       |SELECT CAST(it + 1 AS INT) AS round, pa AS pair_a, pb AS pair_b,
+       |  cnt
+       |FROM (SELECT it, pa, pb, pcnt AS cnt FROM mr WHERE rk = 1)
+       |ORDER BY round""".stripMargin
+  }
+
   /** Interpolation weight of the bigram term in text_bigram_logprob:
     * score = avg log(λ·P(b|a) + (1−λ)·P(b)) — Jelinek-Mercer
     * smoothing, the unigram back-off keeping unseen-context pairs
@@ -2562,7 +2711,7 @@ object TextQueries {
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |ttk AS (
        |  SELECT t.w FROM d, unnest(ws) AS t(w)
-       |  WHERE doc_id % 10 < 7 AND len(t.w) > 0),
+       |  WHERE ((doc_id % 10) + 10) % 10 < 7 AND len(t.w) > 0),
        |uni AS (SELECT w, count(*) AS n_w FROM ttk GROUP BY w),
        |st AS (SELECT sum(n_w) AS n_tot, count(*) AS n_vocab FROM uni),
        |bi AS (
@@ -2570,7 +2719,7 @@ object TextQueries {
        |  FROM d, unnest(generate_series(1, len(ws) - 1)) AS g(i)
        |  WHERE len(ws[g.i]) > 0 AND len(ws[g.i + 1]) > 0),
        |bv AS (SELECT a, b, count(*) AS n_ab FROM bi
-       |       WHERE doc_id % 10 < 7 GROUP BY a, b),
+       |       WHERE ((doc_id % 10) + 10) % 10 < 7 GROUP BY a, b),
        |n AS (
        |  SELECT doc_id,
        |    round(-avg(ln(
@@ -2714,6 +2863,7 @@ object TextQueries {
     "text_line_dedup_global" -> (textLineDedupGlobal _),
     "text_bpe_pairs" -> (textBpePairs _),
     "text_bpe_encode" -> (textBpeEncode _),
+    "text_bpe_train" -> (textBpeTrain _),
     "text_bigram_logprob" -> (textBigramLogprob _),
     "text_ppl_filter" -> (textPplFilter _),
     "fn_unicode_normalize" -> (fnUnicodeNormalize _),
@@ -2755,6 +2905,7 @@ object TextQueries {
     "text_line_dedup_global" -> textLineDedupGlobalSql,
     "text_bpe_pairs" -> textBpePairsSql,
     "text_bpe_encode" -> textBpeEncodeSql,
+    "text_bpe_train" -> textBpeTrainSql,
     "text_bigram_logprob" -> textBigramLogprobSql,
     "text_ppl_filter" -> textPplFilterSql,
     "fn_unicode_normalize" -> fnUnicodeNormalizeSql,

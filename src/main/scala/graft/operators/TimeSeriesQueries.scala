@@ -114,13 +114,21 @@ object TimeSeriesQueries {
   /** ts_ewma — per-user exponentially weighted moving average of the
     * reading stream (α = 0.3, seeded at the first reading), one output
     * row per event. The recurrence is inherently sequential PER KEY,
-    * so it runs as a per-key array fold: collect each user's readings
-    * (bounded per key — the fixture holds ≤100/user; a deployment
-    * windows the stream first), sort once, and fold with the
-    * `aggregate` higher-order function — codegen'd, no UDF, no
-    * driver loop, each key independent. The identical `0.3·v + 0.7·p`
-    * double recurrence replays bit-exact in the oracle's recursive
-    * CTE, so 6-dp rounding is cosmetic, not tolerance. */
+    * so it runs as a per-key array fold: collect each user's readings,
+    * sort once, and fold with the `aggregate` higher-order function —
+    * codegen'd, no UDF, no driver loop, each key independent. The
+    * identical `0.3·v + 0.7·p` double recurrence replays bit-exact in
+    * the oracle's recursive CTE, so 6-dp rounding is cosmetic, not
+    * tolerance.
+    *
+    * MEMORY BOUND (explicit — SCALE.md "Time series"): the fold
+    * materializes one user's FULL sequence in one row, O(per-key
+    * cardinality) task memory — fine for bounded keys (fixture
+    * ≤100/user; ~10⁶/user ≈ 24 MB is still safe), a single-task OOM
+    * at ~10⁸ events on one hot key. For unbounded per-key
+    * cardinality use the O(1)-state streaming twin
+    * [[graft.streaming.StreamingOps.ewmaStream]] (stream==batch
+    * parity pinned in StreamingSpec). */
   def tsEwma(s: SparkSession, dir: String): DataFrame = {
     events(s, dir)
       .groupBy(col("user_id"))

@@ -720,4 +720,74 @@ object StreamingOps {
           .write.mode("append").parquet(outPath)
       }
 
+  /** Streaming EWMA — ts_ewma's per-key recurrence as
+    * flatMapGroupsWithState with O(1) state per user: (last ts,
+    * last event_id, raw previous smoothed value). This is the
+    * UNBOUNDED-KEY path the batch operator can't be: tsEwma collects
+    * each user's whole sequence into one row before folding (fine at
+    * any realistic per-user cardinality, a single-task OOM for one
+    * hot key with ~10⁸ events — bound documented in SCALE.md), while
+    * this twin holds three fields per user forever.
+    *
+    * Contracts mirrored from the batch fold, pinned by the parity
+    * spec:
+    *  - order: rows sort (ts, event_id) inside each micro-batch
+    *    (batch-bounded memory), and the recurrence consumes them in
+    *    that order; state carries the RAW prev (the batch fold also
+    *    rounds only at emit).
+    *  - seed: the first reading IS the seed (ewma = value), then
+    *    0.3·v + 0.7·prev.
+    *  - rounding: decimal HALF_UP at 6 dp after the +1e-9 nudge —
+    *    Spark round()'s mode, so emits agree bit-for-bit.
+    *  - replay/late rows: a row at or before the state's
+    *    (last ts, last event_id) is DROPPED — at-least-once
+    *    re-delivery can't corrupt the recurrence (the
+    *    dropDuplicatesWithinWatermark discipline, enforced in-state
+    *    because the recurrence is order-sensitive, not just
+    *    duplicate-sensitive). */
+  case class EwmaState(lastTsMicros: Long, lastEventId: Long, prev: Double)
+  case class EwmaUpdate(user_id: Long, event_id: Long, ewma: Double)
+
+  def ewmaStream(
+      events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row])
+      : org.apache.spark.sql.Dataset[EwmaUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    events
+      .selectExpr("user_id", "ts", "event_id", "value")
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, EwmaUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long,
+            rows: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+            state: GroupState[EwmaState]) =>
+          val sorted = rows.toArray
+            .sortBy { case (_, t, eid, _) => (micros(t), eid) }
+          var st = state.getOption.orNull
+          val out = Vector.newBuilder[EwmaUpdate]
+          sorted.foreach { case (_, t, eid, v) =>
+            val tm = micros(t)
+            val late = st != null && (tm < st.lastTsMicros ||
+              (tm == st.lastTsMicros && eid <= st.lastEventId))
+            if (!late) {
+              val e = if (st == null) v else 0.3 * v + 0.7 * st.prev
+              st = EwmaState(tm, eid, e)
+              val rounded =
+                if (java.lang.Double.isFinite(e))
+                  BigDecimal(e + 1e-9)
+                    .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                    .toDouble
+                else e
+              out += EwmaUpdate(user, eid, rounded)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
 }

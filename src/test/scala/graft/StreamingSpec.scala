@@ -340,6 +340,69 @@ class StreamingSpec extends SparkSpec {
       s"too many boundary disagreements: ${onlyStream.size + onlyBatch.size}")
   }
 
+  test("streaming EWMA equals the batch fold across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the O(1)-per-key streaming twin of ts_ewma (VERDICT r13 task 1):
+    // same seed, same 0.3/0.7 recurrence on the RAW prev, same
+    // HALF_UP 6-dp emit — fed the whole fixture in ts order split
+    // across three micro-batches, every per-event emit must equal the
+    // batch collect_list fold bit-for-bit
+    val evs = graft.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id")
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.ewmaStream(mem.toDF())
+      .writeStream.format("memory").queryName("ewma_stream")
+      .outputMode("update").start()
+    val third = evs.length / 3
+    mem.addData(evs.take(third).toIndexedSeq: _*); q.processAllAvailable()
+    mem.addData(evs.slice(third, 2 * third).toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(evs.drop(2 * third).toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ewma_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val want = graft.operators.TimeSeriesQueries.tsEwma(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(want.nonEmpty && got.size == evs.length,
+      s"one emit per event expected: ${got.size} vs ${evs.length}")
+    assert(got == want, {
+      val bad = want.collect { case (k, v) if got.get(k) != Some(v) =>
+        s"$k batch=$v stream=${got.get(k)}" }.take(5)
+      s"stream diverges from batch fold: ${bad.mkString("; ")}"
+    })
+  }
+
+  test("streaming EWMA drops replayed / out-of-order rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.ewmaStream(mem.toDF())
+      .writeStream.format("memory").queryName("ewma_replay")
+      .outputMode("update").start()
+    mem.addData(Ev(1, ts(0), 1, "click", 10.0),
+      Ev(2, ts(10), 1, "click", 20.0)); q.processAllAvailable()
+    // re-delivery of event 2 and a stale pre-state row: both dropped
+    mem.addData(Ev(2, ts(10), 1, "click", 20.0),
+      Ev(9, ts(5), 1, "click", 99.0),
+      Ev(3, ts(20), 1, "click", 30.0)); q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ewma_replay").collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L), s"late rows leaked: $rows")
+    assert(rows(1L) == 10.0)
+    assert(rows(2L) == BigDecimal(0.3 * 20.0 + 0.7 * 10.0 + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(rows(3L) == BigDecimal(
+      0.3 * 30.0 + 0.7 * (0.3 * 20.0 + 0.7 * 10.0) + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("sessionize runs as a real stream (watermark + append)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import graft.SparkSpec
+
+/** text_bpe_train pins: hand-computed merge sequences on planted
+  * corpora, including the two rules that distinguish a real trainer
+  * from the single-scan approximation — RE-COUNTING after each merge
+  * (later rounds see merged tokens) and the left-to-right
+  * non-overlapping merge of equal-token runs. */
+class BpeTrainSpec extends SparkSpec {
+
+  private def docs(texts: String*): DataFrame = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, "en", t) }
+      .toDF("doc_id", "lang", "text")
+  }
+
+  private def train(d: DataFrame): Seq[(Int, String, String, Long)] =
+    TextQueries.textBpeTrainFrom(d).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+
+  test("re-count after merge: round 2 counts MERGED tokens") {
+    // corpus: "abab" x3, "ab" x2
+    // round 1: (a,b)=3*2+2*1=8 beats (b,a)=3 -> merge (a,b)
+    // after:  abab=[ab,ab], ab=[ab]
+    // round 2: (ab,ab)=3 — a pair that EXISTS only post-merge
+    // round 3: abab=[abab], ab=[ab] -> no pairs -> early stop
+    val got = train(docs("abab abab ab", "abab ab"))
+    assert(got == Seq((1, "a", "b", 8L), (2, "ab", "ab", 3L)), got)
+  }
+
+  test("equal-token run merges left-to-right non-overlapping") {
+    // "aaa": pairs (a,a)=2 but only ONE merge applies -> [aa, a]
+    // round 2: (aa,a)=1 -> [aaa]; then no pairs
+    val got = train(docs("aaa"))
+    assert(got == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)), got)
+  }
+
+  test("tie-break is (cnt desc, pair_a, pair_b)") {
+    // "xy" x2 and "xz" x2: (x,y)=2, (x,z)=2 -> (x,y) wins on pair_b;
+    // round 2: (x,z)=2 still there -> merged next
+    val got = train(docs("xy xy xz xz"))
+    assert(got.take(2) == Seq((1, "x", "y", 2L), (2, "x", "z", 2L)), got)
+  }
+
+  test("round cap: a rich corpus stops at BPE_TRAIN_ROUNDS") {
+    val words = ('a' to 'z').map(c => s"$c${c}q${c}w").mkString(" ")
+    val got = train(docs(words, words))
+    assert(got.size == TextQueries.BPE_TRAIN_ROUNDS)
+    assert(got.map(_._1) == (1 to TextQueries.BPE_TRAIN_ROUNDS))
+  }
+
+  test("fixture corpus: monotone rounds, no empty merges") {
+    val got = train(graft.Tables.documents(spark, sf))
+    assert(got.nonEmpty && got.size <= TextQueries.BPE_TRAIN_ROUNDS)
+    assert(got.map(_._1) == (1 to got.size))
+    got.foreach { case (_, a, b, n) =>
+      assert(a.nonEmpty && b.nonEmpty && n >= 1)
+    }
+  }
+}

@@ -76,6 +76,43 @@ class GraphPagerankSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("gate: an isolated-heavy corpus (few edges, many nodes) is " +
+      "NOT driver-eligible — both collected sets must fit") {
+    val cap = SimilarityQueries.DRIVER_PR_MAX
+    // the round-13 hole: edge-only gating would collect 2M vec_ids
+    assert(!SimilarityQueries.prDriverEligible(100L, cap + 1, cap))
+    assert(!SimilarityQueries.prDriverEligible(cap + 1, 100L, cap))
+    assert(SimilarityQueries.prDriverEligible(cap, cap, cap))
+  }
+
+  test("isolated-heavy fixture: node gate forces the distributed " +
+      "path and it matches the driver loop") {
+    import spark.implicits._
+    // 30 nodes, only 2 edges: edge term passes driverMax=10, node
+    // term must push it onto the distributed loop — which has to
+    // produce the identical table the driver loop does
+    val vecs = (0L to 29L).map(i => i -> Seq(1.0 + i, 2.0, 3.0))
+    val e = embDf(vecs)
+    val knn = Seq((0L, 1L, 1.0, 1), (2L, 3L, 1.0, 1))
+      .toDF("a", "b", "sim", "rk")
+    val dist = SimilarityQueries.pagerankRanks(e, knn, driverMax = 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val drv = SimilarityQueries.pagerankRanks(e, knn, driverMax = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist.size == 30 && dist == drv)
+    // isolated nodes hold exactly the base mass
+    val base = SimilarityQueries.PR_SCALE * 15L / 100L / 30
+    assert(dist(7L) == base)
+  }
+
+  test("empty corpus: empty rank table, not a divide-by-zero") {
+    import spark.implicits._
+    val e = embDf(Seq(0L -> Seq(0.0, 0.0, 0.0))) // degenerate: norm 0
+    val out = SimilarityQueries.graphPagerankFrom(e)
+    assert(out.columns.toSeq == Seq("vec_id", "rank_fp"))
+    assert(out.count() == 0)
+  }
+
   test("distributed loop == driver shortcut, bit for bit") {
     // driverMax=0 forces the 10-round distributed join loop; the
     // associative floor arithmetic means it must land on EXACTLY the
