@@ -1151,12 +1151,24 @@ object TextQueries {
     * of re-aggregating per call. */
   private[graft] def nbScoreDocs(
       corpus: DataFrame, docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val train = corpus
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       .filter(pmod(col("doc_id"), lit(10)) < 7)
+    val test = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    nbScoreTokens(train, test)
+  }
+
+  /** The feature-agnostic NB core: train on (doc_id, lang, tok) rows,
+    * score (doc_id, tok) rows — shared by text_nb_classify (word
+    * features) and text_langid_nb (char-bigram features), so the two
+    * classifiers differ ONLY in their tokenizer. */
+  private def nbScoreTokens(
+      train: DataFrame, test: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cnt = train.groupBy(col("lang"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
       .withColumnRenamed("lang", "clang")
@@ -1169,9 +1181,6 @@ object TextQueries {
       .withColumnRenamed("lang", "clang")
     val ntr = train.select(col("doc_id")).distinct()
       .agg(count(lit(1)).as("ntr"))
-    val test = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .filter(length(col("tok")) > 0)
     val scored = test.select(col("doc_id"), col("tok"))
       .crossJoin(broadcast(tot))
       .join(broadcast(cnt), Seq("clang", "tok"), "left")
@@ -1232,6 +1241,91 @@ object TextQueries {
       |  FROM scored)
       |SELECT doc_id, clang AS pred_lang, score
       |FROM ranked WHERE rk = 1""".stripMargin
+
+  /** Prefix length text_langid_nb reads per document: language is
+    * stationary within a document, so a bounded prefix carries the
+    * same signal at a fraction of the feature volume — the explode
+    * row count is docs × (LID_PREFIX−1) regardless of document
+    * length, which is what keeps the classifier linear on a corpus
+    * of arbitrarily long documents. */
+  private[operators] val LID_PREFIX = 256
+
+  /** text_langid_nb — language ID through the TRAINED-classifier
+    * seam (VERDICT r13 task 6): the same multinomial NB machinery as
+    * text_nb_classify (same doc_id%10 split, same add-one smoothing,
+    * same Σ ln(p) + ln(prior) @ 6 dp, same argmax tie-break) with
+    * CHAR-BIGRAM features over a bounded 256-char prefix instead of
+    * word tokens — the fasttext-style supervised langid shape, and
+    * the trained replacement for text_langid's stopword/char-class
+    * heuristic (which stays, as the no-labels path). The two
+    * classifiers share [[nbScoreTokens]], so there is exactly one
+    * scoring rule to audit.
+    *
+    * Scale design: identical to text_nb_classify — one map-side
+    * hash-aggregate trains a vocab-bounded model (char-bigram vocab
+    * is alphabet²-bounded, far smaller than a word vocab) that
+    * broadcasts; scoring is per-gram broadcast lookups with one
+    * partial-aggregating groupBy per doc. The prefix cap bounds the
+    * gram explode at 255 rows/doc. Oracle: whole train-then-score
+    * chain replayed in SQL with the identical substr addressing. */
+  def textLangidNb(s: SparkSession, dir: String): DataFrame =
+    textLangidNbFrom(documents(s, dir))
+
+  /** Fixture seam: planted-alphabet specs drive THIS method. */
+  private[graft] def textLangidNbFrom(d: DataFrame): DataFrame = {
+    val toks = d
+      .select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, LID_PREFIX).as("px"))
+      .filter(length(col("px")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, length(px) - 1), i -> substr(px, i, 2))"))
+        .as("tok"))
+    nbScoreTokens(
+      toks.filter(pmod(col("doc_id"), lit(10)) < 7),
+      toks.filter(pmod(col("doc_id"), lit(10)) >= 7)
+        .select(col("doc_id"), col("tok")))
+  }
+
+  /** text_langid_nb oracle — textNbClassifySql's chain verbatim with
+    * the char-bigram tokenizer swapped in (same sign-safe split). */
+  val textLangidNbSql: String =
+    s"""WITH px AS (
+       |  SELECT doc_id, lang, substr(text, 1, $LID_PREFIX) AS px
+       |  FROM documents WHERE len(substr(text, 1, $LID_PREFIX)) >= 2),
+       |toks AS (
+       |  SELECT doc_id, lang, substr(px, g.i, 2) AS tok
+       |  FROM px, unnest(generate_series(1, len(px) - 1)) AS g(i)),
+       |train AS (SELECT * FROM toks
+       |  WHERE ((doc_id % 10) + 10) % 10 < 7),
+       |cnt AS (SELECT lang AS clang, tok, count(*) AS cnt
+       |  FROM train GROUP BY 1, 2),
+       |tot AS (SELECT lang AS clang, count(*) AS tot
+       |  FROM train GROUP BY 1),
+       |vsz AS (SELECT count(DISTINCT tok) AS v FROM train),
+       |prior AS (SELECT lang AS clang, count(DISTINCT doc_id) AS nd
+       |  FROM train GROUP BY 1),
+       |ntr AS (SELECT count(DISTINCT doc_id) AS ntr FROM train),
+       |test AS (SELECT doc_id, tok FROM toks
+       |  WHERE ((doc_id % 10) + 10) % 10 >= 7),
+       |scored AS (
+       |  SELECT doc_id, tot.clang AS clang,
+       |    round(sum(ln(CAST(COALESCE(cnt.cnt, 0) + 1 AS DOUBLE) /
+       |        CAST(tot.tot + vsz.v AS DOUBLE)))
+       |      + ln(CAST(prior.nd AS DOUBLE) / CAST(ntr.ntr AS DOUBLE)),
+       |      6) AS score
+       |  FROM test CROSS JOIN tot
+       |  LEFT JOIN cnt ON cnt.clang = tot.clang AND cnt.tok = test.tok
+       |  CROSS JOIN vsz
+       |  JOIN prior ON prior.clang = tot.clang
+       |  CROSS JOIN ntr
+       |  GROUP BY doc_id, tot.clang, prior.nd, ntr.ntr),
+       |ranked AS (
+       |  SELECT doc_id, clang, score,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, clang) AS rk
+       |  FROM scored)
+       |SELECT doc_id, clang AS pred_lang, score
+       |FROM ranked WHERE rk = 1""".stripMargin
 
   /** text_nb_top_features — the classifier AUDIT table: for each
     * class, the 5 tokens with the highest smoothed log-odds
@@ -2894,6 +2988,7 @@ object TextQueries {
     "snk_text_index_compact" -> (snkTextIndexCompact _),
     "text_langid" -> (textLangid _),
     "text_nb_classify" -> (textNbClassify _),
+    "text_langid_nb" -> (textLangidNb _),
     "text_nb_top_features" -> (textNbTopFeatures _),
     "snk_text_index_delete" -> (snkTextIndexDelete _),
     "text_fingerprint" -> (textFingerprint _),
@@ -2938,6 +3033,7 @@ object TextQueries {
     "snk_text_index_delete" -> snkTextIndexDeleteSql,
     "text_langid" -> textLangidSql,
     "text_nb_classify" -> textNbClassifySql,
+    "text_langid_nb" -> textLangidNbSql,
     "text_nb_top_features" -> textNbTopFeaturesSql,
     // the 64-bit wraparound winnow hash IS mirrorable — HUGEINT
     // arithmetic wrapped once at the end (same ring mod 2^64)

@@ -88,4 +88,74 @@ class NbClassifySpec extends SparkSpec {
     assert(out.count() == expected)
     assert(out.select("doc_id").distinct().count() == expected)
   }
+
+  // ── text_langid_nb: the char-bigram twin through the same core ──
+
+  private def predictLid(d: DataFrame): Map[Long, (String, Double)] =
+    TextQueries.textLangidNbFrom(d).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+
+  test("langid: planted disjoint alphabets classify the held-out " +
+      "split on char bigrams alone") {
+    // class-disjoint CHARACTER sets — word features would also
+    // separate these, but the point is the bigram tokenizer: the
+    // held-out docs share no whole WORD with training, only bigrams
+    val rows = Seq[(Long, String, String)](
+      (0L, "aa", "abab baba abba"),
+      (10L, "aa", "aabb bbaa abab"),
+      (1L, "bb", "xyxy yxyx xxyy"),
+      (11L, "bb", "yyxx xyyx yxxy"),
+      (7L, "aa", "bbab abaa"), // unseen words, familiar bigrams
+      (18L, "bb", "xxyx yxyy"))
+    val p = predictLid(docs(rows))
+    assert(p.keySet == Set(7L, 18L))
+    assert(p(7L)._1 == "aa" && p(18L)._1 == "bb")
+  }
+
+  test("langid: reads only the bounded prefix") {
+    // doc 7's prefix is class-aa bigrams; beyond LID_PREFIX it is
+    // drowned in class-bb characters — the cap must win
+    val aaPrefix = "ab" * (TextQueries.LID_PREFIX / 2)
+    val bbTail = " xy" * 500
+    val rows = Seq[(Long, String, String)](
+      (0L, "aa", "abab abab"), (10L, "aa", "baba baba"),
+      (1L, "bb", "xyxy xyxy"), (11L, "bb", "yxyx yxyx"),
+      (7L, "zz", aaPrefix + bbTail))
+    val p = predictLid(docs(rows))
+    assert(p(7L)._1 == "aa", s"prefix cap ignored: ${p(7L)}")
+  }
+
+  test("langid: single-char docs drop out on both ends") {
+    val rows = Seq[(Long, String, String)](
+      (0L, "aa", "abab"), (1L, "bb", "xyxy"),
+      (7L, "aa", "a"), (18L, "bb", "xzxz"))
+    val p = predictLid(docs(rows))
+    assert(p.keySet == Set(18L)) // doc 7 has no bigram
+  }
+
+  test("langid fixture smoke: one label per held-out doc, labels " +
+      "from the trained set, bit-stable under repartitioning") {
+    // NOTE the fixture's text is lang-INDEPENDENT word soup (the
+    // labels drive nothing in the generator), so accuracy against
+    // the true labels is chance BY CONSTRUCTION for every possible
+    // classifier — what's pinnable is the contract: exactly one
+    // label per held-out doc, labels drawn from the training label
+    // set, and integer-count determinism under partitioning
+    val d = graft.Tables.documents(spark, sf)
+    val out = TextQueries.textLangidNb(spark, sf).collect()
+    val expected = d
+      .filter(s"doc_id % 10 >= 7 AND length(substring(text, 1, " +
+        s"${TextQueries.LID_PREFIX})) >= 2").count()
+    assert(out.length == expected)
+    assert(out.map(_.getLong(0)).distinct.length == expected)
+    val trainLangs = d.filter("doc_id % 10 < 7")
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(out.map(_.getString(1)).toSet.subsetOf(trainLangs))
+    val again = TextQueries.textLangidNbFrom(
+      graft.Tables.documents(spark, sf).repartition(13)).collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq ==
+      again.map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq)
+  }
 }
