@@ -170,7 +170,8 @@ class IndexLifecycleSoakSpec extends SparkSpec {
     var tombstoned = Set.empty[Long]
     var prevFence = IndexCompaction.compactedThrough(root, "assignments")
 
-    def quiesceAsserts(stage: String, physical: Boolean): Unit = {
+    def quiesceAsserts(stage: String, physical: Boolean,
+        sidecarAutoFresh: Boolean = false): Unit = {
       // 2. fence monotone
       val f = IndexCompaction.compactedThrough(root, "assignments")
       assert(f >= prevFence, s"$stage: assignments fence fell")
@@ -210,12 +211,30 @@ class IndexLifecycleSoakSpec extends SparkSpec {
         s"$stage: live vector $alive does not find itself")
       assert(served.forall(r => !tombstoned.contains(r.getLong(0))),
         s"$stage: tombstoned id served")
-      // 5. the PQ sidecar rides the whole lifecycle: every ingest/
-      // compact/repair/rebuild moved the assignments fingerprint
-      // (stale → re-encode; no-op when fresh), and at this fixture
-      // size the refine shortlist covers every probed candidate, so
-      // the refined PQ serve must agree EXACTLY with the exact serve
-      PqIndex.buildSidecar(spark, root)
+      // 5. the PQ sidecar rides the whole lifecycle. Freshness
+      // contract per quiesce kind: a MAINTENANCE commit
+      // (compact/repair/rebuild) auto-refreshes the sidecar
+      // (refreshIfPresent), so at those quiesces the sidecar must
+      // ALREADY be fresh with no manual rebuild; a STREAMED ingest
+      // leaves it stale by design, and the serve path must REFUSE
+      // (never silently miss the new vectors) until rebuilt.
+      if (sidecarAutoFresh) {
+        assert(PqIndex.sidecarFresh(root),
+          s"$stage: maintenance commit did not auto-refresh the sidecar")
+      } else if (Files.exists(Paths.get(root, "pq"))) {
+        assert(!PqIndex.sidecarFresh(root),
+          s"$stage: sidecar claims fresh after a streamed ingest")
+        val refused = intercept[IllegalArgumentException] {
+          PqIndex.annTopKPqFrom(spark, root,
+            q.getSeq[Double](0).toArray, q.getDouble(1), topK = 50)
+        }
+        assert(refused.getMessage.contains("stale"),
+          s"$stage: unexpected refusal message: ${refused.getMessage}")
+        PqIndex.buildSidecar(spark, root)
+      } else PqIndex.buildSidecar(spark, root)
+      // at this fixture size the refine shortlist covers every probed
+      // candidate, so the refined PQ serve must agree EXACTLY with
+      // the exact serve
       val pq = PqIndex.annTopKPqFrom(spark, root,
         q.getSeq[Double](0).toArray, q.getDouble(1), topK = 50).collect()
       assert(pq.toSeq == served.toSeq,
@@ -231,7 +250,8 @@ class IndexLifecycleSoakSpec extends SparkSpec {
     tombstoned ++= doomed1
     quiesceAsserts("cycle1-quiesce", physical = false)
     SimilarityQueries.compactVectorIndex(spark, root)
-    quiesceAsserts("cycle1-compacted", physical = true)
+    quiesceAsserts("cycle1-compacted", physical = true,
+      sidecarAutoFresh = true)
 
     // cycle 2: a diffuse drifted cloud floods lists; repair splits them
     val d = embs.filter(col("embedding").isNotNull)
@@ -245,7 +265,8 @@ class IndexLifecycleSoakSpec extends SparkSpec {
     ingested ++= cloud.select("vec_id").collect().map(_.getLong(0))
     quiesceAsserts("cycle2-quiesce", physical = false)
     SimilarityQueries.repairVectorIndex(spark, root, imbalance = 2.0)
-    quiesceAsserts("cycle2-repaired", physical = false)
+    quiesceAsserts("cycle2-repaired", physical = false,
+      sidecarAutoFresh = true)
 
     // cycle 3: more ingest + takedown, then a full rebuild (applies
     // tombstones, retrains the quantizer)
@@ -258,7 +279,8 @@ class IndexLifecycleSoakSpec extends SparkSpec {
     tombstoned ++= doomed3
     quiesceAsserts("cycle3-quiesce", physical = false)
     SimilarityQueries.rebuildVectorIndex(spark, root)
-    quiesceAsserts("cycle3-rebuilt", physical = true)
+    quiesceAsserts("cycle3-rebuilt", physical = true,
+      sidecarAutoFresh = true)
     assert(!Files.exists(Paths.get(root, "deletes")),
       "rebuild must clear applied tombstones")
   }
