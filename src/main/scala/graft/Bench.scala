@@ -82,6 +82,24 @@ object Bench {
         (name, -1.0, Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"))
       }
     }
+    // Family-cold qids: the first-in-family entry absorbs a one-time
+    // memoized build (the k-NN graph for 4 consumers, the IVF+PQ
+    // build+train, the kmeans centroids), so its in-suite number is
+    // build+serve fused. Re-time them once in the SAME warm JVM and
+    // emit a "warm" map alongside — the steady-state serve cost —
+    // so round-over-round totals can split builds from drift without
+    // changing the primary total's semantics.
+    val familyCold = Seq("dedup_keep_central", "sim_ann_ivf_pq",
+      "emb_kmeans")
+    val warm = if (only.isEmpty) familyCold.flatMap { name =>
+      SparkEntry.queries.get(name).flatMap { fn =>
+        try {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          Some(name -> (System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
+      }
+    } else Seq.empty
     def jq(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
@@ -92,8 +110,10 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = results.filter(_._3.isEmpty)
     val total = ok.map(_._2).sum
+    val wm = warm.map { case (k, v) => jq(k) + ":" + v }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_queries":${results.size},"n_errors":${results.size - ok.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"warm":$wm,"n_queries":${results.size},"n_errors":${results.size - ok.size},"sf":"$sfDir"}"""
     println(line)
     // Driver artifacts truncate stdout tails; also persist the full line to
     // a stable file so every per-query timing survives cross-round diffing.

@@ -2564,17 +2564,23 @@ object TextQueries {
     val wc = d.select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    // eager localCheckpoint, not persist: each round's frame must
+    // START a fresh lineage (a LogicalRDD), or round k's plan nests
+    // all k-1 predecessors and analysis cost grows superlinearly —
+    // the profiled persist() form decayed 0.6 s → 24 s/round by
+    // round 16 at sf0.1 purely in the planner
     var words = wc.select(col("cnt"), concat(lit(BSEP),
         array_join(expr(
           "transform(sequence(1, length(w)), i -> substr(w, i, 1))"),
           ss),
         lit(BSEP)).as("rep"))
-      .persist()
+      .localCheckpoint(true)
     val learned =
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 1
     var done = false
     while (r <= BPE_TRAIN_ROUNDS && !done) {
+      val tDbg = System.nanoTime()
       val top = words
         .select(col("cnt"), expr(
           s"transform(split(rep, '$ss'), x -> trim(BOTH '$BSEP' FROM x))")
@@ -2589,6 +2595,8 @@ object TextQueries {
         .agg(sum(col("cnt")).as("pcnt"))
         .orderBy(col("pcnt").desc, col("a"), col("b"))
         .limit(1).collect()
+      if (sys.env.contains("GRAFT_BPE_DEBUG"))
+        System.err.println(f"[bpe] round $r top ${(System.nanoTime() - tDbg) / 1e9}%.2fs")
       if (top.isEmpty) done = true
       else {
         val (pa, pb, n) =
@@ -2598,10 +2606,11 @@ object TextQueries {
           call_function("replace", col("rep"),
             lit(BSEP + pa + ss + pb + BSEP),
             lit(BSEP + pa + pb + BSEP)).as("rep"))
-          .persist()
-        next.count()
-        words.unpersist()
+          .localCheckpoint(true) // eager: materialized before the
+        words.unpersist()        // old round's blocks are released
         words = next
+        if (sys.env.contains("GRAFT_BPE_DEBUG"))
+          System.err.println(f"[bpe] round $r full ${(System.nanoTime() - tDbg) / 1e9}%.2fs")
         r += 1
       }
     }
