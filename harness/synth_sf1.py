@@ -19,6 +19,11 @@ FK-preserving key offsets (same recipe as the round-7 gate, BENCH_LOCAL.md):
 Usage: python3 harness/synth_sf1.py [src_dir] [dst_dir]
 Defaults: /root/testdata/sf0.1 -> /tmp/sf1.0
 """
+# row_group_size=65536: pyarrow's default (1M rows) wrote the 500k-row
+# documents table as ONE 156MB row group, which parquet readers cannot
+# split -- every document scan ran as a single Spark task and the sf10
+# text-family probes measured scan serialization, not operator cost.
+# Bounded row groups are what any production writer emits.
 import sys
 from pathlib import Path
 
@@ -49,7 +54,7 @@ def main():
     DST.mkdir(parents=True, exist_ok=True)
     for name in SINGLE_COPY:
         t = pq.read_table(SRC / f"{name}.parquet")
-        pq.write_table(t, DST / f"{name}.parquet", version="2.6")
+        pq.write_table(t, DST / f"{name}.parquet", version="2.6", row_group_size=65536)
         print(f"{name}: {t.num_rows} rows (single copy)")
     for name, offs in OFFSETS.items():
         t = pq.read_table(SRC / f"{name}.parquet")
@@ -64,7 +69,7 @@ def main():
             copies.append(c)
         out = pa.concat_tables(copies)
         # version 2.6 preserves the source timestamp physical type
-        pq.write_table(out, DST / f"{name}.parquet", version="2.6")
+        pq.write_table(out, DST / f"{name}.parquet", version="2.6", row_group_size=65536)
         print(f"{name}: {t.num_rows} -> {out.num_rows} rows")
 
 

@@ -17,6 +17,11 @@ shape a real event stream has.
 Usage: python3 harness/synth_sf10.py [src_dir] [dst_dir]
 Defaults: /root/testdata/sf0.1 -> /tmp/sf10
 """
+# row_group_size=65536: pyarrow's default (1M rows) wrote the 500k-row
+# documents table as ONE 156MB row group, which parquet readers cannot
+# split -- every document scan ran as a single Spark task and the sf10
+# text-family probes measured scan serialization, not operator cost.
+# Bounded row groups are what any production writer emits.
 import sys
 from pathlib import Path
 
@@ -58,11 +63,11 @@ def main():
                 c = c.set_column(idx, c.schema.field(col), shifted)
             copies.append(c)
         out = pa.concat_tables(copies)
-        pq.write_table(out, DST / f"{name}.parquet", version="2.6")
+        pq.write_table(out, DST / f"{name}.parquet", version="2.6", row_group_size=65536)
         print(f"{name}: {t.num_rows} -> {out.num_rows} rows")
     for name in COPY_AS_IS:
         t = pq.read_table(SRC / f"{name}.parquet")
-        pq.write_table(t, DST / f"{name}.parquet", version="2.6")
+        pq.write_table(t, DST / f"{name}.parquet", version="2.6", row_group_size=65536)
         print(f"{name}: {t.num_rows} rows (dim, unreplicated)")
 
 
