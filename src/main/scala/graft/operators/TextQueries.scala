@@ -2374,7 +2374,7 @@ object TextQueries {
     * as the NFC normalizer). Deterministic: ties broken by rank, then
     * leftmost position. */
   private[operators] def bpeTokenCount(
-      word: String, rank: Map[String, Int]): Int = {
+      word: String, rank: Map[String, Int], sep: String = ""): Int = {
     if (word.isEmpty) return 0
     // one working array for the whole word, compacted IN PLACE per
     // merge — the earlier `take ++ drop` rebuild allocated two arrays
@@ -2400,7 +2400,7 @@ object TextQueries {
       var bestRank = Int.MaxValue
       var i = 0
       while (i < n - 1) {
-        val r = rank.getOrElse(toks(i) + toks(i + 1), Int.MaxValue)
+        val r = rank.getOrElse(toks(i) + sep + toks(i + 1), Int.MaxValue)
         if (r < bestRank) { bestRank = r; best = i }
         i += 1
       }
@@ -2572,6 +2572,15 @@ object TextQueries {
     * sequences (including the overlapping-run rule) on THIS method. */
   private[graft] def textBpeTrainFrom(d: DataFrame): DataFrame = {
     val s = d.sparkSession
+    import s.implicits._
+    bpeTrainMergesFrom(d).toDF("round", "pair_a", "pair_b", "cnt")
+  }
+
+  /** The trainer's driver-side product — the ordered merge list —
+    * shared by the text_bpe_train report and the trained encoder
+    * (text_bpe_encode_trained). ≤ BPE_TRAIN_ROUNDS entries. */
+  private[graft] def bpeTrainMergesFrom(
+      d: DataFrame): Seq[(Int, String, String, Long)] = {
     val ss = BSEP + BSEP
     val wc = d.select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
@@ -2627,8 +2636,7 @@ object TextQueries {
       }
     }
     words.unpersist()
-    import s.implicits._
-    learned.toSeq.toDF("round", "pair_a", "pair_b", "cnt")
+    learned.toSeq
   }
 
   /** text_bpe_train oracle — the K-round loop in ONE recursive CTE:
@@ -2639,13 +2647,15 @@ object TextQueries {
     * (row_number = 1 over the same total order) — one row per round
     * actually taken, so early termination on a pairless vocabulary
     * matches the engine loop's break. */
-  val textBpeTrainSql: String = {
+  /** The trainer CTE block (wc → st → mr), shared verbatim by the
+    * text_bpe_train report and the text_bpe_encode_trained replay. */
+  private lazy val bpeTrainSqlCtes: String = {
     val k = BPE_TRAIN_ROUNDS
     val sep = "chr(31)"
     val ss = s"$sep || $sep"
     val toks =
       s"list_transform(string_split(rep, $ss), x -> trim(x, $sep))"
-    s"""WITH RECURSIVE wc AS (
+    s"""wc AS (
        |  SELECT t.w AS w, CAST(count(*) AS BIGINT) AS cnt
        |  FROM documents, unnest(string_split(text, ' ')) AS t(w)
        |  WHERE len(t.w) > 0 GROUP BY t.w),
@@ -2679,12 +2689,112 @@ object TextQueries {
        |    FROM (SELECT it, cnt, $toks AS toks
        |          FROM st WHERE it < $k) tt,
        |      unnest(generate_series(1, len(tt.toks) - 1)) AS g(i)
-       |    GROUP BY 1, 2, 3))
+       |    GROUP BY 1, 2, 3))""".stripMargin
+  }
+
+  val textBpeTrainSql: String =
+    s"""WITH RECURSIVE $bpeTrainSqlCtes
        |SELECT CAST(it + 1 AS INT) AS round, pa AS pair_a, pb AS pair_b,
        |  cnt
        |FROM (SELECT it, pa, pb, pcnt AS cnt FROM mr WHERE rk = 1)
        |ORDER BY round""".stripMargin
+
+  /** text_bpe_encode_trained — the apply half fed by the REAL
+    * trainer: encode every document with [[textBpeTrain]]'s iterated
+    * merge list (rank = round order) instead of text_bpe_encode's
+    * single-scan frequency-rank approximation, closing the
+    * count→merge→re-count→encode loop end to end. Same exact greedy
+    * kernel ([[bpeTokenCount]]) and per-language report shape; merge
+    * keys are U+001F-separated PAIRS (not concatenations), so a
+    * multi-char merge like (a, bc) can never be confused with
+    * (ab, c).
+    *
+    * Scale design: the trainer's K vocabulary-bounded rounds (see
+    * [[textBpeTrain]]) plus text_bpe_encode's broadcast-model
+    * map-side encode pass — the ≤16-entry merge list is the ONLY
+    * thing that travels. Oracle: the trainer CTE block and the
+    * per-distinct-word greedy replay composed in one recursive
+    * query. */
+  def textBpeEncodeTrained(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeTrainMergesFrom(documents(s, dir))
+    val rank = merges.sortBy(_._1).zipWithIndex
+      .map { case ((_, pa, pb, _), i) => (pa + BSEP + pb) -> i }.toMap
+    val b = s.sparkContext.broadcast(rank)
+    val countUdf = udf { text: String =>
+      if (text == null) 0L
+      else {
+        val r = b.value
+        var n = 0L
+        text.split(" ", -1).foreach { w => n += bpeTokenCount(w, r, BSEP) }
+        n
+      }
+    }
+    documents(s, dir)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        countUdf(col("text")).as("n_bpe"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe")).as("n_bpe"),
+        round(sum(col("n_bpe")) / sum(col("n_words")) + lit(1e-9), 4)
+          .as("tokens_per_word"))
   }
+
+  /** text_bpe_encode_trained oracle — [[bpeTrainSqlCtes]] derives the
+    * merge list (rank = state level it), then the same greedy replay
+    * as [[textBpeEncodeSql]] per distinct word with chr(31)-separated
+    * pair keys, re-weighted by (lang, word) multiplicities. */
+  val textBpeEncodeTrainedSql: String =
+    s"""WITH RECURSIVE $bpeTrainSqlCtes,
+       |merges AS (
+       |  SELECT pa, pb, CAST(it AS INT) AS rank FROM mr WHERE rk = 1),
+       |rm AS (
+       |  SELECT map_from_entries(list(
+       |    struct_pack(k := pa || chr(31) || pb, v := rank))) AS m
+       |  FROM merges),
+       |w0 AS (
+       |  SELECT lang, t.w FROM documents,
+       |    unnest(string_split(text, ' ')) AS t(w)),
+       |lwc AS (SELECT lang, w, count(*) AS cnt FROM w0 GROUP BY lang, w),
+       |dw AS (SELECT DISTINCT w FROM w0),
+       |init AS (
+       |  SELECT w,
+       |    list_transform(generate_series(1, len(w)), i -> substr(w, i, 1))
+       |      AS toks
+       |  FROM dw),
+       |est AS (
+       |  SELECT w, toks FROM init
+       |  UNION ALL
+       |  SELECT w,
+       |    list_slice(toks, 1, b - 1)
+       |      || [toks[b] || toks[b + 1]]
+       |      || list_slice(toks, b + 2, len(toks)) AS toks
+       |  FROM (
+       |    SELECT w, toks,
+       |      CASE WHEN list_min(rl) < 2147483647
+       |           THEN list_position(rl, list_min(rl)) ELSE NULL END AS b
+       |    FROM (
+       |      SELECT e.w, e.toks,
+       |        list_transform(generate_series(1, len(e.toks) - 1),
+       |          i -> coalesce(map_extract(rm.m,
+       |                 e.toks[i] || chr(31) || e.toks[i + 1])[1],
+       |               2147483647)) AS rl
+       |      FROM est e, rm
+       |      WHERE len(e.toks) > 1)
+       |  ) WHERE b IS NOT NULL),
+       |fin AS (SELECT w, min(len(toks)) AS n_toks FROM est GROUP BY w),
+       |agg AS (
+       |  SELECT lwc.lang,
+       |    CAST(sum(lwc.cnt) AS BIGINT) AS n_words,
+       |    CAST(sum(lwc.cnt * f.n_toks) AS BIGINT) AS n_bpe
+       |  FROM lwc JOIN fin f ON lwc.w = f.w
+       |  GROUP BY lwc.lang),
+       |ndc AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+       |SELECT ndc.lang, ndc.n_docs, a.n_words, a.n_bpe,
+       |  round(CAST(a.n_bpe AS DOUBLE) / a.n_words + 1e-9, 4)
+       |    AS tokens_per_word
+       |FROM ndc JOIN agg a ON ndc.lang = a.lang""".stripMargin
 
   /** Interpolation weight of the bigram term in text_bigram_logprob:
     * score = avg log(λ·P(b|a) + (1−λ)·P(b)) — Jelinek-Mercer
@@ -2979,6 +3089,7 @@ object TextQueries {
     "text_bpe_pairs" -> (textBpePairs _),
     "text_bpe_encode" -> (textBpeEncode _),
     "text_bpe_train" -> (textBpeTrain _),
+    "text_bpe_encode_trained" -> (textBpeEncodeTrained _),
     "text_bigram_logprob" -> (textBigramLogprob _),
     "text_ppl_filter" -> (textPplFilter _),
     "fn_unicode_normalize" -> (fnUnicodeNormalize _),
@@ -3022,6 +3133,7 @@ object TextQueries {
     "text_bpe_pairs" -> textBpePairsSql,
     "text_bpe_encode" -> textBpeEncodeSql,
     "text_bpe_train" -> textBpeTrainSql,
+    "text_bpe_encode_trained" -> textBpeEncodeTrainedSql,
     "text_bigram_logprob" -> textBigramLogprobSql,
     "text_ppl_filter" -> textPplFilterSql,
     "fn_unicode_normalize" -> fnUnicodeNormalizeSql,

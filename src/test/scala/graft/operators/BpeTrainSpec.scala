@@ -52,6 +52,34 @@ class BpeTrainSpec extends SparkSpec {
     assert(got.map(_._1) == (1 to TextQueries.BPE_TRAIN_ROUNDS))
   }
 
+  test("trained encoder: planted cascade compresses to one token/word") {
+    val sep = "\u001f"
+    val d = docs("abab abab ab", "abab ab")
+    // merges learned from THIS corpus: (a,b) then (ab,ab) — the
+    // greedy kernel must cascade both: "abab" -> [ab,ab] -> [abab]
+    val merges = TextQueries.bpeTrainMergesFrom(d)
+    assert(merges.map(m => (m._2, m._3)) == Seq(("a", "b"), ("ab", "ab")))
+    val rank = merges.sortBy(_._1).zipWithIndex
+      .map { case ((_, pa, pb, _), i) => (pa + sep + pb) -> i }.toMap
+    assert(TextQueries.bpeTokenCount("abab", rank, sep) == 1)
+    assert(TextQueries.bpeTokenCount("ab", rank, sep) == 1)
+    // pair-keyed lookup: tokens [ab, c] must NOT match a learned
+    // (a, bc) merge — a concat-keyed form would
+    val r2 = Map("a" + sep + "bc" -> 0, "a" + sep + "b" -> 1)
+    assert(TextQueries.bpeTokenCount("abc", r2, sep) == 2) // [ab, c]
+    // and the whole operator compresses the fixture corpus: fewer
+    // tokens than characters (merges applied), at least one per word
+    val out = TextQueries.textBpeEncodeTrained(spark, sf).collect()
+    val chars = graft.Tables.documents(spark, sf)
+      .selectExpr("lang", "length(replace(text, ' ', '')) AS c")
+      .groupBy("lang").sum("c").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty && out.forall { r =>
+      val (lang, words, bpe) = (r.getString(0), r.getLong(2), r.getLong(3))
+      bpe >= words && bpe < chars(lang)
+    })
+  }
+
   test("fixture corpus: monotone rounds, no empty merges") {
     val got = train(graft.Tables.documents(spark, sf))
     assert(got.nonEmpty && got.size <= TextQueries.BPE_TRAIN_ROUNDS)
