@@ -11,6 +11,15 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // 16 MB input splits: several sources are row-multiplying
+      // (char-gram/token explodes fan one scanned row to hundreds),
+      // so the DEFAULT 128 MB splits cap the whole narrow stage's
+      // parallelism at file_size/128MB tasks — the 156 MB sf10
+      // documents file ran every explode on TWO tasks of 32 cores
+      // (profiled: 4-core and 32-core runs differed only 1.6x).
+      // At cluster scale the lake's many files restore parallelism;
+      // in a one-file local bench the split size is the only lever.
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

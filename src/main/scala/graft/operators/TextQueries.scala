@@ -1193,13 +1193,24 @@ object TextQueries {
     // every train doc carries exactly one lang, so the prior rows
     // partition the train docs: ntr = Σ nd
     val ntr = prior.agg(sum(col("nd")).as("ntr"))
-    val scored = test.select(col("doc_id"), col("tok"))
+    // Pre-aggregate the test side to (doc, token, n) BEFORE the
+    // class fan-out: tokens repeat within a document (char bigrams
+    // especially — 255 grams drawn from an alphabet²-bounded set),
+    // so scoring Σ ln(p) as Σ n·ln(p) over distinct tokens cuts the
+    // ×|classes| fan-out and the per-class map-side work by the
+    // repetition factor. The oracles compute the identical n·ln(p)
+    // terms, so 6-dp parity is unchanged.
+    val testCnt = test.select(col("doc_id"), col("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+    val scored = testCnt
       .crossJoin(broadcast(tot))
       .join(broadcast(cnt), Seq("clang", "tok"), "left")
       .crossJoin(broadcast(vsz))
       .select(col("doc_id"), col("clang"),
-        log((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double") /
-          (col("tot") + col("v")).cast("double")).as("lp"))
+        (col("n").cast("double") *
+          log((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double") /
+            (col("tot") + col("v")).cast("double"))).as("lp"))
       .groupBy(col("doc_id"), col("clang"))
       .agg(sum(col("lp")).as("slp"))
       .join(broadcast(prior), Seq("clang"))
@@ -1233,10 +1244,11 @@ object TextQueries {
       |prior AS (SELECT lang AS clang, count(DISTINCT doc_id) AS nd
       |  FROM train GROUP BY 1),
       |ntr AS (SELECT count(DISTINCT doc_id) AS ntr FROM train),
-      |test AS (SELECT doc_id, tok FROM toks WHERE ((doc_id % 10) + 10) % 10 >= 7),
+      |test AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS n
+      |  FROM toks WHERE ((doc_id % 10) + 10) % 10 >= 7 GROUP BY 1, 2),
       |scored AS (
       |  SELECT doc_id, tot.clang AS clang,
-      |    round(sum(ln(CAST(COALESCE(cnt.cnt, 0) + 1 AS DOUBLE) /
+      |    round(sum(test.n * ln(CAST(COALESCE(cnt.cnt, 0) + 1 AS DOUBLE) /
       |        CAST(tot.tot + vsz.v AS DOUBLE)))
       |      + ln(CAST(prior.nd AS DOUBLE) / CAST(ntr.ntr AS DOUBLE)),
       |      6) AS score
@@ -1285,13 +1297,22 @@ object TextQueries {
 
   /** Fixture seam: planted-alphabet specs drive THIS method. */
   private[graft] def textLangidNbFrom(d: DataFrame): DataFrame = {
+    // gram generation: split the prefix into a char ARRAY once, then
+    // pair adjacent elements with O(1) element_at — the direct
+    // substr(px, i, 2) form rescans the string from position 0 for
+    // every i (UTF8String position lookup is O(i)), which is
+    // quadratic in the prefix and was the dominant sf10 cost. The
+    // split("") char form addresses UTF-16 units (BMP-identical to
+    // the oracle's substr addressing — the BPE code's documented
+    // contract).
     val toks = d
       .select(col("doc_id"), col("lang"),
-        substring(col("text"), 1, LID_PREFIX).as("px"))
-      .filter(length(col("px")) >= 2)
+        split(substring(col("text"), 1, LID_PREFIX), "").as("cs"))
+      .filter(size(col("cs")) >= 2)
       .select(col("doc_id"), col("lang"), explode(expr(
-        "transform(sequence(1, length(px) - 1), i -> substr(px, i, 2))"))
-        .as("tok"))
+        """transform(sequence(1, size(cs) - 1),
+          |  i -> concat(element_at(cs, i), element_at(cs, i + 1)))"""
+          .stripMargin)).as("tok"))
     nbScoreTokens(
       toks.filter(pmod(col("doc_id"), lit(10)) < 7),
       toks.filter(pmod(col("doc_id"), lit(10)) >= 7)
@@ -1317,11 +1338,11 @@ object TextQueries {
        |prior AS (SELECT lang AS clang, count(DISTINCT doc_id) AS nd
        |  FROM train GROUP BY 1),
        |ntr AS (SELECT count(DISTINCT doc_id) AS ntr FROM train),
-       |test AS (SELECT doc_id, tok FROM toks
-       |  WHERE ((doc_id % 10) + 10) % 10 >= 7),
+       |test AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS n
+       |  FROM toks WHERE ((doc_id % 10) + 10) % 10 >= 7 GROUP BY 1, 2),
        |scored AS (
        |  SELECT doc_id, tot.clang AS clang,
-       |    round(sum(ln(CAST(COALESCE(cnt.cnt, 0) + 1 AS DOUBLE) /
+       |    round(sum(test.n * ln(CAST(COALESCE(cnt.cnt, 0) + 1 AS DOUBLE) /
        |        CAST(tot.tot + vsz.v AS DOUBLE)))
        |      + ln(CAST(prior.nd AS DOUBLE) / CAST(ntr.ntr AS DOUBLE)),
        |      6) AS score

@@ -19,32 +19,37 @@ class ProfileLangidSpec extends SparkSpec {
     val d = graft.Tables.documents(spark, dir)
     val toks = d
       .select(col("doc_id"), col("lang"),
-        substring(col("text"), 1, 256).as("px"))
-      .filter(length(col("px")) >= 2)
+        split(substring(col("text"), 1, 256), "").as("cs"))
+      .filter(size(col("cs")) >= 2)
       .select(col("doc_id"), col("lang"), explode(expr(
-        "transform(sequence(1, length(px) - 1), i -> substr(px, i, 2))"))
-        .as("tok"))
+        """transform(sequence(1, size(cs) - 1),
+          |  i -> concat(element_at(cs, i), element_at(cs, i + 1)))"""
+          .stripMargin)).as("tok"))
     val train = toks.filter(pmod(col("doc_id"), lit(10)) < 7)
     val test = toks.filter(pmod(col("doc_id"), lit(10)) >= 7)
       .select(col("doc_id"), col("tok"))
     t("train_explode_count")(train.count())
-    t("test_explode_count")(test.count())
     val cnt = t("cnt_build")(train.groupBy(col("lang"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
       .withColumnRenamed("lang", "clang").localCheckpoint(true))
-    println("cnt rows " + cnt.count())
+    val prior = t("prior_distinct")(
+      train.select(col("doc_id"), col("lang")).distinct()
+        .groupBy(col("lang")).agg(count(lit(1)).as("nd"))
+        .withColumnRenamed("lang", "clang").localCheckpoint(true))
     val tot = cnt.groupBy(col("clang")).agg(sum(col("cnt")).as("tot"))
     val vsz = cnt.agg(countDistinct(col("tok")).as("v"))
-    val fan = test.crossJoin(broadcast(tot))
+    val testCnt = test.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+    t("test_dedup_count")(testCnt.count())
+    val fan = testCnt.crossJoin(broadcast(tot))
       .join(broadcast(cnt), Seq("clang", "tok"), "left")
       .crossJoin(broadcast(vsz))
       .select(col("doc_id"), col("clang"),
-        log((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double") /
-          (col("tot") + col("v")).cast("double")).as("lp"))
-    t("fanout_scan_count")(fan.count())
-    t("groupby_score")(fan.groupBy(col("doc_id"), col("clang"))
+        (col("n").cast("double") *
+          log((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double") /
+            (col("tot") + col("v")).cast("double"))).as("lp"))
+    t("fanout_score")(fan.groupBy(col("doc_id"), col("clang"))
       .agg(sum(col("lp")).as("slp")).count())
     t("full_operator")(TextQueries.textLangidNb(spark, dir).count())
-    t("full_operator_again")(TextQueries.textLangidNb(spark, dir).count())
   }
 }
