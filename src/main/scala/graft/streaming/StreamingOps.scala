@@ -745,6 +745,82 @@ object StreamingOps {
     *    dropDuplicatesWithinWatermark discipline, enforced in-state
     *    because the recurrence is order-sensitive, not just
     *    duplicate-sensitive). */
+  /** Streaming daily-grid interpolation — ts_resample_interpolate's
+    * recurrence as flatMapGroupsWithState with O(1) state per user:
+    * just the LAST reading (ts, value). A reading's arrival closes
+    * the interval since the previous reading, so every UTC midnight
+    * strictly after the previous reading and at-or-before the new
+    * one is emitted immediately with the identical
+    * `pv + (nv − pv) · Δg/Δ` double arithmetic and HALF_UP 6-dp
+    * rounding as the batch windows (parity pinned bit-for-bit in
+    * StreamingSpec). Emission per arrival is bounded by the days
+    * between consecutive readings; state never grows.
+    *
+    * Contract mirrored from the batch operator: pure interpolation
+    * (nothing emitted before a user's second reading, nothing after
+    * the last), grid strictly inside the span, a midnight coincident
+    * with a reading emits that reading's value. In-order, per-(user,
+    * ts)-deduped input: rows at or before the state's last ts are
+    * DROPPED (the ewmaStream discipline — the batch form's
+    * min(value) collapse of duplicate timestamps is an upstream
+    * dedup concern on a stream, e.g. dropDuplicatesWithinWatermark). */
+  case class ResampleState(lastTsMicros: Long, lastVal: Double)
+  case class GridEmit(user_id: Long, grid_ts: java.sql.Timestamp,
+      v_interp: Double)
+
+  def resampleStream(
+      events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row])
+      : org.apache.spark.sql.Dataset[GridEmit] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val DayUs = 86400000000L
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    events
+      .selectExpr("user_id", "ts", "value")
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ResampleState, GridEmit](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long,
+            rows: Iterator[(Long, java.sql.Timestamp, Double)],
+            state: GroupState[ResampleState]) =>
+          val sorted = rows.toArray.sortBy { case (_, t, _) => micros(t) }
+          var st = state.getOption.orNull
+          val out = Vector.newBuilder[GridEmit]
+          sorted.foreach { case (_, t, v) =>
+            val tm = micros(t)
+            if (st == null) st = ResampleState(tm, v)
+            else if (tm > st.lastTsMicros) {
+              // first UTC midnight STRICTLY after the previous
+              // reading (a previous reading ON a midnight emitted
+              // that point when ITS interval closed)
+              var g = (Math.floorDiv(st.lastTsMicros, DayUs) + 1) * DayUs
+              while (g <= tm) {
+                // ((nv−pv) · Δg) / Δ — the batch/oracle expressions
+                // are left-associative; a · (Δg/Δ) differs in ulps
+                val vi = st.lastVal + (v - st.lastVal) *
+                  (g - st.lastTsMicros).toDouble /
+                  (tm - st.lastTsMicros).toDouble
+                val rounded =
+                  if (java.lang.Double.isFinite(vi))
+                    BigDecimal(vi + 1e-9)
+                      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                      .toDouble
+                  else vi
+                out += GridEmit(user,
+                  new java.sql.Timestamp(g / 1000L), rounded)
+                g += DayUs
+              }
+              st = ResampleState(tm, v)
+            } // tm <= last: late/replayed row, dropped
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class EwmaState(lastTsMicros: Long, lastEventId: Long, prev: Double)
   case class EwmaUpdate(user_id: Long, event_id: Long, ewma: Double)
 

@@ -378,6 +378,46 @@ class StreamingSpec extends SparkSpec {
     })
   }
 
+  test("streaming resample equals the batch interpolation grid") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // O(1)-state twin of ts_resample_interpolate: per-(user, ts)
+    // deduped readings (the stream contract; the batch op collapses
+    // duplicates itself) fed in ts order across three micro-batches
+    // must emit EXACTLY the batch grid, values bit-for-bit
+    val obs = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(min(col("value")).as("value"))
+      .orderBy("ts", "user_id")
+      .collect()
+      .map(r => Ev(0L, r.getTimestamp(1), r.getLong(0), "x",
+        r.getDouble(2)))
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.resampleStream(mem.toDF())
+      .writeStream.format("memory").queryName("resample_stream")
+      .outputMode("update").start()
+    val third = obs.length / 3
+    mem.addData(obs.take(third).toIndexedSeq: _*); q.processAllAvailable()
+    mem.addData(obs.slice(third, 2 * third).toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(obs.drop(2 * third).toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("resample_stream").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)) -> r.getDouble(2))
+      .toMap
+    val want = graft.operators.TimeSeriesQueries
+      .tsResampleInterpolate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)) -> r.getDouble(2))
+      .toMap
+    assert(want.nonEmpty && got.size == want.size,
+      s"grid cardinality diverges: stream ${got.size} vs batch ${want.size}")
+    assert(got == want, {
+      val bad = want.collect { case (k, v) if got.get(k) != Some(v) =>
+        s"$k batch=$v stream=${got.get(k)}" }.take(5)
+      s"stream diverges from batch grid: ${bad.mkString("; ")}"
+    })
+  }
+
   test("streaming EWMA drops replayed / out-of-order rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
