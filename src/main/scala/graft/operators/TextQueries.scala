@@ -2601,7 +2601,9 @@ object TextQueries {
     * shared by the text_bpe_train report and the trained encoder
     * (text_bpe_encode_trained). ≤ BPE_TRAIN_ROUNDS entries. */
   private[graft] def bpeTrainMergesFrom(
-      d: DataFrame): Seq[(Int, String, String, Long)] = {
+      d: DataFrame,
+      onRound: (Int, DataFrame) => Unit = (_, _) => ())
+      : Seq[(Int, String, String, Long)] = {
     val ss = BSEP + BSEP
     val wc = d.select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
@@ -2651,6 +2653,7 @@ object TextQueries {
           .localCheckpoint(true) // eager: materialized before the
         words.unpersist()        // old round's blocks are released
         words = next
+        onRound(r, words)
         if (sys.env.contains("GRAFT_BPE_DEBUG"))
           System.err.println(f"[bpe] round $r full ${(System.nanoTime() - tDbg) / 1e9}%.2fs")
         r += 1

@@ -294,6 +294,49 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges(p) <= 4, s"pipeline grew a shuffle:\n$p")
   }
 
+  test("NB scoring joins broadcast the model; the corpus side never " +
+      "sort-merges") {
+    // the trained classifiers' scale contract: every model table
+    // (counts, totals, vocab size, priors) travels as a broadcast —
+    // a SortMergeJoin here would shuffle the exploded gram/token
+    // corpus once per model table
+    Seq(
+      TextQueries.textNbClassify(spark, sf),
+      TextQueries.textLangidNb(spark, sf)
+    ).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("SortMergeJoin"),
+        s"model join degraded to a corpus shuffle:\n$p")
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(p.contains("HashAggregate"),
+        s"partial aggregation expected:\n$p")
+    }
+  }
+
+  test("BPE trainer rounds start from a truncated lineage, not a " +
+      "corpus re-scan") {
+    // each round's working frame must be a LogicalRDD scan (eager
+    // localCheckpoint) — if the parquet source or the previous
+    // rounds' replace chain leaks back into a round's plan, the
+    // superlinear-planner regression (0.6→24 s/round at sf0.1) has
+    // returned
+    var rounds = 0
+    val merges = TextQueries.bpeTrainMergesFrom(
+      graft.Tables.documents(spark, sf),
+      onRound = (r, words) => {
+        rounds = r
+        val p = plan(words)
+        assert(p.contains("ExistingRDD"),
+          s"round $r frame is not checkpointed:\n$p")
+        assert(!p.contains("FileScan") && !p.contains("parquet"),
+          s"round $r frame re-scans the corpus:\n$p")
+        assert(!p.contains("StringReplace") || r == 0,
+          s"round $r plan still nests the merge chain:\n$p")
+      })
+    assert(rounds > 2 && merges.size == rounds,
+      "fixture corpus must learn several checkpointed rounds")
+  }
+
   test("funnel and retention stay keyed equi-joins with partial aggs") {
     // funnel stages and the cohort join are all user_id equi-joins —
     // a nested-loop or cartesian here explodes at log scale. (AQE may
