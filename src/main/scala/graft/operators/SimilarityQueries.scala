@@ -3214,6 +3214,110 @@ object SimilarityQueries {
        |  round(CAST(fp AS DOUBLE) / 100000000.0 + 1e-9, 6) AS cos
        |FROM fps""".stripMargin
 
+  /** emb_cluster_card — the per-cluster AUDIT table for the k-means
+    * partitioning: one row per converged cluster with its size, its
+    * majority label and integer share, and its top-3 DISTINCTIVE
+    * member terms (token occurrences within the cluster, restricted
+    * to tokens appearing in ≤ half of all member documents — the
+    * integer form of "characteristic, not boilerplate"). This is the
+    * artifact a SemDeDup/topic-mixture pipeline publishes next to
+    * its cluster assignment: "what IS each topic" — the review
+    * surface for sample_cluster_balanced's draw rates.
+    *
+    * Scale design: rides the memoized converged assignment (no new
+    * Lloyd work); the label/size aggregates are cluster-×-label
+    * bounded; the term stage is one corpus-token aggregate to
+    * (cluster, token) rows, an eligibility semi-join against the
+    * vocab-bounded document-frequency table, and the per-cluster
+    * top-3 through the TopKPerGroup heap (≤3 rows per (cluster,
+    * partition) cross the exchange — never a per-cluster vocabulary
+    * sort). All ranks and shares are integers, so the card is
+    * bit-stable under partitioning. Oracle: the whole chain — Lloyd
+    * replay, assignment, majority label, eligibility, top-3, the
+    * ordered term join — recomputed in SQL. */
+  def embClusterCard(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.GraftExtensions.register(s)
+    val assign = embKmeansAssign(s, dir).select(col("vec_id"), col("cid"))
+    val nm = assign.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+    val labTop = {
+      val w = Window.partitionBy(col("cid"))
+        .orderBy(col("lcnt").desc, col("label"))
+      assign
+        .join(embeddings(s, dir).select(col("vec_id"), col("label")),
+          Seq("vec_id"))
+        .groupBy(col("cid"), col("label")).agg(count(lit(1)).as("lcnt"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("cid"), col("label").as("top_label"), col("lcnt"))
+    }
+    val toks = assign
+      .join(graft.Tables.documents(s, dir)
+        .select(col("doc_id").as("vec_id"), col("text")), Seq("vec_id"))
+      .select(col("cid"), col("vec_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val ntot = assign.agg(count(lit(1)).as("ntot"))
+    val eligible = toks.select(col("vec_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(ntot))
+      .filter(col("df") * 2 <= col("ntot"))
+      .select(col("tok"))
+    val tcnt = toks.groupBy(col("cid"), col("tok"))
+      .agg(count(lit(1)).as("tcnt"))
+      .join(eligible, Seq("tok"))
+    val terms = graft.plans.TopKPerGroup
+      .topKPerGroup(tcnt, Seq("cid"),
+        orderBy = Seq(("tcnt", false), ("tok", true)), k = 3)
+      .groupBy(col("cid"))
+      .agg(expr(
+        """array_join(transform(
+          |  sort_array(collect_list(named_struct(
+          |    'nc', -tcnt, 'tok', tok))),
+          |  x -> x.tok), ' ')""".stripMargin).as("top_terms"))
+    nm.join(labTop, Seq("cid"))
+      .join(terms, Seq("cid"), "left")
+      .select(col("cid"), col("n_members"), col("top_label"),
+        expr("(lcnt * 100) DIV n_members").as("label_pct"),
+        coalesce(col("top_terms"), lit("")).as("top_terms"))
+  }
+
+  /** emb_cluster_card oracle — the converged assignment as a derived
+    * table (the [[SampleQueries.sampleClusterBalancedSql]] idiom),
+    * then the identical integer majority/eligibility/top-3 chain;
+    * the term join is ordered (tcnt DESC, tok) on both engines. */
+  val embClusterCardSql: String =
+    s"""WITH a AS (SELECT vec_id, cid
+       |  FROM (${embKmeansAssignSql}) z),
+       |nm AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members
+       |  FROM a GROUP BY cid),
+       |lc AS (SELECT a.cid, e.label, count(*) AS lcnt
+       |  FROM a JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+       |lt AS (SELECT cid, label AS top_label, lcnt FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY cid
+       |      ORDER BY lcnt DESC, label) AS rk FROM lc)
+       |  WHERE rk = 1),
+       |toks AS (SELECT a.cid, a.vec_id, t.tok
+       |  FROM a JOIN documents d ON d.doc_id = a.vec_id,
+       |    unnest(string_split(d.text, ' ')) AS t(tok)
+       |  WHERE len(t.tok) > 0),
+       |ntot AS (SELECT count(*) AS n FROM a),
+       |dfreq AS (SELECT tok, count(*) AS df
+       |  FROM (SELECT DISTINCT vec_id, tok FROM toks) GROUP BY tok),
+       |elig AS (SELECT tok FROM dfreq, ntot WHERE df * 2 <= n),
+       |tc AS (SELECT cid, tok, count(*) AS tcnt
+       |  FROM toks JOIN elig USING (tok) GROUP BY 1, 2),
+       |t3 AS (SELECT cid, tok, tcnt FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY cid
+       |      ORDER BY tcnt DESC, tok) AS rk FROM tc)
+       |  WHERE rk <= 3),
+       |tm AS (SELECT cid, string_agg(tok, ' ' ORDER BY tcnt DESC, tok)
+       |    AS top_terms
+       |  FROM t3 GROUP BY cid)
+       |SELECT nm.cid, nm.n_members, lt.top_label,
+       |  CAST((lt.lcnt * 100) // nm.n_members AS BIGINT) AS label_pct,
+       |  COALESCE(tm.top_terms, '') AS top_terms
+       |FROM nm JOIN lt USING (cid) LEFT JOIN tm USING (cid)""".stripMargin
+
   /** emb_random_projection — Johnson-Lindenstrauss dimension
     * reduction (FastSig.randomProjection): every embedding projected
     * d→16 through a deterministic ±1 matrix recomputed from a seed
@@ -3473,6 +3577,7 @@ object SimilarityQueries {
     "emb_random_projection" -> (embRandomProjection _),
     "emb_kmeans" -> (embKmeans _),
     "emb_kmeans_assign" -> (embKmeansAssign _),
+    "emb_cluster_card" -> (embClusterCard _),
     "sim_hybrid_rrf" -> (simHybridRrf _),
     "sim_hybrid_serve" -> (simHybridServe _),
     "sim_hybrid_serve_batch" -> (simHybridServeBatch _),
@@ -3501,6 +3606,7 @@ object SimilarityQueries {
     "dedup_semantic" -> dedupSemanticSql,
     "emb_kmeans" -> embKmeansSql,
     "emb_kmeans_assign" -> embKmeansAssignSql,
+    "emb_cluster_card" -> embClusterCardSql,
     "sim_ann_ivf" -> simAnnIvfSql,
     "sim_ann_ivf_indexed" -> simAnnIvfIndexedSql,
     "sim_ann_serve_batch" -> simAnnServeBatchSql,

@@ -128,5 +128,36 @@ class SampleSpec extends SparkSpec {
       }
     }
   }
-}
 
+  test("emb_cluster_card: one card per cluster with consistent " +
+      "integer invariants") {
+    import org.apache.spark.sql.functions._
+    val card = SimilarityQueries.embClusterCard(spark, sf).collect()
+    val assign = SimilarityQueries.embKmeansAssign(spark, sf)
+      .select("vec_id", "cid").collect()
+    val byCid = assign.groupBy(_.getLong(1)).view.mapValues(_.length)
+    // one row per non-empty cluster; sizes fold back to the corpus
+    assert(card.map(_.getLong(0)).toSet == byCid.keys.toSet)
+    assert(card.map(_.getLong(1)).sum == assign.length)
+    card.foreach { r =>
+      assert(r.getLong(1) == byCid(r.getLong(0)).toLong)
+      val pct = r.getLong(3)
+      assert(pct >= 0 && pct <= 100, s"label_pct out of range: $r")
+      val terms = r.getString(4)
+      assert(terms.isEmpty || terms.split(" ").length <= 3)
+    }
+    // distinctive-term rule: no reported term appears in more than
+    // half of all member documents
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id").as("vec_id"), col("text"))
+      .join(SimilarityQueries.embKmeansAssign(spark, sf)
+        .select("vec_id"), Seq("vec_id"))
+      .collect().map(r => r.getString(1))
+    val n = docs.length
+    card.flatMap(_.getString(4).split(" ")).filter(_.nonEmpty)
+      .distinct.foreach { t =>
+        val df = docs.count(_.split(" ").contains(t))
+        assert(df * 2 <= n, s"term '$t' is boilerplate (df=$df of $n)")
+      }
+  }
+}
