@@ -184,15 +184,76 @@ object PipelineQueries {
       |    AS keep
       |FROM a""".stripMargin
 
+  /** pipeline_split_leakage — the split-INTEGRITY ledger: per
+    * language, how many distinct text contents the corpus holds, how
+    * many are duplicated at all, and how many LEAK across
+    * sample_split's train/val/test boundary (identical text under
+    * different doc_ids hashing into different splits — the exact
+    * failure an eval-set contamination audit exists to catch,
+    * because the split is keyed by id while leakage is keyed by
+    * CONTENT). A ledger, not a filter: the cross-split count is the
+    * alarm column and is legitimately zero on a well-deduped corpus,
+    * while the totals make the zero auditable.
+    *
+    * Scale design: one corpus scan → sha256 content key → ONE
+    * map-side-combining (lang, hash) aggregate (content cardinality
+    * bounded, never wider than the corpus) → a language-sized
+    * rollup. The split rule is the SAME [[SampleQueries.hashBucket]]
+    * expression sample_split publishes, so the audit can never
+    * drift from the split it audits. */
+  def pipelineSplitLeakage(s: SparkSession, dir: String): DataFrame =
+    pipelineSplitLeakageFrom(documents(s, dir))
+
+  /** Fixture seam: the planted-leak spec drives THIS method. */
+  private[graft] def pipelineSplitLeakageFrom(d: DataFrame): DataFrame = {
+    val bucket = SampleQueries.hashBucket(col("doc_id"))
+    val per = d
+      .select(col("lang"), sha2(col("text"), 256).as("h"),
+        when(bucket < 980, "train").when(bucket < 990, "val")
+          .otherwise("test").as("split"))
+      .groupBy(col("lang"), col("h"))
+      .agg(countDistinct(col("split")).as("ns"), count(lit(1)).as("nd"))
+    per.groupBy(col("lang")).agg(
+      sum(col("nd")).as("n_docs"),
+      count(lit(1)).as("n_contents"),
+      sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_contents"),
+      sum(when(col("ns") >= 2, 1L).otherwise(0L))
+        .as("n_cross_split_contents"))
+  }
+
+  /** pipeline_split_leakage oracle — same split rule, same content
+    * key, same ledger. */
+  val pipelineSplitLeakageSql: String =
+    """WITH b AS (
+      |  SELECT lang, sha256(text) AS h,
+      |    CASE WHEN CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)),
+      |           1, 6) AS BIGINT) % 1000 < 980 THEN 'train'
+      |         WHEN CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)),
+      |           1, 6) AS BIGINT) % 1000 < 990 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |p AS (SELECT lang, h, count(DISTINCT split) AS ns, count(*) AS nd
+      |  FROM b GROUP BY 1, 2)
+      |SELECT lang,
+      |  CAST(sum(nd) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_contents,
+      |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_contents,
+      |  CAST(sum(CASE WHEN ns >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_cross_split_contents
+      |FROM p GROUP BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
     "pipeline_build_mixture" -> (pipelineBuildMixture _),
-    "curation_domain_stats" -> (curationDomainStats _)
+    "curation_domain_stats" -> (curationDomainStats _),
+    "pipeline_split_leakage" -> (pipelineSplitLeakage _)
   )
 
   def oracle: Map[String, String] = Map(
     "pipeline_clean_corpus" -> pipelineCleanCorpusSql,
     "pipeline_build_mixture" -> pipelineBuildMixtureSql,
-    "curation_domain_stats" -> curationDomainStatsSql
+    "curation_domain_stats" -> curationDomainStatsSql,
+    "pipeline_split_leakage" -> pipelineSplitLeakageSql
   )
 }

@@ -335,4 +335,42 @@ class CurationSpec extends SparkSpec {
       (16L, 65536L, 1L, 65536L)  // exactly 2^16 → bucket 16
     ), got.mkString(", "))
   }
+
+  test("split-leakage ledger: planted cross-split twin is counted, " +
+      "clean corpora alarm zero") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // find two ids the PUBLISHED split rule separates, then plant
+    // identical text under both — the ledger must count exactly one
+    // leaked content; distinct-text docs must not alarm
+    val buckets = spark.range(0, 2000)
+      .select(col("id"), SampleQueries.hashBucket(col("id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trainId = buckets.collectFirst { case (i, b) if b < 980 => i }.get
+    val valId = buckets.collectFirst
+      { case (i, b) if b >= 980 && b < 990 => i }.get
+    val trainId2 = buckets.collectFirst
+      { case (i, b) if b < 980 && i != trainId => i }.get
+    val d = Seq(
+      (trainId, "aa", "leaked twin text"),
+      (valId, "aa", "leaked twin text"),
+      (trainId2, "aa", "unique text one"),
+      (buckets.collectFirst { case (i, b) if b >= 990 => i }.get,
+        "bb", "unique text two"))
+      .toDF("doc_id", "lang", "text")
+    val out = PipelineQueries.pipelineSplitLeakageFrom(d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("aa") == ((3L, 2L, 1L, 1L)),
+      s"aa ledger wrong: ${out("aa")}")
+    assert(out("bb") == ((1L, 1L, 0L, 0L)))
+    // a within-split duplicate counts as dup but NOT as leakage
+    val d2 = Seq(
+      (trainId, "cc", "dup in train"),
+      (trainId2, "cc", "dup in train"))
+      .toDF("doc_id", "lang", "text")
+    val o2 = PipelineQueries.pipelineSplitLeakageFrom(d2).collect()
+    assert(o2.length == 1 && o2.head.getLong(3) == 1L &&
+      o2.head.getLong(4) == 0L)
+  }
 }
