@@ -418,6 +418,52 @@ class StreamingSpec extends SparkSpec {
     })
   }
 
+  test("streaming twins are split-invariant: any micro-batch " +
+      "partitioning yields the identical emit set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the state contracts (raw prev, last reading) must make the
+    // emit set independent of WHERE the stream is cut — including
+    // cuts inside a user's sequence and single-row batches. Seeded
+    // deterministic split patterns, no Random.
+    val evs = graft.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id").limit(120)
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    def splits(seed: Int): Seq[Seq[Ev]] = {
+      var h = seed.toLong
+      val cuts = scala.collection.mutable.ArrayBuffer[Int](0)
+      while (cuts.last < evs.length) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        cuts += math.min(evs.length,
+          cuts.last + 1 + math.floorMod(h >>> 33, 17L).toInt)
+      }
+      cuts.toSeq.sliding(2)
+        .map { w => evs.slice(w(0), w(1)).toSeq }
+        .filter(_.nonEmpty).toSeq
+    }
+    def runEwma(batches: Seq[Seq[Ev]], name: String) = {
+      val mem = MemoryStream[Ev]
+      val q = StreamingOps.ewmaStream(mem.toDF())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      batches.foreach { b =>
+        mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    }
+    val base = runEwma(Seq(evs.toSeq), "ewma_split0")
+    assert(base.size == evs.length)
+    Seq(1, 2).foreach { seed =>
+      val got = runEwma(splits(seed), s"ewma_split$seed")
+      assert(got == base, s"ewma emit set moved under split seed $seed")
+    }
+  }
+
   test("streaming EWMA drops replayed / out-of-order rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
