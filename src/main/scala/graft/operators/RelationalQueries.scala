@@ -525,13 +525,13 @@ object RelationalQueries {
       |FROM part GROUP BY 1""".stripMargin
 
   // ---- deterministic HLL (graft.functions.HllSketch) ---------------
-  private val HLL_P = 12
-  private val HLL_M = 1 << HLL_P        // 4096 registers
-  private val HLL_RMAX = 64 - HLL_P + 1 // 53: max rank a register holds
+  private[graft] val HLL_P = 12
+  private[graft] val HLL_M = 1 << HLL_P        // 4096 registers
+  private[graft] val HLL_RMAX = 64 - HLL_P + 1 // 53: max rank a register holds
   /** α_m·m² of the raw HLL estimate. The SAME double literal is
     * embedded in the oracle SQL (Double.toString round-trips), so
     * both engines divide an identical constant. */
-  private val HLL_ALPHA_M2 = 0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M
+  private[graft] val HLL_ALPHA_M2 = 0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M
 
   /** Register file of `key` per `group`: one row per (group, bucket)
     * with the max rank — THE mergeable sketch (union = max per

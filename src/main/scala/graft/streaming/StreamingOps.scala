@@ -745,6 +745,92 @@ object StreamingOps {
     *    dropDuplicatesWithinWatermark discipline, enforced in-state
     *    because the recurrence is order-sensitive, not just
     *    duplicate-sensitive). */
+  /** Streaming curation ledger — curation_domain_stats as
+    * flatMapGroupsWithState with BOUNDED per-source state: exact
+    * integer counters (docs, short docs, char sum) plus the SAME
+    * deterministic 4096-register HLL sketch agg_distinct_approx uses
+    * for the distinct-content term (register = max rank per bucket —
+    * order-independent, so any replay/split of the same rows lands on
+    * the identical registers and therefore the identical estimate).
+    * This is the live form of the per-source ledger: the batch
+    * operator's exact countDistinct needs the whole corpus; the
+    * stream holds O(sources × 4 KB) forever and its ONE approximate
+    * column (`n_unique_approx`, HLL ±~1.6% at p=12) is named as such
+    * — every other column is exact and matches the batch ledger.
+    * Stream==batch parity on the estimate itself is pinned in
+    * StreamingSpec against the engine's own hllRegisters∘hllEstimate
+    * fold over the same content keys. */
+  case class DomainState(nDocs: Long, nShort: Long, sumChars: Long,
+      regs: Array[Byte])
+  case class DomainUpdate(source: String, n_docs: Long,
+      n_unique_approx: Long, dup_rate_approx: Double,
+      short_share: Double, mean_chars: Double, keep: Boolean)
+
+  def domainStatsStream(
+      docs: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row])
+      : org.apache.spark.sql.Dataset[DomainUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.operators.RelationalQueries.{HLL_M, HLL_P, HLL_RMAX, HLL_ALPHA_M2}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def estimate(regs: Array[Byte]): Long = {
+      // hllEstimate op-for-op: exact integer harmonic sum, the same
+      // double division/ln, HALF_UP round — so the emitted estimate
+      // equals the batch fold over the same registers bit-for-bit
+      var nz = 0
+      var sn = BigInt(0)
+      var i = 0
+      while (i < regs.length) {
+        if (regs(i) > 0) { nz += 1; sn += BigInt(1) << (HLL_RMAX - regs(i)) }
+        i += 1
+      }
+      val v = HLL_M - nz
+      val eraw = HLL_ALPHA_M2 /
+        (v.toDouble + sn.toDouble / 9007199254740992.0)
+      val est =
+        if (eraw <= 2.5 * HLL_M && v > 0)
+          HLL_M.toDouble * math.log(HLL_M.toDouble / v.toDouble)
+        else eraw
+      BigDecimal(est).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    docs
+      // the content key is the engine-standard 64-bit content hash —
+      // the spec's batch twin feeds the identical column through
+      // hllRegisters, so registers (and estimates) must agree
+      .selectExpr("source", "xxhash64(text) AS k",
+        "CAST(n_chars AS BIGINT) AS n_chars")
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DomainState, DomainUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (source: String, rows: Iterator[(String, Long, Long)],
+            state: GroupState[DomainState]) =>
+          val st = state.getOption
+            .getOrElse(DomainState(0L, 0L, 0L, new Array[Byte](HLL_M)))
+          var (n, nshort, sc) = (st.nDocs, st.nShort, st.sumChars)
+          rows.foreach { case (_, k, nc) =>
+            n += 1
+            if (nc < 200) nshort += 1
+            sc += nc
+            val reg = graft.functions.HllSketch.register(k, HLL_P)
+            val b = (reg / 64L).toInt
+            val rk = (reg % 64L).toByte
+            if (rk > st.regs(b)) st.regs(b) = rk
+          }
+          state.update(DomainState(n, nshort, sc, st.regs))
+          val uniq = estimate(st.regs)
+          def r6(x: Double) = BigDecimal(x + 1e-9)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          def r4(x: Double) = BigDecimal(x + 1e-9)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Iterator.single(DomainUpdate(source, n, uniq,
+            r6(math.max(0L, n - uniq).toDouble / n),
+            r6(nshort.toDouble / n),
+            r4(sc.toDouble / n),
+            (n - uniq) * 10 <= n && nshort * 10 <= n * 3))
+      }
+  }
+
   /** Streaming daily-grid interpolation — ts_resample_interpolate's
     * recurrence as flatMapGroupsWithState with O(1) state per user:
     * just the LAST reading (ts, value). A reading's arrival closes

@@ -464,6 +464,58 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming domain ledger: exact columns match the batch " +
+      "ledger, the HLL estimate matches the engine's batch fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = graft.Tables.documents(spark, sf)
+      .select("source", "text", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val mem = MemoryStream[(String, String, Long)]
+    val q = StreamingOps.domainStatsStream(
+        mem.toDF().toDF("source", "text", "n_chars"))
+      .writeStream.format("memory").queryName("domain_stream")
+      .outputMode("update").start()
+    val third = d.length / 3
+    mem.addData(d.take(third).toIndexedSeq: _*); q.processAllAvailable()
+    mem.addData(d.slice(third, 2 * third).toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(d.drop(2 * third).toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    // update mode emits a ledger row per (source, batch): the LAST
+    // emit per source is the final ledger
+    val rows = spark.table("domain_stream").collect()
+    val got = rows.groupBy(_.getString(0)).map { case (s0, rs) =>
+      s0 -> rs.last
+    }
+    // exact columns against the batch operator
+    val batch = graft.operators.PipelineQueries
+      .curationDomainStats(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // the approximate column against the engine's OWN batch HLL fold
+    // over the identical content keys (registers are max-merges, so
+    // stream state == batch registers == identical estimate)
+    val hll = graft.operators.RelationalQueries.hllEstimate(
+        graft.operators.RelationalQueries.hllRegisters(
+          graft.Tables.documents(spark, sf)
+            .selectExpr("source", "xxhash64(text) AS k"), "source", "k"),
+        "source", "u").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == batch.keySet)
+    got.foreach { case (s0, r) =>
+      val b = batch(s0)
+      assert(r.getLong(1) == b.getLong(1), s"$s0 n_docs diverges")
+      assert(r.getDouble(4) == b.getDouble(4), s"$s0 short_share")
+      assert(r.getDouble(5) == b.getDouble(5), s"$s0 mean_chars")
+      assert(r.getLong(2) == hll(s0),
+        s"$s0 estimate ${r.getLong(2)} != batch HLL fold ${hll(s0)}")
+      // the estimate is within the p=12 error envelope of exact
+      val exact = b.getLong(2).toDouble
+      assert(math.abs(r.getLong(2) - exact) <= math.max(4.0, exact * 0.08),
+        s"$s0 estimate ${r.getLong(2)} far from exact $exact")
+    }
+  }
+
   test("streaming EWMA drops replayed / out-of-order rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
