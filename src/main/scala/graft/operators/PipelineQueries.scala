@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -184,6 +184,85 @@ object PipelineQueries {
       |    AS keep
       |FROM a""".stripMargin
 
+  /** The engine-standard 64-bit CONTENT key both engines can compute
+    * identically: the first 15 hex digits of sha256(text) as a
+    * BIGINT (60 bits, always positive) — the [[SampleQueries
+    * .hashBucket]] idiom at key width. Shared by
+    * curation_domain_stats_approx and the streaming domain ledger so
+    * their sketches are register-identical. */
+  private[graft] def contentKey64: Column =
+    expr("CAST(conv(substr(sha2(text, 256), 1, 15), 16, 10) AS BIGINT)")
+
+  private[graft] val contentKey64Sql: String =
+    "CAST('0x' || substr(sha256(text), 1, 15) AS BIGINT)"
+
+  /** curation_domain_stats_approx — the per-source ledger at 100 TB
+    * WIDTH: same exact counters as curation_domain_stats, but the
+    * distinct-content term through the deterministic 4096-register
+    * HLL sketch instead of an exact countDistinct — the mergeable
+    * form whose register files a production deployment stores
+    * per-(source, day) and rolls up by max-merge without rescanning
+    * rows (agg_hll_partitioned's algebra), and the batch twin the
+    * streaming domain ledger ([[graft.streaming.StreamingOps
+    * .domainStatsStream]]) is pinned register-identical to. The one
+    * approximate column is NAMED approx; dup_rate floors at 0
+    * (an HLL overestimate on a dup-free source would otherwise go
+    * negative) while the keep verdict keeps the raw integer form.
+    *
+    * Scale design: one corpus scan; the sketch aggregate ships ≤ m
+    * register rows per (source, partition); everything downstream is
+    * sources-sized. Full recompute oracle: the splitmix64/HUGEINT
+    * register replay ([[RelationalQueries.hllOracleSql]]) over the
+    * identical content key, composed with the exact ledger
+    * aggregates. */
+  def curationDomainStatsApprox(s: SparkSession, dir: String): DataFrame = {
+    val keyed = documents(s, dir)
+      .select(col("source"), contentKey64.as("k"),
+        col("n_chars").cast("long").as("n_chars"))
+    val base = keyed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("n_chars") < 200).cast("long")).as("n_short"),
+        sum(col("n_chars")).as("sum_chars"))
+    val uniq = RelationalQueries.hllEstimate(
+      RelationalQueries.hllRegisters(
+        keyed.select(col("source"), col("k")), "source", "k"),
+      "source", "n_unique_approx")
+    base.join(uniq, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_unique_approx"),
+        round(greatest(col("n_docs") - col("n_unique_approx"), lit(0L))
+          .cast("double") / col("n_docs") + lit(1e-9), 6)
+          .as("dup_rate_approx"),
+        round(col("n_short").cast("double") / col("n_docs") + lit(1e-9), 6)
+          .as("short_share"),
+        round(col("sum_chars").cast("double") / col("n_docs") + lit(1e-9), 4)
+          .as("mean_chars"),
+        ((col("n_docs") - col("n_unique_approx")) * 10 <= col("n_docs") &&
+          col("n_short") * 10 <= col("n_docs") * 3).as("keep"))
+  }
+
+  /** curation_domain_stats_approx oracle — exact ledger aggregates
+    * joined with the full HLL register replay over the identical
+    * content key. */
+  val curationDomainStatsApproxSql: String =
+    s"""WITH base AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_short,
+       |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |  FROM documents GROUP BY source),
+       |u AS (
+       |  SELECT * FROM (WITH ${RelationalQueries.hllOracleSql(
+              "documents", "source", contentKey64Sql,
+              "n_unique_approx")}) z)
+       |SELECT base.source, base.n_docs, u.n_unique_approx,
+       |  round(CAST(greatest(base.n_docs - u.n_unique_approx, 0)
+       |      AS DOUBLE) / base.n_docs + 1e-9, 6) AS dup_rate_approx,
+       |  round(CAST(n_short AS DOUBLE) / n_docs + 1e-9, 6) AS short_share,
+       |  round(CAST(sum_chars AS DOUBLE) / n_docs + 1e-9, 4) AS mean_chars,
+       |  ((base.n_docs - u.n_unique_approx) * 10 <= base.n_docs
+       |    AND n_short * 10 <= n_docs * 3) AS keep
+       |FROM base JOIN u USING (source)""".stripMargin
+
   /** pipeline_split_leakage — the split-INTEGRITY ledger: per
     * language, how many distinct text contents the corpus holds, how
     * many are duplicated at all, and how many LEAK across
@@ -247,13 +326,15 @@ object PipelineQueries {
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
     "pipeline_build_mixture" -> (pipelineBuildMixture _),
     "curation_domain_stats" -> (curationDomainStats _),
-    "pipeline_split_leakage" -> (pipelineSplitLeakage _)
+    "pipeline_split_leakage" -> (pipelineSplitLeakage _),
+    "curation_domain_stats_approx" -> (curationDomainStatsApprox _)
   )
 
   def oracle: Map[String, String] = Map(
     "pipeline_clean_corpus" -> pipelineCleanCorpusSql,
     "pipeline_build_mixture" -> pipelineBuildMixtureSql,
     "curation_domain_stats" -> curationDomainStatsSql,
-    "pipeline_split_leakage" -> pipelineSplitLeakageSql
+    "pipeline_split_leakage" -> pipelineSplitLeakageSql,
+    "curation_domain_stats_approx" -> curationDomainStatsApproxSql
   )
 }

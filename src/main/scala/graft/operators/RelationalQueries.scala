@@ -573,7 +573,7 @@ object RelationalQueries {
     * bits, rank = 53 − bitlen(low-52 suffix) (= the engine's
     * nlz(h<<p)+1), exact integer harmonic sum, identical estimate
     * arithmetic. */
-  private def hllOracleSql(
+  private[graft] def hllOracleSql(
       table: String, group: String, key: String, out: String,
       groupExpr: String = ""): String = {
     val src = if (groupExpr.isEmpty) group else s"$groupExpr AS g"

@@ -794,11 +794,13 @@ object StreamingOps {
       BigDecimal(est).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     }
     docs
-      // the content key is the engine-standard 64-bit content hash —
-      // the spec's batch twin feeds the identical column through
-      // hllRegisters, so registers (and estimates) must agree
-      .selectExpr("source", "xxhash64(text) AS k",
-        "CAST(n_chars AS BIGINT) AS n_chars")
+      // the engine-standard content key (PipelineQueries.contentKey64,
+      // the one curation_domain_stats_approx sketches): identical
+      // keys → identical registers → the stream's estimate equals the
+      // batch qid's column, not just its own batch fold
+      .select(col("source"),
+        graft.operators.PipelineQueries.contentKey64.as("k"),
+        col("n_chars").cast("long").as("n_chars"))
       .as[(String, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[DomainState, DomainUpdate](

@@ -492,15 +492,12 @@ class StreamingSpec extends SparkSpec {
     val batch = graft.operators.PipelineQueries
       .curationDomainStats(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
-    // the approximate column against the engine's OWN batch HLL fold
-    // over the identical content keys (registers are max-merges, so
-    // stream state == batch registers == identical estimate)
-    val hll = graft.operators.RelationalQueries.hllEstimate(
-        graft.operators.RelationalQueries.hllRegisters(
-          graft.Tables.documents(spark, sf)
-            .selectExpr("source", "xxhash64(text) AS k"), "source", "k"),
-        "source", "u").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the approximate column against the DECLARED batch qid
+    // (curation_domain_stats_approx) — same content key, so stream
+    // state == the qid's registers == identical estimate
+    val hll = graft.operators.PipelineQueries
+      .curationDomainStatsApprox(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(got.keySet == batch.keySet)
     got.foreach { case (s0, r) =>
       val b = batch(s0)
