@@ -32,6 +32,9 @@ QIDS = ",".join([
     "text_fingerprint",       # winnow kernel
     "text_containment",       # winnow-based containment
     "text_bpe_encode",        # code-point BPE kernel vs recursive CTE
+    "text_bpe_train",         # code-point trainer loop vs recursive CTE
+    "text_bpe_encode_trained",  # trained merges through the same kernel
+    "text_langid_nb",         # code-point char-bigram features
 ])
 
 

@@ -1297,22 +1297,19 @@ object TextQueries {
 
   /** Fixture seam: planted-alphabet specs drive THIS method. */
   private[graft] def textLangidNbFrom(d: DataFrame): DataFrame = {
-    // gram generation: split the prefix into a char ARRAY once, then
-    // pair adjacent elements with O(1) element_at — the direct
-    // substr(px, i, 2) form rescans the string from position 0 for
-    // every i (UTF8String position lookup is O(i)), which is
-    // quadratic in the prefix and was the dominant sf10 cost. The
-    // split("") char form addresses UTF-16 units (BMP-identical to
-    // the oracle's substr addressing — the BPE code's documented
-    // contract).
+    // gram generation via substr — CODE-POINT addressed on both
+    // engines, so supplementary-plane text hashes identically to the
+    // oracle (harness/astral_check.py gates this qid). A split("")
+    // char-array form was tried and reverted: it addresses UTF-16
+    // units (astral-divergent) and bought no measurable time — the
+    // sf10 cost was input-split width, not substr rescans.
     val toks = d
       .select(col("doc_id"), col("lang"),
-        split(substring(col("text"), 1, LID_PREFIX), "").as("cs"))
-      .filter(size(col("cs")) >= 2)
+        substring(col("text"), 1, LID_PREFIX).as("px"))
+      .filter(length(col("px")) >= 2)
       .select(col("doc_id"), col("lang"), explode(expr(
-        """transform(sequence(1, size(cs) - 1),
-          |  i -> concat(element_at(cs, i), element_at(cs, i + 1)))"""
-          .stripMargin)).as("tok"))
+        "transform(sequence(1, length(px) - 1), i -> substr(px, i, 2))"))
+        .as("tok"))
     nbScoreTokens(
       toks.filter(pmod(col("doc_id"), lit(10)) < 7),
       toks.filter(pmod(col("doc_id"), lit(10)) >= 7)
