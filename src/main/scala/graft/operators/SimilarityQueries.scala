@@ -2619,7 +2619,12 @@ object SimilarityQueries {
   private def knnGraphFor(s: SparkSession, dir: String): DataFrame = {
     val fp = IndexManifest.corpusFingerprint(dir, "embeddings")
     knnCache.compute(dir, (_, prev) => prev match {
-      case (`fp`, df) if df.sparkSession eq s => prev
+      // reuse while the OWNING SparkContext is alive — persisted
+      // blocks are context-scoped, so a different live session
+      // sharing the context can serve the cached frame (keying on
+      // session identity would thrash between two live sessions,
+      // each rebuild unpersisting a graph the other may be reading)
+      case (`fp`, df) if !df.sparkSession.sparkContext.isStopped => prev
       case _ =>
         if (prev != null) {
           // stale fingerprint or dead session: release cached blocks

@@ -1182,14 +1182,18 @@ object TextQueries {
     val cnt = train.groupBy(col("lang"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
       .withColumnRenamed("lang", "clang")
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: materializes (once) inside the
+                              // scoring job itself — an eager form ran
+                              // Spark jobs at CONSTRUCTION time, and
+                              // blocks are reclaimed by ContextCleaner
+                              // once the returned frame is dropped
     val tot = cnt.groupBy(col("clang"))
       .agg(sum(col("cnt")).as("tot"))
     val vsz = cnt.agg(countDistinct(col("tok")).as("v"))
     val prior = train.select(col("doc_id"), col("lang")).distinct()
       .groupBy(col("lang")).agg(count(lit(1)).as("nd"))
       .withColumnRenamed("lang", "clang")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // every train doc carries exactly one lang, so the prior rows
     // partition the train docs: ntr = Σ nd
     val ntr = prior.agg(sum(col("nd")).as("ntr"))
@@ -2583,8 +2587,27 @@ object TextQueries {
     * replays in one DuckDB recursive CTE — state (it, w, cnt, rep),
     * each step recomputing the global argmax pair from the working
     * table and applying the identical replace. */
-  def textBpeTrain(s: SparkSession, dir: String): DataFrame =
-    textBpeTrainFrom(documents(s, dir))
+  def textBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeTrainMergesFor(s, dir).toDF("round", "pair_a", "pair_b", "cnt")
+  }
+
+  /** The merge list memo — the [[SimilarityQueries.kmeansCentroidsFor]]
+    * idiom (session-free driver value, keyed by dir with the corpus
+    * fingerprint IN the value so in-place regeneration refreshes):
+    * text_bpe_train and text_bpe_encode_trained share one 16-round
+    * training loop per (JVM, corpus) instead of paying it twice. */
+  private val bpeMergeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Seq[(Int, String, String, Long)])]()
+
+  private def bpeTrainMergesFor(
+      s: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
+    val fp = graft.operators.IndexManifest.corpusFingerprint(dir, "documents")
+    bpeMergeCache.compute(dir, (_, prev) => prev match {
+      case (`fp`, _) => prev
+      case _ => (fp, bpeTrainMergesFrom(documents(s, dir)))
+    })._2
+  }
 
   /** Fixture seam: planted-corpus specs pin hand-computed merge
     * sequences (including the overlapping-run rule) on THIS method. */
@@ -2648,7 +2671,11 @@ object TextQueries {
             lit(BSEP + pa + ss + pb + BSEP),
             lit(BSEP + pa + pb + BSEP)).as("rep"))
           .localCheckpoint(true) // eager: materialized before the
-        words.unpersist()        // old round's blocks are released
+        // old round's blocks: Dataset.unpersist is a CacheManager
+        // no-op on checkpoint RDDs — release the RDD itself, or K
+        // vocab tables stack until a driver GC
+        org.apache.spark.sql.graftbridge.GraftExpr
+          .releaseLocalCheckpoint(words)
         words = next
         onRound(r, words)
         if (sys.env.contains("GRAFT_BPE_DEBUG"))
@@ -2656,7 +2683,8 @@ object TextQueries {
         r += 1
       }
     }
-    words.unpersist()
+    org.apache.spark.sql.graftbridge.GraftExpr
+      .releaseLocalCheckpoint(words)
     learned.toSeq
   }
 
@@ -2737,7 +2765,7 @@ object TextQueries {
     * per-distinct-word greedy replay composed in one recursive
     * query. */
   def textBpeEncodeTrained(s: SparkSession, dir: String): DataFrame = {
-    val merges = bpeTrainMergesFrom(documents(s, dir))
+    val merges = bpeTrainMergesFor(s, dir)
     val rank = merges.sortBy(_._1).zipWithIndex
       .map { case ((_, pa, pb, _), i) => (pa + BSEP + pb) -> i }.toMap
     val b = s.sparkContext.broadcast(rank)

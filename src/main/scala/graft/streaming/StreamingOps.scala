@@ -864,7 +864,10 @@ object StreamingOps {
     import spark.implicits._
     val DayUs = 86400000000L
     def micros(t: java.sql.Timestamp): Long =
-      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+      // floorDiv: /1000 truncates toward zero, which flips the sign
+      // contribution of sub-second parts for pre-epoch timestamps
+      // and would break the pinned batch parity there
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     events
       .selectExpr("user_id", "ts", "value")
       .as[(Long, java.sql.Timestamp, Double)]
@@ -919,7 +922,10 @@ object StreamingOps {
     val spark = events.sparkSession
     import spark.implicits._
     def micros(t: java.sql.Timestamp): Long =
-      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+      // floorDiv: /1000 truncates toward zero, which flips the sign
+      // contribution of sub-second parts for pre-epoch timestamps
+      // and would break the pinned batch parity there
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     events
       .selectExpr("user_id", "ts", "event_id", "value")
       .as[(Long, java.sql.Timestamp, Long, Double)]

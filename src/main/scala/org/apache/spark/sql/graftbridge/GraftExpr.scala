@@ -28,6 +28,20 @@ object GraftExpr {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
+  /** Release a localCheckpoint'ed frame's blocks NOW. Dataset
+    * .unpersist() only uncaches CacheManager entries, so it is a
+    * silent no-op on checkpoint RDDs (their blocks otherwise live
+    * until a driver GC lets the ContextCleaner reclaim them) —
+    * iterative loops that stack K checkpoints need the real
+    * release. Safe only once nothing will read the frame again:
+    * a localCheckpoint's blocks ARE its data. */
+  def releaseLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Install an extra planner strategy into a RUNNING session. */
   def addStrategy(
       spark: org.apache.spark.sql.SparkSession,

@@ -485,8 +485,11 @@ class StreamingSpec extends SparkSpec {
     // update mode emits a ledger row per (source, batch): the LAST
     // emit per source is the final ledger
     val rows = spark.table("domain_stream").collect()
+    // n_docs is strictly monotone per source, so maxBy is the
+    // order-independent pick of the final ledger (collect() gives no
+    // cross-batch ordering guarantee on a memory sink)
     val got = rows.groupBy(_.getString(0)).map { case (s0, rs) =>
-      s0 -> rs.last
+      s0 -> rs.maxBy(_.getLong(1))
     }
     // exact columns against the batch operator
     val batch = graft.operators.PipelineQueries

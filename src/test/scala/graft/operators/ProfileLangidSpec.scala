@@ -19,12 +19,11 @@ class ProfileLangidSpec extends SparkSpec {
     val d = graft.Tables.documents(spark, dir)
     val toks = d
       .select(col("doc_id"), col("lang"),
-        split(substring(col("text"), 1, 256), "").as("cs"))
-      .filter(size(col("cs")) >= 2)
+        substring(col("text"), 1, 256).as("px"))
+      .filter(length(col("px")) >= 2)
       .select(col("doc_id"), col("lang"), explode(expr(
-        """transform(sequence(1, size(cs) - 1),
-          |  i -> concat(element_at(cs, i), element_at(cs, i + 1)))"""
-          .stripMargin)).as("tok"))
+        "transform(sequence(1, length(px) - 1), i -> substr(px, i, 2))"))
+        .as("tok"))
     val train = toks.filter(pmod(col("doc_id"), lit(10)) < 7)
     val test = toks.filter(pmod(col("doc_id"), lit(10)) >= 7)
       .select(col("doc_id"), col("tok"))
