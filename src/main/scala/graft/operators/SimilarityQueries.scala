@@ -2614,25 +2614,37 @@ object SimilarityQueries {
     * stopped SparkSession is discarded and rebuilt against the
     * active one (same-JVM session restart would otherwise throw). */
   private val knnCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (String, org.apache.spark.SparkContext, LazyCell[DataFrame])]()
 
   private def knnGraphFor(s: SparkSession, dir: String): DataFrame = {
     val fp = IndexManifest.corpusFingerprint(dir, "embeddings")
+    // compute() only allocates the cell — the LSH+cosine graph build
+    // runs on .value OUTSIDE the map's bin lock ([[LazyCell]]): the
+    // pre-round-15 shape ran it under the bin lock, blocking every
+    // caller that hashed into the same bin for the build's duration.
     knnCache.compute(dir, (_, prev) => prev match {
       // reuse while the OWNING SparkContext is alive — persisted
       // blocks are context-scoped, so a different live session
       // sharing the context can serve the cached frame (keying on
       // session identity would thrash between two live sessions,
-      // each rebuild unpersisting a graph the other may be reading)
-      case (`fp`, df) if !df.sparkSession.sparkContext.isStopped => prev
+      // each rebuild unpersisting a graph the other may be reading).
+      // The check is on the context stored AT ALLOCATION, so an
+      // uncompleted cell whose builder session died is also replaced
+      // (its thunk would throw against the stopped context forever).
+      case (`fp`, sc, _) if !sc.isStopped => prev
       case _ =>
         if (prev != null) {
-          // stale fingerprint or dead session: release cached blocks
-          // (no-op if the owning session is already stopped)
-          try prev._2.unpersist() catch { case _: Throwable => () }
+          // stale fingerprint or dead session: release cached blocks.
+          // completed-only — unpersisting must never FORCE a stale
+          // build (no-op if the owning session is already stopped)
+          prev._3.completed.foreach { df =>
+            try df.unpersist() catch { case _: Throwable => () }
+          }
         }
-        (fp, simKnnJoinFrom(withNorm(embeddings(s, dir))).persist())
-    })._2
+        (fp, s.sparkContext, new LazyCell(() =>
+          simKnnJoinFrom(withNorm(embeddings(s, dir))).persist()))
+    })._3.value
   }
 
   private[graft] def simKnnJoinFrom(e0: DataFrame): DataFrame = {
@@ -3049,15 +3061,25 @@ object SimilarityQueries {
     * emb_kmeans_assign share one Lloyd loop per JVM instead of
     * re-converging per qid. */
   private val kmeansCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Array[(Long, Array[Double], Double)]]()
+    String, (org.apache.spark.SparkContext,
+      LazyCell[Array[(Long, Array[Double], Double)]])]()
 
   private def kmeansCentroidsFor(
       s: SparkSession, dir: String, k: Int)
       : Array[(Long, Array[Double], Double)] = {
     val fp = IndexManifest.corpusFingerprint(dir, "embeddings")
-    kmeansCache.computeIfAbsent(s"$dir|$fp|$k", { _ =>
-      kmeansLoop(nonDegenerate(withNorm(embeddings(s, dir))), k)
-    })
+    // compute() only allocates — the Lloyd loop runs on .value
+    // OUTSIDE the map's bin lock ([[LazyCell]]; computeIfAbsent held
+    // it for the loop's whole wall before round 15). Completed
+    // centroid arrays are session-free (key embeds the fingerprint,
+    // so staleness is a new key, not an eviction); an uncompleted
+    // cell is reusable only while its builder's context is alive.
+    kmeansCache.compute(s"$dir|$fp|$k", (_, prev) => prev match {
+      case (sc, cell)
+          if cell.completed.isDefined || !sc.isStopped => prev
+      case _ => (s.sparkContext, new LazyCell(() =>
+        kmeansLoop(nonDegenerate(withNorm(embeddings(s, dir))), k)))
+    })._2.value
   }
 
   /** Per-row winning (cid, cosine-on-the-1e8-grid) against converged

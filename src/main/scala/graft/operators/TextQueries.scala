@@ -1190,13 +1190,20 @@ object TextQueries {
     val tot = cnt.groupBy(col("clang"))
       .agg(sum(col("cnt")).as("tot"))
     val vsz = cnt.agg(countDistinct(col("tok")).as("v"))
-    val prior = train.select(col("doc_id"), col("lang")).distinct()
+    val docLang = train.select(col("doc_id"), col("lang")).distinct()
+      .localCheckpoint(false)
+    val prior = docLang
       .groupBy(col("lang")).agg(count(lit(1)).as("nd"))
       .withColumnRenamed("lang", "clang")
       .localCheckpoint(false)
-    // every train doc carries exactly one lang, so the prior rows
-    // partition the train docs: ntr = Σ nd
-    val ntr = prior.agg(sum(col("nd")).as("ntr"))
+    // ntr = count(DISTINCT doc_id) — the oracle's definition. NOT
+    // Σ nd over the priors: that equals it only when every train doc
+    // carries exactly one lang, and a doc_id listed under two langs
+    // (dirty input) would silently shift every prior relative to the
+    // oracle instead of matching it. docLang is doc-count-bounded
+    // (one narrow row per (doc, lang) — never token-sized), and the
+    // checkpoint means the distinct runs once for both consumers.
+    val ntr = docLang.agg(countDistinct(col("doc_id")).as("ntr"))
     // Pre-aggregate the test side to (doc, token, n) BEFORE the
     // class fan-out: tokens repeat within a document (char bigrams
     // especially — 255 grams drawn from an alphabet²-bounded set),
@@ -2598,15 +2605,26 @@ object TextQueries {
     * text_bpe_train and text_bpe_encode_trained share one 16-round
     * training loop per (JVM, corpus) instead of paying it twice. */
   private val bpeMergeCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, Seq[(Int, String, String, Long)])]()
+    String, (String, org.apache.spark.SparkContext,
+      LazyCell[Seq[(Int, String, String, Long)]])]()
 
   private def bpeTrainMergesFor(
       s: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
     val fp = graft.operators.IndexManifest.corpusFingerprint(dir, "documents")
+    // compute() only allocates the cell — the 16-round training loop
+    // runs on .value OUTSIDE the map's bin lock ([[LazyCell]]), so a
+    // concurrent caller on another key never blocks behind a build.
+    // A completed merge list is session-free driver data (reusable
+    // forever under its fingerprint); an UNcompleted cell is only
+    // reusable while the context its thunk captured is alive —
+    // otherwise the failed/never-run build would retry against a
+    // stopped session forever.
     bpeMergeCache.compute(dir, (_, prev) => prev match {
-      case (`fp`, _) => prev
-      case _ => (fp, bpeTrainMergesFrom(documents(s, dir)))
-    })._2
+      case (`fp`, sc, cell)
+          if cell.completed.isDefined || !sc.isStopped => prev
+      case _ => (fp, s.sparkContext,
+        new LazyCell(() => bpeTrainMergesFrom(documents(s, dir))))
+    })._3.value
   }
 
   /** Fixture seam: planted-corpus specs pin hand-computed merge

@@ -835,10 +835,10 @@ object StreamingOps {
 
   /** Streaming daily-grid interpolation — ts_resample_interpolate's
     * recurrence as flatMapGroupsWithState with O(1) state per user:
-    * just the LAST reading (ts, value). A reading's arrival closes
-    * the interval since the previous reading, so every UTC midnight
-    * strictly after the previous reading and at-or-before the new
-    * one is emitted immediately with the identical
+    * the LAST reading (ts, value) plus one had-a-predecessor bit. A
+    * reading's arrival closes the interval since the previous
+    * reading, so every UTC midnight strictly between the two is
+    * emitted immediately with the identical
     * `pv + (nv − pv) · Δg/Δ` double arithmetic and HALF_UP 6-dp
     * rounding as the batch windows (parity pinned bit-for-bit in
     * StreamingSpec). Emission per arrival is bounded by the days
@@ -847,12 +847,22 @@ object StreamingOps {
     * Contract mirrored from the batch operator: pure interpolation
     * (nothing emitted before a user's second reading, nothing after
     * the last), grid strictly inside the span, a midnight coincident
-    * with a reading emits that reading's value. In-order, per-(user,
-    * ts)-deduped input: rows at or before the state's last ts are
-    * DROPPED (the ewmaStream discipline — the batch form's
-    * min(value) collapse of duplicate timestamps is an upstream
-    * dedup concern on a stream, e.g. dropDuplicatesWithinWatermark). */
-  case class ResampleState(lastTsMicros: Long, lastVal: Double)
+    * with a reading emits that reading's value (emitted DIRECTLY,
+    * not via the interpolation formula — the batch pass reaches it
+    * through a zero numerator, bit-exact). The coincident emission is
+    * DEFERRED to the next arrival: the batch grid drops a midnight
+    * coinciding with a user's LAST reading (no strictly-later `nv`
+    * bracket) and with the FIRST (the grid starts the day after t0),
+    * so emitting eagerly at interval close would produce a phantom
+    * row whenever the final reading lands on a midnight. In-order
+    * input: rows at or before the state's last ts are DROPPED (the
+    * ewmaStream discipline); duplicate (user, ts) rows arriving in
+    * ONE micro-batch keep min(value) deterministically — the same
+    * collapse the batch form applies (ACROSS batches the first
+    * batch's min wins; full batch-parity on a duplicate-bearing
+    * stream still wants an upstream dropDuplicatesWithinWatermark). */
+  case class ResampleState(
+      lastTsMicros: Long, lastVal: Double, hadPrev: Boolean)
   case class GridEmit(user_id: Long, grid_ts: java.sql.Timestamp,
       v_interp: Double)
 
@@ -877,34 +887,52 @@ object StreamingOps {
         (user: Long,
             rows: Iterator[(Long, java.sql.Timestamp, Double)],
             state: GroupState[ResampleState]) =>
-          val sorted = rows.toArray.sortBy { case (_, t, _) => micros(t) }
+          // secondary sort on value: duplicate (user, ts) rows inside
+          // ONE micro-batch keep the smallest value deterministically
+          // (the batch operator collapses duplicates to min(value);
+          // a micros-only sort kept whichever row arrived first)
+          val sorted = rows.toArray
+            .sortBy { case (_, t, v) => (micros(t), v) }
           var st = state.getOption.orNull
           val out = Vector.newBuilder[GridEmit]
+          def round6(vi: Double): Double =
+            if (java.lang.Double.isFinite(vi))
+              BigDecimal(vi + 1e-9)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble
+            else vi
           sorted.foreach { case (_, t, v) =>
             val tm = micros(t)
-            if (st == null) st = ResampleState(tm, v)
+            if (st == null) st = ResampleState(tm, v, hadPrev = false)
             else if (tm > st.lastTsMicros) {
+              // a NON-FIRST previous reading sitting exactly on a
+              // midnight is that grid point's bracketing pair all by
+              // itself in the batch pass (pv = the reading, numerator
+              // zero), and this arrival proves a strictly-later `nv`
+              // exists — emit the reading's value DIRECTLY, bit-exact.
+              // (Interpolating it as pv + (v−pv)·Δg/Δ with Δg = Δ can
+              // differ by an ulp and flip a 6-dp rounding boundary.)
+              if (st.hadPrev && Math.floorMod(st.lastTsMicros, DayUs) == 0L)
+                out += GridEmit(user,
+                  new java.sql.Timestamp(st.lastTsMicros / 1000L),
+                  round6(st.lastVal))
               // first UTC midnight STRICTLY after the previous
-              // reading (a previous reading ON a midnight emitted
-              // that point when ITS interval closed)
+              // reading, STRICTLY before this one (a midnight
+              // coincident with THIS reading emits when ITS interval
+              // closes — the batch grid drops it if no later reading
+              // ever arrives)
               var g = (Math.floorDiv(st.lastTsMicros, DayUs) + 1) * DayUs
-              while (g <= tm) {
+              while (g < tm) {
                 // ((nv−pv) · Δg) / Δ — the batch/oracle expressions
                 // are left-associative; a · (Δg/Δ) differs in ulps
                 val vi = st.lastVal + (v - st.lastVal) *
                   (g - st.lastTsMicros).toDouble /
                   (tm - st.lastTsMicros).toDouble
-                val rounded =
-                  if (java.lang.Double.isFinite(vi))
-                    BigDecimal(vi + 1e-9)
-                      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
-                      .toDouble
-                  else vi
                 out += GridEmit(user,
-                  new java.sql.Timestamp(g / 1000L), rounded)
+                  new java.sql.Timestamp(g / 1000L), round6(vi))
                 g += DayUs
               }
-              st = ResampleState(tm, v)
+              st = ResampleState(tm, v, hadPrev = true)
             } // tm <= last: late/replayed row, dropped
           }
           if (st != null) state.update(st)

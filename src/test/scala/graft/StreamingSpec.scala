@@ -609,4 +609,96 @@ class StreamingSpec extends SparkSpec {
     val totalN = slides.map(_.getAs[Long]("n")).sum
     assert(totalN == sample.length * 4L)
   }
+
+  test("resample coincident midnights: value-exact at a 6-dp " +
+      "boundary, first/last-on-midnight dropped — equal to batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86400000L
+    // 2024-01-02 00:00:00 UTC as epoch millis (UTC-midnight-aligned
+    // by construction — never via a zone-dependent valueOf parse)
+    val d0 = java.time.LocalDate.of(2024, 1, 2).toEpochDay * day
+    // boundary-crossing pair (ADVICE r14): round6(v) = 1e-6, but the
+    // re-associated pv + (v−pv)·1.0 lands an ulp BELOW the HALF_UP
+    // boundary and rounds to 0.0 — only a direct emit of v matches
+    // the batch zero-numerator path
+    val pv = 0.3
+    val v = 4.990000000000001e-07
+    val rows = Seq(
+      // user 1: INTERIOR reading exactly on a midnight (later
+      // reading exists) — the grid point must carry round6(v)
+      Ev(1, new Timestamp(d0 - day / 2), 1, "x", pv),
+      Ev(2, new Timestamp(d0), 1, "x", v),
+      Ev(3, new Timestamp(d0 + day / 2), 1, "x", 2.0),
+      // user 2: LAST reading on a midnight — the batch grid has no
+      // strictly-later bracket there and drops the point
+      Ev(4, new Timestamp(d0 - day / 2), 2, "x", 1.0),
+      Ev(5, new Timestamp(d0), 2, "x", 5.0),
+      // user 3: FIRST reading on a midnight — the batch grid starts
+      // the day after t0, so the point never exists
+      Ev(6, new Timestamp(d0), 3, "x", 7.0),
+      Ev(7, new Timestamp(d0 + day / 2), 3, "x", 9.0))
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.resampleStream(mem.toDF())
+      .writeStream.format("memory").queryName("resample_midnight")
+      .outputMode("update").start()
+    rows.foreach { r => mem.addData(r); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("resample_midnight").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)) -> r.getDouble(2))
+      .toMap
+    // batch twin over the identical readings (written as an events
+    // table so the DECLARED qid path runs, not a seam)
+    val dir = java.nio.file.Files
+      .createTempDirectory("resample-mid").toString
+    rows.toDF().withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val want = graft.operators.TimeSeriesQueries
+      .tsResampleInterpolate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)) -> r.getDouble(2))
+      .toMap
+    assert(got == want, s"stream $got vs batch $want")
+    // and the batch grid is exactly the one interior coincident
+    // point, carrying the reading's value on the RIGHT side of the
+    // rounding boundary
+    assert(want == Map((1L, new Timestamp(d0)) -> 1.0e-6),
+      s"unexpected batch grid: $want")
+  }
+
+  test("resample keeps min(value) for duplicate (user, ts) rows " +
+      "inside one micro-batch — the batch collapse") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86400000L
+    val d0 = java.time.LocalDate.of(2024, 3, 1).toEpochDay * day
+    // duplicates arrive LARGEST-FIRST in a single batch: a
+    // micros-only sort would keep 9.0 (arrival order); the batch
+    // operator collapses to min(value) = 1.0
+    val rows = Seq(
+      Ev(1, new Timestamp(d0 - day / 2), 7, "x", 9.0),
+      Ev(2, new Timestamp(d0 - day / 2), 7, "x", 1.0),
+      Ev(3, new Timestamp(d0 + day / 2), 7, "x", 3.0))
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.resampleStream(mem.toDF())
+      .writeStream.format("memory").queryName("resample_dupmin")
+      .outputMode("update").start()
+    mem.addData(rows: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("resample_dupmin").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)) -> r.getDouble(2))
+      .toMap
+    val dir = java.nio.file.Files
+      .createTempDirectory("resample-dup").toString
+    rows.toDF().withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val want = graft.operators.TimeSeriesQueries
+      .tsResampleInterpolate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)) -> r.getDouble(2))
+      .toMap
+    assert(got == want, s"stream $got vs batch $want")
+    // interpolation between min(1.0) and 3.0 at the midpoint = 2.0
+    // (keeping the arrival-first 9.0 would have given 6.0)
+    assert(want == Map((7L, new Timestamp(d0)) -> 2.0),
+      s"unexpected batch grid: $want")
+  }
 }

@@ -1,0 +1,149 @@
+package graft.operators
+
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** One sweep over EVERY per-(JVM, corpus) memo cache (VERDICT r14
+  * task 7): the knnCache discipline — keyed by dir, fingerprint in
+  * the value, regeneration-in-place refreshes, memo hits return the
+  * cached artifact — must hold for ALL of them, so the r13 ADVICE
+  * class (a stale memo serving a regenerated corpus) cannot recur in
+  * a cache added after the KnnCacheSpec landed. Covers bpeMergeCache
+  * and kmeansCache here; knnCache keeps its own KnnCacheSpec.
+  *
+  * Also pins the LazyCell contract behind all three (ADVICE r14): the
+  * ConcurrentHashMap.compute remapping only ALLOCATES, builds run
+  * outside the map's bin lock, concurrent same-key callers share ONE
+  * build, and `completed` never forces a build. */
+class MemoCachesSpec extends SparkSpec {
+
+  // ── LazyCell: the holder every memo cache now stores ──
+
+  test("LazyCell builds once under concurrent access and " +
+      "`completed` never forces the build") {
+    val builds = new AtomicInteger(0)
+    val cell = new LazyCell[Int]({ () =>
+      builds.incrementAndGet(); 42
+    })
+    assert(cell.completed.isEmpty && builds.get() == 0,
+      "completed must not trigger the build")
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => { val _ = cell.value })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(30000))
+    assert(cell.value == 42 && builds.get() == 1,
+      s"expected exactly one build, got ${builds.get()}")
+    assert(cell.completed.contains(42))
+  }
+
+  test("LazyCell: a map holding building cells never blocks other " +
+      "keys behind a slow build (the compute-only-allocates contract)") {
+    val m = new java.util.concurrent.ConcurrentHashMap[String, LazyCell[Int]]()
+    val slowStarted = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    // allocate BOTH cells through compute first — with the old shape
+    // (build inside compute) the slow build would hold the bin lock
+    // and a same-bin key's compute would block for the build's wall
+    m.compute("slow", (_, _) => new LazyCell({ () =>
+      slowStarted.countDown()
+      release.await(60, TimeUnit.SECONDS); 1
+    }))
+    val t = new Thread(() => { val _ = m.get("slow").value })
+    t.start()
+    assert(slowStarted.await(30, TimeUnit.SECONDS), "slow build started")
+    // while the slow build is RUNNING, compute on every other key —
+    // including ones hashing anywhere — must return immediately
+    val done = (1 to 64).forall { i =>
+      val c = m.compute(s"k$i", (_, prev) =>
+        if (prev != null) prev else new LazyCell({ () => i }))
+      c.value == i
+    }
+    release.countDown(); t.join(30000)
+    assert(done, "other keys must not wait behind a building cell")
+    assert(m.get("slow").value == 1)
+  }
+
+  test("LazyCell: a throwing build is not cached — the next access " +
+      "retries the thunk") {
+    val calls = new AtomicInteger(0)
+    val cell = new LazyCell[Int]({ () =>
+      if (calls.incrementAndGet() == 1) sys.error("transient") else 7
+    })
+    intercept[RuntimeException](cell.value)
+    assert(cell.completed.isEmpty,
+      "a failed build must not look completed")
+    assert(cell.value == 7 && calls.get() == 2)
+  }
+
+  // ── bpeMergeCache: regenerate-in-place + memo-hit identity ──
+
+  private def writeDocs(dir: String, rows: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    rows.map { case (id, text) =>
+      (id, text, "en", "src", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  test("bpeMergeCache: unchanged corpus is a memo hit; in-place " +
+      "regeneration retrains on the new text") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("bpememo").toString
+    writeDocs(dir, Seq((1L, "abab abab cd"), (2L, "abab cd cd")))
+    val m1 = TextQueries.textBpeTrain(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    // round 1 on this corpus merges the most frequent adjacent pair:
+    // (a, b) appears 2×3 = 6 times
+    assert(m1.nonEmpty && m1.head._2 == "a" && m1.head._3 == "b",
+      s"unexpected first merge: ${m1.head}")
+    val m1Again = TextQueries.textBpeTrain(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m1.toSeq == m1Again.toSeq, "memo hit must replay the list")
+
+    // regenerate IN PLACE with a disjoint alphabet: a stale memo
+    // would keep emitting (a, b) merges for text that has no 'a'
+    writeDocs(dir, Seq((1L, "xyxy xyxy"), (2L, "xyxy zz")))
+    val m2 = TextQueries.textBpeTrain(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(m2.nonEmpty && m2.head._2 == "x" && m2.head._3 == "y",
+      s"stale merges served after regeneration: ${m2.head}")
+    assert(!m2.exists(m => m._2.contains("a") || m._3.contains("a")))
+  }
+
+  // ── kmeansCache: fingerprint lives in the KEY — regeneration is a
+  //    new key, never a stale hit ──
+
+  private def writeEmb(dir: String, ids: Seq[Long], shift: Float): Unit = {
+    import spark.implicits._
+    ids.map(i => (i,
+      Seq(shift + i % 4, 2.0f + (i % 3), 3.0f + (i % 5)), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  test("kmeansCache: in-place regeneration converges on the NEW " +
+      "vectors; unchanged corpus replays the memoized centroids") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("kmeansmemo").toString
+    writeEmb(dir, 0L to 31L, shift = 1.0f)
+    val s1 = SimilarityQueries.embKmeans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val s1Again = SimilarityQueries.embKmeans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(s1 == s1Again, "memo hit must be bit-stable")
+    assert(s1.map(_._2).sum == 32L, s"all vectors assigned: $s1")
+
+    writeEmb(dir, 100L to 119L, shift = -9.0f)
+    val s2 = SimilarityQueries.embKmeans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(s2.map(_._2).sum == 20L,
+      s"regenerated corpus (20 vectors) not reflected: $s2")
+  }
+}

@@ -59,6 +59,31 @@ class NbClassifySpec extends SparkSpec {
     assert(p.keySet == Set(17L, 29L))
   }
 
+  test("dirty input: a doc_id under two langs counts ONCE in ntr " +
+      "(the oracle's count(DISTINCT doc_id)) — priors stay exact") {
+    // ADVICE r14: ntr was derived as Σ per-class prior counts, which
+    // equals count(DISTINCT doc_id) only when every train doc
+    // carries one lang. Plant the violation and pin the hand model:
+    //   train: doc 0 under BOTH aa ("apple apple") and bb ("zebra"),
+    //          doc 10 under aa ("apple")
+    //   model: cnt(aa,apple)=3, cnt(bb,zebra)=1, tot aa=3 bb=1, V=2
+    //   priors: nd_aa=2, nd_bb=1, ntr = 2 DISTINCT docs (not 3)
+    //   doc 7 "apple": aa = ln(4/5) + ln(2/2), bb = ln(1/3) + ln(1/2)
+    val rows = Seq[(Long, String, String)](
+      (0L, "aa", "apple apple"),
+      (0L, "bb", "zebra"),
+      (10L, "aa", "apple"),
+      (7L, "zz", "apple"))
+    val p = predict(docs(rows))
+    assert(p.keySet == Set(7L))
+    val wantAa = BigDecimal(
+      1.0 * math.log(4.0 / 5.0) + math.log(2.0 / 2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(p(7L) == (("aa", wantAa)),
+      s"got ${p(7L)}, want (aa, $wantAa) — ntr drifted from " +
+        "count(DISTINCT doc_id)?")
+  }
+
   test("top-features audit surfaces the planted class vocabulary") {
     val rows = Seq[(Long, String, String)](
       (0L, "aa", "apple banana cherry apple shared"),
