@@ -82,59 +82,79 @@ object Bench {
     // round 8's bench listed analysis exceptions as the suite's fastest
     // entries) and is surfaced in an "errors" map; errors can only grow
     // the reported total, never shrink it.
-    // SPARK_GRAFT_REPEAT=N (builder-side pins): time each query N times
-    // in THIS warm JVM and report the median — a targeted single run
-    // pays cold-JIT/footer costs the full suite amortizes, so repeat
-    // medians are what compares against in-suite numbers.
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    //
+    // Contention-proof primary timings (r14 lesson: a machine-contention
+    // window wrote 39.9 s against an untouched 0.55 s join, and three
+    // rounds running, single-shot numbers cost a verdict cycle of
+    // adjudication). Every qid is timed with PER-QID REPEATS in the
+    // primary path:
+    //  - rep 1 runs first with a MemoBuilds snapshot around it. If it
+    //    absorbed a memoized build (index root, k-NN graph, Lloyd, BPE
+    //    merges, quantizer/codebooks, sink fixture), the qid is
+    //    memo-absorbing: rep 1's build+serve time stays the PRIMARY
+    //    number (comparable with every earlier round's totals) and the
+    //    median of two further reps becomes its DERIVED "warm" entry —
+    //    the hand-kept familyCold list this replaces went stale twice.
+    //  - otherwise 2 more reps if rep 1 < 5 s (lower-median of 3) or 1
+    //    more if slower (min of 2): one contended rep can no longer
+    //    write the committed number.
+    // The JSON carries queries=primary, min, reps, warm, and the build
+    // labels per absorbing qid. SPARK_GRAFT_REPEAT=N still forces N
+    // reps (builder-side pins).
+    val forced = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt)
+    case class Timed(name: String, primary: Double, minT: Double,
+        reps: Int, warm: Option[Double], builds: Seq[String],
+        err: Option[String])
     val results = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy(_._1).map { case (name, fn) =>
       try {
-        val times = (1 to repeat).map { _ =>
+        def runOnce(): Double = {
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
-        }.sorted
-        if (repeat > 1)
-          System.err.println(f"[bench] $name runs: ${times.map(t => f"$t%.3f").mkString(", ")}")
-        (name, times(times.size / 2), None: Option[String])
+        }
+        val b0 = graft.operators.MemoBuilds.count
+        val t1 = runOnce()
+        val builds = graft.operators.MemoBuilds.labelsSince(b0)
+        val absorbed = builds.nonEmpty
+        val extra = forced.map(n => math.max(0, n - 1)).getOrElse(
+          if (absorbed || t1 < 5.0) 2 else 1)
+        val more = (1 to extra).map(_ => runOnce()).sorted
+        val all = (t1 +: more).sorted
+        def lowerMedian(xs: Seq[Double]): Double = xs((xs.size - 1) / 2)
+        val primary = if (absorbed) t1 else lowerMedian(all)
+        val warm =
+          if (absorbed && more.nonEmpty) Some(lowerMedian(more)) else None
+        if (all.size > 1)
+          System.err.println(f"[bench] $name reps: " +
+            all.map(t => f"$t%.3f").mkString(", ") +
+            (if (absorbed) s" (absorbed: ${builds.mkString("+")})" else ""))
+        Timed(name, primary, all.head, all.size, warm, builds, None)
       } catch { case e: Throwable =>
-        (name, -1.0, Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"))
+        Timed(name, -1.0, -1.0, 1, None, Nil,
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"))
       }
     }
-    // Family-cold qids: the first-in-family entry absorbs a one-time
-    // memoized build (the k-NN graph for 4 consumers, the IVF+PQ
-    // build+train, the kmeans centroids), so its in-suite number is
-    // build+serve fused. Re-time them once in the SAME warm JVM and
-    // emit a "warm" map alongside — the steady-state serve cost —
-    // so round-over-round totals can split builds from drift without
-    // changing the primary total's semantics.
-    val familyCold = Seq("dedup_keep_central", "sim_ann_ivf_pq",
-      "emb_kmeans")
-    val warm = if (only.isEmpty) familyCold.flatMap { name =>
-      SparkEntry.queries.get(name).flatMap { fn =>
-        try {
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
-          Some(name -> (System.nanoTime() - t0) / 1e9)
-        } catch { case _: Throwable => None }
-      }
-    } else Seq.empty
     def jq(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v, _) => jq(k) + ":" + v }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) => jq(k) + ":" + jq(m) }
-      .mkString("{", ",", "}")
-    val ok = results.filter(_._3.isEmpty)
-    val total = ok.map(_._2).sum
-    val wm = warm.map { case (k, v) => jq(k) + ":" + v }
-      .mkString("{", ",", "}")
+    def jmap(kvs: Seq[(String, String)]): String =
+      kvs.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
+    val qs = jmap(results.map(r => r.name -> r.primary.toString))
+    val mins = jmap(results.map(r => r.name -> r.minT.toString))
+    val reps = jmap(results.map(r => r.name -> r.reps.toString))
+    val errs = jmap(results.collect {
+      case r if r.err.isDefined => r.name -> jq(r.err.get) })
+    val ok = results.filter(_.err.isEmpty)
+    val total = ok.map(_.primary).sum
+    val wm = jmap(results.collect {
+      case r if r.warm.isDefined => r.name -> r.warm.get.toString })
+    val bl = jmap(results.collect { case r if r.builds.nonEmpty =>
+      r.name -> r.builds.map(jq).mkString("[", ",", "]") })
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"warm":$wm,"n_queries":${results.size},"n_errors":${results.size - ok.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"reps":$reps,"warm":$wm,"builds":$bl,"errors":$errs,"n_queries":${results.size},"n_errors":${results.size - ok.size},"sf":"$sfDir"}"""
     println(line)
     // Driver artifacts truncate stdout tails; also persist the full line to
     // a stable file so every per-query timing survives cross-round diffing.

@@ -16,7 +16,7 @@ package graft.operators
   * loaders both compute and last-put wins, which is benign (same
   * fingerprint → same value).
   */
-private[operators] final class BoundedMemo[V](cap: Int) {
+private[operators] final class BoundedMemo[V](cap: Int, label: String) {
 
   private val m = new java.util.LinkedHashMap[String, (String, V)](
     16, 0.75f, /*accessOrder=*/ true) {
@@ -37,7 +37,10 @@ private[operators] final class BoundedMemo[V](cap: Int) {
     Option(m.get(key(root))).collect { case (`fp`, v) => v }
   }
 
-  def put(root: String, fp: String, v: V): Unit = m.synchronized {
-    m.put(key(root), (fp, v)); ()
+  def put(root: String, fp: String, v: V): Unit = {
+    // a put IS a miss-build completing — record it for the bench's
+    // derived warm list (MemoBuilds)
+    MemoBuilds.record(label)
+    m.synchronized { m.put(key(root), (fp, v)); () }
   }
 }

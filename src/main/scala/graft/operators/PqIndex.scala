@@ -255,6 +255,7 @@ object PqIndex {
       !sidecarFresh(root)) { doBuild(s, root); () }
 
   private def doBuild(s: SparkSession, root: String): Long = {
+    MemoBuilds.record("pq_sidecar");
     {
       // fingerprint FIRST: encoding races nothing (the lease excludes
       // appends' journal replays, and appends themselves land batch
@@ -315,7 +316,8 @@ object PqIndex {
   /** Codebooks, memoized per root behind the codebooks-dir
     * fingerprint (the quantizerOf discipline — a sidecar rebuild moves
     * the fingerprint and refreshes the memo). ≤ d·K doubles. */
-  private val codebooksCache = new BoundedMemo[(Int, Codebooks)](8)
+  private val codebooksCache =
+    new BoundedMemo[(Int, Codebooks)](8, "pq_codebooks")
 
   private def codebooksOf(s: SparkSession, root: String): (Int, Codebooks) = {
     val fp = IndexManifest.pathFingerprint(Paths.get(root, "pq", "codebooks"))

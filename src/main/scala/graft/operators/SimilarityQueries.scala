@@ -1538,6 +1538,7 @@ object SimilarityQueries {
     // regeneration builds a new index instead of serving a stale one
     val fp = IndexManifest.corpusFingerprint(dir, "embeddings")
     vecIndexCache.computeIfAbsent(s"$dir|$fp", { _ =>
+      MemoBuilds.record("vector_index")
       val root = java.nio.file.Files
         .createTempDirectory("graft-vecindex").toString
       IndexManifest.registerTempRoot(root)
@@ -1733,7 +1734,7 @@ object SimilarityQueries {
   // cap × ≤33 MB bounds the worst-case resident quantizer memory at
   // ~264 MB; an evicted root costs one reload job on its next serve
   private val quantizerCache =
-    new BoundedMemo[Array[(Long, Array[Double], Double)]](8)
+    new BoundedMemo[Array[(Long, Array[Double], Double)]](8, "ivf_quantizer")
 
   private[operators] def quantizerOf(
       s: SparkSession, root: String): Array[(Long, Array[Double], Double)] = {
@@ -2370,6 +2371,7 @@ object SimilarityQueries {
       s: SparkSession, dir: String): String = {
     val fp = IndexManifest.corpusFingerprint(dir, "embeddings")
     compactedVecRootCache.computeIfAbsent(s"$dir|$fp", { _ =>
+      MemoBuilds.record("vec_root_compacted")
       val root = java.nio.file.Files
         .createTempDirectory("graft-vecindex-compact").toString
       IndexManifest.registerTempRoot(root)
@@ -2427,6 +2429,7 @@ object SimilarityQueries {
       s: SparkSession, dir: String): String = {
     val fp = IndexManifest.corpusFingerprint(dir, "embeddings")
     rebuiltVecRootCache.computeIfAbsent(s"$dir|$fp", { _ =>
+      MemoBuilds.record("vec_root_rebuilt")
       val root = java.nio.file.Files
         .createTempDirectory("graft-vecindex-rebuild").toString
       IndexManifest.registerTempRoot(root)
@@ -2491,6 +2494,7 @@ object SimilarityQueries {
       s: SparkSession, dir: String): String = {
     val fp = IndexManifest.corpusFingerprint(dir, "embeddings")
     repairedVecRootCache.computeIfAbsent(s"$dir|$fp", { _ =>
+      MemoBuilds.record("vec_root_repaired")
       val root = java.nio.file.Files
         .createTempDirectory("graft-vecindex-repair").toString
       IndexManifest.registerTempRoot(root)
@@ -2539,6 +2543,7 @@ object SimilarityQueries {
       s: SparkSession, dir: String): String = {
     val fp = IndexManifest.corpusFingerprint(dir, "embeddings")
     deletedVecRootCache.computeIfAbsent(s"$dir|$fp", { _ =>
+      MemoBuilds.record("vec_root_deleted")
       val root = java.nio.file.Files
         .createTempDirectory("graft-vecindex-del").toString
       IndexManifest.registerTempRoot(root)
@@ -2642,8 +2647,10 @@ object SimilarityQueries {
             try df.unpersist() catch { case _: Throwable => () }
           }
         }
-        (fp, s.sparkContext, new LazyCell(() =>
-          simKnnJoinFrom(withNorm(embeddings(s, dir))).persist()))
+        (fp, s.sparkContext, new LazyCell({ () =>
+          MemoBuilds.record("knn_graph")
+          simKnnJoinFrom(withNorm(embeddings(s, dir))).persist()
+        }))
     })._3.value
   }
 
@@ -3077,8 +3084,10 @@ object SimilarityQueries {
     kmeansCache.compute(s"$dir|$fp|$k", (_, prev) => prev match {
       case (sc, cell)
           if cell.completed.isDefined || !sc.isStopped => prev
-      case _ => (s.sparkContext, new LazyCell(() =>
-        kmeansLoop(nonDegenerate(withNorm(embeddings(s, dir))), k)))
+      case _ => (s.sparkContext, new LazyCell({ () =>
+        MemoBuilds.record("kmeans_centroids")
+        kmeansLoop(nonDegenerate(withNorm(embeddings(s, dir))), k)
+      }))
     })._2.value
   }
 

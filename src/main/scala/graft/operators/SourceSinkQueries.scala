@@ -371,6 +371,7 @@ object SourceSinkQueries {
   private[graft] def ensureChangelogFixture(
       s: SparkSession): (String, String, Long) =
     changelogFixture.computeIfAbsent("fixture", { _ =>
+      MemoBuilds.record("changelog_fixture")
       import s.implicits._
       val path = Files.createTempDirectory("graft-cdc").toString + "/items"
       val (items, _) = ItemAssembly.assemble(
@@ -1109,6 +1110,7 @@ object SourceSinkQueries {
 
   private[graft] def ensureApiCatalog(s: SparkSession): String =
     apiCatalog.computeIfAbsent("fixture", { _ =>
+      MemoBuilds.record("api_catalog_fixture")
       val path = Files.createTempDirectory("graft-api-q").toString + "/items"
       val (items, _) = ItemAssembly.assemble(
         new FixtureGranuleSource(end = "2022-05-01 02:59:59").granules(s))

@@ -293,6 +293,7 @@ object TextQueries {
   private[graft] def buildTextIndex(s: SparkSession, dir: String): String = {
     val fp = IndexManifest.corpusFingerprint(dir, "documents")
     indexCache.computeIfAbsent(s"$dir|$fp", { _ =>
+      MemoBuilds.record("text_index")
       val root = java.nio.file.Files
         .createTempDirectory("graft-textindex").toString
       IndexManifest.registerTempRoot(root)
@@ -662,6 +663,7 @@ object TextQueries {
       s: SparkSession, dir: String): String = {
     val fp = IndexManifest.corpusFingerprint(dir, "documents")
     compactedRootCache.computeIfAbsent(s"$dir|$fp", { _ =>
+      MemoBuilds.record("text_root_compacted")
       val root = java.nio.file.Files
         .createTempDirectory("graft-textindex-compact").toString
       IndexManifest.registerTempRoot(root)
@@ -714,6 +716,7 @@ object TextQueries {
       s: SparkSession, dir: String): String = {
     val fp = IndexManifest.corpusFingerprint(dir, "documents")
     deletedRootCache.computeIfAbsent(s"$dir|$fp", { _ =>
+      MemoBuilds.record("text_root_deleted")
       val root = java.nio.file.Files
         .createTempDirectory("graft-textindex-del").toString
       IndexManifest.registerTempRoot(root)
@@ -802,7 +805,8 @@ object TextQueries {
     * so the memo can never serve a stale fold over a changed index;
     * delete-correctness is free because deletes land NEGATIVE rows in
     * the same fold. */
-  private val statsCache = new BoundedMemo[(Double, Double)](64)
+  private val statsCache =
+    new BoundedMemo[(Double, Double)](64, "text_stats")
 
   private def liveTextStats(
       s: SparkSession, root: String): (Double, Double) = {
@@ -2623,7 +2627,10 @@ object TextQueries {
       case (`fp`, sc, cell)
           if cell.completed.isDefined || !sc.isStopped => prev
       case _ => (fp, s.sparkContext,
-        new LazyCell(() => bpeTrainMergesFrom(documents(s, dir))))
+        new LazyCell({ () =>
+          MemoBuilds.record("bpe_merges")
+          bpeTrainMergesFrom(documents(s, dir))
+        }))
     })._3.value
   }
 
