@@ -2642,17 +2642,52 @@ object TextQueries {
     bpeTrainMergesFrom(d).toDF("round", "pair_a", "pair_b", "cnt")
   }
 
+  /** Distinct-word ceiling for the driver-local merge loop (the
+    * [[DedupQueries.DRIVER_CC_MAX]] / quantizer-class idiom): ≤ 2¹⁹
+    * (word, cnt) rows ≈ tens of MB of token arrays, far under driver
+    * headroom and far over any fixture. Below it, the merge loop runs
+    * DRIVER-LOCALLY: the distributed loop pays one full Spark job
+    * (count → argmax → replace → checkpoint) PER MERGE ROUND, which
+    * is flat at K=16 but serializes ~32k jobs of driver latency at a
+    * production 32k-merge vocabulary, while the working table is
+    * distinct-word-bounded — exactly the shape the engine's other
+    * bounded-driver-read shortcuts exploit. The arithmetic is
+    * bit-identical (spec-pinned both paths, both call orders): exact
+    * long pair counts, (pcnt desc, a, b) argmax under UTF-8 BINARY
+    * string order (what Spark's non-collated asc sort compares), and
+    * the same left-to-right non-overlapping merge. Above the cap the
+    * distributed loop runs unchanged. */
+  private[graft] val DRIVER_BPE_MAX = 1L << 19
+
   /** The trainer's driver-side product — the ordered merge list —
     * shared by the text_bpe_train report and the trained encoder
-    * (text_bpe_encode_trained). ≤ BPE_TRAIN_ROUNDS entries. */
+    * (text_bpe_encode_trained). ≤ `rounds` entries. `onRound` (plan
+    * observers) implies the DISTRIBUTED loop — the driver path has no
+    * per-round frame to observe. */
   private[graft] def bpeTrainMergesFrom(
       d: DataFrame,
-      onRound: (Int, DataFrame) => Unit = (_, _) => ())
+      onRound: (Int, DataFrame) => Unit = null,
+      rounds: Int = BPE_TRAIN_ROUNDS,
+      driverMax: Long = DRIVER_BPE_MAX)
       : Seq[(Int, String, String, Long)] = {
     val ss = BSEP + BSEP
     val wc = d.select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    if (onRound == null && driverMax > 0) {
+      // one job decides AND fetches: collect at most cap+1 rows of
+      // the word-count aggregate — if the vocabulary fits, these ARE
+      // all the rows and the whole merge loop runs driver-locally
+      // with zero further Spark jobs; if not, fall through to the
+      // distributed loop (which recomputes wc — the extra aggregate
+      // is the price of not persisting a frame we usually never
+      // need twice)
+      val cap = math.min(driverMax, (Int.MaxValue - 2).toLong).toInt
+      val head = wc.limit(cap + 1).collect()
+      if (head.length <= cap)
+        return bpeTrainMergesDriver(
+          head.map(r => (r.getString(0), r.getLong(1))), rounds)
+    }
     // eager localCheckpoint, not persist: each round's frame must
     // START a fresh lineage (a LogicalRDD), or round k's plan nests
     // all k-1 predecessors and analysis cost grows superlinearly —
@@ -2668,7 +2703,7 @@ object TextQueries {
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 1
     var done = false
-    while (r <= BPE_TRAIN_ROUNDS && !done) {
+    while (r <= rounds && !done) {
       val tDbg = System.nanoTime()
       val top = words
         .select(col("cnt"), expr(
@@ -2702,7 +2737,7 @@ object TextQueries {
         org.apache.spark.sql.graftbridge.GraftExpr
           .releaseLocalCheckpoint(words)
         words = next
-        onRound(r, words)
+        if (onRound != null) onRound(r, words)
         if (sys.env.contains("GRAFT_BPE_DEBUG"))
           System.err.println(f"[bpe] round $r full ${(System.nanoTime() - tDbg) / 1e9}%.2fs")
         r += 1
@@ -2710,6 +2745,97 @@ object TextQueries {
     }
     org.apache.spark.sql.graftbridge.GraftExpr
       .releaseLocalCheckpoint(words)
+    learned.toSeq
+  }
+
+  /** UTF-8 binary `<` — what Spark's non-collated string sort
+    * compares (UTF8String.binaryCompare). Java's String.compareTo
+    * orders by UTF-16 code UNIT and would rank astral code points
+    * BELOW U+E000..U+FFFF, diverging from the distributed argmax's
+    * tie-break on such vocabularies. */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ai = a(i) & 0xff
+      val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** The merge loop on a COLLECTED (word, cnt) table — semantics
+    * identical to the distributed rounds by construction, replayed
+    * per clause: tokens are CODE POINTS (Spark's `length`/`substr`
+    * are code-point addressed — a Java-char split would diverge on
+    * astral input); pair counts weight every adjacent index by the
+    * word's long count (overlapping equal-token pairs both count,
+    * like the distributed `transform(sequence(...))` enumeration);
+    * the argmax is (pcnt desc, a, b) under [[utf8Lt]]; the merge is
+    * left-to-right non-overlapping (a run `aaa` merges once — the
+    * bracketed-`replace` rule). Per-round cost is O(Σ tokens) of
+    * pure driver CPU and no Spark jobs, flat in the round count —
+    * the path a 32k-merge production vocabulary needs. */
+  private[graft] def bpeTrainMergesDriver(
+      words0: Array[(String, Long)], rounds: Int)
+      : Seq[(Int, String, String, Long)] = {
+    var words: Array[(Array[String], Long)] = words0.map { case (w, c) =>
+      (w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))), c)
+    }
+    val learned =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val counts =
+        new java.util.HashMap[(String, String), java.lang.Long]()
+      words.foreach { case (toks, c) =>
+        var i = 0
+        while (i < toks.length - 1) {
+          counts.merge((toks(i), toks(i + 1)), c, (x, y) => x + y)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var bestA: String = null
+        var bestB: String = null
+        var bestN = -1L
+        counts.forEach { (k, n) =>
+          if (n > bestN || (n == bestN && (utf8Lt(k._1, bestA) ||
+              (k._1 == bestA && utf8Lt(k._2, bestB))))) {
+            bestA = k._1; bestB = k._2; bestN = n
+          }
+        }
+        learned += ((r, bestA, bestB, bestN))
+        val merged = bestA + bestB
+        words = words.map { case (toks, c) =>
+          var i = 0
+          var hit = false
+          while (!hit && i < toks.length - 1) {
+            hit = toks(i) == bestA && toks(i + 1) == bestB
+            i += 1
+          }
+          if (!hit) (toks, c)
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            i = 0
+            while (i < toks.length) {
+              if (i < toks.length - 1 &&
+                  toks(i) == bestA && toks(i + 1) == bestB) {
+                out += merged; i += 2
+              } else { out += toks(i); i += 1 }
+            }
+            (out.toArray, c)
+          }
+        }
+        r += 1
+      }
+    }
     learned.toSeq
   }
 

@@ -88,4 +88,82 @@ class BpeTrainSpec extends SparkSpec {
       assert(a.nonEmpty && b.nonEmpty && n >= 1)
     }
   }
+
+  // ── driver-local merge loop (VERDICT r14 task 2): the gated
+  //    collect must be BIT-IDENTICAL to the distributed rounds ──
+
+  private def trainDist(d: DataFrame): Seq[(Int, String, String, Long)] =
+    // driverMax = 0 forces the distributed loop — the clustersFrom /
+    // pagerank override discipline
+    TextQueries.bpeTrainMergesFrom(d, driverMax = 0L)
+
+  private def trainDrv(d: DataFrame): Seq[(Int, String, String, Long)] =
+    TextQueries.bpeTrainMergesFrom(d, driverMax = Long.MaxValue >> 1)
+
+  test("driver == distributed merge lists, bit-identical, on the " +
+      "fixture corpus AND the planted corpora — both call orders") {
+    val fixture = graft.Tables.documents(spark, sf)
+    // order 1: distributed first
+    val dist1 = trainDist(fixture)
+    val drv1 = trainDrv(fixture)
+    assert(drv1 == dist1,
+      s"driver diverges from distributed on the fixture:\n" +
+        s" drv=$drv1\ndist=$dist1")
+    assert(dist1.nonEmpty)
+    // order 2: driver first, on the planted corpora whose merge
+    // sequences are hand-computed above
+    Seq(
+      docs("abab abab ab", "abab ab"),
+      docs("aaa"),
+      docs("xy xy xz xz")
+    ).foreach { d =>
+      val drv = trainDrv(d)
+      val dist = trainDist(d)
+      assert(drv == dist, s"paths diverge:\n drv=$drv\ndist=$dist")
+    }
+  }
+
+  test("driver tie-break uses UTF-8 BINARY order like Spark's sort " +
+      "(astral vs U+E000.. would flip under UTF-16 comparison)") {
+    // tokens: U+E000 (3 UTF-8 bytes ee 80 80) vs U+10000 (4 bytes
+    // f0 90 80 80). UTF-8/code-point order puts U+E000 FIRST; Java
+    // String.compareTo (UTF-16 units: e000 vs d800) puts the astral
+    // pair first. Both pairs tie on count, so the learned round-1
+    // pair is decided purely by the tie-break.
+    val pua = "\uE000"
+    val astral = new String(Character.toChars(0x10000))
+    val d = docs(s"q$pua q$astral")
+    val drv = trainDrv(d)
+    val dist = trainDist(d)
+    assert(drv == dist, s"tie-break diverges:\n drv=$drv\ndist=$dist")
+    assert(drv.head._2 == "q" && drv.head._3 == pua,
+      s"UTF-8 order must pick U+E000 first: ${drv.head}")
+  }
+
+  test("driver loop: K=256 rounds stay flat-cost (env-gated probe)") {
+    // GRAFT_BPE_PERF=1: demonstrate the task-2 claim — per-round cost
+    // of the driver loop is O(Σ tokens) pure CPU with NO Spark jobs,
+    // so 16× more rounds cost ~16× one round, not 16× (job latency +
+    // count + checkpoint). Numbers land in BENCH_LOCAL.md.
+    assume(sys.env.contains("GRAFT_BPE_PERF"), "set GRAFT_BPE_PERF=1")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", sf)
+    val wc = graft.Tables.documents(spark, dir)
+      .selectExpr("explode(split(text, ' ')) AS w")
+      .where("length(w) > 0").groupBy("w").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def time(k: Int): (Double, Int) = {
+      val t0 = System.nanoTime()
+      val m = TextQueries.bpeTrainMergesDriver(wc, k)
+      ((System.nanoTime() - t0) / 1e9, m.size)
+    }
+    val (t16, n16) = time(16)
+    val (t256, n256) = time(256)
+    info(f"driver BPE: K=16 → $t16%.2fs ($n16 merges); " +
+      f"K=256 → $t256%.2fs ($n256 merges); " +
+      f"per-round ${t256 / math.max(1, n256)}%.4fs")
+    assert(n256 > n16)
+    // flatness: 16× the rounds must cost well under 32× the K=16 wall
+    assert(t256 < math.max(1.0, t16 * 32),
+      f"per-round cost is not flat: $t16%.2fs → $t256%.2fs")
+  }
 }
