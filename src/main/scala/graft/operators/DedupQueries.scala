@@ -896,8 +896,143 @@ object DedupQueries {
        |  ON mm.text = r.text AND mm.doc_id <> r.doc_id""".stripMargin
   }
 
+  /** Sliding token-window width for cross-document exact-substring
+    * dedup. Published pipelines (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better") excise repeated
+    * ≥50-token substrings; 10 matches this corpus' passage scale (and
+    * dedup_common_spans' unit) so the fixtures actually exercise the
+    * excision path. Width is the only tuning knob. */
+  private[graft] val SUBSTR_K = 10
+
+  /** text_substring_dedup_global — cross-document exact-substring
+    * dedup, the Lee-et-al. pass: any SUBSTR_K-token window occurring
+    * in ≥2 distinct documents is excised from every position except
+    * the globally first (min (doc_id, pos)); overlapping/adjacent
+    * excisions coalesce into maximal runs and each doc's survivors
+    * reassemble in order. Closes the granularity gap between
+    * text_line_dedup_global (whole lines), dedup_common_spans
+    * (aligned non-overlapping spans), and the doc-level dedups:
+    * a repeated passage is caught at ANY token offset.
+    *
+    * Scale design: grams travel as xxhash64 longs (8 bytes — the
+    * dedup_decontaminate discipline; a 64-bit collision over 10¹²
+    * grams is a ~3% once-per-corpus event whose worst case is one
+    * spurious excision, the approximation Lee et al. themselves
+    * accept), and ride the dedup_common_spans shape: one map-side
+    * gram explode, a hash agg for (df, global-min winner) — groupBy,
+    * NEVER a window on the hot gram key — then one hash join back.
+    * Everything after is per-doc bounded: removal starts collect per
+    * doc (≤ token count, the reassembly bound common_spans already
+    * carries), runs coalesce in one codegen'd fold, and the excision
+    * is a pure per-row expression. Oracle: full recompute on the
+    * LITERAL gram strings (no hash trusted), gaps-and-islands
+    * coalescing, identical reassembly. */
+  def textSubstringDedupGlobal(s: SparkSession, dir: String): DataFrame =
+    textSubstringDedupGlobalFrom(documents(s, dir))
+
+  private[graft] def textSubstringDedupGlobalFrom(
+      docs: DataFrame): DataFrame = {
+    val k = SUBSTR_K
+    val ws = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val g = ws
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(ws) - $k),
+           |  p -> xxhash64(array_join(slice(ws, p + 1, $k), ' ')))"""
+          .stripMargin)))
+      .toDF("doc_id", "pos", "h")
+    // ONE aggregate gives both the cross-doc test and the keeper:
+    // min(struct(doc_id, pos)) IS the global (doc_id, pos) argmin
+    val dup = g.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        min(struct(col("doc_id"), col("pos"))).as("w"))
+      .filter(col("df") >= 2)
+      .select(col("h"), col("w.doc_id").as("wd"), col("w.pos").as("wp"))
+    val runs = g.join(dup, Seq("h"))
+      .filter(!(col("doc_id") === col("wd") && col("pos") === col("wp")))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+      .select(col("doc_id"), expr(
+        s"""aggregate(starts,
+           |  cast(array() as array<struct<rs: int, re: int>>),
+           |  (acc, p) -> IF(
+           |    size(acc) > 0 AND p <= element_at(acc, -1).re + 1,
+           |    concat(slice(acc, 1, size(acc) - 1),
+           |      array(named_struct('rs', element_at(acc, -1).rs,
+           |                         're', p + $k - 1))),
+           |    concat(acc,
+           |      array(named_struct('rs', p, 're', p + $k - 1)))))"""
+          .stripMargin).as("runs"))
+    ws.join(runs, Seq("doc_id"), "left")
+      .withColumn("runs", coalesce(col("runs"),
+        expr("cast(array() as array<struct<rs: int, re: int>>)")))
+      .select(col("doc_id"),
+        expr("""array_join(transform(
+          |  filter(sequence(0, size(ws) - 1),
+          |    i -> NOT exists(runs, r -> i >= r.rs AND i <= r.re)),
+          |  i -> element_at(ws, i + 1)), ' ')""".stripMargin)
+          .as("text_deduped"),
+        (size(col("ws")) -
+          expr("aggregate(runs, 0, (a, r) -> a + r.re - r.rs + 1)"))
+          .cast("long").as("n_kept"),
+        expr("aggregate(runs, 0, (a, r) -> a + r.re - r.rs + 1)")
+          .cast("long").as("n_removed"),
+        size(col("runs")).cast("long").as("n_runs"))
+  }
+
+  /** text_substring_dedup_global oracle — the identical pass on the
+    * LITERAL gram strings: sliding K-windows, cross-doc test, global
+    * (doc_id, pos) keeper via row_number, gaps-and-islands run
+    * coalescing, covered-index excision, in-order reassembly. */
+  val textSubstringDedupGlobalSql: String = {
+    val k = SUBSTR_K
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |g AS (
+       |  SELECT doc_id, i AS pos,
+       |    array_to_string(w[i + 1 : i + $k], ' ') AS gram
+       |  FROM ws, unnest(generate_series(0, len(w) - $k)) AS t(i)
+       |  WHERE len(w) >= $k),
+       |dup AS (SELECT gram FROM g GROUP BY gram
+       |        HAVING count(DISTINCT doc_id) >= 2),
+       |r0 AS (
+       |  SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY gram
+       |      ORDER BY doc_id, pos) AS rk
+       |  FROM g WHERE gram IN (SELECT gram FROM dup)),
+       |rm AS (SELECT doc_id, pos FROM r0 WHERE rk > 1),
+       |r1 AS (
+       |  SELECT doc_id, pos AS rs, pos + $k - 1 AS re,
+       |    max(pos + $k - 1) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |  FROM rm),
+       |r2 AS (
+       |  SELECT doc_id, rs, re,
+       |    sum(CASE WHEN pmax IS NULL OR rs > pmax + 1
+       |        THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY rs) AS grp
+       |  FROM r1),
+       |runs AS (SELECT doc_id, grp, min(rs) AS rs, max(re) AS re
+       |         FROM r2 GROUP BY 1, 2),
+       |rl AS (
+       |  SELECT doc_id,
+       |    flatten(list(generate_series(rs, re))) AS cov,
+       |    sum(re - rs + 1) AS n_rm, count(*) AS nr
+       |  FROM runs GROUP BY doc_id)
+       |SELECT ws.doc_id,
+       |  coalesce(array_to_string(list_transform(
+       |    list_filter(range(len(w)),
+       |      i -> cov IS NULL OR NOT list_contains(cov, i)),
+       |    i -> w[i + 1]), ' '), '') AS text_deduped,
+       |  CAST(len(w) - coalesce(n_rm, 0) AS BIGINT) AS n_kept,
+       |  CAST(coalesce(n_rm, 0) AS BIGINT) AS n_removed,
+       |  CAST(coalesce(nr, 0) AS BIGINT) AS n_runs
+       |FROM ws LEFT JOIN rl USING (doc_id)""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
+    "text_substring_dedup_global" -> (textSubstringDedupGlobal _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_near_minhash" -> (dedupNearMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -911,6 +1046,7 @@ object DedupQueries {
 
   def oracle: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
+    "text_substring_dedup_global" -> textSubstringDedupGlobalSql,
     "dedup_keep_best" -> dedupKeepBestSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_cluster_cc" -> dedupClusterCcSql,

@@ -337,6 +337,21 @@ class PlanShapeSpec extends SparkSpec {
       "fixture corpus must learn several checkpointed rounds")
   }
 
+  test("substring dedup: winner via groupBy.min — NEVER a window on " +
+      "the hot gram key; per-doc work is windowless folds") {
+    // a boilerplate gram with 10M occurrences must land in a hash
+    // aggregate (partial + final), not a single window partition —
+    // and the run coalescing/excision stages are pure expressions,
+    // so the whole plan carries ZERO Window operators
+    val p = plan(DedupQueries.textSubstringDedupGlobal(spark, sf))
+    assert(!p.contains("Window"),
+      s"substring dedup grew a window stage:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"gram stats must partial-aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("funnel and retention stay keyed equi-joins with partial aggs") {
     // funnel stages and the cohort join are all user_id equi-joins —
     // a nested-loop or cartesian here explodes at log scale. (AQE may
