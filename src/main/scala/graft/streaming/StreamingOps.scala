@@ -833,6 +833,65 @@ object StreamingOps {
       }
   }
 
+  /** Streaming split-integrity ledger — pipeline_split_leakage as
+    * flatMapGroupsWithState keyed by (lang, content-hash) with O(1)
+    * state per key: a doc count and a 3-bit splits-seen mask. A live
+    * training ingest wants this alarm CONTINUOUSLY — the batch qid
+    * only catches eval contamination after the fact — so each
+    * key-update emits (a) `cross_now`, true the moment a content
+    * first appears under a second split (the leak alarm, with lang +
+    * hash in hand for the takedown), and (b) the four ledger counters
+    * as MONOTONE DELTAS (first-sighting / became-duplicated /
+    * became-cross-split transitions fire exactly once per key), so
+    * the per-lang ledger is a plain associative SUM over the emitted
+    * rows and equals the batch operator's exactly — parity pinned in
+    * StreamingSpec with a planted cross-split leak. The split rule is
+    * the SAME SampleQueries.hashBucket expression sample_split and
+    * the batch audit publish, applied statelessly before keying.
+    * State is O(1) per distinct (lang, content) — the streaming-dedup
+    * class; a bounded deployment ages keys out with a TTL timeout and
+    * accepts misses past the horizon (SCALE.md "Cluster auditing /
+    * split integrity"). */
+  case class SplitLeakState(nd: Long, mask: Int)
+  case class SplitLeakUpdate(lang: String, h: String, d_docs: Long,
+      d_contents: Long, d_dup_contents: Long,
+      d_cross_split_contents: Long, cross_now: Boolean)
+
+  def splitLeakageStream(
+      docs: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row])
+      : org.apache.spark.sql.Dataset[SplitLeakUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bucket = graft.operators.SampleQueries.hashBucket(col("doc_id"))
+    docs
+      .select(col("lang"), sha2(col("text"), 256).as("h"),
+        when(bucket < 980, 1).when(bucket < 990, 2).otherwise(4)
+          .as("bit"))
+      .as[(String, String, Int)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[SplitLeakState, SplitLeakUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: (String, String),
+            rows: Iterator[(String, String, Int)],
+            state: GroupState[SplitLeakState]) =>
+          val st = state.getOption.getOrElse(SplitLeakState(0L, 0))
+          var nd = st.nd
+          var mask = st.mask
+          rows.foreach { case (_, _, bit) => nd += 1; mask |= bit }
+          state.update(SplitLeakState(nd, mask))
+          val was2 = Integer.bitCount(st.mask) >= 2
+          val is2 = Integer.bitCount(mask) >= 2
+          Iterator.single(SplitLeakUpdate(
+            key._1, key._2,
+            d_docs = nd - st.nd,
+            d_contents = if (st.nd == 0L) 1L else 0L,
+            d_dup_contents = if (st.nd <= 1L && nd >= 2L) 1L else 0L,
+            d_cross_split_contents = if (!was2 && is2) 1L else 0L,
+            cross_now = !was2 && is2))
+      }
+  }
+
   /** Streaming daily-grid interpolation — ts_resample_interpolate's
     * recurrence as flatMapGroupsWithState with O(1) state per user:
     * the LAST reading (ts, value) plus one had-a-predecessor bit. A

@@ -610,6 +610,74 @@ class StreamingSpec extends SparkSpec {
     assert(totalN == sample.length * 4L)
   }
 
+  test("streaming split-leakage ledger: summed deltas equal the " +
+      "batch audit; the cross-split alarm fires on a planted leak") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // pick one doc_id per split via the ENGINE's own published rule,
+    // so the planted leak is split-crossing by construction
+    val buckets = spark.range(0, 200)
+      .select(col("id"), graft.operators.SampleQueries
+        .hashBucket(col("id")).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trainId = buckets.collectFirst { case (i, b) if b < 980 => i }.get
+    val testId = buckets.collectFirst { case (i, b) if b >= 990 => i }.get
+    val leak = "the exact same eval passage leaked into training"
+    val planted = Seq(
+      (trainId, "xx", leak, "src", leak.length.toLong),
+      (testId, "xx", leak, "src", leak.length.toLong))
+    val base = graft.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    val all = base ++ planted
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val q = StreamingOps.splitLeakageStream(
+        mem.toDF().toDF("doc_id", "lang", "text", "source", "n_chars"))
+      .writeStream.format("memory").queryName("splitleak_stream")
+      .outputMode("update").start()
+    // planted rows split ACROSS batches: the alarm must fire in the
+    // batch where the second split first appears, not before
+    val third = base.length / 3
+    mem.addData(base.take(third) :+ planted(0): _*)
+    q.processAllAvailable()
+    val alarmsEarly = spark.table("splitleak_stream")
+      .filter(col("cross_now") && col("lang") === "xx").count()
+    assert(alarmsEarly == 0, "alarm before the second split arrived")
+    mem.addData(base.slice(third, 2 * third) :+ planted(1): _*)
+    q.processAllAvailable()
+    val alarms = spark.table("splitleak_stream")
+      .filter(col("cross_now") && col("lang") === "xx").collect()
+    assert(alarms.length == 1 && alarms(0).getString(1) ==
+      org.apache.commons.codec.digest.DigestUtils.sha256Hex(leak),
+      s"exactly one alarm with the leaking hash: ${alarms.toSeq}")
+    mem.addData(base.drop(2 * third): _*); q.processAllAvailable()
+    q.stop()
+    // the ledger is the SUM of the emitted deltas — associative, so
+    // any micro-batch split lands on the same totals
+    val got = spark.table("splitleak_stream")
+      .groupBy("lang").agg(
+        sum("d_docs").as("n_docs"),
+        sum("d_contents").as("n_contents"),
+        sum("d_dup_contents").as("n_dup_contents"),
+        sum("d_cross_split_contents").as("n_cross_split_contents"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val dir = java.nio.file.Files
+      .createTempDirectory("splitleak").toString
+    all.toSeq.toDF("doc_id", "lang", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val want = graft.operators.PipelineQueries
+      .pipelineSplitLeakage(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == want, s"stream ledger $got != batch $want")
+    assert(want("xx") == ((2L, 1L, 1L, 1L)), want("xx"))
+  }
+
   test("resample coincident midnights: value-exact at a 6-dp " +
       "boundary, first/last-on-midnight dropped — equal to batch") {
     import spark.implicits._
