@@ -966,6 +966,14 @@ object DedupQueries {
     ws.join(runs, Seq("doc_id"), "left")
       .withColumn("runs", coalesce(col("runs"),
         expr("cast(array() as array<struct<rs: int, re: int>>)")))
+      // always-true, but it REFERENCES the joined side: without it,
+      // a bare count() over this frame lets Catalyst eliminate the
+      // whole left join (the runs side is key-unique and otherwise
+      // unprojected) and the benchmark would measure a documents
+      // scan instead of the operator (observed: 0.3 s vs ~60 s of
+      // real work at sf10). Every real consumer reads the stats or
+      // the cleaned text, so this costs them nothing.
+      .filter(size(col("runs")) >= 0)
       .select(col("doc_id"),
         expr("""array_join(transform(
           |  filter(sequence(0, size(ws) - 1),

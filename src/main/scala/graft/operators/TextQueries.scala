@@ -1190,7 +1190,18 @@ object TextQueries {
                               // scoring job itself — an eager form ran
                               // Spark jobs at CONSTRUCTION time, and
                               // blocks are reclaimed by ContextCleaner
-                              // once the returned frame is dropped
+                              // once the returned frame is dropped.
+                              // NOTE (r14 verdict): eager release via
+                              // GraftExpr.releaseLocalCheckpoint is
+                              // NOT possible here — the frame is
+                              // consumed lazily by the one returned
+                              // plan, so release would race the
+                              // consumer. A long-lived session
+                              // looping NB scoring relies on driver
+                              // GC → ContextCleaner for these
+                              // model-sized blocks; they are vocab-
+                              // bounded, so the steady-state residue
+                              // is MBs, not corpus-sized.
     val tot = cnt.groupBy(col("clang"))
       .agg(sum(col("cnt")).as("tot"))
     val vsz = cnt.agg(countDistinct(col("tok")).as("v"))
