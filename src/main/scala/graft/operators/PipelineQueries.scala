@@ -322,7 +322,74 @@ object PipelineQueries {
       |    AS n_cross_split_contents
       |FROM p GROUP BY lang""".stripMargin
 
+  /** pipeline_split_leakage_near — the NEAR-duplicate completion of
+    * the split-integrity audit: pipeline_split_leakage catches
+    * identical text crossing the train/val/test boundary, but real
+    * eval contamination is usually a near-copy (light paraphrase,
+    * whitespace/punctuation drift), which an exact content hash can
+    * never see. This ledger counts, per language, the verified
+    * near-dup pairs (the dedup_near_minhash machinery: exact-collapse
+    * → MinHash/LSH candidates → exact-Jaccard ≥ 0.8 verify, star
+    * edges for verbatim copies) whose two sides land in DIFFERENT
+    * splits — with the train↔eval subset broken out, because a
+    * train/val+test pair is the one that poisons a benchmark.
+    *
+    * Scale design: the pair set is result-bounded by the minhash
+    * stage's documented caps (never corpus²); the two metadata joins
+    * attach (lang, split) — the SAME published hashBucket rule the
+    * other audits share — and the rollup is language-sized. Columns
+    * are exact integers; the oracle recomputes the WHOLE chain by
+    * composing the bitwise minhash recompute with the split rule. */
+  def pipelineSplitLeakageNear(s: SparkSession, dir: String): DataFrame =
+    pipelineSplitLeakageNearFrom(documents(s, dir))
+
+  private[graft] def pipelineSplitLeakageNearFrom(d: DataFrame): DataFrame = {
+    val bucket = SampleQueries.hashBucket(col("doc_id"))
+    val m = d.select(col("doc_id"), col("lang"),
+      when(bucket < 980, "train").when(bucket < 990, "val")
+        .otherwise("test").as("split"))
+    DedupQueries.dedupNearMinhashFrom(d)
+      .select(col("a"), col("b"))
+      .join(m.select(col("doc_id").as("a"), col("lang"),
+        col("split").as("sa")), Seq("a"))
+      .join(m.select(col("doc_id").as("b"), col("split").as("sb")),
+        Seq("b"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L))
+          .as("n_cross_split_pairs"),
+        sum(when((col("sa") === "train") =!= (col("sb") === "train"),
+          1L).otherwise(0L)).as("n_train_eval_pairs"))
+  }
+
+  /** pipeline_split_leakage_near oracle — the full bitwise minhash
+    * pair recompute composed with the same split rule and rollup. */
+  val pipelineSplitLeakageNearSql: String =
+    s"""WITH pairs AS (
+       |  SELECT * FROM (${DedupQueries.dedupNearMinhashSql}) z),
+       |m AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)),
+       |           1, 6) AS BIGINT) % 1000 < 980 THEN 'train'
+       |         WHEN CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)),
+       |           1, 6) AS BIGINT) % 1000 < 990 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |j AS (
+       |  SELECT ma.lang AS lang, ma.split AS sa, mb.split AS sb
+       |  FROM pairs p
+       |  JOIN m ma ON ma.doc_id = p.a
+       |  JOIN m mb ON mb.doc_id = p.b)
+       |SELECT lang,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_cross_split_pairs,
+       |  CAST(sum(CASE WHEN (sa = 'train') <> (sb = 'train')
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_train_eval_pairs
+       |FROM j GROUP BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_split_leakage_near" -> (pipelineSplitLeakageNear _),
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
     "pipeline_build_mixture" -> (pipelineBuildMixture _),
     "curation_domain_stats" -> (curationDomainStats _),
@@ -331,6 +398,7 @@ object PipelineQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "pipeline_split_leakage_near" -> pipelineSplitLeakageNearSql,
     "pipeline_clean_corpus" -> pipelineCleanCorpusSql,
     "pipeline_build_mixture" -> pipelineBuildMixtureSql,
     "curation_domain_stats" -> curationDomainStatsSql,
