@@ -140,6 +140,37 @@ class BpeTrainSpec extends SparkSpec {
       s"UTF-8 order must pick U+E000 first: ${drv.head}")
   }
 
+  test("seeded random corpora: driver == distributed, every sample " +
+      "(tie-heavy alphabets, equal-token runs, multi-byte chars)") {
+    // deterministic adversarial sweep: tiny alphabets force constant
+    // argmax ties (exercising the UTF-8 tie-break), repeated chars
+    // force the non-overlapping merge rule, and the third alphabet
+    // mixes 1-, 3-, and 4-byte encodings so a UTF-16 comparison or a
+    // Java-char (non-code-point) tokenizer would diverge
+    val rnd = new scala.util.Random(20260815L)
+    val astral = new String(Character.toChars(0x1F600))
+    val alphabets = Seq("ab", "abc", "a" + astral)
+    val corpora = (0 until 6).map { i =>
+      val alpha = alphabets(i % alphabets.size)
+      val cps = alpha.codePoints().toArray
+      def word(): String = (0 until (1 + rnd.nextInt(6)))
+        .map(_ => new String(Character.toChars(cps(rnd.nextInt(cps.length)))))
+        .mkString
+      val texts = (0 until (3 + rnd.nextInt(5))).map { _ =>
+        (0 until (3 + rnd.nextInt(27))).map(_ => word()).mkString(" ")
+      }
+      docs(texts: _*)
+    }
+    corpora.zipWithIndex.foreach { case (d, i) =>
+      val drv = TextQueries.bpeTrainMergesFrom(d, rounds = 8,
+        driverMax = Long.MaxValue >> 1)
+      val dist = TextQueries.bpeTrainMergesFrom(d, rounds = 8,
+        driverMax = 0L)
+      assert(drv == dist,
+        s"sample $i diverges:\n drv=$drv\ndist=$dist")
+    }
+  }
+
   test("driver loop: K=256 rounds stay flat-cost (env-gated probe)") {
     // GRAFT_BPE_PERF=1: demonstrate the task-2 claim — per-round cost
     // of the driver loop is O(Σ tokens) pure CPU with NO Spark jobs,
