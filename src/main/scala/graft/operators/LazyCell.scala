@@ -29,3 +29,30 @@ private[operators] final class LazyCell[V](thunk: () => V) {
     * NEVER forces the build. */
   def completed: Option[V] = if (done) Some(value) else None
 }
+
+/** The standard per-(JVM, key) memo of SESSION-FREE build artifacts
+  * (index/fixture root paths, centroid arrays): a ConcurrentHashMap
+  * whose `compute` only allocates a [[LazyCell]] — the (often
+  * tens-of-seconds) build runs on `.value` OUTSIDE the map's bin
+  * lock. Keys embed the corpus fingerprint, so staleness is a new
+  * key, never an eviction; a COMPLETED value is reusable forever
+  * (the artifact outlives any session), while an uncompleted cell is
+  * reusable only while the SparkContext its thunk captured is alive
+  * (a failed build against a stopped session must not be retried
+  * forever). Caches that persist DataFrames (knnCache) need the
+  * eviction-and-unpersist variant and stay hand-rolled. */
+private[operators] final class BuildMemo[V] {
+  private val m = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.SparkContext, LazyCell[V])]()
+
+  def getOrBuild(key: String, sc: org.apache.spark.SparkContext)(
+      build: => V): V =
+    m.compute(key, (_, prev) => prev match {
+      case (psc, cell)
+          if cell.completed.isDefined || !psc.isStopped => prev
+      case _ => (sc, new LazyCell(() => build))
+    })._2.value
+
+  /** Testing hook. */
+  def clear(): Unit = m.clear()
+}
