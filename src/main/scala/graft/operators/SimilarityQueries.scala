@@ -3591,6 +3591,235 @@ object SimilarityQueries {
       |  scale = 0 AS is_degenerate
       |FROM s""".stripMargin
 
+  // ===================================================================
+  // emb_pca_power / emb_pca_project — principal-axis extraction
+  // ===================================================================
+
+  private val PCA_ITERS = 10
+
+  /** The power-iteration loop: mean-center, then K rounds of
+    * v ← normalize(Σᵢ (cᵢ·v)·cᵢ) where cᵢ is the centered vector.
+    * Every cross-ROW accumulation runs on the 2²⁴ fixed-point grid
+    * carried as exact integers (the [[refineCentroids]] discipline):
+    * the per-row projection a = ⌊(c·v)·2²⁴+½⌋ and the per-element
+    * b = ⌊c_j·2²⁴+½⌋ are longs, their product is exact (≤2⁵³), and
+    * the per-dimension sum Σ a·b rides a decimal(38,0) — so task
+    * order and partitioning cannot move a unit and a DuckDB oracle
+    * replays the whole loop bit-for-bit (HUGEINT sums). Per-ROW work
+    * (the c·v fold, the norm fold) is an explicitly-sequenced
+    * left-to-right double fold both engines perform identically. The
+    * normalized vector re-snaps to the grid each round so the next
+    * round's broadcast literal is exactly representable on both
+    * engines. One bounded aggregate per round — n×d rows fold
+    * map-side into d groups, nothing driver-side but d doubles — so
+    * the shape is K linear corpus passes at any scale. Rows whose
+    * length differs from the corpus max dimension are excluded (the
+    * ragged-input audit lives in emb_stats). Degenerate corpus
+    * (‖w‖ = 0): v stops moving and lam reports 0 — further rounds
+    * are fixed-point identities, so early-stop equals the oracle's
+    * keep-iterating CASE arm. Returns (mean, axis, lam = ‖w‖/n — the
+    * top-eigenvalue estimate of the covariance — and n). */
+  private[graft] def pcaPowerLoop(e0: DataFrame)
+      : (Array[Double], Array[Double], Double, Long) = {
+    val dRow = e0.agg(max(size(col("emb")))).collect()
+    val d = if (dRow.isEmpty || dRow(0).isNullAt(0)) 0 else dRow(0).getInt(0)
+    if (d <= 0) return (Array.empty, Array.empty, 0.0, 0L)
+    val e = e0.filter(size(col("emb")) === d)
+    val meanRows = e
+      .select(posexplode(col("emb")).as(Seq("idx", "v")))
+      .withColumn("ve",
+        floor(col("v") * lit(KMEANS_GRID) + lit(0.5)).cast("decimal(38,0)"))
+      .groupBy(col("idx"))
+      .agg(sum(col("ve")).as("sv"), count(lit(1)).as("cn"))
+      .collect()
+    if (meanRows.isEmpty) return (Array.empty, Array.empty, 0.0, 0L)
+    val n = meanRows(0).getLong(2)
+    val mean = Array.fill(d)(0.0)
+    meanRows.foreach { r =>
+      mean(r.getInt(0)) =
+        (r.getDecimal(1).doubleValue / r.getLong(2).toDouble) / KMEANS_GRID
+    }
+    val snap = (x: Double) => math.floor(x * KMEANS_GRID + 0.5) / KMEANS_GRID
+    val v = Array.fill(d)(snap(1.0 / math.sqrt(d.toDouble)))
+    var lam = 0.0
+    val mLit = typedLit(mean.toSeq)
+    var it = 0
+    while (it < PCA_ITERS) {
+      val vLit = typedLit(v.toSeq)
+      val rows = e
+        .select(zip_with(col("emb"), mLit, (x, m) => x - m).as("c"))
+        .withColumn("s",
+          aggregate(zip_with(col("c"), vLit, (c, w) => c * w),
+            lit(0d), (acc, x) => acc + x))
+        .withColumn("a", floor(col("s") * lit(KMEANS_GRID) + lit(0.5)))
+        .select(col("a"), posexplode(col("c")).as(Seq("idx", "cv")))
+        .withColumn("b", floor(col("cv") * lit(KMEANS_GRID) + lit(0.5)))
+        .groupBy(col("idx"))
+        .agg(sum((col("a") * col("b")).cast("decimal(38,0)")).as("w"))
+        .collect()
+      val wArr = Array.fill(d)(0.0)
+      rows.foreach { r =>
+        wArr(r.getInt(0)) =
+          r.getDecimal(1).doubleValue / (KMEANS_GRID * KMEANS_GRID)
+      }
+      var ss = 0.0
+      var i = 0
+      while (i < d) { ss += wArr(i) * wArr(i); i += 1 }
+      val nrm = math.sqrt(ss)
+      if (nrm == 0.0) { lam = 0.0; it = PCA_ITERS }
+      else {
+        lam = nrm / n.toDouble
+        i = 0
+        while (i < d) { v(i) = snap(wArr(i) / nrm); i += 1 }
+        it += 1
+      }
+    }
+    (mean, v, lam, n)
+  }
+
+  /** (mean, axis, lam, n) per corpus, memoized behind the corpus
+    * file-stat fingerprint — the artifacts are session-free doubles,
+    * so [[BuildMemo]] (completed values reusable forever) rather than
+    * the persist-holding knnCache shape. */
+  private val pcaMemo =
+    new BuildMemo[(Array[Double], Array[Double], Double, Long)]()
+
+  private def pcaComponentFor(s: SparkSession, dir: String)
+      : (Array[Double], Array[Double], Double, Long) = {
+    val fp = IndexManifest.corpusFingerprint(dir, "embeddings")
+    pcaMemo.getOrBuild(s"$dir|$fp|pca", s.sparkContext) {
+      MemoBuilds.record("pca_power")
+      pcaPowerLoop(embeddings(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb")))
+    }
+  }
+
+  /** emb_pca_power — the corpus's principal axis: one row per
+    * dimension with the power-iteration loading and the shared
+    * top-eigenvalue estimate (variance captured along the axis).
+    * This is the embedding-tier whitening/drift primitive: the axis
+    * a curation pipeline uses to de-bias ("remove the dominant
+    * direction"), to whiten before cosine dedup, or to monitor for
+    * representation collapse (lam spiking toward the total variance
+    * means vectors are collapsing onto one line). Full recompute
+    * oracle: the whole K-round loop replays in one DuckDB recursive
+    * CTE ([[embPcaPowerSql]]) — state is one row per iteration with
+    * the axis as a LIST payload, same idiom as [[embKmeansSql]]. */
+  def embPcaPower(s: SparkSession, dir: String): DataFrame = {
+    val (_, v, lam, _) = pcaComponentFor(s, dir)
+    import s.implicits._
+    v.toSeq.zipWithIndex.map { case (x, i) => (i, x) }
+      .toDF("dim", "loading0")
+      .select(col("dim"),
+        round(col("loading0") + lit(1e-9), 6).as("loading"),
+        round(lit(lam) + lit(1e-9), 6).as("lam"))
+  }
+
+  /** emb_pca_project — every vector's coordinate along the corpus
+    * principal axis ([[embPcaPower]]'s memoized component): the
+    * 1-d projection used for range-partitioned layout (sort by
+    * score → neighbors co-locate), outlier triage at the tails, and
+    * PCA-whitened dedup. Zero-shuffle: the (mean, axis) pair is a
+    * driver literal and the projection is one codegen'd
+    * left-to-right fold per row. */
+  def embPcaProject(s: SparkSession, dir: String): DataFrame = {
+    val (mean, v, _, _) = pcaComponentFor(s, dir)
+    val d = v.length
+    val e = embeddings(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    if (d == 0)
+      return e.select(col("vec_id"), lit(0d).as("score")).limit(0)
+    val mLit = typedLit(mean.toSeq)
+    val vLit = typedLit(v.toSeq)
+    e.filter(size(col("emb")) === d)
+      .select(col("vec_id"),
+        round(aggregate(
+          zip_with(zip_with(col("emb"), mLit, (x, m) => x - m), vLit,
+            (c, w) => c * w),
+          lit(0d), (acc, x) => acc + x) + lit(1e-9), 6).as("score"))
+  }
+
+  /** Shared oracle CTEs: the deterministic power loop replayed as a
+    * recursive CTE — (it, v LIST, lam) state row, HUGEINT sums on the
+    * 2²⁴ grid mirroring [[pcaPowerLoop]] op-for-op. */
+  private def pcaSqlCtes: String =
+    """
+      |pe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |  FROM embeddings),
+      |pdim AS (SELECT max(len(emb)) AS d FROM pe),
+      |pee AS (SELECT vec_id, emb FROM pe
+      |  WHERE len(emb) = (SELECT d FROM pdim)),
+      |pn AS (SELECT count(*) AS n FROM pee),
+      |pmean AS (
+      |  SELECT idx, (CAST(sum(ve) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+      |      / 16777216.0 AS m
+      |  FROM (SELECT unnest(range(1, len(emb) + 1)) AS idx,
+      |          CAST(floor(unnest(emb) * 16777216.0 + 0.5) AS BIGINT) AS ve
+      |        FROM pee)
+      |  GROUP BY idx),
+      |pml AS (SELECT list(m ORDER BY idx) AS m FROM pmean),
+      |pst(it, v, lam) AS (
+      |  SELECT 0,
+      |    (SELECT list_transform(range(1, d + 1),
+      |       i -> floor((1.0 / sqrt(CAST(d AS DOUBLE))) * 16777216.0 + 0.5)
+      |            / 16777216.0) FROM pdim),
+      |    CAST(0.0 AS DOUBLE)
+      |  UNION ALL
+      |  SELECT it + 1,
+      |    CASE WHEN nrm = 0 THEN v
+      |         ELSE list_transform(wl, x ->
+      |           floor((x / nrm) * 16777216.0 + 0.5) / 16777216.0) END,
+      |    CASE WHEN nrm = 0 THEN 0.0
+      |         ELSE nrm / (SELECT CAST(n AS DOUBLE) FROM pn) END
+      |  FROM (
+      |    SELECT it, v, wl,
+      |      sqrt(list_reduce(list_prepend(0.0,
+      |        list_transform(wl, x -> x * x)), (a, x) -> a + x)) AS nrm
+      |    FROM (
+      |      SELECT any_value(it) AS it, any_value(v) AS v,
+      |        list(w ORDER BY idx) AS wl
+      |      FROM (
+      |        SELECT it, any_value(v) AS v, idx,
+      |          CAST(sum(a * b) AS DOUBLE)
+      |            / (16777216.0 * 16777216.0) AS w
+      |        FROM (
+      |          SELECT it, v,
+      |            CAST(floor(sdot * 16777216.0 + 0.5) AS BIGINT) AS a,
+      |            unnest(range(1, len(emb) + 1)) AS idx,
+      |            CAST(floor(unnest(list_transform(range(1, len(emb) + 1),
+      |              i -> emb[i] - m[i])) * 16777216.0 + 0.5) AS BIGINT) AS b
+      |          FROM (
+      |            SELECT s.it AS it, s.v AS v, e.emb AS emb, mm.m AS m,
+      |              list_reduce(list_prepend(0.0,
+      |                list_transform(range(1, len(e.emb) + 1),
+      |                  i -> (e.emb[i] - mm.m[i]) * s.v[i])),
+      |                (a, x) -> a + x) AS sdot
+      |            FROM pst s, pee e, pml mm
+      |            WHERE s.it < 10
+      |          )
+      |        ) GROUP BY it, idx
+      |      ) GROUP BY it
+      |    )
+      |  )
+      |),
+      |pfin AS (SELECT v, lam FROM pst ORDER BY it DESC LIMIT 1)""".stripMargin
+
+  val embPcaPowerSql: String =
+    s"""WITH RECURSIVE $pcaSqlCtes
+       |SELECT unnest(range(1, len(v) + 1)) - 1 AS dim,
+       |  round(unnest(v) + 1e-9, 6) AS loading,
+       |  round(lam + 1e-9, 6) AS lam
+       |FROM pfin""".stripMargin
+
+  val embPcaProjectSql: String =
+    s"""WITH RECURSIVE $pcaSqlCtes
+       |SELECT e.vec_id,
+       |  round(list_reduce(list_prepend(0.0,
+       |    list_transform(range(1, len(e.emb) + 1),
+       |      i -> (e.emb[i] - m.m[i]) * f.v[i])), (a, x) -> a + x)
+       |    + 1e-9, 6) AS score
+       |FROM pee e, pml m, pfin f""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_quantize_int8" -> (embQuantizeInt8 _),
     "emb_outliers" -> (embOutliers _),
@@ -3614,6 +3843,8 @@ object SimilarityQueries {
     "emb_kmeans" -> (embKmeans _),
     "emb_kmeans_assign" -> (embKmeansAssign _),
     "emb_cluster_card" -> (embClusterCard _),
+    "emb_pca_power" -> (embPcaPower _),
+    "emb_pca_project" -> (embPcaProject _),
     "sim_hybrid_rrf" -> (simHybridRrf _),
     "sim_hybrid_serve" -> (simHybridServe _),
     "sim_hybrid_serve_batch" -> (simHybridServeBatch _),
@@ -3643,6 +3874,8 @@ object SimilarityQueries {
     "emb_kmeans" -> embKmeansSql,
     "emb_kmeans_assign" -> embKmeansAssignSql,
     "emb_cluster_card" -> embClusterCardSql,
+    "emb_pca_power" -> embPcaPowerSql,
+    "emb_pca_project" -> embPcaProjectSql,
     "sim_ann_ivf" -> simAnnIvfSql,
     "sim_ann_ivf_indexed" -> simAnnIvfIndexedSql,
     "sim_ann_serve_batch" -> simAnnServeBatchSql,

@@ -1755,6 +1755,119 @@ object TextQueries {
       |LEFT JOIN d5 ON r2.doc_id = d5.doc_id
       |WHERE r2.rn = 1""".stripMargin
 
+  /** text_gopher_rules — the published Gopher (Rae et al. 2021,
+    * A1.1) document-quality RULE CARD, minus the repetition family
+    * (that's [[textRepetition]]): per doc the raw signals (word
+    * count, mean word length, alphabetic-word fraction, stopword
+    * hits, symbol-to-word ratio, bullet-line and ellipsis-line
+    * fractions) with each published threshold as an explicit boolean
+    * and the conjunctive keep verdict. The card shape — signals AND
+    * verdicts in one row — is what a curation pipeline audits and
+    * re-thresholds without recomputing the corpus pass.
+    *
+    * Scale design: pure row-local expressions (splits, filters,
+    * folds over the word list) — zero shuffle, codegen'd end to end,
+    * embarrassingly parallel at any corpus size. Every verdict
+    * compares UNROUNDED doubles whose arithmetic (exact integer
+    * counts cast to double, one division) is bit-identical in the
+    * oracle, so a threshold can never land between engines. */
+  private val GOPHER_STOPS =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def textGopherRules(s: SparkSession, dir: String): DataFrame =
+    gopherRulesFrom(documents(s, dir))
+
+  private[graft] def gopherRulesFrom(docs: DataFrame): DataFrame = {
+    val stopLit = typedLit(GOPHER_STOPS)
+    val d = docs
+      .select(col("doc_id"), col("text"),
+        split(col("text"), " ").as("ws"),
+        split(col("text"), "\n").as("ls"))
+    val nw = size(col("ws")).cast("double")
+    val mwl = aggregate(transform(col("ws"), w => length(w).cast("long")),
+      lit(0L), (acc, x) => acc + x).cast("double") / nw
+    val alphaFrac =
+      size(filter(col("ws"), w => w.rlike("[A-Za-z]"))).cast("double") / nw
+    val stopHits =
+      size(filter(col("ws"), w => array_contains(stopLit, w))).cast("long")
+    val symbolRatio =
+      ((length(col("text")) - length(regexp_replace(col("text"),
+          lit("#"), lit("")))).cast("double") +
+        (length(col("text")) - length(regexp_replace(col("text"),
+          lit("\\.\\.\\."), lit("")))).cast("double") / lit(3.0)) / nw
+    val nl = size(col("ls")).cast("double")
+    val bulletFrac = size(filter(col("ls"),
+      l => l.startsWith("- ") || l.startsWith("* ") ||
+        l.startsWith("•"))).cast("double") / nl
+    val ellipsisFrac = size(filter(col("ls"),
+      l => l.endsWith("...") || l.endsWith("…"))).cast("double") / nl
+    d.select(col("doc_id"), nw.cast("long").as("n_words"), mwl.as("mwl"),
+        alphaFrac.as("af"), stopHits.as("stop_hits"),
+        symbolRatio.as("sr"), bulletFrac.as("bf"), ellipsisFrac.as("ef"))
+      .select(
+        col("doc_id"), col("n_words"),
+        round(col("mwl") + lit(1e-9), 4).as("mean_word_len"),
+        round(col("af") + lit(1e-9), 4).as("alpha_frac"),
+        col("stop_hits"),
+        round(col("sr") + lit(1e-9), 4).as("symbol_ratio"),
+        round(col("bf") + lit(1e-9), 4).as("bullet_frac"),
+        round(col("ef") + lit(1e-9), 4).as("ellipsis_frac"),
+        (col("n_words") >= 50 && col("n_words") <= 100000).as("r_words"),
+        (col("mwl") >= 3.0 && col("mwl") <= 10.0).as("r_mean_len"),
+        (col("af") >= 0.8).as("r_alpha"),
+        (col("stop_hits") >= 2).as("r_stop"),
+        (col("sr") <= 0.1).as("r_symbol"),
+        (col("bf") <= 0.9).as("r_bullet"),
+        (col("ef") <= 0.3).as("r_ellipsis"),
+        (col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mwl") >= 3.0 && col("mwl") <= 10.0 &&
+          col("af") >= 0.8 && col("stop_hits") >= 2 &&
+          col("sr") <= 0.1 && col("bf") <= 0.9 &&
+          col("ef") <= 0.3).as("keep"))
+  }
+
+  val textGopherRulesSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS ws,
+      |    string_split(text, chr(10)) AS ls
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    len(ws) AS n_words,
+      |    CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE)
+      |      / len(ws) AS mwl,
+      |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+      |      AS DOUBLE) / len(ws) AS af,
+      |    len(list_filter(ws, w -> w IN
+      |      ('the','be','to','of','and','that','have','with'))) AS stop_hits,
+      |    (CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE)
+      |      + CAST(len(text) - len(replace(text, '...', '')) AS DOUBLE)
+      |        / 3.0) / len(ws) AS sr,
+      |    CAST(len(list_filter(ls, l -> starts_with(l, '- ')
+      |      OR starts_with(l, '* ') OR starts_with(l, chr(8226))))
+      |      AS DOUBLE) / len(ls) AS bf,
+      |    CAST(len(list_filter(ls, l -> ends_with(l, '...')
+      |      OR ends_with(l, chr(8230)))) AS DOUBLE) / len(ls) AS ef
+      |  FROM t)
+      |SELECT doc_id, n_words,
+      |  round(mwl + 1e-9, 4) AS mean_word_len,
+      |  round(af + 1e-9, 4) AS alpha_frac,
+      |  stop_hits,
+      |  round(sr + 1e-9, 4) AS symbol_ratio,
+      |  round(bf + 1e-9, 4) AS bullet_frac,
+      |  round(ef + 1e-9, 4) AS ellipsis_frac,
+      |  n_words BETWEEN 50 AND 100000 AS r_words,
+      |  mwl >= 3.0 AND mwl <= 10.0 AS r_mean_len,
+      |  af >= 0.8 AS r_alpha,
+      |  stop_hits >= 2 AS r_stop,
+      |  sr <= 0.1 AS r_symbol,
+      |  bf <= 0.9 AS r_bullet,
+      |  ef <= 0.3 AS r_ellipsis,
+      |  (n_words BETWEEN 50 AND 100000) AND mwl >= 3.0 AND mwl <= 10.0
+      |    AND af >= 0.8 AND stop_hits >= 2 AND sr <= 0.1 AND bf <= 0.9
+      |    AND ef <= 0.3 AS keep
+      |FROM s""".stripMargin
+
   /** text_chunk — fixed-size training chunks with overlap: every doc
     * split into CHUNK_W-word windows advancing by CHUNK_STRIDE (the
     * pre-tokenization step of an LLM training pipeline; the overlap
@@ -3007,6 +3120,376 @@ object TextQueries {
        |    AS tokens_per_word
        |FROM ndc JOIN agg a ON ndc.lang = a.lang""".stripMargin
 
+  // =================================================================
+  // text_unigram_train / text_unigram_encode — the OTHER production
+  // tokenizer family: a SentencePiece-style unigram language model
+  // (Kudo 2018), trained by Viterbi hard-EM over the corpus words.
+  // =================================================================
+
+  private[graft] val UNIGRAM_ROUNDS = 4
+  private[graft] val UNIGRAM_PMAX = 4
+  private[graft] val UNIGRAM_WMAX = 32
+  private[graft] val UNIGRAM_VOCAB_OUT = 32
+
+  /** The Viterbi kernel both training paths and the encoder share:
+    * best segmentation of one word under the current piece counts.
+    *
+    * Scoring runs in PRODUCT space on purpose: every operation is an
+    * IEEE double multiply or divide — no ln/exp anywhere — so the
+    * DuckDB oracle replays the loop bit-for-bit (transcendental
+    * functions are the one primitive whose last-ulp behavior the two
+    * engines do not share; products and quotients they do). The
+    * price is underflow at long inputs, paid with the documented
+    * UNIGRAM_WMAX cap: ≤32 pieces of probability ≥ 1/(Z+|V|) keep the
+    * running product ≥ ~1e-200, far above the double subnormal
+    * floor. prob(p) = (c_p + 1)/(Z + |V|) — add-one smoothing over
+    * the FIXED seed vocabulary, so a piece abandoned by one EM round
+    * can re-enter the next (and no path ever scores exactly 0).
+    * Candidates iterate i ascending (longest piece first) and replace
+    * only on STRICTLY greater score — the same total order as the
+    * oracle's min(struct(-score, i)). Tokens are code points, like
+    * the BPE trainer. */
+  private[graft] def unigramViterbiPath(
+      cps: Array[String], count: String => Long, d: Double)
+      : List[String] = {
+    val L = cps.length
+    val dpSc = new Array[Double](L + 1)
+    val dpPath = new Array[List[String]](L + 1)
+    dpSc(0) = 1.0
+    dpPath(0) = Nil
+    var j = 1
+    while (j <= L) {
+      var bestSc = -1.0
+      var bestI = -1
+      var i = math.max(0, j - UNIGRAM_PMAX)
+      while (i < j) {
+        val piece = cps.slice(i, j).mkString
+        val sc = dpSc(i) * ((count(piece) + 1L).toDouble / d)
+        if (sc > bestSc) { bestSc = sc; bestI = i }
+        i += 1
+      }
+      dpSc(j) = bestSc
+      dpPath(j) = cps.slice(bestI, j).mkString :: dpPath(bestI)
+      j += 1
+    }
+    dpPath(L).reverse
+  }
+
+  /** The hard-EM loop on a COLLECTED (word, cnt) table — the
+    * [[bpeTrainMergesDriver]] twin: seed counts are every ≤PMAX-cp
+    * substring weighted by word count; each round re-segments every
+    * distinct word with [[unigramViterbiPath]] under the previous
+    * round's counts and re-counts pieces along the winning paths
+    * (integers — the doubles only steer path choices). Flat driver
+    * CPU per round, no Spark jobs. */
+  private[graft] def unigramTrainDriver(
+      words0: Array[(String, Long)], rounds: Int): Array[(String, Long)] = {
+    val words = words0.map { case (w, c) =>
+      (w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))), c)
+    }
+    var counts = scala.collection.mutable.HashMap.empty[String, Long]
+    words.foreach { case (cps, c) =>
+      var i = 0
+      while (i < cps.length) {
+        var l = 1
+        while (l <= UNIGRAM_PMAX && i + l <= cps.length) {
+          val p = cps.slice(i, i + l).mkString
+          counts.update(p, counts.getOrElse(p, 0L) + c)
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val seed = counts.keys.toArray
+    var r = 0
+    while (r < rounds) {
+      val z = counts.valuesIterator.sum
+      val dd = (z + seed.length).toDouble
+      val prev = counts
+      val next = scala.collection.mutable.HashMap.empty[String, Long]
+      seed.foreach(p => next.update(p, 0L))
+      words.foreach { case (cps, c) =>
+        unigramViterbiPath(cps, p => prev.getOrElse(p, 0L), dd)
+          .foreach(p => next.update(p, next(p) + c))
+      }
+      counts = next
+      r += 1
+    }
+    seed.map(p => (p, counts(p)))
+  }
+
+  /** The unbounded-vocabulary fallback: the same EM with the
+    * re-segmentation distributed — each round broadcasts the
+    * vocab-bounded counts and runs ONE job (Viterbi per distinct
+    * word map-side, piece re-count as a hash aggregate). Identical
+    * arithmetic: the kernel is literally the same function. */
+  private[graft] def unigramTrainDistributed(
+      wc: DataFrame, rounds: Int): Array[(String, Long)] = {
+    val s = wc.sparkSession
+    val seedRows = wc.select(col("cnt"), explode(expr(
+      s"""flatten(transform(sequence(1, length(w)),
+         |  i -> transform(sequence(1, least($UNIGRAM_PMAX,
+         |                                   length(w) - i + 1)),
+         |    l -> substr(w, i, l))))""".stripMargin)).as("p"))
+      .groupBy(col("p")).agg(sum(col("cnt")).as("c"))
+      .collect()
+    var counts = seedRows.map(r => (r.getString(0), r.getLong(1)))
+    val seed = counts.map(_._1)
+    var r = 0
+    while (r < rounds) {
+      val z = counts.iterator.map(_._2).sum
+      val dd = (z + seed.length).toDouble
+      val bc = s.sparkContext.broadcast(counts.toMap)
+      val pathUdf = udf { w: String =>
+        val cps = w.codePoints().toArray
+          .map(cp => new String(Character.toChars(cp)))
+        unigramViterbiPath(cps, p => bc.value.getOrElse(p, 0L), dd)
+      }
+      val agg = wc.select(col("cnt"), explode(pathUdf(col("w"))).as("p"))
+        .groupBy(col("p")).agg(sum(col("cnt")).as("c"))
+        .collect().map(r2 => (r2.getString(0), r2.getLong(1))).toMap
+      counts = seed.map(p => (p, agg.getOrElse(p, 0L)))
+      r += 1
+    }
+    counts
+  }
+
+  /** Driver-gated dispatch, the [[bpeTrainMergesFrom]] idiom: the
+    * distinct-word table collects under the same DRIVER_BPE_MAX cap
+    * and the EM runs driver-locally (zero jobs per round); above the
+    * cap the distributed loop runs unchanged. Words longer than
+    * UNIGRAM_WMAX code points are excluded from TRAINING (the
+    * product-space underflow guard — production trainers length-cap
+    * their sentences the same way); the encoder still counts them
+    * (code-point fallback). Returns the final counts over the full
+    * seed vocabulary. */
+  private[graft] def unigramTrainFrom(
+      d: DataFrame,
+      rounds: Int = UNIGRAM_ROUNDS,
+      driverMax: Long = DRIVER_BPE_MAX): Array[(String, Long)] = {
+    val wc = d.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0 &&
+        length(col("w")) <= UNIGRAM_WMAX)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    if (driverMax > 0) {
+      val cap = math.min(driverMax, (Int.MaxValue - 2).toLong).toInt
+      val head = wc.limit(cap + 1).collect()
+      if (head.length <= cap)
+        return unigramTrainDriver(
+          head.map(r => (r.getString(0), r.getLong(1))), rounds)
+    }
+    unigramTrainDistributed(wc, rounds)
+  }
+
+  /** Final unigram model per (JVM, corpus fingerprint) — session-free
+    * driver data, so [[BuildMemo]]; shared by the train report and
+    * the encoder. */
+  private val unigramMemo =
+    new graft.operators.BuildMemo[Array[(String, Long)]]()
+
+  private def unigramModelFor(
+      s: SparkSession, dir: String): Array[(String, Long)] = {
+    val fp = graft.operators.IndexManifest.corpusFingerprint(dir, "documents")
+    unigramMemo.getOrBuild(s"$dir|$fp|unigram", s.sparkContext) {
+      MemoBuilds.record("unigram_model")
+      unigramTrainFrom(documents(s, dir))
+    }
+  }
+
+  /** text_unigram_train — the trained unigram tokenizer VOCABULARY:
+    * top-32 pieces by final hard-EM count (ties break on the piece's
+    * UTF-8 binary order, Spark's non-collated sort). Integer counts
+    * and strings only — the Viterbi doubles steer path choices but
+    * never reach the output. Full recompute oracle: the whole
+    * R-round EM (seed → Viterbi re-segmentation → re-count) replays
+    * in ONE DuckDB recursive CTE ([[textUnigramTrainSql]]) whose
+    * state row is (round, position, counts LIST, per-word DP LIST) —
+    * the DP advances one position per recursion step and a harvest
+    * step re-counts, so the loop nest flattens into (R+1)·(maxlen+1)
+    * linear steps. */
+  def textUnigramTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val top = unigramModelFor(s, dir)
+      .sortWith { case ((pa, ca), (pb, cb)) =>
+        ca > cb || (ca == cb && utf8Lt(pa, pb)) }
+      .take(UNIGRAM_VOCAB_OUT).zipWithIndex
+      .map { case ((p, c), i) => (i + 1, p, c) }
+    top.toSeq.toDF("rank", "piece", "cnt")
+  }
+
+  /** text_unigram_encode — the apply half: every document's words
+    * segmented with the trained model (one more Viterbi sweep under
+    * the FINAL counts), reported as tokens per language. Scale shape:
+    * the model is a broadcast map and the Viterbi runs once per
+    * DISTINCT (lang, word) — the corpus-size term is one word-count
+    * aggregate. Words over the WMAX training cap count as code
+    * points (the byte-fallback analog, documented above). */
+  def textUnigramEncode(s: SparkSession, dir: String): DataFrame = {
+    val m = unigramModelFor(s, dir)
+    val z = m.iterator.map(_._2).sum
+    val dd = (z + m.length).toDouble
+    val bc = s.sparkContext.broadcast(m.toMap)
+    val tokUdf = udf { w: String =>
+      val nCp = w.codePointCount(0, w.length)
+      if (nCp > UNIGRAM_WMAX) nCp.toLong
+      else {
+        val cps = w.codePoints().toArray
+          .map(cp => new String(Character.toChars(cp)))
+        unigramViterbiPath(cps, p => bc.value.getOrElse(p, 0L), dd)
+          .length.toLong
+      }
+    }
+    documents(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("lang"), (col("cnt") * tokUdf(col("w"))).as("t"))
+      .groupBy(col("lang")).agg(sum(col("t")).as("n_tokens"))
+  }
+
+  /** The EM state machine as shared oracle CTEs. State is ONE row
+    * (rnd, pos, cl, ws): cl = the piece counts, ws = per-word DP
+    * prefixes (score + path, product-space doubles — see the kernel
+    * scaladoc for why no ln appears). pos < maxlen ⇒ a DP-advance
+    * step (each word's best candidate over the ≤PMAX predecessor
+    * positions, argmax = min(struct(-score, i)) exactly mirroring
+    * the kernel's strict-> / first-i rule); pos = maxlen ⇒ a harvest
+    * step (paths re-counted into cl, DP reset). Every computation
+    * flows BOTTOM-UP through derived tables off the single recursive
+    * reference — DuckDB rejects depth>1 correlated subqueries — and
+    * the two global regroups carry HAVING count(*) > 0 so a filtered
+    * final state terminates the recursion instead of looping a NULL
+    * row forever. */
+  private def unigramSqlCtes(rounds: Int): String =
+    s"""uw AS (
+       |  SELECT t.w AS w, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+       |  WHERE len(t.w) > 0 AND len(t.w) <= $UNIGRAM_WMAX
+       |  GROUP BY t.w),
+       |uml AS (SELECT coalesce(max(len(w)), 0) AS ml FROM uw),
+       |useed AS (
+       |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS c
+       |  FROM (
+       |    SELECT substr(w, g.i, h.l) AS piece, cnt
+       |    FROM uw,
+       |      unnest(generate_series(1, len(w))) AS g(i),
+       |      unnest(generate_series(1, $UNIGRAM_PMAX)) AS h(l)
+       |    WHERE g.i + h.l - 1 <= len(w))
+       |  GROUP BY piece),
+       |ust(rnd, pos, cl, ws) AS (
+       |  SELECT 0, 0,
+       |    (SELECT list(struct_pack(p := piece, c := c) ORDER BY piece)
+       |     FROM useed),
+       |    (SELECT list(struct_pack(w := w, cnt := cnt,
+       |        dp := [struct_pack(sc := CAST(1.0 AS DOUBLE),
+       |                           path := CAST([] AS VARCHAR[]))])
+       |        ORDER BY w)
+       |     FROM uw)
+       |  UNION ALL
+       |  SELECT
+       |    CASE WHEN pos < ml THEN rnd ELSE rnd + 1 END,
+       |    CASE WHEN pos < ml THEN pos + 1 ELSE 0 END,
+       |    CASE WHEN pos < ml THEN cl ELSE cl2 END,
+       |    ws2
+       |  FROM (
+       |    SELECT any_value(rnd) AS rnd, any_value(pos) AS pos,
+       |      any_value(ml) AS ml, any_value(cl) AS cl,
+       |      any_value(ws2) AS ws2,
+       |      list(struct_pack(p := pp, c := pc) ORDER BY pp) AS cl2
+       |    FROM (
+       |      SELECT l4.rnd AS rnd, l4.pos AS pos, l4.ml AS ml,
+       |        l4.cl AS cl, l4.ws2 AS ws2, cp.x.p AS pp,
+       |        CAST(coalesce(list_sum(list_transform(
+       |          list_filter(l4.pairs, e -> e.pc = cp.x.p), e -> e.n)), 0)
+       |          AS BIGINT) AS pc
+       |      FROM (
+       |        SELECT any_value(rnd) AS rnd, any_value(pos) AS pos,
+       |          any_value(ml) AS ml, any_value(cl) AS cl,
+       |          list(struct_pack(w := w, cnt := cnt, dp := dp2)
+       |            ORDER BY w) AS ws2,
+       |          flatten(list(hp)) AS pairs
+       |        FROM (
+       |          SELECT any_value(rnd) AS rnd, any_value(pos) AS pos,
+       |            any_value(ml) AS ml, any_value(cl) AS cl,
+       |            w, any_value(cnt) AS cnt,
+       |            CASE
+       |              WHEN any_value(pos) = any_value(ml) THEN
+       |                [struct_pack(sc := CAST(1.0 AS DOUBLE),
+       |                             path := CAST([] AS VARCHAR[]))]
+       |              WHEN len(w) >= any_value(pos) + 1 THEN
+       |                any_value(dp) || [struct_pack(
+       |                  sc := -((min(cand) FILTER (WHERE cand IS NOT NULL)).ns),
+       |                  path := (min(cand) FILTER (WHERE cand IS NOT NULL)).path)]
+       |              ELSE any_value(dp)
+       |            END AS dp2,
+       |            CASE WHEN any_value(pos) = any_value(ml) THEN
+       |              list_transform(any_value(dp)[len(w) + 1].path,
+       |                q -> struct_pack(pc := q, n := any_value(cnt)))
+       |            ELSE CAST([] AS STRUCT(pc VARCHAR, n BIGINT)[]) END AS hp
+       |          FROM (
+       |            SELECT l1.rnd AS rnd, l1.pos AS pos, l1.ml AS ml,
+       |              l1.cl AS cl, l1.w AS w, l1.cnt AS cnt, l1.dp AS dp,
+       |              CASE WHEN l1.pos < l1.ml AND len(l1.w) >= l1.pos + 1
+       |                   AND cc.x.p =
+       |                     substr(l1.w, ii.i + 1, l1.pos + 1 - ii.i)
+       |              THEN struct_pack(
+       |                ns := -(l1.dp[ii.i + 1].sc *
+       |                  (CAST(cc.x.c + 1 AS DOUBLE) / l1.dd)),
+       |                i := ii.i,
+       |                path := l1.dp[ii.i + 1].path ||
+       |                  [substr(l1.w, ii.i + 1, l1.pos + 1 - ii.i)])
+       |              ELSE NULL END AS cand
+       |            FROM (
+       |              SELECT s.rnd AS rnd, s.pos AS pos, m.ml AS ml,
+       |                s.cl AS cl,
+       |                CAST(list_sum(list_transform(s.cl, y -> y.c))
+       |                  + len(s.cl) AS DOUBLE) AS dd,
+       |                u.x.w AS w, u.x.cnt AS cnt, u.x.dp AS dp
+       |              FROM (SELECT * FROM ust WHERE rnd < $rounds) s, uml m,
+       |                unnest(s.ws) u(x)
+       |            ) l1,
+       |            unnest(generate_series(
+       |              greatest(l1.pos + 1 - $UNIGRAM_PMAX, 0),
+       |              l1.pos)) AS ii(i),
+       |            unnest(l1.cl) cc(x)
+       |          ) GROUP BY w
+       |        ) GROUP BY () HAVING count(*) > 0
+       |      ) l4, unnest(l4.cl) cp(x)
+       |    ) GROUP BY () HAVING count(*) > 0
+       |  ))""".stripMargin
+
+  val textUnigramTrainSql: String =
+    s"""WITH RECURSIVE ${unigramSqlCtes(UNIGRAM_ROUNDS)},
+       |ufin AS (SELECT cl FROM ust WHERE rnd IS NOT NULL
+       |  ORDER BY rnd DESC, pos DESC LIMIT 1)
+       |SELECT rank, piece, cnt FROM (
+       |  SELECT CAST(row_number() OVER (ORDER BY u.x.c DESC, u.x.p ASC)
+       |      AS INT) AS rank,
+       |    u.x.p AS piece, u.x.c AS cnt
+       |  FROM ufin, unnest(ufin.cl) u(x)) r
+       |WHERE rank <= $UNIGRAM_VOCAB_OUT ORDER BY rank""".stripMargin
+
+  /** text_unigram_encode oracle: the trainer state machine run ONE
+    * extra round (its advance sweep segments every word under the
+    * FINAL counts); token counts join back to per-(lang, word)
+    * multiplicities, >WMAX words counted as code points. */
+  val textUnigramEncodeSql: String =
+    s"""WITH RECURSIVE ${unigramSqlCtes(UNIGRAM_ROUNDS + 1)},
+       |uenc AS (SELECT ws FROM ust WHERE rnd = $UNIGRAM_ROUNDS
+       |  ORDER BY pos DESC LIMIT 1),
+       |utok AS (SELECT u.x.w AS w,
+       |    CAST(len(u.x.dp[len(u.x.w) + 1].path) AS BIGINT) AS toks
+       |  FROM uenc, unnest(uenc.ws) u(x)),
+       |uwl AS (SELECT lang, t.w AS w, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+       |  WHERE len(t.w) > 0 GROUP BY lang, t.w)
+       |SELECT uwl.lang,
+       |  CAST(sum(uwl.cnt * CASE WHEN len(uwl.w) > $UNIGRAM_WMAX
+       |    THEN len(uwl.w) ELSE ut.toks END) AS BIGINT) AS n_tokens
+       |FROM uwl LEFT JOIN utok ut ON ut.w = uwl.w
+       |GROUP BY uwl.lang""".stripMargin
+
   /** Interpolation weight of the bigram term in text_bigram_logprob:
     * score = avg log(λ·P(b|a) + (1−λ)·P(b)) — Jelinek-Mercer
     * smoothing, the unigram back-off keeping unseen-context pairs
@@ -3300,6 +3783,8 @@ object TextQueries {
     "text_bpe_pairs" -> (textBpePairs _),
     "text_bpe_encode" -> (textBpeEncode _),
     "text_bpe_train" -> (textBpeTrain _),
+    "text_unigram_train" -> (textUnigramTrain _),
+    "text_unigram_encode" -> (textUnigramEncode _),
     "text_bpe_encode_trained" -> (textBpeEncodeTrained _),
     "text_bigram_logprob" -> (textBigramLogprob _),
     "text_ppl_filter" -> (textPplFilter _),
@@ -3317,6 +3802,7 @@ object TextQueries {
     "text_unigram_logprob" -> (textUnigramLogprob _),
     "text_chunk" -> (textChunk _),
     "text_repetition" -> (textRepetition _),
+    "text_gopher_rules" -> (textGopherRules _),
     "text_token_count" -> (textTokenCount _),
     "text_quality_filter" -> (textQualityFilter _),
     "text_pii_scrub" -> (textPiiScrub _),
@@ -3344,6 +3830,8 @@ object TextQueries {
     "text_bpe_pairs" -> textBpePairsSql,
     "text_bpe_encode" -> textBpeEncodeSql,
     "text_bpe_train" -> textBpeTrainSql,
+    "text_unigram_train" -> textUnigramTrainSql,
+    "text_unigram_encode" -> textUnigramEncodeSql,
     "text_bpe_encode_trained" -> textBpeEncodeTrainedSql,
     "text_bigram_logprob" -> textBigramLogprobSql,
     "text_ppl_filter" -> textPplFilterSql,
@@ -3361,6 +3849,7 @@ object TextQueries {
     "text_unigram_logprob" -> textUnigramLogprobSql,
     "text_chunk" -> textChunkSql,
     "text_repetition" -> textRepetitionSql,
+    "text_gopher_rules" -> textGopherRulesSql,
     "text_token_count" -> textTokenCountSql,
     "text_quality_filter" -> textQualityFilterSql,
     "text_pii_scrub" -> textPiiScrubSql,

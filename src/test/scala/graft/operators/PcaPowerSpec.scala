@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** emb_pca_power / emb_pca_project: the fixed-point power-iteration
+  * principal axis. Pins (1) recovery of a planted dominant axis,
+  * (2) exact partition-invariance (the 2²⁴-grid integer sums make
+  * task order immaterial — bit-equality, not tolerance), (3) a
+  * plain-Scala replay of the documented arithmetic matching the
+  * distributed loop bit-for-bit (the same contract the DuckDB oracle
+  * relies on), (4) ragged-row exclusion and empty-input degeneracy,
+  * and (5) the fixture-facing qid shapes. */
+class PcaPowerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val G = 16777216.0
+
+  private def axis(d: Int): Array[Double] = {
+    val raw = Array.tabulate(d)(j => 1.0 + (j % 4) - (if (j % 3 == 0) 2.5 else 0.0))
+    val n = math.sqrt(raw.map(x => x * x).sum)
+    raw.map(_ / n)
+  }
+
+  /** Deterministic anisotropic cloud: t·u + small structured noise. */
+  private def planted(d: Int, n: Int): Seq[(Long, Seq[Double])] = {
+    val u = axis(d)
+    (0 until n).map { i =>
+      val t = ((i % 21) - 10).toDouble          // dominant coordinate
+      val row = Array.tabulate(d) { j =>
+        t * u(j) + 0.05 * (((i * 31 + j * 17) % 13) - 6).toDouble / 13.0
+      }
+      (i.toLong, row.toSeq)
+    }
+  }
+
+  private def df(rows: Seq[(Long, Seq[Double])]) =
+    rows.toDF("vec_id", "emb")
+
+  test("recovers a planted dominant axis (|cos| > 0.99) and lam " +
+      "approximates the variance along it") {
+    val d = 8
+    val rows = planted(d, 210)
+    val (_, v, lam, n) = SimilarityQueries.pcaPowerLoop(df(rows))
+    assert(n == 210L)
+    val u = axis(d)
+    val cos = v.zip(u).map { case (a, b) => a * b }.sum /
+      math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(cos) > 0.99, s"axis not recovered: cos=$cos")
+    // empirical variance of the projection onto u (biased, /n) — the
+    // eigenvalue lam estimates exactly this quantity
+    val proj = rows.map(_._2.zip(u).map { case (a, b) => a * b }.sum)
+    val mu = proj.sum / proj.size
+    val varU = proj.map(p => (p - mu) * (p - mu)).sum / proj.size
+    assert(math.abs(lam - varU) / varU < 0.05,
+      s"lam=$lam vs planted-axis variance $varU")
+    val nrm = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(nrm - 1.0) < 1e-5, s"axis norm $nrm")
+  }
+
+  test("partitioning cannot move a unit: repartition(13) == coalesce(1), " +
+      "bit-for-bit") {
+    val rows = planted(6, 97)
+    val a = SimilarityQueries.pcaPowerLoop(df(rows).repartition(13))
+    val b = SimilarityQueries.pcaPowerLoop(df(rows).coalesce(1))
+    assert(a._1.toSeq == b._1.toSeq, "mean moved with partitioning")
+    assert(a._2.toSeq == b._2.toSeq, "axis moved with partitioning")
+    assert(a._3 == b._3 && a._4 == b._4)
+  }
+
+  test("plain-Scala replay of the documented arithmetic is " +
+      "bit-identical (the oracle's contract)") {
+    val d = 5
+    val rows = planted(d, 83)
+    val (mean, v, lam, _) = SimilarityQueries.pcaPowerLoop(df(rows))
+
+    // reference: same grid, same fold orders, exact integer sums
+    val xs = rows.map(_._2.toArray)
+    val n = xs.size
+    val meanRef = Array.tabulate(d) { j =>
+      val sv = xs.map(x => BigInt(math.floor(x(j) * G + 0.5).toLong)).sum
+      (new java.math.BigDecimal(sv.bigInteger).doubleValue / n.toDouble) / G
+    }
+    assert(mean.toSeq == meanRef.toSeq, "mean mismatch")
+    val snap = (x: Double) => math.floor(x * G + 0.5) / G
+    var vr = Array.fill(d)(snap(1.0 / math.sqrt(d.toDouble)))
+    var lamRef = 0.0
+    for (_ <- 0 until 10) {
+      val w = Array.fill(d)(BigInt(0))
+      xs.foreach { x =>
+        var s = 0.0
+        var j = 0
+        while (j < d) { s += (x(j) - meanRef(j)) * vr(j); j += 1 }
+        val a = math.floor(s * G + 0.5).toLong
+        j = 0
+        while (j < d) {
+          val b = math.floor((x(j) - meanRef(j)) * G + 0.5).toLong
+          w(j) += BigInt(a * b)
+          j += 1
+        }
+      }
+      val wd = w.map(big =>
+        new java.math.BigDecimal(big.bigInteger).doubleValue / (G * G))
+      var ss = 0.0
+      var j = 0
+      while (j < d) { ss += wd(j) * wd(j); j += 1 }
+      val nrm = math.sqrt(ss)
+      lamRef = nrm / n.toDouble
+      vr = wd.map(x => snap(x / nrm))
+    }
+    assert(v.toSeq == vr.toSeq, "axis mismatch vs reference replay")
+    assert(lam == lamRef, s"lam mismatch: $lam vs $lamRef")
+  }
+
+  test("ragged rows (length != corpus max) are excluded; empty input " +
+      "degrades to empty artifacts") {
+    val base = planted(6, 50)
+    val ragged = base :+ (999L, Seq(1.0, 2.0, 3.0)) // shorter row
+    val a = SimilarityQueries.pcaPowerLoop(df(base))
+    val b = SimilarityQueries.pcaPowerLoop(df(ragged))
+    assert(a._2.toSeq == b._2.toSeq && a._3 == b._3 && a._4 == b._4,
+      "short ragged row must not participate")
+    val (m0, v0, l0, n0) = SimilarityQueries.pcaPowerLoop(
+      df(Seq.empty[(Long, Seq[Double])]))
+    assert(m0.isEmpty && v0.isEmpty && l0 == 0.0 && n0 == 0L)
+  }
+
+  test("qid shapes on the fixture: d loading rows with unit norm; one " +
+      "projection row per modal-length vector") {
+    val power = SimilarityQueries.embPcaPower(spark, sf).collect()
+    assert(power.length == 64, s"expected 64 dims, got ${power.length}")
+    val nrm = math.sqrt(power.map(r => {
+      val x = r.getDouble(1); x * x
+    }).sum)
+    assert(math.abs(nrm - 1.0) < 1e-3, s"loading norm $nrm")
+    val lams = power.map(_.getDouble(2)).distinct
+    assert(lams.length == 1 && lams(0) > 0.0, "lam must be shared and > 0")
+    val proj = SimilarityQueries.embPcaProject(spark, sf)
+    val nVecs = graft.Tables.embeddings(spark, sf)
+      .filter(size(col("embedding")) === 64).count()
+    assert(proj.count() == nVecs)
+    // projections must actually spread (the axis is informative)
+    assert(proj.select(countDistinct(col("score"))).first().getLong(0) > 10)
+  }
+}
