@@ -146,4 +146,47 @@ class MemoCachesSpec extends SparkSpec {
     assert(s2.map(_._2).sum == 20L,
       s"regenerated corpus (20 vectors) not reflected: $s2")
   }
+
+  // ── the BuildMemo-backed caches added after the registry landed:
+  //    unigramMemo and pcaMemo key on the corpus fingerprint, so
+  //    regeneration must be a NEW key, never a stale hit ──
+
+  test("unigramMemo: unchanged corpus is a memo hit; in-place " +
+      "regeneration retrains on the new text") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("unimemo").toString
+    writeDocs(dir, Seq((1L, "ab ab abc"), (2L, "bc ab")))
+    val v1 = TextQueries.textUnigramTrain(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(v1.exists(x => x._2 == "ab" && x._3 == 3L),
+      s"expected ab=3 in $v1")
+    val v1Again = TextQueries.textUnigramTrain(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(v1 == v1Again, "memo hit must replay the vocabulary")
+    writeDocs(dir, Seq((1L, "xy xy xyz"), (2L, "yz xy")))
+    val v2 = TextQueries.textUnigramTrain(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(v2.exists(x => x._2 == "xy" && x._3 == 3L),
+      s"stale vocabulary served after regeneration: $v2")
+    assert(!v2.exists(x => x._2.contains("a") && x._3 > 0L))
+  }
+
+  test("pcaMemo: in-place regeneration re-derives the axis on the " +
+      "NEW vectors; unchanged corpus replays the memoized component") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("pcamemo").toString
+    writeEmb(dir, 0L to 31L, shift = 1.0f)
+    val p1 = SimilarityQueries.embPcaPower(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val p1Again = SimilarityQueries.embPcaPower(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(p1 == p1Again, "memo hit must be bit-stable")
+    assert(p1.length == 3, s"3-dim fixture: $p1")
+    writeEmb(dir, 100L to 119L, shift = -9.0f)
+    val p2 = SimilarityQueries.embPcaPower(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(p2.length == 3 && p2 != p1,
+      "regenerated corpus must re-derive the axis (different shift " +
+        "⇒ different mean/axis)")
+  }
 }
