@@ -691,9 +691,100 @@ object RelationalQueries {
       |  FROM events GROUP BY event_type, user_id) t
       |WHERE rk <= 5""".stripMargin
 
+  // ── agg_count_min — the mergeable Count-Min sketch ──
+
+  private val CMS_D = 4
+  private val CMS_W = 256
+  private val CMS_SALT = 0x9E3779B97F4A7C15L
+
+  /** agg_count_min — per-key frequency estimation through a
+    * MERGEABLE Count-Min sketch, completing the sketch tier next to
+    * HLL (distinct), Misra-Gries (top-k) and DDSketch (quantiles):
+    * D=4 hash rows × W=256 counters built in ONE map-side-combining
+    * aggregate (the shuffle carries ≤ D·W rows per partition, never
+    * one row per distinct key), then the top-10 exact users probed
+    * against it — output (rk, user_id, n_exact, n_est, overcount)
+    * with the CMS guarantee n_est ≥ n_exact explicit in the last
+    * column. Counters are ADDITIVE (unlike HLL's max-merge), so
+    * per-partition/per-day sketches roll up by element-wise sum — the
+    * 100 TB ledger shape; mergeability is spec-pinned (disjoint
+    * halves sum to the full build). Hashes are Spark's codegen'd
+    * xxhash64 over user_id XOR a per-row salt, wrap-exact in the
+    * Scala literal and replayed bit-for-bit by the oracle's HUGEINT
+    * xxhash64 mirror; W is a power of two so the unsigned mod equals
+    * the signed low-bits mask both engines compute. All integers —
+    * full exact recompute oracle. */
+  def aggCountMin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"))
+    val regs = cmsRegisters(ev)
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id")).limit(10)
+    val probed = exact
+      .select(col("user_id"), col("n_exact"),
+        posexplode(cmsBuckets(col("user_id"))).as(Seq("d", "bucket")))
+    probed
+      .join(broadcast(regs), Seq("d", "bucket"))
+      .groupBy(col("user_id"))
+      .agg(max(col("n_exact")).as("n_exact"), min(col("cnt")).as("n_est"))
+      .select(col("user_id"), col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overcount"))
+  }
+
+  /** The D bucket ids of one key, as an array column — shared by the
+    * build and probe sides so they can never disagree. */
+  private[graft] def cmsBuckets(
+      key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array((0 until CMS_D).map { d =>
+      xxhash64(key.bitwiseXOR(lit(d.toLong * CMS_SALT)))
+        .bitwiseAND(lit((CMS_W - 1).toLong))
+    }: _*)
+
+  /** The (d, bucket) → count register table: one hash aggregate over
+    * the D-fold explode; ≤ D·W result rows at any input size. */
+  private[graft] def cmsRegisters(keyed: DataFrame): DataFrame =
+    keyed
+      .select(posexplode(cmsBuckets(col("user_id"))).as(Seq("d", "bucket")))
+      .groupBy(col("d"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  val aggCountMinSql: String = {
+    val M = "18446744073709551616::HUGEINT"
+    // (d * CMS_SALT) mod 2^64 as unsigned literals
+    val salts = (0 until CMS_D).map { d =>
+      (BigInt(d) * BigInt("11400714819323198485")).mod(BigInt(1) << 64)
+    }
+    val saltList = salts.mkString("[", "::HUGEINT, ", "::HUGEINT]")
+    val uns = s"(CASE WHEN user_id < 0 THEN user_id::HUGEINT + $M " +
+      "ELSE user_id::HUGEINT END)"
+    val h = SimilarityQueries.xxhash64Sql(
+      s"xor($uns, $saltList[dd.d + 1])")
+    s"""WITH ev AS (SELECT user_id FROM events),
+       |bk AS (
+       |  SELECT user_id, dd.d AS d,
+       |    CAST($h % 256::HUGEINT AS BIGINT) AS bucket
+       |  FROM ev, unnest(generate_series(0, ${CMS_D - 1})) AS dd(d)),
+       |regs AS (
+       |  SELECT d, bucket, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM bk GROUP BY d, bucket),
+       |exact AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+       |  FROM ev GROUP BY user_id
+       |  ORDER BY n_exact DESC, user_id LIMIT 10),
+       |est AS (
+       |  SELECT b.user_id, min(r.cnt) AS n_est
+       |  FROM (SELECT DISTINCT user_id, d, bucket FROM bk
+       |        WHERE user_id IN (SELECT user_id FROM exact)) b
+       |  JOIN regs r ON r.d = b.d AND r.bucket = b.bucket
+       |  GROUP BY b.user_id)
+       |SELECT e.user_id, e.n_exact, s.n_est,
+       |  s.n_est - e.n_exact AS overcount
+       |FROM exact e JOIN est s ON s.user_id = e.user_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
     "agg_heavy_hitters" -> (aggHeavyHitters _),
+    "agg_count_min" -> (aggCountMin _),
     "src_parallelize" -> (srcParallelize _),
     "src_time_grid" -> (srcTimeGrid _),
     "src_drop_missing" -> (srcDropMissing _),
@@ -725,6 +816,7 @@ object RelationalQueries {
   def oracle: Map[String, String] = Map(
     "q1_pricing" -> q1PricingSql,
     "agg_heavy_hitters" -> aggHeavyHittersSql,
+    "agg_count_min" -> aggCountMinSql,
     "src_parallelize" -> srcParallelizeSql,
     "src_time_grid" -> srcTimeGridSql,
     "src_drop_missing" -> srcDropMissingSql,

@@ -1320,7 +1320,7 @@ object SimilarityQueries {
     * DedupQueries.mix64Sql). Validated bit-for-bit against
     * org.apache.spark.sql.functions.xxhash64 across sign/magnitude
     * edge cases. `x` must already be a HUGEINT in [0, 2⁶⁴). */
-  private def xxhash64Sql(x: String): String = {
+  private[operators] def xxhash64Sql(x: String): String = {
     val M = "18446744073709551616::HUGEINT"
     def mulmod(y: String, c: BigInt): String = {
       val hi = c >> 32
