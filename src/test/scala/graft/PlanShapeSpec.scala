@@ -368,4 +368,36 @@ class PlanShapeSpec extends SparkSpec {
         s"partial aggregation expected:\n$p")
     }
   }
+
+  test("PCA projection is zero-shuffle: broadcast-literal fold, " +
+      "no Exchange, schema pruned to the embedding") {
+    val p = plan(SimilarityQueries.embPcaProject(spark, sf))
+    assert(!p.contains("Exchange"),
+      s"projection must be a map-only pass:\n$p")
+    assert(!p.contains("label"),
+      "unused embedding columns must be pruned from the scan")
+  }
+
+  test("Gopher rule card is one map-only pass over the documents scan") {
+    val p = plan(TextQueries.textGopherRules(spark, sf))
+    assert(!p.contains("Exchange"),
+      s"row-local rule card must not shuffle:\n$p")
+    // higher-order-function projections (aggregate/filter lambdas)
+    // sit outside whole-stage codegen by Spark design — the pin here
+    // is the SCAN shape: only (doc_id, text) read, nothing else
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must be pruned to (doc_id, text):\n$p")
+  }
+
+  test("count-min build shuffles only the D*W-bounded register " +
+      "aggregate with a map-side partial") {
+    import org.apache.spark.sql.functions.col
+    val regs = RelationalQueries.cmsRegisters(
+      graft.Tables.events(spark, sf).select(col("user_id")))
+    val p = plan(regs)
+    assert(p.contains("HashAggregate"), s"hash agg expected:\n$p")
+    // exactly one exchange: the partial->final register aggregation
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"register build must shuffle exactly once:\n$p")
+  }
 }
