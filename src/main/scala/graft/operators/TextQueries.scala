@@ -3490,6 +3490,112 @@ object TextQueries {
        |FROM uwl LEFT JOIN utok ut ON ut.w = uwl.w
        |GROUP BY uwl.lang""".stripMargin
 
+  // ── snk_tokenizer_model — the persisted tokenizer artifact ──
+
+  private val tokModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def buildTokenizerModel(
+      s: SparkSession, dir: String): String = {
+    val fp = graft.operators.IndexManifest.corpusFingerprint(dir, "documents")
+    tokModelCache.computeIfAbsent(s"$dir|$fp", { _ =>
+      MemoBuilds.record("tokenizer_model")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-tokmodel").toString
+      IndexManifest.registerTempRoot(root)
+      buildTokenizerModelAt(s, dir, root)
+    })
+  }
+
+  /** Write BOTH trained tokenizers (the BPE merge list and the
+    * unigram-LM vocabulary) into a CALLER-CHOSEN durable root and
+    * stamp it with a manifest — the production deployment contract
+    * for tokenizer models: train once on the corpus snapshot, version
+    * the artifact, serve everywhere. The manifest carries the corpus
+    * fingerprint and every training constant a consumer's encode path
+    * depends on; it lands LAST, so its presence marks a completed
+    * build (the index-root discipline). */
+  def buildTokenizerModelAt(
+      s: SparkSession, dir: String, root: String): String = {
+    import s.implicits._
+    val fp = graft.operators.IndexManifest.corpusFingerprint(dir, "documents")
+    bpeTrainMergesFor(s, dir)
+      .toDF("round", "pair_a", "pair_b", "cnt")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/merges")
+    unigramModelFor(s, dir).toSeq
+      .toDF("piece", "cnt")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/unigram")
+    IndexManifest.write(root, "tokenizer", Map(
+      "bpe_rounds" -> BPE_TRAIN_ROUNDS.toString,
+      "unigram_rounds" -> UNIGRAM_ROUNDS.toString,
+      "unigram_pmax" -> UNIGRAM_PMAX.toString,
+      "unigram_wmax" -> UNIGRAM_WMAX.toString,
+      "corpus" -> dir,
+      "corpus_fingerprint" -> fp))
+    root
+  }
+
+  /** Reopen a durable tokenizer root — possibly from another session.
+    * Verifies kind + the training constants (an encode path built for
+    * other PMAX/WMAX would silently mis-tokenize), and REFUSES a
+    * model whose corpus fingerprint no longer matches the live corpus
+    * when `expectCurrentOf` is given — the PQ-sidecar staleness rule:
+    * serving a stale tokenizer against regenerated data is the bug
+    * this contract exists to catch. Pass None to open an archived
+    * model deliberately (replaying an old training run). */
+  def openTokenizerModel(
+      s: SparkSession, root: String,
+      expectCurrentOf: Option[String]): String = {
+    val m = IndexManifest.open(root, "tokenizer", Map(
+      "bpe_rounds" -> BPE_TRAIN_ROUNDS.toString,
+      "unigram_rounds" -> UNIGRAM_ROUNDS.toString,
+      "unigram_pmax" -> UNIGRAM_PMAX.toString,
+      "unigram_wmax" -> UNIGRAM_WMAX.toString))
+    expectCurrentOf.foreach { dir =>
+      val now = graft.operators.IndexManifest
+        .corpusFingerprint(dir, "documents")
+      require(m.get("corpus_fingerprint").contains(now),
+        s"tokenizer at $root is STALE: trained on fingerprint " +
+          s"${m.getOrElse("corpus_fingerprint", "?")}, corpus at $dir " +
+          s"is now $now — retrain (buildTokenizerModelAt) or open " +
+          "without a freshness expectation to replay the archive")
+    }
+    root
+  }
+
+  /** snk_tokenizer_model — build the persisted tokenizer artifact and
+    * audit WHAT LANDED ON DISK (both tables read back, not the memo):
+    * merge-list cardinality and selection-count total, vocabulary
+    * cardinality and final-count total. The oracle recomputes all
+    * four from scratch by composing the BPE trainer CTE block with
+    * the unigram EM state machine in one query — the artifact audit
+    * is exactly as strong as the two training oracles it joins. */
+  def snkTokenizerModel(s: SparkSession, dir: String): DataFrame = {
+    val root = buildTokenizerModel(s, dir)
+    val m = s.read.parquet(s"$root/merges")
+      .agg(count(lit(1)).as("n_merges"),
+        sum(col("cnt")).cast("long").as("merge_cnt_total"))
+    val u = s.read.parquet(s"$root/unigram")
+      .agg(count(lit(1)).as("n_pieces"),
+        sum(col("cnt")).cast("long").as("piece_cnt_total"))
+    m.crossJoin(u)
+  }
+
+  val snkTokenizerModelSql: String =
+    s"""WITH RECURSIVE $bpeTrainSqlCtes,
+       |${unigramSqlCtes(UNIGRAM_ROUNDS)},
+       |ufin AS (SELECT cl FROM ust WHERE rnd IS NOT NULL
+       |  ORDER BY rnd DESC, pos DESC LIMIT 1),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS n_merges,
+       |    CAST(sum(pcnt) AS BIGINT) AS merge_cnt_total
+       |  FROM mr WHERE rk = 1),
+       |uu AS (SELECT CAST(count(*) AS BIGINT) AS n_pieces,
+       |    CAST(sum(u.x.c) AS BIGINT) AS piece_cnt_total
+       |  FROM ufin, unnest(ufin.cl) u(x))
+       |SELECT mm.n_merges, mm.merge_cnt_total, uu.n_pieces,
+       |  uu.piece_cnt_total
+       |FROM mm, uu""".stripMargin
+
   /** Interpolation weight of the bigram term in text_bigram_logprob:
     * score = avg log(λ·P(b|a) + (1−λ)·P(b)) — Jelinek-Mercer
     * smoothing, the unigram back-off keeping unseen-context pairs
@@ -3785,6 +3891,7 @@ object TextQueries {
     "text_bpe_train" -> (textBpeTrain _),
     "text_unigram_train" -> (textUnigramTrain _),
     "text_unigram_encode" -> (textUnigramEncode _),
+    "snk_tokenizer_model" -> (snkTokenizerModel _),
     "text_bpe_encode_trained" -> (textBpeEncodeTrained _),
     "text_bigram_logprob" -> (textBigramLogprob _),
     "text_ppl_filter" -> (textPplFilter _),
@@ -3832,6 +3939,7 @@ object TextQueries {
     "text_bpe_train" -> textBpeTrainSql,
     "text_unigram_train" -> textUnigramTrainSql,
     "text_unigram_encode" -> textUnigramEncodeSql,
+    "snk_tokenizer_model" -> snkTokenizerModelSql,
     "text_bpe_encode_trained" -> textBpeEncodeTrainedSql,
     "text_bigram_logprob" -> textBigramLogprobSql,
     "text_ppl_filter" -> textPplFilterSql,
