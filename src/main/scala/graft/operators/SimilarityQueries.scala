@@ -3744,10 +3744,10 @@ object SimilarityQueries {
     * 2²⁴ grid mirroring [[pcaPowerLoop]] op-for-op. */
   private def pcaSqlCtes: String =
     """
-      |pe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |pe AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
       |  FROM embeddings),
       |pdim AS (SELECT max(len(emb)) AS d FROM pe),
-      |pee AS (SELECT vec_id, emb FROM pe
+      |pee AS (SELECT vec_id, label, emb FROM pe
       |  WHERE len(emb) = (SELECT d FROM pdim)),
       |pn AS (SELECT count(*) AS n FROM pee),
       |pmean AS (
@@ -3820,6 +3820,93 @@ object SimilarityQueries {
        |    + 1e-9, 6) AS score
        |FROM pee e, pml m, pfin f""".stripMargin
 
+  /** emb_drift_pca — representation-drift monitor: the two-sample
+    * Kolmogorov–Smirnov statistic between two corpus snapshots'
+    * projections onto the SHARED principal axis, per label. The 1-d
+    * projection is where embedding drift shows first (a new encoder
+    * version, a crawl-mix shift, collapse) and is the cheapest
+    * monitorable summary — the multivariate analog of agg_ks_drift's
+    * per-source quality alarm. Snapshots here are the deterministic
+    * vec_id-parity halves (a production feed keys on its real batch
+    * column); the axis comes from [[embPcaPower]]'s memo so the
+    * monitor never re-derives it.
+    *
+    * Scale shape (the agg_ks_drift discipline): projections round to
+    * 4 decimals BEFORE the count aggregate, so the CDF grid is
+    * bounded by |labels|×10⁴·range rows regardless of corpus size;
+    * the corpus is scanned once and never joined or windowed. */
+  def embDriftPca(s: SparkSession, dir: String): DataFrame = {
+    val (mean, v, _, _) = pcaComponentFor(s, dir)
+    val d = v.length
+    val e = embeddings(s, dir).select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("emb"))
+    if (d == 0)
+      return e.select(col("label"), lit(0L).as("n_old"),
+        lit(0L).as("n_new"), lit(0d).as("ks_d")).limit(0)
+    val mLit = typedLit(mean.toSeq)
+    val vLit = typedLit(v.toSeq)
+    val q = round(aggregate(
+      zip_with(zip_with(col("emb"), mLit, (x, m) => x - m), vLit,
+        (c, w) => c * w),
+      lit(0d), (acc, x) => acc + x) + lit(1e-9), 4)
+    val cnt = e.filter(size(col("emb")) === d)
+      .select(col("label"),
+        (((col("vec_id") % 2) + 2) % 2 === 0).as("is_old"), q.as("q"))
+      .groupBy(col("label"), col("is_old"), col("q"))
+      .agg(count(lit(1)).as("n"))
+    val grid = cnt.groupBy(col("label"), col("q"))
+      .agg(sum(when(col("is_old"), col("n")).otherwise(lit(0L)))
+        .as("n_old"),
+        sum(when(!col("is_old"), col("n")).otherwise(lit(0L)))
+          .as("n_new"))
+    val w = Window.partitionBy(col("label")).orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("label"))
+    grid
+      .withColumn("cum_old", sum(col("n_old")).over(w))
+      .withColumn("cum_new", sum(col("n_new")).over(w))
+      .withColumn("t_old", sum(col("n_old")).over(tot))
+      .withColumn("t_new", sum(col("n_new")).over(tot))
+      .filter(col("t_old") > 0 && col("t_new") > 0)
+      .groupBy(col("label"))
+      .agg(max(col("t_old")).as("n_old"), max(col("t_new")).as("n_new"),
+        round(max(abs(col("cum_old") / col("t_old")
+          - col("cum_new") / col("t_new"))) + lit(1e-9), 4).as("ks_d"))
+  }
+
+  val embDriftPcaSql: String =
+    s"""WITH RECURSIVE $pcaSqlCtes,
+       |prj AS (
+       |  SELECT e.label,
+       |    ((e.vec_id % 2) + 2) % 2 = 0 AS is_old,
+       |    round(list_reduce(list_prepend(0.0,
+       |      list_transform(range(1, len(e.emb) + 1),
+       |        i -> (e.emb[i] - m.m[i]) * f.v[i])), (a, x) -> a + x)
+       |      + 1e-9, 4) AS q
+       |  FROM pee e, pml m, pfin f),
+       |cnt AS (SELECT label, is_old, q, count(*) AS n
+       |  FROM prj GROUP BY label, is_old, q),
+       |grid AS (
+       |  SELECT label, q,
+       |    sum(CASE WHEN is_old THEN n ELSE 0 END) AS n_old,
+       |    sum(CASE WHEN NOT is_old THEN n ELSE 0 END) AS n_new
+       |  FROM cnt GROUP BY label, q),
+       |cdf AS (
+       |  SELECT label,
+       |    sum(n_old) OVER (PARTITION BY label ORDER BY q
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_old,
+       |    sum(n_new) OVER (PARTITION BY label ORDER BY q
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_new,
+       |    sum(n_old) OVER (PARTITION BY label) AS t_old,
+       |    sum(n_new) OVER (PARTITION BY label) AS t_new
+       |  FROM grid)
+       |SELECT label, CAST(max(t_old) AS BIGINT) AS n_old,
+       |  CAST(max(t_new) AS BIGINT) AS n_new,
+       |  round(max(abs(CAST(cum_old AS DOUBLE) / t_old
+       |    - CAST(cum_new AS DOUBLE) / t_new)) + 1e-9, 4) AS ks_d
+       |FROM cdf WHERE t_old > 0 AND t_new > 0
+       |GROUP BY label""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_quantize_int8" -> (embQuantizeInt8 _),
     "emb_outliers" -> (embOutliers _),
@@ -3845,6 +3932,7 @@ object SimilarityQueries {
     "emb_cluster_card" -> (embClusterCard _),
     "emb_pca_power" -> (embPcaPower _),
     "emb_pca_project" -> (embPcaProject _),
+    "emb_drift_pca" -> (embDriftPca _),
     "sim_hybrid_rrf" -> (simHybridRrf _),
     "sim_hybrid_serve" -> (simHybridServe _),
     "sim_hybrid_serve_batch" -> (simHybridServeBatch _),
@@ -3876,6 +3964,7 @@ object SimilarityQueries {
     "emb_cluster_card" -> embClusterCardSql,
     "emb_pca_power" -> embPcaPowerSql,
     "emb_pca_project" -> embPcaProjectSql,
+    "emb_drift_pca" -> embDriftPcaSql,
     "sim_ann_ivf" -> simAnnIvfSql,
     "sim_ann_ivf_indexed" -> simAnnIvfIndexedSql,
     "sim_ann_serve_batch" -> simAnnServeBatchSql,

@@ -125,6 +125,41 @@ class PcaPowerSpec extends SparkSpec {
     assert(m0.isEmpty && v0.isEmpty && l0 == 0.0 && n0 == 0L)
   }
 
+  private def writeEmb(dir: String,
+      rows: Seq[(Long, Seq[Float], Int)]): Unit = {
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  test("emb_drift_pca: identical snapshot halves score 0; a planted " +
+      "axis shift on the odd half scores near 1") {
+    val dirA = java.nio.file.Files
+      .createTempDirectory("pcadrift-a").toString
+    // even ids and odd ids carry the SAME multiset of vectors
+    val base = (0 until 40).map { i =>
+      Seq(1.0f * (i % 7), 2.0f + (i % 5), 0.5f * (i % 3), 1.0f)
+    }
+    writeEmb(dirA, (0 until 40).flatMap { i =>
+      Seq((2L * i, base(i), 0), (2L * i + 1, base(i), 0))
+    })
+    val a = SimilarityQueries.embDriftPca(spark, dirA).collect()
+    assert(a.length == 1 && a(0).getDouble(3) == 0.0,
+      s"identical halves must show zero drift: ${a.toSeq}")
+
+    val dirB = java.nio.file.Files
+      .createTempDirectory("pcadrift-b").toString
+    // odd ids shifted far along the dominant coordinate
+    writeEmb(dirB, (0 until 40).flatMap { i =>
+      Seq((2L * i, base(i), 0),
+        (2L * i + 1, base(i).updated(0, base(i)(0) + 50.0f), 0))
+    })
+    val b = SimilarityQueries.embDriftPca(spark, dirB).collect()
+    assert(b.length == 1 && b(0).getDouble(3) > 0.9,
+      s"planted shift must dominate the projection CDF: ${b.toSeq}")
+    assert(b(0).getLong(1) == 40L && b(0).getLong(2) == 40L)
+  }
+
   test("qid shapes on the fixture: d loading rows with unit norm; one " +
       "projection row per modal-length vector") {
     val power = SimilarityQueries.embPcaPower(spark, sf).collect()
