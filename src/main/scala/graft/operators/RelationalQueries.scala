@@ -781,10 +781,90 @@ object RelationalQueries {
        |FROM exact e JOIN est s ON s.user_id = e.user_id""".stripMargin
   }
 
+  // ── sort_range_partition — deterministic range boundaries ──
+
+  private val RANGE_W = 32
+  private val RANGE_SAMPLE = 1024
+
+  /** sort_range_partition — the primitive behind writing SORTED
+    * output at 100 TB: compute W range-partition boundaries from a
+    * DETERMINISTIC sample and audit the resulting partition sizes.
+    * Spark's own RangePartitioner samples nondeterministically
+    * (reservoir per partition), so two runs of the same sorted write
+    * produce different file splits — this operator's sample is the
+    * RANGE_SAMPLE rows with the smallest xxhash64 over the row key
+    * (a total order, identical on every run and every cluster
+    * layout), making boundary computation reproducible and
+    * oracle-checkable. Boundaries are the sample's exact i·S/W-th
+    * order statistics; each row's bucket = #boundaries ≤ its key
+    * value, evaluated map-side against the broadcast 31-value
+    * literal. Output is the skew audit (bucket, n_rows, vmin, vmax)
+    * — the table a writer inspects before committing a layout.
+    * Scale shape: one TakeOrdered(S) pass for the sample, one
+    * map-side bucket assignment + bounded aggregate; nothing joins
+    * or windows the corpus. */
+  def sortRangePartition(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir).select(
+      (col("l_orderkey") * 8 + col("l_linenumber")).as("k"),
+      col("l_extendedprice").as("v"))
+    val sample = li
+      .orderBy(xxhash64(col("k")), col("k"))
+      .limit(RANGE_SAMPLE)
+      .select(col("v"), col("k"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy(identity) // (v, k) ascending — the boundary order
+    if (sample.isEmpty)
+      return li.select(lit(0).as("bucket"), lit(0L).as("n_rows"),
+        lit(0d).as("vmin"), lit(0d).as("vmax")).limit(0)
+    val step = sample.length / RANGE_W
+    // a corpus smaller than W rows has no meaningful boundaries:
+    // everything lands in bucket 0 (mirrored in the oracle's guard)
+    val bounds =
+      if (step == 0) Seq.empty[Double]
+      else (1 until RANGE_W).map(i => sample(i * step - 1)._1)
+    val bLit = typedLit(bounds)
+    li.select(
+        size(filter(bLit, b => b <= col("v"))).as("bucket"), col("v"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+  }
+
+  val sortRangePartitionSql: String = {
+    val signed = SimilarityQueries.signedXxhash64Sql("k")
+    s"""WITH li AS (
+       |  SELECT l_orderkey * 8 + l_linenumber AS k,
+       |    l_extendedprice AS v
+       |  FROM lineitem),
+       |smp AS (
+       |  SELECT v, k FROM li
+       |  ORDER BY $signed, k
+       |  LIMIT $RANGE_SAMPLE),
+       |rks AS (
+       |  SELECT v, row_number() OVER (ORDER BY v, k) AS rn,
+       |    count(*) OVER () AS n
+       |  FROM smp),
+       |bnd AS (
+       |  SELECT v AS b FROM rks, (SELECT n // $RANGE_W AS step
+       |    FROM rks LIMIT 1) st
+       |  WHERE st.step > 0 AND rn % greatest(st.step, 1) = 0
+       |    AND rn // greatest(st.step, 1) BETWEEN 1
+       |    AND ${RANGE_W - 1}),
+       |asg AS (
+       |  SELECT (SELECT count(*) FROM bnd WHERE bnd.b <= li.v) AS bucket,
+       |    li.v AS v
+       |  FROM li)
+       |SELECT CAST(bucket AS INT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  min(v) AS vmin, max(v) AS vmax
+       |FROM asg GROUP BY bucket""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
     "agg_heavy_hitters" -> (aggHeavyHitters _),
     "agg_count_min" -> (aggCountMin _),
+    "sort_range_partition" -> (sortRangePartition _),
     "src_parallelize" -> (srcParallelize _),
     "src_time_grid" -> (srcTimeGrid _),
     "src_drop_missing" -> (srcDropMissing _),
@@ -817,6 +897,7 @@ object RelationalQueries {
     "q1_pricing" -> q1PricingSql,
     "agg_heavy_hitters" -> aggHeavyHittersSql,
     "agg_count_min" -> aggCountMinSql,
+    "sort_range_partition" -> sortRangePartitionSql,
     "src_parallelize" -> srcParallelizeSql,
     "src_time_grid" -> srcTimeGridSql,
     "src_drop_missing" -> srcDropMissingSql,

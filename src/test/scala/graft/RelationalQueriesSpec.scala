@@ -87,4 +87,27 @@ class RelationalQueriesSpec extends SparkSpec {
       graft.functions.HllSketch.register(k._2, 12)).sorted
     assert(got == want)
   }
+
+  test("sort_range_partition: buckets cover every row, ranges stay " +
+      "disjoint and ordered, and the deterministic sample balances " +
+      "the layout") {
+    import org.apache.spark.sql.functions._
+    val rows = RelationalQueries.sortRangePartition(spark, sf)
+      .orderBy(col("bucket")).collect()
+    assert(rows.nonEmpty && rows.head.getInt(0) == 0)
+    val total = rows.map(_.getLong(1)).sum
+    val nLi = graft.Tables.lineitem(spark, sf).count()
+    assert(total == nLi, s"every row lands in exactly one bucket: " +
+      s"$total vs $nLi")
+    // ranges are disjoint and ordered: boundary ties always go UP
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) <= b.getDouble(2),
+        s"overlap between buckets ${a.getInt(0)} and ${b.getInt(0)}")
+    }
+    // the sampled boundaries balance the layout: no bucket more than
+    // 4x the mean (sf0.001's 6k rows over 32 buckets)
+    val mean = total.toDouble / rows.length
+    assert(rows.map(_.getLong(1)).max <= 4 * mean,
+      s"skewed layout: ${rows.map(_.getLong(1)).toSeq}")
+  }
 }
