@@ -833,6 +833,46 @@ object StreamingOps {
       }
   }
 
+  /** Streaming Count-Min ledger — agg_count_min's register table as
+    * live state: events fan out through THE SAME cmsBuckets column
+    * expression the batch build uses (one shared kernel, so the two
+    * forms can never disagree on a hash), keyed by (d, bucket) with
+    * O(1) state per key — at most D×W = 1024 keys forever, the
+    * smallest state footprint of any ledger here. Each update emits
+    * the register's new cumulative count; counts are ASSOCIATIVE
+    * integer sums, so any micro-batch split of the same rows yields
+    * identical final registers, pinned register-identical to the
+    * batch cmsRegisters build in StreamingSpec. A consumer answers
+    * point queries ("how often has key k appeared on this feed so
+    * far?") by min-ing its D register reads — the live heavy-key
+    * monitor a quota/abuse gate runs against an unbounded stream
+    * where exact per-key counts are unaffordable. */
+  case class CmsState(n: Long)
+  case class CmsUpdate(d: Int, bucket: Long, cnt: Long)
+
+  def countMinStream(
+      events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row])
+      : org.apache.spark.sql.Dataset[CmsUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(posexplode(
+        graft.operators.RelationalQueries.cmsBuckets(col("user_id")))
+        .as(Seq("d", "bucket")))
+      .as[(Int, Long)]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[CmsState, CmsUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: (Int, Long), rows: Iterator[(Int, Long)],
+            state: GroupState[CmsState]) =>
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          rows.foreach(_ => n += 1)
+          state.update(CmsState(n))
+          Iterator.single(CmsUpdate(key._1, key._2, n))
+      }
+  }
+
   /** Streaming split-integrity ledger — pipeline_split_leakage as
     * flatMapGroupsWithState keyed by (lang, content-hash) with O(1)
     * state per key: a doc count and a 3-bit splits-seen mask. A live

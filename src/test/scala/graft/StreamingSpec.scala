@@ -769,4 +769,35 @@ class StreamingSpec extends SparkSpec {
     assert(want == Map((7L, new Timestamp(d0)) -> 2.0),
       s"unexpected batch grid: $want")
   }
+
+  test("streaming count-min ledger: final registers are identical to " +
+      "the batch build, under any micro-batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val users = graft.Tables.events(spark, sf)
+      .select("user_id").collect().map(_.getLong(0))
+    val want = graft.operators.RelationalQueries.cmsRegisters(
+        users.toSeq.toDF("user_id")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    def streamed(splits: Int): Map[(Int, Long), Long] = {
+      val mem = MemoryStream[Long]
+      val name = s"cms_stream_$splits"
+      val q = StreamingOps.countMinStream(mem.toDF().toDF("user_id"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      users.grouped(math.max(1, users.length / splits)).foreach { g =>
+        mem.addData(g.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      q.stop()
+      // cumulative counts are monotone per register: max = final
+      spark.table(name).collect()
+        .groupBy(r => (r.getInt(0), r.getLong(1)))
+        .map { case (k, rs) => k -> rs.map(_.getLong(2)).max }
+    }
+    assert(streamed(3) == want,
+      "3-split stream registers must equal the batch build")
+    assert(streamed(1) == want,
+      "single-batch stream registers must equal the batch build")
+  }
 }
