@@ -3639,15 +3639,26 @@ object SimilarityQueries {
       mean(r.getInt(0)) =
         (r.getDecimal(1).doubleValue / r.getLong(2).toDouble) / KMEANS_GRID
     }
+    val mLit = typedLit(mean.toSeq)
+    val (v, lam) = powerIterate(
+      e.select(zip_with(col("emb"), mLit, (x, m) => x - m).as("cv")), d, n)
+    (mean, v, lam, n)
+  }
+
+  /** The K-round iteration kernel over a frame of (already
+    * centered/deflated) `cv` vectors — shared by the first component
+    * and the deflated second component so the two loops can never
+    * drift arithmetically. */
+  private def powerIterate(
+      eC: DataFrame, d: Int, n: Long): (Array[Double], Double) = {
     val snap = (x: Double) => math.floor(x * KMEANS_GRID + 0.5) / KMEANS_GRID
     val v = Array.fill(d)(snap(1.0 / math.sqrt(d.toDouble)))
     var lam = 0.0
-    val mLit = typedLit(mean.toSeq)
     var it = 0
     while (it < PCA_ITERS) {
       val vLit = typedLit(v.toSeq)
-      val rows = e
-        .select(zip_with(col("emb"), mLit, (x, m) => x - m).as("c"))
+      val rows = eC
+        .select(col("cv").as("c"))
         .withColumn("s",
           aggregate(zip_with(col("c"), vLit, (c, w) => c * w),
             lit(0d), (acc, x) => acc + x))
@@ -3674,7 +3685,7 @@ object SimilarityQueries {
         it += 1
       }
     }
-    (mean, v, lam, n)
+    (v, lam)
   }
 
   /** (mean, axis, lam, n) per corpus, memoized behind the corpus
@@ -3692,6 +3703,63 @@ object SimilarityQueries {
       pcaPowerLoop(embeddings(s, dir).select(col("vec_id"),
         col("embedding").cast("array<double>").as("emb")))
     }
+  }
+
+  /** The DEFLATED second component: the identical [[powerIterate]]
+    * kernel run on c₂ = c − (c·v₁)·v₁ — classic deflation, with v₁
+    * from the first component's memo (grid-snapped, so the
+    * subtraction is over exactly the doubles the oracle recomputes).
+    * No re-centering after deflation: c is already mean-centered and
+    * the projection removal is the documented algorithm on both
+    * engines. */
+  private val pca2Memo = new BuildMemo[(Array[Double], Double)]()
+
+  private def pca2ComponentFor(
+      s: SparkSession, dir: String): (Array[Double], Double) = {
+    val fp = IndexManifest.corpusFingerprint(dir, "embeddings")
+    pca2Memo.getOrBuild(s"$dir|$fp|pca2", s.sparkContext) {
+      MemoBuilds.record("pca_power2")
+      val (mean, v1, _, n) = pcaComponentFor(s, dir)
+      val d = v1.length
+      if (d == 0) (Array.empty[Double], 0.0)
+      else {
+        val e = embeddings(s, dir)
+          .select(col("embedding").cast("array<double>").as("emb"))
+          .filter(size(col("emb")) === d)
+        val mLit = typedLit(mean.toSeq)
+        val v1Lit = typedLit(v1.toSeq)
+        val eC = e
+          .select(zip_with(col("emb"), mLit, (x, m) => x - m).as("c"))
+          .withColumn("s1",
+            aggregate(zip_with(col("c"), v1Lit, (a, b) => a * b),
+              lit(0d), (acc, x) => acc + x))
+          .select(zip_with(col("c"), v1Lit,
+            (cj, vj) => cj - col("s1") * vj).as("cv"))
+          // persist the deflated vectors across the K iterations:
+          // without the barrier, CollapseProject inlines the s1 fold
+          // into the per-element lambda (O(d²) per row per pass —
+          // profiled 9× the first component's build at sf0.1), and
+          // every iteration would re-deflate from the parquet scan
+          .persist()
+        try powerIterate(eC, d, n)
+        finally { eC.unpersist(); () }
+      }
+    }
+  }
+
+  /** emb_pca_power2 — the second principal axis (deflation): with
+    * [[embPcaPower]]'s axis it spans the 2-d view a curation UI plots
+    * corpora in, the 2-d drift grid, and the top-2 whitening
+    * transform. lam₂/lam₁ is the anisotropy ratio collapse monitors
+    * track. Same schema as the first component. */
+  def embPcaPower2(s: SparkSession, dir: String): DataFrame = {
+    val (v2, lam2) = pca2ComponentFor(s, dir)
+    import s.implicits._
+    v2.toSeq.zipWithIndex.map { case (x, i) => (i, x) }
+      .toDF("dim", "loading0")
+      .select(col("dim"),
+        round(col("loading0") + lit(1e-9), 6).as("loading"),
+        round(lit(lam2) + lit(1e-9), 6).as("lam"))
   }
 
   /** emb_pca_power — the corpus's principal axis: one row per
@@ -3743,7 +3811,7 @@ object SimilarityQueries {
     * recursive CTE — (it, v LIST, lam) state row, HUGEINT sums on the
     * 2²⁴ grid mirroring [[pcaPowerLoop]] op-for-op. */
   private def pcaSqlCtes: String =
-    """
+    s"""
       |pe AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
       |  FROM embeddings),
       |pdim AS (SELECT max(len(emb)) AS d FROM pe),
@@ -3758,51 +3826,63 @@ object SimilarityQueries {
       |        FROM pee)
       |  GROUP BY idx),
       |pml AS (SELECT list(m ORDER BY idx) AS m FROM pmean),
-      |pst(it, v, lam) AS (
-      |  SELECT 0,
-      |    (SELECT list_transform(range(1, d + 1),
-      |       i -> floor((1.0 / sqrt(CAST(d AS DOUBLE))) * 16777216.0 + 0.5)
-      |            / 16777216.0) FROM pdim),
-      |    CAST(0.0 AS DOUBLE)
-      |  UNION ALL
-      |  SELECT it + 1,
-      |    CASE WHEN nrm = 0 THEN v
-      |         ELSE list_transform(wl, x ->
-      |           floor((x / nrm) * 16777216.0 + 0.5) / 16777216.0) END,
-      |    CASE WHEN nrm = 0 THEN 0.0
-      |         ELSE nrm / (SELECT CAST(n AS DOUBLE) FROM pn) END
-      |  FROM (
-      |    SELECT it, v, wl,
-      |      sqrt(list_reduce(list_prepend(0.0,
-      |        list_transform(wl, x -> x * x)), (a, x) -> a + x)) AS nrm
-      |    FROM (
-      |      SELECT any_value(it) AS it, any_value(v) AS v,
-      |        list(w ORDER BY idx) AS wl
-      |      FROM (
-      |        SELECT it, any_value(v) AS v, idx,
-      |          CAST(sum(a * b) AS DOUBLE)
-      |            / (16777216.0 * 16777216.0) AS w
-      |        FROM (
-      |          SELECT it, v,
-      |            CAST(floor(sdot * 16777216.0 + 0.5) AS BIGINT) AS a,
-      |            unnest(range(1, len(emb) + 1)) AS idx,
-      |            CAST(floor(unnest(list_transform(range(1, len(emb) + 1),
-      |              i -> emb[i] - m[i])) * 16777216.0 + 0.5) AS BIGINT) AS b
-      |          FROM (
-      |            SELECT s.it AS it, s.v AS v, e.emb AS emb, mm.m AS m,
-      |              list_reduce(list_prepend(0.0,
-      |                list_transform(range(1, len(e.emb) + 1),
-      |                  i -> (e.emb[i] - mm.m[i]) * s.v[i])),
-      |                (a, x) -> a + x) AS sdot
-      |            FROM pst s, pee e, pml mm
-      |            WHERE s.it < 10
-      |          )
-      |        ) GROUP BY it, idx
-      |      ) GROUP BY it
-      |    )
-      |  )
-      |),
-      |pfin AS (SELECT v, lam FROM pst ORDER BY it DESC LIMIT 1)""".stripMargin
+      |pcc AS (
+      |  SELECT e.vec_id,
+      |    list_transform(range(1, len(e.emb) + 1),
+      |      i -> e.emb[i] - m.m[i]) AS cv
+      |  FROM pee e, pml m),
+      |${pcaIterCtes("p", "pcc")}""".stripMargin
+
+  /** One power-iteration recursion over `src` (a (vec_id, cv LIST)
+    * frame of centered-or-deflated vectors): generates `{p}st` (the
+    * state recursion) and `{p}fin` (the final (v, lam) row). Shared
+    * by the first component and the deflated second component so the
+    * two replays can never drift. */
+  private def pcaIterCtes(p: String, src: String): String =
+    s"""${p}st(it, v, lam) AS (
+       |  SELECT 0,
+       |    (SELECT list_transform(range(1, d + 1),
+       |       i -> floor((1.0 / sqrt(CAST(d AS DOUBLE))) * 16777216.0 + 0.5)
+       |            / 16777216.0) FROM pdim),
+       |    CAST(0.0 AS DOUBLE)
+       |  UNION ALL
+       |  SELECT it + 1,
+       |    CASE WHEN nrm = 0 THEN v
+       |         ELSE list_transform(wl, x ->
+       |           floor((x / nrm) * 16777216.0 + 0.5) / 16777216.0) END,
+       |    CASE WHEN nrm = 0 THEN 0.0
+       |         ELSE nrm / (SELECT CAST(n AS DOUBLE) FROM pn) END
+       |  FROM (
+       |    SELECT it, v, wl,
+       |      sqrt(list_reduce(list_prepend(0.0,
+       |        list_transform(wl, x -> x * x)), (a, x) -> a + x)) AS nrm
+       |    FROM (
+       |      SELECT any_value(it) AS it, any_value(v) AS v,
+       |        list(w ORDER BY idx) AS wl
+       |      FROM (
+       |        SELECT it, any_value(v) AS v, idx,
+       |          CAST(sum(a * b) AS DOUBLE)
+       |            / (16777216.0 * 16777216.0) AS w
+       |        FROM (
+       |          SELECT it, v,
+       |            CAST(floor(sdot * 16777216.0 + 0.5) AS BIGINT) AS a,
+       |            unnest(range(1, len(cv) + 1)) AS idx,
+       |            CAST(floor(unnest(cv) * 16777216.0 + 0.5) AS BIGINT) AS b
+       |          FROM (
+       |            SELECT s.it AS it, s.v AS v, e.cv AS cv,
+       |              list_reduce(list_prepend(0.0,
+       |                list_transform(range(1, len(e.cv) + 1),
+       |                  i -> e.cv[i] * s.v[i])),
+       |                (a, x) -> a + x) AS sdot
+       |            FROM ${p}st s, $src e
+       |            WHERE s.it < $PCA_ITERS
+       |          )
+       |        ) GROUP BY it, idx
+       |      ) GROUP BY it
+       |    )
+       |  )
+       |),
+       |${p}fin AS (SELECT v, lam FROM ${p}st ORDER BY it DESC LIMIT 1)""".stripMargin
 
   val embPcaPowerSql: String =
     s"""WITH RECURSIVE $pcaSqlCtes
@@ -3819,6 +3899,24 @@ object SimilarityQueries {
        |      i -> (e.emb[i] - m.m[i]) * f.v[i])), (a, x) -> a + x)
        |    + 1e-9, 6) AS score
        |FROM pee e, pml m, pfin f""".stripMargin
+
+  val embPcaPower2Sql: String =
+    s"""WITH RECURSIVE $pcaSqlCtes,
+       |pc2 AS (
+       |  SELECT c.vec_id,
+       |    list_transform(range(1, len(c.cv) + 1),
+       |      i -> c.cv[i] - c.s1 * f.v[i]) AS cv
+       |  FROM (
+       |    SELECT e.vec_id, e.cv,
+       |      list_reduce(list_prepend(0.0,
+       |        list_transform(range(1, len(e.cv) + 1),
+       |          i -> e.cv[i] * f0.v[i])), (a, x) -> a + x) AS s1
+       |    FROM pcc e, pfin f0) c, pfin f),
+       |${pcaIterCtes("q", "pc2")}
+       |SELECT unnest(range(1, len(v) + 1)) - 1 AS dim,
+       |  round(unnest(v) + 1e-9, 6) AS loading,
+       |  round(lam + 1e-9, 6) AS lam
+       |FROM qfin""".stripMargin
 
   /** emb_drift_pca — representation-drift monitor: the two-sample
     * Kolmogorov–Smirnov statistic between two corpus snapshots'
@@ -3931,6 +4029,7 @@ object SimilarityQueries {
     "emb_kmeans_assign" -> (embKmeansAssign _),
     "emb_cluster_card" -> (embClusterCard _),
     "emb_pca_power" -> (embPcaPower _),
+    "emb_pca_power2" -> (embPcaPower2 _),
     "emb_pca_project" -> (embPcaProject _),
     "emb_drift_pca" -> (embDriftPca _),
     "sim_hybrid_rrf" -> (simHybridRrf _),
@@ -3963,6 +4062,7 @@ object SimilarityQueries {
     "emb_kmeans_assign" -> embKmeansAssignSql,
     "emb_cluster_card" -> embClusterCardSql,
     "emb_pca_power" -> embPcaPowerSql,
+    "emb_pca_power2" -> embPcaPower2Sql,
     "emb_pca_project" -> embPcaProjectSql,
     "emb_drift_pca" -> embDriftPcaSql,
     "sim_ann_ivf" -> simAnnIvfSql,
