@@ -3490,6 +3490,53 @@ object TextQueries {
        |FROM uwl LEFT JOIN utok ut ON ut.w = uwl.w
        |GROUP BY uwl.lang""".stripMargin
 
+  /** text_tokenizer_fertility — the tokenizer SELECTION audit: both
+    * trained tokenizers (the iterated-BPE encoder and the unigram-LM
+    * encoder) run over the same corpus, compared per language on
+    * fertility (tokens per whitespace word — the metric tokenizer
+    * papers publish and the one that decides serving cost). One row
+    * per language with both token totals, both fertilities, and the
+    * integer-exact winner. Costs two broadcast-model encode passes
+    * over the memoized trainers — nothing new is trained. Oracle:
+    * the two full training+encode chains composed as derived tables
+    * in one query (the aggHllPartitioned nesting precedent). */
+  def textTokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val b = textBpeEncodeTrained(s, dir)
+      .select(col("lang"), col("n_words"), col("n_bpe"))
+    val u = textUnigramEncode(s, dir)
+      .select(col("lang"), col("n_tokens").as("n_unigram"))
+    b.join(u, Seq("lang"))
+      .select(col("lang"), col("n_words"), col("n_bpe"), col("n_unigram"),
+        round(col("n_bpe").cast("double") / col("n_words") + lit(1e-9), 4)
+          .as("bpe_fertility"),
+        round(col("n_unigram").cast("double") / col("n_words")
+          + lit(1e-9), 4).as("unigram_fertility"),
+        when(col("n_unigram") < col("n_bpe"), lit("unigram"))
+          .when(col("n_bpe") < col("n_unigram"), lit("bpe"))
+          .otherwise(lit("tie")).as("winner"))
+  }
+
+  val textTokenizerFertilitySql: String =
+    // placeholder substitution AFTER stripMargin: the embedded
+    // queries contain continuation lines that BEGIN with `||`, and a
+    // second stripMargin pass would eat one pipe (list concat → a
+    // binder error on `|`)
+    """WITH b AS (SELECT lang, n_words, n_bpe
+      |  FROM (%BPE%)),
+      |u AS (SELECT lang, n_tokens AS n_unigram
+      |  FROM (%UNI%))
+      |SELECT b.lang, b.n_words, b.n_bpe, u.n_unigram,
+      |  round(CAST(b.n_bpe AS DOUBLE) / b.n_words + 1e-9, 4)
+      |    AS bpe_fertility,
+      |  round(CAST(u.n_unigram AS DOUBLE) / b.n_words + 1e-9, 4)
+      |    AS unigram_fertility,
+      |  CASE WHEN u.n_unigram < b.n_bpe THEN 'unigram'
+      |       WHEN b.n_bpe < u.n_unigram THEN 'bpe'
+      |       ELSE 'tie' END AS winner
+      |FROM b JOIN u ON b.lang = u.lang""".stripMargin
+      .replace("%BPE%", textBpeEncodeTrainedSql)
+      .replace("%UNI%", textUnigramEncodeSql)
+
   // ── snk_tokenizer_model — the persisted tokenizer artifact ──
 
   private val tokModelCache =
@@ -3892,6 +3939,7 @@ object TextQueries {
     "text_unigram_train" -> (textUnigramTrain _),
     "text_unigram_encode" -> (textUnigramEncode _),
     "snk_tokenizer_model" -> (snkTokenizerModel _),
+    "text_tokenizer_fertility" -> (textTokenizerFertility _),
     "text_bpe_encode_trained" -> (textBpeEncodeTrained _),
     "text_bigram_logprob" -> (textBigramLogprob _),
     "text_ppl_filter" -> (textPplFilter _),
@@ -3940,6 +3988,7 @@ object TextQueries {
     "text_unigram_train" -> textUnigramTrainSql,
     "text_unigram_encode" -> textUnigramEncodeSql,
     "snk_tokenizer_model" -> snkTokenizerModelSql,
+    "text_tokenizer_fertility" -> textTokenizerFertilitySql,
     "text_bpe_encode_trained" -> textBpeEncodeTrainedSql,
     "text_bigram_logprob" -> textBigramLogprobSql,
     "text_ppl_filter" -> textPplFilterSql,

@@ -83,6 +83,21 @@ class UnigramTrainSpec extends SparkSpec {
       "the 3-code-point word must be learnable as one piece")
   }
 
+  test("tokenizer fertility card: one row per lang, fertilities >= 1, " +
+      "winner matches the integer comparison") {
+    val rows = TextQueries.textTokenizerFertility(spark, sf).collect()
+    assert(rows.length == 5, s"5 fixture langs, got ${rows.length}")
+    rows.foreach { r =>
+      val (nw, nb, nu) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nb >= nw && nu >= nw,
+        "every word is at least one token under both tokenizers")
+      val want =
+        if (nu < nb) "unigram" else if (nb < nu) "bpe" else "tie"
+      assert(r.getString(6) == want, s"winner mismatch on $r")
+      assert(r.getDouble(4) >= 1.0 && r.getDouble(5) >= 1.0)
+    }
+  }
+
   test("qid shapes on the fixture: 32 ranked vocab rows in " +
       "(cnt DESC, piece ASC) order; encode covers every lang with " +
       "n_tokens >= n_words") {
