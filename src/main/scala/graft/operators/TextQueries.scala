@@ -1759,8 +1759,10 @@ object TextQueries {
     * A1.1) document-quality RULE CARD, minus the repetition family
     * (that's [[textRepetition]]): per doc the raw signals (word
     * count, mean word length, alphabetic-word fraction, stopword
-    * hits, symbol-to-word ratio, bullet-line and ellipsis-line
-    * fractions) with each published threshold as an explicit boolean
+    * hits, the hash and ellipsis symbol-to-word ratios — tested
+    * SEPARATELY, as the published rule reads — and the bullet-line
+    * and ellipsis-line fractions) with each published threshold as
+    * an explicit boolean (spelled once; keep derives from the flags)
     * and the conjunctive keep verdict. The card shape — signals AND
     * verdicts in one row — is what a curation pipeline audits and
     * re-thresholds without recomputing the corpus pass.
@@ -1790,40 +1792,49 @@ object TextQueries {
       size(filter(col("ws"), w => w.rlike("[A-Za-z]"))).cast("double") / nw
     val stopHits =
       size(filter(col("ws"), w => array_contains(stopLit, w))).cast("long")
-    val symbolRatio =
-      ((length(col("text")) - length(regexp_replace(col("text"),
-          lit("#"), lit("")))).cast("double") +
-        (length(col("text")) - length(regexp_replace(col("text"),
-          lit("\\.\\.\\."), lit("")))).cast("double") / lit(3.0)) / nw
+    // Gopher tests the hash and ellipsis symbol-to-word ratios
+    // SEPARATELY ("for either the hash symbol or the ellipsis") —
+    // summing them would fail a doc that passes both published rules
+    val hashRatio =
+      (length(col("text")) - length(regexp_replace(col("text"),
+        lit("#"), lit("")))).cast("double") / nw
+    val ellipsisRatio =
+      (length(col("text")) - length(regexp_replace(col("text"),
+        lit("\\.\\.\\."), lit("")))).cast("double") / lit(3.0) / nw
     val nl = size(col("ls")).cast("double")
     val bulletFrac = size(filter(col("ls"),
       l => l.startsWith("- ") || l.startsWith("* ") ||
         l.startsWith("•"))).cast("double") / nl
-    val ellipsisFrac = size(filter(col("ls"),
+    val ellipsisLineFrac = size(filter(col("ls"),
       l => l.endsWith("...") || l.endsWith("…"))).cast("double") / nl
+    // each threshold is spelled exactly ONCE (the flag column); keep
+    // derives from the flags so an edited rule can never desync the
+    // verdict from its card
     d.select(col("doc_id"), nw.cast("long").as("n_words"), mwl.as("mwl"),
         alphaFrac.as("af"), stopHits.as("stop_hits"),
-        symbolRatio.as("sr"), bulletFrac.as("bf"), ellipsisFrac.as("ef"))
+        hashRatio.as("hr"), ellipsisRatio.as("er"),
+        bulletFrac.as("bf"), ellipsisLineFrac.as("ef"))
       .select(
         col("doc_id"), col("n_words"),
         round(col("mwl") + lit(1e-9), 4).as("mean_word_len"),
         round(col("af") + lit(1e-9), 4).as("alpha_frac"),
         col("stop_hits"),
-        round(col("sr") + lit(1e-9), 4).as("symbol_ratio"),
+        round(col("hr") + lit(1e-9), 4).as("hash_ratio"),
+        round(col("er") + lit(1e-9), 4).as("ellipsis_ratio"),
         round(col("bf") + lit(1e-9), 4).as("bullet_frac"),
-        round(col("ef") + lit(1e-9), 4).as("ellipsis_frac"),
+        round(col("ef") + lit(1e-9), 4).as("ellipsis_line_frac"),
         (col("n_words") >= 50 && col("n_words") <= 100000).as("r_words"),
         (col("mwl") >= 3.0 && col("mwl") <= 10.0).as("r_mean_len"),
         (col("af") >= 0.8).as("r_alpha"),
         (col("stop_hits") >= 2).as("r_stop"),
-        (col("sr") <= 0.1).as("r_symbol"),
+        (col("hr") <= 0.1).as("r_hash"),
+        (col("er") <= 0.1).as("r_ellipsis_sym"),
         (col("bf") <= 0.9).as("r_bullet"),
-        (col("ef") <= 0.3).as("r_ellipsis"),
-        (col("n_words") >= 50 && col("n_words") <= 100000 &&
-          col("mwl") >= 3.0 && col("mwl") <= 10.0 &&
-          col("af") >= 0.8 && col("stop_hits") >= 2 &&
-          col("sr") <= 0.1 && col("bf") <= 0.9 &&
-          col("ef") <= 0.3).as("keep"))
+        (col("ef") <= 0.3).as("r_ellipsis_line"))
+      .withColumn("keep",
+        col("r_words") && col("r_mean_len") && col("r_alpha") &&
+          col("r_stop") && col("r_hash") && col("r_ellipsis_sym") &&
+          col("r_bullet") && col("r_ellipsis_line"))
   }
 
   val textGopherRulesSql: String =
@@ -1840,33 +1851,38 @@ object TextQueries {
       |      AS DOUBLE) / len(ws) AS af,
       |    len(list_filter(ws, w -> w IN
       |      ('the','be','to','of','and','that','have','with'))) AS stop_hits,
-      |    (CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE)
-      |      + CAST(len(text) - len(replace(text, '...', '')) AS DOUBLE)
-      |        / 3.0) / len(ws) AS sr,
+      |    CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE)
+      |      / len(ws) AS hr,
+      |    CAST(len(text) - len(replace(text, '...', '')) AS DOUBLE)
+      |      / 3.0 / len(ws) AS er,
       |    CAST(len(list_filter(ls, l -> starts_with(l, '- ')
       |      OR starts_with(l, '* ') OR starts_with(l, chr(8226))))
       |      AS DOUBLE) / len(ls) AS bf,
       |    CAST(len(list_filter(ls, l -> ends_with(l, '...')
       |      OR ends_with(l, chr(8230)))) AS DOUBLE) / len(ls) AS ef
-      |  FROM t)
-      |SELECT doc_id, n_words,
-      |  round(mwl + 1e-9, 4) AS mean_word_len,
-      |  round(af + 1e-9, 4) AS alpha_frac,
-      |  stop_hits,
-      |  round(sr + 1e-9, 4) AS symbol_ratio,
-      |  round(bf + 1e-9, 4) AS bullet_frac,
-      |  round(ef + 1e-9, 4) AS ellipsis_frac,
-      |  n_words BETWEEN 50 AND 100000 AS r_words,
-      |  mwl >= 3.0 AND mwl <= 10.0 AS r_mean_len,
-      |  af >= 0.8 AS r_alpha,
-      |  stop_hits >= 2 AS r_stop,
-      |  sr <= 0.1 AS r_symbol,
-      |  bf <= 0.9 AS r_bullet,
-      |  ef <= 0.3 AS r_ellipsis,
-      |  (n_words BETWEEN 50 AND 100000) AND mwl >= 3.0 AND mwl <= 10.0
-      |    AND af >= 0.8 AND stop_hits >= 2 AND sr <= 0.1 AND bf <= 0.9
-      |    AND ef <= 0.3 AS keep
-      |FROM s""".stripMargin
+      |  FROM t),
+      |flags AS (
+      |  SELECT doc_id, n_words,
+      |    round(mwl + 1e-9, 4) AS mean_word_len,
+      |    round(af + 1e-9, 4) AS alpha_frac,
+      |    stop_hits,
+      |    round(hr + 1e-9, 4) AS hash_ratio,
+      |    round(er + 1e-9, 4) AS ellipsis_ratio,
+      |    round(bf + 1e-9, 4) AS bullet_frac,
+      |    round(ef + 1e-9, 4) AS ellipsis_line_frac,
+      |    n_words BETWEEN 50 AND 100000 AS r_words,
+      |    mwl >= 3.0 AND mwl <= 10.0 AS r_mean_len,
+      |    af >= 0.8 AS r_alpha,
+      |    stop_hits >= 2 AS r_stop,
+      |    hr <= 0.1 AS r_hash,
+      |    er <= 0.1 AS r_ellipsis_sym,
+      |    bf <= 0.9 AS r_bullet,
+      |    ef <= 0.3 AS r_ellipsis_line
+      |  FROM s)
+      |SELECT *, r_words AND r_mean_len AND r_alpha AND r_stop
+      |  AND r_hash AND r_ellipsis_sym AND r_bullet AND r_ellipsis_line
+      |  AS keep
+      |FROM flags""".stripMargin
 
   /** text_chunk — fixed-size training chunks with overlap: every doc
     * split into CHUNK_W-word windows advancing by CHUNK_STRIDE (the
@@ -3227,32 +3243,42 @@ object TextQueries {
   private[graft] def unigramTrainDistributed(
       wc: DataFrame, rounds: Int): Array[(String, Long)] = {
     val s = wc.sparkSession
-    val seedRows = wc.select(col("cnt"), explode(expr(
-      s"""flatten(transform(sequence(1, length(w)),
-         |  i -> transform(sequence(1, least($UNIGRAM_PMAX,
-         |                                   length(w) - i + 1)),
-         |    l -> substr(w, i, l))))""".stripMargin)).as("p"))
-      .groupBy(col("p")).agg(sum(col("cnt")).as("c"))
-      .collect()
-    var counts = seedRows.map(r => (r.getString(0), r.getLong(1)))
-    val seed = counts.map(_._1)
-    var r = 0
-    while (r < rounds) {
-      val z = counts.iterator.map(_._2).sum
-      val dd = (z + seed.length).toDouble
-      val bc = s.sparkContext.broadcast(counts.toMap)
-      val pathUdf = udf { w: String =>
-        val cps = w.codePoints().toArray
-          .map(cp => new String(Character.toChars(cp)))
-        unigramViterbiPath(cps, p => bc.value.getOrElse(p, 0L), dd)
-      }
-      val agg = wc.select(col("cnt"), explode(pathUdf(col("w"))).as("p"))
+    // materialize the distinct-(word, cnt) table ONCE (eager
+    // localCheckpoint, the BPE-trainer discipline): without it every
+    // EM round re-runs the corpus scan + explode + groupBy shuffle —
+    // R+1 corpus passes where the scale contract promises one
+    val wcM = wc.localCheckpoint(true)
+    try {
+      val seedRows = wcM.select(col("cnt"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)),
+           |  i -> transform(sequence(1, least($UNIGRAM_PMAX,
+           |                                   length(w) - i + 1)),
+           |    l -> substr(w, i, l))))""".stripMargin)).as("p"))
         .groupBy(col("p")).agg(sum(col("cnt")).as("c"))
-        .collect().map(r2 => (r2.getString(0), r2.getLong(1))).toMap
-      counts = seed.map(p => (p, agg.getOrElse(p, 0L)))
-      r += 1
-    }
-    counts
+        .collect()
+      var counts = seedRows.map(r => (r.getString(0), r.getLong(1)))
+      val seed = counts.map(_._1)
+      var r = 0
+      while (r < rounds) {
+        val z = counts.iterator.map(_._2).sum
+        val dd = (z + seed.length).toDouble
+        val bc = s.sparkContext.broadcast(counts.toMap)
+        val pathUdf = udf { w: String =>
+          val cps = w.codePoints().toArray
+            .map(cp => new String(Character.toChars(cp)))
+          unigramViterbiPath(cps, p => bc.value.getOrElse(p, 0L), dd)
+        }
+        val agg = wcM
+          .select(col("cnt"), explode(pathUdf(col("w"))).as("p"))
+          .groupBy(col("p")).agg(sum(col("cnt")).as("c"))
+          .collect().map(r2 => (r2.getString(0), r2.getLong(1))).toMap
+        bc.destroy() // R broadcast copies must not stack
+        counts = seed.map(p => (p, agg.getOrElse(p, 0L)))
+        r += 1
+      }
+      counts
+    } finally org.apache.spark.sql.graftbridge.GraftExpr
+      .releaseLocalCheckpoint(wcM)
   }
 
   /** Driver-gated dispatch, the [[bpeTrainMergesFrom]] idiom: the
@@ -3539,19 +3565,24 @@ object TextQueries {
 
   // ── snk_tokenizer_model — the persisted tokenizer artifact ──
 
-  private val tokModelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // BuildMemo, not a bare computeIfAbsent: the build runs multi-job
+  // Spark work plus two parquet writes, and holding the map's bin
+  // lock for that wall is exactly the pre-round-15 hazard LazyCell
+  // exists to remove (a same-bin caller would block for the whole
+  // build; a re-entrant access would deadlock). The root path is a
+  // session-free artifact — BuildMemo's designed use.
+  private val tokModelCache = new BuildMemo[String]()
 
   private[graft] def buildTokenizerModel(
       s: SparkSession, dir: String): String = {
     val fp = graft.operators.IndexManifest.corpusFingerprint(dir, "documents")
-    tokModelCache.computeIfAbsent(s"$dir|$fp", { _ =>
+    tokModelCache.getOrBuild(s"$dir|$fp", s.sparkContext) {
       MemoBuilds.record("tokenizer_model")
       val root = java.nio.file.Files
         .createTempDirectory("graft-tokmodel").toString
       IndexManifest.registerTempRoot(root)
       buildTokenizerModelAt(s, dir, root)
-    })
+    }
   }
 
   /** Write BOTH trained tokenizers (the BPE merge list and the

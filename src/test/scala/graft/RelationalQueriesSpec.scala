@@ -100,7 +100,10 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(total == nLi, s"every row lands in exactly one bucket: " +
       s"$total vs $nLi")
     // ranges are disjoint and ordered: boundary ties always go UP
-    rows.sliding(2).foreach { case Array(a, b) =>
+    // (zip, not sliding-with-partial-match: a 1-bucket result must
+    // fail an assertion, not throw MatchError)
+    assert(rows.length > 1, "fixture must produce multiple buckets")
+    rows.zip(rows.tail).foreach { case (a, b) =>
       assert(a.getDouble(3) <= b.getDouble(2),
         s"overlap between buckets ${a.getInt(0)} and ${b.getInt(0)}")
     }

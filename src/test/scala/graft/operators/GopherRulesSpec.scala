@@ -48,10 +48,12 @@ class GopherRulesSpec extends SparkSpec {
     assert(b(1, "keep"), "the good page must pass every rule")
     assert(!b(2, "r_words") && !b(2, "keep"))
     assert(!b(3, "r_stop") && !b(3, "keep"))
-    assert(!b(4, "r_symbol") && !b(4, "keep"))
+    assert(!b(4, "r_hash") && !b(4, "keep"))
     assert(b(4, "r_words"), "symbols must trip ONLY the symbol rule gate")
+    assert(b(4, "r_ellipsis_sym"),
+      "the hash and ellipsis ratios are SEPARATE published rules")
     assert(!b(5, "r_bullet") && !b(5, "keep"))
-    assert(!b(6, "r_ellipsis") && !b(6, "keep"))
+    assert(!b(6, "r_ellipsis_line") && !b(6, "keep"))
     assert(!b(7, "r_alpha") && !b(7, "keep"))
     assert(!b(8, "r_mean_len") && !b(8, "keep"))
   }
@@ -63,7 +65,7 @@ class GopherRulesSpec extends SparkSpec {
       "words split on space only — newlines stay inside words")
     assert(r.getDouble(r.fieldIndex("bullet_frac")) == 0.3333,
       "1 of 3 lines bulleted")
-    assert(r.getDouble(r.fieldIndex("ellipsis_frac")) == 0.3333,
+    assert(r.getDouble(r.fieldIndex("ellipsis_line_frac")) == 0.3333,
       "1 of 3 lines ends with ellipsis")
   }
 
@@ -77,7 +79,7 @@ class GopherRulesSpec extends SparkSpec {
     // fixture docs are single-line lowercase words: line rules and the
     // symbol rule must hold everywhere (a regression here means the
     // splitter changed)
-    assert(df.filter(!col("r_bullet") || !col("r_ellipsis") ||
-      !col("r_symbol")).count() == 0)
+    assert(df.filter(!col("r_bullet") || !col("r_ellipsis_line") ||
+      !col("r_hash") || !col("r_ellipsis_sym")).count() == 0)
   }
 }
