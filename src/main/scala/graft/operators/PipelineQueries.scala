@@ -388,9 +388,68 @@ object PipelineQueries {
        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_train_eval_pairs
        |FROM j GROUP BY lang""".stripMargin
 
+  /** curation_datasheet — the per-source "Datasheets for Datasets"
+    * card a corpus release publishes: document and language counts,
+    * whitespace-token total (the budget number), the Gopher keep
+    * rate (delegating to the published rule card — one rule
+    * definition in the engine), and mean quality. Complements
+    * curation_domain_stats (volume/dup/short ledger) with the
+    * quality dimensions.
+    *
+    * Determinism discipline: every mean rides an INTEGER sum — the
+    * per-doc quality quantizes to the 10⁴ grid BEFORE aggregation
+    * (floor(q·10⁴+½) as long), keeps are 0/1 longs — so partitioning
+    * cannot move a unit and the division happens once per source.
+    * One corpus pass (the gopher card + quality are row-local), one
+    * hash aggregate to |sources| rows. */
+  def curationDatasheet(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val keep = TextQueries.gopherRulesFrom(docs)
+      .select(col("doc_id"), col("keep").cast("long").as("k"))
+    docs
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("wt"),
+        floor(TextQueries.QualityScore.quality * lit(10000.0) + lit(0.5))
+          .as("qi"))
+      .join(keep, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("wt")).as("ws_tokens"),
+        round(sum(col("k")).cast("double") / count(lit(1)) + lit(1e-9), 4)
+          .as("gopher_keep_rate"),
+        round(sum(col("qi")).cast("double") / count(lit(1)) / lit(10000.0)
+          + lit(1e-9), 4).as("mean_quality"))
+  }
+
+  val curationDatasheetSql: String =
+    // the gopher card is substituted AFTER stripMargin (it contains
+    // no margin-colliding lines today, but the fertility lesson says
+    // never re-marginalize embedded SQL)
+    """WITH g AS (
+      |  SELECT doc_id, CAST(keep AS BIGINT) AS k FROM (%GOPHER%)),
+      |d AS (
+      |  SELECT doc_id, source, lang,
+      |    len(string_split(text, ' ')) AS wt,
+      |    CAST(floor(%QUALITY% * 10000.0 + 0.5) AS BIGINT) AS qi
+      |  FROM documents)
+      |SELECT d.source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+      |  CAST(sum(d.wt) AS BIGINT) AS ws_tokens,
+      |  round(CAST(sum(g.k) AS DOUBLE) / count(*) + 1e-9, 4)
+      |    AS gopher_keep_rate,
+      |  round(CAST(sum(d.qi) AS DOUBLE) / count(*) / 10000.0 + 1e-9, 4)
+      |    AS mean_quality
+      |FROM d JOIN g USING (doc_id)
+      |GROUP BY d.source""".stripMargin
+      .replace("%GOPHER%", TextQueries.textGopherRulesSql)
+      .replace("%QUALITY%", TextQueries.QualityScore.QUALITY_SQL)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_split_leakage_near" -> (pipelineSplitLeakageNear _),
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
+    "curation_datasheet" -> (curationDatasheet _),
     "pipeline_build_mixture" -> (pipelineBuildMixture _),
     "curation_domain_stats" -> (curationDomainStats _),
     "pipeline_split_leakage" -> (pipelineSplitLeakage _),
@@ -400,6 +459,7 @@ object PipelineQueries {
   def oracle: Map[String, String] = Map(
     "pipeline_split_leakage_near" -> pipelineSplitLeakageNearSql,
     "pipeline_clean_corpus" -> pipelineCleanCorpusSql,
+    "curation_datasheet" -> curationDatasheetSql,
     "pipeline_build_mixture" -> pipelineBuildMixtureSql,
     "curation_domain_stats" -> curationDomainStatsSql,
     "pipeline_split_leakage" -> pipelineSplitLeakageSql,

@@ -52,6 +52,32 @@ class CurationStatsSpec extends SparkSpec {
     assert(got(9L) > got(8L),
       s"OOV doc must score worse: oov=${got(9L)} invocab=${got(8L)}")
   }
+
+  test("curation_datasheet: per-source card is internally consistent " +
+      "and cross-checks the gopher card and the corpus totals") {
+    import org.apache.spark.sql.functions._
+    val rows = PipelineQueries.curationDatasheet(spark, sf).collect()
+    val docs = graft.Tables.documents(spark, sf)
+    assert(rows.map(_.getLong(1)).sum == docs.count(),
+      "datasheet rows must cover every document exactly once")
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0001,
+        s"mean quality out of range on $r")
+      assert(r.getLong(3) > 0L && r.getLong(2) >= 1L)
+    }
+    // keep rate against the rule card directly, for one source
+    val src = rows.head.getString(0)
+    val ids = docs.filter(col("source") === src)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = TextQueries.textGopherRules(spark, sf)
+      .filter(col("keep")).select("doc_id").collect()
+      .map(_.getLong(0)).count(ids.contains)
+    val want = BigDecimal(kept.toDouble / ids.size + 1e-9)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.head.getDouble(4) == want,
+      s"keep rate ${rows.head.getDouble(4)} != recomputed $want")
+  }
 }
 
 /** Collects (source -> (n_docs, n_unique, keep)) for the spec. */
