@@ -1018,7 +1018,12 @@ object Hdf5Header {
         var d = 0
         while (d < rank && inBounds) {
           val g = coords(d) + (l / chunkStride(d)) % chunkDims(d)
-          if (g >= dims(d)) inBounds = false
+          // g < 0: a corrupted chunk key whose u64 offset reads as a
+          // negative Long — without this clip the negative flat index
+          // truncates through .toInt into a small in-range-looking
+          // value (found by the corrupt-granule fuzz property:
+          // AIOOBE escaping the quarantine contract)
+          if (g < 0 || g >= dims(d)) inBounds = false
           else flat += g * dimStride(d)
           d += 1
         }
