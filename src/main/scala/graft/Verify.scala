@@ -27,6 +27,7 @@ object Verify {
     // scalar-only — serialize containers with to_json before declaring.
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     var containerViolations = List.empty[String]
+    var zeroRow = List.empty[String]
     var failures = List.empty[(String, String)]
     val declared = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -41,6 +42,13 @@ object Verify {
         if (bad.nonEmpty)
           containerViolations ::= s"$name: container-typed output columns ${bad.mkString(", ")}"
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // r15 judge finding: two qids hash-matched on EMPTY results
+        // (vacuous green — an implementation returning empty for any
+        // input would also pass). Count the WRITTEN parquet (footer
+        // metadata read, no recompute) and warn loudly so a 0-row
+        // declared result can never again hide as a pass.
+        if (spark.read.parquet(s"$outDir/$name").count() == 0L)
+          zeroRow ::= name
       } catch { case e: Throwable =>
         failures ::= (name -> s"${e.getClass.getSimpleName}: ${e.getMessage}")
         System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
@@ -49,6 +57,9 @@ object Verify {
     // Loud warning only — a hard exit here would zero a whole driver round
     // for one bad query; harness/check.py is the hard local gate.
     containerViolations.foreach(v => System.err.println(s"[verify] CONTAINER-OUTPUT $v"))
+    if (zeroRow.nonEmpty)
+      println(s"[verify] ZERO-ROW-RESULT (vacuous-green hazard): " +
+        zeroRow.sorted.mkString(","))
     // Round-8 lesson: a throwing query used to simply vanish from the
     // driver's CORRECTNESS keys (21 queries absent for two rounds with no
     // red signal). Surface the gap on stdout AND as a machine-readable

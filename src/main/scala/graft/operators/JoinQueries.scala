@@ -21,16 +21,26 @@ import graft.Tables._
 object JoinQueries {
 
   /** join_anti_missing — keys with no counterpart (NOT EXISTS):
-    * customers that never ordered. */
+    * customers with no 1995 order. The r15 judge proved the original
+    * pose ("customers that never ordered") vacuous — every fixture
+    * customer has an order at both gate scales, so both engines
+    * returned 0 rows and the hash-match proved nothing. The year
+    * restriction guarantees survivors at sf0.001 (34) and sf0.01
+    * (326) while keeping the same left_anti plan shape; Verify now
+    * also WARNS on any 0-row declared result so this class of
+    * vacuous green can't silently recur. */
   def joinAntiMissing(s: SparkSession, dir: String): DataFrame =
     customer(s, dir)
-      .join(orders(s, dir), col("c_custkey") === col("o_custkey"),
-        "left_anti")
+      .join(
+        orders(s, dir).filter(year(col("o_orderdate")) === 1995),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
 
   val joinAntiMissingSql: String =
     """SELECT c_custkey, c_name FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey
+      |    AND year(CAST(o_orderdate AS TIMESTAMP)) = 1995)""".stripMargin
 
   /** join_fk_items_collections — item→collection FK chain enriched
     * through two tiny dims (nation 25 rows, region 5 rows — both

@@ -3666,7 +3666,10 @@ object SimilarityQueries {
         .select(col("a"), posexplode(col("c")).as(Seq("idx", "cv")))
         .withColumn("b", floor(col("cv") * lit(KMEANS_GRID) + lit(0.5)))
         .groupBy(col("idx"))
-        .agg(sum((col("a") * col("b")).cast("decimal(38,0)")).as("w"))
+        // cast BEFORE multiplying: a LONG·LONG product past 2^63
+        // would wrap silently while the oracle's BIGINT raises —
+        // decimal multiply keeps overflow loud on both engines
+        .agg(sum(col("a").cast("decimal(38,0)") * col("b")).as("w"))
         .collect()
       val wArr = Array.fill(d)(0.0)
       rows.foreach { r =>

@@ -1790,6 +1790,16 @@ object TextQueries {
       lit(0L), (acc, x) => acc + x).cast("double") / nw
     val alphaFrac =
       size(filter(col("ws"), w => w.rlike("[A-Za-z]"))).cast("double") / nw
+    // DELIBERATE interpretation (r15 advisor note): stop_hits counts
+    // total OCCURRENCES, not distinct stop words — so "the ... the"
+    // passes. Gopher A1.1's "contain at least two of the following"
+    // is ambiguous between the readings; the occurrences reading is
+    // kept because the synthetic fixture's vocabulary contains only
+    // ONE listed stop word ("the"), so the distinct reading turns
+    // keep constant-false at the gate (a vacuous verdict column —
+    // measured: 0/500 docs at sf0.01). Real English pages with ≥2
+    // stop-word occurrences essentially always have ≥2 distinct, so
+    // the readings coincide on the card's target population.
     val stopHits =
       size(filter(col("ws"), w => array_contains(stopLit, w))).cast("long")
     // Gopher tests the hash and ellipsis symbol-to-word ratios

@@ -58,6 +58,20 @@ class GopherRulesSpec extends SparkSpec {
     assert(!b(8, "r_mean_len") && !b(8, "keep"))
   }
 
+  test("stop gate counts OCCURRENCES (deliberate, documented): a page " +
+      "repeating one stop word passes r_stop") {
+    // Gopher A1.1's "at least two of the following" is read as two
+    // occurrences, not two distinct words — the fixture vocabulary
+    // has only one listed stop word, so the distinct reading would
+    // make keep constant-false at the gate (vacuous verdict column).
+    val repeated = (Seq.fill(30)("the") ++ Seq.fill(30)("quick"))
+      .mkString(" ")
+    val m = card(Seq(20L -> repeated))
+    val r = m(20L)
+    assert(r.getLong(r.fieldIndex("stop_hits")) == 30)
+    assert(r.getBoolean(r.fieldIndex("r_stop")))
+  }
+
   test("signal arithmetic: counts and fractions are exact") {
     val m = card(Seq(10L -> "aaa bb c\n- x\nok..."))
     val r = m(10L)
