@@ -31,6 +31,7 @@ object SparkEntry {
       operators.PipelineQueries.queries ++
       operators.EventQueries.queries ++
       operators.TimeSeriesQueries.queries ++
+      operators.WarcQueries.queries ++
       operators.SourceSinkQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -49,5 +50,6 @@ object SparkEntry {
       operators.PipelineQueries.oracle ++
       operators.EventQueries.oracle ++
       operators.TimeSeriesQueries.oracle ++
+      operators.WarcQueries.oracle ++
       operators.SourceSinkQueries.oracle
 }

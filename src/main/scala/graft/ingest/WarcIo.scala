@@ -1,0 +1,288 @@
+package graft.ingest
+
+import java.io.{BufferedInputStream, ByteArrayOutputStream, EOFException,
+  InputStream, OutputStream}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+/** Pure-JVM WARC (ISO 28500) reader/writer — the crawl-archive
+  * container every published LLM pipeline starts from. The engine
+  * form of the reference's remote-archive opens
+  * (avhrr recipe.py:124, insitu recipe.py:158): list the archive
+  * files, then parse each DISTRIBUTED, record by record.
+  *
+  * Format (written from the public spec, no library code):
+  *  - a `.warc.gz` is a sequence of gzip MEMBERS, one record each;
+  *    java.util.zip.GZIPInputStream reads concatenated members
+  *    transparently, and the writer calls `finish()` per member so
+  *    record boundaries align with member boundaries (the convention
+  *    that lets a cluster seek to byte offsets — here we parse
+  *    whole files, one per task, so no offset index is needed).
+  *  - a record is `WARC/1.0 CRLF`, header lines (`Name: value`),
+  *    an empty line, `Content-Length` payload bytes, `CRLF CRLF`.
+  *  - a `response` record's payload is an HTTP/1.1 message: status
+  *    line, headers, empty line, body.
+  *
+  * Quarantine discipline (the src_jsonl_quarantine contract): a
+  * malformed record yields an error row and the parser RESYNCS to
+  * the next `WARC/` version line — one corrupt member never kills
+  * the file, and a corrupt gzip stream yields a final error row for
+  * the file instead of failing the task. Streaming end to end: the
+  * only buffered unit is one record's payload (bounded by
+  * Content-Length), never the file.
+  */
+object WarcIo {
+
+  /** One parsed record; `err` non-empty marks a quarantine row (all
+    * other fields best-effort). For `response` records, httpStatus /
+    * httpMime / body describe the HTTP message inside the payload;
+    * for other types httpStatus = -1 and body == payload. */
+  final case class WarcRecord(
+      recType: String,
+      recordId: String,
+      targetUri: String,
+      date: String,
+      contentType: String,
+      contentLength: Long,
+      httpStatus: Int,
+      httpMime: String,
+      body: Array[Byte],
+      err: String)
+
+  private val CRLF = "\r\n".getBytes("US-ASCII")
+  // a header/status line longer than this is corruption, not WARC —
+  // bounds the resync scan's memory on garbage without newlines
+  private val MAX_LINE = 1 << 20
+
+  // ── writer ──
+
+  /** Append one record as its own gzip member. `finish()` (not
+    * `close()`) ends the member and leaves `out` open for the next. */
+  def writeRecord(
+      out: OutputStream,
+      headers: Seq[(String, String)],
+      payload: Array[Byte]): Unit = {
+    val head = new StringBuilder("WARC/1.0\r\n")
+    headers.foreach { case (k, v) => head.append(k).append(": ")
+      .append(v).append("\r\n") }
+    head.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
+    val gz = new GZIPOutputStream(out)
+    gz.write(head.toString.getBytes("US-ASCII"))
+    gz.write(payload)
+    gz.write(CRLF); gz.write(CRLF)
+    gz.finish()
+  }
+
+  /** Raw (uncompressed-framing) variant for fuzz fixtures: the exact
+    * record bytes, so specs can corrupt them before compression. */
+  def recordBytes(
+      headers: Seq[(String, String)], payload: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val head = new StringBuilder("WARC/1.0\r\n")
+    headers.foreach { case (k, v) => head.append(k).append(": ")
+      .append(v).append("\r\n") }
+    head.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
+    bos.write(head.toString.getBytes("US-ASCII"))
+    bos.write(payload)
+    bos.write(CRLF); bos.write(CRLF)
+    bos.toByteArray
+  }
+
+  /** Compress pre-built record bytes as one gzip member. */
+  def writeMember(out: OutputStream, record: Array[Byte]): Unit = {
+    val gz = new GZIPOutputStream(out)
+    gz.write(record)
+    gz.finish()
+  }
+
+  // ── parser ──
+
+  /** Parse a `.warc.gz` stream (ownership taken; closed at end).
+    * Lazy: records stream one at a time. */
+  def parseGzip(in: InputStream): Iterator[WarcRecord] =
+    parse(() => new GZIPInputStream(new BufferedInputStream(in)))
+
+  /** Parse an uncompressed WARC stream. */
+  def parsePlain(in: InputStream): Iterator[WarcRecord] =
+    parse(() => new BufferedInputStream(in))
+
+  private def parse(open: () => InputStream): Iterator[WarcRecord] =
+    new Iterator[WarcRecord] {
+      private var stream: InputStream = _
+      private var openErr: String = ""
+      try stream = open()
+      catch { case e: Exception =>
+        openErr = s"gzip: ${e.getClass.getSimpleName}: ${e.getMessage}" }
+      private var nextRec: WarcRecord = _
+      private var finished = openErr.nonEmpty
+      private var pendingErr: String = openErr
+
+      def hasNext: Boolean = {
+        if (nextRec == null && !emitPending()) advance()
+        nextRec != null
+      }
+      def next(): WarcRecord = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = nextRec; nextRec = null; r
+      }
+
+      private def emitPending(): Boolean =
+        if (pendingErr.nonEmpty) {
+          nextRec = WarcRecord("", "", "", "", "", -1L, -1, "",
+            Array.emptyByteArray, pendingErr)
+          pendingErr = ""
+          true
+        } else false
+
+      private def advance(): Unit = {
+        if (finished) return
+        try advanceUnsafe()
+        catch { case e: Exception =>
+          // decompression / IO failure mid-file: the remainder is
+          // unreadable — one file-level quarantine row, then stop
+          nextRec = WarcRecord("", "", "", "", "", -1L, -1, "",
+            Array.emptyByteArray,
+            s"gzip: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          finished = true
+          closeQuietly()
+        }
+      }
+
+      private def advanceUnsafe(): Unit = {
+        while (nextRec == null && !finished) {
+          val line = readLine()
+          if (line == null) { finished = true; closeQuietly(); return }
+          val s = new String(line, "US-ASCII")
+          if (s.isEmpty) () // inter-record CRLFs / leading blanks
+          else if (s.startsWith("WARC/")) parseRecord()
+          else {
+            // garbage where a version line belongs: quarantine ONE
+            // row for the junk run, then resync to the next record
+            var l = readLine()
+            while (l != null && !startsWithWarc(l)) l = readLine()
+            nextRec = WarcRecord("", "", "", "", "", -1L, -1, "",
+              Array.emptyByteArray,
+              s"resync: expected WARC/ version line, got '${s.take(40)}'")
+            if (l == null) { finished = true; closeQuietly() }
+            else pendingParse = true
+          }
+        }
+      }
+
+      // set when resync consumed the next version line itself
+      private var pendingParse = false
+      private def startsWithWarc(l: Array[Byte]): Boolean =
+        l.length >= 5 && l(0) == 'W' && l(1) == 'A' && l(2) == 'R' &&
+          l(3) == 'C' && l(4) == '/'
+
+      private def parseRecord(): Unit = {
+        val hdrs = scala.collection.mutable.Map.empty[String, String]
+        var line = readLine()
+        var bad = ""
+        while (line != null && line.nonEmpty && bad.isEmpty) {
+          val s = new String(line, "UTF-8")
+          val i = s.indexOf(':')
+          if (i <= 0) bad = s"malformed header line '${s.take(40)}'"
+          else hdrs(s.substring(0, i).trim.toLowerCase) =
+            s.substring(i + 1).trim
+          if (bad.isEmpty) line = readLine()
+        }
+        if (bad.isEmpty && line == null)
+          bad = "EOF inside record headers"
+        val lenOpt = hdrs.get("content-length")
+          .flatMap(v => scala.util.Try(v.toLong).toOption)
+        if (bad.isEmpty && lenOpt.isEmpty)
+          bad = "missing or non-numeric Content-Length"
+        if (bad.nonEmpty) {
+          nextRec = WarcRecord(hdrs.getOrElse("warc-type", ""),
+            hdrs.getOrElse("warc-record-id", ""),
+            hdrs.getOrElse("warc-target-uri", ""),
+            hdrs.getOrElse("warc-date", ""),
+            hdrs.getOrElse("content-type", ""), -1L, -1, "",
+            Array.emptyByteArray, bad)
+          return
+        }
+        val len = lenOpt.get
+        val payload = new Array[Byte](len.toInt)
+        var off = 0
+        while (off < payload.length) {
+          val n = stream.read(payload, off, payload.length - off)
+          if (n < 0) {
+            nextRec = WarcRecord(hdrs.getOrElse("warc-type", ""),
+              hdrs.getOrElse("warc-record-id", ""),
+              hdrs.getOrElse("warc-target-uri", ""),
+              hdrs.getOrElse("warc-date", ""),
+              hdrs.getOrElse("content-type", ""), len, -1, "",
+              Array.emptyByteArray,
+              s"truncated payload: expected $len bytes, got $off")
+            finished = true; closeQuietly(); return
+          }
+          off += n
+        }
+        val recType = hdrs.getOrElse("warc-type", "")
+        val (status, mime, body) =
+          if (recType == "response") parseHttpResponse(payload)
+          else (-1, hdrs.getOrElse("content-type", ""), payload)
+        nextRec = WarcRecord(recType,
+          hdrs.getOrElse("warc-record-id", ""),
+          hdrs.getOrElse("warc-target-uri", ""),
+          hdrs.getOrElse("warc-date", ""),
+          hdrs.getOrElse("content-type", ""), len, status, mime, body, "")
+      }
+
+      /** Read one CRLF/LF-terminated line (terminator stripped);
+        * null at EOF with no bytes read. */
+      private def readLine(): Array[Byte] = {
+        if (pendingParse) {
+          // resync already consumed "WARC/1.0" — replay it
+          pendingParse = false
+          return "WARC/1.0".getBytes("US-ASCII")
+        }
+        val bos = new ByteArrayOutputStream(96)
+        var b = stream.read()
+        if (b < 0) return null
+        while (b >= 0 && b != '\n') {
+          bos.write(b)
+          if (bos.size > MAX_LINE)
+            throw new EOFException(s"line exceeds $MAX_LINE bytes")
+          b = stream.read()
+        }
+        val arr = bos.toByteArray
+        if (arr.nonEmpty && arr(arr.length - 1) == '\r')
+          java.util.Arrays.copyOf(arr, arr.length - 1)
+        else arr
+      }
+
+      private def closeQuietly(): Unit =
+        try if (stream != null) stream.close()
+        catch { case _: Exception => () }
+    }
+
+  /** Split an HTTP/1.1 response payload into (status, Content-Type,
+    * body). A payload that is not HTTP gets status -1 and the whole
+    * payload as body (quarantined downstream by the status filter). */
+  def parseHttpResponse(payload: Array[Byte]): (Int, String, Array[Byte]) = {
+    // find the CRLFCRLF head/body split without decoding the body
+    var i = 0
+    var split = -1
+    while (split < 0 && i + 3 < payload.length) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+        payload(i + 2) == '\r' && payload(i + 3) == '\n') split = i
+      i += 1
+    }
+    if (split < 0) return (-1, "", payload)
+    val head = new String(payload, 0, split, "US-ASCII")
+    val body = java.util.Arrays.copyOfRange(payload, split + 4, payload.length)
+    val lines = head.split("\r\n")
+    val status = lines.headOption
+      .filter(_.startsWith("HTTP/"))
+      .map(_.split(" ", 3))
+      .filter(_.length >= 2)
+      .flatMap(p => scala.util.Try(p(1).toInt).toOption)
+      .getOrElse(-1)
+    val mime = lines.drop(1)
+      .find(_.toLowerCase.startsWith("content-type:"))
+      .map(_.substring("content-type:".length).trim)
+      .getOrElse("")
+    (status, mime, body)
+  }
+}

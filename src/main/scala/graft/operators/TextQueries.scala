@@ -1081,7 +1081,11 @@ object TextQueries {
     * shift every hit-rate denominator by one); profile order
     * (en,es,fr,de) is the maxBy-first tie-break, encoded as the >=
     * cascade. */
-  val textLangidSql: String =
+  /** The per-doc language-guess kernel as a SQL template over any
+    * (doc_id, lang, text) source — yields (doc_id, lang, lang_guess).
+    * Factored so composed pipelines (pipeline_warc_to_corpus) replay
+    * the exact TextFunctions.langId arithmetic over derived text. */
+  private[graft] def langGuessSqlFrom(src: String): String =
     """WITH t AS (
       |  SELECT doc_id, lang,
       |    text IS NULL OR text = '' AS empty,
@@ -1089,7 +1093,7 @@ object TextQueries {
       |    string_split_regex(rtrim(lower(text),
       |      concat(' ', chr(9), chr(10), chr(11), chr(12), chr(13))),
       |      '\s+') AS toks
-      |  FROM documents),
+      |  FROM %SRC%),
       |s AS (
       |  SELECT doc_id, lang, empty, cjk,
       |    CAST(len(list_filter(toks, x -> x IN ('the','of','and','to',
@@ -1102,7 +1106,7 @@ object TextQueries {
       |      'in','den','von','zu'))) AS DOUBLE) / len(toks) AS s_de
       |  FROM t),
       |g AS (
-      |  SELECT lang,
+      |  SELECT doc_id, lang,
       |    CASE WHEN empty THEN 'und'
       |         WHEN cjk THEN 'zh'
       |         WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de
@@ -1114,8 +1118,13 @@ object TextQueries {
       |         ELSE CASE WHEN s_de > 0.02 THEN 'de' ELSE 'und' END
       |    END AS lang_guess
       |  FROM s)
-      |SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n
-      |FROM g GROUP BY 1, 2""".stripMargin
+      |SELECT doc_id, lang, lang_guess FROM g""".stripMargin
+      .replace("%SRC%", src)
+
+  val textLangidSql: String =
+    s"""SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n
+       |FROM (${langGuessSqlFrom("documents")}) lg
+       |GROUP BY 1, 2""".stripMargin
 
   /** text_nb_classify — a TRAINED document classifier, the
     * GPT-3/CCNet-style "train a model on labeled data, score the
@@ -1779,12 +1788,17 @@ object TextQueries {
   def textGopherRules(s: SparkSession, dir: String): DataFrame =
     gopherRulesFrom(documents(s, dir))
 
-  private[graft] def gopherRulesFrom(docs: DataFrame): DataFrame = {
+  /** `carry` threads extra columns of `docs` through to the card
+    * output unchanged — lets composed pipelines (warc→corpus) keep a
+    * lang_guess computed in the SAME pass instead of re-scanning and
+    * joining. */
+  private[graft] def gopherRulesFrom(
+      docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val stopLit = typedLit(GOPHER_STOPS)
     val d = docs
-      .select(col("doc_id"), col("text"),
+      .select(Seq(col("doc_id"), col("text"),
         split(col("text"), " ").as("ws"),
-        split(col("text"), "\n").as("ls"))
+        split(col("text"), "\n").as("ls")) ++ carry.map(col): _*)
     val nw = size(col("ws")).cast("double")
     val mwl = aggregate(transform(col("ws"), w => length(w).cast("long")),
       lit(0L), (acc, x) => acc + x).cast("double") / nw
@@ -1820,11 +1834,13 @@ object TextQueries {
     // each threshold is spelled exactly ONCE (the flag column); keep
     // derives from the flags so an edited rule can never desync the
     // verdict from its card
-    d.select(col("doc_id"), nw.cast("long").as("n_words"), mwl.as("mwl"),
+    d.select(Seq(col("doc_id"), nw.cast("long").as("n_words"),
+        mwl.as("mwl"),
         alphaFrac.as("af"), stopHits.as("stop_hits"),
         hashRatio.as("hr"), ellipsisRatio.as("er"),
-        bulletFrac.as("bf"), ellipsisLineFrac.as("ef"))
-      .select(
+        bulletFrac.as("bf"), ellipsisLineFrac.as("ef")) ++
+        carry.map(col): _*)
+      .select(Seq(
         col("doc_id"), col("n_words"),
         round(col("mwl") + lit(1e-9), 4).as("mean_word_len"),
         round(col("af") + lit(1e-9), 4).as("alpha_frac"),
@@ -1840,18 +1856,24 @@ object TextQueries {
         (col("hr") <= 0.1).as("r_hash"),
         (col("er") <= 0.1).as("r_ellipsis_sym"),
         (col("bf") <= 0.9).as("r_bullet"),
-        (col("ef") <= 0.3).as("r_ellipsis_line"))
+        (col("ef") <= 0.3).as("r_ellipsis_line")) ++
+        carry.map(col): _*)
       .withColumn("keep",
         col("r_words") && col("r_mean_len") && col("r_alpha") &&
           col("r_stop") && col("r_hash") && col("r_ellipsis_sym") &&
           col("r_bullet") && col("r_ellipsis_line"))
   }
 
-  val textGopherRulesSql: String =
+  /** The Gopher card as a SQL template over any (doc_id, text) source
+    * — `src` is a table name or parenthesized subquery. Factored so
+    * composed pipelines (pipeline_warc_to_corpus) replay the EXACT
+    * same rule arithmetic over derived text instead of duplicating
+    * the kernel. */
+  private[graft] def gopherRulesSqlFrom(src: String): String =
     """WITH t AS (
       |  SELECT doc_id, text, string_split(text, ' ') AS ws,
       |    string_split(text, chr(10)) AS ls
-      |  FROM documents),
+      |  FROM %SRC%),
       |s AS (
       |  SELECT doc_id,
       |    len(ws) AS n_words,
@@ -1892,7 +1914,9 @@ object TextQueries {
       |SELECT *, r_words AND r_mean_len AND r_alpha AND r_stop
       |  AND r_hash AND r_ellipsis_sym AND r_bullet AND r_ellipsis_line
       |  AS keep
-      |FROM flags""".stripMargin
+      |FROM flags""".stripMargin.replace("%SRC%", src)
+
+  val textGopherRulesSql: String = gopherRulesSqlFrom("documents")
 
   /** text_chunk — fixed-size training chunks with overlap: every doc
     * split into CHUNK_W-word windows advancing by CHUNK_STRIDE (the
@@ -2069,14 +2093,25 @@ object TextQueries {
     * exercise every strip rule; regexes stay in the RE2 ∩
     * java.util.regex subset ([\\s\\S] instead of DOTALL) so the
     * DuckDB oracle reproduces the exact bytes. */
-  def textHtmlStrip(s: SparkSession, dir: String): DataFrame = {
-    val page = concat(
+  /** The synthetic HTML wrapper shared by text_html_strip and the
+    * WARC fixture (WarcQueries): exercises every strip rule, and its
+    * strip collapses to `Doc <id> <text> & more <escaped> "text"
+    * here` — an expression DuckDB rebuilds by plain concat, which is
+    * what lets pipeline_warc_to_corpus hash-gate the whole
+    * parse→strip→langid→gopher chain. */
+  private[graft] def htmlWrap(docId: Column, text: Column): Column =
+    concat(
       lit("<html><head><script type=\"text/javascript\">var x = 1;</script>" +
         "<style>p { color: red }</style></head><body><h1>Doc "),
-      col("doc_id"),
-      lit("</h1><!-- boilerplate --><p>"), col("text"),
+      docId,
+      lit("</h1><!-- boilerplate --><p>"), text,
       lit(" &amp; more &lt;escaped&gt; &quot;text&quot;&nbsp;here</p>" +
         "</body></html>"))
+
+  /** script/style/comment blocks dropped, tags stripped, common
+    * entities decoded, whitespace collapsed — reusable so composed
+    * pipelines strip with the EXACT same kernel. */
+  private[graft] def htmlStripCol(page: Column): Column = {
     val noBlocks = regexp_replace(
       regexp_replace(
         regexp_replace(page, "<script[^>]*>[\\s\\S]*?</script>", " "),
@@ -2088,37 +2123,56 @@ object TextQueries {
     val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
       "&quot;" -> "\"", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
-    val clean = trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " "))
+    trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " "))
+  }
+
+  def textHtmlStrip(s: SparkSession, dir: String): DataFrame = {
+    val clean = htmlStripCol(htmlWrap(col("doc_id"), col("text")))
     documents(s, dir).select(col("doc_id"), clean.as("stripped"),
       length(clean).cast("long").as("n_stripped_chars"))
   }
 
-  val textHtmlStripSql: String =
-    """WITH page AS (
-      |  SELECT doc_id,
-      |    '<html><head><script type="text/javascript">var x = 1;</script>'
-      |    || '<style>p { color: red }</style></head><body><h1>Doc '
-      |    || doc_id || '</h1><!-- boilerplate --><p>' || text
-      |    || ' &amp; more &lt;escaped&gt; &quot;text&quot;&nbsp;here</p>'
-      |    || '</body></html>' AS h
-      |  FROM documents),
-      |stripped AS (
-      |  SELECT doc_id, trim(regexp_replace(
+  /** The synthetic-page concat as a DuckDB expression — mirrors
+    * [[htmlWrap]] byte for byte (the WARC fixture's response body). */
+  private[graft] def htmlWrapSqlExpr(docId: String, text: String): String =
+    "'<html><head><script type=\"text/javascript\">var x = 1;</script>'" +
+      "\n    || '<style>p { color: red }</style></head><body><h1>Doc '" +
+      s"\n    || $docId || '</h1><!-- boilerplate --><p>' || $text" +
+      "\n    || ' &amp; more &lt;escaped&gt; &quot;text&quot;&nbsp;here</p>'" +
+      "\n    || '</body></html>'"
+
+  /** The strip chain as a DuckDB expression over a page column —
+    * mirrors [[htmlStripCol]] exactly (regexes in the RE2 ∩
+    * java.util.regex subset). */
+  private[graft] def htmlStripSqlExpr(h: String): String =
+    s"""trim(regexp_replace(
       |    replace(replace(replace(replace(replace(
       |      regexp_replace(
       |        regexp_replace(
       |          regexp_replace(
-      |            regexp_replace(h, '<script[^>]*>[\s\S]*?</script>', ' ', 'g'),
-      |            '<style[^>]*>[\s\S]*?</style>', ' ', 'g'),
-      |          '<!--[\s\S]*?-->', ' ', 'g'),
+      |            regexp_replace($h, '<script[^>]*>[\\s\\S]*?</script>', ' ', 'g'),
+      |            '<style[^>]*>[\\s\\S]*?</style>', ' ', 'g'),
+      |          '<!--[\\s\\S]*?-->', ' ', 'g'),
       |        '<[^>]+>', ' ', 'g'),
       |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
       |      '&amp;', '&'),
-      |    '[ \t\r\n]+', ' ', 'g')) AS stripped
+      |    '[ \\t\\r\\n]+', ' ', 'g'))""".stripMargin
+
+  // %WRAP% lands AFTER stripMargin: the wrap expression's
+  // continuation lines begin with '||', which stripMargin would
+  // truncate to '|' (the embedded-SQL margin lesson)
+  val textHtmlStripSql: String =
+    s"""WITH page AS (
+      |  SELECT doc_id,
+      |    %WRAP% AS h
+      |  FROM documents),
+      |stripped AS (
+      |  SELECT doc_id, ${htmlStripSqlExpr("h")} AS stripped
       |  FROM page)
       |SELECT doc_id, stripped,
       |  CAST(len(stripped) AS BIGINT) AS n_stripped_chars
       |FROM stripped""".stripMargin
+      .replace("%WRAP%", htmlWrapSqlExpr("doc_id", "text"))
 
   /** text_mixture_card — the dataset-mixture card: per (source, lang)
     * doc counts, BPE-estimate token budget, mean quality, and each

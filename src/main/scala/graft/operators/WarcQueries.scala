@@ -1,0 +1,294 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ingest.{ListingCache, WarcIo}
+
+/** WARC crawl-archive ingest (SURVEY §2.1 extension; VERDICT r15 task
+  * 1): the container every published LLM pipeline's corpus starts
+  * from, parsed pure-JVM from the ISO 28500 spec — the engine analog
+  * of the reference's remote-archive opens (avhrr recipe.py:124,
+  * insitu recipe.py:158) pointed at crawl data instead of granules.
+  *
+  * Hash-proof fixture (the multimodal_video_meta idiom,
+  * MultimodalQueries.scala): every WARC byte is ARITHMETIC on
+  * documents rows — urls, dates, HTTP status, headers, and the HTML
+  * body are deterministic functions of (doc_id, text) — so DuckDB
+  * recomputes every parsed output column without reading a byte of
+  * WARC. A wrong member boundary, a mis-read Content-Length, an
+  * off-by-one in the HTTP head/body split, or a dropped record shifts
+  * a length/digest and the gate goes hash-red.
+  *
+  * Scale shape: glob-list the archive files, then ONE narrow
+  * mapPartitions parses each file streaming (per-record buffering
+  * only, bounded by Content-Length) — no shuffle, no driver reads;
+  * parallelism = #files, exactly how a 1000-executor cluster eats a
+  * crawl dump of 100k 1 GB WARCs. Payload bytes stay in the scan
+  * stage: src_warc projects 32-byte digests, the pipeline strips to
+  * text before anything wide. The fixture build (driver-side write of
+  * 32 small files) is harness cost, memoized per corpus fingerprint.
+  */
+object WarcQueries {
+
+  private[operators] val N_FILES = 32
+  private val BASE_EPOCH =
+    java.time.Instant.parse("2022-05-01T00:00:00Z").getEpochSecond
+  private val INFO_PAYLOAD =
+    "software: graft-warc/1.0\r\nformat: WARC File Format 1.0\r\n"
+  private val NOT_FOUND_BODY =
+    "<html><body><p>not found</p></body></html>"
+
+  private def isoTs(epoch: Long): String =
+    java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochSecond(epoch))
+
+  /** The response body for one document — MUST stay byte-identical to
+    * TextQueries.htmlWrap / htmlWrapSqlExpr (the oracle replays it). */
+  private def responseBody(docId: Long, text: String): String =
+    if (docId % 7 == 0) NOT_FOUND_BODY
+    else
+      "<html><head><script type=\"text/javascript\">var x = 1;</script>" +
+        "<style>p { color: red }</style></head><body><h1>Doc " + docId +
+        "</h1><!-- boilerplate --><p>" + text +
+        " &amp; more &lt;escaped&gt; &quot;text&quot;&nbsp;here</p>" +
+        "</body></html>"
+
+  // ── fixture build (harness cost, memoized per corpus) ──
+
+  private val warcRootMemo = new BuildMemo[String]()
+
+  /** Write the corpus as N_FILES `.warc.gz` archives: per file a
+    * warcinfo record, then per document (sorted) a request + response
+    * pair. Returns the directory. */
+  private[operators] def warcRoot(s: SparkSession, dir: String): String = {
+    val fp = IndexManifest.corpusFingerprint(dir, "documents")
+    warcRootMemo.getOrBuild(s"$dir|$fp", s.sparkContext) {
+      MemoBuilds.record("warc_fixture")
+      val root = Files.createTempDirectory("graft-warc").toString
+      IndexManifest.registerTempRoot(root)
+      val docs = graft.Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1)
+      (0 until N_FILES).foreach { k =>
+        val out = new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(s"$root/part-$k.warc.gz"))
+        try {
+          WarcIo.writeRecord(out, Seq(
+            "WARC-Type" -> "warcinfo",
+            "WARC-Record-ID" -> s"<urn:uuid:file-$k>",
+            "WARC-Date" -> isoTs(BASE_EPOCH),
+            "Content-Type" -> "application/warc-fields"),
+            INFO_PAYLOAD.getBytes("UTF-8"))
+          docs.filter(_._1 % N_FILES == k).foreach { case (id, text) =>
+            val url = s"https://example.org/page/$id"
+            val ts = isoTs(BASE_EPOCH + id)
+            val req = s"GET /page/$id HTTP/1.1\r\nHost: example.org\r\n" +
+              "User-Agent: graft/1.0\r\n\r\n"
+            WarcIo.writeRecord(out, Seq(
+              "WARC-Type" -> "request",
+              "WARC-Record-ID" -> s"<urn:uuid:req-$id>",
+              "WARC-Date" -> ts,
+              "WARC-Target-URI" -> url,
+              "Content-Type" -> "application/http;msgtype=request"),
+              req.getBytes("UTF-8"))
+            val body = responseBody(id, text).getBytes("UTF-8")
+            val statusLine =
+              if (id % 7 == 0) "HTTP/1.1 404 Not Found" else "HTTP/1.1 200 OK"
+            val head = statusLine + "\r\n" +
+              "Content-Type: text/html; charset=utf-8\r\n" +
+              s"Content-Length: ${body.length}\r\n\r\n"
+            val payload = head.getBytes("UTF-8") ++ body
+            WarcIo.writeRecord(out, Seq(
+              "WARC-Type" -> "response",
+              "WARC-Record-ID" -> s"<urn:uuid:resp-$id>",
+              "WARC-Date" -> ts,
+              "WARC-Target-URI" -> url,
+              "Content-Type" -> "application/http;msgtype=response"),
+              payload)
+          }
+        } finally out.close()
+      }
+      root
+    }
+  }
+
+  // ── distributed parse ──
+
+  /** Parse every `.warc.gz` under a glob, one file per task, into
+    * typed record rows (body kept as binary for downstream stages;
+    * `err` non-empty marks quarantine rows). */
+  private[operators] def warcRecords(
+      s: SparkSession, glob: String): DataFrame = {
+    import s.implicits._
+    val sessionConf = ListingCache.sessionConfSnapshot(s)
+    ListingCache.globListing(s, glob).as[String]
+      .repartition(N_FILES)
+      .mapPartitions { it =>
+        val conf = ListingCache.confWith(
+          new org.apache.hadoop.conf.Configuration(false), sessionConf)
+        it.flatMap { url =>
+          val p = new org.apache.hadoop.fs.Path(url)
+          val in: java.io.InputStream =
+            try p.getFileSystem(conf).open(p)
+            catch { case e: Exception =>
+              new java.io.InputStream { // surfaces as a gzip: open error row
+                override def read(): Int = throw new java.io.IOException(
+                  s"open failed: ${e.getMessage}")
+              }
+            }
+          WarcIo.parseGzip(in).map { r =>
+            (r.targetUri,
+              r.recordId.stripPrefix("<").stripSuffix(">"),
+              r.recType, r.date,
+              if (r.recType == "response") r.httpMime else r.contentType,
+              r.contentLength, r.httpStatus.toLong, r.body, r.err)
+          }
+        }
+      }
+      .toDF("url", "rec_id", "rec_type", "warc_ts", "mime",
+        "content_length", "http_status", "body", "err")
+  }
+
+  /** src_warc — the full parsed-record table: every record type, the
+    * WARC framing lengths, the HTTP status split, and a body digest.
+    * 32-byte digests travel past the scan, never payloads. */
+  def srcWarc(s: SparkSession, dir: String): DataFrame = {
+    val root = warcRoot(s, dir)
+    warcRecords(s, s"file:$root/*.warc.gz")
+      .select(col("url"), col("rec_id"), col("rec_type"), col("warc_ts"),
+        col("mime"), col("content_length"), col("http_status"),
+        length(col("body")).cast("long").as("n_body"),
+        sha2(col("body"), 256).as("body_sha"), col("err"))
+  }
+
+  /** Every output column recomputed from documents alone: the three
+    * record classes are unioned with their payloads rebuilt as string
+    * concat (the info block, the HTTP request head, the status line +
+    * HTTP head + HTML body), lengths via octet_length over UTF-8, and
+    * digests via DuckDB's own sha256. */
+  val srcWarcSql: String = {
+    val crlf = "chr(13) || chr(10)"
+    s"""WITH info AS (
+       |  SELECT 'software: graft-warc/1.0' || $crlf ||
+       |    'format: WARC File Format 1.0' || $crlf AS p),
+       |finfo AS (
+       |  SELECT '' AS url, 'urn:uuid:file-' || k AS rec_id,
+       |    'warcinfo' AS rec_type, '2022-05-01T00:00:00Z' AS warc_ts,
+       |    'application/warc-fields' AS mime,
+       |    CAST(octet_length(encode(p)) AS BIGINT) AS content_length,
+       |    CAST(-1 AS BIGINT) AS http_status,
+       |    CAST(octet_length(encode(p)) AS BIGINT) AS n_body,
+       |    sha256(p) AS body_sha, '' AS err
+       |  FROM (SELECT DISTINCT doc_id % ${N_FILES} AS k FROM documents),
+       |    info),
+       |req AS (
+       |  SELECT 'https://example.org/page/' || doc_id AS url,
+       |    'urn:uuid:req-' || doc_id AS rec_id, 'request' AS rec_type,
+       |    strftime(TIMESTAMP '2022-05-01 00:00:00' + to_seconds(doc_id),
+       |      '%Y-%m-%dT%H:%M:%SZ') AS warc_ts,
+       |    'application/http;msgtype=request' AS mime,
+       |    CAST(octet_length(encode(p)) AS BIGINT) AS content_length,
+       |    CAST(-1 AS BIGINT) AS http_status,
+       |    CAST(octet_length(encode(p)) AS BIGINT) AS n_body,
+       |    sha256(p) AS body_sha, '' AS err
+       |  FROM (SELECT doc_id,
+       |      'GET /page/' || doc_id || ' HTTP/1.1' || $crlf ||
+       |      'Host: example.org' || $crlf ||
+       |      'User-Agent: graft/1.0' || $crlf || $crlf AS p
+       |    FROM documents)),
+       |respb AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0
+       |      THEN '<html><body><p>not found</p></body></html>'
+       |      ELSE %WRAP%
+       |    END AS body,
+       |    CASE WHEN doc_id % 7 = 0 THEN 'HTTP/1.1 404 Not Found'
+       |      ELSE 'HTTP/1.1 200 OK' END AS sl,
+       |    CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS st
+       |  FROM documents),
+       |resp AS (
+       |  SELECT 'https://example.org/page/' || doc_id AS url,
+       |    'urn:uuid:resp-' || doc_id AS rec_id, 'response' AS rec_type,
+       |    strftime(TIMESTAMP '2022-05-01 00:00:00' + to_seconds(doc_id),
+       |      '%Y-%m-%dT%H:%M:%SZ') AS warc_ts,
+       |    'text/html; charset=utf-8' AS mime,
+       |    CAST(octet_length(encode(sl || $crlf ||
+       |      'Content-Type: text/html; charset=utf-8' || $crlf ||
+       |      'Content-Length: ' || octet_length(encode(body)) ||
+       |      $crlf || $crlf)) + octet_length(encode(body)) AS BIGINT)
+       |      AS content_length,
+       |    CAST(st AS BIGINT) AS http_status,
+       |    CAST(octet_length(encode(body)) AS BIGINT) AS n_body,
+       |    sha256(body) AS body_sha, '' AS err
+       |  FROM respb)
+       |SELECT * FROM finfo
+       |UNION ALL SELECT * FROM req
+       |UNION ALL SELECT * FROM resp""".stripMargin
+      // AFTER stripMargin: the wrap expression's '||' continuation
+      // lines would lose a pipe to the margin strip
+      .replace("%WRAP%",
+        graft.operators.TextQueries.htmlWrapSqlExpr("doc_id", "text"))
+  }
+
+  /** pipeline_warc_to_corpus — the crawl-to-corpus chain in ONE pass:
+    * parse WARC responses, keep HTTP 200 HTML, strip boilerplate with
+    * the text_html_strip kernel, language-guess with the text_langid
+    * kernel, score with the Gopher card — per page: language, word
+    * count, keep verdict. The oracle rebuilds each 200's body from
+    * documents and replays strip + langid + gopher in DuckDB, so the
+    * WHOLE chain (WARC framing → HTTP split → strip regexes → langid
+    * arithmetic → rule card) is hash-gated end to end.
+    *
+    * Scale shape: parse and every kernel are row-local (one narrow
+    * stage, no shuffle, no second scan — lang_guess rides through the
+    * card via the carry hook). At 100 TB you would persist the
+    * stripped corpus between stages; the chain itself adds nothing
+    * wide. */
+  def pipelineWarcToCorpus(s: SparkSession, dir: String): DataFrame = {
+    val root = warcRoot(s, dir)
+    val corpus = warcRecords(s, s"file:$root/*.warc.gz")
+      .filter(col("rec_type") === "response" && col("http_status") === 200)
+      .select(
+        regexp_extract(col("url"), "page/(\\d+)$", 1).cast("long")
+          .as("doc_id"),
+        TextQueries.htmlStripCol(decode(col("body"), "UTF-8")).as("text"))
+      .withColumn("lang_guess",
+        graft.functions.TextFunctions.langId(col("text")))
+    TextQueries.gopherRulesFrom(corpus, carry = Seq("lang_guess"))
+      .select(col("doc_id"), col("lang_guess"), col("n_words"), col("keep"))
+  }
+
+  val pipelineWarcToCorpusSql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, lang,
+       |    ${graft.operators.TextQueries.htmlStripSqlExpr("(%WRAP%)")}
+       |      AS text
+       |  FROM documents WHERE doc_id % 7 <> 0),
+       |card AS (
+       |  SELECT doc_id, n_words, keep
+       |  FROM (${graft.operators.TextQueries.gopherRulesSqlFrom("corpus")})),
+       |lg AS (
+       |  SELECT doc_id, lang_guess
+       |  FROM (${graft.operators.TextQueries.langGuessSqlFrom("corpus")}))
+       |SELECT card.doc_id, lg.lang_guess, card.n_words, card.keep
+       |FROM card JOIN lg USING (doc_id)""".stripMargin
+      // AFTER stripMargin (the '||' continuation-line margin hazard)
+      .replace("%WRAP%",
+        graft.operators.TextQueries.htmlWrapSqlExpr("doc_id", "text"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_warc" -> (srcWarc _),
+    "pipeline_warc_to_corpus" -> (pipelineWarcToCorpus _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "src_warc" -> srcWarcSql,
+    "pipeline_warc_to_corpus" -> pipelineWarcToCorpusSql
+  )
+}

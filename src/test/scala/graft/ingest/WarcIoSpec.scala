@@ -1,0 +1,128 @@
+package graft.ingest
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WarcIo: round-trip fidelity plus the corrupt-member quarantine
+  * contract — a malformed record yields ONE error row and the parser
+  * resyncs to the next record; compression-level corruption yields a
+  * file-level error row instead of a thrown task. */
+class WarcIoSpec extends AnyFunSuite {
+
+  private def respHeaders(id: Int) = Seq(
+    "WARC-Type" -> "response",
+    "WARC-Record-ID" -> s"<urn:uuid:resp-$id>",
+    "WARC-Date" -> "2022-05-01T00:00:00Z",
+    "WARC-Target-URI" -> s"https://example.org/page/$id",
+    "Content-Type" -> "application/http;msgtype=response")
+
+  private def httpPayload(body: String, status: String = "200 OK") =
+    (s"HTTP/1.1 $status\r\nContent-Type: text/html\r\n" +
+      s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n" + body)
+      .getBytes("UTF-8")
+
+  private def gzipFile(records: Seq[(Seq[(String, String)], Array[Byte])])
+      : Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    records.foreach { case (h, p) => WarcIo.writeRecord(bos, h, p) }
+    bos.toByteArray
+  }
+
+  test("round-trip: every field, every record, member-per-record gzip") {
+    val bytes = gzipFile((1 to 5).map(i =>
+      respHeaders(i) -> httpPayload(s"<p>body $i</p>")))
+    val recs = WarcIo.parseGzip(new ByteArrayInputStream(bytes)).toList
+    assert(recs.size == 5)
+    recs.zipWithIndex.foreach { case (r, i0) =>
+      val i = i0 + 1
+      assert(r.err == "")
+      assert(r.recType == "response")
+      assert(r.recordId == s"<urn:uuid:resp-$i>")
+      assert(r.targetUri == s"https://example.org/page/$i")
+      assert(r.httpStatus == 200)
+      assert(r.httpMime == "text/html")
+      assert(new String(r.body, "UTF-8") == s"<p>body $i</p>")
+      assert(r.contentLength == httpPayload(s"<p>body $i</p>").length)
+    }
+  }
+
+  test("truncated payload: Content-Length past EOF quarantines, " +
+      "earlier records survive") {
+    val good = WarcIo.recordBytes(respHeaders(1), httpPayload("<p>ok</p>"))
+    val bad = {
+      val full = WarcIo.recordBytes(respHeaders(2), httpPayload("<p>gone</p>"))
+      full.take(full.length - 20) // cut inside the payload
+    }
+    val bos = new ByteArrayOutputStream()
+    WarcIo.writeMember(bos, good)
+    WarcIo.writeMember(bos, bad)
+    val recs = WarcIo.parseGzip(
+      new ByteArrayInputStream(bos.toByteArray)).toList
+    assert(recs.size == 2)
+    assert(recs.head.err == "" && recs.head.httpStatus == 200)
+    assert(recs(1).err.startsWith("truncated payload"))
+    assert(recs(1).recordId == "<urn:uuid:resp-2>")
+  }
+
+  test("garbage between records: one quarantine row, resync parses " +
+      "the NEXT record fully") {
+    val r1 = WarcIo.recordBytes(respHeaders(1), httpPayload("<p>a</p>"))
+    val junk = "this is not a warc record\r\nmore junk\r\n".getBytes("UTF-8")
+    val r3 = WarcIo.recordBytes(respHeaders(3), httpPayload("<p>c</p>"))
+    val bos = new ByteArrayOutputStream()
+    WarcIo.writeMember(bos, r1 ++ junk ++ r3)
+    val recs = WarcIo.parseGzip(
+      new ByteArrayInputStream(bos.toByteArray)).toList
+    assert(recs.size == 3)
+    assert(recs(0).err == "" && recs(0).targetUri.endsWith("/1"))
+    assert(recs(1).err.startsWith("resync"))
+    assert(recs(2).err == "" && recs(2).targetUri.endsWith("/3") &&
+      new String(recs(2).body, "UTF-8") == "<p>c</p>")
+  }
+
+  test("bad version line and missing Content-Length both quarantine " +
+      "with a reason") {
+    val noLen = ("WARC/1.0\r\nWARC-Type: metadata\r\n" +
+      "WARC-Record-ID: <urn:uuid:x>\r\n\r\n").getBytes("US-ASCII")
+    val r2 = WarcIo.recordBytes(respHeaders(2), httpPayload("<p>b</p>"))
+    val bos = new ByteArrayOutputStream()
+    WarcIo.writeMember(bos, noLen ++ r2)
+    val recs = WarcIo.parseGzip(
+      new ByteArrayInputStream(bos.toByteArray)).toList
+    // the record with no Content-Length quarantines; its residual
+    // bytes (here none before r2's version line) resync cleanly
+    assert(recs.exists(_.err.contains("Content-Length")))
+    assert(recs.exists(r => r.err == "" && r.targetUri.endsWith("/2")))
+  }
+
+  test("corrupt DEFLATE data inside a member: file-level gzip " +
+      "quarantine row, no throw") {
+    val ok = gzipFile(Seq(respHeaders(1) -> httpPayload("<p>a</p>")))
+    // flip bytes in the middle of the compressed stream
+    val corrupted = ok.clone()
+    (ok.length / 2 until math.min(ok.length / 2 + 8, ok.length))
+      .foreach(i => corrupted(i) = (corrupted(i) ^ 0x5a).toByte)
+    val recs = WarcIo.parseGzip(
+      new ByteArrayInputStream(corrupted)).toList
+    assert(recs.nonEmpty)
+    assert(recs.last.err.startsWith("gzip:") ||
+      recs.last.err.startsWith("truncated"),
+      s"expected quarantine, got: ${recs.map(_.err)}")
+  }
+
+  test("empty stream parses to zero records") {
+    assert(WarcIo.parseGzip(
+      new ByteArrayInputStream(Array.emptyByteArray)).toList
+      .forall(_.err.nonEmpty))
+  }
+
+  test("non-HTTP response payload degrades to status -1, whole " +
+      "payload as body") {
+    val p = "not http at all".getBytes("UTF-8")
+    val bytes = gzipFile(Seq(respHeaders(9) -> p))
+    val r = WarcIo.parseGzip(new ByteArrayInputStream(bytes)).toList.head
+    assert(r.err == "" && r.httpStatus == -1 &&
+      new String(r.body, "UTF-8") == "not http at all")
+  }
+}
