@@ -32,6 +32,7 @@ object SparkEntry {
       operators.EventQueries.queries ++
       operators.TimeSeriesQueries.queries ++
       operators.WarcQueries.queries ++
+      operators.TextExtractQueries.queries ++
       operators.SourceSinkQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -51,5 +52,6 @@ object SparkEntry {
       operators.EventQueries.oracle ++
       operators.TimeSeriesQueries.oracle ++
       operators.WarcQueries.oracle ++
+      operators.TextExtractQueries.oracle ++
       operators.SourceSinkQueries.oracle
 }
