@@ -2652,6 +2652,45 @@ object TextQueries {
     n
   }
 
+  /** The same greedy kernel returning the TOKENS (pipeline_tokenize_
+    * pack needs the ids, not just the count). Kept as a separate loop
+    * so the hot count path pays no array copy; TokenizePackSpec pins
+    * `bpeTokensOf(w).length == bpeTokenCount(w)` so the twins cannot
+    * drift. */
+  private[operators] def bpeTokensOf(
+      word: String, rank: Map[String, Int], sep: String): Array[String] = {
+    if (word.isEmpty) return Array.empty
+    val toks = new Array[String](word.length)
+    var n = 0
+    var ci = 0
+    while (ci < word.length) {
+      val cp = word.codePointAt(ci)
+      val w = Character.charCount(cp)
+      toks(n) = word.substring(ci, ci + w)
+      n += 1
+      ci += w
+    }
+    var done = false
+    while (!done && n > 1) {
+      var best = -1
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < n - 1) {
+        val r = rank.getOrElse(toks(i) + sep + toks(i + 1), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; best = i }
+        i += 1
+      }
+      if (best < 0) done = true
+      else {
+        toks(best) = toks(best) + toks(best + 1)
+        var j = best + 1
+        while (j < n - 1) { toks(j) = toks(j + 1); j += 1 }
+        n -= 1
+      }
+    }
+    java.util.Arrays.copyOf(toks, n)
+  }
+
   /** text_bpe_encode — the apply half of the tokenizer loop: learn the
     * top-50 merges from the corpus (text_bpe_pairs' count, iterated
     * greedily ON THE PAIR TABLE, not re-scanning the corpus per merge)
@@ -3738,6 +3777,255 @@ object TextQueries {
        |  uu.piece_cnt_total
        |FROM mm, uu""".stripMargin
 
+  // ── pipeline_tokenize_pack — corpus → trained tokenizer → packed
+  // training shards (VERDICT r15 task 3: the loop snk_tokenizer_model
+  // and text_pack_sequences left open — nothing fed the PERSISTED
+  // tokenizer's token ids into fixed-length sequences) ──
+
+  /** Doc-boundary marker (code point 0 — never a text token). */
+  private[graft] val PACK_EOS_ID = 0L
+  /** Word separator: the SPACE code point, so the id stream is
+    * LOSSLESSLY decodable back to the document text (tokens
+    * concatenate, 32 decodes to ' ', 0 ends the doc) — the property
+    * TokenizePackSpec replays. */
+  private[graft] val PACK_SEP_ID = 32L
+  /** Multi-char token ids live above every BMP code point: id =
+    * PACK_ID_BASE + min merge rank whose product (pair_a || pair_b)
+    * equals the token — a vocabulary DuckDB re-derives from the
+    * trainer CTE block alone. */
+  private[graft] val PACK_ID_BASE = 65536L
+
+  /** The per-document id stream under the PERSISTED tokenizer:
+    * exact greedy BPE per word ([[bpeTokensOf]] with the artifact's
+    * ranked merge list), single-char tokens id'd by code point,
+    * merged tokens by PACK_ID_BASE + merge rank, words separated by
+    * PACK_SEP_ID, the document closed by PACK_EOS_ID. */
+  private[operators] def packEncodeUdf(
+      s: SparkSession, root: String)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val ranked = s.read.parquet(s"$root/merges")
+      .select(col("round"), col("pair_a"), col("pair_b"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).zipWithIndex
+    val rank = ranked
+      .map { case ((_, pa, pb), i) => (pa + BSEP + pb) -> i }.toMap
+    val prodId: Map[String, Long] = ranked
+      .groupBy { case ((_, pa, pb), _) => pa + pb }
+      .map { case (t, xs) => t -> (PACK_ID_BASE + xs.map(_._2).min) }
+    val bR = s.sparkContext.broadcast(rank)
+    val bP = s.sparkContext.broadcast(prodId)
+    udf { text: String =>
+      val words =
+        if (text == null) Array("") else text.split(" ", -1)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var wi = 0
+      while (wi < words.length) {
+        val toks = bpeTokensOf(words(wi), bR.value, BSEP)
+        var ti = 0
+        while (ti < toks.length) {
+          val t = toks(ti)
+          out += (if (t.codePointCount(0, t.length) == 1)
+            t.codePointAt(0).toLong
+          else bP.value.getOrElse(t, -1L))
+          ti += 1
+        }
+        out += (if (wi == words.length - 1) PACK_EOS_ID else PACK_SEP_ID)
+        wi += 1
+      }
+      out.toArray
+    }
+  }
+
+  /** pipeline_tokenize_pack — the end-to-end corpus → tokenizer →
+    * packed-shards chain a training run actually consumes: open the
+    * persisted tokenizer (STALENESS-CHECKED — a model trained on an
+    * older corpus snapshot refuses to serve, the snk_tokenizer_model
+    * contract), encode every document to token ids, lay the id
+    * streams out in the text_pack_sequences (lang, shard) hash order,
+    * cut every PACK_BUDGET ids into fixed-length training sequences,
+    * LAND them partitioned by (lang, shard) with one id-array row per
+    * sequence (the snk_train_shards layout), and audit WHAT LANDED:
+    * per sequence, its length, how many documents start in it, and a
+    * position-weighted checksum Σ id·(pos+1) that pins every id and
+    * its position — a dropped token, a swapped pair, or a shifted
+    * boundary moves it.
+    *
+    * Oracle: the BPE trainer CTE block + the greedy-encode recursion
+    * + the packing window composed in ONE DuckDB query — the whole
+    * chain (training, encoding, ids, layout, cuts) recomputed from
+    * documents alone.
+    *
+    * Scale shape: the merge list is a ≤16-entry broadcast; encoding
+    * is map-side; the layout window is the text_pack_sequences
+    * per-(lang, shard) running sum over DOC-level rows (token rows
+    * never shuffle — each token's global position derives from its
+    * doc's start + its in-doc offset); the land is one file per leaf.
+    */
+  def pipelineTokenizePack(s: SparkSession, dir: String): DataFrame =
+    pipelineTokenizePackWith(s, dir, buildTokenizerModel(s, dir))
+
+  /** The explicit-root form: packs `dir` under the tokenizer at
+    * `root`, REFUSING a stale artifact (openTokenizerModel with the
+    * freshness expectation — TokenizePackSpec pins the refusal). */
+  private[operators] def pipelineTokenizePackWith(
+      s: SparkSession, dir: String, modelRoot: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val root = openTokenizerModel(s, modelRoot, Some(dir))
+    val encode = packEncodeUdf(s, root)
+    val w = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("bucket"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val toks = documents(s, dir)
+      .select(col("doc_id"), col("lang"), encode(col("text")).as("ids"),
+        packBucket(col("doc_id")).as("bucket"))
+      .withColumn("shard", col("bucket") % PACK_SHARDS)
+      .withColumn("n", size(col("ids")).cast("long"))
+      .withColumn("start", sum(col("n")).over(w) - col("n"))
+      .select(col("doc_id"), col("lang"), col("shard"), col("start"),
+        posexplode(col("ids")).as(Seq("pos", "id")))
+      .withColumn("gpos", col("start") + col("pos"))
+      .select(col("lang"), col("shard"),
+        (col("gpos") / PACK_BUDGET).cast("long").as("seq_id"),
+        (col("gpos") % PACK_BUDGET).as("pos_in_seq"), col("id"),
+        (col("pos") === 0).cast("long").as("is_doc_start"))
+    val seqs = toks
+      .groupBy(col("lang"), col("shard"), col("seq_id"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("pos_in_seq"), col("id")))),
+          x => x.getField("id")).as("ids"),
+        sum(col("is_doc_start")).as("n_docs_started"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-tokpack").toString + "/packed"
+    seqs
+      .repartition(col("lang"), col("shard"))
+      .sortWithinPartitions(col("lang"), col("shard"), col("seq_id"))
+      .write.partitionBy("lang", "shard").parquet(path)
+    // audit FROM THE FILES (the snk_tokenizer_model discipline: what
+    // landed, not what the memo holds)
+    s.read.parquet(path)
+      .select(col("lang"), col("shard"), col("seq_id"),
+        size(col("ids")).cast("long").as("n_tokens"),
+        col("n_docs_started"),
+        aggregate(
+          zip_with(col("ids"),
+            sequence(lit(1L), size(col("ids")).cast("long")),
+            (x, i) => x * i),
+          lit(0L), (acc, x) => acc + x).as("checksum"))
+  }
+
+  /** The whole chain in one query: trainer CTEs → ranked merges →
+    * per-distinct-word greedy encode (QUALIFY keeps the fixed point)
+    * → token ids → per-doc offsets → the pack window → per-sequence
+    * audit. Integer arithmetic end to end. */
+  val pipelineTokenizePackSql: String =
+    s"""WITH RECURSIVE $bpeTrainSqlCtes,
+       |pmerges AS (
+       |  SELECT pa, pb, CAST(it AS INT) AS rank FROM mr WHERE rk = 1),
+       |prm AS (
+       |  SELECT map_from_entries(list(
+       |    struct_pack(k := pa || chr(31) || pb, v := rank))) AS m
+       |  FROM pmerges),
+       |pprod AS (
+       |  SELECT pa || pb AS t, $PACK_ID_BASE + min(rank) AS pid
+       |  FROM pmerges GROUP BY 1),
+       |pdocw AS (
+       |  SELECT doc_id, lang, g.i AS wpos, ws[g.i] AS w, len(ws) AS nw
+       |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws
+       |        FROM documents),
+       |    unnest(generate_series(1, len(ws))) AS g(i)),
+       |pdw AS (SELECT DISTINCT w FROM pdocw),
+       |pinit AS (
+       |  SELECT w,
+       |    list_transform(generate_series(1, len(w)), i -> substr(w, i, 1))
+       |      AS toks
+       |  FROM pdw),
+       |pest AS (
+       |  SELECT w, toks FROM pinit
+       |  UNION ALL
+       |  SELECT w,
+       |    list_slice(toks, 1, b - 1)
+       |      || [toks[b] || toks[b + 1]]
+       |      || list_slice(toks, b + 2, len(toks)) AS toks
+       |  FROM (
+       |    SELECT w, toks,
+       |      CASE WHEN list_min(rl) < 2147483647
+       |           THEN list_position(rl, list_min(rl)) ELSE NULL END AS b
+       |    FROM (
+       |      SELECT e.w, e.toks,
+       |        list_transform(generate_series(1, len(e.toks) - 1),
+       |          i -> coalesce(map_extract(prm.m,
+       |                 e.toks[i] || chr(31) || e.toks[i + 1])[1],
+       |               2147483647)) AS rl
+       |      FROM pest e, prm
+       |      WHERE len(e.toks) > 1)
+       |  ) WHERE b IS NOT NULL),
+       |pfin AS (
+       |  SELECT w, toks FROM pest
+       |  QUALIFY row_number() OVER (PARTITION BY w
+       |    ORDER BY len(toks)) = 1),
+       |pwtok AS (
+       |  SELECT f.w, g.i AS tpos, f.toks[g.i] AS t
+       |  FROM pfin f, unnest(generate_series(1, len(f.toks))) AS g(i)),
+       |pwid AS (
+       |  SELECT k.w, k.tpos,
+       |    CAST(CASE WHEN len(k.t) = 1 THEN unicode(k.t)
+       |         ELSE p.pid END AS BIGINT) AS id
+       |  FROM pwtok k LEFT JOIN pprod p ON p.t = k.t),
+       |pflen AS (SELECT w, len(toks) AS cw FROM pfin),
+       |pdst AS (
+       |  SELECT d.doc_id, d.lang, d.wpos, d.w, d.nw, f.cw
+       |  FROM pdocw d JOIN pflen f ON f.w = d.w),
+       |pdcum AS (
+       |  SELECT doc_id, lang, wpos, w, nw, cw,
+       |    CAST(sum(cw + 1) OVER (PARTITION BY doc_id ORDER BY wpos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      - (cw + 1) AS BIGINT) AS woff
+       |  FROM pdst),
+       |pdtot AS (
+       |  SELECT doc_id, lang, CAST(sum(cw + 1) AS BIGINT) AS n
+       |  FROM pdst GROUP BY 1, 2),
+       |ppack AS (
+       |  SELECT doc_id, lang, bucket % $PACK_SHARDS AS shard, n,
+       |    CAST(sum(n) OVER (PARTITION BY lang, bucket % $PACK_SHARDS
+       |      ORDER BY bucket, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+       |      AS BIGINT) AS start
+       |  FROM (SELECT doc_id, lang, n,
+       |      CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 6)
+       |        AS BIGINT) AS bucket
+       |    FROM pdtot)),
+       |pstream AS (
+       |  SELECT p.lang, p.shard, p.start + d.woff + i.tpos - 1 AS gpos,
+       |    i.id
+       |  FROM pdcum d
+       |  JOIN ppack p ON p.doc_id = d.doc_id
+       |  JOIN pwid i ON i.w = d.w
+       |  UNION ALL
+       |  SELECT p.lang, p.shard, p.start + d.woff + d.cw AS gpos,
+       |    CAST(CASE WHEN d.wpos < d.nw THEN $PACK_SEP_ID
+       |         ELSE $PACK_EOS_ID END AS BIGINT) AS id
+       |  FROM pdcum d
+       |  JOIN ppack p ON p.doc_id = d.doc_id),
+       |pstarts AS (
+       |  SELECT lang, shard, CAST(start // $PACK_BUDGET AS BIGINT)
+       |      AS seq_id,
+       |    CAST(count(*) AS BIGINT) AS n_docs_started
+       |  FROM ppack GROUP BY 1, 2, 3),
+       |pagg AS (
+       |  SELECT lang, shard, CAST(gpos // $PACK_BUDGET AS BIGINT)
+       |      AS seq_id,
+       |    CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(id * (gpos % $PACK_BUDGET + 1)) AS BIGINT)
+       |      AS checksum
+       |  FROM pstream GROUP BY 1, 2, 3)
+       |SELECT a.lang, CAST(a.shard AS BIGINT) AS shard, a.seq_id,
+       |  a.n_tokens,
+       |  CAST(coalesce(s.n_docs_started, 0) AS BIGINT) AS n_docs_started,
+       |  a.checksum
+       |FROM pagg a LEFT JOIN pstarts s
+       |  ON s.lang = a.lang AND s.shard = a.shard AND s.seq_id = a.seq_id""".stripMargin
+
   /** Interpolation weight of the bigram term in text_bigram_logprob:
     * score = avg log(λ·P(b|a) + (1−λ)·P(b)) — Jelinek-Mercer
     * smoothing, the unigram back-off keeping unseen-context pairs
@@ -4034,6 +4322,7 @@ object TextQueries {
     "text_unigram_train" -> (textUnigramTrain _),
     "text_unigram_encode" -> (textUnigramEncode _),
     "snk_tokenizer_model" -> (snkTokenizerModel _),
+    "pipeline_tokenize_pack" -> (pipelineTokenizePack _),
     "text_tokenizer_fertility" -> (textTokenizerFertility _),
     "text_bpe_encode_trained" -> (textBpeEncodeTrained _),
     "text_bigram_logprob" -> (textBigramLogprob _),
@@ -4083,6 +4372,7 @@ object TextQueries {
     "text_unigram_train" -> textUnigramTrainSql,
     "text_unigram_encode" -> textUnigramEncodeSql,
     "snk_tokenizer_model" -> snkTokenizerModelSql,
+    "pipeline_tokenize_pack" -> pipelineTokenizePackSql,
     "text_tokenizer_fertility" -> textTokenizerFertilitySql,
     "text_bpe_encode_trained" -> textBpeEncodeTrainedSql,
     "text_bigram_logprob" -> textBigramLogprobSql,
