@@ -20,6 +20,174 @@ import graft.Tables._
   */
 object PipelineQueries {
 
+  // ── curation_url_filter — the URL/domain-level gate (VERDICT r15
+  // task 5): the blocklist pass every published crawl pipeline
+  // (CCNet, RefinedWeb, Gopher) runs BEFORE any content filter —
+  // normalize the URL, extract the registered domain, drop
+  // category-blocklisted domains, and ledger keep/drop per domain ──
+
+  /** Ten registered domains, distinct at the registered level so the
+    * last-two-labels extraction actually splits the corpus. Index =
+    * doc_id % 10. */
+  private[operators] val URL_DOMAINS = Seq(
+    "example-news.com", "example-blog.net", "acme-docs.org",
+    "shopmart.io", "forumhub.dev", "adfarm.biz", "spam-mill.info",
+    "trackpix.co", "mirrorsite.us", "campuswiki.edu")
+
+  /** UT1-style category blocklist (domain → category), broadcast to
+    * the join. */
+  private[operators] val URL_BLOCKLIST = Seq(
+    "adfarm.biz" -> "ads",
+    "spam-mill.info" -> "spam",
+    "trackpix.co" -> "tracking")
+
+  /** doc_id % 10 residues whose domain is blocklisted — derived, not
+    * hand-kept, so the datasheet column below can never desync from
+    * the blocklist. */
+  private[operators] val URL_BLOCKED_IDX: Seq[Int] = {
+    val blocked = URL_BLOCKLIST.map(_._1).toSet
+    URL_DOMAINS.zipWithIndex.collect {
+      case (d, i) if blocked(d) => i }
+  }
+
+  /** The synthetic raw URL for one document — four shape variants
+    * (doc_id % 4) so the normalization chain is actually exercised:
+    * uppercase scheme+host with the default :443, duplicate slashes
+    * plus a fragment, http with :80 and a trailing slash, and the
+    * clean form; doc_id % 3 == 0 adds a www. subdomain the
+    * normalizer must strip before domain extraction. */
+  private def rawUrlCol: Column = {
+    val dom = element_at(typedLit(URL_DOMAINS),
+      (col("doc_id") % 10).cast("int") + 1)
+    val host = when(col("doc_id") % 3 === 0, concat(lit("www."), dom))
+      .otherwise(dom)
+    val path = concat(lit("/p/"), col("doc_id"))
+    when(col("doc_id") % 4 === 0, concat(lit("https://"), host, path))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("HTTPS://"), upper(host), lit(":443"), path))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://"), host, lit("//p//"), col("doc_id"),
+          lit("#frag")))
+      .otherwise(
+        concat(lit("http://"), host, lit(":80"), path, lit("/")))
+  }
+
+  /** Per-doc URL verdict over any (doc_id) frame carrying a `url_raw`
+    * column: normalization (fragment strip, case fold, default-port
+    * strip, slash collapse, trailing-slash strip, www strip),
+    * registered-domain extraction (last two labels — the public-
+    * suffix-list simplification, documented), and the broadcast
+    * blocklist join. Parameterized so UrlFilterSpec plants its own
+    * URLs and blocklist. */
+  private[operators] def urlVerdictFrom(
+      s: SparkSession, withRaw: DataFrame,
+      blocklist: Seq[(String, String)]): DataFrame = {
+    import s.implicits._
+    val noFrag = regexp_replace(col("url_raw"), "#.*$", "")
+    val scheme =
+      lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(
+      regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val portless =
+      when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+        .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    val host = regexp_replace(portless, "^www\\.", "")
+    val pathq =
+      regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val path = regexp_replace(
+      regexp_replace(pathq, "/{2,}", "/"), "(.)/$", "$1")
+    val blockDf = blocklist.toDF("domain", "category")
+    withRaw
+      .withColumn("url_norm", concat(scheme, lit("://"), host, path))
+      .withColumn("domain",
+        regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+      .join(broadcast(blockDf), Seq("domain"), "left")
+      .withColumn("keep", col("category").isNull)
+      .withColumn("category", coalesce(col("category"), lit("allowed")))
+  }
+
+  /** curation_url_filter — the per-domain keep/drop ledger: docs,
+    * kept, and the smallest normalized URL (pins the whole
+    * normalization chain per domain in one scalar).
+    *
+    * Scale shape: URL build + normalization are row-local regex
+    * (codegen); the blocklist is a broadcast join (category lists are
+    * ~MB even at UT1 scale); the ledger is one hash agg to |domains|
+    * rows. Nothing shuffles the corpus. */
+  def curationUrlFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+      .select(col("doc_id"), rawUrlCol.as("url_raw"))
+    urlVerdictFrom(s, docs, URL_BLOCKLIST)
+      .groupBy(col("domain"), col("category"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        min(col("url_norm")).as("sample_norm"))
+  }
+
+  val curationUrlFilterSql: String = {
+    val doms = URL_DOMAINS.map(d => s"'$d'").mkString(", ")
+    val blocked = URL_BLOCKLIST
+      .map { case (d, c) => s"('$d', '$c')" }.mkString(", ")
+    s"""WITH doms(i, dom) AS (
+       |  SELECT * FROM (SELECT unnest(generate_series(0, 9)),
+       |    unnest([$doms]))),
+       |bl(domain, category) AS (SELECT * FROM (VALUES $blocked)),
+       |raw AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'www.' || dom ELSE dom END
+       |      AS host0,
+       |    dom
+       |  FROM documents JOIN doms ON doms.i = doc_id % 10),
+       |u AS (
+       |  SELECT doc_id,
+       |    CASE CAST(doc_id % 4 AS INT)
+       |      WHEN 0 THEN 'https://' || host0 || '/p/' || doc_id
+       |      WHEN 1 THEN 'HTTPS://' || upper(host0) || ':443/p/' || doc_id
+       |      WHEN 2 THEN 'https://' || host0 || '//p//' || doc_id
+       |        || '#frag'
+       |      ELSE 'http://' || host0 || ':80/p/' || doc_id || '/'
+       |    END AS url_raw
+       |  FROM raw),
+       |nf AS (SELECT doc_id,
+       |    regexp_replace(url_raw, '#.*$$', '', 'g') AS nu FROM u),
+       |parts AS (
+       |  SELECT doc_id,
+       |    lower(regexp_extract(nu, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+       |      AS scheme,
+       |    lower(regexp_extract(nu,
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+       |    regexp_replace(nu, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')
+       |      AS pathq
+       |  FROM nf),
+       |norm AS (
+       |  SELECT doc_id, scheme,
+       |    regexp_replace(
+       |      CASE WHEN scheme = 'http'
+       |             THEN regexp_replace(hostport, ':80$$', '')
+       |           WHEN scheme = 'https'
+       |             THEN regexp_replace(hostport, ':443$$', '')
+       |           ELSE hostport END,
+       |      '^www\\.', '') AS host,
+       |    regexp_replace(regexp_replace(pathq, '/{2,}', '/', 'g'),
+       |      '(.)/$$', '\\1') AS path
+       |  FROM parts),
+       |v AS (
+       |  SELECT doc_id,
+       |    scheme || '://' || host || path AS url_norm,
+       |    regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain
+       |  FROM norm),
+       |j AS (
+       |  SELECT v.domain, coalesce(bl.category, 'allowed') AS category,
+       |    v.url_norm, bl.category IS NULL AS keep
+       |  FROM v LEFT JOIN bl ON bl.domain = v.domain)
+       |SELECT domain, category,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  min(url_norm) AS sample_norm
+       |FROM j GROUP BY 1, 2""".stripMargin
+  }
+
   def pipelineCleanCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
     // stage 1: exact dedup — one keeper per distinct text (the same
@@ -406,11 +574,17 @@ object PipelineQueries {
     val docs = documents(s, dir)
     val keep = TextQueries.gopherRulesFrom(docs)
       .select(col("doc_id"), col("keep").cast("long").as("k"))
+    // the URL gate's verdict is pure doc_id arithmetic (domain =
+    // doc_id % 10, blocked residues derived from the blocklist), so
+    // the datasheet rolls it in without re-running the URL chain
+    val urlKeep = !(col("doc_id") % 10)
+      .isin(URL_BLOCKED_IDX.map(_.toLong): _*)
     docs
       .select(col("doc_id"), col("source"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("wt"),
         floor(TextQueries.QualityScore.quality * lit(10000.0) + lit(0.5))
-          .as("qi"))
+          .as("qi"),
+        urlKeep.cast("long").as("uk"))
       .join(keep, Seq("doc_id"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -419,7 +593,9 @@ object PipelineQueries {
         round(sum(col("k")).cast("double") / count(lit(1)) + lit(1e-9), 4)
           .as("gopher_keep_rate"),
         round(sum(col("qi")).cast("double") / count(lit(1)) / lit(10000.0)
-          + lit(1e-9), 4).as("mean_quality"))
+          + lit(1e-9), 4).as("mean_quality"),
+        round(sum(col("uk")).cast("double") / count(lit(1)) + lit(1e-9), 4)
+          .as("url_keep_rate"))
   }
 
   val curationDatasheetSql: String =
@@ -431,7 +607,8 @@ object PipelineQueries {
       |d AS (
       |  SELECT doc_id, source, lang,
       |    len(string_split(text, ' ')) AS wt,
-      |    CAST(floor(%QUALITY% * 10000.0 + 0.5) AS BIGINT) AS qi
+      |    CAST(floor(%QUALITY% * 10000.0 + 0.5) AS BIGINT) AS qi,
+      |    CASE WHEN doc_id % 10 IN (%BLOCKED%) THEN 0 ELSE 1 END AS uk
       |  FROM documents)
       |SELECT d.source,
       |  CAST(count(*) AS BIGINT) AS n_docs,
@@ -440,14 +617,18 @@ object PipelineQueries {
       |  round(CAST(sum(g.k) AS DOUBLE) / count(*) + 1e-9, 4)
       |    AS gopher_keep_rate,
       |  round(CAST(sum(d.qi) AS DOUBLE) / count(*) / 10000.0 + 1e-9, 4)
-      |    AS mean_quality
+      |    AS mean_quality,
+      |  round(CAST(sum(d.uk) AS DOUBLE) / count(*) + 1e-9, 4)
+      |    AS url_keep_rate
       |FROM d JOIN g USING (doc_id)
       |GROUP BY d.source""".stripMargin
       .replace("%GOPHER%", TextQueries.textGopherRulesSql)
       .replace("%QUALITY%", TextQueries.QualityScore.QUALITY_SQL)
+      .replace("%BLOCKED%", URL_BLOCKED_IDX.mkString(", "))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_split_leakage_near" -> (pipelineSplitLeakageNear _),
+    "curation_url_filter" -> (curationUrlFilter _),
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
     "curation_datasheet" -> (curationDatasheet _),
     "pipeline_build_mixture" -> (pipelineBuildMixture _),
@@ -458,6 +639,7 @@ object PipelineQueries {
 
   def oracle: Map[String, String] = Map(
     "pipeline_split_leakage_near" -> pipelineSplitLeakageNearSql,
+    "curation_url_filter" -> curationUrlFilterSql,
     "pipeline_clean_corpus" -> pipelineCleanCorpusSql,
     "curation_datasheet" -> curationDatasheetSql,
     "pipeline_build_mixture" -> pipelineBuildMixtureSql,
