@@ -3651,6 +3651,22 @@ object SimilarityQueries {
     * drift arithmetically. */
   private def powerIterate(
       eC: DataFrame, d: Int, n: Long): (Array[Double], Double) = {
+    // Persist the centered projection ONCE: the K rounds otherwise
+    // each re-scan the parquet AND recompute the zip_with centering —
+    // K full corpus passes for one axis (VERDICT r15 task 6; measured
+    // 24.3 s cold at sf10). With the narrow (cv) frame materialized,
+    // round 1 pays the scan and rounds 2..K read cached blocks —
+    // MEMORY_AND_DISK, so at 100 TB the projection spills instead of
+    // evicting the lake's cache. Unpersisted in finally: the memo
+    // holds only session-free doubles, never cached plans.
+    val cached = eC.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try powerIterateOn(cached, d, n)
+    finally { cached.unpersist(); () }
+  }
+
+  private def powerIterateOn(
+      eC: DataFrame, d: Int, n: Long): (Array[Double], Double) = {
     val snap = (x: Double) => math.floor(x * KMEANS_GRID + 0.5) / KMEANS_GRID
     val v = Array.fill(d)(snap(1.0 / math.sqrt(d.toDouble)))
     var lam = 0.0
