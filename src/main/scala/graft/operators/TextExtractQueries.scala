@@ -49,8 +49,38 @@ object TextExtractQueries {
 
   /** Function-word list for the stop-density signal (the head of the
     * published English stoplist; the same 10 both engines replay). */
-  private val EXTRACT_STOPS = Seq(
+  private[operators] val EXTRACT_STOPS = Seq(
     "the", "a", "of", "and", "to", "in", "is", "that", "it", "with")
+
+  /** The `<p>` block of the WARC body as the extract splitter sees
+    * it, full-strip replayed (tags, entities, collapse) — the oracle
+    * form of the main block in pipeline_warc_extract. */
+  private[operators] def htmlStripOfParagraphTail: String =
+    TextQueries.htmlStripSqlExpr(
+      "('<p>' || text || ' &amp; more &lt;escaped&gt; " +
+        "&quot;text&quot;&nbsp;here</p></body></html>')")
+
+  /** The context-free classifier as a SQL CASE over a block-text
+    * column (link density handled by the caller when anchors exist —
+    * over anchor-free text it reduces to the length + stop-density
+    * arms). Shared by pipeline_warc_extract's oracle so the rule
+    * arithmetic is spelled once. */
+  private[operators] def classifySqlExpr(
+      bt: String, swLow: Double, swHigh: Double): String = {
+    val stops = EXTRACT_STOPS.map(w => s"'$w'").mkString(",")
+    s"""CASE
+       |      WHEN len($bt) < $LENGTH_LOW THEN 'short'
+       |      WHEN CAST(len(list_filter(string_split(lower($bt), ' '),
+       |        w -> w IN ($stops))) AS DOUBLE)
+       |        / len(string_split(lower($bt), ' ')) >= $swHigh
+       |        THEN 'good'
+       |      WHEN CAST(len(list_filter(string_split(lower($bt), ' '),
+       |        w -> w IN ($stops))) AS DOUBLE)
+       |        / len(string_split(lower($bt), ' ')) >= $swLow
+       |        THEN 'neargood'
+       |      ELSE 'bad'
+       |    END""".stripMargin
+  }
 
   /** The synthetic 5-block page: nav links, heading, the document
     * text as the main paragraph, a link sidebar, a short footer —
@@ -94,10 +124,17 @@ object TextExtractQueries {
             regexp_extract_all(col("raw"), lit(ANCHOR_RE), lit(1)),
             a => length(a).cast("long")),
           lit(0L), (acc, x) => acc + x).cast("double"))
-      .withColumn("link_density", col("linked") / col("n_chars"))
+      // greatest(.., 1): the empty blocks are filtered out above, but
+      // Catalyst pushes the downstream `keep` predicate THROUGH this
+      // projection and may evaluate the division before the length
+      // guard in the combined conjunction — under ANSI that's a
+      // DIVIDE_BY_ZERO on the very rows the filter exists to drop.
+      // Values are unchanged for every surviving row (n_chars ≥ 1).
+      .withColumn("link_density",
+        col("linked") / greatest(col("n_chars"), lit(1L)))
       .withColumn("stop_density",
         size(filter(col("lws"), w => array_contains(stopsLit, w)))
-          .cast("double") / col("n_words"))
+          .cast("double") / greatest(col("n_words"), lit(1L)))
       .withColumn("cls",
         when(col("link_density") > MAX_LINK_DENSITY, "bad")
           .when(col("n_chars") < LENGTH_LOW, "short")

@@ -142,21 +142,25 @@ object WarcQueries {
                   s"open failed: ${e.getMessage}")
               }
             }
-          WarcIo.parseGzip(in).map { r =>
+          WarcIo.parseGzip(in).zipWithIndex.map { case (r, i) =>
             (r.targetUri,
               r.recordId.stripPrefix("<").stripSuffix(">"),
               r.recType, r.date,
               if (r.recType == "response") r.httpMime else r.contentType,
-              r.contentLength, r.httpStatus.toLong, r.body, r.err)
+              r.contentLength, r.httpStatus.toLong, r.body, r.err,
+              url, i.toLong)
           }
         }
       }
       .toDF("url", "rec_id", "rec_type", "warc_ts", "mime",
-        "content_length", "http_status", "body", "err")
+        "content_length", "http_status", "body", "err",
+        "src_file", "rec_idx")
   }
 
   /** src_warc — the full parsed-record table: every record type, the
-    * WARC framing lengths, the HTTP status split, and a body digest.
+    * WARC framing lengths, the HTTP status split, a body digest, and
+    * the in-file record index (rec_idx pins the PARSE ORDER — a
+    * swallowed or duplicated member shifts every index after it).
     * 32-byte digests travel past the scan, never payloads. */
   def srcWarc(s: SparkSession, dir: String): DataFrame = {
     val root = warcRoot(s, dir)
@@ -164,7 +168,10 @@ object WarcQueries {
       .select(col("url"), col("rec_id"), col("rec_type"), col("warc_ts"),
         col("mime"), col("content_length"), col("http_status"),
         length(col("body")).cast("long").as("n_body"),
-        sha2(col("body"), 256).as("body_sha"), col("err"))
+        sha2(col("body"), 256).as("body_sha"), col("err"),
+        regexp_extract(col("src_file"), "part-(\\d+)\\.warc\\.gz$", 1)
+          .cast("long").as("file_k"),
+        col("rec_idx"))
   }
 
   /** Every output column recomputed from documents alone: the three
@@ -172,11 +179,36 @@ object WarcQueries {
     * concat (the info block, the HTTP request head, the status line +
     * HTTP head + HTML body), lengths via octet_length over UTF-8, and
     * digests via DuckDB's own sha256. */
+  /** Shared oracle CTEs: the per-file rank (drank — rec_idx
+    * arithmetic: warcinfo 0, request 2r+1, response 2r+2) and the
+    * response body/status rebuild (respb, %WRAP% substituted by the
+    * caller AFTER stripMargin). One definition, two oracles
+    * (src_warc, warc_cdx) — the fixture arithmetic is spelled once. */
+  private val drankCte: String =
+    s"""drank AS (
+       |  SELECT doc_id, doc_id % ${N_FILES} AS k,
+       |    CAST(row_number() OVER (PARTITION BY doc_id % ${N_FILES}
+       |      ORDER BY doc_id) - 1 AS BIGINT) AS rnk
+       |  FROM documents)""".stripMargin
+
+  private val respbCte: String =
+    """respb AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0
+      |      THEN '<html><body><p>not found</p></body></html>'
+      |      ELSE %WRAP%
+      |    END AS body,
+      |    CASE WHEN doc_id % 7 = 0 THEN 'HTTP/1.1 404 Not Found'
+      |      ELSE 'HTTP/1.1 200 OK' END AS sl,
+      |    CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS st
+      |  FROM documents)""".stripMargin
+
   val srcWarcSql: String = {
     val crlf = "chr(13) || chr(10)"
     s"""WITH info AS (
        |  SELECT 'software: graft-warc/1.0' || $crlf ||
        |    'format: WARC File Format 1.0' || $crlf AS p),
+       |$drankCte,
        |finfo AS (
        |  SELECT '' AS url, 'urn:uuid:file-' || k AS rec_id,
        |    'warcinfo' AS rec_type, '2022-05-01T00:00:00Z' AS warc_ts,
@@ -184,38 +216,33 @@ object WarcQueries {
        |    CAST(octet_length(encode(p)) AS BIGINT) AS content_length,
        |    CAST(-1 AS BIGINT) AS http_status,
        |    CAST(octet_length(encode(p)) AS BIGINT) AS n_body,
-       |    sha256(p) AS body_sha, '' AS err
+       |    sha256(p) AS body_sha, '' AS err,
+       |    CAST(k AS BIGINT) AS file_k, CAST(0 AS BIGINT) AS rec_idx
        |  FROM (SELECT DISTINCT doc_id % ${N_FILES} AS k FROM documents),
        |    info),
        |req AS (
-       |  SELECT 'https://example.org/page/' || doc_id AS url,
-       |    'urn:uuid:req-' || doc_id AS rec_id, 'request' AS rec_type,
-       |    strftime(TIMESTAMP '2022-05-01 00:00:00' + to_seconds(doc_id),
+       |  SELECT 'https://example.org/page/' || d.doc_id AS url,
+       |    'urn:uuid:req-' || d.doc_id AS rec_id, 'request' AS rec_type,
+       |    strftime(TIMESTAMP '2022-05-01 00:00:00' + to_seconds(d.doc_id),
        |      '%Y-%m-%dT%H:%M:%SZ') AS warc_ts,
        |    'application/http;msgtype=request' AS mime,
        |    CAST(octet_length(encode(p)) AS BIGINT) AS content_length,
        |    CAST(-1 AS BIGINT) AS http_status,
        |    CAST(octet_length(encode(p)) AS BIGINT) AS n_body,
-       |    sha256(p) AS body_sha, '' AS err
+       |    sha256(p) AS body_sha, '' AS err,
+       |    CAST(r.k AS BIGINT) AS file_k,
+       |    CAST(2 * r.rnk + 1 AS BIGINT) AS rec_idx
        |  FROM (SELECT doc_id,
        |      'GET /page/' || doc_id || ' HTTP/1.1' || $crlf ||
        |      'Host: example.org' || $crlf ||
        |      'User-Agent: graft/1.0' || $crlf || $crlf AS p
-       |    FROM documents)),
-       |respb AS (
-       |  SELECT doc_id,
-       |    CASE WHEN doc_id % 7 = 0
-       |      THEN '<html><body><p>not found</p></body></html>'
-       |      ELSE %WRAP%
-       |    END AS body,
-       |    CASE WHEN doc_id % 7 = 0 THEN 'HTTP/1.1 404 Not Found'
-       |      ELSE 'HTTP/1.1 200 OK' END AS sl,
-       |    CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS st
-       |  FROM documents),
+       |    FROM documents) d
+       |  JOIN drank r ON r.doc_id = d.doc_id),
+       |$respbCte,
        |resp AS (
-       |  SELECT 'https://example.org/page/' || doc_id AS url,
-       |    'urn:uuid:resp-' || doc_id AS rec_id, 'response' AS rec_type,
-       |    strftime(TIMESTAMP '2022-05-01 00:00:00' + to_seconds(doc_id),
+       |  SELECT 'https://example.org/page/' || b.doc_id AS url,
+       |    'urn:uuid:resp-' || b.doc_id AS rec_id, 'response' AS rec_type,
+       |    strftime(TIMESTAMP '2022-05-01 00:00:00' + to_seconds(b.doc_id),
        |      '%Y-%m-%dT%H:%M:%SZ') AS warc_ts,
        |    'text/html; charset=utf-8' AS mime,
        |    CAST(octet_length(encode(sl || $crlf ||
@@ -225,8 +252,10 @@ object WarcQueries {
        |      AS content_length,
        |    CAST(st AS BIGINT) AS http_status,
        |    CAST(octet_length(encode(body)) AS BIGINT) AS n_body,
-       |    sha256(body) AS body_sha, '' AS err
-       |  FROM respb)
+       |    sha256(body) AS body_sha, '' AS err,
+       |    CAST(r.k AS BIGINT) AS file_k,
+       |    CAST(2 * r.rnk + 2 AS BIGINT) AS rec_idx
+       |  FROM respb b JOIN drank r ON r.doc_id = b.doc_id)
        |SELECT * FROM finfo
        |UNION ALL SELECT * FROM req
        |UNION ALL SELECT * FROM resp""".stripMargin
@@ -282,13 +311,126 @@ object WarcQueries {
       .replace("%WRAP%",
         graft.operators.TextQueries.htmlWrapSqlExpr("doc_id", "text"))
 
+  /** pipeline_warc_extract — the FULL published-pipeline chain over
+    * real parsed bytes: WARC parse → HTTP 200 gate → block-level
+    * main-content extraction (text_extract_main's classifier, not
+    * the flat strip) → language guess → Gopher card, all in one
+    * composition. Documents whose extraction keeps no block (the
+    * boilerplate-only pages) drop out BEFORE the quality gates —
+    * exactly the yield lever extract_main exists for.
+    *
+    * The WARC body blocks into two non-empty pieces under the
+    * extract splitter: the `Doc <id>` heading (always `short`) and
+    * the main paragraph — so the oracle replays the classifier on
+    * the reconstructed paragraph text alone (anchor-free reduction),
+    * then runs the langid + gopher kernels over the survivors.
+    * Scale shape: the src_warc scan + two row-local kernel stages +
+    * one tiny re-aggregate per doc for the block join — no new wide
+    * operator anywhere in the chain. */
+  def pipelineWarcExtract(s: SparkSession, dir: String): DataFrame = {
+    val root = warcRoot(s, dir)
+    val pages = warcRecords(s, s"file:$root/*.warc.gz")
+      .filter(col("rec_type") === "response" && col("http_status") === 200)
+      .select(
+        regexp_extract(col("url"), "page/(\\d+)$", 1).cast("long")
+          .as("doc_id"),
+        decode(col("body"), "UTF-8").as("page"))
+    val corpus = TextExtractQueries
+      .classifyBlocks(pages, TextExtractQueries.FIXTURE_SW_LOW,
+        TextExtractQueries.FIXTURE_SW_HIGH)
+      .filter(col("keep"))
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("idx"), col("text")))),
+          x => x.getField("text")), " ").as("text"))
+      .withColumn("lang_guess",
+        graft.functions.TextFunctions.langId(col("text")))
+    TextQueries.gopherRulesFrom(corpus, carry = Seq("lang_guess"))
+      .select(col("doc_id"), col("lang_guess"), col("n_words"),
+        col("keep"))
+  }
+
+  val pipelineWarcExtractSql: String =
+    s"""WITH b2 AS (
+       |  SELECT doc_id, lang,
+       |    ${TextExtractQueries.htmlStripOfParagraphTail} AS bt
+       |  FROM documents WHERE doc_id % 7 <> 0),
+       |corpus AS (
+       |  SELECT doc_id, lang, bt AS text
+       |  FROM b2
+       |  WHERE ${TextExtractQueries.classifySqlExpr("bt",
+                  TextExtractQueries.FIXTURE_SW_LOW,
+                  TextExtractQueries.FIXTURE_SW_HIGH)}
+       |    IN ('good', 'neargood')),
+       |card AS (
+       |  SELECT doc_id, n_words, keep
+       |  FROM (${graft.operators.TextQueries.gopherRulesSqlFrom("corpus")})),
+       |lg AS (
+       |  SELECT doc_id, lang_guess
+       |  FROM (${graft.operators.TextQueries.langGuessSqlFrom("corpus")}))
+       |SELECT card.doc_id, lg.lang_guess, card.n_words, card.keep
+       |FROM card JOIN lg USING (doc_id)""".stripMargin
+
+  /** warc_cdx — the CDX capture index every crawl archive ships
+    * beside its WARCs (the standard lookup artifact: OpenWayback /
+    * pywb format, reduced to its key columns): one row per response
+    * with the SURT key (host labels reversed, then the path — the
+    * sort order that clusters a domain's captures), the capture
+    * timestamp, a digest prefix, and the (file, record) coordinate a
+    * reader seeks to. The SURT/key derivation is GENERIC string work
+    * on the parsed Target-URI (not fixture arithmetic); the oracle
+    * replays it from the known URL shape plus the drank coordinate
+    * arithmetic — so record order inside every archive file is
+    * hash-pinned.
+    *
+    * Scale shape: a projection of the src_warc scan filtered to
+    * responses — row-local regex + digest prefix, no shuffle; at
+    * crawl scale the CDX lands sorted by (surt, ts) via
+    * sort_range_partition's reproducible boundaries. */
+  def warcCdx(s: SparkSession, dir: String): DataFrame = {
+    val root = warcRoot(s, dir)
+    val host = regexp_extract(col("url"), "://([^/]*)", 1)
+    val path = regexp_extract(col("url"), "://[^/]*(/.*)$", 1)
+    warcRecords(s, s"file:$root/*.warc.gz")
+      .filter(col("rec_type") === "response")
+      .select(
+        concat(array_join(reverse(split(host, "\\.")), ","),
+          lit(")"), path).as("surt"),
+        col("warc_ts"),
+        substring(sha2(col("body"), 256), 1, 16).as("digest16"),
+        regexp_extract(col("src_file"), "part-(\\d+)\\.warc\\.gz$", 1)
+          .cast("long").as("file_k"),
+        col("rec_idx"), col("http_status"))
+  }
+
+  val warcCdxSql: String =
+    s"""WITH $drankCte,
+       |$respbCte
+       |SELECT
+       |  list_aggregate(list_reverse(string_split('example.org', '.')),
+       |    'string_agg', ',') || ')/page/' || b.doc_id AS surt,
+       |  strftime(TIMESTAMP '2022-05-01 00:00:00' + to_seconds(b.doc_id),
+       |    '%Y-%m-%dT%H:%M:%SZ') AS warc_ts,
+       |  substr(sha256(body), 1, 16) AS digest16,
+       |  CAST(r.k AS BIGINT) AS file_k,
+       |  CAST(2 * r.rnk + 2 AS BIGINT) AS rec_idx,
+       |  CAST(st AS BIGINT) AS http_status
+       |FROM respb b JOIN drank r ON r.doc_id = b.doc_id""".stripMargin
+      .replace("%WRAP%",
+        graft.operators.TextQueries.htmlWrapSqlExpr("doc_id", "text"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_warc" -> (srcWarc _),
-    "pipeline_warc_to_corpus" -> (pipelineWarcToCorpus _)
+    "pipeline_warc_to_corpus" -> (pipelineWarcToCorpus _),
+    "pipeline_warc_extract" -> (pipelineWarcExtract _),
+    "warc_cdx" -> (warcCdx _)
   )
 
   def oracle: Map[String, String] = Map(
     "src_warc" -> srcWarcSql,
-    "pipeline_warc_to_corpus" -> pipelineWarcToCorpusSql
+    "pipeline_warc_to_corpus" -> pipelineWarcToCorpusSql,
+    "pipeline_warc_extract" -> pipelineWarcExtractSql,
+    "warc_cdx" -> warcCdxSql
   )
 }
