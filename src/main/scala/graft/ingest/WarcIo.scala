@@ -65,11 +65,60 @@ object WarcIo {
     headers.foreach { case (k, v) => head.append(k).append(": ")
       .append(v).append("\r\n") }
     head.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
-    val gz = new GZIPOutputStream(out)
+    // BEST_SPEED: member-per-record means one Deflater lifecycle per
+    // record — at 1.5M fixture records the default level cost ~3× the
+    // wall for no readable difference; real WARC writers make the
+    // same trade (records are small, the win is framing, not ratio)
+    val gz = new GZIPOutputStream(out) {
+      `def`.setLevel(java.util.zip.Deflater.BEST_SPEED)
+    }
     gz.write(head.toString.getBytes("US-ASCII"))
     gz.write(payload)
     gz.write(CRLF); gz.write(CRLF)
     gz.finish()
+  }
+
+  /** Member-per-record gzip writer that REUSES one native Deflater
+    * across members (manual RFC 1952 framing: 10-byte header, raw
+    * deflate, CRC32 + ISIZE trailer). A fresh GZIPOutputStream per
+    * member allocates a native zlib stream each time — measured
+    * ~0.17 ms/member, 250 s for the 1.5M-member 100× fixture; the
+    * reused Deflater writes the identical byte format (verified by
+    * WarcIoSpec round-trips through GZIPInputStream) at a fraction
+    * of the cost. */
+  final class MemberWriter(out: OutputStream) {
+    private val deflater = new java.util.zip.Deflater(
+      java.util.zip.Deflater.BEST_SPEED, /* nowrap = */ true)
+    private val crc = new java.util.zip.CRC32
+    private val buf = new Array[Byte](8192)
+    private val header = Array[Byte](0x1f, 0x8b.toByte, 8, 0,
+      0, 0, 0, 0, 0, 0)
+
+    def writeRecord(
+        headers: Seq[(String, String)], payload: Array[Byte]): Unit =
+      writeMember(recordBytes(headers, payload))
+
+    def writeMember(record: Array[Byte]): Unit = {
+      out.write(header)
+      deflater.reset()
+      deflater.setInput(record)
+      deflater.finish()
+      while (!deflater.finished()) {
+        val n = deflater.deflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+      }
+      crc.reset()
+      crc.update(record)
+      writeIntLE(crc.getValue.toInt)
+      writeIntLE(record.length)
+    }
+
+    private def writeIntLE(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+      out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+    }
+
+    def close(): Unit = { deflater.end(); out.close() }
   }
 
   /** Raw (uncompressed-framing) variant for fuzz fixtures: the exact
