@@ -150,7 +150,7 @@ object WarcQueries {
   /** Parse every `.warc.gz` under a glob, one file per task, into
     * typed record rows (body kept as binary for downstream stages;
     * `err` non-empty marks quarantine rows). */
-  private[operators] def warcRecords(
+  private[graft] def warcRecords(
       s: SparkSession, glob: String): DataFrame = {
     import s.implicits._
     val sessionConf = ListingCache.sessionConfSnapshot(s)

@@ -30,6 +30,46 @@ object StreamingOps {
       .option("maxFilesPerTrigger", 100) // bounded micro-batches at scale
       .parquet(inputDir)
 
+  /** stream_warc_ingest — incremental crawl-archive ingest: the
+    * binaryFile stream source discovers newly-landed `.warc.gz` drops
+    * (checkpoint = exactly-once per file), and each archive parses
+    * through the SAME WarcIo kernel as the batch source
+    * (WarcQueries.warcRecords), quarantine rows included — so the
+    * stream is record-for-record the batch table, pinned by
+    * StreamWarcSpec's parity test. binaryFile buffers a whole archive
+    * per row (the WARC convention caps files ~1 GB — executor-sized);
+    * the batch path keeps its streaming parser for unbounded files. */
+  def warcIngest(spark: SparkSession, inputDir: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream
+      .format("binaryFile")
+      // binaryFile's schema is FIXED by the source; the stream API
+      // still demands it be spelled explicitly
+      .schema(StructType.fromDDL(
+        "path STRING, modificationTime TIMESTAMP, " +
+          "length BIGINT, content BINARY"))
+      .option("pathGlobFilter", "*.warc.gz")
+      .option("maxFilesPerTrigger", 100)
+      .load(inputDir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        graft.ingest.WarcIo
+          .parseGzip(new java.io.ByteArrayInputStream(bytes))
+          .zipWithIndex.map { case (r, i) =>
+            (r.targetUri,
+              r.recordId.stripPrefix("<").stripSuffix(">"),
+              r.recType, r.date,
+              if (r.recType == "response") r.httpMime else r.contentType,
+              r.contentLength, r.httpStatus.toLong, r.body, r.err,
+              path, i.toLong)
+          }
+      }
+      .toDF("url", "rec_id", "rec_type", "warc_ts", "mime",
+        "content_length", "http_status", "body", "err",
+        "src_file", "rec_idx")
+  }
+
   /** stream_tumbling — fixed windows per event type. */
   def tumblingCounts(events: DataFrame): DataFrame =
     events
