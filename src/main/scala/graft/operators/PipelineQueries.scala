@@ -188,6 +188,80 @@ object PipelineQueries {
        |FROM j GROUP BY 1, 2""".stripMargin
   }
 
+  // ── curation_robots_filter — the crawl-politeness gate: parse each
+  // domain's robots.txt (RFC 9309, graft.ingest.RobotsTxt) and test
+  // every URL against the selected group's rules ──
+
+  /** The synthetic robots.txt for domain index d — shaped so every
+    * parser rule fires somewhere on the fixture: a non-matching UA
+    * group that must be SKIPPED, the `*` group, a universal
+    * /private/ disallow, a /p/ disallow on every 3rd domain, and an
+    * /p/1 allow on every 6th (longest-match + allow-tie precedence:
+    * ids rendering with a leading '1' stay crawlable there). */
+  private[operators] def robotsTextFor(d: Int): String =
+    "User-agent: crawler-x\nDisallow: /\n\n" +
+      "User-agent: *\n" +
+      "Disallow: /private/\n" +
+      (if (d % 3 == 0) "Disallow: /p/\n" else "") +
+      (if (d % 6 == 0) "Allow: /p/1\n" else "") +
+      "Crawl-delay: 2\n"
+
+  /** curation_robots_filter — per-domain politeness ledger: URLs
+    * checked, URLs crawlable under the domain's robots.txt, and the
+    * selected group's rule count. The 10 robots files parse ONCE on
+    * the driver (they are per-domain artifacts a crawler fetches
+    * once) and the parsed rules broadcast; the per-URL check is a
+    * row-local prefix walk over ≤3 rules. The oracle re-derives every
+    * verdict from the rule arithmetic (d%3 disallows /p/, d%6 allows
+    * /p/1 back by longest-match, ties to Allow). */
+  def curationRobotsFilter(s: SparkSession, dir: String): DataFrame = {
+    val parsed: Map[Int, graft.ingest.RobotsTxt.Rules] =
+      (0 until 10).map(d =>
+        d -> graft.ingest.RobotsTxt.rulesFor(robotsTextFor(d), "graft"))
+        .toMap
+    val b = s.sparkContext.broadcast(parsed)
+    val allowedUdf = udf { (d: Int, path: String) =>
+      b.value(d).allows(path)
+    }
+    val nRulesUdf = udf { d: Int => b.value(d).size }
+    documents(s, dir)
+      .select((col("doc_id") % 10).cast("int").as("d"),
+        concat(lit("/p/"), col("doc_id")).as("path"))
+      .select(col("d"),
+        allowedUdf(col("d"), col("path")).cast("long").as("ok"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ok")).as("n_crawlable"),
+        max(nRulesUdf(col("d"))).cast("long").as("n_rules"))
+      .select(
+        element_at(typedLit(URL_DOMAINS), col("d") + 1).as("domain"),
+        col("n_docs"), col("n_crawlable"), col("n_rules"))
+  }
+
+  val curationRobotsFilterSql: String = {
+    val doms = URL_DOMAINS.map(d => s"'$d'").mkString(", ")
+    s"""WITH doms(i, dom) AS (
+       |  SELECT * FROM (SELECT unnest(generate_series(0, 9)),
+       |    unnest([$doms]))),
+       |v AS (
+       |  SELECT doc_id, doc_id % 10 AS d,
+       |    CASE
+       |      WHEN doc_id % 10 % 3 <> 0 THEN 1
+       |      WHEN doc_id % 10 % 6 = 0
+       |        AND CAST(doc_id AS VARCHAR) LIKE '1%' THEN 1
+       |      ELSE 0
+       |    END AS ok
+       |  FROM documents)
+       |SELECT doms.dom AS domain,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(v.ok) AS BIGINT) AS n_crawlable,
+       |  CAST(1 + CASE WHEN v.d % 3 = 0 THEN 1 ELSE 0 END
+       |    + CASE WHEN v.d % 6 = 0 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS n_rules
+       |FROM v JOIN doms ON doms.i = v.d
+       |GROUP BY 1, v.d""".stripMargin
+  }
+
   def pipelineCleanCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
     // stage 1: exact dedup — one keeper per distinct text (the same
@@ -629,6 +703,7 @@ object PipelineQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_split_leakage_near" -> (pipelineSplitLeakageNear _),
     "curation_url_filter" -> (curationUrlFilter _),
+    "curation_robots_filter" -> (curationRobotsFilter _),
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
     "curation_datasheet" -> (curationDatasheet _),
     "pipeline_build_mixture" -> (pipelineBuildMixture _),
@@ -640,6 +715,7 @@ object PipelineQueries {
   def oracle: Map[String, String] = Map(
     "pipeline_split_leakage_near" -> pipelineSplitLeakageNearSql,
     "curation_url_filter" -> curationUrlFilterSql,
+    "curation_robots_filter" -> curationRobotsFilterSql,
     "pipeline_clean_corpus" -> pipelineCleanCorpusSql,
     "curation_datasheet" -> curationDatasheetSql,
     "pipeline_build_mixture" -> pipelineBuildMixtureSql,

@@ -447,17 +447,105 @@ object WarcQueries {
       .replace("%WRAP%",
         graft.operators.TextQueries.htmlWrapSqlExpr("doc_id", "text"))
 
+  /** snk_wet — the WET (extracted-text) companion archive Common
+    * Crawl ships beside every WARC: per source archive, one
+    * `conversion` record per HTTP-200 page whose payload is the
+    * STRIPPED text (the text_html_strip kernel — exactly what a
+    * training pipeline downloads instead of raw WARC). Written
+    * DISTRIBUTED with the same MemberWriter framing, then READ BACK
+    * through WarcIo and audited per file: record count, total text
+    * bytes, and a digest-prefix sum over payloads — so the whole
+    * write→read round trip is hash-gated against DuckDB recomputing
+    * the stripped text from documents.
+    *
+    * Scale shape: one parsed-WARC scan → row-local strip →
+    * per-file-task member writes (the warcRoot discipline) → one
+    * header-cheap read-back scan; the audit aggregates to |files|
+    * rows. */
+  def snkWet(s: SparkSession, dir: String): DataFrame = {
+    val root = warcRoot(s, dir)
+    val wetRoot = Files.createTempDirectory("graft-wet").toString
+    IndexManifest.registerTempRoot(wetRoot)
+    // extract: HTTP 200 responses → stripped text, keyed to file_k
+    warcRecords(s, s"file:$root/*.warc.gz")
+      .filter(col("rec_type") === "response" && col("http_status") === 200)
+      .select(col("url"),
+        regexp_extract(col("src_file"), "part-(\\d+)\\.warc\\.gz$", 1)
+          .cast("long").as("k"),
+        col("warc_ts"),
+        TextQueries.htmlStripCol(decode(col("body"), "UTF-8")).as("text"),
+        regexp_extract(col("url"), "page/(\\d+)$", 1).cast("long")
+          .as("doc_id"))
+      .repartition(N_FILES, col("k"))
+      .sortWithinPartitions(col("k"), col("doc_id"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        var curK = -1L
+        var out: WarcIo.MemberWriter = null
+        def closeCur(): Unit = if (out != null) { out.close(); out = null }
+        try {
+          it.foreach { r =>
+            val (url, k, ts, text) = (r.getString(0), r.getLong(1),
+              r.getString(2), r.getString(3))
+            if (k != curK) {
+              closeCur()
+              out = new WarcIo.MemberWriter(
+                new java.io.BufferedOutputStream(
+                  new java.io.FileOutputStream(
+                    s"$wetRoot/part-$k.warc.gz")))
+              curK = k
+            }
+            out.writeRecord(Seq(
+              "WARC-Type" -> "conversion",
+              "WARC-Record-ID" -> s"<urn:uuid:wet-${r.getLong(4)}>",
+              "WARC-Date" -> ts,
+              "WARC-Target-URI" -> url,
+              "Content-Type" -> "text/plain"),
+              text.getBytes("UTF-8"))
+          }
+        } finally closeCur()
+      }
+    // audit WHAT LANDED: read the WET archives back through the parser
+    warcRecords(s, s"file:$wetRoot/*.warc.gz")
+      .filter(col("rec_type") === "conversion")
+      .select(
+        regexp_extract(col("src_file"), "part-(\\d+)\\.warc\\.gz$", 1)
+          .cast("long").as("file_k"),
+        length(col("body")).cast("long").as("nb"),
+        conv(substring(sha2(col("body"), 256), 1, 10), 16, 10)
+          .cast("long").as("dg"))
+      .groupBy(col("file_k"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(col("nb")).as("total_bytes"),
+        sum(col("dg")).as("digest_sum"))
+  }
+
+  val snkWetSql: String =
+    s"""WITH wet AS (
+       |  SELECT doc_id, doc_id % ${N_FILES} AS k,
+       |    ${TextQueries.htmlStripSqlExpr("(%WRAP%)")} AS text
+       |  FROM documents WHERE doc_id % 7 <> 0)
+       |SELECT CAST(k AS BIGINT) AS file_k,
+       |  CAST(count(*) AS BIGINT) AS n_records,
+       |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       |  CAST(sum(CAST('0x' || substr(sha256(text), 1, 10) AS BIGINT))
+       |    AS BIGINT) AS digest_sum
+       |FROM wet GROUP BY k""".stripMargin
+      .replace("%WRAP%",
+        graft.operators.TextQueries.htmlWrapSqlExpr("doc_id", "text"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_warc" -> (srcWarc _),
     "pipeline_warc_to_corpus" -> (pipelineWarcToCorpus _),
     "pipeline_warc_extract" -> (pipelineWarcExtract _),
-    "warc_cdx" -> (warcCdx _)
+    "warc_cdx" -> (warcCdx _),
+    "snk_wet" -> (snkWet _)
   )
 
   def oracle: Map[String, String] = Map(
     "src_warc" -> srcWarcSql,
     "pipeline_warc_to_corpus" -> pipelineWarcToCorpusSql,
     "pipeline_warc_extract" -> pipelineWarcExtractSql,
-    "warc_cdx" -> warcCdxSql
+    "warc_cdx" -> warcCdxSql,
+    "snk_wet" -> snkWetSql
   )
 }

@@ -1,0 +1,74 @@
+package graft.ingest
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RobotsTxt: RFC 9309 group selection and rule precedence on planted
+  * files — the semantics the arithmetic oracle of
+  * curation_robots_filter cross-validates at corpus scale. */
+class RobotsTxtSpec extends AnyFunSuite {
+
+  private val file =
+    """# a comment line
+      |User-agent: crawler-x
+      |Disallow: /
+      |
+      |User-agent: graft-fetch
+      |Disallow: /beta/
+      |
+      |User-agent: *
+      |Disallow: /private/
+      |Disallow: /p/
+      |Allow: /p/public
+      |Crawl-delay: 2
+      |Sitemap: https://example.org/map.xml
+      |""".stripMargin
+
+  test("group selection: specific product-token prefix beats *, " +
+      "unknown agents fall to *") {
+    val g = RobotsTxt.rulesFor(file, "graft-fetch/1.0")
+    assert(!g.allows("/beta/x"), "the graft-fetch group applies")
+    assert(g.allows("/p/anything"),
+      "the * group's /p/ disallow must NOT leak into the specific group")
+    val star = RobotsTxt.rulesFor(file, "someone-else")
+    assert(!star.allows("/p/anything"))
+    assert(!star.allows("/private/f"))
+    assert(star.allows("/open/page"))
+  }
+
+  test("longest match wins and ties go to Allow") {
+    val star = RobotsTxt.rulesFor(file, "zzz")
+    assert(star.allows("/p/public/doc"),
+      "Allow /p/public (longer) overrides Disallow /p/")
+    val tie = RobotsTxt.rulesFor(
+      "User-agent: *\nDisallow: /a/\nAllow: /a/\n", "x")
+    assert(tie.allows("/a/doc"), "equal-length rules tie to Allow")
+  }
+
+  test("no matching group, empty Disallow, metacharacter rules, and " +
+      "malformed lines all fail OPEN") {
+    assert(RobotsTxt.rulesFor("User-agent: other\nDisallow: /\n", "me")
+      .allows("/x"), "no group for this agent → allowed")
+    assert(RobotsTxt.rulesFor("User-agent: *\nDisallow:\n", "me")
+      .allows("/x"), "empty Disallow allows all")
+    assert(RobotsTxt.rulesFor("User-agent: *\nDisallow: /*.pdf$\n", "me")
+      .allows("/x.pdf"), "metacharacter rules are skipped (documented " +
+      "subset), never misread as literal prefixes")
+    assert(RobotsTxt.rulesFor("garbage line no colon\n%%%\n", "me")
+      .allows("/anything"))
+  }
+
+  test("a User-agent line AFTER rules starts a new group (RFC group " +
+      "boundary)") {
+    val f = "User-agent: a\nDisallow: /x/\nUser-agent: b\nDisallow: /y/\n"
+    assert(!RobotsTxt.rulesFor(f, "a").allows("/x/1"))
+    assert(RobotsTxt.rulesFor(f, "a").allows("/y/1"))
+    assert(!RobotsTxt.rulesFor(f, "b").allows("/y/1"))
+    assert(RobotsTxt.rulesFor(f, "b").allows("/x/1"))
+  }
+
+  test("adjacent User-agent lines share one rule set") {
+    val f = "User-agent: a\nUser-agent: b\nDisallow: /x/\n"
+    assert(!RobotsTxt.rulesFor(f, "a").allows("/x/1"))
+    assert(!RobotsTxt.rulesFor(f, "b").allows("/x/1"))
+  }
+}
