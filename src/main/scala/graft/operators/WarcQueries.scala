@@ -533,7 +533,151 @@ object WarcQueries {
       .replace("%WRAP%",
         graft.operators.TextQueries.htmlWrapSqlExpr("doc_id", "text"))
 
+  /** pipeline_crawl_funnel — the corpus-funnel card a crawl run
+    * reports: per domain, how many URLs survive EACH gate in
+    * published-pipeline order — robots.txt (curation_robots_filter's
+    * parser), the domain blocklist (curation_url_filter), the HTTP
+    * fetch (src_warc's 200 gate), main-content extraction
+    * (text_extract_main's classifier), and the Gopher quality card —
+    * plus the surviving token budget. Every stage is the
+    * already-verified operator; this composes them CUMULATIVELY (a
+    * page dropped by robots never reaches the fetch column), and the
+    * oracle rebuilds the whole funnel from documents arithmetic plus
+    * the shared strip/classify/gopher SQL kernels.
+    *
+    * Scale shape: one parsed-WARC scan; robots and blocklist are
+    * broadcast; extraction and the card are row-local; ONE hash agg
+    * to |domains| rows. The only join is doc_id-keyed block
+    * reassembly, exactly pipeline_warc_extract's. */
+  def pipelineCrawlFunnel(s: SparkSession, dir: String): DataFrame = {
+    val root = warcRoot(s, dir)
+    // robots rules parse once (per-domain artifacts), broadcast
+    val parsedRobots = (0 until 10).map(d => d ->
+      graft.ingest.RobotsTxt.rulesFor(
+        PipelineQueries.robotsTextFor(d), "graft")).toMap
+    val bRobots = s.sparkContext.broadcast(parsedRobots)
+    val robotsOk = udf { (d: Int, path: String) =>
+      bRobots.value(d).allows(path)
+    }
+    val blockedIdx = PipelineQueries.URL_BLOCKED_IDX.map(_.toLong)
+    val resp = warcRecords(s, s"file:$root/*.warc.gz")
+      .filter(col("rec_type") === "response")
+      .select(
+        regexp_extract(col("url"), "page/(\\d+)$", 1).cast("long")
+          .as("doc_id"),
+        col("http_status"),
+        decode(col("body"), "UTF-8").as("page"))
+      .withColumn("d", (col("doc_id") % 10).cast("int"))
+      .withColumn("robots_ok",
+        robotsOk(col("d"), concat(lit("/p/"), col("doc_id"))))
+      .withColumn("url_ok", !(col("doc_id") % 10).isin(blockedIdx: _*))
+      .withColumn("fetched", col("http_status") === 200)
+    // extraction + quality over the fetched pages (the 404 body
+    // strips to a short block and can never be kept — the cumulative
+    // flags below make the order explicit anyway)
+    val extracted = TextExtractQueries
+      .classifyBlocks(resp.select(col("doc_id"), col("page")),
+        TextExtractQueries.FIXTURE_SW_LOW,
+        TextExtractQueries.FIXTURE_SW_HIGH)
+      .filter(col("keep"))
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("idx"), col("text")))),
+          x => x.getField("text")), " ").as("text"))
+    val card = TextQueries.gopherRulesFrom(extracted)
+      .select(col("doc_id"), col("n_words"),
+        col("keep").as("quality_ok"))
+    resp
+      .join(card, Seq("doc_id"), "left")
+      .select(col("d"), col("robots_ok"), col("url_ok"), col("fetched"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        col("n_words").isNotNull.as("ext_ok"),
+        coalesce(col("quality_ok"), lit(false)).as("quality_ok"))
+      .withColumn("c1", col("robots_ok"))
+      .withColumn("c2", col("c1") && col("url_ok"))
+      .withColumn("c3", col("c2") && col("fetched"))
+      .withColumn("c4", col("c3") && col("ext_ok"))
+      .withColumn("c5", col("c4") && col("quality_ok"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_urls"),
+        sum(col("c1").cast("long")).as("n_crawlable"),
+        sum(col("c2").cast("long")).as("n_allowed"),
+        sum(col("c3").cast("long")).as("n_fetched_ok"),
+        sum(col("c4").cast("long")).as("n_extracted"),
+        sum(col("c5").cast("long")).as("n_kept"),
+        sum(when(col("c5"), col("n_words")).otherwise(lit(0L)))
+          .as("kept_tokens"))
+      .select(
+        element_at(typedLit(PipelineQueries.URL_DOMAINS),
+          col("d") + 1).as("domain"),
+        col("n_urls"), col("n_crawlable"), col("n_allowed"),
+        col("n_fetched_ok"), col("n_extracted"), col("n_kept"),
+        col("kept_tokens"))
+  }
+
+  val pipelineCrawlFunnelSql: String = {
+    val doms = PipelineQueries.URL_DOMAINS.map(d => s"'$d'").mkString(", ")
+    val blocked = PipelineQueries.URL_BLOCKED_IDX.mkString(", ")
+    s"""WITH doms(i, dom) AS (
+       |  SELECT * FROM (SELECT unnest(generate_series(0, 9)),
+       |    unnest([$doms]))),
+       |b2 AS (
+       |  SELECT doc_id, lang,
+       |    ${TextExtractQueries.htmlStripOfParagraphTail} AS bt
+       |  FROM documents WHERE doc_id % 7 <> 0),
+       |corpus AS (
+       |  SELECT doc_id, lang, bt AS text
+       |  FROM b2
+       |  WHERE ${TextExtractQueries.classifySqlExpr("bt",
+                  TextExtractQueries.FIXTURE_SW_LOW,
+                  TextExtractQueries.FIXTURE_SW_HIGH)}
+       |    IN ('good', 'neargood')),
+       |card AS (
+       |  SELECT doc_id, n_words, keep
+       |  FROM (${TextQueries.gopherRulesSqlFrom("corpus")})),
+       |f AS (
+       |  SELECT d.doc_id, d.doc_id % 10 AS dd,
+       |    CASE
+       |      WHEN d.doc_id % 10 % 3 <> 0 THEN TRUE
+       |      WHEN d.doc_id % 10 % 6 = 0
+       |        AND CAST(d.doc_id AS VARCHAR) LIKE '1%' THEN TRUE
+       |      ELSE FALSE
+       |    END AS robots_ok,
+       |    d.doc_id % 10 NOT IN ($blocked) AS url_ok,
+       |    d.doc_id % 7 <> 0 AS fetched,
+       |    c.doc_id IS NOT NULL AS ext_ok,
+       |    coalesce(c.keep, FALSE) AS quality_ok,
+       |    coalesce(c.n_words, 0) AS n_words
+       |  FROM documents d LEFT JOIN card c ON c.doc_id = d.doc_id),
+       |g AS (
+       |  SELECT dd, robots_ok AS c1,
+       |    robots_ok AND url_ok AS c2,
+       |    robots_ok AND url_ok AND fetched AS c3,
+       |    robots_ok AND url_ok AND fetched AND ext_ok AS c4,
+       |    robots_ok AND url_ok AND fetched AND ext_ok AND quality_ok
+       |      AS c5,
+       |    n_words
+       |  FROM f)
+       |SELECT doms.dom AS domain,
+       |  CAST(count(*) AS BIGINT) AS n_urls,
+       |  CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_crawlable,
+       |  CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_allowed,
+       |  CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_fetched_ok,
+       |  CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_extracted,
+       |  CAST(sum(CASE WHEN c5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN c5 THEN n_words ELSE 0 END) AS BIGINT)
+       |    AS kept_tokens
+       |FROM g JOIN doms ON doms.i = g.dd
+       |GROUP BY 1""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_crawl_funnel" -> (pipelineCrawlFunnel _),
     "src_warc" -> (srcWarc _),
     "pipeline_warc_to_corpus" -> (pipelineWarcToCorpus _),
     "pipeline_warc_extract" -> (pipelineWarcExtract _),
@@ -542,6 +686,7 @@ object WarcQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "pipeline_crawl_funnel" -> pipelineCrawlFunnelSql,
     "src_warc" -> srcWarcSql,
     "pipeline_warc_to_corpus" -> pipelineWarcToCorpusSql,
     "pipeline_warc_extract" -> pipelineWarcExtractSql,
