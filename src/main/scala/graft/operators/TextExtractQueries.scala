@@ -176,6 +176,174 @@ object TextExtractQueries {
           length(col("all_text")) + lit(1e-9), 4).as("yield_ratio"))
   }
 
+  /** text_extract_smooth — jusText's CONTEXT-SENSITIVE second pass
+    * (the part text_extract_main's scaladoc declared omitted):
+    * context-free `good`/`bad` verdicts stay; every `short`/
+    * `neargood` block is re-classified from its nearest SURE
+    * neighbours (the closest good-or-bad block above and below,
+    * page edges counting as bad):
+    *   both neighbours good → good; both bad → bad;
+    *   mixed → neargood promotes to good, short demotes to bad.
+    * The FINAL keep is `good` only — the published pipeline's output
+    * class. On the synthetic page this demotes headings trapped
+    * between boilerplate and promotes/demotes the main paragraph by
+    * its neighbours, so the per-doc yield differs measurably from
+    * the context-free card (both counts reported side by side).
+    *
+    * Scale shape: the context-free stage plus two per-doc windows
+    * over ≤5-block partitions (running last-sure up and down) — the
+    * window state is one string per direction, partitions are
+    * page-bounded. */
+  /** The smooth qid's page splits the document into TWO adjacent
+    * paragraphs (first half of the words, then the rest) — the shape
+    * where the context pass actually changes verdicts: a neargood
+    * second paragraph NEXT TO a good first one promotes (mixed
+    * neighbours), while on the single-paragraph page every
+    * short/neargood block sits between two bads and smoothing is a
+    * no-op (measured: 0 of 500 docs differed — the vacuous-verdict
+    * hazard again). */
+  private def pageTwoParaCol: Column = {
+    val ws = split(col("text"), " ")
+    // cast to INT: Spark's `/` on ints yields DOUBLE (32.5), and
+    // slice ROUNDS a fractional start index — the oracle's `//` is
+    // floor division, so one word silently switched paragraphs on
+    // odd-length docs until the explicit truncation
+    val half = ((size(ws) + 1) / 2).cast("int")
+    val p1 = array_join(slice(ws, lit(1), half), " ")
+    val p2 = array_join(
+      slice(ws, half + 1, greatest(size(ws) - half, lit(0))), " ")
+    concat(
+      lit("<html><body><div><a href=\"/\">home</a> " +
+        "<a href=\"/about\">about</a> <a href=\"/contact\">contact</a>" +
+        "</div><h1>Doc "),
+      col("doc_id"),
+      lit("</h1><p>"), p1, lit("</p><p>"), p2,
+      lit("</p><ul><li><a href=\"/r/1\">related article one</a></li>" +
+        "<li><a href=\"/r/2\">related article two</a></li></ul>" +
+        "<div>copyright 2022 example org all rights reserved</div>" +
+        "</body></html>"))
+  }
+
+  def textExtractSmooth(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pages = documents(s, dir)
+      .select(col("doc_id"), pageTwoParaCol.as("page"))
+    val cf = classifyBlocks(pages, FIXTURE_SW_LOW, FIXTURE_SW_HIGH)
+      .withColumn("sure",
+        when(col("cls") === "good" || col("cls") === "bad", col("cls")))
+    val up = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dn = Window.partitionBy(col("doc_id")).orderBy(col("idx").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cf
+      .withColumn("prev_sure",
+        coalesce(last(col("sure"), ignoreNulls = true).over(up),
+          lit("bad")))
+      .withColumn("next_sure",
+        coalesce(last(col("sure"), ignoreNulls = true).over(dn),
+          lit("bad")))
+      .withColumn("cs",
+        when(col("cls") === "good" || col("cls") === "bad", col("cls"))
+          .when(col("prev_sure") === col("next_sure"), col("prev_sure"))
+          .when(col("cls") === "neargood", "good")
+          .otherwise("bad"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum((col("cls") === "good").cast("long")).as("n_good_cf"),
+        sum((col("cs") === "good").cast("long")).as("n_kept_cs"),
+        sum(when(col("cs") === "good", col("n_chars")).otherwise(0L))
+          .as("cs_chars"))
+  }
+
+  val textExtractSmoothSql: String = {
+    val stops = EXTRACT_STOPS.map(w => s"'$w'").mkString(",")
+    s"""WITH halves AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_slice(ws, 1, (len(ws) + 1) // 2), ' ')
+       |      AS p1,
+       |    array_to_string(list_slice(ws, (len(ws) + 1) // 2 + 1,
+       |      len(ws)), ' ') AS p2
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+       |        FROM documents)),
+       |page AS (
+       |  SELECT doc_id,
+       |    '<html><body><div><a href="/">home</a> '
+       |    || '<a href="/about">about</a> <a href="/contact">contact</a>'
+       |    || '</div><h1>Doc ' || doc_id || '</h1><p>' || p1
+       |    || '</p><p>' || p2
+       |    || '</p><ul><li><a href="/r/1">related article one</a></li>'
+       |    || '<li><a href="/r/2">related article two</a></li></ul>'
+       |    || '<div>copyright 2022 example org all rights reserved</div>'
+       |    || '</body></html>' AS h
+       |  FROM halves),
+       |parts AS (
+       |  SELECT doc_id, string_split(regexp_replace(h,
+       |    '(<(?:p|div|ul|h1)[^>]*>)', chr(1) || '\\1', 'g'), chr(1))
+       |    AS ps
+       |  FROM page),
+       |blk AS (
+       |  SELECT doc_id, g.i AS idx, ps[g.i] AS raw
+       |  FROM parts, unnest(generate_series(1, len(ps))) AS g(i)),
+       |txt AS (
+       |  SELECT doc_id, idx,
+       |    ${TextQueries.htmlStripSqlExpr("raw")} AS text,
+       |    regexp_extract_all(raw, '$ANCHOR_RE', 1) AS anchors
+       |  FROM blk),
+       |sc AS (
+       |  SELECT doc_id, idx, text,
+       |    len(text) AS n_chars,
+       |    len(string_split(lower(text), ' ')) AS n_words,
+       |    CAST(coalesce(list_sum(list_transform(anchors,
+       |      a -> len(a))), 0) AS DOUBLE) AS linked,
+       |    string_split(lower(text), ' ') AS lws
+       |  FROM txt WHERE len(text) > 0),
+       |cls AS (
+       |  SELECT doc_id, idx, n_chars,
+       |    CASE
+       |      WHEN linked / n_chars > $MAX_LINK_DENSITY THEN 'bad'
+       |      WHEN n_chars < $LENGTH_LOW THEN 'short'
+       |      WHEN CAST(len(list_filter(lws, w -> w IN ($stops)))
+       |        AS DOUBLE) / n_words >= $FIXTURE_SW_HIGH THEN 'good'
+       |      WHEN CAST(len(list_filter(lws, w -> w IN ($stops)))
+       |        AS DOUBLE) / n_words >= $FIXTURE_SW_LOW THEN 'neargood'
+       |      ELSE 'bad'
+       |    END AS cls
+       |  FROM sc),
+       |sure AS (
+       |  SELECT doc_id, idx, n_chars, cls,
+       |    CASE WHEN cls IN ('good', 'bad') THEN cls END AS s
+       |  FROM cls),
+       |ctx AS (
+       |  SELECT doc_id, idx, n_chars, cls,
+       |    coalesce(last_value(s IGNORE NULLS) OVER (
+       |      PARTITION BY doc_id ORDER BY idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'bad')
+       |      AS prev_sure,
+       |    coalesce(last_value(s IGNORE NULLS) OVER (
+       |      PARTITION BY doc_id ORDER BY idx DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'bad')
+       |      AS next_sure
+       |  FROM sure),
+       |fin AS (
+       |  SELECT doc_id, n_chars, cls,
+       |    CASE
+       |      WHEN cls IN ('good', 'bad') THEN cls
+       |      WHEN prev_sure = next_sure THEN prev_sure
+       |      WHEN cls = 'neargood' THEN 'good'
+       |      ELSE 'bad'
+       |    END AS cs
+       |  FROM ctx)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_blocks,
+       |  CAST(sum(CASE WHEN cls = 'good' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_good_cf,
+       |  CAST(sum(CASE WHEN cs = 'good' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept_cs,
+       |  CAST(sum(CASE WHEN cs = 'good' THEN n_chars ELSE 0 END)
+       |    AS BIGINT) AS cs_chars
+       |FROM fin GROUP BY doc_id""".stripMargin
+  }
+
   val textExtractMainSql: String = {
     val stops = EXTRACT_STOPS.map(w => s"'$w'").mkString(",")
     s"""WITH page AS (
@@ -239,10 +407,12 @@ object TextExtractQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_extract_main" -> (textExtractMain _)
+    "text_extract_main" -> (textExtractMain _),
+    "text_extract_smooth" -> (textExtractSmooth _)
   )
 
   def oracle: Map[String, String] = Map(
-    "text_extract_main" -> textExtractMainSql
+    "text_extract_main" -> textExtractMainSql,
+    "text_extract_smooth" -> textExtractSmoothSql
   )
 }

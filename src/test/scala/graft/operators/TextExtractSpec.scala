@@ -60,6 +60,21 @@ class TextExtractSpec extends SparkSpec {
       s"expected neargood for density 13/42=0.3095, got $m")
   }
 
+  test("context-sensitive pass: neargood NEXT TO good promotes " +
+      "(mixed neighbours), neargood between bads demotes, and the " +
+      "gate fixture shows real promotions") {
+    import org.apache.spark.sql.functions.col
+    val df = TextExtractQueries.textExtractSmooth(spark, sf)
+    // promotions exist: smoothing must keep MORE blocks than the
+    // context-free good count somewhere, and fewer nowhere... the
+    // only demotion path on the two-para page is neargood-between-
+    // bads, which the cf count never included — so cs >= cf per doc
+    assert(df.filter(col("n_kept_cs") < col("n_good_cf")).count() == 0)
+    assert(df.filter(col("n_kept_cs") > col("n_good_cf")).count() > 0,
+      "the two-paragraph page must produce real promotions")
+    assert(df.filter(col("n_blocks") =!= 6).count() == 0)
+  }
+
   test("gate fixture splits non-degenerately and yield < 1 everywhere " +
       "(boilerplate always dropped)") {
     val df = TextExtractQueries.textExtractMain(spark, sf)
