@@ -28,8 +28,9 @@ import graft.ingest.{ListingCache, WarcIo}
   * parallelism = #files, exactly how a 1000-executor cluster eats a
   * crawl dump of 100k 1 GB WARCs. Payload bytes stay in the scan
   * stage: src_warc projects 32-byte digests, the pipeline strips to
-  * text before anything wide. The fixture build (driver-side write of
-  * 32 small files) is harness cost, memoized per corpus fingerprint.
+  * text before anything wide. The fixture build (a distributed
+  * per-file archive write — see [[warcRoot]]) is harness cost,
+  * memoized per corpus fingerprint.
   */
 object WarcQueries {
 
