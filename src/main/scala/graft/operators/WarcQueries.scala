@@ -155,8 +155,13 @@ object WarcQueries {
       s: SparkSession, glob: String): DataFrame = {
     import s.implicits._
     val sessionConf = ListingCache.sessionConfSnapshot(s)
-    ListingCache.globListing(s, glob).as[String]
-      .repartition(N_FILES)
+    val listing = ListingCache.globListing(s, glob).as[String]
+    // one task per archive, capped: a constant repartition(32) would
+    // CAP a 100k-file crawl's parse at 32 tasks (round-16 self-review
+    // finding); the listing is driver-small, so counting it is free
+    val nFiles = math.max(listing.count().toInt, 1)
+    listing
+      .repartition(math.min(nFiles, 4096))
       .mapPartitions { it =>
         val conf = ListingCache.confWith(
           new org.apache.hadoop.conf.Configuration(false), sessionConf)
