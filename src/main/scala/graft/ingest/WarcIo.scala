@@ -35,7 +35,11 @@ object WarcIo {
   /** One parsed record; `err` non-empty marks a quarantine row (all
     * other fields best-effort). For `response` records, httpStatus /
     * httpMime / body describe the HTTP message inside the payload;
-    * for other types httpStatus = -1 and body == payload. */
+    * for other types httpStatus = -1 and body == payload. `headers`
+    * carries EVERY WARC header (lower-cased names) so profile fields
+    * the typed columns don't model — WARC-Refers-To,
+    * WARC-Payload-Digest, WARC-Profile on `revisit` records — stay
+    * reachable. */
   final case class WarcRecord(
       recType: String,
       recordId: String,
@@ -46,7 +50,8 @@ object WarcIo {
       httpStatus: Int,
       httpMime: String,
       body: Array[Byte],
-      err: String)
+      err: String,
+      headers: Map[String, String] = Map.empty)
 
   private val CRLF = "\r\n".getBytes("US-ASCII")
   // a header/status line longer than this is corruption, not WARC —
@@ -275,7 +280,8 @@ object WarcIo {
           hdrs.getOrElse("warc-record-id", ""),
           hdrs.getOrElse("warc-target-uri", ""),
           hdrs.getOrElse("warc-date", ""),
-          hdrs.getOrElse("content-type", ""), len, status, mime, body, "")
+          hdrs.getOrElse("content-type", ""), len, status, mime, body, "",
+          hdrs.toMap)
       }
 
       /** Read one CRLF/LF-terminated line (terminator stripped);

@@ -146,6 +146,179 @@ object WarcQueries {
     }
   }
 
+  /** The second-crawl body for CHANGED pages — byte-identical in the
+    * oracle. */
+  private def v2Body(docId: Long, text: String): String =
+    "<html><body><h2>Doc " + docId + " v2</h2><p>" + text +
+      "</p></body></html>"
+
+  private val revisitRootMemo = new BuildMemo[String]()
+
+  /** The SECOND crawl wave: every document re-fetched one day later.
+    * Pages whose content is unchanged (doc_id % 3 == 0) land as
+    * `revisit` records under the identical-payload-digest profile —
+    * WARC-Refers-To the first crawl's response, WARC-Payload-Digest
+    * of the ORIGINAL body, payload = just the HTTP header block (the
+    * crawl-side dedup every archive crawler performs: Heritrix
+    * writes exactly this instead of re-storing the body). Changed
+    * pages land as full responses with the v2 body. Same distributed
+    * per-file write as [[warcRoot]]. */
+  private[operators] def warcRevisitRoot(
+      s: SparkSession, dir: String): String = {
+    val fp = IndexManifest.corpusFingerprint(dir, "documents")
+    revisitRootMemo.getOrBuild(s"$dir|$fp", s.sparkContext) {
+      MemoBuilds.record("warc_revisit_fixture")
+      val root = Files.createTempDirectory("graft-warc2").toString
+      IndexManifest.registerTempRoot(root)
+      val n = N_FILES
+      graft.Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          (col("doc_id") % n).as("k"))
+        .repartition(n, col("k"))
+        .sortWithinPartitions(col("k"), col("doc_id"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          var curK = -1L
+          var out: WarcIo.MemberWriter = null
+          def closeCur(): Unit = if (out != null) { out.close(); out = null }
+          val sha = java.security.MessageDigest.getInstance("SHA-256")
+          try {
+            it.foreach { r =>
+              val id = r.getLong(0)
+              val text = r.getString(1)
+              val k = r.getLong(2)
+              if (k != curK) {
+                closeCur()
+                out = new WarcIo.MemberWriter(
+                  new java.io.BufferedOutputStream(
+                    new java.io.FileOutputStream(
+                      s"$root/part-$k.warc.gz")))
+                curK = k
+              }
+              val url = s"https://example.org/page/$id"
+              val ts = isoTs(BASE_EPOCH + 86400L + id)
+              if (id % 3 == 0) {
+                // unchanged content → revisit, body NOT re-stored
+                val body1 = responseBody(id, text).getBytes("UTF-8")
+                sha.reset()
+                val digest = sha.digest(body1)
+                  .map(b => f"$b%02x").mkString
+                val statusLine = if (id % 7 == 0)
+                  "HTTP/1.1 404 Not Found" else "HTTP/1.1 200 OK"
+                val head = statusLine + "\r\n" +
+                  "Content-Type: text/html; charset=utf-8\r\n" +
+                  s"Content-Length: ${body1.length}\r\n\r\n"
+                out.writeRecord(Seq(
+                  "WARC-Type" -> "revisit",
+                  "WARC-Record-ID" -> s"<urn:uuid:rev-$id>",
+                  "WARC-Refers-To" -> s"<urn:uuid:resp-$id>",
+                  "WARC-Profile" -> ("http://netpreserve.org/warc/1.0/" +
+                    "revisit/identical-payload-digest"),
+                  "WARC-Payload-Digest" -> s"sha256:$digest",
+                  "WARC-Date" -> ts,
+                  "WARC-Target-URI" -> url,
+                  "Content-Type" -> "application/http;msgtype=response"),
+                  head.getBytes("UTF-8"))
+              } else {
+                val body = v2Body(id, text).getBytes("UTF-8")
+                val head = "HTTP/1.1 200 OK\r\n" +
+                  "Content-Type: text/html; charset=utf-8\r\n" +
+                  s"Content-Length: ${body.length}\r\n\r\n"
+                out.writeRecord(Seq(
+                  "WARC-Type" -> "response",
+                  "WARC-Record-ID" -> s"<urn:uuid:resp2-$id>",
+                  "WARC-Date" -> ts,
+                  "WARC-Target-URI" -> url,
+                  "Content-Type" -> "application/http;msgtype=response"),
+                  head.getBytes("UTF-8") ++ body)
+              }
+            }
+          } finally closeCur()
+        }
+      root
+    }
+  }
+
+  /** warc_revisit_audit — the crawl-side dedup ledger: parse the
+    * second crawl, and for every `revisit` record verify its declared
+    * payload digest against the FIRST crawl's actual body digest (a
+    * cross-archive integrity join — a stale or wrong refers-to breaks
+    * it) and account the bytes the crawler did NOT re-store. Changed
+    * pages report their re-stored v2 size. Every output column —
+    * record type, refers-to linkage, digest equality, bytes saved or
+    * stored — is recomputed by DuckDB from documents arithmetic.
+    *
+    * Scale shape: two per-file parse scans (digests travel, not
+    * bodies) joined on doc_id — the revisit side carries only header
+    * strings; one narrow join, no corpus-wide state. */
+  def warcRevisitAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val crawl1 = warcRecords(s, s"file:${warcRoot(s, dir)}/*.warc.gz")
+      .filter(col("rec_type") === "response")
+      .select(
+        regexp_extract(col("url"), "page/(\\d+)$", 1).cast("long")
+          .as("doc_id"),
+        sha2(col("body"), 256).as("sha1"),
+        length(col("body")).cast("long").as("n1"))
+    val root2 = warcRevisitRoot(s, dir)
+    val sessionConf = ListingCache.sessionConfSnapshot(s)
+    val listing = ListingCache.globListing(s, s"file:$root2/*.warc.gz")
+      .as[String]
+    val nFiles = math.max(listing.count().toInt, 1)
+    val crawl2 = listing
+      .repartition(math.min(nFiles, 4096))
+      .mapPartitions { it =>
+        val conf = ListingCache.confWith(
+          new org.apache.hadoop.conf.Configuration(false), sessionConf)
+        it.flatMap { url =>
+          val p = new org.apache.hadoop.fs.Path(url)
+          val in = p.getFileSystem(conf).open(p)
+          WarcIo.parseGzip(in).map { r =>
+            (r.targetUri, r.recType,
+              r.headers.getOrElse("warc-refers-to", "")
+                .stripPrefix("<").stripSuffix(">"),
+              r.headers.getOrElse("warc-payload-digest", ""),
+              r.body.length.toLong,
+              java.security.MessageDigest.getInstance("SHA-256")
+                .digest(r.body).map(b => f"$b%02x").mkString)
+          }
+        }
+      }
+      .toDF("url", "rec_type", "refers_to", "payload_digest",
+        "n_payload", "body_sha2")
+      .select(
+        regexp_extract(col("url"), "page/(\\d+)$", 1).cast("long")
+          .as("doc_id"),
+        col("rec_type"), col("refers_to"), col("payload_digest"),
+        col("n_payload"), col("body_sha2"))
+    crawl2.join(crawl1, Seq("doc_id"))
+      .select(col("doc_id"), col("rec_type"),
+        (col("rec_type") === "revisit" &&
+          col("refers_to") === concat(lit("urn:uuid:resp-"), col("doc_id")) &&
+          col("payload_digest") === concat(lit("sha256:"), col("sha1")))
+          .as("dedup_ok"),
+        when(col("rec_type") === "revisit", col("n1")).otherwise(0L)
+          .as("bytes_saved"),
+        when(col("rec_type") === "response", col("n_payload"))
+          .otherwise(0L).as("bytes_stored"))
+  }
+
+  lazy val warcRevisitAuditSql: String =
+    s"""WITH $respbCte
+       |SELECT doc_id,
+       |  CASE WHEN doc_id % 3 = 0 THEN 'revisit' ELSE 'response' END
+       |    AS rec_type,
+       |  doc_id % 3 = 0 AS dedup_ok,
+       |  CAST(CASE WHEN doc_id % 3 = 0
+       |    THEN octet_length(encode(body)) ELSE 0 END AS BIGINT)
+       |    AS bytes_saved,
+       |  CAST(CASE WHEN doc_id % 3 <> 0 THEN
+       |    octet_length(encode('<html><body><h2>Doc ' || doc_id
+       |      || ' v2</h2><p>' || text || '</p></body></html>'))
+       |    ELSE 0 END AS BIGINT) AS bytes_stored
+       |FROM respb JOIN documents USING (doc_id)""".stripMargin
+      .replace("%WRAP%",
+        graft.operators.TextQueries.htmlWrapSqlExpr("doc_id", "text"))
+
   // ── distributed parse ──
 
   /** Parse every `.warc.gz` under a glob, one file per task, into
@@ -217,14 +390,14 @@ object WarcQueries {
     * response body/status rebuild (respb, %WRAP% substituted by the
     * caller AFTER stripMargin). One definition, two oracles
     * (src_warc, warc_cdx) — the fixture arithmetic is spelled once. */
-  private val drankCte: String =
+  private lazy val drankCte: String =
     s"""drank AS (
        |  SELECT doc_id, doc_id % ${N_FILES} AS k,
        |    CAST(row_number() OVER (PARTITION BY doc_id % ${N_FILES}
        |      ORDER BY doc_id) - 1 AS BIGINT) AS rnk
        |  FROM documents)""".stripMargin
 
-  private val respbCte: String =
+  private lazy val respbCte: String =
     """respb AS (
       |  SELECT doc_id,
       |    CASE WHEN doc_id % 7 = 0
@@ -236,7 +409,7 @@ object WarcQueries {
       |    CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS st
       |  FROM documents)""".stripMargin
 
-  val srcWarcSql: String = {
+  lazy val srcWarcSql: String = {
     val crlf = "chr(13) || chr(10)"
     s"""WITH info AS (
        |  SELECT 'software: graft-warc/1.0' || $crlf ||
@@ -326,7 +499,7 @@ object WarcQueries {
       .select(col("doc_id"), col("lang_guess"), col("n_words"), col("keep"))
   }
 
-  val pipelineWarcToCorpusSql: String =
+  lazy val pipelineWarcToCorpusSql: String =
     s"""WITH corpus AS (
        |  SELECT doc_id, lang,
        |    ${graft.operators.TextQueries.htmlStripSqlExpr("(%WRAP%)")}
@@ -384,7 +557,7 @@ object WarcQueries {
         col("keep"))
   }
 
-  val pipelineWarcExtractSql: String =
+  lazy val pipelineWarcExtractSql: String =
     s"""WITH b2 AS (
        |  SELECT doc_id, lang,
        |    ${TextExtractQueries.htmlStripOfParagraphTail} AS bt
@@ -437,7 +610,7 @@ object WarcQueries {
         col("rec_idx"), col("http_status"))
   }
 
-  val warcCdxSql: String =
+  lazy val warcCdxSql: String =
     s"""WITH $drankCte,
        |$respbCte
        |SELECT
@@ -525,7 +698,7 @@ object WarcQueries {
         sum(col("dg")).as("digest_sum"))
   }
 
-  val snkWetSql: String =
+  lazy val snkWetSql: String =
     s"""WITH wet AS (
        |  SELECT doc_id, doc_id % ${N_FILES} AS k,
        |    ${TextQueries.htmlStripSqlExpr("(%WRAP%)")} AS text
@@ -622,7 +795,7 @@ object WarcQueries {
         col("kept_tokens"))
   }
 
-  val pipelineCrawlFunnelSql: String = {
+  lazy val pipelineCrawlFunnelSql: String = {
     val doms = PipelineQueries.URL_DOMAINS.map(d => s"'$d'").mkString(", ")
     val blocked = PipelineQueries.URL_BLOCKED_IDX.mkString(", ")
     s"""WITH doms(i, dom) AS (
@@ -688,6 +861,7 @@ object WarcQueries {
     "pipeline_warc_to_corpus" -> (pipelineWarcToCorpus _),
     "pipeline_warc_extract" -> (pipelineWarcExtract _),
     "warc_cdx" -> (warcCdx _),
+    "warc_revisit_audit" -> (warcRevisitAudit _),
     "snk_wet" -> (snkWet _)
   )
 
@@ -697,6 +871,7 @@ object WarcQueries {
     "pipeline_warc_to_corpus" -> pipelineWarcToCorpusSql,
     "pipeline_warc_extract" -> pipelineWarcExtractSql,
     "warc_cdx" -> warcCdxSql,
+    "warc_revisit_audit" -> warcRevisitAuditSql,
     "snk_wet" -> snkWetSql
   )
 }

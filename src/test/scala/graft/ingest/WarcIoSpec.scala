@@ -111,6 +111,28 @@ class WarcIoSpec extends AnyFunSuite {
       s"expected quarantine, got: ${recs.map(_.err)}")
   }
 
+  test("every WARC header survives into the headers map (revisit " +
+      "profile fields reachable)") {
+    val rec = WarcIo.recordBytes(Seq(
+      "WARC-Type" -> "revisit",
+      "WARC-Record-ID" -> "<urn:uuid:rev-1>",
+      "WARC-Refers-To" -> "<urn:uuid:resp-1>",
+      "WARC-Profile" ->
+        "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest",
+      "WARC-Payload-Digest" -> "sha256:abc123",
+      "WARC-Date" -> "2022-05-02T00:00:00Z",
+      "WARC-Target-URI" -> "https://example.org/page/1"),
+      "HTTP/1.1 200 OK\r\n\r\n".getBytes("US-ASCII"))
+    val bos = new ByteArrayOutputStream()
+    WarcIo.writeMember(bos, rec)
+    val r = WarcIo.parseGzip(
+      new ByteArrayInputStream(bos.toByteArray)).toList.head
+    assert(r.err == "" && r.recType == "revisit")
+    assert(r.headers("warc-refers-to") == "<urn:uuid:resp-1>")
+    assert(r.headers("warc-payload-digest") == "sha256:abc123")
+    assert(r.headers("warc-profile").endsWith("identical-payload-digest"))
+  }
+
   test("empty stream parses to zero records") {
     assert(WarcIo.parseGzip(
       new ByteArrayInputStream(Array.emptyByteArray)).toList
