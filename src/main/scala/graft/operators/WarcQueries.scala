@@ -319,6 +319,124 @@ object WarcQueries {
       .replace("%WRAP%",
         graft.operators.TextQueries.htmlWrapSqlExpr("doc_id", "text"))
 
+  // ── sitemap seed list ──
+
+  private val N_SITEMAPS = 8
+  private val sitemapRootMemo = new BuildMemo[String]()
+
+  /** Sitemap fixture: an index document plus N_SITEMAPS urlset files
+    * (doc residue classes), every field arithmetic on doc_id —
+    * lastmod omitted on every 5th entry (the parser must yield ''
+    * instead of inventing one). Urlsets write distributed (the
+    * warcRoot loop shape); the 8-line index writes on the driver,
+    * which is also how a crawler consumes it. */
+  private[operators] def sitemapRoot(s: SparkSession, dir: String): String = {
+    val fp = IndexManifest.corpusFingerprint(dir, "documents")
+    sitemapRootMemo.getOrBuild(s"$dir|$fp", s.sparkContext) {
+      MemoBuilds.record("sitemap_fixture")
+      val root = Files.createTempDirectory("graft-sitemap").toString
+      IndexManifest.registerTempRoot(root)
+      val n = N_SITEMAPS
+      graft.Tables.documents(s, dir)
+        .select(col("doc_id"), (col("doc_id") % n).as("k"))
+        .repartition(n, col("k"))
+        .sortWithinPartitions(col("k"), col("doc_id"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          var curK = -1L
+          var out: java.io.Writer = null
+          def closeCur(): Unit = if (out != null) {
+            out.write("</urlset>\n"); out.close(); out = null
+          }
+          try {
+            it.foreach { r =>
+              val id = r.getLong(0)
+              val k = r.getLong(1)
+              if (k != curK) {
+                closeCur()
+                out = new java.io.OutputStreamWriter(
+                  new java.io.BufferedOutputStream(
+                    new java.io.FileOutputStream(
+                      s"$root/sitemap-$k.xml")), "UTF-8")
+                out.write("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+                  "<urlset xmlns=\"http://www.sitemaps.org/schemas/" +
+                  "sitemap/0.9\">\n")
+                curK = k
+              }
+              val lastmod =
+                if (id % 5 == 0) ""
+                else "<lastmod>" + java.time.LocalDate.parse("2022-05-01")
+                  .plusDays(id % 28).toString + "</lastmod>"
+              val freq = (id % 3) match {
+                case 0 => "daily"; case 1 => "weekly"; case _ => "monthly"
+              }
+              out.write(
+                s"<url><loc>https://example.org/page/$id</loc>$lastmod" +
+                  s"<changefreq>$freq</changefreq>" +
+                  s"<priority>0.${id % 10}</priority></url>\n")
+            }
+          } finally closeCur()
+        }
+      val idx = (0 until n)
+        .map(k => s"<sitemap><loc>file:$root/sitemap-$k.xml</loc></sitemap>")
+        .mkString(
+          "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<sitemapindex>\n",
+          "\n", "\n</sitemapindex>\n")
+      Files.write(java.nio.file.Paths.get(s"$root/sitemap-index.xml"),
+        idx.getBytes("UTF-8"))
+      root
+    }
+  }
+
+  /** src_sitemap — the crawl seed-list source: read the sitemap
+    * INDEX (driver, one tiny document — exactly how a crawler
+    * bootstraps), fan the listed urlsets out one-per-task, and parse
+    * every entry (graft.ingest.SitemapXml). Every output field is
+    * doc_id arithmetic, so the oracle recomputes the full seed list
+    * — including the empty lastmod on every 5th entry — without
+    * touching XML. */
+  def srcSitemap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = sitemapRoot(s, dir)
+    val idxXml = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/sitemap-index.xml")), "UTF-8")
+    val maps = graft.ingest.SitemapXml.parseIndex(idxXml)
+    val sessionConf = ListingCache.sessionConfSnapshot(s)
+    s.createDataset(maps)
+      .repartition(math.max(maps.size, 1))
+      .mapPartitions { it =>
+        val conf = ListingCache.confWith(
+          new org.apache.hadoop.conf.Configuration(false), sessionConf)
+        it.flatMap { loc =>
+          val p = new org.apache.hadoop.fs.Path(loc)
+          val in = p.getFileSystem(conf).open(p)
+          val xml = try {
+            val bos = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            var m = in.read(buf)
+            while (m >= 0) { bos.write(buf, 0, m); m = in.read(buf) }
+            new String(bos.toByteArray, "UTF-8")
+          } finally in.close()
+          val k = "sitemap-(\\d+)\\.xml$".r
+            .findFirstMatchIn(loc).map(_.group(1).toLong).getOrElse(-1L)
+          graft.ingest.SitemapXml.parseUrlset(xml).map(e =>
+            (e.loc, e.lastmod, e.changefreq, e.priority, k))
+        }
+      }
+      .toDF("url", "lastmod", "changefreq", "priority", "sitemap_k")
+  }
+
+  lazy val srcSitemapSql: String =
+    s"""SELECT 'https://example.org/page/' || doc_id AS url,
+       |  CASE WHEN doc_id % 5 = 0 THEN ''
+       |    ELSE strftime(DATE '2022-05-01'
+       |      + to_days(CAST(doc_id % 28 AS INT)), '%Y-%m-%d') END
+       |    AS lastmod,
+       |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'daily'
+       |    WHEN 1 THEN 'weekly' ELSE 'monthly' END AS changefreq,
+       |  '0.' || (doc_id % 10) AS priority,
+       |  CAST(doc_id % ${N_SITEMAPS} AS BIGINT) AS sitemap_k
+       |FROM documents""".stripMargin
+
   // ── distributed parse ──
 
   /** Parse every `.warc.gz` under a glob, one file per task, into
@@ -862,6 +980,7 @@ object WarcQueries {
     "pipeline_warc_extract" -> (pipelineWarcExtract _),
     "warc_cdx" -> (warcCdx _),
     "warc_revisit_audit" -> (warcRevisitAudit _),
+    "src_sitemap" -> (srcSitemap _),
     "snk_wet" -> (snkWet _)
   )
 
@@ -872,6 +991,7 @@ object WarcQueries {
     "pipeline_warc_extract" -> pipelineWarcExtractSql,
     "warc_cdx" -> warcCdxSql,
     "warc_revisit_audit" -> warcRevisitAuditSql,
+    "src_sitemap" -> srcSitemapSql,
     "snk_wet" -> snkWetSql
   )
 }
