@@ -10,9 +10,16 @@ package graft.ingest
   *  - group selection: the group whose agent token is the longest
   *    case-insensitive prefix of the product token wins; otherwise
   *    the `*` group; otherwise everything is allowed.
-  *  - rule matching: plain prefix match (the RFC's `*`/`$`
-  *    metacharacters are NOT implemented — documented subset; rules
-  *    containing them are ignored rather than misread).
+  *  - rule matching: plain prefix match. The RFC's `*`/`$`
+  *    metacharacters are handled CONSERVATIVELY (fail-closed for a
+  *    politeness gate, r16 advisory): a `Disallow` containing them
+  *    falls back to its literal prefix up to the first
+  *    metacharacter — a slash-then-star Disallow disallows
+  *    everything, `Disallow: /private&#42;` at least `/private` — which
+  *    blocks a superset of what the full pattern would; an `Allow`
+  *    containing them is DROPPED (dropping an Allow also fails
+  *    closed). Full wildcard matching is NOT implemented; the
+  *    conservative direction only ever under-crawls.
   *  - decision: the LONGEST matching rule wins; on a length tie,
   *    Allow wins (RFC 9309 §2.2.2). An empty Disallow allows all.
   *
@@ -79,11 +86,20 @@ object RobotsTxt {
             agents :+= value.toLowerCase
           case "allow" | "disallow" if agents.nonEmpty =>
             inRules = true
-            // empty Disallow = allow everything (no rule); rules with
-            // unimplemented metacharacters are skipped, not misread
-            if (value.nonEmpty && !value.contains('*') &&
-              !value.contains('$'))
-              rules :+= (field == "allow", value)
+            val isAllow = field == "allow"
+            val hasMeta = value.contains('*') || value.contains('$')
+            if (!hasMeta) {
+              // empty Disallow = allow everything (no rule)
+              if (value.nonEmpty) rules :+= (isAllow, value)
+            } else if (!isAllow) {
+              // conservative wildcard fallback (see scaladoc): the
+              // Disallow matches AT LEAST its literal prefix up to the
+              // first metacharacter — `Disallow: /*` or `Disallow: *`
+              // truncate to a prefix that matches every path. Wildcard
+              // Allow rules stay dropped (also fail-closed).
+              rules :+= (false,
+                value.takeWhile(c => c != '*' && c != '$'))
+            }
           case _ => () // crawl-delay, sitemap, unknown fields
         }
       }

@@ -5,13 +5,17 @@ package graft.ingest
   * the per-section urlsets, and feeds the locs into the frontier
   * (robots.txt's `Sitemap:` field points here). Implemented subset:
   * `<sitemapindex><sitemap><loc>` and
-  * `<urlset><url><loc|lastmod|changefreq|priority>`; namespaces and
-  * attributes are skipped by matching local tag names only; entities
-  * in values are NOT decoded (sitemap locs are required to be
-  * entity-escaped URLs — the four standard entities are decoded).
-  * Scanning is indexOf-based (no regex), line-agnostic, and total:
-  * a block missing a field yields an empty string, malformed
-  * fragments are skipped — a crawler must not die on a bad sitemap.
+  * `<urlset><url><loc|lastmod|changefreq|priority>`. Tags are matched
+  * by LOCAL name — attributes (`<url data-x="1">`) and namespace
+  * prefixes (`<sm:url>`) on both open and close tags are accepted and
+  * skipped (r16 advisory: the bare-literal match silently yielded
+  * zero entries on attributed/prefixed real-world sitemaps);
+  * self-closing forms (`<url/>`) are skipped as empty. Entities in
+  * values: the four standard XML entities are decoded (sitemap locs
+  * are required to be entity-escaped URLs). Scanning is index-based
+  * (no regex), line-agnostic, and total: a block missing a field
+  * yields an empty string, malformed fragments are skipped — a
+  * crawler must not die on a bad sitemap.
   */
 object SitemapXml {
 
@@ -29,29 +33,61 @@ object SitemapXml {
         field(b, "changefreq"), field(b, "priority"))
     }.filter(_.loc.nonEmpty)
 
-  private def blocks(xml: String, tag: String): Seq[String] = {
-    val open = s"<$tag>"
-    val close = s"</$tag>"
-    val out = Seq.newBuilder[String]
-    var i = xml.indexOf(open)
+  /** Scan result for one open tag: (index just past its '>', or -1). */
+  private def afterOpen(xml: String, tag: String, from: Int): Int = {
+    var i = xml.indexOf('<', from)
     while (i >= 0) {
-      val start = i + open.length
-      val end = xml.indexOf(close, start)
-      if (end < 0) i = -1 // truncated block: skip, never throw
+      var j = i + 1
+      while (j < xml.length && xml.charAt(j) != '>' &&
+        xml.charAt(j) != '/' && !Character.isWhitespace(xml.charAt(j)))
+        j += 1
+      val name = xml.substring(i + 1, j)
+      val gt = xml.indexOf('>', j)
+      if (gt < 0) return -1 // truncated tag: nothing more to find
+      val local = name.substring(name.lastIndexOf(':') + 1)
+      val selfClosing = xml.charAt(gt - 1) == '/'
+      if (local == tag && !name.startsWith("/") && !name.startsWith("!") &&
+        !name.startsWith("?") && !selfClosing)
+        return gt + 1
+      i = xml.indexOf('<', gt)
+    }
+    -1
+  }
+
+  /** Index of the '<' of the next close tag `</[prefix:]tag…>`, or -1. */
+  private def closeOf(xml: String, tag: String, from: Int): Int = {
+    var i = xml.indexOf("</", from)
+    while (i >= 0) {
+      var j = i + 2
+      while (j < xml.length && xml.charAt(j) != '>' &&
+        !Character.isWhitespace(xml.charAt(j)))
+        j += 1
+      val name = xml.substring(i + 2, j)
+      if (name.substring(name.lastIndexOf(':') + 1) == tag) return i
+      i = xml.indexOf("</", j)
+    }
+    -1
+  }
+
+  private def blocks(xml: String, tag: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var start = afterOpen(xml, tag, 0)
+    while (start >= 0) {
+      val end = closeOf(xml, tag, start)
+      if (end < 0) start = -1 // truncated block: skip, never throw
       else {
         out += xml.substring(start, end)
-        i = xml.indexOf(open, end + close.length)
+        val gt = xml.indexOf('>', end)
+        start = if (gt < 0) -1 else afterOpen(xml, tag, gt + 1)
       }
     }
     out.result()
   }
 
   private def field(block: String, tag: String): String = {
-    val open = s"<$tag>"
-    val start = block.indexOf(open)
-    if (start < 0) return ""
-    val from = start + open.length
-    val end = block.indexOf(s"</$tag>", from)
+    val from = afterOpen(block, tag, 0)
+    if (from < 0) return ""
+    val end = closeOf(block, tag, from)
     if (end < 0) "" else decode(block.substring(from, end).trim)
   }
 

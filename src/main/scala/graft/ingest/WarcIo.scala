@@ -57,6 +57,13 @@ object WarcIo {
   // a header/status line longer than this is corruption, not WARC —
   // bounds the resync scan's memory on garbage without newlines
   private val MAX_LINE = 1 << 20
+  // a record payload must fit one JVM byte array (the parser's only
+  // buffered unit); a declared length outside [0, this] is a RECORD
+  // quarantine + resync, never an allocation throw that would escalate
+  // to a file-level quarantine (r16 advisory: a declared 2-4 GiB
+  // length hit NegativeArraySizeException in `len.toInt`, and >4 GiB
+  // silently read len mod 2^32 bytes)
+  private val MAX_PAYLOAD: Long = Int.MaxValue.toLong - 16
 
   // ── writer ──
 
@@ -256,6 +263,24 @@ object WarcIo {
           return
         }
         val len = lenOpt.get
+        if (len < 0 || len > MAX_PAYLOAD) {
+          // record-level quarantine + resync: skip forward to the next
+          // version line so the rest of the file survives the one
+          // absurd declaration ("one corrupt member never kills the
+          // file" — the per-record contract)
+          nextRec = WarcRecord(hdrs.getOrElse("warc-type", ""),
+            hdrs.getOrElse("warc-record-id", ""),
+            hdrs.getOrElse("warc-target-uri", ""),
+            hdrs.getOrElse("warc-date", ""),
+            hdrs.getOrElse("content-type", ""), len, -1, "",
+            Array.emptyByteArray,
+            s"content-length out of range: $len")
+          var l = readLine()
+          while (l != null && !startsWithWarc(l)) l = readLine()
+          if (l == null) { finished = true; closeQuietly() }
+          else pendingParse = true
+          return
+        }
         val payload = new Array[Byte](len.toInt)
         var off = 0
         while (off < payload.length) {

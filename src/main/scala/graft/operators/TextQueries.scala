@@ -3857,12 +3857,19 @@ object TextQueries {
     *
     * Scale shape: the merge list is a ≤16-entry broadcast; encoding
     * is map-side; the layout window is the text_pack_sequences
-    * per-(lang, shard) running sum over DOC-level rows (token rows
-    * never shuffle — each token's global position derives from its
-    * doc's start + its in-doc offset); the land is one file per leaf.
+    * per-(lang, shard) running sum over DOC-level rows; no
+    * token-level window or sort anywhere — each token's global
+    * position derives from its doc's start + its in-doc offset — but
+    * ONE bounded exchange does move token rows: the
+    * `groupBy(lang, shard, seq_id)` sequence assembly (partial
+    * ObjectHashAggregate buffers carry the ids), the irreducible cost
+    * of co-locating a sequence's tokens for packing (9× wall at 100×
+    * data in the sf10 probe). The land is one file per leaf.
     */
   def pipelineTokenizePack(s: SparkSession, dir: String): DataFrame =
     pipelineTokenizePackWith(s, dir, buildTokenizerModel(s, dir))
+
+  private val tokpackRootMemo = new BuildMemo[String]()
 
   /** The explicit-root form: packs `dir` under the tokenizer at
     * `root`, REFUSING a stale artifact (openTokenizerModel with the
@@ -3895,12 +3902,24 @@ object TextQueries {
           array_sort(collect_list(struct(col("pos_in_seq"), col("id")))),
           x => x.getField("id")).as("ids"),
         sum(col("is_doc_start")).as("n_docs_started"))
-    val path = java.nio.file.Files
-      .createTempDirectory("graft-tokpack").toString + "/packed"
-    seqs
-      .repartition(col("lang"), col("shard"))
-      .sortWithinPartitions(col("lang"), col("shard"), col("seq_id"))
-      .write.partitionBy("lang", "shard").parquet(path)
+    // packed-shard root memoized per (corpus fingerprint, model root)
+    // and manifest-registered like the other fixture builds (r16
+    // advisory: a fresh unregistered temp dir leaked per invocation);
+    // the MEASURED qid cost is the read-back audit below
+    val fp = IndexManifest.corpusFingerprint(dir, "documents")
+    val path = tokpackRootMemo.getOrBuild(
+      s"$dir|$fp|$modelRoot", s.sparkContext) {
+      MemoBuilds.record("tokpack_shards")
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-tokpack").toString
+      IndexManifest.registerTempRoot(p)
+      val packed = p + "/packed"
+      seqs
+        .repartition(col("lang"), col("shard"))
+        .sortWithinPartitions(col("lang"), col("shard"), col("seq_id"))
+        .write.partitionBy("lang", "shard").parquet(packed)
+      packed
+    }
     // audit FROM THE FILES (the snk_tokenizer_model discipline: what
     // landed, not what the memo holds)
     s.read.parquet(path)

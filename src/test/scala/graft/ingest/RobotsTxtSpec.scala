@@ -50,11 +50,44 @@ class RobotsTxtSpec extends AnyFunSuite {
       .allows("/x"), "no group for this agent → allowed")
     assert(RobotsTxt.rulesFor("User-agent: *\nDisallow:\n", "me")
       .allows("/x"), "empty Disallow allows all")
-    assert(RobotsTxt.rulesFor("User-agent: *\nDisallow: /*.pdf$\n", "me")
-      .allows("/x.pdf"), "metacharacter rules are skipped (documented " +
-      "subset), never misread as literal prefixes")
     assert(RobotsTxt.rulesFor("garbage line no colon\n%%%\n", "me")
       .allows("/anything"))
+  }
+
+  test("wildcard Disallow fails CLOSED via its literal prefix " +
+      "(r16 advisory: the politeness gate must not fail open)") {
+    // the very common site-wide wildcard: Disallow: /* blocks all
+    val all = RobotsTxt.rulesFor("User-agent: *\nDisallow: /*\n", "me")
+    assert(!all.allows("/") && !all.allows("/any/page"),
+      "Disallow: /* must block the whole site, not be dropped")
+    // a mid-pattern wildcard blocks at least its literal prefix
+    val pre = RobotsTxt.rulesFor(
+      "User-agent: *\nDisallow: /private*\n", "me")
+    assert(!pre.allows("/private") && !pre.allows("/private/f") &&
+      !pre.allows("/private-x"))
+    assert(pre.allows("/public/f"),
+      "the conservative prefix must not leak past the literal part")
+    // '$'-anchored rules keep the prefix, dropping only the anchor
+    val anch = RobotsTxt.rulesFor(
+      "User-agent: *\nDisallow: /tmp/$\n", "me")
+    assert(!anch.allows("/tmp/") && !anch.allows("/tmp/deep"),
+      "anchor dropped conservatively: the prefix still blocks")
+    // the pattern that truncates to an empty prefix blocks everything
+    assert(!RobotsTxt.rulesFor("User-agent: *\nDisallow: *\n", "me")
+      .allows("/x"))
+  }
+
+  test("wildcard Allow is DROPPED (also fail-closed): it cannot " +
+      "re-open a disallowed subtree") {
+    val f = "User-agent: *\nDisallow: /p/\nAllow: /p/pub*\n"
+    val r = RobotsTxt.rulesFor(f, "me")
+    assert(!r.allows("/p/pub/doc"),
+      "a wildcard Allow must not be misread as a literal re-allow")
+    assert(!r.allows("/p/other"))
+    // a LITERAL Allow still wins by longest-match as before
+    val lit = RobotsTxt.rulesFor(
+      "User-agent: *\nDisallow: /p/\nAllow: /p/pub\n", "me")
+    assert(lit.allows("/p/pub/doc") && !lit.allows("/p/other"))
   }
 
   test("a User-agent line AFTER rules starts a new group (RFC group " +

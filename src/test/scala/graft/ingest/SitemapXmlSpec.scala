@@ -24,6 +24,33 @@ class SitemapXmlSpec extends AnyFunSuite {
     assert(es(1) == SitemapXml.Entry("https://a.example/q", "", "", ""))
   }
 
+  test("attributed and namespace-prefixed tags parse by local name " +
+      "(r16 advisory: real sitemaps attribute/prefix these elements)") {
+    val xml =
+      """<sm:urlset xmlns:sm="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |<sm:url data-x="1"><sm:loc>https://a.example/p1</sm:loc>
+        |  <sm:lastmod>2022-05-03</sm:lastmod></sm:url>
+        |<url class="plain"><loc>https://a.example/p2</loc></url>
+        |<url/>
+        |<url />
+        |</sm:urlset>""".stripMargin
+    val es = SitemapXml.parseUrlset(xml)
+    assert(es.map(_.loc) ==
+      Seq("https://a.example/p1", "https://a.example/p2"),
+      s"prefixed + attributed tags must both yield entries, got $es")
+    assert(es.head.lastmod == "2022-05-03")
+    val idx =
+      """<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |<sitemap id="a"><loc>file:/a/s-0.xml</loc></sitemap>
+        |<ns:sitemap><ns:loc>file:/a/s-1.xml</ns:loc></ns:sitemap>
+        |</sitemapindex>""".stripMargin
+    assert(SitemapXml.parseIndex(idx) ==
+      Seq("file:/a/s-0.xml", "file:/a/s-1.xml"))
+    // comments / PIs whose text contains the tag name are not blocks
+    assert(SitemapXml.parseUrlset(
+      "<?xml version=\"1.0\"?><!-- <url> --><urlset></urlset>").isEmpty)
+  }
+
   test("index parse + truncated/locless blocks skip, never throw") {
     val idx = """<sitemapindex>
       |<sitemap><loc>file:/a/sitemap-0.xml</loc></sitemap>

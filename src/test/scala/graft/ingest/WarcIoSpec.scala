@@ -139,6 +139,45 @@ class WarcIoSpec extends AnyFunSuite {
       .forall(_.err.nonEmpty))
   }
 
+  test("out-of-range Content-Length quarantines the RECORD and " +
+      "resyncs — later records survive (r16 advisory: a declared " +
+      "2-4 GiB length must not become a file-level gzip quarantine)") {
+    // hand-build a record whose declared length is absurd (the body
+    // actually present is tiny) — recordBytes would compute the real
+    // length, so frame it manually
+    def rawWithLen(id: Int, declared: String, body: String) =
+      (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Record-ID: <urn:uuid:resp-$id>\r\n" +
+        s"WARC-Target-URI: https://example.org/page/$id\r\n" +
+        s"Content-Length: $declared\r\n\r\n" + body + "\r\n\r\n")
+        .getBytes("US-ASCII")
+    val bos = new ByteArrayOutputStream()
+    // 3 GiB: used to throw NegativeArraySizeException in len.toInt
+    WarcIo.writeMember(bos, rawWithLen(1, "3221225472", "tiny"))
+    val good1 = WarcIo.recordBytes(respHeaders(2), httpPayload("<p>a</p>"))
+    WarcIo.writeMember(bos, good1)
+    // > 4 GiB: used to silently read len mod 2^32 bytes
+    WarcIo.writeMember(bos, rawWithLen(3, "8589934600", "tiny"))
+    // negative declared length
+    WarcIo.writeMember(bos, rawWithLen(4, "-7", "tiny"))
+    val good2 = WarcIo.recordBytes(respHeaders(5), httpPayload("<p>b</p>"))
+    WarcIo.writeMember(bos, good2)
+    val recs = WarcIo.parseGzip(
+      new ByteArrayInputStream(bos.toByteArray)).toList
+    val bad = recs.filter(_.err.nonEmpty)
+    assert(bad.size == 3, s"three record quarantines, got $recs")
+    assert(bad.forall(_.err.startsWith("content-length out of range")),
+      s"record-level reason, never 'gzip:' file-level: ${bad.map(_.err)}")
+    assert(bad.map(_.contentLength).sorted ==
+      List(-7L, 3221225472L, 8589934600L),
+      "the absurd declared length is carried on the quarantine row")
+    val ok = recs.filter(_.err.isEmpty)
+    assert(ok.map(_.recordId) ==
+      List("<urn:uuid:resp-2>", "<urn:uuid:resp-5>"),
+      "records after each bad declaration must survive via resync")
+    assert(ok.forall(_.httpStatus == 200))
+  }
+
   test("non-HTTP response payload degrades to status -1, whole " +
       "payload as body") {
     val p = "not http at all".getBytes("UTF-8")

@@ -106,4 +106,18 @@ class TokenizePackSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("STALE"))
   }
+
+  test("packed-shard root is memoized per (corpus, model): a second " +
+      "invocation replays the audit without rewriting the shards " +
+      "(r16 advisory: no unregistered temp-dir leak per call)") {
+    val first = TextQueries.pipelineTokenizePack(spark, sf)
+      .orderBy("lang", "shard", "seq_id").collect()
+    val before = MemoBuilds.count
+    val second = TextQueries.pipelineTokenizePack(spark, sf)
+      .orderBy("lang", "shard", "seq_id").collect()
+    assert(!MemoBuilds.labelsSince(before).contains("tokpack_shards"),
+      "second call must hit the memo, not rebuild the shards")
+    assert(first.sameElements(second),
+      "memo hit must serve the identical audit")
+  }
 }

@@ -48,4 +48,16 @@ class WarcQueriesSpec extends SparkSpec {
     assert(out.count() == docs - n404)
     assert(out.filter(col("doc_id") % 7 === 0).count() == 0)
   }
+
+  test("snk_wet memoizes the WET root per corpus fingerprint: a " +
+      "second call replays the read-back audit without rewriting the " +
+      "32 archives (r16 advisory)") {
+    val first = WarcQueries.snkWet(spark, sf).orderBy("file_k").collect()
+    val before = MemoBuilds.count
+    val second = WarcQueries.snkWet(spark, sf).orderBy("file_k").collect()
+    assert(!MemoBuilds.labelsSince(before).contains("wet_fixture"),
+      "second call must hit the memo, not repay the distributed write")
+    assert(first.sameElements(second),
+      "memo hit must serve the identical audit")
+  }
 }
