@@ -638,16 +638,25 @@ object PipelineQueries {
     * curation_domain_stats (volume/dup/short ledger) with the
     * quality dimensions.
     *
+    * Round 17: plus the published URL-quality prior — each doc's
+    * domain centrality from graph_host_rank (the PageRank the crawl's
+    * own link graph yields, the CommonCrawl-host-rank/RefinedWeb
+    * signal), floor-mean'd per source as `host_rank_prior`.
+    *
     * Determinism discipline: every mean rides an INTEGER sum — the
     * per-doc quality quantizes to the 10⁴ grid BEFORE aggregation
-    * (floor(q·10⁴+½) as long), keeps are 0/1 longs — so partitioning
-    * cannot move a unit and the division happens once per source.
+    * (floor(q·10⁴+½) as long), keeps are 0/1 longs, the rank prior is
+    * fixed-point BIGINT with one floor division per source — so
+    * partitioning cannot move a unit.
     * One corpus pass (the gopher card + quality are row-local), one
-    * hash aggregate to |sources| rows. */
+    * hash aggregate to |sources| rows; the 10-row rank table joins
+    * broadcast. */
   def curationDatasheet(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
     val keep = TextQueries.gopherRulesFrom(docs)
       .select(col("doc_id"), col("keep").cast("long").as("k"))
+    val ranks = WarcQueries.graphHostRank(s, dir)
+      .select(col("domain"), col("rank_fp"))
     // the URL gate's verdict is pure doc_id arithmetic (domain =
     // doc_id % 10, blocked residues derived from the blocklist), so
     // the datasheet rolls it in without re-running the URL chain
@@ -658,8 +667,11 @@ object PipelineQueries {
         size(split(col("text"), " ")).cast("long").as("wt"),
         floor(TextQueries.QualityScore.quality * lit(10000.0) + lit(0.5))
           .as("qi"),
-        urlKeep.cast("long").as("uk"))
+        urlKeep.cast("long").as("uk"),
+        element_at(typedLit(URL_DOMAINS),
+          (col("doc_id") % 10 + 1).cast("int")).as("domain"))
       .join(keep, Seq("doc_id"))
+      .join(broadcast(ranks), Seq("domain"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("lang")).as("n_langs"),
@@ -669,20 +681,24 @@ object PipelineQueries {
         round(sum(col("qi")).cast("double") / count(lit(1)) / lit(10000.0)
           + lit(1e-9), 4).as("mean_quality"),
         round(sum(col("uk")).cast("double") / count(lit(1)) + lit(1e-9), 4)
-          .as("url_keep_rate"))
+          .as("url_keep_rate"),
+        expr("sum(rank_fp) DIV count(1)").as("host_rank_prior"))
   }
 
   val curationDatasheetSql: String =
     // the gopher card is substituted AFTER stripMargin (it contains
     // no margin-colliding lines today, but the fertility lesson says
     // never re-marginalize embedded SQL)
-    """WITH g AS (
+    s"""WITH RECURSIVE ${WarcQueries.linkEdgeCtes},
+      |${WarcQueries.hostRankCtes},
+      |g AS (
       |  SELECT doc_id, CAST(keep AS BIGINT) AS k FROM (%GOPHER%)),
       |d AS (
       |  SELECT doc_id, source, lang,
       |    len(string_split(text, ' ')) AS wt,
       |    CAST(floor(%QUALITY% * 10000.0 + 0.5) AS BIGINT) AS qi,
-      |    CASE WHEN doc_id % 10 IN (%BLOCKED%) THEN 0 ELSE 1 END AS uk
+      |    CASE WHEN doc_id % 10 IN (%BLOCKED%) THEN 0 ELSE 1 END AS uk,
+      |    CAST(doc_id % 10 AS INT) AS dd
       |  FROM documents)
       |SELECT d.source,
       |  CAST(count(*) AS BIGINT) AS n_docs,
@@ -693,8 +709,10 @@ object PipelineQueries {
       |  round(CAST(sum(d.qi) AS DOUBLE) / count(*) / 10000.0 + 1e-9, 4)
       |    AS mean_quality,
       |  round(CAST(sum(d.uk) AS DOUBLE) / count(*) + 1e-9, 4)
-      |    AS url_keep_rate
+      |    AS url_keep_rate,
+      |  CAST(sum(r.rank_fp) // count(*) AS BIGINT) AS host_rank_prior
       |FROM d JOIN g USING (doc_id)
+      |JOIN hrank r ON r.v = d.dd
       |GROUP BY d.source""".stripMargin
       .replace("%GOPHER%", TextQueries.textGopherRulesSql)
       .replace("%QUALITY%", TextQueries.QualityScore.QUALITY_SQL)

@@ -2104,9 +2104,96 @@ object TextQueries {
       lit("<html><head><script type=\"text/javascript\">var x = 1;</script>" +
         "<style>p { color: red }</style></head><body><h1>Doc "),
       docId,
-      lit("</h1><!-- boilerplate --><p>"), text,
+      lit("</h1><!-- boilerplate -->"), linkBlockCol(docId), lit("<p>"), text,
       lit(" &amp; more &lt;escaped&gt; &quot;text&quot;&nbsp;here</p>" +
         "</body></html>"))
+
+  // ── the fixture page's out-link block (round 17: the crawl→graph
+  // loop). Page N carries a canonical link naming its TRUE domain
+  // (PipelineQueries.URL_DOMAINS[N % 10] — the same per-doc mapping
+  // curation_url_filter normalizes to) plus three anchor-text-free
+  // out-links. Anchor/link/div elements strip to whitespace, so the
+  // htmlStrip of the page is BYTE-IDENTICAL with or without the
+  // block — every stripped-text oracle is untouched by construction
+  // (WarcLinksSpec pins the invariance). Domain targets are pure
+  // functions of d = N % 10, so the whole domain graph is ≤30
+  // deterministic edges both engines derive independently:
+  //   blocklisted trio (5,6,7 — ads/spam/tracking): a link farm —
+  //     each member links the other two (a complete directed
+  //     triangle) plus the hub (real farms cite popular sites to
+  //     look organic; it also keeps their mass leaking out instead
+  //     of accumulating — pure PageRank REWARDS a fully closed farm,
+  //     so a closed triangle would rank the spam at the top);
+  //   everyone else: ring successor (d+1)%10, the hub (index 0, the
+  //     news site every page cites), and a mixing target (9d+1)%10
+  //     — under which only d=4 (forumhub.dev) links into the farm,
+  //     so the trio's only legit citations come from one mid-tier
+  //     domain and host rank leaves the farm in the bottom half
+  //     even though each member has in-degree ≥ 2 (the planted
+  //     separation WarcLinksSpec pins). ──
+
+  /** (t1, t2, t3) target-domain indexes for source-domain index d. */
+  private[operators] def linkTargets(d: Int): (Int, Int, Int) =
+    if (d >= 5 && d <= 7) (5 + ((d - 4) % 3), 5 + ((d - 3) % 3), 0)
+    else ((d + 1) % 10, 0, (9 * d + 1) % 10)
+
+  /** Plain-Scala form for the WARC fixture writer — MUST stay
+    * byte-identical to [[linkBlockCol]] / [[linkBlockSqlExpr]]. */
+  private[operators] def linkBlockStr(id: Long): String = {
+    val d = (id % 10).toInt
+    val (t1, t2, t3) = linkTargets(d)
+    val dom = PipelineQueries.URL_DOMAINS
+    "<link rel=\"canonical\" href=\"https://" + dom(d) + "/page/" + id +
+      "\"/><div class=\"nav\"><a href=\"https://" + dom(t1) + "/page/" +
+      (id + 1) + "\"></a><a href=\"https://" + dom(t2) + "/page/" +
+      (id + 2) + "\"></a><a href=\"https://" + dom(t3) + "/page/" +
+      (id + 3) + "\"></a></div>"
+  }
+
+  private def domAt(i: Column): Column =
+    element_at(typedLit(PipelineQueries.URL_DOMAINS), (i + 1).cast("int"))
+
+  /** Column form (the [[htmlWrap]] insertion). */
+  private[operators] def linkBlockCol(docId: Column): Column = {
+    val d = (docId % 10).cast("int")
+    val spam = d >= 5 && d <= 7
+    val t1 = when(spam, lit(5) + (d - 4) % 3).otherwise((d + 1) % 10)
+    val t2 = when(spam, lit(5) + (d - 3) % 3).otherwise(lit(0))
+    val t3 = when(spam, lit(0)).otherwise((d * 9 + 1) % 10)
+    concat(
+      lit("<link rel=\"canonical\" href=\"https://"), domAt(d),
+      lit("/page/"), docId, lit("\"/><div class=\"nav\"><a href=\"https://"),
+      domAt(t1), lit("/page/"), docId + 1,
+      lit("\"></a><a href=\"https://"), domAt(t2),
+      lit("/page/"), docId + 2,
+      lit("\"></a><a href=\"https://"), domAt(t3),
+      lit("/page/"), docId + 3, lit("\"></a></div>"))
+  }
+
+  /** DuckDB form (embedded by [[htmlWrapSqlExpr]] — continuation
+    * lines never start with '|', the post-stripMargin contract). */
+  private[operators] def linkBlockSqlExpr(docId: String): String = {
+    val doms = "[" +
+      PipelineQueries.URL_DOMAINS.map(d => s"'$d'").mkString(",") + "]"
+    def domSql(i: String): String = s"($doms)[($i) + 1]"
+    val d = s"(($docId) % 10)"
+    val t1 = s"CASE WHEN $d BETWEEN 5 AND 7 THEN 5 + (($d - 4) % 3)" +
+      s" ELSE ($d + 1) % 10 END"
+    val t2 = s"CASE WHEN $d BETWEEN 5 AND 7 THEN 5 + (($d - 3) % 3)" +
+      s" ELSE 0 END"
+    val t3 = s"CASE WHEN $d BETWEEN 5 AND 7 THEN 0" +
+      s" ELSE (9 * $d + 1) % 10 END"
+    s"'<link rel=\"canonical\" href=\"https://' || ${domSql(d)}" +
+      s"\n    || '/page/' || ($docId)" +
+      "\n    || '\"/><div class=\"nav\"><a href=\"https://' || " +
+      domSql(t1) +
+      s"\n    || '/page/' || (($docId) + 1)" +
+      s"\n    || '\"></a><a href=\"https://' || ${domSql(t2)}" +
+      s"\n    || '/page/' || (($docId) + 2)" +
+      s"\n    || '\"></a><a href=\"https://' || ${domSql(t3)}" +
+      s"\n    || '/page/' || (($docId) + 3)" +
+      "\n    || '\"></a></div>'"
+  }
 
   /** script/style/comment blocks dropped, tags stripped, common
     * entities decoded, whitespace collapsed — reusable so composed
@@ -2137,7 +2224,9 @@ object TextQueries {
   private[graft] def htmlWrapSqlExpr(docId: String, text: String): String =
     "'<html><head><script type=\"text/javascript\">var x = 1;</script>'" +
       "\n    || '<style>p { color: red }</style></head><body><h1>Doc '" +
-      s"\n    || $docId || '</h1><!-- boilerplate --><p>' || $text" +
+      s"\n    || $docId || '</h1><!-- boilerplate -->'" +
+      s"\n    || ${linkBlockSqlExpr(docId)}" +
+      s"\n    || '<p>' || $text" +
       "\n    || ' &amp; more &lt;escaped&gt; &quot;text&quot;&nbsp;here</p>'" +
       "\n    || '</body></html>'"
 

@@ -55,7 +55,8 @@ object WarcQueries {
     else
       "<html><head><script type=\"text/javascript\">var x = 1;</script>" +
         "<style>p { color: red }</style></head><body><h1>Doc " + docId +
-        "</h1><!-- boilerplate --><p>" + text +
+        "</h1><!-- boilerplate -->" + TextQueries.linkBlockStr(docId) +
+        "<p>" + text +
         " &amp; more &lt;escaped&gt; &quot;text&quot;&nbsp;here</p>" +
         "</body></html>"
 
@@ -989,7 +990,180 @@ object WarcQueries {
        |GROUP BY 1""".stripMargin
   }
 
+  // ── the crawl→graph loop (round 17): out-links from the parsed
+  // bodies → registered-domain edge list → the bit-exact integer
+  // PageRank kernel over real crawl links ──
+
+  /** The per-link edge stream: canonical-link host as the source,
+    * each anchor host as a destination, both reduced to the
+    * registered domain (the same last-two-labels extraction
+    * curation_url_filter normalizes to), INTRA-domain links dropped
+    * (published host-level graphs — CommonCrawl's host ranks, the
+    * RefinedWeb URL prior — count only cross-domain citations).
+    *
+    * Scale shape: row-local regex scans over the src_warc read; only
+    * (src, dst) domain strings leave the scan — payload bytes never
+    * shuffle. */
+  private[operators] def warcLinkEdges(
+      s: SparkSession, dir: String): DataFrame = {
+    val root = warcRoot(s, dir)
+    val page = decode(col("body"), "UTF-8")
+    def regDom(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      regexp_extract(c, "([^.]+\\.[^.]+)$", 1)
+    warcRecords(s, s"file:$root/*.warc.gz")
+      .filter(col("rec_type") === "response" && col("http_status") === 200)
+      .select(
+        regexp_extract(page,
+          "<link rel=\"canonical\" href=\"https://([^/\"]+)/", 1)
+          .as("src_host"),
+        explode(regexp_extract_all(page,
+          lit("<a href=\"https://([^/\"]+)/[^\"]*\""), lit(1)))
+          .as("dst_host"))
+      .select(regDom(col("src_host")).as("src_domain"),
+        regDom(col("dst_host")).as("dst_domain"))
+      .filter(col("src_domain") =!= col("dst_domain"))
+  }
+
+  /** warc_links — the web link graph from the crawl, at the
+    * registered-domain level: one row per (src, dst) domain pair with
+    * its link count — the edge list every published URL-quality prior
+    * (CommonCrawl host ranks, RefinedWeb/CCNet) starts from. The
+    * reference analog is the links array its recipes attach per item
+    * (avhrr recipe.py:71, insitu recipe.py:122). Oracle: the whole
+    * extraction replayed as doc_id arithmetic (the link block is a
+    * pure function of doc_id — see TextQueries.linkBlockStr). */
+  def warcLinks(s: SparkSession, dir: String): DataFrame =
+    warcLinkEdges(s, dir)
+      .groupBy(col("src_domain"), col("dst_domain"))
+      .agg(count(lit(1)).as("n_links"))
+
+  /** The arithmetic edge CTEs shared by warc_links and
+    * graph_host_rank oracles: d = doc_id % 10, targets per
+    * TextQueries.linkTargets, 404s excluded, intra-domain dropped. */
+  private[operators] lazy val linkEdgeCtes: String =
+    s"""lnkd AS (
+       |  SELECT CAST(doc_id % 10 AS INT) AS d FROM documents
+       |  WHERE doc_id % 7 <> 0),
+       |lnkt AS (
+       |  SELECT d,
+       |    CASE WHEN d BETWEEN 5 AND 7 THEN 5 + ((d - 4) % 3)
+       |      ELSE (d + 1) % 10 END AS t1,
+       |    CASE WHEN d BETWEEN 5 AND 7 THEN 5 + ((d - 3) % 3)
+       |      ELSE 0 END AS t2,
+       |    CASE WHEN d BETWEEN 5 AND 7 THEN 0
+       |      ELSE (9 * d + 1) % 10 END AS t3
+       |  FROM lnkd),
+       |lnke AS (
+       |  SELECT d AS s, t1 AS t FROM lnkt
+       |  UNION ALL SELECT d, t2 FROM lnkt
+       |  UNION ALL SELECT d, t3 FROM lnkt),
+       |lnkx AS (SELECT s, t FROM lnke WHERE s <> t),
+       |doms(i, dom) AS (
+       |  SELECT * FROM (SELECT unnest(generate_series(0, 9)),
+       |    unnest([%DOMS%])))""".stripMargin
+      .replace("%DOMS%", graft.operators.PipelineQueries.URL_DOMAINS
+        .map(d => s"'$d'").mkString(", "))
+
+  lazy val warcLinksSql: String =
+    s"""WITH $linkEdgeCtes
+       |SELECT ds.dom AS src_domain, dd.dom AS dst_domain,
+       |  CAST(count(*) AS BIGINT) AS n_links
+       |FROM lnkx JOIN doms ds ON ds.i = lnkx.s
+       |JOIN doms dd ON dd.i = lnkx.t
+       |GROUP BY 1, 2""".stripMargin
+
+  /** graph_host_rank — the published URL-quality prior computed FROM
+    * the crawl itself: the EXISTING integer fixed-point PageRank
+    * kernel (SimilarityQueries.pagerankRanks — the bit-exact
+    * recurrence graph_pagerank pins) run over warc_links' distinct
+    * domain edges. Deterministic end to end: integer floor division
+    * everywhere, so partitioning cannot move a unit and the oracle
+    * replays all PR_ITERS rounds in a recursive CTE. Output: per
+    * domain, its fixed-point rank plus distinct in/out degree — the
+    * hub (the news site every page cites) ranks first and the closed
+    * ads/spam/tracking farm stays demoted despite its dense internal
+    * triangle (WarcLinksSpec pins both).
+    *
+    * Scale shape: the edge list aggregates to ≤|domains|² rows before
+    * the kernel; at crawl scale the kernel's distributed path is one
+    * co-partitioned join + partial agg per round over the cached
+    * topology (the graph_pagerank design), and the tiny-graph driver
+    * shortcut used here is spec-pinned bit-identical to it. */
+  def graphHostRank(s: SparkSession, dir: String): DataFrame = {
+    def toId(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array_position(typedLit(PipelineQueries.URL_DOMAINS), c) - 1
+    val edges = warcLinkEdges(s, dir)
+      .select(toId(col("src_domain")).as("a"),
+        toId(col("dst_domain")).as("b"))
+      .distinct()
+    val nodes = edges.select(col("a")).union(edges.select(col("b")))
+      .distinct().select(col("a").as("vec_id"))
+    val ranks = SimilarityQueries.pagerankRanks(nodes, edges)
+    val ind = edges.groupBy(col("b"))
+      .agg(count(lit(1)).as("n_in_domains"))
+    val outd = edges.groupBy(col("a"))
+      .agg(count(lit(1)).as("n_out_domains"))
+    ranks
+      .join(ind, ranks("vec_id") === ind("b"), "left")
+      .join(outd, ranks("vec_id") === outd("a"), "left")
+      .select(
+        element_at(typedLit(PipelineQueries.URL_DOMAINS),
+          (col("vec_id") + 1).cast("int")).as("domain"),
+        col("rank_fp"),
+        coalesce(col("n_in_domains"), lit(0L)).as("n_in_domains"),
+        coalesce(col("n_out_domains"), lit(0L)).as("n_out_domains"))
+  }
+
+  /** The domain-rank recurrence as reusable CTEs (appended after
+    * [[linkEdgeCtes]]): index-space adjacency + the state-as-one-row
+    * recursive rank vector — the graphPagerankSql idiom over the
+    * arithmetic edge topology. Exposes `hrank(v, rank_fp)`. */
+  private[operators] lazy val hostRankCtes: String =
+    s"""hru AS (SELECT DISTINCT s, t FROM lnkx),
+       |hrn AS (SELECT DISTINCT v FROM (
+       |  SELECT s AS v FROM hru UNION ALL SELECT t FROM hru)),
+       |hridx AS (SELECT v, row_number() OVER (ORDER BY v) AS i
+       |  FROM hrn),
+       |hrie AS (SELECT bi.i AS tv, ai.i AS sv
+       |  FROM hru e JOIN hridx ai ON e.s = ai.v
+       |  JOIN hridx bi ON e.t = bi.v),
+       |hrinc AS (SELECT x.i, COALESCE(g.l, []) AS l FROM hridx x
+       |  LEFT JOIN (SELECT tv, list(sv ORDER BY sv) AS l FROM hrie
+       |    GROUP BY tv) g ON g.tv = x.i),
+       |hrdg AS (SELECT x.i, COALESCE(d.dg, 1) AS dg FROM hridx x
+       |  LEFT JOIN (SELECT sv, count(*) AS dg FROM hrie GROUP BY sv) d
+       |    ON d.sv = x.i),
+       |hrtopo AS (SELECT (SELECT count(*) FROM hridx) AS n,
+       |  (SELECT list(l ORDER BY i) FROM hrinc) AS inc,
+       |  (SELECT list(dg ORDER BY i) FROM hrdg) AS dg),
+       |hrst(it, rs) AS (
+       |  SELECT 0, (SELECT list_transform(range(1, n + 1),
+       |      v -> ${SimilarityQueries.PR_SCALE} // n) FROM hrtopo)
+       |  UNION ALL
+       |  SELECT p.it + 1, list_transform(range(1, t.n + 1),
+       |      v -> (${SimilarityQueries.PR_SCALE} * 15 // 100 // t.n) +
+       |        COALESCE(list_sum(list_transform(t.inc[v],
+       |          u -> (85 * p.rs[u]) // (100 * t.dg[u]))), 0))
+       |  FROM hrst p, hrtopo t WHERE p.it < ${SimilarityQueries.PR_ITERS}),
+       |hrfin AS (SELECT rs FROM hrst ORDER BY it DESC LIMIT 1),
+       |hrank AS (SELECT x.v, hrfin.rs[x.i] AS rank_fp
+       |  FROM hridx x, hrfin)""".stripMargin
+
+  lazy val graphHostRankSql: String =
+    s"""WITH RECURSIVE $linkEdgeCtes,
+       |$hostRankCtes,
+       |hin AS (SELECT t, count(*) AS n_in FROM hru GROUP BY t),
+       |hout AS (SELECT s, count(*) AS n_out FROM hru GROUP BY s)
+       |SELECT doms.dom AS domain, CAST(r.rank_fp AS BIGINT) AS rank_fp,
+       |  CAST(COALESCE(hin.n_in, 0) AS BIGINT) AS n_in_domains,
+       |  CAST(COALESCE(hout.n_out, 0) AS BIGINT) AS n_out_domains
+       |FROM hrank r JOIN doms ON doms.i = r.v
+       |LEFT JOIN hin ON hin.t = r.v
+       |LEFT JOIN hout ON hout.s = r.v""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "warc_links" -> (warcLinks _),
+    "graph_host_rank" -> (graphHostRank _),
     "pipeline_crawl_funnel" -> (pipelineCrawlFunnel _),
     "src_warc" -> (srcWarc _),
     "pipeline_warc_to_corpus" -> (pipelineWarcToCorpus _),
@@ -1001,6 +1175,8 @@ object WarcQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "warc_links" -> warcLinksSql,
+    "graph_host_rank" -> graphHostRankSql,
     "pipeline_crawl_funnel" -> pipelineCrawlFunnelSql,
     "src_warc" -> srcWarcSql,
     "pipeline_warc_to_corpus" -> pipelineWarcToCorpusSql,
