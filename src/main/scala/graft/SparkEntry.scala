@@ -33,6 +33,7 @@ object SparkEntry {
       operators.TimeSeriesQueries.queries ++
       operators.WarcQueries.queries ++
       operators.TextExtractQueries.queries ++
+      operators.LinearClassifyQueries.queries ++
       operators.SourceSinkQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -53,5 +54,6 @@ object SparkEntry {
       operators.TimeSeriesQueries.oracle ++
       operators.WarcQueries.oracle ++
       operators.TextExtractQueries.oracle ++
+      operators.LinearClassifyQueries.oracle ++
       operators.SourceSinkQueries.oracle
 }
