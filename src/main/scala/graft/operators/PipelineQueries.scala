@@ -657,6 +657,9 @@ object PipelineQueries {
       .select(col("doc_id"), col("keep").cast("long").as("k"))
     val ranks = WarcQueries.graphHostRank(s, dir)
       .select(col("domain"), col("rank_fp"))
+    // the DSIR draw is budget-bounded → broadcast membership flag
+    val dsel = pipelineDsirSelect(s, dir)
+      .select(col("doc_id"), lit(1L).as("ds"))
     // the URL gate's verdict is pure doc_id arithmetic (domain =
     // doc_id % 10, blocked residues derived from the blocklist), so
     // the datasheet rolls it in without re-running the URL chain
@@ -672,6 +675,7 @@ object PipelineQueries {
           (col("doc_id") % 10 + 1).cast("int")).as("domain"))
       .join(keep, Seq("doc_id"))
       .join(broadcast(ranks), Seq("domain"))
+      .join(broadcast(dsel), Seq("doc_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("lang")).as("n_langs"),
@@ -682,10 +686,12 @@ object PipelineQueries {
           + lit(1e-9), 4).as("mean_quality"),
         round(sum(col("uk")).cast("double") / count(lit(1)) + lit(1e-9), 4)
           .as("url_keep_rate"),
-        expr("sum(rank_fp) DIV count(1)").as("host_rank_prior"))
+        expr("sum(rank_fp) DIV count(1)").as("host_rank_prior"),
+        round(sum(coalesce(col("ds"), lit(0L))).cast("double") /
+          count(lit(1)) + lit(1e-9), 4).as("dsir_keep_rate"))
   }
 
-  val curationDatasheetSql: String =
+  lazy val curationDatasheetSql: String =
     // the gopher card is substituted AFTER stripMargin (it contains
     // no margin-colliding lines today, but the fertility lesson says
     // never re-marginalize embedded SQL)
@@ -699,7 +705,8 @@ object PipelineQueries {
       |    CAST(floor(%QUALITY% * 10000.0 + 0.5) AS BIGINT) AS qi,
       |    CASE WHEN doc_id % 10 IN (%BLOCKED%) THEN 0 ELSE 1 END AS uk,
       |    CAST(doc_id % 10 AS INT) AS dd
-      |  FROM documents)
+      |  FROM documents),
+      |dsel AS (SELECT doc_id, CAST(1 AS BIGINT) AS ds FROM (%DSIR%))
       |SELECT d.source,
       |  CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
@@ -710,15 +717,171 @@ object PipelineQueries {
       |    AS mean_quality,
       |  round(CAST(sum(d.uk) AS DOUBLE) / count(*) + 1e-9, 4)
       |    AS url_keep_rate,
-      |  CAST(sum(r.rank_fp) // count(*) AS BIGINT) AS host_rank_prior
+      |  CAST(sum(r.rank_fp) // count(*) AS BIGINT) AS host_rank_prior,
+      |  round(CAST(sum(COALESCE(dsel.ds, 0)) AS DOUBLE) / count(*)
+      |    + 1e-9, 4) AS dsir_keep_rate
       |FROM d JOIN g USING (doc_id)
       |JOIN hrank r ON r.v = d.dd
+      |LEFT JOIN dsel USING (doc_id)
       |GROUP BY d.source""".stripMargin
       .replace("%GOPHER%", TextQueries.textGopherRulesSql)
       .replace("%QUALITY%", TextQueries.QualityScore.QUALITY_SQL)
       .replace("%BLOCKED%", URL_BLOCKED_IDX.mkString(", "))
+      .replace("%DSIR%", pipelineDsirSelectSql)
+
+  // ── pipeline_dsir_select — Data Selection via Importance
+  // Resampling (Xie et al. 2023, the published pre-training
+  // selection standard): estimate a hashed-n-gram LM of a TARGET
+  // domain and of the RAW pool, weight every raw doc by its
+  // log-likelihood ratio, and draw a token budget by Gumbel top-k
+  // (sampling ∝ exp(λ) made deterministic and engine-reproducible
+  // the sample_weighted way — the perturbation comes from the doc's
+  // content hash, not rand()) ──
+
+  private[operators] val DSIR_BUCKETS = 4096
+  private[operators] val DSIR_BUDGET = 4000L
+  /** Word-hash modulus for the polynomial char fold (h·31+code) —
+    * keeps the fold in int range and the hash cheap/codegen-friendly
+    * (sha2 per BIGRAM would put a crypto hash in the hot loop at
+    * 100 TB; the polynomial is the fasttext/DSIR-style cheap hash,
+    * identical arithmetic in both engines). */
+  private[operators] val DSIR_WORD_MOD = 1 << 20
+
+  /** Per-word polynomial hash, then per-doc hashed-BIGRAM feature
+    * list: f_i = (h(w_i)·31 + h(w_{i+1})) mod DSIR_BUCKETS. */
+  private def dsirFeats(text: Column): Column = {
+    val hw = transform(split(text, " "), w =>
+      aggregate(split(w, ""), lit(0),
+        (acc, c) => (acc * 31 + ascii(c)) % DSIR_WORD_MOD))
+    when(size(hw) >= 2,
+      transform(sequence(lit(1), (size(hw) - 1).cast("int")), i =>
+        (element_at(hw, i) * 31 + element_at(hw, i + 1)) % DSIR_BUCKETS))
+      .otherwise(typedLit(Seq.empty[Int]))
+  }
+
+  /** The whole chain over any documents frame: `isTarget` marks the
+    * target-domain rows (the gate instance uses lang = 'en'); raw =
+    * the rest. Output: the SELECTED raw docs (doc_id, lang, source,
+    * n_tok, key) — the budget-bounded draw. */
+  private[graft] def pipelineDsirSelectFrom(
+      d: DataFrame, isTarget: Column,
+      budget: Long = DSIR_BUDGET): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = DSIR_BUCKETS
+    val feats = d
+      .select(col("doc_id"), col("lang"), col("source"),
+        isTarget.as("tgt"), explode(dsirFeats(col("text"))).as("f"))
+    // the two LMs: bucket counts + totals, each B-bounded → broadcast
+    val tcnt = feats.filter(col("tgt"))
+      .groupBy(col("f")).agg(count(lit(1)).as("tc"))
+    val rcnt = feats.filter(!col("tgt"))
+      .groupBy(col("f")).agg(count(lit(1)).as("rc"))
+    val tots = feats.groupBy(col("tgt")).agg(count(lit(1)).as("n"))
+    val ttot = tots.filter(col("tgt")).select(col("n").as("tt"))
+    val rtot = tots.filter(!col("tgt")).select(col("n").as("rt"))
+    // λ(d) = Σ_f n_df·(ln p_t(f) − ln p_r(f)), add-one over buckets
+    val lam = feats.filter(!col("tgt"))
+      .groupBy(col("doc_id"), col("lang"), col("source"), col("f"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(tcnt), Seq("f"), "left")
+      .join(broadcast(rcnt), Seq("f"), "left")
+      .crossJoin(broadcast(ttot)).crossJoin(broadcast(rtot))
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(sum(col("n").cast("double") *
+        (log((coalesce(col("tc"), lit(0L)) + 1L).cast("double") /
+          (col("tt") + B).cast("double")) -
+          log((coalesce(col("rc"), lit(0L)) + 1L).cast("double") /
+            (col("rt") + B).cast("double")))).as("lw"),
+        sum(col("n")).as("n_tok_f"))
+    // Gumbel perturbation from the content hash (sample_weighted's
+    // uniform), key rounded BEFORE the ordering so the budget cutoff
+    // is engine-stable
+    val u = (conv(substring(sha2(col("doc_id").cast("string"), 256),
+      1, 8), 16, 10).cast("double") + 0.5) / 4294967296.0
+    val keyed = lam
+      .join(d.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
+        round(col("lw") - log(-log(u)) + lit(1e-9), 6).as("key"))
+    val w = Window.orderBy(col("key").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .filter(col("cum") - col("n_tok") < budget)
+      .drop("cum")
+  }
+
+  /** pipeline_dsir_select — the gate instance: target = lang 'en'
+    * (the curated-domain stand-in), raw = everything else, budget =
+    * DSIR_BUDGET tokens.
+    *
+    * Scale shape: feature hashing is row-local integer folds (no
+    * crypto per gram); both LMs are DSIR_BUCKETS-bounded broadcast
+    * tables; λ is one partial-aggregating groupBy per raw doc; the
+    * only global structure is the budget cutoff — a top-slice window
+    * over (key, doc_id) that a 100 TB run replaces with
+    * sort_range_partition boundaries + per-range cumsums (the
+    * sample_token_budget discipline); the selected set is
+    * budget-bounded. The planted spec (DsirSelectSpec) pins
+    * target-domain recovery; the oracle replays hashing, both LMs,
+    * λ, the Gumbel keys, and the cutoff. */
+  def pipelineDsirSelect(s: SparkSession, dir: String): DataFrame =
+    pipelineDsirSelectFrom(documents(s, dir), col("lang") === "en")
+
+  lazy val pipelineDsirSelectSql: String = {
+    val B = DSIR_BUCKETS
+    val M = DSIR_WORD_MOD
+    s"""WITH hw AS (
+       |  SELECT doc_id, lang, source, lang = 'en' AS tgt,
+       |    list_transform(string_split(text, ' '),
+       |      w -> list_reduce(list_prepend(0,
+       |        list_transform(string_split(w, ''), c -> unicode(c))),
+       |        (a, x) -> (a * 31 + x) % $M)) AS hws,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |fe AS (
+       |  SELECT doc_id, lang, source, tgt, n_tok,
+       |    (hws[g.i] * 31 + hws[g.i + 1]) % $B AS f
+       |  FROM hw, unnest(generate_series(1, greatest(len(hws) - 1, 0)))
+       |    AS g(i)),
+       |tcnt AS (SELECT f, count(*) AS tc FROM fe WHERE tgt GROUP BY f),
+       |rcnt AS (SELECT f, count(*) AS rc FROM fe WHERE NOT tgt
+       |  GROUP BY f),
+       |ttot AS (SELECT count(*) AS tt FROM fe WHERE tgt),
+       |rtot AS (SELECT count(*) AS rt FROM fe WHERE NOT tgt),
+       |dfc AS (
+       |  SELECT doc_id, lang, source, n_tok, f, count(*) AS n
+       |  FROM fe WHERE NOT tgt GROUP BY 1, 2, 3, 4, 5),
+       |lam AS (
+       |  SELECT doc_id, lang, source, any_value(n_tok) AS n_tok,
+       |    sum(CAST(n AS DOUBLE) *
+       |      (ln(CAST(COALESCE(tc, 0) + 1 AS DOUBLE)
+       |          / CAST(tt + $B AS DOUBLE))
+       |       - ln(CAST(COALESCE(rc, 0) + 1 AS DOUBLE)
+       |          / CAST(rt + $B AS DOUBLE)))) AS lw
+       |  FROM dfc
+       |  LEFT JOIN tcnt USING (f)
+       |  LEFT JOIN rcnt USING (f)
+       |  CROSS JOIN ttot CROSS JOIN rtot
+       |  GROUP BY doc_id, lang, source),
+       |keyed AS (
+       |  SELECT doc_id, lang, source, n_tok,
+       |    round(lw - ln(-ln(
+       |      (CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8)
+       |        AS BIGINT) + 0.5) / 4294967296.0)) + 1e-9, 6) AS key
+       |  FROM lam),
+       |cum AS (
+       |  SELECT doc_id, lang, source, n_tok, key,
+       |    sum(n_tok) OVER (ORDER BY key DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+       |  FROM keyed)
+       |SELECT doc_id, lang, source, n_tok, key
+       |FROM cum WHERE c - n_tok < $DSIR_BUDGET""".stripMargin
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_dsir_select" -> (pipelineDsirSelect _),
     "pipeline_split_leakage_near" -> (pipelineSplitLeakageNear _),
     "curation_url_filter" -> (curationUrlFilter _),
     "curation_robots_filter" -> (curationRobotsFilter _),
@@ -731,6 +894,7 @@ object PipelineQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "pipeline_dsir_select" -> pipelineDsirSelectSql,
     "pipeline_split_leakage_near" -> pipelineSplitLeakageNearSql,
     "curation_url_filter" -> curationUrlFilterSql,
     "curation_robots_filter" -> curationRobotsFilterSql,
