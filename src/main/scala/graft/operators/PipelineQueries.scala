@@ -198,12 +198,13 @@ object PipelineQueries {
     * /private/ disallow, a /p/ disallow on every 3rd domain, and an
     * /p/1 allow on every 6th (longest-match + allow-tie precedence:
     * ids rendering with a leading '1' stay crawlable there). */
-  private[operators] def robotsTextFor(d: Int): String =
+  private[operators] def robotsTextFor(
+      d: Int, pathPrefix: String = "/p/"): String =
     "User-agent: crawler-x\nDisallow: /\n\n" +
       "User-agent: *\n" +
       "Disallow: /private/\n" +
-      (if (d % 3 == 0) "Disallow: /p/\n" else "") +
-      (if (d % 6 == 0) "Allow: /p/1\n" else "") +
+      (if (d % 3 == 0) s"Disallow: $pathPrefix\n" else "") +
+      (if (d % 6 == 0) s"Allow: ${pathPrefix}1\n" else "") +
       "Crawl-delay: 2\n"
 
   /** curation_robots_filter — per-domain politeness ledger: URLs

@@ -283,16 +283,10 @@ object ScalarFnQueries {
     * deterministically from the time grid (minute mod 4) so both
     * engines normalize identical inputs. Pure per-row regexp
     * expressions — codegen'd, no shuffle. */
-  def fnUrlNormalize(s: SparkSession, dir: String): DataFrame = {
-    val base = fnUrlTemplate(s, dir)
-    val m = minute(col("ts")) % 4
-    val raw = when(m === 0, col("url"))
-      .when(m === 1, regexp_replace(col("url"),
-        "^https://example\\.org", "HTTPS://EXAMPLE.ORG:443"))
-      .when(m === 2, concat(regexp_replace(col("url"),
-        "/sst/", "/sst//"), lit("#frag")))
-      .otherwise(concat(regexp_replace(col("url"),
-        "^https://example\\.org", "http://Example.Org:80"), lit("/")))
+  /** ONE definition of the canonicalization chain as a Column —
+    * fn_url_normalize's body, reused by pipeline_crawl_frontier so
+    * frontier keys and the declared normalizer cannot drift. */
+  private[operators] def urlNormCol(raw: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val noFrag = regexp_replace(raw, "#.*$", "")
     val scheme =
       lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -305,8 +299,21 @@ object ScalarFnQueries {
       regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
     val path = regexp_replace(
       regexp_replace(pathq, "/{2,}", "/"), "(.)/$", "$1")
+    concat(scheme, lit("://"), host, path)
+  }
+
+  def fnUrlNormalize(s: SparkSession, dir: String): DataFrame = {
+    val base = fnUrlTemplate(s, dir)
+    val m = minute(col("ts")) % 4
+    val raw = when(m === 0, col("url"))
+      .when(m === 1, regexp_replace(col("url"),
+        "^https://example\\.org", "HTTPS://EXAMPLE.ORG:443"))
+      .when(m === 2, concat(regexp_replace(col("url"),
+        "/sst/", "/sst//"), lit("#frag")))
+      .otherwise(concat(regexp_replace(col("url"),
+        "^https://example\\.org", "http://Example.Org:80"), lit("/")))
     base.select(col("ts"), raw.as("url_raw"),
-      concat(scheme, lit("://"), host, path).as("url_norm"))
+      urlNormCol(raw).as("url_norm"))
   }
 
   val fnUrlNormalizeSql: String =

@@ -1161,7 +1161,146 @@ object WarcQueries {
        |LEFT JOIN hin ON hin.t = r.v
        |LEFT JOIN hout ON hout.s = r.v""".stripMargin
 
+  // ── pipeline_crawl_frontier — the fetch list for the NEXT crawl
+  // wave (VERDICT r16 task 4): with this in place the engine
+  // expresses a crawler's entire data plane — frontier → fetch
+  // (src_warc) → extract → gate → pack ──
+
+  private[operators] val FRONTIER_HOST_CAP = 25
+
+  /** pipeline_crawl_frontier — compose the next wave's fetch list:
+    *
+    *  1. SEEDS: the sitemap entries (src_sitemap) — the configured
+    *     seed list;
+    *  2. DISCOVERED: every anchor URL extracted from the prior
+    *     wave's HTTP-200 bodies (the warc_links scan at URL level);
+    *  3. both branches normalized with THE fn_url_normalize chain
+    *     (ScalarFnQueries.urlNormCol) and merged to one candidate
+    *     row per canonical URL with its reference count (the
+    *     in-link-count priority signal real frontiers rank by);
+    *  4. ROBOTS gate: per-host RFC 9309 rules (graft.ingest
+    *     .RobotsTxt — the curation_robots_filter parser, path
+    *     prefix '/page/'), parsed once on the driver and broadcast;
+    *  5. SEEN-set anti-join: URLs the prior crawl already fetched
+    *     successfully are excluded via the dedup_incremental_bloom
+    *     shape — a mergeable Bloom sketch of the seen set broadcast
+    *     as a prefilter, surviving candidates confirmed EXACTLY by a
+    *     broadcast semi-join (no corpus-wide shuffle; false
+    *     positives eliminated). 404 pages are NOT seen — the
+    *     frontier re-queues failures, as real crawlers do;
+    *  6. per-host politeness cap: TopKPerGroup (the custom plan) by
+    *     (n_refs desc, url asc), FRONTIER_HOST_CAP rows per host —
+    *     ≤ cap rows per (host, partition) cross the exchange.
+    *
+    * Output: (host, url_norm, n_refs, rk). Oracle: the WHOLE chain
+    * is doc_id arithmetic — seeds, the link targets, robots
+    * verdicts, the seen set, and the cap replayed in SQL. */
+  def pipelineCrawlFrontier(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.GraftExtensions.register(s)
+    val root = warcRoot(s, dir)
+    val seeds = srcSitemap(s, dir).select(col("url"))
+    val page = decode(col("body"), "UTF-8")
+    val resp200 = warcRecords(s, s"file:$root/*.warc.gz")
+      .filter(col("rec_type") === "response" && col("http_status") === 200)
+    val discovered = resp200
+      .select(explode(regexp_extract_all(page,
+        lit("<a href=\"(https://[^\"]+)\""), lit(1))).as("url"))
+    val cands = seeds.unionByName(discovered)
+      .select(ScalarFnQueries.urlNormCol(col("url")).as("url_norm"))
+      .groupBy(col("url_norm"))
+      .agg(count(lit(1)).as("n_refs"))
+      .withColumn("host",
+        regexp_extract(col("url_norm"), "://([^/]+)/", 1))
+      .withColumn("path",
+        regexp_extract(col("url_norm"), "://[^/]+(/.*)$", 1))
+    // robots: one rule set per fixture host, parsed once (a crawler
+    // fetches each host's robots.txt once per wave)
+    val robots: Map[String, graft.ingest.RobotsTxt.Rules] =
+      (PipelineQueries.URL_DOMAINS.zipWithIndex.map { case (dom, d) =>
+        dom -> graft.ingest.RobotsTxt.rulesFor(
+          PipelineQueries.robotsTextFor(d, "/page/"), "graft")
+      } :+ ("example.org" -> graft.ingest.RobotsTxt.rulesFor(
+        "User-agent: *\nDisallow: /private/\n", "graft"))).toMap
+    val rb = s.sparkContext.broadcast(robots)
+    val allowedUdf = udf { (host: String, path: String) =>
+      rb.value.get(host).forall(_.allows(path))
+    }
+    val gated = cands.filter(allowedUdf(col("host"), col("path")))
+    // seen set (successful prior fetches), normalized with the SAME
+    // chain; bloom prefilter + exact confirm
+    val seen = resp200
+      .select(ScalarFnQueries.urlNormCol(col("url")).as("u"))
+    val bloom = seen.stat.bloomFilter("u", math.max(seen.count(), 1L), 0.01)
+    val bloomBc = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((u: String) =>
+      u != null && bloomBc.value.mightContainString(u))
+    val candSeen = gated.filter(mightContain(col("url_norm")))
+      .select(col("url_norm").as("u")).distinct()
+    val confirmed = seen.join(broadcast(candSeen), Seq("u"), "left_semi")
+      .distinct()
+    val fresh = gated.join(broadcast(confirmed),
+      gated("url_norm") === confirmed("u"), "left_anti")
+    val capped = graft.plans.TopKPerGroup.topKPerGroup(
+      fresh.select(col("host"), col("url_norm"), col("n_refs")),
+      Seq("host"),
+      orderBy = Seq(("n_refs", false), ("url_norm", true)),
+      k = FRONTIER_HOST_CAP)
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("n_refs").desc, col("url_norm"))
+    capped.withColumn("rk", row_number().over(w).cast("long"))
+  }
+
+  lazy val pipelineCrawlFrontierSql: String =
+    s"""WITH $linkEdgeCtes,
+       |seeds AS (
+       |  SELECT 'https://example.org/page/' || doc_id AS u
+       |  FROM documents),
+       |dt AS (
+       |  SELECT doc_id, CAST(doc_id % 10 AS INT) AS d FROM documents
+       |  WHERE doc_id % 7 <> 0),
+       |disc AS (
+       |  SELECT 'https://' || dd.dom || '/page/' || (dt.doc_id + tj.j)
+       |    AS u
+       |  FROM dt, LATERAL (SELECT unnest([
+       |      struct_pack(j := 1, t := CASE WHEN dt.d BETWEEN 5 AND 7
+       |        THEN 5 + ((dt.d - 4) % 3) ELSE (dt.d + 1) % 10 END),
+       |      struct_pack(j := 2, t := CASE WHEN dt.d BETWEEN 5 AND 7
+       |        THEN 5 + ((dt.d - 3) % 3) ELSE 0 END),
+       |      struct_pack(j := 3, t := CASE WHEN dt.d BETWEEN 5 AND 7
+       |        THEN 0 ELSE (9 * dt.d + 1) % 10 END)]) AS e) fan,
+       |    LATERAL (SELECT (fan.e).j AS j, (fan.e).t AS t) tj
+       |  JOIN doms dd ON dd.i = tj.t),
+       |cand AS (
+       |  SELECT u AS url_norm, CAST(count(*) AS BIGINT) AS n_refs
+       |  FROM (SELECT u FROM seeds UNION ALL SELECT u FROM disc)
+       |  GROUP BY 1),
+       |parts AS (
+       |  SELECT url_norm, n_refs,
+       |    regexp_extract(url_norm, '://([^/]+)/', 1) AS host,
+       |    regexp_extract(url_norm, 'page/(\\d+)$$', 1) AS pid
+       |  FROM cand),
+       |gated AS (
+       |  SELECT p.* FROM parts p LEFT JOIN doms ON doms.dom = p.host
+       |  WHERE p.host = 'example.org'
+       |     OR doms.i % 3 <> 0
+       |     OR (doms.i % 6 = 0 AND p.pid LIKE '1%')),
+       |seen AS (
+       |  SELECT 'https://example.org/page/' || doc_id AS u
+       |  FROM documents WHERE doc_id % 7 <> 0),
+       |fresh AS (
+       |  SELECT g.* FROM gated g
+       |  WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.u = g.url_norm)),
+       |ranked AS (
+       |  SELECT host, url_norm, n_refs,
+       |    CAST(row_number() OVER (PARTITION BY host
+       |      ORDER BY n_refs DESC, url_norm) AS BIGINT) AS rk
+       |  FROM fresh)
+       |SELECT host, url_norm, n_refs, rk FROM ranked
+       |WHERE rk <= $FRONTIER_HOST_CAP""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_crawl_frontier" -> (pipelineCrawlFrontier _),
     "warc_links" -> (warcLinks _),
     "graph_host_rank" -> (graphHostRank _),
     "pipeline_crawl_funnel" -> (pipelineCrawlFunnel _),
@@ -1175,6 +1314,7 @@ object WarcQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "pipeline_crawl_frontier" -> pipelineCrawlFrontierSql,
     "warc_links" -> warcLinksSql,
     "graph_host_rank" -> graphHostRankSql,
     "pipeline_crawl_funnel" -> pipelineCrawlFunnelSql,
