@@ -155,6 +155,99 @@ object WarcIo {
     gz.finish()
   }
 
+  // ── member-offset index (the offset-split read path, round 17) ──
+
+  /** Byte offsets of every gzip MEMBER start in a `.warc.gz` stream —
+    * the coordinates an offset-driven parallel read seeks to (each
+    * member is independently inflatable by construction, see the
+    * header note). One sequential indexing pass: gzip headers parsed
+    * per RFC 1952 (FEXTRA/FNAME/FCOMMENT/FHCRC skipped), the deflate
+    * body inflated-and-discarded with EXACT input accounting (raw
+    * Inflater + mark/reset pushback of the unconsumed tail), 8-byte
+    * trailer skipped. Stops (without throwing) at EOF, at a
+    * non-member byte, or at a truncated member — an unindexable tail
+    * simply ends the split list and the caller falls back to
+    * whole-file semantics for the remainder. Ownership of `in` is
+    * taken; closed at end. */
+  def memberOffsets(in: InputStream): Iterator[Long] = new Iterator[Long] {
+    private val st = new BufferedInputStream(in, 1 << 16)
+    private val inflater = new java.util.zip.Inflater(true)
+    private val ibuf = new Array[Byte](1 << 16)
+    private val obuf = new Array[Byte](1 << 16)
+    private var pos = 0L
+    private var nextOff = -1L
+    private var done = false
+
+    def hasNext: Boolean = {
+      if (nextOff < 0 && !done) advance()
+      nextOff >= 0
+    }
+    def next(): Long = {
+      if (!hasNext) throw new NoSuchElementException
+      val o = nextOff; nextOff = -1L; o
+    }
+
+    private def rb(): Int = { val b = st.read(); if (b >= 0) pos += 1; b }
+    private def skipN(n: Long): Boolean = {
+      var left = n
+      while (left > 0) {
+        val k = st.skip(left)
+        if (k <= 0) { if (rb() < 0) return false else left -= 1 }
+        else { pos += k; left -= k }
+      }
+      true
+    }
+    private def stop(): Unit = {
+      done = true
+      inflater.end()
+      try st.close() catch { case _: Exception => () }
+    }
+
+    private def advance(): Unit = {
+      val start = pos
+      val b0 = rb()
+      if (b0 < 0) { stop(); return }
+      val b1 = rb()
+      if (b0 != 0x1f || b1 != 0x8b) { stop(); return }
+      val cm = rb()
+      val flg = rb()
+      if (cm != 8 || flg < 0 || !skipN(6)) { stop(); return }
+      if ((flg & 4) != 0) {
+        val x0 = rb(); val x1 = rb()
+        if (x1 < 0 || !skipN(x0 | (x1 << 8))) { stop(); return }
+      }
+      if ((flg & 8) != 0) { var b = rb(); while (b > 0) b = rb()
+        if (b < 0) { stop(); return } }
+      if ((flg & 16) != 0) { var b = rb(); while (b > 0) b = rb()
+        if (b < 0) { stop(); return } }
+      if ((flg & 2) != 0 && !skipN(2)) { stop(); return }
+      // deflate body: inflate-and-discard with exact accounting
+      inflater.reset()
+      var finished = false
+      while (!finished) {
+        st.mark(ibuf.length + 1)
+        val n = st.read(ibuf)
+        if (n < 0) { stop(); return } // truncated member
+        inflater.setInput(ibuf, 0, n)
+        var progress = true
+        while (progress && !inflater.finished() && !inflater.needsInput()) {
+          progress = inflater.inflate(obuf) > 0 || inflater.finished() ||
+            inflater.needsInput()
+        }
+        if (inflater.finished()) {
+          finished = true
+          val consumed = n - inflater.getRemaining
+          st.reset()
+          if (!skipN(consumed)) { stop(); return }
+        } else if (inflater.needsInput()) {
+          pos += n
+        } else { stop(); return } // no progress: corrupt deflate
+      }
+      if (!skipN(8)) { stop(); return } // CRC32 + ISIZE
+      nextOff = start
+    }
+  }
+
   // ── parser ──
 
   /** Parse a `.warc.gz` stream (ownership taken; closed at end).

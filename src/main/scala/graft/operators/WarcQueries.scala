@@ -482,6 +482,147 @@ object WarcQueries {
         "src_file", "rec_idx")
   }
 
+  /** Default split grain for the offset-driven read: archives above
+    * this split into ~this-many-byte member-aligned ranges. */
+  private[operators] val WARC_SPLIT_BYTES = 64L << 20
+
+  /** Offset-split WARC read (VERDICT r16 task 5): removes the
+    * one-task-per-FILE ceiling — ONE oversized archive no longer
+    * serializes onto one task. Files over `splitBytes`: one indexing
+    * task walks the gzip member boundaries (WarcIo.memberOffsets —
+    * each member is independently inflatable by construction) and
+    * cuts member-ALIGNED splits of ~splitBytes; the parse stage then
+    * seeks each split and inflates only its range, with rec_idx
+    * continued from the split's starting member ordinal so the
+    * output is record-for-record IDENTICAL to the whole-file parse
+    * (spec-pinned; src_warc_split hash-gates it against the same
+    * DuckDB oracle as src_warc). Files at or under the grain — and
+    * files whose member walk stops early (corrupt/foreign tail) —
+    * fall back to one whole-file split, preserving the quarantine
+    * semantics byte for byte.
+    *
+    * Scale shape: indexing is one inflate-and-discard pass per big
+    * file (distributed, one task per file); parsing is one task per
+    * SPLIT — a 100 GB archive becomes ~1600 parallel 64 MB splits
+    * instead of one 100 GB task. */
+  private[graft] def warcRecordsSplit(
+      s: SparkSession, glob: String,
+      splitBytes: Long = WARC_SPLIT_BYTES): DataFrame = {
+    import s.implicits._
+    val sessionConf = ListingCache.sessionConfSnapshot(s)
+    val listing = ListingCache.globListing(s, glob).as[String]
+    val nFiles = math.max(listing.count().toInt, 1)
+    // stage 1: member-aligned split plans, one indexing task per file
+    val splits = listing
+      .repartition(math.min(nFiles, 4096))
+      .mapPartitions { it =>
+        val conf = ListingCache.confWith(
+          new org.apache.hadoop.conf.Configuration(false), sessionConf)
+        it.flatMap { url =>
+          val p = new org.apache.hadoop.fs.Path(url)
+          try {
+            val fs = p.getFileSystem(conf)
+            val len = fs.getFileStatus(p).getLen
+            if (len <= splitBytes) Seq((url, 0L, Long.MaxValue, 0L))
+            else {
+              val offs = WarcIo.memberOffsets(fs.open(p)).toArray
+              if (offs.length <= 1) Seq((url, 0L, Long.MaxValue, 0L))
+              else {
+                val cuts = Seq.newBuilder[(String, Long, Long, Long)]
+                var start = 0L
+                var startIdx = 0L
+                var i = 1
+                while (i < offs.length) {
+                  if (offs(i) - start >= splitBytes) {
+                    cuts += ((url, start, offs(i), startIdx))
+                    start = offs(i); startIdx = i.toLong
+                  }
+                  i += 1
+                }
+                cuts += ((url, start, Long.MaxValue, startIdx))
+                cuts.result()
+              }
+            }
+          } catch { case _: Exception =>
+            // unopenable/unindexable: one whole-file split — the
+            // parse stage surfaces the open failure as its error row
+            Seq((url, 0L, Long.MaxValue, 0L))
+          }
+        }
+      }
+      .toDF("src", "start", "end", "start_idx")
+      .persist()
+    val nSplits = math.max(splits.count().toInt, 1)
+    // stage 2: parse each split independently
+    splits
+      .repartition(math.min(nSplits, 8192))
+      .as[(String, Long, Long, Long)]
+      .mapPartitions { it =>
+        val conf = ListingCache.confWith(
+          new org.apache.hadoop.conf.Configuration(false), sessionConf)
+        it.flatMap { case (url, start, end, startIdx) =>
+          val p = new org.apache.hadoop.fs.Path(url)
+          val in: java.io.InputStream =
+            try {
+              val raw = p.getFileSystem(conf).open(p)
+              if (start > 0) raw.seek(start)
+              val remaining =
+                if (end == Long.MaxValue) Long.MaxValue else end - start
+              new BoundedIn(raw, remaining)
+            } catch { case e: Exception =>
+              new java.io.InputStream {
+                override def read(): Int = throw new java.io.IOException(
+                  s"open failed: ${e.getMessage}")
+              }
+            }
+          WarcIo.parseGzip(in).zipWithIndex.map { case (r, i) =>
+            (r.targetUri,
+              r.recordId.stripPrefix("<").stripSuffix(">"),
+              r.recType, r.date,
+              if (r.recType == "response") r.httpMime else r.contentType,
+              r.contentLength, r.httpStatus.toLong, r.body, r.err,
+              url, startIdx + i.toLong)
+          }
+        }
+      }
+      .toDF("url", "rec_id", "rec_type", "warc_ts", "mime",
+        "content_length", "http_status", "body", "err",
+        "src_file", "rec_idx")
+  }
+
+  /** EOF-at-range-end wrapper: the split's member range, exactly. */
+  private final class BoundedIn(
+      in: java.io.InputStream, private var remaining: Long)
+      extends java.io.InputStream {
+    override def read(): Int =
+      if (remaining <= 0L) -1
+      else { val b = in.read(); if (b >= 0) remaining -= 1; b }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (remaining <= 0L) return -1
+      val n = in.read(b, off, math.min(len.toLong, remaining).toInt)
+      if (n > 0) remaining -= n
+      n
+    }
+    override def close(): Unit = in.close()
+  }
+
+  /** src_warc_split — src_warc's exact projection through the
+    * OFFSET-SPLIT read path, with the grain forced down to 4 KB so
+    * the sf0.01 gate genuinely parses every archive as many
+    * member-aligned splits; the oracle is src_warc's — parity with
+    * the whole-file parse is hash-gated, not just spec-asserted. */
+  def srcWarcSplit(s: SparkSession, dir: String): DataFrame = {
+    val root = warcRoot(s, dir)
+    warcRecordsSplit(s, s"file:$root/*.warc.gz", splitBytes = 4096L)
+      .select(col("url"), col("rec_id"), col("rec_type"), col("warc_ts"),
+        col("mime"), col("content_length"), col("http_status"),
+        length(col("body")).cast("long").as("n_body"),
+        sha2(col("body"), 256).as("body_sha"), col("err"),
+        regexp_extract(col("src_file"), "part-(\\d+)\\.warc\\.gz$", 1)
+          .cast("long").as("file_k"),
+        col("rec_idx"))
+  }
+
   /** src_warc — the full parsed-record table: every record type, the
     * WARC framing lengths, the HTTP status split, a body digest, and
     * the in-file record index (rec_idx pins the PARSE ORDER — a
@@ -1301,6 +1442,7 @@ object WarcQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_crawl_frontier" -> (pipelineCrawlFrontier _),
+    "src_warc_split" -> (srcWarcSplit _),
     "warc_links" -> (warcLinks _),
     "graph_host_rank" -> (graphHostRank _),
     "pipeline_crawl_funnel" -> (pipelineCrawlFunnel _),
@@ -1315,6 +1457,7 @@ object WarcQueries {
 
   def oracle: Map[String, String] = Map(
     "pipeline_crawl_frontier" -> pipelineCrawlFrontierSql,
+    "src_warc_split" -> srcWarcSql,
     "warc_links" -> warcLinksSql,
     "graph_host_rank" -> graphHostRankSql,
     "pipeline_crawl_funnel" -> pipelineCrawlFunnelSql,

@@ -133,6 +133,56 @@ class WarcIoSpec extends AnyFunSuite {
     assert(r.headers("warc-profile").endsWith("identical-payload-digest"))
   }
 
+  test("memberOffsets walks exact gzip member boundaries (seeking " +
+      "to each offset parses exactly the remaining records)") {
+    val members = (1 to 7).map(i =>
+      WarcIo.recordBytes(respHeaders(i), httpPayload(s"<p>m $i</p>")))
+    val bos = new ByteArrayOutputStream()
+    members.foreach(m => WarcIo.writeMember(bos, m))
+    val bytes = bos.toByteArray
+    val offs = WarcIo.memberOffsets(
+      new ByteArrayInputStream(bytes)).toArray
+    assert(offs.length == 7, s"7 members, got ${offs.toSeq}")
+    assert(offs.head == 0L)
+    assert(offs.sameElements(offs.sorted) && offs.distinct.length == 7)
+    // each offset is a true member boundary: parsing from it yields
+    // exactly the records from that member on
+    offs.zipWithIndex.foreach { case (o, i) =>
+      val tail = java.util.Arrays.copyOfRange(bytes, o.toInt, bytes.length)
+      val recs = WarcIo.parseGzip(new ByteArrayInputStream(tail)).toList
+      assert(recs.count(_.err.isEmpty) == 7 - i,
+        s"offset $o (member $i): expected ${7 - i} records")
+      assert(recs.head.recordId == s"<urn:uuid:resp-${i + 1}>")
+    }
+    // MemberWriter framing (the reused-Deflater path) indexes too
+    val bos2 = new ByteArrayOutputStream()
+    val mw = new WarcIo.MemberWriter(bos2)
+    (1 to 4).foreach(i => mw.writeRecord(respHeaders(i),
+      httpPayload(s"<p>w $i</p>")))
+    mw.close()
+    assert(WarcIo.memberOffsets(
+      new ByteArrayInputStream(bos2.toByteArray)).size == 4)
+  }
+
+  test("memberOffsets stops cleanly on a truncated or non-gzip tail") {
+    val good = WarcIo.recordBytes(respHeaders(1), httpPayload("<p>a</p>"))
+    val bos = new ByteArrayOutputStream()
+    WarcIo.writeMember(bos, good)
+    val full = bos.toByteArray
+    // truncated second member
+    val bos2 = new ByteArrayOutputStream()
+    bos2.write(full); bos2.write(full, 0, full.length - 9)
+    assert(WarcIo.memberOffsets(
+      new ByteArrayInputStream(bos2.toByteArray)).toList == List(0L))
+    // garbage tail
+    val bos3 = new ByteArrayOutputStream()
+    bos3.write(full); bos3.write("not gzip".getBytes("US-ASCII"))
+    assert(WarcIo.memberOffsets(
+      new ByteArrayInputStream(bos3.toByteArray)).toList == List(0L))
+    assert(WarcIo.memberOffsets(
+      new ByteArrayInputStream(Array.emptyByteArray)).isEmpty)
+  }
+
   test("empty stream parses to zero records") {
     assert(WarcIo.parseGzip(
       new ByteArrayInputStream(Array.emptyByteArray)).toList

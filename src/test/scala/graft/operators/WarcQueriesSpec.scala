@@ -49,6 +49,46 @@ class WarcQueriesSpec extends SparkSpec {
     assert(out.filter(col("doc_id") % 7 === 0).count() == 0)
   }
 
+  test("offset-split parse is record-for-record identical to the " +
+      "whole-file parse — including a corrupt archive in the glob — " +
+      "and actually multiplies parallelism past the file count") {
+    val dir = Files.createTempDirectory("graft-warc-split")
+    val mw = new WarcIo.MemberWriter(
+      new java.io.FileOutputStream(s"$dir/big.warc.gz"))
+    (1 to 200).foreach { i =>
+      mw.writeRecord(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> s"<urn:uuid:resp-$i>",
+        "WARC-Date" -> "2022-05-01T00:00:00Z",
+        "WARC-Target-URI" -> s"https://example.org/page/$i",
+        "Content-Type" -> "application/http;msgtype=response"),
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+          s"<p>body $i body $i</p>").getBytes("UTF-8"))
+    }
+    mw.close()
+    Files.write(Paths.get(s"$dir/bad.warc.gz"),
+      "definitely not gzip".getBytes("UTF-8"))
+    val whole = WarcQueries.warcRecords(spark, s"file:$dir/*.warc.gz")
+      .select(col("src_file"), col("rec_idx"), col("rec_id"),
+        col("url"), col("err"), sha2(col("body"), 256).as("sha"))
+    val split = WarcQueries
+      .warcRecordsSplit(spark, s"file:$dir/*.warc.gz", splitBytes = 2048L)
+      .select(col("src_file"), col("rec_idx"), col("rec_id"),
+        col("url"), col("err"), sha2(col("body"), 256).as("sha"))
+    val a = whole.orderBy("src_file", "rec_idx").collect()
+    val b = split.orderBy("src_file", "rec_idx").collect()
+    assert(a.length == 201, s"200 records + 1 quarantine, got ${a.length}")
+    assert(a.sameElements(b),
+      "split parse must equal the whole-file parse row for row")
+    // the file-count cap is genuinely removed: 2 files parse as far
+    // more than 2 splits at this grain
+    val nParts = WarcQueries
+      .warcRecordsSplit(spark, s"file:$dir/*.warc.gz", splitBytes = 2048L)
+      .rdd.getNumPartitions
+    assert(nParts > 2, s"expected >2 parse tasks for 2 files, got $nParts")
+    dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
+  }
+
   test("snk_wet memoizes the WET root per corpus fingerprint: a " +
       "second call replays the read-back audit without rewriting the " +
       "32 archives (r16 advisory)") {
