@@ -2855,6 +2855,115 @@ object SimilarityQueries {
     out
   }
 
+  /** HITS fixed-point rounds (Kleinberg 1999, "Authoritative sources
+    * in a hyperlinked environment" §3) with the [[pagerankRanks]]
+    * integer discipline: per round, authority = Σ of in-neighbour hub
+    * scores, hub = Σ of out-neighbour authority scores, each vector
+    * max-normalized to [[HITS_SCALE]] by exact integer floor division
+    * (Kleinberg's L2 normalization is order-sensitive in floats; the
+    * max norm keeps the SAME ranking fixed point and makes every
+    * round bit-reproducible under any partitioning). All sums run in
+    * decimal(38,0)/BigInt so a SCALE-sized score times a hub's
+    * in-degree cannot wrap a Long. Same driver shortcut + distributed
+    * fallback contract as PageRank: below [[DRIVER_PR_MAX]] the
+    * collected loop runs; above it each round is two co-partitioned
+    * edge joins + partial aggs over the cached topology plus a 1-row
+    * broadcast max — bit-identical by associativity (spec-pinned with
+    * `driverMax = 0`). */
+  private[graft] val HITS_ITERS = 10
+  private[graft] val HITS_SCALE = 1000000000000L
+
+  private[graft] def hitsRanks(e: DataFrame, g: DataFrame,
+      driverMax: Long = DRIVER_PR_MAX): DataFrame = {
+    val edges = g.select(col("a"), col("b")).distinct().persist()
+    val nEdges = edges.count()
+    val nNodes = e.count()
+    if (nNodes == 0) {
+      edges.unpersist()
+      val spark = e.sparkSession
+      import spark.implicits._
+      return spark.emptyDataset[(Long, Long, Long)]
+        .toDF("vec_id", "auth_fp", "hub_fp")
+    }
+    if (prDriverEligible(nEdges, nNodes, driverMax)) {
+      val spark = e.sparkSession
+      import spark.implicits._
+      val es = edges.select(col("a").cast("long"), col("b").cast("long"))
+        .as[(Long, Long)].collect()
+      edges.unpersist()
+      val nodeIds = e.select(col("vec_id").cast("long")).as[Long].collect()
+      val S = BigInt(HITS_SCALE)
+      var h = nodeIds.iterator.map(_ -> S).toMap
+      var a = nodeIds.iterator.map(_ -> BigInt(0)).toMap
+      for (_ <- 1 to HITS_ITERS) {
+        val ar = scala.collection.mutable.HashMap.empty[Long, BigInt]
+        es.foreach { case (u, v) =>
+          ar.update(v, ar.getOrElse(v, BigInt(0)) + h(u))
+        }
+        val amax = (BigInt(1) +: ar.values.toSeq).max
+        a = nodeIds.iterator
+          .map(v => v -> ar.getOrElse(v, BigInt(0)) * S / amax).toMap
+        val hr = scala.collection.mutable.HashMap.empty[Long, BigInt]
+        es.foreach { case (u, v) =>
+          hr.update(u, hr.getOrElse(u, BigInt(0)) + a(v))
+        }
+        val hmax = (BigInt(1) +: hr.values.toSeq).max
+        h = nodeIds.iterator
+          .map(v => v -> hr.getOrElse(v, BigInt(0)) * S / hmax).toMap
+      }
+      return spark
+        .createDataFrame(nodeIds.sorted.toSeq
+          .map(v => (v, a(v).toLong, h(v).toLong)))
+        .toDF("vec_id", "auth_fp", "hub_fp")
+    }
+    val nodes = e.select(col("vec_id")).persist()
+    var st = nodes.select(col("vec_id"),
+      lit(HITS_SCALE).cast("decimal(38,0)").as("h"),
+      lit(0L).cast("decimal(38,0)").as("a"))
+    for (_ <- 1 to HITS_ITERS) {
+      val ar = edges
+        .join(st.select(col("vec_id").as("a_"), col("h")),
+          edges("a") === col("a_"))
+        .groupBy(col("b").as("vec_id"))
+        .agg(sum(col("h")).as("ar"))
+      val arAll = nodes.join(ar, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("ar"), lit(0L).cast("decimal(38,0)")).as("ar"))
+        .persist()
+      val amax = arAll.agg(
+        greatest(max(col("ar")), lit(1L).cast("decimal(38,0)")).as("m"))
+      val aNew = arAll.crossJoin(broadcast(amax))
+        .select(col("vec_id"),
+          expr(s"CAST((ar * ${HITS_SCALE}) DIV m AS DECIMAL(38,0))")
+            .as("a"))
+      val hr = edges
+        .join(aNew.select(col("vec_id").as("b_"), col("a").as("av")),
+          edges("b") === col("b_"))
+        .groupBy(edges("a").as("vec_id"))
+        .agg(sum(col("av")).as("hr"))
+      val hrAll = nodes.join(hr, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("hr"), lit(0L).cast("decimal(38,0)")).as("hr"))
+        .persist()
+      val hmax = hrAll.agg(
+        greatest(max(col("hr")), lit(1L).cast("decimal(38,0)")).as("m"))
+      val hNew = hrAll.crossJoin(broadcast(hmax))
+        .select(col("vec_id"),
+          expr(s"CAST((hr * ${HITS_SCALE}) DIV m AS DECIMAL(38,0))")
+            .as("h"))
+      st = hNew.join(aNew, Seq("vec_id"))
+        .select(col("vec_id"), col("h"), col("a"))
+        .localCheckpoint(eager = true)
+      arAll.unpersist(); hrAll.unpersist()
+    }
+    val out = st.select(col("vec_id"),
+      col("a").cast("long").as("auth_fp"),
+      col("h").cast("long").as("hub_fp"))
+      .localCheckpoint(eager = true)
+    edges.unpersist(); nodes.unpersist()
+    out
+  }
+
   /** dedup_keep_central — semantic near-dup cluster resolution by
     * CENTRALITY: dedup_semantic's connected components, but the
     * keeper is the member with the highest [[graphPagerankFrom

@@ -1302,6 +1302,106 @@ object WarcQueries {
        |LEFT JOIN hin ON hin.t = r.v
        |LEFT JOIN hout ON hout.s = r.v""".stripMargin
 
+  /** graph_hits — Kleinberg hubs-and-authorities over the SAME
+    * crawl-derived domain graph as graph_host_rank: authority = "the
+    * page everyone worth reading cites", hub = "the page that cites
+    * everything worth reading" — the complementary URL-quality prior
+    * to PageRank (HITS separates a directory/portal page from an
+    * endorsed destination, which a single rank score conflates). Runs
+    * [[SimilarityQueries.hitsRanks]], the integer max-normalized
+    * fixed point: all-ones hub start, ten (authority ← in-hubs,
+    * hub ← out-authorities) rounds, each vector rescaled to
+    * HITS_SCALE by exact floor division — bit-reproducible under any
+    * partitioning, so the oracle replays the entire recurrence in a
+    * recursive CTE. On the fixture the cited-by-everyone news hub
+    * tops authority at exactly HITS_SCALE while the closed link
+    * farm's internal triangle keeps its authority bounded
+    * (WarcLinksSpec pins both).
+    *
+    * Scale shape: identical to graph_host_rank — the edge list
+    * aggregates to ≤|domains|² rows before the kernel; the kernel's
+    * distributed path is two co-partitioned joins + partial aggs per
+    * round over cached topology plus a 1-row broadcast max, and the
+    * tiny-graph driver shortcut used here is spec-pinned
+    * bit-identical to it. */
+  def graphHits(s: SparkSession, dir: String): DataFrame = {
+    def toId(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array_position(typedLit(PipelineQueries.URL_DOMAINS), c) - 1
+    val edges = warcLinkEdges(s, dir)
+      .select(toId(col("src_domain")).as("a"),
+        toId(col("dst_domain")).as("b"))
+      .distinct()
+    val nodes = edges.select(col("a")).union(edges.select(col("b")))
+      .distinct().select(col("a").as("vec_id"))
+    SimilarityQueries.hitsRanks(nodes, edges)
+      .select(
+        element_at(typedLit(PipelineQueries.URL_DOMAINS),
+          (col("vec_id") + 1).cast("int")).as("domain"),
+        col("auth_fp"), col("hub_fp"))
+  }
+
+  /** The HITS recurrence as CTEs over [[linkEdgeCtes]]'s topology —
+    * the hostRankCtes idiom with TWO state vectors; the per-round
+    * intermediates (raw sums, maxes, normalized vectors) chain
+    * through LATERALs inside the recursive step. HUGEINT arithmetic
+    * mirrors the engine's decimal(38,0)/BigInt discipline. Exposes
+    * `hhits(v, auth_fp, hub_fp)`. */
+  private[operators] lazy val hostHitsCtes: String =
+    s"""hiu AS (SELECT DISTINCT s, t FROM lnkx),
+       |hin2 AS (SELECT DISTINCT v FROM (
+       |  SELECT s AS v FROM hiu UNION ALL SELECT t FROM hiu)),
+       |hidx AS (SELECT v, row_number() OVER (ORDER BY v) AS i
+       |  FROM hin2),
+       |hie AS (SELECT ai.i AS sv, bi.i AS tv
+       |  FROM hiu e JOIN hidx ai ON e.s = ai.v
+       |  JOIN hidx bi ON e.t = bi.v),
+       |hinc2 AS (SELECT x.i, COALESCE(g.l, []) AS l FROM hidx x
+       |  LEFT JOIN (SELECT tv, list(sv ORDER BY sv) AS l FROM hie
+       |    GROUP BY tv) g ON g.tv = x.i),
+       |houtc AS (SELECT x.i, COALESCE(g.l, []) AS l FROM hidx x
+       |  LEFT JOIN (SELECT sv, list(tv ORDER BY tv) AS l FROM hie
+       |    GROUP BY sv) g ON g.sv = x.i),
+       |htopo AS (SELECT (SELECT count(*) FROM hidx) AS n,
+       |  (SELECT list(l ORDER BY i) FROM hinc2) AS inc,
+       |  (SELECT list(l ORDER BY i) FROM houtc) AS outc),
+       |hst(it, hs, aus) AS (
+       |  SELECT 0,
+       |    (SELECT list_transform(range(1, n + 1),
+       |      v -> ${SimilarityQueries.HITS_SCALE}::HUGEINT) FROM htopo),
+       |    (SELECT list_transform(range(1, n + 1),
+       |      v -> 0::HUGEINT) FROM htopo)
+       |  UNION ALL
+       |  SELECT p.it + 1, lhn.h2, lan.a2
+       |  FROM hst p, htopo t,
+       |  LATERAL (SELECT list_transform(range(1, t.n + 1),
+       |      v -> COALESCE(list_sum(list_transform(t.inc[v],
+       |        u -> p.hs[u])), 0)::HUGEINT) AS ar) lar,
+       |  LATERAL (SELECT greatest(list_max(lar.ar), 1::HUGEINT)
+       |    AS am) lam,
+       |  LATERAL (SELECT list_transform(lar.ar,
+       |      x -> (x * ${SimilarityQueries.HITS_SCALE}) // lam.am)
+       |    AS a2) lan,
+       |  LATERAL (SELECT list_transform(range(1, t.n + 1),
+       |      v -> COALESCE(list_sum(list_transform(t.outc[v],
+       |        u -> lan.a2[u])), 0)::HUGEINT) AS hr) lhr,
+       |  LATERAL (SELECT greatest(list_max(lhr.hr), 1::HUGEINT)
+       |    AS hm) lhm,
+       |  LATERAL (SELECT list_transform(lhr.hr,
+       |      x -> (x * ${SimilarityQueries.HITS_SCALE}) // lhm.hm)
+       |    AS h2) lhn
+       |  WHERE p.it < ${SimilarityQueries.HITS_ITERS}),
+       |hfin2 AS (SELECT hs, aus FROM hst ORDER BY it DESC LIMIT 1),
+       |hhits AS (SELECT x.v, f.aus[x.i] AS auth_fp, f.hs[x.i] AS hub_fp
+       |  FROM hidx x, hfin2 f)""".stripMargin
+
+  lazy val graphHitsSql: String =
+    s"""WITH RECURSIVE $linkEdgeCtes,
+       |$hostHitsCtes
+       |SELECT doms.dom AS domain,
+       |  CAST(r.auth_fp AS BIGINT) AS auth_fp,
+       |  CAST(r.hub_fp AS BIGINT) AS hub_fp
+       |FROM hhits r JOIN doms ON doms.i = r.v""".stripMargin
+
   // ── pipeline_crawl_frontier — the fetch list for the NEXT crawl
   // wave (VERDICT r16 task 4): with this in place the engine
   // expresses a crawler's entire data plane — frontier → fetch
@@ -1445,6 +1545,7 @@ object WarcQueries {
     "src_warc_split" -> (srcWarcSplit _),
     "warc_links" -> (warcLinks _),
     "graph_host_rank" -> (graphHostRank _),
+    "graph_hits" -> (graphHits _),
     "pipeline_crawl_funnel" -> (pipelineCrawlFunnel _),
     "src_warc" -> (srcWarc _),
     "pipeline_warc_to_corpus" -> (pipelineWarcToCorpus _),
@@ -1460,6 +1561,7 @@ object WarcQueries {
     "src_warc_split" -> srcWarcSql,
     "warc_links" -> warcLinksSql,
     "graph_host_rank" -> graphHostRankSql,
+    "graph_hits" -> graphHitsSql,
     "pipeline_crawl_funnel" -> pipelineCrawlFunnelSql,
     "src_warc" -> srcWarcSql,
     "pipeline_warc_to_corpus" -> pipelineWarcToCorpusSql,

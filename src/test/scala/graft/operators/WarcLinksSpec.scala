@@ -104,6 +104,49 @@ class WarcLinksSpec extends SparkSpec {
     }
   }
 
+  test("graph_hits: the hub domain tops authority at exactly " +
+      "HITS_SCALE; the farm trio's authority stays bounded") {
+    val rows = WarcQueries.graphHits(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.size == 10, "all ten domains must be scored")
+    val S = SimilarityQueries.HITS_SCALE
+    assert(rows("example-news.com")._1 == S,
+      s"the cited-by-everyone hub must be the max-normalized top " +
+        s"authority, got ${rows("example-news.com")._1}")
+    Seq("adfarm.biz", "spam-mill.info", "trackpix.co").foreach { d =>
+      assert(rows(d)._1 < S / 2,
+        s"$d: the closed farm's internal triangle must not lift its " +
+          s"authority past SCALE/2, got ${rows(d)._1}")
+    }
+    // authority and hub measure different things: the top authority
+    // is NOT the top hub (news is cited by all, cites almost nothing)
+    assert(rows("example-news.com")._2 < S / 10,
+      "the pure-destination hub domain must have a near-zero hub score")
+  }
+
+  test("hitsRanks: driver shortcut == distributed fallback, " +
+      "bit-identical on the real host graph") {
+    def toId(c: org.apache.spark.sql.Column) =
+      array_position(typedLit(Seq("example-news.com", "example-blog.net",
+        "acme-docs.org", "shopmart.io", "forumhub.dev", "adfarm.biz",
+        "spam-mill.info", "trackpix.co", "mirrorsite.us",
+        "campuswiki.edu")), c) - 1
+    val edges = WarcQueries.warcLinkEdges(spark, sf)
+      .select(toId(col("src_domain")).as("a"),
+        toId(col("dst_domain")).as("b"))
+      .distinct()
+    val nodes = edges.select(col("a")).union(edges.select(col("b")))
+      .distinct().select(col("a").as("vec_id"))
+    val driver = SimilarityQueries.hitsRanks(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val dist = SimilarityQueries.hitsRanks(nodes, edges, driverMax = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(driver == dist,
+      s"driver and distributed HITS diverge:\n$driver\n$dist")
+  }
+
   test("warc_links excludes 404 pages and intra-domain links; " +
       "n_links matches the residue-class arithmetic") {
     val links = WarcQueries.warcLinks(spark, sf).collect()
