@@ -29,8 +29,13 @@ package graft.ingest
   */
 object RobotsTxt {
 
-  /** (isAllow, pathPrefix) rules for one selected group. */
-  final case class Rules(rules: Vector[(Boolean, String)]) {
+  /** (isAllow, pathPrefix) rules for one selected group, plus the
+    * group's `Crawl-delay` if one parsed (the de-facto politeness
+    * extension most crawlers honor — not in RFC 9309, which is why
+    * it rides on Rules as metadata rather than entering the
+    * allow/disallow precedence). */
+  final case class Rules(rules: Vector[(Boolean, String)],
+      crawlDelay: Option[Long] = None) {
     /** RFC 9309 §2.2.2: longest match wins; ties go to Allow. */
     def allows(path: String): Boolean = {
       var bestLen = -1
@@ -49,7 +54,8 @@ object RobotsTxt {
   }
 
   private final case class Group(
-      agents: Vector[String], rules: Vector[(Boolean, String)])
+      agents: Vector[String], rules: Vector[(Boolean, String)],
+      crawlDelay: Option[Long])
 
   /** Parse the full file and select the group for `agent`. */
   def rulesFor(robots: String, agent: String): Rules = {
@@ -62,17 +68,20 @@ object RobotsTxt {
       .sortBy(-_._1)
       .headOption.map(_._2)
     val chosen = specific.orElse(groups.find(_.agents.contains("*")))
-    Rules(chosen.map(_.rules).getOrElse(Vector.empty))
+    Rules(chosen.map(_.rules).getOrElse(Vector.empty),
+      chosen.flatMap(_.crawlDelay))
   }
 
   private def parseGroups(robots: String): Vector[Group] = {
     val out = Vector.newBuilder[Group]
     var agents = Vector.empty[String]
     var rules = Vector.empty[(Boolean, String)]
+    var delay = Option.empty[Long]
     var inRules = false
     def flush(): Unit = {
-      if (agents.nonEmpty) out += Group(agents, rules)
-      agents = Vector.empty; rules = Vector.empty; inRules = false
+      if (agents.nonEmpty) out += Group(agents, rules, delay)
+      agents = Vector.empty; rules = Vector.empty; delay = None
+      inRules = false
     }
     robots.split("\n", -1).foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim // comments
@@ -100,7 +109,16 @@ object RobotsTxt {
               rules :+= (false,
                 value.takeWhile(c => c != '*' && c != '$'))
             }
-          case _ => () // crawl-delay, sitemap, unknown fields
+          case "crawl-delay" if agents.nonEmpty =>
+            // de-facto extension: seconds between fetches. Fractional
+            // values round UP (politeness never rounds toward faster);
+            // unparseable values are skipped like any malformed line.
+            inRules = true
+            try {
+              val d = math.ceil(value.toDouble).toLong
+              if (d >= 0) delay = Some(d)
+            } catch { case _: NumberFormatException => () }
+          case _ => () // sitemap, unknown fields
         }
       }
     }

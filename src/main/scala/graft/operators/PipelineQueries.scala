@@ -197,7 +197,11 @@ object PipelineQueries {
     * group that must be SKIPPED, the `*` group, a universal
     * /private/ disallow, a /p/ disallow on every 3rd domain, and an
     * /p/1 allow on every 6th (longest-match + allow-tie precedence:
-    * ids rendering with a leading '1' stay crawlable there). */
+    * ids rendering with a leading '1' stay crawlable there). The
+    * Crawl-delay varies 1..3 by domain so pipeline_fetch_schedule
+    * exercises real per-host pacing differences (the delay line never
+    * enters allow/disallow precedence, so every robots-verdict oracle
+    * is untouched by the variation). */
   private[operators] def robotsTextFor(
       d: Int, pathPrefix: String = "/p/"): String =
     "User-agent: crawler-x\nDisallow: /\n\n" +
@@ -205,7 +209,7 @@ object PipelineQueries {
       "Disallow: /private/\n" +
       (if (d % 3 == 0) s"Disallow: $pathPrefix\n" else "") +
       (if (d % 6 == 0) s"Allow: ${pathPrefix}1\n" else "") +
-      "Crawl-delay: 2\n"
+      s"Crawl-delay: ${1 + d % 3}\n"
 
   /** curation_robots_filter — per-domain politeness ledger: URLs
     * checked, URLs crawlable under the domain's robots.txt, and the

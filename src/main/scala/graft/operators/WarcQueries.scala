@@ -1436,6 +1436,18 @@ object WarcQueries {
     * Output: (host, url_norm, n_refs, rk). Oracle: the WHOLE chain
     * is doc_id arithmetic — seeds, the link targets, robots
     * verdicts, the seen set, and the cap replayed in SQL. */
+  /** One parsed rule set per fixture host (a crawler fetches each
+    * host's robots.txt once per wave) — shared by the frontier's
+    * politeness gate and the schedule's Crawl-delay lookup. The seed
+    * host publishes no delay, exercising the default path. */
+  private[operators] lazy val frontierRobots
+      : Map[String, graft.ingest.RobotsTxt.Rules] =
+    (PipelineQueries.URL_DOMAINS.zipWithIndex.map { case (dom, d) =>
+      dom -> graft.ingest.RobotsTxt.rulesFor(
+        PipelineQueries.robotsTextFor(d, "/page/"), "graft")
+    } :+ ("example.org" -> graft.ingest.RobotsTxt.rulesFor(
+      "User-agent: *\nDisallow: /private/\n", "graft"))).toMap
+
   def pipelineCrawlFrontier(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.GraftExtensions.register(s)
@@ -1455,15 +1467,7 @@ object WarcQueries {
         regexp_extract(col("url_norm"), "://([^/]+)/", 1))
       .withColumn("path",
         regexp_extract(col("url_norm"), "://[^/]+(/.*)$", 1))
-    // robots: one rule set per fixture host, parsed once (a crawler
-    // fetches each host's robots.txt once per wave)
-    val robots: Map[String, graft.ingest.RobotsTxt.Rules] =
-      (PipelineQueries.URL_DOMAINS.zipWithIndex.map { case (dom, d) =>
-        dom -> graft.ingest.RobotsTxt.rulesFor(
-          PipelineQueries.robotsTextFor(d, "/page/"), "graft")
-      } :+ ("example.org" -> graft.ingest.RobotsTxt.rulesFor(
-        "User-agent: *\nDisallow: /private/\n", "graft"))).toMap
-    val rb = s.sparkContext.broadcast(robots)
+    val rb = s.sparkContext.broadcast(frontierRobots)
     val allowedUdf = udf { (host: String, path: String) =>
       rb.value.get(host).forall(_.allows(path))
     }
@@ -1492,9 +1496,12 @@ object WarcQueries {
     capped.withColumn("rk", row_number().over(w).cast("long"))
   }
 
-  lazy val pipelineCrawlFrontierSql: String =
-    s"""WITH $linkEdgeCtes,
-       |seeds AS (
+  /** The frontier chain as reusable CTEs (appended after
+    * [[linkEdgeCtes]]) — shared by pipeline_crawl_frontier and
+    * pipeline_fetch_schedule. Exposes `ranked(host, url_norm,
+    * n_refs, rk)`; consumers apply the [[FRONTIER_HOST_CAP]]. */
+  private[operators] lazy val frontierCtes: String =
+    s"""seeds AS (
        |  SELECT 'https://example.org/page/' || doc_id AS u
        |  FROM documents),
        |dt AS (
@@ -1536,12 +1543,71 @@ object WarcQueries {
        |  SELECT host, url_norm, n_refs,
        |    CAST(row_number() OVER (PARTITION BY host
        |      ORDER BY n_refs DESC, url_norm) AS BIGINT) AS rk
-       |  FROM fresh)
+       |  FROM fresh)""".stripMargin
+
+  lazy val pipelineCrawlFrontierSql: String =
+    s"""WITH $linkEdgeCtes,
+       |$frontierCtes
        |SELECT host, url_norm, n_refs, rk FROM ranked
        |WHERE rk <= $FRONTIER_HOST_CAP""".stripMargin
 
+  /** Scheduler tick length: fetches grouped into WAVE_SECONDS-wide
+    * dispatch waves (the unit a fetcher fleet pulls at a time). */
+  private[operators] val WAVE_SECONDS = 10L
+
+  /** pipeline_fetch_schedule — turn the frontier into a POLITE fetch
+    * plan: per host, the rk-ordered URLs are serialized at exactly
+    * the host's `Crawl-delay` spacing (the de-facto robots.txt
+    * extension, parsed by graft.ingest.RobotsTxt from the same rule
+    * sets the frontier's gate used; hosts that publish no delay get
+    * the 1 s default), giving each URL its dispatch offset
+    * `fetch_at_s = (rk − 1) × delay_s` and its scheduler wave
+    * `fetch_at_s DIV WAVE_SECONDS`. This is the last composition in
+    * front of src_warc: frontier → schedule → fetch → extract →
+    * gate → pack is now the crawler's entire data plane, each stage
+    * an oracle-checked operator.
+    *
+    * Scale shape: one broadcast join of a |hosts|-row delay table
+    * onto the capped frontier (≤ cap × |hosts| rows), then row-local
+    * arithmetic — nothing shuffles beyond the frontier's own
+    * TopKPerGroup exchange. Oracle: the whole chain — frontier CTEs
+    * plus the delay arithmetic (domain i delays 1 + i%3 s, the seed
+    * host defaults to 1 s) — is replayed in SQL. */
+  def pipelineFetchSchedule(s: SparkSession, dir: String): DataFrame = {
+    val fr = pipelineCrawlFrontier(s, dir)
+    import s.implicits._
+    val delays = frontierRobots.toSeq
+      .map { case (host, r) =>
+        (host, r.crawlDelay.getOrElse(DEFAULT_CRAWL_DELAY)) }
+      .sortBy(_._1)
+      .toDF("host", "delay_s")
+    fr.join(broadcast(delays), Seq("host"))
+      .select(col("host"), col("url_norm"), col("n_refs"), col("rk"),
+        col("delay_s"),
+        ((col("rk") - 1) * col("delay_s")).as("fetch_at_s"),
+        expr(s"((rk - 1) * delay_s) DIV $WAVE_SECONDS").as("wave"))
+  }
+
+  private[operators] val DEFAULT_CRAWL_DELAY = 1L
+
+  lazy val pipelineFetchScheduleSql: String =
+    s"""WITH $linkEdgeCtes,
+       |$frontierCtes,
+       |fr AS (SELECT host, url_norm, n_refs, rk FROM ranked
+       |  WHERE rk <= $FRONTIER_HOST_CAP),
+       |dly AS (
+       |  SELECT dom AS host, CAST(1 + (i % 3) AS BIGINT) AS delay_s
+       |  FROM doms
+       |  UNION ALL SELECT 'example.org', $DEFAULT_CRAWL_DELAY)
+       |SELECT f.host, f.url_norm, f.n_refs, f.rk, d.delay_s,
+       |  CAST((f.rk - 1) * d.delay_s AS BIGINT) AS fetch_at_s,
+       |  CAST(((f.rk - 1) * d.delay_s) // $WAVE_SECONDS AS BIGINT)
+       |    AS wave
+       |FROM fr f JOIN dly d ON d.host = f.host""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_crawl_frontier" -> (pipelineCrawlFrontier _),
+    "pipeline_fetch_schedule" -> (pipelineFetchSchedule _),
     "src_warc_split" -> (srcWarcSplit _),
     "warc_links" -> (warcLinks _),
     "graph_host_rank" -> (graphHostRank _),
@@ -1558,6 +1624,7 @@ object WarcQueries {
 
   def oracle: Map[String, String] = Map(
     "pipeline_crawl_frontier" -> pipelineCrawlFrontierSql,
+    "pipeline_fetch_schedule" -> pipelineFetchScheduleSql,
     "src_warc_split" -> srcWarcSql,
     "warc_links" -> warcLinksSql,
     "graph_host_rank" -> graphHostRankSql,

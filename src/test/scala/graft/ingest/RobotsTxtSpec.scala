@@ -104,4 +104,26 @@ class RobotsTxtSpec extends AnyFunSuite {
     assert(!RobotsTxt.rulesFor(f, "a").allows("/x/1"))
     assert(!RobotsTxt.rulesFor(f, "b").allows("/x/1"))
   }
+
+  test("Crawl-delay: per-group, fractional rounds UP, malformed and " +
+      "absent yield None, and the line never enters rule precedence") {
+    // the shared fixture file: * group publishes 2
+    assert(RobotsTxt.rulesFor(file, "zzz").crawlDelay.contains(2L))
+    // the specific group publishes none — no leak from the * group
+    assert(RobotsTxt.rulesFor(file, "graft-fetch/1.0").crawlDelay.isEmpty)
+    // fractional (politeness rounds toward slower, never faster)
+    assert(RobotsTxt.rulesFor(
+      "User-agent: *\nCrawl-delay: 0.5\n", "me").crawlDelay.contains(1L))
+    // malformed → skipped like any malformed line
+    assert(RobotsTxt.rulesFor(
+      "User-agent: *\nCrawl-delay: soon\n", "me").crawlDelay.isEmpty)
+    // a Crawl-delay after rules stays in ITS group; a UA line after
+    // it starts a new one (the delay is part of the rule section)
+    val f = "User-agent: a\nDisallow: /x/\nCrawl-delay: 3\n" +
+      "User-agent: b\nDisallow: /y/\n"
+    assert(RobotsTxt.rulesFor(f, "a").crawlDelay.contains(3L))
+    assert(RobotsTxt.rulesFor(f, "b").crawlDelay.isEmpty)
+    // precedence untouched: the delay line adds no allow/disallow rule
+    assert(RobotsTxt.rulesFor(f, "a").size == 1)
+  }
 }

@@ -72,4 +72,38 @@ class CrawlFrontierSpec extends SparkSpec {
         s"$h: n_refs must be non-increasing in rank")
     }
   }
+
+  test("fetch schedule: consecutive fetches on one host are spaced " +
+      "at exactly the host's Crawl-delay; the seed host (no " +
+      "published delay) paces at the 1 s default") {
+    val sched = WarcQueries.pipelineFetchSchedule(spark, sf)
+      .select(col("host"), col("rk"), col("delay_s"),
+        col("fetch_at_s"), col("wave"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(sched.nonEmpty)
+    // the schedule covers the frontier 1:1 — no URL lost or invented
+    assert(sched.length == rows.length,
+      s"schedule rows ${sched.length} != frontier rows ${rows.length}")
+    sched.groupBy(_._1).foreach { case (h, rs) =>
+      val byRk = rs.sortBy(_._2)
+      val d = byRk.head._3
+      assert(byRk.forall(_._3 == d), s"$h: one delay per host")
+      byRk.zip(byRk.tail).foreach { case (a, b) =>
+        assert(b._4 - a._4 == d,
+          s"$h: gap ${b._4 - a._4} != crawl-delay $d between " +
+            s"rk=${a._2} and rk=${b._2}")
+      }
+      assert(byRk.forall(r => r._5 == r._4 / WarcQueries.WAVE_SECONDS),
+        s"$h: wave must be fetch_at_s DIV WAVE_SECONDS")
+    }
+    val bySuffix = sched.groupBy(_._1).view.mapValues(_.head._3)
+    assert(bySuffix.get("example.org").forall(_ == 1L),
+      "the seed host must fall back to the default delay")
+    // the fixture's published delays (1 + d%3) must round-trip the
+    // parser: spot-check one of each class that survives the gate
+    Seq("example-blog.net" -> 2L, "forumhub.dev" -> 2L).foreach {
+      case (h, want) => bySuffix.get(h).foreach(got =>
+        assert(got == want, s"$h: parsed delay $got != published $want"))
+    }
+  }
 }
