@@ -988,6 +988,153 @@ object WarcQueries {
       .replace("%WRAP%",
         graft.operators.TextQueries.htmlWrapSqlExpr("doc_id", "text"))
 
+  /** snk_wat — the WAT (web-archive-transformation) METADATA
+    * companion Common Crawl ships as the third member of the
+    * WARC/WAT/WET triple: per HTTP-200 response, one `metadata`
+    * record whose payload is a JSON envelope of what a pipeline
+    * mines WITHOUT the body — target URI, capture time, payload
+    * digest, status, and the page's out-links (the warc_links
+    * extraction, preserved at URL level). The JSON is assembled by
+    * CONCATENATION in body order, never a map-backed serializer, so
+    * its bytes are deterministic and the oracle rebuilds the exact
+    * string from documents arithmetic — the per-file digest sum pins
+    * byte-for-byte JSON equality through the write→read round trip,
+    * and the links count is re-parsed FROM the read-back JSON (an
+    * extraction bug cannot hide behind a byte-identical envelope).
+    *
+    * Scale shape: the [[snkWet]] discipline — one parsed-WARC scan,
+    * row-local JSON assembly, per-file-task member writes (memoized
+    * per corpus fingerprint; the measured cost is the read-back
+    * audit), one header-cheap read-back aggregating to |files| rows. */
+  private val watRootMemo = new BuildMemo[String]()
+
+  /** The memoized WAT root for a corpus (builds on first use). */
+  private[operators] def watRootFor(s: SparkSession, dir: String): String = {
+    val root = warcRoot(s, dir)
+    val fp = IndexManifest.corpusFingerprint(dir, "documents")
+    watRootMemo.getOrBuild(s"$dir|$fp", s.sparkContext) {
+      MemoBuilds.record("wat_fixture")
+      buildWatRoot(s, root)
+    }
+  }
+
+  def snkWat(s: SparkSession, dir: String): DataFrame = {
+    val watRoot = watRootFor(s, dir)
+    val payload = decode(col("body"), "UTF-8")
+    warcRecords(s, s"file:$watRoot/*.warc.gz")
+      .filter(col("rec_type") === "metadata")
+      .select(
+        regexp_extract(col("src_file"), "part-(\\d+)\\.warc\\.gz$", 1)
+          .cast("long").as("file_k"),
+        length(col("body")).cast("long").as("nb"),
+        conv(substring(sha2(col("body"), 256), 1, 10), 16, 10)
+          .cast("long").as("dg"),
+        // the url field is also an https string: links = matches − 1
+        (size(regexp_extract_all(payload,
+          lit("\"(https://[^\"]+)\""), lit(1))) - 1)
+          .cast("long").as("nl"))
+      .groupBy(col("file_k"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(col("nb")).as("total_bytes"),
+        sum(col("dg")).as("digest_sum"),
+        sum(col("nl")).as("n_links"))
+  }
+
+  /** The distributed WAT write (see [[snkWat]]). Returns the root. */
+  private def buildWatRoot(s: SparkSession, root: String): String = {
+    val watRoot = Files.createTempDirectory("graft-wat").toString
+    IndexManifest.registerTempRoot(watRoot)
+    val page = decode(col("body"), "UTF-8")
+    warcRecords(s, s"file:$root/*.warc.gz")
+      .filter(col("rec_type") === "response" && col("http_status") === 200)
+      .select(col("url"),
+        regexp_extract(col("src_file"), "part-(\\d+)\\.warc\\.gz$", 1)
+          .cast("long").as("k"),
+        col("warc_ts"),
+        regexp_extract(col("url"), "page/(\\d+)$", 1).cast("long")
+          .as("doc_id"),
+        concat(
+          lit("{\"url\":\""), col("url"),
+          lit("\",\"ts\":\""), col("warc_ts"),
+          lit("\",\"digest\":\"sha256:"),
+          substring(sha2(col("body"), 256), 1, 16),
+          lit("\",\"status\":200,\"links\":[\""),
+          array_join(regexp_extract_all(page,
+            lit("<a href=\"(https://[^\"]+)\""), lit(1)), "\",\""),
+          lit("\"]}")).as("meta"))
+      .repartition(N_FILES, col("k"))
+      .sortWithinPartitions(col("k"), col("doc_id"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        var curK = -1L
+        var out: WarcIo.MemberWriter = null
+        def closeCur(): Unit = if (out != null) { out.close(); out = null }
+        try {
+          it.foreach { r =>
+            val (url, k, ts, id, meta) = (r.getString(0), r.getLong(1),
+              r.getString(2), r.getLong(3), r.getString(4))
+            if (k != curK) {
+              closeCur()
+              out = new WarcIo.MemberWriter(
+                new java.io.BufferedOutputStream(
+                  new java.io.FileOutputStream(
+                    s"$watRoot/part-$k.warc.gz")))
+              curK = k
+            }
+            out.writeRecord(Seq(
+              "WARC-Type" -> "metadata",
+              "WARC-Record-ID" -> s"<urn:uuid:wat-$id>",
+              "WARC-Refers-To" -> s"<urn:uuid:resp-$id>",
+              "WARC-Date" -> ts,
+              "WARC-Target-URI" -> url,
+              "Content-Type" -> "application/json"),
+              meta.getBytes("UTF-8"))
+          }
+        } finally closeCur()
+      }
+    watRoot
+  }
+
+  lazy val snkWatSql: String =
+    s"""WITH wat AS (
+       |  SELECT doc_id, doc_id % ${N_FILES} AS k,
+       |    '{"url":"https://example.org/page/' || doc_id ||
+       |    '","ts":"' ||
+       |    strftime(TIMESTAMP '2022-05-01 00:00:00' + to_seconds(doc_id),
+       |      '%Y-%m-%dT%H:%M:%SZ') ||
+       |    '","digest":"sha256:' || substr(sha256(%WRAP%), 1, 16) ||
+       |    '","status":200,"links":["https://' || %L1DOM% ||
+       |    '/page/' || (doc_id + 1) || '","https://' || %L2DOM% ||
+       |    '/page/' || (doc_id + 2) || '","https://' || %L3DOM% ||
+       |    '/page/' || (doc_id + 3) || '"]}' AS p
+       |  FROM documents WHERE doc_id % 7 <> 0)
+       |SELECT CAST(k AS BIGINT) AS file_k,
+       |  CAST(count(*) AS BIGINT) AS n_records,
+       |  CAST(sum(octet_length(encode(p))) AS BIGINT) AS total_bytes,
+       |  CAST(sum(CAST('0x' || substr(sha256(p), 1, 10) AS BIGINT))
+       |    AS BIGINT) AS digest_sum,
+       |  CAST(3 * count(*) AS BIGINT) AS n_links
+       |FROM wat GROUP BY k""".stripMargin
+      .replace("%WRAP%",
+        "(" + TextQueries.htmlWrapSqlExpr("doc_id", "text") + ")")
+      .replace("%L1DOM%", linkDomSql(
+        """CASE WHEN ((doc_id) % 10) BETWEEN 5 AND 7
+          | THEN 5 + ((((doc_id) % 10) - 4) % 3)
+          | ELSE (((doc_id) % 10) + 1) % 10 END""".stripMargin
+          .replace("\n", " ")))
+      .replace("%L2DOM%", linkDomSql(
+        """CASE WHEN ((doc_id) % 10) BETWEEN 5 AND 7
+          | THEN 5 + ((((doc_id) % 10) - 3) % 3) ELSE 0 END""".stripMargin
+          .replace("\n", " ")))
+      .replace("%L3DOM%", linkDomSql(
+        """CASE WHEN ((doc_id) % 10) BETWEEN 5 AND 7
+          | THEN 0 ELSE (9 * ((doc_id) % 10) + 1) % 10 END""".stripMargin
+          .replace("\n", " ")))
+
+  /** `doms[i + 1]` over the literal domain list (DuckDB 1-indexed). */
+  private def linkDomSql(i: String): String =
+    "([" + PipelineQueries.URL_DOMAINS.map(d => s"'$d'").mkString(",") +
+      s"])[($i) + 1]"
+
   /** pipeline_crawl_funnel — the corpus-funnel card a crawl run
     * reports: per domain, how many URLs survive EACH gate in
     * published-pipeline order — robots.txt (curation_robots_filter's
@@ -1619,7 +1766,8 @@ object WarcQueries {
     "warc_cdx" -> (warcCdx _),
     "warc_revisit_audit" -> (warcRevisitAudit _),
     "src_sitemap" -> (srcSitemap _),
-    "snk_wet" -> (snkWet _)
+    "snk_wet" -> (snkWet _),
+    "snk_wat" -> (snkWat _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -1636,6 +1784,7 @@ object WarcQueries {
     "warc_cdx" -> warcCdxSql,
     "warc_revisit_audit" -> warcRevisitAuditSql,
     "src_sitemap" -> srcSitemapSql,
-    "snk_wet" -> snkWetSql
+    "snk_wet" -> snkWetSql,
+    "snk_wat" -> snkWatSql
   )
 }

@@ -100,4 +100,45 @@ class WarcQueriesSpec extends SparkSpec {
     assert(first.sameElements(second),
       "memo hit must serve the identical audit")
   }
+
+  test("snk_wat: metadata records pair 1:1 with HTTP-200 responses " +
+      "via WARC ids, the JSON carries the page's ACTUAL anchors, and " +
+      "the root memoizes per corpus fingerprint") {
+    val watRoot = WarcQueries.watRootFor(spark, sf)
+    val before = MemoBuilds.count
+    assert(WarcQueries.watRootFor(spark, sf) == watRoot &&
+      !MemoBuilds.labelsSince(before).contains("wat_fixture"),
+      "second call must hit the memo, not repay the distributed write")
+    // id linkage: wat-<id> record ids == resp-<id> ids of the 200 set
+    val src = WarcQueries.warcRecords(spark,
+      s"file:${WarcQueries.warcRoot(spark, sf)}/*.warc.gz")
+    val respIds = src
+      .filter(col("rec_type") === "response" && col("http_status") === 200)
+      .select(regexp_extract(col("url"), "page/(\\d+)$", 1).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val wat = WarcQueries.warcRecords(spark, s"file:$watRoot/*.warc.gz")
+      .filter(col("rec_type") === "metadata")
+      .select(col("rec_id"), decode(col("body"), "UTF-8").as("json"))
+      .collect()
+    val watIds = wat.map(r =>
+      "wat-(\\d+)".r.findFirstMatchIn(r.getString(0)).get.group(1).toLong)
+      .sorted
+    assert(watIds.toSeq == respIds.toSeq,
+      "one WAT metadata record per HTTP-200 response, keyed by id")
+    // a sampled record's JSON links == the linkTargets arithmetic
+    val sample = wat.minBy(r =>
+      "wat-(\\d+)".r.findFirstMatchIn(r.getString(0)).get.group(1).toLong)
+    val id = respIds.head
+    val (t1, t2, t3) = TextQueries.linkTargets((id % 10).toInt)
+    val doms = Seq("example-news.com", "example-blog.net",
+      "acme-docs.org", "shopmart.io", "forumhub.dev", "adfarm.biz",
+      "spam-mill.info", "trackpix.co", "mirrorsite.us", "campuswiki.edu")
+    val expect = s""""links":["https://${doms(t1)}/page/${id + 1}",""" +
+      s""""https://${doms(t2)}/page/${id + 2}",""" +
+      s""""https://${doms(t3)}/page/${id + 3}"]"""
+    assert(sample.getString(1).contains(expect),
+      s"JSON for doc $id must carry its three anchors: " +
+        s"${sample.getString(1)}")
+    assert(sample.getString(1).contains(s""""url":"https://example.org/page/$id""""))
+  }
 }
