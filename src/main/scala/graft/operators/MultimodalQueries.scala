@@ -398,7 +398,204 @@ object MultimodalQueries {
       |  unnest(generate_series(0, CAST(3 + d.doc_id % 9 AS BIGINT))) AS g(i)
       |GROUP BY 1""".stripMargin
 
+  // ── WebDataset shard loop: the tar-shard format multimodal
+  // training jobs stream (image/audio-text pairs as `<key>.<ext>`
+  // entry runs inside fixed-count `.tar` shards) — the media twin of
+  // pipeline_tokenize_pack's text shards ──
+
+  private[operators] val WDS_SHARDS = 32
+  private val wdsRootMemo = new BuildMemo[String]()
+
+  /** The memoized WebDataset root (one `part-k.tar` per shard). */
+  private[operators] def wdsRootFor(s: SparkSession, dir: String): String = {
+    val fp = IndexManifest.corpusFingerprint(dir, "documents")
+    wdsRootMemo.getOrBuild(s"$dir|$fp", s.sparkContext) {
+      MemoBuilds.record("wds_fixture")
+      buildWdsRoot(s, dir)
+    }
+  }
+
+  /** The distributed shard write: every media record becomes a
+    * two-entry sample — `<key>.bin` (payload bytes) then
+    * `<key>.json` (concat-built metadata, byte-deterministic) —
+    * landed sample-contiguous and key-sorted inside its shard (the
+    * WebDataset layout contract that lets a reader stream samples
+    * without an index). Shard = doc_id mod [[WDS_SHARDS]]; one
+    * writer task per shard; TarIo headers are fully deterministic,
+    * so shard BYTES are a pure function of the corpus. */
+  private def buildWdsRoot(s: SparkSession, dir: String): String = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-wds").toString
+    IndexManifest.registerTempRoot(root)
+    documents(s, dir)
+      .select(col("doc_id"),
+        (col("doc_id") % WDS_SHARDS).as("k"),
+        lpad(col("doc_id").cast("string"), 9, "0").as("key"),
+        col("text").cast("binary").as("payload"),
+        concat(
+          lit("{\"doc_id\":"), col("doc_id"),
+          lit(",\"media_type\":\""),
+          when(col("doc_id") % 3 === 0, lit("image/png"))
+            .when(col("doc_id") % 3 === 1, lit("audio/wav"))
+            .otherwise(lit("video/mp4")),
+          lit("\",\"lang\":\""), col("lang"),
+          lit("\",\"source\":\""), col("source"),
+          lit("\"}")).as("meta"))
+      .repartition(WDS_SHARDS, col("k"))
+      .sortWithinPartitions(col("k"), col("doc_id"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        var curK = -1L
+        var out: java.io.OutputStream = null
+        def closeCur(): Unit = if (out != null) {
+          graft.ingest.TarIo.finish(out); out.close(); out = null
+        }
+        try {
+          it.foreach { r =>
+            val k = r.getLong(1)
+            if (k != curK) {
+              closeCur()
+              out = new java.io.BufferedOutputStream(
+                new java.io.FileOutputStream(s"$root/part-$k.tar"))
+              curK = k
+            }
+            val key = r.getString(2)
+            graft.ingest.TarIo.writeEntry(out, s"$key.bin",
+              r.getAs[Array[Byte]](3))
+            graft.ingest.TarIo.writeEntry(out, s"$key.json",
+              r.getString(4).getBytes("UTF-8"))
+          }
+        } finally closeCur()
+      }
+    root
+  }
+
+  /** Tar entry stream over a shard glob — one parse task per shard
+    * file (the WebDataset consumption unit: a reader streams whole
+    * shards, never seeks). Columns: (name, data, err, src_file). */
+  private[operators] def tarEntries(
+      s: SparkSession, glob: String): DataFrame = {
+    import s.implicits._
+    val sessionConf = graft.ingest.ListingCache.sessionConfSnapshot(s)
+    val listing = graft.ingest.ListingCache.globListing(s, glob)
+      .as[String]
+    val nFiles = math.max(listing.count().toInt, 1)
+    listing
+      .repartition(math.min(nFiles, 4096))
+      .mapPartitions { it =>
+        val conf = graft.ingest.ListingCache.confWith(
+          new org.apache.hadoop.conf.Configuration(false), sessionConf)
+        it.flatMap { url =>
+          val p = new org.apache.hadoop.fs.Path(url)
+          try {
+            val in = p.getFileSystem(conf).open(p)
+            graft.ingest.TarIo.readEntries(in)
+              .map(e => (e.name, e.data, e.err, url))
+          } catch { case e: Exception =>
+            Iterator(("", Array.emptyByteArray,
+              s"tar: open failed: ${e.getMessage}", url))
+          }
+        }
+      }
+      .toDF("name", "data", "err", "src_file")
+  }
+
+  /** snk_webdataset — write the media corpus as WebDataset tar
+    * shards, then AUDIT what landed by reading every shard back
+    * through the tar parser: per shard, the sample/entry counts,
+    * total payload bytes, and digest sums over payload AND metadata
+    * entries — all recomputed by DuckDB from documents arithmetic,
+    * so the write→read round trip is hash-gated end to end (the
+    * snk_wet discipline applied to the tar container).
+    *
+    * Scale shape: row-local sample assembly, one writer task per
+    * shard (memoized per corpus fingerprint — the measured cost is
+    * the read-back audit), one streaming parse task per shard
+    * aggregating to |shards| rows; payload bytes never shuffle. */
+  def snkWebdataset(s: SparkSession, dir: String): DataFrame = {
+    val root = wdsRootFor(s, dir)
+    tarEntries(s, s"file:$root/part-*.tar")
+      .filter(col("err") === "")
+      .select(
+        regexp_extract(col("src_file"), "part-(\\d+)\\.tar$", 1)
+          .cast("long").as("file_k"),
+        col("name"), col("data"))
+      .groupBy(col("file_k"))
+      .agg(
+        sum(when(col("name").endsWith(".json"), 1L).otherwise(0L))
+          .as("n_samples"),
+        count(lit(1)).as("n_entries"),
+        sum(when(col("name").endsWith(".bin"), length(col("data")))
+          .otherwise(0L)).as("payload_bytes"),
+        sum(when(col("name").endsWith(".bin"),
+          conv(substring(sha2(col("data"), 256), 1, 10), 16, 10)
+            .cast("long")).otherwise(0L)).as("payload_digest_sum"),
+        sum(when(col("name").endsWith(".json"),
+          conv(substring(sha2(col("data"), 256), 1, 10), 16, 10)
+            .cast("long")).otherwise(0L)).as("json_digest_sum"))
+  }
+
+  lazy val snkWebdatasetSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, doc_id % $WDS_SHARDS AS k, text,
+       |    '{"doc_id":' || doc_id || ',"media_type":"' ||
+       |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+       |         WHEN doc_id % 3 = 1 THEN 'audio/wav'
+       |         ELSE 'video/mp4' END ||
+       |    '","lang":"' || lang || '","source":"' || source || '"}'
+       |      AS meta
+       |  FROM documents)
+       |SELECT CAST(k AS BIGINT) AS file_k,
+       |  CAST(count(*) AS BIGINT) AS n_samples,
+       |  CAST(2 * count(*) AS BIGINT) AS n_entries,
+       |  CAST(sum(octet_length(encode(text))) AS BIGINT)
+       |    AS payload_bytes,
+       |  CAST(sum(CAST('0x' || substr(sha256(text), 1, 10) AS BIGINT))
+       |    AS BIGINT) AS payload_digest_sum,
+       |  CAST(sum(CAST('0x' || substr(sha256(meta), 1, 10) AS BIGINT))
+       |    AS BIGINT) AS json_digest_sum
+       |FROM m GROUP BY k""".stripMargin
+
+  /** src_webdataset — consume the shards as a SOURCE: reassemble
+    * each sample from its entry run (key = the shared name prefix)
+    * into one typed row — key, parsed metadata fields, payload size
+    * and digest. The entry→sample reassembly is one hash agg on the
+    * sample key; every field is recomputed by DuckDB from documents,
+    * so a pairing bug (a .bin grouped under the wrong sample) goes
+    * hash-red. */
+  def srcWebdataset(s: SparkSession, dir: String): DataFrame = {
+    val root = wdsRootFor(s, dir)
+    tarEntries(s, s"file:$root/part-*.tar")
+      .filter(col("err") === "")
+      .select(
+        regexp_extract(col("name"), "^(\\d+)\\.", 1).as("key"),
+        col("name"), col("data"))
+      .groupBy(col("key"))
+      .agg(
+        max(when(col("name").endsWith(".json"),
+          regexp_extract(decode(col("data"), "UTF-8"),
+            "\"media_type\":\"([^\"]+)\"", 1))).as("media_type"),
+        max(when(col("name").endsWith(".json"),
+          regexp_extract(decode(col("data"), "UTF-8"),
+            "\"lang\":\"([^\"]+)\"", 1))).as("lang"),
+        max(when(col("name").endsWith(".bin"), length(col("data"))))
+          .cast("long").as("payload_bytes"),
+        max(when(col("name").endsWith(".bin"),
+          substring(sha2(col("data"), 256), 1, 16))).as("payload_sha16"))
+  }
+
+  lazy val srcWebdatasetSql: String =
+    """SELECT lpad(CAST(doc_id AS VARCHAR), 9, '0') AS key,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+      |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+      |       ELSE 'video/mp4' END AS media_type,
+      |  lang,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+      |  substr(sha256(text), 1, 16) AS payload_sha16
+      |FROM documents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "snk_webdataset" -> (snkWebdataset _),
+    "src_webdataset" -> (srcWebdataset _),
     "multimodal_struct" -> (multimodalStruct _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_dedup" -> (multimodalDedup _),
@@ -409,6 +606,8 @@ object MultimodalQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "snk_webdataset" -> snkWebdatasetSql,
+    "src_webdataset" -> srcWebdatasetSql,
     "multimodal_struct" -> multimodalStructSql,
     "multimodal_dedup" -> multimodalDedupSql,
     "multimodal_video_meta" -> multimodalVideoMetaSql,
