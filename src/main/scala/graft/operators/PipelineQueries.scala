@@ -915,7 +915,71 @@ object PipelineQueries {
        |FROM cum WHERE c - n_tok < $DSIR_BUDGET""".stripMargin
   }
 
+  /** curation_ensemble — the agreement card across the engine's FOUR
+    * independent quality gates, the published-practice ensemble
+    * (FineWeb/Dolma-style pipelines never trust a single filter):
+    * Gopher rules (hand-written card), the perplexity gate (CCNet
+    * shape), the heuristic quality-quantile filter, and the TRAINED
+    * linear filter — evaluated on the held-out split the linear
+    * model scores, grouped by the 4-bit verdict pattern with a
+    * ≥3-of-4 majority keep. The card is what a curation run reads to
+    * see WHERE the filters disagree (the pattern rows with split
+    * verdicts are the audit queue).
+    *
+    * Scale shape: each verdict is the already-verified operator's
+    * plan (row-local cards, bounded-model broadcasts, the driver-
+    * gated trainer); composition is three co-partitioned doc_id
+    * joins and ONE hash agg to ≤16 pattern rows. Oracle: all four
+    * kernels replayed in SQL — the linear chain's recursive CTEs
+    * nest as a subquery — joined and re-aggregated identically. */
+  def curationEnsemble(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val g = TextQueries.gopherRulesFrom(d)
+      .select(col("doc_id"), col("keep").as("g"))
+    val p = TextQueries.textPplFilter(s, dir)
+      .select(col("doc_id"), col("keep").as("p"))
+    val scored = TextQueries.textQuality(s, dir)
+      .select(col("doc_id"), col("quality"))
+    val thr = scored.agg(
+      round(expr("percentile(quality, 0.2)") + lit(1e-9), 6).as("thr"))
+    val q = scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), (col("quality") >= col("thr")).as("q"))
+    val l = LinearClassifyQueries.textQualityLinear(s, dir)
+      .select(col("doc_id"), (col("pred_quality") === "hq").as("lk"))
+    l.join(g, Seq("doc_id")).join(p, Seq("doc_id")).join(q, Seq("doc_id"))
+      .groupBy(col("g").as("gopher_keep"), col("p").as("ppl_keep"),
+        col("q").as("quality_keep"), col("lk").as("linear_keep"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("ensemble_keep",
+        (col("gopher_keep").cast("int") + col("ppl_keep").cast("int") +
+          col("quality_keep").cast("int") +
+          col("linear_keep").cast("int")) >= 3)
+  }
+
+  lazy val curationEnsembleSql: String =
+    s"""WITH gph AS (SELECT doc_id, keep AS g FROM (%GOPHER%) x),
+       |pplv AS (SELECT doc_id, keep AS p FROM (%PPL%) y),
+       |qsc AS (SELECT doc_id, quality FROM (%QUALITY%) z),
+       |qthr AS (SELECT round(quantile_cont(quality, 0.2) + 1e-9, 6)
+       |  AS thr FROM qsc),
+       |qlt AS (SELECT qsc.doc_id, qsc.quality >= qthr.thr AS q
+       |  FROM qsc, qthr),
+       |lpred AS (%LIN%),
+       |j AS (SELECT l.pred_quality = 'hq' AS lk, gph.g, pplv.p, qlt.q
+       |  FROM lpred l JOIN gph USING (doc_id)
+       |  JOIN pplv USING (doc_id) JOIN qlt USING (doc_id))
+       |SELECT g AS gopher_keep, p AS ppl_keep, q AS quality_keep,
+       |  lk AS linear_keep, CAST(count(*) AS BIGINT) AS n_docs,
+       |  (CAST(g AS INT) + CAST(p AS INT) + CAST(q AS INT)
+       |    + CAST(lk AS INT)) >= 3 AS ensemble_keep
+       |FROM j GROUP BY 1, 2, 3, 4""".stripMargin
+      .replace("%GOPHER%", TextQueries.textGopherRulesSql)
+      .replace("%PPL%", TextQueries.textPplFilterSql)
+      .replace("%QUALITY%", TextQueries.textQualitySql)
+      .replace("%LIN%", LinearClassifyQueries.textQualityLinearSql)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_ensemble" -> (curationEnsemble _),
     "pipeline_dsir_select" -> (pipelineDsirSelect _),
     "pipeline_split_leakage_near" -> (pipelineSplitLeakageNear _),
     "curation_url_filter" -> (curationUrlFilter _),
@@ -929,6 +993,7 @@ object PipelineQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "curation_ensemble" -> curationEnsembleSql,
     "pipeline_dsir_select" -> pipelineDsirSelectSql,
     "pipeline_split_leakage_near" -> pipelineSplitLeakageNearSql,
     "curation_url_filter" -> curationUrlFilterSql,

@@ -373,4 +373,38 @@ class CurationSpec extends SparkSpec {
     assert(o2.length == 1 && o2.head.getLong(3) == 1L &&
       o2.head.getLong(4) == 0L)
   }
+
+  test("curation_ensemble: covers the held-out split 1:1, the four " +
+      "gates genuinely disagree somewhere, and majority-keep sits " +
+      "strictly between the strictest and laxest single gate") {
+    val rows = PipelineQueries.curationEnsemble(spark, sf).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getLong(4), r.getBoolean(5)))
+    val total = rows.map(_._5).sum
+    val heldOut = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 >= 7).count()
+    assert(total == heldOut,
+      s"card must cover the scored split 1:1: $total != $heldOut")
+    // real disagreement: at least one pattern with mixed verdicts
+    assert(rows.exists { case (g, p, q, l, _, _) =>
+      Set(g, p, q, l).size == 2 },
+      s"no mixed-verdict pattern — the ensemble card is vacuous: " +
+        s"${rows.toSeq}")
+    // majority keep == the >=3-of-4 rule, recomputed
+    rows.foreach { case (g, p, q, l, _, keep) =>
+      val votes = Seq(g, p, q, l).count(identity)
+      assert(keep == (votes >= 3), s"pattern ($g,$p,$q,$l): " +
+        s"ensemble_keep $keep != majority of $votes votes")
+    }
+    // the majority-kept count is bounded by single-gate counts:
+    // stricter than the laxest gate, laxer than the intersection
+    val kept = rows.filter(_._6).map(_._5).sum
+    val laxest = Seq(
+      rows.filter(_._1).map(_._5).sum, rows.filter(_._2).map(_._5).sum,
+      rows.filter(_._3).map(_._5).sum, rows.filter(_._4).map(_._5).sum)
+    val allFour = rows.filter(r => r._1 && r._2 && r._3 && r._4)
+      .map(_._5).sum
+    assert(kept <= laxest.max && kept >= allFour,
+      s"majority-kept $kept outside [$allFour, ${laxest.max}]")
+  }
 }
