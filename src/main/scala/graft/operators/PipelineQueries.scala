@@ -978,8 +978,114 @@ object PipelineQueries {
       .replace("%QUALITY%", TextQueries.textQualitySql)
       .replace("%LIN%", LinearClassifyQueries.textQualityLinearSql)
 
+  // ── pipeline_curriculum — the two-phase data schedule ──
+
+  /** Token budgets per language for the two stages. Fixed constants
+    * (the [[SampleQueries.LANG_BUDGET]] idiom): at any corpus size
+    * the schedule is a budget CONTRACT, not a fraction. */
+  private[operators] val CURR_ANNEAL_BUDGET = 600L
+  private[operators] val CURR_BULK_BUDGET = 2400L
+
+  /** pipeline_curriculum — the published two-phase training-data
+    * schedule (bulk pre-train, then a final high-quality ANNEAL
+    * phase): per language, stage `anneal` draws from the TOP-2
+    * quality deciles up to its token budget, then stage `bulk` draws
+    * from deciles 1–8 (bottom 20% never trains) EXCLUDING the anneal
+    * picks — the two stages are disjoint so the schedule's token
+    * accounting is exact. Both draws use the engine's one packing
+    * rule: hash-bucket order with a per-language cumulative-token
+    * admission (sample_token_budget), so the schedule is
+    * reproducible across runs, engines, and partitionings. Output:
+    * the per-(stage, lang) schedule card with the decile span
+    * actually drawn.
+    *
+    * Scale shape: deciles are one window per language; each draw is
+    * one more window over the eligible slice; the anneal exclusion
+    * is a broadcast anti-join on a BUDGET-BOUNDED set (≤ budget
+    * tokens per lang → driver-safe by construction). */
+  /** The two stage draws as row sets (doc_id, n_tok, bucket, lang,
+    * decile) — the seam the spec pins (disjointness, decile gates,
+    * budget bound, partition invariance). */
+  private[graft] def curriculumDraws(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = TextQueries.textQualityDecile(s, dir)
+      .select(col("doc_id"), col("lang"), col("decile"))
+    val tok = documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        SampleQueries.hashBucket(col("doc_id")).as("bucket"))
+      .join(dec, Seq("doc_id"))
+    def draw(elig: DataFrame, budget: Long): DataFrame = {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("bucket"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      elig.withColumn("cum", sum(col("n_tok")).over(w))
+        .filter(col("cum") - col("n_tok") < budget)
+        .drop("cum")
+    }
+    val anneal = draw(tok.filter(col("decile") <= 2), CURR_ANNEAL_BUDGET)
+      .persist()
+    val bulk = draw(
+      tok.filter(col("decile") <= 8)
+        .join(broadcast(anneal.select(col("doc_id"))),
+          Seq("doc_id"), "left_anti"),
+      CURR_BULK_BUDGET)
+    (anneal, bulk)
+  }
+
+  def pipelineCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val (anneal, bulk) = curriculumDraws(s, dir)
+    def card(stage: String, d: DataFrame): DataFrame =
+      d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          min(col("decile")).as("top_decile"),
+          max(col("decile")).as("bottom_decile"))
+        .select(lit(stage).as("stage"), col("lang"), col("n_docs"),
+          col("n_tokens"), col("top_decile"), col("bottom_decile"))
+    card("anneal", anneal).unionByName(card("bulk", bulk))
+  }
+
+  lazy val pipelineCurriculumSql: String =
+    s"""WITH dec AS (
+       |  SELECT doc_id, lang,
+       |    CAST(ntile(10) OVER (PARTITION BY lang
+       |      ORDER BY ${TextQueries.QualityScore.QUALITY_SQL} DESC,
+       |        doc_id) AS BIGINT) AS decile,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 6)
+       |      AS BIGINT) % 1000 AS bucket
+       |  FROM documents),
+       |ann AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, lang, decile, n_tok,
+       |      sum(n_tok) OVER (PARTITION BY lang ORDER BY bucket, doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |    FROM dec WHERE decile <= 2)
+       |  WHERE cum - n_tok < $CURR_ANNEAL_BUDGET),
+       |blk AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, lang, decile, n_tok,
+       |      sum(n_tok) OVER (PARTITION BY lang ORDER BY bucket, doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |    FROM dec WHERE decile <= 8
+       |      AND NOT EXISTS (SELECT 1 FROM ann WHERE ann.doc_id = dec.doc_id))
+       |  WHERE cum - n_tok < $CURR_BULK_BUDGET)
+       |SELECT 'anneal' AS stage, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(min(decile) AS BIGINT) AS top_decile,
+       |  CAST(max(decile) AS BIGINT) AS bottom_decile
+       |FROM ann GROUP BY lang
+       |UNION ALL
+       |SELECT 'bulk', lang, CAST(count(*) AS BIGINT),
+       |  CAST(sum(n_tok) AS BIGINT), CAST(min(decile) AS BIGINT),
+       |  CAST(max(decile) AS BIGINT)
+       |FROM blk GROUP BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_ensemble" -> (curationEnsemble _),
+    "pipeline_curriculum" -> (pipelineCurriculum _),
     "pipeline_dsir_select" -> (pipelineDsirSelect _),
     "pipeline_split_leakage_near" -> (pipelineSplitLeakageNear _),
     "curation_url_filter" -> (curationUrlFilter _),
@@ -994,6 +1100,7 @@ object PipelineQueries {
 
   def oracle: Map[String, String] = Map(
     "curation_ensemble" -> curationEnsembleSql,
+    "pipeline_curriculum" -> pipelineCurriculumSql,
     "pipeline_dsir_select" -> pipelineDsirSelectSql,
     "pipeline_split_leakage_near" -> pipelineSplitLeakageNearSql,
     "curation_url_filter" -> curationUrlFilterSql,

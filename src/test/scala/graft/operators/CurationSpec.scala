@@ -407,4 +407,38 @@ class CurationSpec extends SparkSpec {
     assert(kept <= laxest.max && kept >= allFour,
       s"majority-kept $kept outside [$allFour, ${laxest.max}]")
   }
+
+  test("pipeline_curriculum: stages are DISJOINT, decile gates hold " +
+      "(anneal<=2, bulk<=8, bottom 20% never trains), and each " +
+      "lang's draw overshoots its budget by at most one document") {
+    val (anneal, bulk) = PipelineQueries.curriculumDraws(spark, sf)
+    val a = anneal.select(col("doc_id"), col("lang"), col("decile"),
+      col("n_tok")).collect()
+    val b = bulk.select(col("doc_id"), col("lang"), col("decile"),
+      col("n_tok")).collect()
+    assert(a.nonEmpty && b.nonEmpty)
+    val aIds = a.map(_.getLong(0)).toSet
+    assert(!b.exists(r => aIds(r.getLong(0))),
+      "a document must never appear in both stages")
+    assert(a.forall(_.getLong(2) <= 2), "anneal draws top-2 deciles only")
+    assert(b.forall(_.getLong(2) <= 8), "bulk must exclude deciles 9-10")
+    def checkBudget(rows: Array[org.apache.spark.sql.Row],
+        budget: Long, name: String): Unit =
+      rows.groupBy(_.getString(1)).foreach { case (lang, rs) =>
+        val tot = rs.map(_.getLong(3)).sum
+        val maxDoc = rs.map(_.getLong(3)).max
+        assert(tot < budget + maxDoc,
+          s"$name/$lang: $tot tokens overshoots budget $budget by " +
+            s"more than the last admitted doc")
+      }
+    checkBudget(a, PipelineQueries.CURR_ANNEAL_BUDGET, "anneal")
+    checkBudget(b, PipelineQueries.CURR_BULK_BUDGET, "bulk")
+    // partition invariance: the card is identical after a reshuffle
+    val card1 = PipelineQueries.pipelineCurriculum(spark, sf)
+      .orderBy("stage", "lang").collect().map(_.toString).toSeq
+    val card2 = PipelineQueries.pipelineCurriculum(spark, sf)
+      .repartition(7).orderBy("stage", "lang").collect()
+      .map(_.toString).toSeq
+    assert(card1 == card2, "schedule must be partition-invariant")
+  }
 }
