@@ -472,7 +472,7 @@ object MultimodalQueries {
   /** Tar entry stream over a shard glob — one parse task per shard
     * file (the WebDataset consumption unit: a reader streams whole
     * shards, never seeks). Columns: (name, data, err, src_file). */
-  private[operators] def tarEntries(
+  private[graft] def tarEntries(
       s: SparkSession, glob: String): DataFrame = {
     import s.implicits._
     val sessionConf = graft.ingest.ListingCache.sessionConfSnapshot(s)

@@ -70,6 +70,35 @@ object StreamingOps {
         "src_file", "rec_idx")
   }
 
+  /** stream_wds_ingest — incremental training-shard ingest: the
+    * binaryFile stream source discovers newly-landed WebDataset
+    * `.tar` shards (checkpoint = exactly-once per shard) and each
+    * shard parses through the SAME TarIo kernel as the batch source
+    * (MultimodalQueries.tarEntries), quarantine entries included —
+    * record-for-record batch parity pinned by StreamWdsSpec. A shard
+    * buffers whole per row; WebDataset sizes shards executor-small
+    * by construction (the format exists so trainers can stream whole
+    * files). */
+  def wdsIngest(spark: SparkSession, inputDir: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream
+      .format("binaryFile")
+      .schema(StructType.fromDDL(
+        "path STRING, modificationTime TIMESTAMP, " +
+          "length BIGINT, content BINARY"))
+      .option("pathGlobFilter", "*.tar")
+      .option("maxFilesPerTrigger", 100)
+      .load(inputDir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        graft.ingest.TarIo
+          .readEntries(new java.io.ByteArrayInputStream(bytes))
+          .map(e => (e.name, e.data, e.err, path))
+      }
+      .toDF("name", "data", "err", "src_file")
+  }
+
   /** stream_tumbling — fixed windows per event type. */
   def tumblingCounts(events: DataFrame): DataFrame =
     events
