@@ -1083,9 +1083,78 @@ object PipelineQueries {
        |  CAST(max(decile) AS BIGINT)
        |FROM blk GROUP BY lang""".stripMargin
 
+  // ── pipeline_mix_epochs — the data-constrained repetition plan ──
+
+  /** Global training token budget the epoch plan allocates. Fixed
+    * (the budget-contract idiom): the plan answers "how often must
+    * each subset repeat to fill THIS run". */
+  private[operators] val MIX_TRAIN_BUDGET = 100000L
+
+  /** Epoch ceiling: repeating data beyond ~4 epochs returns almost
+    * nothing (the published data-constrained-scaling rule), so the
+    * plan caps repetition there and reports the shortfall instead of
+    * pretending the budget was met. */
+  private[operators] val MIX_MAX_EPOCHS = 4L
+
+  /** pipeline_mix_epochs — the repetition plan a data-constrained
+    * training run needs: per language, the temperature-weighted
+    * token TARGET for this run's budget, how many epochs of the
+    * unique corpus that takes (capped at [[MIX_MAX_EPOCHS]]), the
+    * tokens actually served under the cap, and how many of those are
+    * repeats. Weights are THE sample_temperature formula (shared
+    * kernel, so mixture and plan cannot drift); all downstream
+    * arithmetic is integer floor/ceil, reproducible anywhere.
+    *
+    * Scale shape: one per-language token agg (map-side partial) and
+    * a |langs|-row broadcast of the normalizer — nothing else. */
+  def pipelineMixEpochs(s: SparkSession, dir: String): DataFrame = {
+    val perLang = documents(s, dir)
+      .select(col("lang"), size(split(col("text"), " ")).as("n_tok"))
+      .groupBy(col("lang")).agg(sum(col("n_tok")).as("n_tokens"))
+    SampleQueries.temperatureWeightsFrom(perLang)
+      .select(col("lang"), col("n_tokens"), col("q"))
+      .withColumn("target_tokens",
+        floor(col("q") * MIX_TRAIN_BUDGET + lit(1e-9)).cast("long"))
+      .withColumn("epochs",
+        least(
+          expr("(target_tokens + n_tokens - 1) DIV n_tokens"),
+          lit(MIX_MAX_EPOCHS)))
+      .withColumn("served_tokens",
+        least(col("target_tokens"), col("n_tokens") * MIX_MAX_EPOCHS))
+      .withColumn("repeated_tokens",
+        greatest(col("served_tokens") - col("n_tokens"), lit(0L)))
+  }
+
+  lazy val pipelineMixEpochsSql: String =
+    s"""WITH pl AS (
+       |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+       |    AS n_tokens
+       |  FROM documents GROUP BY lang),
+       |tot AS (SELECT sum(power(CAST(n_tokens AS DOUBLE),
+       |  ${SampleQueries.ALPHA})) AS z FROM pl),
+       |w AS (
+       |  SELECT lang, n_tokens,
+       |    round(power(CAST(n_tokens AS DOUBLE), ${SampleQueries.ALPHA})
+       |      / z + 1e-9, 4) AS q
+       |  FROM pl CROSS JOIN tot),
+       |plan AS (
+       |  SELECT lang, n_tokens, q,
+       |    CAST(floor(q * $MIX_TRAIN_BUDGET + 1e-9) AS BIGINT)
+       |      AS target_tokens
+       |  FROM w)
+       |SELECT lang, n_tokens, q, target_tokens,
+       |  least((target_tokens + n_tokens - 1) // n_tokens,
+       |    $MIX_MAX_EPOCHS) AS epochs,
+       |  least(target_tokens, n_tokens * $MIX_MAX_EPOCHS)
+       |    AS served_tokens,
+       |  greatest(least(target_tokens, n_tokens * $MIX_MAX_EPOCHS)
+       |    - n_tokens, 0) AS repeated_tokens
+       |FROM plan""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_ensemble" -> (curationEnsemble _),
     "pipeline_curriculum" -> (pipelineCurriculum _),
+    "pipeline_mix_epochs" -> (pipelineMixEpochs _),
     "pipeline_dsir_select" -> (pipelineDsirSelect _),
     "pipeline_split_leakage_near" -> (pipelineSplitLeakageNear _),
     "curation_url_filter" -> (curationUrlFilter _),
@@ -1101,6 +1170,7 @@ object PipelineQueries {
   def oracle: Map[String, String] = Map(
     "curation_ensemble" -> curationEnsembleSql,
     "pipeline_curriculum" -> pipelineCurriculumSql,
+    "pipeline_mix_epochs" -> pipelineMixEpochsSql,
     "pipeline_dsir_select" -> pipelineDsirSelectSql,
     "pipeline_split_leakage_near" -> pipelineSplitLeakageNearSql,
     "curation_url_filter" -> curationUrlFilterSql,

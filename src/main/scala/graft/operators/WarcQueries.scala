@@ -1601,11 +1601,18 @@ object WarcQueries {
     val root = warcRoot(s, dir)
     val seeds = srcSitemap(s, dir).select(col("url"))
     val page = decode(col("body"), "UTF-8")
+    // ONE archive scan feeds both frontier inputs: the compact
+    // (normalized fetched URL, href list) projection is cached —
+    // bodies dropped — instead of re-parsing every WARC a second
+    // time for the seen set (the two-scan shape this replaced would
+    // double the dominant cost at crawl scale)
     val resp200 = warcRecords(s, s"file:$root/*.warc.gz")
       .filter(col("rec_type") === "response" && col("http_status") === 200)
-    val discovered = resp200
-      .select(explode(regexp_extract_all(page,
-        lit("<a href=\"(https://[^\"]+)\""), lit(1))).as("url"))
+      .select(ScalarFnQueries.urlNormCol(col("url")).as("seen_u"),
+        regexp_extract_all(page,
+          lit("<a href=\"(https://[^\"]+)\""), lit(1)).as("hrefs"))
+      .persist()
+    val discovered = resp200.select(explode(col("hrefs")).as("url"))
     val cands = seeds.unionByName(discovered)
       .select(ScalarFnQueries.urlNormCol(col("url")).as("url_norm"))
       .groupBy(col("url_norm"))
@@ -1621,8 +1628,7 @@ object WarcQueries {
     val gated = cands.filter(allowedUdf(col("host"), col("path")))
     // seen set (successful prior fetches), normalized with the SAME
     // chain; bloom prefilter + exact confirm
-    val seen = resp200
-      .select(ScalarFnQueries.urlNormCol(col("url")).as("u"))
+    val seen = resp200.select(col("seen_u").as("u"))
     val bloom = seen.stat.bloomFilter("u", math.max(seen.count(), 1L), 0.01)
     val bloomBc = s.sparkContext.broadcast(bloom)
     val mightContain = udf((u: String) =>
@@ -1640,7 +1646,12 @@ object WarcQueries {
       k = FRONTIER_HOST_CAP)
     val w = Window.partitionBy(col("host"))
       .orderBy(col("n_refs").desc, col("url_norm"))
-    capped.withColumn("rk", row_number().over(w).cast("long"))
+    // materialize the (cap-bounded) frontier, then release the
+    // cached scan projection — the pagerankRanks lifecycle
+    val out = capped.withColumn("rk", row_number().over(w).cast("long"))
+      .localCheckpoint(eager = true)
+    resp200.unpersist()
+    out
   }
 
   /** The frontier chain as reusable CTEs (appended after

@@ -441,4 +441,27 @@ class CurationSpec extends SparkSpec {
       .map(_.toString).toSeq
     assert(card1 == card2, "schedule must be partition-invariant")
   }
+
+  test("pipeline_mix_epochs: the epoch cap binds, repetition " +
+      "accounting is exact, and the plan covers every language") {
+    val rows = PipelineQueries.pipelineMixEpochs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val langs = graft.Tables.documents(spark, sf)
+      .select(col("lang")).distinct().count()
+    assert(rows.length == langs, "one plan row per language")
+    rows.foreach { case (lang, unique, target, epochs, served, rep) =>
+      assert(epochs >= 1 && epochs <= PipelineQueries.MIX_MAX_EPOCHS,
+        s"$lang: epochs $epochs outside [1, 4]")
+      assert(served <= unique * PipelineQueries.MIX_MAX_EPOCHS,
+        s"$lang: served $served exceeds the 4-epoch ceiling")
+      assert(served <= target, s"$lang: served beyond the target")
+      assert(rep == math.max(served - unique, 0L),
+        s"$lang: repeated $rep != served - unique")
+      // the cap only bites when the target genuinely needs >4 epochs
+      if (served < target)
+        assert(target > unique * PipelineQueries.MIX_MAX_EPOCHS,
+          s"$lang: shortfall without a binding cap")
+    }
+  }
 }
