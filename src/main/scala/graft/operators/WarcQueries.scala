@@ -1763,9 +1763,79 @@ object WarcQueries {
        |    AS wave
        |FROM fr f JOIN dly d ON d.host = f.host""".stripMargin
 
+  /** Base revisit interval of the adaptive re-crawl policy (1 day —
+    * the fixture's own crawl spacing). */
+  private[operators] val RECRAWL_BASE_S = 86400L
+
+  /** pipeline_recrawl_plan — adaptive revisit scheduling from the
+    * two crawls' CHANGE HISTORY (the Heritrix wait-between-visits /
+    * Cho–Garcia-Molina multiplicative policy): per page, compare
+    * crawl 1's response with crawl 2's record —
+    *
+    *   - stored a new 200 body over an old 200 → content CHANGED:
+    *     state `hot`, interval halves;
+    *   - `revisit` (identical-payload-digest) of a 200 → unchanged:
+    *     state `cold`, interval doubles;
+    *   - 200 where crawl 1 saw 404 → `recovered`, base interval;
+    *   - still 404 → `dead`, interval ×4 (back off hardest).
+    *
+    * The engine DERIVES every state from the parsed archives (record
+    * types, statuses, the revisit profile's absence of a body); the
+    * oracle recomputes the whole plan from doc_id arithmetic — a
+    * mis-parsed revisit or status lands in the wrong state and goes
+    * hash-red. Completes the crawl loop: frontier → schedule →
+    * fetch → extract → recrawl-plan feeds the NEXT frontier.
+    *
+    * Scale shape: two header-level archive scans (bodies never
+    * shuffle — only (doc_id, type, status) projections), one
+    * co-partitioned doc_id join, row-local policy arithmetic. */
+  def pipelineRecrawlPlan(s: SparkSession, dir: String): DataFrame = {
+    val c1 = warcRecords(s, s"file:${warcRoot(s, dir)}/*.warc.gz")
+      .filter(col("rec_type") === "response")
+      .select(
+        regexp_extract(col("url"), "page/(\\d+)$", 1).cast("long")
+          .as("doc_id"),
+        col("http_status").as("s1"))
+    val c2 = warcRecords(s, s"file:${warcRevisitRoot(s, dir)}/*.warc.gz")
+      .filter(col("rec_type").isin("response", "revisit"))
+      .select(
+        regexp_extract(col("url"), "page/(\\d+)$", 1).cast("long")
+          .as("doc_id"),
+        col("rec_type").as("t2"))
+    c1.join(c2, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(col("t2") === "response" && col("s1") === 404,
+          lit("recovered"))
+          .when(col("t2") === "response", lit("hot"))
+          // a revisit stores no body, so its OWN status is absent;
+          // identical payload digest == crawl 1's body == crawl 1's
+          // status (a revisit of a 404 is still a 404)
+          .when(col("s1") === 404, lit("dead"))
+          .otherwise(lit("cold")).as("state"))
+      .withColumn("interval_s",
+        when(col("state") === "hot", RECRAWL_BASE_S / 2)
+          .when(col("state") === "recovered", RECRAWL_BASE_S)
+          .when(col("state") === "cold", RECRAWL_BASE_S * 2)
+          .otherwise(RECRAWL_BASE_S * 4))
+  }
+
+  lazy val pipelineRecrawlPlanSql: String =
+    s"""SELECT doc_id,
+       |  CASE WHEN doc_id % 3 <> 0 AND doc_id % 7 = 0 THEN 'recovered'
+       |       WHEN doc_id % 3 <> 0 THEN 'hot'
+       |       WHEN doc_id % 7 = 0 THEN 'dead'
+       |       ELSE 'cold' END AS state,
+       |  CASE WHEN doc_id % 3 <> 0 AND doc_id % 7 = 0
+       |         THEN $RECRAWL_BASE_S
+       |       WHEN doc_id % 3 <> 0 THEN ${RECRAWL_BASE_S / 2}
+       |       WHEN doc_id % 7 = 0 THEN ${RECRAWL_BASE_S * 4}
+       |       ELSE ${RECRAWL_BASE_S * 2} END AS interval_s
+       |FROM documents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_crawl_frontier" -> (pipelineCrawlFrontier _),
     "pipeline_fetch_schedule" -> (pipelineFetchSchedule _),
+    "pipeline_recrawl_plan" -> (pipelineRecrawlPlan _),
     "src_warc_split" -> (srcWarcSplit _),
     "warc_links" -> (warcLinks _),
     "graph_host_rank" -> (graphHostRank _),
@@ -1784,6 +1854,7 @@ object WarcQueries {
   def oracle: Map[String, String] = Map(
     "pipeline_crawl_frontier" -> pipelineCrawlFrontierSql,
     "pipeline_fetch_schedule" -> pipelineFetchScheduleSql,
+    "pipeline_recrawl_plan" -> pipelineRecrawlPlanSql,
     "src_warc_split" -> srcWarcSql,
     "warc_links" -> warcLinksSql,
     "graph_host_rank" -> graphHostRankSql,

@@ -141,4 +141,27 @@ class WarcQueriesSpec extends SparkSpec {
         s"${sample.getString(1)}")
     assert(sample.getString(1).contains(s""""url":"https://example.org/page/$id""""))
   }
+
+  test("pipeline_recrawl_plan: covers the crawled universe 1:1, all " +
+      "four states occur, and the multiplicative policy orders " +
+      "hot < recovered < cold < dead") {
+    val plan = WarcQueries.pipelineRecrawlPlan(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val n = graft.Tables.documents(spark, sf).count()
+    assert(plan.length == n, s"plan rows ${plan.length} != corpus $n")
+    val byState = plan.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byState.keySet == Set("hot", "cold", "recovered", "dead"),
+      s"all four change-history states must occur, got $byState")
+    val iv = plan.groupBy(_._2).view
+      .mapValues(_.map(_._3).distinct.toSeq).toMap
+    iv.foreach { case (s, vs) =>
+      assert(vs.length == 1, s"$s: one interval per state, got $vs") }
+    assert(iv("hot").head < iv("recovered").head &&
+      iv("recovered").head < iv("cold").head &&
+      iv("cold").head < iv("dead").head,
+      s"policy must back off in state order, got $iv")
+    // hot is the strict majority here (2/3 of pages change) — the
+    // fixture genuinely exercises the halve-on-change branch
+    assert(byState("hot") > plan.length / 2)
+  }
 }
