@@ -4211,6 +4211,110 @@ object TextQueries {
        |CROSS JOIN tot
        |GROUP BY doc_id""".stripMargin
 
+  /** Absolute discount of text_ppl_kn (the published Kneser-Ney
+    * default). */
+  private val KN_DISCOUNT = 0.75
+
+  /** Rounded-NLL admission threshold of text_ppl_kn (the
+    * PPL_KEEP_NLL discipline: keep decided on the 4-dp rounded value
+    * so the flag can never disagree on a sub-rounding wobble). */
+  private val KN_KEEP_NLL = 3.42
+
+  /** text_ppl_kn — the perplexity gate under interpolated KNESER-NEY
+    * smoothing, the published standard the production filters
+    * actually ship (CCNet's KenLM models are modified-KN; this is
+    * single-discount KN at bigram order): absolute discount D=0.75
+    * off every seen bigram, the freed mass D·N1+(a,·)/c(a) backing
+    * off to the CONTINUATION probability N1+(·,b)/|bigram types| —
+    * "how many contexts does b complete" — rather than raw unigram
+    * frequency, which is the insight that demotes Francisco-style
+    * words frequent only inside one collocation. One documented
+    * deviation for the OOV floor: continuation counts are add-one
+    * smoothed over (types + vocab + 1) so an unseen continuation
+    * scores finite mass (the textPplFilter floor discipline, not
+    * KN's unigram-order recursion). Unseen CONTEXTS back off to the
+    * continuation distribution alone.
+    *
+    * Same plan shape as text_ppl_filter: train-split hash aggs
+    * (bigram table, context totals c(a) + N1+(a,·), continuation
+    * N1+(·,b), two scalar stats), model-sized joins onto the scoring
+    * bigrams, one per-doc partial agg. Nothing corpus-sized shuffles
+    * beyond the bigram explode both gates already pay. */
+  def textPplKn(s: SparkSession, dir: String): DataFrame =
+    textPplKnFrom(documents(s, dir))
+
+  /** Fixture-drivable core — expects (doc_id, text). */
+  private[graft] def textPplKnFrom(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val train = base.filter(pmod(col("doc_id"), lit(10)) < 7)
+    val vocab = train
+      .select(explode(col("ws")).as("w"))
+      .filter(length(col("w")) > 0)
+      .agg(countDistinct(col("w")).as("v"))
+    def pairs(df: DataFrame) = df
+      .select(col("doc_id"), explode(adjacentPairs(col("ws"))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      .filter(length(col("a")) > 0 && length(col("b")) > 0)
+    val bv = pairs(train)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    val ctx = bv.groupBy(col("a"))
+      .agg(sum(col("n_ab")).as("c_a"), count(lit(1)).as("n1f"))
+    val cont = bv.groupBy(col("b")).agg(count(lit(1)).as("n1b"))
+    val tt = bv.agg(count(lit(1)).as("t"))
+    val pcont = (coalesce(col("n1b"), lit(0L)) + lit(1)).cast("double") /
+      (col("t") + col("v") + lit(1)).cast("double")
+    val p = when(col("c_a").isNotNull,
+      (greatest(coalesce(col("n_ab"), lit(0L)) - lit(KN_DISCOUNT),
+        lit(0.0)) + lit(KN_DISCOUNT) * col("n1f") * pcont) / col("c_a"))
+      .otherwise(pcont)
+    pairs(base)
+      .join(bv, Seq("a", "b"), "left")
+      .join(ctx, Seq("a"), "left")
+      .join(cont, Seq("b"), "left")
+      .join(broadcast(tt)).join(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(round(-avg(log(p)) + lit(1e-9), 4).as("nll"),
+        count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll"),
+        (col("nll") <= KN_KEEP_NLL).as("keep"))
+  }
+
+  val textPplKnSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |tw AS (SELECT t.w FROM d, unnest(ws) AS t(w)
+       |  WHERE ((doc_id % 10) + 10) % 10 < 7 AND len(t.w) > 0),
+       |voc AS (SELECT count(DISTINCT w) AS v FROM tw),
+       |bi AS (SELECT doc_id, ws[g.i] AS a, ws[g.i + 1] AS b
+       |  FROM d, unnest(generate_series(1, len(ws) - 1)) AS g(i)
+       |  WHERE len(ws[g.i]) > 0 AND len(ws[g.i + 1]) > 0),
+       |bv AS (SELECT a, b, count(*) AS n_ab FROM bi
+       |  WHERE ((doc_id % 10) + 10) % 10 < 7 GROUP BY a, b),
+       |ctx AS (SELECT a, sum(n_ab) AS c_a, count(*) AS n1f
+       |  FROM bv GROUP BY a),
+       |cont AS (SELECT b, count(*) AS n1b FROM bv GROUP BY b),
+       |tt AS (SELECT count(*) AS t FROM bv),
+       |sc AS (
+       |  SELECT bi.doc_id,
+       |    CASE WHEN ctx.c_a IS NOT NULL THEN
+       |      (greatest(coalesce(bv.n_ab, 0) - $KN_DISCOUNT, 0.0)
+       |       + $KN_DISCOUNT * ctx.n1f *
+       |         (CAST(coalesce(cont.n1b, 0) + 1 AS DOUBLE)
+       |          / (tt.t + voc.v + 1)))
+       |      / ctx.c_a
+       |    ELSE CAST(coalesce(cont.n1b, 0) + 1 AS DOUBLE)
+       |      / (tt.t + voc.v + 1)
+       |    END AS p
+       |  FROM bi
+       |  LEFT JOIN bv USING (a, b)
+       |  LEFT JOIN ctx ON bi.a = ctx.a
+       |  LEFT JOIN cont ON bi.b = cont.b
+       |  CROSS JOIN tt CROSS JOIN voc)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  round(-avg(ln(p)) + 1e-9, 4) AS nll,
+       |  (round(-avg(ln(p)) + 1e-9, 4) <= $KN_KEEP_NLL) AS keep
+       |FROM sc GROUP BY doc_id""".stripMargin
+
   /** Interpolation weight of the bigram term in text_ppl_filter. */
   private val PPL_LAMBDA = 0.8
 
@@ -4435,6 +4539,7 @@ object TextQueries {
     "text_bpe_encode_trained" -> (textBpeEncodeTrained _),
     "text_bigram_logprob" -> (textBigramLogprob _),
     "text_ppl_filter" -> (textPplFilter _),
+    "text_ppl_kn" -> (textPplKn _),
     "fn_unicode_normalize" -> (fnUnicodeNormalize _),
     "fn_sentence_split" -> (fnSentenceSplit _),
     "text_cooccurrence" -> (textCooccurrence _),
@@ -4485,6 +4590,7 @@ object TextQueries {
     "text_bpe_encode_trained" -> textBpeEncodeTrainedSql,
     "text_bigram_logprob" -> textBigramLogprobSql,
     "text_ppl_filter" -> textPplFilterSql,
+    "text_ppl_kn" -> textPplKnSql,
     "fn_unicode_normalize" -> fnUnicodeNormalizeSql,
     "fn_sentence_split" -> fnSentenceSplitSql,
     "text_cooccurrence" -> textCooccurrenceSql,
