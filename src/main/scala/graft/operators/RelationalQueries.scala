@@ -870,7 +870,105 @@ object RelationalQueries {
        |FROM asg GROUP BY bucket""".stripMargin
   }
 
+  /** KMV sketch size (k minimum values per source). */
+  private[operators] val KMV_K = 64
+
+  /** agg_distinct_intersect_kmv — the distinct-INTERSECTION sketch:
+    * per source, the K smallest values of a uniform content hash (a
+    * KMV / bottom-k sketch — deterministic, no RNG: the hash IS the
+    * sample order), then for every source pair the standard bottom-k
+    * Jaccard estimator: matches of both sketches inside the K
+    * smallest of their union, over K. This is the set operation HLL
+    * cannot do — agg_hll_partitioned unions distinct counts, KMV
+    * INTERSECTS them — and the published way to find mirrored /
+    * plagiarizing sources without comparing any documents. The
+    * fixture's real sources are content-disjoint, so two mirror
+    * slices are synthesized (the multimodal_near_dup re-crawl
+    * pattern): 'mirror-a' re-hosts every 5th document, 'mirror-b'
+    * every 3rd — every (mirror, source) pair and the mirror-mirror
+    * pair surface with the right ranking, disjoint pairs drop out.
+    *
+    * Scale shape: sketches are built by the engine's OWN TopKPerGroup
+    * bounded-heap plan over the distinct (source, hash) set — ≤K rows
+    * per (source, partition) cross the exchange — and everything
+    * after is |sources|·K-sized: the pair stage is a tiny array
+    * crossJoin. Mergeable by construction: K smallest of a union of
+    * per-partition K-smallest is exact, so per-day/per-shard sketch
+    * files roll up without rescanning rows. Oracle: the identical
+    * sketch + estimator replayed from the sha-prefix hash arithmetic. */
+  def aggDistinctIntersectKmv(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val d = documents(s, dir)
+    val hashed = d.select(col("source"),
+      conv(substring(sha2(col("text"), 256), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    val mirrors = d.filter(col("doc_id") % 5 === 0)
+      .select(lit("mirror-a").as("source"),
+        conv(substring(sha2(col("text"), 256), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .unionByName(d.filter(col("doc_id") % 3 === 0)
+        .select(lit("mirror-b").as("source"),
+          conv(substring(sha2(col("text"), 256), 1, 15), 16, 10)
+            .cast("long").as("h")))
+    val sk = kmvSketches(hashed.unionByName(mirrors))
+    val a = sk.select(col("source").as("src_a"), col("hs").as("ha"))
+    val b = sk.select(col("source").as("src_b"), col("hs").as("hb"))
+    a.crossJoin(b).filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        expr(s"""size(array_intersect(array_intersect(
+           slice(array_sort(array_distinct(concat(ha, hb))), 1, $KMV_K),
+           ha), hb))""").cast("long").as("n_match"))
+      .filter(col("n_match") > 0)
+      .select(col("src_a"), col("src_b"), col("n_match"),
+        round(col("n_match").cast("double") / KMV_K + lit(1e-9), 4)
+          .as("jaccard_est"))
+  }
+
+  /** Per-source bottom-k sketch of a (source, h) frame → one
+    * (source, hs: sorted ≤K array) row each — the seam the
+    * mergeability spec pins (K smallest of a union of per-half
+    * sketches == the whole-frame sketch). */
+  private[graft] def kmvSketches(hashed: DataFrame): DataFrame =
+    graft.plans.TopKPerGroup.topKPerGroup(
+      hashed.distinct(),
+      Seq("source"), orderBy = Seq(("h", true)), k = KMV_K)
+      .groupBy(col("source"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+
+  lazy val aggDistinctIntersectKmvSql: String =
+    s"""WITH hx AS (
+       |  SELECT source,
+       |    CAST('0x' || substr(sha256(text), 1, 15) AS BIGINT) AS h
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT 'mirror-a',
+       |    CAST('0x' || substr(sha256(text), 1, 15) AS BIGINT)
+       |  FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT 'mirror-b',
+       |    CAST('0x' || substr(sha256(text), 1, 15) AS BIGINT)
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |dx AS (SELECT DISTINCT source, h FROM hx),
+       |topk AS (
+       |  SELECT source, h FROM dx
+       |  QUALIFY row_number() OVER (PARTITION BY source ORDER BY h)
+       |    <= $KMV_K),
+       |sk AS (SELECT source, list_sort(list(h)) AS hs
+       |  FROM topk GROUP BY source),
+       |pr AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST(len(list_filter(
+       |      list_sort(list_distinct(list_concat(a.hs, b.hs)))[1:$KMV_K],
+       |      x -> list_contains(a.hs, x) AND list_contains(b.hs, x)))
+       |      AS BIGINT) AS n_match
+       |  FROM sk a, sk b WHERE a.source < b.source)
+       |SELECT src_a, src_b, n_match,
+       |  round(CAST(n_match AS DOUBLE) / $KMV_K + 1e-9, 4)
+       |    AS jaccard_est
+       |FROM pr WHERE n_match > 0""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_distinct_intersect_kmv" -> (aggDistinctIntersectKmv _),
     "q1_pricing" -> (q1Pricing _),
     "agg_heavy_hitters" -> (aggHeavyHitters _),
     "agg_count_min" -> (aggCountMin _),
@@ -904,6 +1002,7 @@ object RelationalQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_distinct_intersect_kmv" -> aggDistinctIntersectKmvSql,
     "q1_pricing" -> q1PricingSql,
     "agg_heavy_hitters" -> aggHeavyHittersSql,
     "agg_count_min" -> aggCountMinSql,
