@@ -88,10 +88,21 @@ object TarIo {
 
       private def advance(): Entry = {
         if (stopped) return null
-        val h = try readFully(BLOCK) catch {
-          case e: java.io.EOFException =>
-            stopped = true
-            return Entry("", Array.emptyByteArray, s"tar: ${e.getMessage}")
+        // header read: EOF at a header BOUNDARY (0 bytes) is a clean
+        // unterminated archive (tools tolerate a missing end marker);
+        // EOF mid-header is damage and quarantines
+        val h = new Array[Byte](BLOCK)
+        var off = 0
+        var eof = false
+        while (off < BLOCK && !eof) {
+          val r = in.read(h, off, BLOCK - off)
+          if (r < 0) eof = true else off += r
+        }
+        if (eof) {
+          stopped = true
+          if (off == 0) return null
+          return Entry("", Array.emptyByteArray,
+            s"tar: truncated header: $off of $BLOCK bytes")
         }
         if (h.forall(_ == 0)) { stopped = true; return null } // terminator
         try {

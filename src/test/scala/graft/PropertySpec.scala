@@ -588,4 +588,41 @@ object PropertySpec extends Properties("graft") {
           }
         }
     }
+
+  private val tarEntryGen = for {
+    n <- Gen.chooseNum(0, 2000)
+    seed <- Gen.chooseNum(0, 250)
+    name <- Gen.alphaNumStr.map(_.take(40)).suchThat(_.nonEmpty)
+  } yield (name, Array.tabulate(n)(j => ((seed + j) % 251).toByte))
+
+  property("TarIo round-trips arbitrary entry lists byte-exactly " +
+      "and block-aligned") =
+    forAll(Gen.listOfN(6, tarEntryGen)) { entries =>
+      // distinct names (tar permits repeats, but exact-match compare
+      // is cleaner keyed); suffix the index
+      val named = entries.zipWithIndex.map { case ((nm, d), i) =>
+        (s"$i-$nm", d) }
+      val bos = new java.io.ByteArrayOutputStream()
+      named.foreach { case (nm, d) =>
+        graft.ingest.TarIo.writeEntry(bos, nm, d) }
+      graft.ingest.TarIo.finish(bos)
+      val bytes = bos.toByteArray
+      val back = graft.ingest.TarIo.readEntries(
+        new java.io.ByteArrayInputStream(bytes)).toVector
+      bytes.length % 512 == 0 &&
+        back.forall(_.err.isEmpty) &&
+        back.map(_.name) == named.map(_._1).toVector &&
+        back.zip(named).forall { case (e, (_, d)) =>
+          java.util.Arrays.equals(e.data, d) }
+    }
+
+  property("TarIo on arbitrary garbage never throws - every entry is " +
+      "clean or a quarantine, and a quarantine ends the file") =
+    forAll(Gen.listOf(Gen.chooseNum(0, 255).map(_.toByte))) { junk =>
+      val es = graft.ingest.TarIo.readEntries(
+        new java.io.ByteArrayInputStream(junk.toArray)).toVector
+      val errIdx = es.indexWhere(_.err.nonEmpty)
+      (errIdx == -1 || errIdx == es.length - 1) &&
+        es.count(_.err.nonEmpty) <= 1
+    }
 }
