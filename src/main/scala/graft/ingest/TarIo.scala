@@ -68,11 +68,22 @@ object TarIo {
   // ── reader ──
 
   /** Parse all entries; a corrupt header emits one `err` entry and
-    * stops (no resync possible in tar — see scaladoc). */
-  def readEntries(in: InputStream): Iterator[Entry] =
+    * stops (no resync possible in tar — see scaladoc). `onStop` fires
+    * exactly once when the iterator reaches its end — clean
+    * terminator, clean EOF, or quarantine stop — so callers can close
+    * the underlying stream without tracking it themselves (the WarcIo
+    * closeQuietly discipline; executors otherwise leak one file
+    * descriptor per shard per parse). */
+  def readEntries(in: InputStream,
+      onStop: () => Unit = () => ()): Iterator[Entry] =
     new Iterator[Entry] {
-      private var nextEntry: Entry = advance()
       private var stopped = false
+      private var stopFired = false
+
+      private def fireStop(): Unit = if (!stopFired) {
+        stopFired = true
+        try onStop() catch { case _: Exception => () }
+      }
 
       private def readFully(n: Int): Array[Byte] = {
         val b = new Array[Byte](n)
@@ -153,10 +164,18 @@ object TarIo {
         v
       }
 
+      private def step(): Entry = {
+        val e = advance()
+        if (e == null) fireStop()
+        e
+      }
+
+      private var nextEntry: Entry = step()
+
       override def hasNext: Boolean = nextEntry != null
       override def next(): Entry = {
         val e = nextEntry
-        nextEntry = advance()
+        nextEntry = step()
         e
       }
     }

@@ -488,7 +488,11 @@ object MultimodalQueries {
           val p = new org.apache.hadoop.fs.Path(url)
           try {
             val in = p.getFileSystem(conf).open(p)
-            graft.ingest.TarIo.readEntries(in)
+            // onStop closes the FS stream when the entry iterator is
+            // exhausted or quarantine-stopped — without it executors
+            // leak one descriptor per shard per parse (ADVICE r17)
+            graft.ingest.TarIo.readEntries(in,
+                onStop = () => in.close())
               .map(e => (e.name, e.data, e.err, url))
           } catch { case e: Exception =>
             Iterator(("", Array.emptyByteArray,

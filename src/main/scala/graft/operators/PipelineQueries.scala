@@ -1031,7 +1031,15 @@ object PipelineQueries {
         .join(broadcast(anneal.select(col("doc_id"))),
           Seq("doc_id"), "left_anti"),
       CURR_BULK_BUDGET)
-    (anneal, bulk)
+    // both draws are budget-bounded (≤ budget tokens per lang), so an
+    // eager localCheckpoint pins them and releases the cached anneal
+    // RDD — without the unpersist every invocation leaked one cache
+    // entry for the session lifetime (ADVICE r17; the
+    // pipelineCrawlFrontier resp200 lifecycle)
+    val annealOut = anneal.localCheckpoint(eager = true)
+    val bulkOut = bulk.localCheckpoint(eager = true)
+    anneal.unpersist()
+    (annealOut, bulkOut)
   }
 
   def pipelineCurriculum(s: SparkSession, dir: String): DataFrame = {

@@ -914,13 +914,19 @@ object RelationalQueries {
     val a = sk.select(col("source").as("src_a"), col("hs").as("ha"))
     val b = sk.select(col("source").as("src_b"), col("hs").as("hb"))
     a.crossJoin(b).filter(col("src_a") < col("src_b"))
+      // k_eff = |bottom-K of the union sketch| — when both sketches
+      // are exhaustive (small sources) the union sketch is the exact
+      // union and n_match/k_eff IS the exact Jaccard; dividing by a
+      // fixed K biased small-source estimates low (ADVICE r17)
+      .withColumn("u",
+        expr(s"slice(array_sort(array_distinct(concat(ha, hb))), 1, $KMV_K)"))
       .select(col("src_a"), col("src_b"),
-        expr(s"""size(array_intersect(array_intersect(
-           slice(array_sort(array_distinct(concat(ha, hb))), 1, $KMV_K),
-           ha), hb))""").cast("long").as("n_match"))
+        expr("size(array_intersect(array_intersect(u, ha), hb))")
+          .cast("long").as("n_match"),
+        expr("size(u)").cast("long").as("k_eff"))
       .filter(col("n_match") > 0)
       .select(col("src_a"), col("src_b"), col("n_match"),
-        round(col("n_match").cast("double") / KMV_K + lit(1e-9), 4)
+        round(col("n_match").cast("double") / col("k_eff") + lit(1e-9), 4)
           .as("jaccard_est"))
   }
 
@@ -960,10 +966,13 @@ object RelationalQueries {
        |    CAST(len(list_filter(
        |      list_sort(list_distinct(list_concat(a.hs, b.hs)))[1:$KMV_K],
        |      x -> list_contains(a.hs, x) AND list_contains(b.hs, x)))
-       |      AS BIGINT) AS n_match
+       |      AS BIGINT) AS n_match,
+       |    CAST(len(
+       |      list_sort(list_distinct(list_concat(a.hs, b.hs)))[1:$KMV_K])
+       |      AS BIGINT) AS k_eff
        |  FROM sk a, sk b WHERE a.source < b.source)
        |SELECT src_a, src_b, n_match,
-       |  round(CAST(n_match AS DOUBLE) / $KMV_K + 1e-9, 4)
+       |  round(CAST(n_match AS DOUBLE) / k_eff + 1e-9, 4)
        |    AS jaccard_est
        |FROM pr WHERE n_match > 0""".stripMargin
 

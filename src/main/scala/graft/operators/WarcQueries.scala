@@ -2,7 +2,7 @@ package graft.operators
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ingest.{ListingCache, WarcIo}
@@ -1040,6 +1040,15 @@ object WarcQueries {
         sum(col("nl")).as("n_links"))
   }
 
+  /** JSON string-array serialization of an href list. A link-less
+    * page must emit `[]`, not `[""]` — the quoted-list template
+    * around a bare array_join turned an empty list into a
+    * one-element empty string (ADVICE r17). */
+  private[operators] def watLinksJson(hrefs: Column): Column =
+    when(size(hrefs) === 0, lit("[]"))
+      .otherwise(concat(lit("[\""), array_join(hrefs, "\",\""),
+        lit("\"]")))
+
   /** The distributed WAT write (see [[snkWat]]). Returns the root. */
   private def buildWatRoot(s: SparkSession, root: String): String = {
     val watRoot = Files.createTempDirectory("graft-wat").toString
@@ -1058,10 +1067,10 @@ object WarcQueries {
           lit("\",\"ts\":\""), col("warc_ts"),
           lit("\",\"digest\":\"sha256:"),
           substring(sha2(col("body"), 256), 1, 16),
-          lit("\",\"status\":200,\"links\":[\""),
-          array_join(regexp_extract_all(page,
-            lit("<a href=\"(https://[^\"]+)\""), lit(1)), "\",\""),
-          lit("\"]}")).as("meta"))
+          lit("\",\"status\":200,\"links\":"),
+          watLinksJson(regexp_extract_all(page,
+            lit("<a href=\"(https://[^\"]+)\""), lit(1))),
+          lit("}")).as("meta"))
       .repartition(N_FILES, col("k"))
       .sortWithinPartitions(col("k"), col("doc_id"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
@@ -1739,12 +1748,22 @@ object WarcQueries {
         (host, r.crawlDelay.getOrElse(DEFAULT_CRAWL_DELAY)) }
       .sortBy(_._1)
       .toDF("host", "delay_s")
-    fr.join(broadcast(delays), Seq("host"))
+    scheduleFrom(fr, delays)
+  }
+
+  /** The delay-table composition seam: LEFT join + default so a
+    * frontier host absent from the delay map still gets a schedule
+    * row (the frontier's allow gate fail-opens for unknown hosts —
+    * an inner join here silently dropped those URLs, ADVICE r17). */
+  private[operators] def scheduleFrom(
+      fr: DataFrame, delays: DataFrame): DataFrame =
+    fr.join(broadcast(delays), Seq("host"), "left")
+      .withColumn("delay_s",
+        coalesce(col("delay_s"), lit(DEFAULT_CRAWL_DELAY)))
       .select(col("host"), col("url_norm"), col("n_refs"), col("rk"),
         col("delay_s"),
         ((col("rk") - 1) * col("delay_s")).as("fetch_at_s"),
         expr(s"((rk - 1) * delay_s) DIV $WAVE_SECONDS").as("wave"))
-  }
 
   private[operators] val DEFAULT_CRAWL_DELAY = 1L
 
@@ -1757,11 +1776,13 @@ object WarcQueries {
        |  SELECT dom AS host, CAST(1 + (i % 3) AS BIGINT) AS delay_s
        |  FROM doms
        |  UNION ALL SELECT 'example.org', $DEFAULT_CRAWL_DELAY)
-       |SELECT f.host, f.url_norm, f.n_refs, f.rk, d.delay_s,
-       |  CAST((f.rk - 1) * d.delay_s AS BIGINT) AS fetch_at_s,
-       |  CAST(((f.rk - 1) * d.delay_s) // $WAVE_SECONDS AS BIGINT)
-       |    AS wave
-       |FROM fr f JOIN dly d ON d.host = f.host""".stripMargin
+       |SELECT f.host, f.url_norm, f.n_refs, f.rk,
+       |  COALESCE(d.delay_s, $DEFAULT_CRAWL_DELAY) AS delay_s,
+       |  CAST((f.rk - 1) * COALESCE(d.delay_s, $DEFAULT_CRAWL_DELAY)
+       |    AS BIGINT) AS fetch_at_s,
+       |  CAST(((f.rk - 1) * COALESCE(d.delay_s, $DEFAULT_CRAWL_DELAY))
+       |    // $WAVE_SECONDS AS BIGINT) AS wave
+       |FROM fr f LEFT JOIN dly d ON d.host = f.host""".stripMargin
 
   /** Base revisit interval of the adaptive re-crawl policy (1 day —
     * the fixture's own crawl spacing). */

@@ -106,4 +106,23 @@ class CrawlFrontierSpec extends SparkSpec {
         assert(got == want, s"$h: parsed delay $got != published $want"))
     }
   }
+
+  test("a frontier host ABSENT from the delay table still schedules " +
+      "— left join + default delay, consistent with the frontier's " +
+      "fail-open allow gate (ADVICE r17)") {
+    val fr = Seq(
+      ("known.example", "https://known.example/a", 3L, 1L),
+      ("known.example", "https://known.example/b", 1L, 2L),
+      ("unknown.example", "https://unknown.example/x", 2L, 1L))
+      .toDF("host", "url_norm", "n_refs", "rk")
+    val delays = Seq(("known.example", 5L)).toDF("host", "delay_s")
+    val got = WarcQueries.scheduleFrom(fr, delays)
+      .select(col("host"), col("rk"), col("delay_s"), col("fetch_at_s"))
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.length == 3, "no frontier row may be dropped")
+    assert(got.toSeq == Seq(
+      ("known.example", 1L, 5L, 0L),
+      ("known.example", 2L, 5L, 5L),
+      ("unknown.example", 1L, WarcQueries.DEFAULT_CRAWL_DELAY, 0L)))
+  }
 }

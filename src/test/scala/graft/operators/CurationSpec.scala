@@ -440,6 +440,13 @@ class CurationSpec extends SparkSpec {
       .repartition(7).orderBy("stage", "lang").collect()
       .map(_.toString).toSeq
     assert(card1 == card2, "schedule must be partition-invariant")
+    // cache hygiene: repeated invocations must not leak persisted
+    // RDDs (ADVICE r17 — the anneal cache outlived the draw)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    PipelineQueries.pipelineCurriculum(spark, sf).collect()
+    PipelineQueries.pipelineCurriculum(spark, sf).collect()
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "each curriculum invocation must release its anneal cache")
   }
 
   test("pipeline_mix_epochs: the epoch cap binds, repetition " +

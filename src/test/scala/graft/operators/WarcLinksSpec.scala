@@ -43,6 +43,29 @@ class WarcLinksSpec extends SparkSpec {
     assert(n == 0, s"$n documents strip differently with the link block")
   }
 
+  test("WAT links JSON: a link-less page serializes \"links\":[] — " +
+      "valid JSON with an EMPTY array, not [\"\"] (ADVICE r17)") {
+    val pages = Seq(
+      ("<html><body>no anchors here</body></html>", 0),
+      ("<a href=\"https://x.example/1\"><a href=\"https://y.example/2\"",
+        2)).toDF("page", "want_n")
+    val got = pages.select(
+      WarcQueries.watLinksJson(regexp_extract_all(col("page"),
+        lit("<a href=\"(https://[^\"]+)\""), lit(1))).as("j"),
+      col("want_n"))
+      .as[(String, Int)].collect().toMap
+    assert(got.keySet.contains("[]"), s"zero-anchor page: $got")
+    // both forms must parse as a JSON string array of the right size
+    got.foreach { case (j, n) =>
+      val parsed = pages.sparkSession.range(1)
+        .select(from_json(lit(j),
+          org.apache.spark.sql.types.DataTypes.createArrayType(
+            org.apache.spark.sql.types.DataTypes.StringType)).as("a"))
+        .select(size(col("a"))).as[Int].head()
+      assert(parsed == n, s"$j must parse as $n links, got $parsed")
+    }
+  }
+
   test("builder parity: linkBlockStr (writer) == linkBlockCol " +
       "(column) on every doc") {
     val n = graft.Tables.documents(spark, sf)

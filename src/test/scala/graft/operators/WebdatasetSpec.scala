@@ -80,6 +80,32 @@ class WebdatasetSpec extends SparkSpec {
       es.map(_.err))
   }
 
+  test("readEntries onStop hook fires exactly once — on the clean " +
+      "terminator, clean EOF, quarantine stop, and an empty archive " +
+      "(the executor FD-release contract)") {
+    def stops(bytes: Array[Byte]): Int = {
+      var n = 0
+      TarIo.readEntries(new java.io.ByteArrayInputStream(bytes),
+        onStop = () => n += 1).foreach(_ => ())
+      n
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    TarIo.writeEntry(bos, "a.bin", Array[Byte](1))
+    val noTerm = bos.toByteArray // ends at a header boundary, no marker
+    TarIo.finish(bos)
+    assert(stops(bos.toByteArray) == 1, "terminator path")
+    assert(stops(noTerm) == 1, "clean-EOF path")
+    val bad = new java.io.ByteArrayOutputStream()
+    TarIo.writeEntry(bad, "ok.bin", Array[Byte](1))
+    bad.write(Array.fill[Byte](512)('x'.toByte))
+    assert(stops(bad.toByteArray) == 1, "quarantine-stop path")
+    var m = 0
+    val it = TarIo.readEntries(
+      new java.io.ByteArrayInputStream(Array.emptyByteArray),
+      onStop = () => m += 1)
+    assert(!it.hasNext && m == 1, "empty archive fires at construction")
+  }
+
   test("shard layout: samples are CONTIGUOUS (.bin then .json per " +
       "key) and keys ascend within a shard — the WebDataset " +
       "streaming contract") {
