@@ -788,7 +788,6 @@ object PipelineQueries {
   private[graft] def pipelineDsirSelectFrom(
       d: DataFrame, isTarget: Column,
       budget: Long = DSIR_BUDGET): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val B = DSIR_BUCKETS
     // persist: the feature stream feeds the LM aggregation AND the
     // per-doc λ — without it Spark re-runs the explode per consumer
@@ -837,12 +836,23 @@ object PipelineQueries {
         Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
         round(col("lw") - log(-log(u)) + lit(1e-9), 6).as("key"))
-    val w = Window.orderBy(col("key").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    keyed
-      .withColumn("cum", sum(col("n_tok")).over(w))
-      .filter(col("cum") - col("n_tok") < budget)
-      .drop("cum")
+      .persist() // three consumers: boundary sample + both draw passes
+    // the budget cutoff as the two-pass distributed prefix-sum draw:
+    // deterministic key boundaries (sort_range_partition sample) →
+    // per-range local cumsums + a broadcast per-range offset — the
+    // same rows as the global (key DESC, doc_id) window without the
+    // whole raw doc set landing on one WindowExec partition
+    val bounds = BudgetDraw.keyRangeBounds(keyed, "doc_id", "key")
+    val kept = BudgetDraw.keptByBudget(keyed,
+      groupCols = Seq.empty,
+      rangeId = BudgetDraw.descKeyRange(col("key"), bounds),
+      orderCols = Seq(col("key").desc, col("doc_id")),
+      tokCol = "n_tok", budget = budget)
+    // the selected set is budget-bounded → eager checkpoint pins it
+    // and releases the keyed cache (the curriculumDraws lifecycle)
+    val out = kept.localCheckpoint(eager = true)
+    keyed.unpersist()
+    out
   }
 
   /** pipeline_dsir_select — the gate instance: target = lang 'en'
@@ -852,11 +862,11 @@ object PipelineQueries {
     * Scale shape: feature hashing is row-local integer folds (no
     * crypto per gram); both LMs are DSIR_BUCKETS-bounded broadcast
     * tables; λ is one partial-aggregating groupBy per raw doc; the
-    * only global structure is the budget cutoff — a top-slice window
-    * over (key, doc_id) that a 100 TB run replaces with
-    * sort_range_partition boundaries + per-range cumsums (the
-    * sample_token_budget discipline); the selected set is
-    * budget-bounded. The planted spec (DsirSelectSpec) pins
+    * only global structure is the budget cutoff, which RUNS as the
+    * two-pass distributed prefix-sum draw (BudgetDraw: deterministic
+    * key-range boundaries → per-range cumsums + broadcast offsets,
+    * budget-unreachable ranges pruned before the shuffle); the
+    * selected set is budget-bounded. The planted spec (DsirSelectSpec) pins
     * target-domain recovery; the oracle replays hashing, both LMs,
     * λ, the Gumbel keys, and the cutoff. */
   def pipelineDsirSelect(s: SparkSession, dir: String): DataFrame =
@@ -1008,7 +1018,6 @@ object PipelineQueries {
     * budget bound, partition invariance). */
   private[graft] def curriculumDraws(
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     val dec = TextQueries.textQualityDecile(s, dir)
       .select(col("doc_id"), col("lang"), col("decile"))
     val tok = documents(s, dir)
@@ -1016,14 +1025,16 @@ object PipelineQueries {
         size(split(col("text"), " ")).cast("long").as("n_tok"),
         SampleQueries.hashBucket(col("doc_id")).as("bucket"))
       .join(dec, Seq("doc_id"))
-    def draw(elig: DataFrame, budget: Long): DataFrame = {
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("bucket"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      elig.withColumn("cum", sum(col("n_tok")).over(w))
-        .filter(col("cum") - col("n_tok") < budget)
-        .drop("cum")
-    }
+    // each draw is the two-pass distributed prefix sum — same rows
+    // as the per-lang cumulative window, no single-partition-style
+    // lang funnel, only budget-reachable ranges shuffled
+    def draw(elig: DataFrame, budget: Long): DataFrame =
+      BudgetDraw.keptByBudget(elig,
+        groupCols = Seq("lang"),
+        rangeId = BudgetDraw.bucketRange(col("bucket"),
+          SampleQueries.HASH_BUCKETS),
+        orderCols = Seq(col("bucket"), col("doc_id")),
+        tokCol = "n_tok", budget = budget)
     val anneal = draw(tok.filter(col("decile") <= 2), CURR_ANNEAL_BUDGET)
       .persist()
     val bulk = draw(

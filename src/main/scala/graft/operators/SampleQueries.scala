@@ -17,12 +17,15 @@ import graft.Tables._
   */
 object SampleQueries {
 
+  /** Modulus of [[hashBucket]] — the bucket domain [0, 1000). */
+  private[graft] val HASH_BUCKETS = 1000
+
   /** Stable cross-engine sample bucket in [0, 1000): the first 6 hex
     * chars of sha256(key) as an int. sha256 hex is identical
     * everywhere, so the oracle reproduces the exact row set. */
   private[graft] def hashBucket(key: org.apache.spark.sql.Column) =
     conv(substring(sha2(key.cast("string"), 256), 1, 6), 16, 10)
-      .cast("bigint") % 1000
+      .cast("bigint") % HASH_BUCKETS
 
   /** sample_hash_fraction — reproducible 10% document sample by
     * content-hash bucket. Narrow (scan + filter): at 100 TB this is
@@ -229,19 +232,21 @@ object SampleQueries {
     * from any (doc_id, lang, text) frame — the ONE packing rule,
     * reproduced by the streaming admission operator (StreamingSpec
     * asserts stream==batch parity) and reused over the survivor set
-    * by pipeline_build_mixture. */
-  private[graft] def tokenBudgetKeptFrom(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("bucket"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .select(col("lang"), col("doc_id"),
+    * by pipeline_build_mixture. Runs as the two-pass distributed
+    * prefix-sum draw ([[BudgetDraw.keptByBudget]]): ranges over the
+    * hash-bucket order, per-range local cumsums + a broadcast
+    * per-range offset — bit-identical rows to the per-lang window
+    * form (BudgetDrawSpec) with no single-partition window and only
+    * the budget-reachable ranges shuffled. */
+  private[graft] def tokenBudgetKeptFrom(docs: DataFrame): DataFrame =
+    BudgetDraw.keptByBudget(
+      docs.select(col("lang"), col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tok"),
-        hashBucket(col("doc_id")).as("bucket"))
-      .withColumn("cum", sum(col("n_tok")).over(w))
-      .filter(col("cum") - col("n_tok") < LANG_BUDGET)
-      .drop("cum")
-  }
+        hashBucket(col("doc_id")).as("bucket")),
+      groupCols = Seq("lang"),
+      rangeId = BudgetDraw.bucketRange(col("bucket"), HASH_BUCKETS),
+      orderCols = Seq(col("bucket"), col("doc_id")),
+      tokCol = "n_tok", budget = LANG_BUDGET)
 
   val sampleTokenBudgetSql: String =
     s"""WITH b AS (
