@@ -656,14 +656,51 @@ object PipelineQueries {
     * One corpus pass (the gopher card + quality are row-local), one
     * hash aggregate to |sources| rows; the 10-row rank table joins
     * broadcast. */
+  /** Memoized composed inputs of [[curationDatasheet]] (VERDICT r17
+    * finding #2): both are tiny, corpus-fingerprint-stable outputs of
+    * EXPENSIVE chains — the host-rank table re-parses the WARC
+    * archives for 10 rows, the DSIR selection re-runs the whole
+    * feature/LM/λ chain for a budget-bounded id set — so the
+    * datasheet was paying both on every call. The knn_graph
+    * discipline: keyed on (dir, corpus fingerprint), regeneration in
+    * place is a new key, and the memoized values are session-free
+    * driver arrays (≤ |domains| rows / ≤ budget ids — the documented
+    * bounded-driver-read class). */
+  private val datasheetRankMemo = new BuildMemo[Seq[(String, Long)]]()
+  private val datasheetDsirMemo = new BuildMemo[Seq[Long]]()
+
+  private def hostRankRows(s: SparkSession, dir: String): DataFrame = {
+    val fp = IndexManifest.corpusFingerprint(dir, "documents")
+    val rows = datasheetRankMemo.getOrBuild(s"$dir|$fp",
+      s.sparkContext) {
+      MemoBuilds.record("datasheet_hostrank")
+      WarcQueries.graphHostRank(s, dir)
+        .select(col("domain"), col("rank_fp"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
+    import s.implicits._
+    rows.toDF("domain", "rank_fp")
+  }
+
+  private def dsirSelectedIds(s: SparkSession, dir: String): DataFrame = {
+    val fp = IndexManifest.corpusFingerprint(dir, "documents")
+    val ids = datasheetDsirMemo.getOrBuild(s"$dir|$fp",
+      s.sparkContext) {
+      MemoBuilds.record("datasheet_dsir")
+      pipelineDsirSelect(s, dir)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    }
+    import s.implicits._
+    ids.toDF("doc_id")
+  }
+
   def curationDatasheet(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
     val keep = TextQueries.gopherRulesFrom(docs)
       .select(col("doc_id"), col("keep").cast("long").as("k"))
-    val ranks = WarcQueries.graphHostRank(s, dir)
-      .select(col("domain"), col("rank_fp"))
+    val ranks = hostRankRows(s, dir)
     // the DSIR draw is budget-bounded → broadcast membership flag
-    val dsel = pipelineDsirSelect(s, dir)
+    val dsel = dsirSelectedIds(s, dir)
       .select(col("doc_id"), lit(1L).as("ds"))
     // the URL gate's verdict is pure doc_id arithmetic (domain =
     // doc_id % 10, blocked residues derived from the blocklist), so

@@ -171,6 +171,51 @@ class MemoCachesSpec extends SparkSpec {
     assert(!v2.exists(x => x._2.contains("a") && x._3 > 0L))
   }
 
+  test("datasheet memos (host rank + DSIR selection): unchanged " +
+      "corpus is a memo hit; in-place regeneration re-derives both " +
+      "(VERDICT r17 finding #2)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("dsmemo").toString
+    def write(langOf: Long => String): Unit =
+      (1L to 20L).map { i =>
+        (i, s"alpha beta gamma delta epsilon word$i tail$i",
+          langOf(i), "src", 40L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // v1: half the docs are raw (fr) → DSIR selects from them
+    write(i => if (i % 2 == 0) "en" else "fr")
+    val d1 = PipelineQueries.curationDatasheet(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(r.fieldIndex("dsir_keep_rate")),
+        r.getLong(r.fieldIndex("host_rank_prior"))))
+    assert(d1.length == 1 && d1.head._2 == 20L)
+    assert(d1.head._3 > 0.0,
+      s"v1 must select raw (fr) docs: ${d1.toSeq}")
+    // unchanged corpus: a pure memo hit — neither build label fires
+    // and the card replays bit-stable
+    val raw1 = PipelineQueries.curationDatasheet(spark, dir)
+      .collect().map(_.toString).toSeq
+    val before = MemoBuilds.count
+    val raw1Again = PipelineQueries.curationDatasheet(spark, dir)
+      .collect().map(_.toString).toSeq
+    val labels = MemoBuilds.labelsSince(before)
+    assert(!labels.contains("datasheet_hostrank") &&
+      !labels.contains("datasheet_dsir"),
+      s"unchanged corpus must hit both memos, rebuilt: $labels")
+    assert(raw1 == raw1Again, "memo hit must replay the card")
+    // in-place regeneration: all docs become target (en) → the raw
+    // pool is EMPTY, so a stale DSIR memo would keep reporting v1's
+    // keep rate
+    write(_ => "en")
+    val d2 = PipelineQueries.curationDatasheet(spark, dir).collect()
+      .map(r => r.getDouble(r.fieldIndex("dsir_keep_rate")))
+    assert(d2.length == 1 && d2.head == 0.0,
+      s"regenerated corpus has no raw docs; stale memo if > 0: " +
+        s"${d2.toSeq}")
+  }
+
   test("pcaMemo: in-place regeneration re-derives the axis on the " +
       "NEW vectors; unchanged corpus replays the memoized component") {
     val dir = java.nio.file.Files
