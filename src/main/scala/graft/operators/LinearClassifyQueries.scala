@@ -96,6 +96,18 @@ object LinearClassifyQueries {
   private[graft] def linearScore(
       train: DataFrame, test: DataFrame,
       driverMax: Long = DRIVER_LIN_MAX): DataFrame = {
+    val (labels, w) = trainLinearModel(train, driverMax)
+    scoreLinear(test, labels, w)
+  }
+
+  /** Train the batch perceptron and return the FROZEN model —
+    * (sorted labels, flat C×B weights). The model is the
+    * bounded-driver artifact the qids memoize per corpus fingerprint
+    * (the tokenizer-model idiom): everything corpus-sized stays
+    * inside this call. */
+  private[graft] def trainLinearModel(
+      train: DataFrame,
+      driverMax: Long = DRIVER_LIN_MAX): (Seq[String], Array[Long]) = {
     val s = train.sparkSession
     import s.implicits._
     val B = LIN_BUCKETS
@@ -104,9 +116,7 @@ object LinearClassifyQueries {
     val labels = train.select(col("y")).distinct()
       .as[String].collect().sorted
     val C = labels.length
-    if (C == 0)
-      return s.emptyDataset[(Long, String, Long)]
-        .toDF("doc_id", "pred", "score")
+    if (C == 0) return (Seq.empty, Array.emptyLongArray)
     val ci = labels.zipWithIndex.toMap // 0-based
     // final weights, flat: w(c * B + f)
     val w = new Array[Long](C * B)
@@ -198,9 +208,21 @@ object LinearClassifyQueries {
       ydoc.unpersist()
       trainP.unpersist()
     }
-    // ── score the test split with the final model (same
-    // max-of-struct argmax: classes are indexed, so the (sc desc,
-    // cidx asc) winner is the (sc desc, label asc) winner) ──
+    (labels.toSeq, w)
+  }
+
+  /** Score (doc_id, f, n) rows with a frozen model (same
+    * max-of-struct argmax: classes are indexed, so the (sc desc,
+    * cidx asc) winner is the (sc desc, label asc) winner). */
+  private[graft] def scoreLinear(test: DataFrame,
+      labels: Seq[String], w: Array[Long]): DataFrame = {
+    val s = test.sparkSession
+    import s.implicits._
+    val B = LIN_BUCKETS
+    val C = labels.length
+    if (C == 0)
+      return s.emptyDataset[(Long, String, Long)]
+        .toDF("doc_id", "pred", "score")
     val wDf = broadcast(s.createDataset(
       (0 until C).flatMap(c => (0 until B).map(f =>
         (labels(c), c, f, w(c * B + f))))
@@ -216,40 +238,81 @@ object LinearClassifyQueries {
         col("b.sc").cast("long").as("score"))
   }
 
+  /** Test-split features — built fresh for scoring (one narrow,
+    * row-local pass; no cache to pin). */
+  private def testFeats(d: DataFrame): DataFrame =
+    linFeaturesFrom(d.filter(pmod(col("doc_id"), lit(10)) >= 7),
+      lit("")).select(col("doc_id"), col("f"), col("n"))
+
+  /** Train a head on `d`, release the working feature cache the
+    * moment the model is frozen (the corpus-sized trigram explode was
+    * persisted for the SESSION lifetime before — the dsir-feats
+    * residency class, r17 finding #3), and score the test split from
+    * a fresh narrow pass. */
+  private def trainHead(d: DataFrame, label: Column,
+      driverMax: Long): (Seq[String], Array[Long]) = {
+    val feats = linFeaturesFrom(d, label).persist()
+    try trainLinearModel(
+      feats.filter(pmod(col("doc_id"), lit(10)) < 7), driverMax)
+    finally feats.unpersist() // training is eager (collect / epoch jobs)
+  }
+
+  /** Per-head frozen-model memo, keyed on (dir, corpus fingerprint,
+    * head): the model is C×B integers — the documented
+    * bounded-driver-read class — and corpus-fingerprint-stable, so
+    * repeat scoring (bench reps, the ensemble card) replays the
+    * artifact instead of retraining (the tokenizer-model idiom). */
+  private val linModelMemo = new BuildMemo[(Seq[String], Array[Long])]()
+
   /** text_classify_linear — the langid head (labels = `lang`). */
-  def textClassifyLinear(s: SparkSession, dir: String): DataFrame =
-    textClassifyLinearFrom(documents(s, dir))
+  def textClassifyLinear(s: SparkSession, dir: String): DataFrame = {
+    val fp = IndexManifest.corpusFingerprint(dir, "documents")
+    val d = documents(s, dir)
+    val (labels, w) = linModelMemo.getOrBuild(s"$dir|$fp|lang",
+      s.sparkContext) {
+      MemoBuilds.record("lin_model_lang")
+      trainHead(d, col("lang"), DRIVER_LIN_MAX)
+    }
+    scoreLinear(testFeats(d), labels, w)
+      .select(col("doc_id"), col("pred").as("pred_lang"), col("score"))
+  }
 
   private[graft] def textClassifyLinearFrom(
       d: DataFrame, driverMax: Long = DRIVER_LIN_MAX): DataFrame = {
-    // persist: the feature stream feeds training (count + epochs) and
-    // scoring; CacheManager shares it across bench reps too
-    val feats = linFeaturesFrom(d, col("lang")).persist()
-    val train = feats.filter(pmod(col("doc_id"), lit(10)) < 7)
-    val test = feats.filter(pmod(col("doc_id"), lit(10)) >= 7)
-      .select(col("doc_id"), col("f"), col("n"))
-    linearScore(train, test, driverMax)
+    val (labels, w) = trainHead(d, col("lang"), driverMax)
+    scoreLinear(testFeats(d), labels, w)
       .select(col("doc_id"), col("pred").as("pred_lang"), col("score"))
   }
 
   /** text_quality_linear — the quality head: labels are the Gopher
     * keep verdict on the train split ('hq'/'lq') — the CCNet shape
     * (train a linear filter on a rule-curated positive set). */
-  def textQualityLinear(s: SparkSession, dir: String): DataFrame =
-    textQualityLinearFrom(documents(s, dir))
+  def textQualityLinear(s: SparkSession, dir: String): DataFrame = {
+    val fp = IndexManifest.corpusFingerprint(dir, "documents")
+    val d = documents(s, dir)
+    val (labels, w) = linModelMemo.getOrBuild(s"$dir|$fp|quality",
+      s.sparkContext) {
+      MemoBuilds.record("lin_model_quality")
+      trainQualityHead(d)
+    }
+    scoreLinear(testFeats(d), labels, w)
+      .select(col("doc_id"), col("pred").as("pred_quality"),
+        col("score"))
+  }
 
-  private[graft] def textQualityLinearFrom(d: DataFrame): DataFrame = {
+  private def trainQualityHead(d: DataFrame): (Seq[String], Array[Long]) = {
     val lab = TextQueries.gopherRulesFrom(d)
       .select(col("doc_id"),
         when(col("keep"), "hq").otherwise("lq").as("yq"))
-    val feats = linFeaturesFrom(
-      d.join(lab, Seq("doc_id")).withColumnRenamed("yq", "ylab"),
-      col("ylab")).persist()
-    val train = feats.filter(pmod(col("doc_id"), lit(10)) < 7)
-    val test = feats.filter(pmod(col("doc_id"), lit(10)) >= 7)
-      .select(col("doc_id"), col("f"), col("n"))
-    linearScore(train, test)
-      .select(col("doc_id"), col("pred").as("pred_quality"), col("score"))
+    trainHead(d.join(lab, Seq("doc_id")).withColumnRenamed("yq", "ylab"),
+      col("ylab"), DRIVER_LIN_MAX)
+  }
+
+  private[graft] def textQualityLinearFrom(d: DataFrame): DataFrame = {
+    val (labels, w) = trainQualityHead(d)
+    scoreLinear(testFeats(d), labels, w)
+      .select(col("doc_id"), col("pred").as("pred_quality"),
+        col("score"))
   }
 
   // ── oracles: the whole chain in one recursive CTE ──

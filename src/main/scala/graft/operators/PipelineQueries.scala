@@ -659,15 +659,13 @@ object PipelineQueries {
   /** Memoized composed inputs of [[curationDatasheet]] (VERDICT r17
     * finding #2): both are tiny, corpus-fingerprint-stable outputs of
     * EXPENSIVE chains — the host-rank table re-parses the WARC
-    * archives for 10 rows, the DSIR selection re-runs the whole
-    * feature/LM/λ chain for a budget-bounded id set — so the
-    * datasheet was paying both on every call. The knn_graph
-    * discipline: keyed on (dir, corpus fingerprint), regeneration in
-    * place is a new key, and the memoized values are session-free
-    * driver arrays (≤ |domains| rows / ≤ budget ids — the documented
-    * bounded-driver-read class). */
+    * archives for 10 rows (the DSIR selection rides
+    * [[dsirSelectMemo]]) — so the datasheet was paying both on every
+    * call. The knn_graph discipline: keyed on (dir, corpus
+    * fingerprint), regeneration in place is a new key, and the
+    * memoized value is a session-free driver array (≤ |domains| rows
+    * — the documented bounded-driver-read class). */
   private val datasheetRankMemo = new BuildMemo[Seq[(String, Long)]]()
-  private val datasheetDsirMemo = new BuildMemo[Seq[Long]]()
 
   private def hostRankRows(s: SparkSession, dir: String): DataFrame = {
     val fp = IndexManifest.corpusFingerprint(dir, "documents")
@@ -682,25 +680,14 @@ object PipelineQueries {
     rows.toDF("domain", "rank_fp")
   }
 
-  private def dsirSelectedIds(s: SparkSession, dir: String): DataFrame = {
-    val fp = IndexManifest.corpusFingerprint(dir, "documents")
-    val ids = datasheetDsirMemo.getOrBuild(s"$dir|$fp",
-      s.sparkContext) {
-      MemoBuilds.record("datasheet_dsir")
-      pipelineDsirSelect(s, dir)
-        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
-    }
-    import s.implicits._
-    ids.toDF("doc_id")
-  }
-
   def curationDatasheet(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
     val keep = TextQueries.gopherRulesFrom(docs)
       .select(col("doc_id"), col("keep").cast("long").as("k"))
     val ranks = hostRankRows(s, dir)
-    // the DSIR draw is budget-bounded → broadcast membership flag
-    val dsel = dsirSelectedIds(s, dir)
+    // the DSIR draw is budget-bounded and served by dsirSelectMemo →
+    // broadcast membership flag, no chain re-run
+    val dsel = pipelineDsirSelect(s, dir)
       .select(col("doc_id"), lit(1L).as("ds"))
     // the URL gate's verdict is pure doc_id arithmetic (domain =
     // doc_id % 10, blocked residues derived from the blocklist), so
@@ -826,11 +813,13 @@ object PipelineQueries {
       d: DataFrame, isTarget: Column,
       budget: Long = DSIR_BUDGET): DataFrame = {
     val B = DSIR_BUCKETS
-    // persist: the feature stream feeds the LM aggregation AND the
-    // per-doc λ — without it Spark re-runs the explode per consumer
-    // (and per bench rep; CacheManager matches the identical plan).
+    // persist FOR THE DRAW'S DURATION: the feature stream feeds the
+    // LM aggregation AND the per-doc λ — without it Spark re-runs the
+    // explode per consumer. Released after the eager checkpoint below
+    // (repeat invocations are served by the dsirSelectMemo instead).
     // At 100 TB this is the standard "materialize features once"
-    // intermediate a production run lands on storage.
+    // intermediate a production run lands on storage — and then
+    // deletes, not pins in executor memory.
     val feats = d
       .select(col("doc_id"), col("lang"), col("source"),
         isTarget.as("tgt"), explode(dsirFeats(col("text"))).as("f"))
@@ -886,9 +875,15 @@ object PipelineQueries {
       orderCols = Seq(col("key").desc, col("doc_id")),
       tokCol = "n_tok", budget = budget)
     // the selected set is budget-bounded → eager checkpoint pins it
-    // and releases the keyed cache (the curriculumDraws lifecycle)
+    // and releases BOTH working caches (the curriculumDraws
+    // lifecycle). feats especially: a corpus-sized exploded bigram
+    // frame left resident for the session competed with every
+    // later-running operator's aggregates for unified memory — the
+    // profiled cause of the r17 text_langid_nb bench drift (finding
+    // #3: isolated min 2.6 s, bench-context min 3.8 s).
     val out = kept.localCheckpoint(eager = true)
     keyed.unpersist()
+    feats.unpersist()
     out
   }
 
@@ -906,8 +901,26 @@ object PipelineQueries {
     * selected set is budget-bounded. The planted spec (DsirSelectSpec) pins
     * target-domain recovery; the oracle replays hashing, both LMs,
     * λ, the Gumbel keys, and the cutoff. */
-  def pipelineDsirSelect(s: SparkSession, dir: String): DataFrame =
-    pipelineDsirSelectFrom(documents(s, dir), col("lang") === "en")
+  /** The gate instance's selection memo: the output is budget-bounded
+    * (≤ DSIR_BUDGET rows — every doc carries ≥ 1 token) and
+    * corpus-fingerprint-stable, so repeat invocations replay a driver
+    * array instead of re-running the feature/LM/λ chain (the
+    * knn_graph discipline; regeneration in place is a new key). */
+  private val dsirSelectMemo =
+    new BuildMemo[Seq[(Long, String, String, Long, Double)]]()
+
+  def pipelineDsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val fp = IndexManifest.corpusFingerprint(dir, "documents")
+    val rows = dsirSelectMemo.getOrBuild(s"$dir|$fp", s.sparkContext) {
+      MemoBuilds.record("dsir_select")
+      pipelineDsirSelectFrom(documents(s, dir), col("lang") === "en")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getDouble(4))).toSeq
+    }
+    import s.implicits._
+    rows.toDF("doc_id", "lang", "source", "n_tok", "key")
+  }
 
   lazy val pipelineDsirSelectSql: String = {
     val B = DSIR_BUCKETS

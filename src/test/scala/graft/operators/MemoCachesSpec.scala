@@ -202,7 +202,7 @@ class MemoCachesSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     val labels = MemoBuilds.labelsSince(before)
     assert(!labels.contains("datasheet_hostrank") &&
-      !labels.contains("datasheet_dsir"),
+      !labels.contains("dsir_select"),
       s"unchanged corpus must hit both memos, rebuilt: $labels")
     assert(raw1 == raw1Again, "memo hit must replay the card")
     // in-place regeneration: all docs become target (en) → the raw
