@@ -33,6 +33,10 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
     declared.foreach { case (name, fn) =>
       try {
+        // Label the qid in the scheduler and on stderr so log warnings
+        // (e.g. WindowExec single-partition) are attributable per query.
+        spark.sparkContext.setJobDescription(name)
+        System.err.println(s"[verify] running $name")
         val df = fn(spark, sfDir)
         val bad = df.schema.fields.collect {
           case f if f.dataType.isInstanceOf[ArrayType] ||
