@@ -2,7 +2,7 @@ package graft.operators
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -1197,28 +1197,87 @@ object SimilarityQueries {
       val a = topCentroids(cBc.value, 1, emb, nrm)
       if (a.isEmpty) -1L else a(0)
     }
-    val sums = e.withColumn("cid", near1(col("emb"), col("nrm")))
+    val assigned = e.withColumn("cid", near1(col("emb"), col("nrm")))
       .filter(col("cid") >= 0)
-      .select(col("cid"), posexplode(col("emb")))
-      .toDF("cid", "idx", "v")
-      .withColumn("ve",
-        floor(col("v") * lit(KMEANS_GRID) + lit(0.5)).cast("decimal(38,0)"))
-      .groupBy(col("cid"), col("idx"))
-      .agg(sum(col("ve")).as("sv"), count(lit(1)).as("n"))
-      .collect()
-    sums.groupBy(_.getLong(0)).toArray.map { case (cid, rows) =>
-      val byIdx = rows
-        .map(r => (r.getInt(1), r.getDecimal(2), r.getLong(3)))
-        .sortBy(_._1)
-      val emb = byIdx.map { case (_, sv, n) =>
-        (sv.doubleValue / n.toDouble) / KMEANS_GRID
-      }
-      var ss = 0.0
-      var i = 0
-      while (i < emb.length) { ss += emb(i) * emb(i); i += 1 }
-      (cid, emb, math.sqrt(ss))
-    }.sortBy(_._1)
+    // Wide-aggregate fast path (guide §2.3: aggregate before you
+    // shuffle / never explode what a fixed set of sum expressions can
+    // fold): instead of posexploding n×d (cid, idx, v) rows through a
+    // k·d-group hash agg, fold the d per-dimension decimal sums AND
+    // the d presence counts as 2d aggregate expressions over the
+    // un-exploded rows — k output rows, identical exact integers
+    // (decimal addition is associative+commutative; the per-element
+    // floor terms are unchanged), d× fewer rows into the shuffle.
+    // dGuess comes from the broadcast centroids; a corpus row LONGER
+    // than every centroid (possible under ragged input — the init
+    // sample may miss the longest row) is detected by the max(size)
+    // column and falls back to the explode form, so the wide path is
+    // never wrong, only skipped. Very wide embeddings (d > 256) keep
+    // the explode form too: 2d codegen accumulators stop paying there.
+    val dGuess = cArr.iterator.map(_._2.length).max
+    val wide: Option[Array[Row]] =
+      if (dGuess > 0 && dGuess <= WIDE_AGG_MAX_D) {
+        val aggCols = (0 until dGuess).flatMap { j =>
+          Seq(
+            sum(floor(element_at(col("emb"), j + 1) * lit(KMEANS_GRID)
+              + lit(0.5)).cast("decimal(38,0)")).as(s"s$j"),
+            count(when(size(col("emb")) > j, 1)).as(s"n$j"))
+        } :+ max(size(col("emb"))).as("dmax")
+        val rows = assigned.groupBy(col("cid"))
+          .agg(aggCols.head, aggCols.tail: _*)
+          .collect()
+        if (rows.exists(r => !r.isNullAt(2 * dGuess + 1)
+            && r.getInt(2 * dGuess + 1) > dGuess)) None
+        else Some(rows)
+      } else None
+    wide match {
+      case Some(rows) =>
+        rows.map { r =>
+          val cid = r.getLong(0)
+          val emb = (0 until dGuess).iterator
+            .map(j => (r.getLong(2 + 2 * j), r.getDecimal(1 + 2 * j)))
+            .filter(_._1 > 0L)
+            .map { case (n, sv) => (sv.doubleValue / n.toDouble) / KMEANS_GRID }
+            .toArray
+          var ss = 0.0
+          var i = 0
+          while (i < emb.length) { ss += emb(i) * emb(i); i += 1 }
+          (cid, emb, math.sqrt(ss))
+        }.sortBy(_._1)
+      case None =>
+        val sums = assigned
+          .select(col("cid"), posexplode(col("emb")))
+          .toDF("cid", "idx", "v")
+          .withColumn("ve",
+            floor(col("v") * lit(KMEANS_GRID) + lit(0.5)).cast("decimal(38,0)"))
+          .groupBy(col("cid"), col("idx"))
+          .agg(sum(col("ve")).as("sv"), count(lit(1)).as("n"))
+          .collect()
+        sums.groupBy(_.getLong(0)).toArray.map { case (cid, rows) =>
+          val byIdx = rows
+            .map(r => (r.getInt(1), r.getDecimal(2), r.getLong(3)))
+            .sortBy(_._1)
+          val emb = byIdx.map { case (_, sv, n) =>
+            (sv.doubleValue / n.toDouble) / KMEANS_GRID
+          }
+          var ss = 0.0
+          var i = 0
+          while (i < emb.length) { ss += emb(i) * emb(i); i += 1 }
+          (cid, emb, math.sqrt(ss))
+        }.sortBy(_._1)
+    }
   }
+
+  /** Dimension bound for the wide-aggregate (2d-expression) forms of
+    * the iterative numeric kernels; past it the explode forms win.
+    * Measured on the sf0.1 bench (iterative kernels re-plan every
+    * round, so per-expression analysis cost is paid per iteration):
+    * d=8 PQ-subspace refines sped up ~15% wide, while d=64 corpus
+    * kernels slowed ~30-50% (64-130 expression trees per round beat
+    * the explode's fixed 2-column plan; the explode's shuffle is
+    * already bounded map-side to partitions×k×d partial rows, so the
+    * wide form buys no asymptotic safety — it's a constant-factor
+    * trade that only pays at small d). */
+  private[operators] val WIDE_AGG_MAX_D = 16
 
   /** Top-`a` centroid ids for one vector by (cosine desc, cid asc) —
     * shared by the executor-side assignment kernel and the
@@ -3137,6 +3196,22 @@ object SimilarityQueries {
   /** The Lloyd loop: deterministic init + exact refinements to the
     * scale-free stopping rule. Returns the converged centroids. */
   private[graft] def kmeansLoop(
+      e0: DataFrame, k: Int): Array[(Long, Array[Double], Double)] = {
+    // Persist the narrow (vec_id, emb, nrm) projection ONCE across
+    // the whole loop: up to KMEANS_MAX_ITERS refinements each rescan
+    // the input otherwise — K full parquet passes for one centroid
+    // set (the powerIterate discipline; guide §5 caching: reused K
+    // times, recompute = a corpus scan). MEMORY_AND_DISK so at scale
+    // it spills instead of evicting; unpersisted in finally — the
+    // memo keeps only session-free centroid arrays, never cached
+    // plans.
+    val e = e0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try kmeansLoopOn(e, k)
+    finally { e.unpersist(); () }
+  }
+
+  private def kmeansLoopOn(
       e: DataFrame, k: Int): Array[(Long, Array[Double], Double)] = {
     val s = e.sparkSession
     val mix64 = udf { (x: Long) => graft.functions.FastSig.mix(x) }
@@ -3734,19 +3809,42 @@ object SimilarityQueries {
     val d = if (dRow.isEmpty || dRow(0).isNullAt(0)) 0 else dRow(0).getInt(0)
     if (d <= 0) return (Array.empty, Array.empty, 0.0, 0L)
     val e = e0.filter(size(col("emb")) === d)
-    val meanRows = e
-      .select(posexplode(col("emb")).as(Seq("idx", "v")))
-      .withColumn("ve",
-        floor(col("v") * lit(KMEANS_GRID) + lit(0.5)).cast("decimal(38,0)"))
-      .groupBy(col("idx"))
-      .agg(sum(col("ve")).as("sv"), count(lit(1)).as("cn"))
-      .collect()
-    if (meanRows.isEmpty) return (Array.empty, Array.empty, 0.0, 0L)
-    val n = meanRows(0).getLong(2)
+    // Wide-aggregate mean pass (guide §2.3): every row here has
+    // exactly d elements, so the per-dimension decimal sums fold as d
+    // aggregate expressions over the un-exploded rows — one count, d
+    // exact sums, no n×d explode and no d-group shuffle. Identical
+    // integers to the posexplode+groupBy(idx) form (decimal addition
+    // is order-free). Falls back to the explode form past
+    // WIDE_AGG_MAX_D, where 2d codegen accumulators stop paying.
     val mean = Array.fill(d)(0.0)
-    meanRows.foreach { r =>
-      mean(r.getInt(0)) =
-        (r.getDecimal(1).doubleValue / r.getLong(2).toDouble) / KMEANS_GRID
+    var n = 0L
+    if (d <= WIDE_AGG_MAX_D) {
+      val aggCols = (0 until d).map { j =>
+        sum(floor(element_at(col("emb"), j + 1) * lit(KMEANS_GRID)
+          + lit(0.5)).cast("decimal(38,0)")).as(s"s$j")
+      } :+ count(lit(1)).as("cn")
+      val r = e.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+      n = r.getLong(d)
+      if (n == 0L) return (Array.empty, Array.empty, 0.0, 0L)
+      var j = 0
+      while (j < d) {
+        mean(j) = (r.getDecimal(j).doubleValue / n.toDouble) / KMEANS_GRID
+        j += 1
+      }
+    } else {
+      val meanRows = e
+        .select(posexplode(col("emb")).as(Seq("idx", "v")))
+        .withColumn("ve",
+          floor(col("v") * lit(KMEANS_GRID) + lit(0.5)).cast("decimal(38,0)"))
+        .groupBy(col("idx"))
+        .agg(sum(col("ve")).as("sv"), count(lit(1)).as("cn"))
+        .collect()
+      if (meanRows.isEmpty) return (Array.empty, Array.empty, 0.0, 0L)
+      n = meanRows(0).getLong(2)
+      meanRows.foreach { r =>
+        mean(r.getInt(0)) =
+          (r.getDecimal(1).doubleValue / r.getLong(2).toDouble) / KMEANS_GRID
+      }
     }
     val mLit = typedLit(mean.toSeq)
     val (v, lam) = powerIterate(
@@ -3782,24 +3880,52 @@ object SimilarityQueries {
     var it = 0
     while (it < PCA_ITERS) {
       val vLit = typedLit(v.toSeq)
-      val rows = eC
-        .select(col("cv").as("c"))
-        .withColumn("s",
-          aggregate(zip_with(col("c"), vLit, (c, w) => c * w),
-            lit(0d), (acc, x) => acc + x))
-        .withColumn("a", floor(col("s") * lit(KMEANS_GRID) + lit(0.5)))
-        .select(col("a"), posexplode(col("c")).as(Seq("idx", "cv")))
-        .withColumn("b", floor(col("cv") * lit(KMEANS_GRID) + lit(0.5)))
-        .groupBy(col("idx"))
-        // cast BEFORE multiplying: a LONG·LONG product past 2^63
-        // would wrap silently while the oracle's BIGINT raises —
-        // decimal multiply keeps overflow loud on both engines
-        .agg(sum(col("a").cast("decimal(38,0)") * col("b")).as("w"))
-        .collect()
+      // The per-row projection a is computed ONCE in a projection
+      // below the aggregate; the d per-dimension Σ a·bⱼ then fold as
+      // d decimal sum expressions over the un-exploded rows (guide
+      // §2.3) — one narrow stage per round instead of an n×d explode
+      // through a d-group hash agg. Exact-integer terms unchanged
+      // (cast BEFORE multiplying: a LONG·LONG product past 2^63
+      // would wrap silently while the oracle's BIGINT raises —
+      // decimal multiply keeps overflow loud on both engines);
+      // decimal addition is order-free, so the sums are bit-identical
+      // to the explode form (the shape > WIDE_AGG_MAX_D keeps).
       val wArr = Array.fill(d)(0.0)
-      rows.foreach { r =>
-        wArr(r.getInt(0)) =
-          r.getDecimal(1).doubleValue / (KMEANS_GRID * KMEANS_GRID)
+      if (d <= WIDE_AGG_MAX_D) {
+        val proj = eC
+          .select(col("cv").as("c"))
+          .withColumn("a",
+            floor(aggregate(zip_with(col("c"), vLit, (c, w) => c * w),
+              lit(0d), (acc, x) => acc + x)
+              * lit(KMEANS_GRID) + lit(0.5)).cast("decimal(38,0)"))
+        val aggCols = (0 until d).map { j =>
+          sum(col("a") * floor(element_at(col("c"), j + 1)
+            * lit(KMEANS_GRID) + lit(0.5))).as(s"w$j")
+        }
+        val r = proj.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+        var j = 0
+        while (j < d) {
+          if (!r.isNullAt(j))
+            wArr(j) =
+              r.getDecimal(j).doubleValue / (KMEANS_GRID * KMEANS_GRID)
+          j += 1
+        }
+      } else {
+        val rows = eC
+          .select(col("cv").as("c"))
+          .withColumn("s",
+            aggregate(zip_with(col("c"), vLit, (c, w) => c * w),
+              lit(0d), (acc, x) => acc + x))
+          .withColumn("a", floor(col("s") * lit(KMEANS_GRID) + lit(0.5)))
+          .select(col("a"), posexplode(col("c")).as(Seq("idx", "cv")))
+          .withColumn("b", floor(col("cv") * lit(KMEANS_GRID) + lit(0.5)))
+          .groupBy(col("idx"))
+          .agg(sum(col("a").cast("decimal(38,0)") * col("b")).as("w"))
+          .collect()
+        rows.foreach { r =>
+          wArr(r.getInt(0)) =
+            r.getDecimal(1).doubleValue / (KMEANS_GRID * KMEANS_GRID)
+        }
       }
       var ss = 0.0
       var i = 0

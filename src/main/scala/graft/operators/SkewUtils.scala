@@ -37,6 +37,26 @@ object SkewUtils {
     * the in-block verify is quadratic in the flood (measured 80× for
     * 10× data on the replicated sf1.0 fixture before join_fuzzy was
     * capped). */
+  /** Scale-guarded fan-out for row-multiplying narrow stages (guide
+    * §2.5 "input skew: one huge unsplittable file … repartition
+    * immediately after the read"). The local fixtures are one parquet
+    * file with ONE row group per table, so a scan — and every
+    * explode/per-char kernel fused onto it — runs as a single task on
+    * a 32-core session (a row group is the atomic split unit; no
+    * split config can divide it). Round-robins the frame across the
+    * cores ONLY when its planned parallelism is under half of them:
+    * on a real lake the many files/row groups clear the bar and the
+    * plan is untouched, so no corpus-wide shuffle is ever added at
+    * scale. Call it on the NARROW projection feeding the explode
+    * (keys + the bounded text column), never on a wide frame. */
+  def fanOutSmallScan(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val parts =
+      try df.rdd.getNumPartitions
+      catch { case _: Throwable => Int.MaxValue }
+    if (parts * 2 < cores) df.repartition(cores) else df
+  }
+
   def capPerKey(df: DataFrame, keys: Seq[String], orderCol: String,
       cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -1164,7 +1164,12 @@ object TextQueries {
     * of re-aggregating per call. */
   private[graft] def nbScoreDocs(
       corpus: DataFrame, docs: DataFrame): DataFrame = {
-    val train = corpus
+    // No fan-out here: the word explode is ~d× cheaper per char than
+    // langid's bigram kernel, and the repartition shuffle measured a
+    // net loss (1.10 → 2.04 s) — see [[textLangidNbFrom]] for the
+    // shape where it pays.
+    val corpusN = corpus.select(col("doc_id"), col("lang"), col("text"))
+    val train = corpusN
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
@@ -1172,15 +1177,30 @@ object TextQueries {
     val test = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
-    nbScoreTokens(train, test)
+    // (doc_id, lang) of the train docs WITHOUT re-running the token
+    // explode: a doc survives the exploded filters iff it has ≥1
+    // non-empty token, which `exists` tests per row on the un-exploded
+    // text (split(NULL) is NULL → exists NULL → dropped, matching the
+    // explode's zero rows).
+    val trainDocs = corpusN
+      .filter(pmod(col("doc_id"), lit(10)) < 7)
+      .filter(exists(split(col("text"), " "), t => length(t) > 0))
+      .select(col("doc_id"), col("lang"))
+    nbScoreTokens(train, test, trainDocs)
   }
 
   /** The feature-agnostic NB core: train on (doc_id, lang, tok) rows,
     * score (doc_id, tok) rows — shared by text_nb_classify (word
     * features) and text_langid_nb (char-bigram features), so the two
     * classifiers differ ONLY in their tokenizer. */
+  /** `trainDocs` must be the (doc_id, lang) rows of exactly the docs
+    * that produce ≥1 train token — the callers derive it from the
+    * UN-exploded corpus, replacing the old `train.select(doc_id,
+    * lang).distinct()` whose distinct re-ran the whole tokenize/
+    * explode a second time (one full corpus pass per call, profiled
+    * 0.7 s of text_langid_nb's 3.0 s at sf0.1). */
   private def nbScoreTokens(
-      train: DataFrame, test: DataFrame): DataFrame = {
+      train: DataFrame, test: DataFrame, trainDocs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Materialize the MODEL once and derive every other training
     // aggregate from it: Spark has no subtree reuse, so the earlier
@@ -1214,7 +1234,7 @@ object TextQueries {
     val tot = cnt.groupBy(col("clang"))
       .agg(sum(col("cnt")).as("tot"))
     val vsz = cnt.agg(countDistinct(col("tok")).as("v"))
-    val docLang = train.select(col("doc_id"), col("lang")).distinct()
+    val docLang = trainDocs.select(col("doc_id"), col("lang")).distinct()
       .localCheckpoint(false)
     val prior = docLang
       .groupBy(col("lang")).agg(count(lit(1)).as("nd"))
@@ -1338,17 +1358,22 @@ object TextQueries {
     // char-array form was tried and reverted: it addresses UTF-16
     // units (astral-divergent) and bought no measurable time — the
     // sf10 cost was input-split width, not substr rescans.
-    val toks = d
+    val px = SkewUtils.fanOutSmallScan(d
       .select(col("doc_id"), col("lang"),
         substring(col("text"), 1, LID_PREFIX).as("px"))
-      .filter(length(col("px")) >= 2)
+      .filter(length(col("px")) >= 2))
+    val toks = px
       .select(col("doc_id"), col("lang"), explode(expr(
         "transform(sequence(1, length(px) - 1), i -> substr(px, i, 2))"))
         .as("tok"))
     nbScoreTokens(
       toks.filter(pmod(col("doc_id"), lit(10)) < 7),
       toks.filter(pmod(col("doc_id"), lit(10)) >= 7)
-        .select(col("doc_id"), col("tok")))
+        .select(col("doc_id"), col("tok")),
+      // px length ≥ 2 guarantees ≥ 1 bigram, so the train docs are
+      // exactly the %10<7 slice of the prefix frame — no re-explode.
+      px.filter(pmod(col("doc_id"), lit(10)) < 7)
+        .select(col("doc_id"), col("lang")))
   }
 
   /** text_langid_nb oracle — textNbClassifySql's chain verbatim with
