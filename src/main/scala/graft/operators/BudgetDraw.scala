@@ -69,7 +69,15 @@ object BudgetDraw {
       tokCol: String,
       budget: Long): DataFrame = {
     val gCols = groupCols.map(col)
-    val withR = df.withColumn("__r", rangeId)
+    // The draw reads its input TWICE by construction (pass 1 sums,
+    // pass 2 window) and Spark has no subtree reuse, so without the
+    // checkpoint the caller's upstream chain — e.g. the curriculum's
+    // quality-decile windows — executed once per pass (guide §7.2).
+    // Every caller passes a NARROW (keys, order, tok) projection, so
+    // the one materialization is a ~40-byte/row table both passes
+    // then read; blocks are reclaimed by the ContextCleaner when the
+    // draw's result is dropped.
+    val withR = df.withColumn("__r", rangeId).localCheckpoint(false)
     // pass 1: per-(group, range) token sums — map-side combined,
     // |groups|·R rows total
     val sums = withR

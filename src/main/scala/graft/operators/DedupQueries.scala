@@ -176,6 +176,10 @@ object DedupQueries {
 
   private[graft] def dedupNearMinhashFrom(docs: DataFrame): DataFrame = {
     val (d0, reps) = exactCollapse(docs)
+    // NOT checkpointed (unlike dedup_simhash's 16-byte sig frame): the
+    // shingle arrays are token-sized per row, and materializing them
+    // measured SLOWER (1.1 → 2.0 s) than letting the three consumers
+    // recompute the fold over the runtime-reused collapse exchange.
     val d = shingledFrom(reps.select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("shin"))
     val (bands, overflow) = SkewUtils.capPerKeyWithOverflow(
@@ -227,9 +231,15 @@ object DedupQueries {
 
   private[graft] def dedupSimhashFrom(docs: DataFrame): DataFrame = {
     val (d0, reps) = exactCollapse(docs)
+    // Checkpointed: three consumers (band explode, the two Hamming
+    // verify joins) otherwise each re-ran the collapse + the 64-bit
+    // SimHash fold over the full texts (guide §7.2 — profiled 3×
+    // ~200 ms single-task recomputes per call at sf0.1). 16 bytes a
+    // row; ContextCleaner-reclaimed.
     val d = reps.select(col("doc_id"),
       TextFunctions.simhash64(TextFunctions.tokens(col("text")))
         .as("sig"))
+      .localCheckpoint(false)
     // ids only through the cap window — the verify re-joins sigs for
     // the surviving candidates, so the sig never rides the exchange
     val (bands, overflow) = SkewUtils.capPerKeyWithOverflow(

@@ -352,6 +352,10 @@ object JoinQueries {
     // greatest(len-2, 0) on BOTH engines: a name shorter than 2 chars
     // would give substring a negative length — Spark returns "" but
     // DuckDB raises, an engine-parity crash on dirty data
+    // capPerKey pins the blk-hash exchange at an explicit partition
+    // count so AQE's bytes-based coalescing cannot serialize the
+    // in-block quadratic verify (profiled 1.1 s on 1 of 32 cores
+    // before the pin — the window needed the exchange anyway).
     val c = SkewUtils.capPerKey(
       customer(s, dir).select(col("c_custkey"), col("c_name"),
         expr("substring(c_name, 1, greatest(length(c_name) - 2, 0))")

@@ -84,7 +84,14 @@ object LinearClassifyQueries {
         slice(a, lit(3), na - 2),
         (xy, z) => (xy + z) % LIN_BUCKETS))
       .otherwise(typedLit(Seq.empty[Int]))
-    d.select(col("doc_id"), label.as("y"), explode(fs).as("f"))
+    // fan out the narrow pre-explode frame (the textLangidNbFrom
+    // discipline): the per-char gram kernel over a single-row-group
+    // local fixture otherwise runs on one core; the guard keeps the
+    // plan untouched on a parallel lake scan.
+    SkewUtils.fanOutSmallScan(
+        d.select(col("doc_id"), label.as("y"),
+          substring(col("text"), 1, LIN_PREFIX * 4).as("text")))
+      .select(col("doc_id"), col("y"), explode(fs).as("f"))
       .groupBy(col("doc_id"), col("f"))
       .agg(first(col("y")).as("y"), count(lit(1)).cast("long").as("n"))
   }

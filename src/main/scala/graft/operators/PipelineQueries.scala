@@ -1070,11 +1070,16 @@ object PipelineQueries {
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val dec = TextQueries.textQualityDecile(s, dir)
       .select(col("doc_id"), col("lang"), col("decile"))
+    // Checkpointed: BOTH stage draws read this frame (anneal's
+    // eligible slice, bulk's slice + the anti-join), so without it
+    // the quality-decile window chain re-ran once per consumer
+    // (guide §7.2). Narrow 5-column rows; ContextCleaner-reclaimed.
     val tok = documents(s, dir)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tok"),
         SampleQueries.hashBucket(col("doc_id")).as("bucket"))
       .join(dec, Seq("doc_id"))
+      .localCheckpoint(false)
     // each draw is the two-pass distributed prefix sum — same rows
     // as the per-lang cumulative window, no single-partition-style
     // lang funnel, only budget-reachable ranges shuffled

@@ -771,12 +771,14 @@ object SimilarityQueries {
           .as("bb"))
       .select(col("bb.band").as("band"), col("bb.bh").as("bh"),
         col("qv"), col("qn"))
+    // Score before the dedup exchange (guide §2.3): bucket-mate
+    // duplicates carry identical (emb, qv) and score identically, so
+    // the exchange moves 16-byte (vec_id, sim) rows, not embeddings.
     bands.join(broadcast(qProbes), Seq("band", "bh"))
-      .select(col("vec_id"), col("emb"), col("nrm"), col("qv"), col("qn"))
-      .dropDuplicates("vec_id")
       .select(col("vec_id"),
         round(arrayDot(col("emb"), col("qv")) / (col("nrm") * col("qn")), 6)
           .as("sim"))
+      .dropDuplicates("vec_id")
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(10)
   }
@@ -1361,13 +1363,16 @@ object SimilarityQueries {
     }
     val probeCids = topCentroids(cArr, ivfNProbe(k),
       qRow.getSeq[Double](0), qRow.getDouble(1))
+    // Score before the dedup exchange (guide §2.3): a vector in two
+    // probed lists scores identically both times, so the exchange
+    // moves (vec_id, sim) rows instead of embedding payloads.
     e.withColumn("cid", explode(assignUdf(col("emb"), col("nrm"))))
       .filter(col("cid").isin(probeCids.map(Long.box): _*))
-      .dropDuplicates("vec_id")
       .join(broadcast(q))
       .select(col("vec_id"),
         round(arrayDot(col("emb"), col("qv")) / (col("nrm") * col("qn")), 6)
           .as("sim"))
+      .dropDuplicates("vec_id")
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(10)
   }
@@ -1825,13 +1830,20 @@ object SimilarityQueries {
       .filter(col("cid").isin(probeCids.map(Long.box): _*))
     // deleted vectors are invisible the moment the tombstone lands
     // (physical removal waits for the next compaction)
+    // Score BEFORE the dedup exchange (guide §2.3: project before the
+    // exchange): a vector in several probed lists carries identical
+    // (emb, nrm), so its duplicates score identically and the
+    // dropDuplicates keeps the same answer — but now the exchange
+    // moves (vec_id, sim) 16-byte rows instead of the ~0.5 KB
+    // embedding payload (~30× fewer shuffle bytes); the extra map-side
+    // dot per duplicate is bounded by IVF_ASSIGN.
     IndexDeletes.readDeletes(s, root, "vec_id")
       .fold(probed)(d => probed.join(broadcast(d), Seq("vec_id"), "left_anti"))
-      .dropDuplicates("vec_id")
       .join(broadcast(q))
       .select(col("vec_id"),
         round(arrayDot(col("emb"), col("qv")) / (col("nrm") * col("qn")), 6)
           .as("sim"))
+      .dropDuplicates("vec_id")
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(topK)
   }
@@ -1899,14 +1911,21 @@ object SimilarityQueries {
     val probed0 = s.read.schema(AssignSchema).parquet(s"$root/assignments")
       .filter(col("cid").isin(cids.map(Long.box): _*))
     // same tombstone handling as the single-query serve
+    // Score BEFORE the dedup exchange (guide §2.3): duplicates of a
+    // (query, vector) pair — a vector present in several of the
+    // query's probed lists — carry identical emb/qv and score
+    // identically, so deduping the scored 24-byte rows returns the
+    // same pools while the exchange drops from the ~1 KB emb+qv
+    // payload per row (profiled 6.2 MB at the fixture batch) to
+    // (query_id, vec_id, sim).
     val scored = IndexDeletes.readDeletes(s, root, "vec_id")
       .fold(probed0)(d =>
         probed0.join(broadcast(d), Seq("vec_id"), "left_anti"))
       .join(broadcast(probes), Seq("cid"))
-      .dropDuplicates("query_id", "vec_id")
       .select(col("query_id"), col("vec_id"),
         round(arrayDot(col("emb"), col("qv")) / (col("nrm") * col("qn")), 6)
           .as("sim"))
+      .dropDuplicates("query_id", "vec_id")
     graft.plans.TopKPerGroup.topKPerGroup(scored,
       keys = Seq("query_id"),
       orderBy = Seq(("sim", false), ("vec_id", true)), k = topK)
@@ -2727,8 +2746,18 @@ object SimilarityQueries {
     val (e, stars) = collapseIdenticalVectors(nonDegenerate(e0))
     // score each undirected pair ONCE (the arrayDot verify is the
     // dominant cost), then mirror the scored rows for the per-vector
-    // ranking — sim(a,b) = sim(b,a)
+    // ranking — sim(a,b) = sim(b,a). The mirror union references
+    // `scored` twice and Spark has no subtree reuse above exchanges,
+    // so WITHOUT the checkpoint the whole candidate-generation +
+    // exact-cosine chain — the build's dominant cost — executed once
+    // per union branch (guide §7.2 duplicated-subtree remedy; §3.3
+    // "materialising an intermediate truncates the plan"). scored is
+    // O(n · per-vector candidate bound) 24-byte rows — the same
+    // magnitude the final graph persists — and its blocks are
+    // reclaimed by the ContextCleaner with the graph's own memo
+    // lifecycle.
     val scored = scorePairs(e, nearEmbeddingCandidates(e), 6)
+      .localCheckpoint(false)
     val sym = scored.union(
       scored.select(col("b").as("a"), col("a").as("b"), col("sim")))
     val w = Window.partitionBy(col("a"))

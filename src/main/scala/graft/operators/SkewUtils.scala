@@ -57,10 +57,26 @@ object SkewUtils {
     if (parts * 2 < cores) df.repartition(cores) else df
   }
 
+  /** Pin the key-hash exchange the cap window requires at an explicit
+    * partition count: AQE's BYTES-based coalescing folds a small
+    * shuffle to one partition, serializing the whole downstream
+    * in-block quadratic verify — the CPU cost AQE cannot see
+    * (profiled: join_fuzzy's verify 1.1 s on 1 of 32 cores). A
+    * user-pinned repartition is exempt from coalescing, satisfies the
+    * window's required distribution (no extra exchange at any scale),
+    * and the count follows the session's own scale knobs. */
+  private def pinKeyPartitions(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val s = df.sparkSession
+    val n = math.max(s.sparkContext.defaultParallelism,
+      try s.conf.get("spark.sql.shuffle.partitions").toInt
+      catch { case _: Throwable => 200 })
+    df.repartition(n, keys.map(col): _*)
+  }
+
   def capPerKey(df: DataFrame, keys: Seq[String], orderCol: String,
       cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    df.withColumn("_rn", row_number().over(
+    pinKeyPartitions(df, keys).withColumn("_rn", row_number().over(
       Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))))
       .filter(col("_rn") <= cap)
       .drop("_rn")
@@ -90,7 +106,7 @@ object SkewUtils {
   def capPerKeyWithOverflow(df: DataFrame, keys: Seq[String],
       orderCol: String, cap: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val rn = df.withColumn("_rn", row_number().over(
+    val rn = pinKeyPartitions(df, keys).withColumn("_rn", row_number().over(
       Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))))
     val capped = rn.filter(col("_rn") <= cap)
     val pairs = rn.filter(col("_rn") > cap)
