@@ -820,9 +820,11 @@ object PipelineQueries {
     // At 100 TB this is the standard "materialize features once"
     // intermediate a production run lands on storage — and then
     // deletes, not pins in executor memory.
-    val feats = d
-      .select(col("doc_id"), col("lang"), col("source"),
-        isTarget.as("tgt"), explode(dsirFeats(col("text"))).as("f"))
+    val feats = SkewUtils.fanOutSmallScan(
+        d.select(col("doc_id"), col("lang"), col("source"),
+          isTarget.as("tgt"), col("text")))
+      .select(col("doc_id"), col("lang"), col("source"), col("tgt"),
+        explode(dsirFeats(col("text"))).as("f"))
       .persist()
     // the two LMs from ONE feature aggregation (Spark has no subtree
     // reuse — separate tcnt/rcnt/tots aggregates re-ran the explode

@@ -1108,18 +1108,29 @@ object SimilarityQueries {
     * it ever shuffles. Returns (reps as (vec_id, emb, nrm), the
     * rep→member star-edge pairs as (a, b)). ONE definition — both
     * consumers must agree on what "identical vector" means. */
-  private def collapseIdenticalVectors(e1: DataFrame)
-      : (DataFrame, DataFrame) = {
+  /** `materialize = true` checkpoints the collapse output and the
+    * star edges — for the k-NN GRAPH build, whose plan references the
+    * reps three times (band sigs + both score joins) and the stars
+    * twice (the mirrored union): without it the collapse subtree
+    * re-executed per reference (guide §7.2; ~3 s of the build's
+    * stage time at sf0.1). The build persists its corpus-sized OUTPUT
+    * anyway, so the intermediate is the same storage class, reclaimed
+    * by the ContextCleaner. dedup_near_embedding keeps the lazy form
+    * (single-use consumers; materialization measured neutral). */
+  private def collapseIdenticalVectors(e1: DataFrame,
+      materialize: Boolean = false): (DataFrame, DataFrame) = {
     val keyed = e1.select(col("vec_id"), col("emb"), col("nrm"),
       xxhash64(col("emb")).as("ck1"), hash(col("emb")).as("ck2"))
-    val reps = keyed.groupBy(col("ck1"), col("ck2"))
+    val reps0 = keyed.groupBy(col("ck1"), col("ck2"))
       .agg(min(col("vec_id")).as("vec_id"),
         first(col("emb")).as("emb"), first(col("nrm")).as("nrm"))
-    val stars = keyed.select(col("ck1"), col("ck2"), col("vec_id"))
+    val reps = if (materialize) reps0.localCheckpoint(false) else reps0
+    val stars0 = keyed.select(col("ck1"), col("ck2"), col("vec_id"))
       .join(reps.select(col("ck1"), col("ck2"), col("vec_id").as("a")),
         Seq("ck1", "ck2"))
       .filter(col("vec_id") =!= col("a"))
       .select(col("a"), col("vec_id").as("b"))
+    val stars = if (materialize) stars0.localCheckpoint(false) else stars0
     (reps.select(col("vec_id"), col("emb"), col("nrm")), stars)
   }
 
@@ -2743,7 +2754,8 @@ object SimilarityQueries {
     // (a member's nearest neighbor IS its verbatim copy), which
     // preserves the connectivity dedup_semantic clusters on at O(n)
     // extra edges.
-    val (e, stars) = collapseIdenticalVectors(nonDegenerate(e0))
+    val (e, stars) =
+      collapseIdenticalVectors(nonDegenerate(e0), materialize = true)
     // score each undirected pair ONCE (the arrayDot verify is the
     // dominant cost), then mirror the scored rows for the per-vector
     // ranking — sim(a,b) = sim(b,a). The mirror union references

@@ -65,7 +65,8 @@ object SkewUtils {
     * user-pinned repartition is exempt from coalescing, satisfies the
     * window's required distribution (no extra exchange at any scale),
     * and the count follows the session's own scale knobs. */
-  private def pinKeyPartitions(df: DataFrame, keys: Seq[String]): DataFrame = {
+  private[operators] def pinKeyPartitions(
+      df: DataFrame, keys: Seq[String]): DataFrame = {
     val s = df.sparkSession
     val n = math.max(s.sparkContext.defaultParallelism,
       try s.conf.get("spark.sql.shuffle.partitions").toInt

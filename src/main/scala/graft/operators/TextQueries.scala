@@ -1522,6 +1522,9 @@ object TextQueries {
   def textContainment(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val maxDf = 20 // stop-gram cap: buckets bigger than this are noise
+    // (A winnow fan-out + pinned gram exchange was tried and
+    // reverted: the high-cardinality gram shuffle cost more than the
+    // serialized window it parallelized — 1.9 → 2.5 s at sf0.1.)
     val pairs = documents(s, dir)
       .select(col("doc_id"),
         explode(TextFunctions.winnow()(col("text"))).as("gram"))
@@ -3996,6 +3999,10 @@ object TextQueries {
     val w = Window.partitionBy(col("lang"), col("shard"))
       .orderBy(col("bucket"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // (A fan-out of the encode UDF + a pinned (lang, shard) exchange
+    // was tried and reverted: the pack window stage, not the encode,
+    // dominates, and the extra exchange measured a net wash at
+    // sf0.1.)
     val toks = documents(s, dir)
       .select(col("doc_id"), col("lang"), encode(col("text")).as("ids"),
         packBucket(col("doc_id")).as("bucket"))
