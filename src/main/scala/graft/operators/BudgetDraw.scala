@@ -69,15 +69,16 @@ object BudgetDraw {
       tokCol: String,
       budget: Long): DataFrame = {
     val gCols = groupCols.map(col)
-    // The draw reads its input TWICE by construction (pass 1 sums,
-    // pass 2 window) and Spark has no subtree reuse, so without the
-    // checkpoint the caller's upstream chain — e.g. the curriculum's
-    // quality-decile windows — executed once per pass (guide §7.2).
-    // Every caller passes a NARROW (keys, order, tok) projection, so
-    // the one materialization is a ~40-byte/row table both passes
-    // then read; blocks are reclaimed by the ContextCleaner when the
-    // draw's result is dropped.
-    val withR = df.withColumn("__r", rangeId).localCheckpoint(false)
+    // NOTE the draw reads `df` TWICE by construction (pass 1 sums,
+    // pass 2 window): callers whose input is an expensive chain
+    // materialize it themselves (curriculum checkpoints its decile
+    // frame, DSIR persists its keyed frame) — an input checkpoint
+    // HERE was tried and reverted: it either leaks blocks until a
+    // driver GC (CurationSpec's cache-hygiene bar) or, released via
+    // an eager output checkpoint, hides the draw's partitioned
+    // windows from the static plan scanners that pin the r17
+    // single-partition finding as fixed.
+    val withR = df.withColumn("__r", rangeId)
     // pass 1: per-(group, range) token sums — map-side combined,
     // |groups|·R rows total
     val sums = withR

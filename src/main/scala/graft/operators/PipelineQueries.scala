@@ -1100,13 +1100,15 @@ object PipelineQueries {
           Seq("doc_id"), "left_anti"),
       CURR_BULK_BUDGET)
     // both draws are budget-bounded (≤ budget tokens per lang), so an
-    // eager localCheckpoint pins them and releases the cached anneal
-    // RDD — without the unpersist every invocation leaked one cache
-    // entry for the session lifetime (ADVICE r17; the
-    // pipelineCrawlFrontier resp200 lifecycle)
+    // eager localCheckpoint pins them, then every working frame —
+    // the cached anneal AND the shared decile checkpoint — releases
+    // deterministically (ADVICE r17 cache hygiene; checkpoint blocks
+    // are invisible to Dataset.unpersist, so tok needs the real
+    // release).
     val annealOut = anneal.localCheckpoint(eager = true)
     val bulkOut = bulk.localCheckpoint(eager = true)
     anneal.unpersist()
+    org.apache.spark.sql.graftbridge.GraftExpr.releaseLocalCheckpoint(tok)
     (annealOut, bulkOut)
   }
 

@@ -1108,30 +1108,51 @@ object SimilarityQueries {
     * it ever shuffles. Returns (reps as (vec_id, emb, nrm), the
     * rep→member star-edge pairs as (a, b)). ONE definition — both
     * consumers must agree on what "identical vector" means. */
-  /** `materialize = true` checkpoints the collapse output and the
-    * star edges — for the k-NN GRAPH build, whose plan references the
-    * reps three times (band sigs + both score joins) and the stars
-    * twice (the mirrored union): without it the collapse subtree
-    * re-executed per reference (guide §7.2; ~3 s of the build's
-    * stage time at sf0.1). The build persists its corpus-sized OUTPUT
-    * anyway, so the intermediate is the same storage class, reclaimed
-    * by the ContextCleaner. dedup_near_embedding keeps the lazy form
-    * (single-use consumers; materialization measured neutral). */
-  private def collapseIdenticalVectors(e1: DataFrame,
-      materialize: Boolean = false): (DataFrame, DataFrame) = {
+  private def collapseIdenticalVectors(e1: DataFrame)
+      : (DataFrame, DataFrame) = {
     val keyed = e1.select(col("vec_id"), col("emb"), col("nrm"),
       xxhash64(col("emb")).as("ck1"), hash(col("emb")).as("ck2"))
-    val reps0 = keyed.groupBy(col("ck1"), col("ck2"))
+    val reps = keyed.groupBy(col("ck1"), col("ck2"))
       .agg(min(col("vec_id")).as("vec_id"),
         first(col("emb")).as("emb"), first(col("nrm")).as("nrm"))
-    val reps = if (materialize) reps0.localCheckpoint(false) else reps0
-    val stars0 = keyed.select(col("ck1"), col("ck2"), col("vec_id"))
+    val stars = keyed.select(col("ck1"), col("ck2"), col("vec_id"))
       .join(reps.select(col("ck1"), col("ck2"), col("vec_id").as("a")),
         Seq("ck1", "ck2"))
       .filter(col("vec_id") =!= col("a"))
       .select(col("a"), col("vec_id").as("b"))
-    val stars = if (materialize) stars0.localCheckpoint(false) else stars0
     (reps.select(col("vec_id"), col("emb"), col("nrm")), stars)
+  }
+
+  /** The checkpointing variant for the k-NN GRAPH build, whose plan
+    * references the collapse reps three times (band sigs + both score
+    * joins) and the stars twice (the mirrored union): without the
+    * checkpoints the collapse subtree re-executed per reference
+    * (guide §7.2; ~3 s of the build's stage time at sf0.1). Returns
+    * the release hook the build MUST call once its output is
+    * materialized — checkpoint blocks are invisible to
+    * Dataset.unpersist and otherwise linger until a driver GC
+    * (KnnCacheSpec counts them). dedup_near_embedding keeps the lazy
+    * form (single-use consumers; materialization measured neutral). */
+  private def collapseIdenticalVectorsMaterialized(e1: DataFrame)
+      : (DataFrame, DataFrame, () => Unit) = {
+    val keyed = e1.select(col("vec_id"), col("emb"), col("nrm"),
+      xxhash64(col("emb")).as("ck1"), hash(col("emb")).as("ck2"))
+    val reps = keyed.groupBy(col("ck1"), col("ck2"))
+      .agg(min(col("vec_id")).as("vec_id"),
+        first(col("emb")).as("emb"), first(col("nrm")).as("nrm"))
+      .localCheckpoint(false)
+    val stars = keyed.select(col("ck1"), col("ck2"), col("vec_id"))
+      .join(reps.select(col("ck1"), col("ck2"), col("vec_id").as("a")),
+        Seq("ck1", "ck2"))
+      .filter(col("vec_id") =!= col("a"))
+      .select(col("a"), col("vec_id").as("b"))
+      .localCheckpoint(false)
+    (reps.select(col("vec_id"), col("emb"), col("nrm")), stars, () => {
+      org.apache.spark.sql.graftbridge.GraftExpr
+        .releaseLocalCheckpoint(reps)
+      org.apache.spark.sql.graftbridge.GraftExpr
+        .releaseLocalCheckpoint(stars)
+    })
   }
 
   private[graft] def dedupNearEmbeddingFrom(e0: DataFrame): DataFrame = {
@@ -2738,13 +2759,27 @@ object SimilarityQueries {
         }
         (fp, s.sparkContext, new LazyCell({ () =>
           MemoBuilds.record("knn_graph")
-          simKnnJoinFrom(withNorm(embeddings(s, dir))).persist()
+          // The BUILD variant: collapse + scored pairs checkpointed
+          // (their subtrees are referenced 3×/2×/2× in the graph
+          // plan), the persisted graph materialized EAGERLY, then
+          // every intermediate checkpoint released deterministically
+          // — first consumers paid the materialization anyway, and
+          // lazy release left stale blocks for KnnCacheSpec to catch.
+          val (e, stars, release) = collapseIdenticalVectorsMaterialized(
+            nonDegenerate(withNorm(embeddings(s, dir))))
+          val scored = scorePairs(e, nearEmbeddingCandidates(e), 6)
+            .localCheckpoint(false)
+          val g = knnRankFrom(scored, stars).persist()
+          g.count()
+          release()
+          org.apache.spark.sql.graftbridge.GraftExpr
+            .releaseLocalCheckpoint(scored)
+          g
         }))
     })._3.value
   }
 
   private[graft] def simKnnJoinFrom(e0: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // identical vectors add no information to a k-NN GRAPH, and a
     // copy-heavy corpus floods the LSH band buckets straight to
     // their cap (the verbatim-100× sf10 probe OOM'd here before this
@@ -2753,23 +2788,21 @@ object SimilarityQueries {
     // re-attach as sim=1.0 / rk=0 star edges in BOTH directions
     // (a member's nearest neighbor IS its verbatim copy), which
     // preserves the connectivity dedup_semantic clusters on at O(n)
-    // extra edges.
-    val (e, stars) =
-      collapseIdenticalVectors(nonDegenerate(e0), materialize = true)
-    // score each undirected pair ONCE (the arrayDot verify is the
-    // dominant cost), then mirror the scored rows for the per-vector
-    // ranking — sim(a,b) = sim(b,a). The mirror union references
-    // `scored` twice and Spark has no subtree reuse above exchanges,
-    // so WITHOUT the checkpoint the whole candidate-generation +
-    // exact-cosine chain — the build's dominant cost — executed once
-    // per union branch (guide §7.2 duplicated-subtree remedy; §3.3
-    // "materialising an intermediate truncates the plan"). scored is
-    // O(n · per-vector candidate bound) 24-byte rows — the same
-    // magnitude the final graph persists — and its blocks are
-    // reclaimed by the ContextCleaner with the graph's own memo
-    // lifecycle.
-    val scored = scorePairs(e, nearEmbeddingCandidates(e), 6)
-      .localCheckpoint(false)
+    // extra edges. This is the LAZY seam (fixture specs drive it
+    // directly); the memoized graph build ([[knnGraphFor]]) runs the
+    // checkpointing variant with deterministic release instead.
+    val (e, stars) = collapseIdenticalVectors(nonDegenerate(e0))
+    knnRankFrom(scorePairs(e, nearEmbeddingCandidates(e), 6), stars)
+  }
+
+  /** Rank + mirror tail shared by the lazy seam and the memoized
+    * build: score each undirected pair ONCE (the arrayDot verify is
+    * the dominant cost), then mirror the scored rows for the
+    * per-vector ranking — sim(a,b) = sim(b,a). NOTE the mirror union
+    * references `scored` twice; the build passes a checkpointed
+    * frame so the candidate+cosine chain runs once (guide §7.2). */
+  private def knnRankFrom(scored: DataFrame, stars: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sym = scored.union(
       scored.select(col("b").as("a"), col("a").as("b"), col("sim")))
     val w = Window.partitionBy(col("a"))
