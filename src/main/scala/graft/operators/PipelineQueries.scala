@@ -282,16 +282,39 @@ object PipelineQueries {
     val surv = docs
       .join(keep1, Seq("doc_id"))
       .join(drop2, Seq("doc_id"), "left_anti")
-    // stage 3: quality filter at the survivors' P20 (one broadcast
-    // scalar; approx_percentile at 100 TB — same plan shape)
-    val sq = surv.withColumn("quality", TextQueries.QualityScore.quality)
-    val thr = sq.agg(
-      round(expr("percentile(quality, 0.2)") + lit(1e-9), 6).as("thr"))
-    sq.join(broadcast(thr))
-      .filter(col("quality") >= col("thr"))
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("total_chars"))
+    // stage 3: quality filter at the survivors' P20. The threshold is
+    // collected as ONE scalar from a persisted narrow survivor frame
+    // instead of riding a broadcast join: the join form planned the
+    // whole dedup chain (sha256 agg + candidate join) TWICE — once
+    // under the percentile subtree, once on the filter side (guide
+    // §7.2 duplicated subtrees; profiled 16 stages / 2.1 s wall at
+    // sf0.1, over half of it duplicate passes). The persisted frame
+    // is 3 narrow columns of survivors (MEMORY_AND_DISK: spills, never
+    // evicts the lake cache); the ≤|langs|-row result is pinned
+    // eagerly so both working frames release before return — the
+    // BudgetDraw caller-materialization lifecycle. approx_percentile
+    // at 100 TB — same plan shape either way.
+    val sq = surv
+      .withColumn("quality", TextQueries.QualityScore.quality)
+      .select(col("lang"), col("n_chars"), col("quality"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val thrRow = sq.agg(
+        round(expr("percentile(quality, 0.2)") + lit(1e-9), 6).as("thr"))
+        .collect()(0)
+      if (thrRow.isNullAt(0)) // empty survivor set: no rows pass
+        sq.filter(lit(false))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"))
+          .localCheckpoint(eager = true)
+      else
+        sq.filter(col("quality") >= lit(thrRow.getDouble(0)))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"))
+          .localCheckpoint(eager = true)
+    } finally { sq.unpersist(); () }
   }
 
   val pipelineCleanCorpusSql: String =
