@@ -3377,7 +3377,9 @@ object SimilarityQueries {
   /** The Lloyd loop: deterministic init + exact refinements to the
     * scale-free stopping rule. Returns the converged centroids. */
   private[graft] def kmeansLoop(
-      e0: DataFrame, k: Int): Array[(Long, Array[Double], Double)] = {
+      e0: DataFrame, k: Int,
+      driverCellMax: Long = DRIVER_FP_CELLS)
+      : Array[(Long, Array[Double], Double)] = {
     // Persist the narrow (vec_id, emb, nrm) projection ONCE across
     // the whole loop: up to KMEANS_MAX_ITERS refinements each rescan
     // the input otherwise — K full parquet passes for one centroid
@@ -3388,13 +3390,30 @@ object SimilarityQueries {
     // plans.
     val e = e0.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try kmeansLoopOn(e, k)
+    try kmeansLoopOn(e, k, driverCellMax)
     finally { e.unpersist(); () }
   }
 
   private def kmeansLoopOn(
-      e: DataFrame, k: Int): Array[(Long, Array[Double], Double)] = {
+      e: DataFrame, k: Int,
+      driverCellMax: Long = DRIVER_FP_CELLS)
+      : Array[(Long, Array[Double], Double)] = {
     val s = e.sparkSession
+    // driver fixed-point gate (the pagerankRanks idiom, cell-sized
+    // like powerIterate's): ONE bounded aggregate decides, one
+    // collect replaces init + ≤KMEANS_MAX_ITERS refineCentroids jobs.
+    // The count/sum job reads the frame kmeansLoop just persisted, so
+    // the distributed path pays no extra corpus pass — it warms the
+    // cache the loop was about to materialize anyway.
+    val gRow = e.agg(count(lit(1)), sum(size(col("emb")))).collect()(0)
+    val cells = if (gRow.isNullAt(1)) 0L else gRow.getLong(1)
+    if (cells <= driverCellMax) {
+      val rows = e.select(col("vec_id"), col("emb"), col("nrm"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+          r.getDouble(2)))
+      return kmeansLoopLocal(rows, k)
+    }
     val mix64 = udf { (x: Long) => graft.functions.FastSig.mix(x) }
     var cents = e.orderBy(mix64(col("vec_id")), col("vec_id")).limit(k)
       .select(col("vec_id"), col("emb"), col("nrm"))
@@ -3426,6 +3445,85 @@ object SimilarityQueries {
       it += 1
     }
     cents
+  }
+
+  /** [[kmeansLoopOn]] replayed on collected rows: the same
+    * (mix64, vec_id)-sorted init, [[refineCentroidsLocal]] rounds,
+    * and the identical scale-free movement rule. */
+  private[graft] def kmeansLoopLocal(
+      rows: Array[(Long, Array[Double], Double)], k: Int)
+      : Array[(Long, Array[Double], Double)] = {
+    var cents = rows
+      .sortBy { case (id, _, _) => (graft.functions.FastSig.mix(id), id) }
+      .take(k)
+    var moved = Double.MaxValue
+    var firstMoved = -1.0
+    var it = 0
+    while (moved > math.max(1e-6, firstMoved * 0.05) &&
+        it < KMEANS_MAX_ITERS) {
+      val next = refineCentroidsLocal(rows, cents)
+      val prev = cents.map(c => c._1 -> c._2).toMap
+      moved = if (next.isEmpty) 0.0
+        else next.map { case (cid, emb, _) =>
+          prev.get(cid) match {
+            case Some(p) =>
+              var ss = 0.0
+              var i = 0
+              while (i < emb.length) {
+                val d = emb(i) - p(i); ss += d * d; i += 1
+              }
+              math.sqrt(ss)
+            case None => Double.MaxValue
+          }
+        }.max
+      cents = next
+      if (firstMoved < 0.0) firstMoved = moved
+      it += 1
+    }
+    cents
+  }
+
+  /** [[refineCentroids]] replayed on collected rows — the identical
+    * exact-grid step: assignment through the SAME [[topCentroids]]
+    * kernel, per-(cid, dim) BigInt sums of floor(v·2²⁴ + ½) (=
+    * the decimal(38,0) sums by associativity), presence counts per
+    * dim, and the same (sv.doubleValue / n) / grid mean tail. */
+  private[graft] def refineCentroidsLocal(
+      rows: Array[(Long, Array[Double], Double)],
+      cArr: Array[(Long, Array[Double], Double)])
+      : Array[(Long, Array[Double], Double)] = {
+    if (cArr.isEmpty) return cArr
+    val acc = scala.collection.mutable.HashMap
+      .empty[Long, (scala.collection.mutable.ArrayBuffer[BigInt],
+        scala.collection.mutable.ArrayBuffer[Long])]
+    rows.foreach { case (_, emb, nrm) =>
+      val top = topCentroids(cArr, 1, emb, nrm)
+      if (top.nonEmpty) {
+        val (sv, cnt) = acc.getOrElseUpdate(top(0),
+          (scala.collection.mutable.ArrayBuffer.empty[BigInt],
+            scala.collection.mutable.ArrayBuffer.empty[Long]))
+        var j = 0
+        while (j < emb.length) {
+          if (j >= sv.length) { sv += BigInt(0); cnt += 0L }
+          sv(j) += BigInt(math.floor(emb(j) * KMEANS_GRID + 0.5).toLong)
+          cnt(j) += 1L
+          j += 1
+        }
+      }
+    }
+    acc.iterator.map { case (cid, (sv, cnt)) =>
+      val emb = sv.indices.iterator
+        .filter(j => cnt(j) > 0L)
+        .map { j =>
+          (new java.math.BigDecimal(sv(j).bigInteger).doubleValue /
+            cnt(j).toDouble) / KMEANS_GRID
+        }
+        .toArray
+      var ss = 0.0
+      var i = 0
+      while (i < emb.length) { ss += emb(i) * emb(i); i += 1 }
+      (cid, emb, math.sqrt(ss))
+    }.toArray.sortBy(_._1)
   }
 
   /** Converged centroids per (corpus, k), memoized behind the corpus
@@ -3984,7 +4082,8 @@ object SimilarityQueries {
     * are fixed-point identities, so early-stop equals the oracle's
     * keep-iterating CASE arm. Returns (mean, axis, lam = ‖w‖/n — the
     * top-eigenvalue estimate of the covariance — and n). */
-  private[graft] def pcaPowerLoop(e0: DataFrame)
+  private[graft] def pcaPowerLoop(e0: DataFrame,
+      driverCellMax: Long = DRIVER_FP_CELLS)
       : (Array[Double], Array[Double], Double, Long) = {
     val dRow = e0.agg(max(size(col("emb")))).collect()
     val d = if (dRow.isEmpty || dRow(0).isNullAt(0)) 0 else dRow(0).getInt(0)
@@ -4029,7 +4128,8 @@ object SimilarityQueries {
     }
     val mLit = typedLit(mean.toSeq)
     val (v, lam) = powerIterate(
-      e.select(zip_with(col("emb"), mLit, (x, m) => x - m).as("cv")), d, n)
+      e.select(zip_with(col("emb"), mLit, (x, m) => x - m).as("cv")),
+      d, n, driverCellMax)
     (mean, v, lam, n)
   }
 
@@ -4037,8 +4137,28 @@ object SimilarityQueries {
     * centered/deflated) `cv` vectors — shared by the first component
     * and the deflated second component so the two loops can never
     * drift arithmetically. */
-  private def powerIterate(
-      eC: DataFrame, d: Int, n: Long): (Array[Double], Double) = {
+  /** Cell ceiling (rows × dims) for the driver fixed-point shortcut
+    * of the iterative numeric kernels — the [[pagerankRanks]] /
+    * DRIVER_CC_MAX idiom, sized in CELLS because each row carries d
+    * doubles: 2²¹ collected doubles ≈ 16 MB, far under driver
+    * headroom. Below it the K distributed rounds pay ~80–150 ms of
+    * job scheduling each for microseconds of integer work; the driver
+    * loop replays the IDENTICAL exact-grid arithmetic (BigInt sums =
+    * the decimal(38,0) sums by associativity; per-row folds are the
+    * same explicitly-sequenced IEEE ops — parity spec-pinned). Above
+    * it the distributed loop runs unchanged. */
+  private[graft] val DRIVER_FP_CELLS = 1L << 21
+
+  private[graft] def powerIterate(
+      eC: DataFrame, d: Int, n: Long,
+      driverCellMax: Long = DRIVER_FP_CELLS): (Array[Double], Double) = {
+    // driver fixed-point shortcut: every row is exactly d doubles, so
+    // eligibility needs no extra pass — one collect replaces
+    // PCA_ITERS aggregate jobs, and the loop's flops run in-process
+    if (d > 0 && n > 0 && n <= driverCellMax / d) {
+      val rows = eC.collect().map(_.getSeq[Double](0).toArray)
+      return powerIterateLocal(rows, d, n)
+    }
     // Persist the centered projection ONCE: the K rounds otherwise
     // each re-scan the parquet AND recompute the zip_with centering —
     // K full corpus passes for one axis (VERDICT r15 task 6; measured
@@ -4051,6 +4171,53 @@ object SimilarityQueries {
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try powerIterateOn(cached, d, n)
     finally { cached.unpersist(); () }
+  }
+
+  /** [[powerIterateOn]] replayed on collected rows — op-for-op: the
+    * per-row projection is the same left-to-right double fold, a and
+    * b are the same floor-to-grid longs, Σ a·b runs in BigInt (=
+    * decimal(38,0) by associativity), and the mean/norm/snap tail is
+    * byte-identical code. */
+  private[graft] def powerIterateLocal(
+      rows: Array[Array[Double]], d: Int, n: Long)
+      : (Array[Double], Double) = {
+    val snap = (x: Double) => math.floor(x * KMEANS_GRID + 0.5) / KMEANS_GRID
+    val v = Array.fill(d)(snap(1.0 / math.sqrt(d.toDouble)))
+    var lam = 0.0
+    var it = 0
+    val grid2 = KMEANS_GRID * KMEANS_GRID
+    while (it < PCA_ITERS) {
+      val wSum = Array.fill(d)(BigInt(0))
+      var r = 0
+      while (r < rows.length) {
+        val c = rows(r)
+        var acc = 0.0
+        var j = 0
+        while (j < d) { acc += c(j) * v(j); j += 1 }
+        val a = BigInt(math.floor(acc * KMEANS_GRID + 0.5).toLong)
+        j = 0
+        while (j < d) {
+          wSum(j) += a * BigInt(
+            math.floor(c(j) * KMEANS_GRID + 0.5).toLong)
+          j += 1
+        }
+        r += 1
+      }
+      val wArr = wSum.map(w =>
+        new java.math.BigDecimal(w.bigInteger).doubleValue / grid2)
+      var ss = 0.0
+      var i = 0
+      while (i < d) { ss += wArr(i) * wArr(i); i += 1 }
+      val nrm = math.sqrt(ss)
+      if (nrm == 0.0) { lam = 0.0; it = PCA_ITERS }
+      else {
+        lam = nrm / n.toDouble
+        i = 0
+        while (i < d) { v(i) = snap(wArr(i) / nrm); i += 1 }
+        it += 1
+      }
+    }
+    (v, lam)
   }
 
   private def powerIterateOn(
